@@ -1,0 +1,25 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Minimal bridge into Spark's `private[sql]` Column ↔ Expression
+  * converters, needed to expose custom Catalyst expressions (e.g.
+  * graft.functions.UnicodeNormalize) as public `Column` functions on
+  * Spark 4 (where `new Column(expr)` is no longer public API).
+  */
+object bridge {
+  def toColumn(e: Expression): Column = ExpressionUtils.column(e)
+  def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a Catalyst expression builder as a SQL function. */
+  def registerFunction(
+      spark: SparkSession,
+      name: String,
+      builder: Seq[Expression] => Expression): Unit = {
+    import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+    spark.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
+  }
+}
