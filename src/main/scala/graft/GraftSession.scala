@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Canonical session configuration for the engine.
+  *
+  * Scale-relevant defaults:
+  *  - AQE on (runtime partition coalescing + skew-join splitting);
+  *  - shuffle partitions sized for the local[32] test harness — on a
+  *    real cluster this is overridden to ~2-3× total cores;
+  *  - UTC session timezone (oracle parity);
+  *  - nanosAsLong so parquet TIMESTAMP(NANOS) sources load (Spark has
+  *    no native nanos type; Tables.events converts to micros).
+  */
+object GraftSession {
+
+  def builder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+
+  def get(master: String = "local[*]"): SparkSession = {
+    val spark = builder(master).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

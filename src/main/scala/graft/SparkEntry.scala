@@ -1,7 +1,11 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.functions.{analysis, text}
+import graft.operators.{Dedup, Similarity, Split, Stats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -9,7 +13,8 @@ import org.apache.spark.sql.functions._
   * each SQL-expressible one also gets a DuckDB oracle in `oracleSql`.
   * Column names are aliased identically on both sides (the driver's
   * compare sorts columns by name before hashing). Doubles are rounded
-  * on both sides so float summation order can't flip the hash.
+  * on both sides so float summation order can't flip the hash; DuckDB
+  * HUGEINT sums are cast back to BIGINT to match Spark's LongType.
   */
 object SparkEntry {
 
@@ -17,12 +22,14 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // A1/A9-family: single-pass grouped aggregate over the fact table
-    // (TPC-H Q1 shape exercising partial+final hash aggregation).
+
+    // ---- A1/A9: grouped aggregation over the fact table (TPC-H Q1 shape).
     "q1_pricing_summary" -> { (s, dir) =>
-      Tables.lineitem(s, dir)
+      li(s, dir)
         .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-02")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
@@ -33,6 +40,277 @@ object SparkEntry {
           round(avg(col("l_discount")), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // ---- J1: star equi-join chain; small dims broadcast. Revenue per nation.
+    "q2_revenue_by_nation" -> { (s, dir) =>
+      val rev = li(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      rev.groupBy(col("r_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
+    // ---- A7+J1: top-10 customers by order value (top-k with tie-break).
+    "q3_top_customers" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(round(sum(col("o_totalprice")), 2).as("total_spent"),
+          count(lit(1)).as("n_orders"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("total_spent"), col("n_orders"))
+        .orderBy(desc("total_spent"), asc("c_custkey"))
+        .limit(10)
+    },
+
+    // ---- A9+W1: daily aggregate + 7-day moving average (frame spec).
+    "q4_events_daily_ma" -> { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(round(avg(col("value")), 4).as("avg_value"), count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day")).rowsBetween(-6, 0)
+      daily.withColumn("ma7", round(avg(col("avg_value")).over(w), 4))
+        .withColumn("day", col("day").cast("string"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
+    // ---- W2: LAG trend classification over the daily series.
+    "q5_events_lag_trend" -> { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(round(avg(col("value")), 4).as("avg_value"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      daily
+        .withColumn("prev_value", lag(col("avg_value"), 1).over(w))
+        .withColumn("trend",
+          when(col("prev_value").isNull, lit("init"))
+            .when(col("avg_value") > col("prev_value") * 1.05, lit("up"))
+            .when(col("avg_value") < col("prev_value") * 0.95, lit("down"))
+            .otherwise(lit("stable")))
+        .withColumn("day", col("day").cast("string"))
+        .orderBy(col("event_type"), col("day"))
+    },
+
+    // ---- J6/W4: latest event per user (correlated-subquery shape as window).
+    "q6_latest_event_per_user" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(desc("ts"), desc("event_id"))
+      Tables.events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          round(col("value"), 2).as("value"))
+        .orderBy(col("user_id"))
+    },
+
+    // ---- D1: exact dedup on normalized text key, deterministic keep-min-id.
+    "q7_dedup_docs_exact" -> { (s, dir) =>
+      Dedup.keepBestWindow(Tables.documents(s, dir), Dedup.compositeKey(Seq("text")), Seq(asc("doc_id")))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
+    // ---- D3/D7: best-record per group (argmax by length then id).
+    "q8_dedup_best_per_group" -> { (s, dir) =>
+      Dedup.keepBest(Tables.documents(s, dir), Dedup.compositeKey(Seq("lang", "source")),
+          Seq(col("n_chars"), col("doc_id")))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("lang", "source")
+    },
+
+    // ---- D8: duplicate statistics without removal.
+    "q9_dup_stats" -> { (s, dir) =>
+      Dedup.duplicateStats(Tables.documents(s, dir), Seq("text"))
+    },
+
+    // ---- A2: null count/rate per column, single pass.
+    "q10_null_stats" -> { (s, dir) =>
+      Stats.nullStats(Tables.documents(s, dir), Seq("text", "lang", "source"))
+        .orderBy("column_name")
+    },
+
+    // ---- A4: length distribution stats per language.
+    "q11_length_stats" -> { (s, dir) =>
+      Stats.lengthStats(Tables.documents(s, dir), col("text"), Seq(col("lang")))
+        .orderBy("lang")
+    },
+
+    // ---- A5: type-token ratio (exact).
+    "q12_ttr" -> { (s, dir) =>
+      Stats.typeTokenRatio(Tables.documents(s, dir), col("text"))
+    },
+
+    // ---- A6: special-char counting via translate-delete.
+    "q13_char_stats" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(
+          sum(Stats.charCount(col("text"), "aeiou")).as("vowel_count"),
+          sum(Stats.charCount(col("text"), " ")).as("space_count"),
+          max(when(col("text").contains("spark"), 1).otherwise(0)).as("has_spark"))
+        .orderBy("lang")
+    },
+
+    // ---- A10: conditional pivot counts per day.
+    "q14_event_pivot" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).cast("string").as("day"))
+        .agg(
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases"),
+          sum(when(col("event_type") === "signup", 1L).otherwise(0L)).as("signups"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errors"),
+          count(lit(1)).as("total"))
+        .orderBy("day")
+    },
+
+    // ---- A11: guarded ratio with NULLIF semantics.
+    "q15_value_ratio" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(round(lit(100.0) * sum(when(col("value") > 50, 1L).otherwise(0L)) /
+          nullif(count(lit(1)), lit(0L)), 2).as("pct_high_value"))
+        .orderBy("event_type")
+    },
+
+    // ---- O4: deterministic seeded split (xxhash64 — no DuckDB oracle).
+    "q16_seeded_split" -> { (s, dir) =>
+      Split.split(Tables.documents(s, dir), Seq("doc_id"))
+        .groupBy(col("split")).agg(count(lit(1)).as("n"))
+        .orderBy("split")
+    },
+
+    // ---- P7/J-semi: customers with at least one order.
+    "q17_customers_with_orders" -> { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    },
+
+    // ---- J3: anti-join (customers with no finalized orders).
+    "q18_customers_without_orders" -> { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("c_custkey")), Seq("c_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    },
+    // ---- D5/J2/J3: MinHash-LSH fuzzy dedup, seeds pinned (no SQL oracle —
+    // LSH bucketing is model-defined; correctness via DedupSpec recall tests).
+    "q19_fuzzy_dedup" -> { (s, dir) =>
+      Dedup.fuzzyDedup(Tables.documents(s, dir), "doc_id", col("text"), threshold = 0.3)
+        .select("doc_id").orderBy("doc_id")
+    },
+
+    // ---- J4: exact kNN over embeddings (brute-force cosine + window top-k).
+    "q20_knn_bruteforce" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    },
+
+    // ---- J4-threshold: all similar pairs above cosine threshold.
+    "q21_similar_pairs" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+        .filter(col("vec_id") < 100)
+      Similarity.similarPairs(emb, "vec_id", "embedding", t = 0.25)
+        .orderBy("id_a", "id_b")
+    },
+
+    // ---- Text analysis: token counting (whitespace + BPE-ish estimate).
+    "q22_token_stats" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(
+          sum(analysis.token_count(col("text"))).as("total_tokens"),
+          sum(analysis.token_count_bpe(col("text"))).as("total_bpe_tokens"),
+          round(avg(analysis.mean_word_length(col("text"))), 4).as("avg_word_len"))
+        .orderBy("lang")
+    },
+
+    // ---- Text analysis: composite quality score per language.
+    "q23_quality_score" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("lang"))
+        .agg(
+          round(avg(analysis.quality_score(col("text"))), 4).as("avg_quality"),
+          sum(when(analysis.quality_score(col("text")) >= 0.8, 1L).otherwise(0L)).as("high_quality_docs"))
+        .orderBy("lang")
+    },
+
+    // ---- Text analysis: content fingerprint (md5 over normalized tokens).
+    "q24_fingerprint" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          md5(concat_ws(" ",
+            filter(split(lower(trim(col("text"))), "\\s+"), t => length(t) > 0))).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // ---- F1/F7: NFC normalization (custom Catalyst expr) + whitespace collapse.
+    "q25_normalize_nfc" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), text.collapse_ws(text.unicode_nfc(col("text"))).as("norm_text"))
+        .orderBy("doc_id")
+    },
+
+    // ---- [E] A-family: ROLLUP aggregate (free generalization of trend views).
+    "q26_orders_rollup" -> { (s, dir) =>
+      Tables.orders(s, dir)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy("status", "priority")
+    },
+
+    // ---- W-family: sessionization (30-min gap) via lag + running sum.
+    "q27_sessionize" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev_s", lag(unix_timestamp(col("ts")), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_s").isNull || unix_timestamp(col("ts")) - col("prev_s") > 1800, 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    },
+
+    // ---- F17: JSON field extraction from the events props column.
+    "q28_events_json" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), round(avg(col("k")), 4).as("avg_k"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
+    // ---- Near-dup: SimHash bucketing dedup (xxhash64-based; no SQL oracle).
+    "q29_simhash_dedup" -> { (s, dir) =>
+      Dedup.simhashDedup(Tables.documents(s, dir), "doc_id", col("text"))
+        .select("doc_id").orderBy("doc_id")
+    },
+
+    // ---- Near-dup: character-3-gram Jaccard on candidate pairs.
+    "q30_ngram_jaccard" -> { (s, dir) =>
+      val a = Tables.documents(s, dir).filter(col("doc_id") < 50)
+        .select(col("doc_id").as("id_a"), col("text").as("text_a"))
+      val b = Tables.documents(s, dir).filter(col("doc_id") < 50)
+        .select(col("doc_id").as("id_b"), col("text").as("text_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("jaccard", round(Dedup.ngramJaccard(col("text_a"), col("text_b"), 3), 6))
+        .filter(col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
     },
   )
 
@@ -51,5 +329,298 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q2_revenue_by_nation" ->
+      """SELECT r_name, n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name, n_name""".stripMargin,
+
+    "q3_top_customers" ->
+      """SELECT c_custkey, c_name,
+        |  round(sum(o_totalprice), 2) AS total_spent,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY total_spent DESC, c_custkey
+        |LIMIT 10""".stripMargin,
+
+    "q4_events_daily_ma" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type,
+        |    round(avg(value), 4) AS avg_value, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT CAST(day AS VARCHAR) AS day, event_type, avg_value, n,
+        |  round(avg(avg_value) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+        |FROM daily
+        |ORDER BY event_type, day""".stripMargin,
+
+    "q5_events_lag_trend" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type,
+        |    round(avg(value), 4) AS avg_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT CAST(day AS VARCHAR) AS day, event_type, avg_value,
+        |  lag(avg_value, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev_value,
+        |  CASE
+        |    WHEN lag(avg_value, 1) OVER (PARTITION BY event_type ORDER BY day) IS NULL THEN 'init'
+        |    WHEN avg_value > lag(avg_value, 1) OVER (PARTITION BY event_type ORDER BY day) * 1.05 THEN 'up'
+        |    WHEN avg_value < lag(avg_value, 1) OVER (PARTITION BY event_type ORDER BY day) * 0.95 THEN 'down'
+        |    ELSE 'stable' END AS trend
+        |FROM daily
+        |ORDER BY event_type, day""".stripMargin,
+
+    "q6_latest_event_per_user" ->
+      """SELECT user_id, event_id, event_type, round(value, 2) AS value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        |        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "q7_dedup_docs_exact" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY lower(trim(coalesce(text, ''))) ORDER BY doc_id) AS rn
+        |      FROM documents)
+        |WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q8_dedup_best_per_group" ->
+      """SELECT doc_id, lang, source, n_chars
+        |FROM (SELECT *, row_number() OVER (
+        |        PARTITION BY lower(trim(coalesce(lang, ''))) || '|' || lower(trim(coalesce(source, '')))
+        |        ORDER BY n_chars DESC, doc_id DESC) AS rn
+        |      FROM documents)
+        |WHERE rn = 1
+        |ORDER BY lang, source""".stripMargin,
+
+    "q9_dup_stats" ->
+      """WITH g AS (
+        |  SELECT lower(trim(coalesce(text, ''))) AS dup_key, count(*) AS n
+        |  FROM documents GROUP BY 1)
+        |SELECT CAST(sum(n) AS BIGINT) AS total_records,
+        |  count(*) AS unique_records,
+        |  CAST(sum(n) - count(*) AS BIGINT) AS duplicate_records,
+        |  round((sum(n) - count(*)) / CAST(sum(n) AS DOUBLE), 6) AS duplicate_rate,
+        |  CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS groups_with_duplicates,
+        |  CAST(max(n) AS BIGINT) AS largest_group_size
+        |FROM g""".stripMargin,
+
+    "q10_null_stats" ->
+      """SELECT 'lang' AS column_name,
+        |  CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+        |  round(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6) AS null_rate
+        |FROM documents
+        |UNION ALL
+        |SELECT 'source',
+        |  CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  round(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+        |FROM documents
+        |UNION ALL
+        |SELECT 'text',
+        |  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  round(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+        |FROM documents
+        |ORDER BY column_name""".stripMargin,
+
+    "q11_length_stats" ->
+      """SELECT lang,
+        |  count(text) AS n,
+        |  round(avg(length(text)), 4) AS mean_len,
+        |  round(quantile_cont(length(text), 0.5), 4) AS median_len,
+        |  CAST(min(length(text)) AS INT) AS min_len,
+        |  CAST(max(length(text)) AS INT) AS max_len,
+        |  round(stddev_samp(length(text)), 4) AS std_len
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    "q12_ttr" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS token
+        |  FROM documents)
+        |SELECT count(*) AS total_tokens,
+        |  count(DISTINCT token) AS distinct_tokens,
+        |  round(count(DISTINCT token) / CAST(count(*) AS DOUBLE), 6) AS ttr
+        |FROM tok WHERE token <> ''""".stripMargin,
+
+    "q13_char_stats" ->
+      """SELECT lang,
+        |  CAST(sum(length(text) - length(translate(text, 'aeiou', ''))) AS BIGINT) AS vowel_count,
+        |  CAST(sum(length(text) - length(translate(text, ' ', ''))) AS BIGINT) AS space_count,
+        |  CAST(max(CASE WHEN text LIKE '%spark%' THEN 1 ELSE 0 END) AS INT) AS has_spark
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    "q14_event_pivot" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signups,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+        |  count(*) AS total
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY day""".stripMargin,
+
+    "q15_value_ratio" ->
+      """SELECT event_type,
+        |  round(100.0 * sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) /
+        |    nullif(count(*), 0), 2) AS pct_high_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q17_customers_with_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q18_customers_without_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q20_knn_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        |s AS (SELECT query_id, corpus_id,
+        |        CASE WHEN sqrt(list_dot_product(qv, qv)) = 0 OR sqrt(list_dot_product(cv, cv)) = 0
+        |             THEN 0.0
+        |             ELSE list_dot_product(qv, cv) /
+        |                  (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) END AS sim
+        |      FROM c, q WHERE corpus_id <> query_id),
+        |r AS (SELECT query_id, corpus_id, sim, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS rank FROM s)
+        |SELECT query_id, corpus_id, round(sim, 6) AS sim, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q21_similar_pairs" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id < 100),
+        |s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        CASE WHEN sqrt(list_dot_product(a.v, a.v)) = 0 OR sqrt(list_dot_product(b.v, b.v)) = 0
+        |             THEN 0.0
+        |             ELSE list_dot_product(a.v, b.v) /
+        |                  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) END AS sim
+        |      FROM e a, e b WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(sim, 6) AS sim FROM s
+        |WHERE sim >= 0.25
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q22_token_stats" ->
+      """SELECT lang,
+        |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(string_split_regex(trim(text), '\s+')) END) AS BIGINT) AS total_tokens,
+        |  CAST(sum(
+        |    len(regexp_extract_all(text, '[\p{L}]+')) +
+        |    len(regexp_extract_all(text, '[0-9]+')) +
+        |    len(regexp_extract_all(text, '[^\p{L}0-9\s]')) +
+        |    len(regexp_extract_all(text, '[\p{L}]{5,8}')) +
+        |    2 * len(regexp_extract_all(text, '[\p{L}]{9,}'))) AS BIGINT) AS total_bpe_tokens,
+        |  round(avg(CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      x -> length(x) > 0)) = 0 THEN 0.0
+        |    ELSE list_sum(list_transform(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> length(x) > 0), x -> length(x))) /
+        |      CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |        x -> length(x) > 0)) AS DOUBLE) END), 4) AS avg_word_len
+        |FROM documents
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    "q23_quality_score" ->
+      """WITH scored AS (
+        |  SELECT lang, round(
+        |    (CASE WHEN length(text) BETWEEN 10 AND 2000 THEN 1.0
+        |          WHEN length(text) BETWEEN 3 AND 9 THEN 0.5 ELSE 0.0 END) * 0.4 +
+        |    (CASE WHEN (CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'),
+        |            x -> length(x) > 0)) = 0 THEN 0.0
+        |          ELSE list_sum(list_transform(list_filter(string_split_regex(trim(text), '\s+'),
+        |              x -> length(x) > 0), x -> length(x))) /
+        |            CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |              x -> length(x) > 0)) AS DOUBLE) END) BETWEEN 2.0 AND 12.0
+        |       THEN 1.0 ELSE 0.3 END) * 0.2 +
+        |    (1.0 - least(CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE len(regexp_extract_all(text, '[^\p{L}0-9\s]')) * 1.0 / length(text) END * 4,
+        |       1.0)) * 0.2 +
+        |    (1.0 - least(CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE len(regexp_extract_all(text, '[0-9]')) * 1.0 / length(text) END * 4,
+        |       1.0)) * 0.2, 6) AS q
+        |  FROM documents)
+        |SELECT lang, round(avg(q), 4) AS avg_quality,
+        |  CAST(sum(CASE WHEN q >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS high_quality_docs
+        |FROM scored
+        |GROUP BY lang
+        |ORDER BY lang""".stripMargin,
+
+    "q24_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |    x -> length(x) > 0), ' ')) AS fp
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q25_normalize_nfc" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g')) AS norm_text
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q26_orders_rollup" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q27_sessionize" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS s,
+        |    lag(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev_s
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN prev_s IS NULL OR s - prev_s > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM t
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
+
+    "q28_events_json" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        |  round(avg(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)), 4) AS avg_k,
+        |  count(*) AS n
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
+
+    "q30_ngram_jaccard" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+        |g AS (SELECT doc_id, list_distinct(list_filter(
+        |        list_transform(range(1, greatest(length(text) - 2, 0) + 2),
+        |          i -> text[i:i+2]),
+        |        x -> length(x) = 3)) AS grams, text FROM d),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.grams AS ga, b.grams AS gb
+        |      FROM g a, g b WHERE a.doc_id < b.doc_id),
+        |j AS (SELECT id_a, id_b,
+        |        CASE WHEN len(list_distinct(list_concat(ga, gb))) = 0 THEN 1.0
+        |          ELSE len(list_filter(ga, x -> list_contains(gb, x))) * 1.0 /
+        |               len(list_distinct(list_concat(ga, gb))) END AS jac
+        |      FROM p)
+        |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j
+        |WHERE round(jac, 6) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }

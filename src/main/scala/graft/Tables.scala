@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver-generated test tables (TESTDATA.md).
   *
@@ -23,7 +25,16 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
+    * rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong=true`
+    * (see [[GraftSession]]) and this loader floors the raw nanos to a
+    * proper microsecond TimestampType column. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = table(s, d, "events")
+    if (df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
@@ -31,5 +42,8 @@ object Tables {
     * metadata-warehouse surface, SURVEY §2.9) can reference them by name.
     */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => table(spark, dir, n).createOrReplaceTempView(n))
+    all.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else table(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

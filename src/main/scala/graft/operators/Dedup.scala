@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.text
+
+/** Deduplication operator family (SURVEY §2.4, D1-D8).
+  *
+  * All exact variants are expressed as composite-key + window/`max_by`
+  * aggregations — one shuffle on the dedup key, no driver
+  * materialization, no reliance on implicit row order (the reference's
+  * pandas `drop_duplicates(keep='last')` depends on insertion order,
+  * /root/reference/src/transforms/deduplicators.py:95-118; here the
+  * keep policy is an explicit ORDER BY, which is the only definition
+  * that survives a distributed shuffle).
+  *
+  * Scale notes (100 TB design point):
+  *  - keepFirst/keepLast/keepBest are a single hash-partitioned
+  *    aggregation (`max_by`/`min_by` over a struct) — partial
+  *    aggregation happens map-side, so heavy duplicate skew collapses
+  *    before the shuffle.
+  *  - fuzzy dedup never collects duplicate ids to the driver (the
+  *    reference does, src/scala_examples/SparkDedup.scala:63-67);
+  *    removal is a `left_anti` join.
+  */
+object Dedup {
+
+  /** D1 composite normalized key over the given columns (F8+F9). */
+  def compositeKey(cols: Seq[String]): Column =
+    text.dedup_key(cols.map(col): _*)
+
+  /** D1/D2/D3/D7 generalized: keep exactly one row per key, the one
+    * maximizing `order` (ties broken deterministically by `tieBreak`).
+    * Implemented with `max_by(struct(allCols), struct(order, tieBreak))`
+    * — single aggregation, map-side partial combine. */
+  def keepBest(df: DataFrame, key: Column, order: Seq[Column]): DataFrame = {
+    val valueStruct = struct(df.columns.map(col): _*)
+    val ordStruct = struct(order: _*)
+    df.groupBy(key.as("__key"))
+      .agg(max_by(valueStruct, ordStruct).as("__best"))
+      .select("__best.*")
+  }
+
+  /** Window-based variant: keeps the first full row per key under the
+    * given ordering (which may use asc/desc SortOrder). */
+  def keepBestWindow(df: DataFrame, key: Column, order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** D4 — column-subset exact dedup (arbitrary keep). */
+  def dropDuplicates(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.dropDuplicates(cols)
+
+  /** D8 — duplicate statistics without removal: one aggregation over
+    * the key, then a single-row rollup. */
+  def duplicateStats(df: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val groups = df.groupBy(compositeKey(keyCols).as("dup_key")).agg(count(lit(1)).as("n"))
+    groups.agg(
+      sum(col("n")).as("total_records"),
+      count(lit(1)).as("unique_records"),
+      (sum(col("n")) - count(lit(1))).as("duplicate_records"),
+      round((sum(col("n")) - count(lit(1))) / sum(col("n")), 6).as("duplicate_rate"),
+      sum(when(col("n") > 1, lit(1)).otherwise(lit(0))).as("groups_with_duplicates"),
+      max(col("n")).as("largest_group_size"))
+  }
+
+  /** D5 — MinHash-LSH fuzzy dedup (J2+J3), seeds pinned for
+    * reproducibility (SURVEY §7.4 risk 4).
+    *
+    * Pipeline: tokenize → HashingTF(numFeatures) → MinHashLSH
+    * (numHashTables) → approxSimilarityJoin(self) at `threshold`
+    * Jaccard distance → canonical pair orientation (idA < idB) →
+    * left_anti join removes the non-canonical member of each pair.
+    * The LSH join shuffle-partitions on band hashes, so cost is
+    * O(n·k) not O(n²) — the rewrite that took the reference from 48 h
+    * to 12 min (ADR-003:165-189) is structural here.
+    */
+  def fuzzyDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: Column,
+      threshold: Double = 0.2,
+      numFeatures: Int = 1 << 14,
+      numHashTables: Int = 5): DataFrame = {
+    val tokens = df.select(col(idCol), split(textCol, "\\s+").as("__tokens"))
+      .filter(size(col("__tokens")) > 0)
+    val tf = new HashingTF()
+      .setInputCol("__tokens").setOutputCol("__features")
+      .setNumFeatures(numFeatures)
+    val featured = tf.transform(tokens)
+    val lsh = new MinHashLSH()
+      .setInputCol("__features").setOutputCol("__hashes")
+      .setNumHashTables(numHashTables)
+      .setSeed(42L)
+    val model = lsh.fit(featured)
+    val pairs = model
+      .approxSimilarityJoin(featured, featured, threshold, "jaccard_distance")
+      .select(
+        col(s"datasetA.$idCol").as("id_a"),
+        col(s"datasetB.$idCol").as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+    val dupIds = pairs.select(col("id_b").as(idCol)).distinct()
+    df.join(dupIds, Seq(idCol), "left_anti")
+  }
+
+  private def callFn(name: String, cols: Column*): Column =
+    org.apache.spark.sql.functions.call_function(name, cols: _*)
+
+  /** SimHash near-duplicate signature (64-bit) from token set.
+    *
+    * Pure Column composition: each distinct token hashed with xxhash64;
+    * for each of the 64 bit positions the signed contributions are
+    * summed; sign → bit. Documents whose signatures match on a band
+    * are near-dup candidates. Runs entirely in codegen (higher-order
+    * array functions), no UDF.
+    */
+  def simhash(tokens: Column): Column = {
+    val hashes = transform(array_distinct(tokens), t => xxhash64(t))
+    val bits = sequence(lit(0), lit(63))
+    val sig = transform(bits, b =>
+      when(
+        aggregate(hashes, lit(0L),
+          (acc, h) => acc + when(callFn("shiftright", h, b).bitwiseAND(lit(1L)) === 1, lit(1L)).otherwise(lit(-1L))
+        ) > 0, callFn("shiftleft", lit(1L), b)).otherwise(lit(0L)))
+    aggregate(sig, lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** Exact-dedup by SimHash band equality: groups rows whose simhash
+    * agree on all 4 16-bit bands (cheap near-dup bucketing; a
+    * candidate-verify pass can follow). */
+  def simhashDedup(df: DataFrame, idCol: String, textCol: Column): DataFrame = {
+    val sig = simhash(split(text.norm_key(textCol), "\\s+"))
+    keepBestWindow(df.withColumn("__sig", sig), col("__sig"), Seq(col(idCol).asc))
+      .drop("__sig")
+  }
+
+  /** Character n-gram Jaccard similarity between two strings, as a
+    * pure Column expression (for candidate verification after LSH or
+    * SimHash bucketing). */
+  def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
+    def grams(c: Column): Column =
+      array_distinct(
+        filter(
+          transform(sequence(lit(0), greatest(length(c) - n, lit(0))),
+            i => c.substr(i + lit(1), lit(n))),
+          g => length(g) === n))
+    val ga = grams(a)
+    val gb = grams(b)
+    val inter = size(array_intersect(ga, gb)).cast("double")
+    val uni = size(array_union(ga, gb)).cast("double")
+    when(uni === 0, lit(1.0)).otherwise(inter / uni)
+  }
+}

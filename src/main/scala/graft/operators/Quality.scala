@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Single-pass data-quality framework (SURVEY §2.11, §5.4).
+  *
+  * The reference has a Scala `QualityCheck` trait whose checks each
+  * re-scan the frame (/root/reference/src/scala_examples/
+  * DataQuality.scala:20-114) plus a Great Expectations suite
+  * (great_expectations/expectations/corc_nah_corpus_suite.json).
+  * Here every check compiles to one aggregate `Column`, the whole
+  * suite evaluates in ONE scan (`df.agg(...)`), and the pass/fail
+  * gate is computed from the single result row — at 100 TB this is
+  * the difference between one read and N reads.
+  */
+object Quality {
+
+  sealed trait QualityCheck {
+    def name: String
+    /** Aggregate expression producing the observed metric. */
+    def metric: Column
+    /** Predicate over the observed value. */
+    def passes(observed: Double): Boolean
+  }
+
+  /** Fraction of non-null values ≥ threshold. */
+  final case class NotNullCheck(column: String, minRate: Double) extends QualityCheck {
+    val name = s"not_null_$column"
+    def metric: Column = count(col(column)).cast("double") / count(lit(1))
+    def passes(o: Double): Boolean = o >= minRate
+  }
+
+  /** Fraction of rows matching regex ≥ threshold (nulls fail the regex). */
+  final case class RegexCheck(column: String, pattern: String, minRate: Double) extends QualityCheck {
+    val name = s"regex_$column"
+    def metric: Column =
+      sum(when(col(column).rlike(pattern), 1).otherwise(0)).cast("double") / count(lit(1))
+    def passes(o: Double): Boolean = o >= minRate
+  }
+
+  /** Distinct ratio within [min,max]. */
+  final case class UniquenessCheck(column: String, minRate: Double, maxRate: Double = 1.0) extends QualityCheck {
+    val name = s"unique_$column"
+    def metric: Column = count_distinct(col(column)).cast("double") / count(col(column))
+    def passes(o: Double): Boolean = o >= minRate && o <= maxRate
+  }
+
+  /** Row count within [min,max]. */
+  final case class RowCountCheck(min: Long, max: Long = Long.MaxValue) extends QualityCheck {
+    val name = "row_count"
+    def metric: Column = count(lit(1)).cast("double")
+    def passes(o: Double): Boolean = o >= min && o <= max
+  }
+
+  /** Fraction of values within [lo,hi] ≥ threshold (on an expression,
+    * e.g. `length(col)`). */
+  final case class RangeCheck(name: String, expr: Column, lo: Double, hi: Double, minRate: Double) extends QualityCheck {
+    def metric: Column =
+      sum(when(expr.between(lo, hi), 1).otherwise(0)).cast("double") / count(lit(1))
+    def passes(o: Double): Boolean = o >= minRate
+  }
+
+  /** Fraction of values in the allowed set = 1.0 (catalog membership). */
+  final case class MembershipCheck(column: String, allowed: Seq[String]) extends QualityCheck {
+    val name = s"member_$column"
+    def metric: Column =
+      sum(when(col(column).isin(allowed.map(a => a: Any): _*) || col(column).isNull, 1).otherwise(0))
+        .cast("double") / count(lit(1))
+    def passes(o: Double): Boolean = o >= 1.0
+  }
+
+  final case class CheckResult(name: String, observed: Double, passed: Boolean)
+
+  /** Evaluate the whole suite in a single aggregation pass. */
+  def run(df: DataFrame, checks: Seq[QualityCheck]): Seq[CheckResult] = {
+    require(checks.nonEmpty, "empty check suite")
+    val aggs = checks.map(c => c.metric.cast("double").as(c.name))
+    val row: Row = df.agg(aggs.head, aggs.tail: _*).head()
+    checks.zipWithIndex.map { case (c, i) =>
+      val v = if (row.isNullAt(i)) Double.NaN else row.getDouble(i)
+      CheckResult(c.name, v, !v.isNaN && c.passes(v))
+    }
+  }
+
+  /** Results as a DataFrame (for the metrics warehouse sink). */
+  def runAsDF(df: DataFrame, checks: Seq[QualityCheck]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    run(df, checks).toDF("check_name", "observed", "passed")
+  }
+
+  /** Exit-code gate à la scripts/run_quality_check.py:205-260. */
+  def gate(results: Seq[CheckResult]): Int = if (results.forall(_.passed)) 0 else 1
+}

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic seeded dataset splitting (SURVEY §2.7, O4/O5).
+  *
+  * The reference shuffles indices with `random.seed(42)` and slices at
+  * 90/95% (/root/reference/src/pipeline/unify.py:277-316). Python's
+  * shuffle is irreproducible on the JVM, so the engine defines its own
+  * determinism: each row's split is a pure function of its key —
+  * `xxhash64(key, seed)` bucketed by the cumulative ratio thresholds.
+  *
+  * Properties (all verified in SplitSpec):
+  *  - deterministic: same key+seed ⇒ same split, on any cluster size,
+  *    any partitioning — no global sort, no shuffle at all (the
+  *    reference's shuffle-slice would require a total order at scale);
+  *  - disjoint and exhaustive: thresholds partition the hash range;
+  *  - ratio-accurate in expectation (±tolerance at small n, tight at
+  *    100 TB row counts).
+  */
+object Split {
+
+  /** Assign a split label from the hash of `key`. Ratios must sum to 1. */
+  def assign(
+      key: Column,
+      seed: Long = 42L,
+      ratios: Seq[(String, Double)] = Seq("train" -> 0.9, "validation" -> 0.05, "test" -> 0.05)): Column = {
+    require(math.abs(ratios.map(_._2).sum - 1.0) < 1e-9, "ratios must sum to 1")
+    // xxhash64 → uniform in [Long.Min, Long.Max]; rescale to [0,1).
+    val u = (xxhash64(key, lit(seed)).cast("double") - lit(Long.MinValue.toDouble)) /
+      lit(Long.MaxValue.toDouble * 2.0)
+    val cum = ratios.scanLeft(0.0)(_ + _._2).tail
+    ratios.zip(cum).init.foldRight(lit(ratios.last._1): Column) {
+      case (((name, _), hi), elseCol) => when(u < hi, lit(name)).otherwise(elseCol)
+    }
+  }
+
+  def split(df: DataFrame, keyCols: Seq[String], seed: Long = 42L): DataFrame =
+    df.withColumn("split", assign(Dedup.compositeKey(keyCols), seed))
+
+  /** O5 — split-disjointness invariant: pairwise key intersections empty. */
+  def disjoint(a: DataFrame, b: DataFrame, keyCols: Seq[String]): Boolean = {
+    val ka = a.select(Dedup.compositeKey(keyCols).as("k"))
+    val kb = b.select(Dedup.compositeKey(keyCols).as("k"))
+    ka.intersect(kb).isEmpty
+  }
+}

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Profiling / statistics operators (SURVEY §2.5, A1-A12).
+  *
+  * Design rule: each stats surface is ONE aggregation pass. The
+  * reference re-scans the frame per metric
+  * (/root/reference/src/scala_examples/DataQuality.scala:39-114 calls
+  * `df.count()` per check; benchmark/generate_stats.py walks pandas
+  * once per column) — at 100 TB every extra pass is a full re-read, so
+  * everything here composes into a single `agg(...)`.
+  */
+object Stats {
+
+  /** A2/A8 — null count + rate per column, single pass, one output row
+    * per column (unpivoted for stable schema). */
+  def nullStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nulls_$c"),
+        count(lit(1)).as(s"__total_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      struct(lit(c).as("column_name"),
+        col(s"__nulls_$c").as("null_count"),
+        round(col(s"__nulls_$c") / col(s"__total_$c"), 6).as("null_rate"))
+    }
+    wide.select(explode(array(stacked: _*)).as("s")).select("s.*")
+  }
+
+  /** A4 — length distribution stats over a string column. */
+  def lengthStats(df: DataFrame, c: Column, groupBy: Seq[Column] = Nil): DataFrame = {
+    val l = length(c)
+    // exact interpolating median (matches SQL quantile_cont semantics);
+    // at 100 TB swap for percentile_approx — the approximate sketch
+    // merges map-side instead of shuffling every length value.
+    val aggs = Seq(
+      count(c).as("n"),
+      round(avg(l), 4).as("mean_len"),
+      round(percentile(l, lit(0.5)), 4).as("median_len"),
+      min(l).as("min_len"),
+      max(l).as("max_len"),
+      round(stddev(l), 4).as("std_len"))
+    if (groupBy.isEmpty) df.agg(aggs.head, aggs.tail: _*)
+    else df.groupBy(groupBy: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** A5 — type-token ratio: distinct tokens / total tokens. Exact by
+    * default; `approximate=true` swaps in HLL `approx_count_distinct`
+    * (the right call at 100 TB where exact distinct is a full shuffle
+    * of every token). */
+  def typeTokenRatio(df: DataFrame, textCol: Column, approximate: Boolean = false): DataFrame = {
+    val tok = df.select(explode(split(trim(textCol), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    val distinctCount = if (approximate) approx_count_distinct(col("token")) else count_distinct(col("token"))
+    tok.agg(
+      count(lit(1)).as("total_tokens"),
+      distinctCount.as("distinct_tokens"),
+      round(distinctCount.cast("double") / count(lit(1)), 6).as("ttr"))
+  }
+
+  /** A6 — per-character occurrence counting via translate-delete (no
+    * explode): count of chars from `chars` present in `c`. */
+  def charCount(c: Column, chars: String): Column =
+    length(c) - length(translate(c, chars, ""))
+
+  /** A3 — duplicate rate over a subset of columns. */
+  def duplicateRate(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val k = struct(cols.map(col): _*)
+    df.agg(
+      count(lit(1)).as("total_records"),
+      count_distinct(k).as("unique_records"),
+      round((count(lit(1)) - count_distinct(k)) / count(lit(1)), 6).as("duplicate_rate"))
+  }
+
+  /** A7 — top-K value frequencies with deterministic tie-break on the
+    * value itself. */
+  def topK(df: DataFrame, c: Column, k: Int): DataFrame =
+    df.groupBy(c.as("value")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("value"))
+      .limit(k)
+}

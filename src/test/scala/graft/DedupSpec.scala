@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // Mirror of the reference fixture (SparkDedupSpec.scala:44-49):
+  // exact duplicate + macron variant.
+  private def corpus = Seq(
+    ("1", "Niltze", "Hola", "silver"),
+    ("2", "Niltze", "Hola", "silver"),
+    ("3", "Tlazohcamati", "Gracias", "silver"),
+    ("4", "Tlazohcāmati", "Gracias", "diamond"),
+    ("5", "Quen tinemi axcan kwali", "Cómo estás hoy bien", "silver")
+  ).toDF("id", "nah", "es", "layer")
+
+  test("keepBest: diamond layer wins (D2/D3 layer-priority semantics)") {
+    val layerPrio = when(col("layer") === "diamond", 1).otherwise(0)
+    val out = Dedup.keepBest(corpus, Dedup.compositeKey(Seq("es")),
+      Seq(layerPrio, length(col("nah")), col("id")))
+    val byEs = out.collect().map(r => r.getString(2) -> r.getString(0)).toMap
+    assert(byEs("Gracias") === "4", "diamond record must win")
+    assert(byEs("Hola") === "2", "tie broken by id")
+    assert(out.count() === 3)
+  }
+
+  test("keepBestWindow equals keepBest on keep-first-by-id") {
+    val a = Dedup.keepBestWindow(corpus, Dedup.compositeKey(Seq("es")), Seq(asc("id")))
+      .select("id").collect().map(_.getString(0)).sorted
+    assert(a.toSeq === Seq("1", "3", "5"))
+  }
+
+  test("dedup output is a subset of input (invariant)") {
+    val inIds = corpus.select("id").collect().map(_.getString(0)).toSet
+    val outIds = Dedup.keepBest(corpus, Dedup.compositeKey(Seq("es")), Seq(col("id")))
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(outIds.subsetOf(inIds))
+  }
+
+  test("duplicateStats counts groups and rates") {
+    val r = Dedup.duplicateStats(corpus, Seq("es")).head()
+    assert(r.getAs[Long]("total_records") === 5L)
+    assert(r.getAs[Long]("unique_records") === 3L)
+    assert(r.getAs[Long]("duplicate_records") === 2L)
+    assert(r.getAs[Long]("groups_with_duplicates") === 2L)
+    assert(r.getAs[Long]("largest_group_size") === 2L)
+  }
+
+  test("fuzzyDedup removes exact and macron-variant near-duplicates (D5 @ reference threshold)") {
+    // the macron pair shares 1 of 3 distinct tokens → Jaccard distance
+    // 2/3; the reference's SparkDedupSpec drives at distance 0.9, we
+    // use 0.7 with enough hash tables for near-certain candidate
+    // generation ((2/3)^12 ≈ 0.8% miss, deterministic under the seed).
+    val joined = corpus.withColumn("t", concat_ws(" ", col("nah"), col("es")))
+    val out = Dedup.fuzzyDedup(joined, "id", col("t"), threshold = 0.7, numHashTables = 12)
+    val ids = out.select("id").collect().map(_.getString(0)).toSet
+    assert(!(ids.contains("1") && ids.contains("2")), "exact dup pair must collapse")
+    assert(!(ids.contains("3") && ids.contains("4")), "macron variant must collapse")
+    assert(ids.contains("5"), "distinct record must survive")
+  }
+
+  test("fuzzyDedup is deterministic across runs (pinned seed)") {
+    val joined = corpus.withColumn("t", concat_ws(" ", col("nah"), col("es")))
+    val a = Dedup.fuzzyDedup(joined, "id", col("t"), 0.5).select("id").collect().map(_.getString(0)).sorted.toSeq
+    val b = Dedup.fuzzyDedup(joined, "id", col("t"), 0.5).select("id").collect().map(_.getString(0)).sorted.toSeq
+    assert(a === b)
+  }
+
+  test("simhash: identical token streams get identical signatures; disjoint differ") {
+    val df = Seq("the quick brown fox", "the  quick   brown fox", "zqx wvu ponm").toDF("t")
+    val sigs = df.select(Dedup.simhash(split(trim(col("t")), "\\s+")).as("s"))
+      .collect().map(_.getLong(0))
+    assert(sigs(0) === sigs(1))
+    assert(sigs(0) !== sigs(2))
+  }
+
+  test("ngramJaccard: identity 1, disjoint 0, near-dup high") {
+    val df = Seq(
+      ("abcdefgh", "abcdefgh"),
+      ("abcdefgh", "zyxwvuts"),
+      ("tlazohcamati", "tlazohcāmati")).toDF("a", "b")
+    val sims = df.select(Dedup.ngramJaccard(col("a"), col("b")).as("j"))
+      .collect().map(_.getDouble(0))
+    assert(sims(0) === 1.0)
+    assert(sims(1) === 0.0)
+    assert(sims(2) > 0.5 && sims(2) < 1.0)
+  }
+}

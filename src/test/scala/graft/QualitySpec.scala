@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Quality
+import graft.operators.Quality._
+
+class QualitySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def corpus = Seq(
+    ("Hola", "Niltze", "huggingface"),
+    ("Gracias", "Tlazohcāmati", "youtube"),
+    ("Adiós", null, "pdf"),
+    ("Hola", "Niltze", "huggingface")
+  ).toDF("es", "nah", "source")
+
+  test("the GE-suite analog evaluates in one pass with correct observations") {
+    val results = Quality.run(corpus, Seq(
+      NotNullCheck("es", 1.0),
+      NotNullCheck("nah", 0.95),
+      UniquenessCheck("es", 0.98),
+      RowCountCheck(1, 1000000),
+      RangeCheck("len_es", length(col("es")), 3, 1000, 0.98),
+      MembershipCheck("source", Seq("huggingface", "youtube", "pdf", "manual", "synthetic", "bible", "unknown")),
+      RegexCheck("nah", "[āēīōū]", 0.25)
+    )).map(r => r.name -> r).toMap
+
+    assert(results("not_null_es").passed && results("not_null_es").observed === 1.0)
+    assert(!results("not_null_nah").passed && results("not_null_nah").observed === 0.75)
+    assert(!results("unique_es").passed && results("unique_es").observed === 0.75)
+    assert(results("row_count").passed)
+    assert(results("len_es").passed)
+    assert(results("member_source").passed)
+    assert(results("regex_nah").passed && results("regex_nah").observed === 0.25)
+  }
+
+  test("gate returns nonzero when any check fails") {
+    val pass = Quality.run(corpus, Seq(RowCountCheck(1)))
+    val fail = Quality.run(corpus, Seq(RowCountCheck(100)))
+    assert(Quality.gate(pass) === 0)
+    assert(Quality.gate(fail) === 1)
+  }
+
+  test("runAsDF yields warehouse-sinkable frame") {
+    val df = Quality.runAsDF(corpus, Seq(RowCountCheck(1), NotNullCheck("es", 1.0)))
+    assert(df.columns.toSeq === Seq("check_name", "observed", "passed"))
+    assert(df.count() === 2)
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("cosine: orthogonal 0, identical 1, opposite -1, zero-vector 0") {
+    val df = Seq(
+      (Array(1.0, 0.0), Array(0.0, 1.0)),
+      (Array(1.0, 2.0), Array(1.0, 2.0)),
+      (Array(1.0, 0.0), Array(-1.0, 0.0)),
+      (Array(0.0, 0.0), Array(1.0, 1.0))).toDF("a", "b")
+    val sims = df.select(round(Similarity.cosine(col("a"), col("b")), 9).as("s"))
+      .collect().map(_.getDouble(0))
+    assert(sims.toSeq === Seq(0.0, 1.0, -1.0, 0.0))
+  }
+
+  test("bruteForceTopK returns k neighbors per query, ranked by similarity") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val out = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 3), "vec_id", "embedding", k = 4)
+      .collect()
+    assert(out.length === 12)
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    for ((_, rows) <- byQ) {
+      val sims = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("sim"))
+      assert(sims.sorted.reverse.toSeq === sims.toSeq, "ranks must be similarity-descending")
+    }
+    assert(out.forall(r => r.getAs[Long]("corpus_id") != r.getAs[Long]("query_id")), "self excluded")
+  }
+
+  test("lshTopK recall vs brute force is reasonable on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 3)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // random 64-dim embeddings: top sims ≈ 0.3 (≈72° angle), so per-table
+    // collision at b bits ≈ 0.6^b — 4 bits × 8 tables ⇒ ~67% expected recall.
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 3,
+        dim = 64, bits = 4, tables = 8)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"LSH recall too low: $recall")
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Split
+
+class SplitSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("split is deterministic: same key+seed, same assignment, any partitioning") {
+    val a = Split.split(docs, Seq("doc_id")).select("doc_id", "split")
+    val b = Split.split(docs.repartition(13), Seq("doc_id")).select("doc_id", "split")
+    assert(a.except(b).isEmpty && b.except(a).isEmpty)
+  }
+
+  test("splits are disjoint and exhaustive (O5 invariant)") {
+    val s = Split.split(docs, Seq("doc_id")).cache()
+    val train = s.filter(col("split") === "train")
+    val va = s.filter(col("split") === "validation")
+    val te = s.filter(col("split") === "test")
+    assert(train.count() + va.count() + te.count() === docs.count())
+    assert(Split.disjoint(train, va, Seq("doc_id")))
+    assert(Split.disjoint(train, te, Seq("doc_id")))
+    assert(Split.disjoint(va, te, Seq("doc_id")))
+    s.unpersist()
+  }
+
+  test("ratios within tolerance (±5% absolute at n=500, matches reference ±2% at corpus n)") {
+    val s = Split.split(docs, Seq("doc_id"))
+    val n = docs.count().toDouble
+    val frac = s.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1) / n).toMap
+    assert(math.abs(frac("train") - 0.9) < 0.05, s"train=${frac("train")}")
+    assert(math.abs(frac.getOrElse("validation", 0.0) - 0.05) < 0.05)
+    assert(math.abs(frac.getOrElse("test", 0.0) - 0.05) < 0.05)
+  }
+
+  test("different seeds give different assignments") {
+    val a = Split.split(docs, Seq("doc_id"), seed = 42L)
+    val b = Split.split(docs, Seq("doc_id"), seed = 43L)
+    val agree = a.alias("a").join(b.alias("b"), Seq("doc_id"))
+      .filter(col("a.split") === col("b.split")).count()
+    assert(agree < docs.count(), "seeds must shuffle membership")
+  }
+}
