@@ -20,7 +20,7 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("q31_unify_pipeline")(spark, "/root/testdata/sf0.001")
 
   private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
 
@@ -298,6 +298,24 @@ object SparkEntry {
     "q29_simhash_dedup" -> { (s, dir) =>
       Dedup.simhashDedup(Tables.documents(s, dir), "doc_id", col("text"))
         .select("doc_id").orderBy("doc_id")
+    },
+
+    // ---- §3.1 flagship: the whole unify pipeline as one Catalyst plan —
+    // synthesize a multilingual corpus from documents, normalize (NFC +
+    // whitespace), validity-filter, dedup keep-best with layer priority.
+    "q31_unify_pipeline" -> { (s, dir) =>
+      val corpus = Tables.documents(s, dir).select(
+        col("text").as("es"),
+        when(col("lang").isin("es", "de"), col("text")).as("nah"),
+        when(col("lang") === "zh", col("text")).as("myn"),
+        col("source"),
+        when(col("doc_id") % 3 === 0, lit("diamond")).otherwise(lit("silver")).as("layer"),
+        lit("documents.parquet").as("origin_file"))
+      val valid = sources.CorpusIO.validityFilter(UnifyPipeline.normalize(corpus))
+      UnifyPipeline.dedupBest(valid)
+        .groupBy(col("layer"))
+        .agg(count(lit(1)).as("n"), count(col("nah")).as("nah_n"), count(col("myn")).as("myn_n"))
+        .orderBy("layer")
     },
 
     // ---- Near-dup: character-3-gram Jaccard on candidate pairs.
@@ -605,6 +623,34 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+
+    "q31_unify_pipeline" ->
+      """WITH corpus AS (
+        |  SELECT text AS es,
+        |    CASE WHEN lang IN ('es', 'de') THEN text END AS nah,
+        |    CASE WHEN lang = 'zh' THEN text END AS myn,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'diamond' ELSE 'silver' END AS layer
+        |  FROM documents),
+        |norm AS (
+        |  SELECT trim(regexp_replace(nfc_normalize(es), '\s+', ' ', 'g')) AS es,
+        |    trim(regexp_replace(nfc_normalize(nah), '\s+', ' ', 'g')) AS nah,
+        |    trim(regexp_replace(nfc_normalize(myn), '\s+', ' ', 'g')) AS myn,
+        |    layer
+        |  FROM corpus),
+        |valid AS (
+        |  SELECT * FROM norm
+        |  WHERE es IS NOT NULL AND (nah IS NOT NULL OR myn IS NOT NULL)),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY lower(trim(coalesce(es, ''))) || '|' ||
+        |      lower(trim(coalesce(nah, ''))) || '|' || lower(trim(coalesce(myn, '')))
+        |    ORDER BY (CASE layer WHEN 'gold' THEN 3 WHEN 'diamond' THEN 2
+        |              WHEN 'silver' THEN 1 ELSE 0 END) DESC) AS rn
+        |  FROM valid)
+        |SELECT layer, count(*) AS n, count(nah) AS nah_n, count(myn) AS myn_n
+        |FROM ranked WHERE rn = 1
+        |GROUP BY layer
+        |ORDER BY layer""".stripMargin,
 
     "q30_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),

@@ -1,0 +1,123 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus sources/sinks with schema-on-read legacy-key coalescing
+  * (SURVEY §2.1 S3-S7, §2.2 P1-P3).
+  *
+  * The reference accepts ≥6 legacy key variants and coalesces them
+  * into the fixed 6-column record schema
+  * (/root/reference/src/models/schemas.py:228-287,
+  * scripts/unify_datasets.py:25-66), plus a nested whole-file JSON
+  * envelope (`items[].original.{es|sp,nah,myn}`, Py-Elotl format,
+  * src/pipeline/unify.py:229-245). Here both become declarative reads:
+  * an explicit permissive schema (so Catalyst prunes / pushes into the
+  * JSON scan and malformed lines land in `_corrupt_record` instead of
+  * killing the job) followed by a `coalesce` projection.
+  */
+object CorpusIO {
+
+  /** The canonical fixed output schema (FIXTURES.md §1). */
+  val recordSchema: StructType = StructType(Seq(
+    StructField("es", StringType), StructField("nah", StringType),
+    StructField("myn", StringType), StructField("source", StringType),
+    StructField("layer", StringType), StructField("origin_file", StringType)))
+
+  /** Permissive input schema covering every legacy key variant. */
+  val legacyInputSchema: StructType = StructType(Seq(
+    StructField("es", StringType), StructField("nah", StringType),
+    StructField("myn", StringType),
+    StructField("es_translation", StringType),
+    StructField("original_es", StringType),
+    StructField("prompt", StringType),            // DPO
+    StructField("nah_translation", StringType),
+    StructField("chosen", StringType),            // DPO
+    StructField("original_audio_text", StringType),
+    StructField("detected_language", StringType),
+    StructField("myn_translation", StringType),
+    StructField("source_file", StringType),
+    StructField("source", StringType),
+    StructField("layer", StringType),
+    StructField("origin_file", StringType),
+    StructField("category", StringType),
+    StructField("_corrupt_record", StringType)))
+
+  private def emptyToNull(c: Column): Column = {
+    val t = trim(c)
+    when(t.isNull || t === "", lit(null).cast(StringType)).otherwise(t)
+  }
+
+  /** P1 — legacy-key coalescing projection to the fixed schema. */
+  def coalesceLegacyKeys(df: DataFrame, defaultSource: String = "unknown"): DataFrame = {
+    def has(n: String) = df.columns.contains(n)
+    def c(n: String): Column = if (has(n)) col(n) else lit(null).cast(StringType)
+    val audioNah = when(c("detected_language") === "nah", c("original_audio_text"))
+    val audioMyn = when(c("detected_language") === "myn", c("original_audio_text"))
+    df.select(
+      emptyToNull(coalesce(c("es"), c("es_translation"), c("original_es"), c("prompt"))).as("es"),
+      emptyToNull(coalesce(c("nah"), c("nah_translation"), c("chosen"), audioNah)).as("nah"),
+      emptyToNull(coalesce(c("myn"), c("myn_translation"), audioMyn)).as("myn"),
+      coalesce(emptyToNull(c("source")), lit(defaultSource)).as("source"),
+      coalesce(emptyToNull(c("layer")), lit("bronze")).as("layer"),
+      coalesce(emptyToNull(c("origin_file")), emptyToNull(c("source_file")),
+        regexp_extract(input_file_name(), "([^/]+)$", 1)).as("origin_file"))
+  }
+
+  /** P2 — translation-pair validity: es present AND (nah OR myn). */
+  def validityFilter(df: DataFrame): DataFrame =
+    df.filter(col("es").isNotNull && (col("nah").isNotNull || col("myn").isNotNull))
+
+  /** S3/S7 — JSONL scan with error tolerance + layer tagging. Accepts
+    * globs; malformed lines are dropped (counted via `_corrupt_record`
+    * when callers ask). */
+  def readJsonl(spark: SparkSession, paths: Seq[String], layer: String): DataFrame = {
+    val raw = spark.read
+      .schema(legacyInputSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(paths: _*)
+      .filter(col("_corrupt_record").isNull)
+    coalesceLegacyKeys(raw)
+      .withColumn("layer", lit(layer))
+  }
+
+  /** S4 — whole-file JSON dump with the Py-Elotl nested envelope:
+    * unwrap `items[]`, coalesce `original.{es|sp}`. */
+  def readJsonDump(spark: SparkSession, path: String, layer: String): DataFrame = {
+    val dumpSchema = StructType(Seq(
+      StructField("items", ArrayType(StructType(Seq(
+        StructField("original", StructType(Seq(
+          StructField("es", StringType), StructField("sp", StringType),
+          StructField("nah", StringType), StructField("myn", StringType))))))))))
+    spark.read.schema(dumpSchema).option("multiLine", true).json(path)
+      .select(explode(col("items")).as("item"))
+      .select(
+        emptyToNull(coalesce(col("item.original.es"), col("item.original.sp"))).as("es"),
+        emptyToNull(col("item.original.nah")).as("nah"),
+        emptyToNull(col("item.original.myn")).as("myn"),
+        lit("unknown").as("source"),
+        lit(layer).as("layer"),
+        regexp_extract(input_file_name(), "([^/]+)$", 1).as("origin_file"))
+  }
+
+  /** S5 — JSONL sink: null fields omitted, UTF-8 preserved (Spark
+    * json sink is UTF-8 and `ignoreNullFields` drops nulls, matching
+    * the reference's `ensure_ascii=False` + None-stripping writes). */
+  def writeJsonl(df: DataFrame, path: String, partitionByCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").option("ignoreNullFields", "true")
+    (if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*) else w).json(path)
+  }
+
+  /** S2 — Parquet sink (gold layers partitioned by split for dynamic
+    * partition pruning downstream). */
+  def writeParquet(df: DataFrame, path: String, partitionByCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*) else w).parquet(path)
+  }
+
+  /** S6 — CSV source-registry scan. */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").csv(path)
+}

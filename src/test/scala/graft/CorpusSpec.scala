@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.CorpusIO
+
+/** Shadow-mode integration tests over temp-dir fixtures, mirroring the
+  * reference's test_shadow_mode.py coverage: legacy input formats
+  * (DPO, audio-transcript, Py-Elotl dump), dedup-across-layers with
+  * Diamond priority, reproducible seeds, Unicode preservation.
+  */
+class CorpusSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def writeTemp(name: String, lines: Seq[String]): Path = {
+    val dir = Files.createTempDirectory("graft-corpus")
+    val f = dir.resolve(name)
+    Files.writeString(f, lines.mkString("\n"))
+    f
+  }
+
+  test("JSONL scan coalesces every legacy key variant (P1)") {
+    val f = writeTemp("legacy.jsonl", Seq(
+      """{"es_translation": "Buenos días", "nah_translation": "Cualli tonalli", "source_file": "a.jsonl"}""",
+      """{"prompt": "¿Cómo estás?", "chosen": "Quēnin timotlaneltoquia?", "rejected": "bad"}""",
+      """{"original_audio_text": "Piyali", "detected_language": "nah", "original_es": "Hola"}""",
+      """{"original_audio_text": "Ma'alob", "detected_language": "myn", "original_es": "Bien"}""",
+      """{"es": "Gracias", "nah": "Tlazohcamati", "source": "test_1"}""",
+      """not valid json at all"""))
+    val df = CorpusIO.readJsonl(spark, Seq(f.toString), "silver")
+    val rows = df.orderBy("es").collect()
+    assert(rows.length === 5, "malformed line dropped, valid rows kept")
+    val byEs = rows.map(r => r.getAs[String]("es") ->
+      (r.getAs[String]("nah"), r.getAs[String]("myn"))).toMap
+    assert(byEs("Buenos días") === ("Cualli tonalli", null))
+    assert(byEs("¿Cómo estás?") === ("Quēnin timotlaneltoquia?", null))
+    assert(byEs("Hola") === ("Piyali", null))
+    assert(byEs("Bien") === (null, "Ma'alob"))
+    assert(rows.forall(_.getAs[String]("layer") === "silver"))
+    val originForLegacy = rows.find(_.getAs[String]("es") == "Buenos días").get.getAs[String]("origin_file")
+    assert(originForLegacy === "a.jsonl", "source_file wins over filename")
+  }
+
+  test("JSON-dump scan unwraps the Py-Elotl envelope incl. sp alias (S4)") {
+    val f = writeTemp("dump.json", Seq(
+      """{"items": [
+        |  {"original": {"es": "Hola", "nah": "Piyali"}},
+        |  {"original": {"sp": "Gracias", "nah": "Tlazohcamati"}}
+        |]}""".stripMargin))
+    val df = CorpusIO.readJsonDump(spark, f.toString, "silver")
+    val rows = df.orderBy("es").collect()
+    assert(rows.map(_.getAs[String]("es")).toSeq === Seq("Gracias", "Hola"))
+    assert(rows.map(_.getAs[String]("nah")).toSeq === Seq("Tlazohcamati", "Piyali"))
+  }
+
+  test("unify: diamond beats silver on duplicate keys; invalid rows dropped") {
+    val silver = writeTemp("s.jsonl", Seq(
+      """{"es": "Hola", "nah": "Niltze", "source": "hf"}""",
+      """{"es": "Solo español"}""",
+      """{"es": "Adiós", "nah": "Oc cepa"}"""))
+    val diamond = writeTemp("d.jsonl", Seq(
+      """{"es": "Hola", "nah": "Niltze", "source": "curated"}"""))
+    val out = UnifyPipeline.unify(Seq(
+      CorpusIO.readJsonl(spark, Seq(silver.toString), "silver"),
+      CorpusIO.readJsonl(spark, Seq(diamond.toString), "diamond"))).cache()
+    assert(out.count() === 2, "invalid (es-only) dropped; dup collapsed")
+    val hola = out.filter(col("es") === "Hola").head()
+    assert(hola.getAs[String]("layer") === "diamond", "diamond wins")
+    out.unpersist()
+  }
+
+  test("unify preserves macrons end-to-end (zero-tolerance Unicode invariant)") {
+    val f = writeTemp("u.jsonl", Seq(
+      """{"es": "Gracias", "nah": "Tlazohcāmati  ēīōū"}"""))
+    val out = UnifyPipeline.unify(Seq(CorpusIO.readJsonl(spark, Seq(f.toString), "silver")))
+    val nah = out.head().getAs[String]("nah")
+    assert(nah === "Tlazohcāmati ēīōū", "macrons preserved, whitespace collapsed")
+  }
+
+  test("unify split assignment is seed-reproducible") {
+    val f = writeTemp("r.jsonl",
+      (1 to 60).map(i => s"""{"es": "frase número $i", "nah": "tlahtolli $i"}"""))
+    val layers = Seq(CorpusIO.readJsonl(spark, Seq(f.toString), "silver"))
+    val a = UnifyPipeline.unify(layers).select("es", "split").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val b = UnifyPipeline.unify(layers).select("es", "split").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(a === b)
+    assert(a.values.toSet.contains("train"))
+  }
+
+  test("gold JSONL sink omits null fields and keeps UTF-8") {
+    val f = writeTemp("g.jsonl", Seq("""{"es": "Adiós", "nah": "Tlazohcāmati"}"""))
+    val out = UnifyPipeline.unify(Seq(CorpusIO.readJsonl(spark, Seq(f.toString), "silver")))
+    val dir = Files.createTempDirectory("graft-gold")
+    CorpusIO.writeJsonl(out, dir.toString + "/gold")
+    val written = Files.list(new java.io.File(dir.toString + "/gold").toPath)
+      .toArray.map(_.toString).filter(_.endsWith(".json"))
+    val content = written.flatMap(p => scala.io.Source.fromFile(p, "UTF-8").getLines()).mkString("\n")
+    assert(content.contains("Tlazohcāmati"), "UTF-8 macron must survive the sink")
+    assert(!content.contains("myn"), "null field omitted from JSON")
+  }
+}
