@@ -330,6 +330,24 @@ object SparkEntry {
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
     },
+    // ---- §2.10: tumbling-window aggregate (same code path as the
+    // streaming job; batch here so the oracle can check it).
+    "q32_windowed_agg" -> { (s, dir) =>
+      streaming.StreamOps.windowedAgg(Tables.events(s, dir), "1 day")
+        .select(col("window_start").cast("date").cast("string").as("day"),
+          col("event_type"), col("n"), col("total_value"))
+        .orderBy("day", "event_type")
+    },
+
+    // ---- §2.10: session windows (native session_window operator).
+    "q33_session_windows" -> { (s, dir) =>
+      streaming.StreamOps.sessionAgg(Tables.events(s, dir), "30 minutes")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          max(col("n_events")).as("max_session_events"),
+          sum(col("n_events")).as("n_events"))
+        .orderBy("user_id")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -651,6 +669,33 @@ object SparkEntry {
         |FROM ranked WHERE rn = 1
         |GROUP BY layer
         |ORDER BY layer""".stripMargin,
+
+    "q32_windowed_agg" ->
+      """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,
+        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY day, event_type""".stripMargin,
+
+    "q33_session_windows" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, sum(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged),
+        |per_sess AS (
+        |  SELECT user_id, sid, count(*) AS n FROM sess GROUP BY user_id, sid)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  CAST(max(n) AS BIGINT) AS max_session_events,
+        |  CAST(sum(n) AS BIGINT) AS n_events
+        |FROM per_sess
+        |GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
 
     "q30_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming extension surface (SURVEY §2.10).
+  *
+  * The reference is batch-only; its incremental patterns — watermark
+  * CDC loads (S8) and record-at-a-time stateful LSH dedup (D6,
+  * /root/reference/pipeline/processing/deduplication.py:4-31) — map
+  * onto watermarked streams:
+  *  - exact incremental dedup → `dropDuplicatesWithinWatermark`
+  *    (bounded state, late data evicted by the watermark);
+  *  - fuzzy incremental dedup → `flatMapGroupsWithState` keeping
+  *    MinHash signatures per key (state size = signatures, not rows);
+  *  - trend aggregates (A9/W1) → tumbling/sliding `window()` aggs;
+  *  - harvest-batch grouping → `session_window`.
+  *
+  * Every operator takes a (possibly streaming) DataFrame — the same
+  * code path works in batch mode, which is also how the specs drive
+  * it deterministically.
+  */
+object StreamOps {
+
+  /** Watermarked tumbling/sliding windowed counts per event type
+    * (A9-shaped). `slide == size` ⇒ tumbling. */
+  def windowedAgg(events: DataFrame, size: String, slide: Option[String] = None,
+      watermark: String = "1 hour"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    val win = slide match {
+      case Some(s) => window(col("ts"), size, s)
+      case None => window(col("ts"), size)
+    }
+    withWm.groupBy(win.as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n"), col("total_value"))
+  }
+
+  /** Session windows per user with the given gap (harvest batches). */
+  def sessionAgg(events: DataFrame, gap: String, watermark: String = "1 hour"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    withWm.groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("session_value"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+  }
+
+  /** D6-exact — incremental dedup with bounded state: streaming uses
+    * `dropDuplicatesWithinWatermark` (state evicted past the
+    * watermark); batch falls back to plain dropDuplicates. */
+  def incrementalDedup(events: DataFrame, idCols: Seq[String],
+      watermark: String = "1 hour"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(idCols)
+    else events.dropDuplicates(idCols)
+
+  final case class Keyed(key: String, id: Long, tokens: Seq[String])
+  final case class DedupDecision(key: String, id: Long, isDuplicate: Boolean)
+
+  /** D6-fuzzy — stateful near-dup filter: per key, keep the MinHash
+    * signatures of everything seen; a new record whose estimated
+    * Jaccard similarity against any stored signature ≥ threshold is
+    * flagged duplicate, otherwise its signature joins the state.
+    * State is `numPerm` longs per distinct retained record — the
+    * stream-scale analog of the reference's in-memory LSH index scan.
+    */
+  def fuzzyDedupStateFn(numPerm: Int = 32, threshold: Double = 0.8): (
+      String, Iterator[Keyed], GroupState[List[Array[Long]]]) => Iterator[DedupDecision] = {
+    def minhash(tokens: Seq[String]): Array[Long] = {
+      val sig = Array.fill(numPerm)(Long.MaxValue)
+      for (t <- tokens.distinct; i <- 0 until numPerm) {
+        val h = scala.util.hashing.byteswap64(t.hashCode.toLong ^ (i.toLong * 0x9E3779B97F4A7C15L))
+        if (h < sig(i)) sig(i) = h
+      }
+      sig
+    }
+    def estJaccard(a: Array[Long], b: Array[Long]): Double =
+      a.indices.count(i => a(i) == b(i)).toDouble / numPerm
+
+    (key: String, rows: Iterator[Keyed], state: GroupState[List[Array[Long]]]) => {
+      var sigs = state.getOption.getOrElse(Nil)
+      val out = rows.map { r =>
+        val sig = minhash(r.tokens)
+        val dup = sigs.exists(s => estJaccard(s, sig) >= threshold)
+        if (!dup) sigs = sig :: sigs
+        DedupDecision(key, r.id, dup)
+      }.toList
+      state.update(sigs)
+      out.iterator
+    }
+  }
+
+  /** Apply the stateful fuzzy dedup to a Dataset[Keyed] (streaming or
+    * batch-test via the same function). */
+  def fuzzyDedupStream(ds: Dataset[Keyed], numPerm: Int = 32,
+      threshold: Double = 0.8): Dataset[DedupDecision] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        fuzzyDedupStateFn(numPerm, threshold))
+  }
+
+  /** S8 — CDC watermark incremental scan as a composable predicate:
+    * rows strictly newer than the last sync point. At the source level
+    * this predicate pushes into JDBC/parquet scans. */
+  def incrementalSince(df: DataFrame, wmCol: String, lastSync: java.sql.Timestamp): DataFrame =
+    df.filter(col(wmCol) > lit(lastSync)).orderBy(col(wmCol))
+}

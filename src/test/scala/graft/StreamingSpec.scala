@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.{DedupDecision, Keyed}
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** events with micro-precision ts staged to a temp dir so the same
+    * parquet drives both batch and readStream paths. */
+  private lazy val stagedEvents: String = {
+    val dir = Files.createTempDirectory("graft-stream").toString + "/events"
+    Tables.events(spark, "/root/testdata/sf0.001").write.parquet(dir)
+    dir
+  }
+
+  private def streamEvents = {
+    val schema = spark.read.parquet(stagedEvents).schema
+    spark.readStream.schema(schema).parquet(stagedEvents)
+  }
+
+  private def runToMemory(df: org.apache.spark.sql.DataFrame, name: String,
+      mode: String = "append"): org.apache.spark.sql.DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    spark.table(name)
+  }
+
+  test("windowed aggregate over a real stream matches the batch plan (A9 streaming)") {
+    val streamed = runToMemory(
+      StreamOps.windowedAgg(streamEvents, "1 day", watermark = "1 minute"),
+      "win_counts", mode = "append")
+    val batch = StreamOps.windowedAgg(Tables.events(spark, "/root/testdata/sf0.001"), "1 day")
+    // watermark in append mode emits only finalized windows; every
+    // emitted row must match the batch computation exactly
+    val s = streamed.collect().map(r => (r.getTimestamp(0), r.getString(2), r.getLong(3))).toSet
+    val b = batch.collect().map(r => (r.getTimestamp(0), r.getString(2), r.getLong(3))).toSet
+    assert(s.nonEmpty, "stream produced windows")
+    assert(s.subsetOf(b), "streaming windows agree with batch")
+  }
+
+  test("dropDuplicatesWithinWatermark dedups duplicate event ids in-stream (D6 exact)") {
+    // duplicate the staged events to force real duplicates
+    val dir = Files.createTempDirectory("graft-stream-dup").toString + "/events"
+    val e = Tables.events(spark, "/root/testdata/sf0.001")
+    e.union(e).write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val deduped = runToMemory(
+      StreamOps.incrementalDedup(stream, Seq("event_id"), watermark = "10 minutes"),
+      "dedup_out")
+    assert(deduped.count() === e.count(), "each event_id exactly once")
+  }
+
+  test("session windows group per-user bursts (harvest batches)") {
+    val sessions = runToMemory(
+      StreamOps.sessionAgg(streamEvents, "30 minutes", watermark = "1 minute"),
+      "session_out")
+    assert(sessions.count() > 0)
+    val perUser = sessions.groupBy("user_id").count()
+    assert(perUser.count() > 1, "multiple users sessionized")
+  }
+
+  test("stateful fuzzy dedup flags near-duplicate token streams (D6 fuzzy)") {
+    val dir = Files.createTempDirectory("graft-stream-fuzzy").toString + "/keyed"
+    Seq(
+      Keyed("u1", 1L, Seq("niltze", "hola", "amigo")),
+      Keyed("u1", 2L, Seq("niltze", "hola", "amigo")),          // exact dup
+      Keyed("u1", 3L, Seq("totally", "different", "tokens")),
+      Keyed("u2", 4L, Seq("niltze", "hola", "amigo"))           // same text, other key
+    ).toDS().write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir).as[Keyed]
+    val q = StreamOps.fuzzyDedupStream(stream, numPerm = 64, threshold = 0.9)
+      .writeStream.outputMode("append").format("memory").queryName("fuzzy_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val out = spark.table("fuzzy_out").as[DedupDecision].collect()
+      .map(d => d.id -> d.isDuplicate).toMap
+    assert(out(2L), "exact duplicate within key flagged")
+    assert(!out(3L), "distinct record passes")
+    assert(!out(4L), "same text under another key is not a duplicate")
+    assert(!out(1L), "first occurrence passes")
+  }
+
+  test("CDC incremental scan returns only rows past the sync point (S8)") {
+    val e = Tables.events(spark, "/root/testdata/sf0.001")
+    val mid = e.selectExpr("percentile(cast(ts as double), 0.5)").head().getDouble(0)
+    val sync = new java.sql.Timestamp((mid * 1000).toLong)
+    val inc = StreamOps.incrementalSince(e, "ts", sync)
+    assert(inc.count() < e.count() && inc.count() > 0)
+    assert(inc.filter(col("ts") <= lit(sync)).count() === 0)
+  }
+}
