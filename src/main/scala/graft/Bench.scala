@@ -1,21 +1,67 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Benchmark main: one JSON line with per-query wall times at
+  * SPARK_GRAFT_SF_DIR (driver runs sf0.1 → BENCH_r{N}.json).
+  *
+  * Every query is forced through the `noop` sink — `count()` would let
+  * Catalyst prune away exactly the projections being measured (e.g.
+  * the normalization chain), noop evaluates every output column
+  * distributed, writes nothing.
+  *
+  * Besides the SparkEntry queries, dedicated `op_*` entries mirror the
+  * reference's micro-benchmark rows (BASELINE.md: read/filter/
+  * normalize/dedup-exact/dedup-fuzzy/write) on the documents table.
+  */
 object Bench {
+
+  private def force(df: DataFrame): Unit =
+    df.write.mode("overwrite").format("noop").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt)
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val tmpOut = java.nio.file.Files.createTempDirectory("graft-bench").toString
+
+    // BASELINE.md op-for-op micro-benchmarks on the corpus-shaped table.
+    val ops: Seq[(String, () => Unit)] = Seq(
+      "op_read_parquet" -> (() => force(Tables.documents(spark, sfDir))),
+      "op_filter_nulls" -> (() => force(
+        Tables.documents(spark, sfDir)
+          .filter(col("text").isNotNull && length(trim(col("text"))) > 0))),
+      "op_normalize_unicode" -> (() => force(
+        Tables.documents(spark, sfDir).select(col("doc_id"),
+          functions.text.normalize_text(col("text"), "nah").as("t")))),
+      "op_dedup_exact" -> (() => force(
+        operators.Dedup.keepBestWindow(Tables.documents(spark, sfDir),
+          operators.Dedup.compositeKey(Seq("text")), Seq(asc("doc_id"))))),
+      "op_dedup_fuzzy" -> (() => force(
+        operators.Dedup.fuzzyDedup(Tables.documents(spark, sfDir), "doc_id", col("text"),
+          threshold = 0.5, shingleSize = 3))),
+      "op_write_parquet" -> (() => Tables.documents(spark, sfDir)
+        .write.mode("overwrite").parquet(s"$tmpOut/docs")))
+
+    val queryRuns: Seq[(String, () => Unit)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        name -> (() => force(fn(spark, sfDir)))
+      }
+
+    val results = (ops ++ queryRuns).map { case (name, run) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { run(); true } catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) dt else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -201,7 +201,8 @@ object SparkEntry {
     // ---- D5/J2/J3: MinHash-LSH fuzzy dedup, seeds pinned (no SQL oracle —
     // LSH bucketing is model-defined; correctness via DedupSpec recall tests).
     "q19_fuzzy_dedup" -> { (s, dir) =>
-      Dedup.fuzzyDedup(Tables.documents(s, dir), "doc_id", col("text"), threshold = 0.3)
+      Dedup.fuzzyDedup(Tables.documents(s, dir), "doc_id", col("text"),
+          threshold = 0.5, shingleSize = 3)
         .select("doc_id").orderBy("doc_id")
     },
 
@@ -347,6 +348,37 @@ object SparkEntry {
           max(col("n_events")).as("max_session_events"),
           sum(col("n_events")).as("n_events"))
         .orderBy("user_id")
+    },
+    // ---- J5: enrichment left join (unmatched rows keep nulls → 0).
+    "q34_enrichment_left_join" -> { (s, dir) =>
+      val bigOrders = Tables.orders(s, dir)
+        .filter(col("o_totalprice") > 400000)
+        .groupBy(col("o_custkey").as("c_custkey"))
+        .agg(count(lit(1)).as("big_orders"), round(sum(col("o_totalprice")), 2).as("big_total"))
+      Tables.customer(s, dir)
+        .join(bigOrders, Seq("c_custkey"), "left")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          coalesce(col("big_orders"), lit(0L)).as("big_orders"),
+          coalesce(col("big_total"), lit(0.0)).as("big_total"))
+        .orderBy("c_custkey")
+    },
+
+    // ---- F13: sentence segmentation (generator shape: explode(split)).
+    "q35_sentence_split" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(analysis.sentences_of(
+          concat(col("text"), lit("one. two! three? four")))).as("sentence"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sentences"),
+          max(length(col("sentence"))).as("max_sentence_len"))
+        .orderBy("doc_id")
+    },
+
+    // ---- F10: heuristic language identification distribution.
+    "q36_lang_id" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(coalesce(text.detect_lang(col("text")), lit("unknown")).as("detected"))
+        .groupBy(col("detected")).agg(count(lit(1)).as("n"))
+        .orderBy("detected")
     },
   )
 
@@ -669,6 +701,43 @@ object SparkEntry {
         |FROM ranked WHERE rn = 1
         |GROUP BY layer
         |ORDER BY layer""".stripMargin,
+
+    "q34_enrichment_left_join" ->
+      """WITH big AS (
+        |  SELECT o_custkey AS c_custkey, count(*) AS big_orders,
+        |    round(sum(o_totalprice), 2) AS big_total
+        |  FROM orders WHERE o_totalprice > 400000
+        |  GROUP BY o_custkey)
+        |SELECT c.c_custkey, c.c_mktsegment,
+        |  coalesce(big.big_orders, 0) AS big_orders,
+        |  coalesce(big.big_total, 0.0) AS big_total
+        |FROM customer c LEFT JOIN big ON c.c_custkey = big.c_custkey
+        |ORDER BY c.c_custkey""".stripMargin,
+
+    "q35_sentence_split" ->
+      """WITH s AS (
+        |  SELECT doc_id, string_split(regexp_replace(
+        |    text || 'one. two! three? four', '([.!?])\s+', '\1' || chr(30), 'g'),
+        |    chr(30)) AS sent
+        |  FROM documents),
+        |e AS (SELECT doc_id, trim(x) AS sentence
+        |      FROM s, unnest(sent) AS t(x) WHERE length(trim(x)) > 0)
+        |SELECT doc_id, count(*) AS n_sentences,
+        |  CAST(max(length(sentence)) AS INT) AS max_sentence_len
+        |FROM e GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q36_lang_id" ->
+      """SELECT CASE
+        |    WHEN regexp_matches(text, '[āēīōūĀĒĪŌŪ]') THEN 'nah'
+        |    WHEN len(regexp_extract_all(lower(text), '(k''|ch''|t''|p''|ts''|ʔ)')) >= 1 THEN 'myn'
+        |    WHEN len(regexp_extract_all(lower(text), '(tl|tz|kw|ku)')) >= 2 THEN 'nah'
+        |    WHEN regexp_matches(text, '[¿¡ñ]') THEN 'es'
+        |    ELSE 'unknown' END AS detected,
+        |  count(*) AS n
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY detected""".stripMargin,
 
     "q32_windowed_agg" ->
       """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, event_type,

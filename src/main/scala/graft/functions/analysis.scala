@@ -78,4 +78,39 @@ object analysis {
   def fingerprint(c: Column): Column =
     xxhash64(concat_ws(" ",
       filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)))
+
+  /** F13 — sentence segmentation as an array column (explode at call
+    * site makes it the generator/UDTF shape). Separator-injection
+    * instead of lookbehind so the exact semantics are portable to
+    * RE2-based engines. */
+  def sentences_of(c: Column): Column =
+    filter(
+      transform(split(regexp_replace(c, "([.!?])\\s+", "$1\u001E"), "\u001E"), s => trim(s)),
+      s => length(s) > 0)
+
+  /** F14 — sentence-bounded chunking: pack sentences into chunks of at
+    * most `maxChars` (a sentence longer than the budget becomes its own
+    * chunk). Pure-column: aggregate over the sentence array carrying
+    * (finished chunks, current chunk) state — stays in codegen, no UDF.
+    */
+  def chunk_sentences(c: Column, maxChars: Int): Column = {
+    val init = struct(
+      array().cast("array<string>").as("done"),
+      lit("").as("cur"))
+    val stepped = aggregate(
+      sentences_of(c),
+      init,
+      (acc, s) => {
+        val cur = acc.getField("cur")
+        val done = acc.getField("done")
+        val joined = when(cur === "", s).otherwise(concat(cur, lit(" "), s))
+        when(length(joined) <= maxChars,
+          struct(done.as("done"), joined.as("cur")))
+          .otherwise(struct(
+            when(cur === "", done).otherwise(array_append(done, cur)).as("done"),
+            s.as("cur"))) },
+      acc => when(acc.getField("cur") === "", acc.getField("done"))
+        .otherwise(array_append(acc.getField("done"), acc.getField("cur"))))
+    stepped
+  }
 }

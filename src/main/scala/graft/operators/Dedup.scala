@@ -87,8 +87,23 @@ object Dedup {
       textCol: Column,
       threshold: Double = 0.2,
       numFeatures: Int = 1 << 14,
-      numHashTables: Int = 5): DataFrame = {
-    val tokens = df.select(col(idCol), split(textCol, "\\s+").as("__tokens"))
+      numHashTables: Int = 5,
+      shingleSize: Int = 1): DataFrame = {
+    // Word shingles (n-grams of tokens) instead of bare tokens when
+    // shingleSize > 1: documents that merely share vocabulary stop
+    // colliding (their shingle sets are near-disjoint), which collapses
+    // the LSH candidate-pair count — the difference between O(n·k) and
+    // an accidental O(n²) when the corpus has a small vocabulary.
+    // Bare tokens (shingleSize=1) match the reference's SparkDedup
+    // featurization for short sentence pairs.
+    val words = split(textCol, "\\s+")
+    val features =
+      if (shingleSize <= 1) words
+      else when(size(words) <= shingleSize, array(array_join(words, " ")))
+        .otherwise(transform(
+          sequence(lit(0), size(words) - shingleSize),
+          i => array_join(slice(words, i + lit(1), lit(shingleSize)), " ")))
+    val tokens = df.select(col(idCol), features.as("__tokens"))
       .filter(size(col("__tokens")) > 0)
     val tf = new HashingTF()
       .setInputCol("__tokens").setOutputCol("__features")

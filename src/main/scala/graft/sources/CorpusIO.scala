@@ -117,7 +117,33 @@ object CorpusIO {
     (if (partitionByCols.nonEmpty) w.partitionBy(partitionByCols: _*) else w).parquet(path)
   }
 
-  /** S6 — CSV source-registry scan. */
+  /** S6 — CSV source-registry scan/sink. */
   def readCsv(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").csv(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  /** S11 — plain-text corpus scan: one line per verse/sentence, short
+    * lines dropped (driver_bible.py:24-47 semantics). */
+  def readTextCorpus(spark: SparkSession, path: String, minLen: Int = 10): DataFrame =
+    spark.read.text(path)
+      .filter(length(trim(col("value"))) > minLen)
+      .select(trim(col("value")).as("text"),
+        regexp_extract(input_file_name(), "([^/]+)$", 1).as("origin_file"))
+
+  /** S11 — XML corpus scan: extract `<verse>` bodies and strip inner
+    * tags (driver_bible.py:49-66 semantics), whole-file read + one
+    * generator explode — no driver-side parsing. */
+  def readXmlVerses(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("wholetext", true).text(path)
+      .select(explode(
+        regexp_extract_all(col("value"), lit("(?s)<verse[^>]*>(.*?)</verse>"), lit(1))).as("raw"),
+        regexp_extract(input_file_name(), "([^/]+)$", 1).as("origin_file"))
+      .select(trim(regexp_replace(col("raw"), "<[^>]+>", "")).as("text"), col("origin_file"))
+      .filter(length(col("text")) > 0)
+
+  /** S15 — bulk JSONL→Parquet converter. */
+  def convertJsonlToParquet(spark: SparkSession, inGlob: String, outDir: String): Unit =
+    spark.read.json(inGlob).write.mode("overwrite").parquet(outDir)
 }
