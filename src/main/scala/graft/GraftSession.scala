@@ -27,6 +27,19 @@ object GraftSession {
   def get(master: String = "local[*]"): SparkSession = {
     val spark = builder(master).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    registerFunctions(spark)
     spark
+  }
+
+  /** Register graft's custom Catalyst expressions for SQL callers
+    * (`SELECT unicode_nfc(col) FROM ...`). */
+  def registerFunctions(spark: SparkSession): Unit = {
+    import java.text.Normalizer
+    import org.apache.spark.sql.graftbridge.bridge
+    import graft.functions.UnicodeNormalize
+    bridge.registerFunction(spark, "unicode_nfc",
+      es => UnicodeNormalize(es.head, Normalizer.Form.NFC))
+    bridge.registerFunction(spark, "unicode_nfkc",
+      es => UnicodeNormalize(es.head, Normalizer.Form.NFKC))
   }
 }

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the 100 TB contract. A query that loses
+  * its filter pushdown, broadcast, or codegen span still returns the
+  * right rows at sf0.01 and quietly dies at scale; these tests pin the
+  * plan shape itself.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def formatted(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q1: shipdate filter is pushed to the parquet scan and columns pruned") {
+    val plan = formatted("q1_pricing_summary")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"filter not pushed:\n$plan")
+    assert(!plan.contains("l_orderkey"), "unused columns must be pruned from the scan")
+  }
+
+  test("q2: dimension joins are broadcast, fact side streams") {
+    val plan = formatted("q2_revenue_by_nation")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 3, s"expected ≥3 broadcast joins (customer/nation/region), got $broadcasts")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q1: aggregation is partial+final hash aggregate (map-side combine)") {
+    val plan = formatted("q1_pricing_summary")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, "partial+final HashAggregate expected")
+  }
+
+  test("custom NFC expression participates in whole-stage codegen") {
+    val df = Tables.documents(spark, dir)
+      .select(functions.text.unicode_nfc(col("text")).as("t"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("unicode_normalize"), s"expression missing:\n$plan")
+    assert(plan.startsWith("*"), "projection must be inside a WholeStageCodegen stage")
+    // and it must actually evaluate under codegen (doGenCode, not fallback)
+    assert(df.count() > 0)
+  }
+
+  test("unicode_nfc is SQL-callable via FunctionRegistry") {
+    GraftSession.registerFunctions(spark)
+    val r = spark.sql("SELECT unicode_nfc('ā') AS t").head().getString(0)
+    assert(r === "ā", "decomposed a+macron must compose to ā through SQL")
+  }
+
+  test("exact dedup: one hash shuffle on the key, map-side group-limit prunes first") {
+    val plan = formatted("q7_dedup_docs_exact")
+    val hashExchanges = "Arguments: hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges === 1, s"dedup must shuffle exactly once on the dedup key:\n$plan")
+    // Spark 4 WindowGroupLimit: rows beyond rank 1 are dropped BEFORE
+    // the shuffle — the property that makes skewed dedup keys survivable.
+    assert(plan.contains("WindowGroupLimit"), "map-side partial group-limit expected")
+  }
+
+  test("knn query broadcasts the query side (corpus side never shuffles before scoring)") {
+    val plan = formatted("q20_knn_bruteforce")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      "query side must be broadcast")
+  }
+}

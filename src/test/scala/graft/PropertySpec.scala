@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.text
+import graft.operators.{Dedup, Split}
+
+/** Property-based invariants (SURVEY §5 engine plan): normalization
+  * idempotence, dedup ⊆ input, split partitions the input. Strings are
+  * generated over the Unicode ranges the reference cares about
+  * (macrons, saltillo variants, ejectives, Spanish punctuation);
+  * generator seeds pinned so failures reproduce.
+  */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val corpusChar: Gen[Char] = Gen.frequency(
+    8 -> Gen.alphaNumChar,
+    2 -> Gen.oneOf("āēīōūĀĒĪŌŪ".toSeq),
+    2 -> Gen.oneOf("'’`ʔʼ".toSeq),
+    1 -> Gen.oneOf("¿¡ñáéíóú«»—…".toSeq),
+    3 -> Gen.oneOf(" \t.,;:!?".toSeq))
+  private val corpusString: Gen[String] =
+    Gen.chooseNum(0, 60).flatMap(n => Gen.stringOfN(n, corpusChar))
+
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g.apply(Gen.Parameters.default, Seed(seed)).get
+
+  test("property: normalize_text is idempotent for every language") {
+    for (seed <- 1L to 5L) {
+      val strs = sample(Gen.listOfN(40, corpusString), seed)
+      val df = strs.toDF("s")
+      for (lang <- Seq("nah", "myn", "es", "other")) {
+        val bad = df.select(
+          text.normalize_text(col("s"), lang).as("once"),
+          text.normalize_text(text.normalize_text(col("s"), lang), lang).as("twice"))
+          .filter(not(col("once") <=> col("twice")))
+        val diff = bad.count()
+        assert(diff === 0L,
+          s"normalize_text($lang) not idempotent, e.g. ${bad.head(1).toSeq}")
+      }
+    }
+  }
+
+  test("property: dedup output ⊆ input and exactly one row per key") {
+    for (seed <- 1L to 5L) {
+      val rows = sample(Gen.listOfN(60, Gen.zip(corpusString, Gen.chooseNum(0L, 5L))), seed)
+      val df = rows.toDF("s", "v")
+      val out = Dedup.keepBest(df, text.norm_key(coalesce(col("s"), lit(""))), Seq(col("v")))
+      assert(out.count() ===
+        df.select(text.norm_key(coalesce(col("s"), lit(""))).as("k")).distinct().count())
+      assert(out.exceptAll(df).count() === 0L, "dedup must not invent rows")
+    }
+  }
+
+  test("property: split is a partition — disjoint, exhaustive, deterministic") {
+    for (seed <- 1L to 5L) {
+      val ids = sample(Gen.listOfN(80, Gen.chooseNum(Long.MinValue, Long.MaxValue)), seed).distinct
+      val df = ids.toDF("id")
+      val s = Split.split(df, Seq("id"))
+      assert(s.count() === df.count(), "every row gets exactly one split")
+      assert(s.filter(!col("split").isin("train", "validation", "test")).count() === 0L)
+      val again = Split.split(df, Seq("id"))
+      assert(s.exceptAll(again).count() === 0L, "assignment deterministic")
+    }
+  }
+
+  test("property: dedup_key distinguishes null-position permutations") {
+    for (seed <- 1L to 5L) {
+      val vals = sample(Gen.listOfN(20, Gen.option(corpusString)), seed)
+      val df = vals.map(v => (v.orNull, Option.empty[String].orNull)).toDF("a", "b")
+      val bad = df.select(
+        text.dedup_key(col("a"), col("b")).as("k1"),
+        text.dedup_key(col("b"), col("a")).as("k2"),
+        text.norm_key(coalesce(col("a"), lit(""))).as("na"),
+        text.norm_key(coalesce(col("b"), lit(""))).as("nb"))
+        .filter(col("na") =!= col("nb") && col("k1") === col("k2"))
+        .count()
+      assert(bad === 0L)
+    }
+  }
+}
