@@ -320,13 +320,16 @@ object SparkEntry {
     },
 
     // ---- Near-dup: character-3-gram Jaccard on candidate pairs.
+    // Gram sets are computed once per document (O(n)), the pair join
+    // only intersects the precomputed sets (HOFs are interpreted, so
+    // per-pair recomputation would cost O(n²) interpreted evals).
     "q30_ngram_jaccard" -> { (s, dir) =>
-      val a = Tables.documents(s, dir).filter(col("doc_id") < 50)
-        .select(col("doc_id").as("id_a"), col("text").as("text_a"))
-      val b = Tables.documents(s, dir).filter(col("doc_id") < 50)
-        .select(col("doc_id").as("id_b"), col("text").as("text_b"))
+      val g = Tables.documents(s, dir).filter(col("doc_id") < 50)
+        .select(col("doc_id"), Dedup.ngrams(col("text"), 3).as("grams"))
+      val a = g.select(col("doc_id").as("id_a"), col("grams").as("ga"))
+      val b = g.select(col("doc_id").as("id_b"), col("grams").as("gb"))
       a.join(b, col("id_a") < col("id_b"))
-        .withColumn("jaccard", round(Dedup.ngramJaccard(col("text_a"), col("text_b"), 3), 6))
+        .withColumn("jaccard", round(Dedup.jaccardOfSets(col("ga"), col("gb")), 6))
         .filter(col("jaccard") >= 0.5)
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
@@ -609,7 +612,7 @@ object SparkEntry {
       """WITH scored AS (
         |  SELECT lang, round(
         |    (CASE WHEN length(text) BETWEEN 10 AND 2000 THEN 1.0
-        |          WHEN length(text) BETWEEN 3 AND 9 THEN 0.5 ELSE 0.0 END) * 0.4 +
+        |          WHEN length(text) BETWEEN 3 AND 9 THEN 0.5 ELSE 0.0 END) * 0.3 +
         |    (CASE WHEN (CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'),
         |            x -> length(x) > 0)) = 0 THEN 0.0
         |          ELSE list_sum(list_transform(list_filter(string_split_regex(trim(text), '\s+'),
@@ -620,9 +623,9 @@ object SparkEntry {
         |    (1.0 - least(CASE WHEN length(text) = 0 THEN 0.0
         |       ELSE len(regexp_extract_all(text, '[^\p{L}0-9\s]')) * 1.0 / length(text) END * 4,
         |       1.0)) * 0.2 +
-        |    (1.0 - least(CASE WHEN length(text) = 0 THEN 0.0
-        |       ELSE len(regexp_extract_all(text, '[0-9]')) * 1.0 / length(text) END * 4,
-        |       1.0)) * 0.2, 6) AS q
+        |    (CASE WHEN length(text) = 0 THEN 0.0
+        |       ELSE len(regexp_extract_all(text, '[\p{L}]')) * 1.0 / length(text)
+        |     END) * 0.3, 6) AS q
         |  FROM documents)
         |SELECT lang, round(avg(q), 4) AS avg_quality,
         |  CAST(sum(CASE WHEN q >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS high_quality_docs

@@ -68,8 +68,11 @@ object analysis {
       .otherwise(lit(0.0))
     val wordScore = when(mean_word_length(c).between(2.0, 12.0), lit(1.0)).otherwise(lit(0.3))
     val punctScore = lit(1.0) - least(punct_ratio(c) * 4, lit(1.0))
-    val digitScore = lit(1.0) - least(digit_ratio(c) * 4, lit(1.0))
-    round((lenScore * 0.4 + wordScore * 0.2 + punctScore * 0.2 + digitScore * 0.2), 6)
+    // letter ratio: text that is mostly non-letters (symbol noise,
+    // digit dumps) is almost never useful training text
+    val alphaScore = when(len === 0, lit(0.0))
+      .otherwise(regexp_count(c, lit("[\\p{L}]")).cast("double") / len)
+    round((lenScore * 0.3 + wordScore * 0.2 + punctScore * 0.2 + alphaScore * 0.3), 6)
   }
 
   /** Rolling-hash document fingerprint: xxhash64 over the normalized

@@ -155,20 +155,27 @@ object Dedup {
       .drop("__sig")
   }
 
-  /** Character n-gram Jaccard similarity between two strings, as a
-    * pure Column expression (for candidate verification after LSH or
-    * SimHash bucketing). */
-  def ngramJaccard(a: Column, b: Column, n: Int = 3): Column = {
-    def grams(c: Column): Column =
-      array_distinct(
-        filter(
-          transform(sequence(lit(0), greatest(length(c) - n, lit(0))),
-            i => c.substr(i + lit(1), lit(n))),
-          g => length(g) === n))
-    val ga = grams(a)
-    val gb = grams(b)
+  /** Distinct character n-gram set of a string column. Higher-order
+    * functions are interpreted (not codegen'd) in Spark, so gram sets
+    * should be computed ONCE per document and joined — never inside a
+    * pair predicate where they'd be re-evaluated O(n²) times. */
+  def ngrams(c: Column, n: Int = 3): Column =
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(length(c) - n, lit(0))),
+          i => c.substr(i + lit(1), lit(n))),
+        g => length(g) === n))
+
+  /** Jaccard similarity from two precomputed gram-set columns. */
+  def jaccardOfSets(ga: Column, gb: Column): Column = {
     val inter = size(array_intersect(ga, gb)).cast("double")
     val uni = size(array_union(ga, gb)).cast("double")
     when(uni === 0, lit(1.0)).otherwise(inter / uni)
   }
+
+  /** Character n-gram Jaccard similarity between two strings (for
+    * one-off candidate verification; for pair enumeration precompute
+    * [[ngrams]] per side and use [[jaccardOfSets]]). */
+  def ngramJaccard(a: Column, b: Column, n: Int = 3): Column =
+    jaccardOfSets(ngrams(a, n), ngrams(b, n))
 }

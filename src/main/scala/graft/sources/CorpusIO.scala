@@ -146,4 +146,22 @@ object CorpusIO {
   /** S15 — bulk JSONL→Parquet converter. */
   def convertJsonlToParquet(spark: SparkSession, inGlob: String, outDir: String): Unit =
     spark.read.json(inGlob).write.mode("overwrite").parquet(outDir)
+
+  /** S12 — dataset-adapter mapper in the UniMorph shape
+    * (driver_hf_unimorph.py:9-41): morphology rows
+    * {lemma, form, tags} → canonical records where the inflected form
+    * is the indigenous-language text and the lemma annotation rides in
+    * `category`. Other HF adapters are the same pattern with different
+    * source columns (select/coalesce into the fixed schema). */
+  def adaptUniMorph(df: DataFrame, targetLang: String = "nah",
+      source: String = "huggingface"): DataFrame = {
+    val textCol = emptyToNull(col("form"))
+    df.select(
+      lit(null).cast(StringType).as("es"),
+      (if (targetLang == "nah") textCol else lit(null).cast(StringType)).as("nah"),
+      (if (targetLang == "myn") textCol else lit(null).cast(StringType)).as("myn"),
+      lit(source).as("source"),
+      lit("bronze").as("layer"),
+      concat_ws(":", emptyToNull(col("lemma")), emptyToNull(col("tags"))).as("origin_file"))
+  }
 }

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{analysis, text}
+import graft.sources.CorpusIO
+
+class AnalysisSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def one[T](c: org.apache.spark.sql.Column, input: String): T =
+    Seq(input).toDF("s").select(c.as("r")).head().getAs[T](0)
+
+  test("token_count: whitespace tokens, zero for blank") {
+    assert(one[Int](analysis.token_count(col("s")), "a  b\tc") === 3)
+    assert(one[Int](analysis.token_count(col("s")), "   ") === 0)
+    assert(one[Int](analysis.token_count(col("s")), "") === 0)
+  }
+
+  test("token_count_bpe: long words cost more, punctuation counts") {
+    val short = one[Int](analysis.token_count_bpe(col("s")), "cat dog")
+    val long = one[Int](analysis.token_count_bpe(col("s")), "extraordinarily incomprehensible")
+    assert(short === 2)
+    assert(long > 2, "long words must cost extra subword tokens")
+    assert(one[Int](analysis.token_count_bpe(col("s")), "a, b!") > 2)
+  }
+
+  test("quality_score in [0,1]: clean text high, noise low") {
+    val clean = one[Double](analysis.quality_score(col("s")),
+      "a perfectly reasonable sentence of normal words")
+    val noisy = one[Double](analysis.quality_score(col("s")), "@#$%^&*!~``|||")
+    val empty = one[Double](analysis.quality_score(col("s")), "")
+    assert(clean >= 0.8 && clean <= 1.0)
+    assert(noisy < 0.5)
+    assert(empty >= 0.0 && empty <= 1.0)
+  }
+
+  test("stopword_ratio counts list membership") {
+    assert(one[Double](analysis.stopword_ratio(col("s")), "the cat and the dog") === 0.6)
+    assert(one[Double](analysis.stopword_ratio(col("s")), "") === 0.0)
+  }
+
+  test("fingerprint is whitespace/case-insensitive, content-sensitive") {
+    val df = Seq("The Quick  Fox", "the quick fox", "the quick dog").toDF("s")
+    val fps = df.select(analysis.fingerprint(col("s")).as("f")).collect().map(_.getLong(0))
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+  }
+
+  test("sentences_of splits on terminal punctuation") {
+    val r = Seq("One two. Three! Four? five").toDF("s")
+      .select(analysis.sentences_of(col("s")).as("r")).head().getSeq[String](0)
+    assert(r === Seq("One two.", "Three!", "Four?", "five"))
+  }
+
+  test("chunk_sentences packs sentences under the budget, oversize stands alone") {
+    val s = "aaaa. bbbb. cccc. ddddddddddddddddddddddd. ee."
+    val chunks = Seq(s).toDF("s")
+      .select(analysis.chunk_sentences(col("s"), 12).as("r")).head().getSeq[String](0)
+    assert(chunks === Seq("aaaa. bbbb.", "cccc.", "ddddddddddddddddddddddd.", "ee."))
+    assert(chunks.mkString(" ").split("\\s+").sorted.toSeq === s.split("\\s+").sorted.toSeq,
+      "chunking must preserve every sentence")
+  }
+
+  test("content_id: 16 hex chars, deterministic, input-sensitive (F15)") {
+    val df = Seq(("http://a", "2026-01-01T00:00:00"), ("http://b", "2026-01-01T00:00:00"))
+      .toDF("url", "ts")
+    val ids = df.select(text.content_id(col("url"), col("ts")).as("id"))
+      .collect().map(_.getString(0))
+    assert(ids.forall(_.matches("[0-9a-f]{16}")))
+    assert(ids(0) !== ids(1))
+  }
+
+  test("rewrite_orthography: central and huasteca variants (F11)") {
+    assert(one[String](text.rewrite_orthography(col("s"), "central"), "wan a’mo") === "huan ahmo")
+    assert(one[String](text.rewrite_orthography(col("s"), "huasteca"), "huan") === "wan")
+    assert(one[String](text.rewrite_orthography(col("s"), "other"), "x") === "x")
+  }
+
+  test("adaptUniMorph maps morphology rows into the record schema (S12)") {
+    val rows = Seq(("kalli", "kaltin", "N;PL"), ("", "tlaxkalli", "N;SG")).toDF("lemma", "form", "tags")
+    val out = CorpusIO.adaptUniMorph(rows).collect()
+    assert(out.forall(_.getAs[String]("layer") === "bronze"))
+    assert(out.map(_.getAs[String]("nah")).toSet === Set("kaltin", "tlaxkalli"))
+    assert(out.head.getAs[String]("origin_file") === "kalli:N;PL")
+  }
+}
