@@ -127,24 +127,12 @@ object Dedup {
   private def callFn(name: String, cols: Column*): Column =
     org.apache.spark.sql.functions.call_function(name, cols: _*)
 
-  /** SimHash near-duplicate signature (64-bit) from token set.
-    *
-    * Pure Column composition: each distinct token hashed with xxhash64;
-    * for each of the 64 bit positions the signed contributions are
-    * summed; sign → bit. Documents whose signatures match on a band
-    * are near-dup candidates. Runs entirely in codegen (higher-order
-    * array functions), no UDF.
-    */
-  def simhash(tokens: Column): Column = {
-    val hashes = transform(array_distinct(tokens), t => xxhash64(t))
-    val bits = sequence(lit(0), lit(63))
-    val sig = transform(bits, b =>
-      when(
-        aggregate(hashes, lit(0L),
-          (acc, h) => acc + when(callFn("shiftright", h, b).bitwiseAND(lit(1L)) === 1, lit(1L)).otherwise(lit(-1L))
-        ) > 0, callFn("shiftleft", lit(1L), b)).otherwise(lit(0L)))
-    aggregate(sig, lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+  /** SimHash near-duplicate signature (64-bit) from a token array —
+    * native Catalyst expression with codegen (graft.functions.SimHash64);
+    * documents whose signatures agree are near-dup candidates. */
+  def simhash(tokens: Column): Column =
+    graft.functions.text.expr2col(
+      graft.functions.SimHash64(graft.functions.text.col2expr(tokens)))
 
   /** Exact-dedup by SimHash band equality: groups rows whose simhash
     * agree on all 4 16-bit bands (cheap near-dup bucketing; a
