@@ -44,6 +44,9 @@ object Bench {
       "op_dedup_fuzzy" -> (() => force(
         operators.Dedup.fuzzyDedup(Tables.documents(spark, sfDir), "doc_id", col("text"),
           threshold = 0.5, shingleSize = 3))),
+      "op_dedup_minhash_banded" -> (() => force(
+        operators.Dedup.minhashDedup(Tables.documents(spark, sfDir), "doc_id", col("text"),
+          threshold = 0.5, numPerm = 128, bands = 32, shingleSize = 3))),
       "op_write_parquet" -> (() => Tables.documents(spark, sfDir)
         .write.mode("overwrite").parquet(s"$tmpOut/docs")))
 

@@ -352,6 +352,14 @@ object SparkEntry {
           sum(col("n_events")).as("n_events"))
         .orderBy("user_id")
     },
+    // ---- D5-scale: banded MinHash LSH dedup (shingle → minhash →
+    // band → bucket-join; AND-amplified, native signature expression).
+    "q37_minhash_band_dedup" -> { (s, dir) =>
+      Dedup.minhashDedup(Tables.documents(s, dir), "doc_id", col("text"),
+          threshold = 0.5, numPerm = 128, bands = 32, shingleSize = 3)
+        .select("doc_id").orderBy("doc_id")
+    },
+
     // ---- J5: enrichment left join (unmatched rows keep nulls → 0).
     "q34_enrichment_left_join" -> { (s, dir) =>
       val bigOrders = Tables.orders(s, dir)

@@ -96,14 +96,7 @@ object Dedup {
     // an accidental O(n²) when the corpus has a small vocabulary.
     // Bare tokens (shingleSize=1) match the reference's SparkDedup
     // featurization for short sentence pairs.
-    val words = split(textCol, "\\s+")
-    val features =
-      if (shingleSize <= 1) words
-      else when(size(words) <= shingleSize, array(array_join(words, " ")))
-        .otherwise(transform(
-          sequence(lit(0), size(words) - shingleSize),
-          i => array_join(slice(words, i + lit(1), lit(shingleSize)), " ")))
-    val tokens = df.select(col(idCol), features.as("__tokens"))
+    val tokens = df.select(col(idCol), shingles(textCol, shingleSize).as("__tokens"))
       .filter(size(col("__tokens")) > 0)
     val tf = new HashingTF()
       .setInputCol("__tokens").setOutputCol("__features")
@@ -133,6 +126,74 @@ object Dedup {
   def simhash(tokens: Column): Column =
     graft.functions.text.expr2col(
       graft.functions.SimHash64(graft.functions.text.col2expr(tokens)))
+
+  /** Word shingles of size n ("a b c d",2 → ["a b","b c","c d"]);
+    * shorter texts collapse to a single whole-text shingle. */
+  def shingles(textCol: Column, n: Int): Column = {
+    val words = split(textCol, "\\s+")
+    if (n <= 1) words
+    else when(size(words) <= n, array(array_join(words, " ")))
+      .otherwise(transform(
+        sequence(lit(0), size(words) - n),
+        i => array_join(slice(words, i + lit(1), lit(n)), " ")))
+  }
+
+  private def minhashSig(tokens: Column, numPerm: Int): Column =
+    graft.functions.text.expr2col(
+      graft.functions.MinHashSig(graft.functions.text.col2expr(tokens), numPerm))
+
+  private[graft] def minhashSigForTest(tokens: Column, numPerm: Int = 256): Column =
+    minhashSig(tokens, numPerm)
+
+  /** Banded MinHash LSH dedup — the classic shingle → minhash → band →
+    * bucket-join pipeline, built directly on DataFrame ops with the
+    * native [[graft.functions.MinHashSig]] expression.
+    *
+    * vs [[fuzzyDedup]] (spark.ml MinHashLSH): ml's LSH has only
+    * OR-amplification (each hash table = ONE MinHash function), so
+    * moderately-similar pairs collide constantly and the join
+    * explodes. Banding r rows per band gives AND-amplification —
+    * P(candidate) = 1-(1-J^r)^b — which suppresses sub-threshold pairs
+    * exponentially. Candidate verification is the exact signature
+    * agreement fraction; removal is a left_anti join (never a driver
+    * collect).
+    *
+    * Scale shape: one narrow map per row (signature), one explode ×
+    * bands (b small rows), one hash-partitioned self-join on
+    * (band, bucket), one window-free verify on candidate pairs.
+    * Skewed buckets (boilerplate shingles) are AQE-splittable.
+    */
+  def minhashDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: Column,
+      threshold: Double = 0.8,
+      numPerm: Int = 128,
+      bands: Int = 32,
+      shingleSize: Int = 3): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val r = numPerm / bands
+    val sigCol = minhashSig(shingles(text.norm_key(textCol), shingleSize), numPerm)
+    val withSig = df.select(col(idCol), sigCol.as("__sig"))
+    val banded = withSig.select(col(idCol), col("__sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"), xxhash64(slice(col("__sig"), b * r + 1, lit(r))).as("bucket")))).as("__b"))
+      .select(col(idCol), col("__sig"), col("__b.band"), col("__b.bucket"))
+    val a = banded.select(col(idCol).as("id_a"), col("__sig").as("__sa"),
+      col("band"), col("bucket"))
+    val b = banded.select(col(idCol).as("id_b"), col("__sig").as("__sb"),
+      col("band"), col("bucket"))
+    // verify INLINE on the bucket join and reduce straight to distinct
+    // removable ids — no pair-dedup shuffle, signature arrays never
+    // pass through an exchange (a pair colliding in k bands is just
+    // verified k times, which is far cheaper than shuffling it).
+    val estJaccard = size(filter(zip_with(col("__sa"), col("__sb"), _ === _),
+      x => x)).cast("double") / numPerm
+    val dupIds = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b") && estJaccard >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(dupIds, Seq(idCol), "left_anti")
+  }
 
   /** Exact-dedup by SimHash band equality: groups rows whose simhash
     * agree on all 4 16-bit bands (cheap near-dup bucketing; a

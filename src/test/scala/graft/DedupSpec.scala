@@ -79,6 +79,44 @@ class DedupSpec extends AnyFunSuite {
     assert(sigs(0) !== sigs(2))
   }
 
+  test("minhashDedup: banded LSH removes exact + near duplicates, keeps distinct (token-level)") {
+    val joined = corpus.withColumn("t", concat_ws(" ", col("nah"), col("es")))
+    // token shingles (size 1) so the macron variant shares 1/3 tokens;
+    // low threshold + 2-row bands make the J=1/3 pair a near-certain candidate
+    val out = Dedup.minhashDedup(joined, "id", col("t"),
+      threshold = 0.3, numPerm = 128, bands = 64, shingleSize = 1)
+    val ids = out.select("id").collect().map(_.getString(0)).toSet
+    assert(!(ids.contains("1") && ids.contains("2")), "exact dup pair must collapse")
+    assert(!(ids.contains("3") && ids.contains("4")), "macron variant must collapse")
+    assert(ids.contains("5"), "distinct record survives")
+  }
+
+  test("minhashDedup is deterministic and output ⊆ input") {
+    val joined = corpus.withColumn("t", concat_ws(" ", col("nah"), col("es")))
+    val a = Dedup.minhashDedup(joined, "id", col("t"), 0.3, 128, 64, 1)
+      .select("id").collect().map(_.getString(0)).sorted.toSeq
+    val b = Dedup.minhashDedup(joined, "id", col("t"), 0.3, 128, 64, 1)
+      .select("id").collect().map(_.getString(0)).sorted.toSeq
+    assert(a === b)
+    assert(a.toSet.subsetOf(corpus.collect().map(_.getString(0)).toSet))
+  }
+
+  test("minhash signature estimates Jaccard within tolerance") {
+    import graft.functions.{text => T}
+    val df = Seq(
+      ("a b c d e f g h", "a b c d e f g h"),     // J = 1
+      ("a b c d e f g h", "a b c d x y z w"),     // J = 4/12 = 0.33
+      ("a b c d e f g h", "p q r s t u v w")      // J = 0
+    ).toDF("x", "y")
+    val est = df.select((size(filter(zip_with(
+        Dedup.minhashSigForTest(split(col("x"), " ")),
+        Dedup.minhashSigForTest(split(col("y"), " ")), _ === _), v => v)).cast("double") / 256).as("j"))
+      .collect().map(_.getDouble(0))
+    assert(est(0) === 1.0)
+    assert(math.abs(est(1) - 0.333) < 0.12, s"est=${est(1)}")
+    assert(est(2) < 0.1)
+  }
+
   test("ngramJaccard: identity 1, disjoint 0, near-dup high") {
     val df = Seq(
       ("abcdefgh", "abcdefgh"),
