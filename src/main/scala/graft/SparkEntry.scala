@@ -36,8 +36,8 @@ object SparkEntry {
           round(sum(col("l_quantity")), 2).as("sum_qty"),
           round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_discount")), 4).as("avg_disc"),
+          (round(sum(col("l_quantity")), 2) / count(lit(1))).as("avg_qty"),
+          (round(sum(col("l_discount")), 2) / count(lit(1))).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
@@ -68,12 +68,18 @@ object SparkEntry {
     },
 
     // ---- A9+W1: daily aggregate + 7-day moving average (frame spec).
+    // avg is expressed as round(sum,2)/n: the rounded sum is an exact
+    // 0.01-multiple, so both engines divide bit-identical doubles —
+    // rounding an average directly can land exactly on a half-boundary
+    // where Spark (BigDecimal shortest-repr HALF_UP) and other engines
+    // (binary-value rounding) legitimately disagree.
     "q4_events_daily_ma" -> { (s, dir) =>
       val daily = Tables.events(s, dir)
         .groupBy(to_date(col("ts")).as("day"), col("event_type"))
-        .agg(round(avg(col("value")), 4).as("avg_value"), count(lit(1)).as("n"))
+        .agg((round(sum(col("value")), 2) / count(lit(1))).as("avg_value"),
+          count(lit(1)).as("n"))
       val w = Window.partitionBy(col("event_type")).orderBy(col("day")).rowsBetween(-6, 0)
-      daily.withColumn("ma7", round(avg(col("avg_value")).over(w), 4))
+      daily.withColumn("ma7", avg(col("avg_value")).over(w))
         .withColumn("day", col("day").cast("string"))
         .orderBy(col("event_type"), col("day"))
     },
@@ -82,7 +88,7 @@ object SparkEntry {
     "q5_events_lag_trend" -> { (s, dir) =>
       val daily = Tables.events(s, dir)
         .groupBy(to_date(col("ts")).as("day"), col("event_type"))
-        .agg(round(avg(col("value")), 4).as("avg_value"))
+        .agg((round(sum(col("value")), 2) / count(lit(1))).as("avg_value"))
       val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
       daily
         .withColumn("prev_value", lag(col("avg_value"), 1).over(w))
@@ -170,8 +176,8 @@ object SparkEntry {
     "q15_value_ratio" -> { (s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("event_type"))
-        .agg(round(lit(100.0) * sum(when(col("value") > 50, 1L).otherwise(0L)) /
-          nullif(count(lit(1)), lit(0L)), 2).as("pct_high_value"))
+        .agg((lit(100.0) * sum(when(col("value") > 50, 1L).otherwise(0L)) /
+          nullif(count(lit(1)), lit(0L))).as("pct_high_value"))
         .orderBy("event_type")
     },
 
@@ -401,8 +407,8 @@ object SparkEntry {
         |  round(sum(l_quantity), 2) AS sum_qty,
         |  round(sum(l_extendedprice), 2) AS sum_base_price,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_discount), 4) AS avg_disc,
+        |  round(sum(l_quantity), 2) / count(*) AS avg_qty,
+        |  round(sum(l_discount), 2) / count(*) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -433,18 +439,18 @@ object SparkEntry {
     "q4_events_daily_ma" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day, event_type,
-        |    round(avg(value), 4) AS avg_value, count(*) AS n
+        |    round(sum(value), 2) / count(*) AS avg_value, count(*) AS n
         |  FROM events GROUP BY 1, 2)
         |SELECT CAST(day AS VARCHAR) AS day, event_type, avg_value, n,
-        |  round(avg(avg_value) OVER (PARTITION BY event_type ORDER BY day
-        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS ma7
+        |  avg(avg_value) OVER (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS ma7
         |FROM daily
         |ORDER BY event_type, day""".stripMargin,
 
     "q5_events_lag_trend" ->
       """WITH daily AS (
         |  SELECT CAST(ts AS DATE) AS day, event_type,
-        |    round(avg(value), 4) AS avg_value
+        |    round(sum(value), 2) / count(*) AS avg_value
         |  FROM events GROUP BY 1, 2)
         |SELECT CAST(day AS VARCHAR) AS day, event_type, avg_value,
         |  lag(avg_value, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev_value,
@@ -512,7 +518,7 @@ object SparkEntry {
     "q11_length_stats" ->
       """SELECT lang,
         |  count(text) AS n,
-        |  round(avg(length(text)), 4) AS mean_len,
+        |  CAST(sum(length(text)) AS DOUBLE) / count(text) AS mean_len,
         |  round(quantile_cont(length(text), 0.5), 4) AS median_len,
         |  CAST(min(length(text)) AS INT) AS min_len,
         |  CAST(max(length(text)) AS INT) AS max_len,
@@ -551,8 +557,8 @@ object SparkEntry {
 
     "q15_value_ratio" ->
       """SELECT event_type,
-        |  round(100.0 * sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) /
-        |    nullif(count(*), 0), 2) AS pct_high_value
+        |  100.0 * sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) /
+        |    nullif(count(*), 0) AS pct_high_value
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,

@@ -37,9 +37,12 @@ object Stats {
     // exact interpolating median (matches SQL quantile_cont semantics);
     // at 100 TB swap for percentile_approx — the approximate sketch
     // merges map-side instead of shuffling every length value.
+    // mean as exact-int-sum / n: bit-identical across engines, no
+    // rounding boundary (rounding an avg of integers can land exactly
+    // on .xxxx5 where decimal-vs-binary rounding rules disagree)
     val aggs = Seq(
       count(c).as("n"),
-      round(avg(l), 4).as("mean_len"),
+      (sum(l).cast("double") / count(c)).as("mean_len"),
       round(percentile(l, lit(0.5)), 4).as("median_len"),
       min(l).as("min_len"),
       max(l).as("max_len"),
