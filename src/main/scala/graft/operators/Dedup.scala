@@ -37,7 +37,7 @@ object Dedup {
     * Implemented with `max_by(struct(allCols), struct(order, tieBreak))`
     * — single aggregation, map-side partial combine. */
   def keepBest(df: DataFrame, key: Column, order: Seq[Column]): DataFrame = {
-    val valueStruct = struct(df.columns.map(col): _*)
+    val valueStruct = struct(df.columns.toIndexedSeq.map(col): _*)
     val ordStruct = struct(order: _*)
     df.groupBy(key.as("__key"))
       .agg(max_by(valueStruct, ordStruct).as("__best"))

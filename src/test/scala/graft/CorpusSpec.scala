@@ -92,6 +92,21 @@ class CorpusSpec extends AnyFunSuite {
     assert(a.values.toSet.contains("train"))
   }
 
+  test("typed Dataset[Record] view: encoders, validity, completeness") {
+    val f = writeTemp("t.jsonl", Seq(
+      """{"es": "Hola", "nah": "Niltze", "source": "hf", "layer": "silver"}""",
+      """{"es": "Solo", "source": "hf", "layer": "silver"}"""))
+    val ds = Record.from(CorpusIO.readJsonl(spark, Seq(f.toString), "silver"))
+    val recs = ds.collect().sortBy(_.es)
+    assert(recs.length === 2)
+    val hola = recs.find(_.es.contains("Hola")).get
+    assert(hola.isValid && hola.completeness === 2)
+    assert(!recs.find(_.es.contains("Solo")).get.isValid)
+    // typed filter behaves like the column validity filter
+    assert(ds.filter(_.isValid).count() ===
+      CorpusIO.validityFilter(ds.toDF()).count())
+  }
+
   test("gold JSONL sink omits null fields and keeps UTF-8") {
     val f = writeTemp("g.jsonl", Seq("""{"es": "Adiós", "nah": "Tlazohcāmati"}"""))
     val out = UnifyPipeline.unify(Seq(CorpusIO.readJsonl(spark, Seq(f.toString), "silver")))
