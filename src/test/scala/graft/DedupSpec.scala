@@ -117,6 +117,34 @@ class DedupSpec extends AnyFunSuite {
     assert(est(2) < 0.1)
   }
 
+  test("two independent LSH implementations agree on the documents table") {
+    // spark.ml MinHashLSH (q19 formulation) vs the banded native
+    // implementation (q37) — different hash families, same survivors
+    // on real data is strong mutual validation of both.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ml = Dedup.fuzzyDedup(docs, "doc_id", col("text"), threshold = 0.5, shingleSize = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val banded = Dedup.minhashDedup(docs, "doc_id", col("text"),
+        threshold = 0.5, numPerm = 128, bands = 32, shingleSize = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val overlap = (ml & banded).size.toDouble / math.max(ml.size, banded.size)
+    assert(overlap > 0.95, s"ml=${ml.size} banded=${banded.size} overlap=$overlap")
+  }
+
+  test("keepBest survives heavy key skew (map-side partial aggregation)") {
+    import spark.implicits._
+    // 200k rows, 95% share one key — the window-free agg path must
+    // collapse the hot key map-side rather than shuffling 190k rows
+    // to one reducer
+    val skewed = spark.range(200000).select(
+      when(col("id") % 20 === 0, col("id")).otherwise(lit(-1L)).as("k"),
+      col("id").as("v"))
+    val out = Dedup.keepBest(skewed.toDF(), col("k"), Seq(col("v")))
+    assert(out.count() === 10001)
+    assert(out.filter(col("k") === -1L).head().getAs[Long]("v") === 199999L,
+      "hot key keeps its max")
+  }
+
   test("ngramJaccard: identity 1, disjoint 0, near-dup high") {
     val df = Seq(
       ("abcdefgh", "abcdefgh"),
