@@ -227,4 +227,17 @@ object Dedup {
     * [[ngrams]] per side and use [[jaccardOfSets]]). */
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column =
     jaccardOfSets(ngrams(a, n), ngrams(b, n))
+
+  /** Embedding-cosine near-duplicate removal: rows whose embedding is
+    * within `threshold` cosine of an earlier (lower-id) row are
+    * dropped via left_anti. Exact pair enumeration here; at corpus
+    * scale feed candidates from `Similarity.lshTopK`/`ivfTopK` buckets
+    * instead of the cross join. */
+  def embeddingDedup(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double = 0.95): DataFrame = {
+    val pairs = Similarity.similarPairs(
+      df.withColumn(vecCol, col(vecCol).cast("array<double>")), idCol, vecCol, threshold)
+    val dupIds = pairs.select(col("id_b").as(idCol)).distinct()
+    df.join(dupIds, Seq(idCol), "left_anti")
+  }
 }

@@ -109,4 +109,53 @@ object Similarity {
       .filter(col("sim") >= t)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
+
+  /** IVF (inverted-file) ANN: k-means coarse quantizer over the corpus,
+    * queries probe their `nProbe` nearest centroids, exact cosine
+    * rerank within the probed cells.
+    *
+    * Scale shape: centroids (k × dim floats) broadcast to assign cells
+    * in a narrow map; the candidate join is a hash equi-join on
+    * `cell` — corpus cells are disjoint so each query scans ~nProbe/k
+    * of the corpus. Seeded k-means ⇒ deterministic cells.
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+
+    val train = corpus.select(col(idCol), array_to_vector(col(vecCol)).as("__features"))
+    val km = new KMeans().setK(nCells).setSeed(seed)
+      .setFeaturesCol("__features").setPredictionCol("__cell")
+    val model = km.fit(train)
+
+    val corpusCells = model.transform(train)
+      .select(col(idCol).as("corpus_id"), col("__cell").as("cell"),
+        vector_to_array(col("__features")).as("__cv"))
+
+    // rank each query's centroids, keep the nProbe nearest (by cosine)
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray)
+    }.toSeq
+    val centroidDf = corpus.sparkSession.createDataFrame(centroids)
+      .toDF("cell", "__centroid")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("__qv"))
+    val probed = q.join(broadcast(centroidDf), lit(true))
+      .withColumn("__csim", cosine(col("__qv"), col("__centroid")))
+      .withColumn("__crank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(desc("__csim"), asc("cell"))))
+      .filter(col("__crank") <= nProbe)
+      .select(col("query_id"), col("__qv"), col("cell"))
+
+    val scored = corpusCells.join(probed, Seq("cell"))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("sim", cosine(col("__cv").cast("array<double>"), col("__qv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("sim"), asc("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), round(col("sim"), 6).as("sim"), col("rank"))
+  }
 }

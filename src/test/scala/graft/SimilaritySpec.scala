@@ -34,6 +34,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out.forall(r => r.getAs[Long]("corpus_id") != r.getAs[Long]("query_id")), "self excluded")
   }
 
+  test("ivfTopK: deterministic, high recall with generous probes") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val queries = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", k = 3)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 3,
+      nCells = 8, nProbe = 4)
+    val got = ivf.select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & got).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+    val again = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 3,
+      nCells = 8, nProbe = 4)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === again, "seeded k-means must make IVF deterministic")
+  }
+
+  test("embeddingDedup drops near-identical vectors, keeps the rest") {
+    import graft.operators.Dedup
+    val base = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.999f, 0.01f, 0.0f)),   // near-dup of 1
+      (3L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingDedup(base, "vec_id", "embedding", threshold = 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(out === Set(1L, 3L))
+  }
+
   test("lshTopK recall vs brute force is reasonable on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .withColumn("embedding", col("embedding").cast("array<double>"))
