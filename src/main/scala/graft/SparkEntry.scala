@@ -366,6 +366,25 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     },
 
+    // ---- Multimodal plumbing through the gate: text bytes as opaque
+    // binary payloads → typed batch decode (stub codec) → features.
+    // n_bytes flows through the mapPartitions decode path executor-side
+    // and is oracle-checked; feature values are stub-specific (rows-only
+    // assertions live in MultimodalSpec).
+    "q38_multimodal_features" -> { (s, dir) =>
+      import s.implicits._
+      val media = Tables.documents(s, dir).select(
+        col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("content"),
+        struct(lit("image").as("media_type"), lit("raw").as("format"),
+          lit(0).as("width"), lit(0).as("height"),
+          lit(0L).as("duration_ms"), lit(0).as("sample_rate")).as("meta"))
+        .as[operators.Multimodal.MediaRow]
+      operators.Multimodal.extractFeatures(media, dim = 16)
+        .select(col("media_id").as("doc_id"), col("n_bytes"))
+        .orderBy("doc_id")
+    },
+
     // ---- J5: enrichment left join (unmatched rows keep nulls → 0).
     "q34_enrichment_left_join" -> { (s, dir) =>
       val bigOrders = Tables.orders(s, dir)
@@ -718,6 +737,11 @@ object SparkEntry {
         |FROM ranked WHERE rn = 1
         |GROUP BY layer
         |ORDER BY layer""".stripMargin,
+
+    "q38_multimodal_features" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     "q34_enrichment_left_join" ->
       """WITH big AS (
