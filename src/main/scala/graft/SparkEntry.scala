@@ -385,6 +385,22 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ---- D4: column-subset distinct (deduplicated key set).
+    "q39_distinct_subset" -> { (s, dir) =>
+      Tables.documents(s, dir).select("lang", "source").distinct()
+        .orderBy("lang", "source")
+    },
+
+    // ---- O6: deterministic audit sample — hash-ordered limit is
+    // reproducible on any cluster shape (unlike df.sample's
+    // partition-dependent RNG) and oracle-checkable.
+    "q40_audit_sample" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .limit(20)
+    },
+
     // ---- J5: enrichment left join (unmatched rows keep nulls → 0).
     "q34_enrichment_left_join" -> { (s, dir) =>
       val bigOrders = Tables.orders(s, dir)
@@ -742,6 +758,15 @@ object SparkEntry {
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "q39_distinct_subset" ->
+      """SELECT DISTINCT lang, source FROM documents
+        |ORDER BY lang, source""".stripMargin,
+
+    "q40_audit_sample" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |LIMIT 20""".stripMargin,
 
     "q34_enrichment_left_join" ->
       """WITH big AS (
