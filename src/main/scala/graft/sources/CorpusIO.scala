@@ -147,6 +147,20 @@ object CorpusIO {
   def convertJsonlToParquet(spark: SparkSession, inGlob: String, outDir: String): Unit =
     spark.read.json(inGlob).write.mode("overwrite").parquet(outDir)
 
+  /** Bucketed parquet table sink: co-locates rows by join key so
+    * repeated joins/aggregations on that key need NO shuffle at all —
+    * the physical layout the 100 TB fact tables should live in.
+    * (`bucketBy` requires the table catalog, hence `saveAsTable`.)
+    * Readers joining two tables bucketed the same way get a
+    * sort-merge join with zero Exchange (asserted in BucketingSpec).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCols: Seq[String],
+      numBuckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .saveAsTable(table)
+
   /** S12 — dataset-adapter mapper in the UniMorph shape
     * (driver_hf_unimorph.py:9-41): morphology rows
     * {lemma, form, tags} → canonical records where the inflected form
