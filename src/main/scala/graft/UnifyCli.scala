@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Quality
+import graft.warehouse.Warehouse
+
+/** Operational entrypoint replicating the reference's
+  * `python -m src.pipeline.cli run` (SURVEY §3.1) end to end:
+  * read silver/diamond globs → unify (normalize, validity, dedup-best,
+  * seeded split) → gold JSONL → quality gate → run record + metrics in
+  * the metadata warehouse. Exit code is the quality gate's.
+  *
+  * Usage:
+  *   runMain graft.UnifyCli <silverGlob> <diamondGlob> <goldDir> <warehouseDir> [seed]
+  * (empty string for a glob skips that layer)
+  */
+object UnifyCli {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 4,
+      "usage: UnifyCli <silverGlob> <diamondGlob> <goldDir> <warehouseDir> [seed]")
+    val Array(silverGlob, diamondGlob, goldDir, warehouseDir) = args.take(4)
+    val seed = if (args.length > 4) args(4).toLong else 42L
+
+    val spark = GraftSession.get(
+      s"local[${Runtime.getRuntime.availableProcessors()}]")
+    val tracker = new Warehouse.MetricsTracker(spark, warehouseDir, "unify")
+    try {
+      val stats = UnifyPipeline.run(
+        spark,
+        if (silverGlob.nonEmpty) Seq(silverGlob) else Nil,
+        if (diamondGlob.nonEmpty) Seq(diamondGlob) else Nil,
+        goldDir, seed)
+
+      val gold = spark.read.json(goldDir)
+      // volume bounds scaled to the actual corpus here; the production
+      // config pins the GE suite's 100k-10M
+      val results = Quality.run(gold, Quality.corpusSuite(minVolume = 1L))
+      results.foreach(r => tracker.metric(r.name, r.observed, "rate"))
+      tracker.metric("records_output", stats.deduped.toDouble)
+      tracker.complete(stats.input, stats.deduped)
+
+      results.foreach(r =>
+        println(f"[quality] ${r.name}%-20s observed=${r.observed}%.4f passed=${r.passed}"))
+      println(s"[unify] input=${stats.input} deduped=${stats.deduped} " +
+        s"train=${stats.train} validation=${stats.validation} test=${stats.test}")
+      val exit = Quality.gate(results)
+      spark.stop()
+      if (exit != 0) sys.exit(exit)
+    } catch {
+      case e: Exception =>
+        tracker.fail(e.getMessage)
+        spark.stop()
+        throw e
+    }
+  }
+}

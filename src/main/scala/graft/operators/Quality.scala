@@ -92,4 +92,21 @@ object Quality {
 
   /** Exit-code gate à la scripts/run_quality_check.py:205-260. */
   def gate(results: Seq[CheckResult]): Int = if (results.forall(_.passed)) 0 else 1
+
+  /** The reference's Great Expectations suite, check for check
+    * (/root/reference/great_expectations/expectations/
+    * corc_nah_corpus_suite.json:26-273): es 100% non-null, nah ≥95%,
+    * macron regex ≥30%, es uniqueness 98-100%, length 5-1000 ≥98%,
+    * source catalog 100%, volume bounds. All evaluated in ONE pass.
+    * Volume bounds parameterized (the GE suite pins 100k-10M for the
+    * production corpus). */
+  def corpusSuite(minVolume: Long = 100000L, maxVolume: Long = 10000000L): Seq[QualityCheck] = Seq(
+    NotNullCheck("es", 1.0),
+    NotNullCheck("nah", 0.95),
+    RegexCheck("nah", "[āēīōūĀĒĪŌŪ]", 0.30),
+    UniquenessCheck("es", 0.98, 1.0),
+    RangeCheck("len_es", org.apache.spark.sql.functions.length(col("es")), 5, 1000, 0.98),
+    MembershipCheck("source", Seq(
+      "huggingface", "youtube", "pdf", "manual", "synthetic", "bible", "unknown")),
+    RowCountCheck(minVolume, maxVolume))
 }

@@ -41,8 +41,7 @@ object CorpusIO {
     StructField("source", StringType),
     StructField("layer", StringType),
     StructField("origin_file", StringType),
-    StructField("category", StringType),
-    StructField("_corrupt_record", StringType)))
+    StructField("category", StringType)))
 
   private def emptyToNull(c: Column): Column = {
     val t = trim(c)
@@ -70,15 +69,15 @@ object CorpusIO {
     df.filter(col("es").isNotNull && (col("nah").isNotNull || col("myn").isNotNull))
 
   /** S3/S7 — JSONL scan with error tolerance + layer tagging. Accepts
-    * globs; malformed lines are dropped (counted via `_corrupt_record`
-    * when callers ask). */
+    * globs; malformed lines are dropped at parse time (DROPMALFORMED —
+    * a post-hoc `_corrupt_record` filter breaks when column pruning
+    * leaves only the corrupt column referenced, e.g. under `count()`:
+    * Spark's QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction). */
   def readJsonl(spark: SparkSession, paths: Seq[String], layer: String): DataFrame = {
     val raw = spark.read
       .schema(legacyInputSchema)
-      .option("mode", "PERMISSIVE")
-      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("mode", "DROPMALFORMED")
       .json(paths: _*)
-      .filter(col("_corrupt_record").isNull)
     coalesceLegacyKeys(raw)
       .withColumn("layer", lit(layer))
   }
