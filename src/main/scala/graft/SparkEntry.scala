@@ -734,9 +734,9 @@ object SparkEntry {
         |    CASE WHEN doc_id % 3 = 0 THEN 'diamond' ELSE 'silver' END AS layer
         |  FROM documents),
         |norm AS (
-        |  SELECT trim(regexp_replace(nfc_normalize(es), '\s+', ' ', 'g')) AS es,
-        |    trim(regexp_replace(nfc_normalize(nah), '\s+', ' ', 'g')) AS nah,
-        |    trim(regexp_replace(nfc_normalize(myn), '\s+', ' ', 'g')) AS myn,
+        |  SELECT nullif(trim(regexp_replace(nfc_normalize(es), '\s+', ' ', 'g')), '') AS es,
+        |    nullif(trim(regexp_replace(nfc_normalize(nah), '\s+', ' ', 'g')), '') AS nah,
+        |    nullif(trim(regexp_replace(nfc_normalize(myn), '\s+', ' ', 'g')), '') AS myn,
         |    layer
         |  FROM corpus),
         |valid AS (

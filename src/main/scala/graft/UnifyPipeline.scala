@@ -29,11 +29,15 @@ object UnifyPipeline {
     when(layer === "gold", 3).when(layer === "diamond", 2)
       .when(layer === "silver", 1).otherwise(0)
 
-  /** Per-language normalization of the three text columns. */
-  def normalize(df: DataFrame): DataFrame =
-    df.withColumn("es", text.normalize_text(col("es"), "es"))
-      .withColumn("nah", text.normalize_text(col("nah"), "nah"))
-      .withColumn("myn", text.normalize_text(col("myn"), "myn"))
+  /** Per-language normalization of the three text columns; text that
+    * normalizes to empty becomes null (the reference strips whitespace
+    * and converts empty→None, schemas.py:144-159). */
+  def normalize(df: DataFrame): DataFrame = {
+    def norm(c: String, lang: String) = nullif(text.normalize_text(col(c), lang), lit(""))
+    df.withColumn("es", norm("es", "es"))
+      .withColumn("nah", norm("nah", "nah"))
+      .withColumn("myn", norm("myn", "myn"))
+  }
 
   /** D3 best-record selection: layer priority, then completeness
     * (#non-null languages), then total text length, then es as a
@@ -57,7 +61,12 @@ object UnifyPipeline {
   def unify(layers: Seq[DataFrame], seed: Long = 42L): DataFrame = {
     require(layers.nonEmpty, "no input layers")
     val unioned = layers.reduce(_.unionByName(_, allowMissingColumns = true))
-    val valid = CorpusIO.validityFilter(normalize(unioned))
+    // raw validity pre-filter: a strict superset of the post-normalize
+    // filter (normalization never turns null text non-null), expressed
+    // on source columns so Catalyst pushes IsNotNull into the scan —
+    // invalid rows never reach the normalization expressions
+    val prefiltered = CorpusIO.validityFilter(unioned)
+    val valid = CorpusIO.validityFilter(normalize(prefiltered))
     val deduped = dedupBest(valid)
     deduped.withColumn("split",
       Split.assign(text.dedup_key(col("es"), col("nah"), col("myn")), seed))

@@ -101,20 +101,29 @@ object Dedup {
     val tf = new HashingTF()
       .setInputCol("__tokens").setOutputCol("__features")
       .setNumFeatures(numFeatures)
-    val featured = tf.transform(tokens)
-    val lsh = new MinHashLSH()
-      .setInputCol("__features").setOutputCol("__hashes")
-      .setNumHashTables(numHashTables)
-      .setSeed(42L)
-    val model = lsh.fit(featured)
-    val pairs = model
-      .approxSimilarityJoin(featured, featured, threshold, "jaccard_distance")
-      .select(
-        col(s"datasetA.$idCol").as("id_a"),
-        col(s"datasetB.$idCol").as("id_b"))
-      .filter(col("id_a") < col("id_b"))
-    val dupIds = pairs.select(col("id_b").as(idCol)).distinct()
-    df.join(dupIds, Seq(idCol), "left_anti")
+    // cache: the featurized frame is scanned three times (LSH fit +
+    // both sides of the self-join) — the same reuse the reference
+    // caches (SparkDedup.scala:43). The dup-id set (small: ids only)
+    // is eagerly local-checkpointed while the cache is hot, which cuts
+    // the lineage so the cache can be released before returning the
+    // still-lazy anti-join.
+    val featured = tf.transform(tokens).cache()
+    try {
+      val lsh = new MinHashLSH()
+        .setInputCol("__features").setOutputCol("__hashes")
+        .setNumHashTables(numHashTables)
+        .setSeed(42L)
+      val model = lsh.fit(featured)
+      val pairs = model
+        .approxSimilarityJoin(featured, featured, threshold, "jaccard_distance")
+        .select(
+          col(s"datasetA.$idCol").as("id_a"),
+          col(s"datasetB.$idCol").as("id_b"))
+        .filter(col("id_a") < col("id_b"))
+      val dupIds = pairs.select(col("id_b").as(idCol)).distinct()
+        .localCheckpoint(true)
+      df.join(dupIds, Seq(idCol), "left_anti")
+    } finally featured.unpersist(blocking = false)
   }
 
   private def callFn(name: String, cols: Column*): Column =
