@@ -126,9 +126,6 @@ object Dedup {
     } finally featured.unpersist(blocking = false)
   }
 
-  private def callFn(name: String, cols: Column*): Column =
-    org.apache.spark.sql.functions.call_function(name, cols: _*)
-
   /** SimHash near-duplicate signature (64-bit) from a token array —
     * native Catalyst expression with codegen (graft.functions.SimHash64);
     * documents whose signatures agree are near-dup candidates. */
