@@ -432,6 +432,24 @@ object SparkEntry {
         .groupBy(col("detected")).agg(count(lit(1)).as("n"))
         .orderBy("detected")
     },
+
+    // ---- J4-threshold at scale: FULL-table similar pairs through the
+    // cell-pruned candidate join (k-means cells + triangle-inequality
+    // pruning, exact verify) — output provably equals the exact cross
+    // join, so the all-pairs DuckDB oracle hash-checks it.
+    "q41_similar_pairs_full" -> { (s, dir) =>
+      Similarity.similarPairsApprox(Tables.embeddings(s, dir), "vec_id", "embedding",
+          t = 0.4, nCells = 8)
+        .orderBy("id_a", "id_b")
+    },
+
+    // ---- Embedding-cosine near-dup removal over the full table via the
+    // same pruned candidate path (Dedup.embeddingDedup default).
+    "q42_embedding_dedup" -> { (s, dir) =>
+      Dedup.embeddingDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+          threshold = 0.4, nCells = 8)
+        .select("vec_id").orderBy("vec_id")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -831,6 +849,28 @@ object SparkEntry {
         |FROM per_sess
         |GROUP BY user_id
         |ORDER BY user_id""".stripMargin,
+
+    "q41_similar_pairs_full" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+        |             ELSE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END AS sim
+        |      FROM n a, n b WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(sim, 6) AS sim FROM s
+        |WHERE sim >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q42_embedding_dedup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |dup AS (SELECT DISTINCT b.vec_id AS id_b
+        |        FROM n a, n b WHERE a.vec_id < b.vec_id
+        |          AND (CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+        |               ELSE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END) >= 0.4)
+        |SELECT vec_id FROM embeddings
+        |WHERE vec_id NOT IN (SELECT id_b FROM dup)
+        |ORDER BY vec_id""".stripMargin,
 
     "q30_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),

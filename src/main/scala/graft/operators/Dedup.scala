@@ -236,13 +236,22 @@ object Dedup {
 
   /** Embedding-cosine near-duplicate removal: rows whose embedding is
     * within `threshold` cosine of an earlier (lower-id) row are
-    * dropped via left_anti. Exact pair enumeration here; at corpus
-    * scale feed candidates from `Similarity.lshTopK`/`ivfTopK` buckets
-    * instead of the cross join. */
+    * dropped via left_anti.
+    *
+    * Default candidate generation is the cell-pruned pair join
+    * ([[Similarity.similarPairsApprox]]): seeded k-means cells +
+    * triangle-inequality pruning on angular distance, exact cosine
+    * verify on survivors — identical output to the exact cross join on
+    * any input, with cost ≈ Σ|cell|² on clustered (i.e. duplicated)
+    * corpora. `exact = true` keeps the O(n²) cross join as a
+    * cross-check baseline for small inputs. */
   def embeddingDedup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95): DataFrame = {
-    val pairs = Similarity.similarPairs(
-      df.withColumn(vecCol, col(vecCol).cast("array<double>")), idCol, vecCol, threshold)
+      threshold: Double = 0.95, exact: Boolean = false, nCells: Int = 16): DataFrame = {
+    val pairs =
+      if (exact)
+        Similarity.similarPairs(
+          df.withColumn(vecCol, col(vecCol).cast("array<double>")), idCol, vecCol, threshold)
+      else Similarity.similarPairsApprox(df, idCol, vecCol, threshold, nCells)
     val dupIds = pairs.select(col("id_b").as(idCol)).distinct()
     df.join(dupIds, Seq(idCol), "left_anti")
   }

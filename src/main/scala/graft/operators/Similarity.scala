@@ -100,12 +100,115 @@ object Similarity {
   }
 
   /** Threshold similarity self-join: all pairs (a<b) with cosine ≥ t.
-    * Exact (cross-join) — the LSH variant above is the scale path. */
+    * Exact (cross-join) — [[similarPairsApprox]] is the scale path
+    * (identical output, pruned candidate set). */
   def similarPairs(df: DataFrame, idCol: String, vecCol: String, t: Double): DataFrame = {
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("sim", cosine(col("__va"), col("__vb")))
+      .filter(col("sim") >= t)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Cell assignment + pruned cell-pair list backing
+    * [[similarPairsApprox]]; split out so the pruning itself is
+    * spec-testable. Returns the assigned frame
+    * `(__id, __v, __nrm, __cell)` and the SYMMETRIC list of cell pairs
+    * (ca, cb) that can possibly contain a qualifying pair. */
+  private[graft] def cellPartition(
+      df: DataFrame, idCol: String, vecCol: String, t: Double,
+      nCells: Int, seed: Long): (DataFrame, Seq[(Int, Int)]) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+      .withColumn("__nrm", sqrt(dot(col("__v"), col("__v"))))
+      .withColumn("__features", array_to_vector(col("__v")))
+    // k must not exceed the row count; probing min(nCells, n) rows is a
+    // tiny limited count, not a full scan.
+    val k = math.max(1, math.min(nCells, base.select("__id").limit(nCells).count().toInt))
+    val model = new KMeans().setK(k).setSeed(seed)
+      .setFeaturesCol("__features").setPredictionCol("__cell").fit(base)
+    val assigned = model.transform(base).drop("__features")
+    val centroids = model.clusterCenters.map(_.toArray)
+
+    // per-cell angular radius: max geodesic distance from a member to
+    // its centroid. The collect is k rows of metadata (same size class
+    // as the centroids themselves), never data.
+    val centroidDf = spark.createDataFrame(
+      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq)
+      .toDF("__cell", "__centroid")
+    val theta = acos(least(greatest(cosine(col("__v"), col("__centroid")), lit(-1.0)), lit(1.0)))
+    val radii = assigned
+      .join(broadcast(centroidDf), Seq("__cell"))
+      .groupBy(col("__cell")).agg(max(theta).as("r"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+
+    def thetaBetween(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.lazyZip(b).map(_ * _).sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) math.Pi / 2
+      else math.acos(math.max(-1.0, math.min(1.0, d / (na * nb))))
+    }
+    val maxTheta = math.acos(math.max(-1.0, math.min(1.0, t)))
+    val allowed = for {
+      ca <- 0 until k
+      cb <- 0 until k
+      if thetaBetween(centroids(ca), centroids(cb)) -
+        radii.getOrElse(ca, 0.0) - radii.getOrElse(cb, 0.0) <= maxTheta
+    } yield (ca, cb)
+    (assigned, allowed)
+  }
+
+  /** Scale path for [[similarPairs]] with an EXACT-OUTPUT guarantee:
+    * metric-space cell pruning instead of probabilistic LSH recall.
+    *
+    * Vectors are partitioned into `nCells` seeded k-means cells; a cell
+    * pair (A, B) can contain a pair with cosine ≥ t only if
+    * θ(centroidA, centroidB) − radiusA − radiusB ≤ arccos(t) (triangle
+    * inequality on geodesic distance — angular distance is a metric on
+    * the sphere). Only surviving cell pairs are joined, then exact
+    * cosine verifies every candidate, so the output equals
+    * [[similarPairs]] on ANY input — clustering quality affects cost,
+    * never correctness. This is the guarantee an oracle-gated dedup
+    * default needs, which hyperplane LSH (probabilistic recall) cannot
+    * give.
+    *
+    * Scale shape: one k-means pass, one narrow map to tag cells, one
+    * hash equi-join on cell id over the pruned pair list (broadcast —
+    * it is ≤ nCells² ints). On clustered corpora (the near-dup use
+    * case: embeddings of duplicated documents are near-identical by
+    * construction) most cell pairs prune away and cost approaches
+    * Σ|cell|²; on adversarial uniform-random data it degrades to the
+    * exact join, which is the information-theoretic floor there anyway.
+    * Size `nCells` ≈ n / targetCellSize so cells fit in a task.
+    * Reference analog: the Faiss IndexFlatIP alignment search
+    * (/root/reference/pipeline/alignment/aligner.py:15-52) — same
+    * coarse-quantize-then-verify shape as its IVF variants, with the
+    * pruning made loss-free.
+    */
+  def similarPairsApprox(
+      df: DataFrame, idCol: String, vecCol: String, t: Double,
+      nCells: Int = 16, seed: Long = 42L): DataFrame = {
+    val (assigned, allowed) = cellPartition(df, idCol, vecCol, t, nCells, seed)
+    val spark = df.sparkSession
+    val allowedDf = spark.createDataFrame(allowed).toDF("__ca", "__cb")
+    val a = assigned.select(col("__id").as("id_a"), col("__v").as("__va"),
+      col("__nrm").as("__na"), col("__cell").as("__ca"))
+    val b = assigned.select(col("__id").as("id_b"), col("__v").as("__vb"),
+      col("__nrm").as("__nb"), col("__cell").as("__cb"))
+    // the allowlist is symmetric and includes the diagonal, and pair
+    // orientation is fixed by id_a < id_b, so every qualifying pair
+    // appears exactly once — no dropDuplicates pass needed.
+    val sim = when(col("__na") === 0 || col("__nb") === 0, lit(0.0))
+      .otherwise(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+    a.join(broadcast(allowedDf), Seq("__ca"))
+      .join(b, Seq("__cb"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim", sim)
       .filter(col("sim") >= t)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }

@@ -66,6 +66,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out === Set(1L, 3L))
   }
 
+  test("similarPairsApprox equals exact similarPairs on unclustered random embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val exact = Similarity.similarPairs(emb, "vec_id", "embedding", t = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pruned = Similarity.similarPairsApprox(emb, "vec_id", "embedding", t = 0.4, nCells = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "fixture should contain at least one qualifying pair")
+    assert(pruned === exact, "cell pruning must be loss-free (exact-output guarantee)")
+  }
+
+  test("cell pruning actually prunes cell pairs on clustered vectors") {
+    // two tight antipodal-ish clusters: near-dups inside a cluster,
+    // nothing qualifying across clusters at t=0.9
+    val rnd = new scala.util.Random(7)
+    def jitter(base: Array[Double]) = base.map(_ + rnd.nextGaussian() * 0.01)
+    val c1 = Array(1.0, 0.0, 0.0, 0.0)
+    val c2 = Array(0.0, 1.0, 0.0, 0.0)
+    val rows = (0L until 100L).map(i =>
+      (i, if (i % 2 == 0) jitter(c1) else jitter(c2)))
+    val df = rows.toDF("vec_id", "embedding")
+    val (_, allowed) = Similarity.cellPartition(df, "vec_id", "embedding",
+      t = 0.9, nCells = 8, seed = 42L)
+    assert(allowed.size < 8 * 8,
+      s"clustered data must prune some of the 64 cell pairs, got ${allowed.size}")
+    val exact = Similarity.similarPairs(df, "vec_id", "embedding", t = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pruned = Similarity.similarPairsApprox(df, "vec_id", "embedding", t = 0.9, nCells = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(pruned === exact)
+  }
+
+  test("embeddingDedup pruned default matches exact cross-join path") {
+    import graft.operators.Dedup
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val viaPruned = Dedup.embeddingDedup(emb, "vec_id", "embedding", threshold = 0.4, nCells = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val viaExact = Dedup.embeddingDedup(emb, "vec_id", "embedding", threshold = 0.4, exact = true)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(viaPruned === viaExact)
+    assert(viaPruned.size < 500, "threshold 0.4 should drop at least one near-pair member")
+  }
+
   test("lshTopK recall vs brute force is reasonable on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .withColumn("embedding", col("embedding").cast("array<double>"))
