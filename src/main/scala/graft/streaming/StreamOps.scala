@@ -58,17 +58,30 @@ object StreamOps {
       events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(idCols)
     else events.dropDuplicates(idCols)
 
-  final case class Keyed(key: String, id: Long, tokens: Seq[String])
+  final case class Keyed(key: String, id: Long, tokens: Seq[String],
+      ts: java.sql.Timestamp = null)
   final case class DedupDecision(key: String, id: Long, isDuplicate: Boolean)
 
   /** D6-fuzzy — stateful near-dup filter: per key, keep the MinHash
     * signatures of everything seen; a new record whose estimated
     * Jaccard similarity against any stored signature ≥ threshold is
     * flagged duplicate, otherwise its signature joins the state.
-    * State is `numPerm` longs per distinct retained record — the
-    * stream-scale analog of the reference's in-memory LSH index scan.
+    * State is `numPerm` longs per retained record — the stream-scale
+    * analog of the reference's in-memory LSH index scan
+    * (/root/reference/pipeline/processing/deduplication.py:19-31).
+    *
+    * State is BOUNDED two ways (a long-running stream must never grow
+    * state without limit):
+    *  - `maxSignatures` ring cap — only the most recent N signatures
+    *    per key are retained (oldest evicted first);
+    *  - event-time TTL — the key's state is dropped once the watermark
+    *    passes `last event time + ttl` (the same eviction contract as
+    *    `dropDuplicatesWithinWatermark`). Rows within a batch are
+    *    processed in (ts, id) order so the ring-cap keep set is
+    *    deterministic under shuffle.
     */
-  def fuzzyDedupStateFn(numPerm: Int = 32, threshold: Double = 0.8): (
+  def fuzzyDedupStateFn(numPerm: Int = 32, threshold: Double = 0.8,
+      maxSignatures: Int = 1024, ttl: String = "1 hour"): (
       String, Iterator[Keyed], GroupState[List[Array[Long]]]) => Iterator[DedupDecision] = {
     def minhash(tokens: Seq[String]): Array[Long] = {
       val sig = Array.fill(numPerm)(Long.MaxValue)
@@ -82,33 +95,52 @@ object StreamOps {
       a.indices.count(i => a(i) == b(i)).toDouble / numPerm
 
     (key: String, rows: Iterator[Keyed], state: GroupState[List[Array[Long]]]) => {
-      var sigs = state.getOption.getOrElse(Nil)
-      val out = rows.map { r =>
-        val sig = minhash(r.tokens)
-        val dup = sigs.exists(s => estJaccard(s, sig) >= threshold)
-        if (!dup) sigs = sig :: sigs
-        DedupDecision(key, r.id, dup)
-      }.toList
-      state.update(sigs)
-      out.iterator
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        var sigs = state.getOption.getOrElse(Nil)
+        var maxTsMs = Long.MinValue
+        val ordered = rows.toSeq.sortBy(r => (Option(r.ts).map(_.getTime).getOrElse(0L), r.id))
+        val out = ordered.map { r =>
+          if (r.ts != null) maxTsMs = math.max(maxTsMs, r.ts.getTime)
+          val sig = minhash(r.tokens)
+          val dup = sigs.exists(s => estJaccard(s, sig) >= threshold)
+          if (!dup) sigs = (sig :: sigs).take(maxSignatures)
+          DedupDecision(key, r.id, dup)
+        }
+        state.update(sigs)
+        // timeout anchored at the newest event for this key. Rows later
+        // than the watermark are the only ones that reach this operator,
+        // so anchor + ttl always lands past the watermark as required.
+        // Null-ts rows (batch fixtures) simply set no timeout.
+        if (maxTsMs != Long.MinValue) state.setTimeoutTimestamp(maxTsMs, ttl)
+        out.iterator
+      }
     }
   }
 
   /** Apply the stateful fuzzy dedup to a Dataset[Keyed] (streaming or
-    * batch-test via the same function). */
+    * batch-test via the same function). Streaming inputs get a
+    * watermark on `ts` so the event-time TTL can evict idle keys. */
   def fuzzyDedupStream(ds: Dataset[Keyed], numPerm: Int = 32,
-      threshold: Double = 0.8): Dataset[DedupDecision] = {
+      threshold: Double = 0.8, maxSignatures: Int = 1024,
+      watermarkDelay: String = "10 minutes", ttl: String = "1 hour"): Dataset[DedupDecision] = {
     import ds.sparkSession.implicits._
-    ds.groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        fuzzyDedupStateFn(numPerm, threshold))
+    val withWm = if (ds.isStreaming) ds.withWatermark("ts", watermarkDelay).as[Keyed] else ds
+    withWm.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        fuzzyDedupStateFn(numPerm, threshold, maxSignatures, ttl))
   }
 
   /** S8 — CDC watermark incremental scan as a composable predicate:
     * rows strictly newer than the last sync point. At the source level
-    * this predicate pushes into JDBC/parquet scans. */
+    * this predicate pushes into JDBC/parquet scans. No ORDER BY: the
+    * reference's serial cursor needed one, a distributed consumer
+    * doesn't — a global sort is a range-partition exchange the caller
+    * almost never wants (sort downstream if an order is required). */
   def incrementalSince(df: DataFrame, wmCol: String, lastSync: java.sql.Timestamp): DataFrame =
-    df.filter(col(wmCol) > lit(lastSync)).orderBy(col(wmCol))
+    df.filter(col(wmCol) > lit(lastSync))
 
   /** Stream → metadata-warehouse bridge: sink a streaming aggregate
     * into the `quality_metrics` table via foreachBatch, one metric row

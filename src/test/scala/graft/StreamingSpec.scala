@@ -69,13 +69,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(perUser.count() > 1, "multiple users sessionized")
   }
 
+  private def tsAt(hhmm: String): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(s"2026-01-01 $hhmm:00")
+
   test("stateful fuzzy dedup flags near-duplicate token streams (D6 fuzzy)") {
     val dir = Files.createTempDirectory("graft-stream-fuzzy").toString + "/keyed"
     Seq(
-      Keyed("u1", 1L, Seq("niltze", "hola", "amigo")),
-      Keyed("u1", 2L, Seq("niltze", "hola", "amigo")),          // exact dup
-      Keyed("u1", 3L, Seq("totally", "different", "tokens")),
-      Keyed("u2", 4L, Seq("niltze", "hola", "amigo"))           // same text, other key
+      Keyed("u1", 1L, Seq("niltze", "hola", "amigo"), tsAt("10:00")),
+      Keyed("u1", 2L, Seq("niltze", "hola", "amigo"), tsAt("10:01")), // exact dup
+      Keyed("u1", 3L, Seq("totally", "different", "tokens"), tsAt("10:02")),
+      Keyed("u2", 4L, Seq("niltze", "hola", "amigo"), tsAt("10:03")) // same text, other key
     ).toDS().write.parquet(dir)
     val schema = spark.read.parquet(dir).schema
     val stream = spark.readStream.schema(schema).parquet(dir).as[Keyed]
@@ -89,6 +92,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(!out(3L), "distinct record passes")
     assert(!out(4L), "same text under another key is not a duplicate")
     assert(!out(1L), "first occurrence passes")
+  }
+
+  test("fuzzy dedup state is evicted by event-time TTL; in-window recall maintained") {
+    val dir = Files.createTempDirectory("graft-stream-evict").toString + "/keyed"
+    val a = Seq("niltze", "hola", "amigo")
+    val b = Seq("other", "token", "stream")
+    def append(rows: Seq[Keyed]): Unit = {
+      rows.toDS().coalesce(1).write.mode("append").parquet(dir)
+      Thread.sleep(100) // distinct file mtimes → deterministic batch order
+    }
+    append(Seq(Keyed("u1", 1L, a, tsAt("10:00")), Keyed("u1", 2L, a, tsAt("10:01"))))
+    append(Seq(Keyed("u2", 10L, b, tsAt("12:00"))))
+    // batch 3: u2 duplicate inside its window; u1 (idle, last event 10:01,
+    // ttl 30 min → timeout 10:31) is behind the new watermark 11:50 → evicted
+    append(Seq(Keyed("u2", 11L, b, tsAt("12:05"))))
+    // batch 4: u1 text reappears after eviction → treated as fresh;
+    // u2 is still inside its ttl window → still flagged
+    append(Seq(Keyed("u1", 3L, a, tsAt("12:30")), Keyed("u2", 12L, b, tsAt("12:31"))))
+
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir).as[Keyed]
+    val q = StreamOps.fuzzyDedupStream(stream, numPerm = 64, threshold = 0.9,
+        watermarkDelay = "10 minutes", ttl = "30 minutes")
+      .writeStream.outputMode("append").format("memory").queryName("evict_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val out = spark.table("evict_out").as[DedupDecision].collect()
+      .map(d => d.id -> d.isDuplicate).toMap
+    assert(out(2L), "in-window duplicate flagged before eviction")
+    assert(out(11L), "in-window duplicate on the live key still flagged")
+    assert(!out(3L), "key evicted after watermark passed its ttl — seen as fresh")
+    assert(out(12L), "non-evicted key keeps its signatures")
+  }
+
+  test("maxSignatures ring cap bounds per-key state, evicting oldest first") {
+    val rows = Seq(
+      Keyed("k", 1L, Seq("alpha", "beta", "gamma")),
+      Keyed("k", 2L, Seq("delta", "epsilon", "zeta")),
+      Keyed("k", 3L, Seq("eta", "theta", "iota")),   // pushes #1 out of the cap-2 ring
+      Keyed("k", 4L, Seq("alpha", "beta", "gamma")), // dup of evicted #1 → passes
+      Keyed("k", 5L, Seq("eta", "theta", "iota"))    // dup of retained #3 → flagged
+    ).toDS()
+    val out = StreamOps.fuzzyDedupStream(rows, numPerm = 64, threshold = 0.9,
+        maxSignatures = 2)
+      .collect().map(d => d.id -> d.isDuplicate).toMap
+    assert(!out(4L), "signature beyond the ring cap was evicted")
+    assert(out(5L), "recent signature retained within the cap")
   }
 
   test("stream → warehouse metrics sink lands quality_metrics rows (foreachBatch)") {
