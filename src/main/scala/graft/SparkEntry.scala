@@ -450,6 +450,41 @@ object SparkEntry {
           threshold = 0.4, nCells = 8)
         .select("vec_id").orderBy("vec_id")
     },
+
+    // ---- §1.1 category + nested RecordMetadata: the struct flows
+    // through normalize → validity filter → dedup, then the aggregate
+    // groups on a nested field. The dedup ordering ends in record_id so
+    // the surviving row's metadata is deterministic (oracle-checkable).
+    "q43_metadata_unify" -> { (s, dir) =>
+      val corpus = Tables.documents(s, dir).select(
+        col("text").as("es"),
+        when(col("lang").isin("es", "de"), col("text")).as("nah"),
+        when(col("lang") === "zh", col("text")).as("myn"),
+        col("source"),
+        when(col("doc_id") % 3 === 0, lit("diamond")).otherwise(lit("silver")).as("layer"),
+        lit("documents.parquet").as("origin_file"),
+        col("source").as("category"),
+        struct(
+          col("doc_id").cast("string").as("record_id"),
+          to_timestamp(lit("2026-01-01 00:00:00")).as("created_at"),
+          when(col("lang") === "es", lit("central")).otherwise(lit("classical")).as("dialect"),
+          ((col("doc_id") % 5).cast("double") / lit(4.0)).as("quality_score"),
+          (col("doc_id") % 2 === 0).as("is_validated")).as("metadata"))
+      val valid = sources.CorpusIO.validityFilter(UnifyPipeline.normalize(corpus))
+      val completeness = col("es").isNotNull.cast("int") +
+        col("nah").isNotNull.cast("int") + col("myn").isNotNull.cast("int")
+      val totalLen = coalesce(length(col("es")), lit(0)) +
+        coalesce(length(col("nah")), lit(0)) + coalesce(length(col("myn")), lit(0))
+      Dedup.keepBestWindow(valid,
+          text.dedup_key(col("es"), col("nah"), col("myn")),
+          Seq(UnifyPipeline.layerRank(col("layer")).desc, completeness.desc,
+            totalLen.desc, col("metadata.record_id").asc))
+        .groupBy(col("category"), col("metadata.dialect").as("dialect"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("metadata.quality_score")), 2).as("total_quality"),
+          sum(col("metadata.is_validated").cast("long")).as("validated_n"))
+        .orderBy("category", "dialect")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -871,6 +906,47 @@ object SparkEntry {
         |SELECT vec_id FROM embeddings
         |WHERE vec_id NOT IN (SELECT id_b FROM dup)
         |ORDER BY vec_id""".stripMargin,
+
+    "q43_metadata_unify" ->
+      """WITH corpus AS (
+        |  SELECT text AS es,
+        |    CASE WHEN lang IN ('es', 'de') THEN text END AS nah,
+        |    CASE WHEN lang = 'zh' THEN text END AS myn,
+        |    source AS category,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'diamond' ELSE 'silver' END AS layer,
+        |    CAST(doc_id AS VARCHAR) AS record_id,
+        |    CASE WHEN lang = 'es' THEN 'central' ELSE 'classical' END AS dialect,
+        |    CAST(doc_id % 5 AS DOUBLE) / 4.0 AS quality_score,
+        |    (doc_id % 2 = 0) AS is_validated
+        |  FROM documents),
+        |norm AS (
+        |  SELECT nullif(trim(regexp_replace(nfc_normalize(es), '\s+', ' ', 'g')), '') AS es,
+        |    nullif(trim(regexp_replace(nfc_normalize(nah), '\s+', ' ', 'g')), '') AS nah,
+        |    nullif(trim(regexp_replace(nfc_normalize(myn), '\s+', ' ', 'g')), '') AS myn,
+        |    category, layer, record_id, dialect, quality_score, is_validated
+        |  FROM corpus),
+        |valid AS (
+        |  SELECT * FROM norm
+        |  WHERE es IS NOT NULL AND (nah IS NOT NULL OR myn IS NOT NULL)),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY lower(trim(coalesce(es, ''))) || '|' ||
+        |      lower(trim(coalesce(nah, ''))) || '|' || lower(trim(coalesce(myn, '')))
+        |    ORDER BY (CASE layer WHEN 'gold' THEN 3 WHEN 'diamond' THEN 2
+        |              WHEN 'silver' THEN 1 ELSE 0 END) DESC,
+        |      ((CASE WHEN es IS NOT NULL THEN 1 ELSE 0 END) +
+        |       (CASE WHEN nah IS NOT NULL THEN 1 ELSE 0 END) +
+        |       (CASE WHEN myn IS NOT NULL THEN 1 ELSE 0 END)) DESC,
+        |      (coalesce(length(es), 0) + coalesce(length(nah), 0) +
+        |       coalesce(length(myn), 0)) DESC,
+        |      record_id) AS rn
+        |  FROM valid)
+        |SELECT category, dialect, count(*) AS n,
+        |  round(CAST(sum(quality_score) AS DOUBLE), 2) AS total_quality,
+        |  CAST(sum(CASE WHEN is_validated THEN 1 ELSE 0 END) AS BIGINT) AS validated_n
+        |FROM ranked WHERE rn = 1
+        |GROUP BY category, dialect
+        |ORDER BY category, dialect""".stripMargin,
 
     "q30_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),

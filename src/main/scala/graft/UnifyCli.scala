@@ -38,11 +38,17 @@ object UnifyCli {
       val results = Quality.run(gold, Quality.corpusSuite(minVolume = 1L))
       results.foreach(r => tracker.metric(r.name, r.observed, "rate"))
       tracker.metric("records_output", stats.deduped.toDouble)
+      tracker.metric("records_malformed", stats.malformed.toDouble)
+      // one data_lineage row per source file: lines attempted, lines
+      // parsed, malformed difference (unify.py:174-213 accounting)
+      stats.sources.foreach(src =>
+        tracker.lineage(src.file, "jsonl", src.layer, src.lines, src.parsed))
       tracker.complete(stats.input, stats.deduped)
 
       results.foreach(r =>
         println(f"[quality] ${r.name}%-20s observed=${r.observed}%.4f passed=${r.passed}"))
-      println(s"[unify] input=${stats.input} deduped=${stats.deduped} " +
+      println(s"[unify] input=${stats.input} valid=${stats.valid} deduped=${stats.deduped} " +
+        s"malformed=${stats.malformed} " +
         s"train=${stats.train} validation=${stats.validation} test=${stats.test}")
       val exit = Quality.gate(results)
       spark.stop()

@@ -52,38 +52,63 @@ object UnifyPipeline {
       Seq(layerRank(col("layer")), completeness, totalLen))
   }
 
+  /** Per-source ingestion accounting (line/parse counts from the
+    * diagnostic pass — feeds `data_lineage`). */
+  final case class SourceIngest(
+      file: String, layer: String, lines: Long, parsed: Long, malformed: Long)
+
   final case class UnifyStats(
       input: Long, valid: Long, deduped: Long,
       train: Long, validation: Long, test: Long,
-      nahRecords: Long, mynRecords: Long)
+      nahRecords: Long, mynRecords: Long,
+      malformed: Long = 0L, sources: Seq[SourceIngest] = Nil)
 
-  /** Run the full pipeline over already-loaded layer frames. */
-  def unify(layers: Seq[DataFrame], seed: Long = 42L): DataFrame = {
+  /** Union → raw validity pre-filter → normalize → validity. The raw
+    * pre-filter is a strict superset of the post-normalize filter
+    * (normalization never turns null text non-null), expressed on
+    * source columns so Catalyst pushes IsNotNull into the scan —
+    * invalid rows never reach the normalization expressions. */
+  def validRecords(layers: Seq[DataFrame]): DataFrame = {
     require(layers.nonEmpty, "no input layers")
     val unioned = layers.reduce(_.unionByName(_, allowMissingColumns = true))
-    // raw validity pre-filter: a strict superset of the post-normalize
-    // filter (normalization never turns null text non-null), expressed
-    // on source columns so Catalyst pushes IsNotNull into the scan —
-    // invalid rows never reach the normalization expressions
     val prefiltered = CorpusIO.validityFilter(unioned)
-    val valid = CorpusIO.validityFilter(normalize(prefiltered))
-    val deduped = dedupBest(valid)
-    deduped.withColumn("split",
-      Split.assign(text.dedup_key(col("es"), col("nah"), col("myn")), seed))
+    CorpusIO.validityFilter(normalize(prefiltered))
   }
 
-  /** End-to-end: read layer directories, unify, write gold, return stats. */
+  /** O4 seeded split assignment on the dedup key. */
+  def withSplit(df: DataFrame, seed: Long): DataFrame =
+    df.withColumn("split",
+      Split.assign(text.dedup_key(col("es"), col("nah"), col("myn")), seed))
+
+  /** Run the full pipeline over already-loaded layer frames. */
+  def unify(layers: Seq[DataFrame], seed: Long = 42L): DataFrame =
+    withSplit(dedupBest(validRecords(layers)), seed)
+
+  /** End-to-end: read layer directories, unify, write gold, return stats.
+    *
+    * Counts are honest and cost one pass each:
+    *  - `valid` (pre-dedup) rides the gold write via `observe()` — no
+    *    rescan, and the validity filter still pushes into the scan
+    *    (the metrics node sits above it);
+    *  - `input`/`malformed` come from the per-file diagnostic pass
+    *    ([[CorpusIO.jsonlFileStats]]), which is also what populates
+    *    `data_lineage` — counting parse errors is impossible in-band
+    *    on the DROPMALFORMED read, so this scan would exist anyway.
+    */
   def run(
       spark: SparkSession,
       silverGlobs: Seq[String],
       diamondGlobs: Seq[String],
       goldDir: String,
       seed: Long = 42L): UnifyStats = {
-    val layers = Seq(
-      if (silverGlobs.nonEmpty) Some(CorpusIO.readJsonl(spark, silverGlobs, "silver")) else None,
-      if (diamondGlobs.nonEmpty) Some(CorpusIO.readJsonl(spark, diamondGlobs, "diamond")) else None
-    ).flatten
-    val gold = unify(layers, seed).cache()
+    val layerGlobs = Seq("silver" -> silverGlobs, "diamond" -> diamondGlobs)
+      .filter(_._2.nonEmpty)
+    val layers = layerGlobs.map { case (layer, globs) =>
+      CorpusIO.readJsonl(spark, globs, layer)
+    }
+    val validObs = org.apache.spark.sql.Observation()
+    val valid = validRecords(layers).observe(validObs, count(lit(1)).as("n"))
+    val gold = withSplit(dedupBest(valid), seed).cache()
     try {
       CorpusIO.writeJsonl(gold, goldDir, partitionByCols = Seq("split"))
       // one aggregation pass for the run-stats rollup (A12)
@@ -94,9 +119,15 @@ object UnifyPipeline {
         sum(when(col("split") === "test", 1L).otherwise(0L)).as("test"),
         count(col("nah")).as("nah"),
         count(col("myn")).as("myn")).head()
-      val input = layers.map(_.count()).sum
-      UnifyStats(input, r.getLong(0), r.getLong(0),
-        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val validCount = validObs.get("n").asInstanceOf[Long]
+      val sources = layerGlobs.flatMap { case (layer, globs) =>
+        CorpusIO.jsonlFileStats(spark, globs).collect().map(row =>
+          SourceIngest(row.getAs[String]("file"), layer, row.getAs[Long]("lines"),
+            row.getAs[Long]("parsed"), row.getAs[Long]("malformed")))
+      }
+      UnifyStats(sources.map(_.parsed).sum, validCount, r.getLong(0),
+        r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        sources.map(_.malformed).sum, sources)
     } finally gold.unpersist()
   }
 }

@@ -19,11 +19,23 @@ import org.apache.spark.sql.types._
   */
 object CorpusIO {
 
-  /** The canonical fixed output schema (FIXTURES.md §1). */
+  /** Nested record metadata (schemas.py:25-73): identity, provenance
+    * and validation state that ride along with every record. */
+  val metadataSchema: StructType = StructType(Seq(
+    StructField("record_id", StringType),
+    StructField("created_at", TimestampType),
+    StructField("dialect", StringType),
+    StructField("quality_score", DoubleType),
+    StructField("is_validated", BooleanType)))
+
+  /** The canonical fixed output schema (FIXTURES.md §1 + the category
+    * and nested metadata fields of schemas.py:25-73,128-131). */
   val recordSchema: StructType = StructType(Seq(
     StructField("es", StringType), StructField("nah", StringType),
     StructField("myn", StringType), StructField("source", StringType),
-    StructField("layer", StringType), StructField("origin_file", StringType)))
+    StructField("layer", StringType), StructField("origin_file", StringType),
+    StructField("category", StringType),
+    StructField("metadata", metadataSchema)))
 
   /** Permissive input schema covering every legacy key variant. */
   val legacyInputSchema: StructType = StructType(Seq(
@@ -41,7 +53,8 @@ object CorpusIO {
     StructField("source", StringType),
     StructField("layer", StringType),
     StructField("origin_file", StringType),
-    StructField("category", StringType)))
+    StructField("category", StringType),
+    StructField("metadata", metadataSchema)))
 
   private def emptyToNull(c: Column): Column = {
     val t = trim(c)
@@ -61,7 +74,10 @@ object CorpusIO {
       coalesce(emptyToNull(c("source")), lit(defaultSource)).as("source"),
       coalesce(emptyToNull(c("layer")), lit("bronze")).as("layer"),
       coalesce(emptyToNull(c("origin_file")), emptyToNull(c("source_file")),
-        regexp_extract(input_file_name(), "([^/]+)$", 1)).as("origin_file"))
+        regexp_extract(input_file_name(), "([^/]+)$", 1)).as("origin_file"),
+      emptyToNull(c("category")).as("category"),
+      (if (has("metadata")) col("metadata").cast(metadataSchema)
+       else lit(null).cast(metadataSchema)).as("metadata"))
   }
 
   /** P2 — translation-pair validity: es present AND (nah OR myn). */
@@ -80,6 +96,50 @@ object CorpusIO {
       .json(paths: _*)
     coalesceLegacyKeys(raw)
       .withColumn("layer", lit(layer))
+  }
+
+  /** S3 accounting — the diagnostic pass that makes malformed lines
+    * VISIBLE instead of silently dropped: per source file, total
+    * non-blank lines, parsed/malformed counts, and up to
+    * `sampleErrors` malformed-line excerpts (the reference counts and
+    * reports the first 5 parse errors per file,
+    * /root/reference/src/pipeline/unify.py:174-213).
+    *
+    * Implemented as `from_json` over a text scan (not the JSON
+    * datasource) — the corrupt-record column is then an ordinary
+    * expression, sidestepping Spark's corrupt-record-only column
+    * pruning restriction that makes in-band accounting impossible on
+    * the main read. One extra scan of the JSONL, fully distributed;
+    * samples are deterministic (lexicographically first per file)
+    * because "first in file order" is not a distributable notion. */
+  def jsonlFileStats(spark: SparkSession, paths: Seq[String],
+      sampleErrors: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val opts = Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt_record")
+    val parseSchema = legacyInputSchema.add(StructField("_corrupt_record", StringType))
+    val lines = spark.read.text(paths: _*)
+      .filter(length(trim(col("value"))) > 0)
+      .select(
+        regexp_extract(input_file_name(), "([^/]+)$", 1).as("file"),
+        col("value"),
+        from_json(col("value"), parseSchema, opts)
+          .getField("_corrupt_record").as("__corrupt"))
+    val counts = lines.groupBy(col("file")).agg(
+      count(lit(1)).as("lines"),
+      count(col("__corrupt")).as("malformed"))
+    // bounded sample: top-N per file through a window, never an
+    // unbounded collect_list buffer
+    val w = Window.partitionBy(col("file")).orderBy(col("value"))
+    val samples = lines.filter(col("__corrupt").isNotNull)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= sampleErrors)
+      .groupBy(col("file"))
+      .agg(sort_array(collect_list(substring(col("value"), 1, 120))).as("error_samples"))
+    counts.join(samples, Seq("file"), "left")
+      .select(col("file"), col("lines"),
+        (col("lines") - col("malformed")).as("parsed"),
+        col("malformed"),
+        coalesce(col("error_samples"), array().cast("array<string>")).as("error_samples"))
   }
 
   /** S4 — whole-file JSON dump with the Py-Elotl nested envelope:

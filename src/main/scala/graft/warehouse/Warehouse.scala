@@ -148,37 +148,53 @@ object Warehouse {
 
   /** MetricsTracker analog (src/utils/metrics.py:77-189): run lifecycle
     * + metric/lineage sinks. Duration is the computed column replacing
-    * the SQLite trigger. */
+    * the SQLite trigger.
+    *
+    * `metric`/`lineage` BUFFER in driver memory; everything lands in
+    * ONE parquet append per table when the run finishes (`complete` or
+    * `fail`). The reference's row-at-a-time SQLite inserts translated
+    * literally would make every metric call a one-row parquet file — a
+    * small-files generator at any real run cadence. */
   final class MetricsTracker(spark: SparkSession, dir: String, pipelineName: String) {
     import org.apache.spark.sql.Row
     val runId: String = UUID.randomUUID().toString
     private val startedAt = new Timestamp(System.currentTimeMillis())
+    private val metricRows = scala.collection.mutable.ArrayBuffer.empty[Row]
+    private val lineageRows = scala.collection.mutable.ArrayBuffer.empty[Row]
+
+    private def flush(runRow: Row): Unit = {
+      append(spark, dir, "pipeline_runs", pipelineRunsSchema, Seq(runRow))
+      if (metricRows.nonEmpty)
+        append(spark, dir, "quality_metrics", qualityMetricsSchema, metricRows.toSeq)
+      if (lineageRows.nonEmpty)
+        append(spark, dir, "data_lineage", dataLineageSchema, lineageRows.toSeq)
+      metricRows.clear()
+      lineageRows.clear()
+    }
 
     def complete(input: Long, output: Long, configJson: String = "{}"): Unit = {
       val ended = new Timestamp(System.currentTimeMillis())
       val dur = (ended.getTime - startedAt.getTime) / 1000.0
-      append(spark, dir, "pipeline_runs", pipelineRunsSchema, Seq(Row(
-        runId, pipelineName, startedAt, ended, "success",
-        input, output, input - output, dur, null, null, configJson)))
+      flush(Row(runId, pipelineName, startedAt, ended, "success",
+        input, output, input - output, dur, null, null, configJson))
     }
 
     def fail(error: String): Unit = {
       val ended = new Timestamp(System.currentTimeMillis())
       val dur = (ended.getTime - startedAt.getTime) / 1000.0
-      append(spark, dir, "pipeline_runs", pipelineRunsSchema, Seq(Row(
-        runId, pipelineName, startedAt, ended, "failed",
-        null, null, null, dur, error, null, null)))
+      flush(Row(runId, pipelineName, startedAt, ended, "failed",
+        null, null, null, dur, error, null, null))
     }
 
     def metric(name: String, value: Double, unit: String = "count",
         split: String = "all"): Unit =
-      append(spark, dir, "quality_metrics", qualityMetricsSchema, Seq(Row(
-        runId, name, value, unit, split, new Timestamp(System.currentTimeMillis()))))
+      metricRows += Row(
+        runId, name, value, unit, split, new Timestamp(System.currentTimeMillis()))
 
     def lineage(sourceFile: String, sourceType: String, layer: String,
         ingested: Long, valid: Long): Unit =
-      append(spark, dir, "data_lineage", dataLineageSchema, Seq(Row(
+      lineageRows += Row(
         runId, sourceFile, sourceType, layer, ingested, valid,
-        ingested - valid, new Timestamp(System.currentTimeMillis()), null)))
+        ingested - valid, new Timestamp(System.currentTimeMillis()), null)
   }
 }

@@ -107,6 +107,81 @@ class CorpusSpec extends AnyFunSuite {
       CorpusIO.validityFilter(ds.toDF()).count())
   }
 
+  test("jsonlFileStats counts malformed lines per file with bounded error samples (S3)") {
+    val f = writeTemp("mixed.jsonl", Seq(
+      """{"es": "Hola", "nah": "Niltze"}""",
+      """not valid json at all""",
+      """{"es": "Adiós", "nah": "Oc cepa"}""",
+      """{broken""",
+      """also broken { ]""",
+      "",
+      """{"es": "Gracias", "nah": "Tlazohcamati"}"""))
+    val stats = CorpusIO.jsonlFileStats(spark, Seq(f.toString)).head()
+    assert(stats.getAs[String]("file") === "mixed.jsonl")
+    assert(stats.getAs[Long]("lines") === 6, "blank lines not counted")
+    assert(stats.getAs[Long]("parsed") === 3)
+    assert(stats.getAs[Long]("malformed") === 3)
+    val samples = stats.getSeq[String](stats.fieldIndex("error_samples"))
+    assert(samples.length === 3 && samples.forall(_.nonEmpty))
+    // sample cap honored
+    val capped = CorpusIO.jsonlFileStats(spark, Seq(f.toString), sampleErrors = 2).head()
+    assert(capped.getSeq[String](capped.fieldIndex("error_samples")).length === 2)
+  }
+
+  test("category + nested metadata survive read, unify and JSONL round-trip (§1.1)") {
+    val f = writeTemp("meta.jsonl", Seq(
+      """{"es": "Hola", "nah": "Niltze", "category": "saludos",
+        | "metadata": {"record_id": "r1", "created_at": "2026-01-01T06:00:00.000Z",
+        |   "dialect": "central", "quality_score": 0.9, "is_validated": true}}"""
+        .stripMargin.replace("\n", ""),
+      """{"es": "Adiós", "nah": "Oc cepa"}"""))
+    val df = CorpusIO.readJsonl(spark, Seq(f.toString), "silver")
+    val hola = df.filter(col("es") === "Hola").head()
+    assert(hola.getAs[String]("category") === "saludos")
+    val meta = hola.getAs[org.apache.spark.sql.Row]("metadata")
+    assert(meta.getAs[String]("record_id") === "r1")
+    assert(meta.getAs[String]("dialect") === "central")
+    assert(meta.getAs[Double]("quality_score") === 0.9)
+    assert(meta.getAs[Boolean]("is_validated"))
+    assert(df.filter(col("es") === "Adiós").head().isNullAt(
+      df.columns.indexOf("metadata")), "absent metadata reads as null struct")
+
+    // typed view carries the nested struct
+    val recs = Record.from(df).collect()
+    val typed = recs.find(_.es.contains("Hola")).get
+    assert(typed.category === Some("saludos"))
+    assert(typed.metadata.get.quality_score === Some(0.9))
+
+    // through unify and the JSONL sink and back
+    val gold = UnifyPipeline.unify(Seq(df))
+    val dir = Files.createTempDirectory("graft-meta-gold").toString + "/gold"
+    CorpusIO.writeJsonl(gold, dir)
+    val back = spark.read.schema(
+      CorpusIO.recordSchema.add("split", org.apache.spark.sql.types.StringType)).json(dir)
+    val backHola = back.filter(col("es") === "Hola").head()
+    assert(backHola.getAs[String]("category") === "saludos")
+    assert(backHola.getAs[org.apache.spark.sql.Row]("metadata")
+      .getAs[String]("record_id") === "r1")
+  }
+
+  test("run(): honest stats — parsed input, pre-dedup valid, per-source malformed") {
+    val silver = writeTemp("stats.jsonl", Seq(
+      """{"es": "Hola", "nah": "Niltze"}""",
+      """{"es": "Hola", "nah": "Niltze"}""",       // duplicate → valid > deduped
+      """{"es": "Adiós", "nah": "Oc cepa"}""",
+      """{"es": "Solo español"}""",                // invalid (no indigenous text)
+      """this line is not json"""))               // malformed
+    val goldDir = Files.createTempDirectory("graft-stats-gold").toString + "/gold"
+    val stats = UnifyPipeline.run(spark, Seq(silver.toString), Nil, goldDir)
+    assert(stats.input === 4, "input = parsed records, malformed excluded")
+    assert(stats.malformed === 1)
+    assert(stats.valid === 3, "pre-dedup valid count (not a copy of deduped)")
+    assert(stats.deduped === 2, "duplicate collapsed")
+    assert(stats.valid > stats.deduped)
+    assert(stats.sources.map(s => (s.layer, s.lines, s.parsed, s.malformed)) ===
+      Seq(("silver", 5L, 4L, 1L)))
+  }
+
   test("gold JSONL sink omits null fields and keeps UTF-8") {
     val f = writeTemp("g.jsonl", Seq("""{"es": "Adiós", "nah": "Tlazohcāmati"}"""))
     val out = UnifyPipeline.unify(Seq(CorpusIO.readJsonl(spark, Seq(f.toString), "silver")))

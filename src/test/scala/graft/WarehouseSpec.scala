@@ -49,4 +49,23 @@ class WarehouseSpec extends AnyFunSuite {
       Seq("run_date", "metric_name", "dataset_split", "avg_value", "ma7", "trend"))
     assert(report.count() >= 1)
   }
+
+  test("tracker batches: one parquet append per table per run lifecycle") {
+    val dir = Files.createTempDirectory("graft-wh-batch").toString
+    val t = new Warehouse.MetricsTracker(spark, dir, "unify")
+    t.metric("m1", 1.0); t.metric("m2", 2.0); t.metric("m3", 3.0)
+    t.lineage("a.jsonl", "jsonl", "silver", 10, 9)
+    t.lineage("b.jsonl", "jsonl", "silver", 20, 20)
+    def partFiles(name: String): Int = {
+      val d = new java.io.File(s"$dir/$name")
+      if (!d.exists()) 0
+      else d.listFiles().count(f => f.getName.startsWith("part-"))
+    }
+    assert(partFiles("quality_metrics") === 0, "nothing written before complete()")
+    t.complete(input = 30, output = 29)
+    assert(partFiles("quality_metrics") === 1, "3 metrics in ONE append")
+    assert(partFiles("data_lineage") === 1, "2 lineage rows in ONE append")
+    assert(spark.read.parquet(s"$dir/quality_metrics").count() === 3)
+    assert(spark.read.parquet(s"$dir/data_lineage").count() === 2)
+  }
 }
