@@ -485,6 +485,18 @@ object SparkEntry {
           sum(col("metadata.is_validated").cast("long")).as("validated_n"))
         .orderBy("category", "dialect")
     },
+
+    // ---- S11: plain-text corpus scan — documents dumped to a text
+    // file, re-read with the verse-scan semantics (trim + min-length
+    // filter, driver_bible.py:24-47), aggregated so the oracle can
+    // check the same filter applied directly on the source table.
+    "q44_text_corpus" -> { (s, dir) =>
+      val tmp = s"/tmp/graft_q44_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Tables.documents(s, dir).select(col("text")).write.mode("overwrite").text(tmp)
+      sources.CorpusIO.readTextCorpus(s, tmp, minLen = 100)
+        .agg(count(lit(1)).as("n"),
+          sum(length(col("text"))).as("total_chars"))
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -947,6 +959,12 @@ object SparkEntry {
         |FROM ranked WHERE rn = 1
         |GROUP BY category, dialect
         |ORDER BY category, dialect""".stripMargin,
+
+    "q44_text_corpus" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(length(trim(text))) AS BIGINT) AS total_chars
+        |FROM documents
+        |WHERE length(trim(text)) > 100""".stripMargin,
 
     "q30_ngram_jaccard" ->
       """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),

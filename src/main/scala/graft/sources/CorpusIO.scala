@@ -183,6 +183,27 @@ object CorpusIO {
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").option("header", "true").csv(path)
 
+  /** S6 registry workflow — the reference's discovery loop
+    * (/root/reference/pipeline/discovery.py:10-35): sources pending
+    * ingestion, then a status update rewriting the registry. */
+  def pendingSources(registry: DataFrame): DataFrame =
+    registry.filter(col("ingestion_status") === "Pending")
+
+  /** Update one source's `ingestion_status` and rewrite the registry
+    * in place. The updated frame is materialized (localCheckpoint)
+    * before the overwrite — Spark reads lazily, so writing over the
+    * file still being scanned would corrupt it. The registry is a
+    * small control table; the checkpoint is rows × a few strings. */
+  def updateSourceStatus(spark: SparkSession, path: String,
+      sourceId: String, status: String): Unit = {
+    val updated = readCsv(spark, path)
+      .withColumn("ingestion_status",
+        when(col("source_id") === sourceId, lit(status))
+          .otherwise(col("ingestion_status")))
+      .localCheckpoint(true)
+    writeCsv(updated, path)
+  }
+
   /** S11 — plain-text corpus scan: one line per verse/sentence, short
     * lines dropped (driver_bible.py:24-47 semantics). */
   def readTextCorpus(spark: SparkSession, path: String, minLen: Int = 10): DataFrame =
@@ -237,4 +258,64 @@ object CorpusIO {
       lit("bronze").as("layer"),
       concat_ws(":", emptyToNull(col("lemma")), emptyToNull(col("tags"))).as("origin_file"))
   }
+
+  /** Column accessor tolerant of config-dependent schemas: a missing
+    * top-level column or struct field reads as null — the Spark
+    * analog of the reference adapters' `.get(k, '')` fallback chains. */
+  private def optCol(df: DataFrame, name: String): Column =
+    name.split('.') match {
+      case Array(top) =>
+        if (df.columns.contains(top)) col(top) else lit(null).cast(StringType)
+      case Array(top, nested) =>
+        df.schema.find(_.name == top) match {
+          case Some(StructField(_, st: StructType, _, _)) if st.fieldNames.contains(nested) =>
+            col(s"$top.$nested")
+          case _ => lit(null).cast(StringType)
+        }
+    }
+
+  /** S12 — Tatoeba MT pair extraction
+    * (driver_hf_tatoeba.py:9-73): the `translation` struct's language
+    * keys differ per dataset config (nah/nah_Latn, es/spa/spa_Latn);
+    * the coalesce chain mirrors the reference's config fallback loop.
+    * Rows without indigenous text are dropped (the reference only
+    * appends when nah_text is truthy). */
+  def adaptTatoeba(df: DataFrame, source: String = "tatoeba"): DataFrame = {
+    val nah = emptyToNull(coalesce(
+      optCol(df, "translation.nah"), optCol(df, "translation.nah_Latn")))
+    val es = emptyToNull(coalesce(
+      optCol(df, "translation.es"), optCol(df, "translation.spa"),
+      optCol(df, "translation.spa_Latn")))
+    df.select(
+      es.as("es"), nah.as("nah"), lit(null).cast(StringType).as("myn"),
+      lit(source).as("source"), lit("bronze").as("layer"),
+      concat_ws(":", lit(source), emptyToNull(optCol(df, "split"))).as("origin_file"))
+      .filter(col("nah").isNotNull)
+  }
+
+  /** S12 — FLORES sentence extraction (driver_hf_flores.py:9-62):
+    * `sentence` is the indigenous text, `sentence_es` the optional
+    * Spanish side; provenance keeps split and sentence id. */
+  def adaptFlores(df: DataFrame, source: String = "flores"): DataFrame =
+    df.select(
+      emptyToNull(optCol(df, "sentence_es")).as("es"),
+      emptyToNull(optCol(df, "sentence")).as("nah"),
+      lit(null).cast(StringType).as("myn"),
+      lit(source).as("source"), lit("bronze").as("layer"),
+      concat_ws(":", lit(source), emptyToNull(optCol(df, "split")),
+        emptyToNull(optCol(df, "id").cast(StringType))).as("origin_file"))
+      .filter(col("nah").isNotNull)
+
+  /** S12 — AmericasNLP extraction (driver_hf_americasnlp.py:9-70):
+    * indigenous text from `text` falling back to the dataset's own
+    * `source` column, Spanish from `target`, task label in category. */
+  def adaptAmericasNlp(df: DataFrame, datasetSource: String = "americasnlp"): DataFrame =
+    df.select(
+      emptyToNull(optCol(df, "target")).as("es"),
+      emptyToNull(coalesce(optCol(df, "text"), optCol(df, "source"))).as("nah"),
+      lit(null).cast(StringType).as("myn"),
+      lit(datasetSource).as("source"), lit("bronze").as("layer"),
+      concat_ws(":", lit(datasetSource), emptyToNull(optCol(df, "split"))).as("origin_file"),
+      coalesce(emptyToNull(optCol(df, "task")), lit("translation")).as("category"))
+      .filter(col("nah").isNotNull)
 }

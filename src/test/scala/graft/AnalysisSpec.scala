@@ -86,4 +86,57 @@ class AnalysisSpec extends AnyFunSuite {
     assert(out.map(_.getAs[String]("nah")).toSet === Set("kaltin", "tlaxkalli"))
     assert(out.head.getAs[String]("origin_file") === "kalli:N;PL")
   }
+
+  test("adaptTatoeba: translation struct with per-config key variants (S12)") {
+    // nah-es config shape
+    val pairs = Seq(
+      (("Niltze", "Hola"), "train"),
+      (("", "sin nahuatl"), "train")).map { case ((n, e), s) => (n, e, s) }
+      .toDF("n", "e", "split")
+      .select(struct(col("n").as("nah"), col("e").as("es")).as("translation"), col("split"))
+    val out = CorpusIO.adaptTatoeba(pairs).collect()
+    assert(out.length === 1, "rows without indigenous text dropped")
+    assert(out.head.getAs[String]("nah") === "Niltze")
+    assert(out.head.getAs[String]("es") === "Hola")
+    assert(out.head.getAs[String]("origin_file") === "tatoeba:train")
+
+    // nah_Latn-spa_Latn config shape: different struct keys, same adapter
+    val latn = Seq(("Tlazohcamati", "Gracias", "test")).toDF("n", "e", "split")
+      .select(struct(col("n").as("nah_Latn"), col("e").as("spa_Latn")).as("translation"),
+        col("split"))
+    val out2 = CorpusIO.adaptTatoeba(latn).collect()
+    assert(out2.head.getAs[String]("nah") === "Tlazohcamati")
+    assert(out2.head.getAs[String]("es") === "Gracias")
+  }
+
+  test("adaptFlores: sentence/sentence_es with provenance id (S12)") {
+    val rows = Seq(
+      ("In cualli tonalli", "El buen día", "dev", 7L),
+      ("", "vacío", "dev", 8L)).toDF("sentence", "sentence_es", "split", "id")
+    val out = CorpusIO.adaptFlores(rows).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("nah") === "In cualli tonalli")
+    assert(out.head.getAs[String]("origin_file") === "flores:dev:7")
+    // config without the Spanish side still adapts
+    val noEs = Seq(("Niltze", "devtest", 1L)).toDF("sentence", "split", "id")
+    val out2 = CorpusIO.adaptFlores(noEs).collect()
+    assert(out2.head.getAs[String]("nah") === "Niltze")
+    assert(out2.head.getAs[String]("es") === null)
+  }
+
+  test("adaptAmericasNlp: text/source fallback, task rides in category (S12)") {
+    val rows = Seq(
+      ("Niltze", null, "Hola", "train", "translation"),
+      (null, "Tlen", "Qué", "train", "asr"),
+      (null, null, "nada", "train", "translation"))
+      .toDF("text", "source", "target", "split", "task")
+    val out = CorpusIO.adaptAmericasNlp(rows).collect()
+    assert(out.length === 2, "rows with no indigenous text dropped")
+    val byNah = out.map(r => r.getAs[String]("nah") -> r).toMap
+    assert(byNah("Niltze").getAs[String]("es") === "Hola")
+    assert(byNah("Niltze").getAs[String]("category") === "translation")
+    assert(byNah("Tlen").getAs[String]("category") === "asr",
+      "dataset's own source column is the fallback text")
+    assert(out.forall(_.getAs[String]("source") === "americasnlp"))
+  }
 }

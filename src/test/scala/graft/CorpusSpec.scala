@@ -182,6 +182,67 @@ class CorpusSpec extends AnyFunSuite {
       Seq(("silver", 5L, 4L, 1L)))
   }
 
+  test("CSV registry: pending discovery + status update flow (S6, discovery.py)") {
+    val dir = Files.createTempDirectory("graft-registry").toString + "/sources"
+    val registry = spark.createDataFrame(Seq(
+      ("s1", "bible-nah", "Pending"),
+      ("s2", "tatoeba", "Ingested"),
+      ("s3", "flores", "Pending")))
+      .toDF("source_id", "source_name", "ingestion_status")
+    CorpusIO.writeCsv(registry, dir)
+
+    val pending = CorpusIO.pendingSources(CorpusIO.readCsv(spark, dir))
+      .collect().map(_.getAs[String]("source_id")).sorted
+    assert(pending.toSeq === Seq("s1", "s3"))
+
+    CorpusIO.updateSourceStatus(spark, dir, "s1", "Ingested")
+    val after = CorpusIO.readCsv(spark, dir).collect()
+      .map(r => r.getAs[String]("source_id") -> r.getAs[String]("ingestion_status")).toMap
+    assert(after("s1") === "Ingested", "target row updated")
+    assert(after("s2") === "Ingested" && after("s3") === "Pending", "others untouched")
+    assert(CorpusIO.pendingSources(CorpusIO.readCsv(spark, dir)).count() === 1)
+  }
+
+  test("text corpus scan: trim + min-length verse filter (S11, driver_bible.py:39-47)") {
+    val f = writeTemp("verses.txt", Seq(
+      "In ipan pehuallotl, Dios quichiuh ilhuicatl ihuan tlaltipactli.",
+      "   short   ",
+      "",
+      "  Ihuan Dios quitoh: Machihua tlanextli.  "))
+    val out = CorpusIO.readTextCorpus(spark, f.toString, minLen = 10).collect()
+    assert(out.length === 2, "blank and short lines dropped")
+    assert(out.forall(r => r.getAs[String]("text") == r.getAs[String]("text").trim))
+    assert(out.map(_.getAs[String]("origin_file")).toSet === Set("verses.txt"))
+  }
+
+  test("XML verse scan: extract bodies, strip inner tags (S11, driver_bible.py:49-66)") {
+    val f = writeTemp("bible.xml", Seq(
+      """<bible><book name="Gen">""",
+      """<verse id="1">In ipan pehuallotl, <i>Dios</i> quichiuh ilhuicatl.</verse>""",
+      """<verse id="2">Ihuan Dios quitoh:""",
+      """Machihua tlanextli.</verse>""",
+      """<verse id="3"></verse>""",
+      """</book></bible>"""))
+    val out = CorpusIO.readXmlVerses(spark, f.toString).collect()
+    assert(out.length === 2, "empty verse dropped")
+    val texts = out.map(_.getAs[String]("text"))
+    assert(texts.exists(_ == "In ipan pehuallotl, Dios quichiuh ilhuicatl."),
+      "inner tags stripped")
+    assert(texts.exists(_.startsWith("Ihuan Dios quitoh:")), "multi-line verse kept whole")
+  }
+
+  test("JSONL→Parquet converter round-trips rows and schema (S15)") {
+    val f = writeTemp("conv.jsonl", Seq(
+      """{"es": "Hola", "nah": "Niltze", "n": 1}""",
+      """{"es": "Adiós", "nah": "Oc cepa", "n": 2}"""))
+    val outDir = Files.createTempDirectory("graft-conv").toString + "/parquet"
+    CorpusIO.convertJsonlToParquet(spark, f.toString, outDir)
+    val back = spark.read.parquet(outDir)
+    assert(back.count() === 2)
+    assert(back.columns.sorted.toSeq === Seq("es", "n", "nah"))
+    assert(back.filter(col("n") === 1).head().getAs[String]("nah") === "Niltze")
+  }
+
   test("gold JSONL sink omits null fields and keeps UTF-8") {
     val f = writeTemp("g.jsonl", Seq("""{"es": "Adiós", "nah": "Tlazohcāmati"}"""))
     val out = UnifyPipeline.unify(Seq(CorpusIO.readJsonl(spark, Seq(f.toString), "silver")))
