@@ -240,13 +240,16 @@ object SparkEntry {
         .orderBy("lang")
     },
 
-    // ---- Text analysis: composite quality score per language.
+    // ---- Text analysis: composite quality score per language. The
+    // score (~6 regexp passes) is projected ONCE per row, then
+    // aggregated twice — not re-evaluated inside each aggregate.
     "q23_quality_score" -> { (s, dir) =>
       Tables.documents(s, dir)
+        .select(col("lang"), analysis.quality_score(col("text")).as("__q"))
         .groupBy(col("lang"))
         .agg(
-          round(avg(analysis.quality_score(col("text"))), 4).as("avg_quality"),
-          sum(when(analysis.quality_score(col("text")) >= 0.8, 1L).otherwise(0L)).as("high_quality_docs"))
+          round(avg(col("__q")), 4).as("avg_quality"),
+          sum(when(col("__q") >= 0.8, 1L).otherwise(0L)).as("high_quality_docs"))
         .orderBy("lang")
     },
 

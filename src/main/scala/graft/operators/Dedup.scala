@@ -169,14 +169,30 @@ object Dedup {
     * (band, bucket), one window-free verify on candidate pairs.
     * Skewed buckets (boilerplate shingles) are AQE-splittable.
     */
-  def minhashDedup(
+  /** Candidate (id_a, id_b) pairs whose estimated Jaccard (signature
+    * agreement fraction) meets `threshold` — the enumeration behind
+    * [[minhashDedup]], exposed so skew bounds are spec-testable.
+    *
+    * Skew hardening: a bucket of near-identical boilerplate (the same
+    * members colliding in EVERY band) makes the self-join O(B²) per
+    * band. Buckets larger than `maxBucketSize` switch to a star
+    * pattern — every member is verified against the bucket's min-id
+    * member only (B−1 pairs instead of B²). On the pathological case
+    * that creates oversized buckets (a near-clique), the star reaches
+    * the same removable set, because every member verifies against the
+    * min; a member of an oversized MIXED bucket that only matches some
+    * non-min member can be missed there, but it still collides with it
+    * in the other bands' (smaller) buckets. Cost is bounded at
+    * `bands × max(maxBucketSize, B−1)` per bucket either way. */
+  private[graft] def minhashCandidates(
       df: DataFrame,
       idCol: String,
       textCol: Column,
-      threshold: Double = 0.8,
-      numPerm: Int = 128,
-      bands: Int = 32,
-      shingleSize: Int = 3): DataFrame = {
+      threshold: Double,
+      numPerm: Int,
+      bands: Int,
+      shingleSize: Int,
+      maxBucketSize: Int): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val r = numPerm / bands
     val sigCol = minhashSig(shingles(text.norm_key(textCol), shingleSize), numPerm)
@@ -185,18 +201,47 @@ object Dedup {
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"), xxhash64(slice(col("__sig"), b * r + 1, lit(r))).as("bucket")))).as("__b"))
       .select(col(idCol), col("__sig"), col("__b.band"), col("__b.bucket"))
-    val a = banded.select(col(idCol).as("id_a"), col("__sig").as("__sa"),
+    // per-bucket stats: one aggregation on the same (band, bucket) key
+    // the join shuffles on; the stats side is one row per bucket.
+    val stats = banded.groupBy(col("band"), col("bucket")).agg(
+      count(lit(1)).as("__bsz"),
+      min(col(idCol)).as("__bmin"),
+      min_by(col("__sig"), col(idCol)).as("__bminsig"))
+    val tagged = banded.join(stats, Seq("band", "bucket"))
+    def estJaccard(x: Column, y: Column): Column =
+      size(filter(zip_with(x, y, _ === _), v => v)).cast("double") / numPerm
+    // normal buckets: inline-verified self-join — no pair-dedup
+    // shuffle, signature arrays never pass through an exchange (a pair
+    // colliding in k bands is just verified k times, which is far
+    // cheaper than shuffling it).
+    val small = tagged.filter(col("__bsz") <= maxBucketSize)
+    val a = small.select(col(idCol).as("id_a"), col("__sig").as("__sa"),
       col("band"), col("bucket"))
-    val b = banded.select(col(idCol).as("id_b"), col("__sig").as("__sb"),
+    val b = small.select(col(idCol).as("id_b"), col("__sig").as("__sb"),
       col("band"), col("bucket"))
-    // verify INLINE on the bucket join and reduce straight to distinct
-    // removable ids — no pair-dedup shuffle, signature arrays never
-    // pass through an exchange (a pair colliding in k bands is just
-    // verified k times, which is far cheaper than shuffling it).
-    val estJaccard = size(filter(zip_with(col("__sa"), col("__sb"), _ === _),
-      x => x)).cast("double") / numPerm
-    val dupIds = a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b") && estJaccard >= threshold)
+    val smallPairs = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b") && estJaccard(col("__sa"), col("__sb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    // oversized buckets: star verification against the min-id member,
+    // computed directly on the tagged frame — no join at all.
+    val bigPairs = tagged
+      .filter(col("__bsz") > maxBucketSize && col(idCol) =!= col("__bmin"))
+      .filter(estJaccard(col("__sig"), col("__bminsig")) >= threshold)
+      .select(col("__bmin").as("id_a"), col(idCol).as("id_b"))
+    smallPairs.union(bigPairs)
+  }
+
+  def minhashDedup(
+      df: DataFrame,
+      idCol: String,
+      textCol: Column,
+      threshold: Double = 0.8,
+      numPerm: Int = 128,
+      bands: Int = 32,
+      shingleSize: Int = 3,
+      maxBucketSize: Int = 1024): DataFrame = {
+    val dupIds = minhashCandidates(df, idCol, textCol, threshold, numPerm,
+        bands, shingleSize, maxBucketSize)
       .select(col("id_b").as(idCol)).distinct()
     df.join(dupIds, Seq(idCol), "left_anti")
   }

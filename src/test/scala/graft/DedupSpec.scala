@@ -145,6 +145,30 @@ class DedupSpec extends AnyFunSuite {
       "hot key keeps its max")
   }
 
+  test("minhashDedup bounds candidates on a pathological near-identical corpus (skew cap)") {
+    import spark.implicits._
+    // two 150-doc cliques of IDENTICAL text: every band has two
+    // all-members buckets, the all-pairs join would be B² per band
+    val even = "in tlahtolli mochipa cualli tonalli niltze tlazohcamati nican"
+    val odd = "ba'ax ka wa'alik bix a beel ma'alob kin bin xook tulakal"
+    val docs = (0L until 300L).map(i => (i, if (i % 2 == 0) even else odd)).toDF("id", "t")
+    val nCand = Dedup.minhashCandidates(docs, "id", col("t"), threshold = 0.5,
+        numPerm = 64, bands = 16, shingleSize = 3, maxBucketSize = 16).count()
+    assert(nCand <= 16L * 300 * 2,
+      s"capped candidate enumeration must stay ~linear per band, got $nCand")
+    // un-capped would be ~16 bands × 2 × C(150,2) ≈ 357k
+    assert(nCand < 20000, s"got $nCand")
+
+    val capped = Dedup.minhashDedup(docs, "id", col("t"), threshold = 0.5,
+        numPerm = 64, bands = 16, shingleSize = 3, maxBucketSize = 16)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val uncapped = Dedup.minhashDedup(docs, "id", col("t"), threshold = 0.5,
+        numPerm = 64, bands = 16, shingleSize = 3, maxBucketSize = 1 << 20)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(capped === uncapped, "star verification reaches the same removable set")
+    assert(capped === Set(0L, 1L), "each clique collapses to its min id")
+  }
+
   test("ngramJaccard: identity 1, disjoint 0, near-dup high") {
     val df = Seq(
       ("abcdefgh", "abcdefgh"),
