@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Quality}
+import graft.sources.CorpusIO
+import graft.warehouse.Warehouse
+
+/** The reference's Airflow medallion DAG
+  * (/root/reference/airflow_dags/corc_nah_etl_dag.py:246-263) as staged
+  * Spark jobs: bronze (raw ingest) → silver (normalize + validity) →
+  * diamond (exact dedup-best + banded MinHash near-dup) → gold (seeded
+  * split, partitioned parquet) → GE-suite quality gate.
+  *
+  * Each stage materializes parquet — the same restart boundaries the
+  * DAG's tasks give — and `run` logs one `data_lineage` row per stage
+  * plus the quality metrics into the metadata warehouse. Every stage's
+  * output count rides its write via `observe()`, so no stage is
+  * scanned twice for accounting.
+  */
+object MedallionPipeline {
+
+  final case class StageResult(stage: String, in: Long, out: Long, path: String)
+
+  private def writeCounted(df: DataFrame, path: String,
+      partitionBy: Seq[String] = Nil): Long = {
+    val obs = Observation()
+    val observed = df.observe(obs, count(lit(1)).as("n"))
+    CorpusIO.writeParquet(observed, path, partitionBy)
+    obs.get("n").asInstanceOf[Long]
+  }
+
+  /** Bronze: raw JSONL globs → canonical records (legacy-key
+    * coalescing), materialized as parquet. */
+  def bronze(spark: SparkSession, inGlobs: Seq[String], outPath: String): StageResult = {
+    val raw = CorpusIO.readJsonl(spark, inGlobs, "bronze")
+    val n = writeCounted(raw, outPath)
+    StageResult("bronze", n, n, outPath)
+  }
+
+  /** Silver: per-language normalization + translation-pair validity. */
+  def silver(spark: SparkSession, bronzePath: String, outPath: String): StageResult = {
+    val bronze = spark.read.parquet(bronzePath)
+    val cleaned = CorpusIO.validityFilter(UnifyPipeline.normalize(bronze))
+      .withColumn("layer", lit("silver"))
+    val n = writeCounted(cleaned, outPath)
+    StageResult("silver", -1L, n, outPath)
+  }
+
+  /** Diamond: exact dedup-best (layer priority) then banded MinHash
+    * near-dup removal over the concatenated pair text. The fuzzy id is
+    * a content hash — deterministic across runs, unlike
+    * monotonically_increasing_id. */
+  def diamond(spark: SparkSession, silverPath: String, outPath: String,
+      fuzzyThreshold: Double = 0.5): StageResult = {
+    val silver = spark.read.parquet(silverPath)
+    val exact = UnifyPipeline.dedupBest(silver)
+    val withId = exact.withColumn("__rid", xxhash64(
+      coalesce(col("es"), lit("")), coalesce(col("nah"), lit("")),
+      coalesce(col("myn"), lit(""))))
+    val fuzzy = Dedup.minhashDedup(withId, "__rid",
+        concat_ws(" ", col("es"), col("nah"), col("myn")), threshold = fuzzyThreshold)
+      .drop("__rid")
+      .withColumn("layer", lit("diamond"))
+    val n = writeCounted(fuzzy, outPath)
+    StageResult("diamond", -1L, n, outPath)
+  }
+
+  /** Gold: deterministic seeded split, parquet partitioned by split
+    * (dynamic partition pruning for split-scoped consumers). */
+  def gold(spark: SparkSession, diamondPath: String, outPath: String,
+      seed: Long = 42L): StageResult = {
+    val g = UnifyPipeline.withSplit(
+      spark.read.parquet(diamondPath).withColumn("layer", lit("gold")), seed)
+    val n = writeCounted(g, outPath, partitionBy = Seq("split"))
+    StageResult("gold", -1L, n, outPath)
+  }
+
+  /** Full Bronze→Silver→Diamond→Gold progression with per-stage
+    * lineage and the quality gate on gold. Returns the stage results
+    * and the gate's check results (exit semantics via
+    * [[Quality.gate]]). */
+  def run(
+      spark: SparkSession,
+      inGlobs: Seq[String],
+      baseDir: String,
+      seed: Long = 42L,
+      fuzzyThreshold: Double = 0.5,
+      suite: Seq[Quality.QualityCheck] = Quality.corpusSuite(minVolume = 1L),
+      tracker: Option[Warehouse.MetricsTracker] = None)
+      : (Seq[StageResult], Seq[Quality.CheckResult]) = {
+    val b = bronze(spark, inGlobs, s"$baseDir/bronze")
+    val s = silver(spark, b.path, s"$baseDir/silver").copy(in = b.out)
+    val d = diamond(spark, s.path, s"$baseDir/diamond", fuzzyThreshold).copy(in = s.out)
+    val g = gold(spark, d.path, s"$baseDir/gold", seed).copy(in = d.out)
+    val stages = Seq(b, s, d, g)
+    val results = Quality.run(spark.read.parquet(g.path), suite)
+    tracker.foreach { t =>
+      stages.foreach(st => t.lineage(st.path, "parquet", st.stage, st.in, st.out))
+      results.foreach(r => t.metric(r.name, r.observed, "rate"))
+    }
+    (stages, results)
+  }
+}

@@ -184,30 +184,23 @@ object Dedup {
     * non-min member can be missed there, but it still collides with it
     * in the other bands' (smaller) buckets. Cost is bounded at
     * `bands × max(maxBucketSize, B−1)` per bucket either way. */
-  private[graft] def minhashCandidates(
-      df: DataFrame,
-      idCol: String,
-      textCol: Column,
-      threshold: Double,
-      numPerm: Int,
-      bands: Int,
-      shingleSize: Int,
+  /** Candidate enumeration from an already-signed frame `(id, __sig)`.
+    * The bucket-size stats aggregation carries ONLY counts (signature
+    * arrays never enter its shuffle); min-id signatures are aggregated
+    * over oversized-bucket members alone, which the cap makes rare by
+    * construction. */
+  private def candidatesFromSig(
+      withSig: DataFrame, idCol: String,
+      threshold: Double, numPerm: Int, bands: Int,
       maxBucketSize: Int): DataFrame = {
-    require(numPerm % bands == 0, "bands must divide numPerm")
     val r = numPerm / bands
-    val sigCol = minhashSig(shingles(text.norm_key(textCol), shingleSize), numPerm)
-    val withSig = df.select(col(idCol), sigCol.as("__sig"))
     val banded = withSig.select(col(idCol), col("__sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"), xxhash64(slice(col("__sig"), b * r + 1, lit(r))).as("bucket")))).as("__b"))
       .select(col(idCol), col("__sig"), col("__b.band"), col("__b.bucket"))
-    // per-bucket stats: one aggregation on the same (band, bucket) key
-    // the join shuffles on; the stats side is one row per bucket.
-    val stats = banded.groupBy(col("band"), col("bucket")).agg(
-      count(lit(1)).as("__bsz"),
-      min(col(idCol)).as("__bmin"),
-      min_by(col("__sig"), col(idCol)).as("__bminsig"))
-    val tagged = banded.join(stats, Seq("band", "bucket"))
+    val sizes = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__bsz"))
+    val tagged = banded.join(sizes, Seq("band", "bucket"))
     def estJaccard(x: Column, y: Column): Column =
       size(filter(zip_with(x, y, _ === _), v => v)).cast("double") / numPerm
     // normal buckets: inline-verified self-join — no pair-dedup
@@ -222,13 +215,37 @@ object Dedup {
     val smallPairs = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b") && estJaccard(col("__sa"), col("__sb")) >= threshold)
       .select(col("id_a"), col("id_b"))
-    // oversized buckets: star verification against the min-id member,
-    // computed directly on the tagged frame — no join at all.
-    val bigPairs = tagged
-      .filter(col("__bsz") > maxBucketSize && col(idCol) =!= col("__bmin"))
-      .filter(estJaccard(col("__sig"), col("__bminsig")) >= threshold)
+    // oversized buckets: star verification against the min-id member —
+    // B−1 pairs instead of B²; the sig-carrying aggregation runs only
+    // over these members.
+    val big = tagged.filter(col("__bsz") > maxBucketSize)
+    val bigStats = big.groupBy(col("band"), col("bucket")).agg(
+      min(col(idCol)).as("__bmin"),
+      min_by(col("__sig"), col(idCol)).as("__bminsig"))
+    val bigPairs = big.join(bigStats, Seq("band", "bucket"))
+      .filter(col(idCol) =!= col("__bmin") &&
+        estJaccard(col("__sig"), col("__bminsig")) >= threshold)
       .select(col("__bmin").as("id_a"), col(idCol).as("id_b"))
     smallPairs.union(bigPairs)
+  }
+
+  private def signed(df: DataFrame, idCol: String, textCol: Column,
+      numPerm: Int, shingleSize: Int): DataFrame =
+    df.select(col(idCol),
+      minhashSig(shingles(text.norm_key(textCol), shingleSize), numPerm).as("__sig"))
+
+  private[graft] def minhashCandidates(
+      df: DataFrame,
+      idCol: String,
+      textCol: Column,
+      threshold: Double,
+      numPerm: Int,
+      bands: Int,
+      shingleSize: Int,
+      maxBucketSize: Int): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    candidatesFromSig(signed(df, idCol, textCol, numPerm, shingleSize),
+      idCol, threshold, numPerm, bands, maxBucketSize)
   }
 
   def minhashDedup(
@@ -240,10 +257,22 @@ object Dedup {
       bands: Int = 32,
       shingleSize: Int = 3,
       maxBucketSize: Int = 1024): DataFrame = {
-    val dupIds = minhashCandidates(df, idCol, textCol, threshold, numPerm,
-        bands, shingleSize, maxBucketSize)
-      .select(col("id_b").as(idCol)).distinct()
-    df.join(dupIds, Seq(idCol), "left_anti")
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    // signatures are the expensive narrow map (numPerm hashes per
+    // shingle); the candidate plan references the signed frame from
+    // several subplans (both self-join sides + the size stats), so
+    // persist it for the duration of the dup-id computation — same
+    // cache-then-localCheckpoint discipline as fuzzyDedup: the dup-id
+    // set (ids only) is materialized eagerly, the cache released, and
+    // the returned anti-join stays lazy.
+    val withSig = signed(df, idCol, textCol, numPerm, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dupIds = candidatesFromSig(withSig, idCol, threshold, numPerm, bands, maxBucketSize)
+        .select(col("id_b").as(idCol)).distinct()
+        .localCheckpoint(true)
+      df.join(dupIds, Seq(idCol), "left_anti")
+    } finally withSig.unpersist(blocking = false)
   }
 
   /** Exact-dedup by SimHash band equality: groups rows whose simhash

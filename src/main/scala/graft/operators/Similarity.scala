@@ -25,16 +25,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity between two float-array columns (double math). */
+  /** Cosine similarity between two double-array columns. Built on the
+    * codegen'd [[graft.functions.DotProduct]] kernel — bit-identical to
+    * the interpreted `aggregate(zip_with(...))` formulation (same
+    * left-to-right fold), minus the per-element lambda dispatch. */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
-    val na = sqrt(aggregate(a, lit(0.0d), (acc, v) => acc + v * v))
-    val nb = sqrt(aggregate(b, lit(0.0d), (acc, v) => acc + v * v))
-    when(na === 0 || nb === 0, lit(0.0d)).otherwise(dot / (na * nb))
+    val na = sqrt(dot(a, a))
+    val nb = sqrt(dot(b, b))
+    when(na === 0 || nb === 0, lit(0.0d)).otherwise(dot(a, b) / (na * nb))
   }
 
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, v) => acc + v)
+    graft.functions.text.expr2col(graft.functions.DotProduct(
+      graft.functions.text.col2expr(a), graft.functions.text.col2expr(b)))
 
   /** Exact top-k neighbors for every row of `queries` against `corpus`.
     * Query side is broadcast (ANN queries are batched and small
