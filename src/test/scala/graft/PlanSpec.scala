@@ -66,4 +66,39 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       "query side must be broadcast")
   }
+
+  test("cell-pruned pair join: allowlist broadcast + hash equi-join, data sides never cartesian") {
+    val df = operators.Similarity.similarPairsApprox(
+      Tables.embeddings(spark, dir), "vec_id", "embedding", t = 0.4, nCells = 8)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // the (row × allowlist) expansion is a broadcast of ≤ nCells² ints;
+    // the corpus-vs-corpus candidate join must be a hash equi-join on
+    // the cell id — at no point may the two DATA sides cross-join
+    assert(plan.contains("BroadcastHashJoin"), s"allowlist must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"data sides must meet in an equi-join, not a cartesian:\n$plan")
+    assert(plan.contains("SortMergeJoin") || "BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"candidate join must be key-based:\n$plan")
+  }
+
+  test("similarity kernel is the codegen'd vector_dot, inside a codegen stage") {
+    val emb = Tables.embeddings(spark, dir)
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val df = emb.select(operators.Similarity.dot(col("embedding"), col("embedding")).as("d"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("vector_dot"), s"kernel missing:\n$plan")
+    assert(plan.startsWith("*"), "dot product must run inside WholeStageCodegen")
+    assert(df.filter(col("d") > 0).count() > 0)
+  }
+
+  test("banded minhash dedup plan: equi-joins only, single-column dup-id anti join") {
+    val df = operators.Dedup.minhashDedup(
+      Tables.documents(spark, dir), "doc_id", col("text"),
+      threshold = 0.5, numPerm = 64, bands = 16, shingleSize = 3)
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("CartesianProduct"), s"no cartesian anywhere:\n$plan")
+    assert(plan.contains("LeftAnti"), s"removal must be a left_anti join:\n$plan")
+  }
 }
