@@ -29,6 +29,10 @@ object Bench {
 
     val tmpOut = java.nio.file.Files.createTempDirectory("graft-bench").toString
 
+    // warm-up: session init, codegen compiler, parquet footer caches —
+    // one tiny job so the first measured op isn't charged JVM startup
+    force(spark.range(100).toDF("warmup"))
+
     // BASELINE.md op-for-op micro-benchmarks on the corpus-shaped table.
     val ops: Seq[(String, () => Unit)] = Seq(
       "op_read_parquet" -> (() => force(Tables.documents(spark, sfDir))),

@@ -132,7 +132,10 @@ object Similarity {
     // k must not exceed the row count; probing min(nCells, n) rows is a
     // tiny limited count, not a full scan.
     val k = math.max(1, math.min(nCells, base.select("__id").limit(nCells).count().toInt))
-    val model = new KMeans().setK(k).setSeed(seed)
+    // few iterations: clustering quality only affects how much the
+    // triangle-inequality step can prune (cost), never which pairs the
+    // exact verify emits (correctness) — don't pay for a polished fit
+    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("__features").setPredictionCol("__cell").fit(base)
     val assigned = model.transform(base).drop("__features")
     val centroids = model.clusterCenters.map(_.toArray)
