@@ -489,6 +489,21 @@ object SparkEntry {
         .orderBy("category", "dialect")
     },
 
+    // ---- Near-dup at scale: FULL-table n-gram Jaccard pairs via exact
+    // prefix filtering (AllPairs/PPJoin) — candidates from an equi-join
+    // on rarest-first prefix tokens, never a cross join, and the output
+    // provably equals the brute-force pair enumeration, so the all-pairs
+    // DuckDB oracle hash-checks it. 8-char shingles: the dedup-standard
+    // long shingle (vs n=3 for short strings) — on template-heavy
+    // corpora the 3-gram vocabulary saturates (~400 grams here) and
+    // every token join degenerates; 8-grams keep token df low so the
+    // prefix join prunes.
+    "q45_ngram_pairs_full" -> { (s, dir) =>
+      Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", col("text"),
+          t = 0.8, n = 8)
+        .orderBy("id_a", "id_b")
+    },
+
     // ---- S11: plain-text corpus scan — documents dumped to a text
     // file, re-read with the verse-scan semantics (trim + min-length
     // filter, driver_bible.py:24-47), aggregated so the oracle can
@@ -984,6 +999,22 @@ object SparkEntry {
         |      FROM p)
         |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j
         |WHERE round(jac, 6) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q45_ngram_pairs_full" ->
+      """WITH g AS (SELECT doc_id, list_distinct(list_filter(
+        |        list_transform(range(1, greatest(length(text) - 7, 0) + 2),
+        |          i -> text[i:i+7]),
+        |        x -> length(x) = 8)) AS grams FROM documents),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.grams AS ga, b.grams AS gb
+        |      FROM g a, g b WHERE a.doc_id < b.doc_id),
+        |j AS (SELECT id_a, id_b,
+        |        CASE WHEN len(list_distinct(list_concat(ga, gb))) = 0 THEN 1.0
+        |          ELSE len(list_filter(ga, x -> list_contains(gb, x))) * 1.0 /
+        |               len(list_distinct(list_concat(ga, gb))) END AS jac
+        |      FROM p)
+        |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j
+        |WHERE round(jac, 6) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
   )
 }

@@ -308,6 +308,111 @@ object Dedup {
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column =
     jaccardOfSets(ngrams(a, n), ngrams(b, n))
 
+  /** Exact all-pairs set-similarity join by PREFIX FILTERING (the
+    * AllPairs / PPJoin family — Bayardo et al., WWW'07; Xiao et al.,
+    * WWW'08): every pair of documents with character-n-gram Jaccard ≥
+    * `t`, WITHOUT the O(n²) theta-join, and with output identical to
+    * the brute-force cross join on any input (no probabilistic recall
+    * — safe behind a hash-checking oracle).
+    *
+    * Why it is exact: if J(x,y) ≥ t then |x∩y| ≥ t·|x∪y| ≥
+    * t·max(|x|,|y|), so per-set α_x = ⌈t·|x|⌉ lower-bounds the
+    * overlap. Under any global total order on tokens, the smallest
+    * common token must sit inside the first |x|−α_x+1 tokens of x AND
+    * the first |y|−α_y+1 of y (else fewer than α common tokens
+    * remain) — so an equi-join on PREFIX tokens alone already yields
+    * every qualifying pair; exact [[jaccardOfSets]] verification then
+    * removes false positives.
+    *
+    * Scale shape (vs the cross join's n² pair stream):
+    *  - token document-frequencies: one map-side-combined aggregation;
+    *  - the global token order is (df asc, token) — rarest-first, the
+    *    ordering that makes prefixes maximally selective — imposed by
+    *    `sort_array` per document, NOT a global sort/rank (no
+    *    single-partition window anywhere);
+    *  - candidates come from a hash equi-join on prefix tokens — the
+    *    ~1−t fraction of each document's grams — carrying ONLY
+    *    (id, set-size): gram arrays never enter the token join's
+    *    exchange (a frequent token fans out to df² rows; at array
+    *    width that shuffle would dwarf everything else). A size filter
+    *    (t·max ≤ min) prunes before the id-pair `distinct`;
+    *  - verification joins the DISTINCT id pairs back to the raw gram
+    *    sets by id — Jaccard is order-independent, so the verify reads
+    *    the unsorted sets straight off a narrow map over the source
+    *    (no second pass through the df-ordering shuffle).
+    * A stop-token df-cap is deliberately NOT applied: correctness
+    * first; frequent-gram skew only widens candidate sets, and those
+    * buckets are AQE-splittable.
+    *
+    * Documents shorter than n chars have an empty gram set; the
+    * reference semantics (and [[jaccardOfSets]]) define J(∅,∅)=1, so
+    * empties are mapped to a sentinel singleton {""} — impossible as a
+    * real n-gram — which preserves J exactly for every pair shape
+    * (∅∅→1, ∅·S→0, untouched otherwise).
+    *
+    * Reference analog: near-dup detection over the corpus
+    * (/root/reference/pipeline/processing/deduplication.py:19-31) —
+    * re-expressed as the published exact algorithm instead of a cap. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: Column,
+      t: Double, n: Int = 3): DataFrame = {
+    require(t > 0 && t <= 1, "threshold must be in (0, 1]")
+    val rawGrams = ngrams(textCol, n)
+    val grams = df.select(col(idCol).as("__id"),
+      when(size(rawGrams) === 0, array(lit(""))).otherwise(rawGrams).as("__g"))
+    val exploded = grams.select(col("__id"), explode(col("__g")).as("__gram"))
+    val dfCounts = exploded.groupBy(col("__gram")).agg(count(lit(1)).as("__df"))
+    // rarest-first total order per document: sort by (df, gram) —
+    // gram strings are distinct within a doc, so the order is total
+    // and identical on every executor.
+    val sorted = exploded.join(dfCounts, Seq("__gram"))
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("__gram")))).as("__sg"))
+      .select(col("__id"),
+        transform(col("__sg"), s => s.getField("__gram")).as("__g"),
+        size(col("__sg")).as("__sz"))
+    // α = ⌈t·|x|⌉ computed with a subtractive epsilon so float noise
+    // (0.3·10 = 3.0000000000000004) can never round the bound UP past
+    // the true ceiling — a too-small α only lengthens the prefix
+    // (safe); a too-large one would drop true pairs.
+    val prefLen = (col("__sz") - ceil(col("__sz") * t - lit(1e-9)) + 1).cast("int")
+    val pref = sorted.select(col("__id"), col("__sz"),
+      explode(slice(col("__g"), lit(1), prefLen)).as("__gram"))
+    val a = pref.select(col("__id").as("id_a"), col("__sz").as("__sza"), col("__gram"))
+    val b = pref.select(col("__id").as("id_b"), col("__sz").as("__szb"), col("__gram"))
+    val cand = a.join(b, Seq("__gram"))
+      .filter(col("id_a") < col("id_b") &&
+        least(col("__sza"), col("__szb")).cast("double") >=
+          greatest(col("__sza"), col("__szb")) * t - lit(1e-9))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    // verify against lexically-sorted sets with the codegen'd
+    // two-pointer merge kernel ([[graft.functions.SortedIntersectSize]])
+    // — |A∩B| without a per-pair hash set — and |A∪B| = |A|+|B|−|A∩B|,
+    // so no set is ever materialized per pair. Same rationals as
+    // `size(array_intersect)/size(array_union)`, bit-identical division.
+    val setsA = grams.select(col("__id").as("id_a"), sort_array(col("__g")).as("__ga"))
+    val setsB = grams.select(col("__id").as("id_b"), sort_array(col("__g")).as("__gb"))
+    val inter = text.expr2col(graft.functions.SortedIntersectSize(
+      text.col2expr(col("__ga")), text.col2expr(col("__gb"))))
+    cand.join(setsA, Seq("id_a")).join(setsB, Seq("id_b"))
+      .withColumn("__i", inter)
+      .withColumn("jaccard", round(col("__i").cast("double") /
+        (size(col("__ga")) + size(col("__gb")) - col("__i")), 6))
+      .filter(col("jaccard") >= t)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** N-gram-Jaccard near-duplicate removal: drops every document whose
+    * gram set is ≥ `t` Jaccard-similar to an earlier (lower-id) one,
+    * with candidates from the exact prefix-filtered [[jaccardPairs]]
+    * and removal via left_anti — never a driver collect. */
+  def ngramDedup(df: DataFrame, idCol: String, textCol: Column,
+      t: Double = 0.8, n: Int = 3): DataFrame = {
+    val dupIds = jaccardPairs(df, idCol, textCol, t, n)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** Embedding-cosine near-duplicate removal: rows whose embedding is
     * within `threshold` cosine of an earlier (lower-id) row are
     * dropped via left_anti.

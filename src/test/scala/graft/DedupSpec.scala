@@ -169,6 +169,64 @@ class DedupSpec extends AnyFunSuite {
     assert(capped === Set(0L, 1L), "each clique collapses to its min id")
   }
 
+  test("jaccardPairs (prefix filtering) equals the brute-force cross join on real documents") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val brute = {
+      val g = docs.select(col("doc_id"), Dedup.ngrams(col("text"), 3).as("g"))
+      val a = g.select(col("doc_id").as("id_a"), col("g").as("ga"))
+      val b = g.select(col("doc_id").as("id_b"), col("g").as("gb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("jaccard", round(Dedup.jaccardOfSets(col("ga"), col("gb")), 6))
+        .filter(col("jaccard") >= 0.3)
+        .select("id_a", "id_b", "jaccard").collect().map(key).toSet
+    }
+    val prefix = Dedup.jaccardPairs(docs, "doc_id", col("text"), t = 0.3)
+      .collect().map(key).toSet
+    assert(prefix === brute, s"prefix=${prefix.size} brute=${brute.size}")
+    assert(brute.nonEmpty, "fixture must actually contain qualifying pairs")
+  }
+
+  test("jaccardPairs: sub-n-length docs follow J(∅,∅)=1 / J(∅,S)=0 semantics") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab"), (2L, "yz"), (3L, "tlazohcamati"), (4L, "tlazohcamati"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", col("text"), t = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs.keySet === Set((1L, 2L), (3L, 4L)),
+      "both empty-gram docs pair at J=1; empty-vs-nonempty must not pair")
+    assert(pairs((1L, 2L)) === 1.0)
+    assert(pairs((3L, 4L)) === 1.0)
+  }
+
+  test("ngramDedup keeps the lowest id of each near-dup clique") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "in tlahtolli mochipa cualli tonalli"),
+      (11L, "in tlahtolli mochipa cualli tonalli"),
+      (12L, "in tlahtolli mochipa cualli tonalli!"),
+      (20L, "ba'ax ka wa'alik bix a beel ma'alob")).toDF("doc_id", "text")
+    val kept = Dedup.ngramDedup(docs, "doc_id", col("text"), t = 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(10L, 20L))
+  }
+
+  test("SortedIntersectSize agrees with array_intersect on real gram sets") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100)
+    val g = docs.select(col("doc_id"), sort_array(Dedup.ngrams(col("text"), 3)).as("g"))
+    val a = g.select(col("doc_id").as("ia"), col("g").as("ga"))
+    val b = g.select(col("doc_id").as("ib"), col("g").as("gb"))
+    val joined = a.join(b, col("ia") < col("ib") && col("ib") <= col("ia") + 5)
+    val mismatches = joined.withColumn("kernel",
+        graft.functions.text.expr2col(graft.functions.SortedIntersectSize(
+          graft.functions.text.col2expr(col("ga")), graft.functions.text.col2expr(col("gb")))))
+      .withColumn("builtin", size(array_intersect(col("ga"), col("gb"))))
+      .filter(col("kernel") =!= col("builtin"))
+      .count()
+    assert(mismatches === 0)
+  }
+
   test("ngramJaccard: identity 1, disjoint 0, near-dup high") {
     val df = Seq(
       ("abcdefgh", "abcdefgh"),

@@ -92,6 +92,27 @@ class PlanSpec extends AnyFunSuite {
     assert(df.filter(col("d") > 0).count() > 0)
   }
 
+  test("prefix-filtered jaccard pairs: candidates via equi-join on prefix tokens, never cartesian") {
+    val plan = formatted("q45_ngram_pairs_full")
+    assert(!plan.contains("CartesianProduct"),
+      s"pair enumeration must not cross-join the corpus:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"pair enumeration must be key-based, not a nested loop:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"),
+      s"prefix-token join must be an equi-join:\n$plan")
+  }
+
+  test("sorted-intersect kernel runs inside whole-stage codegen") {
+    val df = Tables.documents(spark, dir)
+      .select(sort_array(operators.Dedup.ngrams(col("text"), 3)).as("g"))
+      .select(functions.text.expr2col(functions.SortedIntersectSize(
+        functions.text.col2expr(col("g")), functions.text.col2expr(col("g")))).as("n"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("sorted_intersect_size"), s"kernel missing:\n$plan")
+    assert(plan.startsWith("*"), "kernel must run inside WholeStageCodegen")
+    assert(df.filter(col("n") > 0).count() > 0)
+  }
+
   test("banded minhash dedup plan: equi-joins only, single-column dup-id anti join") {
     val df = operators.Dedup.minhashDedup(
       Tables.documents(spark, dir), "doc_id", col("text"),
