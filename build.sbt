@@ -30,5 +30,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs the whole "cluster" in this one JVM; 8g forced
+  // constant GC on wide-shuffle workloads (100M-row candidate joins)
+  // and made wall-times swing 2-3x run-to-run on the 125 GiB box.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Spark's whole-stage-codegen methods for wide expression trees
+  // routinely exceed HotSpot's 8KB huge-method bytecode cap, which
+  // bars them from JIT compilation entirely — first executions then
+  // run in the bytecode interpreter at ~100x cost. Standard Spark
+  // deployment tuning.
+  "-XX:-DontCompileHugeMethods",
 )

@@ -11,6 +11,13 @@ import org.apache.spark.sql.SparkSession
   *  - UTC session timezone (oracle parity);
   *  - nanosAsLong so parquet TIMESTAMP(NANOS) sources load (Spark has
   *    no native nanos type; Tables.events converts to micros).
+  *
+  * Scan parallelism note: splits land on parquet row-group boundaries,
+  * so a single-row-group file is one task no matter the config — lay
+  * out production tables with row groups ≤ maxPartitionBytes. The
+  * compute-heavy narrow expressions (CharNGrams, MinHashSig) are
+  * native and cheap enough that a single-split scan is not a
+  * bottleneck at test scale.
   */
 object GraftSession {
 

@@ -14,15 +14,23 @@ import org.apache.spark.sql.types.{DataType, IntegerType}
   * Spark's `array_intersect` builds a fresh hash set PER ROW (string
   * hashing + boxing + a growing table) — ~45 µs/pair on ~300-element
   * gram sets. Two presorted arrays intersect in a single allocation-free
-  * two-pointer merge over `UTF8String.compareTo` (binary order — the
+  * two-pointer merge over `UTF8String.binaryCompare` (binary order — the
   * exact order `sort_array` produces for default-collation strings):
   * ~1 µs/pair, and the count is bit-identical to
   * `size(array_intersect(a, b))` on distinct-element inputs.
   *
   * PRECONDITION (caller-enforced, not checked): both arrays sorted
-  * ascending with distinct elements — e.g. `sort_array(array_distinct(…))`.
-  * Null if either array is null or contains a null element (mirrors
-  * [[DotProduct]]'s strictness).
+  * ascending with distinct elements — e.g. `sort_array(array_distinct(…))`
+  * (`sort_array` ascending places null elements FIRST, which is the
+  * order the merge assumes). Null ELEMENTS follow `array_intersect`'s
+  * null-safe equality — a null in both sides counts as one common
+  * element. Null for null ARRAY inputs only.
+  *
+  * The generated code never assigns `ev.isNull` — with non-nullable
+  * children Spark materializes it as an unassignable constant, and an
+  * assignment fails Janino compilation, silently demoting every task
+  * to interpreted eval (~100× slower). The result is total given
+  * non-null arrays, so no assignment is needed.
   */
 case class SortedIntersectSize(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -40,11 +48,23 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     var j = 0
     var n = 0
     while (i < nx && j < ny) {
-      if (x.isNullAt(i) || y.isNullAt(j)) return null
-      val c = x.getUTF8String(i).compareTo(y.getUTF8String(j))
-      if (c == 0) { n += 1; i += 1; j += 1 }
-      else if (c < 0) i += 1
-      else j += 1
+      val an = x.isNullAt(i)
+      val bn = y.isNullAt(j)
+      if (an && bn) { n += 1; i += 1; j += 1 }
+      else if (an) i += 1
+      else if (bn) j += 1
+      else {
+        // binaryCompare, NOT compareTo: Spark 4's compareTo runs a
+        // collation assertion guarded by isTesting(), which calls
+        // System.getenv PER COMPARISON — ~3 µs + cross-thread
+        // contention on the env map, a ~1000× tax on a merge kernel.
+        // sort_array orders default-collation strings by exactly this
+        // binary order, so the merge semantics are unchanged.
+        val c = x.getUTF8String(i).binaryCompare(y.getUTF8String(j))
+        if (c == 0) { n += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
     }
     n
   }
@@ -56,16 +76,24 @@ case class SortedIntersectSize(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
       val n = ctx.freshName("n")
+      val an = ctx.freshName("an")
+      val bn = ctx.freshName("bn")
       val c = ctx.freshName("c")
       s"""
          |final int $nx = $a.numElements();
          |final int $ny = $b.numElements();
          |int $i = 0; int $j = 0; int $n = 0;
          |while ($i < $nx && $j < $ny) {
-         |  if ($a.isNullAt($i) || $b.isNullAt($j)) { ${ev.isNull} = true; break; }
-         |  final int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
-         |  if ($c == 0) { $n++; $i++; $j++; }
-         |  else if ($c < 0) { $i++; } else { $j++; }
+         |  final boolean $an = $a.isNullAt($i);
+         |  final boolean $bn = $b.isNullAt($j);
+         |  if ($an && $bn) { $n++; $i++; $j++; }
+         |  else if ($an) { $i++; }
+         |  else if ($bn) { $j++; }
+         |  else {
+         |    final int $c = $a.getUTF8String($i).binaryCompare($b.getUTF8String($j));
+         |    if ($c == 0) { $n++; $i++; $j++; }
+         |    else if ($c < 0) { $i++; } else { $j++; }
+         |  }
          |}
          |${ev.value} = $n;
        """.stripMargin

@@ -29,6 +29,14 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "vector_dot"
 
+  /** Always nullable: the result is null on length mismatch or a null
+    * element even when both INPUT columns are non-nullable. Without
+    * this override Spark materializes `ev.isNull` as an unassignable
+    * constant for non-nullable children, the generated `isNull = true`
+    * fails Janino compilation, and every task silently falls back to
+    * interpreted eval (~100× slower). */
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]

@@ -295,10 +295,16 @@ object Dedup {
           i => c.substr(i + lit(1), lit(n))),
         g => length(g) === n))
 
-  /** Jaccard similarity from two precomputed gram-set columns. */
+  /** Jaccard similarity from two precomputed gram-SET columns
+    * (distinct elements). Implemented with the codegen'd two-pointer
+    * merge kernel [[graft.functions.SortedIntersectSize]] over
+    * `sort_array`-ed inputs plus |A∪B| = |A|+|B|−|A∩B| — bit-identical
+    * to `size(array_intersect)/size(array_union)` on distinct-element
+    * arrays, without the two per-row hash-set builds. */
   def jaccardOfSets(ga: Column, gb: Column): Column = {
-    val inter = size(array_intersect(ga, gb)).cast("double")
-    val uni = size(array_union(ga, gb)).cast("double")
+    val inter = text.expr2col(graft.functions.SortedIntersectSize(
+      text.col2expr(sort_array(ga)), text.col2expr(sort_array(gb)))).cast("double")
+    val uni = size(ga) + size(gb) - inter
     when(uni === 0, lit(1.0)).otherwise(inter / uni)
   }
 
@@ -308,98 +314,89 @@ object Dedup {
   def ngramJaccard(a: Column, b: Column, n: Int = 3): Column =
     jaccardOfSets(ngrams(a, n), ngrams(b, n))
 
-  /** Exact all-pairs set-similarity join by PREFIX FILTERING (the
-    * AllPairs / PPJoin family — Bayardo et al., WWW'07; Xiao et al.,
-    * WWW'08): every pair of documents with character-n-gram Jaccard ≥
-    * `t`, WITHOUT the O(n²) theta-join, and with output identical to
-    * the brute-force cross join on any input (no probabilistic recall
-    * — safe behind a hash-checking oracle).
+  /** Exact all-pairs character-n-gram Jaccard join — every pair of
+    * documents with J ≥ `t`, WITHOUT the O(n²) theta-join, and with
+    * output identical to the brute-force cross join on any input (no
+    * probabilistic recall — safe behind a hash-checking oracle).
     *
-    * Why it is exact: if J(x,y) ≥ t then |x∩y| ≥ t·|x∪y| ≥
-    * t·max(|x|,|y|), so per-set α_x = ⌈t·|x|⌉ lower-bounds the
-    * overlap. Under any global total order on tokens, the smallest
-    * common token must sit inside the first |x|−α_x+1 tokens of x AND
-    * the first |y|−α_y+1 of y (else fewer than α common tokens
-    * remain) — so an equi-join on PREFIX tokens alone already yields
-    * every qualifying pair; exact [[jaccardOfSets]] verification then
-    * removes false positives.
+    * COUNT-BASED formulation (the "tokenize–join–aggregate" exact
+    * set-similarity join): explode each doc's distinct gram set once,
+    * self-join on the gram, and COUNT rows per (id_a, id_b) — that
+    * count IS |A∩B| exactly, so J = |∩| / (|A|+|B|−|∩|) needs no gram
+    * array anywhere past the explode. Pairs sharing zero grams are
+    * never enumerated and have J = 0 < t (the {""} sentinel makes
+    * empty-set pairs share a token, preserving J(∅,∅)=1).
     *
-    * Scale shape (vs the cross join's n² pair stream):
-    *  - token document-frequencies: one map-side-combined aggregation;
-    *  - the global token order is (df asc, token) — rarest-first, the
-    *    ordering that makes prefixes maximally selective — imposed by
-    *    `sort_array` per document, NOT a global sort/rank (no
-    *    single-partition window anywhere);
-    *  - candidates come from a hash equi-join on prefix tokens — the
-    *    ~1−t fraction of each document's grams — carrying ONLY
-    *    (id, set-size): gram arrays never enter the token join's
-    *    exchange (a frequent token fans out to df² rows; at array
-    *    width that shuffle would dwarf everything else). A size filter
-    *    (t·max ≤ min) prunes before the id-pair `distinct`;
-    *  - verification joins the DISTINCT id pairs back to the raw gram
-    *    sets by id — Jaccard is order-independent, so the verify reads
-    *    the unsorted sets straight off a narrow map over the source
-    *    (no second pass through the df-ordering shuffle).
-    * A stop-token df-cap is deliberately NOT applied: correctness
-    * first; frequent-gram skew only widens candidate sets, and those
-    * buckets are AQE-splittable.
-    *
-    * Documents shorter than n chars have an empty gram set; the
-    * reference semantics (and [[jaccardOfSets]]) define J(∅,∅)=1, so
-    * empties are mapped to a sentinel singleton {""} — impossible as a
-    * real n-gram — which preserves J exactly for every pair shape
-    * (∅∅→1, ∅·S→0, untouched otherwise).
+    * Scale shape:
+    *  - gram sets come from the native [[graft.functions.CharNGrams]]
+    *    expression (one static-call codegen site — the equivalent
+    *    HOF-chain expression tree generates multi-KB Janino methods
+    *    that overflow HotSpot's JIT limits);
+    *  - the token join carries (id, size, gram) rows only — ~20 bytes;
+    *    no array ever crosses an exchange, no plan-dependent broadcast
+    *    of array tables, nothing for AQE to flip between runs;
+    *  - a size filter (J ≥ t ⟹ t·max(|A|,|B|) ≤ min(|A|,|B|)) drops
+    *    pairs INSIDE the join stage, before the aggregation;
+    *  - the pair count aggregates map-side (partial agg) in the same
+    *    stage as the join — the token-match fan-out collapses before
+    *    its exchange; what shuffles is one row per surviving pair.
+    * Cost is Σ_gram df² join rows. Stop-grams make that quadratic on
+    * heavy-tailed corpora — there, bound the fan-out upstream (drop
+    * boilerplate with [[minhashDedup]], or raise `n`: an 8-gram's df
+    * is a fraction of a 3-gram's). The earlier prefix-filter variant
+    * (AllPairs/PPJoin) bounded candidates by rarest-token prefixes but
+    * needed the gram ARRAYS at verify time — the array-carrying join
+    * was 10× the cost of the extra count rows at every tested scale.
     *
     * Reference analog: near-dup detection over the corpus
     * (/root/reference/pipeline/processing/deduplication.py:19-31) —
-    * re-expressed as the published exact algorithm instead of a cap. */
+    * re-expressed as an exact relational algorithm instead of a cap. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: Column,
       t: Double, n: Int = 3): DataFrame = {
     require(t > 0 && t <= 1, "threshold must be in (0, 1]")
-    val rawGrams = ngrams(textCol, n)
-    val grams = df.select(col(idCol).as("__id"),
-      when(size(rawGrams) === 0, array(lit(""))).otherwise(rawGrams).as("__g"))
-    val exploded = grams.select(col("__id"), explode(col("__g")).as("__gram"))
-    val dfCounts = exploded.groupBy(col("__gram")).agg(count(lit(1)).as("__df"))
-    // rarest-first total order per document: sort by (df, gram) —
-    // gram strings are distinct within a doc, so the order is total
-    // and identical on every executor.
-    val sorted = exploded.join(dfCounts, Seq("__gram"))
-      .groupBy(col("__id"))
-      .agg(sort_array(collect_list(struct(col("__df"), col("__gram")))).as("__sg"))
-      .select(col("__id"),
-        transform(col("__sg"), s => s.getField("__gram")).as("__g"),
-        size(col("__sg")).as("__sz"))
-    // α = ⌈t·|x|⌉ computed with a subtractive epsilon so float noise
-    // (0.3·10 = 3.0000000000000004) can never round the bound UP past
-    // the true ceiling — a too-small α only lengthens the prefix
-    // (safe); a too-large one would drop true pairs.
-    val prefLen = (col("__sz") - ceil(col("__sz") * t - lit(1e-9)) + 1).cast("int")
-    val pref = sorted.select(col("__id"), col("__sz"),
-      explode(slice(col("__g"), lit(1), prefLen)).as("__gram"))
-    val a = pref.select(col("__id").as("id_a"), col("__sz").as("__sza"), col("__gram"))
-    val b = pref.select(col("__id").as("id_b"), col("__sz").as("__szb"), col("__gram"))
-    val cand = a.join(b, Seq("__gram"))
-      .filter(col("id_a") < col("id_b") &&
-        least(col("__sza"), col("__szb")).cast("double") >=
-          greatest(col("__sza"), col("__szb")) * t - lit(1e-9))
-      .select(col("id_a"), col("id_b"))
-      .distinct()
-    // verify against lexically-sorted sets with the codegen'd
-    // two-pointer merge kernel ([[graft.functions.SortedIntersectSize]])
-    // — |A∩B| without a per-pair hash set — and |A∪B| = |A|+|B|−|A∩B|,
-    // so no set is ever materialized per pair. Same rationals as
-    // `size(array_intersect)/size(array_union)`, bit-identical division.
-    val setsA = grams.select(col("__id").as("id_a"), sort_array(col("__g")).as("__ga"))
-    val setsB = grams.select(col("__id").as("id_b"), sort_array(col("__g")).as("__gb"))
-    val inter = text.expr2col(graft.functions.SortedIntersectSize(
-      text.col2expr(col("__ga")), text.col2expr(col("__gb"))))
-    cand.join(setsA, Seq("id_a")).join(setsB, Seq("id_b"))
-      .withColumn("__i", inter)
+    // The token join is a broadcast join when one side fits, so NO
+    // exchange precedes it — the explode→join→partial-agg pipeline
+    // (the Σdf² fan-out, the expensive part of the whole operator)
+    // inherits the SCAN's partitioning. A source with fewer splits
+    // than cores (one unsplittable file, a gzip'd dump) would run it
+    // near-sequentially; spread it first. Well-partitioned at-scale
+    // inputs skip the extra shuffle entirely.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val spread = if (df.rdd.getNumPartitions < math.max(2, par / 2))
+      df.repartition(par) else df
+    val sets = gramSets(spread, idCol, textCol, n)
+    val tok = sets
+      .select(col("__id"), size(col("__g")).as("__sz"), explode(col("__g")).as("__gram"))
+    val a = tok.select(col("__id").as("id_a"), col("__sz").as("__sza"), col("__gram"))
+    val b = tok.select(col("__id").as("id_b"), col("__sz").as("__szb"), col("__gram"))
+    // ε guards float noise in t·size (0.3·10 = 3.0000000000000004):
+    // the bound may only ever round DOWN, never drop a true pair.
+    val sizeOk = least(col("__sza"), col("__szb")).cast("double") >=
+      greatest(col("__sza"), col("__szb")) * t - lit(1e-9)
+    // the hot aggregation groups on ONE packed long (ids are read as
+    // 32-bit here; widen the pack if your ids exceed 2^31) — a third
+    // the hash-agg state of grouping on (id_a, id_b, sza, szb). The
+    // sizes ride along as min() buffers (constant within a pair), so
+    // no per-doc side table has to exist downstream.
+    a.join(b, Seq("__gram"))
+      .filter(col("id_a") < col("id_b") && sizeOk)
+      .groupBy((shiftleft(col("id_a"), 32) + col("id_b")).as("__pair"))
+      .agg(count(lit(1)).as("__i"),
+        min(col("__sza")).as("__sza"), min(col("__szb")).as("__szb"))
       .withColumn("jaccard", round(col("__i").cast("double") /
-        (size(col("__ga")) + size(col("__gb")) - col("__i")), 6))
+        (col("__sza") + col("__szb") - col("__i")), 6))
       .filter(col("jaccard") >= t)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(shiftright(col("__pair"), 32).as("id_a"),
+        col("__pair").bitwiseAND(lit(0xFFFFFFFFL)).as("id_b"), col("jaccard"))
+  }
+
+  /** `(__id, __g)` with `__g` = lexically-sorted distinct n-gram set
+    * (sentinel {""} for sub-n docs), via the native
+    * [[graft.functions.CharNGrams]] expression. */
+  private[graft] def gramSets(df: DataFrame, idCol: String, textCol: Column, n: Int): DataFrame = {
+    val grams = text.expr2col(
+      graft.functions.CharNGrams(text.col2expr(textCol), n, sentinel = true))
+    df.select(col(idCol).as("__id"), grams.as("__g"))
   }
 
   /** N-gram-Jaccard near-duplicate removal: drops every document whose

@@ -92,14 +92,17 @@ class PlanSpec extends AnyFunSuite {
     assert(df.filter(col("d") > 0).count() > 0)
   }
 
-  test("prefix-filtered jaccard pairs: candidates via equi-join on prefix tokens, never cartesian") {
+  test("jaccard pair join: token equi-join + map-side pair count, never cartesian") {
     val plan = formatted("q45_ngram_pairs_full")
     assert(!plan.contains("CartesianProduct"),
       s"pair enumeration must not cross-join the corpus:\n$plan")
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"pair enumeration must be key-based, not a nested loop:\n$plan")
-    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"),
-      s"prefix-token join must be an equi-join:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin") ||
+      plan.contains("ShuffledHashJoin"),
+      s"token join must be an equi-join:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"pair count must partial-aggregate map-side (join-stage combine):\n$plan")
   }
 
   test("sorted-intersect kernel runs inside whole-stage codegen") {
