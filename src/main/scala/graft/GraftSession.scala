@@ -48,5 +48,16 @@ object GraftSession {
       es => UnicodeNormalize(es.head, Normalizer.Form.NFC))
     bridge.registerFunction(spark, "unicode_nfkc",
       es => UnicodeNormalize(es.head, Normalizer.Form.NFKC))
+    // `char_ngrams(text, n)` — sorted distinct n-grams; n must be a
+    // foldable int literal (it parameterizes the generated code).
+    bridge.registerFunction(spark, "char_ngrams",
+      es => graft.functions.CharNGrams(es.head,
+        es(1).eval().asInstanceOf[Int]))
+    // `sorted_intersect_size(a, b)` over presorted string arrays.
+    bridge.registerFunction(spark, "sorted_intersect_size",
+      es => graft.functions.SortedIntersectSize(es.head, es(1)))
+    // `vector_dot(a, b)` over double arrays.
+    bridge.registerFunction(spark, "vector_dot",
+      es => graft.functions.DotProduct(es.head, es(1)))
   }
 }
