@@ -69,6 +69,57 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: CharNGrams matches the HOF ngrams formulation on random unicode text") {
+    for (seed <- 1L to 5L; n <- Seq(2, 3, 8)) {
+      val strs = sample(Gen.listOfN(40, corpusString), seed * 31 + n)
+      val df = strs.toDF("s")
+      val native = text.expr2col(
+        graft.functions.CharNGrams(text.col2expr(col("s")), n))
+      val bad = df.select(
+          sort_array(native).as("a"),
+          sort_array(Dedup.ngrams(col("s"), n)).as("b"))
+        .filter(not(col("a") <=> col("b")))
+      assert(bad.count() === 0L,
+        s"native vs HOF n-grams diverge (n=$n), e.g. ${bad.head(1).toSeq}")
+    }
+  }
+
+  test("property: SortedIntersectSize equals size(array_intersect) on random gram sets") {
+    for (seed <- 1L to 5L) {
+      val pairs = sample(Gen.listOfN(40, Gen.zip(corpusString, corpusString)), seed)
+      val df = pairs.toDF("x", "y")
+      val ga = sort_array(Dedup.ngrams(col("x"), 2))
+      val gb = sort_array(Dedup.ngrams(col("y"), 2))
+      val kernel = text.expr2col(graft.functions.SortedIntersectSize(
+        text.col2expr(ga), text.col2expr(gb)))
+      val bad = df.select(kernel.as("k"),
+          size(array_intersect(ga, gb)).as("b"))
+        .filter(col("k") =!= col("b"))
+      assert(bad.count() === 0L, s"kernel diverges, e.g. ${bad.head(1).toSeq}")
+    }
+  }
+
+  test("property: jaccardPairs equals brute force on random corpora (incl. sub-n docs)") {
+    for (seed <- 10L to 12L) {
+      val strs = sample(Gen.listOfN(30, corpusString), seed)
+      val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+      val t = 0.4
+      val fast = Dedup.jaccardPairs(df, "id", col("s"), t, n = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val g = df.select(col("id"), Dedup.ngrams(col("s"), 2).as("g"))
+      val withSentinel = g.select(col("id"),
+        when(size(col("g")) === 0, array(lit(""))).otherwise(col("g")).as("g"))
+      val a = withSentinel.select(col("id").as("id_a"), col("g").as("ga"))
+      val b = withSentinel.select(col("id").as("id_b"), col("g").as("gb"))
+      val brute = a.join(b, col("id_a") < col("id_b"))
+        .withColumn("j", round(Dedup.jaccardOfSets(col("ga"), col("gb")), 6))
+        .filter(col("j") >= t)
+        .select("id_a", "id_b", "j")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(fast === brute, s"seed=$seed fast=${fast.size} brute=${brute.size}")
+    }
+  }
+
   test("property: dedup_key distinguishes null-position permutations") {
     for (seed <- 1L to 5L) {
       val vals = sample(Gen.listOfN(20, Gen.option(corpusString)), seed)
