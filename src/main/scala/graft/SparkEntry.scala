@@ -334,7 +334,7 @@ object SparkEntry {
     // per-pair recomputation would cost O(n²) interpreted evals).
     "q30_ngram_jaccard" -> { (s, dir) =>
       val g = Tables.documents(s, dir).filter(col("doc_id") < 50)
-        .select(col("doc_id"), Dedup.ngrams(col("text"), 3).as("grams"))
+        .select(col("doc_id"), Dedup.charNGrams(col("text"), 3).as("grams"))
       val a = g.select(col("doc_id").as("id_a"), col("grams").as("ga"))
       val b = g.select(col("doc_id").as("id_b"), col("grams").as("gb"))
       a.join(b, col("id_a") < col("id_b"))

@@ -284,10 +284,18 @@ object Dedup {
       .drop("__sig")
   }
 
-  /** Distinct character n-gram set of a string column. Higher-order
-    * functions are interpreted (not codegen'd) in Spark, so gram sets
-    * should be computed ONCE per document and joined — never inside a
-    * pair predicate where they'd be re-evaluated O(n²) times. */
+  /** Distinct character n-grams via the native
+    * [[graft.functions.CharNGrams]] expression (sorted ascending;
+    * single static-call codegen site). Prefer this in any hot path. */
+  def charNGrams(c: Column, n: Int = 3): Column =
+    text.expr2col(graft.functions.CharNGrams(text.col2expr(c), n))
+
+  /** Distinct character n-gram set of a string column — the
+    * Column/HOF reference formulation (PropertySpec cross-validates
+    * [[charNGrams]] against it). Higher-order functions are
+    * interpreted (not codegen'd) in Spark, so gram sets should be
+    * computed ONCE per document and joined — never inside a pair
+    * predicate where they'd be re-evaluated O(n²) times. */
   def ngrams(c: Column, n: Int = 3): Column =
     array_distinct(
       filter(
