@@ -504,6 +504,22 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     },
 
+    // ---- Embedding storage path: symmetric int8 quantization
+    // (4× smaller vectors for the 100 TB embedding corpus) — per-vector
+    // scale, max reconstruction error, and original-vs-dequantized
+    // cosine, all oracle-checked.
+    "q46_embedding_quantize" -> { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val qz = e.withColumn("__qz", Similarity.quantizeInt8(col("v")))
+      val dq = Similarity.dequantizeInt8(col("__qz.q"), col("__qz.scale"))
+      qz.select(col("vec_id"),
+          round(col("__qz.scale"), 9).as("scale"),
+          round(array_max(zip_with(col("v"), dq, (a, b) => abs(a - b))), 9).as("max_err"),
+          round(Similarity.cosine(col("v"), dq), 6).as("cos_sim"))
+        .orderBy("vec_id")
+    },
+
     // ---- S11: plain-text corpus scan — documents dumped to a text
     // file, re-read with the verse-scan semantics (trim + min-length
     // filter, driver_bible.py:24-47), aggregated so the oracle can
@@ -1016,5 +1032,28 @@ object SparkEntry {
         |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j
         |WHERE round(jac, 6) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q46_embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+        |             ELSE list_max(list_transform(v, x -> abs(x))) / 127.0 END AS scale
+        |      FROM e),
+        |d AS (SELECT vec_id, v, scale,
+        |        list_transform(v, x -> round(x / scale) * scale) AS dq
+        |      FROM s),
+        |m AS (SELECT vec_id, scale, v, dq,
+        |        list_max(list_transform(range(1, len(v) + 1),
+        |          i -> abs(v[i] - dq[i]))) AS max_err,
+        |        CASE WHEN sqrt(list_dot_product(v, v)) = 0
+        |               OR sqrt(list_dot_product(dq, dq)) = 0 THEN 0.0
+        |             ELSE list_dot_product(v, dq) /
+        |               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(dq, dq)))
+        |        END AS cos
+        |      FROM d)
+        |SELECT vec_id, round(scale, 9) AS scale, round(max_err, 9) AS max_err,
+        |  round(cos, 6) AS cos_sim
+        |FROM m
+        |ORDER BY vec_id""".stripMargin,
   )
 }

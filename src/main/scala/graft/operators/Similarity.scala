@@ -39,6 +39,26 @@ object Similarity {
     graft.functions.text.expr2col(graft.functions.DotProduct(
       graft.functions.text.col2expr(a), graft.functions.text.col2expr(b)))
 
+  /** Symmetric per-vector int8 quantization: `q_i = round(v_i/scale)`
+    * with `scale = max|v_i| / 127` — the storage format that makes a
+    * 100 TB embedding corpus 4× smaller (and int8-SIMD-scannable)
+    * while IVF/LSH candidate generation stays on the quantized
+    * vectors and only the final rerank touches full precision.
+    * Returns `struct(q: array<tinyint>, scale: double)`; zero vectors
+    * get scale 1 so the round-trip is exact. */
+  def quantizeInt8(v: Column): Column = {
+    val mx = array_max(transform(v, x => abs(x)))
+    val scale = when(mx === 0, lit(1.0d)).otherwise(mx / 127.0)
+    struct(
+      transform(v, x => round(x / scale, 0).cast("tinyint")).as("q"),
+      scale.as("scale"))
+  }
+
+  /** Inverse of [[quantizeInt8]]: `v_i ≈ q_i · scale`. Max absolute
+    * reconstruction error is `scale / 2`. */
+  def dequantizeInt8(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
+
   /** Exact top-k neighbors for every row of `queries` against `corpus`.
     * Query side is broadcast (ANN queries are batched and small
     * relative to the corpus); corpus streams through the broadcast

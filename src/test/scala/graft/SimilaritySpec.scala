@@ -110,6 +110,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(viaPruned.size < 500, "threshold 0.4 should drop at least one near-pair member")
   }
 
+  test("int8 quantization round-trip: bounded error, high cosine, values in [-127,127]") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val qz = emb.withColumn("__qz", Similarity.quantizeInt8(col("v")))
+    val dq = Similarity.dequantizeInt8(col("__qz.q"), col("__qz.scale"))
+    val checked = qz.select(
+      col("vec_id"),
+      col("__qz.scale").as("scale"),
+      array_max(zip_with(col("v"), dq, (a, b) => abs(a - b))).as("max_err"),
+      Similarity.cosine(col("v"), dq).as("cos"),
+      array_max(transform(col("__qz.q"), x => abs(x.cast("int")))).as("max_q"))
+    assert(checked.filter(col("max_err") > col("scale") / 2 + lit(1e-12)).count() === 0L,
+      "reconstruction error must be bounded by scale/2")
+    assert(checked.filter(col("max_q") > 127).count() === 0L)
+    assert(checked.filter(col("cos") < 0.999).count() === 0L,
+      "int8 quantization of 64-dim unit-ish vectors keeps cosine ≈ 1")
+  }
+
   test("lshTopK recall vs brute force is reasonable on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .withColumn("embedding", col("embedding").cast("array<double>"))
