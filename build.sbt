@@ -40,4 +40,4 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // run in the bytecode interpreter at ~100x cost. Standard Spark
   // deployment tuning.
   "-XX:-DontCompileHugeMethods",
-)
+) ++ sys.env.get("SPARK_GC_LOG").map(f => s"-Xlog:gc*:file=$f").toSeq

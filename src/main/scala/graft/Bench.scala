@@ -59,10 +59,24 @@ object Bench {
         name -> (() => force(fn(spark, sfDir)))
       }
 
-    val results = (ops ++ queryRuns).map { case (name, run) =>
+    // SPARK_GRAFT_ONLY=<regex>: run just the matching subset (local
+    // iteration on one hot query without paying the full sweep).
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.r)
+    val selected = (ops ++ queryRuns).filter { case (name, _) =>
+      only.forall(_.findFirstIn(name).isDefined)
+    }
+
+    val results = selected.map { case (name, run) =>
       val t0 = System.nanoTime()
       val ok = try { run(); true } catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
+      // Isolation between measurements: a heavy query's async teardown
+      // (ContextCleaner dropping its shuffle/broadcast/checkpoint
+      // blocks is driven by weak refs, i.e. by GC) otherwise bleeds
+      // into the NEXT query's wall time. Run it now, off the clock.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      System.gc()
+      Thread.sleep(300)
       name -> (if (ok) dt else -1.0)
     }
 

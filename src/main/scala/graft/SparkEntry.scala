@@ -489,15 +489,17 @@ object SparkEntry {
         .orderBy("category", "dialect")
     },
 
-    // ---- Near-dup at scale: FULL-table n-gram Jaccard pairs via exact
-    // prefix filtering (AllPairs/PPJoin) — candidates from an equi-join
-    // on rarest-first prefix tokens, never a cross join, and the output
-    // provably equals the brute-force pair enumeration, so the all-pairs
-    // DuckDB oracle hash-checks it. 8-char shingles: the dedup-standard
-    // long shingle (vs n=3 for short strings) — on template-heavy
-    // corpora the 3-gram vocabulary saturates (~400 grams here) and
-    // every token join degenerates; 8-grams keep token df low so the
-    // prefix join prunes.
+    // ---- Near-dup at scale: FULL-table n-gram Jaccard pairs via the
+    // exact count-based token join — explode gram sets once, equi-join
+    // on the gram, COUNT(*) per pair = |A∩B| — never a cross join, and
+    // the output provably equals the brute-force pair enumeration, so
+    // the all-pairs DuckDB oracle hash-checks it. 8-char shingles keep
+    // the gram vocabulary from saturating (vs n=3). The PPJoin variant
+    // (Dedup.jaccardPairsPrefix) loses here ~8×: this corpus has no
+    // truly rare grams (min df ≈ dozens), so rarest-prefix candidates
+    // still explode and then drag gram ARRAYS through the verify join —
+    // the count join's 20-byte rows win despite touching every
+    // gram-sharing pair.
     "q45_ngram_pairs_full" -> { (s, dir) =>
       Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", col("text"),
           t = 0.8, n = 8)

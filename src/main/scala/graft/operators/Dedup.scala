@@ -377,10 +377,12 @@ object Dedup {
       .select(col("__id"), size(col("__g")).as("__sz"), explode(col("__g")).as("__gram"))
     val a = tok.select(col("__id").as("id_a"), col("__sz").as("__sza"), col("__gram"))
     val b = tok.select(col("__id").as("id_b"), col("__sz").as("__szb"), col("__gram"))
-    // ε guards float noise in t·size (0.3·10 = 3.0000000000000004):
-    // the bound may only ever round DOWN, never drop a true pair.
+    // ε guards float noise in t·size (0.3·10 = 3.0000000000000004),
+    // and the relaxed t−1e-6 covers pairs whose true J sits just below
+    // t but ROUNDS to ≥ t (the output filter is on the rounded value):
+    // the bound may only ever round DOWN, never drop an emitted pair.
     val sizeOk = least(col("__sza"), col("__szb")).cast("double") >=
-      greatest(col("__sza"), col("__szb")) * t - lit(1e-9)
+      greatest(col("__sza"), col("__szb")) * (t - 1e-6) - lit(1e-9)
     // the hot aggregation groups on ONE packed long (ids are read as
     // 32-bit here; widen the pack if your ids exceed 2^31) — a third
     // the hash-agg state of grouping on (id_a, id_b, sza, szb). The
@@ -396,6 +398,71 @@ object Dedup {
       .filter(col("jaccard") >= t)
       .select(shiftright(col("__pair"), 32).as("id_a"),
         col("__pair").bitwiseAND(lit(0xFFFFFFFFL)).as("id_b"), col("jaccard"))
+  }
+
+  /** Exact all-pairs n-gram Jaccard join via PPJoin-style PREFIX
+    * filtering — same output contract as [[jaccardPairs]] (provably
+    * identical to the brute-force cross join), different cost shape.
+    *
+    * [[jaccardPairs]]'s count-based join costs Σ_gram df² rows. On a
+    * corpus whose gram vocabulary saturates (templated/boilerplate
+    * text: few distinct grams, each in hundreds of documents) that sum
+    * goes quadratic even though almost no pair passes the threshold.
+    * Prefix filtering bounds candidates instead by RARE grams: order
+    * grams globally by (document frequency, gram); a pair with
+    * J ≥ t must share a gram inside both sides' first
+    * `|A| − ⌈t·|A|⌉ + 1` grams of that order (Chaudhuri/Xiao AllPairs–
+    * PPJoin bound: the suffix has < t·|A| ≤ |A∩B| elements, so the
+    * intersection cannot avoid the prefix; symmetrically for B). Only
+    * prefix tokens are joined — Σ over prefix grams of (prefix-df)²,
+    * which selects each doc's rarest grams — then candidates are
+    * verified with the exact codegen'd set intersection
+    * ([[jaccardOfSets]]).
+    *
+    * Scale shape: one df aggregation (gram vocabulary), one window
+    * rank per doc (hash shuffle on doc id), one equi-join on prefix
+    * grams, one pair-distinct, two hash joins to re-attach gram sets
+    * (arrays shuffle only for candidate rows). Prefer this over
+    * [[jaccardPairs]] when the corpus is template-heavy; prefer the
+    * count-based join when gram df is low (its joined rows carry no
+    * arrays and skip the window + verify joins).
+    */
+  def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: Column,
+      t: Double, n: Int = 3): DataFrame = {
+    require(t > 0 && t <= 1, "threshold must be in (0, 1]")
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val spread = if (df.rdd.getNumPartitions < math.max(2, par / 2))
+      df.repartition(par) else df
+    val sets = gramSets(spread, idCol, textCol, n)
+    val tok = sets
+      .select(col("__id"), size(col("__g")).as("__sz"), explode(col("__g")).as("__gram"))
+    val dfTab = tok.groupBy(col("__gram")).agg(count(lit(1)).as("__df"))
+    // The output filter is on ROUNDED J ≥ t, which admits true J down
+    // to t − 5e-7 — so all pruning runs at the relaxed tC < t (longer
+    // prefix, looser size bound: strictly more candidates, never
+    // fewer), and the ε inside ceil guards float noise the same way.
+    val tC = math.max(t - 1e-6, 1e-12)
+    val prefLen = (col("__sz") - ceil(col("__sz") * tC - lit(1e-9)) + 1).cast("int")
+    val rankW = Window.partitionBy(col("__id")).orderBy(col("__df"), col("__gram"))
+    val pref = tok.join(dfTab, Seq("__gram"))
+      .withColumn("__pos", row_number().over(rankW))
+      .filter(col("__pos") <= prefLen)
+    val a = pref.select(col("__id").as("id_a"), col("__sz").as("__sza"), col("__gram"))
+    val b = pref.select(col("__id").as("id_b"), col("__sz").as("__szb"), col("__gram"))
+    val sizeOk = least(col("__sza"), col("__szb")).cast("double") >=
+      greatest(col("__sza"), col("__szb")) * tC - lit(1e-9)
+    val cand = a.join(b, Seq("__gram"))
+      .filter(col("id_a") < col("id_b") && sizeOk)
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val sa = sets.select(col("__id").as("id_a"), col("__g").as("__ga"))
+    val sb = sets.select(col("__id").as("id_b"), col("__g").as("__gb"))
+    // same numerator/denominator values as jaccardPairs' count-based
+    // formula, so the rounded output is bit-identical.
+    cand.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .withColumn("jaccard", round(jaccardOfSets(col("__ga"), col("__gb")), 6))
+      .filter(col("jaccard") >= t)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** `(__id, __g)` with `__g` = lexically-sorted distinct n-gram set

@@ -182,7 +182,10 @@ class DedupSpec extends AnyFunSuite {
         .filter(col("jaccard") >= 0.3)
         .select("id_a", "id_b", "jaccard").collect().map(key).toSet
     }
-    val prefix = Dedup.jaccardPairs(docs, "doc_id", col("text"), t = 0.3)
+    val counted = Dedup.jaccardPairs(docs, "doc_id", col("text"), t = 0.3)
+      .collect().map(key).toSet
+    assert(counted === brute, s"count-based=${counted.size} brute=${brute.size}")
+    val prefix = Dedup.jaccardPairsPrefix(docs, "doc_id", col("text"), t = 0.3)
       .collect().map(key).toSet
     assert(prefix === brute, s"prefix=${prefix.size} brute=${brute.size}")
     assert(brute.nonEmpty, "fixture must actually contain qualifying pairs")

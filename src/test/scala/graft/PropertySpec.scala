@@ -106,6 +106,8 @@ class PropertySpec extends AnyFunSuite {
       val t = 0.4
       val fast = Dedup.jaccardPairs(df, "id", col("s"), t, n = 2)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pref = Dedup.jaccardPairsPrefix(df, "id", col("s"), t, n = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       val g = df.select(col("id"), Dedup.ngrams(col("s"), 2).as("g"))
       val withSentinel = g.select(col("id"),
         when(size(col("g")) === 0, array(lit(""))).otherwise(col("g")).as("g"))
@@ -117,6 +119,7 @@ class PropertySpec extends AnyFunSuite {
         .select("id_a", "id_b", "j")
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       assert(fast === brute, s"seed=$seed fast=${fast.size} brute=${brute.size}")
+      assert(pref === brute, s"seed=$seed prefix=${pref.size} brute=${brute.size}")
     }
   }
 
