@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{analysis, text}
-import graft.operators.{Dedup, Similarity, Split, Stats}
+import graft.operators.{Dedup, DupClusters, Similarity, Split, Stats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -522,6 +522,35 @@ object SparkEntry {
         .orderBy("vec_id")
     },
 
+    // ---- Dup-cluster resolution: connected components of the
+    // full-table embedding-similarity pair graph (exact pairs via the
+    // cell-pruned join), every vector labeled with its cluster's
+    // canonical (minimum) id. The DuckDB oracle recomputes the same
+    // closure with a recursive CTE, so the iterative min-label
+    // propagation is hash-checked end-to-end.
+    "q47_dup_clusters" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val pairs = Similarity.similarPairsApprox(emb, "vec_id", "embedding",
+        t = 0.4, nCells = 8)
+      DupClusters.connectedComponents(emb.select(col("vec_id")), pairs)
+        .select(col("id").as("vec_id"), col("cluster").as("cluster_id"))
+        .orderBy("vec_id")
+    },
+
+    // ---- Cluster-aware dedup: keep the BEST member of each near-dup
+    // cluster (max label, ties to the lowest id) instead of the
+    // pair-local drop-higher-id policy — the chain a~b~c keeps exactly
+    // one row even though (a,c) was never an enumerated pair.
+    "q48_cluster_dedup" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val pairs = Similarity.similarPairsApprox(emb, "vec_id", "embedding",
+        t = 0.4, nCells = 8)
+      DupClusters.clusterDedup(emb, "vec_id", pairs,
+          Seq(col("label"), -col("vec_id")))
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id")
+    },
+
     // ---- S11: plain-text corpus scan — documents dumped to a text
     // file, re-read with the verse-scan semantics (trim + min-length
     // filter, driver_bible.py:24-47), aggregated so the oracle can
@@ -953,6 +982,42 @@ object SparkEntry {
         |               ELSE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END) >= 0.4)
         |SELECT vec_id FROM embeddings
         |WHERE vec_id NOT IN (SELECT id_b FROM dup)
+        |ORDER BY vec_id""".stripMargin,
+
+    "q47_dup_clusters" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |g AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |      FROM n a, n b WHERE a.vec_id < b.vec_id
+        |        AND (CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+        |             ELSE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END) >= 0.4),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM g
+        |          UNION ALL SELECT id_b, id_a FROM g),
+        |reach(id, m) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT e2.a, r.m FROM edges e2 JOIN reach r ON r.id = e2.b)
+        |SELECT id AS vec_id, min(m) AS cluster_id FROM reach
+        |GROUP BY id ORDER BY vec_id""".stripMargin,
+
+    "q48_cluster_dedup" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |g AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |      FROM n a, n b WHERE a.vec_id < b.vec_id
+        |        AND (CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+        |             ELSE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END) >= 0.4),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM g
+        |          UNION ALL SELECT id_b, id_a FROM g),
+        |reach(id, m) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT e2.a, r.m FROM edges e2 JOIN reach r ON r.id = e2.b),
+        |comp AS (SELECT id, min(m) AS cluster FROM reach GROUP BY id)
+        |SELECT emb.vec_id, emb.label
+        |FROM embeddings emb JOIN comp ON comp.id = emb.vec_id
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY comp.cluster ORDER BY emb.label DESC, emb.vec_id ASC) = 1
         |ORDER BY vec_id""".stripMargin,
 
     "q43_metadata_unify" ->

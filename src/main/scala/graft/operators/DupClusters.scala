@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster resolution — the step after pair enumeration in a
+  * training-data dedup pipeline.
+  *
+  * The reference (and [[Dedup.ngramDedup]]/[[Dedup.minhashDedup]])
+  * resolves near-dup PAIRS by dropping the higher id of each pair
+  * (/root/reference/src/scala_examples/SparkDedup.scala:63-72). That
+  * policy is pair-local: in a chain a~b~c it keeps `a` and drops both
+  * `b` and `c` even if b is the best copy, and which rows survive
+  * depends on which pairs the enumerator emitted. Production LLM
+  * dedup groups pairs into CONNECTED COMPONENTS and keeps one chosen
+  * representative per cluster — cluster membership is a property of
+  * the graph, not of the enumeration order.
+  */
+object DupClusters {
+
+  /** Connected components of the near-dup graph by min-label
+    * propagation: every vertex ends labeled with the smallest id
+    * reachable from it (the canonical cluster id).
+    *
+    * `vertices` is a single-column frame of ids; `edges` has columns
+    * `id_a`, `id_b` (orientation irrelevant). Returns `(id, cluster)`.
+    *
+    * Scale shape: the loop runs ONLY over edge-participating vertices
+    * (isolated rows — the overwhelming majority of a real corpus —
+    * join back in one left_anti at the end, never entering an
+    * iteration). The edge list is materialized ONCE up front
+    * (`localCheckpoint`) — the pair enumeration feeding it is usually
+    * the expensive operator in the pipeline and must not re-execute
+    * every round. Each round is then: neighbor-min (hash join +
+    * partial-aggregated min), plus a POINTER-JUMP (`label ←
+    * label(label)`, one self-join) that halves remaining label-chain
+    * depth, giving O(log diameter) rounds instead of O(diameter);
+    * every round's result is localCheckpoint-ed so the plan stays
+    * O(1)-deep instead of growing by joins-per-round. `maxIter`
+    * guards adversarial chains (use reliable `checkpoint` over
+    * `localCheckpoint` on a real cluster for fault tolerance across
+    * long loops).
+    */
+  def connectedComponents(
+      vertices: DataFrame, edges: DataFrame, maxIter: Int = 30): DataFrame = {
+    val idCol = vertices.columns.head
+    val sym = edges.select(col("id_a").as("id"), col("id_b").as("nbr"))
+      .union(edges.select(col("id_b").as("id"), col("id_a").as("nbr")))
+      .localCheckpoint(true)
+    val endpoints = sym.select(col("id")).distinct().localCheckpoint(true)
+
+    var labels = endpoints.select(col("id"), col("id").as("cluster"))
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val nbrLabels = sym
+        .join(labels.select(col("id").as("nbr"), col("cluster").as("__nc")), Seq("nbr"))
+        .groupBy(col("id")).agg(min(col("__nc")).as("__minNbr"))
+      val stepped = labels.select(col("id"), col("cluster").as("__old"))
+        .join(nbrLabels, Seq("id"), "left")
+        .select(col("id"), col("__old"),
+          least(col("__old"), coalesce(col("__minNbr"), col("__old"))).as("__c1"))
+      // pointer jump: a label is itself a vertex id whose label is ≤ it
+      // and reachable, so label(label(v)) is a valid (better) label —
+      // path halving on the label chains.
+      val jump = stepped.select(col("id").as("__c1"), col("__c1").as("__jc"))
+      val next = stepped.join(jump, Seq("__c1"), "left")
+        .select(col("id"),
+          least(col("__c1"), coalesce(col("__jc"), col("__c1"))).as("cluster"),
+          (least(col("__c1"), coalesce(col("__jc"), col("__c1"))) < col("__old")).as("__chg"))
+        .localCheckpoint(true)
+      changed = next.filter(col("__chg")).count()
+      labels = next.drop("__chg")
+      iter += 1
+    }
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations " +
+          "(graph diameter exceeds maxIter)")
+
+    val isolated = vertices.select(col(idCol).as("id"))
+      .join(endpoints, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("cluster"))
+    labels.union(isolated)
+  }
+
+  /** Keep the BEST row of each duplicate cluster: components of the
+    * pair graph, then one `max_by` per cluster under `order` (append a
+    * deterministic tie-break, e.g. the id itself, for oracle-stable
+    * output). Rows not in any pair survive as their own cluster. */
+  def clusterDedup(
+      df: DataFrame, idCol: String, pairs: DataFrame,
+      order: Seq[Column]): DataFrame = {
+    val comps = connectedComponents(
+      df.select(col(idCol)), pairs.select(col("id_a"), col("id_b")))
+    val withComp = df.join(
+      comps.select(col("id").as(idCol), col("cluster").as("__cluster")), Seq(idCol))
+    Dedup.keepBest(withComp, col("__cluster"), order).drop("__cluster")
+  }
+
+  /** Per-cluster summary (size, members kept/dropped) — the audit
+    * counterpart of [[clusterDedup]], reference analog of the dup
+    * statistics report (deduplicators.py:237-281) lifted from key
+    * groups to graph clusters. */
+  def clusterStats(comps: DataFrame): DataFrame =
+    comps.groupBy(col("cluster")).agg(count(lit(1)).as("size"))
+      .agg(
+        count(lit(1)).as("clusters"),
+        sum(col("size")).as("vertices"),
+        sum(when(col("size") > 1, col("size")).otherwise(lit(0))).as("vertices_in_dup_clusters"),
+        max(col("size")).as("largest_cluster"),
+        sum(col("size") - 1).as("removable"))
+}

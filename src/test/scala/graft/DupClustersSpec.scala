@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{DupClusters, Similarity}
+
+class DupClustersSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def comps(vs: Seq[Long], es: Seq[(Long, Long)], maxIter: Int = 30) =
+    DupClusters.connectedComponents(
+        vs.toDF("id"), es.toDF("id_a", "id_b"), maxIter)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("connectedComponents: chains transitively close, isolated rows self-label") {
+    // a~b, b~c chain + separate pair + isolated vertex
+    val m = comps(Seq(1L, 2L, 3L, 4L, 5L, 9L), Seq((2L, 1L), (2L, 3L), (4L, 5L)))
+    assert(m === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 9L -> 9L))
+  }
+
+  test("connectedComponents: long path converges in O(log d) rounds, maxIter guards") {
+    val vs = (0L to 12L).toSeq
+    val es = vs.sliding(2).map(p => (p(1), p(0))).toSeq // 12-edge path
+    val m = comps(vs, es)
+    assert(m.values.toSet === Set(0L), "whole path is one component labeled by min id")
+    val long = (0L to 40L).toSeq
+    val longEs = long.sliding(2).map(p => (p(1), p(0))).toSeq
+    assert(comps(long, longEs).values.toSet === Set(0L))
+    assertThrows[IllegalStateException](comps(long, longEs, maxIter = 2))
+  }
+
+  test("connectedComponents: edge orientation and duplicate edges don't matter") {
+    val m1 = comps(Seq(1L, 2L, 3L), Seq((1L, 2L), (2L, 3L)))
+    val m2 = comps(Seq(1L, 2L, 3L), Seq((2L, 1L), (3L, 2L), (1L, 2L)))
+    assert(m1 === m2)
+  }
+
+  test("clusterDedup keeps exactly one best row per cluster (not per pair)") {
+    // chain 1~2~3: pair-local drop-id_b would keep {1}; cluster dedup
+    // keeps the best by score — row 2 — exactly once.
+    val df = Seq((1L, 10), (2L, 99), (3L, 50), (7L, 1)).toDF("id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val kept = DupClusters.clusterDedup(df, "id", pairs, Seq(col("score"), -col("id")))
+      .select("id").as[Long].collect().toSet
+    assert(kept === Set(2L, 7L))
+  }
+
+  test("clusterStats summarizes the component structure") {
+    val c = DupClusters.connectedComponents(
+      Seq(1L, 2L, 3L, 4L, 9L).toDF("id"),
+      Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b"))
+    val row = DupClusters.clusterStats(c).collect().head
+    assert(row.getLong(0) === 3L, "clusters: {1,2,3} {4} {9}")
+    assert(row.getLong(1) === 5L, "vertices")
+    assert(row.getLong(2) === 3L, "vertices in dup clusters")
+    assert(row.getLong(3) === 3L, "largest cluster")
+    assert(row.getLong(4) === 2L, "removable rows")
+  }
+
+  test("components of the embedding pair graph agree with a driver-side union-find") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pairs = Similarity.similarPairsApprox(emb, "vec_id", "embedding", t = 0.4, nCells = 4)
+    val edges = pairs.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ids = emb.select("vec_id").as[Long].collect()
+    // reference union-find on the driver (test-only)
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = ids.map(i => i -> find(i)).toMap
+    val got = DupClusters.connectedComponents(emb.select(col("vec_id")), pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expected)
+    assert(expected.values.toSet.size < ids.length, "fixture must contain real clusters")
+  }
+}
