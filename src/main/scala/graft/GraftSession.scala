@@ -59,5 +59,14 @@ object GraftSession {
     // `vector_dot(a, b)` over double arrays.
     bridge.registerFunction(spark, "vector_dot",
       es => graft.functions.DotProduct(es.head, es(1)))
+    // `sig_agree_count(a, b)` over equal-length bigint signatures.
+    bridge.registerFunction(spark, "sig_agree_count",
+      es => graft.functions.SigAgreeCount(es.head, es(1)))
+    // `hyperplane_sig(vec, bits, seed)` — bits/seed must be foldable
+    // int/long literals (they parameterize the signature family).
+    bridge.registerFunction(spark, "hyperplane_sig",
+      es => graft.functions.HyperplaneSig(es.head,
+        es(1).eval().asInstanceOf[Int],
+        es(2).eval() match { case i: Int => i.toLong; case l: Long => l }))
   }
 }

@@ -201,8 +201,12 @@ object Dedup {
     val sizes = banded.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("__bsz"))
     val tagged = banded.join(sizes, Seq("band", "bucket"))
+    // native agreement kernel — the verify runs once per colliding
+    // band per candidate pair; the HOF formulation interprets 3 lambda
+    // dispatches per signature position (PropertySpec cross-validates)
     def estJaccard(x: Column, y: Column): Column =
-      size(filter(zip_with(x, y, _ === _), v => v)).cast("double") / numPerm
+      text.expr2col(graft.functions.SigAgreeCount(
+        text.col2expr(x), text.col2expr(y))).cast("double") / numPerm
     // normal buckets: inline-verified self-join — no pair-dedup
     // shuffle, signature arrays never pass through an exchange (a pair
     // colliding in k bands is just verified k times, which is far

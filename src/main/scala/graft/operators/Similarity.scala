@@ -79,11 +79,23 @@ object Similarity {
   }
 
   /** Random-hyperplane signature: `bits` sign bits from seeded
-    * pseudo-random hyperplanes. Deterministic in (seed, dim). The
-    * hyperplane components are derived from xxhash64(seed, bit, dim
-    * index) — no stored model object needed, so the same signature is
-    * computable on any executor without a broadcast. */
-  def hyperplaneSignature(vec: Column, dim: Int, bits: Int, seed: Long = 42L): Column = {
+    * pseudo-random hyperplanes. Deterministic in (seed, vector dim).
+    * Hyperplane components are derived per element from
+    * byteswap64(seed, bit, index) — no stored model object, so the
+    * same signature is computable on any executor without a broadcast.
+    * Native expression ([[graft.functions.HyperplaneSig]]): one plan
+    * node and a tight codegen loop at ANY dimensionality, where the
+    * Column formulation ([[hyperplaneSignatureColumns]]) materializes
+    * dim × bits expression nodes — unusable past a few hundred dims. */
+  def hyperplaneSignature(vec: Column, bits: Int, seed: Long = 42L): Column =
+    graft.functions.text.expr2col(graft.functions.HyperplaneSig(
+      graft.functions.text.col2expr(vec.cast("array<double>")), bits, seed))
+
+  /** The pure-Column reference formulation of [[hyperplaneSignature]]
+    * (bit-identical on non-null elements; PropertySpec cross-validates).
+    * Kept non-private as the spec oracle — do not use in hot paths. */
+  private[graft] def hyperplaneSignatureColumns(
+      vec: Column, dim: Int, bits: Int, seed: Long = 42L): Column = {
     val sigBits = (0 until bits).map { b =>
       // pseudo-random ±1 hyperplane for bit b (component j = sign of hash)
       val contrib = (0 until dim).map { j =>
@@ -103,10 +115,10 @@ object Similarity {
   def lshTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      dim: Int, bits: Int = 12, tables: Int = 4): DataFrame = {
+      bits: Int = 12, tables: Int = 4): DataFrame = {
     val withSig = (df: DataFrame, side: String) => {
       val sigs = (0 until tables).map(t =>
-        struct(lit(t).as("t"), hyperplaneSignature(col(vecCol), dim, bits, seed = 42L + t).as("sig")))
+        struct(lit(t).as("t"), hyperplaneSignature(col(vecCol), bits, seed = 42L + t).as("sig")))
       df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"__${side}v"),
         explode(array(sigs: _*)).as("__bucket"))
     }

@@ -123,6 +123,33 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: SigAgreeCount equals the zip_with/filter HOF formulation") {
+    for (seed <- 1L to 5L) {
+      val rows = sample(Gen.listOfN(50, Gen.zip(
+        Gen.listOfN(16, Gen.chooseNum(0L, 3L)),
+        Gen.listOfN(16, Gen.chooseNum(0L, 3L)))), seed)
+      val df = rows.toDF("a", "b")
+      val native = graft.functions.text.expr2col(graft.functions.SigAgreeCount(
+        graft.functions.text.col2expr(col("a")), graft.functions.text.col2expr(col("b"))))
+      val hof = size(filter(zip_with(col("a"), col("b"), _ === _), v => v))
+      val bad = df.select(native.as("n"), hof.as("h")).filter(col("n") =!= col("h")).count()
+      assert(bad === 0L)
+    }
+  }
+
+  test("property: native HyperplaneSig equals the Column-tree formulation") {
+    for (seed <- 1L to 3L) {
+      val vecs = sample(Gen.listOfN(30, Gen.listOfN(24,
+        Gen.chooseNum(-1000, 1000).map(_ / 250.0))), seed)
+      val df = vecs.toDF("v")
+      val bad = df.select(
+        graft.operators.Similarity.hyperplaneSignature(col("v"), bits = 10, seed = 7L).as("n"),
+        graft.operators.Similarity.hyperplaneSignatureColumns(col("v"), dim = 24, bits = 10, seed = 7L).as("c"))
+        .filter(col("n") =!= col("c")).count()
+      assert(bad === 0L)
+    }
+  }
+
   test("property: dedup_key distinguishes null-position permutations") {
     for (seed <- 1L to 5L) {
       val vals = sample(Gen.listOfN(20, Gen.option(corpusString)), seed)

@@ -138,7 +138,7 @@ class SimilaritySpec extends AnyFunSuite {
     // random 64-dim embeddings: top sims ≈ 0.3 (≈72° angle), so per-table
     // collision at b bits ≈ 0.6^b — 4 bits × 8 tables ⇒ ~67% expected recall.
     val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding", k = 3,
-        dim = 64, bits = 4, tables = 8)
+        bits = 4, tables = 8)
       .select("query_id", "corpus_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
