@@ -39,34 +39,12 @@ object GraftSession {
   }
 
   /** Register graft's custom Catalyst expressions for SQL callers
-    * (`SELECT unicode_nfc(col) FROM ...`). */
+    * (`SELECT unicode_nfc(col) FROM ...`). Same registry as the
+    * [[GraftExtensions]] `spark.sql.extensions` entry point. */
   def registerFunctions(spark: SparkSession): Unit = {
-    import java.text.Normalizer
     import org.apache.spark.sql.graftbridge.bridge
-    import graft.functions.UnicodeNormalize
-    bridge.registerFunction(spark, "unicode_nfc",
-      es => UnicodeNormalize(es.head, Normalizer.Form.NFC))
-    bridge.registerFunction(spark, "unicode_nfkc",
-      es => UnicodeNormalize(es.head, Normalizer.Form.NFKC))
-    // `char_ngrams(text, n)` — sorted distinct n-grams; n must be a
-    // foldable int literal (it parameterizes the generated code).
-    bridge.registerFunction(spark, "char_ngrams",
-      es => graft.functions.CharNGrams(es.head,
-        es(1).eval().asInstanceOf[Int]))
-    // `sorted_intersect_size(a, b)` over presorted string arrays.
-    bridge.registerFunction(spark, "sorted_intersect_size",
-      es => graft.functions.SortedIntersectSize(es.head, es(1)))
-    // `vector_dot(a, b)` over double arrays.
-    bridge.registerFunction(spark, "vector_dot",
-      es => graft.functions.DotProduct(es.head, es(1)))
-    // `sig_agree_count(a, b)` over equal-length bigint signatures.
-    bridge.registerFunction(spark, "sig_agree_count",
-      es => graft.functions.SigAgreeCount(es.head, es(1)))
-    // `hyperplane_sig(vec, bits, seed)` — bits/seed must be foldable
-    // int/long literals (they parameterize the signature family).
-    bridge.registerFunction(spark, "hyperplane_sig",
-      es => graft.functions.HyperplaneSig(es.head,
-        es(1).eval().asInstanceOf[Int],
-        es(2).eval() match { case i: Int => i.toLong; case l: Long => l }))
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      bridge.registerFunction(spark, name, builder)
+    }
   }
 }

@@ -124,10 +124,16 @@ object Similarity {
     }
     val c = withSig(corpus, "corpus")
     val q = withSig(queries, "query")
-    val candidates = c.join(q, c("__bucket") === q("__bucket") && col("corpus_id") =!= col("query_id"))
-      .select(col("query_id"), col("corpus_id"), col("__corpusv"), col("__queryv"))
-      .dropDuplicates("query_id", "corpus_id")
-    val scored = candidates.withColumn("sim", cosine(col("__corpusv"), col("__queryv")))
+    // score at collision time, BEFORE any exchange: a pair colliding in
+    // k tables is scored k times (cheap, map-side) but what shuffles —
+    // the collision-dedup aggregation and the top-k window — carries
+    // only (ids, sim double), never the embedding arrays. The previous
+    // dropDuplicates-then-score order dragged both vectors through the
+    // pair-dedup exchange, which at 768-dim is 50× the row width.
+    val scored = c.join(q, c("__bucket") === q("__bucket") && col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"),
+        cosine(col("__corpusv"), col("__queryv")).as("sim"))
+      .groupBy(col("query_id"), col("corpus_id")).agg(first(col("sim")).as("sim"))
     val w = Window.partitionBy(col("query_id")).orderBy(desc("sim"), asc("corpus_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

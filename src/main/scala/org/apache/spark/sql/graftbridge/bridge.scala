@@ -13,6 +13,18 @@ object bridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Apply the function injections collected by a
+    * `SparkSessionExtensions` instance to a session's registry —
+    * `spark.sql.extensions` is a STATIC conf read at SparkContext
+    * creation, so tests sharing one context drive the (private[sql])
+    * application step through this hook instead. */
+  def applyFunctionExtensions(
+      ext: org.apache.spark.sql.SparkSessionExtensions,
+      spark: SparkSession): Unit = {
+    import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+    ext.registerFunctions(spark.sessionState.functionRegistry)
+  }
+
   /** Register a Catalyst expression builder as a SQL function. */
   def registerFunction(
       spark: SparkSession,
