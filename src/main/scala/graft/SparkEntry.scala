@@ -551,6 +551,19 @@ object SparkEntry {
         .orderBy("vec_id")
     },
 
+    // ---- Decontamination: scrub an eval split of documents that leak
+    // from the training split (≥ t bipartite n-gram Jaccard against ANY
+    // train doc) — the exact count-based join across two corpora, so
+    // the brute-force DuckDB cross-corpus oracle hash-checks it.
+    "q49_decontaminate" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val eval = docs.filter(col("doc_id") % 10 === 0)
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      Dedup.decontaminate(eval, "doc_id", col("text"),
+          train, "doc_id", col("text"), t = 0.8, n = 8)
+        .select("doc_id").orderBy("doc_id")
+    },
+
     // ---- S11: plain-text corpus scan — documents dumped to a text
     // file, re-read with the verse-scan semantics (trim + min-length
     // filter, driver_bible.py:24-47), aggregated so the oracle can
@@ -983,6 +996,21 @@ object SparkEntry {
         |SELECT vec_id FROM embeddings
         |WHERE vec_id NOT IN (SELECT id_b FROM dup)
         |ORDER BY vec_id""".stripMargin,
+
+    "q49_decontaminate" ->
+      """WITH g AS (SELECT doc_id, list_distinct(list_filter(
+        |        list_transform(range(1, greatest(length(text) - 7, 0) + 2),
+        |          i -> text[i:i+7]),
+        |        x -> length(x) = 8)) AS grams FROM documents),
+        |ev AS (SELECT * FROM g WHERE doc_id % 10 = 0),
+        |tr AS (SELECT * FROM g WHERE doc_id % 10 <> 0),
+        |leak AS (SELECT DISTINCT e.doc_id FROM ev e, tr t2
+        |  WHERE round(CASE WHEN len(list_distinct(list_concat(e.grams, t2.grams))) = 0 THEN 1.0
+        |          ELSE len(list_filter(e.grams, x -> list_contains(t2.grams, x))) * 1.0 /
+        |               len(list_distinct(list_concat(e.grams, t2.grams))) END, 6) >= 0.8)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT doc_id FROM leak)
+        |ORDER BY doc_id""".stripMargin,
 
     "q47_dup_clusters" ->
       """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -373,27 +373,81 @@ object Dedup {
     // than cores (one unsplittable file, a gzip'd dump) would run it
     // near-sequentially; spread it first. Well-partitioned at-scale
     // inputs skip the extra shuffle entirely.
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val spread = if (df.rdd.getNumPartitions < math.max(2, par / 2))
-      df.repartition(par) else df
-    val sets = gramSets(spread, idCol, textCol, n)
-    val tok = sets
+    val tok = tokens(spreadWide(df), idCol, textCol, n)
+    countedPairs(
+      tok.select(col("__id").as("id_a"), col("__sz").as("__sza"), col("__gram")),
+      tok.select(col("__id").as("id_b"), col("__sz").as("__szb"), col("__gram")),
+      t, antiReflexive = true)
+  }
+
+  /** Exact BIPARTITE n-gram Jaccard join: every (left, right) pair
+    * across two corpora with J ≥ `t` — the same count-based exact
+    * algorithm as [[jaccardPairs]] with the self-join specialization
+    * removed. This is the decontamination primitive: `left` = eval
+    * set, `right` = training corpus, a returned pair is a leak. */
+  def jaccardJoin(
+      left: DataFrame, leftId: String, leftText: Column,
+      right: DataFrame, rightId: String, rightText: Column,
+      t: Double, n: Int = 3): DataFrame = {
+    require(t > 0 && t <= 1, "threshold must be in (0, 1]")
+    val ta = tokens(spreadWide(left), leftId, leftText, n)
+      .select(col("__id").as("id_a"), col("__sz").as("__sza"), col("__gram"))
+    val tb = tokens(spreadWide(right), rightId, rightText, n)
+      .select(col("__id").as("id_b"), col("__sz").as("__szb"), col("__gram"))
+    countedPairs(ta, tb, t, antiReflexive = false)
+  }
+
+  /** Decontamination: drop every `corpus` row whose text is ≥ `t`
+    * n-gram-Jaccard-similar to ANY `reference` row — e.g. scrub an
+    * eval/benchmark set out of a training corpus (or vice versa)
+    * before fine-tuning. Exact (no probabilistic recall): removal ids
+    * come from [[jaccardJoin]], removal is a left_anti join. */
+  def decontaminate(
+      corpus: DataFrame, idCol: String, textCol: Column,
+      reference: DataFrame, refIdCol: String, refTextCol: Column,
+      t: Double = 0.8, n: Int = 8): DataFrame = {
+    val leaked = jaccardJoin(corpus, idCol, textCol, reference, refIdCol, refTextCol, t, n)
+      .select(col("id_a").as(idCol)).distinct()
+    corpus.join(leaked, Seq(idCol), "left_anti")
+  }
+
+  /** `(__id, __sz, __gram)` exploded token stream of a doc frame. */
+  private def tokens(df: DataFrame, idCol: String, textCol: Column, n: Int): DataFrame =
+    gramSets(df, idCol, textCol, n)
       .select(col("__id"), size(col("__g")).as("__sz"), explode(col("__g")).as("__gram"))
-    val a = tok.select(col("__id").as("id_a"), col("__sz").as("__sza"), col("__gram"))
-    val b = tok.select(col("__id").as("id_b"), col("__sz").as("__szb"), col("__gram"))
+
+  /** The token join is a broadcast join when one side fits, so NO
+    * exchange precedes it — the explode→join→partial-agg pipeline
+    * (the Σdf² fan-out, the expensive part of the whole operator)
+    * inherits the SCAN's partitioning. A source with fewer splits
+    * than cores (one unsplittable file, a gzip'd dump) would run it
+    * near-sequentially; spread it first. Well-partitioned at-scale
+    * inputs skip the extra shuffle entirely. */
+  private def spreadWide(df: DataFrame): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, par / 2)) df.repartition(par) else df
+  }
+
+  /** Count-based pair enumeration shared by [[jaccardPairs]] (self
+    * join, `antiReflexive` orients pairs id_a < id_b) and
+    * [[jaccardJoin]] (bipartite, every cross pair once). Inputs are
+    * `(id_a|id_b, __sza|__szb, __gram)` token streams. */
+  private def countedPairs(
+      a: DataFrame, b: DataFrame, t: Double, antiReflexive: Boolean): DataFrame = {
     // ε guards float noise in t·size (0.3·10 = 3.0000000000000004),
     // and the relaxed t−1e-6 covers pairs whose true J sits just below
     // t but ROUNDS to ≥ t (the output filter is on the rounded value):
     // the bound may only ever round DOWN, never drop an emitted pair.
     val sizeOk = least(col("__sza"), col("__szb")).cast("double") >=
       greatest(col("__sza"), col("__szb")) * (t - 1e-6) - lit(1e-9)
+    val joined = a.join(b, Seq("__gram"))
+    val scoped = if (antiReflexive) joined.filter(col("id_a") < col("id_b")) else joined
     // the hot aggregation groups on ONE packed long (ids are read as
     // 32-bit here; widen the pack if your ids exceed 2^31) — a third
     // the hash-agg state of grouping on (id_a, id_b, sza, szb). The
     // sizes ride along as min() buffers (constant within a pair), so
     // no per-doc side table has to exist downstream.
-    a.join(b, Seq("__gram"))
-      .filter(col("id_a") < col("id_b") && sizeOk)
+    scoped.filter(sizeOk)
       .groupBy((shiftleft(col("id_a"), 32) + col("id_b")).as("__pair"))
       .agg(count(lit(1)).as("__i"),
         min(col("__sza")).as("__sza"), min(col("__szb")).as("__szb"))

@@ -191,6 +191,34 @@ class DedupSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "fixture must actually contain qualifying pairs")
   }
 
+  test("jaccardJoin (bipartite) equals brute force across two corpora; decontaminate scrubs leaks") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val eval = docs.filter(col("doc_id") % 5 === 0)
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val brute = {
+      val ge = eval.select(col("doc_id").as("id_a"), Dedup.ngrams(col("text"), 3).as("ga"))
+      val gt = train.select(col("doc_id").as("id_b"), Dedup.ngrams(col("text"), 3).as("gb"))
+      ge.join(gt, lit(true))
+        .withColumn("jaccard", round(Dedup.jaccardOfSets(col("ga"), col("gb")), 6))
+        .filter(col("jaccard") >= 0.3)
+        .select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    }
+    val fast = Dedup.jaccardJoin(eval, "doc_id", col("text"),
+        train, "doc_id", col("text"), t = 0.3, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(fast === brute, s"fast=${fast.size} brute=${brute.size}")
+    assert(brute.nonEmpty, "fixture must actually contain cross-corpus leaks")
+
+    val clean = Dedup.decontaminate(eval, "doc_id", col("text"),
+        train, "doc_id", col("text"), t = 0.3, n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    val leakedIds = brute.map(_._1)
+    val evalIds = eval.select("doc_id").as[Long].collect().toSet
+    assert(clean === evalIds -- leakedIds)
+  }
+
   test("jaccardPairs: sub-n-length docs follow J(∅,∅)=1 / J(∅,S)=0 semantics") {
     import spark.implicits._
     val docs = Seq((1L, "ab"), (2L, "yz"), (3L, "tlazohcamati"), (4L, "tlazohcamati"))
