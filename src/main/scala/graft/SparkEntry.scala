@@ -551,6 +551,17 @@ object SparkEntry {
         .orderBy("vec_id")
     },
 
+    // ---- Stratified exact-count split: per-language proportions are
+    // exact to ±1 row and the md5 rank order is engine-independent, so
+    // the full (lang, split) count matrix hash-checks against DuckDB —
+    // unlike the xxhash-threshold q16, which is rows-only by nature.
+    "q50_stratified_split" -> { (s, dir) =>
+      Split.stratified(Tables.documents(s, dir),
+          col("lang"), col("doc_id"), seed = 42L)
+        .groupBy(col("lang"), col("split")).agg(count(lit(1)).as("n_rows"))
+        .orderBy("lang", "split")
+    },
+
     // ---- Decontamination: scrub an eval split of documents that leak
     // from the training split (≥ t bipartite n-gram Jaccard against ANY
     // train doc) — the exact count-based join across two corpora, so
@@ -996,6 +1007,22 @@ object SparkEntry {
         |SELECT vec_id FROM embeddings
         |WHERE vec_id NOT IN (SELECT id_b FROM dup)
         |ORDER BY vec_id""".stripMargin,
+
+    "q50_stratified_split" ->
+      """WITH ranked AS (
+        |  SELECT lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '|42'), doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN rn <= ceil(0.9 * n) THEN 'train'
+        |       WHEN rn <= ceil(0.95 * n) THEN 'validation'
+        |       ELSE 'test' END AS split,
+        |  count(*) AS n_rows
+        |FROM ranked
+        |GROUP BY 1, 2
+        |ORDER BY lang, split""".stripMargin,
 
     "q49_decontaminate" ->
       """WITH g AS (SELECT doc_id, list_distinct(list_filter(

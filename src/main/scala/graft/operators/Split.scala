@@ -39,6 +39,44 @@ object Split {
   def split(df: DataFrame, keyCols: Seq[String], seed: Long = 42L): DataFrame =
     df.withColumn("split", assign(Dedup.compositeKey(keyCols), seed))
 
+  /** Stratified EXACT-COUNT split: within every stratum (e.g.
+    * language), rows are ranked by a deterministic pseudo-random order
+    * — `md5(key || seed)`, identical in any engine, ties broken by the
+    * key — and the first ⌈r₁·n⌉ go to split 1, the next up to ⌈r₂·n⌉
+    * to split 2, … So each stratum's proportions are exact to ±1 row
+    * (the hash-threshold [[assign]] is only ratio-accurate in
+    * expectation, which on a 700-row language can drift percents),
+    * and per-language balance survives the split — the training-data
+    * requirement the reference's global shuffle-slice never had.
+    *
+    * Scale note: the rank window partitions by stratum, so ONE
+    * stratum's rows land in one task. Exact per-stratum counting
+    * fundamentally needs a per-stratum total order; use this when
+    * strata are bounded (languages, sources, categories — the real
+    * use), and the shuffle-free [[assign]] when a stratum itself is
+    * 100 TB. */
+  def stratified(
+      df: DataFrame,
+      strata: Column,
+      key: Column,
+      seed: Long = 42L,
+      ratios: Seq[(String, Double)] = Seq("train" -> 0.9, "validation" -> 0.05, "test" -> 0.05)): DataFrame = {
+    require(math.abs(ratios.map(_._2).sum - 1.0) < 1e-9, "ratios must sum to 1")
+    val ord = md5(concat(key.cast("string"), lit("|"), lit(seed.toString)))
+    val rn = row_number().over(
+      org.apache.spark.sql.expressions.Window.partitionBy(strata).orderBy(ord, key))
+    val n = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(strata))
+    val cum = ratios.scanLeft(0.0)(_ + _._2).tail
+    val label = ratios.zip(cum).init.foldRight(lit(ratios.last._1): Column) {
+      case (((name, _), hi), elseCol) =>
+        when(col("__rn") <= ceil(lit(hi) * col("__n")), lit(name)).otherwise(elseCol)
+    }
+    df.withColumn("__rn", rn).withColumn("__n", n)
+      .withColumn("split", label)
+      .drop("__rn", "__n")
+  }
+
   /** O5 — split-disjointness invariant: pairwise key intersections empty. */
   def disjoint(a: DataFrame, b: DataFrame, keyCols: Seq[String]): Boolean = {
     val ka = a.select(Dedup.compositeKey(keyCols).as("k"))

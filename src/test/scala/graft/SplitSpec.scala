@@ -39,6 +39,26 @@ class SplitSpec extends AnyFunSuite {
     assert(math.abs(frac.getOrElse("test", 0.0) - 0.05) < 0.05)
   }
 
+  test("stratified split: EXACT per-stratum counts, partition of input, deterministic") {
+    val s = Split.stratified(docs, col("lang"), col("doc_id"),
+      ratios = Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1))
+    val counts = s.groupBy("lang", "split").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val perLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perLang.foreach { case (lang, n) =>
+      val train = math.ceil(0.8 * n).toLong
+      val valTo = math.ceil(0.9 * n).toLong
+      assert(counts.getOrElse((lang, "train"), 0L) === train, s"$lang train")
+      assert(counts.getOrElse((lang, "validation"), 0L) === valTo - train, s"$lang validation")
+      assert(counts.getOrElse((lang, "test"), 0L) === n - valTo, s"$lang test")
+    }
+    assert(s.count() === docs.count(), "partition of the input")
+    val again = Split.stratified(docs, col("lang"), col("doc_id"),
+      ratios = Seq("train" -> 0.8, "validation" -> 0.1, "test" -> 0.1))
+    assert(s.exceptAll(again).isEmpty && again.exceptAll(s).isEmpty, "deterministic")
+  }
+
   test("different seeds give different assignments") {
     val a = Split.split(docs, Seq("doc_id"), seed = 42L)
     val b = Split.split(docs, Seq("doc_id"), seed = 43L)
