@@ -45,6 +45,8 @@ object GraftExtensions {
       ((es: Seq[Expression]) => graft.functions.SortedIntersectSize(es.head, es(1))),
     "vector_dot" ->
       ((es: Seq[Expression]) => graft.functions.DotProduct(es.head, es(1))),
+    "vector_dot_int8" ->
+      ((es: Seq[Expression]) => graft.functions.DotProductInt8(es.head, es(1))),
     "sig_agree_count" ->
       ((es: Seq[Expression]) => graft.functions.SigAgreeCount(es.head, es(1))),
     "hyperplane_sig" ->

@@ -551,6 +551,18 @@ object SparkEntry {
         .orderBy("vec_id")
     },
 
+    // ---- Quantized-path kNN: the whole first-pass search runs on
+    // int8 vectors through the byte-dot kernel (scales cancel in the
+    // quantized cosine — no dequantize anywhere). Deterministic given
+    // the quantization, so the DuckDB oracle hash-checks it end to end.
+    "q51_quantized_knn" -> { (s, dir) =>
+      val qz = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          Similarity.quantizeInt8(col("embedding").cast("array<double>"))("q").as("q8"))
+      Similarity.quantizedTopK(qz, qz.filter(col("vec_id") < 10), "vec_id", "q8", k = 5)
+        .orderBy("query_id", "rank")
+    },
+
     // ---- Stratified exact-count split: per-language proportions are
     // exact to ±1 row and the md5 rank order is engine-independent, so
     // the full (lang, split) count matrix hash-checks against DuckDB —
@@ -1007,6 +1019,28 @@ object SparkEntry {
         |SELECT vec_id FROM embeddings
         |WHERE vec_id NOT IN (SELECT id_b FROM dup)
         |ORDER BY vec_id""".stripMargin,
+
+    "q51_quantized_knn" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+        |             ELSE list_max(list_transform(v, x -> abs(x))) / 127.0 END AS scale
+        |      FROM e),
+        |qz AS (SELECT vec_id,
+        |        list_transform(v, x -> round(x / scale)) AS q FROM s),
+        |n AS (SELECT vec_id, q, sqrt(list_dot_product(q, q)) AS nrm FROM qz),
+        |scored AS (SELECT qr.vec_id AS query_id, c.vec_id AS corpus_id,
+        |    CASE WHEN c.nrm = 0 OR qr.nrm = 0 THEN 0.0
+        |         ELSE list_dot_product(c.q, qr.q) / (c.nrm * qr.nrm) END AS sim
+        |  FROM n c, n qr
+        |  WHERE qr.vec_id < 10 AND c.vec_id <> qr.vec_id),
+        |ranked AS (SELECT query_id, corpus_id, sim,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY sim DESC, corpus_id ASC) AS rank
+        |  FROM scored)
+        |SELECT query_id, corpus_id, round(sim, 6) AS sim, CAST(rank AS INT) AS rank
+        |FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
 
     "q50_stratified_split" ->
       """WITH ranked AS (

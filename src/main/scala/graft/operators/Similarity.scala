@@ -59,6 +59,46 @@ object Similarity {
   def dequantizeInt8(q: Column, scale: Column): Column =
     transform(q, x => x.cast("double") * scale)
 
+  /** Integer dot product of two int8-quantized vectors — the native
+    * [[graft.functions.DotProductInt8]] byte kernel. */
+  def dotInt8(a: Column, b: Column): Column =
+    graft.functions.text.expr2col(graft.functions.DotProductInt8(
+      graft.functions.text.col2expr(a), graft.functions.text.col2expr(b)))
+
+  /** Approximate cosine of two int8-quantized vectors WITHOUT
+    * dequantizing: the per-vector scales cancel, so
+    * `cos ≈ dot8(a,b) / (√dot8(a,a) · √dot8(b,b))` — pure byte reads. */
+  def cosineInt8(a: Column, b: Column): Column = {
+    val na = sqrt(dotInt8(a, a).cast("double"))
+    val nb = sqrt(dotInt8(b, b).cast("double"))
+    when(na === 0 || nb === 0, lit(0.0d))
+      .otherwise(dotInt8(a, b).cast("double") / (na * nb))
+  }
+
+  /** Exact top-k under the QUANTIZED metric: every row of `queries`
+    * against `corpus`, both carrying an int8 `qCol`
+    * (from [[quantizeInt8]]'s `q` field), ranked by [[cosineInt8]].
+    * Same plan shape as [[bruteForceTopK]] — broadcast query side,
+    * corpus streams, one window shuffle — but the scan reads byte
+    * vectors (4× less bandwidth) and never touches fp32; rerank the
+    * few survivors against full-precision vectors if exact-metric
+    * order matters. */
+  def quantizedTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, qCol: String, k: Int,
+      selfExclude: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("corpus_id"), col(qCol).as("__cq"))
+    val q = queries.select(col(idCol).as("query_id"), col(qCol).as("__qq"))
+    val joined = c.join(broadcast(q),
+      if (selfExclude) col("corpus_id") =!= col("query_id") else lit(true))
+    val scored = joined.select(col("query_id"), col("corpus_id"),
+      cosineInt8(col("__cq"), col("__qq")).as("sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("sim"), asc("corpus_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("corpus_id"), round(col("sim"), 6).as("sim"), col("rank"))
+  }
+
   /** Exact top-k neighbors for every row of `queries` against `corpus`.
     * Query side is broadcast (ANN queries are batched and small
     * relative to the corpus); corpus streams through the broadcast

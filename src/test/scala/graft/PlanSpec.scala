@@ -137,4 +137,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"no cartesian anywhere:\n$plan")
     assert(plan.contains("LeftAnti"), s"removal must be a left_anti join:\n$plan")
   }
+
+  test("decontamination plan: cross-corpus token equi-join, never a nested loop") {
+    val plan = formatted("q49_decontaminate")
+    assert(!plan.contains("CartesianProduct"), s"no cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"no nested loop:\n$plan")
+    assert(plan.contains("LeftAnti"), s"removal must be a left_anti join:\n$plan")
+  }
+
+  test("lshTopK: pair-dedup exchange and top-k window carry scalars, not embedding arrays") {
+    val emb = Tables.embeddings(spark, dir)
+    val df = operators.Similarity.lshTopK(
+      emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 3, bits = 4, tables = 2)
+    val plan = df.queryExecution.optimizedPlan
+    // every Exchange below the final window must shuffle rows WITHOUT
+    // any array-typed attribute (the vectors stay upstream of the agg)
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+    val aggs = plan.collect { case a: Aggregate => a }
+    assert(aggs.nonEmpty, "collision-dedup aggregate expected")
+    aggs.foreach { a =>
+      val arrayCols = a.output.filter(_.dataType.typeName.startsWith("array"))
+      assert(arrayCols.isEmpty,
+        s"aggregate output must be scalar-only, got ${a.output.map(_.dataType)}")
+    }
+  }
+
+  test("stratified split: a single stratum-partitioned window pair, no extra shuffles") {
+    val df = operators.Split.stratified(
+      Tables.documents(spark, dir), col("lang"), col("doc_id"))
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // count detail entries ("(3) Exchange"), not tree-render lines —
+    // each physical Exchange appears once in each form
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(plan).length
+    assert(exchanges === 1, s"expected exactly one hash exchange on the stratum:\n$plan")
+  }
 }

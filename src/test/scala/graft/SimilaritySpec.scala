@@ -128,6 +128,28 @@ class SimilaritySpec extends AnyFunSuite {
       "int8 quantization of 64-dim unit-ish vectors keeps cosine ≈ 1")
   }
 
+  test("quantized kNN: byte kernel matches double dot on quantized values; high agreement with exact") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("v", col("embedding").cast("array<double>"))
+    val qz = emb.select(col("vec_id"), col("v"),
+      Similarity.quantizeInt8(col("v"))("q").as("q8"))
+    // kernel identity: dot8(q,q) == dot(double(q), double(q)) exactly
+    val bad = qz.select(
+      Similarity.dotInt8(col("q8"), col("q8")).cast("double").as("i8"),
+      Similarity.dot(col("q8").cast("array<double>"), col("q8").cast("array<double>")).as("dd"))
+      .filter(col("i8") =!= col("dd")).count()
+    assert(bad === 0L, "integer kernel must agree with the double kernel on int8 values")
+    // search quality: quantized-metric top-5 overlaps exact-metric top-5
+    val queries = qz.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb.select(col("vec_id"), col("v")),
+        queries.select(col("vec_id"), col("v")), "vec_id", "v", k = 5)
+      .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.quantizedTopK(qz, queries, "vec_id", "q8", k = 5)
+      .select("query_id", "corpus_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val overlap = (exact & quant).size.toDouble / exact.size
+    assert(overlap >= 0.8, s"int8 quantization should barely perturb top-k, overlap=$overlap")
+  }
+
   test("lshTopK recall vs brute force is reasonable on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .withColumn("embedding", col("embedding").cast("array<double>"))
