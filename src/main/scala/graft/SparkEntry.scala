@@ -551,6 +551,24 @@ object SparkEntry {
         .orderBy("vec_id")
     },
 
+    // ---- As-of (temporal) join: each click enriched with the user's
+    // most recent prior-or-same-instant purchase — the union+window
+    // formulation (one shuffle, linear cost, no range-join explosion),
+    // hash-checked against DuckDB's NATIVE ASOF LEFT JOIN.
+    "q52_asof_enrich" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("pvalue"))
+        .withColumn("pts", unix_micros(col("ts")))
+      operators.AsOf.asofJoin(clicks, purchases, Seq("user_id"), "ts", Seq("pvalue", "pts"))
+        .select(col("user_id"), col("event_id"),
+          round(col("asof_pvalue"), 2).as("prev_purchase_value"),
+          col("asof_pts").as("prev_purchase_ts"))
+        .orderBy("user_id", "event_id")
+    },
+
     // ---- Quantized-path kNN: the whole first-pass search runs on
     // int8 vectors through the byte-dot kernel (scales cancel in the
     // quantized cosine — no dequantize anywhere). Deterministic given
@@ -1019,6 +1037,19 @@ object SparkEntry {
         |SELECT vec_id FROM embeddings
         |WHERE vec_id NOT IN (SELECT id_b FROM dup)
         |ORDER BY vec_id""".stripMargin,
+
+    "q52_asof_enrich" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts, max(value) AS pvalue
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |p2 AS (SELECT user_id, ts, pvalue, epoch_us(ts) AS pts FROM p)
+        |SELECT c.user_id, c.event_id,
+        |  round(p2.pvalue, 2) AS prev_purchase_value,
+        |  p2.pts AS prev_purchase_ts
+        |FROM clicks c ASOF LEFT JOIN p2
+        |  ON c.user_id = p2.user_id AND c.ts >= p2.ts
+        |ORDER BY c.user_id, c.event_id""".stripMargin,
 
     "q51_quantized_knn" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
