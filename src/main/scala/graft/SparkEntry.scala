@@ -551,6 +551,20 @@ object SparkEntry {
         .orderBy("vec_id")
     },
 
+    // ---- A9 extension: grouping-sets trend rollup — per (type, day)
+    // counts plus per-type subtotals plus the grand total in ONE
+    // aggregation pass (Catalyst expands the grouping sets; no
+    // re-scan per level, unlike the reference's separate trend
+    // queries). NULL group markers hash-match DuckDB's ROLLUP.
+    "q53_event_rollup" -> { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("day", to_date(col("ts")))
+        .rollup(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .withColumn("day", col("day").cast("string"))
+        .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day"))
+    },
+
     // ---- As-of (temporal) join: each click enriched with the user's
     // most recent prior-or-same-instant purchase — the union+window
     // formulation (one shuffle, linear cost, no range-join explosion),
@@ -1037,6 +1051,13 @@ object SparkEntry {
         |SELECT vec_id FROM embeddings
         |WHERE vec_id NOT IN (SELECT id_b FROM dup)
         |ORDER BY vec_id""".stripMargin,
+
+    "q53_event_rollup" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, value FROM events)
+        |SELECT event_type, CAST(day AS VARCHAR) AS day,
+        |  count(*) AS n, round(sum(value), 2) AS total_value
+        |FROM e GROUP BY ROLLUP(event_type, day)
+        |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
 
     "q52_asof_enrich" ->
       """WITH clicks AS (
