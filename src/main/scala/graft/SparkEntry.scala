@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{analysis, text}
-import graft.operators.{Dedup, DupClusters, Similarity, Split, Stats}
+import graft.operators.{Dedup, DupClusters, Retrieval, Similarity, Split, Stats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -619,6 +619,15 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     },
 
+    // ---- BM25 top-k retrieval: lexical corpus search. The token
+    // stream is filtered to the query's terms before any exchange, df
+    // and corpus stats ride as broadcasts, and the final cut is a
+    // TakeOrdered — no total sort, no corpus-sized shuffle anywhere.
+    "q54_bm25_search" -> { (s, dir) =>
+      Retrieval.bm25TopK(Tables.documents(s, dir), "doc_id", col("text"),
+        queryTerms = Seq("spark", "shuffle", "join"), k = 20)
+    },
+
     // ---- S11: plain-text corpus scan — documents dumped to a text
     // file, re-read with the verse-scan semantics (trim + min-length
     // filter, driver_bible.py:24-47), aggregated so the oracle can
@@ -1051,6 +1060,28 @@ object SparkEntry {
         |SELECT vec_id FROM embeddings
         |WHERE vec_id NOT IN (SELECT id_b FROM dup)
         |ORDER BY vec_id""".stripMargin,
+
+    "q54_bm25_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks WHERE term <> '' GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n, avg(CAST(coalesce(dl.dl, 0) AS DOUBLE)) AS avgdl
+        |          FROM documents LEFT JOIN dl USING (doc_id)),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('spark', 'shuffle', 'join') GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+        |SELECT tf.doc_id,
+        |  round(sum(
+        |    ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+        |    tf.tf * (1.2 + 1.0) /
+        |    (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+        |  ), 4) AS bm25_score
+        |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |GROUP BY tf.doc_id
+        |ORDER BY bm25_score DESC, tf.doc_id
+        |LIMIT 20""".stripMargin,
 
     "q53_event_rollup" ->
       """WITH e AS (SELECT event_type, CAST(ts AS DATE) AS day, value FROM events)

@@ -162,6 +162,16 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25 search: TakeOrdered cut, broadcast df/stats, no corpus-sized sort") {
+    val plan = formatted("q54_bm25_search")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must plan as TakeOrderedAndProject, not a global Sort+Limit:\n$plan")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length +
+      "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 2, s"df table and corpus stats must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("stratified split: a single stratum-partitioned window pair, no extra shuffles") {
     val df = operators.Split.stratified(
       Tables.documents(spark, dir), col("lang"), col("doc_id"))
