@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{analysis, text}
-import graft.operators.{Dedup, DupClusters, Retrieval, Similarity, Split, Stats}
+import graft.operators.{Dedup, DupClusters, Retrieval, Similarity, Skew, Split, Stats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -619,6 +619,34 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     },
 
+    // ---- Skew diagnostics: one-row report on a prospective shuffle
+    // key (max/avg key mass = straggler-partition risk). One hash
+    // shuffle with map-side partial agg, scalar output.
+    "q55_skew_report" -> { (s, dir) =>
+      Skew.keySkewReport(Tables.lineitem(s, dir), col("l_orderkey"))
+    },
+
+    // ---- Heavy hitters: the keys a salted join should target, with
+    // row share. TakeOrdered cut (per-partition heaps), no total sort.
+    "q56_heavy_hitters" -> { (s, dir) =>
+      Skew.heavyHitters(Tables.events(s, dir), col("user_id"), k = 10)
+    },
+
+    // ---- Salted join: skew-proof lineitem⋈orders — hot order keys
+    // spread over 8 salt buckets, right side replicated 8x. Must be
+    // bit-identical to the plain join, which is what the oracle runs.
+    "q57_salted_join" -> { (s, dir) =>
+      val orders = Tables.orders(s, dir)
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+        .select(col("l_orderkey"), col("o_orderstatus"))
+      Skew.saltedJoin(Tables.lineitem(s, dir), orders,
+          Seq("l_orderkey"), saltFactor = 8)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice")), 2).as("total_price"))
+        .orderBy("o_orderstatus")
+    },
+
     // ---- BM25 top-k retrieval: lexical corpus search. The token
     // stream is filtered to the query's terms before any exchange, df
     // and corpus stats ride as broadcasts, and the final cut is a
@@ -1060,6 +1088,32 @@ object SparkEntry {
         |SELECT vec_id FROM embeddings
         |WHERE vec_id NOT IN (SELECT id_b FROM dup)
         |ORDER BY vec_id""".stripMargin,
+
+    "q55_skew_report" ->
+      """WITH c AS (SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY 1)
+        |SELECT CAST(sum(c) AS BIGINT) AS n_rows,
+        |  count(*) AS n_keys,
+        |  CAST(max(c) AS BIGINT) AS max_key_rows,
+        |  round(avg(CAST(c AS DOUBLE)), 4) AS avg_key_rows,
+        |  round(max(c) / avg(CAST(c AS DOUBLE)), 4) AS skew_ratio
+        |FROM c""".stripMargin,
+
+    "q56_heavy_hitters" ->
+      """WITH t AS (SELECT count(*) AS total FROM events)
+        |SELECT user_id AS key, count(*) AS key_rows,
+        |  round(count(*) * 100.0 / t.total, 4) AS share_pct
+        |FROM events CROSS JOIN t
+        |GROUP BY user_id, t.total
+        |ORDER BY key_rows DESC, key
+        |LIMIT 10""".stripMargin,
+
+    "q57_salted_join" ->
+      """SELECT o.o_orderstatus,
+        |  count(*) AS n_items,
+        |  round(sum(l.l_extendedprice), 2) AS total_price
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY o.o_orderstatus
+        |ORDER BY o.o_orderstatus""".stripMargin,
 
     "q54_bm25_search" ->
       """WITH toks AS (
