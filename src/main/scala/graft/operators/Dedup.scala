@@ -96,7 +96,7 @@ object Dedup {
     // an accidental O(n²) when the corpus has a small vocabulary.
     // Bare tokens (shingleSize=1) match the reference's SparkDedup
     // featurization for short sentence pairs.
-    val tokens = df.select(col(idCol), shingles(textCol, shingleSize).as("__tokens"))
+    val tokens = spreadWide(df).select(col(idCol), shingles(textCol, shingleSize).as("__tokens"))
       .filter(size(col("__tokens")) > 0)
     val tf = new HashingTF()
       .setInputCol("__tokens").setOutputCol("__features")
@@ -208,17 +208,18 @@ object Dedup {
       text.expr2col(graft.functions.SigAgreeCount(
         text.col2expr(x), text.col2expr(y))).cast("double") / numPerm
     // normal buckets: inline-verified self-join — no pair-dedup
-    // shuffle, signature arrays never pass through an exchange (a pair
-    // colliding in k bands is just verified k times, which is far
-    // cheaper than shuffling it).
+    // shuffle (a pair colliding in k bands is just verified k times,
+    // which is far cheaper than shuffling it). The join is a SELF-join
+    // of the literally-same frame so the two required hash exchanges
+    // canonicalize identically and Spark plans a ReusedExchange: the
+    // (band, bucket, sig)-carrying shuffle — the widest in the whole
+    // operator — is written ONCE and read twice.
     val small = tagged.filter(col("__bsz") <= maxBucketSize)
-    val a = small.select(col(idCol).as("id_a"), col("__sig").as("__sa"),
-      col("band"), col("bucket"))
-    val b = small.select(col(idCol).as("id_b"), col("__sig").as("__sb"),
-      col("band"), col("bucket"))
-    val smallPairs = a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b") && estJaccard(col("__sa"), col("__sb")) >= threshold)
-      .select(col("id_a"), col("id_b"))
+      .select(col(idCol), col("__sig"), col("band"), col("bucket"))
+    val smallPairs = small.as("l").join(small.as("r"), Seq("band", "bucket"))
+      .filter(col(s"l.$idCol") < col(s"r.$idCol") &&
+        estJaccard(col("l.__sig"), col("r.__sig")) >= threshold)
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
     // oversized buckets: star verification against the min-id member —
     // B−1 pairs instead of B²; the sig-carrying aggregation runs only
     // over these members.
@@ -235,7 +236,7 @@ object Dedup {
 
   private def signed(df: DataFrame, idCol: String, textCol: Column,
       numPerm: Int, shingleSize: Int): DataFrame =
-    df.select(col(idCol),
+    spreadWide(df).select(col(idCol),
       minhashSig(shingles(text.norm_key(textCol), shingleSize), numPerm).as("__sig"))
 
   private[graft] def minhashCandidates(
@@ -272,6 +273,14 @@ object Dedup {
     val withSig = signed(df, idCol, textCol, numPerm, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // Materialize the cache EAGERLY: the candidate plan fans out into
+      // ~8 independent map stages (band explode sides, bucket-size agg,
+      // star-verify agg) that AQE submits concurrently — against a lazy
+      // cache they all miss and each recomputes the full signature pass
+      // (observable as "Block rdd_N already exists" warnings and an 8×
+      // signature cost). One count() populates the cache first, so the
+      // fan-out reads blocks.
+      withSig.count()
       val dupIds = candidatesFromSig(withSig, idCol, threshold, numPerm, bands, maxBucketSize)
         .select(col("id_b").as(idCol)).distinct()
         .localCheckpoint(true)
@@ -284,7 +293,7 @@ object Dedup {
     * candidate-verify pass can follow). */
   def simhashDedup(df: DataFrame, idCol: String, textCol: Column): DataFrame = {
     val sig = simhash(split(text.norm_key(textCol), "\\s+"))
-    keepBestWindow(df.withColumn("__sig", sig), col("__sig"), Seq(col(idCol).asc))
+    keepBestWindow(spreadWide(df).withColumn("__sig", sig), col("__sig"), Seq(col(idCol).asc))
       .drop("__sig")
   }
 
@@ -416,14 +425,15 @@ object Dedup {
     gramSets(df, idCol, textCol, n)
       .select(col("__id"), size(col("__g")).as("__sz"), explode(col("__g")).as("__gram"))
 
-  /** The token join is a broadcast join when one side fits, so NO
-    * exchange precedes it — the explode→join→partial-agg pipeline
-    * (the Σdf² fan-out, the expensive part of the whole operator)
-    * inherits the SCAN's partitioning. A source with fewer splits
-    * than cores (one unsplittable file, a gzip'd dump) would run it
-    * near-sequentially; spread it first. Well-partitioned at-scale
-    * inputs skip the extra shuffle entirely. */
-  private def spreadWide(df: DataFrame): DataFrame = {
+  /** Repartition an under-split source up to the session's default
+    * parallelism. Expensive narrow maps (LSH featurization, MinHash/
+    * SimHash signatures, the n-gram explode) inherit the SCAN's
+    * partitioning: a source with fewer splits than cores (one
+    * unsplittable file, a single parquet row group, a gzip'd dump)
+    * would run them near-sequentially — spread it first.
+    * Well-partitioned at-scale inputs skip the extra shuffle
+    * entirely. */
+  private[operators] def spreadWide(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < math.max(2, par / 2)) df.repartition(par) else df
   }

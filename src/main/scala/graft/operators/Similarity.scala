@@ -107,7 +107,7 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame,
       idCol: String, vecCol: String, k: Int,
       selfExclude: Boolean = true): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
+    val c = Dedup.spreadWide(corpus).select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val joined = c.join(broadcast(q),
       if (selfExclude) col("corpus_id") =!= col("query_id") else lit(true))
@@ -204,7 +204,12 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
 
     val spark = df.sparkSession
-    val base = df.select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
+    // spread before the narrow maps (norms, cell assignment) AND the
+    // downstream candidate join: both sides of the cell join inherit
+    // this frame's partitioning, so a single-split source would
+    // otherwise verify all candidate pairs in one task.
+    val base = Dedup.spreadWide(df)
+      .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__nrm", sqrt(dot(col("__v"), col("__v"))))
       .withColumn("__features", array_to_vector(col("__v")))
     // k must not exceed the row count; probing min(nCells, n) rows is a
