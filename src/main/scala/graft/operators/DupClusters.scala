@@ -42,14 +42,77 @@ object DupClusters {
     * long loops).
     */
   def connectedComponents(
-      vertices: DataFrame, edges: DataFrame, maxIter: Int = 30): DataFrame = {
+      vertices: DataFrame, edges: DataFrame, maxIter: Int = 30,
+      driverEdgeThreshold: Long = 2L << 20): DataFrame = {
     val idCol = vertices.columns.head
-    val sym = edges.select(col("id_a").as("id"), col("id_b").as("nbr"))
-      .union(edges.select(col("id_b").as("id"), col("id_a").as("nbr")))
+    // materialize the edge list BEFORE symmetrizing: the union would
+    // otherwise embed the (expensive) pair-enumeration plan in both
+    // branches and execute it twice.
+    val e0 = edges.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val nEdges = e0.count()
+
+    // Small-graph fast path: after near-dup pair enumeration the edge
+    // set is typically orders of magnitude smaller than the corpus —
+    // often small enough that driver union-find beats ANY distributed
+    // loop (each distributed round costs several scheduled jobs; the
+    // whole union-find here is microseconds). Strictly size-gated
+    // (≤ driverEdgeThreshold edges ≈ tens of MB) and integral-id-only;
+    // everything else takes the distributed loop below. This is a
+    // bounded METADATA collect — cluster labels for edge endpoints —
+    // not a data collect: isolated vertices (the corpus bulk) never
+    // leave the cluster.
+    val idType = e0.schema.fields(0).dataType
+    val integral = idType.isInstanceOf[org.apache.spark.sql.types.LongType] ||
+      idType.isInstanceOf[org.apache.spark.sql.types.IntegerType] ||
+      idType.isInstanceOf[org.apache.spark.sql.types.ShortType]
+    if (nEdges <= driverEdgeThreshold && integral) {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      e0.collect().foreach { row =>
+        val a = row.get(0).asInstanceOf[Number].longValue
+        val b = row.get(1).asInstanceOf[Number].longValue
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        // union by MIN root so the representative is the smallest id
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val labels = parent.keys.toSeq.map(v => (v, find(v)))
+      val spark = vertices.sparkSession
+      val mapped = spark.createDataFrame(labels).toDF("id", "cluster")
+        .select(col("id").cast(idType).as("id"), col("cluster").cast(idType).as("cluster"))
+      val isolatedV = vertices.select(col(idCol).as("id"))
+        .join(broadcast(mapped.select(col("id"))), Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("cluster"))
+      return mapped.union(isolatedV)
+    }
+
+    // partition the LOOP's frames by edge count, not by the input's
+    // layout: each round is a handful of joins over the (usually tiny
+    // relative to the corpus) edge-participating subgraph, and a round
+    // over 64 inherited partitions is pure task overhead. ~2M edges
+    // per partition keeps a billion-edge graph at cluster scale while
+    // a small graph iterates in single-task jobs.
+    val nParts = math.max(1L, math.min(
+      e0.sparkSession.sparkContext.defaultParallelism.toLong,
+      nEdges / 2000000L + 1L)).toInt
+    val sym = e0.select(col("id_a").as("id"), col("id_b").as("nbr"))
+      .union(e0.select(col("id_b").as("id"), col("id_a").as("nbr")))
+      .repartition(nParts)
       .localCheckpoint(true)
     val endpoints = sym.select(col("id")).distinct().localCheckpoint(true)
 
-    var labels = endpoints.select(col("id"), col("id").as("cluster"))
+    // seed labels with min(id, min neighbor) — one aggregation over the
+    // edge list that IS the loop's first neighbor-min round, so star
+    // graphs (the common near-dup shape) start already converged.
+    var labels = sym.groupBy(col("id"))
+      .agg(least(col("id"), min(col("nbr"))).as("cluster"))
+      .localCheckpoint(true)
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {

@@ -200,37 +200,55 @@ object Similarity {
   private[graft] def cellPartition(
       df: DataFrame, idCol: String, vecCol: String, t: Double,
       nCells: Int, seed: Long): (DataFrame, Seq[(Int, Int)]) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-
     val spark = df.sparkSession
     // spread before the narrow maps (norms, cell assignment) AND the
     // downstream candidate join: both sides of the cell join inherit
     // this frame's partitioning, so a single-split source would
     // otherwise verify all candidate pairs in one task.
+    //
+    // Cells are HYPERPLANE-SIGNATURE buckets (⌈log2 nCells⌉ seeded sign
+    // bits, native codegen expression), not fitted k-means cells: the
+    // quantizer only affects how much the triangle-inequality step can
+    // prune (cost), never which pairs the exact verify emits
+    // (correctness) — and a fit (~10 driver-blocking ml jobs) costs
+    // more than the pruning it buys. Signature buckets have exactly
+    // the angular locality the geodesic bound wants, assign in one
+    // narrow map, and are deterministic in (seed, dim) with no model
+    // object to broadcast. Centroids/radii come from the members
+    // themselves (per-bucket mean, max member angle) in two
+    // aggregation passes, so the bound stays tight on actual bucket
+    // contents.
+    val bits = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1, nCells - 1).toLong).toInt)
     val base = Dedup.spreadWide(df)
       .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__nrm", sqrt(dot(col("__v"), col("__v"))))
-      .withColumn("__features", array_to_vector(col("__v")))
-    // k must not exceed the row count; probing min(nCells, n) rows is a
-    // tiny limited count, not a full scan.
-    val k = math.max(1, math.min(nCells, base.select("__id").limit(nCells).count().toInt))
-    // few iterations: clustering quality only affects how much the
-    // triangle-inequality step can prune (cost), never which pairs the
-    // exact verify emits (correctness) — don't pay for a polished fit
-    val model = new KMeans().setK(k).setSeed(seed).setMaxIter(5)
-      .setFeaturesCol("__features").setPredictionCol("__cell").fit(base)
-    val assigned = model.transform(base).drop("__features")
-    val centroids = model.clusterCenters.map(_.toArray)
+      .withColumn("__cell", hyperplaneSignature(col("__v"), bits, seed).cast("int"))
+
+    // per-cell mean vector: one partial-aggregated pass over
+    // (cell, dim) — the collect is k×dim doubles of metadata.
+    val sums = base
+      .select(col("__cell"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+      .groupBy(col("__cell"), col("__pos"))
+      .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
+      .collect()
+    if (sums.isEmpty) return (base, Seq.empty)
+    val dims = sums.map(_.getInt(1)).max + 1
+    val centroids: Map[Int, Array[Double]] = sums.groupBy(_.getInt(0)).map {
+      case (cell, rows) =>
+        val c = new Array[Double](dims)
+        rows.foreach(r => c(r.getInt(1)) = r.getDouble(2) / r.getLong(3))
+        cell -> c
+    }
+    val cells = centroids.keys.toSeq.sorted
+    val centroidDf = spark.createDataFrame(
+      cells.map(c => (c, centroids(c).toSeq)))
+      .toDF("__cell", "__centroid")
 
     // per-cell angular radius: max geodesic distance from a member to
-    // its centroid. The collect is k rows of metadata (same size class
-    // as the centroids themselves), never data.
-    val centroidDf = spark.createDataFrame(
-      centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq)
-      .toDF("__cell", "__centroid")
+    // its centroid.
     val theta = acos(least(greatest(cosine(col("__v"), col("__centroid")), lit(-1.0)), lit(1.0)))
-    val radii = assigned
+    val radii = base
       .join(broadcast(centroidDf), Seq("__cell"))
       .groupBy(col("__cell")).agg(max(theta).as("r"))
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
@@ -244,19 +262,19 @@ object Similarity {
     }
     val maxTheta = math.acos(math.max(-1.0, math.min(1.0, t)))
     val allowed = for {
-      ca <- 0 until k
-      cb <- 0 until k
+      ca <- cells
+      cb <- cells
       if thetaBetween(centroids(ca), centroids(cb)) -
         radii.getOrElse(ca, 0.0) - radii.getOrElse(cb, 0.0) <= maxTheta
     } yield (ca, cb)
-    (assigned, allowed)
+    (base, allowed)
   }
 
   /** Scale path for [[similarPairs]] with an EXACT-OUTPUT guarantee:
     * metric-space cell pruning instead of probabilistic LSH recall.
     *
-    * Vectors are partitioned into `nCells` seeded k-means cells; a cell
-    * pair (A, B) can contain a pair with cosine ≥ t only if
+    * Vectors are partitioned into `nCells` seeded hyperplane-signature
+    * cells; a cell pair (A, B) can contain a pair with cosine ≥ t only if
     * θ(centroidA, centroidB) − radiusA − radiusB ≤ arccos(t) (triangle
     * inequality on geodesic distance — angular distance is a metric on
     * the sphere). Only surviving cell pairs are joined, then exact
@@ -266,9 +284,10 @@ object Similarity {
     * default needs, which hyperplane LSH (probabilistic recall) cannot
     * give.
     *
-    * Scale shape: one k-means pass, one narrow map to tag cells, one
-    * hash equi-join on cell id over the pruned pair list (broadcast —
-    * it is ≤ nCells² ints). On clustered corpora (the near-dup use
+    * Scale shape: one narrow map to tag cells (native signature
+    * expression, no fit), two metadata aggregations (centroids,
+    * radii), one hash equi-join on cell id over the pruned pair list
+    * (broadcast — it is ≤ nCells² ints). On clustered corpora (the near-dup use
     * case: embeddings of duplicated documents are near-identical by
     * construction) most cell pairs prune away and cost approaches
     * Σ|cell|²; on adversarial uniform-random data it degrades to the

@@ -9,9 +9,12 @@ class DupClustersSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  // driverEdgeThreshold = 0 forces the DISTRIBUTED loop — these tests
+  // cover the iterative path; the driver fast path is compared against
+  // it separately below.
   private def comps(vs: Seq[Long], es: Seq[(Long, Long)], maxIter: Int = 30) =
     DupClusters.connectedComponents(
-        vs.toDF("id"), es.toDF("id_a", "id_b"), maxIter)
+        vs.toDF("id"), es.toDF("id_a", "id_b"), maxIter, driverEdgeThreshold = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   test("connectedComponents: chains transitively close, isolated rows self-label") {
@@ -35,6 +38,18 @@ class DupClustersSpec extends AnyFunSuite {
     val m1 = comps(Seq(1L, 2L, 3L), Seq((1L, 2L), (2L, 3L)))
     val m2 = comps(Seq(1L, 2L, 3L), Seq((2L, 1L), (3L, 2L), (1L, 2L)))
     assert(m1 === m2)
+  }
+
+  test("driver union-find fast path agrees with the distributed loop") {
+    val vs = (0L to 40L).toDF("id")
+    val es = (0L to 40L).sliding(2).map(p => (p(1), p(0))).toSeq ++
+      Seq((50L, 60L)) // plus a vertex pair absent from `vs`' chain
+    val esDf = (es: Seq[(Long, Long)]).toDF("id_a", "id_b")
+    val loop = DupClusters.connectedComponents(vs, esDf, driverEdgeThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = DupClusters.connectedComponents(vs, esDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast === loop)
   }
 
   test("clusterDedup keeps exactly one best row per cluster (not per pair)") {
