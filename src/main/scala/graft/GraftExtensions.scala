@@ -18,13 +18,15 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * list per-session, so both paths expose an identical SQL surface.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.functions", name),
         builder))
     }
+    ext.injectOptimizerRule(session => graft.plans.JaccardJoinRewrite(session))
+  }
 }
 
 object GraftExtensions {
@@ -53,5 +55,8 @@ object GraftExtensions {
       ((es: Seq[Expression]) => graft.functions.HyperplaneSig(es.head,
         es(1).eval().asInstanceOf[Int],
         es(2).eval() match { case i: Int => i.toLong; case l: Long => l })),
+    "ngram_jaccard_sim" ->
+      ((es: Seq[Expression]) => graft.functions.NGramJaccardSim(es.head, es(1),
+        es(2).eval().asInstanceOf[Int])),
   )
 }

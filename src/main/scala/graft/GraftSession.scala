@@ -35,7 +35,18 @@ object GraftSession {
     val spark = builder(master).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     registerFunctions(spark)
+    installOptimizerRules(spark)
     spark
+  }
+
+  /** Install the engine's optimizer rules on an existing session (the
+    * `spark.sql.extensions=graft.GraftExtensions` path gets them at
+    * session build instead). Idempotent. */
+  def installOptimizerRules(spark: SparkSession): Unit = {
+    val rule = graft.plans.JaccardJoinRewrite(spark)
+    val current = spark.experimental.extraOptimizations
+    if (!current.exists(_.isInstanceOf[graft.plans.JaccardJoinRewrite]))
+      spark.experimental.extraOptimizations = current :+ rule
   }
 
   /** Register graft's custom Catalyst expressions for SQL callers

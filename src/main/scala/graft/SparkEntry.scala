@@ -667,6 +667,29 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(length(col("text"))).as("total_chars"))
     },
+
+    // ---- Optimizer-rule surface: the DECLARATIVE similarity join. The
+    // query is written as the naive theta-join on the ngram_jaccard_sim
+    // marker — the only plan Spark itself has for it is a nested-loop
+    // cross product — and graft.plans.JaccardJoinRewrite (installed by
+    // GraftSession / spark.sql.extensions) rewrites it into the
+    // count-based exact set-similarity join. Output is hash-checked
+    // against DuckDB's brute force, i.e. the rewrite's exact-output
+    // guarantee is oracle-gated; JaccardRewriteSpec asserts the plan
+    // contains no nested-loop join.
+    "q58_jaccard_join_rewrite" -> { (s, dir) =>
+      GraftSession.installOptimizerRules(s)
+      val docs = Tables.documents(s, dir)
+      val eval = docs.filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id").as("eval_id"), col("text").as("eval_text"))
+      val corpus = docs.select(col("doc_id"), col("text"))
+      eval.join(corpus,
+          Dedup.jaccardSim(col("eval_text"), col("text"), 8) >= lit(0.5) &&
+            col("eval_id") =!= col("doc_id"))
+        .select(col("eval_id"), col("doc_id"),
+          round(Dedup.jaccardSim(col("eval_text"), col("text"), 8), 6).as("jaccard"))
+        .orderBy("eval_id", "doc_id")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1325,6 +1348,23 @@ object SparkEntry {
         |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j
         |WHERE round(jac, 6) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q58_jaccard_join_rewrite" ->
+      """WITH g AS (SELECT doc_id, list_distinct(list_filter(
+        |        list_transform(range(1, greatest(length(text) - 7, 0) + 2),
+        |          i -> text[i:i+7]),
+        |        x -> length(x) = 8)) AS grams FROM documents),
+        |p AS (SELECT a.doc_id AS eval_id, b.doc_id AS doc_id,
+        |        a.grams AS ga, b.grams AS gb
+        |      FROM g a, g b WHERE a.doc_id % 20 = 0 AND a.doc_id <> b.doc_id),
+        |j AS (SELECT eval_id, doc_id,
+        |        CASE WHEN len(list_distinct(list_concat(ga, gb))) = 0 THEN 1.0
+        |          ELSE len(list_filter(ga, x -> list_contains(gb, x))) * 1.0 /
+        |               len(list_distinct(list_concat(ga, gb))) END AS jac
+        |      FROM p)
+        |SELECT eval_id, doc_id, round(jac, 6) AS jaccard FROM j
+        |WHERE jac >= 0.5
+        |ORDER BY eval_id, doc_id""".stripMargin,
 
     "q46_embedding_quantize" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -420,6 +420,50 @@ object Dedup {
     corpus.join(leaked, Seq(idCol), "left_anti")
   }
 
+  /** Marker-based exact n-gram Jaccard similarity for JOIN PREDICATES:
+    * `a.join(b, Dedup.jaccardSim(a("text"), b("text"), n) >= lit(t))`.
+    * Evaluates exactly like [[ngramJaccard]] anywhere, but as a single
+    * recognizable expression node that
+    * [[graft.plans.JaccardJoinRewrite]] pattern-matches in join
+    * conditions and replaces with the count-based exact set-similarity
+    * join — the naive cross product never executes when the rule is
+    * installed ([[graft.GraftSession]] installs it; plain sessions get
+    * it via `spark.sql.extensions=graft.GraftExtensions`). */
+  def jaccardSim(a: Column, b: Column, n: Int = 3): Column =
+    text.expr2col(graft.functions.NGramJaccardSim(
+      text.col2expr(a), text.col2expr(b), n))
+
+  /** DISTINCT text pairs `(__ta, __tb)` whose exact n-gram Jaccard
+    * satisfies the threshold — the relational core behind
+    * [[graft.plans.JaccardJoinRewrite]]. Same count-based algorithm as
+    * [[jaccardPairs]] but keyed by the text VALUES themselves (the
+    * rewrite has no row ids to pack) and compared UNROUNDED so the
+    * decision agrees bit-for-bit with evaluating
+    * [[graft.functions.NGramJaccardSim]] per pair. */
+  private[graft] def textPairsByJaccard(
+      left: DataFrame, leftText: Column,
+      right: DataFrame, rightText: Column,
+      t: Double, n: Int, strict: Boolean): DataFrame = {
+    val lt = spreadWide(left.select(leftText.as("__t")).filter(col("__t").isNotNull)).distinct()
+    val rt = spreadWide(right.select(rightText.as("__t")).filter(col("__t").isNotNull)).distinct()
+    val ta = tokens(lt, "__t", col("__t"), n)
+      .select(col("__id").as("__ta"), col("__sz").as("__sza"), col("__gram"))
+    val tb = tokens(rt, "__t", col("__t"), n)
+      .select(col("__id").as("__tb"), col("__sz").as("__szb"), col("__gram"))
+    // loose size bound (ε guards double rounding of t·max): prunes
+    // inside the join stage; the exact unrounded J filter decides.
+    val sizeOk = least(col("__sza"), col("__szb")).cast("double") >=
+      greatest(col("__sza"), col("__szb")) * t - lit(1e-9)
+    val j = col("__i").cast("double") / (col("__sza") + col("__szb") - col("__i"))
+    ta.join(tb, Seq("__gram"))
+      .filter(sizeOk)
+      .groupBy(col("__ta"), col("__tb"))
+      .agg(count(lit(1)).as("__i"),
+        min(col("__sza")).as("__sza"), min(col("__szb")).as("__szb"))
+      .filter(if (strict) j > t else j >= t)
+      .select(col("__ta"), col("__tb"))
+  }
+
   /** `(__id, __sz, __gram)` exploded token stream of a doc frame. */
   private def tokens(df: DataFrame, idCol: String, textCol: Column, n: Int): DataFrame =
     gramSets(df, idCol, textCol, n)

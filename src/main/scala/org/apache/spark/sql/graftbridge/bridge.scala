@@ -13,6 +13,15 @@ object bridge {
   def toColumn(e: Expression): Column = ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Wrap a logical plan as a DataFrame (`Dataset.ofRows` is
+    * `private[sql]`) — used by optimizer rules that rebuild a subplan
+    * with the public DataFrame API. */
+  def ofRows(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+    org.apache.spark.sql.classic.Dataset.ofRows(spark, plan)
+  }
+
   /** Apply the function injections collected by a
     * `SparkSessionExtensions` instance to a session's registry —
     * `spark.sql.extensions` is a STATIC conf read at SparkContext
