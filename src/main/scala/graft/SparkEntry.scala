@@ -668,6 +668,20 @@ object SparkEntry {
           sum(length(col("text"))).as("total_chars"))
     },
 
+    // ---- Product quantization: train on a bounded deterministic
+    // sample, one narrow encode map (64-dim fp32 -> 16 bytes/vector),
+    // ADC cosine top-k from codes alone. Codebook is kmeans-derived so
+    // the output is seeded-deterministic but not SQL-expressible —
+    // rows-only check here; PqSpec carries the recall/error gates.
+    "q59_pq_topk" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val model = operators.Pq.train(emb, "vec_id", "embedding", m = 16, ksub = 256)
+      val coded = operators.Pq.encode(emb, "embedding", model)
+      operators.Pq.adcTopK(coded, emb.filter(col("vec_id") % 40 === 0),
+          "vec_id", "pq_code", "embedding", model, k = 5)
+        .orderBy("query_id", "rank")
+    },
+
     // ---- Optimizer-rule surface: the DECLARATIVE similarity join. The
     // query is written as the naive theta-join on the ngram_jaccard_sim
     // marker — the only plan Spark itself has for it is a nested-loop

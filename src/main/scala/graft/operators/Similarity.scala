@@ -35,9 +35,15 @@ object Similarity {
     when(na === 0 || nb === 0, lit(0.0d)).otherwise(dot(a, b) / (na * nb))
   }
 
+  /** Inputs are cast to `array<double>` DEFENSIVELY: the native kernel
+    * reads doubles unconditionally, and an `array<float>` column fed
+    * directly (embedding parquet is float!) would be silently misread
+    * as garbage. The cast is identity (and optimizer-eliminated) on
+    * already-double inputs, so no oracle result changes. */
   def dot(a: Column, b: Column): Column =
     graft.functions.text.expr2col(graft.functions.DotProduct(
-      graft.functions.text.col2expr(a), graft.functions.text.col2expr(b)))
+      graft.functions.text.col2expr(a.cast("array<double>")),
+      graft.functions.text.col2expr(b.cast("array<double>"))))
 
   /** Symmetric per-vector int8 quantization: `q_i = round(v_i/scale)`
     * with `scale = max|v_i| / 127` — the storage format that makes a
