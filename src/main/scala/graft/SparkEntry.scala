@@ -668,6 +668,23 @@ object SparkEntry {
           sum(length(col("text"))).as("total_chars"))
     },
 
+    // ---- §2.10 stream-stream interval join (funnel attribution):
+    // view → click by the same user within 10 minutes. Batch mode of
+    // the same operator the streaming spec drives with real streams;
+    // the aggregate keeps the oracle output small and integer-only.
+    "q60_interval_join" -> { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      streaming.StreamOps.intervalJoin(views, clicks, "user_id", "ts", "10 minutes")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("view_id")).as("n_views_with_click"))
+        .orderBy("user_id")
+    },
+
     // ---- Product quantization: train on a bounded deterministic
     // sample, one narrow encode map (64-dim fp32 -> 16 bytes/vector),
     // ADC cosine top-k from codes alone. Codebook is kmeans-derived so
@@ -1362,6 +1379,17 @@ object SparkEntry {
         |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j
         |WHERE round(jac, 6) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q60_interval_join" ->
+      """SELECT v.user_id,
+        |  count(*) AS n_pairs,
+        |  count(DISTINCT v.event_id) AS n_views_with_click
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON v.user_id = c.user_id
+        | AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
+        |GROUP BY v.user_id
+        |ORDER BY v.user_id""".stripMargin,
 
     "q58_jaccard_join_rewrite" ->
       """WITH g AS (SELECT doc_id, list_distinct(list_filter(

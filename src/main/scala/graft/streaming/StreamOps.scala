@@ -133,6 +133,36 @@ object StreamOps {
         fuzzyDedupStateFn(numPerm, threshold, maxSignatures, ttl))
   }
 
+  /** Stream-stream INTERVAL join: every (left, right) pair with equal
+    * `keyCol` and `right.ts ∈ [left.ts, left.ts + within]` — the
+    * funnel/attribution primitive (view → click within 10 minutes).
+    *
+    * Right-side columns come back suffixed `_r` (`ts_r`, ...): both
+    * sides usually derive from the same event schema.
+    *
+    * Streaming semantics: BOTH sides get watermarks, and the join
+    * condition bounds right.ts relative to left.ts in both directions,
+    * which is exactly what Spark needs to compute each side's state
+    * eviction point — without the time bound a stream-stream inner
+    * join would buffer both streams forever. State per side is
+    * `watermark + within` of events. The same code path runs in batch
+    * (the specs and the q60 oracle drive it there: a range-predicate
+    * hash join on the key).
+    */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, within: String,
+      watermark: String = "1 hour"): DataFrame = {
+    val l = if (left.isStreaming) left.withWatermark(tsCol, watermark) else left
+    val renamed = right.columns.foldLeft(right)((d, c) => d.withColumnRenamed(c, c + "_r"))
+    val r = if (renamed.isStreaming) renamed.withWatermark(tsCol + "_r", watermark) else renamed
+    l.join(r,
+      col(keyCol) === col(keyCol + "_r") &&
+        col(tsCol + "_r") >= col(tsCol) &&
+        col(tsCol + "_r") <= col(tsCol) + expr(s"INTERVAL $within"))
+      .drop(keyCol + "_r")
+  }
+
   /** S8 — CDC watermark incremental scan as a composable predicate:
     * rows strictly newer than the last sync point. At the source level
     * this predicate pushes into JDBC/parquet scans. No ORDER BY: the

@@ -155,6 +155,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM quality_metrics").head().getLong(0) === metrics.count())
   }
 
+  test("stream-stream interval join pairs views with clicks inside the bound") {
+    val dir = Files.createTempDirectory("graft-stream-join").toString
+    val views = Seq(
+      (1L, tsAt("10:00"), 7L), // clicked at 10:05 ✓ and 10:09 ✓
+      (2L, tsAt("11:00"), 7L), // next click 11:20 ✗ (outside 10 min)
+      (3L, tsAt("10:00"), 8L)  // other user's clicks must not match
+    ).toDF("event_id", "ts", "user_id")
+    val clicks = Seq(
+      (101L, tsAt("10:05"), 7L),
+      (102L, tsAt("10:09"), 7L),
+      (103L, tsAt("11:20"), 7L),
+      (104L, tsAt("10:04"), 9L)
+    ).toDF("event_id", "ts", "user_id")
+    views.write.parquet(s"$dir/views")
+    clicks.write.parquet(s"$dir/clicks")
+    def stream(p: String) =
+      spark.readStream.schema(spark.read.parquet(p).schema).parquet(p)
+    val joined = StreamOps.intervalJoin(
+      stream(s"$dir/views"), stream(s"$dir/clicks"),
+      "user_id", "ts", "10 minutes", watermark = "5 minutes")
+    val out = runToMemory(joined.select(col("event_id"), col("event_id_r")), "sjoin_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((1L, 101L), (1L, 102L)), s"got $out")
+
+    // batch mode of the same operator agrees
+    val batchOut = StreamOps.intervalJoin(views, clicks, "user_id", "ts", "10 minutes")
+      .select(col("event_id"), col("event_id_r"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchOut === out)
+  }
+
   test("CDC incremental scan returns only rows past the sync point (S8)") {
     val e = Tables.events(spark, "/root/testdata/sf0.001")
     val mid = e.selectExpr("percentile(cast(ts as double), 0.5)").head().getDouble(0)
