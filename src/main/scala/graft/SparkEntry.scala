@@ -668,6 +668,27 @@ object SparkEntry {
           sum(length(col("text"))).as("total_chars"))
     },
 
+    // ---- Hybrid retrieval: BM25 lexical recall (top-50 candidates,
+    // proportional-to-hits plan) reranked by embedding cosine against
+    // a query vector — the standard two-stage retrieval pipeline,
+    // composed from the engine's own stages and oracle-checked
+    // end-to-end. Query vector = embedding of vec_id 0 (deterministic).
+    "q61_hybrid_retrieval" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      val qv = emb.filter(col("vec_id") === 0).select(col("emb").as("qv"))
+      val cands = Retrieval.bm25TopK(docs, "doc_id", col("text"),
+        queryTerms = Seq("spark", "shuffle", "join"), k = 50)
+      cands.join(emb, cands("doc_id") === emb("vec_id"))
+        .crossJoin(broadcast(qv))
+        .withColumn("__cos", Similarity.cosine(col("emb"), col("qv")))
+        .filter(!isnan(col("__cos")))
+        .orderBy(desc("__cos"), col("doc_id"))
+        .limit(10)
+        .select(col("doc_id"), col("bm25_score"), round(col("__cos"), 6).as("cos_sim"))
+    },
+
     // ---- §2.10 stream-stream interval join (funnel attribution):
     // view → click by the same user within 10 minutes. Batch mode of
     // the same operator the streaming spec drives with real streams;
@@ -1379,6 +1400,48 @@ object SparkEntry {
         |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j
         |WHERE round(jac, 6) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q61_hybrid_retrieval" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks WHERE term <> '' GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n, avg(CAST(coalesce(dl.dl, 0) AS DOUBLE)) AS avgdl
+        |          FROM documents LEFT JOIN dl USING (doc_id)),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('spark', 'shuffle', 'join') GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |bm25 AS (SELECT tf.doc_id,
+        |    round(sum(
+        |      ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+        |      tf.tf * (1.2 + 1.0) /
+        |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+        |    ), 4) AS bm25_score
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |  GROUP BY tf.doc_id
+        |  ORDER BY bm25_score DESC, tf.doc_id
+        |  LIMIT 50),
+        |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+        |r AS (SELECT b.doc_id, b.bm25_score,
+        |        CASE WHEN sqrt(list_dot_product(e.ev, e.ev)) = 0
+        |               OR sqrt(list_dot_product(q.qv, q.qv)) = 0 THEN 0.0
+        |             ELSE list_dot_product(e.ev, q.qv) /
+        |                  (sqrt(list_dot_product(e.ev, e.ev)) * sqrt(list_dot_product(q.qv, q.qv)))
+        |        END AS cos
+        |      FROM bm25 b
+        |      JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings) e
+        |        ON b.doc_id = e.vec_id
+        |      CROSS JOIN q
+        |      WHERE NOT isnan(list_dot_product(e.ev, q.qv) /
+        |        (CASE WHEN sqrt(list_dot_product(e.ev, e.ev)) *
+        |                   sqrt(list_dot_product(q.qv, q.qv)) = 0 THEN 1.0
+        |              ELSE sqrt(list_dot_product(e.ev, e.ev)) *
+        |                   sqrt(list_dot_product(q.qv, q.qv)) END))
+        |      ORDER BY cos DESC, b.doc_id
+        |      LIMIT 10)
+        |SELECT doc_id, bm25_score, round(cos, 6) AS cos_sim FROM r
+        |ORDER BY cos_sim DESC, doc_id""".stripMargin,
 
     "q60_interval_join" ->
       """SELECT v.user_id,
