@@ -40,7 +40,7 @@ object Bench {
     // MinHashLSH additionally pays one-time init). Off the clock by
     // design: the baseline's numbers are steady-state throughput too.
     locally {
-      val warmDocs = Tables.documents(spark, sfDir).limit(256).cache()
+      val warmDocs = Tables.documents(spark, sfDir).limit(1024).cache()
       warmDocs.count()
       force(operators.Dedup.fuzzyDedup(warmDocs, "doc_id", col("text"),
         threshold = 0.5, shingleSize = 3))

@@ -241,6 +241,21 @@ object CorpusIO {
       .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(table)
 
+  /** Range-partitioned SORTED parquet write — the layout that makes
+    * selective range scans cheap at 100 TB. `repartitionByRange` puts
+    * disjoint key ranges in separate files and `sortWithinPartitions`
+    * orders rows inside each, so every file's (and every row group's)
+    * min/max stats for the sort key are TIGHT: a reader's range filter
+    * prunes whole files via footer stats before any row is
+    * decompressed (asserted file-by-file in LayoutSpec). Prefer this
+    * for fact tables scanned by time/id ranges; prefer
+    * [[writeBucketed]] for join co-location. */
+  def writeSorted(df: DataFrame, path: String, sortCols: Seq[String],
+      numFiles: Int): Unit =
+    df.repartitionByRange(numFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(path)
+
   /** S12 — dataset-adapter mapper in the UniMorph shape
     * (driver_hf_unimorph.py:9-41): morphology rows
     * {lemma, form, tags} → canonical records where the inflected form
