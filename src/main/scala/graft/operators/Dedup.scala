@@ -444,23 +444,47 @@ object Dedup {
       left: DataFrame, leftText: Column,
       right: DataFrame, rightText: Column,
       t: Double, n: Int, strict: Boolean): DataFrame = {
-    val lt = spreadWide(left.select(leftText.as("__t")).filter(col("__t").isNotNull)).distinct()
-    val rt = spreadWide(right.select(rightText.as("__t")).filter(col("__t").isNotNull)).distinct()
-    val ta = tokens(lt, "__t", col("__t"), n)
-      .select(col("__id").as("__ta"), col("__sz").as("__sza"), col("__gram"))
-    val tb = tokens(rt, "__t", col("__t"), n)
-      .select(col("__id").as("__tb"), col("__sz").as("__szb"), col("__gram"))
+    // Distinct texts per side, keyed by a 128-bit hash (two independent
+    // xxhash64 seeds): the token join and the pair-count aggregation
+    // must never carry or group on the TEXTS themselves — a ~300-char
+    // document as a grouping key makes the hot aggregation hash and
+    // compare ~600-byte keys per joined token row (measured 10× the
+    // whole operator's cost). Texts are re-attached only to the few
+    // threshold-passing pairs. 128 bits ⇒ a collision (which could
+    // merge two pairs' counts) needs ~2^64 distinct texts.
+    def keyed(src: DataFrame, textExpr: Column): DataFrame =
+      spreadWide(src.select(textExpr.as("__t")).filter(col("__t").isNotNull))
+        .distinct()
+        .select(col("__t"), xxhash64(col("__t")).as("__h1"),
+          xxhash64(col("__t"), lit(1)).as("__h2"))
+    val lt = keyed(left, leftText)
+    val rt = keyed(right, rightText)
+    def toks(k: DataFrame, p: String): DataFrame = {
+      val grams = text.expr2col(
+        graft.functions.CharNGrams(text.col2expr(col("__t")), n, sentinel = true))
+      k.select(col("__h1").as(s"__${p}1"), col("__h2").as(s"__${p}2"), grams.as("__g"))
+        .select(col(s"__${p}1"), col(s"__${p}2"),
+          size(col("__g")).as(s"__sz$p"), explode(col("__g")).as("__gram"))
+    }
+    val ta = toks(lt, "a")
+    val tb = toks(rt, "b")
     // loose size bound (ε guards double rounding of t·max): prunes
     // inside the join stage; the exact unrounded J filter decides.
     val sizeOk = least(col("__sza"), col("__szb")).cast("double") >=
       greatest(col("__sza"), col("__szb")) * t - lit(1e-9)
     val j = col("__i").cast("double") / (col("__sza") + col("__szb") - col("__i"))
-    ta.join(tb, Seq("__gram"))
+    val hits = ta.join(tb, Seq("__gram"))
       .filter(sizeOk)
-      .groupBy(col("__ta"), col("__tb"))
+      .groupBy(col("__a1"), col("__a2"), col("__b1"), col("__b2"))
       .agg(count(lit(1)).as("__i"),
         min(col("__sza")).as("__sza"), min(col("__szb")).as("__szb"))
       .filter(if (strict) j > t else j >= t)
+      .select(col("__a1"), col("__a2"), col("__b1"), col("__b2"))
+    hits
+      .join(lt.select(col("__t").as("__ta"), col("__h1").as("__a1"), col("__h2").as("__a2")),
+        Seq("__a1", "__a2"))
+      .join(rt.select(col("__t").as("__tb"), col("__h1").as("__b1"), col("__h2").as("__b2")),
+        Seq("__b1", "__b2"))
       .select(col("__ta"), col("__tb"))
   }
 
