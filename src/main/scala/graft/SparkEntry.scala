@@ -668,6 +668,19 @@ object SparkEntry {
           sum(length(col("text"))).as("total_chars"))
     },
 
+    // ---- Data-mixture assembly: budget-capped stratified sample —
+    // every language capped at 20k chars, rows taken in deterministic
+    // md5 order until the budget fills. Proportions come from budgets,
+    // not from the crawl's skew; window-cumsum is engine-agnostic so
+    // the exact kept set hash-checks against DuckDB.
+    "q62_budget_sample" -> { (s, dir) =>
+      Split.budgetSample(Tables.documents(s, dir),
+          strata = col("lang"), key = col("doc_id"), cost = col("n_chars"),
+          budget = 20000L, seed = 42L)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
     // ---- Hybrid retrieval: BM25 lexical recall (top-50 candidates,
     // proportional-to-hits plan) reranked by embedding cosine against
     // a query vector — the standard two-stage retrieval pipeline,
@@ -1400,6 +1413,18 @@ object SparkEntry {
         |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j
         |WHERE round(jac, 6) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q62_budget_sample" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    sum(n_chars) OVER (
+        |      PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '|42'), doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars FROM s
+        |WHERE cum <= 20000
+        |ORDER BY doc_id""".stripMargin,
 
     "q61_hybrid_retrieval" ->
       """WITH toks AS (

@@ -77,6 +77,38 @@ object Split {
       .drop("__rn", "__n")
   }
 
+  /** Budget-capped stratified sample — the DATA-MIXTURE primitive: cap
+    * every stratum (language, source, domain) at a cost budget (tokens,
+    * chars, bytes), taking rows in a deterministic pseudo-random order
+    * until the budget fills. This is how a training mix is assembled
+    * ("at most B tokens per language"): proportions come from budgets,
+    * not from whatever the crawl happened to contain.
+    *
+    * A row is kept iff the running cost sum over the stratum's
+    * md5-ordered prefix — INCLUDING the row itself — is ≤ `budget`
+    * (strict cap, never overshoots). Deterministic in (key, seed) on
+    * any cluster shape; monotone in the budget (a larger budget keeps
+    * a superset — the prefix order is fixed). Same scale shape as
+    * [[stratified]]: one window shuffle on the stratum; use bounded
+    * strata.
+    */
+  def budgetSample(
+      df: DataFrame,
+      strata: Column,
+      key: Column,
+      cost: Column,
+      budget: Long,
+      seed: Long = 42L): DataFrame = {
+    val ord = md5(concat(key.cast("string"), lit("|"), lit(seed.toString)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata).orderBy(ord, key)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    df.withColumn("__cum", sum(cost).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__cum")
+  }
+
   /** O5 — split-disjointness invariant: pairwise key intersections empty. */
   def disjoint(a: DataFrame, b: DataFrame, keyCols: Seq[String]): Boolean = {
     val ka = a.select(Dedup.compositeKey(keyCols).as("k"))

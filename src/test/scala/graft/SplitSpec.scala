@@ -59,6 +59,21 @@ class SplitSpec extends AnyFunSuite {
     assert(s.exceptAll(again).isEmpty && again.exceptAll(s).isEmpty, "deterministic")
   }
 
+  test("budgetSample caps every stratum's cost, deterministically and monotonically") {
+    val b20k = Split.budgetSample(docs, col("lang"), col("doc_id"), col("n_chars"), 20000L)
+    // strict cap per stratum
+    b20k.groupBy("lang").agg(org.apache.spark.sql.functions.sum("n_chars").as("c"))
+      .collect().foreach(r => assert(r.getLong(1) <= 20000L, s"${r.getString(0)} over budget"))
+    // nonempty and smaller than the corpus (fixture has >20k chars/lang)
+    assert(b20k.count() > 0 && b20k.count() < docs.count())
+    // deterministic
+    val again = Split.budgetSample(docs, col("lang"), col("doc_id"), col("n_chars"), 20000L)
+    assert(b20k.exceptAll(again).isEmpty && again.exceptAll(b20k).isEmpty)
+    // monotone: larger budget keeps a superset
+    val b40k = Split.budgetSample(docs, col("lang"), col("doc_id"), col("n_chars"), 40000L)
+    assert(b20k.select("doc_id").exceptAll(b40k.select("doc_id")).isEmpty)
+  }
+
   test("different seeds give different assignments") {
     val a = Split.split(docs, Seq("doc_id"), seed = 42L)
     val b = Split.split(docs, Seq("doc_id"), seed = 43L)
