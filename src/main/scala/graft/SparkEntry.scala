@@ -749,10 +749,10 @@ object SparkEntry {
         .select(col("doc_id").as("eval_id"), col("text").as("eval_text"))
       val corpus = docs.select(col("doc_id"), col("text"))
       eval.join(corpus,
-          Dedup.jaccardSim(col("eval_text"), col("text"), 8) >= lit(0.5) &&
+          Dedup.jaccardSim(col("eval_text"), col("text"), 12) >= lit(0.5) &&
             col("eval_id") =!= col("doc_id"))
         .select(col("eval_id"), col("doc_id"),
-          round(Dedup.jaccardSim(col("eval_text"), col("text"), 8), 6).as("jaccard"))
+          round(Dedup.jaccardSim(col("eval_text"), col("text"), 12), 6).as("jaccard"))
         .orderBy("eval_id", "doc_id")
     },
   )
@@ -1481,9 +1481,9 @@ object SparkEntry {
 
     "q58_jaccard_join_rewrite" ->
       """WITH g AS (SELECT doc_id, list_distinct(list_filter(
-        |        list_transform(range(1, greatest(length(text) - 7, 0) + 2),
-        |          i -> text[i:i+7]),
-        |        x -> length(x) = 8)) AS grams FROM documents),
+        |        list_transform(range(1, greatest(length(text) - 11, 0) + 2),
+        |          i -> text[i:i+11]),
+        |        x -> length(x) = 12)) AS grams FROM documents),
         |p AS (SELECT a.doc_id AS eval_id, b.doc_id AS doc_id,
         |        a.grams AS ga, b.grams AS gb
         |      FROM g a, g b WHERE a.doc_id % 20 = 0 AND a.doc_id <> b.doc_id),

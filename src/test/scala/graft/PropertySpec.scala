@@ -164,4 +164,17 @@ class PropertySpec extends AnyFunSuite {
       assert(bad === 0L)
     }
   }
+
+  test("property: ngram_jaccard_sim marker agrees with the composed-builtin formulation") {
+    for (seed <- 1L to 5L; n <- Seq(2, 3, 8)) {
+      val pairs = sample(Gen.listOfN(40, Gen.zip(corpusString, corpusString)), seed)
+      val df = pairs.toDF("a", "b")
+      val bad = df.select(
+        Dedup.jaccardSim(col("a"), col("b"), n).as("marker"),
+        Dedup.ngramJaccard(col("a"), col("b"), n).as("composed"))
+        .filter(not(col("marker") <=> col("composed")))
+      assert(bad.count() === 0L,
+        s"marker != composed for n=$n, e.g. ${bad.head(1).toSeq}")
+    }
+  }
 }
