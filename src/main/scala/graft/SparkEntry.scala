@@ -668,6 +668,34 @@ object SparkEntry {
           sum(length(col("text"))).as("total_chars"))
     },
 
+    // ---- Quality-trend anomaly detection (A9/W1 extension): per-type
+    // daily counts z-scored against the trailing 7-day window. The
+    // variance comes from EXPLICIT integer window sums ((Σx² −
+    // (Σx)²/n)/(n−1)) so both engines walk the identical float path —
+    // builtin stddev implementations differ numerically and would
+    // flake a hash oracle.
+    "q63_trend_anomaly" -> { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(to_date(col("ts")).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-7, -1)
+      val cnt = count(col("n")).over(w)
+      val s1 = sum(col("n")).over(w).cast("double")
+      val s2 = sum(col("n") * col("n")).over(w).cast("double")
+      val withStats = daily
+        .withColumn("__c", cnt).withColumn("__s1", s1).withColumn("__s2", s2)
+        .filter(col("__c") === 7)
+        .withColumn("__mean", col("__s1") / col("__c"))
+        .withColumn("__var",
+          (col("__s2") - col("__s1") * col("__s1") / col("__c")) / (col("__c") - 1))
+        .filter(col("__var") > 0)
+        .withColumn("z", round((col("n") - col("__mean")) / sqrt(col("__var")), 4))
+      withStats.filter(abs(col("z")) >= 1.5)
+        .select(col("day").cast("string").as("day"), col("event_type"), col("n"), col("z"))
+        .orderBy("day", "event_type")
+    },
+
     // ---- Data-mixture assembly: budget-capped stratified sample —
     // every language capped at 20k chars, rows taken in deterministic
     // md5 order until the budget fills. Proportions come from budgets,
@@ -1413,6 +1441,28 @@ object SparkEntry {
         |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j
         |WHERE round(jac, 6) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q63_trend_anomaly" ->
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT day, event_type, n,
+        |    count(n) OVER win AS c,
+        |    CAST(sum(n) OVER win AS DOUBLE) AS s1,
+        |    CAST(sum(n*n) OVER win AS DOUBLE) AS s2
+        |  FROM daily
+        |  WINDOW win AS (PARTITION BY event_type ORDER BY day
+        |                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT day, event_type, n, s1 / c AS mean,
+        |    (s2 - s1 * s1 / c) / (c - 1) AS var
+        |  FROM w WHERE c = 7)
+        |SELECT CAST(day AS VARCHAR) AS day, event_type, n,
+        |  round((n - mean) / sqrt(var), 4) AS z
+        |FROM z
+        |WHERE var > 0 AND abs(round((n - mean) / sqrt(var), 4)) >= 1.5
+        |ORDER BY day, event_type""".stripMargin,
 
     "q62_budget_sample" ->
       """WITH s AS (

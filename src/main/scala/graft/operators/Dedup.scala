@@ -288,6 +288,53 @@ object Dedup {
     } finally withSig.unpersist(blocking = false)
   }
 
+  /** Persistable MinHash signature table `(idCol, __sig)` — compute
+    * ONCE per corpus and store as parquet: incremental ingestion then
+    * dedups a new batch against the corpus by reading signatures
+    * (numPerm longs/doc), never re-reading corpus text. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: Column,
+      numPerm: Int = 128, shingleSize: Int = 3): DataFrame =
+    signed(df, idCol, textCol, numPerm, shingleSize)
+
+  /** Incremental near-dup removal: drop every `incoming` row whose
+    * estimated Jaccard against ANY row of the (typically precomputed,
+    * [[minhashSignatures]]-persisted) corpus signature table meets
+    * `threshold`. The growth path of a deduplicated corpus: the corpus
+    * is never re-scanned, the bipartite banded bucket join touches
+    * only hash-colliding (incoming, corpus) pairs, and removal is a
+    * left_anti on incoming ids. Follow with [[minhashDedup]] on the
+    * survivors to dedup the batch against itself, then append.
+    *
+    * Envelope: bucket sizes are corpus-driven; a corpus already
+    * deduped at the same threshold cannot hold mega-buckets of mutual
+    * near-dups, so the join stays hit-proportional (pre-dedup
+    * templated corpora should pass through [[minhashDedup]] first). */
+  def minhashDedupAgainst(
+      incoming: DataFrame, idCol: String, textCol: Column,
+      corpusSigned: DataFrame,
+      threshold: Double = 0.8,
+      numPerm: Int = 128,
+      bands: Int = 32,
+      shingleSize: Int = 3): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val r = numPerm / bands
+    def banded(sigDf: DataFrame, side: String): DataFrame =
+      sigDf.select(col(sigDf.columns.head).as(s"__id$side"), col("__sig").as(s"__sig$side"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"), xxhash64(slice(col("__sig"), b * r + 1, lit(r))).as("bucket")))).as("__b"))
+        .select(col(s"__id$side"), col(s"__sig$side"), col("__b.band"), col("__b.bucket"))
+    def estJaccard(x: Column, y: Column): Column =
+      text.expr2col(graft.functions.SigAgreeCount(
+        text.col2expr(x), text.col2expr(y))).cast("double") / numPerm
+    val inc = banded(signed(incoming, idCol, textCol, numPerm, shingleSize), "I")
+    val cor = banded(corpusSigned, "C")
+    val dupIds = inc.join(cor, Seq("band", "bucket"))
+      .filter(estJaccard(col("__sigI"), col("__sigC")) >= threshold)
+      .select(col("__idI").as(idCol)).distinct()
+      .localCheckpoint(true)
+    incoming.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** Exact-dedup by SimHash band equality: groups rows whose simhash
     * agree on all 4 16-bit bands (cheap near-dup bucketing; a
     * candidate-verify pass can follow). */

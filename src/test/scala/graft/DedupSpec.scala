@@ -269,4 +269,29 @@ class DedupSpec extends AnyFunSuite {
     assert(sims(1) === 0.0)
     assert(sims(2) > 0.5 && sims(2) < 1.0)
   }
+
+  test("minhashDedupAgainst drops incoming near-dups of the corpus, keeps fresh rows") {
+    val corpusDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "a totally different document about spark shuffle exchanges")
+    ).toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again"), // exact dup of 1
+      (11L, "the quick brown fox jumps over the lazy dog again and AGAIN"), // near dup of 1
+      (12L, "completely fresh content that matches nothing in the corpus at all")
+    ).toDF("doc_id", "text")
+    // corpus signatures computed once, as a pipeline would persist them
+    val sigs = Dedup.minhashSignatures(corpusDocs, "doc_id", col("text"))
+    val kept = Dedup.minhashDedupAgainst(incoming, "doc_id", col("text"), sigs,
+        threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(12L), s"kept $kept")
+    // determinism + signature-table round-trip through parquet
+    val dir = java.nio.file.Files.createTempDirectory("graft-sigs").toString + "/sigs"
+    sigs.write.parquet(dir)
+    val kept2 = Dedup.minhashDedupAgainst(incoming, "doc_id", col("text"),
+        spark.read.parquet(dir), threshold = 0.7)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 === kept)
+  }
 }
