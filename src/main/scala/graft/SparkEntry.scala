@@ -668,6 +668,15 @@ object SparkEntry {
           sum(length(col("text"))).as("total_chars"))
     },
 
+    // ---- Gopher-style repetition profiling: per-doc word counts,
+    // top-word share, and TTR — the repetition filters of LLM data
+    // curation, fully SQL-expressible so the whole profile
+    // hash-checks.
+    "q64_word_repetition" -> { (s, dir) =>
+      Stats.wordRepetition(Tables.documents(s, dir), "doc_id", col("text"))
+        .orderBy("doc_id")
+    },
+
     // ---- Quality-trend anomaly detection (A9/W1 extension): per-type
     // daily counts z-scored against the trailing 7-day window. The
     // variance comes from EXPLICIT integer window sums ((Σx² −
@@ -1441,6 +1450,22 @@ object SparkEntry {
         |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j
         |WHERE round(jac, 6) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q64_word_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |  FROM documents),
+        |wf AS (SELECT doc_id, word, count(*) AS c FROM w
+        |       WHERE word <> '' GROUP BY doc_id, word)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_words,
+        |  count(*) AS distinct_words,
+        |  round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_word_frac,
+        |  round(CAST(count(*) AS DOUBLE) / sum(c), 6) AS ttr
+        |FROM wf
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "q63_trend_anomaly" ->
       """WITH daily AS (

@@ -85,4 +85,33 @@ object Stats {
     df.groupBy(c.as("value")).agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("value"))
       .limit(k)
+
+  /** Per-document word-repetition profile — the Gopher-style
+    * repetition filters of LLM data curation: documents dominated by a
+    * few repeated words (boilerplate, keyword stuffing, templated
+    * junk) are low-value training data regardless of their length or
+    * charset validity.
+    *
+    * Output per doc: `n_words`, `distinct_words`, `top_word_frac`
+    * (most frequent word's share of all words, ties irrelevant — the
+    * max COUNT is unique even when the argmax word isn't), and the
+    * per-document type-token ratio `ttr`.
+    *
+    * Scale shape: one explode pre-filtered of empties, one
+    * (id, word) partial-aggregated count, one per-doc aggregation —
+    * both aggregations map-side-combine, nothing driver-side.
+    * Null/empty texts are dropped (no words → no profile row), same
+    * as the SQL formulation. */
+  def wordRepetition(df: DataFrame, idCol: String, textCol: Column): DataFrame = {
+    val words = df.select(col(idCol),
+        explode(split(lower(trim(textCol)), "\\s+")).as("__w"))
+      .filter(col("__w") =!= "")
+    words.groupBy(col(idCol), col("__w")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("__c")).as("n_words"),
+        count(lit(1)).as("distinct_words"),
+        round(max(col("__c")).cast("double") / sum(col("__c")), 6).as("top_word_frac"),
+        round(count(lit(1)).cast("double") / sum(col("__c")), 6).as("ttr"))
+  }
 }

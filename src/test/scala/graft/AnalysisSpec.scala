@@ -139,4 +139,23 @@ class AnalysisSpec extends AnyFunSuite {
       "dataset's own source column is the fallback text")
     assert(out.forall(_.getAs[String]("source") === "americasnlp"))
   }
+
+  test("wordRepetition flags keyword-stuffed docs and scores clean ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now buy now"),          // stuffed
+      (2L, "a perfectly ordinary sentence with distinct words"), // clean
+      (3L, ""),                                                  // empty → no row
+      (4L, "word")                                               // single word
+    ).toDF("doc_id", "text")
+    val prof = graft.operators.Stats.wordRepetition(docs, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!prof.contains(3L), "empty text produces no profile row")
+    assert(prof(1L).getAs[Long]("n_words") === 10L)
+    assert(prof(1L).getAs[Double]("top_word_frac") === 0.5)
+    assert(prof(1L).getAs[Double]("ttr") === 0.2)
+    assert(prof(2L).getAs[Double]("top_word_frac") === 0.142857)
+    assert(prof(4L).getAs[Double]("top_word_frac") === 1.0)
+    assert(prof(4L).getAs[Double]("ttr") === 1.0)
+  }
 }
