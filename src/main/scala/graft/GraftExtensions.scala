@@ -58,5 +58,7 @@ object GraftExtensions {
     "ngram_jaccard_sim" ->
       ((es: Seq[Expression]) => graft.functions.NGramJaccardSim(es.head, es(1),
         es(2).eval().asInstanceOf[Int])),
+    "compression_ratio" ->
+      ((es: Seq[Expression]) => graft.functions.CompressionRatio(es.head)),
   )
 }

@@ -668,6 +668,19 @@ object SparkEntry {
           sum(length(col("text"))).as("total_chars"))
     },
 
+    // ---- Sub-word redundancy profiling: deflate compression-ratio
+    // histogram over the corpus (boilerplate compresses; prose
+    // doesn't). Ratios come from the native CompressionRatio
+    // expression — zlib has no DuckDB analog, so this is a rows-only
+    // query; AnalysisSpec pins the signal's direction and determinism.
+    "q65_compression_profile" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(functions.analysis.compression_ratio(col("text")).as("ratio"))
+        .groupBy(floor(col("ratio") * 10).cast("int").as("ratio_decile"))
+        .agg(count(lit(1)).as("n_docs"), round(avg(col("ratio")), 4).as("mean_ratio"))
+        .orderBy("ratio_decile")
+    },
+
     // ---- Gopher-style repetition profiling: per-doc word counts,
     // top-word share, and TTR — the repetition filters of LLM data
     // curation, fully SQL-expressible so the whole profile

@@ -48,6 +48,13 @@ object analysis {
     when(length(c) === 0, lit(0.0))
       .otherwise(regexp_count(c, lit("[0-9]")).cast("double") / length(c))
 
+  /** Deflate compression ratio (compressed/raw bytes, 1.0 for empty) —
+    * the cheap sub-word redundancy detector: boilerplate and templated
+    * junk compress far better than prose. Native expression
+    * ([[graft.functions.CompressionRatio]]). */
+  def compression_ratio(c: Column): Column =
+    text.expr2col(graft.functions.CompressionRatio(text.col2expr(c)))
+
   def mean_word_length(c: Column): Column = {
     val toks = filter(split(trim(c), "\\s+"), t => length(t) > 0)
     when(size(toks) === 0, lit(0.0))

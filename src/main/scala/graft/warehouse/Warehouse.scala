@@ -111,6 +111,30 @@ object Warehouse {
         |             NULLIF(SUM(dl.records_ingested), 0), 2) AS DOUBLE) AS validity_pct
         |FROM data_lineage dl
         |GROUP BY dl.source_layer, dl.source_type""".stripMargin)
+
+    // [E] anomaly surface over the trend view: each day's avg_value
+    // z-scored against the metric's trailing 7-day window (explicit
+    // integer-free sums — same engine-stable formulation as q63).
+    // A |z| ≥ 2 row is a quality regression candidate worth gating on.
+    spark.sql(
+      """CREATE OR REPLACE TEMPORARY VIEW quality_anomalies AS
+        |WITH w AS (
+        |  SELECT run_date, metric_name, dataset_split, avg_value,
+        |         COUNT(avg_value) OVER win AS c,
+        |         SUM(avg_value) OVER win AS s1,
+        |         SUM(avg_value * avg_value) OVER win AS s2
+        |  FROM quality_trends
+        |  WINDOW win AS (PARTITION BY metric_name, dataset_split
+        |                 ORDER BY run_date
+        |                 ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT run_date, metric_name, dataset_split, avg_value,
+        |         s1 / c AS mean, (s2 - s1 * s1 / c) / (c - 1) AS var
+        |  FROM w WHERE c >= 3)
+        |SELECT run_date, metric_name, dataset_split, avg_value,
+        |       ROUND((avg_value - mean) / SQRT(var), 4) AS z_score
+        |FROM z
+        |WHERE var > 0""".stripMargin)
   }
 
   /** The standalone CTE + window report

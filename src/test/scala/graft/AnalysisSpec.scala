@@ -158,4 +158,23 @@ class AnalysisSpec extends AnyFunSuite {
     assert(prof(4L).getAs[Double]("top_word_frac") === 1.0)
     assert(prof(4L).getAs[Double]("ttr") === 1.0)
   }
+
+  test("compression_ratio separates boilerplate from prose, deterministically") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam spam spam spam spam spam spam"),
+      (2L, "The quick brown fox jumps over a lazy dog while reading Spark plans."),
+      (3L, "")
+    ).toDF("id", "text")
+    val ratios = docs
+      .select(col("id"), graft.functions.analysis.compression_ratio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ratios(1L) < ratios(2L), s"boilerplate must compress better: $ratios")
+    assert(ratios(1L) < 0.5 && ratios(2L) > 0.5, s"signal magnitudes: $ratios")
+    assert(ratios(3L) === 1.0, "empty string convention")
+    val again = docs
+      .select(col("id"), graft.functions.analysis.compression_ratio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again === ratios, "deterministic")
+  }
 }

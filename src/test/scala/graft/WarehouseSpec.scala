@@ -50,6 +50,30 @@ class WarehouseSpec extends AnyFunSuite {
     assert(report.count() >= 1)
   }
 
+  test("quality_anomalies view z-scores trend breaks against the trailing window") {
+    val dir = Files.createTempDirectory("graft-wh-anom").toString
+    import spark.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2026-03-$day%02d 02:00:00")
+    // 7 steady days at 100±1, then a collapse to 40 on day 8
+    val runs = (1 to 8).map(d =>
+      (s"r$d", "unify", ts(d), ts(d), "success", 10L, 10L, 0L, 60.0,
+        null.asInstanceOf[String], "abc", "{}"))
+      .toDF(Warehouse.pipelineRunsSchema.fieldNames.toSeq: _*)
+    val vals = Seq(100.0, 102.0, 98.0, 100.0, 102.0, 98.0, 100.0, 40.0)
+    val metrics = vals.zipWithIndex.map { case (v, i) =>
+      (s"r${i + 1}", "record_count", v, "count", "train", ts(i + 1))
+    }.toDF(Warehouse.qualityMetricsSchema.fieldNames.toSeq: _*)
+    runs.write.parquet(s"$dir/pipeline_runs")
+    metrics.write.parquet(s"$dir/quality_metrics")
+    Warehouse.register(spark, dir)
+    val anomalies = spark.sql(
+      """SELECT run_date, avg_value, z_score FROM quality_anomalies
+        |WHERE abs(z_score) >= 2 ORDER BY run_date""".stripMargin).collect()
+    assert(anomalies.length === 1, s"exactly the collapse flagged: ${anomalies.toSeq}")
+    assert(anomalies.head.getDouble(1) === 40.0)
+    assert(anomalies.head.getDouble(2) < -2, "collapse is a strongly negative z")
+  }
+
   test("tracker batches: one parquet append per table per run lifecycle") {
     val dir = Files.createTempDirectory("graft-wh-batch").toString
     val t = new Warehouse.MetricsTracker(spark, dir, "unify")
