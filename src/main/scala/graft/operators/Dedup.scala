@@ -548,7 +548,7 @@ object Dedup {
     * would run them near-sequentially — spread it first.
     * Well-partitioned at-scale inputs skip the extra shuffle
     * entirely. */
-  private[operators] def spreadWide(df: DataFrame): DataFrame = {
+  private[graft] def spreadWide(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < math.max(2, par / 2)) df.repartition(par) else df
   }

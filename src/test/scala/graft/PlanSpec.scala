@@ -182,4 +182,42 @@ class PlanSpec extends AnyFunSuite {
     val exchanges = """\(\d+\) Exchange""".r.findAllIn(plan).length
     assert(exchanges === 1, s"expected exactly one hash exchange on the stratum:\n$plan")
   }
+
+  test("under-split sources are spread before expensive narrow maps (round-3 regression)") {
+    // a 1-partition frame (the single-row-group parquet trap) must be
+    // repartitioned up to the session's parallelism before signature /
+    // featurization maps — otherwise they run on one core
+    val one = Tables.documents(spark, dir).coalesce(1)
+    val spread = operators.Dedup.spreadWide(one)
+    val par = spark.sparkContext.defaultParallelism
+    assert(one.rdd.getNumPartitions === 1)
+    assert(spread.rdd.getNumPartitions === par, "spreadWide must lift to default parallelism")
+    // already-wide inputs pass through untouched (no extra shuffle)
+    val wide = Tables.documents(spark, dir).repartition(par)
+    assert(operators.Dedup.spreadWide(wide).rdd.getNumPartitions === par)
+  }
+
+  test("banded minhash self-join reuses the signature shuffle (round-3 regression)") {
+    // assert on the lazy CANDIDATE plan — minhashDedup itself
+    // checkpoints the dup-id set eagerly, so its returned anti-join no
+    // longer contains the candidate subtree
+    // at fixture scale the bucket join broadcasts (nothing to reuse) —
+    // disable broadcast to capture the AT-SCALE shuffle-join shape;
+    // disable AQE so static ReuseExchange planning is visible (under
+    // AQE the same reuse happens at runtime stage level instead)
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevT = spark.conf.get(thresholdKey)
+    val prevA = spark.conf.get(aqeKey)
+    val plan = try {
+      spark.conf.set(thresholdKey, "-1")
+      spark.conf.set(aqeKey, "false")
+      operators.Dedup.minhashCandidates(
+        Tables.documents(spark, dir), "doc_id", col("text"),
+        threshold = 0.5, numPerm = 128, bands = 32, shingleSize = 3, maxBucketSize = 1024)
+        .queryExecution.executedPlan.toString
+    } finally { spark.conf.set(thresholdKey, prevT); spark.conf.set(aqeKey, prevA) }
+    assert(plan.contains("ReusedExchange"),
+      s"the (band,bucket,sig) shuffle must be written once and read twice:\n$plan")
+  }
 }
