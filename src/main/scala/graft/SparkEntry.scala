@@ -668,6 +668,22 @@ object SparkEntry {
           sum(length(col("text"))).as("total_chars"))
     },
 
+    // ---- Incremental corpus growth: dedup an incoming batch (odd
+    // doc_ids) against the persisted signature table of the existing
+    // corpus (even doc_ids), then against itself — corpus text is
+    // never re-read. Seeded-minhash-dependent → rows-only; DedupSpec
+    // pins the semantics.
+    "q66_incremental_dedup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val corpusSigs = Dedup.minhashSignatures(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", col("text"))
+      val incoming = docs.filter(col("doc_id") % 2 === 1)
+      val vsCorpus = Dedup.minhashDedupAgainst(incoming, "doc_id", col("text"),
+        corpusSigs, threshold = 0.5)
+      Dedup.minhashDedup(vsCorpus, "doc_id", col("text"), threshold = 0.5)
+        .select("doc_id").orderBy("doc_id")
+    },
+
     // ---- Sub-word redundancy profiling: deflate compression-ratio
     // histogram over the corpus (boilerplate compresses; prose
     // doesn't). Ratios come from the native CompressionRatio
