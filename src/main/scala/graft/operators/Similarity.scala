@@ -307,7 +307,22 @@ object Similarity {
   def similarPairsApprox(
       df: DataFrame, idCol: String, vecCol: String, t: Double,
       nCells: Int = 16, seed: Long = 42L): DataFrame = {
-    val (assigned, allowed) = cellPartition(df, idCol, vecCol, t, nCells, seed)
+    // NaN/null quarantine — required for the exact-output guarantee:
+    // a NaN element makes the pair similarity NaN, which Spark AND
+    // DuckDB order ABOVE every threshold, so the exact join KEEPS such
+    // pairs; inside the pruned path the same NaN would poison its
+    // cell's centroid (NaN sums → NaN inter-centroid angle → the whole
+    // cell's pairs silently pruned). Dirty vectors therefore bypass
+    // the geometry entirely: every pair involving one is enumerated
+    // directly (they all pass the NaN-ordering filter, exactly like
+    // the exact join), and only clean vectors enter cell pruning.
+    // Cost: |dirty| × n — dirty is empty on sane corpora.
+    val vd = col(vecCol).cast("array<double>")
+    val dirtyFlag = exists(vd, x => isnan(x))
+    val clean = df.filter(coalesce(!dirtyFlag, lit(false)))
+    val dirty = df.filter(coalesce(dirtyFlag, lit(true)))
+
+    val (assigned, allowed) = cellPartition(clean, idCol, vecCol, t, nCells, seed)
     val spark = df.sparkSession
     val allowedDf = spark.createDataFrame(allowed).toDF("__ca", "__cb")
     val a = assigned.select(col("__id").as("id_a"), col("__v").as("__va"),
@@ -319,12 +334,24 @@ object Similarity {
     // appears exactly once — no dropDuplicates pass needed.
     val sim = when(col("__na") === 0 || col("__nb") === 0, lit(0.0))
       .otherwise(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
-    a.join(broadcast(allowedDf), Seq("__ca"))
+    val prunedPairs = a.join(broadcast(allowedDf), Seq("__ca"))
       .join(b, Seq("__cb"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("sim", sim)
       .filter(col("sim") >= t)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+
+    val allB = df.select(col(idCol).as("id_b"), vd.as("__vb"))
+    val dirtyA = dirty.select(col(idCol).as("id_a"), vd.as("__va"))
+    val cleanA = clean.select(col(idCol).as("id_a"), vd.as("__va"))
+    val dirtyB = dirty.select(col(idCol).as("id_b"), vd.as("__vb"))
+    val dirtyPairs = dirtyA.crossJoin(allB).filter(col("id_a") < col("id_b"))
+      .union(cleanA.crossJoin(dirtyB).filter(col("id_a") < col("id_b")))
+      .withColumn("sim", cosine(col("__va"), col("__vb")))
+      .filter(col("sim") >= t)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+
+    prunedPairs.union(dirtyPairs)
   }
 
   /** IVF (inverted-file) ANN: k-means coarse quantizer over the corpus,

@@ -60,7 +60,7 @@ class PqSpec extends AnyFunSuite {
     import spark.implicits._
     val base = emb.select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
-      .filter { case (_, v) => v.forall(x => !x.isNaN) }
+      .filter { case (_, v) => v.forall(x => !x.isNaN) } // defensive; fixture has none
     val rnd = new scala.util.Random(7L)
     val queries = base.take(100).map { case (id, v) =>
       (id + 10000L, v.map(x => x + 0.03f * rnd.nextGaussian().toFloat))

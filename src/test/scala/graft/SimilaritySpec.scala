@@ -77,6 +77,29 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pruned === exact, "cell pruning must be loss-free (exact-output guarantee)")
   }
 
+  test("NaN vectors cannot poison cell geometry (exactness regression)") {
+    import spark.implicits._
+    // two near-identical vectors that MUST pair at t=0.9, plus a
+    // NaN-poisoned vector in the same direction. NaN similarity orders
+    // ABOVE every threshold in Spark (and DuckDB), so the EXACT join
+    // keeps all NaN pairs — the pruned path must reproduce that AND
+    // must not let the NaN member poison its cell's centroid (which
+    // silently pruned the cell's real pairs before the quarantine).
+    val v = Array.tabulate(8)(i => 0.5 + 0.1 * i)
+    val vNear = v.map(_ + 1e-3)
+    val vNaN = v.clone(); vNaN(3) = Double.NaN
+    val df = Seq(
+      (1L, v.toSeq), (2L, vNear.toSeq), (3L, vNaN.toSeq)
+    ).toDF("vec_id", "embedding")
+    val exact = Similarity.similarPairs(df, "vec_id", "embedding", t = 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact === Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"exact baseline keeps NaN pairs: $exact")
+    val pruned = Similarity.similarPairsApprox(df, "vec_id", "embedding", t = 0.9, nCells = 4)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned === exact, "pruned output must equal exact incl. NaN pairs")
+  }
+
   test("cell pruning actually prunes cell pairs on clustered vectors") {
     // two tight antipodal-ish clusters: near-dups inside a cluster,
     // nothing qualifying across clusters at t=0.9
