@@ -26,6 +26,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectOptimizerRule(session => graft.plans.JaccardJoinRewrite(session))
+    ext.injectOptimizerRule(session => graft.plans.CosineJoinRewrite(session))
   }
 }
 
@@ -60,5 +61,11 @@ object GraftExtensions {
         es(2).eval().asInstanceOf[Int])),
     "compression_ratio" ->
       ((es: Seq[Expression]) => graft.functions.CompressionRatio(es.head)),
+    "cosine_sim" ->
+      ((es: Seq[Expression]) => graft.functions.CosineSim(
+        org.apache.spark.sql.catalyst.expressions.Cast(es.head,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+        org.apache.spark.sql.catalyst.expressions.Cast(es(1),
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))),
   )
 }

@@ -43,10 +43,12 @@ object GraftSession {
     * `spark.sql.extensions=graft.GraftExtensions` path gets them at
     * session build instead). Idempotent. */
   def installOptimizerRules(spark: SparkSession): Unit = {
-    val rule = graft.plans.JaccardJoinRewrite(spark)
-    val current = spark.experimental.extraOptimizations
+    var current = spark.experimental.extraOptimizations
     if (!current.exists(_.isInstanceOf[graft.plans.JaccardJoinRewrite]))
-      spark.experimental.extraOptimizations = current :+ rule
+      current = current :+ graft.plans.JaccardJoinRewrite(spark)
+    if (!current.exists(_.isInstanceOf[graft.plans.CosineJoinRewrite]))
+      current = current :+ graft.plans.CosineJoinRewrite(spark)
+    spark.experimental.extraOptimizations = current
   }
 
   /** Register graft's custom Catalyst expressions for SQL callers

@@ -668,6 +668,26 @@ object SparkEntry {
           sum(length(col("text"))).as("total_chars"))
     },
 
+    // ---- Second optimizer-rule surface: the DECLARATIVE cosine join.
+    // Written as the naive theta-join on the cosine_sim marker;
+    // graft.plans.CosineJoinRewrite replaces the nested-loop cross
+    // product with the cell-pruned exact join (hyperplane cells +
+    // triangle-inequality pruning + exact verify). Output hash-checked
+    // against DuckDB's brute force — the rewrite's exact-output
+    // guarantee is oracle-gated like q58's.
+    "q67_cosine_join_rewrite" -> { (s, dir) =>
+      GraftSession.installOptimizerRules(s)
+      val emb = Tables.embeddings(s, dir)
+      val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(b,
+          Similarity.cosineSim(col("va"), col("vb")) >= lit(0.4) &&
+            col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(Similarity.cosineSim(col("va"), col("vb")), 6).as("sim"))
+        .orderBy("id_a", "id_b")
+    },
+
     // ---- Incremental corpus growth: dedup an incoming batch (odd
     // doc_ids) against the persisted signature table of the existing
     // corpus (even doc_ids), then against itself — corpus text is
@@ -1495,6 +1515,17 @@ object SparkEntry {
         |FROM wf
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "q67_cosine_join_rewrite" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+        |             ELSE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END AS sim
+        |      FROM n a, n b WHERE a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, round(sim, 6) AS sim FROM s
+        |WHERE sim >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q63_trend_anomaly" ->
       """WITH daily AS (

@@ -45,6 +45,17 @@ object Similarity {
       graft.functions.text.col2expr(a.cast("array<double>")),
       graft.functions.text.col2expr(b.cast("array<double>"))))
 
+  /** Marker-based exact cosine for JOIN PREDICATES:
+    * `a.join(b, Similarity.cosineSim(a("v"), b("v")) >= lit(t))`.
+    * Evaluates exactly like [[cosine]] anywhere, but as one
+    * recognizable node that [[graft.plans.CosineJoinRewrite]] replaces
+    * with the cell-pruned exact join in join conditions. Inputs cast
+    * to `array<double>` (float-column safety). */
+  def cosineSim(a: Column, b: Column): Column =
+    graft.functions.text.expr2col(graft.functions.CosineSim(
+      graft.functions.text.col2expr(a.cast("array<double>")),
+      graft.functions.text.col2expr(b.cast("array<double>"))))
+
   /** Symmetric per-vector int8 quantization: `q_i = round(v_i/scale)`
     * with `scale = max|v_i| / 127` — the storage format that makes a
     * 100 TB embedding corpus 4× smaller (and int8-SIMD-scannable)
@@ -224,8 +235,7 @@ object Similarity {
     // themselves (per-bucket mean, max member angle) in two
     // aggregation passes, so the bound stays tight on actual bucket
     // contents.
-    val bits = math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(
-      math.max(1, nCells - 1).toLong).toInt)
+    val bits = cellBits(nCells)
     val base = Dedup.spreadWide(df)
       .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("__v"))
       .withColumn("__nrm", sqrt(dot(col("__v"), col("__v"))))
@@ -274,6 +284,71 @@ object Similarity {
         radii.getOrElse(ca, 0.0) - radii.getOrElse(cb, 0.0) <= maxTheta
     } yield (ca, cb)
     (base, allowed)
+  }
+
+  private def cellBits(nCells: Int): Int =
+    math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1, nCells - 1).toLong).toInt)
+
+  /** DISTINCT (left-vector, right-vector) ORDERED pairs whose exact
+    * cosine satisfies the threshold — the relational core behind
+    * [[graft.plans.CosineJoinRewrite]] (the vector analog of
+    * `Dedup.textPairsByJaccard`). Cell geometry (centroids/radii →
+    * allowed cell pairs) is computed over the UNION of both sides'
+    * clean distinct vectors; each side's cell assignment is the
+    * data-independent hyperplane signature, so both sides land in
+    * consistent cells without a join. NaN vectors bypass the geometry
+    * (their similarity is NaN, which orders above every threshold —
+    * the pairs are kept, enumerated directly). */
+  private[graft] def vecPairsByCosine(
+      left: DataFrame, leftVec: Column,
+      right: DataFrame, rightVec: Column,
+      t: Double, strict: Boolean,
+      nCells: Int = 16, seed: Long = 42L): DataFrame = {
+    def distinctVecs(src: DataFrame, v: Column): DataFrame =
+      Dedup.spreadWide(
+        src.select(v.cast("array<double>").as("__v")).filter(col("__v").isNotNull))
+        .distinct()
+    val dirtyFlag = exists(col("__v"), x => isnan(x))
+    val lv = distinctVecs(left, leftVec)
+    val rv = distinctVecs(right, rightVec)
+    val lvClean = lv.filter(!dirtyFlag)
+    val rvClean = rv.filter(!dirtyFlag)
+
+    // geometry over the union (dummy carried id — cellPartition only
+    // threads it through); per-side cells recomputed from the same
+    // data-independent signature expression
+    val u = lvClean.union(rvClean).distinct().withColumn("__uid", lit(0L))
+    val (_, allowed) = cellPartition(u, "__uid", "__v", t, nCells, seed)
+    val allowedDf = left.sparkSession.createDataFrame(allowed).toDF("__ca", "__cb")
+    val bits = cellBits(nCells)
+    def tagged(k: DataFrame, v: String, n: String, c: String): DataFrame =
+      k.select(col("__v").as(v),
+        sqrt(dot(col("__v"), col("__v"))).as(n),
+        hyperplaneSignature(col("__v"), bits, seed).cast("int").as(c))
+    val la = tagged(lvClean, "__va", "__na", "__ca")
+    val rb = tagged(rvClean, "__vb", "__nb", "__cb")
+    val sim = when(col("__na") === 0 || col("__nb") === 0, lit(0.0))
+      .otherwise(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+    val cmp = (s: Column) => if (strict) s > t else s >= t
+    val prunedPairs = la.join(broadcast(allowedDf), Seq("__ca"))
+      .join(rb, Seq("__cb"))
+      .withColumn("__sim", sim)
+      .filter(cmp(col("__sim")))
+      .select(col("__va"), col("__vb"))
+
+    // dirty completeness: NaN-similarity pairs pass any threshold
+    // (NaN orders above every double) exactly as in the naive plan
+    val lvDirty = lv.filter(dirtyFlag).select(col("__v").as("__va"))
+    val rvDirty = rv.filter(dirtyFlag).select(col("__v").as("__vb"))
+    val dSim = cosine(col("__va"), col("__vb"))
+    val dirtyPairs = lvDirty.crossJoin(rv.select(col("__v").as("__vb")))
+      .union(lvClean.select(col("__v").as("__va")).crossJoin(rvDirty))
+      .withColumn("__sim", dSim)
+      .filter(cmp(col("__sim")))
+      .select(col("__va"), col("__vb"))
+
+    prunedPairs.union(dirtyPairs)
   }
 
   /** Scale path for [[similarPairs]] with an EXACT-OUTPUT guarantee:
