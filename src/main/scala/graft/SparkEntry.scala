@@ -841,6 +841,61 @@ object SparkEntry {
           round(Dedup.jaccardSim(col("eval_text"), col("text"), 12), 6).as("jaccard"))
         .orderBy("eval_id", "doc_id")
     },
+
+    // ---- CCNet/RefinedWeb boilerplate pass: lines occurring in 2+
+    // DISTINCT documents are removed from every document. This corpus
+    // is single-line docs with no cross-doc line repeats, so the pass
+    // is an identity — which is exactly what the oracle gates: the
+    // explode → distinct-doc count → anti-join → ordered reassembly
+    // must reconstruct every document byte-identically. DedupSpec
+    // carries the removal semantics on a boilerplate fixture.
+    "q68_line_dedup" -> { (s, dir) =>
+      Dedup.dedupLines(Tables.documents(s, dir), "doc_id", "text", minDocs = 2)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .orderBy("doc_id")
+    },
+
+    // ---- Gopher-style duplicated-PHRASE profiling: per-doc fraction
+    // of characters inside repeated word bigrams + heaviest-gram
+    // share. Integer-sum ratios, so the whole profile hash-checks.
+    "q69_dup_ngram_profile" -> { (s, dir) =>
+      Stats.dupNgramProfile(Tables.documents(s, dir), "doc_id", col("text"), n = 2)
+        .orderBy("doc_id")
+    },
+
+    // ---- Sequence packing (pretraining batch assembly): per
+    // (lang, shard) the corpus is a concatenated char stream cut every
+    // 2048 chars; each doc gets the pack where it starts + its offset.
+    // Pure window cumsum — deterministic on any cluster shape.
+    "q70_sequence_pack" -> { (s, dir) =>
+      val shard = pmod(col("doc_id"), lit(4)).cast("long")
+      Split.packSequences(Tables.documents(s, dir), key = col("doc_id"),
+          cost = col("n_chars"), capacity = 2048L,
+          strata = Seq(col("lang"), shard))
+        .select(col("doc_id"), col("lang"), shard.as("shard"),
+          col("pack_id"), col("pack_offset"))
+        .orderBy("doc_id")
+    },
+
+    // ---- Exact interpolating length quantiles per language
+    // (quantile_cont semantics on both engines; percentile_approx is
+    // the documented 100 TB swap-in).
+    "q71_quantile_profile" -> { (s, dir) =>
+      Stats.quantileProfile(Tables.documents(s, dir), col("n_chars"),
+          Seq(0.25, 0.5, 0.75, 0.9, 0.99), groupBy = Seq(col("lang")))
+        .orderBy("lang", "quantile")
+    },
+
+    // ---- SimHash near-dedup with a TRUE Hamming budget (pigeonhole
+    // bands guarantee every ≤3-bit pair collides in some band; exact
+    // popcount verify). Signature is xxhash64-seeded → rows-only;
+    // DedupSpec cross-validates the pair set against a brute-force
+    // all-pairs Hamming join.
+    "q72_simhash_near_dedup" -> { (s, dir) =>
+      Dedup.simhashNearDedup(Tables.documents(s, dir), "doc_id", col("text"),
+          maxHamming = 3)
+        .select("doc_id").orderBy("doc_id")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1499,6 +1554,59 @@ object SparkEntry {
         |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j
         |WHERE round(jac, 6) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q68_line_dedup" ->
+      """WITH l AS (
+        |  SELECT doc_id, lang, ls[i] AS line, i AS pos
+        |  FROM (SELECT doc_id, lang, string_split(text, chr(10)) AS ls FROM documents),
+        |       unnest(generate_series(1, len(ls))) AS t(i)),
+        |b AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+        |k AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |      FROM l WHERE line NOT IN (SELECT line FROM b) GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(k.text, '') AS text, d.lang
+        |FROM documents d LEFT JOIN k USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q69_dup_ngram_profile" ->
+      """WITH w AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |g AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS gram
+        |      FROM w, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS t(i)
+        |      WHERE len(ws) >= 2),
+        |gf AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_grams,
+        |  count(*) AS distinct_grams,
+        |  round(CAST(sum(CASE WHEN c > 1 THEN c * length(gram) ELSE 0 END) AS DOUBLE)
+        |    / sum(c * length(gram)), 6) AS dup_gram_char_frac,
+        |  round(CAST(max(c * length(gram)) AS DOUBLE)
+        |    / sum(c * length(gram)), 6) AS top_gram_char_frac
+        |FROM gf
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q70_sequence_pack" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, doc_id % 4 AS shard, n_chars,
+        |    coalesce(sum(n_chars) OVER (
+        |      PARTITION BY lang, doc_id % 4 ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+        |  FROM documents)
+        |SELECT doc_id, lang, shard,
+        |  CAST(floor(strt / 2048) AS BIGINT) AS pack_id,
+        |  CAST(strt % 2048 AS BIGINT) AS pack_offset
+        |FROM s
+        |ORDER BY doc_id""".stripMargin,
+
+    "q71_quantile_profile" ->
+      """WITH q AS (
+        |  SELECT lang, quantile_cont(n_chars, [0.25, 0.5, 0.75, 0.9, 0.99]) AS qv
+        |  FROM documents GROUP BY lang)
+        |SELECT lang,
+        |  CAST(([0.25, 0.5, 0.75, 0.9, 0.99])[i] AS DOUBLE) AS quantile,
+        |  round(qv[i], 4) AS value
+        |FROM q, unnest(generate_series(1, 5)) AS t(i)
+        |ORDER BY lang, quantile""".stripMargin,
 
     "q64_word_repetition" ->
       """WITH w AS (

@@ -344,6 +344,116 @@ object Dedup {
       .drop("__sig")
   }
 
+  /** Candidate near-dup pairs within a TRUE Hamming-distance budget on
+    * the 64-bit SimHash — [[simhashDedup]] only groups exact signature
+    * equality, which misses the near-dups SimHash exists to find (a
+    * one-word edit flips a few signature bits).
+    *
+    * Pigeonhole banding: split the 64 bits into `maxHamming + 1`
+    * contiguous bands; two signatures within distance `maxHamming`
+    * MUST agree exactly on at least one band (at most `maxHamming`
+    * bands can contain a differing bit), so an equi-join per band finds
+    * every qualifying pair — candidates are then verified with the
+    * exact popcount `bit_count(a ^ b) <= maxHamming`. Unlike MinHash
+    * banding this is a GUARANTEE, not a probability: output pairs are
+    * exactly the pairs within the Hamming budget (of the token-set
+    * signature — the semantic approximation lives in SimHash itself).
+    *
+    * Scale shape mirrors [[minhashCandidates]]: one narrow signature
+    * map, explode × (k+1) bands of plain longs (no arrays cross any
+    * exchange — the 8-byte signature rides along), hash self-join per
+    * band, popcount verify at collision time. Near-identical
+    * boilerplate floods a band bucket; buckets over `maxBucketSize`
+    * degrade to star verification against the bucket's min-id member
+    * (B−1 pairs instead of B², same cap rationale as the MinHash path:
+    * a near-clique's members all verify against the min). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: Column,
+      maxHamming: Int = 3, maxBucketSize: Int = 4096): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, "maxHamming must be in [0, 32)")
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
+    val sigDf = spreadWide(df).select(col(idCol),
+      simhash(split(text.norm_key(textCol), "\\s+")).as("__sig"))
+    val bandStructs = (0 until nBands).map { b =>
+      val lo = b * width
+      val w = if (b == nBands - 1) 64 - lo else width // last band absorbs the remainder bits
+      val shifted = shiftrightunsigned(col("__sig"), lo)
+      val bucket = if (w >= 64) shifted else shifted.bitwiseAND(lit((1L << w) - 1))
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }
+    val banded = sigDf
+      .select(col(idCol), col("__sig"), explode(array(bandStructs: _*)).as("__b"))
+      .select(col(idCol), col("__sig"), col("__b.band"), col("__b.bucket"))
+    val sizes = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("__bsz"))
+    val tagged = banded.join(sizes, Seq("band", "bucket"))
+    def withinBudget(x: Column, y: Column): Column =
+      bit_count(x.bitwiseXOR(y)) <= maxHamming
+    val small = tagged.filter(col("__bsz") <= maxBucketSize)
+      .select(col(idCol), col("__sig"), col("band"), col("bucket"))
+    val smallPairs = small.as("l").join(small.as("r"), Seq("band", "bucket"))
+      .filter(col(s"l.$idCol") < col(s"r.$idCol") &&
+        withinBudget(col("l.__sig"), col("r.__sig")))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+    val big = tagged.filter(col("__bsz") > maxBucketSize)
+    val bigStats = big.groupBy(col("band"), col("bucket")).agg(
+      min(col(idCol)).as("__bmin"),
+      min_by(col("__sig"), col(idCol)).as("__bminsig"))
+    val bigPairs = big.join(bigStats, Seq("band", "bucket"))
+      .filter(col(idCol) =!= col("__bmin") &&
+        withinBudget(col("__sig"), col("__bminsig")))
+      .select(col("__bmin").as("id_a"), col(idCol).as("id_b"))
+    // the same pair collides in up to nBands bands → distinct
+    smallPairs.union(bigPairs).distinct()
+  }
+
+  /** Hamming-budget SimHash dedup: drop the higher-id side of every
+    * [[simhashPairs]] pair (cluster-wide resolution: feed the pairs to
+    * [[DupClusters.clusterDedup]] instead). Removal is a left_anti on
+    * ids — never a driver-side set. */
+  def simhashNearDedup(df: DataFrame, idCol: String, textCol: Column,
+      maxHamming: Int = 3, maxBucketSize: Int = 4096): DataFrame = {
+    val dupIds = simhashPairs(df, idCol, textCol, maxHamming, maxBucketSize)
+      .select(col("id_b").as(idCol)).distinct()
+      .localCheckpoint(true)
+    df.join(dupIds, Seq(idCol), "left_anti")
+  }
+
+  /** Cross-document LINE dedup — the CCNet/RefinedWeb boilerplate
+    * pass: a line occurring in `minDocs`+ DISTINCT documents (nav
+    * menus, cookie banners, licence footers) is removed from EVERY
+    * document; in-document repetition alone never triggers removal.
+    * Documents keep their surviving lines in original order (empty
+    * string when nothing survives); all non-text columns pass through.
+    *
+    * Scale shape: one posexplode, one (line → distinct-doc count)
+    * aggregation — partial aggregation compresses the heavy boilerplate
+    * keys map-side — one left_anti on the line, one per-doc
+    * reassembly aggregation. Nothing driver-side. At 100 TB key the
+    * count/anti-join by a 128-bit line digest instead of the raw line
+    * (same plan, narrower shuffle); the raw-string form here keeps the
+    * operator exactly SQL-expressible for the oracle. */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+      minDocs: Int = 2, sep: String = "\n"): DataFrame = {
+    require(minDocs >= 2, "minDocs < 2 would remove every line")
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__pos", "__line")))
+    val boilerplate = lines.groupBy(col("__line"))
+      .agg(count_distinct(col(idCol)).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select("__line")
+    val rebuilt = lines.join(boilerplate, Seq("__line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(concat_ws(sep,
+        transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          s => s.getField("__line"))).as("__text"))
+    df.drop(textCol).join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("__text"), lit("")))
+      .drop("__text")
+      .select(df.columns.toIndexedSeq.map(col): _*)
+  }
+
   /** Distinct character n-grams via the native
     * [[graft.functions.CharNGrams]] expression (sorted ascending;
     * single static-call codegen site). Prefer this in any hot path. */

@@ -109,6 +109,37 @@ object Split {
       .drop("__cum")
   }
 
+  /** Sequence packing for pretraining batch assembly: lay the corpus
+    * out as a concatenated token stream (per stratum, in ascending
+    * `key` order) cut every `capacity` tokens, and assign each
+    * document the pack where its FIRST token lands plus its offset
+    * into that pack — the standard concat-and-cut packing, where a
+    * document crossing a boundary spills into the next pack. The
+    * assignment is a pure window cumsum, so it is deterministic on any
+    * cluster shape and exactly SQL-expressible (oracle-checkable),
+    * unlike bin-packing heuristics that need sequential state.
+    *
+    * Scale note: one window shuffle partitioned by `strata`, totally
+    * ordered WITHIN each stratum — so strata must be bounded-size
+    * units of packing, not "the whole corpus". Include a deterministic
+    * shard column (e.g. `pmod(id, nShards)`) in `strata` to bound
+    * them: packing is embarrassingly parallel across shards, and cuts
+    * only ever happen within a shard's stream. */
+  def packSequences(
+      df: DataFrame,
+      key: Column,
+      cost: Column,
+      capacity: Long,
+      strata: Seq[Column] = Nil): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata: _*).orderBy(key)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val start = coalesce(sum(cost).over(w), lit(0L)) // tokens before this doc in the stream
+    df.withColumn("pack_id", floor(start / capacity).cast("long"))
+      .withColumn("pack_offset", (start % capacity).cast("long"))
+  }
+
   /** O5 — split-disjointness invariant: pairwise key intersections empty. */
   def disjoint(a: DataFrame, b: DataFrame, keyCols: Seq[String]): Boolean = {
     val ka = a.select(Dedup.compositeKey(keyCols).as("k"))

@@ -102,6 +102,63 @@ object Stats {
     * both aggregations map-side-combine, nothing driver-side.
     * Null/empty texts are dropped (no words → no profile row), same
     * as the SQL formulation. */
+  /** Per-document duplicated word-n-gram profile — the other half of
+    * the Gopher repetition rules ([[wordRepetition]] covers the
+    * single-word share): templated/spun text repeats whole PHRASES, so
+    * curation thresholds the fraction of text sitting inside repeated
+    * n-grams.
+    *
+    * Char weighting: each n-gram occurrence weighs `length(gram)`
+    * characters; `dup_gram_char_frac` = chars in grams occurring >1×
+    * in the doc / chars in all grams, `top_gram_char_frac` = the
+    * heaviest single gram's share (max over count×length — a scalar
+    * max, so no argmax tie ambiguity). Docs with fewer than n words
+    * produce no grams and no row — same as the SQL formulation.
+    *
+    * Scale shape: one explode (n·words rows), one (id, gram)
+    * partial-aggregated count, one per-doc aggregation; the ratios are
+    * integer-sum divisions so the hash oracle can't float-flake. */
+  def dupNgramProfile(df: DataFrame, idCol: String, textCol: Column, n: Int = 2): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val words = split(lower(trim(textCol)), "\\s+")
+    // sequence(1, k) DESCENDS when k < 1 — guard short docs to an empty gram array
+    val grams = when(size(words) >= n,
+      transform(sequence(lit(1), size(words) - lit(n - 1)),
+        i => concat_ws(" ", slice(words, i, lit(n))))
+    ).otherwise(array().cast("array<string>"))
+    val exploded = df.select(col(idCol), explode(grams).as("__g"))
+    val counted = exploded.groupBy(col(idCol), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val w = col("__c") * length(col("__g")) // chars carried by this gram's occurrences
+    counted.groupBy(col(idCol)).agg(
+      sum(col("__c")).as("n_grams"),
+      count(lit(1)).as("distinct_grams"),
+      round(sum(when(col("__c") > 1, w).otherwise(0L)).cast("double") / sum(w), 6)
+        .as("dup_gram_char_frac"),
+      round(max(w).cast("double") / sum(w), 6).as("top_gram_char_frac"))
+  }
+
+  /** Exact interpolating quantiles (SQL `quantile_cont` semantics) of
+    * a numeric column, optionally per group — unpivoted to one
+    * (group, quantile, value) row each for a stable schema at any
+    * quantile list. Exact percentile shuffles every value; at 100 TB
+    * swap `percentile` for `percentile_approx` (t-digest-style sketch,
+    * map-side mergeable) — the output contract is unchanged. */
+  def quantileProfile(df: DataFrame, c: Column, qs: Seq[Double],
+      groupBy: Seq[Column] = Nil): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), "quantiles must be in [0,1]")
+    val pct = percentile(c, array(qs.map(lit): _*)).as("__qv")
+    val agged =
+      if (groupBy.isEmpty) df.agg(pct)
+      else df.groupBy(groupBy: _*).agg(pct)
+    val pairs = qs.zipWithIndex.map { case (q, i) =>
+      struct(lit(q).as("quantile"), round(col("__qv").getItem(i), 4).as("value"))
+    }
+    val groupCols = agged.columns.toIndexedSeq.init.map(col)
+    agged.select(groupCols :+ explode(array(pairs: _*)).as("__s"): _*)
+      .select(groupCols :+ col("__s.quantile") :+ col("__s.value"): _*)
+  }
+
   def wordRepetition(df: DataFrame, idCol: String, textCol: Column): DataFrame = {
     val words = df.select(col(idCol),
         explode(split(lower(trim(textCol)), "\\s+")).as("__w"))

@@ -159,6 +159,39 @@ class AnalysisSpec extends AnyFunSuite {
     assert(prof(4L).getAs[Double]("ttr") === 1.0)
   }
 
+  test("dupNgramProfile: phrase-stuffed vs clean docs; short docs produce no row") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b a b"),              // bigrams: "a b"×3, "b a"×2 — all duplicated
+      (2L, "one two three four"),        // all bigrams distinct
+      (3L, "word"),                      // < n words → no grams, no row
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val prof = graft.operators.Stats.dupNgramProfile(docs, "doc_id", col("text"), n = 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!prof.contains(3L) && !prof.contains(4L))
+    assert(prof(1L).getAs[Long]("n_grams") === 5L)
+    assert(prof(1L).getAs[Long]("distinct_grams") === 2L)
+    assert(prof(1L).getAs[Double]("dup_gram_char_frac") === 1.0)
+    assert(prof(1L).getAs[Double]("top_gram_char_frac") === 0.6) // 3×3 chars of 15
+    assert(prof(2L).getAs[Double]("dup_gram_char_frac") === 0.0)
+    assert(prof(2L).getAs[Long]("n_grams") === 3L)
+  }
+
+  test("quantileProfile: exact interpolating quantiles, global and grouped") {
+    import spark.implicits._
+    val vals = Seq(("a", 1), ("a", 2), ("a", 3), ("a", 4), ("a", 5),
+      ("b", 10), ("b", 20)).toDF("k", "v")
+    val global = graft.operators.Stats.quantileProfile(
+        vals.filter(col("k") === "a"), col("v"), Seq(0.25, 0.5, 0.75))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(global === Map(0.25 -> 2.0, 0.5 -> 3.0, 0.75 -> 4.0))
+    val grouped = graft.operators.Stats.quantileProfile(
+        vals, col("v"), Seq(0.5), groupBy = Seq(col("k")))
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(grouped === Map("a" -> 3.0, "b" -> 15.0))
+  }
+
   test("compression_ratio separates boilerplate from prose, deterministically") {
     import spark.implicits._
     val docs = Seq(

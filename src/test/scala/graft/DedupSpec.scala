@@ -294,4 +294,74 @@ class DedupSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(kept2 === kept)
   }
+
+  // ---- simhashPairs: pigeonhole banding is a GUARANTEE, so the pair
+  // set must EQUAL the brute-force all-pairs Hamming join, not just
+  // approximate it.
+  private def hammingCorpus = {
+    val base = (1 to 40).map(i => s"word$i").mkString(" ")
+    Seq(
+      (1L, base),                                          // anchor
+      (2L, base),                                          // identical → distance 0
+      (3L, base.replace("word7", "changed")),              // near variant
+      (4L, base.replace("word7", "changed")
+        .replace("word21", "also")),                       // near variant
+      (5L, (100 to 140).map(i => s"other$i").mkString(" ")) // unrelated
+    ).toDF("doc_id", "text")
+  }
+
+  test("simhashPairs equals the brute-force Hamming join (pigeonhole exactness)") {
+    val docs = hammingCorpus
+    val banded = Dedup.simhashPairs(docs, "doc_id", col("text"), maxHamming = 3)
+      .as[(Long, Long)].collect().toSet
+    val sigs = docs.select(col("doc_id"),
+      Dedup.simhash(split(graft.functions.text.norm_key(col("text")), "\\s+")).as("sig"))
+    val brute = sigs.as("a").join(sigs.as("b"),
+        col("a.doc_id") < col("b.doc_id") &&
+          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= 3)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(banded === brute, s"banded=$banded brute=$brute")
+    assert(brute.contains((1L, 2L)), "identical docs must pair at distance 0")
+    assert(brute.exists { case (a, b) => a != 1L || b != 2L },
+      "fixture should produce at least one non-trivial near-dup pair")
+  }
+
+  test("simhashNearDedup drops pair-dup higher ids; star path covers near-cliques") {
+    val docs = hammingCorpus
+    val kept = Dedup.simhashNearDedup(docs, "doc_id", col("text"), maxHamming = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && kept.contains(5L))
+    assert(!kept.contains(2L), "exact dup of 1 must drop")
+    // force every bucket through the oversized star path on a clique
+    val clique = Seq.tabulate(8)(i => (i.toLong, "same text for every row here")).toDF("doc_id", "text")
+    val keptStar = Dedup.simhashNearDedup(clique, "doc_id", col("text"),
+        maxHamming = 3, maxBucketSize = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptStar === Set(0L), s"star verification must still resolve the clique: $keptStar")
+  }
+
+  test("dedupLines removes cross-document boilerplate, keeps in-doc repeats and order") {
+    val docs = Seq(
+      (1L, "keep one\nCOOKIE BANNER\ntail one", "a"),
+      (2L, "keep two\nCOOKIE BANNER", "b"),
+      (3L, "COOKIE BANNER", "c"),
+      (4L, "echo\necho\nunique tail", "d") // in-doc repetition only → kept
+    ).toDF("doc_id", "text", "meta")
+    val out = Dedup.dedupLines(docs, "doc_id", "text").orderBy("doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "keep one\ntail one", "order preserved around the removed line")
+    assert(out(2L) === "keep two")
+    assert(out(3L) === "", "fully-boilerplate doc becomes empty, row survives")
+    assert(out(4L) === "echo\necho\nunique tail",
+      "repetition within a single doc is not boilerplate")
+    // non-text columns and schema order pass through
+    val full = Dedup.dedupLines(docs, "doc_id", "text")
+    assert(full.columns.toSeq === Seq("doc_id", "text", "meta"))
+    assert(full.filter(col("doc_id") === 1L).select("meta").as[String].head() === "a")
+    // minDocs above the line's doc count: no longer boilerplate
+    val relaxed = Dedup.dedupLines(docs, "doc_id", "text", minDocs = 4)
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(relaxed(1L) === "keep one\nCOOKIE BANNER\ntail one")
+  }
 }

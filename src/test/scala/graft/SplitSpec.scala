@@ -74,6 +74,31 @@ class SplitSpec extends AnyFunSuite {
     assert(b20k.select("doc_id").exceptAll(b40k.select("doc_id")).isEmpty)
   }
 
+  test("packSequences: concat-and-cut pack assignment is exact and deterministic") {
+    val rows = Seq(
+      (1L, "en", 1000L), (2L, "en", 1000L), (3L, "en", 100L),
+      (4L, "en", 2500L), // longer than capacity: starts in one pack, spills
+      (5L, "fr", 10L)
+    ).toDF("doc_id", "lang", "toks")
+    val packed = Split.packSequences(rows, key = col("doc_id"), cost = col("toks"),
+        capacity = 2048L, strata = Seq(col("lang")))
+      .select("doc_id", "pack_id", "pack_offset")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // en stream offsets: 0, 1000, 2000, 2100 → packs 0,0,0,1 (2100/2048)
+    assert(packed(1L) === (0L, 0L))
+    assert(packed(2L) === (0L, 1000L))
+    assert(packed(3L) === (0L, 2000L), "doc straddling the cut keeps its start pack")
+    assert(packed(4L) === (1L, 52L))
+    assert(packed(5L) === (0L, 0L), "strata pack independently")
+    // invariants: offset < capacity; deterministic under repartition
+    val repacked = Split.packSequences(rows.repartition(7), key = col("doc_id"),
+        cost = col("toks"), capacity = 2048L, strata = Seq(col("lang")))
+      .select("doc_id", "pack_id", "pack_offset")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(repacked === packed)
+    assert(packed.values.forall(_._2 < 2048L))
+  }
+
   test("different seeds give different assignments") {
     val a = Split.split(docs, Seq("doc_id"), seed = 42L)
     val b = Split.split(docs, Seq("doc_id"), seed = 43L)
