@@ -67,6 +67,20 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Split.stratified(oneDoc, col("text"), col("doc_id")).count() === 1)
   }
 
+  test("round-3 curation operators on empty and single-row frames") {
+    assert(Dedup.dedupLines(emptyDocs, "doc_id", "text").count() === 0)
+    assert(Dedup.dedupLines(oneDoc, "doc_id", "text")
+      .select("text").as[String].head() === "a single document")
+    assert(Dedup.simhashPairs(emptyDocs, "doc_id", col("text")).count() === 0)
+    assert(Dedup.simhashNearDedup(oneDoc, "doc_id", col("text")).count() === 1)
+    assert(graft.operators.Stats.dupNgramProfile(emptyDocs, "doc_id", col("text")).count() === 0)
+    assert(graft.operators.Stats.quantileProfile(emptyDocs, col("doc_id"), Seq(0.5)).count() === 1)
+    assert(Split.packSequences(emptyDocs, col("doc_id"), length(col("text")), 100L).count() === 0)
+    val packedOne = Split.packSequences(oneDoc, col("doc_id"), length(col("text")), 100L)
+      .select("pack_id", "pack_offset").as[(Long, Long)].head()
+    assert(packedOne === ((0L, 0L)))
+  }
+
   test("fuzzy spark.ml dedup on single-row frame") {
     assert(Dedup.fuzzyDedup(oneDoc, "doc_id", col("text")).count() === 1)
   }
