@@ -896,6 +896,42 @@ object SparkEntry {
           maxHamming = 3)
         .select("doc_id").orderBy("doc_id")
     },
+
+    // ---- Tokenizer sizing: top-64 vocabulary with cumulative
+    // coverage of the FULL token stream. Rank/cumsum windows run after
+    // the limit, so the unpartitioned window only ever sees 64 rows.
+    "q73_vocab_coverage" -> { (s, dir) =>
+      Stats.vocabCoverage(Tables.documents(s, dir), col("text"), k = 64)
+        .orderBy("rank")
+    },
+
+    // ---- Embedding QA: per-label centroid cohesion (mean/min member
+    // cosine to the label centroid), NaN vectors quarantined. Centroid
+    // components are double sums whose last ulp depends on partition
+    // merge order — deliberately rows-only; SimilaritySpec pins the
+    // geometry on exactly-representable fixtures.
+    "q74_centroid_report" -> { (s, dir) =>
+      Similarity.centroidReport(Tables.embeddings(s, dir), "label", "embedding")
+    },
+
+    // ---- The composed curation gate — the engine's quality filters
+    // chained the way a pretraining pipeline runs them: collapse
+    // in-doc repeated lines, profile word repetition + duplicated
+    // phrases, keep docs passing all repetition and length gates
+    // (150 of 500 at sf0.01 — every threshold has real signal).
+    "q75_curation_gate" -> { (s, dir) =>
+      val docs = Dedup.collapseRepeatedLines(Tables.documents(s, dir), "doc_id", "text")
+      val rep = Stats.wordRepetition(docs, "doc_id", col("text"))
+        .select(col("doc_id"), col("top_word_frac"))
+      val dup = Stats.dupNgramProfile(docs, "doc_id", col("text"), n = 2)
+        .select(col("doc_id"), col("dup_gram_char_frac"))
+      docs.join(rep, Seq("doc_id")).join(dup, Seq("doc_id"))
+        .filter(col("top_word_frac") <= 0.12 && col("dup_gram_char_frac") <= 0.05 &&
+          col("n_chars").between(100, 500))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("top_word_frac"), col("dup_gram_char_frac"))
+        .orderBy("doc_id")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1554,6 +1590,40 @@ object SparkEntry {
         |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j
         |WHERE round(jac, 6) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q73_vocab_coverage" ->
+      """WITH w AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        |           FROM documents),
+        |f AS (SELECT token, count(*) AS freq FROM w WHERE token <> '' GROUP BY token),
+        |t AS (SELECT CAST(sum(freq) AS DOUBLE) AS tot FROM f),
+        |top AS (SELECT token, freq FROM f ORDER BY freq DESC, token LIMIT 64)
+        |SELECT CAST(row_number() OVER (ORDER BY freq DESC, token) AS INT) AS rank,
+        |  token, freq,
+        |  round(CAST(sum(freq) OVER (ORDER BY freq DESC, token
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / tot, 6) AS cum_share
+        |FROM top CROSS JOIN t
+        |ORDER BY rank""".stripMargin,
+
+    "q75_curation_gate" ->
+      """WITH w AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS word FROM documents),
+        |wf AS (SELECT doc_id, word, count(*) AS c FROM w WHERE word <> '' GROUP BY 1, 2),
+        |rep AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS top_word_frac
+        |        FROM wf GROUP BY doc_id),
+        |ws AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |g AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS gram
+        |      FROM ws, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS t(i)
+        |      WHERE len(ws) >= 2),
+        |gf AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+        |dup AS (SELECT doc_id,
+        |        round(CAST(sum(CASE WHEN c > 1 THEN c * length(gram) ELSE 0 END) AS DOUBLE)
+        |          / sum(c * length(gram)), 6) AS dup_gram_char_frac
+        |        FROM gf GROUP BY doc_id)
+        |SELECT d.doc_id, d.lang, d.n_chars, rep.top_word_frac, dup.dup_gram_char_frac
+        |FROM documents d JOIN rep USING (doc_id) JOIN dup USING (doc_id)
+        |WHERE rep.top_word_frac <= 0.12 AND dup.dup_gram_char_frac <= 0.05
+        |  AND d.n_chars BETWEEN 100 AND 500
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q68_line_dedup" ->
       """WITH l AS (

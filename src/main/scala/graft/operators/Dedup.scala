@@ -454,6 +454,34 @@ object Dedup {
       .select(df.columns.toIndexedSeq.map(col): _*)
   }
 
+  /** Collapse CONSECUTIVE duplicate lines within each document (the
+    * in-doc half of the RefinedWeb line rules; [[dedupLines]] is the
+    * cross-doc half): `a\na\nb\na` → `a\nb\na` — only adjacent repeats
+    * collapse, later reappearances stay. Non-text columns pass through.
+    *
+    * Scale shape: one posexplode, one per-document window (shuffle
+    * keyed by the doc id — perfectly spread), one reassembly
+    * aggregation. */
+  def collapseRepeatedLines(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__pos", "__line")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__pos"))
+    val rebuilt = lines
+      .withColumn("__prev", lag(col("__line"), 1).over(w))
+      .filter(col("__prev").isNull || col("__line") =!= col("__prev"))
+      .groupBy(col(idCol))
+      .agg(concat_ws(sep,
+        transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          s => s.getField("__line"))).as("__text"))
+    df.drop(textCol).join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("__text"), lit("")))
+      .drop("__text")
+      .select(df.columns.toIndexedSeq.map(col): _*)
+  }
+
   /** Distinct character n-grams via the native
     * [[graft.functions.CharNGrams]] expression (sorted ascending;
     * single static-call codegen site). Prefer this in any hot path. */

@@ -35,6 +35,43 @@ object Similarity {
     when(na === 0 || nb === 0, lit(0.0d)).otherwise(dot(a, b) / (na * nb))
   }
 
+  /** Embedding-table QA report: per-label centroid geometry — vector
+    * count, mean and min cosine of members to their label centroid.
+    * Low mean = a diffuse/mislabeled cluster; a very low min flags
+    * outlier vectors. NaN-poisoned vectors are quarantined up front
+    * (Spark orders NaN above every double, so they would otherwise
+    * win every max and poison the centroid sums).
+    *
+    * Scale shape: one posexplode + (label, dim) map-side-combined sum
+    * — dims are bounded, so the aggregate state is tiny — one
+    * per-label centroid assembly, one broadcast-sized join back, one
+    * final per-label aggregation. Float caveat: centroid components
+    * are double sums, so last-ulp totals depend on partition merge
+    * order — this report is for QA thresholds, not hash-exact oracles
+    * (rounded to 6 places, far above the ulp noise). */
+  def centroidReport(df: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val clean = df
+      .filter(v.isNotNull && size(v) > 0 && !exists(v, x => isnan(x)))
+      .select(col(labelCol).as("label"), v.as("__v"))
+    val byDim = clean
+      .select(col("label"), posexplode(col("__v")).as(Seq("__i", "__x")))
+      .groupBy(col("label"), col("__i"))
+      .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
+    val centroids = byDim.groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__i"), (col("__s") / col("__n")).as("__c")))),
+        s => s.getField("__c")).as("__centroid"))
+    clean.join(broadcast(centroids), Seq("label"))
+      .select(col("label"), cosine(col("__v"), col("__centroid")).as("__cos"))
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        round(avg(col("__cos")), 6).as("mean_cos_to_centroid"),
+        round(min(col("__cos")), 6).as("min_cos_to_centroid"))
+      .orderBy("label")
+  }
+
   /** Inputs are cast to `array<double>` DEFENSIVELY: the native kernel
     * reads doubles unconditionally, and an `array<float>` column fed
     * directly (embedding parquet is float!) would be silently misread

@@ -138,6 +138,34 @@ object Stats {
       round(max(w).cast("double") / sum(w), 6).as("top_gram_char_frac"))
   }
 
+  /** Vocabulary coverage report — the tokenizer-sizing question: what
+    * share of the corpus token stream does the top-k vocabulary cover?
+    * One row per top-k token (deterministic tie-break on the token)
+    * with its rank and the cumulative coverage share against the FULL
+    * token count (not just the top-k mass).
+    *
+    * Scale shape: one explode + map-side-combined frequency count, one
+    * single-row total, then rank/cumsum windows run AFTER `limit(k)` —
+    * the unpartitioned window sees k rows, never the vocabulary. */
+  def vocabCoverage(df: DataFrame, textCol: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val words = df.select(explode(split(lower(trim(textCol)), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    val freq = words.groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val total = freq.agg(sum(col("freq")).as("__tot"))
+    val ord = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("freq"), asc("token"))
+    val cum = ord.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    freq.orderBy(desc("freq"), asc("token")).limit(k)
+      .crossJoin(broadcast(total))
+      .withColumn("rank", row_number().over(ord))
+      .withColumn("cum_share",
+        round(sum(col("freq")).over(cum).cast("double") / col("__tot"), 6))
+      .select(col("rank"), col("token"), col("freq"), col("cum_share"))
+  }
+
   /** Exact interpolating quantiles (SQL `quantile_cont` semantics) of
     * a numeric column, optionally per group — unpivoted to one
     * (group, quantile, value) row each for a stable schema at any

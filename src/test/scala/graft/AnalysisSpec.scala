@@ -178,6 +178,20 @@ class AnalysisSpec extends AnyFunSuite {
     assert(prof(2L).getAs[Long]("n_grams") === 3L)
   }
 
+  test("vocabCoverage: ranked top-k with cumulative share of the FULL stream") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the the the cat"),
+      (2L, "the cat sat on rare")
+    ).toDF("doc_id", "text")
+    // freqs: the=4, cat=2, sat=1, on=1, rare=1 → total 9
+    val top = graft.operators.Stats.vocabCoverage(docs, col("text"), k = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(top.toSeq === Seq(
+      (1, "the", 4L, 0.444444),
+      (2, "cat", 2L, 0.666667))) // cum share vs ALL 9 tokens, not the top-2 mass
+  }
+
   test("quantileProfile: exact interpolating quantiles, global and grouped") {
     import spark.implicits._
     val vals = Seq(("a", 1), ("a", 2), ("a", 3), ("a", 4), ("a", 5),

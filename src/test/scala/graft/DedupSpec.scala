@@ -341,6 +341,21 @@ class DedupSpec extends AnyFunSuite {
     assert(keptStar === Set(0L), s"star verification must still resolve the clique: $keptStar")
   }
 
+  test("collapseRepeatedLines: only ADJACENT repeats collapse; reappearances stay") {
+    val docs = Seq(
+      (1L, "a\na\nb\na", "x"),
+      (2L, "solo", "y"),
+      (3L, "dup\ndup\ndup\ndup", "z")
+    ).toDF("doc_id", "text", "meta")
+    val out = Dedup.collapseRepeatedLines(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "a\nb\na", "non-adjacent reappearance must survive")
+    assert(out(2L) === "solo")
+    assert(out(3L) === "dup")
+    val full = Dedup.collapseRepeatedLines(docs, "doc_id", "text")
+    assert(full.columns.toSeq === Seq("doc_id", "text", "meta"))
+  }
+
   test("dedupLines removes cross-document boilerplate, keeps in-doc repeats and order") {
     val docs = Seq(
       (1L, "keep one\nCOOKIE BANNER\ntail one", "a"),

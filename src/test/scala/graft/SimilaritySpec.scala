@@ -189,4 +189,22 @@ class SimilaritySpec extends AnyFunSuite {
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.3, s"LSH recall too low: $recall")
   }
+
+  test("centroidReport: exact geometry on representable vectors; NaN quarantined") {
+    import spark.implicits._
+    // label a: (1,0) and (0,1) → centroid (0.5, 0.5); cos(member, centroid) = √2/2
+    // label b: (2,0) and (4,0) → centroid (3, 0); both members at cos 1
+    // label c: one NaN-poisoned vector and one clean → only the clean one counts
+    val vecs = Seq(
+      ("a", Seq(1.0, 0.0)), ("a", Seq(0.0, 1.0)),
+      ("b", Seq(2.0, 0.0)), ("b", Seq(4.0, 0.0)),
+      ("c", Seq(Double.NaN, 1.0)), ("c", Seq(0.0, 8.0))
+    ).toDF("label", "embedding")
+    val rep = Similarity.centroidReport(vecs, "label", "embedding")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(rep("a") === ((2L, 0.707107, 0.707107)))
+    assert(rep("b") === ((2L, 1.0, 1.0)))
+    assert(rep("c") === ((1L, 1.0, 1.0)), "NaN vector must not poison the centroid")
+  }
 }
