@@ -44,6 +44,9 @@ object GraftExtensions {
     "char_ngrams" ->
       ((es: Seq[Expression]) => graft.functions.CharNGrams(es.head,
         es(1).eval().asInstanceOf[Int])),
+    "word_ngrams" ->
+      ((es: Seq[Expression]) => graft.functions.WordNGrams(es.head,
+        es(1).eval().asInstanceOf[Int])),
     "sorted_intersect_size" ->
       ((es: Seq[Expression]) => graft.functions.SortedIntersectSize(es.head, es(1))),
     "vector_dot" ->

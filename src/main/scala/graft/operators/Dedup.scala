@@ -488,6 +488,14 @@ object Dedup {
   def charNGrams(c: Column, n: Int = 3): Column =
     text.expr2col(graft.functions.CharNGrams(text.col2expr(c), n))
 
+  /** Ordered, multiplicity-preserving word n-grams of
+    * `lower(trim(c))` split on whitespace — the native
+    * [[graft.functions.WordNGrams]] kernel (one static-call codegen
+    * site; the HOF formulation interprets 3 lambda dispatches and a
+    * slice allocation per gram — PropertySpec cross-validates). */
+  def wordNGrams(c: Column, n: Int = 2): Column =
+    text.expr2col(graft.functions.WordNGrams(text.col2expr(c), n))
+
   /** Distinct character n-gram set of a string column — the
     * Column/HOF reference formulation (PropertySpec cross-validates
     * [[charNGrams]] against it). Higher-order functions are

@@ -120,13 +120,11 @@ object Stats {
     * integer-sum divisions so the hash oracle can't float-flake. */
   def dupNgramProfile(df: DataFrame, idCol: String, textCol: Column, n: Int = 2): DataFrame = {
     require(n >= 1, "n must be >= 1")
-    val words = split(lower(trim(textCol)), "\\s+")
-    // sequence(1, k) DESCENDS when k < 1 — guard short docs to an empty gram array
-    val grams = when(size(words) >= n,
-      transform(sequence(lit(1), size(words) - lit(n - 1)),
-        i => concat_ws(" ", slice(words, i, lit(n))))
-    ).otherwise(array().cast("array<string>"))
-    val exploded = df.select(col(idCol), explode(grams).as("__g"))
+    // native kernel (one codegen call per row) + a spread scan: the
+    // gram generation must never run on the single task a one-row-
+    // group parquet file would otherwise plan
+    val exploded = Dedup.spreadWide(df.select(col(idCol), textCol.as("__t")))
+      .select(col(idCol), explode(Dedup.wordNGrams(col("__t"), n)).as("__g"))
     val counted = exploded.groupBy(col(idCol), col("__g"))
       .agg(count(lit(1)).as("__c"))
     val w = col("__c") * length(col("__g")) // chars carried by this gram's occurrences

@@ -52,16 +52,18 @@ class PlanSpec extends AnyFunSuite {
     assert(r === "ā", "decomposed a+macron must compose to ā through SQL")
   }
 
-  test("char_ngrams / sorted_intersect_size / vector_dot are SQL-callable") {
+  test("char_ngrams / word_ngrams / sorted_intersect_size / vector_dot are SQL-callable") {
     GraftSession.registerFunctions(spark)
     val row = spark.sql(
       """SELECT
         |  char_ngrams('abcd', 3) AS g,
+        |  word_ngrams('The quick  brown', 2) AS w,
         |  sorted_intersect_size(array('ab','cd'), array('cd','zz')) AS i,
         |  vector_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d""".stripMargin).head()
     assert(row.getSeq[String](0) === Seq("abc", "bcd"))
-    assert(row.getInt(1) === 1)
-    assert(row.getDouble(2) === 11.0)
+    assert(row.getSeq[String](1) === Seq("the quick", "quick brown"))
+    assert(row.getInt(2) === 1)
+    assert(row.getDouble(3) === 11.0)
   }
 
   test("exact dedup: one hash shuffle on the key, map-side group-limit prunes first") {

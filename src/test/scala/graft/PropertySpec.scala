@@ -84,6 +84,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: WordNGrams matches the HOF split/slice/concat_ws formulation") {
+    def hofGrams(c: org.apache.spark.sql.Column, n: Int) = {
+      // filter the "" artifacts regex split emits around non-space
+      // whitespace at string edges — words are non-empty by definition
+      val words = filter(split(lower(trim(c)), "\\s+"), w => w =!= "")
+      when(size(words) >= n,
+        transform(sequence(lit(1), size(words) - lit(n - 1)),
+          i => concat_ws(" ", slice(words, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    for (seed <- 1L to 5L; n <- Seq(1, 2, 3)) {
+      val strs = sample(Gen.listOfN(40, corpusString), seed * 17 + n) ++
+        Seq("", " ", "one", "a  b\t c", " padded both ends ")
+      val df = strs.toDF("s")
+      val bad = df.select(Dedup.wordNGrams(col("s"), n).as("a"),
+          hofGrams(col("s"), n).as("b"))
+        .filter(not(col("a") <=> col("b")))
+      assert(bad.count() === 0L,
+        s"native vs HOF word n-grams diverge (n=$n), e.g. ${bad.head(1).toSeq}")
+    }
+  }
+
   test("property: SortedIntersectSize equals size(array_intersect) on random gram sets") {
     for (seed <- 1L to 5L) {
       val pairs = sample(Gen.listOfN(40, Gen.zip(corpusString, corpusString)), seed)
