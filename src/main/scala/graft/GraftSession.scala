@@ -48,6 +48,8 @@ object GraftSession {
       current = current :+ graft.plans.JaccardJoinRewrite(spark)
     if (!current.exists(_.isInstanceOf[graft.plans.CosineJoinRewrite]))
       current = current :+ graft.plans.CosineJoinRewrite(spark)
+    if (!current.exists(_.isInstanceOf[graft.plans.RangeJoinRewrite]))
+      current = current :+ graft.plans.RangeJoinRewrite(spark)
     spark.experimental.extraOptimizations = current
   }
 

@@ -932,6 +932,42 @@ object SparkEntry {
           col("top_word_frac"), col("dup_gram_char_frac"))
         .orderBy("doc_id")
     },
+
+    // ---- Bucketed range join: customers whose balance falls in each
+    // supplier's ±500 band. Spark's only native plan for the BETWEEN
+    // theta-join is a nested loop; the grid-bucket join is an ordinary
+    // hash join + exact verify — identical output (oracle = DuckDB's
+    // brute-force BETWEEN), no cross product (PlanSpec asserts).
+    "q76_range_join" -> { (s, dir) =>
+      val bands = Tables.supplier(s, dir).select(col("s_suppkey"),
+        (col("s_acctbal") - 500).as("bal_lo"), (col("s_acctbal") + 500).as("bal_hi"))
+      val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal"))
+      operators.RangeJoin.pointInInterval(cust, col("c_acctbal"),
+          bands, col("bal_lo"), col("bal_hi"), bucketWidth = 250.0)
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_in_band"),
+          round(sum(col("c_acctbal")), 2).as("sum_bal"))
+        .orderBy("s_suppkey")
+    },
+
+    // ---- The DECLARATIVE form of the range join: a plain BETWEEN
+    // theta-join (strict bounds, no graft marker — the first rewrite
+    // that fires on vanilla SQL shapes). With the bucket width set,
+    // graft.plans.RangeJoinRewrite replaces Spark's only native plan
+    // (nested loop) with the grid-bucket hash join; output is
+    // hash-checked against DuckDB's brute force end to end.
+    "q77_range_join_rewrite" -> { (s, dir) =>
+      GraftSession.installOptimizerRules(s)
+      s.conf.set("spark.graft.range_join.bucket_width", "150.0")
+      val bands = Tables.supplier(s, dir).select(col("s_suppkey"),
+        (col("s_acctbal") - 300).as("blo"), (col("s_acctbal") + 300).as("bhi"))
+      val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_acctbal"))
+      cust.join(bands, col("c_acctbal") > col("blo") && col("c_acctbal") < col("bhi"))
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_in_band"),
+          round(sum(col("c_acctbal")), 2).as("sum_bal"))
+        .orderBy("s_suppkey")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1590,6 +1626,22 @@ object SparkEntry {
         |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j
         |WHERE round(jac, 6) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q76_range_join" ->
+      """SELECT s.s_suppkey, count(*) AS n_in_band,
+        |  round(sum(c.c_acctbal), 2) AS sum_bal
+        |FROM supplier s JOIN customer c
+        |  ON c.c_acctbal BETWEEN s.s_acctbal - 500 AND s.s_acctbal + 500
+        |GROUP BY s.s_suppkey
+        |ORDER BY s.s_suppkey""".stripMargin,
+
+    "q77_range_join_rewrite" ->
+      """SELECT s.s_suppkey, count(*) AS n_in_band,
+        |  round(sum(c.c_acctbal), 2) AS sum_bal
+        |FROM supplier s JOIN customer c
+        |  ON c.c_acctbal > s.s_acctbal - 300 AND c.c_acctbal < s.s_acctbal + 300
+        |GROUP BY s.s_suppkey
+        |ORDER BY s.s_suppkey""".stripMargin,
 
     "q73_vocab_coverage" ->
       """WITH w AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
