@@ -429,21 +429,29 @@ object Dedup {
     * Scale shape: one posexplode, one (line → distinct-doc count)
     * aggregation — partial aggregation compresses the heavy boilerplate
     * keys map-side — one left_anti on the line, one per-doc
-    * reassembly aggregation. Nothing driver-side. At 100 TB key the
-    * count/anti-join by a 128-bit line digest instead of the raw line
-    * (same plan, narrower shuffle); the raw-string form here keeps the
-    * operator exactly SQL-expressible for the oracle. */
+    * reassembly aggregation. Nothing driver-side. At 100 TB set
+    * `keyByDigest = true`: the count and anti-join shuffle a 128-bit
+    * line digest (two independent xxhash64 seeds) instead of raw line
+    * strings — same plan, ~16-byte keys instead of whole lines, at
+    * the CCNet-standard cost of treating digest-colliding lines as
+    * equal (2⁻¹²⁸-scale). The raw-string default keeps the operator
+    * exactly SQL-expressible for the oracle. */
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
-      minDocs: Int = 2, sep: String = "\n"): DataFrame = {
+      minDocs: Int = 2, sep: String = "\n",
+      keyByDigest: Boolean = false): DataFrame = {
     require(minDocs >= 2, "minDocs < 2 would remove every line")
     val lines = df.select(col(idCol),
       posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq("__pos", "__line")))
-    val boilerplate = lines.groupBy(col("__line"))
+    val key: Column => Column =
+      if (keyByDigest) c => struct(xxhash64(c), xxhash64(c, lit(0x9e3779b9L)))
+      else c => c
+    val boilerplate = lines.groupBy(key(col("__line")).as("__k"))
       .agg(count_distinct(col(idCol)).as("__docs"))
       .filter(col("__docs") >= minDocs)
-      .select("__line")
-    val rebuilt = lines.join(boilerplate, Seq("__line"), "left_anti")
+      .select("__k")
+    val rebuilt = lines.withColumn("__k", key(col("__line")))
+      .join(boilerplate, Seq("__k"), "left_anti")
       .groupBy(col(idCol))
       .agg(concat_ws(sep,
         transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),

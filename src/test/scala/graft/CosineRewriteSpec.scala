@@ -25,10 +25,10 @@ class CosineRewriteSpec extends AnyFunSuite {
   private def withRule[A](f: => A): A = {
     GraftSession.installOptimizerRules(spark)
     try f
+    // strip EVERY graft rule — see JaccardRewriteSpec.withRule
     finally spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations.filterNot(r =>
-        r.isInstanceOf[graft.plans.CosineJoinRewrite] ||
-          r.isInstanceOf[graft.plans.JaccardJoinRewrite])
+      spark.experimental.extraOptimizations
+        .filterNot(_.getClass.getName.startsWith("graft.plans."))
   }
 
   private def nestedLoopish(df: DataFrame): Boolean = {

@@ -378,5 +378,9 @@ class DedupSpec extends AnyFunSuite {
     val relaxed = Dedup.dedupLines(docs, "doc_id", "text", minDocs = 4)
       .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(relaxed(1L) === "keep one\nCOOKIE BANNER\ntail one")
+    // the digest-keyed scale path returns the identical corpus
+    val byDigest = Dedup.dedupLines(docs, "doc_id", "text", keyByDigest = true)
+      .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byDigest === out)
   }
 }

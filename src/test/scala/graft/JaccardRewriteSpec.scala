@@ -24,9 +24,12 @@ class JaccardRewriteSpec extends AnyFunSuite {
   private def withRule[A](f: => A): A = {
     GraftSession.installOptimizerRules(spark)
     try f
+    // strip EVERY graft rule: installOptimizerRules adds all of them,
+    // and suite order is arbitrary — a leftover sibling rule breaks
+    // another rewrite spec's "naive plan" precondition
     finally spark.experimental.extraOptimizations =
       spark.experimental.extraOptimizations
-        .filterNot(_.isInstanceOf[graft.plans.JaccardJoinRewrite])
+        .filterNot(_.getClass.getName.startsWith("graft.plans."))
   }
 
   // string-match like PlanSpec: AQE wraps the plan in

@@ -28,9 +28,10 @@ class RangeRewriteSpec extends AnyFunSuite {
     try f
     finally {
       spark.conf.unset(widthConf)
+      // strip EVERY graft rule — see JaccardRewriteSpec.withRule
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations
-          .filterNot(_.isInstanceOf[graft.plans.RangeJoinRewrite])
+          .filterNot(_.getClass.getName.startsWith("graft.plans."))
     }
   }
 
