@@ -968,6 +968,20 @@ object SparkEntry {
           round(sum(col("c_acctbal")), 2).as("sum_bal"))
         .orderBy("s_suppkey")
     },
+
+    // ---- Sliding-window chunking with overlap (embedding/RAG prep):
+    // 200-char windows every 120 chars, tail window reaches the end.
+    // Chunk boundaries are pure arithmetic, so the full chunk table
+    // hash-checks.
+    "q78_chunk_overlap" -> { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(functions.analysis.chunk_overlap(col("text"), 200, 120))
+            .as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx"), col("chunk"),
+          length(col("chunk")).as("chunk_len"))
+        .orderBy("doc_id", "chunk_idx")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1634,6 +1648,15 @@ object SparkEntry {
         |  ON c.c_acctbal BETWEEN s.s_acctbal - 500 AND s.s_acctbal + 500
         |GROUP BY s.s_suppkey
         |ORDER BY s.s_suppkey""".stripMargin,
+
+    "q78_chunk_overlap" ->
+      """SELECT doc_id, CAST(i AS INT) AS chunk_idx, text[i*120+1 : i*120+200] AS chunk,
+        |  length(text[i*120+1 : i*120+200]) AS chunk_len
+        |FROM documents,
+        |  unnest(generate_series(0,
+        |    CAST(ceil(greatest(length(text) - 200, 0) / 120.0) AS INT))) AS t(i)
+        |WHERE length(text) > 0
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q77_range_join_rewrite" ->
       """SELECT s.s_suppkey, count(*) AS n_in_band,

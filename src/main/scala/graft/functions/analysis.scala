@@ -123,4 +123,21 @@ object analysis {
         .otherwise(array_append(acc.getField("done"), acc.getField("cur"))))
     stepped
   }
+
+  /** Sliding-window chunking with overlap — the embedding/RAG prep
+    * sibling of [[chunk_sentences]]: fixed `size`-char windows every
+    * `stride` chars (overlap = size − stride), the last window
+    * starting at the smallest stride multiple that reaches the end
+    * (the tail chunk may be shorter than `size`). Empty text ⇒ no
+    * chunks; text ≤ size ⇒ one chunk. Character (codepoint) offsets,
+    * matching `substr` on both engines. */
+  def chunk_overlap(c: Column, size: Int, stride: Int): Column = {
+    require(size > 0 && stride > 0 && stride <= size,
+      "need 0 < stride <= size")
+    val lastIdx = ceil(greatest(length(c) - size, lit(0)) / lit(stride.toDouble)).cast("int")
+    when(length(c) > 0,
+      transform(sequence(lit(0), lastIdx),
+        i => c.substr(i * lit(stride) + lit(1), lit(size)))
+    ).otherwise(array().cast("array<string>"))
+  }
 }

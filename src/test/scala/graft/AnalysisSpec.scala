@@ -178,6 +178,21 @@ class AnalysisSpec extends AnyFunSuite {
     assert(prof(2L).getAs[Long]("n_grams") === 3L)
   }
 
+  test("chunk_overlap: stride windows, tail reaches the end, short/empty inputs") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcdefghij"), (2L, "abc"), (3L, "")).toDF("id", "text")
+    val chunks = docs.select(col("id"),
+        graft.functions.analysis.chunk_overlap(col("text"), 4, 3).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    // len 10, size 4, stride 3 → lastIdx = ceil(6/3) = 2 → starts 0,3,6
+    assert(chunks(1L) === Seq("abcd", "defg", "ghij"))
+    assert(chunks(2L) === Seq("abc"), "text shorter than size is one chunk")
+    assert(chunks(3L) === Seq.empty, "empty text has no chunks")
+    // overlap invariant: consecutive chunks share size - stride chars
+    val Seq(a, b, _) = chunks(1L)
+    assert(a.takeRight(1) === b.take(1))
+  }
+
   test("vocabCoverage: ranked top-k with cumulative share of the FULL stream") {
     import spark.implicits._
     val docs = Seq(
