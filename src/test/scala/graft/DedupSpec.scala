@@ -356,6 +356,36 @@ class DedupSpec extends AnyFunSuite {
     assert(full.columns.toSeq === Seq("doc_id", "text", "meta"))
   }
 
+  test("duplicateSpans flags verbatim cross-doc overlap at ANY offset; in-doc repeats don't") {
+    // the shared run sits at different word offsets in docs 1 and 2 —
+    // word-boundary anchoring must still match it (fixed-stride char
+    // windows would not)
+    val sharedRun = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (1L, "unique lead-in words then " + sharedRun),
+      (2L, sharedRun + " with a unique trailer afterwards"),
+      (3L, "totally unrelated content that is long enough to produce several spans of text here"),
+      (4L, Seq.fill(4)("echo delta").mkString(" ") + " " +
+        Seq.fill(4)("echo delta").mkString(" ")), // repeats only within ITSELF
+      (5L, "too few words here") // < spanWords → no row
+    ).toDF("doc_id", "text")
+    val prof = Dedup.duplicateSpans(docs, "doc_id", col("text"), spanWords = 8)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!prof.contains(5L))
+    assert(prof(1L).getAs[Long]("dup_spans") >= 3,
+      "doc 1 shares a 10-word verbatim run with doc 2 at a shifted offset")
+    assert(prof(2L).getAs[Long]("dup_spans") >= 3)
+    assert(prof(3L).getAs[Long]("dup_spans") === 0L)
+    assert(prof(4L).getAs[Long]("dup_spans") === 0L,
+      "repetition within one doc is not cross-doc duplication")
+    assert(prof(1L).getAs[Double]("dup_span_frac") < 1.0, "doc 1 has unique spans too")
+    // the digest-keyed scale path reports identically
+    val byDigest = Dedup.duplicateSpans(docs, "doc_id", col("text"),
+        spanWords = 8, keyByDigest = true)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("dup_spans")).toMap
+    assert(byDigest === prof.view.mapValues(_.getAs[Long]("dup_spans")).toMap)
+  }
+
   test("dedupLines removes cross-document boilerplate, keeps in-doc repeats and order") {
     val docs = Seq(
       (1L, "keep one\nCOOKIE BANNER\ntail one", "a"),
