@@ -994,6 +994,15 @@ object SparkEntry {
           spanWords = 8, minDocs = 2)
         .orderBy("doc_id")
     },
+
+    // ---- Unigram surprisal scoring (the LM-perplexity quality gate,
+    // unigram flavor): −log2 corpus frequency per word, per-doc mean.
+    // Keyword stuffing scores low, out-of-register text scores high —
+    // curation cuts both tails.
+    "q80_unigram_surprisal" -> { (s, dir) =>
+      Stats.unigramSurprisal(Tables.documents(s, dir), "doc_id", col("text"))
+        .orderBy("doc_id")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1660,6 +1669,19 @@ object SparkEntry {
         |  ON c.c_acctbal BETWEEN s.s_acctbal - 500 AND s.s_acctbal + 500
         |GROUP BY s.s_suppkey
         |ORDER BY s.s_suppkey""".stripMargin,
+
+    "q80_unigram_surprisal" ->
+      """WITH w AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        |  FROM documents),
+        |ww AS (SELECT doc_id, word FROM w WHERE word <> ''),
+        |f AS (SELECT word, count(*) AS f FROM ww GROUP BY word),
+        |t AS (SELECT CAST(sum(f) AS DOUBLE) AS tot FROM f)
+        |SELECT doc_id, count(*) AS n_words,
+        |  round(round(sum(-log2(f / tot)), 4) / count(*), 6) AS mean_surprisal
+        |FROM ww JOIN f USING (word) CROSS JOIN t
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "q79_duplicate_spans" ->
       """WITH w AS (SELECT doc_id,

@@ -136,6 +136,33 @@ object Stats {
       round(max(w).cast("double") / sum(w), 6).as("top_gram_char_frac"))
   }
 
+  /** Per-document unigram surprisal — the scalable stand-in for the
+    * LM-perplexity quality gate of CCNet-style curation: score every
+    * word by −log₂ of its corpus frequency and report each document's
+    * mean. Prose written in the corpus's own register scores near the
+    * corpus mean; keyword stuffing (low surprisal — few hot words) and
+    * alphabet soup / wrong-language text (high surprisal — all rare
+    * types) land in the tails, so curation thresholds BOTH sides.
+    *
+    * Two passes by construction (the model IS the corpus): one
+    * frequency aggregation, then a words⋈freq hash join + per-doc
+    * rollup. The per-doc sum is rounded to 4 places BEFORE the mean —
+    * log₂ is not IEEE-exact across engines and double summation order
+    * wobbles the last ulp, so the oracle-compared value sits far above
+    * both noise floors. */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: Column): DataFrame = {
+    val words = Dedup.spreadWide(df.select(col(idCol), textCol.as("__t")))
+      .select(col(idCol), explode(split(lower(trim(col("__t"))), "\\s+")).as("__w"))
+      .filter(col("__w") =!= "")
+    val freq = words.groupBy(col("__w")).agg(count(lit(1)).as("__f"))
+    val total = freq.agg(sum(col("__f")).as("__tot"))
+    words.join(freq, Seq("__w")).crossJoin(broadcast(total))
+      .select(col(idCol), (-log2(col("__f") / col("__tot"))).as("__s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        round(round(sum(col("__s")), 4) / count(lit(1)), 6).as("mean_surprisal"))
+  }
+
   /** Vocabulary coverage report — the tokenizer-sizing question: what
     * share of the corpus token stream does the top-k vocabulary cover?
     * One row per top-k token (deterministic tie-break on the token)

@@ -178,6 +178,26 @@ class AnalysisSpec extends AnyFunSuite {
     assert(prof(2L).getAs[Long]("n_grams") === 3L)
   }
 
+  test("unigramSurprisal: stuffed docs score low, rare-word docs high, exact on known freqs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the the the the"),          // only the hottest word
+      (2L, "the rare1 rare2 rare3"),    // mostly singletons
+      (3L, "")                          // no words → no row
+    ).toDF("doc_id", "text")
+    val prof = graft.operators.Stats.unigramSurprisal(docs, "doc_id", col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!prof.contains(3L))
+    // freqs over 8 words: the=5, rare*=1 → surprisal(the)=log2(8/5), rare=3 bits
+    val sThe = math.log(8.0 / 5.0) / math.log(2.0)
+    val exp1 = BigDecimal(4 * sThe).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble / 4
+    assert(math.abs(prof(1L).getAs[Double]("mean_surprisal") - exp1) < 1e-6)
+    assert(prof(2L).getAs[Double]("mean_surprisal") >
+      prof(1L).getAs[Double]("mean_surprisal"),
+      "rare-word doc must out-score the stuffed doc")
+    assert(prof(1L).getAs[Long]("n_words") === 4L)
+  }
+
   test("chunk_overlap: stride windows, tail reaches the end, short/empty inputs") {
     import spark.implicits._
     val docs = Seq((1L, "abcdefghij"), (2L, "abc"), (3L, "")).toDF("id", "text")
