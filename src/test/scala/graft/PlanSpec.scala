@@ -17,6 +17,21 @@ class PlanSpec extends AnyFunSuite {
     df.queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
 
+  test("round-3 curation queries never plan a cartesian or nested loop") {
+    // q77 needs its session conf + rule installed (RangeRewriteSpec
+    // covers it); q80's only non-equi join is the broadcast of its
+    // single-row total (asserted separately below).
+    for (q <- Seq("q68_line_dedup", "q69_dup_ngram_profile", "q70_sequence_pack",
+        "q72_simhash_near_dedup", "q75_curation_gate", "q76_range_join",
+        "q78_chunk_overlap", "q79_duplicate_spans")) {
+      val plan = formatted(q)
+      assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
+        s"$q must not cross-product:\n$plan")
+    }
+    val q80 = formatted("q80_unigram_surprisal")
+    assert(!q80.contains("CartesianProduct"), s"q80 must not cartesian:\n$q80")
+  }
+
   test("q1: shipdate filter is pushed to the parquet scan and columns pruned") {
     val plan = formatted("q1_pricing_summary")
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
