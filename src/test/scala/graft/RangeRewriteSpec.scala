@@ -79,6 +79,19 @@ class RangeRewriteSpec extends AnyFunSuite {
     }
   }
 
+  test("self-derived sides: correct rows whether the rewrite fires or bails out") {
+    // both join inputs derive from the same frame — the analyzer's
+    // self-join dedup can remap attribute ids, in which case the rule
+    // must bail out gracefully (never corrupt the plan)
+    val base = points
+    val itv = base.select(col("pid").as("iid"), (col("p") - 5).as("lo"), (col("p") + 5).as("hi"))
+    val naive = pairsOf(base.join(itv, col("p") >= col("lo") && col("p") <= col("hi")))
+    withRule {
+      val got = pairsOf(base.join(itv, col("p") >= col("lo") && col("p") <= col("hi")))
+      assert(got === naive)
+    }
+  }
+
   test("boundary points included; empty and null intervals match nothing") {
     val pts = Seq((1L, Some(10.0)), (2L, Some(20.0)), (3L, None)).toDF("pid", "p")
     val itv = Seq((1L, Some(10.0), Some(20.0)), (2L, Some(30.0), Some(25.0)),
