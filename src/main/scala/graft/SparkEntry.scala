@@ -1003,6 +1003,21 @@ object SparkEntry {
       Stats.unigramSurprisal(Tables.documents(s, dir), "doc_id", col("text"))
         .orderBy("doc_id")
     },
+
+    // ---- Verbatim-overlap benchmark decontamination (the GPT-3/Pile
+    // n-gram rule): every corpus doc sharing any 8-word gram with the
+    // held-out eval slice gets flagged. Eval grams distinct to a tiny
+    // broadcast set — the corpus side never shuffles on gram. The
+    // fuzzy document-level sibling is q49.
+    "q81_contamination_profile" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val evalSet = docs.filter(col("doc_id") % 41 === 0)
+      val corpus = docs.filter(col("doc_id") % 41 =!= 0)
+      Dedup.contaminationProfile(corpus, "doc_id", col("text"),
+          evalSet, col("text"), nWords = 8)
+        .select(col("doc_id"), col("n_grams"), col("hit_grams"), col("contaminated"))
+        .orderBy("doc_id")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1681,6 +1696,24 @@ object SparkEntry {
         |  round(round(sum(-log2(f / tot)), 4) / count(*), 6) AS mean_surprisal
         |FROM ww JOIN f USING (word) CROSS JOIN t
         |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q81_contamination_profile" ->
+      """WITH w AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |g AS (SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS g
+        |      FROM w, unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS t(i)
+        |      WHERE len(ws) >= 8),
+        |e AS (SELECT DISTINCT g FROM g WHERE doc_id % 41 = 0),
+        |c AS (SELECT doc_id, g FROM g WHERE doc_id % 41 <> 0),
+        |prof AS (SELECT c.doc_id, count(*) AS n_grams,
+        |    CAST(sum(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hit_grams
+        |  FROM c LEFT JOIN e USING (g) GROUP BY c.doc_id)
+        |SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+        |  coalesce(hit_grams, 0) AS hit_grams,
+        |  coalesce(hit_grams, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 41 <> 0) d
+        |LEFT JOIN prof USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     "q79_duplicate_spans" ->

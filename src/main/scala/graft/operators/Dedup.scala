@@ -508,6 +508,56 @@ object Dedup {
         round(col("dup_spans").cast("double") / col("n_spans"), 6))
   }
 
+  /** VERBATIM-overlap benchmark contamination profile — flag corpus
+    * documents sharing any `nWords`-word gram with an evaluation set
+    * (the GPT-3/Pile rule: a training doc containing a verbatim eval
+    * n-gram leaks the benchmark into training; 13 grams is the
+    * published default, tunable down for short eval items). The fuzzy
+    * whole-document sibling is [[decontaminate]] (n-gram Jaccard ≥ t
+    * against any eval doc); this one catches the QUOTED-span leak a
+    * document-level similarity misses — an eval question pasted into
+    * an otherwise-unrelated page. Output: every corpus row plus
+    * `n_grams` (spans in the doc), `hit_grams` (spans, WITH
+    * multiplicity, that also appear anywhere in the eval set) and
+    * `contaminated` (hit_grams > 0). Docs shorter than `nWords` words
+    * have zero grams and are clean by definition. Filter
+    * `!contaminated` for the training cut; keep the flag for audits.
+    *
+    * Scale shape: the eval set is benchmark-sized while the corpus is
+    * the 100 TB side — eval grams are distinct'd to a small set and
+    * BROADCAST, so the corpus gram stream semi-joins map-side and the
+    * big side never shuffles on gram. `broadcastEval = false` falls
+    * back to a hash join for an oversized eval union; `keyByDigest`
+    * joins on 128-bit gram digests instead of raw strings (the wire
+    * format at scale — grams are ~nWords·6 bytes each). */
+  def contaminationProfile(corpus: DataFrame, idCol: String, textCol: Column,
+      evalSet: DataFrame, evalTextCol: Column, nWords: Int = 13,
+      broadcastEval: Boolean = true, keyByDigest: Boolean = false): DataFrame = {
+    require(nWords >= 1, "nWords must be >= 1")
+    val key: Column => Column =
+      if (keyByDigest) c => struct(xxhash64(c), xxhash64(c, lit(0x9e3779b9L)))
+      else c => c
+    val evalGrams0 = evalSet
+      .select(explode(wordNGrams(evalTextCol, nWords)).as("__g"))
+      .select(key(col("__g")).as("__k")).distinct()
+    val evalGrams = (if (broadcastEval) broadcast(evalGrams0) else evalGrams0)
+      .withColumn("__hit", lit(1L))
+    val grams = spreadWide(corpus.select(col(idCol), textCol.as("__t")))
+      .select(col(idCol), explode_outer(wordNGrams(col("__t"), nWords)).as("__g"))
+    val profile = grams
+      .withColumn("__k", key(col("__g")))
+      .join(evalGrams, Seq("__k"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(col("__g")).as("n_grams"),
+        sum(when(col("__g").isNotNull, coalesce(col("__hit"), lit(0L)))
+          .otherwise(lit(0L))).as("hit_grams"))
+    corpus.join(profile, Seq(idCol), "left")
+      .withColumn("n_grams", coalesce(col("n_grams"), lit(0L)))
+      .withColumn("hit_grams", coalesce(col("hit_grams"), lit(0L)))
+      .withColumn("contaminated", col("hit_grams") > 0L)
+  }
+
   /** Collapse CONSECUTIVE duplicate lines within each document (the
     * in-doc half of the RefinedWeb line rules; [[dedupLines]] is the
     * cross-doc half): `a\na\nb\na` → `a\nb\na` — only adjacent repeats

@@ -386,6 +386,37 @@ class DedupSpec extends AnyFunSuite {
     assert(byDigest === prof.view.mapValues(_.getAs[Long]("dup_spans")).toMap)
   }
 
+  test("contaminationProfile flags verbatim eval-gram leaks at any offset; clean/short docs pass") {
+    val evalQ = "what is the airspeed velocity of an unladen swallow"
+    val evalSet = Seq(
+      (100L, evalQ),
+      (101L, "name the capital city of the ancient aztec empire")
+    ).toDF("eid", "etext")
+    val corpus = Seq(
+      (1L, "some page padding then " + evalQ + " pasted verbatim in the middle"),
+      (2L, "a perfectly clean training document with plenty of ordinary words inside it"),
+      (3L, "short doc"), // < nWords words → zero grams, clean by definition
+      (4L, evalQ) // the eval item itself
+    ).toDF("doc_id", "text")
+    val prof = Dedup.contaminationProfile(corpus, "doc_id", col("text"),
+        evalSet, col("etext"), nWords = 5)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(prof(1L).getAs[Boolean]("contaminated"), "mid-page verbatim paste must flag")
+    assert(prof(1L).getAs[Long]("hit_grams") === 5L,
+      "the 9-word quote contributes exactly 5 overlapping 5-grams")
+    assert(!prof(2L).getAs[Boolean]("contaminated"))
+    assert(prof(3L).getAs[Long]("n_grams") === 0L && !prof(3L).getAs[Boolean]("contaminated"))
+    assert(prof(4L).getAs[Boolean]("contaminated"))
+    assert(prof.size === 4, "every corpus row survives with a flag")
+    // hash-join fallback and digest keying report identically
+    for ((bc, dig) <- Seq((false, false), (true, true), (false, true))) {
+      val alt = Dedup.contaminationProfile(corpus, "doc_id", col("text"),
+          evalSet, col("etext"), nWords = 5, broadcastEval = bc, keyByDigest = dig)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("hit_grams")).toMap
+      assert(alt === prof.view.mapValues(_.getAs[Long]("hit_grams")).toMap)
+    }
+  }
+
   test("dedupLines removes cross-document boilerplate, keeps in-doc repeats and order") {
     val docs = Seq(
       (1L, "keep one\nCOOKIE BANNER\ntail one", "a"),
