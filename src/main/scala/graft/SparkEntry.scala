@@ -1018,6 +1018,27 @@ object SparkEntry {
         .select(col("doc_id"), col("n_grams"), col("hit_grams"), col("contaminated"))
         .orderBy("doc_id")
     },
+
+    // ---- PII redaction scrub: emails/IPv4s/+phones/long digit runs
+    // → typed placeholders, with stage-ordered per-type counts. The
+    // synthetic docs carry no PII, so the query plants a deterministic
+    // PII suffix (same expression on the DuckDB side) — every row
+    // exercises all four patterns. Pure regexp column chain: runs
+    // inline with the scan, no shuffle at all.
+    "q82_pii_redaction" -> { (s, dir) =>
+      val withPii = Tables.documents(s, dir).withColumn("__t",
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com from 10.0."), (col("doc_id") % 256).cast("string"),
+          lit(".7 call +1 555-000-1234 ref 98765432"),
+          (col("doc_id") % 10).cast("string")))
+      withPii
+        .select(col("doc_id"),
+          analysis.redact_pii(col("__t")).as("redacted"),
+          analysis.pii_counts(col("__t")).as("p"))
+        .select(col("doc_id"), col("redacted"),
+          col("p.n_email"), col("p.n_ip"), col("p.n_phone"), col("p.n_id"))
+        .orderBy("doc_id")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1697,6 +1718,28 @@ object SparkEntry {
         |FROM ww JOIN f USING (word) CROSS JOIN t
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "q82_pii_redaction" ->
+      """WITH t AS (SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+        |    '.7 call +1 555-000-1234 ref 98765432' ||
+        |    CAST(doc_id % 10 AS VARCHAR) AS s FROM documents),
+        |r1 AS (SELECT doc_id, s, regexp_replace(s,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS e FROM t),
+        |r2 AS (SELECT *, regexp_replace(e,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS i FROM r1),
+        |r3 AS (SELECT *, regexp_replace(i,
+        |    '\+\d[\d()\s-]{6,}\d', '<PHONE>', 'g') AS p FROM r2)
+        |SELECT doc_id,
+        |  regexp_replace(p, '\b\d{9,}\b', '<ID>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(s,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
+        |  CAST(len(regexp_extract_all(e,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ip,
+        |  CAST(len(regexp_extract_all(i, '\+\d[\d()\s-]{6,}\d')) AS INT) AS n_phone,
+        |  CAST(len(regexp_extract_all(p, '\b\d{9,}\b')) AS INT) AS n_id
+        |FROM r3 ORDER BY doc_id""".stripMargin,
 
     "q81_contamination_profile" ->
       """WITH w AS (SELECT doc_id,

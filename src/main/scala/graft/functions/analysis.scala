@@ -10,6 +10,44 @@ import org.apache.spark.sql.functions._
   */
 object analysis {
 
+  // PII patterns, applied in THIS order (each stage sees the previous
+  // stage's redacted text, so the looser later patterns can't re-match
+  // inside an already-redacted span — dotted IPv4 quads would
+  // otherwise also satisfy a digit-run pattern). RE2-compatible (no
+  // backreferences/lookaround) so the DuckDB oracle runs the same
+  // patterns verbatim.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val PhoneRe = "\\+\\d[\\d()\\s-]{6,}\\d" // international +NN … form
+  private val IdRe = "\\b\\d{9,}\\b" // long digit runs: account/ssn-ish ids
+
+  /** PII redaction — emails, IPv4s, +international phones, and long
+    * digit runs replaced by typed placeholder tokens (the standard
+    * pre-training scrub; placeholders keep the text well-formed for
+    * downstream tokenization instead of leaving holes). Sequential
+    * regexp passes, all codegen'd — runs inline with the scan. */
+  def redact_pii(c: Column): Column = {
+    val e = regexp_replace(c, lit(EmailRe), lit("<EMAIL>"))
+    val i = regexp_replace(e, lit(Ipv4Re), lit("<IP>"))
+    val p = regexp_replace(i, lit(PhoneRe), lit("<PHONE>"))
+    regexp_replace(p, lit(IdRe), lit("<ID>"))
+  }
+
+  /** Per-type PII match counts as a struct `(n_email, n_ip, n_phone,
+    * n_id)` — counted stage-wise on the progressively-redacted text,
+    * exactly mirroring [[redact_pii]]'s replacement semantics (an
+    * IPv4 counts once as an IP, never again as a digit run). */
+  def pii_counts(c: Column): Column = {
+    val e = regexp_replace(c, lit(EmailRe), lit("<EMAIL>"))
+    val i = regexp_replace(e, lit(Ipv4Re), lit("<IP>"))
+    val p = regexp_replace(i, lit(PhoneRe), lit("<PHONE>"))
+    struct(
+      regexp_count(c, lit(EmailRe)).as("n_email"),
+      regexp_count(e, lit(Ipv4Re)).as("n_ip"),
+      regexp_count(i, lit(PhoneRe)).as("n_phone"),
+      regexp_count(p, lit(IdRe)).as("n_id"))
+  }
+
   /** Whitespace token count. */
   def token_count(c: Column): Column =
     when(length(trim(c)) === 0, lit(0))

@@ -259,4 +259,31 @@ class AnalysisSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(again === ratios, "deterministic")
   }
+
+  test("redact_pii: typed placeholders, stage-order disambiguation, idempotence") {
+    def red(s: String): String = one[String](analysis.redact_pii(col("s")), s)
+    assert(red("mail me at jane.doe+x@corp.example.org today") ===
+      "mail me at <EMAIL> today")
+    assert(red("server 192.168.254.3 answered") === "server <IP> answered")
+    assert(red("call +44 20-7946-0958 now") === "call <PHONE> now")
+    assert(red("account 9876543210 flagged") === "account <ID> flagged")
+    // an IPv4 is an IP, not two short digit runs; an id inside an
+    // email is an email
+    assert(red("id9 10.0.13.7 x") === "id9 <IP> x")
+    assert(red("123456789@example.com") === "<EMAIL>")
+    // short digit runs survive (dates, counts)
+    assert(red("year 2026 count 123") === "year 2026 count 123")
+    val messy = "jane@ex.co from 10.1.2.3 ref 987654321 call +1 555-000-1234 end"
+    assert(red(messy) === "<EMAIL> from <IP> ref <ID> call <PHONE> end")
+    assert(red(red(messy)) === red(messy), "idempotent on redacted text")
+    // counts mirror the redaction stages
+    val counts = Seq(messy).toDF("s")
+      .select(analysis.pii_counts(col("s")).as("p")).select("p.*").head()
+    assert((counts.getInt(0), counts.getInt(1), counts.getInt(2), counts.getInt(3))
+      === ((1, 1, 1, 1)))
+    val clean = Seq("no pii here at all").toDF("s")
+      .select(analysis.pii_counts(col("s")).as("p")).select("p.*").head()
+    assert((clean.getInt(0), clean.getInt(1), clean.getInt(2), clean.getInt(3))
+      === ((0, 0, 0, 0)))
+  }
 }
