@@ -1039,6 +1039,31 @@ object SparkEntry {
           col("p.n_email"), col("p.n_ip"), col("p.n_phone"), col("p.n_id"))
         .orderBy("doc_id")
     },
+
+    // ---- C4 line-and-page cleaning rules. The synthetic docs are
+    // single-line and punctuation-free, so the query first lays each
+    // doc out as six 60-char lines whose suffix cycles compliant /
+    // unterminated / blacklisted by (doc_id+i)%3, and plants the
+    // page-level lorem-ipsum poison on every 97th doc — the identical
+    // construction on the DuckDB side. The gate itself is one filter
+    // HOF inline with the scan: no shuffle, no explode.
+    "q83_c4_line_rules" -> { (s, dir) =>
+      val lineExprs = (0 to 5).map { i =>
+        val m = (col("doc_id") + lit(i)) % 3
+        concat(substring(col("text"), i * 60 + 1, 60),
+          when(m === 0, lit(".")).when(m === 1, lit(""))
+            .otherwise(lit(" javascript.")))
+      }
+      val t2 = concat_ws("\n", lineExprs: _*)
+      val synth = Tables.documents(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 97 === 0,
+            concat(t2, lit("\nmore lorem ipsum filler text here.")))
+          .otherwise(t2).as("text"))
+      graft.operators.Quality.c4LineRules(synth, "text",
+          minWordsPerLine = 5, minKeptLines = 2)
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1717,6 +1742,35 @@ object SparkEntry {
         |  round(round(sum(-log2(f / tot)), 4) / count(*), 6) AS mean_surprisal
         |FROM ww JOIN f USING (word) CROSS JOIN t
         |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q83_c4_line_rules" ->
+      """WITH base AS (SELECT doc_id,
+        |    substr(text,   1, 60) || CASE WHEN (doc_id+0)%3=0 THEN '.'
+        |      WHEN (doc_id+0)%3=1 THEN '' ELSE ' javascript.' END || chr(10) ||
+        |    substr(text,  61, 60) || CASE WHEN (doc_id+1)%3=0 THEN '.'
+        |      WHEN (doc_id+1)%3=1 THEN '' ELSE ' javascript.' END || chr(10) ||
+        |    substr(text, 121, 60) || CASE WHEN (doc_id+2)%3=0 THEN '.'
+        |      WHEN (doc_id+2)%3=1 THEN '' ELSE ' javascript.' END || chr(10) ||
+        |    substr(text, 181, 60) || CASE WHEN (doc_id+3)%3=0 THEN '.'
+        |      WHEN (doc_id+3)%3=1 THEN '' ELSE ' javascript.' END || chr(10) ||
+        |    substr(text, 241, 60) || CASE WHEN (doc_id+4)%3=0 THEN '.'
+        |      WHEN (doc_id+4)%3=1 THEN '' ELSE ' javascript.' END || chr(10) ||
+        |    substr(text, 301, 60) || CASE WHEN (doc_id+5)%3=0 THEN '.'
+        |      WHEN (doc_id+5)%3=1 THEN '' ELSE ' javascript.' END AS t
+        |  FROM documents),
+        |wl AS (SELECT doc_id, CASE WHEN doc_id % 97 = 0
+        |    THEN t || chr(10) || 'more lorem ipsum filler text here.'
+        |    ELSE t END AS t FROM base),
+        |f AS (SELECT doc_id, list_filter(string_split(t, chr(10)), l ->
+        |    len(string_split_regex(trim(l), '\s+')) >= 5 AND trim(l) <> ''
+        |    AND regexp_matches(l, '[.!?"]\s*$')
+        |    AND NOT contains(lower(l), 'javascript')) AS kept
+        |  FROM wl
+        |  WHERE NOT contains(lower(t), 'lorem ipsum')
+        |    AND NOT contains(lower(t), '{'))
+        |SELECT doc_id, array_to_string(kept, chr(10)) AS text
+        |FROM f WHERE len(kept) >= 2
         |ORDER BY doc_id""".stripMargin,
 
     "q82_pii_redaction" ->

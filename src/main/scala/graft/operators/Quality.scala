@@ -70,6 +70,43 @@ object Quality {
     def passes(o: Double): Boolean = o >= 1.0
   }
 
+  /** C4-style line-and-page rules (the cleaning pass of "Exploring the
+    * Limits of Transfer Learning" §2.2, parameterized): per LINE, keep
+    * only lines with ≥ `minWordsPerLine` words that end in terminal
+    * punctuation and contain no `lineBlacklist` term; per PAGE, drop
+    * documents containing any `docBlacklist` term (lorem-ipsum
+    * placeholder text, code-like `{`) or retaining fewer than
+    * `minKeptLines` lines after the line pass. The text column is
+    * rewritten to the kept lines (original order, `sep`-joined).
+    *
+    * Entirely a pure-Column composition — one `filter` HOF over the
+    * split line array plus scalar predicates, so the whole gate runs
+    * inline with the scan: no shuffle, no explode, no join. At 100 TB
+    * this is the shape you want for a pass that touches every byte
+    * once and only narrows. */
+  def c4LineRules(df: DataFrame, textCol: String,
+      minWordsPerLine: Int = 5, minKeptLines: Int = 3,
+      lineBlacklist: Seq[String] = Seq("javascript"),
+      docBlacklist: Seq[String] = Seq("lorem ipsum", "{"),
+      sep: String = "\n"): DataFrame = {
+    require(minWordsPerLine >= 1 && minKeptLines >= 0, "thresholds must be non-negative")
+    val keepLine: Column => Column = l => {
+      val words = size(split(trim(l), "\\s+")) >= minWordsPerLine && length(trim(l)) > 0
+      val punct = l.rlike("[.!?\"]\\s*$")
+      val clean = lineBlacklist.map(b => !contains(lower(l), lit(b.toLowerCase)))
+        .foldLeft(lit(true))(_ && _)
+      words && punct && clean
+    }
+    val docClean = docBlacklist.map(b => !contains(lower(col(textCol)), lit(b.toLowerCase)))
+      .foldLeft(lit(true))(_ && _)
+    df.filter(docClean)
+      .withColumn("__kept",
+        filter(split(col(textCol), java.util.regex.Pattern.quote(sep)), keepLine))
+      .filter(size(col("__kept")) >= minKeptLines)
+      .withColumn(textCol, array_join(col("__kept"), sep))
+      .drop("__kept")
+  }
+
   final case class CheckResult(name: String, observed: Double, passed: Boolean)
 
   /** Evaluate the whole suite in a single aggregation pass. */

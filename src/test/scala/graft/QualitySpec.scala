@@ -49,4 +49,33 @@ class QualitySpec extends AnyFunSuite {
     assert(df.columns.toSeq === Seq("check_name", "observed", "passed"))
     assert(df.count() === 2)
   }
+
+  test("c4LineRules: line punctuation/word-count/blacklist rules + page gates") {
+    import spark.implicits._
+    val good = "this line has enough words and ends properly."
+    val docs = Seq(
+      (1L, Seq(good,
+        "short one.", // < 5 words
+        "no terminal punctuation on this line here",
+        "this line mentions JavaScript so it is dropped.",
+        "another perfectly fine sentence line right here!",
+        "a third good line closes out the document?").mkString("\n")),
+      (2L, good + "\nonly one good line survives here\nnope."), // < 2 kept
+      (3L, good + " lorem ipsum\n" + good + "\n" + good), // page blacklist
+      (4L, "function f() {\n" + good + "\n" + good + "\n" + good), // code page
+      (5L, good + "\n" + good) // exactly minKeptLines
+    ).toDF("doc_id", "text")
+    val out = Quality.c4LineRules(docs, "text", minWordsPerLine = 5, minKeptLines = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet === Set(1L, 5L))
+    assert(out(1L).split("\n").length === 3,
+      "doc 1 keeps exactly the three compliant lines")
+    assert(!out(1L).toLowerCase.contains("javascript"))
+    assert(out(1L).startsWith(good), "kept lines preserve original order")
+    assert(out(5L) === good + "\n" + good)
+    // quote-terminated lines count as terminal punctuation
+    val quoted = Seq((9L, "he said the words \"stop right there now.\"\n" + good))
+      .toDF("doc_id", "text")
+    assert(Quality.c4LineRules(quoted, "text", minKeptLines = 2).count() === 1)
+  }
 }
