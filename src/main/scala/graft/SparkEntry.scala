@@ -1064,6 +1064,19 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
         .orderBy("doc_id")
     },
+
+    // ---- Temperature-scaled mixture sampling (the n^alpha rule of
+    // multilingual pretraining): sqrt-temperature over the language
+    // mixture, 200-doc budget. Tiny count agg + broadcast quotas +
+    // one window shuffle on lang; kept set fully deterministic in
+    // (doc_id, seed) so the DuckDB oracle hash-matches it.
+    "q84_temperature_sample" -> { (s, dir) =>
+      Split.temperatureSample(Tables.documents(s, dir),
+          strata = col("lang"), key = col("doc_id"),
+          targetTotal = 200L, alpha = 0.5, seed = 42L)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1742,6 +1755,19 @@ object SparkEntry {
         |  round(round(sum(-log2(f / tot)), 4) / count(*), 6) AS mean_surprisal
         |FROM ww JOIN f USING (word) CROSS JOIN t
         |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q84_temperature_sample" ->
+      """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n, pow(CAST(n AS DOUBLE), 0.5) AS w FROM n),
+        |q AS (SELECT lang, least(n, CAST(floor(
+        |    round(200 * w / (SELECT sum(w) FROM w), 6)) AS BIGINT)) AS quota
+        |  FROM w),
+        |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || '|42'), doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, lang FROM r JOIN q USING (lang)
+        |WHERE rk <= quota
         |ORDER BY doc_id""".stripMargin,
 
     "q83_c4_line_rules" ->

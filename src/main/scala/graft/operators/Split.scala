@@ -109,6 +109,53 @@ object Split {
       .drop("__cum")
   }
 
+  /** Temperature-scaled mixture sampling — the multinomial `n^α` rule
+    * of multilingual/multi-domain pretraining (mBERT, XLM-R, mT5):
+    * stratum g with n_g rows gets a quota of `targetTotal · n_g^α /
+    * Σ n^α` rows, so α < 1 flattens the mixture toward low-resource
+    * strata and α = 1 is proportional sampling. Quotas are capped at
+    * the stratum size (no replacement) and each stratum keeps the
+    * md5-ordered prefix of its quota — deterministic in (key, seed)
+    * on any cluster shape, same ordering contract as [[budgetSample]].
+    *
+    * The quota ratio is rounded to 6 decimals before the floor so the
+    * engine and the SQL oracle can't disagree on a boundary ulp.
+    *
+    * Scale shape: one map-side-combined count aggregation (tiny — one
+    * row per stratum), quota math on that tiny frame (single-partition
+    * window is fine there), a broadcast join of quotas back, and ONE
+    * window shuffle on the stratum for the rank — strata must be
+    * bounded-cardinality dimensions (language, domain, source), which
+    * is what a mixture is. */
+  def temperatureSample(
+      df: DataFrame,
+      strata: Column,
+      key: Column,
+      targetTotal: Long,
+      alpha: Double,
+      seed: Long = 42L): DataFrame = {
+    require(targetTotal >= 0, "targetTotal must be non-negative")
+    require(alpha > 0, "alpha must be positive")
+    val counts = df.groupBy(strata.as("__g")).agg(count(lit(1)).as("__n"))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val quotas = counts
+      .withColumn("__w", pow(col("__n").cast("double"), lit(alpha)))
+      .withColumn("__quota", least(col("__n"),
+        floor(round(lit(targetTotal.toDouble) * col("__w") / sum(col("__w")).over(all), 6))
+          .cast("long")))
+      .select(col("__g"), col("__quota"))
+    val ord = md5(concat(key.cast("string"), lit("|"), lit(seed.toString)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata).orderBy(ord, key)
+    df.withColumn("__rk", row_number().over(w))
+      .join(broadcast(quotas), strata === col("__g"))
+      .filter(col("__rk") <= col("__quota"))
+      .drop("__rk", "__g", "__quota")
+  }
+
   /** Sequence packing for pretraining batch assembly: lay the corpus
     * out as a concatenated token stream (per stratum, in ascending
     * `key` order) cut every `capacity` tokens, and assign each

@@ -99,6 +99,39 @@ class SplitSpec extends AnyFunSuite {
     assert(packed.values.forall(_._2 < 2048L))
   }
 
+  test("temperatureSample: n^alpha quotas, size caps, determinism, alpha=1 proportional") {
+    // strata sized 100 / 25 / 4: sqrt weights 10 / 5 / 2 → shares
+    // 10/17, 5/17, 2/17 of targetTotal=34 → quotas 20 / 10 / 4
+    val rows = (1 to 100).map(i => (i.toLong, "a")) ++
+      (101 to 125).map(i => (i.toLong, "b")) ++
+      (126 to 129).map(i => (i.toLong, "c"))
+    val df = rows.toDF("id", "g").repartition(7)
+    val out = Split.temperatureSample(df, col("g"), col("id"),
+      targetTotal = 34L, alpha = 0.5)
+    val byG = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG === Map("a" -> 20L, "b" -> 10L, "c" -> 4L),
+      s"sqrt-temperature quotas: $byG")
+    // alpha = 1: proportional (129 rows, target 43 → floor(n/3))
+    val prop = Split.temperatureSample(df, col("g"), col("id"),
+      targetTotal = 43L, alpha = 1.0)
+      .groupBy("g").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(prop === Map("a" -> 33L, "b" -> 8L, "c" -> 1L), s"proportional: $prop")
+    // a target above the corpus keeps everything (quota caps at n_g)
+    val everything = Split.temperatureSample(df, col("g"), col("id"),
+      targetTotal = 100000L, alpha = 0.5)
+    assert(everything.count() === 129L)
+    // deterministic in (key, seed); a different seed rotates membership
+    val again = Split.temperatureSample(df, col("g"), col("id"), 34L, 0.5)
+      .select("id").as[Long].collect().sorted.toSeq
+    val first = out.select("id").as[Long].collect().sorted.toSeq
+    assert(again === first)
+    val reseeded = Split.temperatureSample(df, col("g"), col("id"), 34L, 0.5, seed = 7L)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(reseeded !== first, "seed must rotate the kept prefix")
+    assert(reseeded.size === first.size, "quotas are seed-independent")
+  }
+
   test("different seeds give different assignments") {
     val a = Split.split(docs, Seq("doc_id"), seed = 42L)
     val b = Split.split(docs, Seq("doc_id"), seed = 43L)
