@@ -1077,6 +1077,19 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
     },
+
+    // ---- DSIR-style importance weighting (unigram flavor): score
+    // every doc by the mean log-likelihood ratio of its words under
+    // the target-domain model (lang='de' subset) vs the raw-corpus
+    // model, add-one smoothed over the shared vocabulary. Two freq
+    // aggs merged into one dictionary, then words⋈dictionary + per-doc
+    // rollup — the dictionary is vocabulary-sized, never corpus-sized.
+    "q85_importance_weight" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Stats.importanceWeight(docs, "doc_id", col("text"),
+          docs.filter(col("lang") === "de"), col("text"))
+        .orderBy("doc_id")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1754,6 +1767,29 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_words,
         |  round(round(sum(-log2(f / tot)), 4) / count(*), 6) AS mean_surprisal
         |FROM ww JOIN f USING (word) CROSS JOIN t
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q85_importance_weight" ->
+      """WITH wr AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS w FROM documents),
+        |ww AS (SELECT doc_id, w FROM wr WHERE w <> ''),
+        |tw AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |       FROM documents WHERE lang = 'de'),
+        |twt AS (SELECT w FROM tw WHERE w <> ''),
+        |fr AS (SELECT w, count(*) AS f_r FROM ww GROUP BY w),
+        |ft AS (SELECT w, count(*) AS f_t FROM twt GROUP BY w),
+        |dict AS (SELECT coalesce(fr.w, ft.w) AS w,
+        |    coalesce(f_r, 0) AS f_r, coalesce(f_t, 0) AS f_t
+        |  FROM fr FULL OUTER JOIN ft ON fr.w = ft.w),
+        |t AS (SELECT CAST(sum(f_r) AS DOUBLE) AS tr,
+        |    CAST(sum(f_t) AS DOUBLE) AS tt,
+        |    CAST(count(*) AS DOUBLE) AS v FROM dict),
+        |s AS (SELECT w, log2(((f_t + 1) / (tt + v)) / ((f_r + 1) / (tr + v))) AS lr
+        |      FROM dict CROSS JOIN t)
+        |SELECT doc_id, count(*) AS n_words,
+        |  round(round(sum(lr), 4) / count(*), 6) AS importance
+        |FROM ww JOIN s USING (w)
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 

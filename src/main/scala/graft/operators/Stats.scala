@@ -163,6 +163,49 @@ object Stats {
         round(round(sum(col("__s")), 4) / count(lit(1)), 6).as("mean_surprisal"))
   }
 
+  /** DSIR-style importance weighting (unigram flavor of "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every raw-corpus document by the mean log-likelihood ratio of its
+    * words under a TARGET-domain unigram model vs the raw-corpus
+    * model. Positive = reads like the target domain (select it);
+    * negative = reads like the raw crawl. Both models are add-one
+    * smoothed over the shared vocabulary so target-unseen words score
+    * finitely; thresholding/top-k on `importance` is the selection
+    * step, or feed it to weighted sampling for true resampling.
+    *
+    * Same two-pass shape as [[unigramSurprisal]] (the models ARE the
+    * corpora): two frequency aggregations merged into one dictionary,
+    * then a words⋈dictionary hash join + per-doc rollup. The per-doc
+    * sum is rounded to 4 places before the mean — log₂ isn't
+    * IEEE-exact across engines. At 100 TB the dictionary is
+    * vocabulary-sized (≪ corpus); both joins hash on the word. */
+  def importanceWeight(raw: DataFrame, idCol: String, textCol: Column,
+      target: DataFrame, targetTextCol: Column): DataFrame = {
+    val words = graft.operators.Dedup.spreadWide(raw.select(col(idCol), textCol.as("__t")))
+      .select(col(idCol), explode(split(lower(trim(col("__t"))), "\\s+")).as("__w"))
+      .filter(col("__w") =!= "")
+    val twords = target.select(explode(split(lower(trim(targetTextCol)), "\\s+")).as("__w"))
+      .filter(col("__w") =!= "")
+    val fr = words.groupBy(col("__w")).agg(count(lit(1)).as("__fr"))
+    val ft = twords.groupBy(col("__w")).agg(count(lit(1)).as("__ft"))
+    val dict = fr.join(ft, Seq("__w"), "full_outer")
+      .select(col("__w"),
+        coalesce(col("__fr"), lit(0L)).as("__fr"),
+        coalesce(col("__ft"), lit(0L)).as("__ft"))
+    val totals = dict.agg(
+      sum(col("__fr")).cast("double").as("__tr"),
+      sum(col("__ft")).cast("double").as("__tt"),
+      count(lit(1)).cast("double").as("__v"))
+    val scored = dict.crossJoin(broadcast(totals))
+      .select(col("__w"), log2(
+        ((col("__ft") + 1) / (col("__tt") + col("__v"))) /
+          ((col("__fr") + 1) / (col("__tr") + col("__v")))).as("__lr"))
+    words.join(scored, Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        round(round(sum(col("__lr")), 4) / count(lit(1)), 6).as("importance"))
+  }
+
   /** Vocabulary coverage report — the tokenizer-sizing question: what
     * share of the corpus token stream does the top-k vocabulary cover?
     * One row per top-k token (deterministic tie-break on the token)

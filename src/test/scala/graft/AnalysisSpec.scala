@@ -260,6 +260,34 @@ class AnalysisSpec extends AnyFunSuite {
     assert(again === ratios, "deterministic")
   }
 
+  test("importanceWeight: target-like docs score positive, off-domain negative, exact on known freqs") {
+    val raw = Seq((1L, "x x"), (2L, "y y")).toDF("id", "text")
+    val target = Seq("x x x").toDF("text")
+    val out = graft.operators.Stats.importanceWeight(raw, "id", col("text"),
+        target, col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // fr: x=2,y=2; ft: x=3,y=0; V=2, tr=4, tt=3 (add-one smoothing)
+    val lrx = math.log(((3.0 + 1) / (3 + 2)) / ((2.0 + 1) / (4 + 2))) / math.log(2)
+    val lry = math.log(((0.0 + 1) / (3 + 2)) / ((2.0 + 1) / (4 + 2))) / math.log(2)
+    def expect(lr: Double, n: Int): Double =
+      BigDecimal(BigDecimal(lr * n).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L).getAs[Long]("n_words") === 2L)
+    assert(math.abs(out(1L).getAs[Double]("importance") - expect(lrx, 2)) < 1e-9)
+    assert(math.abs(out(2L).getAs[Double]("importance") - expect(lry, 2)) < 1e-9)
+    assert(out(1L).getAs[Double]("importance") > 0, "target-like doc selected")
+    assert(out(2L).getAs[Double]("importance") < 0, "off-domain doc rejected")
+    // a real-corpus sanity pass: scoring documents against their own
+    // subset is deterministic and finite
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sub = docs.filter(col("lang") === "de")
+    val a = graft.operators.Stats.importanceWeight(docs, "doc_id", col("text"),
+      sub, col("text")).agg(sum("importance")).head().getDouble(0)
+    val b = graft.operators.Stats.importanceWeight(docs, "doc_id", col("text"),
+      sub, col("text")).agg(sum("importance")).head().getDouble(0)
+    assert(a === b && !a.isNaN && !a.isInfinite)
+  }
+
   test("redact_pii: typed placeholders, stage-order disambiguation, idempotence") {
     def red(s: String): String = one[String](analysis.redact_pii(col("s")), s)
     assert(red("mail me at jane.doe+x@corp.example.org today") ===
