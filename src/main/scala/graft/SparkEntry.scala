@@ -1090,6 +1090,21 @@ object SparkEntry {
           docs.filter(col("lang") === "de"), col("text"))
         .orderBy("doc_id")
     },
+
+    // ---- Margin-based bitext mining (Artetxe-Schwenk ratio margin):
+    // even vec_ids are the "source language", odd the "target"; each
+    // source mines its best-margin target above the average-neighbor
+    // line. Exact-kNN baseline here (oracle-checkable); ann=true is
+    // the bucket-join 100 TB path, agreement-tested in SimilaritySpec.
+    "q86_margin_mine" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      Similarity.marginMine(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", k = 4, minMargin = 1.0)
+        .orderBy("src_id")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1769,6 +1784,36 @@ object SparkEntry {
         |FROM ww JOIN f USING (word) CROSS JOIN t
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "q86_margin_mine" ->
+      """WITH s AS (SELECT vec_id AS sid, CAST(embedding AS DOUBLE[]) AS sv
+        |           FROM embeddings WHERE vec_id % 2 = 0),
+        |t AS (SELECT vec_id AS tid, CAST(embedding AS DOUBLE[]) AS tv
+        |      FROM embeddings WHERE vec_id % 2 = 1),
+        |ap AS (SELECT sid, tid,
+        |    CASE WHEN sqrt(list_dot_product(sv, sv)) = 0
+        |              OR sqrt(list_dot_product(tv, tv)) = 0 THEN 0.0
+        |         ELSE list_dot_product(sv, tv) /
+        |              (sqrt(list_dot_product(tv, tv)) * sqrt(list_dot_product(sv, sv))) END AS sim
+        |  FROM s, t),
+        |fwd AS (SELECT sid, tid, round(sim, 6) AS sim FROM (
+        |    SELECT sid, tid, sim, row_number() OVER (
+        |      PARTITION BY sid ORDER BY sim DESC, tid) AS rk FROM ap)
+        |  WHERE rk <= 4 AND NOT isnan(sim)),
+        |bwd AS (SELECT sid, tid, round(sim, 6) AS sim FROM (
+        |    SELECT sid, tid, sim, row_number() OVER (
+        |      PARTITION BY tid ORDER BY sim DESC, sid) AS rk FROM ap)
+        |  WHERE rk <= 4 AND NOT isnan(sim)),
+        |dx AS (SELECT sid, avg(sim) AS dx FROM fwd GROUP BY sid),
+        |dy AS (SELECT tid, avg(sim) AS dy FROM bwd GROUP BY tid),
+        |m AS (SELECT fwd.sid, fwd.tid, fwd.sim,
+        |    fwd.sim / ((dx + dy) / 2) AS margin
+        |  FROM fwd JOIN dx USING (sid) JOIN dy USING (tid)),
+        |best AS (SELECT sid, tid, sim, margin, row_number() OVER (
+        |    PARTITION BY sid ORDER BY margin DESC, tid) AS rk FROM m)
+        |SELECT sid AS src_id, tid AS tgt_id, sim, round(margin, 6) AS margin
+        |FROM best WHERE rk = 1 AND margin >= 1.0
+        |ORDER BY src_id""".stripMargin,
 
     "q85_importance_weight" ->
       """WITH wr AS (SELECT doc_id,

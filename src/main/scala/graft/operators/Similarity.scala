@@ -234,6 +234,47 @@ object Similarity {
       .select(col("query_id"), col("corpus_id"), round(col("sim"), 6).as("sim"), col("rank"))
   }
 
+  /** Margin-based bitext mining (the Artetxe-Schwenk ratio margin
+    * behind LASER/CCMatrix): for each source vector, score its
+    * target-side nearest neighbors by `cos(x,y)` divided by the mean
+    * of the two vectors' own top-k neighborhoods — a pair is a
+    * translation when it is closer than either side's AVERAGE
+    * neighbor, which cancels the hubness that raw cosine thresholds
+    * trip over. Keeps each source's best-margin target with
+    * `margin ≥ minMargin` (1.0 = "closer than average"; published
+    * pipelines mine at ~1.06). Ids must be distinct across the two
+    * sides (equal ids are treated as the same item and excluded).
+    *
+    * `ann = false` (oracle baseline): exact kNN both directions via
+    * [[bruteForceTopK]] — broadcast the query side, corpus streams.
+    * `ann = true` (100 TB path): both kNN sweeps run through
+    * [[lshTopK]]'s hyperplane-bucket equi-join — no broadcast, no
+    * cross product anywhere; same downstream margin algebra. Margin
+    * math runs on the (ids, sim) frame — vectors never cross the
+    * post-kNN exchanges. NaN-poisoned vectors are quarantined at the
+    * candidate stage (cosine NaN ⇒ not a mineable pair). */
+  def marginMine(src: DataFrame, tgt: DataFrame, idCol: String, vecCol: String,
+      k: Int = 4, minMargin: Double = 1.0, ann: Boolean = false,
+      bits: Int = 12, tables: Int = 4): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val topk: (DataFrame, DataFrame) => DataFrame =
+      if (ann) (c, q) => lshTopK(c, q, idCol, vecCol, k, bits, tables)
+      else (c, q) => bruteForceTopK(c, q, idCol, vecCol, k)
+    val fwd = topk(tgt, src).filter(!isnan(col("sim"))) // x → its tgt kNN
+    val bwd = topk(src, tgt).filter(!isnan(col("sim"))) // y → its src kNN
+    val degX = fwd.groupBy(col("query_id").as("__sx")).agg(avg(col("sim")).as("__dx"))
+    val degY = bwd.groupBy(col("query_id").as("__sy")).agg(avg(col("sim")).as("__dy"))
+    val scored = fwd
+      .join(degX, col("query_id") === col("__sx"))
+      .join(degY, col("corpus_id") === col("__sy"))
+      .withColumn("margin", col("sim") / ((col("__dx") + col("__dy")) / 2))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("margin"), asc("corpus_id"))
+    scored.withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1 && col("margin") >= minMargin)
+      .select(col("query_id").as("src_id"), col("corpus_id").as("tgt_id"),
+        col("sim"), round(col("margin"), 6).as("margin"))
+  }
+
   /** Threshold similarity self-join: all pairs (a<b) with cosine ≥ t.
     * Exact (cross-join) — [[similarPairsApprox]] is the scale path
     * (identical output, pruned candidate set). */

@@ -207,4 +207,44 @@ class SimilaritySpec extends AnyFunSuite {
     assert(rep("b") === ((2L, 1.0, 1.0)))
     assert(rep("c") === ((1L, 1.0, 1.0)), "NaN vector must not poison the centroid")
   }
+
+  test("marginMine: mutual translations mined, hub pairs suppressed by the ratio margin") {
+    import spark.implicits._
+    // Each src i has a mutual translation partner; tgt 13 is a HUB
+    // (moderately close to every src). The hub's dense neighborhood
+    // inflates its average-neighbor denominator, so its margin stays
+    // low and every src mines its mutual partner with margin > 1.
+    val src = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 1.0, 0.0)),
+      (3L, Seq(0.0, 0.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    val tgt = Seq(
+      (11L, Seq(0.995, 0.1, 0.0)), // ≈ src 1
+      (12L, Seq(0.1, 0.995, 0.0)), // ≈ src 2
+      (13L, Seq(0.55, 0.6, 0.58)), // hub: moderately close to all
+      (14L, Seq(0.0, 0.12, 0.993)) // ≈ src 3
+    ).toDF("vec_id", "embedding")
+    val mined = Similarity.marginMine(src, tgt, "vec_id", "embedding", k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(mined(1L)._1 === 11L)
+    assert(mined(2L)._1 === 12L, "ratio margin must suppress the hub")
+    assert(mined(3L)._1 === 14L)
+    assert(mined.values.forall(_._2 >= 1.0), "mutual pairs sit above the average-neighbor line")
+    // a margin threshold above the best pair mines nothing
+    assert(Similarity.marginMine(src, tgt, "vec_id", "embedding", k = 3,
+      minMargin = 2.5).count() === 0L)
+    // ANN path agrees with exact on real embeddings (generous tables)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+    val s = emb.filter(col("vec_id") % 2 === 0 && col("vec_id") < 100)
+    val t = emb.filter(col("vec_id") % 2 === 1 && col("vec_id") < 100)
+    val exact = Similarity.marginMine(s, t, "vec_id", "embedding", k = 3)
+      .select("src_id", "tgt_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.marginMine(s, t, "vec_id", "embedding", k = 3,
+        ann = true, bits = 4, tables = 8)
+      .select("src_id", "tgt_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val agree = (exact & approx).size.toDouble / math.max(exact.size, 1)
+    assert(agree >= 0.3, s"ANN margin mining agreement too low: $agree")
+  }
 }
