@@ -1105,6 +1105,19 @@ object SparkEntry {
           "vec_id", "embedding", k = 4, minMargin = 1.0)
         .orderBy("src_id")
     },
+
+    // ---- Leakage-safe split: near-dup clusters (simhash pairs →
+    // connected components) move to a split as a unit, so a training
+    // doc's near-duplicate can never land in test. xxhash-seeded like
+    // q16 → rows-only check; the straddle-free invariant and the
+    // isolated-row equivalence with split() are SplitSpec-asserted.
+    "q87_leakage_safe_split" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.simhashPairs(docs, "doc_id", col("text"), maxHamming = 3)
+      Split.leakageSafeSplit(docs, "doc_id", pairs)
+        .select(col("doc_id"), col("split"))
+        .orderBy("doc_id")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

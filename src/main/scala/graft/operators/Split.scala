@@ -187,6 +187,38 @@ object Split {
       .withColumn("pack_offset", (start % capacity).cast("long"))
   }
 
+  /** Leakage-safe split: assign every member of a near-dup CLUSTER to
+    * the same split. A plain per-row [[assign]] lets near-duplicates
+    * of a training doc land in the test set — the contamination that
+    * silently inflates eval numbers, and the reason production
+    * pipelines split at group granularity (GroupShuffleSplit, WMT's
+    * document-level splits). Pairs come from any enumerator
+    * ([[Dedup.simhashPairs]], [[Dedup.jaccardPairs]],
+    * [[Similarity.similarPairsApprox]]); cluster ids from
+    * [[DupClusters.connectedComponents]] (min reachable id —
+    * deterministic in the graph, not the enumeration order); the
+    * split label is `assign(cluster_id)`, so whole cliques move
+    * together and isolated docs (the overwhelming majority) behave
+    * exactly like [[split]].
+    *
+    * Scale shape: the pair enumeration dominates (bucketed, by
+    * construction of the enumerators); components loop only over
+    * edge-participating vertices; the final label is a narrow map —
+    * no extra shuffle beyond the cluster join. */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      seed: Long = 42L,
+      ratios: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "validation" -> 0.05, "test" -> 0.05)): DataFrame = {
+    val comps = DupClusters.connectedComponents(
+      df.select(col(idCol)), pairs.select(col("id_a"), col("id_b")))
+    // key the cluster id exactly like [[split]] keys a row id, so an
+    // isolated doc (cluster = its own id) gets the identical label it
+    // would get from a plain per-row split
+    df.join(comps.select(col("id").as(idCol), col("cluster").as("__cluster")), Seq(idCol))
+      .withColumn("split", assign(graft.functions.text.dedup_key(col("__cluster")), seed, ratios))
+      .drop("__cluster")
+  }
+
   /** O5 — split-disjointness invariant: pairwise key intersections empty. */
   def disjoint(a: DataFrame, b: DataFrame, keyCols: Seq[String]): Boolean = {
     val ka = a.select(Dedup.compositeKey(keyCols).as("k"))

@@ -132,6 +132,29 @@ class SplitSpec extends AnyFunSuite {
     assert(reseeded.size === first.size, "quotas are seed-independent")
   }
 
+  test("leakageSafeSplit: clusters never straddle splits; isolated rows behave like split()") {
+    val n = 400
+    val df = (1L to n.toLong).toDF("id")
+    // clusters {1,2,3} (a chain, not a clique — components must close
+    // it), {4,5}, and 6..400 isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Split.leakageSafeSplit(df, "id", pairs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.size === n, "every row survives with a label")
+    assert(Set(out(1L), out(2L), out(3L)).size === 1, "chain cluster moves together")
+    assert(out(4L) === out(5L))
+    // isolated rows get exactly the per-row assignment (cluster = own id)
+    val plain = Split.split(df, Seq("id")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (6L to n.toLong).foreach(i => assert(out(i) === plain(i)))
+    // deterministic; ratios hold roughly at n=400
+    val again = Split.leakageSafeSplit(df, "id", pairs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again === out)
+    val trainFrac = out.values.count(_ == "train").toDouble / n
+    assert(trainFrac > 0.8 && trainFrac < 0.97, s"train fraction off: $trainFrac")
+  }
+
   test("different seeds give different assignments") {
     val a = Split.split(docs, Seq("doc_id"), seed = 42L)
     val b = Split.split(docs, Seq("doc_id"), seed = 43L)
