@@ -1118,6 +1118,19 @@ object SparkEntry {
         .select(col("doc_id"), col("split"))
         .orderBy("doc_id")
     },
+
+    // ---- FineWeb-style relative quality gate: keep the top 40% of
+    // each language by token count — absolute thresholds tuned on one
+    // domain misfire on another, so curation selects within strata.
+    // One window shuffle on lang; quota rounded before the ceil.
+    "q88_relative_filter" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .withColumn("n_tokens", analysis.token_count(col("text")))
+      graft.operators.Quality.relativeFilter(docs, col("n_tokens"), col("lang"),
+          keepFrac = 0.4, tieBreak = Seq(col("doc_id")))
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+        .orderBy("doc_id")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1796,6 +1809,18 @@ object SparkEntry {
         |  round(round(sum(-log2(f / tot)), 4) / count(*), 6) AS mean_surprisal
         |FROM ww JOIN f USING (word) CROSS JOIN t
         |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q88_relative_filter" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS INT) AS n_tokens
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (
+        |      PARTITION BY lang ORDER BY n_tokens DESC, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n FROM d)
+        |SELECT doc_id, lang, n_tokens FROM r
+        |WHERE rk <= ceil(round(n * 0.4, 6))
         |ORDER BY doc_id""".stripMargin,
 
     "q86_margin_mine" ->

@@ -107,6 +107,34 @@ object Quality {
       .drop("__kept")
   }
 
+  /** Relative (percentile) quality gate — keep the top `keepFrac` of
+    * every stratum by `metric`, the FineWeb/DCLM-style selection rule:
+    * absolute thresholds tuned on one domain misfire on another (a
+    * "short" legal document is a long tweet), so production curation
+    * keeps the best X% WITHIN each language/domain instead. Exact
+    * count semantics: stratum g of n_g rows keeps the
+    * `ceil(keepFrac·n_g)` best, ranked by metric desc with
+    * deterministic tie-breaks — every stratum keeps at least one row,
+    * the ±1-exact analog of [[graft.operators.Split.stratified]].
+    * The product is rounded before the ceil so an IEEE artifact like
+    * 0.4·35 = 14.000000000000002 can't inflate the quota.
+    *
+    * Scale shape: one window shuffle on the stratum (rank + stratum
+    * count in the same window pass). Strata must be bounded-size
+    * units (language, domain, source); for an unbounded stratum swap
+    * in an `approx_percentile` threshold + narrow filter — contract
+    * unchanged, exactness traded for no total order. */
+  def relativeFilter(df: DataFrame, metric: Column, strata: Column,
+      keepFrac: Double, tieBreak: Seq[Column]): DataFrame = {
+    require(keepFrac > 0 && keepFrac <= 1, "keepFrac must be in (0, 1]")
+    val byStratum = org.apache.spark.sql.expressions.Window.partitionBy(strata)
+    val rankW = byStratum.orderBy(metric.desc +: tieBreak.map(_.asc): _*)
+    df.withColumn("__rk", row_number().over(rankW))
+      .withColumn("__n", count(lit(1)).over(byStratum))
+      .filter(col("__rk") <= ceil(round(col("__n") * keepFrac, 6)))
+      .drop("__rk", "__n")
+  }
+
   final case class CheckResult(name: String, observed: Double, passed: Boolean)
 
   /** Evaluate the whole suite in a single aggregation pass. */

@@ -50,6 +50,26 @@ class QualitySpec extends AnyFunSuite {
     assert(df.count() === 2)
   }
 
+  test("relativeFilter: exact per-stratum top-fraction, ties deterministic, small strata keep one") {
+    import spark.implicits._
+    // stratum a: 10 rows scored 1..10; b: 3 rows; c: 1 row
+    val rows = (1 to 10).map(i => (i.toLong, "a", i)) ++
+      Seq((11L, "b", 5), (12L, "b", 5), (13L, "b", 9), (14L, "c", 1))
+    val df = rows.toDF("id", "g", "score").repartition(5)
+    val kept = Quality.relativeFilter(df, col("score"), col("g"),
+        keepFrac = 0.4, tieBreak = Seq(col("id")))
+      .select("id").as[Long].collect().toSet
+    // a keeps ceil(4.0)=4 best (7,8,9,10); b keeps ceil(1.2)=2 (13, then
+    // the 5-tie broken by id → 11); c keeps ceil(0.4)=1
+    assert(kept === Set(7L, 8L, 9L, 10L, 13L, 11L, 14L))
+    // keepFrac=1 keeps everything; float-artifact guard: 0.4 * 35 rows
+    assert(Quality.relativeFilter(df, col("score"), col("g"), 1.0,
+      Seq(col("id"))).count() === 14L)
+    val big = (1 to 35).map(i => (i.toLong, "z", i)).toDF("id", "g", "score")
+    assert(Quality.relativeFilter(big, col("score"), col("g"), 0.4,
+      Seq(col("id"))).count() === 14L, "0.4*35 must quota 14, not 15")
+  }
+
   test("c4LineRules: line punctuation/word-count/blacklist rules + page gates") {
     import spark.implicits._
     val good = "this line has enough words and ends properly."
