@@ -1005,16 +1005,16 @@ object SparkEntry {
     },
 
     // ---- Verbatim-overlap benchmark decontamination (the GPT-3/Pile
-    // n-gram rule): every corpus doc sharing any 8-word gram with the
+    // n-gram rule): every corpus doc sharing any 5-word gram with the
     // held-out eval slice gets flagged. Eval grams distinct to a tiny
     // broadcast set — the corpus side never shuffles on gram. The
     // fuzzy document-level sibling is q49.
     "q81_contamination_profile" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val evalSet = docs.filter(col("doc_id") % 41 === 0)
-      val corpus = docs.filter(col("doc_id") % 41 =!= 0)
+      val evalSet = docs.filter(col("doc_id") % 7 === 0)
+      val corpus = docs.filter(col("doc_id") % 7 =!= 0)
       Dedup.contaminationProfile(corpus, "doc_id", col("text"),
-          evalSet, col("text"), nWords = 8)
+          evalSet, col("text"), nWords = 5)
         .select(col("doc_id"), col("n_grams"), col("hit_grams"), col("contaminated"))
         .orderBy("doc_id")
     },
@@ -1129,6 +1129,21 @@ object SparkEntry {
       graft.operators.Quality.relativeFilter(docs, col("n_tokens"), col("lang"),
           keepFrac = 0.4, tieBreak = Seq(col("doc_id")))
         .select(col("doc_id"), col("lang"), col("n_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // ---- The stateless decontamination GATE (q81's profile is the
+    // audit view; this is the removal view): eval gram digests ride
+    // into a native membership expression, so the whole gate is a
+    // map-side filter — the identical code path runs on a stream
+    // (StreamingSpec). Batch run here, hash-checked vs the oracle.
+    "q89_decontaminate_gate" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val digests = graft.streaming.StreamOps.evalGramDigests(
+        docs.filter(col("doc_id") % 7 === 0), col("text"), nWords = 5)
+      graft.streaming.StreamOps.decontaminateStream(
+          docs.filter(col("doc_id") % 7 =!= 0), col("text"), digests, nWords = 5)
+        .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
     },
   )
@@ -1811,6 +1826,20 @@ object SparkEntry {
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
+    "q89_decontaminate_gate" ->
+      """WITH w AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |g AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS g
+        |      FROM w, unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS t(i)
+        |      WHERE len(ws) >= 5),
+        |e AS (SELECT DISTINCT g FROM g WHERE doc_id % 7 = 0),
+        |hit AS (SELECT DISTINCT doc_id FROM g JOIN e USING (g)
+        |        WHERE doc_id % 7 <> 0)
+        |SELECT d.doc_id, d.lang FROM documents d
+        |WHERE d.doc_id % 7 <> 0
+        |  AND d.doc_id NOT IN (SELECT doc_id FROM hit)
+        |ORDER BY d.doc_id""".stripMargin,
+
     "q88_relative_filter" ->
       """WITH d AS (SELECT doc_id, lang,
         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
@@ -1943,18 +1972,18 @@ object SparkEntry {
     "q81_contamination_profile" ->
       """WITH w AS (SELECT doc_id,
         |    string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
-        |g AS (SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS g
-        |      FROM w, unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS t(i)
-        |      WHERE len(ws) >= 8),
-        |e AS (SELECT DISTINCT g FROM g WHERE doc_id % 41 = 0),
-        |c AS (SELECT doc_id, g FROM g WHERE doc_id % 41 <> 0),
+        |g AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS g
+        |      FROM w, unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS t(i)
+        |      WHERE len(ws) >= 5),
+        |e AS (SELECT DISTINCT g FROM g WHERE doc_id % 7 = 0),
+        |c AS (SELECT doc_id, g FROM g WHERE doc_id % 7 <> 0),
         |prof AS (SELECT c.doc_id, count(*) AS n_grams,
         |    CAST(sum(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hit_grams
         |  FROM c LEFT JOIN e USING (g) GROUP BY c.doc_id)
         |SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
         |  coalesce(hit_grams, 0) AS hit_grams,
         |  coalesce(hit_grams, 0) > 0 AS contaminated
-        |FROM (SELECT doc_id FROM documents WHERE doc_id % 41 <> 0) d
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
         |LEFT JOIN prof USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 

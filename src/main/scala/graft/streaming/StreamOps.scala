@@ -163,6 +163,38 @@ object StreamOps {
       .drop(keyCol + "_r")
   }
 
+  /** Sorted xxhash64 digests of an eval set's word n-grams — the
+    * broadcast model for [[decontaminateStream]]. One batch job over
+    * the (benchmark-sized) eval set; collisions against corpus grams
+    * at 64 bits are ~n·m/2⁶⁴ and only ever drop an extra doc (the
+    * safe direction). */
+  def evalGramDigests(evalSet: DataFrame, evalTextCol: Column, nWords: Int = 13): Array[Long] =
+    evalSet
+      .select(explode(graft.operators.Dedup.wordNGrams(evalTextCol, nWords)).as("__g"))
+      .select(xxhash64(col("__g")).as("__d")).distinct()
+      .orderBy("__d").collect().map(_.getLong(0))
+
+  /** Streaming benchmark-decontamination gate: drop every incoming
+    * document sharing an `nWords`-gram with a fixed eval set — the
+    * online counterpart of
+    * [[graft.operators.Dedup.contaminationProfile]] for ingestion
+    * pipelines that must never let benchmark text reach the training
+    * corpus in the first place. A stream-stream anti-join (explode →
+    * hit → join back) is not streaming-legal, and doesn't need to be:
+    * the eval set is FIXED, so its gram digests ride into a native
+    * membership expression ([[graft.functions.CountInSortedLongs]])
+    * and the gate is a pure map-side filter — no join, no state, no
+    * watermark, works in append mode and identically in batch (how
+    * the spec pins agreement with the batch operator). */
+  def decontaminateStream(docs: DataFrame, textCol: Column,
+      evalDigests: Array[Long], nWords: Int = 13): DataFrame = {
+    val grams = graft.operators.Dedup.wordNGrams(textCol, nWords)
+    val digests = transform(grams, g => xxhash64(g))
+    val hits = graft.functions.text.expr2col(graft.functions.CountInSortedLongs(
+      graft.functions.text.col2expr(digests), evalDigests))
+    docs.filter(hits === 0)
+  }
+
   /** S8 — CDC watermark incremental scan as a composable predicate:
     * rows strictly newer than the last sync point. At the source level
     * this predicate pushes into JDBC/parquet scans. No ORDER BY: the

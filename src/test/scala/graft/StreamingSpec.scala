@@ -186,6 +186,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchOut === out)
   }
 
+  test("streaming decontamination gate drops eval-overlapping docs; agrees with the batch profile") {
+    val evalQ = "what is the airspeed velocity of an unladen swallow"
+    val evalSet = Seq(evalQ, "name the capital of the ancient aztec empire").toDF("etext")
+    val digests = StreamOps.evalGramDigests(evalSet, col("etext"), nWords = 5)
+    assert(digests.length === 9, "5 + 4 distinct 5-grams from the two eval items")
+    assert(digests.sameElements(digests.sorted), "digest model must be sorted")
+    val docsLocal = Seq(
+      (1L, "padding words then " + evalQ + " pasted in the middle"),
+      (2L, "a perfectly clean training document with plenty of ordinary words"),
+      (3L, "short doc"),
+      (4L, evalQ)
+    ).toDF("doc_id", "text")
+    // batch path
+    val batchKept = StreamOps.decontaminateStream(docsLocal, col("text"), digests, nWords = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchKept === Set(2L, 3L))
+    // agreement with the batch contamination profile
+    val profKept = graft.operators.Dedup.contaminationProfile(docsLocal, "doc_id",
+        col("text"), evalSet, col("etext"), nWords = 5)
+      .filter(!col("contaminated")).select("doc_id").as[Long].collect().toSet
+    assert(profKept === batchKept)
+    // real stream: same gate, append mode, no state store
+    val dir = Files.createTempDirectory("graft-decon").toString + "/docs"
+    docsLocal.write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val streamed = runToMemory(
+      StreamOps.decontaminateStream(
+        spark.readStream.schema(schema).parquet(dir), col("text"), digests, nWords = 5),
+      "decon_kept")
+    assert(streamed.select("doc_id").as[Long].collect().toSet === batchKept)
+  }
+
   test("CDC incremental scan returns only rows past the sync point (S8)") {
     val e = Tables.events(spark, "/root/testdata/sf0.001")
     val mid = e.selectExpr("percentile(cast(ts as double), 0.5)").head().getDouble(0)
