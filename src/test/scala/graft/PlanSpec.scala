@@ -32,6 +32,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!q80.contains("CartesianProduct"), s"q80 must not cartesian:\n$q80")
   }
 
+  test("q81-q89 curation additions: no cartesians; the stream gate plans as a pure filter") {
+    // q85 broadcasts its single-row totals (nested-loop by shape, like
+    // q80); q86 is the documented exact-kNN baseline whose broadcast
+    // non-equi join IS the brute force — both still must never plan a
+    // CartesianProduct.
+    for (q <- Seq("q81_contamination_profile", "q82_pii_redaction",
+        "q83_c4_line_rules", "q84_temperature_sample",
+        "q87_leakage_safe_split", "q88_relative_filter")) {
+      val plan = formatted(q)
+      assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
+        s"$q must not cross-product:\n$plan")
+    }
+    for (q <- Seq("q85_importance_weight", "q86_margin_mine")) {
+      val plan = formatted(q)
+      assert(!plan.contains("CartesianProduct"), s"$q must not cartesian:\n$plan")
+    }
+    // q89's whole gate is ONE map-side membership filter: no join
+    // operator anywhere in the plan, and the native expression is in
+    // the filter condition
+    val q89 = formatted("q89_decontaminate_gate")
+    assert(!q89.contains("Join"), s"q89 must be join-free:\n$q89")
+    assert(q89.contains("count_in_sorted_longs"),
+      s"q89 must filter via the native membership kernel:\n$q89")
+  }
+
   test("q1: shipdate filter is pushed to the parquet scan and columns pruned") {
     val plan = formatted("q1_pricing_summary")
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
