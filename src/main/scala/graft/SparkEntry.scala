@@ -1146,6 +1146,15 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id")
     },
+
+    // ---- Conditional (bigram) LM gate: unigram surprisal (q80)
+    // can't see word salad built from common words — every word is
+    // cheap but every TRANSITION is rare. Bigram freq + unigram freq,
+    // two vocabulary-sized hash joins on the native bigram stream.
+    "q90_bigram_surprisal" -> { (s, dir) =>
+      Stats.bigramSurprisal(Tables.documents(s, dir), "doc_id", col("text"))
+        .orderBy("doc_id")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1823,6 +1832,24 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_words,
         |  round(round(sum(-log2(f / tot)), 4) / count(*), 6) AS mean_surprisal
         |FROM ww JOIN f USING (word) CROSS JOIN t
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q90_bigram_surprisal" ->
+      """WITH w AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |b AS (SELECT doc_id, array_to_string(ws[i:i+1], ' ') AS bg
+        |      FROM w, unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS t(i)
+        |      WHERE len(ws) >= 2),
+        |u AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS wd
+        |      FROM documents),
+        |uu AS (SELECT wd, count(*) AS f1 FROM u WHERE wd <> '' GROUP BY wd),
+        |f2 AS (SELECT bg, count(*) AS f2 FROM b GROUP BY bg)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(round(sum(-log2(f2 / CAST(f1 AS DOUBLE))), 4) / count(*), 6)
+        |    AS mean_surprisal
+        |FROM b JOIN f2 USING (bg)
+        |JOIN uu ON split_part(bg, ' ', 1) = uu.wd
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 

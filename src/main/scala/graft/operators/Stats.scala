@@ -163,6 +163,35 @@ object Stats {
         round(round(sum(col("__s")), 4) / count(lit(1)), 6).as("mean_surprisal"))
   }
 
+  /** Bigram (conditional) surprisal — the fluency upgrade of
+    * [[unigramSurprisal]]: each bigram w₁w₂ scores
+    * −log₂(f(w₁w₂)/f(w₁)), i.e. how predictable w₂ is GIVEN w₁ under
+    * the corpus's own bigram model. Unigram surprisal can't see word
+    * salad built from common words ("the of and is the") — every word
+    * is cheap but every TRANSITION is rare, so the conditional score
+    * flags it; stitched/templated text scores low. Docs with < 2
+    * words have no bigrams and no row.
+    *
+    * Same shape as [[unigramSurprisal]] plus one more
+    * vocabulary-sized aggregation: bigram freq + unigram freq, two
+    * hash joins on the gram stream, per-doc rollup with the
+    * round-before-mean guard. The native [[graft.operators.Dedup.wordNGrams]]
+    * kernel emits the bigram stream in one codegen call. */
+  def bigramSurprisal(df: DataFrame, idCol: String, textCol: Column): DataFrame = {
+    val bigrams = graft.operators.Dedup.spreadWide(df.select(col(idCol), textCol.as("__t")))
+      .select(col(idCol), explode(graft.operators.Dedup.wordNGrams(col("__t"), 2)).as("__bg"))
+    val words = df.select(explode(graft.operators.Dedup.wordNGrams(textCol, 1)).as("__w"))
+    val f2 = bigrams.groupBy(col("__bg")).agg(count(lit(1)).as("__f2"))
+    val f1 = words.groupBy(col("__w")).agg(count(lit(1)).as("__f1"))
+    bigrams.join(f2, Seq("__bg"))
+      .withColumn("__w1", substring_index(col("__bg"), " ", 1))
+      .join(f1, col("__w1") === col("__w"))
+      .select(col(idCol), (-log2(col("__f2") / col("__f1"))).as("__s"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(round(sum(col("__s")), 4) / count(lit(1)), 6).as("mean_surprisal"))
+  }
+
   /** DSIR-style importance weighting (unigram flavor of "Data
     * Selection for Language Models via Importance Resampling"): score
     * every raw-corpus document by the mean log-likelihood ratio of its

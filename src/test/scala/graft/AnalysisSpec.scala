@@ -260,6 +260,26 @@ class AnalysisSpec extends AnyFunSuite {
     assert(again === ratios, "deterministic")
   }
 
+  test("bigramSurprisal: rare transitions score high, exact on known freqs, short docs rowless") {
+    val docs = Seq((1L, "x y x y"), (2L, "y y x"), (3L, "solo")).toDF("id", "text")
+    val out = graft.operators.Stats.bigramSurprisal(docs, "id", col("text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(!out.contains(3L), "single-word docs have no bigrams")
+    // corpus: f1(x)=3, f1(y)=4; f2("x y")=2, "y x"=2, "y y"=1
+    def lg(p: Double): Double = -math.log(p) / math.log(2)
+    def expect(sum: Double, n: Int): Double =
+      BigDecimal(BigDecimal(sum).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L).getAs[Long]("n_bigrams") === 3L)
+    assert(math.abs(out(1L).getAs[Double]("mean_surprisal")
+      - expect(2 * lg(2.0 / 3) + lg(2.0 / 4), 3)) < 1e-9)
+    assert(math.abs(out(2L).getAs[Double]("mean_surprisal")
+      - expect(lg(1.0 / 4) + lg(2.0 / 4), 2)) < 1e-9)
+    assert(out(2L).getAs[Double]("mean_surprisal") >
+      out(1L).getAs[Double]("mean_surprisal"),
+      "word salad (rare transitions over common words) must score higher")
+  }
+
   test("importanceWeight: target-like docs score positive, off-domain negative, exact on known freqs") {
     val raw = Seq((1L, "x x"), (2L, "y y")).toDF("id", "text")
     val target = Seq("x x x").toDF("text")
