@@ -1155,6 +1155,16 @@ object SparkEntry {
       Stats.bigramSurprisal(Tables.documents(s, dir), "doc_id", col("text"))
         .orderBy("doc_id")
     },
+
+    // ---- Data-mixture card: per-(lang, source) composition with
+    // corpus shares — the report a mixture decision (and q84's
+    // temperature reweighting) starts from. One map-side-combined
+    // agg + a single-row totals broadcast.
+    "q91_mixture_report" -> { (s, dir) =>
+      Stats.mixtureReport(Tables.documents(s, dir),
+          Seq(col("lang"), col("source")), col("n_chars"))
+        .orderBy("lang", "source")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1834,6 +1844,19 @@ object SparkEntry {
         |FROM ww JOIN f USING (word) CROSS JOIN t
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "q91_mixture_report" ->
+      """WITH g AS (SELECT lang, source, count(*) AS docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_cost,
+        |    CAST(sum(n_chars) AS DOUBLE) / count(*) AS mean_cost
+        |  FROM documents GROUP BY lang, source),
+        |t AS (SELECT CAST(sum(docs) AS DOUBLE) AS td,
+        |    CAST(sum(total_cost) AS DOUBLE) AS tc FROM g)
+        |SELECT lang, source, docs, total_cost, mean_cost,
+        |  round(docs / td, 6) AS doc_share,
+        |  round(total_cost / tc, 6) AS cost_share
+        |FROM g CROSS JOIN t
+        |ORDER BY lang, source""".stripMargin,
 
     "q90_bigram_surprisal" ->
       """WITH w AS (SELECT doc_id,

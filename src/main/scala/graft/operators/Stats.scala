@@ -163,6 +163,27 @@ object Stats {
         round(round(sum(col("__s")), 4) / count(lit(1)), 6).as("mean_surprisal"))
   }
 
+  /** Data-mixture card — the per-stratum composition report every
+    * training-mixture decision reads (and the input
+    * [[graft.operators.Split.temperatureSample]] reweights): per
+    * stratum, document count, total and mean cost (tokens/chars), and
+    * each stratum's SHARE of corpus docs and corpus cost. One
+    * map-side-combined aggregation over the corpus + a broadcast of
+    * the single-row totals; shares are integer-ratio doubles
+    * (hash-stable). */
+  def mixtureReport(df: DataFrame, strata: Seq[Column], cost: Column): DataFrame = {
+    require(strata.nonEmpty, "at least one stratum column")
+    val g = df.groupBy(strata: _*).agg(
+      count(lit(1)).as("docs"),
+      sum(cost).as("total_cost"),
+      (sum(cost).cast("double") / count(lit(1))).as("mean_cost"))
+    val totals = g.agg(sum(col("docs")).as("__td"), sum(col("total_cost")).as("__tc"))
+    g.crossJoin(broadcast(totals))
+      .withColumn("doc_share", round(col("docs") / col("__td"), 6))
+      .withColumn("cost_share", round(col("total_cost") / col("__tc"), 6))
+      .drop("__td", "__tc")
+  }
+
   /** Bigram (conditional) surprisal — the fluency upgrade of
     * [[unigramSurprisal]]: each bigram w₁w₂ scores
     * −log₂(f(w₁w₂)/f(w₁)), i.e. how predictable w₂ is GIVEN w₁ under

@@ -260,6 +260,19 @@ class AnalysisSpec extends AnyFunSuite {
     assert(again === ratios, "deterministic")
   }
 
+  test("mixtureReport: exact shares and means per stratum") {
+    val df = Seq(("a", 10L), ("a", 30L), ("b", 60L)).toDF("g", "cost")
+    val rep = graft.operators.Stats.mixtureReport(df, Seq(col("g")), col("cost"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rep("a").getAs[Long]("docs") === 2L)
+    assert(rep("a").getAs[Long]("total_cost") === 40L)
+    assert(rep("a").getAs[Double]("mean_cost") === 20.0)
+    assert(rep("a").getAs[Double]("doc_share") === 0.666667)
+    assert(rep("a").getAs[Double]("cost_share") === 0.4)
+    assert(rep("b").getAs[Double]("doc_share") === 0.333333)
+    assert(rep("b").getAs[Double]("cost_share") === 0.6)
+  }
+
   test("bigramSurprisal: rare transitions score high, exact on known freqs, short docs rowless") {
     val docs = Seq((1L, "x y x y"), (2L, "y y x"), (3L, "solo")).toDF("id", "text")
     val out = graft.operators.Stats.bigramSurprisal(docs, "id", col("text"))
