@@ -1165,6 +1165,31 @@ object SparkEntry {
           Seq(col("lang"), col("source")), col("n_chars"))
         .orderBy("lang", "source")
     },
+
+    // ---- The composed curation pipeline (FineWeb-shaped): stateless
+    // decontamination gate → word-repetition gate → per-language
+    // relative quality selection → temperature-balanced mixture.
+    // Every stage is an engine operator already oracle-proven alone;
+    // this query proves they COMPOSE, hash-checked end-to-end against
+    // the chained SQL. Map-side gates first (narrow), stratum windows
+    // only after the corpus has shrunk.
+    "q92_curation_pipeline" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val digests = graft.streaming.StreamOps.evalGramDigests(
+        docs.filter(col("doc_id") % 7 === 0), col("text"), nWords = 5)
+      val clean = graft.streaming.StreamOps.decontaminateStream(
+        docs.filter(col("doc_id") % 7 =!= 0), col("text"), digests, nWords = 5)
+      val rep = Stats.wordRepetition(clean, "doc_id", col("text"))
+        .filter(col("top_word_frac") <= 0.12).select("doc_id")
+      val gated = clean.join(rep, Seq("doc_id"))
+        .withColumn("n_tokens", analysis.token_count(col("text")))
+      val selected = graft.operators.Quality.relativeFilter(
+        gated, col("n_tokens"), col("lang"), keepFrac = 0.6, tieBreak = Seq(col("doc_id")))
+      Split.temperatureSample(selected, col("lang"), col("doc_id"),
+          targetTotal = 120L, alpha = 0.5, seed = 42L)
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+        .orderBy("doc_id")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1843,6 +1868,43 @@ object SparkEntry {
         |  round(round(sum(-log2(f / tot)), 4) / count(*), 6) AS mean_surprisal
         |FROM ww JOIN f USING (word) CROSS JOIN t
         |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q92_curation_pipeline" ->
+      """WITH w AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |g AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS g
+        |      FROM w, unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS t(i)
+        |      WHERE len(ws) >= 5),
+        |e AS (SELECT DISTINCT g FROM g WHERE doc_id % 7 = 0),
+        |hit AS (SELECT DISTINCT doc_id FROM g JOIN e USING (g)
+        |        WHERE doc_id % 7 <> 0),
+        |clean AS (SELECT d.* FROM documents d WHERE d.doc_id % 7 <> 0
+        |          AND d.doc_id NOT IN (SELECT doc_id FROM hit)),
+        |wrd AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS wd FROM clean),
+        |wf AS (SELECT doc_id, wd, count(*) AS c FROM wrd WHERE wd <> '' GROUP BY 1, 2),
+        |rep AS (SELECT doc_id FROM wf GROUP BY doc_id
+        |        HAVING round(CAST(max(c) AS DOUBLE) / sum(c), 6) <= 0.12),
+        |tok AS (SELECT c.doc_id, c.lang,
+        |    CAST(CASE WHEN length(trim(c.text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(c.text), '\s+')) END AS INT) AS n_tokens
+        |  FROM clean c JOIN rep USING (doc_id)),
+        |rf AS (SELECT *, row_number() OVER (
+        |      PARTITION BY lang ORDER BY n_tokens DESC, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n FROM tok),
+        |sel AS (SELECT doc_id, lang, n_tokens FROM rf
+        |        WHERE rk <= ceil(round(n * 0.6, 6))),
+        |cnt AS (SELECT lang, count(*) AS n FROM sel GROUP BY lang),
+        |wq AS (SELECT lang, n, pow(CAST(n AS DOUBLE), 0.5) AS w FROM cnt),
+        |q AS (SELECT lang, least(n, CAST(floor(
+        |    round(120 * w / (SELECT sum(w) FROM wq), 6)) AS BIGINT)) AS quota
+        |  FROM wq),
+        |r AS (SELECT s.*, row_number() OVER (PARTITION BY s.lang
+        |    ORDER BY md5(CAST(s.doc_id AS VARCHAR) || '|42'), s.doc_id) AS rk2
+        |  FROM sel s)
+        |SELECT doc_id, lang, n_tokens FROM r JOIN q USING (lang)
+        |WHERE rk2 <= quota
         |ORDER BY doc_id""".stripMargin,
 
     "q91_mixture_report" ->
