@@ -1190,6 +1190,18 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_tokens"))
         .orderBy("doc_id")
     },
+
+    // ---- Temperature resampling WITH replacement (the full mT5
+    // rule): at alpha=0.3 over an 800-row budget, low-resource
+    // languages upsample (multiple copies per doc) while the en head
+    // downsamples — exact quotas, deterministic copies.
+    "q93_temperature_resample" -> { (s, dir) =>
+      Split.temperatureResample(Tables.documents(s, dir),
+          strata = col("lang"), key = col("doc_id"),
+          targetTotal = 800L, alpha = 0.3, seed = 42L)
+        .select(col("doc_id"), col("lang"), col("copy"))
+        .orderBy("doc_id", "copy")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1869,6 +1881,24 @@ object SparkEntry {
         |FROM ww JOIN f USING (word) CROSS JOIN t
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "q93_temperature_resample" ->
+      """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |wq AS (SELECT lang, n, pow(CAST(n AS DOUBLE), 0.3) AS w FROM n),
+        |q AS (SELECT lang, n, CAST(floor(
+        |    round(800 * w / (SELECT sum(w) FROM wq), 6)) AS BIGINT) AS quota
+        |  FROM wq),
+        |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR) || '|42'), doc_id) AS rk
+        |  FROM documents),
+        |reps AS (SELECT r.doc_id, r.lang,
+        |    CAST(quota // n AS BIGINT) +
+        |      CASE WHEN rk <= quota % n THEN 1 ELSE 0 END AS reps
+        |  FROM r JOIN q USING (lang))
+        |SELECT doc_id, lang, CAST(c AS BIGINT) AS copy
+        |FROM reps, unnest(generate_series(0, CAST(reps - 1 AS BIGINT))) AS t(c)
+        |WHERE reps > 0
+        |ORDER BY doc_id, copy""".stripMargin,
 
     "q92_curation_pipeline" ->
       """WITH w AS (SELECT doc_id,

@@ -156,6 +156,53 @@ object Split {
       .drop("__rk", "__g", "__quota")
   }
 
+  /** Temperature resampling WITH replacement — the full mT5 rule:
+    * [[temperatureSample]] caps each stratum at its size, but true
+    * temperature balancing UPSAMPLES low-resource strata (their
+    * quota n^α-share exceeds their row count) by repeating rows.
+    * Stratum g with n_g rows and quota q_g emits ⌊q_g/n_g⌋ copies of
+    * every row plus one extra copy for the first (q_g mod n_g) rows
+    * of the md5 order — EXACTLY q_g output rows, deterministic in
+    * (key, seed), downsampling handled by the same formula (base 0,
+    * only the md5-prefix survives). Output adds a `copy` index
+    * (0-based) so downstream shuffles can distinguish repeats.
+    *
+    * Scale shape: identical to [[temperatureSample]] (tiny quota agg,
+    * broadcast back, one stratum-keyed rank window) plus a narrow
+    * per-row `sequence` explode bounded by the repeat count. */
+  def temperatureResample(
+      df: DataFrame,
+      strata: Column,
+      key: Column,
+      targetTotal: Long,
+      alpha: Double,
+      seed: Long = 42L): DataFrame = {
+    require(targetTotal >= 0, "targetTotal must be non-negative")
+    require(alpha > 0, "alpha must be positive")
+    val counts = df.groupBy(strata.as("__g")).agg(count(lit(1)).as("__n"))
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val quotas = counts
+      .withColumn("__w", pow(col("__n").cast("double"), lit(alpha)))
+      .withColumn("__q",
+        floor(round(lit(targetTotal.toDouble) * col("__w") / sum(col("__w")).over(all), 6))
+          .cast("long"))
+      .select(col("__g"), col("__n"), col("__q"))
+    val ord = md5(concat(key.cast("string"), lit("|"), lit(seed.toString)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata).orderBy(ord, key)
+    df.withColumn("__rk", row_number().over(w))
+      .join(broadcast(quotas), strata === col("__g"))
+      .withColumn("__reps",
+        floor(col("__q") / col("__n")).cast("long") +
+          when(col("__rk") <= col("__q") % col("__n"), 1L).otherwise(0L))
+      .filter(col("__reps") > 0)
+      .withColumn("copy", explode(sequence(lit(0L), col("__reps") - 1)))
+      .drop("__rk", "__g", "__n", "__q", "__reps")
+  }
+
   /** Sequence packing for pretraining batch assembly: lay the corpus
     * out as a concatenated token stream (per stratum, in ascending
     * `key` order) cut every `capacity` tokens, and assign each

@@ -155,6 +155,45 @@ class SplitSpec extends AnyFunSuite {
     assert(trainFrac > 0.8 && trainFrac < 0.97, s"train fraction off: $trainFrac")
   }
 
+  test("temperatureResample: exact quotas via replacement, upsample low-resource, downsample head") {
+    // strata 100 / 25 / 4, alpha 0.5 → weights 10/5/2, target 170 →
+    // quotas 100 / 50 / 20: a kept as-is, b doubled, c 5x
+    val rows = (1 to 100).map(i => (i.toLong, "a")) ++
+      (101 to 125).map(i => (i.toLong, "b")) ++
+      (126 to 129).map(i => (i.toLong, "c"))
+    val df = rows.toDF("id", "g").repartition(7)
+    val out = Split.temperatureResample(df, col("g"), col("id"),
+      targetTotal = 170L, alpha = 0.5)
+    val byG = out.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG === Map("a" -> 100L, "b" -> 50L, "c" -> 20L), s"exact quotas: $byG")
+    // every b row appears exactly twice (50 = 2*25, remainder 0)
+    val bCopies = out.filter(col("g") === "b").groupBy("id").count()
+      .select("count").as[Long].collect()
+    assert(bCopies.forall(_ === 2L))
+    // copy indices are 0-based and dense per row
+    assert(out.filter(col("g") === "c" && col("id") === 126L)
+      .select("copy").as[Long].collect().sorted.toSeq === Seq(0L, 1L, 2L, 3L, 4L))
+    // downsampling shares the formula: target 50 → quotas 29/14/5;
+    // stratum a keeps only its md5-prefix (base 0 copies)
+    val down = Split.temperatureResample(df, col("g"), col("id"), 50L, 0.5)
+    val downG = down.groupBy("g").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(downG === Map("a" -> 29L, "b" -> 14L, "c" -> 5L), s"down quotas: $downG")
+    // the flattening still upsamples the TINY stratum (quota 5 > 4
+    // rows → one doc repeats); the big strata are pure prefixes
+    assert(down.filter(col("g") =!= "c").select("copy").distinct()
+      .as[Long].collect().toSeq === Seq(0L))
+    assert(down.filter(col("g") === "c").groupBy("id").count()
+      .select("count").as[Long].collect().sorted.toSeq === Seq(1L, 1L, 1L, 2L))
+    // deterministic
+    val again = Split.temperatureResample(df, col("g"), col("id"), 170L, 0.5)
+      .groupBy("id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val first = out.groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === first)
+  }
+
   test("different seeds give different assignments") {
     val a = Split.split(docs, Seq("doc_id"), seed = 42L)
     val b = Split.split(docs, Seq("doc_id"), seed = 43L)
