@@ -1202,6 +1202,16 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("copy"))
         .orderBy("doc_id", "copy")
     },
+
+    // ---- Dataset-card column profile: non-null/null-rate/distinct/
+    // min/max per column in ONE aggregation pass (the reference
+    // rescans per column); exact distinct here for the oracle,
+    // approx_count_distinct documented as the 100 TB swap.
+    "q94_column_profile" -> { (s, dir) =>
+      Stats.columnProfile(Tables.documents(s, dir),
+          Seq("doc_id", "text", "lang", "source", "n_chars"))
+        .orderBy("column_name")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1881,6 +1891,35 @@ object SparkEntry {
         |FROM ww JOIN f USING (word) CROSS JOIN t
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "q94_column_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'doc_id' AS column_name, count(doc_id) AS n_non_null,
+        |    round(CAST(count(*) - count(doc_id) AS DOUBLE) / count(*), 6) AS null_rate,
+        |    count(DISTINCT doc_id) AS n_distinct,
+        |    CAST(min(doc_id) AS VARCHAR) AS min_value,
+        |    CAST(max(doc_id) AS VARCHAR) AS max_value FROM documents
+        |  UNION ALL
+        |  SELECT 'text', count(text),
+        |    round(CAST(count(*) - count(text) AS DOUBLE) / count(*), 6),
+        |    count(DISTINCT text), CAST(min(text) AS VARCHAR),
+        |    CAST(max(text) AS VARCHAR) FROM documents
+        |  UNION ALL
+        |  SELECT 'lang', count(lang),
+        |    round(CAST(count(*) - count(lang) AS DOUBLE) / count(*), 6),
+        |    count(DISTINCT lang), CAST(min(lang) AS VARCHAR),
+        |    CAST(max(lang) AS VARCHAR) FROM documents
+        |  UNION ALL
+        |  SELECT 'source', count(source),
+        |    round(CAST(count(*) - count(source) AS DOUBLE) / count(*), 6),
+        |    count(DISTINCT source), CAST(min(source) AS VARCHAR),
+        |    CAST(max(source) AS VARCHAR) FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', count(n_chars),
+        |    round(CAST(count(*) - count(n_chars) AS DOUBLE) / count(*), 6),
+        |    count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR),
+        |    CAST(max(n_chars) AS VARCHAR) FROM documents)
+        |ORDER BY column_name""".stripMargin,
 
     "q93_temperature_resample" ->
       """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),

@@ -163,6 +163,40 @@ object Stats {
         round(round(sum(col("__s")), 4) / count(lit(1)), 6).as("mean_surprisal"))
   }
 
+  /** Per-column profile — the dataset-card table (per column:
+    * non-null count, null rate, distinct count, min/max), unpivoted
+    * to one row per column for a stable schema at any column list.
+    * ONE aggregation pass over the frame regardless of column count
+    * (the reference's generate_stats.py walks the frame once per
+    * column). `approximate = true` swaps exact distinct for HLL
+    * `approx_count_distinct` — at 100 TB exact distinct per column is
+    * a full shuffle of every value; the sketch merges map-side.
+    * Min/max are cast to string so heterogeneous column types share
+    * one output schema. */
+  def columnProfile(df: DataFrame, cols: Seq[String],
+      approximate: Boolean = false): DataFrame = {
+    require(cols.nonEmpty, "at least one column")
+    val aggs = cols.flatMap { c =>
+      val d = if (approximate) approx_count_distinct(col(c)) else count_distinct(col(c))
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        count(lit(1)).as(s"__t_$c"),
+        d.as(s"__d_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      struct(lit(c).as("column_name"),
+        col(s"__nn_$c").as("n_non_null"),
+        round((col(s"__t_$c") - col(s"__nn_$c")) / col(s"__t_$c"), 6).as("null_rate"),
+        col(s"__d_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_value"),
+        col(s"__max_$c").as("max_value"))
+    }
+    wide.select(explode(array(stacked: _*)).as("s")).select("s.*")
+  }
+
   /** Data-mixture card — the per-stratum composition report every
     * training-mixture decision reads (and the input
     * [[graft.operators.Split.temperatureSample]] reweights): per

@@ -260,6 +260,26 @@ class AnalysisSpec extends AnyFunSuite {
     assert(again === ratios, "deterministic")
   }
 
+  test("columnProfile: one-pass per-column stats, nulls and distinct exact, approx close") {
+    val df = Seq(
+      (1L, Option("x"), 10), (2L, Option("y"), 10), (3L, None, 20)
+    ).toDF("id", "s", "v")
+    val prof = graft.operators.Stats.columnProfile(df, Seq("id", "s", "v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(prof("id").getAs[Long]("n_non_null") === 3L)
+    assert(prof("id").getAs[Long]("n_distinct") === 3L)
+    assert(prof("id").getAs[String]("min_value") === "1")
+    assert(prof("id").getAs[String]("max_value") === "3")
+    assert(prof("s").getAs[Long]("n_non_null") === 2L)
+    assert(prof("s").getAs[Double]("null_rate") === 0.333333)
+    assert(prof("s").getAs[Long]("n_distinct") === 2L)
+    assert(prof("v").getAs[Long]("n_distinct") === 2L)
+    // the 100 TB swap: HLL estimate lands on the exact value at this n
+    val approx = graft.operators.Stats.columnProfile(df, Seq("v"), approximate = true)
+      .head().getAs[Long]("n_distinct")
+    assert(approx === 2L)
+  }
+
   test("mixtureReport: exact shares and means per stratum") {
     val df = Seq(("a", 10L), ("a", 30L), ("b", 60L)).toDF("g", "cost")
     val rep = graft.operators.Stats.mixtureReport(df, Seq(col("g")), col("cost"))
