@@ -84,4 +84,50 @@ class EdgeCaseSpec extends AnyFunSuite {
   test("fuzzy spark.ml dedup on single-row frame") {
     assert(Dedup.fuzzyDedup(oneDoc, "doc_id", col("text")).count() === 1)
   }
+
+  test("q81-q94 curation operators on empty and single-row frames") {
+    import graft.operators.{Quality, Stats}
+    import graft.streaming.StreamOps
+    // contamination: empty eval set flags nothing; empty corpus is empty
+    val profEmptyEval = Dedup.contaminationProfile(oneDoc, "doc_id", col("text"),
+      emptyDocs, col("text"), nWords = 2)
+    assert(profEmptyEval.count() === 1)
+    assert(!profEmptyEval.head().getAs[Boolean]("contaminated"))
+    assert(Dedup.contaminationProfile(emptyDocs, "doc_id", col("text"),
+      oneDoc, col("text"), nWords = 2).count() === 0)
+    // stateless gate with an EMPTY digest model keeps everything
+    val noDigests = StreamOps.evalGramDigests(emptyDocs, col("text"), nWords = 2)
+    assert(noDigests.isEmpty)
+    assert(StreamOps.decontaminateStream(oneDoc, col("text"), noDigests, 2).count() === 1)
+    assert(StreamOps.decontaminateStream(emptyDocs, col("text"), noDigests, 2).count() === 0)
+    // line rules on empty frames and punctuation-free single docs
+    assert(Quality.c4LineRules(emptyDocs, "text").count() === 0)
+    assert(Quality.c4LineRules(oneDoc, "text", minKeptLines = 0).count() === 1)
+    // selection / sampling
+    assert(Quality.relativeFilter(emptyDocs, length(col("text")), col("text"),
+      0.5, Seq(col("doc_id"))).count() === 0)
+    assert(Quality.relativeFilter(oneDoc, length(col("text")), col("text"),
+      0.5, Seq(col("doc_id"))).count() === 1, "a stratum always keeps one")
+    assert(Split.temperatureSample(emptyDocs, col("text"), col("doc_id"), 10L, 0.5).count() === 0)
+    assert(Split.temperatureSample(oneDoc, col("text"), col("doc_id"), 10L, 0.5).count() === 1)
+    assert(Split.temperatureResample(emptyDocs, col("text"), col("doc_id"), 10L, 0.5).count() === 0)
+    assert(Split.temperatureResample(oneDoc, col("text"), col("doc_id"), 10L, 0.5).count() === 10,
+      "one doc upsampled to the whole quota")
+    assert(Split.leakageSafeSplit(emptyDocs, "doc_id",
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b")).count() === 0)
+    // scoring on empty models
+    assert(Stats.importanceWeight(emptyDocs, "doc_id", col("text"),
+      emptyDocs, col("text")).count() === 0)
+    assert(Stats.bigramSurprisal(oneDoc, "doc_id", col("text")).count() === 1)
+    assert(Stats.mixtureReport(emptyDocs, Seq(col("text")), length(col("text"))).count() === 0)
+    assert(Stats.columnProfile(emptyDocs, Seq("doc_id", "text")).count() === 2,
+      "profile rows exist even for an empty frame")
+    // margin mining with an empty side mines nothing
+    assert(Similarity.marginMine(emptyVecs,
+      Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", k = 2).count() === 0)
+    // pii on empty strings
+    assert(Seq("").toDF("s").select(graft.functions.analysis.redact_pii(col("s")))
+      .head().getString(0) === "")
+  }
 }

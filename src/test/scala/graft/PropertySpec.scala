@@ -199,4 +199,21 @@ class PropertySpec extends AnyFunSuite {
         s"marker != composed for n=$n, e.g. ${bad.head(1).toSeq}")
     }
   }
+
+  test("property: CountInSortedLongs equals the array_intersect formulation on random digests") {
+    for (seed <- 1L to 5L) {
+      val refSet = sample(Gen.listOfN(30, Gen.chooseNum(-50L, 50L)), seed)
+        .distinct.sorted.toArray
+      val rows = sample(Gen.listOfN(40, Gen.listOfN(8, Gen.chooseNum(-50L, 50L))), seed + 100)
+      val df = rows.map(Tuple1(_)).toDF("arr")
+      val kernel = text.expr2col(graft.functions.CountInSortedLongs(
+        text.col2expr(col("arr").cast("array<long>")), refSet))
+      // reference formulation: per-element membership WITH multiplicity
+      // (array_intersect dedups, so count via filter + array_contains)
+      val oracle = size(filter(col("arr").cast("array<long>"),
+        x => array_contains(lit(refSet), x)))
+      val bad = df.select(kernel.as("k"), oracle.as("b")).filter(col("k") =!= col("b"))
+      assert(bad.count() === 0L, s"membership kernel diverges, e.g. ${bad.head(1).toSeq}")
+    }
+  }
 }
