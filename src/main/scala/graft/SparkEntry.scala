@@ -1212,6 +1212,21 @@ object SparkEntry {
           Seq("doc_id", "text", "lang", "source", "n_chars"))
         .orderBy("column_name")
     },
+
+    // ---- The ANN margin-mining path (q86's 100 TB form): both kNN
+    // sweeps through the hyperplane-bucket equi-join — no broadcast,
+    // no cross product. Probabilistic recall ⇒ rows-only here;
+    // exact/ANN agreement is SimilaritySpec-asserted.
+    "q95_margin_mine_ann" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      Similarity.marginMine(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1),
+          "vec_id", "embedding", k = 4, minMargin = 1.0,
+          ann = true, bits = 8, tables = 6)
+        .orderBy("src_id")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
