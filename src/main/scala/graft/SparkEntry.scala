@@ -1227,6 +1227,17 @@ object SparkEntry {
           ann = true, bits = 8, tables = 6)
         .orderBy("src_id")
     },
+
+    // ---- ExactSubstr span removal (q79 flags, this REWRITES): every
+    // word covered by a cross-document 8-word verbatim run is cut;
+    // the unique remainder survives in order. Byte-identical
+    // reassembly is the hard part — hash-checked against the oracle.
+    "q96_remove_duplicate_spans" -> { (s, dir) =>
+      Dedup.removeDuplicateSpans(Tables.documents(s, dir), "doc_id", "text",
+          spanWords = 8, minDocs = 2)
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1906,6 +1917,28 @@ object SparkEntry {
         |FROM ww JOIN f USING (word) CROSS JOIN t
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "q96_remove_duplicate_spans" ->
+      """WITH w AS (SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |wp AS (SELECT doc_id, ws[i] AS word, i - 1 AS pos
+        |       FROM w, unnest(generate_series(1, len(ws))) AS t(i)),
+        |sp AS (SELECT doc_id, i - 1 AS p, array_to_string(ws[i:i+7], ' ') AS s
+        |       FROM w, unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS t(i)
+        |       WHERE len(ws) >= 8),
+        |dup AS (SELECT s FROM sp GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT sp.doc_id, p + j AS pos
+        |        FROM sp JOIN dup USING (s),
+        |             unnest(generate_series(0, 7)) AS u(j)),
+        |kept AS (SELECT wp.doc_id, wp.pos, wp.word FROM wp
+        |         LEFT JOIN cov ON wp.doc_id = cov.doc_id AND wp.pos = cov.pos
+        |         WHERE cov.pos IS NULL),
+        |reb AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS text
+        |        FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(reb.text, '') AS text
+        |FROM documents d LEFT JOIN reb USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q94_column_profile" ->
       """SELECT * FROM (

@@ -558,6 +558,60 @@ object Dedup {
       .withColumn("contaminated", col("hit_grams") > 0L)
   }
 
+  /** Exact-substring span REMOVAL — the rewrite step of
+    * "Deduplicating Training Data Makes Language Models Better"
+    * (ExactSubstr): [[duplicateSpans]] FLAGS cross-document verbatim
+    * runs; this operator REWRITES each document with every word
+    * covered by a duplicated span cut out, keeping the unique
+    * remainder. Word-boundary semantics match [[duplicateSpans]]
+    * (lower/trim/whitespace-split), so the rewritten text is the
+    * NORMALIZED word stream minus covered words — the standard
+    * normalize-then-rewrite shape for training corpora (original
+    * casing/spacing is not preserved). Docs shorter than `spanWords`
+    * have no spans and survive as their normalized selves; a fully
+    * duplicated doc becomes the empty string (row survives).
+    *
+    * Scale shape: two explodes (words with positions, spans with
+    * positions), one (span → distinct-doc count) aggregation, a flag
+    * join, a bounded `sequence` explode (spanWords rows per FLAGGED
+    * span only), a positional anti-join, and one ordered reassembly
+    * aggregation — every join keyed by (id, pos) or the span. */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      spanWords: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(spanWords >= 1, "spanWords must be >= 1")
+    require(minDocs >= 2, "minDocs < 2 would cut every span")
+    val ws = split(lower(trim(col(textCol))), "\\s+")
+    val base = spreadWide(df.select(col(idCol), ws.as("__ws")))
+      .select(col(idCol),
+        filter(col("__ws"), w => w =!= "").as("__ws"))
+    val words = base
+      .select(col(idCol), posexplode(col("__ws")).as(Seq("__pos", "__w")))
+    val spans = base
+      .filter(size(col("__ws")) >= spanWords)
+      .select(col(idCol), explode(
+        transform(sequence(lit(0), size(col("__ws")) - spanWords),
+          i => struct(i.as("p"),
+            concat_ws(" ", slice(col("__ws"), i + 1, lit(spanWords))).as("s")))).as("__sp"))
+      .select(col(idCol), col("__sp.p").as("__p"), col("__sp.s").as("__s"))
+    val dup = spans.groupBy(col("__s"))
+      .agg(count_distinct(col(idCol)).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select(col("__s"))
+    val covered = spans.join(dup, Seq("__s"))
+      .select(col(idCol), explode(sequence(col("__p"), col("__p") + (spanWords - 1)))
+        .as("__pos"))
+      .distinct()
+    val rebuilt = words.join(covered, Seq(idCol, "__pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("__pos"), col("__w")))),
+          s => s.getField("__w"))).as("__text"))
+    df.drop(textCol).join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("__text"), lit("")))
+      .drop("__text")
+      .select(df.columns.toIndexedSeq.map(col): _*)
+  }
+
   /** Collapse CONSECUTIVE duplicate lines within each document (the
     * in-doc half of the RefinedWeb line rules; [[dedupLines]] is the
     * cross-doc half): `a\na\nb\na` → `a\nb\na` — only adjacent repeats

@@ -386,6 +386,31 @@ class DedupSpec extends AnyFunSuite {
     assert(byDigest === prof.view.mapValues(_.getAs[Long]("dup_spans")).toMap)
   }
 
+  test("removeDuplicateSpans cuts the shared run at any offset, keeps unique remainders in order") {
+    val sharedRun = "one two three four five six seven eight nine ten"
+    val docs = Seq(
+      (1L, "Unique lead-in words then " + sharedRun),
+      (2L, sharedRun + " with a unique trailer afterwards"),
+      (3L, "totally unrelated content that is long enough to produce several spans of text here"),
+      (4L, Seq.fill(4)("echo delta").mkString(" ") + " " +
+        Seq.fill(4)("echo delta").mkString(" ")), // repeats only within ITSELF
+      (5L, "too few words here")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "doc_id", "text", spanWords = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "unique lead-in words then", "run cut, normalized lead-in kept in order")
+    assert(out(2L) === "with a unique trailer afterwards", "shifted-offset copy cut too")
+    assert(out(3L) === "totally unrelated content that is long enough to produce several spans of text here")
+    assert(out(4L).split(" ").length === 16, "in-doc repetition is not cross-doc duplication")
+    assert(out(5L) === "too few words here", "sub-span docs survive as normalized selves")
+    assert(out.size === 5, "every row survives")
+    // a fully-duplicated pair is cut to empty strings, rows survive
+    val twins = Seq((1L, sharedRun), (2L, sharedRun)).toDF("doc_id", "text")
+    val cut = Dedup.removeDuplicateSpans(twins, "doc_id", "text", spanWords = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cut === Map(1L -> "", 2L -> ""))
+  }
+
   test("contaminationProfile flags verbatim eval-gram leaks at any offset; clean/short docs pass") {
     val evalQ = "what is the airspeed velocity of an unladen swallow"
     val evalSet = Seq(
