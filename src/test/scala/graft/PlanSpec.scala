@@ -55,8 +55,10 @@ class PlanSpec extends AnyFunSuite {
     assert(!q89.contains("Join"), s"q89 must be join-free:\n$q89")
     assert(q89.contains("count_in_sorted_longs"),
       s"q89 must filter via the native membership kernel:\n$q89")
-    // the composed pipeline and the resampler stay cartesian-free too
-    for (q <- Seq("q92_curation_pipeline", "q93_temperature_resample")) {
+    // the composed pipeline, resampler, ANN miner and span rewriter
+    // stay cartesian-free too
+    for (q <- Seq("q92_curation_pipeline", "q93_temperature_resample",
+        "q95_margin_mine_ann", "q96_remove_duplicate_spans")) {
       val plan = formatted(q)
       assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
         s"$q must not cross-product:\n$plan")
