@@ -571,28 +571,22 @@ object Dedup {
     * have no spans and survive as their normalized selves; a fully
     * duplicated doc becomes the empty string (row survives).
     *
-    * Scale shape: two explodes (words with positions, spans with
-    * positions), one (span → distinct-doc count) aggregation, a flag
-    * join, a bounded `sequence` explode (spanWords rows per FLAGGED
-    * span only), a positional anti-join, and one ordered reassembly
+    * Scale shape: two posexplodes of the native [[wordNGrams]] kernel
+    * (its output is ordered, so the ARRAY INDEX is the span's word
+    * position — no HOF slice chain, one static-call codegen site),
+    * one (span → distinct-doc count) aggregation, a flag join, a
+    * bounded `sequence` explode (spanWords rows per FLAGGED span
+    * only), a positional anti-join, and one ordered reassembly
     * aggregation — every join keyed by (id, pos) or the span. */
   def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
       spanWords: Int = 8, minDocs: Int = 2): DataFrame = {
     require(spanWords >= 1, "spanWords must be >= 1")
     require(minDocs >= 2, "minDocs < 2 would cut every span")
-    val ws = split(lower(trim(col(textCol))), "\\s+")
-    val base = spreadWide(df.select(col(idCol), ws.as("__ws")))
-      .select(col(idCol),
-        filter(col("__ws"), w => w =!= "").as("__ws"))
+    val base = spreadWide(df.select(col(idCol), col(textCol).as("__t")))
     val words = base
-      .select(col(idCol), posexplode(col("__ws")).as(Seq("__pos", "__w")))
+      .select(col(idCol), posexplode(wordNGrams(col("__t"), 1)).as(Seq("__pos", "__w")))
     val spans = base
-      .filter(size(col("__ws")) >= spanWords)
-      .select(col(idCol), explode(
-        transform(sequence(lit(0), size(col("__ws")) - spanWords),
-          i => struct(i.as("p"),
-            concat_ws(" ", slice(col("__ws"), i + 1, lit(spanWords))).as("s")))).as("__sp"))
-      .select(col(idCol), col("__sp.p").as("__p"), col("__sp.s").as("__s"))
+      .select(col(idCol), posexplode(wordNGrams(col("__t"), spanWords)).as(Seq("__p", "__s")))
     val dup = spans.groupBy(col("__s"))
       .agg(count_distinct(col(idCol)).as("__docs"))
       .filter(col("__docs") >= minDocs)
