@@ -103,7 +103,21 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // The driver scrapes this line from a bounded log tail; with ~100
+    // queries the line can outgrow the tail and arrive truncated
+    // (BENCH_r03.json parsed=null). Persist the artifact to a file so
+    // it survives regardless of log length. Best-effort: a read-only
+    // workspace must not fail the bench itself.
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH.json"))
+      java.nio.file.Files.write(out,
+        (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Exception =>
+      System.err.println(s"bench: could not persist BENCH.json: $e")
+    }
     spark.stop()
   }
 }

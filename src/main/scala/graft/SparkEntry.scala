@@ -506,6 +506,19 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     },
 
+    // ---- Guardrailed n-gram dedup: same removal contract as a direct
+    // jaccardPairs anti-join, but the Σdf² probe routes the candidate
+    // join — on this corpus (gram df tail past the per-doc budget) it
+    // picks banded-MinHash candidates + exact jaccardOfSets verify, so
+    // the brute-force DuckDB oracle hash-checks the guarded path
+    // end-to-end THROUGH the routing decision.
+    "q97_ngram_dedup_guarded" -> { (s, dir) =>
+      Dedup.ngramDedup(Tables.documents(s, dir), "doc_id", col("text"),
+          t = 0.8, n = 8)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    },
+
     // ---- Embedding storage path: symmetric int8 quantization
     // (4× smaller vectors for the 100 TB embedding corpus) — per-vector
     // scale, max reconstruction error, and original-vs-dequantized
@@ -1896,6 +1909,22 @@ object SparkEntry {
         |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j
         |WHERE round(jac, 6) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q97_ngram_dedup_guarded" ->
+      """WITH g AS (SELECT doc_id, list_distinct(list_filter(
+        |        list_transform(range(1, greatest(length(text) - 7, 0) + 2),
+        |          i -> text[i:i+7]),
+        |        x -> length(x) = 8)) AS grams FROM documents),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.grams AS ga, b.grams AS gb
+        |      FROM g a, g b WHERE a.doc_id < b.doc_id),
+        |j AS (SELECT id_a, id_b,
+        |        CASE WHEN len(list_distinct(list_concat(ga, gb))) = 0 THEN 1.0
+        |          ELSE len(list_filter(ga, x -> list_contains(gb, x))) * 1.0 /
+        |               len(list_distinct(list_concat(ga, gb))) END AS jac
+        |      FROM p)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT id_b FROM j WHERE round(jac, 6) >= 0.8)
+        |ORDER BY doc_id""".stripMargin,
 
     "q76_range_join" ->
       """SELECT s.s_suppkey, count(*) AS n_in_band,

@@ -28,6 +28,8 @@ import graft.functions.text
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
+
   /** D1 composite normalized key over the given columns (F8+F9). */
   def compositeKey(cols: Seq[String]): Column =
     text.dedup_key(cols.map(col): _*)
@@ -845,10 +847,26 @@ object Dedup {
     * unsplittable file, a single parquet row group, a gzip'd dump)
     * would run them near-sequentially — spread it first.
     * Well-partitioned at-scale inputs skip the extra shuffle
-    * entirely. */
+    * entirely.
+    *
+    * The probe uses `queryExecution.toRdd` (InternalRow RDD: plans the
+    * physical tree but skips `df.rdd`'s extra deserializer stage and
+    * its second plan copy). Any static probe reads the pre-AQE split
+    * count — exactly what's wanted here, since the question is "how
+    * parallel is the SCAN", not what AQE coalesces the first shuffle
+    * to. At-scale jobs can pin the answer and skip the probe entirely
+    * via `graft.spread.partitions`: 0 = never repartition, k > 0 =
+    * always repartition(k). */
   private[graft] def spreadWide(df: DataFrame): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < math.max(2, par / 2)) df.repartition(par) else df
+    df.sparkSession.conf.getOption("graft.spread.partitions").map(_.toInt) match {
+      case Some(0)           => df
+      case Some(k) if k > 0  => df.repartition(k)
+      case _ =>
+        if (df.queryExecution.toRdd.getNumPartitions < math.max(2, par / 2))
+          df.repartition(par)
+        else df
+    }
   }
 
   /** Count-based pair enumeration shared by [[jaccardPairs]] (self
@@ -911,10 +929,7 @@ object Dedup {
   def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: Column,
       t: Double, n: Int = 3): DataFrame = {
     require(t > 0 && t <= 1, "threshold must be in (0, 1]")
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val spread = if (df.rdd.getNumPartitions < math.max(2, par / 2))
-      df.repartition(par) else df
-    val sets = gramSets(spread, idCol, textCol, n)
+    val sets = gramSets(spreadWide(df), idCol, textCol, n)
     val tok = sets
       .select(col("__id"), size(col("__g")).as("__sz"), explode(col("__g")).as("__gram"))
     val dfTab = tok.groupBy(col("__gram")).agg(count(lit(1)).as("__df"))
@@ -955,13 +970,135 @@ object Dedup {
     df.select(col(idCol).as("__id"), grams.as("__g"))
   }
 
+  /** Σ_gram df² — the exact count-based pair join's joined-row count —
+    * from one narrow tokenize pass plus a vocabulary-sized aggregation.
+    * This is [[jaccardPairsAuto]]'s routing probe: the quantity that
+    * goes quadratic on gram-saturated corpora (ADR-003's 48-hour
+    * lesson) is measurable for the cost of a map-side count BEFORE the
+    * join is committed to. */
+  private[graft] def gramJoinRows(df: DataFrame, idCol: String, textCol: Column,
+      n: Int): Long = {
+    val tok = tokens(spreadWide(df), idCol, textCol, n)
+    val row = tok.groupBy(col("__gram")).agg(count(lit(1)).as("__df"))
+      .agg(coalesce(sum(col("__df") * col("__df")), lit(0L)).as("__rows"))
+      .head()
+    row.getLong(0)
+  }
+
+  /** Band width r for [[jaccardPairsBanded]]: the widest divisor of
+    * `numPerm` whose per-pair MISS probability at J = t,
+    * (1 − t^r)^(numPerm/r), stays ≤ 1e-6. Wider bands (AND-
+    * amplification) suppress sub-threshold candidates exponentially;
+    * the bound keeps threshold-passing pairs from being suppressed
+    * with them. r = 1 (miss (1−t)^numPerm) is the always-valid floor. */
+  private[graft] def recallBandRows(t: Double, numPerm: Int): Int =
+    (1 to numPerm).filter(numPerm % _ == 0).filter { r =>
+      (numPerm / r) * math.log1p(-math.pow(t, r)) <= math.log(1e-6)
+    }.maxOption.getOrElse(1)
+
+  /** Exact-verified all-pairs n-gram Jaccard join with banded-MinHash
+    * CANDIDATE generation — the Σdf²-safe sibling of [[jaccardPairs]].
+    *
+    * Same output columns and the same rounded J values (verification
+    * is the exact codegen'd [[jaccardOfSets]] over the gram sets, not
+    * the signature-agreement estimate), but candidates come from LSH
+    * band buckets instead of the gram-token join, so cost is
+    * Σ_bucket |bucket|² over AND-amplified buckets — near-linear on
+    * corpora whose gram vocabulary saturates, where Σ_gram df² (the
+    * count join's row count) goes quadratic. The one contract
+    * difference: per-pair recall at J ≥ t is 1 − (1 − t^r)^b with r
+    * chosen by [[recallBandRows]] so the miss probability is ≤ 1e-6
+    * (deterministic per corpus: signatures are seeded) — vs the count
+    * join's exactly 1.
+    *
+    * Scale shape: one narrow signature map (numPerm hashes per gram),
+    * one ids-only bucket self-join (16-byte rows, ReusedExchange), one
+    * packed-long pair distinct, two hash joins re-attaching gram sets
+    * to CANDIDATE pairs only. The pair set is materialized eagerly
+    * (localCheckpoint) while the gram-set cache is hot. */
+  def jaccardPairsBanded(df: DataFrame, idCol: String, textCol: Column,
+      t: Double, n: Int = 3, numPerm: Int = 128): DataFrame = {
+    require(t > 0 && t <= 1, "threshold must be in (0, 1]")
+    val sets = gramSets(spreadWide(df), idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      sets.count() // eager: the plan fans out (sig side + both verify sides)
+      val r = recallBandRows(t, numPerm)
+      val bands = numPerm / r
+      // band index rides INSIDE the hash (seed column) so the bucket
+      // join keys on one long; a cross-band hash collision only adds a
+      // spurious candidate that exact verification discards.
+      val banded = sets
+        .select(col("__id"), minhashSig(col("__g"), numPerm).as("__sig"))
+        .select(col("__id"), explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("__sig"), b * r + 1, lit(r)), b))).as("__bucket"))
+      val cand = banded.as("l").join(banded.as("r"), Seq("__bucket"))
+        .filter(col("l.__id") < col("r.__id"))
+        .select((shiftleft(col("l.__id"), 32) + col("r.__id")).as("__pair"))
+        .distinct()
+      val sa = sets.select(col("__id").cast("long").as("id_a"), col("__g").as("__ga"))
+      val sb = sets.select(col("__id").cast("long").as("id_b"), col("__g").as("__gb"))
+      cand
+        .select(shiftright(col("__pair"), 32).as("id_a"),
+          col("__pair").bitwiseAND(lit(0xFFFFFFFFL)).as("id_b"))
+        .join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+        .withColumn("jaccard", round(jaccardOfSets(col("__ga"), col("__gb")), 6))
+        .filter(col("jaccard") >= t)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .localCheckpoint(true)
+    } finally sets.unpersist(blocking = false)
+  }
+
+  /** Routing decision behind [[jaccardPairsAuto]], exposed so the
+    * guardrail is spec-testable: true ⟹ the exact count-based join's
+    * Σdf² row count fits the per-document budget. */
+  private[graft] def routeExact(df: DataFrame, idCol: String, textCol: Column,
+      n: Int, maxJoinRowsPerDoc: Long): Boolean = {
+    val joinRows = gramJoinRows(df, idCol, textCol, n)
+    val nDocs = math.max(df.count(), 1L)
+    val exact = joinRows <= maxJoinRowsPerDoc * nDocs
+    val msg = s"jaccardPairsAuto: ngram join probe Σdf²=$joinRows over $nDocs docs " +
+      s"(budget ${maxJoinRowsPerDoc}/doc) → ${if (exact) "exact count join"
+        else "banded-MinHash candidates + exact verify"}"
+    if (exact) log.info(msg) else log.warn(msg)
+    exact
+  }
+
+  /** Self-protecting exact n-gram Jaccard pair join: probes the gram
+    * document-frequency distribution (one cheap aggregation) and runs
+    * the count-based [[jaccardPairs]] only while its Σ_gram df² joined
+    * rows fit `maxJoinRowsPerDoc · nDocs`; past the budget — the gram-
+    * saturated regime where the count join goes quadratic — it routes
+    * to [[jaccardPairsBanded]] (LSH candidates, exact verify) and logs
+    * the decision at WARN. The probe costs one extra tokenize pass
+    * (narrow map + vocabulary-sized aggregation), which the guarded
+    * join dwarfs in every regime where the guard matters. */
+  def jaccardPairsAuto(df: DataFrame, idCol: String, textCol: Column,
+      t: Double, n: Int = 3, maxJoinRowsPerDoc: Long = 8192L): DataFrame =
+    if (recallBandRows(t, 128) < 2) {
+      // r = 1 bands have no AND-amplification: every pair sharing a
+      // single minhash value becomes a candidate, so the banded path
+      // costs ≥ the count join WITH the signature overhead on top
+      // (measured 7× slower at t = 0.3). Below the amplification
+      // regime the exact count join is also the cheaper join.
+      log.warn(s"jaccardPairsAuto: threshold $t too low for AND-amplified banding " +
+        "(r < 2 at numPerm=128) — staying on the exact count join; on a " +
+        "gram-saturated corpus raise t or pre-dedup with minhashDedup")
+      jaccardPairs(df, idCol, textCol, t, n)
+    } else if (routeExact(df, idCol, textCol, n, maxJoinRowsPerDoc))
+      jaccardPairs(df, idCol, textCol, t, n)
+    else jaccardPairsBanded(df, idCol, textCol, t, n)
+
   /** N-gram-Jaccard near-duplicate removal: drops every document whose
     * gram set is ≥ `t` Jaccard-similar to an earlier (lower-id) one,
-    * with candidates from the exact prefix-filtered [[jaccardPairs]]
-    * and removal via left_anti — never a driver collect. */
+    * with candidate pairs from [[jaccardPairsAuto]] — the count-based
+    * exact join while its Σdf² cost probe fits, banded-MinHash
+    * candidates + exact verify on gram-saturated corpora — and removal
+    * via left_anti; never a driver collect. */
   def ngramDedup(df: DataFrame, idCol: String, textCol: Column,
-      t: Double = 0.8, n: Int = 3): DataFrame = {
-    val dupIds = jaccardPairs(df, idCol, textCol, t, n)
+      t: Double = 0.8, n: Int = 3,
+      maxJoinRowsPerDoc: Long = 8192L): DataFrame = {
+    val dupIds = jaccardPairsAuto(df, idCol, textCol, t, n, maxJoinRowsPerDoc)
       .select(col("id_b").as(idCol)).distinct()
     df.join(dupIds, Seq(idCol), "left_anti")
   }

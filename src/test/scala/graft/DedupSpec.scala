@@ -231,6 +231,61 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs((3L, 4L)) === 1.0)
   }
 
+  test("Σdf² guardrail: saturated-vocabulary corpus routes to banded candidates, output identical") {
+    import spark.implicits._
+    // pathological fixture: every gram drawn from a 12-word vocabulary,
+    // so each gram's document frequency is ~corpus-sized and the exact
+    // count join's Σdf² goes quadratic — while almost no PAIR passes
+    // the threshold (docs are random word soup) except the 20 planted
+    // exact duplicates.
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("tla", "toc", "cal", "mex", "nah", "pil",
+      "xoc", "atl", "tep", "mic", "zta", "hui")
+    val base = (0 until 400).map { i =>
+      (i.toLong, (0 until 30).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val dups = (0 until 20).map { i => (1000L + i, base(i)._2) }
+    val docs = (base ++ dups).toDF("id", "t")
+
+    val nDocs = docs.count()
+    val joinRows = Dedup.gramJoinRows(docs, "id", col("t"), 3)
+    assert(joinRows > 8192L * nDocs,
+      s"fixture must be in the quadratic regime: Σdf²=$joinRows for $nDocs docs")
+    assert(!Dedup.routeExact(docs, "id", col("t"), 3, 8192L),
+      "probe must route the saturated corpus away from the count join")
+    // a small real corpus with a tame gram tail routes exact
+    val tiny = base.take(20).toDF("id", "t")
+    assert(Dedup.routeExact(tiny, "id", col("t"), 3, 8192L))
+
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val exact = Dedup.jaccardPairs(docs, "id", col("t"), t = 0.8, n = 3)
+      .collect().map(key).toSet
+    val banded = Dedup.jaccardPairsBanded(docs, "id", col("t"), t = 0.8, n = 3)
+      .collect().map(key).toSet
+    assert(banded === exact, s"banded=${banded.size} exact=${exact.size}")
+    assert(exact.size >= 20, "planted duplicates must appear as pairs")
+    // the banded path's candidate join is bucket-bounded: colliding
+    // band-bucket rows, not Σdf² token matches. Planted dups collide in
+    // every band (32 bands × 20 pairs) plus a stray sub-threshold pair
+    // per band at most — orders of magnitude under the count join.
+    val auto = Dedup.jaccardPairsAuto(docs, "id", col("t"), t = 0.8, n = 3)
+      .collect().map(key).toSet
+    assert(auto === exact)
+    // low thresholds have no AND-amplification (r < 2): auto must stay
+    // on the exact join rather than degrade to r=1 banding
+    assert(Dedup.recallBandRows(0.3, 128) === 1)
+    val low = Dedup.jaccardPairsAuto(tiny, "id", col("t"), t = 0.3, n = 3)
+      .collect().map(key).toSet
+    val lowExact = Dedup.jaccardPairs(tiny, "id", col("t"), t = 0.3, n = 3)
+      .collect().map(key).toSet
+    assert(low === lowExact)
+    // end-to-end: guarded ngramDedup drops exactly the planted dups
+    val kept = Dedup.ngramDedup(docs, "id", col("t"), t = 0.8, n = 3)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val removed = exact.map(_._2)
+    assert(kept === (base ++ dups).map(_._1).toSet -- removed)
+  }
+
   test("ngramDedup keeps the lowest id of each near-dup clique") {
     import spark.implicits._
     val docs = Seq(
