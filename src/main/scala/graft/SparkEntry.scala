@@ -1251,6 +1251,20 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
         .orderBy("doc_id")
     },
+
+    // ---- ExactSubstr rewrite, byte-faithful form: same duplicated-run
+    // detection as q96, but the cut maps back to ORIGINAL character
+    // ranges (native word_char_spans offsets) — casing and the
+    // separators flanking each cut survive, whitespace interior to a
+    // cut goes with it. The DuckDB oracle rebuilds per-word pieces with
+    // the same flanking-separator rule, so the whole offset-mapping
+    // path is hash-checked.
+    "q98_remove_spans_raw" -> { (s, dir) =>
+      Dedup.removeDuplicateSpansRaw(Tables.documents(s, dir), "doc_id", "text",
+          spanWords = 8, minDocs = 2)
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1966,6 +1980,33 @@ object SparkEntry {
         |reb AS (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS text
         |        FROM kept GROUP BY doc_id)
         |SELECT d.doc_id, coalesce(reb.text, '') AS text
+        |FROM documents d LEFT JOIN reb USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q98_remove_spans_raw" ->
+      """WITH w AS (SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |wp AS (SELECT doc_id, ws[i] AS word, i - 1 AS pos
+        |       FROM w, unnest(generate_series(1, len(ws))) AS t(i)),
+        |sp AS (SELECT doc_id, i - 1 AS p, array_to_string(ws[i:i+7], ' ') AS s
+        |       FROM w, unnest(generate_series(1, greatest(len(ws) - 7, 0))) AS t(i)
+        |       WHERE len(ws) >= 8),
+        |dup AS (SELECT s FROM sp GROUP BY s HAVING count(DISTINCT doc_id) >= 2),
+        |cov AS (SELECT DISTINCT sp.doc_id, p + j AS pos
+        |        FROM sp JOIN dup USING (s),
+        |             unnest(generate_series(0, 7)) AS u(j)),
+        |pieces AS (SELECT wp.doc_id, wp.pos,
+        |    (CASE WHEN wp.pos = 0 THEN ''
+        |          WHEN c1.pos IS NOT NULL AND c0.pos IS NOT NULL THEN ''
+        |          ELSE ' ' END) ||
+        |    (CASE WHEN c1.pos IS NOT NULL THEN '' ELSE wp.word END) AS piece
+        |  FROM wp
+        |  LEFT JOIN cov c1 ON wp.doc_id = c1.doc_id AND wp.pos = c1.pos
+        |  LEFT JOIN cov c0 ON wp.doc_id = c0.doc_id AND wp.pos - 1 = c0.pos),
+        |reb AS (SELECT doc_id, string_agg(piece, '' ORDER BY pos) AS text
+        |        FROM pieces GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(reb.text, d.text) AS text
         |FROM documents d LEFT JOIN reb USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 

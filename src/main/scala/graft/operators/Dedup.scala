@@ -608,6 +608,80 @@ object Dedup {
       .select(df.columns.toIndexedSeq.map(col): _*)
   }
 
+  /** ExactSubstr span removal that preserves the ORIGINAL text outside
+    * cut spans — the byte-faithful sibling of [[removeDuplicateSpans]]
+    * (which emits the normalized word stream minus covered words).
+    * Span MATCHING is identical (lower/trim/whitespace-split word
+    * grams, so duplicated runs match case-insensitively at any
+    * offset); the REWRITE maps each maximal covered word run back to a
+    * character range of the original string via the native
+    * [[graft.functions.WordCharSpans]] offsets — word k of the
+    * normalized stream is word k of the original by construction — and
+    * cuts exactly `[start(first word), end(last word))`. Original
+    * casing, inter-word whitespace outside cuts, and edge whitespace
+    * all survive; whitespace INTERIOR to a cut run goes with it, and
+    * the separators flanking a cut both remain (the ExactSubstr
+    * contract: bytes outside the span are untouched). Docs with no
+    * covered span pass through bit-identical (null text stays null); a
+    * fully-covered doc keeps only its edge whitespace.
+    *
+    * Scale shape: [[removeDuplicateSpans]]'s explode/agg/flag-join
+    * stages, plus one gaps-and-islands window keyed by the doc id
+    * (covered runs), two (id, word-pos) equi-joins mapping run ends to
+    * char offsets, and one per-doc fold over the (few) cut ranges —
+    * nothing new shuffles more than ids and positions. */
+  def removeDuplicateSpansRaw(df: DataFrame, idCol: String, textCol: String,
+      spanWords: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(spanWords >= 1, "spanWords must be >= 1")
+    require(minDocs >= 2, "minDocs < 2 would cut every span")
+    val base = spreadWide(df.select(col(idCol), col(textCol).as("__t")))
+    val spans = base
+      .select(col(idCol), posexplode(wordNGrams(col("__t"), spanWords)).as(Seq("__p", "__s")))
+    val dup = spans.groupBy(col("__s"))
+      .agg(count_distinct(col(idCol)).as("__docs"))
+      .filter(col("__docs") >= minDocs)
+      .select(col("__s"))
+    val covered = spans.join(dup, Seq("__s"))
+      .select(col(idCol), explode(sequence(col("__p"), col("__p") + (spanWords - 1)))
+        .as("__pos"))
+      .distinct()
+    // maximal covered runs: classic gaps-and-islands on word positions
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+    val runs = covered
+      .withColumn("__grp", col("__pos") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("__pos")).as("__w0"), max(col("__pos")).as("__w1"))
+    // original-text char offsets per word (packed (start << 32) | end)
+    val offs = base
+      .select(col(idCol), posexplode(text.expr2col(
+        graft.functions.WordCharSpans(text.col2expr(col("__t"))))).as(Seq("__pos", "__se")))
+    val cuts = runs
+      .join(offs.select(col(idCol), col("__pos").as("__w0"),
+        shiftright(col("__se"), 32).cast("int").as("__cs")), Seq(idCol, "__w0"))
+      .join(offs.select(col(idCol), col("__pos").as("__w1"),
+        col("__se").bitwiseAND(lit(0xFFFFFFFFL)).cast("int").as("__ce")), Seq(idCol, "__w1"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__cs"), col("__ce")))).as("__cuts"))
+    // rebuild: fold over the sorted cut ranges keeping the text between
+    // them — a per-doc HOF over a handful of cut structs, not a hot loop
+    val rebuilt = base.join(cuts, Seq(idCol), "left")
+      .withColumn("__new", when(col("__cuts").isNull, col("__t")).otherwise(
+        aggregate(col("__cuts"),
+          struct(lit(0).as("p"), lit("").as("acc")),
+          (st, c) => struct(
+            c.getField("__ce").as("p"),
+            concat(st.getField("acc"),
+              col("__t").substr(st.getField("p") + 1,
+                c.getField("__cs") - st.getField("p"))).as("acc")),
+          st => concat(st.getField("acc"),
+            col("__t").substr(st.getField("p") + 1, length(col("__t")))))))
+      .select(col(idCol), col("__new"))
+    df.drop(textCol).join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, col("__new"))
+      .drop("__new")
+      .select(df.columns.toIndexedSeq.map(col): _*)
+  }
+
   /** Collapse CONSECUTIVE duplicate lines within each document (the
     * in-doc half of the RefinedWeb line rules; [[dedupLines]] is the
     * cross-doc half): `a\na\nb\na` → `a\nb\na` — only adjacent repeats

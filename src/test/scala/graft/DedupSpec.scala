@@ -466,6 +466,43 @@ class DedupSpec extends AnyFunSuite {
     assert(cut === Map(1L -> "", 2L -> ""))
   }
 
+  test("removeDuplicateSpansRaw cuts original char ranges, preserves casing/spacing outside cuts") {
+    // the 8-word run is shared between d1 (mixed case, tab + double-
+    // space separators) and d2 (lowercase, single spaces): matching is
+    // on the NORMALIZED stream, the cut on the ORIGINAL characters
+    val docs = Seq(
+      (1L, "KEEP Me  One Two\tThree Four Five Six Seven Eight tail one"),
+      (2L, "prefix one two three four five six seven eight suffix"),
+      (3L, "unrelated short text"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpansRaw(docs, "doc_id", "text", spanWords = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // d1: cut [start("One"), end("Eight")) — the tab interior to the
+    // run goes with it; the double space BEFORE and the space AFTER
+    // the run both survive (bytes outside the span are untouched)
+    assert(out(1L) === "KEEP Me   tail one", s"got '${out(1L)}'")
+    assert(out(2L) === "prefix  suffix", s"got '${out(2L)}'")
+    assert(out(3L) === "unrelated short text", "no-span doc passes through bit-identical")
+    assert(out(4L) === null, "null text stays null")
+    assert(out.size === 4, "every row survives")
+    // edge cuts: a run at position 0 keeps the separator after it; a
+    // fully-covered doc keeps only its edge whitespace
+    val twins = Seq((1L, " one two three four five six seven eight "),
+      (2L, "ONE TWO three four five six seven eight")).toDF("doc_id", "text")
+    val cut = Dedup.removeDuplicateSpansRaw(twins, "doc_id", "text", spanWords = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cut === Map(1L -> "  ", 2L -> ""), s"got $cut")
+    // non-ASCII multi-byte chars before the cut: offsets are code-point
+    // based, so the cut still lands exactly on the run
+    val uni = Seq((1L, "ñandú tlāhtōlli one two three four five six seven eight"),
+      (2L, "zz one two three four five six seven eight")).toDF("doc_id", "text")
+    val cutU = Dedup.removeDuplicateSpansRaw(uni, "doc_id", "text", spanWords = 8)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cutU(1L) === "ñandú tlāhtōlli ", s"got '${cutU(1L)}'")
+    assert(cutU(2L) === "zz ", s"got '${cutU(2L)}'")
+  }
+
   test("contaminationProfile flags verbatim eval-gram leaks at any offset; clean/short docs pass") {
     val evalQ = "what is the airspeed velocity of an unladen swallow"
     val evalSet = Seq(

@@ -58,7 +58,8 @@ class PlanSpec extends AnyFunSuite {
     // the composed pipeline, resampler, ANN miner and span rewriter
     // stay cartesian-free too
     for (q <- Seq("q92_curation_pipeline", "q93_temperature_resample",
-        "q95_margin_mine_ann", "q96_remove_duplicate_spans")) {
+        "q95_margin_mine_ann", "q96_remove_duplicate_spans",
+        "q97_ngram_dedup_guarded", "q98_remove_spans_raw")) {
       val plan = formatted(q)
       assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
         s"$q must not cross-product:\n$plan")
