@@ -36,6 +36,7 @@ object GraftSession {
     spark.sparkContext.setLogLevel("WARN")
     registerFunctions(spark)
     installOptimizerRules(spark)
+    operators.NanQuarantine.install(spark)
     spark
   }
 

@@ -388,8 +388,12 @@ object Similarity {
         src.select(v.cast("array<double>").as("__v")).filter(col("__v").isNotNull))
         .distinct()
     val dirtyFlag = exists(col("__v"), x => isnan(x))
-    val lv = distinctVecs(left, leftVec)
-    val rv = distinctVecs(right, rightVec)
+    def quarantineObserved(src: DataFrame, side: String): DataFrame =
+      src.observe(NanQuarantine.observationName(s"vecPairsByCosine.$side"),
+        count(lit(1)).as("n_vecs"),
+        sum(when(dirtyFlag, lit(1L)).otherwise(lit(0L))).as("n_dirty"))
+    val lv = quarantineObserved(distinctVecs(left, leftVec), "left")
+    val rv = quarantineObserved(distinctVecs(right, rightVec), "right")
     val lvClean = lv.filter(!dirtyFlag)
     val rvClean = rv.filter(!dirtyFlag)
 
@@ -472,8 +476,14 @@ object Similarity {
     // Cost: |dirty| × n — dirty is empty on sane corpora.
     val vd = col(vecCol).cast("array<double>")
     val dirtyFlag = exists(vd, x => isnan(x))
-    val clean = df.filter(coalesce(!dirtyFlag, lit(false)))
-    val dirty = df.filter(coalesce(dirtyFlag, lit(true)))
+    // observed metrics make the quarantine envelope visible: the
+    // NanQuarantine listener WARNs post-run when the dirty fraction
+    // crosses its bound (no extra job — metrics ride the plan)
+    val observed = df.observe(NanQuarantine.observationName("similarPairsApprox"),
+      count(lit(1)).as("n_vecs"),
+      sum(when(coalesce(dirtyFlag, lit(true)), lit(1L)).otherwise(lit(0L))).as("n_dirty"))
+    val clean = observed.filter(coalesce(!dirtyFlag, lit(false)))
+    val dirty = observed.filter(coalesce(dirtyFlag, lit(true)))
 
     val (assigned, allowed) = cellPartition(clean, idCol, vecCol, t, nCells, seed)
     val spark = df.sparkSession

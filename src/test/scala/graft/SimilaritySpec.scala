@@ -96,8 +96,24 @@ class SimilaritySpec extends AnyFunSuite {
     assert(exact === Set((1L, 2L), (1L, 3L), (2L, 3L)),
       s"exact baseline keeps NaN pairs: $exact")
     val pruned = Similarity.similarPairsApprox(df, "vec_id", "embedding", t = 0.9, nCells = 4)
-      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(pruned === exact, "pruned output must equal exact incl. NaN pairs")
+    // the action must run on `pruned` ITSELF: observed metrics live on
+    // the executed QueryExecution, not on derived datasets' plans
+    val prunedPairs = pruned.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prunedPairs === exact, "pruned output must equal exact incl. NaN pairs")
+    // the quarantine is OBSERVABLE: the plan carries a
+    // graft.nan_quarantine.* metric pair counting total and dirty
+    // vectors, and the listener's threshold logic fires on this mix
+    val metrics = pruned.queryExecution.observedMetrics
+      .filter { case (name, _) => name.startsWith(operators.NanQuarantine.prefix) }
+    assert(metrics.nonEmpty, s"quarantine metrics must surface: ${pruned.queryExecution.observedMetrics.keys}")
+    val row = metrics.values.head
+    assert(row.getAs[Long]("n_vecs") === 3L && row.getAs[Long]("n_dirty") === 1L,
+      s"got $row")
+    val warn = operators.NanQuarantine.checkRow("m", 3L, 1L)
+    assert(warn.exists(_.contains("1 of 3")), s"dirty third must warn: $warn")
+    assert(operators.NanQuarantine.checkRow("m", 1000000L, 2L).isEmpty,
+      "trace NaN rates stay quiet")
+    assert(operators.NanQuarantine.checkRow("m", 100L, 0L).isEmpty)
   }
 
   test("cell pruning actually prunes cell pairs on clustered vectors") {
