@@ -919,12 +919,15 @@ object SparkEntry {
     },
 
     // ---- Embedding QA: per-label centroid cohesion (mean/min member
-    // cosine to the label centroid), NaN vectors quarantined. Centroid
-    // components are double sums whose last ulp depends on partition
-    // merge order — deliberately rows-only; SimilaritySpec pins the
-    // geometry on exactly-representable fixtures.
+    // cosine to the label centroid), NaN vectors quarantined. The
+    // hash-stable mode rounds every merge-order-dependent intermediate
+    // (per-dim sums → 4, the three dot products → 6, the cosine sum →
+    // 4) BEFORE it is consumed, so DuckDB reproduces the values
+    // bit-for-bit and the report hash-oracles; SimilaritySpec pins the
+    // unrounded geometry on exactly-representable fixtures.
     "q74_centroid_report" -> { (s, dir) =>
-      Similarity.centroidReport(Tables.embeddings(s, dir), "label", "embedding")
+      Similarity.centroidReport(Tables.embeddings(s, dir), "label", "embedding",
+        hashStable = true)
     },
 
     // ---- The composed curation gate — the engine's quality filters
@@ -2332,6 +2335,39 @@ object SparkEntry {
         |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) / tot, 6) AS cum_share
         |FROM top CROSS JOIN t
         |ORDER BY rank""".stripMargin,
+
+    // Mirrors centroidReport(hashStable = true): every merge-order-
+    // dependent float intermediate is rounded BEFORE it is consumed
+    // (per-dim sums @4 → centroid, the three dot products @6 → cosine,
+    // the cosine sum @4 → mean), so both engines compute from the
+    // identical pinned values and the report hash-matches.
+    "q74_centroid_report" ->
+      """WITH clean AS (
+        |  SELECT label, CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL AND len(embedding) > 0
+        |    AND len(list_filter(embedding, x -> isnan(x))) = 0),
+        |dims AS (
+        |  SELECT label, i, round(sum(v[i]), 4) AS s, count(*) AS n
+        |  FROM clean, unnest(generate_series(1, len(v))) AS t(i)
+        |  GROUP BY label, i),
+        |cent AS (
+        |  SELECT label, list(s / n ORDER BY i) AS c FROM dims GROUP BY label),
+        |scored AS (
+        |  SELECT cl.label,
+        |    round(list_dot_product(cl.v, ce.c), 6) AS dvc,
+        |    round(list_dot_product(cl.v, cl.v), 6) AS dvv,
+        |    round(list_dot_product(ce.c, ce.c), 6) AS dcc
+        |  FROM clean cl JOIN cent ce USING (label)),
+        |cosd AS (
+        |  SELECT label,
+        |    CASE WHEN dvv <= 0 OR dcc <= 0 THEN 0.0
+        |         ELSE dvc / (sqrt(dvv) * sqrt(dcc)) END AS cos
+        |  FROM scored)
+        |SELECT label, count(*) AS n_vectors,
+        |  round(round(sum(cos), 4) / count(*), 6) AS mean_cos_to_centroid,
+        |  round(min(cos), 6) AS min_cos_to_centroid
+        |FROM cosd GROUP BY label ORDER BY label""".stripMargin,
 
     "q75_curation_gate" ->
       """WITH w AS (SELECT doc_id,

@@ -50,9 +50,15 @@ object UnifyCli {
       println(s"[unify] input=${stats.input} valid=${stats.valid} deduped=${stats.deduped} " +
         s"malformed=${stats.malformed} " +
         s"train=${stats.train} validation=${stats.validation} test=${stats.test}")
-      val exit = Quality.gate(results)
+      // composite gate: the exit code's BITS identify the failed
+      // checks (bit i = check i of the suite); the names print too,
+      // since POSIX truncates the status to 8 bits
+      val code = Quality.gateCode(results)
+      if (code != 0L)
+        println(s"[quality] gate failed code=$code " +
+          s"checks=${Quality.failedChecks(results).mkString(",")}")
       spark.stop()
-      if (exit != 0) sys.exit(exit)
+      if (code != 0L) sys.exit((code & 0x7f).toInt.max(1))
     } catch {
       case e: Exception =>
         tracker.fail(e.getMessage)

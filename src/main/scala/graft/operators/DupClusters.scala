@@ -35,20 +35,30 @@ object DupClusters {
     * partial-aggregated min), plus a POINTER-JUMP (`label ←
     * label(label)`, one self-join) that halves remaining label-chain
     * depth, giving O(log diameter) rounds instead of O(diameter);
-    * every round's result is localCheckpoint-ed so the plan stays
+    * every round's result is checkpointed so the plan stays
     * O(1)-deep instead of growing by joins-per-round. `maxIter`
-    * guards adversarial chains (use reliable `checkpoint` over
-    * `localCheckpoint` on a real cluster for fault tolerance across
-    * long loops).
-    */
+    * guards adversarial chains.
+    *
+    * Fault tolerance: when the session has a RELIABLE checkpoint
+    * directory configured (`sc.setCheckpointDir(...)` — HDFS/S3 on a
+    * real cluster), every materialization in the loop uses
+    * `checkpoint` (survives executor loss; a lost localCheckpoint
+    * block aborts the job, acceptable only single-node). Without one,
+    * falls back to `localCheckpoint` — the right default for
+    * local[n] where executor==driver anyway. */
   def connectedComponents(
       vertices: DataFrame, edges: DataFrame, maxIter: Int = 30,
       driverEdgeThreshold: Long = 2L << 20): DataFrame = {
     val idCol = vertices.columns.head
+    // reliable checkpoint when the session has a checkpoint dir
+    // (cluster fault tolerance across the long loop), local otherwise
+    val reliable = vertices.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     // materialize the edge list BEFORE symmetrizing: the union would
     // otherwise embed the (expensive) pair-enumeration plan in both
     // branches and execute it twice.
-    val e0 = edges.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val e0 = materialize(edges.select(col("id_a"), col("id_b")))
     val nEdges = e0.count()
 
     // Small-graph fast path: after near-dup pair enumeration the edge
@@ -101,18 +111,17 @@ object DupClusters {
     val nParts = math.max(1L, math.min(
       e0.sparkSession.sparkContext.defaultParallelism.toLong,
       nEdges / 2000000L + 1L)).toInt
-    val sym = e0.select(col("id_a").as("id"), col("id_b").as("nbr"))
-      .union(e0.select(col("id_b").as("id"), col("id_a").as("nbr")))
-      .repartition(nParts)
-      .localCheckpoint(true)
-    val endpoints = sym.select(col("id")).distinct().localCheckpoint(true)
+    val sym = materialize(
+      e0.select(col("id_a").as("id"), col("id_b").as("nbr"))
+        .union(e0.select(col("id_b").as("id"), col("id_a").as("nbr")))
+        .repartition(nParts))
+    val endpoints = materialize(sym.select(col("id")).distinct())
 
     // seed labels with min(id, min neighbor) — one aggregation over the
     // edge list that IS the loop's first neighbor-min round, so star
     // graphs (the common near-dup shape) start already converged.
-    var labels = sym.groupBy(col("id"))
-      .agg(least(col("id"), min(col("nbr"))).as("cluster"))
-      .localCheckpoint(true)
+    var labels = materialize(sym.groupBy(col("id"))
+      .agg(least(col("id"), min(col("nbr"))).as("cluster")))
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
@@ -127,11 +136,10 @@ object DupClusters {
       // and reachable, so label(label(v)) is a valid (better) label —
       // path halving on the label chains.
       val jump = stepped.select(col("id").as("__c1"), col("__c1").as("__jc"))
-      val next = stepped.join(jump, Seq("__c1"), "left")
+      val next = materialize(stepped.join(jump, Seq("__c1"), "left")
         .select(col("id"),
           least(col("__c1"), coalesce(col("__jc"), col("__c1"))).as("cluster"),
-          (least(col("__c1"), coalesce(col("__jc"), col("__c1"))) < col("__old")).as("__chg"))
-        .localCheckpoint(true)
+          (least(col("__c1"), coalesce(col("__jc"), col("__c1"))) < col("__old")).as("__chg")))
       changed = next.filter(col("__chg")).count()
       labels = next.drop("__chg")
       iter += 1

@@ -155,8 +155,33 @@ object Quality {
     run(df, checks).toDF("check_name", "observed", "passed")
   }
 
-  /** Exit-code gate à la scripts/run_quality_check.py:205-260. */
-  def gate(results: Seq[CheckResult]): Int = if (results.forall(_.passed)) 0 else 1
+  /** Composite exit-code gate à la scripts/run_quality_check.py (the
+    * reference CI reads the process exit to learn WHICH expectation
+    * failed, not just that one did): bit i is set iff check i failed,
+    * so 0 = all green, 5 = checks 0 and 2 failed, etc. Suites longer
+    * than 62 checks collapse the tail into the overflow bit 62 (bit 63
+    * would flip the sign; POSIX truncates exit statuses to 8 bits, so
+    * callers that need the full mask read the returned Long — the CLI
+    * also prints the failed names). Reserve 2 for operational errors
+    * (the reference's convention: 0 pass / non-zero with failure
+    * identity / 2 crash) by never mapping a check to a lone bit 1 …
+    * that would collide; instead the CLI exits with
+    * `min(code, 125)`-style clamping left to the caller. */
+  def gateCode(results: Seq[CheckResult]): Long =
+    results.zipWithIndex.foldLeft(0L) { case (acc, (r, i)) =>
+      if (r.passed) acc
+      else if (i < 62) acc | (1L << i)
+      else acc | (1L << 62)
+    }
+
+  /** Names of the failed checks, in suite order (the human-readable
+    * companion of [[gateCode]]'s bitmask). */
+  def failedChecks(results: Seq[CheckResult]): Seq[String] =
+    results.filterNot(_.passed).map(_.name)
+
+  /** Boolean gate (0/1) — [[gateCode]] carries the failure identity. */
+  def gate(results: Seq[CheckResult]): Int =
+    if (gateCode(results) == 0L) 0 else 1
 
   /** The reference's Great Expectations suite, check for check
     * (/root/reference/great_expectations/expectations/

@@ -47,9 +47,16 @@ object Similarity {
     * per-label centroid assembly, one broadcast-sized join back, one
     * final per-label aggregation. Float caveat: centroid components
     * are double sums, so last-ulp totals depend on partition merge
-    * order — this report is for QA thresholds, not hash-exact oracles
-    * (rounded to 6 places, far above the ulp noise). */
-  def centroidReport(df: DataFrame, labelCol: String, vecCol: String): DataFrame = {
+    * order — by default this report is for QA thresholds, not
+    * hash-exact oracles (rounded to 6 places, far above the ulp
+    * noise). `hashStable = true` pins every merge-order-dependent
+    * intermediate with an explicit round BEFORE it is consumed
+    * (per-dim sums at 4 before the mean, the three dot products at 6
+    * before the cosine, the cosine sum at 4 before the per-label
+    * mean) — identical values on any engine that rounds the same
+    * intermediates, so the report hash-oracles against DuckDB. */
+  def centroidReport(df: DataFrame, labelCol: String, vecCol: String,
+      hashStable: Boolean = false): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     val clean = df
       .filter(v.isNotNull && size(v) > 0 && !exists(v, x => isnan(x)))
@@ -57,17 +64,30 @@ object Similarity {
     val byDim = clean
       .select(col("label"), posexplode(col("__v")).as(Seq("__i", "__x")))
       .groupBy(col("label"), col("__i"))
-      .agg(sum(col("__x")).as("__s"), count(lit(1)).as("__n"))
+      .agg((if (hashStable) round(sum(col("__x")), 4) else sum(col("__x"))).as("__s"),
+        count(lit(1)).as("__n"))
     val centroids = byDim.groupBy(col("label"))
       .agg(transform(
         array_sort(collect_list(struct(col("__i"), (col("__s") / col("__n")).as("__c")))),
         s => s.getField("__c")).as("__centroid"))
-    clean.join(broadcast(centroids), Seq("label"))
-      .select(col("label"), cosine(col("__v"), col("__centroid")).as("__cos"))
+    val memberCos =
+      if (hashStable) {
+        val dvc = round(dot(col("__v"), col("__centroid")), 6)
+        val dvv = round(dot(col("__v"), col("__v")), 6)
+        val dcc = round(dot(col("__centroid"), col("__centroid")), 6)
+        when(dvv <= 0 || dcc <= 0, lit(0.0d))
+          .otherwise(dvc / (sqrt(dvv) * sqrt(dcc)))
+      } else cosine(col("__v"), col("__centroid"))
+    val scored = clean.join(broadcast(centroids), Seq("label"))
+      .select(col("label"), memberCos.as("__cos"))
+    val meanCos =
+      if (hashStable) round(round(sum(col("__cos")), 4) / count(lit(1)), 6)
+      else round(avg(col("__cos")), 6)
+    scored
       .groupBy(col("label"))
       .agg(
         count(lit(1)).as("n_vectors"),
-        round(avg(col("__cos")), 6).as("mean_cos_to_centroid"),
+        meanCos.as("mean_cos_to_centroid"),
         round(min(col("__cos")), 6).as("min_cos_to_centroid"))
       .orderBy("label")
   }

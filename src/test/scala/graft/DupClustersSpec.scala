@@ -40,6 +40,25 @@ class DupClustersSpec extends AnyFunSuite {
     assert(m1 === m2)
   }
 
+  test("reliable-checkpoint branch: a session checkpoint dir switches the loop to checkpoint()") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cc-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val vs = (0L to 20L).toSeq
+      val es = vs.sliding(2).map(p => (p(1), p(0))).toSeq
+      val m = comps(vs, es) // distributed loop (threshold 0) + reliable branch
+      assert(m.values.toSet === Set(0L))
+      // reliable checkpoints actually landed in the configured dir
+      def fileCount(p: java.io.File): Int =
+        if (p.isDirectory) p.listFiles().map(fileCount).sum else 1
+      assert(fileCount(new java.io.File(dir)) > 0,
+        "checkpoint(true) must write RDD blocks under the checkpoint dir")
+    } finally {
+      spark.sparkContext.setCheckpointDir(null) // restore localCheckpoint default
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("driver union-find fast path agrees with the distributed loop") {
     val vs = (0L to 40L).toDF("id")
     val es = (0L to 40L).sliding(2).map(p => (p(1), p(0))).toSeq ++

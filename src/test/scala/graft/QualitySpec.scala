@@ -44,6 +44,27 @@ class QualitySpec extends AnyFunSuite {
     assert(Quality.gate(fail) === 1)
   }
 
+  test("gateCode identifies WHICH checks failed (bit i = check i)") {
+    // suite: [row_count ok, not_null_nah FAIL, unique_es FAIL,
+    //         not_null_es ok] → bits 1 and 2 → code 6
+    val suite = Seq(RowCountCheck(1), NotNullCheck("nah", 0.95),
+      UniquenessCheck("es", 0.98, 1.0), NotNullCheck("es", 1.0))
+    val results = Quality.run(corpus, suite)
+    assert(Quality.gateCode(results) === 6L)
+    assert(Quality.failedChecks(results) === Seq("not_null_nah", "unique_es"))
+    // single failures map to their own bit
+    assert(Quality.gateCode(Quality.run(corpus, Seq(RowCountCheck(100)))) === 1L)
+    assert(Quality.gateCode(Quality.run(corpus,
+      Seq(RowCountCheck(1), RowCountCheck(100)))) === 2L)
+    // all-green is exactly 0 regardless of suite size
+    assert(Quality.gateCode(Quality.run(corpus,
+      Seq(RowCountCheck(1), NotNullCheck("es", 1.0)))) === 0L)
+    // overflow: a failure past bit 61 collapses into bit 62
+    val many = Seq.tabulate(63)(_ => CheckResult("c", 0.0, passed = true)) :+
+      CheckResult("tail_fail", 0.0, passed = false)
+    assert(Quality.gateCode(many) === (1L << 62))
+  }
+
   test("runAsDF yields warehouse-sinkable frame") {
     val df = Quality.runAsDF(corpus, Seq(RowCountCheck(1), NotNullCheck("es", 1.0)))
     assert(df.columns.toSeq === Seq("check_name", "observed", "passed"))
