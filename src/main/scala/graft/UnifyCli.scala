@@ -20,7 +20,10 @@ object UnifyCli {
     require(args.length >= 4,
       "usage: UnifyCli <silverGlob> <diamondGlob> <goldDir> <warehouseDir> [seed]")
     val Array(silverGlob, diamondGlob, goldDir, warehouseDir) = args.take(4)
-    val seed = if (args.length > 4) args(4).toLong else 42L
+    // validated settings from GRAFT_* env vars (the reference's
+    // CORC_NAH_* pydantic Settings); an explicit seed arg wins
+    val cfg = GraftConfig.fromEnv()
+    val seed = if (args.length > 4) args(4).toLong else cfg.seed
 
     val spark = GraftSession.get(
       s"local[${Runtime.getRuntime.availableProcessors()}]")
@@ -30,12 +33,13 @@ object UnifyCli {
         spark,
         if (silverGlob.nonEmpty) Seq(silverGlob) else Nil,
         if (diamondGlob.nonEmpty) Seq(diamondGlob) else Nil,
-        goldDir, seed)
+        goldDir, seed, cfg.normalizedRatios)
 
       val gold = spark.read.json(goldDir)
-      // volume bounds scaled to the actual corpus here; the production
-      // config pins the GE suite's 100k-10M
-      val results = Quality.run(gold, Quality.corpusSuite(minVolume = 1L))
+      // volume bounds default to 1-10M here; production sets
+      // GRAFT_MIN_VOLUME=100000 to pin the GE suite's 100k-10M
+      val results = Quality.run(gold,
+        Quality.corpusSuite(minVolume = cfg.minVolume, maxVolume = cfg.maxVolume))
       results.foreach(r => tracker.metric(r.name, r.observed, "rate"))
       tracker.metric("records_output", stats.deduped.toDouble)
       tracker.metric("records_malformed", stats.malformed.toDouble)

@@ -76,13 +76,15 @@ object UnifyPipeline {
   }
 
   /** O4 seeded split assignment on the dedup key. */
-  def withSplit(df: DataFrame, seed: Long): DataFrame =
+  def withSplit(df: DataFrame, seed: Long,
+      ratios: Seq[(String, Double)] = Split.defaultRatios): DataFrame =
     df.withColumn("split",
-      Split.assign(text.dedup_key(col("es"), col("nah"), col("myn")), seed))
+      Split.assign(text.dedup_key(col("es"), col("nah"), col("myn")), seed, ratios))
 
   /** Run the full pipeline over already-loaded layer frames. */
-  def unify(layers: Seq[DataFrame], seed: Long = 42L): DataFrame =
-    withSplit(dedupBest(validRecords(layers)), seed)
+  def unify(layers: Seq[DataFrame], seed: Long = 42L,
+      ratios: Seq[(String, Double)] = Split.defaultRatios): DataFrame =
+    withSplit(dedupBest(validRecords(layers)), seed, ratios)
 
   /** End-to-end: read layer directories, unify, write gold, return stats.
     *
@@ -100,7 +102,8 @@ object UnifyPipeline {
       silverGlobs: Seq[String],
       diamondGlobs: Seq[String],
       goldDir: String,
-      seed: Long = 42L): UnifyStats = {
+      seed: Long = 42L,
+      ratios: Seq[(String, Double)] = Split.defaultRatios): UnifyStats = {
     val layerGlobs = Seq("silver" -> silverGlobs, "diamond" -> diamondGlobs)
       .filter(_._2.nonEmpty)
     val layers = layerGlobs.map { case (layer, globs) =>
@@ -108,7 +111,7 @@ object UnifyPipeline {
     }
     val validObs = org.apache.spark.sql.Observation()
     val valid = validRecords(layers).observe(validObs, count(lit(1)).as("n"))
-    val gold = withSplit(dedupBest(valid), seed).cache()
+    val gold = withSplit(dedupBest(valid), seed, ratios).cache()
     try {
       CorpusIO.writeJsonl(gold, goldDir, partitionByCols = Seq("split"))
       // one aggregation pass for the run-stats rollup (A12)

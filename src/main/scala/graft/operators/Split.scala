@@ -21,11 +21,16 @@ import org.apache.spark.sql.functions._
   */
 object Split {
 
+  /** The reference's 90/5/5 (unify.py:277-316, config.py train/val/
+    * test_ratio defaults) — override per-run via [[graft.GraftConfig]]. */
+  val defaultRatios: Seq[(String, Double)] =
+    Seq("train" -> 0.9, "validation" -> 0.05, "test" -> 0.05)
+
   /** Assign a split label from the hash of `key`. Ratios must sum to 1. */
   def assign(
       key: Column,
       seed: Long = 42L,
-      ratios: Seq[(String, Double)] = Seq("train" -> 0.9, "validation" -> 0.05, "test" -> 0.05)): Column = {
+      ratios: Seq[(String, Double)] = defaultRatios): Column = {
     require(math.abs(ratios.map(_._2).sum - 1.0) < 1e-9, "ratios must sum to 1")
     // xxhash64 → uniform in [Long.Min, Long.Max]; rescale to [0,1).
     val u = (xxhash64(key, lit(seed)).cast("double") - lit(Long.MinValue.toDouble)) /
