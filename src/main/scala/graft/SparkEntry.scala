@@ -442,7 +442,7 @@ object SparkEntry {
     // join, so the all-pairs DuckDB oracle hash-checks it.
     "q41_similar_pairs_full" -> { (s, dir) =>
       Similarity.similarPairsApprox(Tables.embeddings(s, dir), "vec_id", "embedding",
-          t = 0.4, nCells = 8)
+          t = 0.4)
         .orderBy("id_a", "id_b")
     },
 
@@ -450,7 +450,7 @@ object SparkEntry {
     // same pruned candidate path (Dedup.embeddingDedup default).
     "q42_embedding_dedup" -> { (s, dir) =>
       Dedup.embeddingDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
-          threshold = 0.4, nCells = 8)
+          threshold = 0.4)
         .select("vec_id").orderBy("vec_id")
     },
 
@@ -544,7 +544,7 @@ object SparkEntry {
     "q47_dup_clusters" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val pairs = Similarity.similarPairsApprox(emb, "vec_id", "embedding",
-        t = 0.4, nCells = 8)
+        t = 0.4)
       DupClusters.connectedComponents(emb.select(col("vec_id")), pairs)
         .select(col("id").as("vec_id"), col("cluster").as("cluster_id"))
         .orderBy("vec_id")
@@ -557,7 +557,7 @@ object SparkEntry {
     "q48_cluster_dedup" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val pairs = Similarity.similarPairsApprox(emb, "vec_id", "embedding",
-        t = 0.4, nCells = 8)
+        t = 0.4)
       DupClusters.clusterDedup(emb, "vec_id", pairs,
           Seq(col("label"), -col("vec_id")))
         .select(col("vec_id"), col("label"))

@@ -1189,7 +1189,7 @@ object Dedup {
     * corpora. `exact = true` keeps the O(n²) cross join as a
     * cross-check baseline for small inputs. */
   def embeddingDedup(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double = 0.95, exact: Boolean = false, nCells: Int = 16): DataFrame = {
+      threshold: Double = 0.95, exact: Boolean = false, nCells: Int = 0): DataFrame = {
     val pairs =
       if (exact)
         Similarity.similarPairs(

@@ -388,6 +388,18 @@ object Similarity {
     math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(
       math.max(1, nCells - 1).toLong).toInt)
 
+  /** Corpus-sized cell count for [[similarPairsApprox]]: ~256 vectors
+    * per cell (verify cost on balanced cells ≈ n²/k, so a FIXED k
+    * grows quadratically with the corpus — the round-4 scale rehearsal
+    * measured exactly that shape at 10× data). Clamped to [8, 1024]:
+    * the upper bound keeps the driver-side metadata (k×dim centroid
+    * sums, k² pruning angles) and the broadcast allowlist (≤ k² int
+    * pairs) at single-digit-MB envelopes on any corpus. Cell count
+    * affects cost only — the exact verify makes output independent of
+    * it. */
+  private[graft] def autoCells(n: Long): Int =
+    math.min(1024L, math.max(8L, n / 256L)).toInt
+
   /** DISTINCT (left-vector, right-vector) ORDERED pairs whose exact
     * cosine satisfies the threshold — the relational core behind
     * [[graft.plans.CosineJoinRewrite]] (the vector analog of
@@ -480,10 +492,16 @@ object Similarity {
     * (/root/reference/pipeline/alignment/aligner.py:15-52) — same
     * coarse-quantize-then-verify shape as its IVF variants, with the
     * pruning made loss-free.
+    *
+    * `nCells <= 0` (the default) sizes the cell count from the corpus
+    * via [[autoCells]] (~256 vectors/cell, clamped) — a fixed cell
+    * count makes Σ|cell|² quadratic in the corpus; auto-sizing keeps
+    * it ~256·n. One extra count() action, against the input scan.
     */
   def similarPairsApprox(
       df: DataFrame, idCol: String, vecCol: String, t: Double,
-      nCells: Int = 16, seed: Long = 42L): DataFrame = {
+      nCells: Int = 0, seed: Long = 42L): DataFrame = {
+    val cells = if (nCells > 0) nCells else autoCells(df.count())
     // NaN/null quarantine — required for the exact-output guarantee:
     // a NaN element makes the pair similarity NaN, which Spark AND
     // DuckDB order ABOVE every threshold, so the exact join KEEPS such
@@ -505,7 +523,7 @@ object Similarity {
     val clean = observed.filter(coalesce(!dirtyFlag, lit(false)))
     val dirty = observed.filter(coalesce(dirtyFlag, lit(true)))
 
-    val (assigned, allowed) = cellPartition(clean, idCol, vecCol, t, nCells, seed)
+    val (assigned, allowed) = cellPartition(clean, idCol, vecCol, t, cells, seed)
     val spark = df.sparkSession
     val allowedDf = spark.createDataFrame(allowed).toDF("__ca", "__cb")
     val a = assigned.select(col("__id").as("id_a"), col("__v").as("__va"),

@@ -75,6 +75,22 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(exact.nonEmpty, "fixture should contain at least one qualifying pair")
     assert(pruned === exact, "cell pruning must be loss-free (exact-output guarantee)")
+    // auto-sized cells (nCells <= 0, the default) are a cost knob only:
+    // identical output through a different cell partition
+    val auto = Similarity.similarPairsApprox(emb, "vec_id", "embedding", t = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(auto === exact, "auto-sized cells must preserve the exact output")
+  }
+
+  test("autoCells: ~256 vectors per cell, clamped to [8, 1024]") {
+    assert(Similarity.autoCells(0L) === 8)
+    assert(Similarity.autoCells(2000L) === 8)
+    assert(Similarity.autoCells(256L * 64) === 64)
+    assert(Similarity.autoCells(20000L) === 78)
+    assert(Similarity.autoCells(10_000_000L) === 1024)
+    // monotone in corpus size within the clamp window
+    val pts = Seq(3000L, 10000L, 50000L, 200000L).map(Similarity.autoCells)
+    assert(pts === pts.sorted)
   }
 
   test("NaN vectors cannot poison cell geometry (exactness regression)") {
