@@ -1268,6 +1268,19 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
         .orderBy("doc_id")
     },
+
+    // ---- Byte-balanced shard assignment: a GLOBAL ordered cost
+    // cumsum computed by distributed prefix-sum (quantile-bucket
+    // boundaries + per-bucket windows + driver prefix of B bucket
+    // totals — never a 1-partition window). Hash-checked per-row
+    // against DuckDB's single sequential window, proving the whole
+    // bucketing/offset machinery equals the textbook definition.
+    "q99_shard_assign" -> { (s, dir) =>
+      Split.assignShards(Tables.documents(s, dir),
+          col("doc_id"), length(col("text")), targetCost = 16384L)
+        .select(col("doc_id"), col("shard"), col("shard_offset"))
+        .orderBy("doc_id")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2012,6 +2025,15 @@ object SparkEntry {
         |SELECT d.doc_id, coalesce(reb.text, d.text) AS text
         |FROM documents d LEFT JOIN reb USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    "q99_shard_assign" ->
+      """WITH c AS (SELECT doc_id,
+        |    CAST(coalesce(sum(length(text)) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+        |  FROM documents)
+        |SELECT doc_id, start // 16384 AS shard,
+        |  start % 16384 AS shard_offset
+        |FROM c ORDER BY doc_id""".stripMargin,
 
     "q94_column_profile" ->
       """SELECT * FROM (

@@ -271,6 +271,102 @@ object Split {
       .drop("__cluster")
   }
 
+  /** Byte-balanced shard assignment — the OUTPUT-layout primitive a
+    * training-data pipeline needs between curation and the loader:
+    * lay the corpus out in ascending `key` order as one cost stream
+    * (cost = bytes, tokens, ...) cut every `targetCost`, and give each
+    * row the shard where its first unit lands (`shard`) plus its
+    * offset into that shard (`shard_offset`). Every shard except the
+    * last then carries `targetCost ± max(cost)` — size-balanced files
+    * for sequential loaders, unlike row-count `NTILE` sharding, which
+    * skews bytes whenever document length does.
+    *
+    * Semantics are exactly "global exclusive cumsum of `cost` ordered
+    * by `key`, divided by `targetCost`" — SQL-expressible, so the
+    * whole distributed machinery below is hash-checked against a
+    * single DuckDB window (q99).
+    *
+    * Scale shape — a GLOBAL ordered cumsum without a global window
+    * (a 1-partition window is the textbook driver-shaped bottleneck;
+    * Spark even warns "No Partition Defined for Window"). Classic
+    * distributed prefix-sum instead:
+    *   1. bucket boundaries = `approx_percentile(key)` at `buckets`
+    *      quantiles — one aggregation, B-1 longs to the driver
+    *      (deterministic: Greenwald-Khanna has no RNG);
+    *   2. bucket id = [[graft.functions.RankInSortedLongs]] O(log B)
+    *      map-side probe (boundaries ride as a codegen reference
+    *      object — no join);
+    *   3. per-bucket totals → driver exclusive prefix → offsets array
+    *      indexed by `element_at` (B longs, map-side again);
+    *   4. ONE shuffle: a per-bucket window (partitionBy bucket,
+    *      orderBy key) adds the within-bucket exclusive cumsum to the
+    *      bucket's offset.
+    * Buckets are quantile-sized (~n/B rows each), so the window's
+    * per-partition sort is bounded; `buckets` scales with cluster
+    * parallelism, and the OUTPUT is invariant to it (SplitSpec).
+    *
+    * `key` must be a unique long id (ties would leave the stream
+    * order — and the cut points — engine-defined); `cost` must be
+    * non-negative and non-null.
+    */
+  def assignShards(
+      df: DataFrame,
+      key: Column,
+      cost: Column,
+      targetCost: Long,
+      buckets: Int = 64): DataFrame = {
+    require(targetCost > 0, "targetCost must be positive")
+    require(buckets > 0, "buckets must be positive")
+    val keyed = df.withColumn("__k", key.cast("long"))
+      .withColumn("__c", cost.cast("long"))
+    // 1. deterministic range boundaries: B-1 interior quantiles of key
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val bounds: Array[Long] =
+      if (probs.isEmpty) Array.empty // buckets=1: everything in bucket 0
+      else {
+        val row = keyed.agg(
+          percentile_approx(col("__k"), lit(probs.toArray), lit(10000)).as("bs"))
+          .head()
+        if (row.isNullAt(0)) Array.empty // empty input
+        else row.getSeq[Long](0).distinct.sorted.toArray
+      }
+    // 2. map-side bucket id (0..|bounds|); rank counts bounds <= k, so
+    // rows AT a boundary land with their predecessors — any monotone
+    // tie-break works, it only moves the bucket edge, not the order
+    val bucketOf = graft.functions.text.expr2col(
+      graft.functions.RankInSortedLongs(
+        graft.functions.text.col2expr(col("__k")), bounds))
+    val bucketed = keyed.withColumn("__b", bucketOf)
+    // 3. bucket totals (B rows) → exclusive prefix offsets on the driver
+    val totals = bucketed.groupBy(col("__b")).agg(sum(col("__c")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets: Array[Long] = (0 to bounds.length)
+      .map(totals.getOrElse(_, 0L))
+      .scanLeft(0L)(_ + _).init.toArray
+    // 4. one bucket-partitioned window; global cumsum = offset + local
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("__k"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val globalStart =
+      element_at(lit(offsets), col("__b") + 1) + coalesce(sum(col("__c")).over(w), lit(0L))
+    bucketed
+      .withColumn("shard", floor(globalStart / targetCost).cast("long"))
+      .withColumn("shard_offset", (globalStart % targetCost).cast("long"))
+      .drop("__k", "__c", "__b")
+  }
+
+  /** Write [[assignShards]] output as one directory per shard
+    * (`shard=N/`), one file per shard (`repartition` by the shard id
+    * before `partitionBy`, so a 1000-executor write still emits
+    * exactly one loader-sized file per shard instead of
+    * executors × shards fragments). */
+  def writeShards(df: DataFrame, key: Column, cost: Column, targetCost: Long,
+      path: String, buckets: Int = 64): Unit =
+    assignShards(df, key, cost, targetCost, buckets)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), key)
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+
   /** O5 — split-disjointness invariant: pairwise key intersections empty. */
   def disjoint(a: DataFrame, b: DataFrame, keyCols: Seq[String]): Boolean = {
     val ka = a.select(Dedup.compositeKey(keyCols).as("k"))

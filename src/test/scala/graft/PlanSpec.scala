@@ -64,6 +64,16 @@ class PlanSpec extends AnyFunSuite {
       assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
         s"$q must not cross-product:\n$plan")
     }
+    // q99's distributed prefix-sum must stay join-free on the main
+    // data (offsets are map-side element_at, buckets a codegen probe)
+    // and must never fall back to a global single-partition window
+    val q99 = formatted("q99_shard_assign")
+    assert(!q99.contains("Join") && !q99.contains("CartesianProduct"),
+      s"q99 must be join-free:\n$q99")
+    assert(q99.contains("rank_in_sorted_longs"),
+      s"q99 must bucket via the native range probe:\n$q99")
+    assert(!q99.contains("SinglePartition"),
+      s"q99 must not use a 1-partition global window:\n$q99")
   }
 
   test("q1: shipdate filter is pushed to the parquet scan and columns pruned") {

@@ -194,6 +194,62 @@ class SplitSpec extends AnyFunSuite {
     assert(again === first)
   }
 
+  test("assignShards equals the sequential cumsum definition, invariant to bucket count") {
+    val base = docs.select(col("doc_id"), length(col("text")).cast("long").as("c"))
+    // sequential reference: exclusive cumsum over doc_id order, driver-side
+    val seq = base.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val target = 4000L
+    var acc = 0L
+    val expected = seq.map { case (id, c) =>
+      val r = (id, acc / target, acc % target); acc += c; r
+    }.toSet
+    for (b <- Seq(1, 7, 64)) {
+      val got = Split.assignShards(docs.repartition(13), col("doc_id"),
+          length(col("text")), target, buckets = b)
+        .select("doc_id", "shard", "shard_offset").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === expected, s"buckets=$b must not change the assignment")
+    }
+  }
+
+  test("assignShards balances shard cost to target ± max doc cost") {
+    val target = 4000L
+    val out = Split.assignShards(docs, col("doc_id"), length(col("text")), target)
+      .withColumn("c", length(col("text")).cast("long"))
+    val maxCost = out.agg(max("c")).head().getLong(0)
+    val perShard = out.groupBy("shard").agg(sum("c").as("t"))
+      .orderBy("shard").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(perShard.length > 2, "fixture must produce several shards")
+    perShard.init.foreach { case (s, t) =>
+      assert(t > target - maxCost && t < target + maxCost,
+        s"shard $s total $t outside target±maxCost")
+    }
+  }
+
+  test("assignShards: empty input and degenerate single-shard input") {
+    val empty = Split.assignShards(docs.limit(0), col("doc_id"),
+      length(col("text")), 1000L)
+    assert(empty.count() === 0L)
+    val one = Split.assignShards(docs, col("doc_id"),
+      length(col("text")), Long.MaxValue)
+    assert(one.select("shard").distinct().as[Long].collect().toSeq === Seq(0L))
+  }
+
+  test("writeShards emits one file per shard directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    Split.writeShards(docs, col("doc_id"), length(col("text")), 4000L, dir)
+    val shardDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("shard="))
+    assert(shardDirs.length > 2)
+    shardDirs.foreach { d =>
+      val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length === 1, s"${d.getName} must hold exactly one file")
+    }
+    val back = spark.read.parquet(dir)
+    assert(back.count() === docs.count())
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("different seeds give different assignments") {
     val a = Split.split(docs, Seq("doc_id"), seed = 42L)
     val b = Split.split(docs, Seq("doc_id"), seed = 43L)
