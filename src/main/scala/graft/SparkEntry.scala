@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{analysis, text}
-import graft.operators.{Dedup, DupClusters, Retrieval, Similarity, Skew, Split, Stats}
+import graft.operators.{Dedup, DupClusters, Incremental, Retrieval, Similarity, Skew, Split, Stats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1281,6 +1281,28 @@ object SparkEntry {
         .select(col("doc_id"), col("shard"), col("shard_offset"))
         .orderBy("doc_id")
     },
+
+    // ---- Incremental exact dedup against a PERSISTED BUCKETED digest
+    // table (Incremental.writeDigestTable + exactDedupAgainstTable):
+    // corpus = doc_id % 5 != 0, incoming = doc_id % 3 == 0; drop
+    // incoming rows whose (normalized) text already exists in the
+    // corpus state. The oracle is the logical definition (anti-join on
+    // text); the engine runs it through the digest table so the
+    // bucketed state machinery itself is hash-checked. On the ASCII
+    // fixture norm_key(text) = text, so text equality IS the oracle
+    // predicate (IncrementalSpec pins the normalized semantics).
+    "q100_incremental_exact" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft_q100").toString
+      s.sql("DROP TABLE IF EXISTS graft_q100_digests")
+      Incremental.writeDigestTable(docs.filter(col("doc_id") % 5 =!= 0),
+        col("text"), "graft_q100_digests", path, numBuckets = 8)
+      Incremental.exactDedupAgainstTable(
+          docs.filter(col("doc_id") % 3 === 0),
+          col("text"), s.table("graft_q100_digests"))
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2034,6 +2056,13 @@ object SparkEntry {
         |SELECT doc_id, start // 16384 AS shard,
         |  start % 16384 AS shard_offset
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q100_incremental_exact" ->
+      """SELECT i.doc_id, i.text FROM documents i
+        |WHERE i.doc_id % 3 = 0 AND NOT EXISTS (
+        |  SELECT 1 FROM documents c
+        |  WHERE c.doc_id % 5 <> 0 AND c.text = i.text)
+        |ORDER BY i.doc_id""".stripMargin,
 
     "q94_column_profile" ->
       """SELECT * FROM (

@@ -1,0 +1,162 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+import graft.functions.text
+
+/** Incremental-ingestion state tables, persisted BUCKETED so the
+  * recurring "new batch vs corpus" join never shuffles the corpus
+  * side again (SURVEY §2.4 D6's batch complement; reference
+  * re-reads + re-hashes the whole corpus every run,
+  * /root/reference/src/transforms/deduplicators.py:95-118).
+  *
+  * The scale story: at 100 TB the corpus-side state (content digests,
+  * MinHash band buckets) is the big relation and every arriving batch
+  * joins against it. A plain parquet state table costs a full
+  * corpus-side shuffle + sort per batch; a `bucketBy` table stores
+  * HashPartitioning(join keys) ON DISK, so each batch join plans as
+  * SortMergeJoin with an Exchange on the (small) incoming side only —
+  * the corpus is read bucket-aligned, pre-sorted (`sortBy`), and never
+  * re-shuffled. Appending a deduped batch back (`SaveMode.Append`)
+  * keeps the bucketing invariant, so state maintenance is also
+  * shuffle-bounded by batch size, not corpus size.
+  *
+  * Digests are 128-bit (two independent `xxhash64` seeds): 8+8 bytes
+  * per row of join key vs ~300-byte texts or 64-char hex sha strings —
+  * the wire format for a shuffle that exists only on the batch side,
+  * and a collision needs ~2^64 distinct documents.
+  */
+object Incremental {
+
+  /** Exact-dedup state: one row per corpus document, keyed by the
+    * 128-bit content digest of the NORMALIZED text (same `norm_key`
+    * as every exact-dedup path), bucketed + bucket-sorted by the
+    * digest pair. `repartition` on the bucket columns first so each
+    * writer task owns whole buckets — one file per bucket, not
+    * tasks × buckets fragments. */
+  def writeDigestTable(corpus: DataFrame, textCol: Column,
+      table: String, path: String, numBuckets: Int = 64): Unit =
+    digests(corpus.select(textCol.as("__t")), col("__t"))
+      .select(col("__d1"), col("__d2"))
+      .repartition(numBuckets, col("__d1"), col("__d2"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, "__d1", "__d2").sortBy("__d1", "__d2")
+      .option("path", path)
+      .saveAsTable(table)
+
+  /** Drop every `incoming` row whose normalized text already exists
+    * in the persisted corpus digest table (read it with
+    * `spark.table(name)` so the catalog's bucketing spec applies).
+    * One anti-join on (d1, d2); only the incoming side shuffles. */
+  def exactDedupAgainstTable(incoming: DataFrame, textCol: Column,
+      corpusDigests: DataFrame): DataFrame =
+    digests(incoming, textCol)
+      .join(corpusDigests.select(col("__d1"), col("__d2")),
+        Seq("__d1", "__d2"), "left_anti")
+      .drop("__d1", "__d2")
+
+  /** Grow the exact-dedup state by an (already-deduped) batch: append
+    * the batch's digests with the SAME bucket spec, so the table stays
+    * bucket-aligned and the next probe is still corpus-shuffle-free.
+    * `numBuckets` must match [[writeDigestTable]]. */
+  def appendDigests(batch: DataFrame, textCol: Column,
+      table: String, numBuckets: Int = 64): Unit =
+    digests(batch.select(textCol.as("__t")), col("__t"))
+      .select(col("__d1"), col("__d2"))
+      .repartition(numBuckets, col("__d1"), col("__d2"))
+      .write.mode(SaveMode.Append).format("parquet")
+      .bucketBy(numBuckets, "__d1", "__d2").sortBy("__d1", "__d2")
+      .saveAsTable(table)
+
+  private def digests(df: DataFrame, textCol: Column): DataFrame = {
+    val k = text.norm_key(textCol)
+    df.withColumn("__d1", xxhash64(k))
+      .withColumn("__d2", xxhash64(k, lit(0x9e3779b9L)))
+  }
+
+  /** Fuzzy-dedup state: the corpus MinHash signature table persisted
+    * in BANDED form — one row per (band, bucket) collision key with
+    * the document id and full signature — bucketed by (band, bucket),
+    * i.e. exactly the join key [[Dedup.minhashDedupAgainst]] probes.
+    * Columns: `band INT, bucket BIGINT, <idCol>, sig ARRAY<BIGINT>`.
+    *
+    * vs [[Dedup.minhashSignatures]] (plain `(id, sig)` parquet): the
+    * banded table is `bands`× larger on disk but pre-positioned —
+    * each batch probe joins corpus rows without a corpus-side
+    * exchange. Store plain signatures when storage dominates; store
+    * banded-bucketed when the probe cadence dominates (the streaming
+    * /incremental design point). */
+  def writeBandedSignatures(corpus: DataFrame, idCol: String, textCol: Column,
+      table: String, path: String, numBuckets: Int = 64,
+      numPerm: Int = 128, bands: Int = 32, shingleSize: Int = 3): Unit = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    banded(Dedup.minhashSignatures(corpus, idCol, textCol, numPerm, shingleSize),
+        idCol, bands, numPerm / bands)
+      .repartition(numBuckets, col("band"), col("bucket"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, "band", "bucket").sortBy("band", "bucket")
+      .option("path", path)
+      .saveAsTable(table)
+  }
+
+  /** [[Dedup.minhashDedupAgainst]] against a persisted
+    * [[writeBandedSignatures]] table: drop every incoming row whose
+    * estimated Jaccard against ANY corpus row meets `threshold`.
+    * Identical output (same signatures, same band hashing); the only
+    * difference is physical — the corpus side arrives bucket-aligned
+    * from disk. Parameters must match the ones the table was written
+    * with. */
+  def minhashDedupAgainstTable(
+      incoming: DataFrame, idCol: String, textCol: Column,
+      bandedCorpus: DataFrame,
+      threshold: Double = 0.8,
+      numPerm: Int = 128,
+      bands: Int = 32,
+      shingleSize: Int = 3): DataFrame = {
+    val dupIds = fuzzyDupIds(incoming, idCol, textCol, bandedCorpus,
+        threshold, numPerm, bands, shingleSize)
+      .localCheckpoint(true)
+    incoming.join(dupIds, Seq(idCol), "left_anti")
+  }
+
+  /** The probe: banded incoming signatures joined to the corpus table
+    * on the physical (band, bucket) key, signature-agreement filter,
+    * distinct incoming ids. Package-visible un-checkpointed so specs
+    * can assert the join's physical plan (the public API checkpoints
+    * the tiny id set before the anti-join, which hides the plan). */
+  private[graft] def fuzzyDupIds(
+      incoming: DataFrame, idCol: String, textCol: Column,
+      bandedCorpus: DataFrame, threshold: Double,
+      numPerm: Int, bands: Int, shingleSize: Int): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val corpusIdCol = bandedCorpus.columns
+      .find(c => c != "band" && c != "bucket" && c != "sig")
+      .getOrElse(throw new IllegalArgumentException(
+        s"not a banded signature table: ${bandedCorpus.columns.mkString(",")}"))
+    val inc = banded(
+      Dedup.minhashSignatures(incoming, idCol, textCol, numPerm, shingleSize),
+      idCol, bands, numPerm / bands)
+      .withColumnRenamed(idCol, "__idI").withColumnRenamed("sig", "__sigI")
+    val cor = bandedCorpus
+      .select(col("band"), col("bucket"),
+        col(corpusIdCol).as("__idC"), col("sig").as("__sigC"))
+    val agree = text.expr2col(graft.functions.SigAgreeCount(
+      text.col2expr(col("__sigI")), text.col2expr(col("__sigC"))))
+    inc.join(cor, Seq("band", "bucket"))
+      .filter(agree.cast("double") / numPerm >= threshold)
+      .select(col("__idI").as(idCol)).distinct()
+  }
+
+  /** Explode a `(idCol, __sig)` signature frame into banded collision
+    * rows `(band, bucket, idCol, sig)` — `bucket` is the xxhash64 of
+    * the band's `r` signature slots (AND-amplification within a band,
+    * OR across bands; same hashing as [[Dedup.minhashDedupAgainst]]). */
+  private def banded(sigDf: DataFrame, idCol: String, bands: Int, r: Int): DataFrame =
+    sigDf.select(col(idCol), col("__sig"),
+        explode(transform(sequence(lit(0), lit(bands - 1)),
+          b => struct(b.as("band"),
+            xxhash64(slice(col("__sig"), b * r + 1, lit(r))).as("bucket")))).as("__b"))
+      .select(col("__b.band").as("band"), col("__b.bucket").as("bucket"),
+        col(idCol), col("__sig").as("sig"))
+}

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Incremental}
+
+/** Bucketed incremental-dedup state tables: identical output to the
+  * non-persisted paths, and the batch-vs-corpus join must not shuffle
+  * the corpus side (the whole point of storing the state bucketed). */
+class IncrementalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("exactDedupAgainstTable equals the direct anti-join on normalized text") {
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 3 === 0)
+    Incremental.writeDigestTable(corpus, col("text"),
+      "t_digests", tmp("graft_digests"), numBuckets = 8)
+    try {
+      val got = Incremental.exactDedupAgainstTable(
+          incoming, col("text"), spark.table("t_digests"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val want = incoming.alias("i")
+        .join(corpus.alias("c"),
+          graft.functions.text.norm_key(col("i.text")) ===
+            graft.functions.text.norm_key(col("c.text")),
+          "left_anti")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got === want)
+      assert(got.nonEmpty && got.size < incoming.count(),
+        "fixture must exercise both kept and dropped rows")
+    } finally spark.sql("DROP TABLE IF EXISTS t_digests")
+  }
+
+  test("digest-table anti-join shuffles ONLY the incoming side") {
+    val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+    val incoming = docs.filter(col("doc_id") % 3 === 0)
+    Incremental.writeDigestTable(corpus, col("text"),
+      "t_digests_plan", tmp("graft_digests_plan"), numBuckets = 8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = Incremental.exactDedupAgainstTable(
+        incoming, col("text"), spark.table("t_digests_plan"))
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") && plan.contains("LeftAnti"),
+        s"expected sort-merge anti-join:\n$plan")
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+        s"exactly one shuffle (incoming side) expected:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"corpus scan must be bucket-aligned:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS t_digests_plan")
+    }
+  }
+
+  test("minhashDedupAgainstTable equals minhashDedupAgainst (same signatures)") {
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+    Incremental.writeBandedSignatures(corpus, "doc_id", col("text"),
+      "t_banded", tmp("graft_banded"), numBuckets = 8,
+      numPerm = 64, bands = 16)
+    try {
+      val fromTable = Incremental.minhashDedupAgainstTable(
+          incoming, "doc_id", col("text"), spark.table("t_banded"),
+          threshold = 0.8, numPerm = 64, bands = 16)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val direct = Dedup.minhashDedupAgainst(
+          incoming, "doc_id", col("text"),
+          Dedup.minhashSignatures(corpus, "doc_id", col("text"), numPerm = 64),
+          threshold = 0.8, numPerm = 64, bands = 16)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(fromTable === direct)
+      assert(fromTable.size < incoming.count(),
+        "fixture must drop at least one near-duplicate")
+    } finally spark.sql("DROP TABLE IF EXISTS t_banded")
+  }
+
+  test("banded-signature probe join does not re-shuffle the corpus side") {
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+    Incremental.writeBandedSignatures(corpus, "doc_id", col("text"),
+      "t_banded_plan", tmp("graft_banded_plan"), numBuckets = 8,
+      numPerm = 64, bands = 16)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // probe the collision join itself (pre-anti-join, un-checkpointed),
+      // where the corpus table participates
+      val q = Incremental.fuzzyDupIds(
+        incoming, "doc_id", col("text"), spark.table("t_banded_plan"),
+        threshold = 0.8, numPerm = 64, bands = 16, shingleSize = 3)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"corpus side must scan bucket-aligned:\n$plan")
+      // exactly one (band, bucket) shuffle — the incoming side; the
+      // bucketed corpus scan feeds the SMJ without an exchange
+      assert("Exchange hashpartitioning\\(band".r.findAllIn(plan).size === 1,
+        s"only the incoming side may shuffle on (band, bucket):\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS t_banded_plan")
+    }
+  }
+
+  test("appending a deduped batch keeps the digest table usable") {
+    val corpus = docs.filter(col("doc_id") < 100)
+    val batch = docs.filter(col("doc_id") >= 100 && col("doc_id") < 120)
+    val path = tmp("graft_digests_append")
+    Incremental.writeDigestTable(corpus, col("text"), "t_dig_app", path, numBuckets = 4)
+    try {
+      val survivors = Incremental.exactDedupAgainstTable(
+        batch, col("text"), spark.table("t_dig_app"))
+      // append the survivors' digests: state grows by batch, not corpus
+      Incremental.appendDigests(survivors, col("text"), "t_dig_app", numBuckets = 4)
+      val again = Incremental.exactDedupAgainstTable(
+        batch, col("text"), spark.table("t_dig_app"))
+      assert(again.count() === 0L,
+        "after appending the batch, re-deduping it must drop every row")
+    } finally spark.sql("DROP TABLE IF EXISTS t_dig_app")
+  }
+}
