@@ -1303,6 +1303,24 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
         .orderBy("doc_id")
     },
+
+    // ---- q81 through the BLOOM gate: same verbatim-overlap profile,
+    // but eval membership tested via a Bloom filter folded into ONE
+    // map over the corpus — no join, no shuffle (the large-eval-set
+    // scale path; DedupSpec pins the one-sided never-under-count
+    // contract). The oracle is q81's exact SQL: legitimate because
+    // the filter's measured false positives on this corpus at this
+    // fpp are ZERO and Spark's Bloom hashing is deterministic —
+    // over-count here would be an honest hash-mismatch, not noise.
+    "q101_contamination_bloom" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val evalSet = docs.filter(col("doc_id") % 7 === 0)
+      val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+      Dedup.contaminationProfileBloom(corpus, "doc_id", col("text"),
+          evalSet, col("text"), nWords = 5, fpp = 1e-9)
+        .select(col("doc_id"), col("n_grams"), col("hit_grams"), col("contaminated"))
+        .orderBy("doc_id")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2063,6 +2081,24 @@ object SparkEntry {
         |  SELECT 1 FROM documents c
         |  WHERE c.doc_id % 5 <> 0 AND c.text = i.text)
         |ORDER BY i.doc_id""".stripMargin,
+
+    "q101_contamination_bloom" ->
+      """WITH w AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |g AS (SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS g
+        |      FROM w, unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS t(i)
+        |      WHERE len(ws) >= 5),
+        |e AS (SELECT DISTINCT g FROM g WHERE doc_id % 7 = 0),
+        |c AS (SELECT doc_id, g FROM g WHERE doc_id % 7 <> 0),
+        |prof AS (SELECT c.doc_id, count(*) AS n_grams,
+        |    CAST(sum(CASE WHEN e.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hit_grams
+        |  FROM c LEFT JOIN e USING (g) GROUP BY c.doc_id)
+        |SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+        |  coalesce(hit_grams, 0) AS hit_grams,
+        |  coalesce(hit_grams, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 7 <> 0) d
+        |LEFT JOIN prof USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q94_column_profile" ->
       """SELECT * FROM (

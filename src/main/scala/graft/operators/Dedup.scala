@@ -560,6 +560,51 @@ object Dedup {
       .withColumn("contaminated", col("hit_grams") > 0L)
   }
 
+  /** [[contaminationProfile]] for an eval set too large to broadcast
+    * as a distinct gram table or collect as a digest array: eval gram
+    * digests are folded into a Bloom filter (~2.9 BYTES per gram at
+    * fpp=1e-6 vs 8 for a raw digest) and the whole corpus-side
+    * profile becomes ONE map — no explode past the gram kernel, no
+    * join, no shuffle at all; `n_grams`/`hit_grams` come from `size`
+    * and the [[graft.functions.CountInBloom]] membership kernel over
+    * the per-document digest array. Same output columns as
+    * [[contaminationProfile]]; the one-sided Bloom error means
+    * `hit_grams` can only OVER-count (at ~`fpp` per clean gram), so
+    * filtering `!contaminated` still removes every true leak —
+    * over-removal is the fpp envelope, leakage is impossible.
+    *
+    * Building the filter makes two passes over the (distinct'd) eval
+    * gram digests — a count to size it, then the `stat.bloomFilter`
+    * aggregation. Both are aggregations of the eval side only; the
+    * 100 TB corpus side is untouched until the final map. */
+  def contaminationProfileBloom(corpus: DataFrame, idCol: String, textCol: Column,
+      evalSet: DataFrame, evalTextCol: Column, nWords: Int = 13,
+      fpp: Double = 1e-6): DataFrame = {
+    require(nWords >= 1, "nWords must be >= 1")
+    require(fpp > 0 && fpp < 1, "fpp must be in (0, 1)")
+    val bloom = evalGramBloom(evalSet, evalTextCol, nWords, fpp)
+    val digests = transform(wordNGrams(textCol, nWords), g => xxhash64(g))
+    val hits = text.expr2col(graft.functions.CountInBloom(
+      text.col2expr(digests), bloom))
+    corpus
+      .withColumn("n_grams", size(digests).cast("long"))
+      .withColumn("hit_grams", hits.cast("long"))
+      .withColumn("contaminated", col("hit_grams") > 0L)
+  }
+
+  /** Bloom filter over an eval set's distinct word-n-gram xxhash64
+    * digests — the shareable artifact behind
+    * [[contaminationProfileBloom]] and
+    * [[graft.streaming.StreamOps.decontaminateStreamBloom]]: build
+    * once per eval set, reuse across batch jobs and streams. */
+  def evalGramBloom(evalSet: DataFrame, evalTextCol: Column, nWords: Int,
+      fpp: Double = 1e-6): org.apache.spark.util.sketch.BloomFilter = {
+    val k = evalSet
+      .select(explode(wordNGrams(evalTextCol, nWords)).as("__g"))
+      .select(xxhash64(col("__g")).as("__k")).distinct()
+    k.stat.bloomFilter("__k", math.max(k.count(), 1L), fpp)
+  }
+
   /** Exact-substring span REMOVAL — the rewrite step of
     * "Deduplicating Training Data Makes Language Models Better"
     * (ExactSubstr): [[duplicateSpans]] FLAGS cross-document verbatim

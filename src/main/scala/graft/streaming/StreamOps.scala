@@ -195,6 +195,24 @@ object StreamOps {
     docs.filter(hits === 0)
   }
 
+  /** [[decontaminateStream]] for an eval set too large to collect as
+    * a sorted digest array: same stateless map-side gate, with
+    * membership tested against a Bloom filter built once via
+    * [[graft.operators.Dedup.evalGramBloom]] (~2.9 bytes/gram at
+    * fpp=1e-6 vs 8 for raw digests). The Bloom error is one-sided —
+    * a contaminated doc can NEVER pass the gate; a clean doc is
+    * over-dropped at ~fpp per gram. Streaming-legal in any output
+    * mode, identical in batch. */
+  def decontaminateStreamBloom(docs: DataFrame, textCol: Column,
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      nWords: Int = 13): DataFrame = {
+    val grams = graft.operators.Dedup.wordNGrams(textCol, nWords)
+    val digests = transform(grams, g => xxhash64(g))
+    val hits = graft.functions.text.expr2col(graft.functions.CountInBloom(
+      graft.functions.text.col2expr(digests), bloom))
+    docs.filter(hits === 0)
+  }
+
   /** S8 — CDC watermark incremental scan as a composable predicate:
     * rows strictly newer than the last sync point. At the source level
     * this predicate pushes into JDBC/parquet scans. No ORDER BY: the

@@ -532,6 +532,52 @@ class DedupSpec extends AnyFunSuite {
         .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("hit_grams")).toMap
       assert(alt === prof.view.mapValues(_.getAs[Long]("hit_grams")).toMap)
     }
+    // Bloom variant: one-sided — it may OVER-count (tiny filters'
+    // double-hash scheme FPs above the nominal fpp; observed on this
+    // very fixture) but NEVER under-counts, so every true leak flags;
+    // and it is structurally join-free — the whole profile is one map
+    val bloomed = Dedup.contaminationProfileBloom(corpus, "doc_id", col("text"),
+      evalSet, col("etext"), nWords = 5)
+    val bv = bloomed.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_grams"), r.getAs[Long]("hit_grams"))).toMap
+    prof.foreach { case (id, r) =>
+      assert(bv(id)._1 === r.getAs[Long]("n_grams"),
+        s"n_grams is exact, bloom plays no part (doc $id)")
+      assert(bv(id)._2 >= r.getAs[Long]("hit_grams"),
+        s"bloom hit_grams must never under-count (doc $id)")
+    }
+    assert(bv(1L)._2 >= 5L && bv(4L)._2 > 0L,
+      "every truly contaminated doc must flag through the bloom gate")
+  }
+
+  test("contaminationProfileBloom over-counts only: hit_grams >= exact on the sf corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val evalSet = docs.filter(col("doc_id") % 7 === 0)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val exact = Dedup.contaminationProfile(corpus, "doc_id", col("text"),
+        evalSet, col("text"), nWords = 5)
+      .select("doc_id", "hit_grams").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // a coarse fpp (1e-2) still must never UNDER-count a single gram
+    val bloomed = Dedup.contaminationProfileBloom(corpus, "doc_id", col("text"),
+      evalSet, col("text"), nWords = 5, fpp = 1e-2)
+    // corpus side is parquet-backed here, so the plan is real (the
+    // tiny-fixture test above collapses to a LocalTableScan): the
+    // whole profile must be ONE map over the scan — no shuffle, no
+    // join, membership through the native kernel
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"bloom profile must be a pure map — no shuffle, no join:\n$plan")
+    assert(plan.contains("count_in_bloom"),
+      s"bloom profile must use the native membership kernel:\n$plan")
+    val bloom = bloomed
+      .select("doc_id", "hit_grams").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bloom.keySet === exact.keySet)
+    exact.foreach { case (id, h) =>
+      assert(bloom(id) >= h, s"doc $id: bloom ${bloom(id)} < exact $h — impossible")
+    }
+    assert(exact.values.sum > 0, "fixture must contain true contamination signal")
   }
 
   test("dedupLines removes cross-document boilerplate, keeps in-doc repeats and order") {

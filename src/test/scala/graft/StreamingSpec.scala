@@ -216,6 +216,21 @@ class StreamingSpec extends AnyFunSuite {
         spark.readStream.schema(schema).parquet(dir), col("text"), digests, nWords = 5),
       "decon_kept")
     assert(streamed.select("doc_id").as[Long].collect().toSet === batchKept)
+    // Bloom-gated variant (the large-eval-set form): the error is
+    // one-sided — a contaminated doc can NEVER pass the gate (clean
+    // docs may over-drop at the fp rate), and the stream agrees with
+    // the batch evaluation of the same gate exactly
+    val bloom = graft.operators.Dedup.evalGramBloom(evalSet, col("etext"), nWords = 5)
+    val bloomBatch = StreamOps.decontaminateStreamBloom(
+        docsLocal, col("text"), bloom, nWords = 5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(bloomBatch.subsetOf(batchKept), "bloom gate must never leak contamination")
+    assert(bloomBatch.contains(3L), "a zero-gram doc can never be bloom-dropped")
+    val bloomStreamed = runToMemory(
+      StreamOps.decontaminateStreamBloom(
+        spark.readStream.schema(schema).parquet(dir), col("text"), bloom, nWords = 5),
+      "decon_kept_bloom")
+    assert(bloomStreamed.select("doc_id").as[Long].collect().toSet === bloomBatch)
   }
 
   test("CDC incremental scan returns only rows past the sync point (S8)") {
