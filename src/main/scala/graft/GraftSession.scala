@@ -29,6 +29,10 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Parquet TIMESTAMP(isAdjustedToUTC=false) otherwise loads as
+      // TIMESTAMP_NTZ, which watermarks/window() reject; with a UTC
+      // session the instant semantics are identical either way.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
 
   def get(master: String = "local[*]"): SparkSession = {

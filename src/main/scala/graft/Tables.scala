@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated test tables (TESTDATA.md).
   *
@@ -25,15 +25,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's reader
-    * rejects; sessions set `spark.sql.legacy.parquet.nanosAsLong=true`
-    * (see [[GraftSession]]) and this loader floors the raw nanos to a
-    * proper microsecond TimestampType column. */
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) (read as a
+    * raw long under `spark.sql.legacy.parquet.nanosAsLong=true`) and as
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false) (read as TIMESTAMP_NTZ
+    * unless the session disables `inferTimestampNTZ` — [[GraftSession]]
+    * does). Normalize every variant to a proper TimestampType column so
+    * watermarks/window() downstream always analyze. */
   def events(s: SparkSession, d: String): DataFrame = {
     val df = table(s, d, "events")
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
