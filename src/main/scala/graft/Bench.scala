@@ -118,6 +118,10 @@ object Bench {
     } catch { case e: Exception =>
       System.err.println(s"bench: could not persist BENCH.json: $e")
     }
+    // The full line's HEAD is what truncation eats (the tail of the log
+    // survives), so ALSO emit a compact line LAST — always complete
+    // within any tail window; the per-query map lives in BENCH.json.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{},"sf":"$sfDir","detail":"BENCH.json"}""")
     spark.stop()
   }
 }

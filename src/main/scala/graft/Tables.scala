@@ -35,7 +35,15 @@ object Tables {
     val df = table(s, d, "events")
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        // The NTZ wall-clock is UTC by the writer's contract. A bare
+        // cast would re-interpret it in the session timezone (only UTC
+        // under GraftSession, not necessarily on foreign sessions), so
+        // shift UTC -> session tz first; the cast then lands on the
+        // same instant regardless of spark.sql.session.timeZone.
+        val sessionTz = s.conf.get("spark.sql.session.timeZone")
+        df.withColumn("ts",
+          convert_timezone(lit("UTC"), lit(sessionTz), col("ts")).cast(TimestampType))
       case _                => df
     }
   }

@@ -1142,6 +1142,17 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       sets.count() // eager: the plan fans out (sig side + both verify sides)
+      jaccardPairsBandedFromSets(sets, t, numPerm)
+    } finally sets.unpersist(blocking = false)
+  }
+
+  /** [[jaccardPairsBanded]]'s body over an ALREADY persisted +
+    * materialized `(__id, __g)` gram-set frame — shared with
+    * [[jaccardPairsAuto]], whose probe builds the same cache; the
+    * result is `localCheckpoint`ed before the caller unpersists. */
+  private def jaccardPairsBandedFromSets(
+      sets: DataFrame, t: Double, numPerm: Int): DataFrame = {
+    {
       val r = recallBandRows(t, numPerm)
       val bands = numPerm / r
       // band index rides INSIDE the hash (seed column) so the bucket
@@ -1165,7 +1176,7 @@ object Dedup {
         .filter(col("jaccard") >= t)
         .select(col("id_a"), col("id_b"), col("jaccard"))
         .localCheckpoint(true)
-    } finally sets.unpersist(blocking = false)
+    }
   }
 
   /** Routing decision behind [[jaccardPairsAuto]], exposed so the
@@ -1175,6 +1186,10 @@ object Dedup {
       n: Int, maxJoinRowsPerDoc: Long): Boolean = {
     val joinRows = gramJoinRows(df, idCol, textCol, n)
     val nDocs = math.max(df.count(), 1L)
+    logRoute(joinRows, nDocs, maxJoinRowsPerDoc)
+  }
+
+  private def logRoute(joinRows: Long, nDocs: Long, maxJoinRowsPerDoc: Long): Boolean = {
     val exact = joinRows <= maxJoinRowsPerDoc * nDocs
     val msg = s"jaccardPairsAuto: ngram join probe Σdf²=$joinRows over $nDocs docs " +
       s"(budget ${maxJoinRowsPerDoc}/doc) → ${if (exact) "exact count join"
@@ -1189,9 +1204,15 @@ object Dedup {
     * rows fit `maxJoinRowsPerDoc · nDocs`; past the budget — the gram-
     * saturated regime where the count join goes quadratic — it routes
     * to [[jaccardPairsBanded]] (LSH candidates, exact verify) and logs
-    * the decision at WARN. The probe costs one extra tokenize pass
-    * (narrow map + vocabulary-sized aggregation), which the guarded
-    * join dwarfs in every regime where the guard matters. */
+    * the decision at WARN.
+    *
+    * The gram-set frame is tokenized ONCE and persisted; the probe,
+    * the exact join's both token sides, and the banded route all read
+    * the cache — so the guarded join costs one tokenize pass total,
+    * not one for the probe plus one per consumer (the cache also
+    * spares the exact join a second scan+normalize of the source).
+    * The result is materialized (`localCheckpoint`) while the cache is
+    * hot, then the cache is dropped. */
   def jaccardPairsAuto(df: DataFrame, idCol: String, textCol: Column,
       t: Double, n: Int = 3, maxJoinRowsPerDoc: Long = 8192L): DataFrame =
     if (recallBandRows(t, 128) < 2) {
@@ -1204,9 +1225,25 @@ object Dedup {
         "(r < 2 at numPerm=128) — staying on the exact count join; on a " +
         "gram-saturated corpus raise t or pre-dedup with minhashDedup")
       jaccardPairs(df, idCol, textCol, t, n)
-    } else if (routeExact(df, idCol, textCol, n, maxJoinRowsPerDoc))
-      jaccardPairs(df, idCol, textCol, t, n)
-    else jaccardPairsBanded(df, idCol, textCol, t, n)
+    } else {
+      val sets = gramSets(spreadWide(df), idCol, textCol, n)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nDocs = math.max(sets.count(), 1L) // materializes the cache
+        val tok = sets.select(col("__id"),
+          size(col("__g")).as("__sz"), explode(col("__g")).as("__gram"))
+        val joinRows = tok.groupBy(col("__gram")).agg(count(lit(1)).as("__df"))
+          .agg(coalesce(sum(col("__df") * col("__df")), lit(0L)).as("__rows"))
+          .head().getLong(0)
+        if (logRoute(joinRows, nDocs, maxJoinRowsPerDoc))
+          countedPairs(
+            tok.select(col("__id").as("id_a"), col("__sz").as("__sza"), col("__gram")),
+            tok.select(col("__id").as("id_b"), col("__sz").as("__szb"), col("__gram")),
+            t, antiReflexive = true)
+            .localCheckpoint(true)
+        else jaccardPairsBandedFromSets(sets, t, numPerm = 128)
+      } finally sets.unpersist(blocking = false)
+    }
 
   /** N-gram-Jaccard near-duplicate removal: drops every document whose
     * gram set is ≥ `t` Jaccard-similar to an earlier (lower-id) one,
