@@ -454,6 +454,19 @@ object SparkEntry {
         .select("vec_id").orderBy("vec_id")
     },
 
+    // ---- SemDeDup semantic thinning: within-bucket-only comparisons
+    // (the paper's scale contract — recall bounded by cluster
+    // locality, cost strictly Σ|cell|²). Bucketing is seeded-
+    // hyperplane, not SQL-expressible → rows-only; SimilaritySpec
+    // pins the kept set, NaN/null passthrough, and determinism, and
+    // cross-validates against the exact global dedup on a clustered
+    // fixture.
+    "q102_semantic_dedup" -> { (s, dir) =>
+      Dedup.semanticDedup(Tables.embeddings(s, dir), "vec_id", "embedding",
+          eps = 0.6)
+        .select("vec_id").orderBy("vec_id")
+    },
+
     // ---- §1.1 category + nested RecordMetadata: the struct flows
     // through normalize → validity filter → dedup, then the aggregate
     // groups on a nested field. The dedup ordering ends in record_id so

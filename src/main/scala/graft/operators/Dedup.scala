@@ -1280,4 +1280,51 @@ object Dedup {
     val dupIds = pairs.select(col("id_b").as(idCol)).distinct()
     df.join(dupIds, Seq(idCol), "left_anti")
   }
+
+  /** SemDeDup-style semantic deduplication ("SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication", Abbas et
+    * al. 2023): cluster the embedding space, compare pairs ONLY within
+    * a cluster, and drop every row whose cosine to an earlier
+    * (lower-id) cluster-mate is ≥ `1 − eps`. The deliberate contrast
+    * with [[embeddingDedup]]: that operator is EXACT (cell pruning is
+    * loss-free, cross-cell candidates survive via the triangle-
+    * inequality allowlist), while SemDeDup's whole scale story is to
+    * NEVER look across clusters — recall is bounded by cluster
+    * locality, and in exchange cost is a strict Σ|cell|² with no
+    * cross-cell join at all. Use it where the paper does: aggressive
+    * semantic thinning of web-scale corpora at thresholds (eps ~
+    * 0.03–0.1) where near-dup pairs are overwhelmingly co-located.
+    *
+    * Clusters are the engine's deterministic hyperplane-signature
+    * buckets (seeded sign bits — one narrow map, no k-means fit, no
+    * model broadcast; [[Similarity.cellPartition]] documents why they
+    * have exactly the angular locality wanted here). `nCells <= 0`
+    * auto-sizes to ~256 vectors/cell like [[Similarity.autoCells]].
+    * Rows whose embedding is null, empty, or NaN-poisoned can never
+    * be PROVEN duplicate, so they are kept — same keep-on-doubt
+    * contract as every other dedup path.
+    *
+    * Scale shape: one narrow assignment map, ONE (cell)-keyed
+    * self-join (the same frame instance aliased twice ⇒ the exchange
+    * is written once and read twice), map-side distinct of dropped
+    * ids, left_anti removal. Nothing but (cell, id, vec) rides the
+    * shuffle, and the vec rides exactly once. */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      eps: Double = 0.05, nCells: Int = 0, seed: Long = 42L): DataFrame = {
+    require(eps > 0 && eps < 1, "eps must be in (0, 1)")
+    val t = 1.0 - eps
+    val vd = col(vecCol).cast("array<double>")
+    val clean = spreadWide(df)
+      .filter(vd.isNotNull && size(vd) > 0 && !exists(vd, x => isnan(x)))
+      .select(col(idCol).as("__id"), vd.as("__v"))
+    val cells = if (nCells > 0) nCells else Similarity.autoCells(clean.count())
+    val assigned = clean.withColumn("__cell",
+      Similarity.hyperplaneSignature(col("__v"), Similarity.cellBits(cells), seed)
+        .cast("int"))
+    val dup = assigned.as("l").join(assigned.as("r"), Seq("__cell"))
+      .filter(col("l.__id") < col("r.__id"))
+      .filter(Similarity.cosine(col("l.__v"), col("r.__v")) >= t)
+      .select(col("r.__id").as(idCol)).distinct()
+    df.join(dup, Seq(idCol), "left_anti")
+  }
 }

@@ -384,7 +384,7 @@ object Similarity {
     (base, allowed)
   }
 
-  private def cellBits(nCells: Int): Int =
+  private[graft] def cellBits(nCells: Int): Int =
     math.max(1, 64 - java.lang.Long.numberOfLeadingZeros(
       math.max(1, nCells - 1).toLong).toInt)
 

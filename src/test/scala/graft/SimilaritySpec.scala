@@ -66,6 +66,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(out === Set(1L, 3L))
   }
 
+  test("semanticDedup: drops co-located near-dups, keeps unprovable rows, deterministic") {
+    import graft.operators.Dedup
+    // four well-separated directions, five jittered copies each — the
+    // clustered regime SemDeDup is designed for (near-dups co-locate
+    // in a hyperplane bucket; cross-direction cosine ~ 0)
+    val rnd = new scala.util.Random(3)
+    def jitter(v: Array[Double]) = v.map(x => x + rnd.nextGaussian() * 0.002)
+    val dirs = Seq(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0),
+      Array(0.0, 0.0, 1.0), Array(-1.0, 0.0, 0.0))
+    val clean = dirs.zipWithIndex.flatMap { case (d, i) =>
+      (0 until 5).map(j => ((i * 10 + j).toLong, Some(jitter(d).toSeq)))
+    }
+    val dirty = Seq((98L, Some(Seq(Double.NaN, 1.0, 0.0))), (99L, None))
+    val df = (clean ++ dirty).toDF("vec_id", "embedding")
+
+    val kept = Dedup.semanticDedup(df, "vec_id", "embedding", eps = 0.05, nCells = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // lowest id of each direction survives; NaN/null rows can't be
+    // proven duplicate, so they pass through
+    assert(kept === Set(0L, 10L, 20L, 30L, 98L, 99L))
+
+    // matches the exact global dedup here, because every qualifying
+    // pair is bucket-co-located on this fixture
+    val cleanDf = clean.toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingDedup(cleanDf, "vec_id", "embedding",
+        threshold = 0.95, exact = true)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept - 98L - 99L === exact)
+
+    val again = Dedup.semanticDedup(df, "vec_id", "embedding", eps = 0.05, nCells = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(again === kept, "seeded buckets must make the result deterministic")
+  }
+
   test("similarPairsApprox equals exact similarPairs on unclustered random embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .withColumn("embedding", col("embedding").cast("array<double>"))
