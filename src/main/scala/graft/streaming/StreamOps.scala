@@ -133,6 +133,97 @@ object StreamOps {
         fuzzyDedupStateFn(numPerm, threshold, maxSignatures, ttl))
   }
 
+  final case class KeyedVec(cell: Int, id: Long, vec: Seq[Double],
+      ts: java.sql.Timestamp = null)
+  final case class VecDecision(cell: Int, id: Long, isDuplicate: Boolean)
+
+  /** Streaming SemDeDup — [[graft.operators.Dedup.semanticDedup]]'s
+    * arrival-order sibling: per hyperplane cell, keep the vectors of
+    * everything retained so far; a new vector whose cosine to ANY
+    * retained cell-mate is ≥ `1 − eps` is flagged duplicate, otherwise
+    * it joins the state. Comparisons never cross cells (the SemDeDup
+    * contract), so state partitions by semantic locality and each
+    * group stays small.
+    *
+    * Batch/stream parity: cells come from the SAME seeded hyperplane
+    * signature ([[keyByCell]]), and batch invocations process rows in
+    * (ts, id) order — so on a batch frame with null timestamps the
+    * keep set is exactly `semanticDedup`'s keep-lowest-id contract
+    * (spec-asserted). Streams keep the FIRST arrival instead.
+    *
+    * State is bounded like [[fuzzyDedupStateFn]]: a `maxVectors` ring
+    * cap per cell (oldest evicted first) and an event-time TTL past
+    * the watermark. Non-finite vectors (null/empty/NaN/Inf) can't be
+    * proven duplicate: they pass through un-flagged and never enter
+    * state. */
+  def semanticDedupStateFn(eps: Double = 0.05, maxVectors: Int = 1024,
+      ttl: String = "1 hour"): (
+      Int, Iterator[KeyedVec], GroupState[List[Array[Double]]]) => Iterator[VecDecision] = {
+    require(eps > 0 && eps < 1, "eps must be in (0, 1)")
+    val t = 1.0 - eps
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    (cell: Int, rows: Iterator[KeyedVec], state: GroupState[List[Array[Double]]]) => {
+      if (state.hasTimedOut) {
+        state.remove()
+        Iterator.empty
+      } else {
+        var kept = state.getOption.getOrElse(Nil)
+        var maxTsMs = Long.MinValue
+        val ordered = rows.toSeq.sortBy(r => (Option(r.ts).map(_.getTime).getOrElse(0L), r.id))
+        val out = ordered.map { r =>
+          if (r.ts != null) maxTsMs = math.max(maxTsMs, r.ts.getTime)
+          val v = if (r.vec == null) Array.empty[Double] else r.vec.toArray
+          val finite = v.nonEmpty && v.forall(java.lang.Double.isFinite)
+          val dup = finite && kept.exists(k => cosine(k, v) >= t)
+          if (finite && !dup) kept = (v :: kept).take(maxVectors)
+          VecDecision(cell, r.id, dup)
+        }
+        state.update(kept)
+        if (maxTsMs != Long.MinValue) state.setTimeoutTimestamp(maxTsMs, ttl)
+        out.iterator
+      }
+    }
+  }
+
+  /** Apply the stateful semantic dedup to a Dataset[KeyedVec]
+    * (streaming, or batch-test via the same function). Streaming
+    * inputs get a watermark on `ts` so the event-time TTL can evict
+    * idle cells. */
+  def semanticDedupStream(ds: Dataset[KeyedVec], eps: Double = 0.05,
+      maxVectors: Int = 1024, watermarkDelay: String = "10 minutes",
+      ttl: String = "1 hour"): Dataset[VecDecision] = {
+    import ds.sparkSession.implicits._
+    val withWm = if (ds.isStreaming) ds.withWatermark("ts", watermarkDelay).as[KeyedVec] else ds
+    withWm.groupByKey(_.cell)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        semanticDedupStateFn(eps, maxVectors, ttl))
+  }
+
+  /** Key an (id, vec[, ts]) frame by its hyperplane cell — one narrow
+    * map (no fit, no shuffle), streaming-legal, deterministic in
+    * (seed, dim); the SAME bucketing [[graft.operators.Dedup
+    * .semanticDedup]] uses, so a stream and a batch job agree on which
+    * rows are ever compared. */
+  def keyByCell(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 256, seed: Long = 42L, tsCol: String = null): Dataset[KeyedVec] = {
+    import df.sparkSession.implicits._
+    val vd = col(vecCol).cast("array<double>")
+    // null/empty vectors get cell 0 (KeyedVec.cell is a primitive):
+    // they are never compared or retained, only passed through
+    val cell = coalesce(graft.operators.Similarity
+      .hyperplaneSignature(vd, graft.operators.Similarity.cellBits(nCells), seed)
+      .cast("int"), lit(0))
+    df.select(cell.as("cell"), col(idCol).cast("long").as("id"), vd.as("vec"),
+        (if (tsCol == null) lit(null).cast("timestamp") else col(tsCol).cast("timestamp"))
+          .as("ts"))
+      .as[KeyedVec]
+  }
+
   /** Stream-stream INTERVAL join: every (left, right) pair with equal
     * `keyCol` and `right.ts ∈ [left.ts, left.ts + within]` — the
     * funnel/attribution primitive (view → click within 10 minutes).

@@ -281,4 +281,24 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("ReusedExchange"),
       s"the (band,bucket,sig) shuffle must be written once and read twice:\n$plan")
   }
+
+  test("semanticDedup: cell self-join reuses one exchange, never cartesians") {
+    // same at-scale capture as the banded-minhash reuse test: kill
+    // broadcast + AQE so the static shuffle-join shape is visible
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevT = spark.conf.get(thresholdKey)
+    val prevA = spark.conf.get(aqeKey)
+    val plan = try {
+      spark.conf.set(thresholdKey, "-1")
+      spark.conf.set(aqeKey, "false")
+      operators.Dedup.semanticDedup(
+        Tables.embeddings(spark, dir), "vec_id", "embedding", eps = 0.6, nCells = 8)
+        .queryExecution.executedPlan.toString
+    } finally { spark.conf.set(thresholdKey, prevT); spark.conf.set(aqeKey, prevA) }
+    assert(plan.contains("ReusedExchange"),
+      s"the cell-keyed shuffle must be written once and read twice:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
+      s"semanticDedup must stay an equi-join:\n$plan")
+  }
 }

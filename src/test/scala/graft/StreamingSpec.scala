@@ -7,7 +7,7 @@ import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.streaming.StreamOps
-import graft.streaming.StreamOps.{DedupDecision, Keyed}
+import graft.streaming.StreamOps.{DedupDecision, Keyed, KeyedVec, VecDecision}
 
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
@@ -140,6 +140,64 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(d => d.id -> d.isDuplicate).toMap
     assert(!out(4L), "signature beyond the ring cap was evicted")
     assert(out(5L), "recent signature retained within the cap")
+  }
+
+  test("streaming semantic dedup: batch parity with semanticDedup; stream agrees") {
+    import graft.operators.Dedup
+    // same clustered fixture shape as SimilaritySpec's semanticDedup
+    // test: four separated directions, five jittered copies each
+    val rnd = new scala.util.Random(3)
+    def jitter(v: Array[Double]) = v.map(x => x + rnd.nextGaussian() * 0.002)
+    val dirs = Seq(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0),
+      Array(0.0, 0.0, 1.0), Array(-1.0, 0.0, 0.0))
+    val clean = dirs.zipWithIndex.flatMap { case (d, i) =>
+      (0 until 5).map(j => ((i * 10 + j).toLong, Some(jitter(d).toSeq)))
+    }
+    val dirty = Seq((98L, Some(Seq(Double.NaN, 1.0, 0.0))),
+      (99L, Option.empty[Seq[Double]]))
+    val df = (clean ++ dirty).toDF("vec_id", "embedding")
+
+    // batch invocation of the SAME state function: null ts ⇒ id-order
+    // processing ⇒ keep-lowest-id, i.e. semanticDedup's contract
+    val decisions = StreamOps.semanticDedupStream(
+        StreamOps.keyByCell(df, "vec_id", "embedding", nCells = 4), eps = 0.05)
+      .collect().map(d => d.id -> d.isDuplicate).toMap
+    val keptStream = decisions.collect { case (id, false) => id }.toSet
+    val keptBatch = Dedup.semanticDedup(df, "vec_id", "embedding", eps = 0.05, nCells = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptStream === keptBatch, "state-function keep set must match the batch operator")
+    assert(!decisions(98L) && !decisions(99L), "unprovable rows pass un-flagged")
+
+    // real stream over the same rows (single batch, AvailableNow)
+    val dir = Files.createTempDirectory("graft-stream-sem").toString + "/vecs"
+    StreamOps.keyByCell(df, "vec_id", "embedding", nCells = 4).write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val stream = spark.readStream.schema(schema).parquet(dir).as[KeyedVec]
+    val q = StreamOps.semanticDedupStream(stream, eps = 0.05)
+      .writeStream.outputMode("append").format("memory").queryName("sem_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val out = spark.table("sem_out").as[VecDecision].collect()
+      .map(d => d.id -> d.isDuplicate).toMap
+    assert(out === decisions, "stream decisions must match the batch invocation")
+  }
+
+  test("semantic dedup stream: maxVectors ring cap bounds per-cell state") {
+    val a = Seq(1.0, 0.0, 0.0)
+    val b = Seq(0.0, 1.0, 0.0)
+    val c = Seq(0.0, 0.0, 1.0)
+    // one cell throughout (cell is part of KeyedVec — drive the state
+    // function directly, the cap logic is per group)
+    val rows = Seq(
+      KeyedVec(7, 1L, a), KeyedVec(7, 2L, b),
+      KeyedVec(7, 3L, c),          // pushes a out of the cap-2 ring
+      KeyedVec(7, 4L, a),          // dup of evicted 1 → passes
+      KeyedVec(7, 5L, c)           // dup of retained 3 → flagged
+    ).toDS()
+    val out = StreamOps.semanticDedupStream(rows, eps = 0.05, maxVectors = 2)
+      .collect().map(d => d.id -> d.isDuplicate).toMap
+    assert(!out(4L), "vector beyond the ring cap was evicted")
+    assert(out(5L), "recent vector retained within the cap")
   }
 
   test("stream → warehouse metrics sink lands quality_metrics rows (foreachBatch)") {
