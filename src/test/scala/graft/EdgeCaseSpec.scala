@@ -41,6 +41,9 @@ class EdgeCaseSpec extends AnyFunSuite {
       emptyDocs, "doc_id", col("text"), t = 0.5).count() === 0)
     assert(Dedup.decontaminate(oneDoc, "doc_id", col("text"),
       emptyDocs, "doc_id", col("text")).count() === 1)
+    // guarded auto path: empty probe must route cleanly (Σdf²=0)
+    assert(Dedup.jaccardPairsAuto(emptyDocs, "doc_id", col("text"), t = 0.8).count() === 0)
+    assert(Dedup.ngramDedup(oneDoc, "doc_id", col("text")).count() === 1)
   }
 
   test("similarity search on empty frames") {
@@ -48,6 +51,9 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Similarity.similarPairsApprox(emptyVecs, "vec_id", "embedding", t = 0.5).count() === 0)
     assert(Similarity.bruteForceTopK(emptyVecs, emptyVecs, "vec_id", "embedding", 5).count() === 0)
     assert(Dedup.embeddingDedup(emptyVecs, "vec_id", "embedding").count() === 0)
+    assert(Dedup.semanticDedup(emptyVecs, "vec_id", "embedding").count() === 0)
+    assert(graft.streaming.StreamOps.semanticDedupStream(
+      graft.streaming.StreamOps.keyByCell(emptyVecs, "vec_id", "embedding")).count() === 0)
   }
 
   test("connected components on empty edge sets (both paths)") {
