@@ -467,6 +467,17 @@ object SparkEntry {
         .select("vec_id").orderBy("vec_id")
     },
 
+    // ---- Curriculum / data-blending order: the n^α-weighted fair
+    // interleave that decides what ORDER the loader consumes the
+    // mixture in (sampling decided what's IN it — q84/q93). Pure
+    // window arithmetic, so the oracle replays it exactly.
+    "q103_curriculum_interleave" -> { (s, dir) =>
+      Split.interleaveStrata(Tables.documents(s, dir),
+          strata = col("lang"), key = col("doc_id"), alpha = 0.5)
+        .select(col("doc_id"), col("lang"), col("mix_rank"), col("mix_pos"))
+        .orderBy("mix_pos", "doc_id")
+    },
+
     // ---- §1.1 category + nested RecordMetadata: the struct flows
     // through normalize → validity filter → dedup, then the aggregate
     // groups on a nested field. The dedup ordering ends in record_id so
@@ -2306,6 +2317,16 @@ object SparkEntry {
         |FROM ww JOIN s USING (w)
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "q103_curriculum_interleave" ->
+      """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, round(pow(CAST(n AS DOUBLE), 0.5), 6) AS w FROM n),
+        |r AS (SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY doc_id) AS BIGINT) AS mix_rank FROM documents)
+        |SELECT doc_id, lang, mix_rank,
+        |  round((CAST(mix_rank AS DOUBLE) - 0.5) / w, 6) AS mix_pos
+        |FROM r JOIN w USING (lang)
+        |""".stripMargin,
 
     "q84_temperature_sample" ->
       """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),

@@ -373,4 +373,43 @@ object Split {
     val kb = b.select(Dedup.compositeKey(keyCols).as("k"))
     ka.intersect(kb).isEmpty
   }
+
+  /** Deterministic weighted stratum interleave — the training-ORDER
+    * counterpart of the temperature-sampling family: after sampling
+    * decides WHAT is in the mixture, data blending decides the order
+    * the loader consumes it in, and a mixture read stratum-by-stratum
+    * trains on one domain at a time. Stratum g with n_g rows gets
+    * weight `n_g^alpha` (α = 1 proportional blending, α < 1 flattens
+    * toward low-resource strata — the same n^α rule as
+    * [[temperatureSample]]); its k-th row (1-based, ascending `key`)
+    * is placed at virtual position `(k − 0.5) / w_g`, i.e. weighted
+    * fair queuing: any prefix of the `mix_pos` order contains each
+    * stratum in proportion to its weight (±1 row). Output adds
+    * `mix_rank` (rank within the stratum) and `mix_pos` (the global
+    * sort key) — consumers order by (`mix_pos`, tie-break) or
+    * `repartitionByRange(mix_pos)` + sort-within-partitions for a
+    * cluster-scale write, so no global window ever runs.
+    *
+    * Both the weight and the position are rounded to 6 places before
+    * use (the [[temperatureSample]] cross-engine contract, so the SQL
+    * oracle can't disagree on an ulp).
+    *
+    * Scale shape: one tiny count aggregation, a broadcast join of
+    * per-stratum weights, ONE stratum-keyed rank window —
+    * bounded-strata contract like the rest of the family. */
+  def interleaveStrata(df: DataFrame, strata: Column, key: Column,
+      alpha: Double = 1.0): DataFrame = {
+    require(alpha > 0, "alpha must be positive")
+    val weights = df.groupBy(strata.as("__g"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", round(pow(col("__n").cast("double"), lit(alpha)), 6))
+      .select(col("__g"), col("__w"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata).orderBy(key)
+    df.withColumn("mix_rank", row_number().over(w).cast("long"))
+      .join(broadcast(weights), strata === col("__g"))
+      .withColumn("mix_pos",
+        round((col("mix_rank").cast("double") - lit(0.5)) / col("__w"), 6))
+      .drop("__g", "__w")
+  }
 }

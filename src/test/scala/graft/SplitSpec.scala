@@ -257,4 +257,36 @@ class SplitSpec extends AnyFunSuite {
       .filter(col("a.split") === col("b.split")).count()
     assert(agree < docs.count(), "seeds must shuffle membership")
   }
+
+  test("interleaveStrata: weighted fair order, prefix proportionality, determinism") {
+    import spark.implicits._
+    // stratum A: 4 rows, stratum B: 1 row, α = 1 → w_A = 4, w_B = 1;
+    // positions A = .125 .375 .625 .875, B = .5 → order A A B A A
+    val rows = Seq((1L, "A"), (2L, "A"), (3L, "A"), (4L, "A"), (10L, "B"))
+      .toDF("id", "g")
+    val mixed = Split.interleaveStrata(rows, col("g"), col("id"), alpha = 1.0)
+    val order = mixed.orderBy(col("mix_pos"), col("id"))
+      .select("g").collect().map(_.getString(0)).toSeq
+    assert(order === Seq("A", "A", "B", "A", "A"))
+
+    // prefix proportionality on a larger mixture: any prefix of the
+    // mix_pos order holds each stratum within ±1 of its weight share
+    val big = ((1 to 60).map(i => (i.toLong, "x")) ++
+      (101 to 130).map(i => (i.toLong, "y")) ++
+      (201 to 210).map(i => (i.toLong, "z"))).toDF("id", "g")
+    val ordered = Split.interleaveStrata(big, col("g"), col("id"), alpha = 1.0)
+      .orderBy(col("mix_pos"), col("id"))
+      .select("g").collect().map(_.getString(0))
+    val share = Map("x" -> 0.6, "y" -> 0.3, "z" -> 0.1)
+    for (k <- 1 to ordered.length; g <- share.keys) {
+      val got = ordered.take(k).count(_ == g)
+      assert(math.abs(got - k * share(g)) <= 1.0,
+        s"prefix $k: stratum $g has $got of expected ${k * share(g)}")
+    }
+
+    // ranks are per-stratum contiguous and the op is deterministic
+    val again = Split.interleaveStrata(rows, col("g"), col("id"), alpha = 1.0)
+      .select("id", "mix_rank", "mix_pos").collect().toSet
+    assert(again === mixed.select("id", "mix_rank", "mix_pos").collect().toSet)
+  }
 }
