@@ -478,6 +478,16 @@ object SparkEntry {
         .orderBy("mix_pos", "doc_id")
     },
 
+    // ---- Dedup report card: the cluster-structure summary behind a
+    // removal decision (how much is removable, how big is the worst
+    // clique) — q47's component closure aggregated to one audit row.
+    "q104_cluster_stats" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val pairs = Similarity.similarPairsApprox(emb, "vec_id", "embedding", t = 0.4)
+      DupClusters.clusterStats(
+        DupClusters.connectedComponents(emb.select(col("vec_id")), pairs))
+    },
+
     // ---- §1.1 category + nested RecordMetadata: the struct flows
     // through normalize → validity filter → dedup, then the aggregate
     // groups on a nested field. The dedup ordering ends in record_id so
@@ -2317,6 +2327,29 @@ object SparkEntry {
         |FROM ww JOIN s USING (w)
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "q104_cluster_stats" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |g AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |      FROM n a, n b WHERE a.vec_id < b.vec_id
+        |        AND (CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+        |             ELSE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END) >= 0.4),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM g
+        |          UNION ALL SELECT id_b, id_a FROM g),
+        |reach(id, m) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT e2.a, r.m FROM edges e2 JOIN reach r ON r.id = e2.b),
+        |comp AS (SELECT id, min(m) AS cluster_id FROM reach GROUP BY id),
+        |sizes AS (SELECT cluster_id, count(*) AS size FROM comp GROUP BY cluster_id)
+        |SELECT CAST(count(*) AS BIGINT) AS clusters,
+        |  CAST(sum(size) AS BIGINT) AS vertices,
+        |  CAST(sum(CASE WHEN size > 1 THEN size ELSE 0 END) AS BIGINT)
+        |    AS vertices_in_dup_clusters,
+        |  CAST(max(size) AS BIGINT) AS largest_cluster,
+        |  CAST(sum(size - 1) AS BIGINT) AS removable
+        |FROM sizes""".stripMargin,
 
     "q103_curriculum_interleave" ->
       """WITH n AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
