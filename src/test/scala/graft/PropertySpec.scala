@@ -216,4 +216,33 @@ class PropertySpec extends AnyFunSuite {
       assert(bad.count() === 0L, s"membership kernel diverges, e.g. ${bad.head(1).toSeq}")
     }
   }
+
+  test("property: semanticDedup is a subset and a fixed point under pinned cells") {
+    import graft.operators.Dedup
+    // random corpora with planted duplicate runs; nCells PINNED — the
+    // auto-sizing would re-bucket the (smaller) output and can coarsen
+    // buckets, which legally INCREASES recall; the fixed-point
+    // contract holds per bucketing, which is what a pipeline re-run
+    // with the same config sees.
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 5) {
+      val n = 20 + rnd.nextInt(40)
+      val dim = 4
+      val base = (0 until n).map { i =>
+        (i.toLong, Seq.fill(dim)(rnd.nextGaussian()))
+      }
+      val dups = (0 until n / 4).map { j =>
+        val (srcId, v) = base(rnd.nextInt(n))
+        ((1000 + j).toLong, v.map(_ + rnd.nextGaussian() * 1e-4))
+      }
+      val df = (base ++ dups).toDF("vec_id", "embedding")
+      val once = Dedup.semanticDedup(df, "vec_id", "embedding", eps = 0.01, nCells = 8)
+      val onceIds = once.select("vec_id").collect().map(_.getLong(0)).toSet
+      val allIds = (base ++ dups).map(_._1).toSet
+      assert(onceIds.subsetOf(allIds), s"trial $trial: output must be a subset")
+      val twiceIds = Dedup.semanticDedup(once, "vec_id", "embedding", eps = 0.01, nCells = 8)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(twiceIds === onceIds, s"trial $trial: pinned-cell dedup must be a fixed point")
+    }
+  }
 }
