@@ -666,6 +666,22 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     },
 
+    // ---- Eval-side leak report: q49's complement — per EVAL doc, how
+    // many training docs it fuzzily leaks into (count, zeros kept).
+    // The artifact an eval-set owner reviews before trusting numbers.
+    "q105_leak_report" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val eval = docs.filter(col("doc_id") % 10 === 0)
+      val train = docs.filter(col("doc_id") % 10 =!= 0)
+      val hits = Dedup.jaccardJoin(eval, "doc_id", col("text"),
+          train, "doc_id", col("text"), t = 0.8, n = 8)
+        .groupBy(col("id_a").as("doc_id")).agg(count(lit(1)).as("n_leaks"))
+      eval.select("doc_id").join(hits, Seq("doc_id"), "left")
+        .withColumn("n_leaks", coalesce(col("n_leaks"), lit(0L)))
+        .withColumn("leaked", col("n_leaks") > 0)
+        .orderBy("doc_id")
+    },
+
     // ---- Skew diagnostics: one-row report on a prospective shuffle
     // key (max/avg key mass = straggler-partition risk). One hash
     // shuffle with map-side partial agg, scalar output.
@@ -1882,6 +1898,24 @@ object SparkEntry {
         |FROM ranked
         |GROUP BY 1, 2
         |ORDER BY lang, split""".stripMargin,
+
+    "q105_leak_report" ->
+      """WITH g AS (SELECT doc_id, list_distinct(list_filter(
+        |        list_transform(range(1, greatest(length(text) - 7, 0) + 2),
+        |          i -> text[i:i+7]),
+        |        x -> length(x) = 8)) AS grams FROM documents),
+        |ev AS (SELECT * FROM g WHERE doc_id % 10 = 0),
+        |tr AS (SELECT * FROM g WHERE doc_id % 10 <> 0),
+        |leakc AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_leaks
+        |  FROM ev e, tr t2
+        |  WHERE round(CASE WHEN len(list_distinct(list_concat(e.grams, t2.grams))) = 0 THEN 1.0
+        |          ELSE len(list_filter(e.grams, x -> list_contains(t2.grams, x))) * 1.0 /
+        |               len(list_distinct(list_concat(e.grams, t2.grams))) END, 6) >= 0.8
+        |  GROUP BY e.doc_id)
+        |SELECT d.doc_id, coalesce(c.n_leaks, 0) AS n_leaks,
+        |  coalesce(c.n_leaks, 0) > 0 AS leaked
+        |FROM documents d LEFT JOIN leakc c USING (doc_id)
+        |WHERE d.doc_id % 10 = 0""".stripMargin,
 
     "q49_decontaminate" ->
       """WITH g AS (SELECT doc_id, list_distinct(list_filter(

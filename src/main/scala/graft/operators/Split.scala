@@ -396,7 +396,11 @@ object Split {
     *
     * Scale shape: one tiny count aggregation, a broadcast join of
     * per-stratum weights, ONE stratum-keyed rank window —
-    * bounded-strata contract like the rest of the family. */
+    * bounded-strata contract like the rest of the family.
+    *
+    * Rows with a NULL stratum are dropped (the weight join is
+    * null-unsafe, matching SQL join semantics): a null domain has no
+    * defined blending weight — label it explicitly upstream. */
   def interleaveStrata(df: DataFrame, strata: Column, key: Column,
       alpha: Double = 1.0): DataFrame = {
     require(alpha > 0, "alpha must be positive")
