@@ -23,7 +23,8 @@ class PlanSpec extends AnyFunSuite {
     // single-row total (asserted separately below).
     for (q <- Seq("q68_line_dedup", "q69_dup_ngram_profile", "q70_sequence_pack",
         "q72_simhash_near_dedup", "q75_curation_gate", "q76_range_join",
-        "q78_chunk_overlap", "q79_duplicate_spans")) {
+        "q78_chunk_overlap", "q79_duplicate_spans",
+        "q103_curriculum_interleave", "q105_leak_report")) {
       val plan = formatted(q)
       assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
         s"$q must not cross-product:\n$plan")
