@@ -148,6 +148,89 @@ object Incremental {
       .select(col("__idI").as(idCol)).distinct()
   }
 
+  /** Semantic-dedup state: one row per corpus vector, keyed by its
+    * seeded hyperplane cell ([[Dedup.semanticDedup]]'s bucketing),
+    * bucketed + bucket-sorted by `cell` — so each batch probe joins
+    * corpus vectors cell-aligned from disk with an exchange on the
+    * (small) incoming side only. Columns: `cell INT, <idCol>,
+    * vec ARRAY<DOUBLE>`. Non-finite corpus vectors are excluded (they
+    * can never prove an incoming row duplicate). `nCells`/`seed` are
+    * part of the table's identity — probes must pass the same values. */
+  def writeCellVectors(corpus: DataFrame, idCol: String, vecCol: String,
+      table: String, path: String, numBuckets: Int = 64,
+      nCells: Int = 256, seed: Long = 42L): Unit =
+    cellKeyed(corpus, idCol, vecCol, nCells, seed)
+      .repartition(numBuckets, col("cell"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, "cell").sortBy("cell")
+      .option("path", path)
+      .saveAsTable(table)
+
+  /** Grow the semantic-dedup state by an (already-deduped) batch with
+    * the SAME bucket spec, keeping the next probe corpus-shuffle-free.
+    * `numBuckets`/`nCells`/`seed` must match [[writeCellVectors]]. */
+  def appendCellVectors(batch: DataFrame, idCol: String, vecCol: String,
+      table: String, numBuckets: Int = 64,
+      nCells: Int = 256, seed: Long = 42L): Unit =
+    cellKeyed(batch, idCol, vecCol, nCells, seed)
+      .repartition(numBuckets, col("cell"))
+      .write.mode(SaveMode.Append).format("parquet")
+      .bucketBy(numBuckets, "cell").sortBy("cell")
+      .saveAsTable(table)
+
+  /** [[Dedup.semanticDedup]] against a persisted [[writeCellVectors]]
+    * table: drop every incoming row whose cosine to ANY corpus vector
+    * in the SAME cell is ≥ `1 − eps` — the incremental growth path of
+    * a semantically-thinned corpus (batch vs corpus only; follow with
+    * [[Dedup.semanticDedup]] on the survivors for within-batch
+    * thinning, then [[appendCellVectors]]). Incoming rows with
+    * non-finite embeddings pass through, like every dedup path. */
+  def semanticDedupAgainstTable(
+      incoming: DataFrame, idCol: String, vecCol: String,
+      cellCorpus: DataFrame, eps: Double = 0.05,
+      nCells: Int = 256, seed: Long = 42L): DataFrame = {
+    require(eps > 0 && eps < 1, "eps must be in (0, 1)")
+    val dupIds = cellDupIds(incoming, idCol, vecCol, cellCorpus, eps, nCells, seed)
+      .localCheckpoint(true)
+    incoming.join(dupIds, Seq(idCol), "left_anti")
+  }
+
+  /** The probe behind [[semanticDedupAgainstTable]] — package-visible
+    * un-checkpointed so specs can assert the join's physical plan. */
+  private[graft] def cellDupIds(
+      incoming: DataFrame, idCol: String, vecCol: String,
+      cellCorpus: DataFrame, eps: Double,
+      nCells: Int, seed: Long): DataFrame = {
+    val t = 1.0 - eps
+    val corpusIdCol = cellCorpus.columns
+      .find(c => c != "cell" && c != "vec")
+      .getOrElse(throw new IllegalArgumentException(
+        s"not a cell-vector table: ${cellCorpus.columns.mkString(",")}"))
+    val inc = cellKeyed(incoming, idCol, vecCol, nCells, seed)
+      .withColumnRenamed(idCol, "__idI")
+      .withColumnRenamed("vec", "__vI")
+    val cor = cellCorpus.select(col("cell"),
+      col(corpusIdCol).as("__idC"), col("vec").as("__vC"))
+    inc.join(cor, Seq("cell"))
+      .filter(Similarity.cosine(col("__vI"), col("__vC")) >= t)
+      .select(col("__idI").as(idCol)).distinct()
+  }
+
+  /** `(cell, idCol, vec)` of the provably-comparable rows — the
+    * shared keying behind the cell-vector state table and its probe;
+    * the SAME bucketing and NaN/null/empty exclusion as
+    * [[Dedup.semanticDedup]]. */
+  private def cellKeyed(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, seed: Long): DataFrame = {
+    val vd = col(vecCol).cast("array<double>")
+    df.filter(vd.isNotNull && size(vd) > 0 && !exists(vd, x => isnan(x)))
+      .select(
+        coalesce(Similarity
+          .hyperplaneSignature(vd, Similarity.cellBits(nCells), seed).cast("int"),
+          lit(0)).as("cell"),
+        col(idCol), vd.as("vec"))
+  }
+
   /** Explode a `(idCol, __sig)` signature frame into banded collision
     * rows `(band, bucket, idCol, sig)` — `bucket` is the xxhash64 of
     * the band's `r` signature slots (AND-amplification within a band,

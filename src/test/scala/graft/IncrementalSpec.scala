@@ -106,6 +106,70 @@ class IncrementalSpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDedupAgainstTable equals the direct same-cell cosine anti-join") {
+    import graft.operators.Similarity
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = embs.filter(col("vec_id") % 2 === 0)
+    val incoming = embs.filter(col("vec_id") % 2 === 1)
+    Incremental.writeCellVectors(corpus, "vec_id", "embedding",
+      "t_cells", tmp("graft_cells"), numBuckets = 8, nCells = 16)
+    try {
+      val got = Incremental.semanticDedupAgainstTable(
+          incoming, "vec_id", "embedding", spark.table("t_cells"),
+          eps = 0.6, nCells = 16)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      // direct formulation: same hyperplane cell AND cosine >= 1-eps
+      def keyed(df: org.apache.spark.sql.DataFrame, p: String) = {
+        val vd = col("embedding").cast("array<double>")
+        df.filter(vd.isNotNull && size(vd) > 0 && !exists(vd, x => isnan(x)))
+          .select(col("vec_id").as(s"id$p"),
+            Similarity.hyperplaneSignature(vd, Similarity.cellBits(16), 42L)
+              .cast("int").as(s"cell$p"),
+            vd.as(s"v$p"))
+      }
+      val dupDirect = keyed(incoming, "I").join(keyed(corpus, "C"),
+          col("cellI") === col("cellC") &&
+            Similarity.cosine(col("vI"), col("vC")) >= 0.4)
+        .select(col("idI")).distinct()
+      val want = incoming.join(dupDirect, col("vec_id") === col("idI"), "left_anti")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(got === want)
+      assert(got.nonEmpty && got.size < incoming.count(),
+        "fixture must exercise both kept and dropped rows")
+    } finally spark.sql("DROP TABLE IF EXISTS t_cells")
+  }
+
+  test("cell-vector probe join does not re-shuffle the corpus side; append keeps it usable") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val corpus = embs.filter(col("vec_id") % 3 === 0)
+    val batch1 = embs.filter(col("vec_id") % 3 === 1)
+    val batch2 = embs.filter(col("vec_id") % 3 === 2)
+    Incremental.writeCellVectors(corpus, "vec_id", "embedding",
+      "t_cells_plan", tmp("graft_cells_plan"), numBuckets = 8, nCells = 16)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = Incremental.cellDupIds(batch1, "vec_id", "embedding",
+        spark.table("t_cells_plan"), eps = 0.6, nCells = 16, seed = 42L)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"corpus side must scan bucket-aligned:\n$plan")
+      assert("Exchange hashpartitioning\\(cell".r.findAllIn(plan).size === 1,
+        s"only the incoming side may shuffle on cell:\n$plan")
+      // append batch1's survivors; batch2 must still probe the grown state
+      val survivors = Incremental.semanticDedupAgainstTable(
+        batch1, "vec_id", "embedding", spark.table("t_cells_plan"), eps = 0.6, nCells = 16)
+      Incremental.appendCellVectors(survivors, "vec_id", "embedding",
+        "t_cells_plan", numBuckets = 8, nCells = 16)
+      val after = Incremental.semanticDedupAgainstTable(
+          batch2, "vec_id", "embedding", spark.table("t_cells_plan"), eps = 0.6, nCells = 16)
+        .count()
+      assert(after > 0 && after <= batch2.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS t_cells_plan")
+    }
+  }
+
   test("appending a deduped batch keeps the digest table usable") {
     val corpus = docs.filter(col("doc_id") < 100)
     val batch = docs.filter(col("doc_id") >= 100 && col("doc_id") < 120)
