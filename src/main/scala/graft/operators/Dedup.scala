@@ -196,44 +196,48 @@ object Dedup {
       threshold: Double, numPerm: Int, bands: Int,
       maxBucketSize: Int): DataFrame = {
     val r = numPerm / bands
-    val banded = withSig.select(col(idCol), col("__sig"),
+    // ids-only banded rows: the (band, bucket) exchange — the widest
+    // in the operator — carries ~28-byte rows, never the numPerm-long
+    // signature. The earlier sig-carrying formulation shuffled and
+    // SMJ-sorted ~1 KB rows (measured 5 GB vs 130 MB on a 150k-doc
+    // rehearsal; that exchange dominated the whole operator).
+    val banded = withSig.select(col(idCol),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"), xxhash64(slice(col("__sig"), b * r + 1, lit(r))).as("bucket")))).as("__b"))
-      .select(col(idCol), col("__sig"), col("__b.band"), col("__b.bucket"))
+      .select(col(idCol), col("__b.band"), col("__b.bucket"))
     val sizes = banded.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("__bsz"))
     val tagged = banded.join(sizes, Seq("band", "bucket"))
-    // native agreement kernel — the verify runs once per colliding
-    // band per candidate pair; the HOF formulation interprets 3 lambda
-    // dispatches per signature position (PropertySpec cross-validates)
+    // normal buckets: ids-only self-join of the literally-same frame,
+    // so the two hash exchanges canonicalize identically and Spark
+    // plans a ReusedExchange — the (band, bucket) shuffle is written
+    // ONCE and read twice.
+    val small = tagged.filter(col("__bsz") <= maxBucketSize)
+      .select(col(idCol), col("band"), col("bucket"))
+    val smallPairs = small.as("l").join(small.as("r"), Seq("band", "bucket"))
+      .filter(col(s"l.$idCol") < col(s"r.$idCol"))
+      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
+    // oversized buckets: star pattern against the min-id member —
+    // B−1 pairs instead of B².
+    val big = tagged.filter(col("__bsz") > maxBucketSize)
+    val bigStats = big.groupBy(col("band"), col("bucket"))
+      .agg(min(col(idCol)).as("__bmin"))
+    val bigPairs = big.join(bigStats, Seq("band", "bucket"))
+      .filter(col(idCol) =!= col("__bmin"))
+      .select(col("__bmin").as("id_a"), col(idCol).as("id_b"))
+    // a pair colliding in k bands is distinct'd to ONE 16-byte row
+    // BEFORE the verify; signatures re-attach to the few unique
+    // candidates by id, and the (numPerm-position) native agreement
+    // kernel runs once per pair instead of once per colliding band.
     def estJaccard(x: Column, y: Column): Column =
       text.expr2col(graft.functions.SigAgreeCount(
         text.col2expr(x), text.col2expr(y))).cast("double") / numPerm
-    // normal buckets: inline-verified self-join — no pair-dedup
-    // shuffle (a pair colliding in k bands is just verified k times,
-    // which is far cheaper than shuffling it). The join is a SELF-join
-    // of the literally-same frame so the two required hash exchanges
-    // canonicalize identically and Spark plans a ReusedExchange: the
-    // (band, bucket, sig)-carrying shuffle — the widest in the whole
-    // operator — is written ONCE and read twice.
-    val small = tagged.filter(col("__bsz") <= maxBucketSize)
-      .select(col(idCol), col("__sig"), col("band"), col("bucket"))
-    val smallPairs = small.as("l").join(small.as("r"), Seq("band", "bucket"))
-      .filter(col(s"l.$idCol") < col(s"r.$idCol") &&
-        estJaccard(col("l.__sig"), col("r.__sig")) >= threshold)
-      .select(col(s"l.$idCol").as("id_a"), col(s"r.$idCol").as("id_b"))
-    // oversized buckets: star verification against the min-id member —
-    // B−1 pairs instead of B²; the sig-carrying aggregation runs only
-    // over these members.
-    val big = tagged.filter(col("__bsz") > maxBucketSize)
-    val bigStats = big.groupBy(col("band"), col("bucket")).agg(
-      min(col(idCol)).as("__bmin"),
-      min_by(col("__sig"), col(idCol)).as("__bminsig"))
-    val bigPairs = big.join(bigStats, Seq("band", "bucket"))
-      .filter(col(idCol) =!= col("__bmin") &&
-        estJaccard(col("__sig"), col("__bminsig")) >= threshold)
-      .select(col("__bmin").as("id_a"), col(idCol).as("id_b"))
-    smallPairs.union(bigPairs)
+    val sa = withSig.select(col(idCol).as("id_a"), col("__sig").as("__siga"))
+    val sb = withSig.select(col(idCol).as("id_b"), col("__sig").as("__sigb"))
+    smallPairs.union(bigPairs).distinct()
+      .join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .filter(estJaccard(col("__siga"), col("__sigb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
   }
 
   private def signed(df: DataFrame, idCol: String, textCol: Column,
@@ -251,6 +255,10 @@ object Dedup {
       shingleSize: Int,
       maxBucketSize: Int): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
+    // the candidate plan reads the signed frame from three subplans
+    // (banded rows + both re-attach sides) — the standalone entry
+    // point leaves it lazy so plan-shape specs can inspect the full
+    // tree; minhashDedup persists it around this call.
     candidatesFromSig(signed(df, idCol, textCol, numPerm, shingleSize),
       idCol, threshold, numPerm, bands, maxBucketSize)
   }

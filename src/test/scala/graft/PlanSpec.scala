@@ -280,7 +280,7 @@ class PlanSpec extends AnyFunSuite {
         .queryExecution.executedPlan.toString
     } finally { spark.conf.set(thresholdKey, prevT); spark.conf.set(aqeKey, prevA) }
     assert(plan.contains("ReusedExchange"),
-      s"the (band,bucket,sig) shuffle must be written once and read twice:\n$plan")
+      s"the ids-only (band,bucket) shuffle must be written once and read twice:\n$plan")
   }
 
   test("semanticDedup: cell self-join reuses one exchange, never cartesians") {
