@@ -328,21 +328,42 @@ object Dedup {
       shingleSize: Int = 3): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
     val r = numPerm / bands
-    def banded(sigDf: DataFrame, side: String): DataFrame =
-      sigDf.select(col(sigDf.columns.head).as(s"__id$side"), col("__sig").as(s"__sig$side"),
+    // ids-only banded rows — the band explode multiplies every row by
+    // `bands`, so a signature riding it crosses the (band, bucket)
+    // exchange `bands` TIMES over (the corpus side of this bipartite
+    // join is the big one). Bucket-collide on ids, distinct the
+    // candidate pairs, and re-attach each side's signature ONCE by id
+    // for a single verify per pair — the corpus signature table is
+    // then read twice (banding + re-attach) but its arrays never ride
+    // a banded exchange. [[graft.operators.Incremental
+    // .minhashDedupAgainstTable]] is the variant where pre-banded
+    // sig-carrying state is the right trade (it arrives bucket-aligned
+    // from disk with no exchange at all).
+    def banded(sigDf: DataFrame, idC: String, side: String): DataFrame =
+      sigDf.select(col(idC).as(s"__id$side"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"), xxhash64(slice(col("__sig"), b * r + 1, lit(r))).as("bucket")))).as("__b"))
-        .select(col(s"__id$side"), col(s"__sig$side"), col("__b.band"), col("__b.bucket"))
+        .select(col(s"__id$side"), col("__b.band"), col("__b.bucket"))
     def estJaccard(x: Column, y: Column): Column =
       text.expr2col(graft.functions.SigAgreeCount(
         text.col2expr(x), text.col2expr(y))).cast("double") / numPerm
-    val inc = banded(signed(incoming, idCol, textCol, numPerm, shingleSize), "I")
-    val cor = banded(corpusSigned, "C")
-    val dupIds = inc.join(cor, Seq("band", "bucket"))
-      .filter(estJaccard(col("__sigI"), col("__sigC")) >= threshold)
-      .select(col("__idI").as(idCol)).distinct()
-      .localCheckpoint(true)
-    incoming.join(dupIds, Seq(idCol), "left_anti")
+    val corpusIdCol = corpusSigned.columns.head
+    val incSigned = signed(incoming, idCol, textCol, numPerm, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      incSigned.count() // eager: referenced by the banding AND the re-attach
+      val cand = banded(incSigned, idCol, "I")
+        .join(banded(corpusSigned, corpusIdCol, "C"), Seq("band", "bucket"))
+        .select(col("__idI"), col("__idC")).distinct()
+      val dupIds = cand
+        .join(incSigned.select(col(idCol).as("__idI"), col("__sig").as("__sigI")), Seq("__idI"))
+        .join(corpusSigned.select(col(corpusIdCol).as("__idC"), col("__sig").as("__sigC")),
+          Seq("__idC"))
+        .filter(estJaccard(col("__sigI"), col("__sigC")) >= threshold)
+        .select(col("__idI").as(idCol)).distinct()
+        .localCheckpoint(true)
+      incoming.join(dupIds, Seq(idCol), "left_anti")
+    } finally incSigned.unpersist(blocking = false)
   }
 
   /** Exact-dedup by SimHash band equality: groups rows whose simhash
