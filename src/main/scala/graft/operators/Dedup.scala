@@ -1328,10 +1328,15 @@ object Dedup {
     * buckets (seeded sign bits — one narrow map, no k-means fit, no
     * model broadcast; [[Similarity.cellPartition]] documents why they
     * have exactly the angular locality wanted here). `nCells <= 0`
-    * auto-sizes to ~256 vectors/cell like [[Similarity.autoCells]].
-    * Rows whose embedding is null, empty, or NaN-poisoned can never
-    * be PROVEN duplicate, so they are kept — same keep-on-doubt
-    * contract as every other dedup path.
+    * auto-sizes to ~256 vectors/cell — UNCLAMPED above, unlike
+    * [[Similarity.autoCells]]: that clamp bounds `similarPairsApprox`'s
+    * driver-side centroid/radius/allowlist metadata, but SemDeDup
+    * keeps NO per-cell metadata, so the cell count can track the
+    * corpus indefinitely (the paper runs ~100k clusters on billions)
+    * and Σ|cell|² stays ~256·n at any scale instead of going
+    * quadratic past the clamp. Rows whose embedding is null, empty,
+    * or NaN-poisoned can never be PROVEN duplicate, so they are
+    * kept — same keep-on-doubt contract as every other dedup path.
     *
     * Scale shape: one narrow assignment map, ONE (cell)-keyed
     * self-join (the same frame instance aliased twice ⇒ the exchange
@@ -1346,7 +1351,7 @@ object Dedup {
     val clean = spreadWide(df)
       .filter(vd.isNotNull && size(vd) > 0 && !exists(vd, x => isnan(x)))
       .select(col(idCol).as("__id"), vd.as("__v"))
-    val cells = if (nCells > 0) nCells else Similarity.autoCells(clean.count())
+    val cells = if (nCells > 0) nCells else semanticCells(clean.count())
     val assigned = clean.withColumn("__cell",
       Similarity.hyperplaneSignature(col("__v"), Similarity.cellBits(cells), seed)
         .cast("int"))
@@ -1356,4 +1361,10 @@ object Dedup {
       .select(col("r.__id").as(idCol)).distinct()
     df.join(dup, Seq(idCol), "left_anti")
   }
+
+  /** ~256 vectors/cell, unclamped above (30-bit signature ceiling =
+    * ~10⁹ cells): [[semanticDedup]]'s auto-sizing, exposed for the
+    * spec. */
+  private[graft] def semanticCells(n: Long): Int =
+    math.min(1L << 30, math.max(8L, n / 256L)).toInt
 }

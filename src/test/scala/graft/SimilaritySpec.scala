@@ -98,6 +98,13 @@ class SimilaritySpec extends AnyFunSuite {
     val again = Dedup.semanticDedup(df, "vec_id", "embedding", eps = 0.05, nCells = 4)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(again === kept, "seeded buckets must make the result deterministic")
+
+    // auto-sizing is UNCLAMPED above (no per-cell driver metadata):
+    // a billion-vector corpus gets ~4M cells, not similarPairsApprox's
+    // 1024-cap — Σ|cell|² must track ~256·n at any scale
+    assert(Dedup.semanticCells(1000L) === 8)
+    assert(Dedup.semanticCells(1_000_000L) === 3906)
+    assert(Dedup.semanticCells(1_000_000_000L) === 3906250)
   }
 
   test("similarPairsApprox equals exact similarPairs on unclustered random embeddings") {
