@@ -472,9 +472,12 @@ object SparkEntry {
     // mixture in (sampling decided what's IN it — q84/q93). Pure
     // window arithmetic, so the oracle replays it exactly.
     "q103_curriculum_interleave" -> { (s, dir) =>
+      // the operator emits full-precision positions; round at the
+      // comparison surface only (both engines round identically)
       Split.interleaveStrata(Tables.documents(s, dir),
           strata = col("lang"), key = col("doc_id"), alpha = 0.5)
-        .select(col("doc_id"), col("lang"), col("mix_rank"), col("mix_pos"))
+        .select(col("doc_id"), col("lang"), col("mix_rank"),
+          round(col("mix_pos"), 6).as("mix_pos"))
         .orderBy("mix_pos", "doc_id")
     },
 

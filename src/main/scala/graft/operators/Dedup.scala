@@ -1349,12 +1349,10 @@ object Dedup {
     val t = 1.0 - eps
     val vd = col(vecCol).cast("array<double>")
     val clean = spreadWide(df)
-      .filter(vd.isNotNull && size(vd) > 0 && !exists(vd, x => isnan(x)))
+      .filter(semanticComparable(vd))
       .select(col(idCol).as("__id"), vd.as("__v"))
     val cells = if (nCells > 0) nCells else semanticCells(clean.count())
-    val assigned = clean.withColumn("__cell",
-      Similarity.hyperplaneSignature(col("__v"), Similarity.cellBits(cells), seed)
-        .cast("int"))
+    val assigned = clean.withColumn("__cell", semanticCell(col("__v"), cells, seed))
     val dup = assigned.as("l").join(assigned.as("r"), Seq("__cell"))
       .filter(col("l.__id") < col("r.__id"))
       .filter(Similarity.cosine(col("l.__v"), col("r.__v")) >= t)
@@ -1367,4 +1365,22 @@ object Dedup {
     * spec. */
   private[graft] def semanticCells(n: Long): Int =
     math.min(1L << 30, math.max(8L, n / 256L)).toInt
+
+  /** Seeded hyperplane cell of a vector — THE SemDeDup bucketing,
+    * shared by the batch operator, the incremental state table
+    * ([[Incremental.writeCellVectors]]), and the streaming keyer
+    * ([[graft.streaming.StreamOps.keyByCell]]); one definition so the
+    * three paths can never disagree on which rows share a cell.
+    * Null-safe to cell 0 for pass-through rows. */
+  private[graft] def semanticCell(vec: Column, nCells: Int, seed: Long): Column =
+    coalesce(Similarity
+      .hyperplaneSignature(vec, Similarity.cellBits(nCells), seed).cast("int"), lit(0))
+
+  /** Comparability predicate shared by the batch and incremental
+    * paths: a row can be PROVEN duplicate only with a non-null,
+    * non-empty, NaN-free embedding. The streaming state function
+    * applies the same rule in-JVM (non-comparable rows pass through
+    * un-flagged there — a stream must emit a decision per row). */
+  private[graft] def semanticComparable(vec: Column): Column =
+    vec.isNotNull && size(vec) > 0 && !exists(vec, x => isnan(x))
 }

@@ -218,16 +218,13 @@ object Incremental {
 
   /** `(cell, idCol, vec)` of the provably-comparable rows — the
     * shared keying behind the cell-vector state table and its probe;
-    * the SAME bucketing and NaN/null/empty exclusion as
-    * [[Dedup.semanticDedup]]. */
+    * delegates bucketing and comparability to the ONE definition in
+    * [[Dedup.semanticCell]]/[[Dedup.semanticComparable]]. */
   private def cellKeyed(df: DataFrame, idCol: String, vecCol: String,
       nCells: Int, seed: Long): DataFrame = {
     val vd = col(vecCol).cast("array<double>")
-    df.filter(vd.isNotNull && size(vd) > 0 && !exists(vd, x => isnan(x)))
-      .select(
-        coalesce(Similarity
-          .hyperplaneSignature(vd, Similarity.cellBits(nCells), seed).cast("int"),
-          lit(0)).as("cell"),
+    df.filter(Dedup.semanticComparable(vd))
+      .select(Dedup.semanticCell(vd, nCells, seed).as("cell"),
         col(idCol), vd.as("vec"))
   }
 

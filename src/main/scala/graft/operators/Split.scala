@@ -390,9 +390,12 @@ object Split {
     * `repartitionByRange(mix_pos)` + sort-within-partitions for a
     * cluster-scale write, so no global window ever runs.
     *
-    * Both the weight and the position are rounded to 6 places before
-    * use (the [[temperatureSample]] cross-engine contract, so the SQL
-    * oracle can't disagree on an ulp).
+    * The weight is rounded to 6 places (the [[temperatureSample]]
+    * cross-engine contract); the POSITION is emitted at full double
+    * precision — rounding it would collapse adjacent positions once a
+    * stratum outgrows ~10⁶ rows and break the ±1 prefix contract
+    * exactly at scale. Oracle queries round the position on BOTH
+    * engines at comparison time instead.
     *
     * Scale shape: one tiny count aggregation, a broadcast join of
     * per-stratum weights, ONE stratum-keyed rank window —
@@ -413,7 +416,7 @@ object Split {
     df.withColumn("mix_rank", row_number().over(w).cast("long"))
       .join(broadcast(weights), strata === col("__g"))
       .withColumn("mix_pos",
-        round((col("mix_rank").cast("double") - lit(0.5)) / col("__w"), 6))
+        (col("mix_rank").cast("double") - lit(0.5)) / col("__w"))
       .drop("__g", "__w")
   }
 }

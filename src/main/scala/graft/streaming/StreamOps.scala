@@ -138,33 +138,39 @@ object StreamOps {
   final case class VecDecision(cell: Int, id: Long, isDuplicate: Boolean)
 
   /** Streaming SemDeDup — [[graft.operators.Dedup.semanticDedup]]'s
-    * arrival-order sibling: per hyperplane cell, keep the vectors of
-    * everything retained so far; a new vector whose cosine to ANY
-    * retained cell-mate is ≥ `1 − eps` is flagged duplicate, otherwise
-    * it joins the state. Comparisons never cross cells (the SemDeDup
-    * contract), so state partitions by semantic locality and each
-    * group stays small.
+    * arrival-order sibling: per hyperplane cell, remember the vectors
+    * of everything SEEN so far (kept AND flagged — the batch contract
+    * drops a row similar to ANY earlier cell-mate, including ones that
+    * were themselves dropped, so a chain a~b~c with a≁c loses both b
+    * and c; comparing against kept-only would keep c and silently
+    * diverge from the batch operator). A new vector whose cosine to
+    * ANY seen cell-mate is ≥ `1 − eps` is flagged duplicate; either
+    * way its vector joins the state. Comparisons never cross cells
+    * (the SemDeDup contract), so state partitions by semantic locality
+    * and each group stays small.
     *
     * Batch/stream parity: cells come from the SAME seeded hyperplane
     * signature ([[keyByCell]]), and batch invocations process rows in
     * (ts, id) order — so on a batch frame with null timestamps the
     * keep set is exactly `semanticDedup`'s keep-lowest-id contract
-    * (spec-asserted). Streams keep the FIRST arrival instead.
+    * (spec-asserted, including the chain shape). Streams keep the
+    * FIRST arrival instead.
     *
     * State is bounded like [[fuzzyDedupStateFn]]: a `maxVectors` ring
     * cap per cell (oldest evicted first) and an event-time TTL past
-    * the watermark. Non-finite vectors (null/empty/NaN/Inf) can't be
-    * proven duplicate: they pass through un-flagged and never enter
-    * state. */
+    * the watermark. Null/empty/NaN vectors can't be proven duplicate:
+    * they pass through un-flagged and never enter state. Vectors of a
+    * DIFFERENT dimensionality than a state entry are incomparable
+    * (cosine 0), matching the batch kernel's null on length mismatch. */
   def semanticDedupStateFn(eps: Double = 0.05, maxVectors: Int = 1024,
       ttl: String = "1 hour"): (
       Int, Iterator[KeyedVec], GroupState[List[Array[Double]]]) => Iterator[VecDecision] = {
     require(eps > 0 && eps < 1, "eps must be in (0, 1)")
     val t = 1.0 - eps
     def cosine(a: Array[Double], b: Array[Double]): Double = {
+      if (a.length != b.length) return 0.0 // incomparable, like the batch kernel
       var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       if (na == 0 || nb == 0) 0.0 else d / (math.sqrt(na) * math.sqrt(nb))
     }
     (cell: Int, rows: Iterator[KeyedVec], state: GroupState[List[Array[Double]]]) => {
@@ -172,18 +178,18 @@ object StreamOps {
         state.remove()
         Iterator.empty
       } else {
-        var kept = state.getOption.getOrElse(Nil)
+        var seen = state.getOption.getOrElse(Nil)
         var maxTsMs = Long.MinValue
         val ordered = rows.toSeq.sortBy(r => (Option(r.ts).map(_.getTime).getOrElse(0L), r.id))
         val out = ordered.map { r =>
           if (r.ts != null) maxTsMs = math.max(maxTsMs, r.ts.getTime)
           val v = if (r.vec == null) Array.empty[Double] else r.vec.toArray
-          val finite = v.nonEmpty && v.forall(java.lang.Double.isFinite)
-          val dup = finite && kept.exists(k => cosine(k, v) >= t)
-          if (finite && !dup) kept = (v :: kept).take(maxVectors)
+          val comparable = v.nonEmpty && !v.exists(_.isNaN)
+          val dup = comparable && seen.exists(k => cosine(k, v) >= t)
+          if (comparable) seen = (v :: seen).take(maxVectors)
           VecDecision(cell, r.id, dup)
         }
-        state.update(kept)
+        state.update(seen)
         if (maxTsMs != Long.MinValue) state.setTimeoutTimestamp(maxTsMs, ttl)
         out.iterator
       }
@@ -213,11 +219,11 @@ object StreamOps {
       nCells: Int = 256, seed: Long = 42L, tsCol: String = null): Dataset[KeyedVec] = {
     import df.sparkSession.implicits._
     val vd = col(vecCol).cast("array<double>")
-    // null/empty vectors get cell 0 (KeyedVec.cell is a primitive):
-    // they are never compared or retained, only passed through
-    val cell = coalesce(graft.operators.Similarity
-      .hyperplaneSignature(vd, graft.operators.Similarity.cellBits(nCells), seed)
-      .cast("int"), lit(0))
+    // the ONE cell definition shared with the batch operator and the
+    // incremental state table; null/empty vectors get cell 0
+    // (KeyedVec.cell is a primitive) — they are never compared or
+    // stored, only passed through
+    val cell = graft.operators.Dedup.semanticCell(vd, nCells, seed)
     df.select(cell.as("cell"), col(idCol).cast("long").as("id"), vd.as("vec"),
         (if (tsCol == null) lit(null).cast("timestamp") else col(tsCol).cast("timestamp"))
           .as("ts"))

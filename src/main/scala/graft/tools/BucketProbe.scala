@@ -49,7 +49,13 @@ object BucketProbe {
         .groupBy(col("bucket")).agg(count(lit(1)))
         .write.mode("overwrite").format("noop").save()
     }
-    // 5. candidate pair enumeration (bucket self-join + verify)
+    // 5. candidate pair enumeration (bucket self-join + verify).
+    // NOTE: the standalone minhashCandidates entry point leaves the
+    // signed frame UNCACHED (its plan reads it from three subplans),
+    // so this stage carries ~3x the signature pass on top of the join
+    // cost — compare against full_dedup (which caches) for the
+    // operator's real steady-state, and against `signatures` to
+    // subtract the duplicated narrow-map work.
     timed("candidates") {
       Dedup.minhashCandidates(docs, "doc_id", col("text"),
           threshold = 0.5, numPerm = 128, bands = 32, shingleSize = 3,

@@ -182,6 +182,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(out === decisions, "stream decisions must match the batch invocation")
   }
 
+  test("semantic dedup stream drops full chains like the batch operator (a~b~c, a≁c)") {
+    import graft.operators.Dedup
+    // cos(a,b) = cos(b,c) = 0.96 >= 0.95, cos(a,c) = 0.8432 < 0.95:
+    // the batch contract drops a row similar to ANY lower-id mate,
+    // dropped or not — so b AND c go. A stream comparing only against
+    // KEPT vectors would keep c; state must remember flagged arrivals.
+    val th = math.acos(0.96)
+    def at(k: Int) = Seq(math.cos(k * th), math.sin(k * th))
+    val rows = Seq(KeyedVec(5, 1L, at(0)), KeyedVec(5, 2L, at(1)), KeyedVec(5, 3L, at(2)))
+    val out = StreamOps.semanticDedupStream(rows.toDS(), eps = 0.05)
+      .collect().map(d => d.id -> d.isDuplicate).toMap
+    assert(!out(1L) && out(2L) && out(3L), s"chain must drop b and c: $out")
+    // the global batch contract on the same vectors agrees
+    val batchKept = Dedup.embeddingDedup(
+        Seq((1L, at(0)), (2L, at(1)), (3L, at(2))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", threshold = 0.95, exact = true)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(batchKept === Set(1L))
+  }
+
+  test("semantic dedup stream treats dimension-mismatched vectors as incomparable") {
+    val rows = Seq(
+      KeyedVec(7, 1L, Seq(1.0, 0.0)),
+      KeyedVec(7, 2L, Seq(1.0, 0.0, 0.0))) // 3-dim vs 2-dim state entry
+    val out = StreamOps.semanticDedupStream(rows.toDS(), eps = 0.05)
+      .collect().map(d => d.id -> d.isDuplicate).toMap
+    assert(!out(2L), "length mismatch must never prove a duplicate (batch kernel yields null)")
+  }
+
   test("semantic dedup stream: maxVectors ring cap bounds per-cell state") {
     val a = Seq(1.0, 0.0, 0.0)
     val b = Seq(0.0, 1.0, 0.0)
