@@ -35,9 +35,16 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // Seeded-state queries (q102/q106/q107) reference engine-exported
+    // parquet via the __GRAFT_STATE_DIR__ token; resolve it to this
+    // run's per-sfDir state directory so DuckDB reads the same state
+    // the engine just wrote (see SparkEntry.stateDir).
+    val stateDir = SparkEntry.stateDir(sfDir)
     val json = SparkEntry.oracleSql
       .filter { case (k, _) => only.forall(_.findFirstIn(k).isDefined) }
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("__GRAFT_STATE_DIR__", stateDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -888,7 +888,14 @@ object Dedup {
     * across two corpora with J ≥ `t` — the same count-based exact
     * algorithm as [[jaccardPairs]] with the self-join specialization
     * removed. This is the decontamination primitive: `left` = eval
-    * set, `right` = training corpus, a returned pair is a leak. */
+    * set, `right` = training corpus, a returned pair is a leak.
+    *
+    * UNGUARDED oracle companion, like [[jaccardPairs]]: cost is
+    * Σ_gram dfL·dfR joined rows, which goes quadratic when BOTH sides
+    * scale (the round-4 rehearsal measured 20.6× growth at 10× with a
+    * corpus-proportional eval side). Defaults never hit that shape —
+    * [[decontaminate]] and the leak-report queries route through
+    * [[jaccardJoinAuto]], whose probe measures Σ dfL·dfR first. */
   def jaccardJoin(
       left: DataFrame, leftId: String, leftText: Column,
       right: DataFrame, rightId: String, rightText: Column,
@@ -904,13 +911,20 @@ object Dedup {
   /** Decontamination: drop every `corpus` row whose text is ≥ `t`
     * n-gram-Jaccard-similar to ANY `reference` row — e.g. scrub an
     * eval/benchmark set out of a training corpus (or vice versa)
-    * before fine-tuning. Exact (no probabilistic recall): removal ids
-    * come from [[jaccardJoin]], removal is a left_anti join. */
+    * before fine-tuning. Removal ids come from [[jaccardJoinAuto]] (the
+    * Σ-df guarded bipartite join: exact count join while its probe
+    * fits, banded-MinHash candidates + exact verify past the budget),
+    * removal is a left_anti join. The documented contract used to be
+    * "benchmark-sized reference side only"; the guard lifts it — an
+    * oversized reference routes to the near-linear candidate path
+    * instead of detonating the Σ dfL·dfR token join. */
   def decontaminate(
       corpus: DataFrame, idCol: String, textCol: Column,
       reference: DataFrame, refIdCol: String, refTextCol: Column,
-      t: Double = 0.8, n: Int = 8): DataFrame = {
-    val leaked = jaccardJoin(corpus, idCol, textCol, reference, refIdCol, refTextCol, t, n)
+      t: Double = 0.8, n: Int = 8,
+      maxJoinRowsPerDoc: Long = 8192L): DataFrame = {
+    val leaked = jaccardJoinAuto(corpus, idCol, textCol,
+        reference, refIdCol, refTextCol, t, n, maxJoinRowsPerDoc)
       .select(col("id_a").as(idCol)).distinct()
     corpus.join(leaked, Seq(idCol), "left_anti")
   }
@@ -1240,8 +1254,13 @@ object Dedup {
     * the cache — so the guarded join costs one tokenize pass total,
     * not one for the probe plus one per consumer (the cache also
     * spares the exact join a second scan+normalize of the source).
-    * The result is materialized (`localCheckpoint`) while the cache is
-    * hot, then the cache is dropped. */
+    *
+    * EAGER on both routes: the probe is an action, and the result is
+    * materialized (`localCheckpoint`) while the cache is hot, then the
+    * cache is dropped — callers composing further pruning (limit,
+    * narrow filters) pay full materialization at call time. Use
+    * [[jaccardPairs]] / [[jaccardPairsBanded]] directly when a lazy
+    * composable plan matters more than the guardrail. */
   def jaccardPairsAuto(df: DataFrame, idCol: String, textCol: Column,
       t: Double, n: Int = 3, maxJoinRowsPerDoc: Long = 8192L): DataFrame =
     if (recallBandRows(t, 128) < 2) {
@@ -1273,6 +1292,135 @@ object Dedup {
         else jaccardPairsBandedFromSets(sets, t, numPerm = 128)
       } finally sets.unpersist(blocking = false)
     }
+
+  /** Σ_gram dfL·dfR — the exact bipartite count join's joined-row
+    * count — [[jaccardJoinAuto]]'s routing probe. The self-join probe
+    * ([[gramJoinRows]]) guards the within-corpus shape; this is its
+    * two-sided analog, the quantity that detonated the reference's
+    * decontamination when both sides scaled
+    * (/root/reference/docs/adr/003-pandas-vs-pyspark-strategy.md:
+    * 165-189's 48-hour nested-loop lesson, measured here as 20.6×
+    * growth at 10× in the round-4 rehearsal). */
+  private[graft] def bipartiteJoinRows(
+      left: DataFrame, leftId: String, leftText: Column,
+      right: DataFrame, rightId: String, rightText: Column, n: Int): Long = {
+    val dfL = tokens(spreadWide(left), leftId, leftText, n)
+      .groupBy(col("__gram")).agg(count(lit(1)).as("__dfl"))
+    val dfR = tokens(spreadWide(right), rightId, rightText, n)
+      .groupBy(col("__gram")).agg(count(lit(1)).as("__dfr"))
+    dfL.join(dfR, Seq("__gram"))
+      .agg(coalesce(sum(col("__dfl") * col("__dfr")), lit(0L)).as("__rows"))
+      .head().getLong(0)
+  }
+
+  /** Routing decision behind [[jaccardJoinAuto]], exposed so the
+    * guardrail is spec-testable: true ⟹ the exact bipartite count
+    * join's Σ dfL·dfR row count fits the per-document budget. */
+  private[graft] def routeExactBipartite(
+      left: DataFrame, leftId: String, leftText: Column,
+      right: DataFrame, rightId: String, rightText: Column,
+      n: Int, maxJoinRowsPerDoc: Long): Boolean = {
+    val joinRows = bipartiteJoinRows(left, leftId, leftText, right, rightId, rightText, n)
+    val nDocs = math.max(left.count() + right.count(), 1L)
+    logRouteBipartite(joinRows, nDocs, maxJoinRowsPerDoc)
+  }
+
+  private def logRouteBipartite(joinRows: Long, nDocs: Long,
+      maxJoinRowsPerDoc: Long): Boolean = {
+    val exact = joinRows <= maxJoinRowsPerDoc * nDocs
+    val msg = s"jaccardJoinAuto: bipartite ngram probe ΣdfL·dfR=$joinRows over " +
+      s"$nDocs docs (budget ${maxJoinRowsPerDoc}/doc) → ${if (exact) "exact count join"
+        else "banded-MinHash candidates + exact verify"}"
+    if (exact) log.info(msg) else log.warn(msg)
+    exact
+  }
+
+  /** Self-protecting BIPARTITE n-gram Jaccard join — [[jaccardJoin]]'s
+    * guarded sibling, the decontamination/leak-report default. Probes
+    * Σ_gram dfL·dfR (the exact count join's joined-row count, ONE
+    * vocabulary-sized aggregation per side) and runs the count-based
+    * [[jaccardJoin]] only while that fits `maxJoinRowsPerDoc · (|L| +
+    * |R|)`; past the budget — the oversized-reference regime where the
+    * two-sided join goes quadratic — it routes to banded-MinHash
+    * candidate pairs verified by the exact codegen'd [[jaccardOfSets]],
+    * and logs the decision at WARN. Same output columns and the same
+    * rounded J values on either route; the banded route's one contract
+    * difference is per-pair recall 1 − (1 − t^r)^b ≥ 1 − 1e-6
+    * ([[recallBandRows]]) instead of exactly 1.
+    *
+    * Both sides' gram-set frames are tokenized ONCE and persisted; the
+    * probe, the exact join's token streams, and the banded route's
+    * signatures + verify all read the caches. Like
+    * [[jaccardPairsAuto]], the result is EAGER on both routes
+    * (materialized via `localCheckpoint` while the caches are hot). */
+  def jaccardJoinAuto(
+      left: DataFrame, leftId: String, leftText: Column,
+      right: DataFrame, rightId: String, rightText: Column,
+      t: Double, n: Int = 3, maxJoinRowsPerDoc: Long = 8192L): DataFrame = {
+    require(t > 0 && t <= 1, "threshold must be in (0, 1]")
+    if (recallBandRows(t, 128) < 2) {
+      // r = 1 bands have no AND-amplification — same reasoning as
+      // jaccardPairsAuto: below the amplification regime the exact
+      // count join is also the cheaper join.
+      log.warn(s"jaccardJoinAuto: threshold $t too low for AND-amplified banding " +
+        "(r < 2 at numPerm=128) — staying on the exact count join")
+      jaccardJoin(left, leftId, leftText, right, rightId, rightText, t, n)
+    } else {
+      val lv = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val setsL = gramSets(spreadWide(left), leftId, leftText, n).persist(lv)
+      val setsR = gramSets(spreadWide(right), rightId, rightText, n).persist(lv)
+      try {
+        val nDocs = math.max(setsL.count() + setsR.count(), 1L) // materializes both
+        def toks(sets: DataFrame): DataFrame = sets.select(col("__id"),
+          size(col("__g")).as("__sz"), explode(col("__g")).as("__gram"))
+        val ta = toks(setsL)
+        val tb = toks(setsR)
+        val joinRows = ta.groupBy(col("__gram")).agg(count(lit(1)).as("__dfl"))
+          .join(tb.groupBy(col("__gram")).agg(count(lit(1)).as("__dfr")), Seq("__gram"))
+          .agg(coalesce(sum(col("__dfl") * col("__dfr")), lit(0L)).as("__rows"))
+          .head().getLong(0)
+        if (logRouteBipartite(joinRows, nDocs, maxJoinRowsPerDoc))
+          countedPairs(
+            ta.select(col("__id").as("id_a"), col("__sz").as("__sza"), col("__gram")),
+            tb.select(col("__id").as("id_b"), col("__sz").as("__szb"), col("__gram")),
+            t, antiReflexive = false)
+            .localCheckpoint(true)
+        else jaccardJoinBandedFromSets(setsL, setsR, t, numPerm = 128)
+      } finally {
+        setsL.unpersist(blocking = false)
+        setsR.unpersist(blocking = false)
+      }
+    }
+  }
+
+  /** Banded-MinHash candidates + exact verify over two ALREADY
+    * persisted `(__id, __g)` gram-set frames — [[jaccardJoinAuto]]'s
+    * oversized-reference route, the bipartite analog of
+    * [[jaccardPairsBandedFromSets]]. Candidates are L×R band-bucket
+    * collisions (ids-only 16-byte rows), never an id-ordered self
+    * pair, so every cross pair is considered exactly once. */
+  private def jaccardJoinBandedFromSets(
+      setsL: DataFrame, setsR: DataFrame, t: Double, numPerm: Int): DataFrame = {
+    val r = recallBandRows(t, numPerm)
+    val bands = numPerm / r
+    def bandedSide(sets: DataFrame): DataFrame = sets
+      .select(col("__id"), minhashSig(col("__g"), numPerm).as("__sig"))
+      .select(col("__id"), explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("__sig"), b * r + 1, lit(r)), b))).as("__bucket"))
+    val cand = bandedSide(setsL).as("l").join(bandedSide(setsR).as("r"), Seq("__bucket"))
+      .select((shiftleft(col("l.__id"), 32) + col("r.__id")).as("__pair"))
+      .distinct()
+    val sa = setsL.select(col("__id").cast("long").as("id_a"), col("__g").as("__ga"))
+    val sb = setsR.select(col("__id").cast("long").as("id_b"), col("__g").as("__gb"))
+    cand
+      .select(shiftright(col("__pair"), 32).as("id_a"),
+        col("__pair").bitwiseAND(lit(0xFFFFFFFFL)).as("id_b"))
+      .join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .withColumn("jaccard", round(jaccardOfSets(col("__ga"), col("__gb")), 6))
+      .filter(col("jaccard") >= t)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .localCheckpoint(true)
+  }
 
   /** N-gram-Jaccard near-duplicate removal: drops every document whose
     * gram set is ≥ `t` Jaccard-similar to an earlier (lower-id) one,
@@ -1342,7 +1490,13 @@ object Dedup {
     * self-join (the same frame instance aliased twice ⇒ the exchange
     * is written once and read twice), map-side distinct of dropped
     * ids, left_anti removal. Nothing but (cell, id, vec) rides the
-    * shuffle, and the vec rides exactly once. */
+    * shuffle, and the vec rides exactly once.
+    *
+    * `nCells <= 0` auto-sizing runs an EAGER sizing job at call time
+    * (a count over the persisted comparable frame — the cache keeps
+    * the scan+filter from executing a second time under the cell
+    * join). At 100 TB pass `nCells` explicitly (you know the corpus
+    * size); the operator then stays fully lazy. */
   def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
       eps: Double = 0.05, nCells: Int = 0, seed: Long = 42L): DataFrame = {
     require(eps > 0 && eps < 1, "eps must be in (0, 1)")
@@ -1351,8 +1505,17 @@ object Dedup {
     val clean = spreadWide(df)
       .filter(semanticComparable(vd))
       .select(col(idCol).as("__id"), vd.as("__v"))
-    val cells = if (nCells > 0) nCells else semanticCells(clean.count())
-    val assigned = clean.withColumn("__cell", semanticCell(col("__v"), cells, seed))
+    val (comparable, cells) =
+      if (nCells > 0) (clean, nCells)
+      else {
+        // localCheckpoint (not cache-then-unpersist): the returned
+        // plan is lazy, so there is no post-action point to release a
+        // cache at — the checkpoint materializes the comparable frame
+        // once and both the sizing count and the cell join read it.
+        val cp = clean.localCheckpoint(true)
+        (cp, semanticCells(cp.count()))
+      }
+    val assigned = comparable.withColumn("__cell", semanticCell(col("__v"), cells, seed))
     val dup = assigned.as("l").join(assigned.as("r"), Seq("__cell"))
       .filter(col("l.__id") < col("r.__id"))
       .filter(Similarity.cosine(col("l.__v"), col("r.__v")) >= t)

@@ -130,10 +130,14 @@ object Incremental {
       bandedCorpus: DataFrame, threshold: Double,
       numPerm: Int, bands: Int, shingleSize: Int): DataFrame = {
     require(numPerm % bands == 0, "bands must divide numPerm")
-    val corpusIdCol = bandedCorpus.columns
-      .find(c => c != "band" && c != "bucket" && c != "sig")
-      .getOrElse(throw new IllegalArgumentException(
-        s"not a banded signature table: ${bandedCorpus.columns.mkString(",")}"))
+    // exactly (band, bucket, <id>, sig) — an extra column would make
+    // the id inference silently pick the wrong one, so reject it
+    val corpusIdCol = bandedCorpus.columns.filterNot(Set("band", "bucket", "sig")) match {
+      case Array(id) if bandedCorpus.columns.length == 4 => id
+      case _ => throw new IllegalArgumentException(
+        "not a banded signature table (want exactly band, bucket, <id>, sig): " +
+          bandedCorpus.columns.mkString(","))
+    }
     val inc = banded(
       Dedup.minhashSignatures(incoming, idCol, textCol, numPerm, shingleSize),
       idCol, bands, numPerm / bands)
@@ -202,10 +206,14 @@ object Incremental {
       cellCorpus: DataFrame, eps: Double,
       nCells: Int, seed: Long): DataFrame = {
     val t = 1.0 - eps
-    val corpusIdCol = cellCorpus.columns
-      .find(c => c != "cell" && c != "vec")
-      .getOrElse(throw new IllegalArgumentException(
-        s"not a cell-vector table: ${cellCorpus.columns.mkString(",")}"))
+    // exactly (cell, <id>, vec) — an extra column would make the id
+    // inference silently pick the wrong one, so reject it
+    val corpusIdCol = cellCorpus.columns.filterNot(Set("cell", "vec")) match {
+      case Array(id) if cellCorpus.columns.length == 3 => id
+      case _ => throw new IllegalArgumentException(
+        "not a cell-vector table (want exactly cell, <id>, vec): " +
+          cellCorpus.columns.mkString(","))
+    }
     val inc = cellKeyed(incoming, idCol, vecCol, nCells, seed)
       .withColumnRenamed(idCol, "__idI")
       .withColumnRenamed("vec", "__vI")
@@ -231,8 +239,10 @@ object Incremental {
   /** Explode a `(idCol, __sig)` signature frame into banded collision
     * rows `(band, bucket, idCol, sig)` — `bucket` is the xxhash64 of
     * the band's `r` signature slots (AND-amplification within a band,
-    * OR across bands; same hashing as [[Dedup.minhashDedupAgainst]]). */
-  private def banded(sigDf: DataFrame, idCol: String, bands: Int, r: Int): DataFrame =
+    * OR across bands; same hashing as [[Dedup.minhashDedupAgainst]]).
+    * Package-visible so the q106 oracle export can materialize the
+    * incoming side's banded keying for the DuckDB replay. */
+  private[graft] def banded(sigDf: DataFrame, idCol: String, bands: Int, r: Int): DataFrame =
     sigDf.select(col(idCol), col("__sig"),
         explode(transform(sequence(lit(0), lit(bands - 1)),
           b => struct(b.as("band"),

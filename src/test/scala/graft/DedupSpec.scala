@@ -286,6 +286,50 @@ class DedupSpec extends AnyFunSuite {
     assert(kept === (base ++ dups).map(_._1).toSet -- removed)
   }
 
+  test("jaccardJoinAuto guards the oversized-reference decontamination shape") {
+    // eval is a large fraction of the corpus — the two-sided shape
+    // whose Σ dfL·dfR goes quadratic (ADR-003's lesson). Word-soup
+    // docs over a tiny vocabulary put the fixture in that regime;
+    // planted verbatim leaks are the pairs that must survive routing.
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("tla", "toc", "cal", "mex", "nah", "pil",
+      "xoc", "atl", "tep", "mic", "zta", "hui")
+    val train = (0 until 300).map { i =>
+      (i.toLong, (0 until 30).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val eval = (0 until 60).map { i =>
+      // first 15 eval docs are verbatim copies of training docs (leaks)
+      if (i < 15) (5000L + i, train(i * 3)._2)
+      else (5000L + i, (0 until 30).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val trainDf = train.toDF("id", "t")
+    val evalDf = eval.toDF("id", "t")
+
+    // fixture must be past the budget so the banded route fires
+    assert(!Dedup.routeExactBipartite(evalDf, "id", col("t"),
+      trainDf, "id", col("t"), n = 3, maxJoinRowsPerDoc = 512L),
+      "probe must route the oversized two-sided shape away from the count join")
+    // and a benchmark-sized reference side routes exact
+    assert(Dedup.routeExactBipartite(evalDf.limit(5), "id", col("t"),
+      trainDf.limit(20), "id", col("t"), n = 3, maxJoinRowsPerDoc = 8192L))
+
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val exact = Dedup.jaccardJoin(evalDf, "id", col("t"),
+      trainDf, "id", col("t"), t = 0.8, n = 3).collect().map(key).toSet
+    val auto = Dedup.jaccardJoinAuto(evalDf, "id", col("t"),
+      trainDf, "id", col("t"), t = 0.8, n = 3, maxJoinRowsPerDoc = 512L)
+      .collect().map(key).toSet
+    assert(auto === exact, s"banded route must not change the leak set " +
+      s"(auto=${auto.size} exact=${exact.size})")
+    assert(exact.map(_._1).toSet.size >= 15, "planted leaks must all be found")
+
+    // decontaminate through the guard drops exactly the leaking ids
+    val kept = Dedup.decontaminate(evalDf, "id", col("t"),
+        trainDf, "id", col("t"), t = 0.8, n = 3, maxJoinRowsPerDoc = 512L)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept === eval.map(_._1).toSet -- exact.map(_._1))
+  }
+
   test("ngramDedup keeps the lowest id of each near-dup clique") {
     import spark.implicits._
     val docs = Seq(
