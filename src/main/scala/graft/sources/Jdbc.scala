@@ -16,13 +16,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Jdbc {
 
-  /** S10 — driver registry + URL templating. */
+  /** S10 — driver registry + URL templating. `derby` is the embedded
+    * engine (ships with Spark's distribution for the Hive metastore):
+    * `database` is the on-disk path, host/port unused — it is what CI
+    * drives the scan/sink paths against for a REAL round-trip
+    * (JdbcSpec), standing in for the server databases below. */
   val driverRegistry: Map[String, String] = Map(
     "postgresql" -> "org.postgresql.Driver",
     "mysql" -> "com.mysql.cj.jdbc.Driver",
     "sqlserver" -> "com.microsoft.sqlserver.jdbc.SQLServerDriver",
     "db2" -> "com.ibm.db2.jcc.DB2Driver",
-    "oracle" -> "oracle.jdbc.OracleDriver")
+    "oracle" -> "oracle.jdbc.OracleDriver",
+    "derby" -> "org.apache.derby.jdbc.EmbeddedDriver")
 
   def urlFor(kind: String, host: String, port: Int, database: String): String = kind match {
     case "postgresql" => s"jdbc:postgresql://$host:$port/$database"
@@ -30,6 +35,7 @@ object Jdbc {
     case "sqlserver" => s"jdbc:sqlserver://$host:$port;databaseName=$database"
     case "db2" => s"jdbc:db2://$host:$port/$database"
     case "oracle" => s"jdbc:oracle:thin:@$host:$port/$database"
+    case "derby" => s"jdbc:derby:$database"
     case other => throw new IllegalArgumentException(s"unknown jdbc kind: $other")
   }
 
@@ -73,23 +79,32 @@ object Jdbc {
   /** S9 — bulk sink with exponential-backoff retry (3 attempts à la
     * oracle_connector.py:171-241); batched writes executor-side. */
   def bulkWrite(df: DataFrame, conn: Conn, table: String,
-      batchSize: Int = 5000, maxRetries: Int = 3, baseBackoffMs: Long = 1000L): Unit = {
+      batchSize: Int = 5000, maxRetries: Int = 3, baseBackoffMs: Long = 1000L): Unit =
+    retryWithBackoff(maxRetries, baseBackoffMs) { () =>
+      df.write.format("jdbc")
+        .option("url", conn.url)
+        .option("driver", conn.driver)
+        .option("user", conn.user)
+        .option("password", conn.password)
+        .option("dbtable", table)
+        .option("batchsize", batchSize)
+        .mode("append")
+        .save()
+    }
+
+  /** The retry loop behind [[bulkWrite]]: attempt, on failure sleep
+    * `baseBackoffMs · 2^(attempt-1)` and retry, up to `maxRetries`
+    * retries, then rethrow. Package-visible so JdbcSpec can drive it
+    * with an injected transient fault whose final attempt performs the
+    * real database write. */
+  private[graft] def retryWithBackoff(maxRetries: Int, baseBackoffMs: Long)(
+      action: () => Unit): Unit = {
     var attempt = 0
     var done = false
     while (!done) {
-      try {
-        df.write.format("jdbc")
-          .option("url", conn.url)
-          .option("driver", conn.driver)
-          .option("user", conn.user)
-          .option("password", conn.password)
-          .option("dbtable", table)
-          .option("batchsize", batchSize)
-          .mode("append")
-          .save()
-        done = true
-      } catch {
-        case e: Exception if attempt < maxRetries =>
+      try { action(); done = true }
+      catch {
+        case _: Exception if attempt < maxRetries =>
           attempt += 1
           Thread.sleep(baseBackoffMs * (1L << (attempt - 1)))
         case e: Exception => throw e
