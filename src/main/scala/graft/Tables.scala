@@ -38,12 +38,16 @@ object Tables {
       case TimestampNTZType =>
         // The NTZ wall-clock is UTC by the writer's contract. A bare
         // cast would re-interpret it in the session timezone (only UTC
-        // under GraftSession, not necessarily on foreign sessions), so
-        // shift UTC -> session tz first; the cast then lands on the
-        // same instant regardless of spark.sql.session.timeZone.
-        val sessionTz = s.conf.get("spark.sql.session.timeZone")
-        df.withColumn("ts",
-          convert_timezone(lit("UTC"), lit(sessionTz), col("ts")).cast(TimestampType))
+        // under GraftSession, not necessarily on foreign sessions).
+        // Rebuild the instant ARITHMETICALLY from the UTC fields via
+        // make_timestamp(..., 'UTC'): no session-tz local wall clock is
+        // ever materialized, so a DST fall-back overlap in the session
+        // zone (where a convert-then-cast round-trip is ambiguous and
+        // can shift an hour) cannot touch it. extract(SECOND) is
+        // DECIMAL(8,6) — the micros fraction survives.
+        df.withColumn("ts", expr(
+          "make_timestamp(year(ts), month(ts), day(ts), hour(ts), minute(ts), " +
+            "extract(SECOND FROM ts), 'UTC')").cast(TimestampType))
       case _                => df
     }
   }
