@@ -61,12 +61,23 @@ object Quality {
     def passes(o: Double): Boolean = o >= minRate
   }
 
-  /** Fraction of values in the allowed set = 1.0 (catalog membership). */
-  final case class MembershipCheck(column: String, allowed: Seq[String]) extends QualityCheck {
+  /** Fraction of values in the allowed set ≥ `minRate` (catalog
+    * membership; nulls pass — GE's in_set ignores them too). */
+  final case class MembershipCheck(column: String, allowed: Seq[String],
+      minRate: Double = 1.0) extends QualityCheck {
     val name = s"member_$column"
     def metric: Column =
       sum(when(col(column).isin(allowed.map(a => a: Any): _*) || col(column).isNull, 1).otherwise(0))
         .cast("double") / count(lit(1))
+    def passes(o: Double): Boolean = o >= minRate
+  }
+
+  /** Table-structure check: the frame's column set must equal exactly
+    * this set (GE `expect_table_columns_to_match_set`). Structural —
+    * [[run]] evaluates it against the schema on the driver, no scan. */
+  final case class ColumnSetCheck(columns: Set[String]) extends QualityCheck {
+    val name = "column_set"
+    def metric: Column = lit(1.0) // placeholder; run() special-cases
     def passes(o: Double): Boolean = o >= 1.0
   }
 
@@ -137,15 +148,28 @@ object Quality {
 
   final case class CheckResult(name: String, observed: Double, passed: Boolean)
 
-  /** Evaluate the whole suite in a single aggregation pass. */
+  /** Evaluate the whole suite in a single aggregation pass (structural
+    * checks — [[ColumnSetCheck]] — are decided from the schema on the
+    * driver, off the scan). */
   def run(df: DataFrame, checks: Seq[QualityCheck]): Seq[CheckResult] = {
     require(checks.nonEmpty, "empty check suite")
-    val aggs = checks.map(c => c.metric.cast("double").as(c.name))
-    val row: Row = df.agg(aggs.head, aggs.tail: _*).head()
-    checks.zipWithIndex.map { case (c, i) =>
-      val v = if (row.isNullAt(i)) Double.NaN else row.getDouble(i)
-      CheckResult(c.name, v, !v.isNaN && c.passes(v))
-    }
+    val structural: Map[Int, CheckResult] = checks.zipWithIndex.collect {
+      case (c: ColumnSetCheck, i) =>
+        val ok = df.columns.toSet == c.columns
+        i -> CheckResult(c.name, if (ok) 1.0 else 0.0, ok)
+    }.toMap
+    val aggChecks = checks.zipWithIndex.filterNot(p => structural.contains(p._2))
+    val fromRow: Map[Int, CheckResult] =
+      if (aggChecks.isEmpty) Map.empty
+      else {
+        val aggs = aggChecks.map { case (c, _) => c.metric.cast("double").as(c.name) }
+        val row: Row = df.agg(aggs.head, aggs.tail: _*).head()
+        aggChecks.zipWithIndex.map { case ((c, origIdx), j) =>
+          val v = if (row.isNullAt(j)) Double.NaN else row.getDouble(j)
+          origIdx -> CheckResult(c.name, v, !v.isNaN && c.passes(v))
+        }.toMap
+      }
+    checks.indices.map(i => structural.getOrElse(i, fromRow(i)))
   }
 
   /** Results as a DataFrame (for the metrics warehouse sink). */
@@ -182,6 +206,72 @@ object Quality {
   /** Boolean gate (0/1) — [[gateCode]] carries the failure identity. */
   def gate(results: Seq[CheckResult]): Int =
     if (gateCode(results) == 0L) 0 else 1
+
+  /** Declarative suite loader: parse a Great Expectations expectation
+    * suite JSON — the artifact the reference actually ships its gate
+    * as (great_expectations/expectations/corc_nah_corpus_suite.json,
+    * loaded by scripts/run_quality_check.py:205-260) — into the
+    * engine's check list, so a migrating user carries their suite
+    * FILE, not a Scala re-transcription. Supported expectation types
+    * map onto the native single-pass checks:
+    *
+    *  - expect_table_columns_to_match_set → [[ColumnSetCheck]]
+    *  - expect_column_values_to_not_be_null → [[NotNullCheck]]
+    *  - expect_column_values_to_match_regex → [[RegexCheck]]
+    *  - expect_column_proportion_of_unique_values_to_be_between →
+    *    [[UniquenessCheck]]
+    *  - expect_column_value_lengths_to_be_between → [[RangeCheck]]
+    *  - expect_column_values_to_be_in_set → [[MembershipCheck]]
+    *  - expect_table_row_count_to_be_between → [[RowCountCheck]]
+    *
+    * An unknown type THROWS — a silently dropped expectation would
+    * green-light data the reference gate would fail. One semantic
+    * delta, on the conservative side: GE's `mostly` for regex/length
+    * checks is a fraction of NON-NULL values; the engine counts nulls
+    * in the denominator (as failures), so a column passing here also
+    * passes GE, not always vice versa. Membership is equivalent at
+    * `mostly` = 1 (nulls pass both). JSON parsing is Jackson — already
+    * on every Spark classpath. */
+  def loadSuiteJson(json: String): Seq[QualityCheck] = {
+    import scala.jdk.CollectionConverters._
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    val exps = root.path("expectations")
+    require(exps.isArray && exps.size > 0, "suite has no expectations array")
+    (0 until exps.size).map { i =>
+      val e = exps.get(i)
+      val k = e.path("kwargs")
+      def column = k.path("column").asText()
+      def mostly = if (k.has("mostly")) k.path("mostly").asDouble() else 1.0
+      e.path("expectation_type").asText() match {
+        case "expect_table_columns_to_match_set" =>
+          ColumnSetCheck(k.path("column_set").elements().asScala.map(_.asText()).toSet)
+        case "expect_column_values_to_not_be_null" =>
+          NotNullCheck(column, mostly)
+        case "expect_column_values_to_match_regex" =>
+          RegexCheck(column, k.path("regex").asText(), mostly)
+        case "expect_column_proportion_of_unique_values_to_be_between" =>
+          UniquenessCheck(column, k.path("min_value").asDouble(),
+            if (k.has("max_value")) k.path("max_value").asDouble() else 1.0)
+        case "expect_column_value_lengths_to_be_between" =>
+          RangeCheck(s"len_$column", org.apache.spark.sql.functions.length(col(column)),
+            k.path("min_value").asDouble(), k.path("max_value").asDouble(), mostly)
+        case "expect_column_values_to_be_in_set" =>
+          MembershipCheck(column,
+            k.path("value_set").elements().asScala.map(_.asText()).toSeq, mostly)
+        case "expect_table_row_count_to_be_between" =>
+          RowCountCheck(k.path("min_value").asLong(),
+            if (k.has("max_value")) k.path("max_value").asLong() else Long.MaxValue)
+        case other =>
+          throw new IllegalArgumentException(s"unsupported expectation_type: $other")
+      }
+    }
+  }
+
+  /** [[loadSuiteJson]] over a file path. */
+  def loadSuiteFile(path: String): Seq[QualityCheck] =
+    loadSuiteJson(new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8))
 
   /** The reference's Great Expectations suite, check for check
     * (/root/reference/great_expectations/expectations/

@@ -37,6 +37,45 @@ class QualitySpec extends AnyFunSuite {
     assert(results("regex_nah").passed && results("regex_nah").observed === 0.25)
   }
 
+  test("loadSuiteFile parses the reference GE suite and agrees with corpusSuite") {
+    val loaded = Quality.loadSuiteFile(
+      "/root/reference/great_expectations/expectations/corc_nah_corpus_suite.json")
+    assert(loaded.size === 8)
+    assert(loaded.head === ColumnSetCheck(
+      Set("es", "nah", "myn", "source", "layer", "origin_file")),
+      "schema expectation must load first, with the reference's column set")
+
+    // 20-row fixture on the common ground of the JSON suite and the
+    // hard-coded corpusSuite (lowercase macrons, shared source values):
+    // every aligned check must reach the same verdict under both.
+    val fixture = (1 to 20).map { i =>
+      (f"frase de ejemplo numero $i%02d",
+        if (i == 20) null else if (i <= 8) s"tlazohcāmati $i" else s"niltze $i",
+        null: String,
+        Seq("huggingface", "youtube", "pdf", "manual", "synthetic")(i % 5),
+        "silver", "fixture.jsonl")
+    }.toDF("es", "nah", "myn", "source", "layer", "origin_file")
+
+    val fromFile = Quality.run(fixture, loaded)
+    val hardCoded = Quality.run(fixture, Quality.corpusSuite())
+    assert(fromFile.head.passed, "fixture matches the reference column set")
+    // drop the schema check; remaining 7 align positionally with corpusSuite
+    assert(fromFile.drop(1).map(_.passed) === hardCoded.map(_.passed),
+      s"file-loaded and hard-coded suite verdicts diverge:\n$fromFile\n$hardCoded")
+    // the fixture exercises both outcomes: volume bound fails (20 rows
+    // vs the suite's pinned 100k minimum), everything else passes
+    assert(fromFile.drop(1).init.forall(_.passed))
+    assert(!fromFile.last.passed && fromFile.last.name === "row_count")
+
+    // structural check actually bites: a frame missing a column fails
+    val broken = fixture.drop("origin_file")
+    assert(!Quality.run(broken, loaded).head.passed)
+
+    // unknown expectation types must throw, not silently drop
+    val bad = """{"expectations": [{"expectation_type": "expect_magic", "kwargs": {}}]}"""
+    intercept[IllegalArgumentException](Quality.loadSuiteJson(bad))
+  }
+
   test("gate returns nonzero when any check fails") {
     val pass = Quality.run(corpus, Seq(RowCountCheck(1)))
     val fail = Quality.run(corpus, Seq(RowCountCheck(100)))
