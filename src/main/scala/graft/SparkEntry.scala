@@ -199,9 +199,17 @@ object SparkEntry {
         .orderBy("event_type")
     },
 
-    // ---- O4: deterministic seeded split (xxhash64 — no DuckDB oracle).
+    // ---- O4: deterministic seeded split. The uniform is xxhash64-
+    // seeded (no DuckDB analog), so the query EXPORTS (doc_id, u) and
+    // the oracle independently replays the threshold labelling +
+    // grouping over it — the split arithmetic is what's under test,
+    // the hash is pinned by PropertySpec/SplitSpec.
     "q16_seeded_split" -> { (s, dir) =>
-      Split.split(Tables.documents(s, dir), Seq("doc_id"))
+      val docs = Tables.documents(s, dir)
+      docs.select(col("doc_id"),
+          Split.uniform(Dedup.compositeKey(Seq("doc_id"))).as("u"))
+        .write.mode("overwrite").parquet(s"${stateDir(dir)}/q16_u")
+      Split.split(docs, Seq("doc_id"))
         .groupBy(col("split")).agg(count(lit(1)).as("n"))
         .orderBy("split")
     },
@@ -322,9 +330,14 @@ object SparkEntry {
         .orderBy("event_type")
     },
 
-    // ---- Near-dup: SimHash bucketing dedup (xxhash64-based; no SQL oracle).
+    // ---- Near-dup: SimHash signature-equality dedup. The signature is
+    // xxhash64-seeded → EXPORTED; the oracle replays the keep-lowest-id
+    // per-signature window over the exported (doc_id, sig).
     "q29_simhash_dedup" -> { (s, dir) =>
-      Dedup.simhashDedup(Tables.documents(s, dir), "doc_id", col("text"))
+      val docs = Tables.documents(s, dir)
+      docs.select(col("doc_id"), Dedup.simhashSignature(col("text")).as("sig"))
+        .write.mode("overwrite").parquet(s"${stateDir(dir)}/q29_sigs")
+      Dedup.simhashDedup(docs, "doc_id", col("text"))
         .select("doc_id").orderBy("doc_id")
     },
 
@@ -382,7 +395,16 @@ object SparkEntry {
     // ---- D5-scale: banded MinHash LSH dedup (shingle → minhash →
     // band → bucket-join; AND-amplified, native signature expression).
     "q37_minhash_band_dedup" -> { (s, dir) =>
-      Dedup.minhashDedup(Tables.documents(s, dir), "doc_id", col("text"),
+      val docs = Tables.documents(s, dir)
+      // the seeded MinHash signatures are the exported state; the
+      // oracle replays band-slice-equality candidate generation (equal
+      // slices ⇔ equal xxhash64 buckets, modulo 2⁻⁶⁴ collisions) + the
+      // agreement-fraction ≥ threshold verify + the anti-join.
+      Dedup.minhashSignatures(docs, "doc_id", col("text"),
+          numPerm = 128, shingleSize = 3)
+        .withColumnRenamed("__sig", "sig")
+        .write.mode("overwrite").parquet(s"${stateDir(dir)}/q37_sigs")
+      Dedup.minhashDedup(docs, "doc_id", col("text"),
           threshold = 0.5, numPerm = 128, bands = 32, shingleSize = 3)
         .select("doc_id").orderBy("doc_id")
     },
@@ -793,6 +815,13 @@ object SparkEntry {
     // pins the semantics.
     "q66_incremental_dedup" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
+      // export ALL signatures once; the oracle replays both stages
+      // (bipartite incoming-vs-corpus band collision + agreement
+      // verify, then the self-dedup over the survivors) from the same
+      // exported seeded state — see q37 for the candidate-rule replay.
+      Dedup.minhashSignatures(docs, "doc_id", col("text"))
+        .withColumnRenamed("__sig", "sig")
+        .write.mode("overwrite").parquet(s"${stateDir(dir)}/q66_sigs")
       val corpusSigs = Dedup.minhashSignatures(
         docs.filter(col("doc_id") % 2 === 0), "doc_id", col("text"))
       val incoming = docs.filter(col("doc_id") % 2 === 1)
@@ -804,12 +833,16 @@ object SparkEntry {
 
     // ---- Sub-word redundancy profiling: deflate compression-ratio
     // histogram over the corpus (boilerplate compresses; prose
-    // doesn't). Ratios come from the native CompressionRatio
-    // expression — zlib has no DuckDB analog, so this is a rows-only
-    // query; AnalysisSpec pins the signal's direction and determinism.
+    // doesn't). zlib has no DuckDB analog, so the per-doc ratio from
+    // the native CompressionRatio expression is EXPORTED and the
+    // oracle replays the decile histogram aggregation over it;
+    // AnalysisSpec pins the ratio's direction and determinism.
     "q65_compression_profile" -> { (s, dir) =>
-      Tables.documents(s, dir)
-        .select(functions.analysis.compression_ratio(col("text")).as("ratio"))
+      val ratios = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          functions.analysis.compression_ratio(col("text")).as("ratio"))
+      ratios.write.mode("overwrite").parquet(s"${stateDir(dir)}/q65_ratios")
+      ratios
         .groupBy(floor(col("ratio") * 10).cast("int").as("ratio_decile"))
         .agg(count(lit(1)).as("n_docs"), round(avg(col("ratio")), 4).as("mean_ratio"))
         .orderBy("ratio_decile")
@@ -990,7 +1023,14 @@ object SparkEntry {
     // DedupSpec cross-validates the pair set against a brute-force
     // all-pairs Hamming join.
     "q72_simhash_near_dedup" -> { (s, dir) =>
-      Dedup.simhashNearDedup(Tables.documents(s, dir), "doc_id", col("text"),
+      val docs = Tables.documents(s, dir)
+      // the signature is the exported seeded state; the oracle replays
+      // the ALL-PAIRS Hamming-≤-3 + keep-lowest-id anti-join over it
+      // (the pigeonhole banding GUARANTEES the engine's pair set equals
+      // the brute-force set, so the replay is exact — see simhashPairs)
+      docs.select(col("doc_id"), Dedup.simhashSignature(col("text")).as("sig"))
+        .write.mode("overwrite").parquet(s"${stateDir(dir)}/q72_sigs")
+      Dedup.simhashNearDedup(docs, "doc_id", col("text"),
           maxHamming = 3)
         .select("doc_id").orderBy("doc_id")
     },
@@ -2292,6 +2332,81 @@ object SparkEntry {
         |SELECT vec_id FROM embeddings
         |WHERE vec_id % 3 = 0 AND vec_id NOT IN (SELECT vec_id FROM dup)
         |ORDER BY vec_id""".stripMargin,
+
+    // q16/q29/q37/q65/q66/q72 follow the same seeded-state-export
+    // contract: the export carries ONLY what DuckDB cannot recompute
+    // (xxhash64 uniforms, SimHash/MinHash signatures, zlib ratios);
+    // the labelling / banding / Hamming / agreement / anti-join
+    // semantics are replayed independently in SQL.
+    "q16_seeded_split" ->
+      """WITH u AS (
+        |  SELECT doc_id, u FROM read_parquet('__GRAFT_STATE_DIR__/q16_u/*.parquet')),
+        |lab AS (SELECT CASE WHEN u < 0.9 THEN 'train'
+        |                    WHEN u < 0.95 THEN 'validation'
+        |                    ELSE 'test' END AS split FROM u)
+        |SELECT split, count(*) AS n FROM lab GROUP BY split ORDER BY split""".stripMargin,
+
+    "q29_simhash_dedup" ->
+      """WITH sigs AS (
+        |  SELECT doc_id, sig FROM read_parquet('__GRAFT_STATE_DIR__/q29_sigs/*.parquet'))
+        |SELECT doc_id FROM (
+        |  SELECT doc_id, row_number() OVER (PARTITION BY sig ORDER BY doc_id) AS rk
+        |  FROM sigs)
+        |WHERE rk = 1 ORDER BY doc_id""".stripMargin,
+
+    "q72_simhash_near_dedup" ->
+      """WITH sigs AS (
+        |  SELECT doc_id, sig FROM read_parquet('__GRAFT_STATE_DIR__/q72_sigs/*.parquet')),
+        |dup AS (
+        |  SELECT DISTINCT b.doc_id FROM sigs a JOIN sigs b
+        |    ON a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 3)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dup) ORDER BY doc_id""".stripMargin,
+
+    "q37_minhash_band_dedup" ->
+      """WITH sigs AS (
+        |  SELECT doc_id, sig FROM read_parquet('__GRAFT_STATE_DIR__/q37_sigs/*.parquet')),
+        |dup AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |  WHERE len(list_filter(generate_series(0, 31),
+        |          bb -> a.sig[bb*4+1 : bb*4+4] = b.sig[bb*4+1 : bb*4+4])) > 0
+        |    AND CAST(len(list_filter(generate_series(1, 128),
+        |          k -> a.sig[k] = b.sig[k])) AS DOUBLE) / 128 >= 0.5)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dup) ORDER BY doc_id""".stripMargin,
+
+    "q66_incremental_dedup" ->
+      """WITH sigs AS (
+        |  SELECT doc_id, sig FROM read_parquet('__GRAFT_STATE_DIR__/q66_sigs/*.parquet')),
+        |cor AS (SELECT * FROM sigs WHERE doc_id % 2 = 0),
+        |inc AS (SELECT * FROM sigs WHERE doc_id % 2 = 1),
+        |dup1 AS (
+        |  SELECT DISTINCT i.doc_id
+        |  FROM inc i, cor c
+        |  WHERE len(list_filter(generate_series(0, 31),
+        |          bb -> i.sig[bb*4+1 : bb*4+4] = c.sig[bb*4+1 : bb*4+4])) > 0
+        |    AND CAST(len(list_filter(generate_series(1, 128),
+        |          k -> i.sig[k] = c.sig[k])) AS DOUBLE) / 128 >= 0.5),
+        |surv AS (SELECT * FROM inc WHERE doc_id NOT IN (SELECT doc_id FROM dup1)),
+        |dup2 AS (
+        |  SELECT DISTINCT b.doc_id
+        |  FROM surv a JOIN surv b ON a.doc_id < b.doc_id
+        |  WHERE len(list_filter(generate_series(0, 31),
+        |          bb -> a.sig[bb*4+1 : bb*4+4] = b.sig[bb*4+1 : bb*4+4])) > 0
+        |    AND CAST(len(list_filter(generate_series(1, 128),
+        |          k -> a.sig[k] = b.sig[k])) AS DOUBLE) / 128 >= 0.5)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM dup1)
+        |  AND doc_id NOT IN (SELECT doc_id FROM dup2)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q65_compression_profile" ->
+      """WITH r AS (
+        |  SELECT ratio FROM read_parquet('__GRAFT_STATE_DIR__/q65_ratios/*.parquet'))
+        |SELECT CAST(floor(ratio * 10) AS INTEGER) AS ratio_decile,
+        |  count(*) AS n_docs, round(avg(ratio), 4) AS mean_ratio
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q101_contamination_bloom" ->
       """WITH w AS (SELECT doc_id,

@@ -366,11 +366,19 @@ object Dedup {
     } finally incSigned.unpersist(blocking = false)
   }
 
+  /** The 64-bit SimHash signature of a text column, exactly as the
+    * SimHash operator family computes it (whitespace tokens of the
+    * normalized key). Exposed so queries can EXPORT signatures for the
+    * DuckDB oracle, which replays the SQL-expressible grouping /
+    * Hamming semantics (xor + bit_count) over them. */
+  def simhashSignature(textCol: Column): Column =
+    simhash(split(text.norm_key(textCol), "\\s+"))
+
   /** Exact-dedup by SimHash band equality: groups rows whose simhash
     * agree on all 4 16-bit bands (cheap near-dup bucketing; a
     * candidate-verify pass can follow). */
   def simhashDedup(df: DataFrame, idCol: String, textCol: Column): DataFrame = {
-    val sig = simhash(split(text.norm_key(textCol), "\\s+"))
+    val sig = simhashSignature(textCol)
     keepBestWindow(spreadWide(df).withColumn("__sig", sig), col("__sig"), Seq(col(idCol).asc))
       .drop("__sig")
   }
@@ -404,7 +412,7 @@ object Dedup {
     val nBands = maxHamming + 1
     val width = 64 / nBands
     val sigDf = spreadWide(df).select(col(idCol),
-      simhash(split(text.norm_key(textCol), "\\s+")).as("__sig"))
+      simhashSignature(textCol).as("__sig"))
     val bandStructs = (0 until nBands).map { b =>
       val lo = b * width
       val w = if (b == nBands - 1) 64 - lo else width // last band absorbs the remainder bits

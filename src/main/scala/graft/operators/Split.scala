@@ -26,15 +26,21 @@ object Split {
   val defaultRatios: Seq[(String, Double)] =
     Seq("train" -> 0.9, "validation" -> 0.05, "test" -> 0.05)
 
+  /** The seeded uniform behind [[assign]]: xxhash64(key, seed) →
+    * uniform in [0, 1). Exposed so seeded-split queries can EXPORT the
+    * value for the DuckDB oracle (which has no xxhash64) and the
+    * oracle replays only the SQL-expressible threshold labelling. */
+  def uniform(key: Column, seed: Long = 42L): Column =
+    (xxhash64(key, lit(seed)).cast("double") - lit(Long.MinValue.toDouble)) /
+      lit(Long.MaxValue.toDouble * 2.0)
+
   /** Assign a split label from the hash of `key`. Ratios must sum to 1. */
   def assign(
       key: Column,
       seed: Long = 42L,
       ratios: Seq[(String, Double)] = defaultRatios): Column = {
     require(math.abs(ratios.map(_._2).sum - 1.0) < 1e-9, "ratios must sum to 1")
-    // xxhash64 → uniform in [Long.Min, Long.Max]; rescale to [0,1).
-    val u = (xxhash64(key, lit(seed)).cast("double") - lit(Long.MinValue.toDouble)) /
-      lit(Long.MaxValue.toDouble * 2.0)
+    val u = uniform(key, seed)
     val cum = ratios.scanLeft(0.0)(_ + _._2).tail
     ratios.zip(cum).init.foldRight(lit(ratios.last._1): Column) {
       case (((name, _), hi), elseCol) => when(u < hi, lit(name)).otherwise(elseCol)
