@@ -230,10 +230,43 @@ object SparkEntry {
         .select(col("c_custkey"), col("c_name"))
         .orderBy("c_custkey")
     },
-    // ---- D5/J2/J3: MinHash-LSH fuzzy dedup, seeds pinned (no SQL oracle —
-    // LSH bucketing is model-defined; correctness via DedupSpec recall tests).
+    // ---- D5/J2/J3: MinHash-LSH fuzzy dedup (spark.ml formulation).
+    // The model's seeded per-table hash values and the HashingTF
+    // feature-index sets are EXPORTED (the fit is seed-deterministic
+    // and data-independent, so the exported model state is exactly the
+    // operator's); the oracle replays approxSimilarityJoin's public
+    // contract — OR-amplified (table, hash)-collision candidates,
+    // exact index-set Jaccard-distance verify strictly below the
+    // threshold — plus the keep-lowest-id anti-join. Feature indices
+    // come from the TRANSFORMED vectors themselves (ml's term hash is
+    // NOT SQL hash() — a replication attempt diverged on real terms),
+    // so the export is the model's feature set by construction.
     "q19_fuzzy_dedup" -> { (s, dir) =>
-      Dedup.fuzzyDedup(Tables.documents(s, dir), "doc_id", col("text"),
+      val docs = Tables.documents(s, dir)
+      val tokens = docs
+        .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("__tokens"))
+        .filter(size(col("__tokens")) > 0)
+      val tf = new org.apache.spark.ml.feature.HashingTF()
+        .setInputCol("__tokens").setOutputCol("__features")
+        .setNumFeatures(1 << 14)
+      val featured = tf.transform(tokens)
+      val model = new org.apache.spark.ml.feature.MinHashLSH()
+        .setInputCol("__features").setOutputCol("__hashes")
+        .setNumHashTables(5).setSeed(42L)
+        .fit(featured)
+      model.transform(featured)
+        .select(col("doc_id"), posexplode(col("__hashes")).as(Seq("t", "__h")))
+        .select(col("doc_id"), col("t"),
+          org.apache.spark.ml.functions.vector_to_array(col("__h"))
+            .getItem(0).as("h"))
+        .write.mode("overwrite").parquet(s"${stateDir(dir)}/q19_hashes")
+      featured.select(col("doc_id"),
+          posexplode(org.apache.spark.ml.functions.vector_to_array(col("__features")))
+            .as(Seq("idx", "v")))
+        .filter(col("v") > 0)
+        .select(col("doc_id"), col("idx"))
+        .write.mode("overwrite").parquet(s"${stateDir(dir)}/q19_feats")
+      Dedup.fuzzyDedup(docs, "doc_id", col("text"),
           threshold = 0.5, shingleSize = 3)
         .select("doc_id").orderBy("doc_id")
     },
@@ -938,13 +971,25 @@ object SparkEntry {
 
     // ---- Product quantization: train on a bounded deterministic
     // sample, one narrow encode map (64-dim fp32 -> 16 bytes/vector),
-    // ADC cosine top-k from codes alone. Codebook is kmeans-derived so
-    // the output is seeded-deterministic but not SQL-expressible —
-    // rows-only check here; PqSpec carries the recall/error gates.
+    // ADC cosine top-k from codes alone. The kmeans-derived codebook
+    // and the per-vector codes are EXPORTED (seeded-deterministic
+    // state); the oracle independently replays the asymmetric-distance
+    // computation — per-subspace LUT dots against the codebook, the
+    // code-indexed sum, the stored-norm cosine normalization — and the
+    // top-k window. PqSpec keeps the recall/error gates.
     "q59_pq_topk" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val model = operators.Pq.train(emb, "vec_id", "embedding", m = 16, ksub = 256)
+      val cbRows = for { sub <- 0 until model.m; c <- 0 until model.ksub } yield
+        (sub, c, model.codebook.slice((sub * model.ksub + c) * model.dsub,
+          (sub * model.ksub + c + 1) * model.dsub).toSeq)
+      s.createDataFrame(cbRows).toDF("s", "c", "cent")
+        .write.mode("overwrite").parquet(s"${stateDir(dir)}/q59_codebook")
       val coded = operators.Pq.encode(emb, "embedding", model)
+      coded.select(col("vec_id"),
+          transform(col("pq_code"), b => pmod(b.cast("int"), lit(256))).as("code"),
+          col("pq_norm"))
+        .write.mode("overwrite").parquet(s"${stateDir(dir)}/q59_codes")
       operators.Pq.adcTopK(coded, emb.filter(col("vec_id") % 40 === 0),
           "vec_id", "pq_code", "embedding", model, k = 5)
         .orderBy("query_id", "rank")
@@ -1249,11 +1294,18 @@ object SparkEntry {
 
     // ---- Leakage-safe split: near-dup clusters (simhash pairs →
     // connected components) move to a split as a unit, so a training
-    // doc's near-duplicate can never land in test. xxhash-seeded like
-    // q16 → rows-only check; the straddle-free invariant and the
-    // isolated-row equivalence with split() are SplitSpec-asserted.
+    // doc's near-duplicate can never land in test. The seeded state
+    // (SimHash signatures + the per-potential-root split uniform) is
+    // EXPORTED; the oracle independently replays the Hamming pair
+    // enumeration, the min-label connected components (recursive CTE),
+    // and the threshold labelling of each cluster's root.
     "q87_leakage_safe_split" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
+      docs.select(col("doc_id"), Dedup.simhashSignature(col("text")).as("sig"))
+        .write.mode("overwrite").parquet(s"${stateDir(dir)}/q87_sigs")
+      docs.select(col("doc_id"),
+          Split.uniform(text.dedup_key(col("doc_id"))).as("u"))
+        .write.mode("overwrite").parquet(s"${stateDir(dir)}/q87_u")
       val pairs = Dedup.simhashPairs(docs, "doc_id", col("text"), maxHamming = 3)
       Split.leakageSafeSplit(docs, "doc_id", pairs)
         .select(col("doc_id"), col("split"))
@@ -1356,11 +1408,21 @@ object SparkEntry {
 
     // ---- The ANN margin-mining path (q86's 100 TB form): both kNN
     // sweeps through the hyperplane-bucket equi-join — no broadcast,
-    // no cross product. Probabilistic recall ⇒ rows-only here;
-    // exact/ANN agreement is SimilaritySpec-asserted.
+    // no cross product. The seeded hyperplane signatures are EXPORTED
+    // per table; the oracle replays the bucket-collision candidate
+    // set, the exact-cosine top-k within candidates, and q86's margin
+    // algebra independently. Exact/ANN agreement stays
+    // SimilaritySpec-asserted.
     "q95_margin_mine_ann" -> { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      val sigStructs = (0 until 6).map(t =>
+        struct(lit(t).as("t"),
+          Similarity.hyperplaneSignature(col("embedding"), bits = 8,
+            seed = 42L + t).as("sig")))
+      emb.select(col("vec_id"), explode(array(sigStructs: _*)).as("__s"))
+        .select(col("vec_id"), col("__s.t"), col("__s.sig"))
+        .write.mode("overwrite").parquet(s"${stateDir(dir)}/q95_sigs")
       Similarity.marginMine(
           emb.filter(col("vec_id") % 2 === 0),
           emb.filter(col("vec_id") % 2 === 1),
@@ -2338,6 +2400,118 @@ object SparkEntry {
     // (xxhash64 uniforms, SimHash/MinHash signatures, zlib ratios);
     // the labelling / banding / Hamming / agreement / anti-join
     // semantics are replayed independently in SQL.
+    // q59's codebook rides as ONE nested list (cb3[s+1][c+1] = the
+    // centroid subvector) so each pair's ADC sum is a deterministic
+    // sequential list_sum — identical codes provably tie EXACTLY and
+    // fall to the corpus_id tie-break, like the engine's kernel.
+    "q59_pq_topk" ->
+      """WITH cb AS (
+        |  SELECT s, c, cent FROM read_parquet('__GRAFT_STATE_DIR__/q59_codebook/*.parquet')),
+        |codes AS (
+        |  SELECT vec_id, code, pq_norm FROM read_parquet('__GRAFT_STATE_DIR__/q59_codes/*.parquet')),
+        |cbl AS (
+        |  SELECT list(cents ORDER BY s) AS cb3 FROM (
+        |    SELECT s, list(cent ORDER BY c) AS cents FROM cb GROUP BY s)),
+        |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |      FROM embeddings WHERE vec_id % 40 = 0),
+        |qn AS (SELECT query_id,
+        |    CASE WHEN sqrt(list_dot_product(qv, qv)) = 0 THEN qv
+        |         ELSE list_transform(qv, x -> x / sqrt(list_dot_product(qv, qv))) END AS qu
+        |  FROM q),
+        |scored AS (
+        |  SELECT qn.query_id, codes.vec_id AS corpus_id,
+        |    CASE WHEN codes.pq_norm = 0 THEN 0.0
+        |         ELSE list_sum(list_transform(generate_series(0, 15), s ->
+        |                list_dot_product(qn.qu[s*4+1 : s*4+4],
+        |                                 cb3[s+1][codes.code[s+1]+1]))) / codes.pq_norm
+        |    END AS adc
+        |  FROM qn, codes, cbl WHERE codes.vec_id <> qn.query_id),
+        |r AS (SELECT query_id, corpus_id, adc, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY adc DESC, corpus_id) AS rank FROM scored)
+        |SELECT query_id, corpus_id, round(adc, 6) AS adc, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "q95_margin_mine_ann" ->
+      """WITH sigs AS (
+        |  SELECT vec_id, t, sig FROM read_parquet('__GRAFT_STATE_DIR__/q95_sigs/*.parquet')),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS sid, b.vec_id AS tid
+        |  FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig
+        |  WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+        |s AS (SELECT vec_id AS sid, CAST(embedding AS DOUBLE[]) AS sv
+        |      FROM embeddings WHERE vec_id % 2 = 0),
+        |t AS (SELECT vec_id AS tid, CAST(embedding AS DOUBLE[]) AS tv
+        |      FROM embeddings WHERE vec_id % 2 = 1),
+        |ap AS (SELECT cand.sid, cand.tid,
+        |    CASE WHEN sqrt(list_dot_product(sv, sv)) = 0
+        |              OR sqrt(list_dot_product(tv, tv)) = 0 THEN 0.0
+        |         ELSE list_dot_product(sv, tv) /
+        |              (sqrt(list_dot_product(tv, tv)) * sqrt(list_dot_product(sv, sv))) END AS sim
+        |  FROM cand JOIN s USING (sid) JOIN t USING (tid)),
+        |fwd AS (SELECT sid, tid, round(sim, 6) AS sim FROM (
+        |    SELECT sid, tid, sim, row_number() OVER (
+        |      PARTITION BY sid ORDER BY sim DESC, tid) AS rk FROM ap)
+        |  WHERE rk <= 4 AND NOT isnan(sim)),
+        |bwd AS (SELECT sid, tid, round(sim, 6) AS sim FROM (
+        |    SELECT sid, tid, sim, row_number() OVER (
+        |      PARTITION BY tid ORDER BY sim DESC, sid) AS rk FROM ap)
+        |  WHERE rk <= 4 AND NOT isnan(sim)),
+        |dx AS (SELECT sid, avg(sim) AS dx FROM fwd GROUP BY sid),
+        |dy AS (SELECT tid, avg(sim) AS dy FROM bwd GROUP BY tid),
+        |m AS (SELECT fwd.sid, fwd.tid, fwd.sim,
+        |    fwd.sim / ((dx + dy) / 2) AS margin
+        |  FROM fwd JOIN dx USING (sid) JOIN dy USING (tid)),
+        |best AS (SELECT sid, tid, sim, margin, row_number() OVER (
+        |    PARTITION BY sid ORDER BY margin DESC, tid) AS rk FROM m)
+        |SELECT sid AS src_id, tid AS tgt_id, sim, round(margin, 6) AS margin
+        |FROM best WHERE rk = 1 AND margin >= 1.0
+        |ORDER BY src_id""".stripMargin,
+
+    "q19_fuzzy_dedup" ->
+      """WITH h AS (
+        |  SELECT doc_id, t, h FROM read_parquet('__GRAFT_STATE_DIR__/q19_hashes/*.parquet')),
+        |f AS (
+        |  SELECT doc_id, idx FROM read_parquet('__GRAFT_STATE_DIR__/q19_feats/*.parquet')),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+        |  FROM h a JOIN h b ON a.t = b.t AND a.h = b.h AND a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, count(*) AS n FROM f GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.ida, c.idb, count(*) AS ni
+        |  FROM cand c JOIN f fa ON fa.doc_id = c.ida
+        |              JOIN f fb ON fb.doc_id = c.idb AND fb.idx = fa.idx
+        |  GROUP BY c.ida, c.idb),
+        |dup AS (
+        |  SELECT DISTINCT i.idb AS doc_id
+        |  FROM inter i JOIN sz sa ON sa.doc_id = i.ida
+        |               JOIN sz sb ON sb.doc_id = i.idb
+        |  WHERE 1.0 - CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) < 0.5)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dup) ORDER BY doc_id""".stripMargin,
+
+    "q87_leakage_safe_split" ->
+      """WITH RECURSIVE sigs AS (
+        |  SELECT doc_id, sig FROM read_parquet('__GRAFT_STATE_DIR__/q87_sigs/*.parquet')),
+        |u AS (
+        |  SELECT doc_id, u FROM read_parquet('__GRAFT_STATE_DIR__/q87_u/*.parquet')),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM sigs a JOIN sigs b
+        |    ON a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 3),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM p
+        |          UNION ALL SELECT id_b, id_a FROM p),
+        |reach(id, m) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, r.m FROM edges e JOIN reach r ON r.id = e.b),
+        |root AS (SELECT id AS doc_id, min(m) AS cluster FROM reach GROUP BY id)
+        |SELECT r.doc_id,
+        |  CASE WHEN u.u < 0.9 THEN 'train'
+        |       WHEN u.u < 0.95 THEN 'validation'
+        |       ELSE 'test' END AS split
+        |FROM root r JOIN u ON u.doc_id = r.cluster
+        |ORDER BY r.doc_id""".stripMargin,
+
     "q16_seeded_split" ->
       """WITH u AS (
         |  SELECT doc_id, u FROM read_parquet('__GRAFT_STATE_DIR__/q16_u/*.parquet')),

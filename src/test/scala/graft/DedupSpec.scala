@@ -651,4 +651,43 @@ class DedupSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(byDigest === out)
   }
+
+  test("q19's exported index-set Jaccard replays MinHashLSH keyDistance") {
+    // The q19 oracle verifies candidates with
+    // 1 - |A∩B| / |A∪B| over the exported nonzero feature indices;
+    // spark.ml's MinHashLSHModel.keyDistance is defined the same way
+    // over the sparse vectors' index sets. Pin the equivalence on real
+    // corpus shingle vectors so an ml-side definition change can never
+    // silently skew the q19 oracle.
+    val n = 1 << 14
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001").limit(120)
+    val tokens = docs
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("__tokens"))
+      .filter(size(col("__tokens")) > 0)
+    val tf = new org.apache.spark.ml.feature.HashingTF()
+      .setInputCol("__tokens").setOutputCol("__f").setNumFeatures(n)
+    val featured = tf.transform(tokens)
+    val model = new org.apache.spark.ml.feature.MinHashLSH()
+      .setInputCol("__f").setOutputCol("__h").setNumHashTables(5).setSeed(42L)
+      .fit(featured)
+    val idxSets = featured.select(col("doc_id"), col("__f")).collect()
+      .map(r => r.getLong(0) ->
+        r.getAs[org.apache.spark.ml.linalg.Vector](1).toSparse.indices.toSet)
+      .toMap
+    // threshold > 1 keeps EVERY colliding candidate with its distance —
+    // exactly the pair population the q19 oracle verifies
+    val joined = model
+      .approxSimilarityJoin(featured, featured, 1.1, "dist")
+      .select(col("datasetA.doc_id").as("ida"), col("datasetB.doc_id").as("idb"),
+        col("dist"))
+      .filter(col("ida") < col("idb"))
+      .as[(Long, Long, Double)].collect()
+    assert(joined.length > 20, "fixture produced a real candidate set")
+    joined.foreach { case (ida, idb, dist) =>
+      val (sa, sb) = (idxSets(ida), idxSets(idb))
+      val oracleDist = 1.0 - sa.intersect(sb).size.toDouble / sa.union(sb).size
+      assert(math.abs(dist - oracleDist) < 1e-12,
+        s"keyDistance mismatch for ($ida, $idb)")
+    }
+  }
 }
