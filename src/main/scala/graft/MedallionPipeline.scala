@@ -132,4 +132,54 @@ object MedallionPipeline {
     }
     (stages, results)
   }
+
+  /** [[run]] with every stage wrapped in the reference DAG's
+    * retry/SLA policy (corc_nah_etl_dag.py:26-37 → a transient stage
+    * failure re-runs from THAT stage's parquet restart boundary, not
+    * from bronze). Per-stage attempt counts, wall clocks and SLA
+    * misses land in the metadata warehouse alongside the lineage
+    * rows; `pipelineSlaMs` mirrors the DAG's run-wide 2 h SLA. */
+  def runRetrying(
+      spark: SparkSession,
+      inGlobs: Seq[String],
+      baseDir: String,
+      policy: Orchestration.RetryPolicy = Orchestration.RetryPolicy(),
+      pipelineSlaMs: Long = 2L * 60 * 60 * 1000,
+      seed: Long = 42L,
+      fuzzyThreshold: Double = 0.5,
+      suite: Seq[Quality.QualityCheck] = Quality.corpusSuite(minVolume = 1L),
+      tracker: Option[Warehouse.MetricsTracker] = None,
+      ratios: Seq[(String, Double)] = graft.operators.Split.defaultRatios,
+      sleep: Long => Unit = Thread.sleep)
+      : (Seq[Orchestration.StageRun[StageResult]], Seq[Quality.CheckResult]) = {
+    import Orchestration.runStage
+    val start = System.nanoTime()
+    val b = runStage("bronze", policy, sleep)(
+      bronze(spark, inGlobs, s"$baseDir/bronze"))
+    val s = runStage("silver", policy, sleep)(
+      silver(spark, b.result.path, s"$baseDir/silver").copy(in = b.result.out))
+    val d = runStage("diamond", policy, sleep)(
+      diamond(spark, s.result.path, s"$baseDir/diamond", fuzzyThreshold)
+        .copy(in = s.result.out))
+    val g = runStage("gold", policy, sleep)(
+      gold(spark, d.result.path, s"$baseDir/gold", seed, ratios)
+        .copy(in = d.result.out))
+    val q = runStage("quality", policy, sleep)(
+      Quality.run(spark.read.parquet(g.result.path), suite))
+    val stages = Seq(b, s, d, g)
+    val pipelineWallMs = (System.nanoTime() - start) / 1000000L
+    tracker.foreach { t =>
+      stages.foreach { st =>
+        t.lineage(st.result.path, "parquet", st.stage, st.result.in, st.result.out)
+        t.metric(s"${st.stage}_attempts", st.attempts.toDouble, "count")
+        t.metric(s"${st.stage}_wall_ms", st.wallMs.toDouble, "ms")
+        t.metric(s"${st.stage}_sla_missed", if (st.slaMissed) 1.0 else 0.0, "flag")
+      }
+      t.metric("pipeline_wall_ms", pipelineWallMs.toDouble, "ms")
+      t.metric("pipeline_sla_missed",
+        if (pipelineWallMs > pipelineSlaMs) 1.0 else 0.0, "flag")
+      q.result.foreach(r => t.metric(r.name, r.observed, "rate"))
+    }
+    (stages, q.result)
+  }
 }
