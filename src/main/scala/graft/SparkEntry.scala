@@ -1559,6 +1559,49 @@ object SparkEntry {
           s.table("graft_q107_cells"), eps = 0.6, nCells = 64)
         .select("vec_id").orderBy("vec_id")
     },
+
+    // ---- Dataset snapshot diff — the release-audit primitive: what
+    // changed between corpus v1 and v2. Both versions are synthesized
+    // DETERMINISTICALLY from documents (drop %7, edit %5, add 10) so
+    // the oracle builds the identical snapshots; the engine decides
+    // via 128-bit content digests (24-byte shuffle rows at any doc
+    // width), the oracle by raw column comparison — gating that the
+    // digest decisions match the ground truth.
+    "q108_snapshot_diff" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val v1 = docs.select(col("doc_id"), col("text"), col("lang"))
+      val v2 = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"),
+          col("lang"))
+        .unionByName(docs.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("lang")))
+      Stats.snapshotDiff(v1, v2, "doc_id", Seq("text", "lang"))
+        .groupBy(col("change")).agg(count(lit(1)).as("n"))
+        .orderBy("change")
+    },
+
+    // ---- Small-file compaction (table maintenance): explode the
+    // documents table into many tiny files, compact to a byte-target
+    // layout, and return the compacted CONTENT — the oracle reads the
+    // original table, so the whole rewrite is gated content-exact.
+    // LayoutSpec asserts the file-count arithmetic and clustering.
+    "q109_compact" -> { (s, dir) =>
+      val frag = s"${stateDir(dir)}/q109_fragmented"
+      val compacted = s"${stateDir(dir)}/q109_compacted"
+      val docs = Tables.documents(s, dir)
+      docs.repartition(64).write.mode("overwrite").parquet(frag)
+      val p = new org.apache.hadoop.fs.Path(frag)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      val total = fs.getContentSummary(p).getLength
+      // target ≈ a quarter of the input → 4 files regardless of SF
+      sources.CorpusIO.compact(s, frag, compacted,
+        targetBytes = math.max(1L, total / 4), sortCols = Seq("doc_id"))
+      s.read.parquet(compacted)
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2400,6 +2443,28 @@ object SparkEntry {
     // (xxhash64 uniforms, SimHash/MinHash signatures, zlib ratios);
     // the labelling / banding / Hamming / agreement / anti-join
     // semantics are replayed independently in SQL.
+    "q108_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, text, lang FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text,
+        |    lang
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang FROM documents WHERE doc_id < 10),
+        |d AS (
+        |  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |    CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |         WHEN v2.doc_id IS NULL THEN 'removed'
+        |         WHEN v1.text IS DISTINCT FROM v2.text
+        |           OR v1.lang IS DISTINCT FROM v2.lang THEN 'changed'
+        |         ELSE 'unchanged' END AS change
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT change, count(*) AS n FROM d GROUP BY change ORDER BY change""".stripMargin,
+
+    "q109_compact" ->
+      """SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id""",
+
     // q59's codebook rides as ONE nested list (cb3[s+1][c+1] = the
     // centroid subvector) so each pair's ADC sum is a deterministic
     // sequential list_sum — identical codes provably tie EXACTLY and

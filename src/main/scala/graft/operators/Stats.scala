@@ -351,4 +351,34 @@ object Stats {
         round(max(col("__c")).cast("double") / sum(col("__c")), 6).as("top_word_frac"),
         round(count(lit(1)).cast("double") / sum(col("__c")), 6).as("ttr"))
   }
+
+  /** Dataset snapshot diff — the release-audit primitive between two
+    * corpus versions: per id, was the row `added`, `removed`,
+    * `changed` (any content column differs, null-safely) or
+    * `unchanged`. A training-data release note ("v2.1: +1.2M docs,
+    * 40k edits, 300k removals") is `snapshotDiff(...).groupBy(change)`.
+    *
+    * Scale shape: each side collapses to (id, 128-bit content digest —
+    * two independent xxhash64 seeds, the dedup-key discipline) in a
+    * narrow map, so the full-outer join shuffles ~24-byte rows no
+    * matter how wide the documents are; digest equality stands in for
+    * column-wise comparison at the standard 2⁻¹²⁸ collision risk
+    * (the DuckDB oracle for q108 compares raw columns instead —
+    * gating that the digests decide identically). */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      contentCols: Seq[String]): DataFrame = {
+    require(contentCols.nonEmpty, "contentCols must be non-empty")
+    // coalesce each part to a sentinel so null vs "" vs absent differ
+    def digest(df: DataFrame, h: Column => Column) = df.select(col(idCol),
+      h(concat_ws("\u0001",
+        contentCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)))
+    val o = digest(oldDf, c => struct(xxhash64(c), xxhash64(c, lit(1))).as("__oh"))
+    val n = digest(newDf, c => struct(xxhash64(c), xxhash64(c, lit(1))).as("__nh"))
+    o.join(n, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        when(col("__oh").isNull, lit("added"))
+          .when(col("__nh").isNull, lit("removed"))
+          .when(col("__oh") =!= col("__nh"), lit("changed"))
+          .otherwise(lit("unchanged")).as("change"))
+  }
 }

@@ -256,6 +256,36 @@ object CorpusIO {
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("overwrite").parquet(path)
 
+  /** Small-file compaction — the table-maintenance pass a 100 TB lake
+    * needs between ingestion waves: streaming/incremental writers leave
+    * thousands of KB-scale files whose per-file open/footer cost
+    * dominates scans (and whose row groups are too small for column
+    * statistics to prune anything). Re-lay `inPath` out as
+    * ⌈actual input bytes / targetBytes⌉ files — the size estimate is
+    * the REAL on-disk byte count from the filesystem, not a sampled
+    * guess, and in→out is parquet→parquet so compression carries over.
+    * With `sortCols` the rewrite also range-clusters + sorts
+    * ([[writeSorted]]'s layout) so compaction doubles as a data-
+    * clustering pass; without, it is one plain round-robin shuffle.
+    * Returns the file count written. Content is preserved exactly —
+    * q109 gates that against the DuckDB oracle. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long = 128L << 20, sortCols: Seq[String] = Nil): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val totalBytes = fs.getContentSummary(p).getLength
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(inPath)
+    val laid =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nFiles, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(nFiles)
+    laid.write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
+
   /** S12 — dataset-adapter mapper in the UniMorph shape
     * (driver_hf_unimorph.py:9-41): morphology rows
     * {lemma, form, tags} → canonical records where the inflected form

@@ -367,4 +367,32 @@ class AnalysisSpec extends AnyFunSuite {
     assert((clean.getInt(0), clean.getInt(1), clean.getInt(2), clean.getInt(3))
       === ((0, 0, 0, 0)))
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged, null-safely") {
+    import graft.operators.Stats
+    val v1 = Seq(
+      (1L, Option("alpha"), Option("en")),
+      (2L, Option("beta"), Option("en")),
+      (3L, Option("gamma"), Option("de")),
+      (4L, None: Option[String], Option("en")),  // null text in v1
+      (5L, Option(""), Option("en"))             // empty text in v1
+    ).toDF("id", "text", "lang")
+    val v2 = Seq(
+      (1L, Option("alpha"), Option("en")),       // unchanged
+      (3L, Option("gamma EDIT"), Option("de")),  // changed (text)
+      (4L, Option(""), Option("en")),            // null → "" IS a change
+      (5L, Option(""), Option("en")),            // unchanged empty
+      (6L, Option("new"), Option("en"))          // added
+    ).toDF("id", "text", "lang")
+    val out = Stats.snapshotDiff(v1, v2, "id", Seq("text", "lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(
+      1L -> "unchanged", 2L -> "removed", 3L -> "changed",
+      4L -> "changed", 5L -> "unchanged", 6L -> "added"))
+    // a lang-only change is still a change (multi-column content)
+    val v2b = Seq((1L, Option("alpha"), Option("de"))).toDF("id", "text", "lang")
+    val only1 = Stats.snapshotDiff(v1.filter(col("id") === 1), v2b, "id",
+      Seq("text", "lang")).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(only1(1L) === "changed")
+  }
 }

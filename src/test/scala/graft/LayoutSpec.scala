@@ -53,4 +53,42 @@ class LayoutSpec extends AnyFunSuite {
     assert(back.select(sum(col("doc_id"))).head.getLong(0) ===
       docs.select(sum(col("doc_id"))).head.getLong(0))
   }
+
+  test("compact re-lays a fragmented table to the byte-target file count") {
+    val base = Files.createTempDirectory("graft-compact").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.repartition(32).write.mode("overwrite").parquet(s"$base/frag")
+    def dataFiles(d: String) = new java.io.File(d).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).toSeq
+    assert(dataFiles(s"$base/frag").length === 32, "fixture is fragmented")
+
+    val p = new org.apache.hadoop.fs.Path(s"$base/frag")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val total = fs.getContentSummary(p).getLength
+
+    // target = half the input bytes → exactly ceil(total / (total/2)) = 2..3 files
+    val n = CorpusIO.compact(spark, s"$base/frag", s"$base/out", targetBytes = total / 2)
+    assert(n === dataFiles(s"$base/out").length, "returned count matches layout")
+    assert(n >= 2 && n <= 3, s"byte-target arithmetic: got $n files")
+
+    // content preserved exactly
+    val back = spark.read.parquet(s"$base/out")
+    assert(back.count() === docs.count())
+    assert(back.select(sum(col("doc_id"))).head.getLong(0) ===
+      docs.select(sum(col("doc_id"))).head.getLong(0))
+
+    // with sortCols, compaction doubles as a clustering pass: disjoint
+    // per-file doc_id ranges, like writeSorted
+    val n2 = CorpusIO.compact(spark, s"$base/frag", s"$base/sorted",
+      targetBytes = total / 4, sortCols = Seq("doc_id"))
+    assert(n2 >= 4)
+    val ranges = spark.read.parquet(s"$base/sorted")
+      .select(col("doc_id"), input_file_name().as("f"))
+      .groupBy("f").agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 < lo2, "file ranges overlap")
+      case _ =>
+    }
+  }
 }
