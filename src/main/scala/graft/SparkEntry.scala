@@ -243,32 +243,41 @@ object SparkEntry {
     // so the export is the model's feature set by construction.
     "q19_fuzzy_dedup" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val tokens = docs
+      val tokens = Dedup.spreadWide(docs)
         .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("__tokens"))
         .filter(size(col("__tokens")) > 0)
       val tf = new org.apache.spark.ml.feature.HashingTF()
         .setInputCol("__tokens").setOutputCol("__features")
         .setNumFeatures(1 << 14)
+      // cache across BOTH exports: the HOF tokenize is the expensive
+      // map (interpreted lambda chain), and each export write would
+      // otherwise re-run it from scratch
       val featured = tf.transform(tokens)
-      val model = new org.apache.spark.ml.feature.MinHashLSH()
-        .setInputCol("__features").setOutputCol("__hashes")
-        .setNumHashTables(5).setSeed(42L)
-        .fit(featured)
-      model.transform(featured)
-        .select(col("doc_id"), posexplode(col("__hashes")).as(Seq("t", "__h")))
-        .select(col("doc_id"), col("t"),
-          org.apache.spark.ml.functions.vector_to_array(col("__h"))
-            .getItem(0).as("h"))
-        .write.mode("overwrite").parquet(s"${stateDir(dir)}/q19_hashes")
-      featured.select(col("doc_id"),
-          posexplode(org.apache.spark.ml.functions.vector_to_array(col("__features")))
-            .as(Seq("idx", "v")))
-        .filter(col("v") > 0)
-        .select(col("doc_id"), col("idx"))
-        .write.mode("overwrite").parquet(s"${stateDir(dir)}/q19_feats")
-      Dedup.fuzzyDedup(docs, "doc_id", col("text"),
-          threshold = 0.5, shingleSize = 3)
-        .select("doc_id").orderBy("doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        featured.count() // eager, so the two export writes read blocks
+        val model = new org.apache.spark.ml.feature.MinHashLSH()
+          .setInputCol("__features").setOutputCol("__hashes")
+          .setNumHashTables(5).setSeed(42L)
+          .fit(featured)
+        model.transform(featured)
+          .select(col("doc_id"), posexplode(col("__hashes")).as(Seq("t", "__h")))
+          .select(col("doc_id"), col("t"),
+            org.apache.spark.ml.functions.vector_to_array(col("__h"))
+              .getItem(0).as("h"))
+          .write.mode("overwrite").parquet(s"${stateDir(dir)}/q19_hashes")
+        // index sets via the native HashingTfIndices kernel (pinned
+        // against ml's indexOf in DedupSpec) — extracting them from the
+        // transformed vectors costs a 16k-wide dense explode per doc
+        featured.select(col("doc_id"),
+            explode(text.expr2col(graft.functions.HashingTfIndices(
+              text.col2expr(col("__tokens")), 1 << 14))).as("idx"))
+          .write.mode("overwrite").parquet(s"${stateDir(dir)}/q19_feats")
+        // the operator itself runs FROM the same cached featurized
+        // frame — one shingle+hash pass serves exports and dedup
+        Dedup.fuzzyDedupFromFeatured(docs, "doc_id", featured, threshold = 0.5)
+          .select("doc_id").orderBy("doc_id")
+      } finally featured.unpersist(blocking = false)
     },
 
     // ---- J4: exact kNN over embeddings (brute-force cosine + window top-k).
@@ -432,13 +441,18 @@ object SparkEntry {
       // the seeded MinHash signatures are the exported state; the
       // oracle replays band-slice-equality candidate generation (equal
       // slices ⇔ equal xxhash64 buckets, modulo 2⁻⁶⁴ collisions) + the
-      // agreement-fraction ≥ threshold verify + the anti-join.
+      // agreement-fraction ≥ threshold verify + the anti-join. The
+      // operator then runs FROM the exported table read back (one
+      // signature pass total — the recurring-ingestion shape), so
+      // export and dedup can never disagree on the signatures.
       Dedup.minhashSignatures(docs, "doc_id", col("text"),
           numPerm = 128, shingleSize = 3)
         .withColumnRenamed("__sig", "sig")
         .write.mode("overwrite").parquet(s"${stateDir(dir)}/q37_sigs")
-      Dedup.minhashDedup(docs, "doc_id", col("text"),
-          threshold = 0.5, numPerm = 128, bands = 32, shingleSize = 3)
+      Dedup.minhashDedupFromSigs(docs, "doc_id",
+          s.read.parquet(s"${stateDir(dir)}/q37_sigs")
+            .withColumnRenamed("sig", "__sig"),
+          threshold = 0.5, numPerm = 128, bands = 32)
         .select("doc_id").orderBy("doc_id")
     },
 
@@ -855,12 +869,18 @@ object SparkEntry {
       Dedup.minhashSignatures(docs, "doc_id", col("text"))
         .withColumnRenamed("__sig", "sig")
         .write.mode("overwrite").parquet(s"${stateDir(dir)}/q66_sigs")
-      val corpusSigs = Dedup.minhashSignatures(
-        docs.filter(col("doc_id") % 2 === 0), "doc_id", col("text"))
+      val sigsBack = s.read.parquet(s"${stateDir(dir)}/q66_sigs")
+        .withColumnRenamed("sig", "__sig")
+      val corpusSigs = sigsBack.filter(col("doc_id") % 2 === 0)
       val incoming = docs.filter(col("doc_id") % 2 === 1)
       val vsCorpus = Dedup.minhashDedupAgainst(incoming, "doc_id", col("text"),
         corpusSigs, threshold = 0.5)
-      Dedup.minhashDedup(vsCorpus, "doc_id", col("text"), threshold = 0.5)
+      // stage-2 self-dedup from the same persisted signatures,
+      // restricted to the stage-1 survivors (a superset signature
+      // table would resurrect pairs involving removed docs)
+      Dedup.minhashDedupFromSigs(vsCorpus, "doc_id",
+          sigsBack.join(vsCorpus.select("doc_id"), Seq("doc_id"), "left_semi"),
+          threshold = 0.5)
         .select("doc_id").orderBy("doc_id")
     },
 

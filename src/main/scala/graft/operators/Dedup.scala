@@ -103,13 +103,24 @@ object Dedup {
     val tf = new HashingTF()
       .setInputCol("__tokens").setOutputCol("__features")
       .setNumFeatures(numFeatures)
-    // cache: the featurized frame is scanned three times (LSH fit +
-    // both sides of the self-join) — the same reuse the reference
-    // caches (SparkDedup.scala:43). The dup-id set (small: ids only)
-    // is eagerly local-checkpointed while the cache is hot, which cuts
-    // the lineage so the cache can be released before returning the
-    // still-lazy anti-join.
-    val featured = tf.transform(tokens).cache()
+    fuzzyDedupFromFeatured(df, idCol, tf.transform(tokens), threshold, numHashTables)
+  }
+
+  /** [[fuzzyDedup]] over an ALREADY-featurized frame (a `__features`
+    * column in [[fuzzyDedup]]'s HashingTF shape): the shingle+hash
+    * featurization is the operator's expensive narrow map, so a caller
+    * that computed it — e.g. to export model state — should not pay it
+    * twice. Same fit/join/anti-join pipeline and cache discipline:
+    * the featurized frame is scanned three times (LSH fit + both sides
+    * of the self-join) — the same reuse the reference caches
+    * (SparkDedup.scala:43). The dup-id set (small: ids only) is
+    * eagerly local-checkpointed while the cache is hot, which cuts the
+    * lineage so the cache can be released before returning the
+    * still-lazy anti-join. */
+  def fuzzyDedupFromFeatured(
+      df: DataFrame, idCol: String, featuredDf: DataFrame,
+      threshold: Double = 0.2, numHashTables: Int = 5): DataFrame = {
+    val featured = featuredDf.cache()
     try {
       val lsh = new MinHashLSH()
         .setInputCol("__features").setOutputCol("__hashes")
@@ -305,6 +316,32 @@ object Dedup {
   def minhashSignatures(df: DataFrame, idCol: String, textCol: Column,
       numPerm: Int = 128, shingleSize: Int = 3): DataFrame =
     signed(df, idCol, textCol, numPerm, shingleSize)
+
+  /** [[minhashDedup]] over an ALREADY-computed signature table
+    * `(idCol, __sig)` (a [[minhashSignatures]] product, typically read
+    * back from parquet): signatures are the operator's expensive
+    * narrow map, so a caller that has them persisted — the recurring-
+    * ingestion shape, or a query that just exported them — should not
+    * pay the shingle+hash pass twice. Same candidate/verify/anti-join
+    * pipeline and the same cache discipline; `sigDf` must cover
+    * exactly `df`'s rows with `numPerm`-long signatures. */
+  def minhashDedupFromSigs(
+      df: DataFrame, idCol: String, sigDf: DataFrame,
+      threshold: Double = 0.8,
+      numPerm: Int = 128,
+      bands: Int = 32,
+      maxBucketSize: Int = 1024): DataFrame = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    val withSig = sigDf
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      withSig.count() // eager: the candidate plan fans out (see minhashDedup)
+      val dupIds = candidatesFromSig(withSig, idCol, threshold, numPerm, bands, maxBucketSize)
+        .select(col("id_b").as(idCol)).distinct()
+        .localCheckpoint(true)
+      df.join(dupIds, Seq(idCol), "left_anti")
+    } finally withSig.unpersist(blocking = false)
+  }
 
   /** Incremental near-dup removal: drop every `incoming` row whose
     * estimated Jaccard against ANY row of the (typically precomputed,

@@ -652,6 +652,33 @@ class DedupSpec extends AnyFunSuite {
     assert(byDigest === out)
   }
 
+  test("HashingTfIndices kernel replays ml HashingTF.indexOf exactly") {
+    // the q19 export computes feature-index sets with this kernel
+    // (hashUnsafeBytes2, seed 42, nonNegativeMod) instead of a 16k-wide
+    // dense-vector explode; pin it per-term against ml's own indexOf
+    val n = 1 << 14
+    val tfIndexer = new org.apache.spark.ml.feature.HashingTF().setNumFeatures(n)
+    val terms = Tables.documents(spark, "/root/testdata/sf0.001").limit(50)
+      .select(explode(Dedup.shingles(col("text"), 3)).as("term"))
+      .distinct()
+    val viaKernel = terms
+      .select(col("term"),
+        explode(graft.functions.text.expr2col(graft.functions.HashingTfIndices(
+          graft.functions.text.col2expr(array(col("term"))), n))).as("idx"))
+      .as[(String, Int)].collect()
+    assert(viaKernel.length > 100, "fixture produced a real term set")
+    viaKernel.foreach { case (term, idx) =>
+      assert(idx === tfIndexer.indexOf(term), s"index mismatch for '$term'")
+    }
+    // multi-token arrays dedup + sort
+    val multi = Seq(Seq("a", "b", "a", "b", "c")).toDF("ts")
+      .select(graft.functions.text.expr2col(graft.functions.HashingTfIndices(
+        graft.functions.text.col2expr(col("ts")), n)).as("idx"))
+      .head().getSeq[Int](0)
+    assert(multi === multi.distinct.sorted)
+    assert(multi.toSet === Set("a", "b", "c").map(tfIndexer.indexOf))
+  }
+
   test("q19's exported index-set Jaccard replays MinHashLSH keyDistance") {
     // The q19 oracle verifies candidates with
     // 1 - |A∩B| / |A∪B| over the exported nonzero feature indices;
