@@ -1602,6 +1602,31 @@ object SparkEntry {
         .orderBy("change")
     },
 
+    // ---- Recurring release audit: q108's diff against a PERSISTED
+    // bucketed snapshot table — the shape where the last release's
+    // digests stream bucket-aligned from disk and only the candidate
+    // build shuffles. Same deterministic v1/v2 synthesis as q108, so
+    // the same raw-column oracle gates the persisted path end-to-end;
+    // IncrementalSpec asserts the no-state-side-Exchange plan.
+    "q110_snapshot_diff_table" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val v1 = docs.select(col("doc_id"), col("text"), col("lang"))
+      val v2 = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"),
+          col("lang"))
+        .unionByName(docs.filter(col("doc_id") < 10)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("lang")))
+      s.sql("DROP TABLE IF EXISTS graft_q110_snapshot")
+      Incremental.writeSnapshotTable(v1, "doc_id", Seq("text", "lang"),
+        "graft_q110_snapshot", s"${stateDir(dir)}/q110_snapshot", numBuckets = 8)
+      Incremental.snapshotDiffAgainstTable(v2, "doc_id", Seq("text", "lang"),
+          s.table("graft_q110_snapshot"))
+        .groupBy(col("change")).agg(count(lit(1)).as("n"))
+        .orderBy("change")
+    },
+
     // ---- Small-file compaction (table maintenance): explode the
     // documents table into many tiny files, compact to a byte-target
     // layout, and return the compacted CONTENT — the oracle reads the
@@ -2484,6 +2509,27 @@ object SparkEntry {
 
     "q109_compact" ->
       """SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id""",
+
+    // q110 = q108's semantics through the persisted bucketed snapshot
+    // table; same synthesis, same raw-column oracle.
+    "q110_snapshot_diff_table" ->
+      """WITH v1 AS (SELECT doc_id, text, lang FROM documents),
+        |v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text,
+        |    lang
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang FROM documents WHERE doc_id < 10),
+        |d AS (
+        |  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |    CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |         WHEN v2.doc_id IS NULL THEN 'removed'
+        |         WHEN v1.text IS DISTINCT FROM v2.text
+        |           OR v1.lang IS DISTINCT FROM v2.lang THEN 'changed'
+        |         ELSE 'unchanged' END AS change
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT change, count(*) AS n FROM d GROUP BY change ORDER BY change""".stripMargin,
 
     // q59's codebook rides as ONE nested list (cb3[s+1][c+1] = the
     // centroid subvector) so each pair's ADC sum is a deterministic

@@ -69,6 +69,36 @@ object Incremental {
       .bucketBy(numBuckets, "__d1", "__d2").sortBy("__d1", "__d2")
       .saveAsTable(table)
 
+  /** Release-audit snapshot state: one row per corpus id with its
+    * 128-bit content digest ([[Stats.contentDigest]] — the same bytes
+    * [[Stats.snapshotDiff]] compares), bucketed + bucket-sorted by
+    * the id so the recurring "new snapshot vs last release" diff
+    * joins without ever shuffling the state side. The release-cycle
+    * complement of the dedup state tables: write once per release,
+    * then every candidate build diffs against it batch-cost-only. */
+  def writeSnapshotTable(corpus: DataFrame, idCol: String,
+      contentCols: Seq[String], table: String, path: String,
+      numBuckets: Int = 64): Unit =
+    corpus.select(col(idCol), Stats.contentDigest(contentCols).as("__oh"))
+      .repartition(numBuckets, col(idCol))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, idCol).sortBy(idCol)
+      .option("path", path)
+      .saveAsTable(table)
+
+  /** [[Stats.snapshotDiff]] of a new corpus version against a
+    * persisted [[writeSnapshotTable]] state (read it with
+    * `spark.table(name)` so the catalog's bucketing spec applies):
+    * one full-outer SMJ on the id with an Exchange on the NEW side
+    * only — the old release's digests stream bucket-aligned from
+    * disk. Output schema identical to `snapshotDiff`. */
+  def snapshotDiffAgainstTable(newDf: DataFrame, idCol: String,
+      contentCols: Seq[String], snapshot: DataFrame): DataFrame =
+    Stats.classifyDiff(
+      snapshot.select(col(idCol), col("__oh")),
+      newDf.select(col(idCol), Stats.contentDigest(contentCols).as("__nh")),
+      idCol)
+
   private def digests(df: DataFrame, textCol: Column): DataFrame = {
     val k = text.norm_key(textCol)
     df.withColumn("__d1", xxhash64(k))

@@ -367,18 +367,35 @@ object Stats {
     * gating that the digests decide identically). */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
       contentCols: Seq[String]): DataFrame = {
+    val d = contentDigest(contentCols)
+    classifyDiff(
+      oldDf.select(col(idCol), d.as("__oh")),
+      newDf.select(col(idCol), d.as("__nh")),
+      idCol)
+  }
+
+  /** The 128-bit content digest behind [[snapshotDiff]], as a struct
+    * of two independent xxhash64s — shared with
+    * [[Incremental.writeSnapshotTable]] so persisted snapshot state
+    * and a live diff can never disagree on what "same content" means.
+    * Separator + null sentinel keep ("ab","c") vs ("a","bc") and
+    * null vs "" from colliding in the concatenated digest input. */
+  private[operators] def contentDigest(contentCols: Seq[String]): Column = {
     require(contentCols.nonEmpty, "contentCols must be non-empty")
-    // coalesce each part to a sentinel so null vs "" vs absent differ
-    def digest(df: DataFrame, h: Column => Column) = df.select(col(idCol),
-      h(concat_ws("\u0001",
-        contentCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)))
-    val o = digest(oldDf, c => struct(xxhash64(c), xxhash64(c, lit(1))).as("__oh"))
-    val n = digest(newDf, c => struct(xxhash64(c), xxhash64(c, lit(1))).as("__nh"))
+    val key = concat_ws("\u0001",
+      contentCols.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*)
+    struct(xxhash64(key), xxhash64(key, lit(1)))
+  }
+
+  /** The added/removed/changed/unchanged classification over two
+    * digest frames `(idCol, __oh)` / `(idCol, __nh)` — shared by the
+    * in-memory and persisted-state diff paths. */
+  private[operators] def classifyDiff(o: DataFrame, n: DataFrame,
+      idCol: String): DataFrame =
     o.join(n, Seq(idCol), "full_outer")
       .select(col(idCol),
         when(col("__oh").isNull, lit("added"))
           .when(col("__nh").isNull, lit("removed"))
           .when(col("__oh") =!= col("__nh"), lit("changed"))
           .otherwise(lit("unchanged")).as("change"))
-  }
 }

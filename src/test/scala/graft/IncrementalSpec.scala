@@ -186,4 +186,40 @@ class IncrementalSpec extends AnyFunSuite {
         "after appending the batch, re-deduping it must drop every row")
     } finally spark.sql("DROP TABLE IF EXISTS t_dig_app")
   }
+
+  test("snapshotDiffAgainstTable equals snapshotDiff; state side never shuffles") {
+    import graft.operators.Stats
+    val v1 = docs.select(col("doc_id"), col("text"), col("lang"))
+    val v2 = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"),
+        col("lang"))
+      .unionByName(docs.filter(col("doc_id") < 5)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"), col("lang")))
+    Incremental.writeSnapshotTable(v1, "doc_id", Seq("text", "lang"),
+      "t_snapshot", tmp("graft_snapshot"), numBuckets = 8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = Incremental.snapshotDiffAgainstTable(
+        v2, "doc_id", Seq("text", "lang"), spark.table("t_snapshot"))
+      val plan = q.queryExecution.executedPlan.toString // pre-execution: single AQE section
+      val got = q.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val want = Stats.snapshotDiff(v1, v2, "doc_id", Seq("text", "lang"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(got === want)
+      assert(Set("added", "removed", "changed", "unchanged")
+        .subsetOf(got.values.toSet),
+        "fixture must exercise every change class")
+      assert(plan.contains("SortMergeJoin") && plan.contains("FullOuter"),
+        s"expected full-outer sort-merge join:\n$plan")
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+        s"exactly one shuffle (new side) expected:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"snapshot scan must be bucket-aligned:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS t_snapshot")
+    }
+  }
 }
