@@ -62,6 +62,19 @@ object Bench {
     operators.Incremental.writeDigestTable(
       Tables.documents(spark, sfDir).filter(col("doc_id") % 5 =!= 0),
       col("text"), "graft_bench_digests", s"$tmpOut/digests", numBuckets = 8)
+    spark.sql("DROP TABLE IF EXISTS graft_bench_sigs")
+    operators.Incremental.writeBandedSignatures(
+      Tables.documents(spark, sfDir).filter(col("doc_id") % 5 =!= 0),
+      "doc_id", col("text"), "graft_bench_sigs", s"$tmpOut/sigs", numBuckets = 8)
+    spark.sql("DROP TABLE IF EXISTS graft_bench_cells")
+    operators.Incremental.writeCellVectors(
+      Tables.embeddings(spark, sfDir).filter(col("vec_id") % 5 =!= 0),
+      "vec_id", "embedding", "graft_bench_cells", s"$tmpOut/cells", numBuckets = 8,
+      nCells = 64)
+    spark.sql("DROP TABLE IF EXISTS graft_bench_snapshot")
+    operators.Incremental.writeSnapshotTable(
+      Tables.documents(spark, sfDir), "doc_id", Seq("text", "lang"),
+      "graft_bench_snapshot", s"$tmpOut/snapshot", numBuckets = 8)
 
     // Staged streaming inputs, OFF the clock (parquet-file sources —
     // the same driving pattern as StreamingSpec; sinks are noop with
@@ -115,7 +128,23 @@ object Bench {
       "op_incremental_probe" -> (() => force(
         operators.Incremental.exactDedupAgainstTable(
           Tables.documents(spark, sfDir).filter(col("doc_id") % 3 === 0),
-          col("text"), spark.table("graft_bench_digests")))))
+          col("text"), spark.table("graft_bench_digests")))),
+      // steady-state probes for the other persisted state families —
+      // the recurring per-batch cost once the state exists
+      "op_incremental_probe_fuzzy" -> (() => force(
+        operators.Incremental.minhashDedupAgainstTable(
+          Tables.documents(spark, sfDir).filter(col("doc_id") % 3 === 0),
+          "doc_id", col("text"), spark.table("graft_bench_sigs"),
+          threshold = 0.5))),
+      "op_incremental_probe_semantic" -> (() => force(
+        operators.Incremental.semanticDedupAgainstTable(
+          Tables.embeddings(spark, sfDir).filter(col("vec_id") % 3 === 0),
+          "vec_id", "embedding", spark.table("graft_bench_cells"),
+          eps = 0.6, nCells = 64))),
+      "op_snapshot_probe" -> (() => force(
+        operators.Incremental.snapshotDiffAgainstTable(
+          Tables.documents(spark, sfDir).filter(col("doc_id") % 7 =!= 0),
+          "doc_id", Seq("text", "lang"), spark.table("graft_bench_snapshot")))))
 
     // Streaming throughput micros: one AvailableNow pass of each
     // streaming operator over the staged table (seconds; divide the
