@@ -1627,6 +1627,28 @@ object SparkEntry {
         .orderBy("change")
     },
 
+    // ---- Learned BPE tokenization: train merge rules on the corpus's
+    // word-frequency dict (driver-side over bounded metadata, the Pq
+    // stance), encode with the native BpeEncode kernel, and profile
+    // per-doc token counts. The merge TABLE is the exported seeded
+    // state; the oracle independently replays the ENTIRE greedy encode
+    // loop (min-rank-first, all L→R occurrences per step) as a
+    // recursive CTE over it — the tokenizer's semantics are hash-gated
+    // end to end, not just spec'd.
+    "q111_bpe_token_profile" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val model = operators.Bpe.train(docs, col("text"), numMerges = 40)
+      s.createDataFrame(
+          model.merges.zipWithIndex.map { case (m, i) => (i, m(0), m(1)) }.toSeq)
+        .toDF("rank", "a", "b")
+        .write.mode("overwrite").parquet(s"${stateDir(dir)}/q111_merges")
+      docs.select(col("doc_id"),
+          size(filter(split(lower(trim(col("text"))), "\\s+"), w => w =!= ""))
+            .as("n_words"),
+          model.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")
+    },
+
     // ---- Small-file compaction (table maintenance): explode the
     // documents table into many tiny files, compact to a byte-target
     // layout, and return the compacted CONTENT — the oracle reads the
@@ -2509,6 +2531,43 @@ object SparkEntry {
 
     "q109_compact" ->
       """SELECT doc_id, text, lang, source FROM documents ORDER BY doc_id""",
+
+    // q111's oracle replays the greedy BPE encode loop itself: each
+    // word's symbol string (chr(30)/chr(31)-wrapped so replace() can
+    // never match across a boundary) iteratively applies the
+    // lowest-rank merge present until none applies — exactly the
+    // BpeEncode kernel's convention — then token counts roll up per
+    // doc. The merges are the exported trained state (like q59's
+    // codebook); the encode semantics are computed independently.
+    "q111_bpe_token_profile" ->
+      """WITH RECURSIVE m AS (
+        |  SELECT rank, a, b FROM read_parquet('__GRAFT_STATE_DIR__/q111_merges/*.parquet')),
+        |w AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS word FROM documents),
+        |ww AS (SELECT doc_id, word FROM w WHERE word <> ''),
+        |dw AS (SELECT DISTINCT word FROM ww),
+        |init AS (SELECT word,
+        |    list_aggregate(list_transform(generate_series(1, len(word)),
+        |      i -> chr(30) || word[i:i] || chr(31)), 'string_agg', '') AS s
+        |  FROM dw),
+        |rec(word, s) AS (
+        |  SELECT word, s FROM init
+        |  UNION ALL
+        |  SELECT e.word,
+        |    replace(e.s, chr(30)||mm.a||chr(31)||chr(30)||mm.b||chr(31),
+        |                 chr(30)||mm.a||mm.b||chr(31))
+        |  FROM rec e, LATERAL (
+        |    SELECT a, b FROM m
+        |    WHERE position(chr(30)||m.a||chr(31)||chr(30)||m.b||chr(31) IN e.s) > 0
+        |    ORDER BY rank LIMIT 1) mm),
+        |fin AS (SELECT word, s FROM rec r WHERE NOT EXISTS (
+        |  SELECT 1 FROM m
+        |  WHERE position(chr(30)||m.a||chr(31)||chr(30)||m.b||chr(31) IN r.s) > 0)),
+        |np AS (SELECT word, len(s) - len(replace(s, chr(30), '')) AS n_pieces FROM fin)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_words,
+        |  CAST(sum(n_pieces) AS INT) AS n_tokens
+        |FROM ww JOIN np USING (word)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // q110 = q108's semantics through the persisted bucketed snapshot
     // table; same synthesis, same raw-column oracle.
