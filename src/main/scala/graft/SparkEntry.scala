@@ -1649,6 +1649,25 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ---- Tokenizer-accurate sequence packing: q70's batch assembly
+    // driven by the LEARNED tokenizer's counts instead of a char
+    // proxy — what the loader actually packs against. Composes q111's
+    // trained model with packSequences; the oracle composes q111's
+    // recursive-CTE encode replay with q70's window arithmetic.
+    "q112_bpe_pack" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val model = operators.Bpe.train(docs, col("text"), numMerges = 40)
+      s.createDataFrame(
+          model.merges.zipWithIndex.map { case (m, i) => (i, m(0), m(1)) }.toSeq)
+        .toDF("rank", "a", "b")
+        .write.mode("overwrite").parquet(s"${stateDir(dir)}/q112_merges")
+      Split.packSequences(docs, key = col("doc_id"),
+          cost = model.tokenCount(col("text")).cast("long"), capacity = 512L,
+          strata = Seq(col("lang")))
+        .select(col("doc_id"), col("lang"), col("pack_id"), col("pack_offset"))
+        .orderBy("doc_id")
+    },
+
     // ---- Small-file compaction (table maintenance): explode the
     // documents table into many tiny files, compact to a byte-target
     // layout, and return the compacted CONTENT — the oracle reads the
@@ -2568,6 +2587,45 @@ object SparkEntry {
         |  CAST(sum(n_pieces) AS INT) AS n_tokens
         |FROM ww JOIN np USING (word)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // q112 = q111's encode replay + q70's packing window, composed.
+    "q112_bpe_pack" ->
+      """WITH RECURSIVE m AS (
+        |  SELECT rank, a, b FROM read_parquet('__GRAFT_STATE_DIR__/q112_merges/*.parquet')),
+        |w AS (SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS word FROM documents),
+        |ww AS (SELECT doc_id, word FROM w WHERE word <> ''),
+        |dw AS (SELECT DISTINCT word FROM ww),
+        |init AS (SELECT word,
+        |    list_aggregate(list_transform(generate_series(1, len(word)),
+        |      i -> chr(30) || word[i:i] || chr(31)), 'string_agg', '') AS s
+        |  FROM dw),
+        |rec(word, s) AS (
+        |  SELECT word, s FROM init
+        |  UNION ALL
+        |  SELECT e.word,
+        |    replace(e.s, chr(30)||mm.a||chr(31)||chr(30)||mm.b||chr(31),
+        |                 chr(30)||mm.a||mm.b||chr(31))
+        |  FROM rec e, LATERAL (
+        |    SELECT a, b FROM m
+        |    WHERE position(chr(30)||m.a||chr(31)||chr(30)||m.b||chr(31) IN e.s) > 0
+        |    ORDER BY rank LIMIT 1) mm),
+        |fin AS (SELECT word, s FROM rec r WHERE NOT EXISTS (
+        |  SELECT 1 FROM m
+        |  WHERE position(chr(30)||m.a||chr(31)||chr(30)||m.b||chr(31) IN r.s) > 0)),
+        |np AS (SELECT word, len(s) - len(replace(s, chr(30), '')) AS n_pieces FROM fin),
+        |tok AS (SELECT doc_id, sum(n_pieces) AS n_tokens
+        |        FROM ww JOIN np USING (word) GROUP BY doc_id),
+        |st AS (SELECT d.doc_id, d.lang,
+        |    coalesce(sum(t.n_tokens) OVER (
+        |      PARTITION BY d.lang ORDER BY d.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+        |  FROM documents d JOIN tok t USING (doc_id))
+        |SELECT doc_id, lang,
+        |  CAST(floor(strt / 512) AS BIGINT) AS pack_id,
+        |  CAST(strt % 512 AS BIGINT) AS pack_offset
+        |FROM st
+        |ORDER BY doc_id""".stripMargin,
 
     // q110 = q108's semantics through the persisted bucketed snapshot
     // table; same synthesis, same raw-column oracle.
