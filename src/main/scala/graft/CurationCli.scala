@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Quality, Split, Stats}
+import graft.warehouse.Warehouse
+
+/** Operational entrypoint for the TRAINING-DATA curation pipeline —
+  * the beyond-reference driver composing the engine's LLM-data
+  * operators end to end over a parquet corpus:
+  *
+  *   quality gates (length bounds + Gopher repetition) →
+  *   exact dedup (normalized-text digest, keep lowest id) →
+  *   banded MinHash near-dup removal →
+  *   eval-set decontamination (optional, guarded jaccard join) →
+  *   seeded leakage-free split →
+  *   gold parquet partitioned by split + data-mixture card →
+  *   output quality suite → run/metrics/lineage in the warehouse.
+  *
+  * Knobs come from [[GraftConfig]] (GRAFT_* env vars). Exit code is
+  * the output suite's composite gate ([[Quality.gateCode]] semantics,
+  * 0 = all checks pass). Every stage count rides an `observe`-free
+  * cheap count on the materialized parquet layers, so the printed
+  * funnel is exact.
+  *
+  * Usage:
+  *   runMain graft.CurationCli <corpusParquet> <evalParquet|-> <outDir> <warehouseDir>
+  */
+object CurationCli {
+
+  final case class Funnel(
+      input: Long, gated: Long, exact: Long, fuzzy: Long,
+      decontaminated: Long, output: Long)
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 4,
+      "usage: CurationCli <corpusParquet> <evalParquet|-> <outDir> <warehouseDir>")
+    val Array(corpusPath, evalPath, outDir, warehouseDir) = args.take(4)
+    val spark = GraftSession.get(
+      s"local[${Runtime.getRuntime.availableProcessors()}]")
+    val tracker = new Warehouse.MetricsTracker(spark, warehouseDir, "curation")
+    try {
+      val (funnel, results) = run(spark, corpusPath,
+        Option(evalPath).filter(p => p.nonEmpty && p != "-"),
+        outDir, GraftConfig.fromEnv(), Some(tracker))
+      println(s"[curation] input=${funnel.input} gated=${funnel.gated} " +
+        s"exact=${funnel.exact} fuzzy=${funnel.fuzzy} " +
+        s"decontaminated=${funnel.decontaminated} output=${funnel.output}")
+      results.foreach(r =>
+        println(f"[quality] ${r.name}%-24s observed=${r.observed}%.4f passed=${r.passed}"))
+      val code = Quality.gateCode(results)
+      if (code != 0)
+        System.err.println(s"[curation] FAILED checks: " +
+          Quality.failedChecks(results).mkString(", "))
+      spark.stop()
+      sys.exit(if (code == 0) 0 else 1)
+    } catch {
+      case e: Throwable =>
+        tracker.fail(e.getMessage)
+        throw e
+    }
+  }
+
+  /** The composed pipeline, callable from tests. The corpus must carry
+    * (doc_id: long, text: string, lang: string); extra columns pass
+    * through to gold. */
+  def run(
+      spark: SparkSession,
+      corpusPath: String,
+      evalPath: Option[String],
+      outDir: String,
+      cfg: GraftConfig = GraftConfig(),
+      tracker: Option[Warehouse.MetricsTracker] = None)
+      : (Funnel, Seq[Quality.CheckResult]) = {
+    val corpus = spark.read.parquet(corpusPath)
+    val input = corpus.count()
+
+    // 1. quality gates — length bounds + Gopher top-word share, the
+    // map-side filters every curation run starts with
+    val rep = Stats.wordRepetition(corpus, "doc_id", col("text"))
+      .select(col("doc_id"), col("top_word_frac"))
+    val gated = corpus
+      .filter(length(col("text")).between(cfg.minTextLength, cfg.maxTextLength))
+      .join(rep, Seq("doc_id"), "left")
+      .filter(col("top_word_frac").isNull || col("top_word_frac") <= 0.8)
+      .drop("top_word_frac")
+    val nGated = gated.count()
+
+    // 2. exact dedup: keep the lowest id per normalized text
+    val exact = Dedup.keepBestWindow(gated,
+      graft.functions.text.norm_key(col("text")), Seq(col("doc_id").asc))
+    val nExact = exact.count()
+
+    // 3. near-dup removal (banded MinHash, the scale path)
+    val fuzzy = Dedup.minhashDedup(exact, "doc_id", col("text"),
+      threshold = cfg.fuzzyThreshold)
+    val nFuzzy = fuzzy.count()
+
+    // 4. decontamination against the eval set (guarded join — routes
+    // to banded candidates when the eval side is oversized)
+    val decon = evalPath match {
+      case Some(p) =>
+        val eval = spark.read.parquet(p)
+          .select(col("doc_id").as("eval_id"), col("text").as("eval_text"))
+        Dedup.decontaminate(fuzzy, "doc_id", col("text"),
+          eval, "eval_id", col("eval_text"), t = 0.8, n = 5)
+      case None => fuzzy
+    }
+    val nDecon = decon.count()
+
+    // 5. leakage-free seeded split → gold parquet partitioned by split
+    val gold = Split.split(decon, Seq("doc_id"), cfg.seed)
+    gold.write.mode("overwrite").partitionBy("split").parquet(s"$outDir/gold")
+    val goldBack = spark.read.parquet(s"$outDir/gold")
+    val output = goldBack.count()
+
+    // 6. data-mixture card alongside the release
+    Stats.mixtureReport(goldBack, Seq(col("lang"), col("split")),
+        cost = length(col("text")))
+      .write.mode("overwrite").parquet(s"$outDir/mixture")
+
+    // 7. output suite: structural gates on the released corpus
+    val results = Quality.run(goldBack, Seq(
+      Quality.NotNullCheck("text", 1.0),
+      Quality.UniquenessCheck("doc_id", 1.0),
+      Quality.RowCountCheck(cfg.minVolume, cfg.maxVolume),
+      Quality.RangeCheck("text_length", length(col("text")),
+        cfg.minTextLength.toDouble, cfg.maxTextLength.toDouble, 1.0),
+      Quality.MembershipCheck("split",
+        Seq("train", "validation", "test"), 1.0)))
+
+    val funnel = Funnel(input, nGated, nExact, nFuzzy, nDecon, output)
+    tracker.foreach { t =>
+      t.lineage(corpusPath, "parquet", "input", input, nGated)
+      t.lineage(s"$outDir/gold", "parquet", "gold", nDecon, output)
+      t.metric("curation_input", input.toDouble)
+      t.metric("curation_gated", nGated.toDouble)
+      t.metric("curation_exact", nExact.toDouble)
+      t.metric("curation_fuzzy", nFuzzy.toDouble)
+      t.metric("curation_decontaminated", nDecon.toDouble)
+      t.metric("curation_output", output.toDouble)
+      results.foreach(r => t.metric(r.name, r.observed, "rate"))
+      t.complete(input, output)
+    }
+    (funnel, results)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.warehouse.Warehouse
+
+/** End-to-end curation driver: gates → exact dedup → near-dup →
+  * decontamination → split → gold + mixture card + suite + warehouse
+  * rows, composed from the operators the per-stage oracles already
+  * gate individually. */
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("curation run: funnel monotone, gold partitioned, eval decontaminated, gate green") {
+    val base = Files.createTempDirectory("graft-curation").toString
+    val whDir = Files.createTempDirectory("graft-curation-wh").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.write.mode("overwrite").parquet(s"$base/corpus")
+    // eval set = a slice of the corpus itself → decontamination MUST
+    // remove overlapping docs
+    docs.filter(col("doc_id") % 25 === 0)
+      .write.mode("overwrite").parquet(s"$base/eval")
+    val tracker = new Warehouse.MetricsTracker(spark, whDir, "curation-test")
+
+    val (funnel, results) = CurationCli.run(
+      spark, s"$base/corpus", Some(s"$base/eval"), s"$base/out",
+      GraftConfig(maxTextLength = 100000), Some(tracker))
+
+    assert(funnel.input === docs.count())
+    assert(funnel.input >= funnel.gated && funnel.gated >= funnel.exact &&
+      funnel.exact >= funnel.fuzzy && funnel.fuzzy >= funnel.decontaminated &&
+      funnel.decontaminated === funnel.output,
+      s"funnel must be monotone: $funnel")
+    assert(funnel.fuzzy > funnel.decontaminated,
+      "the self-overlapping eval set must remove documents")
+    assert(funnel.exact < funnel.gated || funnel.fuzzy < funnel.exact,
+      "the corpus's seeded duplicates must be removed somewhere")
+
+    // gold is split-partitioned, mixture card exists
+    val goldDirs = new java.io.File(s"$base/out/gold").listFiles()
+      .filter(_.isDirectory).map(_.getName)
+    assert(goldDirs.nonEmpty && goldDirs.forall(_.startsWith("split=")))
+    val mix = spark.read.parquet(s"$base/out/mixture")
+    assert(mix.count() > 0)
+
+    // suite green; warehouse carries the funnel
+    assert(results.nonEmpty && operators.Quality.gate(results) === 0,
+      results.filterNot(_.passed).map(_.name).mkString(","))
+    Warehouse.register(spark, whDir)
+    val metrics = spark.sql("SELECT metric_name, metric_value FROM quality_metrics")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(metrics("curation_input") === funnel.input.toDouble)
+    assert(metrics("curation_output") === funnel.output.toDouble)
+  }
+}
