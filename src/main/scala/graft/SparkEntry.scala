@@ -1668,6 +1668,22 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ---- WITHIN-doc line dedup (scraped-page cleanup): repeated
+    // lines inside one document collapse to their first occurrence,
+    // order preserved, no cross-document state. The corpus is
+    // single-line, so the query synthesizes deterministic in-doc
+    // repetition on both sides and the oracle replays the whole
+    // explode → first-position → ordered-reassembly pipeline.
+    "q113_line_dedup_within_doc" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val synth = docs.select(col("doc_id"), col("lang"),
+        concat_ws("\n", col("text"), lit("REPEATED BLOCK"), col("text"),
+          lit("REPEATED BLOCK"), substring(col("text"), 1, 20)).as("text"))
+      Dedup.dedupLinesWithinDoc(synth, "doc_id", "text")
+        .select(col("doc_id"), col("text"))
+        .orderBy("doc_id")
+    },
+
     // ---- Small-file compaction (table maintenance): explode the
     // documents table into many tiny files, compact to a byte-target
     // layout, and return the compacted CONTENT — the oracle reads the
@@ -2587,6 +2603,20 @@ object SparkEntry {
         |  CAST(sum(n_pieces) AS INT) AS n_tokens
         |FROM ww JOIN np USING (word)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q113_line_dedup_within_doc" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    text || chr(10) || 'REPEATED BLOCK' || chr(10) || text ||
+        |    chr(10) || 'REPEATED BLOCK' || chr(10) || substring(text, 1, 20) AS t
+        |  FROM documents),
+        |ls AS (SELECT doc_id, string_split(t, chr(10)) AS xs FROM src),
+        |l AS (SELECT doc_id, i AS pos, xs[i] AS line
+        |      FROM ls, unnest(generate_series(1, len(xs))) AS u(i)),
+        |firsts AS (SELECT doc_id, line, min(pos) AS pos
+        |           FROM l GROUP BY doc_id, line)
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+        |FROM firsts GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // q112 = q111's encode replay + q70's packing window, composed.
     "q112_bpe_pack" ->

@@ -512,6 +512,33 @@ object Dedup {
     * the CCNet-standard cost of treating digest-colliding lines as
     * equal (2⁻¹²⁸-scale). The raw-string default keeps the operator
     * exactly SQL-expressible for the oracle. */
+  /** WITHIN-document line dedup — the scraped-page cleanup pass
+    * [[dedupLines]] deliberately does not do: each document keeps only
+    * the FIRST occurrence of every line it contains (repeated nav
+    * blocks, duplicated paragraphs from templating bugs), in original
+    * order; other documents never influence the decision. Entirely
+    * per-document: one posexplode, one (doc, line) first-position
+    * aggregation, one ordered reassembly — no cross-document state at
+    * all, so the operator is embarrassingly parallel at any scale.
+    * SQL-expressible end to end (q113 hash-gates it). */
+  def dedupLinesWithinDoc(df: DataFrame, idCol: String, textCol: String,
+      sep: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__pos", "__line")))
+    val rebuilt = lines
+      .groupBy(col(idCol), col("__line"))
+      .agg(min(col("__pos")).as("__pos"))
+      .groupBy(col(idCol))
+      .agg(concat_ws(sep,
+        transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          s => s.getField("__line"))).as("__text"))
+    df.drop(textCol).join(rebuilt, Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("__text"), lit("")))
+      .drop("__text")
+      .select(df.columns.toIndexedSeq.map(col): _*)
+  }
+
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
       minDocs: Int = 2, sep: String = "\n",
       keyByDigest: Boolean = false): DataFrame = {

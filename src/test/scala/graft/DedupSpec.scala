@@ -652,6 +652,24 @@ class DedupSpec extends AnyFunSuite {
     assert(byDigest === out)
   }
 
+  test("dedupLinesWithinDoc keeps first occurrences in order, per doc only") {
+    val docs = Seq(
+      (1L, "a\nb\na\nc\nb", "x"),
+      (2L, "a\na\na", "y"),      // same line as doc 1 — no cross-doc effect
+      (3L, "solo", "z"),
+      (4L, "", "w")
+    ).toDF("doc_id", "text", "meta")
+    val out = Dedup.dedupLinesWithinDoc(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "a\nb\nc", "first occurrences survive in original order")
+    assert(out(2L) === "a", "within-doc collapse is independent of doc 1")
+    assert(out(3L) === "solo")
+    assert(out(4L) === "", "empty doc survives as empty")
+    // schema and non-text columns pass through
+    val full = Dedup.dedupLinesWithinDoc(docs, "doc_id", "text")
+    assert(full.columns.toSeq === Seq("doc_id", "text", "meta"))
+  }
+
   test("HashingTfIndices kernel replays ml HashingTF.indexOf exactly") {
     // the q19 export computes feature-index sets with this kernel
     // (hashUnsafeBytes2, seed 42, nonNegativeMod) instead of a 16k-wide
