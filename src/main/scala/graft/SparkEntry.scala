@@ -1684,6 +1684,27 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ---- Keyed parquet upsert (MERGE between ingestion waves):
+    // existing = even docs, batch = docs %3==0 with edited text; batch
+    // wins per key, the rest carries over, temp-write + swap. The
+    // query reads the UPSERTED TABLE back, so the oracle (replaying
+    // the merge semantics from the raw table) gates the physical
+    // rewrite end-to-end, like q109 gates compaction.
+    "q114_upsert" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val path = s"${stateDir(dir)}/q114_table"
+      val existing = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("text"), col("lang"))
+      existing.write.mode("overwrite").parquet(path)
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), concat(col("text"), lit(" UPSERTED")).as("text"),
+          col("lang"))
+      sources.CorpusIO.upsertParquet(s, path, batch, Seq("doc_id"))
+      s.read.parquet(path)
+        .select(col("doc_id"), col("text"), col("lang"))
+        .orderBy("doc_id")
+    },
+
     // ---- Small-file compaction (table maintenance): explode the
     // documents table into many tiny files, compact to a byte-target
     // layout, and return the compacted CONTENT — the oracle reads the
@@ -2603,6 +2624,18 @@ object SparkEntry {
         |  CAST(sum(n_pieces) AS INT) AS n_tokens
         |FROM ww JOIN np USING (word)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q114_upsert" ->
+      """WITH existing AS (
+        |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 2 = 0),
+        |batch AS (
+        |  SELECT doc_id, text || ' UPSERTED' AS text, lang
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id, text, lang FROM batch
+        |UNION ALL
+        |SELECT e.doc_id, e.text, e.lang FROM existing e
+        |WHERE e.doc_id NOT IN (SELECT doc_id FROM batch)
+        |ORDER BY doc_id""".stripMargin,
 
     "q113_line_dedup_within_doc" ->
       """WITH src AS (

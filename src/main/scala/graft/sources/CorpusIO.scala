@@ -286,6 +286,41 @@ object CorpusIO {
     nFiles
   }
 
+  /** Keyed parquet upsert — the MERGE a plain-parquet lake needs
+    * between ingestion waves: batch rows REPLACE existing rows with
+    * the same key, everything else carries over, and the result lands
+    * atomically-ish via a temp-dir write + swap (parquet has no
+    * transaction log; the swap window is the documented caveat — a
+    * table format takes over where that matters). Returns the merged
+    * row count.
+    *
+    * Scale shape: ONE left_anti join (existing vs batch keys — with
+    * the batch side broadcastable this is map-side) + union + write.
+    * The q114 oracle replays the merge semantics (batch wins per key)
+    * against the written table. */
+  def upsertParquet(spark: SparkSession, path: String, batch: DataFrame,
+      keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val merged =
+      if (fs.exists(p)) {
+        val existing = spark.read.parquet(path)
+        existing.join(batch.select(keyCols.map(col): _*), keyCols, "left_anti")
+          .unionByName(batch.select(existing.columns.map(col).toIndexedSeq: _*))
+      } else batch
+    val tmp = new org.apache.hadoop.fs.Path(path + ".__upsert_tmp")
+    fs.delete(tmp, true)
+    // localCheckpoint BEFORE touching the directory: the merged plan
+    // reads the files the swap is about to delete
+    val materialized = merged.localCheckpoint(true)
+    materialized.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(p, true)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"upsert swap failed: $tmp -> $p")
+    spark.read.parquet(path).count()
+  }
+
   /** S12 — dataset-adapter mapper in the UniMorph shape
     * (driver_hf_unimorph.py:9-41): morphology rows
     * {lemma, form, tags} → canonical records where the inflected form

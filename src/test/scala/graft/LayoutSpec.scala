@@ -54,6 +54,24 @@ class LayoutSpec extends AnyFunSuite {
       docs.select(sum(col("doc_id"))).head.getLong(0))
   }
 
+  test("upsertParquet merges batch-wins-per-key, creates, and is idempotent") {
+    val base = Files.createTempDirectory("graft-upsert").toString
+    val path = s"$base/tbl"
+    val v1 = Seq((1L, "one", "en"), (2L, "two", "en"), (3L, "three", "de"))
+      .toDF("id", "text", "lang")
+    // creation path: no existing table
+    assert(CorpusIO.upsertParquet(spark, path, v1, Seq("id")) === 3L)
+    val batch = Seq((2L, "TWO", "en"), (4L, "four", "de"))
+      .toDF("id", "text", "lang")
+    assert(CorpusIO.upsertParquet(spark, path, batch, Seq("id")) === 4L)
+    val got = spark.read.parquet(path).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "one", 2L -> "TWO", 3L -> "three", 4L -> "four"))
+    // idempotent re-apply; no temp dir left behind
+    assert(CorpusIO.upsertParquet(spark, path, batch, Seq("id")) === 4L)
+    assert(!new java.io.File(path + ".__upsert_tmp").exists())
+  }
+
   test("compact re-lays a fragmented table to the byte-target file count") {
     val base = Files.createTempDirectory("graft-compact").toString
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
