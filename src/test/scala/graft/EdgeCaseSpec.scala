@@ -136,4 +136,40 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Seq("").toDF("s").select(graft.functions.analysis.redact_pii(col("s")))
       .head().getString(0) === "")
   }
+
+  test("round-6 operators on empty and degenerate frames") {
+    import graft.operators.{Bpe, Stats}
+    // BPE: empty corpus trains an empty model; zero merges encode to chars
+    val empty = Bpe.train(emptyDocs, col("text"), numMerges = 5)
+    assert(empty.merges.isEmpty)
+    val zero = Bpe.train(oneDoc, col("text"), numMerges = 0)
+    assert(zero.merges.isEmpty)
+    assert(oneDoc.select(zero.piecesOfText(col("text")).as("p"))
+      .as[Seq[String]].head() ===
+      "a single document".replace(" ", "").map(String.valueOf(_)).toSeq)
+    // exhaustion: more merges requested than pairs exist stops early
+    val tiny = Bpe.train(Seq("ab").toDF("text"), col("text"), numMerges = 100)
+    assert(tiny.merges.map(_.toSeq).toSeq === Seq(Seq("a", "b")))
+
+    // snapshotDiff with an empty side classifies everything one way
+    val v = Seq((1L, "x"), (2L, "y")).toDF("id", "text")
+    val ev = Seq.empty[(Long, String)].toDF("id", "text")
+    assert(Stats.snapshotDiff(ev, v, "id", Seq("text"))
+      .collect().map(_.getString(1)).toSet === Set("added"))
+    assert(Stats.snapshotDiff(v, ev, "id", Seq("text"))
+      .collect().map(_.getString(1)).toSet === Set("removed"))
+    assert(Stats.snapshotDiff(ev, ev, "id", Seq("text")).count() === 0)
+
+    // within-doc line dedup: separator absent → identity
+    val noSep = Seq((1L, "no newlines here")).toDF("doc_id", "text")
+    assert(Dedup.dedupLinesWithinDoc(noSep, "doc_id", "text")
+      .head().getString(1) === "no newlines here")
+
+    // compact: byte target far above the input → one file, content kept
+    val base = java.nio.file.Files.createTempDirectory("graft-edge-compact").toString
+    oneDoc.write.mode("overwrite").parquet(s"$base/in")
+    val n = graft.sources.CorpusIO.compact(spark, s"$base/in", s"$base/out",
+      targetBytes = Long.MaxValue)
+    assert(n === 1 && spark.read.parquet(s"$base/out").count() === 1)
+  }
 }
