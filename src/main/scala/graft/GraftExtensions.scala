@@ -28,6 +28,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(session => graft.plans.JaccardJoinRewrite(session))
     ext.injectOptimizerRule(session => graft.plans.CosineJoinRewrite(session))
     ext.injectOptimizerRule(session => graft.plans.RangeJoinRewrite(session))
+    ext.injectOptimizerRule(session => graft.plans.HammingJoinRewrite(session))
   }
 }
 

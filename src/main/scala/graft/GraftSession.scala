@@ -55,6 +55,8 @@ object GraftSession {
       current = current :+ graft.plans.CosineJoinRewrite(spark)
     if (!current.exists(_.isInstanceOf[graft.plans.RangeJoinRewrite]))
       current = current :+ graft.plans.RangeJoinRewrite(spark)
+    if (!current.exists(_.isInstanceOf[graft.plans.HammingJoinRewrite]))
+      current = current :+ graft.plans.HammingJoinRewrite(spark)
     spark.experimental.extraOptimizations = current
   }
 

@@ -1705,6 +1705,30 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ---- Optimizer-rule surface #4: the DECLARATIVE Hamming join.
+    // Written as the vanilla bit_count(a ^ b) <= 3 theta-join — no
+    // marker expression; Spark's only native plan is a nested-loop
+    // cross product — and graft.plans.HammingJoinRewrite replaces it
+    // with the exact pigeonhole-banded equi-join. Signatures are
+    // exported seeded state; the oracle brute-forces xor+bit_count
+    // over them, so the rewrite's exact-output guarantee is
+    // oracle-gated like q58/q67/q77. HammingRewriteSpec asserts the
+    // plan has no nested loop.
+    "q115_hamming_join_rewrite" -> { (s, dir) =>
+      GraftSession.installOptimizerRules(s)
+      val docs = Tables.documents(s, dir)
+      val sigs = docs.select(col("doc_id"),
+        Dedup.simhashSignature(col("text")).as("sig"))
+      sigs.write.mode("overwrite").parquet(s"${stateDir(dir)}/q115_sigs")
+      val a = sigs.as("a"); val b = sigs.as("b")
+      a.join(b,
+          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= lit(3) &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("dist"))
+        .orderBy("id_a", "id_b")
+    },
+
     // ---- Small-file compaction (table maintenance): explode the
     // documents table into many tiny files, compact to a byte-target
     // layout, and return the compacted CONTENT — the oracle reads the
@@ -2624,6 +2648,15 @@ object SparkEntry {
         |  CAST(sum(n_pieces) AS INT) AS n_tokens
         |FROM ww JOIN np USING (word)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q115_hamming_join_rewrite" ->
+      """WITH sigs AS (
+        |  SELECT doc_id, sig FROM read_parquet('__GRAFT_STATE_DIR__/q115_sigs/*.parquet'))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS dist
+        |FROM sigs a JOIN sigs b
+        |  ON a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q114_upsert" ->
       """WITH existing AS (

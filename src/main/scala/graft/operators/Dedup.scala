@@ -483,6 +483,48 @@ object Dedup {
     smallPairs.union(bigPairs).distinct()
   }
 
+  /** DISTINCT 64-bit signature VALUE pairs (__ham_sa, __ham_sb) within a true
+    * Hamming budget across two frames — the enumerator behind
+    * [[graft.plans.HammingJoinRewrite]], which joins the value pairs
+    * back to each side's rows by signature equality (the
+    * vecPairsByCosine shape). EXACT: pigeonhole banding over
+    * `maxHamming + 1` bands guarantees every qualifying pair collides
+    * in some band, and the popcount verify admits nothing else — no
+    * star cap here, because the rewrite's contract is identical
+    * output, not best-effort dedup. Null signatures never pair (the
+    * theta-join predicate is null on them too). `strict` verifies
+    * `< maxHamming` instead of `<=` while banding at the same width
+    * (a strictly-smaller distance is also ≤). */
+  private[graft] def hammingPairsValues(
+      ldf: DataFrame, lsig: Column,
+      rdf: DataFrame, rsig: Column,
+      maxHamming: Int, strict: Boolean = false): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, "maxHamming must be in [0, 32)")
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
+    def banded(df: DataFrame, sig: Column, out: String): DataFrame = {
+      val base = spreadWide(df).select(sig.cast("long").as(out))
+        .filter(col(out).isNotNull).distinct()
+      val bandStructs = (0 until nBands).map { b =>
+        val lo = b * width
+        val w = if (b == nBands - 1) 64 - lo else width
+        val shifted = shiftrightunsigned(col(out), lo)
+        val bucket = if (w >= 64) shifted else shifted.bitwiseAND(lit((1L << w) - 1))
+        struct(lit(b).as("band"), bucket.as("bucket"))
+      }
+      base.select(col(out), explode(array(bandStructs: _*)).as("__b"))
+        .select(col(out), col("__b.band"), col("__b.bucket"))
+    }
+    val verify =
+      if (strict) bit_count(col("__ham_sa").bitwiseXOR(col("__ham_sb"))) < maxHamming
+      else bit_count(col("__ham_sa").bitwiseXOR(col("__ham_sb"))) <= maxHamming
+    banded(ldf, lsig, "__ham_sa")
+      .join(banded(rdf, rsig, "__ham_sb"), Seq("band", "bucket"))
+      .filter(verify)
+      .select(col("__ham_sa"), col("__ham_sb"))
+      .distinct()
+  }
+
   /** Hamming-budget SimHash dedup: drop the higher-id side of every
     * [[simhashPairs]] pair (cluster-wide resolution: feed the pairs to
     * [[DupClusters.clusterDedup]] instead). Removal is a left_anti on
