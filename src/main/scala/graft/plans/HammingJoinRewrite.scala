@@ -47,15 +47,37 @@ case class HammingJoinRewrite(spark: SparkSession)
         if !(l.output.exists(_.name.startsWith("__ham_")) ||
              r.output.exists(_.name.startsWith("__ham_"))) =>
       val conjuncts = splitConjunctivePredicates(cond)
-      val hit = conjuncts.iterator.map(c => (c, matchMarker(c, l, r))).collectFirst {
-        case (c, Some(m)) => (c, m)
+      // Scope: the rewrite only pays when the popcount predicate is the
+      // join's ONLY handle — with any cross-side equi conjunct Spark
+      // already plans a hash/sort-merge join and the popcount is a
+      // cheap post-join filter (this also keeps the rule off the
+      // engine's own banded joins, e.g. simhashPairs' (band, bucket)
+      // bucket join, whose pushed-down verify would otherwise
+      // re-match here).
+      val hasEqui = conjuncts.exists {
+        case EqualTo(a, b) => crossSide(a, b, l, r)
+        case EqualNullSafe(a, b) => crossSide(a, b, l, r)
+        case _ => false
       }
-      hit match {
-        case Some((pred, m)) =>
-          rewrite(j, m, conjuncts.filterNot(_ eq pred)).getOrElse(j)
-        case None => j
+      if (hasEqui) j
+      else {
+        val hit = conjuncts.iterator.map(c => (c, matchMarker(c, l, r))).collectFirst {
+          case (c, Some(m)) => (c, m)
+        }
+        hit match {
+          case Some((pred, m)) =>
+            rewrite(j, m, conjuncts.filterNot(_ eq pred)).getOrElse(j)
+          case None => j
+        }
       }
   }
+
+  private def crossSide(a: Expression, b: Expression,
+      l: LogicalPlan, r: LogicalPlan): Boolean =
+    (a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet) &&
+      a.references.nonEmpty && b.references.nonEmpty) ||
+    (b.references.subsetOf(l.outputSet) && a.references.subsetOf(r.outputSet) &&
+      a.references.nonEmpty && b.references.nonEmpty)
 
   private def intLit(e: Expression): Option[Int] = e match {
     case Literal(v: Int, IntegerType) => Some(v)
