@@ -1749,6 +1749,78 @@ object SparkEntry {
         .select(col("doc_id"), col("text"), col("lang"), col("source"))
         .orderBy("doc_id")
     },
+
+    // ---- Embedding-space decontamination: the PARAPHRASE-level
+    // member of the decontamination family (verbatim n-gram q81,
+    // Bloom q101, fuzzy-Jaccard q49, streaming q89 are the surface-
+    // overlap gates). Eval vectors are bucketed into the SAME seeded
+    // SemDeDup cells as the corpus and broadcast; cells + vectors are
+    // exported seeded state and the oracle replays the within-cell
+    // cosine gate + anti-join.
+    "q116_semantic_decontaminate" -> { (s, dir) =>
+      val embs = Tables.embeddings(s, dir)
+      val evalSet = embs.filter(col("vec_id") % 10 === 0)
+      val corpus = embs.filter(col("vec_id") % 10 =!= 0)
+      val vd = col("embedding").cast("array<double>")
+      corpus.filter(Dedup.semanticComparable(vd))
+        .select(Dedup.semanticCell(vd, 64, 42L).as("cell"),
+          col("vec_id"), vd.as("vec"))
+        .write.mode("overwrite").parquet(s"${stateDir(dir)}/q116_corpus")
+      evalSet.filter(Dedup.semanticComparable(vd))
+        .select(vd.as("vec")).distinct()
+        .select(Dedup.semanticCell(col("vec"), 64, 42L).as("cell"), col("vec"))
+        .write.mode("overwrite").parquet(s"${stateDir(dir)}/q116_eval")
+      Dedup.semanticDecontaminate(corpus, "vec_id", "embedding",
+          evalSet, "embedding", eps = 0.8, nCells = 64)
+        .select(col("vec_id"), col("label"))
+        .orderBy("vec_id")
+    },
+
+    // ---- Weighted sampling without replacement (Efraimidis–Spirakis
+    // A-RES): the SELECTION step for importance-weighted curation
+    // (q85 scores docs; this draws the subset). Uniforms are
+    // xxhash64-seeded engine state (exported); the u^(1/w) score,
+    // 9-decimal rounding, ranking, and cutoff are replayed in SQL.
+    "q117_weighted_sample" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      docs.select(col("doc_id"), Split.uniform(col("doc_id"), 42L).as("u"))
+        .write.mode("overwrite").parquet(s"${stateDir(dir)}/q117_uniforms")
+      Split.weightedSample(docs, col("doc_id"), col("n_chars"), k = 100)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // ---- SOFT dedup: every row kept, near-dup clusters down-weighted
+    // to total mass 1 (weight = 1/|component|). Pairs come from the
+    // exact-output similarPairsApprox, so the oracle recomputes the
+    // graph brute-force and replays the closure (q47's recursive CTE)
+    // + the size/weight arithmetic with no exported state at all.
+    "q118_soft_dedup_weights" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val pairs = Similarity.similarPairsApprox(emb, "vec_id", "embedding", t = 0.4)
+      DupClusters.softDedupWeights(emb, "vec_id", pairs)
+        .select(col("vec_id"), col("label"), col("dup_cluster_size"),
+          col("soft_weight"))
+        .orderBy("vec_id")
+    },
+
+    // ---- Markup stripping (web-scrape boilerplate removal, the step
+    // before the C4/Gopher gates). The sf documents are plain word
+    // soup, so markup is synthesized DETERMINISTICALLY on both sides
+    // (the q82 planted-PII pattern); the strip chain is RE2-compatible
+    // and fully SQL-replayed, markup density included.
+    "q119_strip_markup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val raw = concat(
+        lit("<html><head><style>p{color:red}</style></head><body><!-- note "),
+        col("doc_id").cast("string"),
+        lit(" --><p class=\"x\">"), col("text"),
+        lit("</p><script>var a=1;</script>&nbsp;&amp; tail &#65;&amp;lt;</body></html>"))
+      docs.select(col("doc_id"),
+          analysis.strip_markup(raw).as("text"),
+          round(analysis.markup_ratio(raw), 6).as("markup_ratio"))
+        .orderBy("doc_id")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3560,5 +3632,94 @@ object SparkEntry {
         |  round(cos, 6) AS cos_sim
         |FROM m
         |ORDER BY vec_id""".stripMargin,
+
+    // q116: cells are exported seeded state (hyperplane signs — DuckDB
+    // cannot recompute xxhash-seeded projections); the within-cell
+    // cosine gate and the anti-join are replayed independently. The
+    // CASE matches Similarity.cosine's zero-norm → 0 contract.
+    "q116_semantic_decontaminate" ->
+      """WITH cor AS (
+        |  SELECT cell, vec_id, vec
+        |  FROM read_parquet('__GRAFT_STATE_DIR__/q116_corpus/*.parquet')),
+        |ev AS (
+        |  SELECT cell, vec
+        |  FROM read_parquet('__GRAFT_STATE_DIR__/q116_eval/*.parquet')),
+        |hit AS (
+        |  SELECT DISTINCT c.vec_id
+        |  FROM cor c JOIN ev e ON c.cell = e.cell
+        |  WHERE CASE WHEN sqrt(list_dot_product(c.vec, c.vec)) = 0
+        |              OR sqrt(list_dot_product(e.vec, e.vec)) = 0 THEN 0.0
+        |         ELSE list_dot_product(c.vec, e.vec) /
+        |              (sqrt(list_dot_product(c.vec, c.vec)) *
+        |               sqrt(list_dot_product(e.vec, e.vec))) END >= 0.2)
+        |SELECT vec_id, label FROM embeddings
+        |WHERE vec_id % 10 <> 0 AND vec_id NOT IN (SELECT vec_id FROM hit)
+        |ORDER BY vec_id""".stripMargin,
+
+    "q117_weighted_sample" ->
+      """WITH u AS (
+        |  SELECT doc_id, u
+        |  FROM read_parquet('__GRAFT_STATE_DIR__/q117_uniforms/*.parquet')),
+        |s AS (
+        |  SELECT d.doc_id, d.lang, d.n_chars,
+        |    round(pow(u.u, 1.0 / d.n_chars), 9) AS ws
+        |  FROM documents d JOIN u USING (doc_id)
+        |  WHERE d.n_chars IS NOT NULL AND d.n_chars > 0),
+        |top AS (
+        |  SELECT doc_id, lang, n_chars FROM s ORDER BY ws DESC, doc_id LIMIT 100)
+        |SELECT doc_id, lang, n_chars FROM top ORDER BY doc_id""".stripMargin,
+
+    "q118_soft_dedup_weights" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |g AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |      FROM n a, n b WHERE a.vec_id < b.vec_id
+        |        AND (CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+        |             ELSE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) END) >= 0.4),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM g
+        |          UNION ALL SELECT id_b, id_a FROM g),
+        |reach(id, m) AS (
+        |  SELECT vec_id, vec_id FROM embeddings
+        |  UNION
+        |  SELECT e2.a, r.m FROM edges e2 JOIN reach r ON r.id = e2.b),
+        |comp AS (SELECT id AS vec_id, min(m) AS cluster_id FROM reach GROUP BY id),
+        |sz AS (SELECT cluster_id, count(*) AS dup_cluster_size
+        |       FROM comp GROUP BY cluster_id)
+        |SELECT c.vec_id, emb.label,
+        |  CAST(s2.dup_cluster_size AS BIGINT) AS dup_cluster_size,
+        |  round(CAST(1.0 AS DOUBLE) / s2.dup_cluster_size, 9) AS soft_weight
+        |FROM comp c
+        |JOIN sz s2 USING (cluster_id)
+        |JOIN embeddings emb USING (vec_id)
+        |ORDER BY vec_id""".stripMargin,
+
+    "q119_strip_markup" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    '<html><head><style>p{color:red}</style></head><body><!-- note ' ||
+        |    CAST(doc_id AS VARCHAR) ||
+        |    ' --><p class="x">' || text ||
+        |    '</p><script>var a=1;</script>&nbsp;&amp; tail &#65;&amp;lt;</body></html>' AS t
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, t,
+        |    trim(regexp_replace(
+        |      replace(replace(replace(replace(replace(replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(
+        |                regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g'),
+        |                '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+        |              '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+        |            '<[^>]*>', ' ', 'g'),
+        |          '&#[0-9]{1,7};|&#[xX][0-9A-Fa-f]{1,6};', ' ', 'g'),
+        |        '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |        '&apos;', ''''), '&amp;', '&'),
+        |      '[ \t\n\r\f]+', ' ', 'g')) AS stripped
+        |  FROM raw)
+        |SELECT doc_id, stripped AS text,
+        |  round(1.0 - CAST(length(stripped) AS DOUBLE) / length(t), 6) AS markup_ratio
+        |FROM s ORDER BY doc_id""".stripMargin,
   )
 }

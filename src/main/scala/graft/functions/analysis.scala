@@ -48,6 +48,52 @@ object analysis {
       regexp_count(p, lit(IdRe)).as("n_id"))
   }
 
+  // Markup patterns, applied in THIS order: block elements whose
+  // CONTENT must go (comments, script, style) before the generic tag
+  // strip, numeric entities before named ones, and `&amp;` decoded
+  // LAST (standard double-escape semantics: "&amp;lt;" ends up as the
+  // literal text "&lt;", never as "<"). RE2-compatible — non-greedy
+  // and inline (?is) flags only, no lookaround — so the DuckDB oracle
+  // runs the same patterns verbatim.
+  private val CommentRe = "(?s)<!--.*?-->"
+  private val ScriptRe = "(?is)<script[^>]*>.*?</script>"
+  private val StyleRe = "(?is)<style[^>]*>.*?</style>"
+  private val TagRe = "<[^>]*>"
+  private val NumEntityRe = "&#[0-9]{1,7};|&#[xX][0-9A-Fa-f]{1,6};"
+
+  /** Strip HTML/XML markup down to display text: comments, script and
+    * style blocks (content included), tags, numeric character
+    * references, the common named entities, then whitespace collapsed
+    * to single spaces and trimmed — the boilerplate-removal step in
+    * front of the C4/Gopher gates for web-scraped corpora. Pure
+    * codegen'd regexp/replace chain, inline with the scan; NOT
+    * idempotent by design (decoding `&lt;` can surface literal angle
+    * brackets — markup stripping runs once, at ingestion).
+    * Explicit `[ \t\n\r\f]` whitespace class, not `\s`: Java's \s
+    * includes 0x0B, RE2's does not — the explicit class hash-matches
+    * across engines. */
+  def strip_markup(c: Column): Column = {
+    val noBlocks = regexp_replace(regexp_replace(regexp_replace(c,
+      lit(CommentRe), lit(" ")), lit(ScriptRe), lit(" ")), lit(StyleRe), lit(" "))
+    val noTags = regexp_replace(noBlocks, lit(TagRe), lit(" "))
+    val noNum = regexp_replace(noTags, lit(NumEntityRe), lit(" "))
+    val named = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&apos;" -> "'").foldLeft(noNum) {
+      case (acc, (k, v)) => replace(acc, lit(k), lit(v))
+    }
+    val decoded = replace(named, lit("&amp;"), lit("&"))
+    trim(regexp_replace(decoded, lit("[ \\t\\n\\r\\f]+"), lit(" ")))
+  }
+
+  /** Fraction of the raw document that was markup: `1 −
+    * len(strip_markup(c))/len(c)` (0 for empty input) — the
+    * boilerplate-density quality signal; gate high values as
+    * chrome-heavy pages. */
+  def markup_ratio(c: Column): Column =
+    when(length(c) === 0 || c.isNull, lit(0.0))
+      .otherwise(lit(1.0) - length(strip_markup(c)).cast("double") /
+        length(c).cast("double"))
+
   /** Whitespace token count. */
   def token_count(c: Column): Column =
     when(length(trim(c)) === 0, lit(0))

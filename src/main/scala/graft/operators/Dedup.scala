@@ -1660,4 +1660,70 @@ object Dedup {
     * un-flagged there — a stream must emit a decision per row). */
   private[graft] def semanticComparable(vec: Column): Column =
     vec.isNotNull && size(vec) > 0 && !exists(vec, x => isnan(x))
+
+  /** Embedding-space decontamination: drop corpus rows whose embedding
+    * lies within cosine `eps` of ANY reference (eval-set) embedding —
+    * the PARAPHRASE-level member of the decontamination family. The
+    * verbatim n-gram gates ([[contaminationProfile]], the Bloom and
+    * streaming variants) catch exact token overlap; the fuzzy doc
+    * gate ([[decontaminate]]) catches high-Jaccard rewordings; this
+    * one catches leaks that share no surface n-grams at all
+    * (translations, heavy paraphrases) — the shape reported for
+    * benchmark leakage audits of web-scale pretraining sets.
+    *
+    * Comparisons happen only WITHIN shared seeded hyperplane cells —
+    * [[semanticCell]], the SAME bucketing as the batch / streaming /
+    * incremental SemDeDup paths, so one definition decides which rows
+    * are ever compared everywhere. The recall contract is therefore
+    * SemDeDup's, not an exact join's: a (corpus, eval) pair split
+    * across cells is never compared. Run it BEHIND the verbatim/Bloom
+    * gates (which are exact) as the paraphrase net, not instead of
+    * them. Corpus rows whose embedding is null, empty, or
+    * NaN-poisoned can never be PROVEN contaminated → kept; such
+    * reference rows prove nothing → ignored.
+    *
+    * Scale shape: one narrow map per side, reference distinct'd and
+    * BROADCAST (the decontamination contract: the eval side is
+    * benchmark-sized — use the cell-bucketed incremental state table
+    * pattern if yours is not), map-side cell equi-join + cosine
+    * verify, distinct hit ids, left_anti removal. The corpus never
+    * self-joins and never shuffles anything but the matched ids.
+    *
+    * `nCells <= 0` auto-sizes from the CORPUS like [[semanticDedup]]
+    * (eager sizing count at call time — pass `nCells` explicitly at
+    * scale); fewer cells trade cost (more pairs compared) for recall
+    * (fewer split pairs), so decontamination callers may want coarser
+    * cells than dedup callers. */
+  def semanticDecontaminate(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      reference: DataFrame, refVecCol: String,
+      eps: Double = 0.05, nCells: Int = 0, seed: Long = 42L): DataFrame = {
+    require(eps > 0 && eps < 1, "eps must be in (0, 1)")
+    val t = 1.0 - eps
+    val cv = col(vecCol).cast("array<double>")
+    val clean = spreadWide(corpus)
+      .filter(semanticComparable(cv))
+      .select(col(idCol).as("__id"), cv.as("__cv"))
+    val (comparable, cells) =
+      if (nCells > 0) (clean, nCells)
+      else {
+        // same localCheckpoint discipline as semanticDedup: the
+        // returned plan is lazy, so the checkpoint is the only point
+        // where the sizing count and the cell join can share one scan
+        val cp = clean.localCheckpoint(true)
+        (cp, semanticCells(cp.count()))
+      }
+    val rv = col(refVecCol).cast("array<double>")
+    val evalCells = reference
+      .select(rv.as("__rv"))
+      .filter(semanticComparable(col("__rv")))
+      .distinct()
+      .select(semanticCell(col("__rv"), cells, seed).as("__cell"), col("__rv"))
+    val hit = comparable
+      .withColumn("__cell", semanticCell(col("__cv"), cells, seed))
+      .join(broadcast(evalCells), Seq("__cell"))
+      .filter(Similarity.cosine(col("__cv"), col("__rv")) >= t)
+      .select(col("__id").as(idCol)).distinct()
+    corpus.join(hit, Seq(idCol), "left_anti")
+  }
 }

@@ -181,4 +181,30 @@ object DupClusters {
         sum(when(col("size") > 1, col("size")).otherwise(lit(0))).as("vertices_in_dup_clusters"),
         max(col("size")).as("largest_cluster"),
         sum(col("size") - 1).as("removable"))
+
+  /** SOFT dedup: keep every row, down-WEIGHT duplicate clusters.
+    * Each row gains `dup_cluster_size` (|its component| in the pair
+    * graph; 1 for rows in no pair) and `soft_weight` = 1/size, so a
+    * loss- or sampling-weighted consumer sees each duplicated
+    * document with total mass 1 regardless of copy count — the
+    * soft alternative to [[clusterDedup]]'s hard removal used when
+    * duplicates carry signal (popularity) that outright dropping
+    * destroys. Feed `soft_weight` straight into
+    * [[Split.weightedSample]] to draw a dedup-aware subset without
+    * ever deleting a row.
+    *
+    * `soft_weight` is rounded to 9 decimals (1/3 etc. must hash
+    * identically across engines). Scale shape: components as in
+    * [[connectedComponents]], one map-side-combined size count over
+    * the label frame, a size join back on the cluster label, and one
+    * id-keyed join onto the input — every join key is a long. */
+  def softDedupWeights(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comps = connectedComponents(
+      df.select(col(idCol)), pairs.select(col("id_a"), col("id_b")))
+    val sizes = comps.groupBy(col("cluster")).agg(count(lit(1)).as("dup_cluster_size"))
+    val labeled = comps.join(sizes, Seq("cluster"))
+      .select(col("id").as(idCol), col("dup_cluster_size"),
+        round(lit(1.0) / col("dup_cluster_size"), 9).as("soft_weight"))
+    df.join(labeled, Seq(idCol))
+  }
 }

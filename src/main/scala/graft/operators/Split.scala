@@ -120,6 +120,41 @@ object Split {
       .drop("__cum")
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement — the
+    * Efraimidis–Spirakis A-RES rule ("Weighted random sampling with a
+    * reservoir", IPL 2006): row i with weight w_i > 0 draws score
+    * u_i^(1/w_i) from its seeded uniform u_i, and the k highest
+    * scores are the sample. Inclusion probabilities track relative
+    * weights, and the draw is a pure function of (key, seed) — reruns,
+    * task retries, and any cluster shape produce the SAME sample, the
+    * reproducibility contract every seeded operator here carries.
+    * This is the SELECTION step that pairs with the DSIR importance
+    * weights ([[Stats.importanceWeight]]): score docs there, map the
+    * log-ratio through exp() into a positive weight, draw the
+    * training subset here.
+    *
+    * The score is rounded to 9 decimals before ranking (ties broken
+    * by key) so the engine and a SQL oracle replaying the draw from
+    * the exported uniforms can never disagree on a libm boundary
+    * ulp — [[temperatureSample]]'s quota-rounding stance applied to a
+    * ranking. Rows with a null/NaN/non-positive weight are excluded:
+    * they cannot be drawn under the rule.
+    *
+    * Scale shape: one narrow map (hash + pow), then a global top-k —
+    * Spark plans orderBy+limit as TakeOrderedAndProject (per-partition
+    * top-k, one k·P-row merge), never a full sort shuffle. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int,
+      seed: Long = 42L): DataFrame = {
+    require(k > 0, "k must be positive")
+    val wd = weight.cast("double")
+    val score = round(pow(uniform(key, seed), lit(1.0) / wd), 9)
+    df.filter(wd.isNotNull && !isnan(wd) && wd > 0)
+      .withColumn("__ws", score)
+      .orderBy(col("__ws").desc, key)
+      .limit(k)
+      .drop("__ws")
+  }
+
   /** Temperature-scaled mixture sampling — the multinomial `n^α` rule
     * of multilingual/multi-domain pretraining (mBERT, XLM-R, mT5):
     * stratum g with n_g rows gets a quota of `targetTotal · n_g^α /

@@ -341,6 +341,30 @@ class AnalysisSpec extends AnyFunSuite {
     assert(a === b && !a.isNaN && !a.isInfinite)
   }
 
+  test("strip_markup: tags, blocks, entities, double-escapes, whitespace; markup_ratio") {
+    def strip(s: String): String = one[String](analysis.strip_markup(col("s")), s)
+    // tags drop, content survives, whitespace collapses
+    assert(strip("""<p class="x">hello <b>world</b></p>""") === "hello world")
+    // script/style/comment CONTENT goes too, case-insensitively,
+    // across newlines
+    assert(strip("<SCRIPT>\nvar a = 1;\n</SCRIPT>keep") === "keep")
+    assert(strip("<style type=\"a\">p { c: red }</style>keep") === "keep")
+    assert(strip("a<!-- multi\nline\ncomment -->b") === "a b")
+    // named entities decode; numeric references drop; the
+    // double-escape &amp;lt; ends as LITERAL "&lt;", never "<"
+    assert(strip("a &lt;tag&gt; &quot;q&quot; &apos;s&apos; b&nbsp;c") ===
+      "a <tag> \"q\" 's' b c")
+    assert(strip("x &#65;&#x42; y") === "x y")
+    assert(strip("&amp;lt; &amp; &amp;amp;") === "&lt; & &amp;")
+    // plain text passes through modulo whitespace normalization
+    assert(strip("  already   clean\ttext\n") === "already clean text")
+    // markup density: 0 for clean text and empty input, high for chrome
+    def ratio(s: String): Double = one[Double](analysis.markup_ratio(col("s")), s)
+    assert(ratio("") === 0.0)
+    assert(ratio("plain words") === 0.0)
+    assert(ratio("<div><div><div>x</div></div></div>") > 0.9)
+  }
+
   test("redact_pii: typed placeholders, stage-order disambiguation, idempotence") {
     def red(s: String): String = one[String](analysis.redact_pii(col("s")), s)
     assert(red("mail me at jane.doe+x@corp.example.org today") ===

@@ -59,6 +59,31 @@ class DupClustersSpec extends AnyFunSuite {
     }
   }
 
+  test("softDedupWeights: mass 1 per cluster, singletons weigh 1, every row kept") {
+    // chain {1,2,3} + pair {4,5} + isolated 9
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e"), (9L, "f"))
+      .toDF("id", "payload")
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = DupClusters.softDedupWeights(df, "id", pairs)
+      .select("id", "payload", "dup_cluster_size", "soft_weight")
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L, 9L), "soft dedup never drops a row")
+    assert(Seq(1L, 2L, 3L).forall(out(_)._2 == 3L))
+    assert(Seq(4L, 5L).forall(out(_)._2 == 2L))
+    assert(out(9L)._2 === 1L && out(9L)._3 === 1.0)
+    // 1/3 is rounded to 9 decimals — the hash-stable value both
+    // engines agree on
+    assert(out(1L)._3 === 0.333333333)
+    assert(out(4L)._3 === 0.5)
+    // payloads ride through untouched
+    assert(out(2L)._1 === "b")
+    // each cluster's total mass is its row count × its weight ≈ 1
+    val mass = out.values.groupBy(_._2).map { case (sz, rows) =>
+      rows.map(_._3).sum / (rows.size / sz.toDouble) }
+    assert(mass.forall(m => math.abs(m - 1.0) < 1e-6))
+  }
+
   test("driver union-find fast path agrees with the distributed loop") {
     val vs = (0L to 40L).toDF("id")
     val es = (0L to 40L).sliding(2).map(p => (p(1), p(0))).toSeq ++

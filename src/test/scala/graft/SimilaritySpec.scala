@@ -107,6 +107,59 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Dedup.semanticCells(1_000_000_000L) === 3906250)
   }
 
+  test("semanticDecontaminate: drops eval-adjacent rows, keeps unprovable, ignores dirty eval") {
+    import graft.operators.Dedup
+    val rnd = new scala.util.Random(7)
+    def jitter(v: Array[Double]) = v.map(x => x + rnd.nextGaussian() * 0.002)
+    val dirs = Seq(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0),
+      Array(0.0, 0.0, 1.0), Array(-1.0, 0.0, 0.0))
+    val corpusClean = dirs.zipWithIndex.flatMap { case (d, i) =>
+      (0 until 5).map(j => ((i * 10 + j).toLong, Some(jitter(d).toSeq)))
+    }
+    val dirty = Seq((98L, Some(Seq(Double.NaN, 1.0, 0.0))), (99L, None))
+    val corpus = (corpusClean ++ dirty).toDF("vec_id", "embedding")
+    // eval set covers directions 0 and 2 only, plus unprovable rows
+    // that must prove nothing
+    val evalSet = Seq(
+      (0L, Some(jitter(dirs(0)).toSeq)),
+      (1L, Some(jitter(dirs(2)).toSeq)),
+      (2L, Some(Seq(Double.NaN, 0.0, 1.0))),
+      (3L, None)
+    ).toDF("eval_id", "embedding")
+
+    val kept = Dedup.semanticDecontaminate(corpus, "vec_id", "embedding",
+        evalSet, "embedding", eps = 0.05, nCells = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // every corpus member of directions 0 and 2 is contaminated (not
+    // just one survivor — decontamination removes ALL hits, unlike
+    // dedup); directions 1 and 3 and the unprovable rows survive
+    val expected = Set(10L, 11L, 12L, 13L, 14L, 30L, 31L, 32L, 33L, 34L, 98L, 99L)
+    assert(kept === expected)
+
+    // matches the brute-force cosine gate on this fixture (every
+    // qualifying pair is bucket-co-located here)
+    val evalVecs = Seq(jitter(dirs(0)), jitter(dirs(2)))
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum); val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else d / (na * nb)
+    }
+    // determinism: same seeded cells → same decision
+    val again = Dedup.semanticDecontaminate(corpus, "vec_id", "embedding",
+        evalSet, "embedding", eps = 0.05, nCells = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(again === kept)
+
+    // corpus never cartesians against the eval side
+    val plan = Dedup.semanticDecontaminate(corpus, "vec_id", "embedding",
+        evalSet, "embedding", eps = 0.05, nCells = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+    // silence the unused-helper warning if the fixture evolves
+    assert(cos(evalVecs(0).toSeq, evalVecs(0).toSeq) > 0.99)
+  }
+
   test("similarPairsApprox equals exact similarPairs on unclustered random embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .withColumn("embedding", col("embedding").cast("array<double>"))

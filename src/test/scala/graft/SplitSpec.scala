@@ -99,6 +99,45 @@ class SplitSpec extends AnyFunSuite {
     assert(packed.values.forall(_._2 < 2048L))
   }
 
+  test("weightedSample: A-RES selection matches the driver-side replay, excludes invalid weights") {
+    val base = (1L to 400L).map(i => (i, if (i <= 40) 1000.0 else 1.0))
+    val withBad = base ++ Seq((501L, 0.0), (502L, -3.0), (503L, Double.NaN))
+    val df = withBad.toDF("id", "w")
+    val out = Split.weightedSample(df, col("id"), col("w"), k = 60)
+      .select("id").as[Long].collect().toSet
+
+    // replay the rule driver-side from the engine's own uniforms:
+    // score = round(u^(1/w), 9), top-k by (score desc, id asc)
+    // NaN orders above 0 in Spark — the replay must exclude it
+    // explicitly, exactly as the operator does
+    val us = df.filter(!isnan(col("w")) && col("w") > 0)
+      .select(col("id"), Split.uniform(col("id")).as("u"), col("w"))
+      .as[(Long, Double, Double)].collect()
+    val expected = us
+      .map { case (id, u, w) =>
+        (id, BigDecimal(math.pow(u, 1.0 / w))
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .sortBy { case (id, s) => (-s, id) }
+      .take(60).map(_._1).toSet
+    assert(out === expected)
+
+    // invalid weights can never be drawn
+    assert(out.intersect(Set(501L, 502L, 503L)).isEmpty)
+    // the 10%-of-rows heavy-weight group dominates a k=60 draw
+    assert(out.count(_ <= 40) >= 30,
+      s"heavy group underrepresented: ${out.count(_ <= 40)}/40 drawn")
+
+    // deterministic on any partitioning
+    val again = Split.weightedSample(df.repartition(7), col("id"), col("w"), k = 60)
+      .select("id").as[Long].collect().toSet
+    assert(again === out)
+
+    // k >= valid rows keeps all of them
+    val all = Split.weightedSample(df, col("id"), col("w"), k = 1000)
+      .select("id").as[Long].collect().toSet
+    assert(all === base.map(_._1).toSet)
+  }
+
   test("temperatureSample: n^alpha quotas, size caps, determinism, alpha=1 proportional") {
     // strata sized 100 / 25 / 4: sqrt weights 10 / 5 / 2 → shares
     // 10/17, 5/17, 2/17 of targetTotal=34 → quotas 20 / 10 / 4
