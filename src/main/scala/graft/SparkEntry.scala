@@ -1816,9 +1816,16 @@ object SparkEntry {
         col("doc_id").cast("string"),
         lit(" --><p class=\"x\">"), col("text"),
         lit("</p><script>var a=1;</script>&nbsp;&amp; tail &#65;&amp;lt;</body></html>"))
-      docs.select(col("doc_id"),
-          analysis.strip_markup(raw).as("text"),
-          round(analysis.markup_ratio(raw), 6).as("markup_ratio"))
+      // spreadWide BEFORE the regexp chain (single-row-group scan ⇒
+      // 1-task narrow map otherwise — measured 8x at 10x data), and
+      // strip ONCE: ratio derives from the kept stripped column via
+      // the two-arg overload instead of re-running the chain.
+      Dedup.spreadWide(docs.select(col("doc_id"), raw.as("__raw")))
+        .select(col("doc_id"), col("__raw"),
+          analysis.strip_markup(col("__raw")).as("text"))
+        .select(col("doc_id"), col("text"),
+          round(analysis.markup_ratio(col("__raw"), col("text")), 6)
+            .as("markup_ratio"))
         .orderBy("doc_id")
     },
   )

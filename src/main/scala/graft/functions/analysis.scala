@@ -88,11 +88,18 @@ object analysis {
   /** Fraction of the raw document that was markup: `1 −
     * len(strip_markup(c))/len(c)` (0 for empty input) — the
     * boilerplate-density quality signal; gate high values as
-    * chrome-heavy pages. */
-  def markup_ratio(c: Column): Column =
-    when(length(c) === 0 || c.isNull, lit(0.0))
-      .otherwise(lit(1.0) - length(strip_markup(c)).cast("double") /
-        length(c).cast("double"))
+    * chrome-heavy pages. Runs the full strip chain internally — a
+    * caller that also keeps the stripped text should project
+    * [[strip_markup]] once and use the two-argument overload, or the
+    * 12-stage regexp chain executes twice per row. */
+  def markup_ratio(c: Column): Column = markup_ratio(c, strip_markup(c))
+
+  /** [[markup_ratio]] from an already-computed stripped column —
+    * zero extra regexp work when the stripped text is kept anyway. */
+  def markup_ratio(raw: Column, stripped: Column): Column =
+    when(length(raw) === 0 || raw.isNull, lit(0.0))
+      .otherwise(lit(1.0) - length(stripped).cast("double") /
+        length(raw).cast("double"))
 
   /** Whitespace token count. */
   def token_count(c: Column): Column =
