@@ -1828,6 +1828,33 @@ object SparkEntry {
             .as("markup_ratio"))
         .orderBy("doc_id")
     },
+
+    // ---- Per-source cap (RefinedWeb/CCNet per-domain cap) through
+    // the SKEW-PROOF two-stage salted top-k. Selection order is the
+    // shared md5 convention, so the oracle replays the whole thing
+    // with a single window and ZERO exported state — the salted
+    // two-stage is output-identical to the plain cap by construction.
+    "q120_source_cap" -> { (s, dir) =>
+      Split.capPerStratum(Tables.documents(s, dir),
+          strata = col("source"), key = col("doc_id"), cap = 15, salts = 8)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    },
+
+    // ---- Hard-negative mining (DPR/ANCE): per anchor, the top-5
+    // most-similar vectors in the cosine band [0.3, 0.8) — similar
+    // enough to be hard, below the near-duplicate zone. Runs the
+    // approx (cell-pruned) path, whose exact-output guarantee the
+    // brute-force DuckDB replay verifies end-to-end.
+    "q121_hard_negatives" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("embedding", col("embedding").cast("array<double>"))
+        .filter(!exists(col("embedding"), x => isnan(x)))
+      Similarity.hardNegatives(emb, "vec_id", "embedding",
+          lo = 0.3, hi = 0.8, k = 5, approx = true)
+        .select(col("anchor_id"), col("neg_id"), col("sim"), col("rank"))
+        .orderBy("anchor_id", "rank")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3728,5 +3755,44 @@ object SparkEntry {
         |SELECT doc_id, stripped AS text,
         |  round(1.0 - CAST(length(stripped) AS DOUBLE) / length(t), 6) AS markup_ratio
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    // q120: the salted two-stage cap is output-identical to a plain
+    // single-window cap, so the oracle IS the plain cap — one window
+    // in the shared md5 order, no exported state.
+    "q120_source_cap" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR) || '|42'), doc_id) AS rn
+        |  FROM documents)
+        |SELECT doc_id, lang, source FROM ranked
+        |WHERE rn <= 15
+        |ORDER BY doc_id""".stripMargin,
+
+    // q121: brute-force band replay. Enumeration admits RAW sim >= lo
+    // (similarPairs's filter), the hi bound and the ranking use the
+    // ROUNDED sim — exactly the operator's cross-engine contract.
+    "q121_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL
+        |    AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> isnan(x))) = 0),
+        |s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        CASE WHEN sqrt(list_dot_product(a.v, a.v)) = 0
+        |              OR sqrt(list_dot_product(b.v, b.v)) = 0 THEN 0.0
+        |         ELSE list_dot_product(a.v, b.v) /
+        |              (sqrt(list_dot_product(a.v, a.v)) *
+        |               sqrt(list_dot_product(b.v, b.v))) END AS sim
+        |      FROM e a, e b WHERE a.vec_id < b.vec_id),
+        |p AS (SELECT id_a, id_b, round(sim, 6) AS sim FROM s
+        |      WHERE sim >= 0.3 AND round(sim, 6) < 0.8),
+        |sym AS (SELECT id_a AS anchor_id, id_b AS neg_id, sim FROM p
+        |        UNION ALL SELECT id_b, id_a, sim FROM p),
+        |r AS (SELECT anchor_id, neg_id, sim, row_number() OVER (
+        |        PARTITION BY anchor_id ORDER BY sim DESC, neg_id) AS rank
+        |      FROM sym)
+        |SELECT anchor_id, neg_id, sim, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 5
+        |ORDER BY anchor_id, rank""".stripMargin,
   )
 }

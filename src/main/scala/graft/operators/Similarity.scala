@@ -603,4 +603,44 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("corpus_id"), round(col("sim"), 6).as("sim"), col("rank"))
   }
+
+  /** Hard-negative mining for contrastive retrieval training — the
+    * DPR/ANCE-shaped selection step: for every anchor vector, the `k`
+    * most-similar OTHER vectors whose cosine lies in the band
+    * `[lo, hi)`. Above `hi` is a probable positive/near-duplicate
+    * (using it as a negative poisons the loss — the false-negative
+    * problem); below `lo` is an easy negative the model learns nothing
+    * from. Output: `(anchor_id, neg_id, sim, rank)`, `sim` rounded to
+    * 6, rank 1..k per anchor by (rounded sim desc, neg_id) — every
+    * pair serves BOTH directions, so each side of a qualifying pair
+    * sees the other as a candidate negative.
+    *
+    * Pair enumeration is [[similarPairs]] (`approx = false`, the
+    * oracle-checkable baseline) or [[similarPairsApprox]] (the scale
+    * path — IDENTICAL output by that operator's exact-output
+    * guarantee, cell-pruned candidate set; pass `nCells` explicitly at
+    * scale to skip its sizing count). The band filter applies to the
+    * ROUNDED sim on both engines, so the mined set can never disagree
+    * on a ulp at the `hi` boundary; enumeration admits raw sim ≥ `lo`
+    * exactly as `similarPairs` defines it. Per-anchor ranking is one
+    * window keyed by anchor id — bounded by the anchor's in-band
+    * neighborhood, which the band keeps narrow by construction (a
+    * dense near-duplicate clique sits ABOVE `hi`); dedup first
+    * ([[graft.operators.Dedup.semanticDedup]]) if your corpus hasn't
+    * been. */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+      lo: Double, hi: Double, k: Int,
+      approx: Boolean = false, nCells: Int = 0, seed: Long = 42L): DataFrame = {
+    require(lo < hi && hi <= 1.0, "need lo < hi <= 1")
+    require(k > 0, "k must be positive")
+    val pairs =
+      (if (approx) similarPairsApprox(df, idCol, vecCol, lo, nCells, seed)
+       else similarPairs(df, idCol, vecCol, lo))
+        .filter(col("sim") < hi)
+    val sym = pairs.select(col("id_a").as("anchor_id"), col("id_b").as("neg_id"), col("sim"))
+      .unionAll(pairs.select(col("id_b").as("anchor_id"), col("id_a").as("neg_id"), col("sim")))
+    val w = Window.partitionBy(col("anchor_id")).orderBy(desc("sim"), asc("neg_id"))
+    sym.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

@@ -120,6 +120,47 @@ object Split {
       .drop("__cum")
   }
 
+  /** Per-stratum row cap, SKEW-PROOF — the RefinedWeb/CCNet
+    * "per-domain cap": keep at most `cap` rows per stratum (domain,
+    * source, language), chosen in the deterministic md5 pseudo-random
+    * order shared with [[stratified]]/[[budgetSample]], so the kept
+    * subset is a pure function of (key, seed) on any cluster shape.
+    *
+    * [[budgetSample]] with `cost = 1` computes the SAME set but
+    * windows each stratum into one task — fine for bounded strata,
+    * a straggler when one domain is half the crawl (the documented
+    * giant-domain reality of web corpora). This operator is the
+    * 100 TB shape: a two-stage top-k. Stage 1 windows over
+    * (stratum, salt) — `salts` deterministic sub-groups hashed from
+    * the key — keeping each group's top `cap`; stage 2 windows over
+    * the stratum alone, but now sees at most `salts·cap` rows per
+    * stratum. Output is IDENTICAL to the single-window cap (every
+    * member of a stratum's global top-cap ranks ≤ cap inside its own
+    * salt group — restriction can only improve a rank), spec-asserted
+    * against [[budgetSample]]. No stratum ever puts more than
+    * ~n/salts rows in one task. `salts = 1` degenerates to the plain
+    * single-window cap. */
+  def capPerStratum(df: DataFrame, strata: Column, key: Column, cap: Int,
+      seed: Long = 42L, salts: Int = 32): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    require(salts > 0, "salts must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val ord = md5(concat(key.cast("string"), lit("|"), lit(seed.toString)))
+    val w2 = Window.partitionBy(strata).orderBy(ord, key)
+    val pruned =
+      if (salts == 1) df
+      else {
+        val salt = pmod(xxhash64(key, lit(seed)), lit(salts))
+        val w1 = Window.partitionBy(strata, salt).orderBy(ord, key)
+        df.withColumn("__r1", row_number().over(w1))
+          .filter(col("__r1") <= cap)
+          .drop("__r1")
+      }
+    pruned.withColumn("__r2", row_number().over(w2))
+      .filter(col("__r2") <= cap)
+      .drop("__r2")
+  }
+
   /** Deterministic weighted sampling WITHOUT replacement — the
     * Efraimidis–Spirakis A-RES rule ("Weighted random sampling with a
     * reservoir", IPL 2006): row i with weight w_i > 0 draws score

@@ -160,6 +160,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cos(evalVecs(0).toSeq, evalVecs(0).toSeq) > 0.99)
   }
 
+  test("hardNegatives: band selection, both directions, k-limit, approx equals exact") {
+    import graft.operators.Similarity
+    // anchor 1 has: a near-duplicate (2, sim~1 — above the band), two
+    // in-band hard negatives (3, 4), and an easy negative (5, orthogonal)
+    val vs = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(0.999, 0.04, 0.0)),           // ~0.999 vs 1 — excluded (>= hi)
+      (3L, Seq(0.8, 0.6, 0.0)),              // sim 0.8 vs anchor 1 — in band
+      (4L, Seq(0.6, 0.8, 0.0)),              // sim 0.6 vs anchor 1 — in band
+      (5L, Seq(0.0, 0.0, 1.0))               // 0.0 vs 1 — below lo
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.hardNegatives(vs, "vec_id", "embedding",
+      lo = 0.3, hi = 0.9, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val byAnchor = out.groupBy(_._1)
+    // anchor 1: 3 and 4 in band (0.8, 0.6), ranked by sim desc; 2 and 5 out
+    assert(byAnchor(1L).map(x => (x._2, x._4)).sortBy(_._2).toSeq ===
+      Seq((3L, 1), (4L, 2)))
+    // symmetry: 3 sees 1 as a candidate too
+    assert(byAnchor(3L).exists(_._2 === 1L))
+    // the near-duplicate pair (1,2) appears nowhere
+    assert(!out.exists(p => Set(p._1, p._2) === Set(1L, 2L)))
+    // k-limit holds per anchor
+    assert(byAnchor.values.forall(_.length <= 5))
+
+    // approx path is output-identical on the real fixture
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+      .filter(!exists(col("embedding"), x => isnan(x)))
+    def run(a: Boolean) = Similarity.hardNegatives(emb, "vec_id", "embedding",
+        lo = 0.3, hi = 0.8, k = 5, approx = a)
+      .select("anchor_id", "neg_id", "sim", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(run(true) === run(false))
+  }
+
   test("similarPairsApprox equals exact similarPairs on unclustered random embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .withColumn("embedding", col("embedding").cast("array<double>"))

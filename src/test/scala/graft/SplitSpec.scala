@@ -138,6 +138,36 @@ class SplitSpec extends AnyFunSuite {
     assert(all === base.map(_._1).toSet)
   }
 
+  test("capPerStratum: salted two-stage equals the plain cap, caps hold, determinism") {
+    val capped = Split.capPerStratum(docs, col("source"), col("doc_id"),
+      cap = 7, salts = 8)
+    // output-identical to the single-window cap (salts = 1) AND to
+    // budgetSample with unit cost — three formulations, one set
+    val plain = Split.capPerStratum(docs, col("source"), col("doc_id"),
+      cap = 7, salts = 1)
+    val viaBudget = Split.budgetSample(docs, col("source"), col("doc_id"),
+      lit(1L), budget = 7L)
+    val ids = capped.select("doc_id").as[Long].collect().toSet
+    assert(ids === plain.select("doc_id").as[Long].collect().toSet)
+    assert(ids === viaBudget.select("doc_id").as[Long].collect().toSet)
+    // no stratum exceeds the cap; strata smaller than the cap are intact
+    val perSource = capped.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    val totals = docs.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(perSource.values.forall(_ <= 7))
+    totals.foreach { case (src, n) =>
+      assert(perSource.getOrElse(src, 0L) === math.min(n, 7L), src)
+    }
+    // deterministic under any partitioning
+    val again = Split.capPerStratum(docs.repartition(13), col("source"),
+      col("doc_id"), cap = 7, salts = 8).select("doc_id").as[Long].collect().toSet
+    assert(again === ids)
+    // cap >= stratum size keeps everything
+    val all = Split.capPerStratum(docs, col("source"), col("doc_id"),
+      cap = 100000, salts = 8)
+    assert(all.count() === docs.count())
+  }
+
   test("temperatureSample: n^alpha quotas, size caps, determinism, alpha=1 proportional") {
     // strata sized 100 / 25 / 4: sqrt weights 10 / 5 / 2 → shares
     // 10/17, 5/17, 2/17 of targetTotal=34 → quotas 20 / 10 / 4
