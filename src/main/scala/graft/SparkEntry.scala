@@ -1855,6 +1855,52 @@ object SparkEntry {
         .select(col("anchor_id"), col("neg_id"), col("sim"), col("rank"))
         .orderBy("anchor_id", "rank")
     },
+
+    // ---- Concat-then-chunk example assembly (GPT-style loader):
+    // per (lang, shard) the char stream is cut into examples of
+    // EXACTLY 2048, documents splitting across boundaries — one row
+    // per (doc, example) segment. q70 is the no-split first-fit
+    // sibling. Pure window + bounded-explode integer arithmetic,
+    // fully replayed.
+    "q122_chunk_concat" -> { (s, dir) =>
+      val shard = pmod(col("doc_id"), lit(4)).cast("long")
+      Split.chunkConcat(Tables.documents(s, dir), key = col("doc_id"),
+          cost = col("n_chars"), ctx = 2048L,
+          strata = Seq(col("lang"), shard))
+        .select(col("doc_id"), col("lang"), shard.as("shard"),
+          col("chunk_id"), col("seg_begin"), col("seg_len"),
+          col("chunk_offset"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    // ---- URL-level dedup (the CCNet step BEFORE content dedup): two
+    // fetches of one page are trivially duplicates — catch them by
+    // canonical URL for free. URLs are synthesized deterministically
+    // on both sides (the q82/q119 pattern): four variants per group —
+    // host case, default port + fragment, tracking params, trailing
+    // slash + ref — all collapsing to one canonical form; keep the
+    // lowest doc_id per canonical URL with the variant count.
+    "q123_url_dedup" -> { (s, dir) =>
+      val g = floor(col("doc_id") / 4).cast("long").cast("string")
+      val v = pmod(col("doc_id"), lit(4))
+      val url = when(v === 0, concat(lit("https://EXAMPLE.com/articles/"), g))
+        .when(v === 1, concat(lit("https://example.com:443/articles/"), g,
+          lit("#section-2")))
+        .when(v === 2, concat(lit("https://example.com/articles/"), g,
+          lit("?utm_source=feed&gclid=abc")))
+        .otherwise(concat(lit("https://example.com/articles/"), g,
+          lit("/?ref=home")))
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("canonical_url"))
+      val withUrl = Tables.documents(s, dir)
+        .select(col("doc_id"), url.as("url"))
+        .withColumn("canonical_url", analysis.canonicalize_url(col("url")))
+        .withColumn("n_variants", count(lit(1)).over(wp))
+      Dedup.keepBestWindow(withUrl, col("canonical_url"),
+          Seq(col("doc_id").asc))
+        .select(col("canonical_url"), col("doc_id"), col("n_variants"))
+        .orderBy("canonical_url", "doc_id")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3794,5 +3840,67 @@ object SparkEntry {
         |SELECT anchor_id, neg_id, sim, CAST(rank AS INT) AS rank
         |FROM r WHERE rank <= 5
         |ORDER BY anchor_id, rank""".stripMargin,
+
+    "q122_chunk_concat" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang, doc_id % 4 AS shard, n_chars,
+        |    coalesce(sum(n_chars) OVER (
+        |      PARTITION BY lang, doc_id % 4 ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS strt
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND n_chars > 0),
+        |e AS (
+        |  SELECT doc_id, lang, shard, n_chars, strt,
+        |    unnest(generate_series(CAST(floor(strt / 2048) AS BIGINT),
+        |      CAST(floor((strt + n_chars - 1) / 2048) AS BIGINT))) AS chunk_id
+        |  FROM s)
+        |SELECT doc_id, lang, shard, chunk_id,
+        |  CAST(greatest(0, chunk_id * 2048 - strt) AS BIGINT) AS seg_begin,
+        |  CAST(least(n_chars, (chunk_id + 1) * 2048 - strt) -
+        |       greatest(0, chunk_id * 2048 - strt) AS BIGINT) AS seg_len,
+        |  CAST(strt + greatest(0, chunk_id * 2048 - strt) -
+        |       chunk_id * 2048 AS BIGINT) AS chunk_offset
+        |FROM e
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // q123: the full canonicalization chain replayed — same RE2
+    // patterns, engine-local replacement syntax.
+    "q123_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN 'https://EXAMPLE.com/articles/' || (doc_id // 4)
+        |      WHEN 1 THEN 'https://example.com:443/articles/' || (doc_id // 4) || '#section-2'
+        |      WHEN 2 THEN 'https://example.com/articles/' || (doc_id // 4) || '?utm_source=feed&gclid=abc'
+        |      ELSE 'https://example.com/articles/' || (doc_id // 4) || '/?ref=home' END AS url
+        |  FROM documents),
+        |nf AS (SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS nofrag FROM u),
+        |hd AS (SELECT doc_id, nofrag,
+        |         regexp_extract(nofrag, '^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*', 0) AS head
+        |       FROM nf),
+        |lo AS (SELECT doc_id, nofrag, head, lower(head) AS lh FROM hd),
+        |pt AS (SELECT doc_id, nofrag, head,
+        |         CASE WHEN lh LIKE 'http://%' AND lh LIKE '%:80'
+        |                THEN substr(lh, 1, length(lh) - 3)
+        |              WHEN lh LIKE 'https://%' AND lh LIKE '%:443'
+        |                THEN substr(lh, 1, length(lh) - 4)
+        |              ELSE lh END AS lh2
+        |       FROM lo),
+        |rb AS (SELECT doc_id, lh2 || substr(nofrag, length(head) + 1) AS r FROM pt),
+        |cn AS (SELECT doc_id, regexp_replace(
+        |         regexp_replace(
+        |           regexp_replace(
+        |             regexp_replace(r,
+        |               '&(?:utm_[^&#=]*|gclid|fbclid|msclkid|ref)=[^&]*', '', 'g'),
+        |             '\?(?:utm_[^&#=]*|gclid|fbclid|msclkid|ref)=[^&]*&', '?', 'g'),
+        |           '\?(?:utm_[^&#=]*|gclid|fbclid|msclkid|ref)=[^&]*$', '', 'g'),
+        |         '/+$', '', 'g') AS canonical_url
+        |       FROM rb),
+        |agg AS (SELECT canonical_url, min(doc_id) AS doc_id,
+        |          count(*) AS n_variants
+        |        FROM cn GROUP BY canonical_url)
+        |SELECT canonical_url, doc_id, CAST(n_variants AS BIGINT) AS n_variants
+        |FROM agg
+        |ORDER BY canonical_url, doc_id""".stripMargin,
   )
 }

@@ -101,6 +101,41 @@ object analysis {
       .otherwise(lit(1.0) - length(stripped).cast("double") /
         length(raw).cast("double"))
 
+  // URL canonicalization patterns — RE2-compatible (no lookaround, so
+  // the DuckDB oracle runs the same patterns; replacements avoid
+  // capture references, whose syntax differs between engines). "ref"
+  // requires a literal '=' after it, so &refresh=/&referrer= survive.
+  private val SchemeHostRe = "^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*"
+  private val TrackedRe = "(?:utm_[^&#=]*|gclid|fbclid|msclkid|ref)"
+
+  /** Canonicalize a URL for URL-level dedup — the CCNet/web-crawl
+    * step that runs BEFORE content dedup (two fetches of one page are
+    * trivially duplicates; catching them by URL is free): drop the
+    * fragment, lowercase the scheme://host[:port] head (path and
+    * query stay byte-identical — paths are case-sensitive), strip the
+    * scheme's default port (:80 http, :443 https), remove tracking
+    * query params (utm_*, gclid, fbclid, msclkid, ref) keeping the
+    * rest in order, and trim trailing slashes. Non-URL strings (no
+    * scheme://host head) pass through with only the generic steps —
+    * garbage in, same garbage out, never an error. Pure codegen'd
+    * regexp/string chain, inline with the scan. */
+  def canonicalize_url(c: Column): Column = {
+    val noFrag = regexp_replace(c, lit("#.*$"), lit(""))
+    val head = regexp_extract(noFrag, SchemeHostRe, 0)
+    val lh = lower(head)
+    val lh2 = when(lh.startsWith("http://") && lh.endsWith(":80"),
+        lh.substr(lit(1), length(lh) - 3))
+      .when(lh.startsWith("https://") && lh.endsWith(":443"),
+        lh.substr(lit(1), length(lh) - 4))
+      .otherwise(lh)
+    val rebuilt = concat(lh2,
+      noFrag.substr(length(head) + lit(1), length(noFrag)))
+    val p1 = regexp_replace(rebuilt, lit(s"&$TrackedRe=[^&]*"), lit(""))
+    val p2 = regexp_replace(p1, lit(s"\\?$TrackedRe=[^&]*&"), lit("?"))
+    val p3 = regexp_replace(p2, lit(s"\\?$TrackedRe=[^&]*$$"), lit(""))
+    regexp_replace(p3, lit("/+$"), lit(""))
+  }
+
   /** Whitespace token count. */
   def token_count(c: Column): Column =
     when(length(trim(c)) === 0, lit(0))

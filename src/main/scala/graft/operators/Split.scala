@@ -321,6 +321,59 @@ object Split {
       .withColumn("pack_offset", (start % capacity).cast("long"))
   }
 
+  /** Concat-then-chunk training-example assembly — the GPT-style
+    * loader recipe that [[packSequences]] deliberately is not:
+    * documents are laid out in one deterministic token stream (ordered
+    * by `key` within each stratum) and cut into examples of EXACTLY
+    * `ctx` tokens, documents splitting across example boundaries.
+    * Every token is used, no example is padded; the price is that
+    * boundary documents straddle two (or more) examples — the standard
+    * pretraining trade, where [[packSequences]] is the no-split
+    * first-fit used when documents must stay whole (SFT).
+    *
+    * Emits one row per (document, example) SEGMENT: `chunk_id` (the
+    * example), `seg_begin` (first token of the segment, 0-based within
+    * the document), `seg_len`, and `chunk_offset` (where the segment
+    * starts inside the example) — exactly what a loader needs to
+    * materialize examples without ever re-tokenizing. Pure integer
+    * arithmetic on a per-stratum running sum: deterministic on any
+    * cluster shape. Rows with null/non-positive `cost` are excluded
+    * (a 0-token document contributes no tokens to any example).
+    *
+    * Scale shape: identical to [[packSequences]] — ONE window over
+    * (strata, key) computing the running offset, then a narrow
+    * bounded explode (a document spans ⌈cost/ctx⌉+1 examples at
+    * most). Strata must be bounded-size packing units (include a
+    * deterministic shard column); the stream and its cuts are
+    * per-stratum, embarrassingly parallel across strata. */
+  def chunkConcat(
+      df: DataFrame,
+      key: Column,
+      cost: Column,
+      ctx: Long,
+      strata: Seq[Column] = Nil): DataFrame = {
+    require(ctx > 0, "ctx must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata: _*).orderBy(key)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val cl = cost.cast("long")
+    val start = coalesce(sum(cl).over(w), lit(0L))
+    df.filter(cl.isNotNull && cl > 0)
+      .withColumn("__start", start)
+      .withColumn("__first", floor(col("__start") / ctx).cast("long"))
+      .withColumn("__last",
+        floor((col("__start") + cl - 1) / ctx).cast("long"))
+      .withColumn("chunk_id", explode(sequence(col("__first"), col("__last"))))
+      .withColumn("seg_begin",
+        greatest(lit(0L), col("chunk_id") * ctx - col("__start")))
+      .withColumn("seg_len",
+        least(cl, (col("chunk_id") + 1) * ctx - col("__start")) -
+          col("seg_begin"))
+      .withColumn("chunk_offset",
+        col("__start") + col("seg_begin") - col("chunk_id") * ctx)
+      .drop("__start", "__first", "__last")
+  }
+
   /** Leakage-safe split: assign every member of a near-dup CLUSTER to
     * the same split. A plain per-row [[assign]] lets near-duplicates
     * of a training doc land in the test set — the contamination that

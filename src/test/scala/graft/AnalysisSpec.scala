@@ -365,6 +365,35 @@ class AnalysisSpec extends AnyFunSuite {
     assert(ratio("<div><div><div>x</div></div></div>") > 0.9)
   }
 
+  test("canonicalize_url: case, ports, fragments, tracking params, slashes, passthrough") {
+    def canon(s: String): String = one[String](analysis.canonicalize_url(col("s")), s)
+    // host case folds, path case preserved
+    assert(canon("https://EXAMPLE.com/Articles/X") === "https://example.com/Articles/X")
+    // default ports strip; non-default ports stay
+    assert(canon("https://h.com:443/p") === "https://h.com/p")
+    assert(canon("http://h.com:80/p") === "http://h.com/p")
+    assert(canon("http://h.com:8080/p") === "http://h.com:8080/p")
+    assert(canon("https://h.com:8443/p") === "https://h.com:8443/p")
+    // fragments drop
+    assert(canon("https://h.com/p#section-2") === "https://h.com/p")
+    // tracking params drop wherever they sit; non-tracked keep order
+    assert(canon("https://h.com/p?utm_source=feed&gclid=abc") === "https://h.com/p")
+    assert(canon("https://h.com/p?b=2&utm_x=1&a=1") === "https://h.com/p?b=2&a=1")
+    assert(canon("https://h.com/p?utm_a=1&b=2") === "https://h.com/p?b=2")
+    assert(canon("https://h.com/p?ref=home") === "https://h.com/p")
+    // 'ref' needs a literal '=': refresh/referrer survive
+    assert(canon("https://h.com/p?a=1&refresh=2&utm_c=x") ===
+      "https://h.com/p?a=1&refresh=2")
+    assert(canon("https://h.com/p?referrer=x") === "https://h.com/p?referrer=x")
+    // trailing slashes trim
+    assert(canon("https://h.com/p/") === "https://h.com/p")
+    assert(canon("https://h.com/p/?ref=home") === "https://h.com/p")
+    // non-URLs pass through untouched
+    assert(canon("hello world") === "hello world")
+    // idempotent on already-canonical urls
+    assert(canon("https://h.com/p?a=1") === "https://h.com/p?a=1")
+  }
+
   test("redact_pii: typed placeholders, stage-order disambiguation, idempotence") {
     def red(s: String): String = one[String](analysis.redact_pii(col("s")), s)
     assert(red("mail me at jane.doe+x@corp.example.org today") ===

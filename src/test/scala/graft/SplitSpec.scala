@@ -138,6 +138,46 @@ class SplitSpec extends AnyFunSuite {
     assert(all === base.map(_._1).toSet)
   }
 
+  test("chunkConcat: exact-ctx examples, boundary docs split, every token used once") {
+    val df = Seq((1L, 100L), (2L, 2000L), (3L, 5000L), (4L, 0L), (5L, -1L))
+      .toDF("id", "cost")
+    val out = Split.chunkConcat(df, col("id"), col("cost"), ctx = 1024L)
+      .select("id", "chunk_id", "seg_begin", "seg_len", "chunk_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // non-positive costs contribute nothing
+    assert(!out.exists(r => r._1 == 4L || r._1 == 5L))
+    // doc 2 starts at offset 100 and spans examples 0, 1, 2 with the
+    // hand-computed segment arithmetic
+    val d2 = out.filter(_._1 == 2L).sortBy(_._2).toSeq
+    assert(d2 === Seq((2L, 0L, 0L, 924L, 100L), (2L, 1L, 924L, 1024L, 0L),
+      (2L, 2L, 1948L, 52L, 0L)))
+    // every token of every doc is covered exactly once, in order
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc(1L).map(_._4).sum === 100L)
+    assert(byDoc(2L).map(_._4).sum === 2000L)
+    assert(byDoc(3L).map(_._4).sum === 5000L)
+    byDoc.values.foreach { segs =>
+      val s = segs.sortBy(_._2)
+      assert(s.head._3 === 0L, "first segment starts at token 0")
+      s.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 === a._3 + a._4, "segments contiguous")
+          assert(b._5 === 0L, "continuation segments start their example")
+        case _ =>
+      }
+    }
+    // every example except the last is exactly ctx tokens
+    val perChunk = out.groupBy(_._2).map { case (c, segs) => (c, segs.map(_._4).sum) }
+    val lastChunk = perChunk.keys.max
+    perChunk.foreach { case (c, total) =>
+      if (c != lastChunk) assert(total === 1024L, s"chunk $c") }
+    // deterministic under repartitioning
+    val again = Split.chunkConcat(df.repartition(5), col("id"), col("cost"), 1024L)
+      .select("id", "chunk_id", "seg_begin", "seg_len", "chunk_offset")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(again.toSet === out.toSet)
+  }
+
   test("capPerStratum: salted two-stage equals the plain cap, caps hold, determinism") {
     val capped = Split.capPerStratum(docs, col("source"), col("doc_id"),
       cap = 7, salts = 8)
