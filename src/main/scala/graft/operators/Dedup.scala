@@ -1694,6 +1694,23 @@ object Dedup {
     * scale); fewer cells trade cost (more pairs compared) for recall
     * (fewer split pairs), so decontamination callers may want coarser
     * cells than dedup callers. */
+  /** The `(__cell, __rv)` eval-side frame behind
+    * [[semanticDecontaminate]] and
+    * [[graft.streaming.StreamOps.semanticDecontaminateStream]]:
+    * comparable reference vectors, distinct'd, keyed by their seeded
+    * hyperplane cell. Build ONCE per eval set (it is benchmark-sized
+    * by the decontamination contract) and share across batch jobs and
+    * streams, exactly like [[evalGramBloom]]. */
+  def evalCellVectors(reference: DataFrame, refVecCol: String,
+      nCells: Int, seed: Long = 42L): DataFrame = {
+    val rv = col(refVecCol).cast("array<double>")
+    reference
+      .select(rv.as("__rv"))
+      .filter(semanticComparable(col("__rv")))
+      .distinct()
+      .select(semanticCell(col("__rv"), nCells, seed).as("__cell"), col("__rv"))
+  }
+
   def semanticDecontaminate(
       corpus: DataFrame, idCol: String, vecCol: String,
       reference: DataFrame, refVecCol: String,
@@ -1713,12 +1730,7 @@ object Dedup {
         val cp = clean.localCheckpoint(true)
         (cp, semanticCells(cp.count()))
       }
-    val rv = col(refVecCol).cast("array<double>")
-    val evalCells = reference
-      .select(rv.as("__rv"))
-      .filter(semanticComparable(col("__rv")))
-      .distinct()
-      .select(semanticCell(col("__rv"), cells, seed).as("__cell"), col("__rv"))
+    val evalCells = evalCellVectors(reference, refVecCol, cells, seed)
     val hit = comparable
       .withColumn("__cell", semanticCell(col("__cv"), cells, seed))
       .join(broadcast(evalCells), Seq("__cell"))

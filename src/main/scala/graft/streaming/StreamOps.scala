@@ -310,6 +310,42 @@ object StreamOps {
     docs.filter(hits === 0)
   }
 
+  /** Streaming SEMANTIC (paraphrase-level) decontamination gate — the
+    * online counterpart of
+    * [[graft.operators.Dedup.semanticDecontaminate]], completing the
+    * streaming decontamination family: [[decontaminateStream]] is the
+    * verbatim-gram gate, [[decontaminateStreamBloom]] its
+    * big-eval-set form, and this one drops incoming rows whose
+    * embedding lies within cosine `eps` of ANY reference vector
+    * sharing its seeded SemDeDup cell — leaks with no surface n-gram
+    * overlap at all. Run it BEHIND the verbatim gates, and share
+    * `nCells`/`seed` with the batch path so stream and batch agree on
+    * which pairs are ever compared (the SemDeDup recall contract).
+    *
+    * The eval set is FIXED and benchmark-sized, so this is a
+    * stream-STATIC left_anti join against the broadcast
+    * [[graft.operators.Dedup.evalCellVectors]] frame — streaming-legal
+    * in append mode, no state, no watermark, identical in batch (how
+    * the spec pins agreement). The comparability guard sits INSIDE
+    * the join condition: a null/NaN-poisoned embedding can never be
+    * PROVEN contaminated, so such rows pass un-dropped (NaN cosine
+    * would otherwise order ABOVE the threshold and silently drop
+    * them). `nCells` must be explicit — a stream has no corpus count
+    * to auto-size from. */
+  def semanticDecontaminateStream(docs: DataFrame, vecCol: String,
+      evalCells: DataFrame, eps: Double, nCells: Int,
+      seed: Long = 42L): DataFrame = {
+    require(eps > 0 && eps < 1, "eps must be in (0, 1)")
+    require(nCells > 0, "nCells must be explicit for a stream")
+    val t = 1.0 - eps
+    val vd = col(vecCol).cast("array<double>")
+    docs.join(broadcast(evalCells),
+      graft.operators.Dedup.semanticComparable(vd) &&
+        graft.operators.Dedup.semanticCell(vd, nCells, seed) === col("__cell") &&
+        graft.operators.Similarity.cosine(vd, col("__rv")) >= t,
+      "left_anti")
+  }
+
   /** S8 — CDC watermark incremental scan as a composable predicate:
     * rows strictly newer than the last sync point. At the source level
     * this predicate pushes into JDBC/parquet scans. No ORDER BY: the

@@ -302,4 +302,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoopJoin"),
       s"semanticDedup must stay an equi-join:\n$plan")
   }
+
+  test("weightedSample plans a TakeOrderedAndProject, never a global sort") {
+    val docs = Tables.documents(spark, dir)
+    val plan = operators.Split.weightedSample(docs, col("doc_id"),
+        col("n_chars"), k = 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be per-partition + one k-row merge:\n$plan")
+  }
+
+  test("chunkConcat stays join-free: one stratum window plus a bounded explode") {
+    val plan = formatted("q122_chunk_concat")
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"chunkConcat must not join:\n$plan")
+    assert(plan.contains("Window") && plan.contains("Generate"),
+      s"expected window + explode:\n$plan")
+  }
+
+  test("semanticDecontaminate: broadcast eval side, corpus never cartesians") {
+    val plan = formatted("q116_semantic_decontaminate")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"cell equi-join required:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the benchmark-sized eval side must broadcast:\n$plan")
+  }
 }

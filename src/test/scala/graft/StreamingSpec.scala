@@ -320,6 +320,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(bloomStreamed.select("doc_id").as[Long].collect().toSet === bloomBatch)
   }
 
+  test("streaming semantic decontamination gate agrees with the batch operator") {
+    val rnd = new scala.util.Random(11)
+    def jitter(v: Array[Double]) = v.map(x => x + rnd.nextGaussian() * 0.002)
+    val dirs = Seq(Array(1.0, 0.0, 0.0), Array(0.0, 1.0, 0.0),
+      Array(0.0, 0.0, 1.0), Array(-1.0, 0.0, 0.0))
+    val corpus = (dirs.zipWithIndex.flatMap { case (d, i) =>
+      (0 until 5).map(j => ((i * 10 + j).toLong, Some(jitter(d).toSeq)))
+    } ++ Seq((98L, Some(Seq(Double.NaN, 1.0, 0.0))), (99L, None)))
+      .toDF("vec_id", "embedding")
+    val evalSet = Seq((0L, jitter(dirs(0)).toSeq), (1L, jitter(dirs(2)).toSeq))
+      .toDF("eval_id", "embedding")
+
+    val evalCells = graft.operators.Dedup
+      .evalCellVectors(evalSet, "embedding", nCells = 4).cache()
+    // batch invocation of the STREAM gate ≡ the batch operator
+    val batchOp = graft.operators.Dedup.semanticDecontaminate(
+        corpus, "vec_id", "embedding", evalSet, "embedding",
+        eps = 0.05, nCells = 4)
+      .select("vec_id").as[Long].collect().toSet
+    val gateBatch = StreamOps.semanticDecontaminateStream(
+        corpus, "embedding", evalCells, eps = 0.05, nCells = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(gateBatch === batchOp)
+    // unprovable rows pass the gate (NaN cosine must not drop them)
+    assert(gateBatch.contains(98L) && gateBatch.contains(99L))
+    // real stream, append mode, no state store
+    val dir = Files.createTempDirectory("graft-semdecon").toString + "/vecs"
+    corpus.write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val streamed = runToMemory(
+      StreamOps.semanticDecontaminateStream(
+        spark.readStream.schema(schema).parquet(dir), "embedding",
+        evalCells, eps = 0.05, nCells = 4),
+      "semdecon_kept")
+    assert(streamed.select("vec_id").as[Long].collect().toSet === gateBatch)
+    evalCells.unpersist()
+  }
+
   test("CDC incremental scan returns only rows past the sync point (S8)") {
     val e = Tables.events(spark, "/root/testdata/sf0.001")
     val mid = e.selectExpr("percentile(cast(ts as double), 0.5)").head().getDouble(0)
