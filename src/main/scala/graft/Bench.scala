@@ -226,8 +226,14 @@ object Bench {
     // queries the line can outgrow the tail and arrive truncated
     // (BENCH_r03.json parsed=null). Persist the artifact to a file so
     // it survives regardless of log length. Best-effort: a read-only
-    // workspace must not fail the bench itself.
+    // workspace must not fail the bench itself. A SPARK_GRAFT_ONLY
+    // subset run is a scratch A/B by definition — it must never
+    // overwrite the full-suite artifact (this clobbered the committed
+    // sf0.1 BENCH.json twice during round-6 rehearsals).
     try {
+      if (only.isDefined && !sys.env.contains("SPARK_GRAFT_BENCH_OUT"))
+        throw new RuntimeException(
+          "subset run: skipping BENCH.json (set SPARK_GRAFT_BENCH_OUT to force)")
       val out = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH.json"))
       java.nio.file.Files.write(out,
