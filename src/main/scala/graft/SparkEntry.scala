@@ -1901,6 +1901,27 @@ object SparkEntry {
         .select(col("canonical_url"), col("doc_id"), col("n_variants"))
         .orderBy("canonical_url", "doc_id")
     },
+
+    // ---- ANN hard-negative mining (the 100 TB path — q121's exact
+    // band enumeration measured 61x wall at 30x; this is how ANCE/
+    // RocketQA actually mine). Hyperplane signatures are exported
+    // seeded state (the q95 pattern); DuckDB replays bucket-collision
+    // candidates, raw-sim top-probeK, rounded band + final re-rank.
+    "q124_hard_negatives_ann" -> { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+        .filter(!exists(col("embedding"), x => isnan(x)))
+      val sigStructs = (0 until 4).map(t =>
+        struct(lit(t).as("t"),
+          Similarity.hyperplaneSignature(col("embedding"), bits = 8,
+            seed = 42L + t).as("sig")))
+      emb.select(col("vec_id"), explode(array(sigStructs: _*)).as("__s"))
+        .select(col("vec_id"), col("__s.t"), col("__s.sig"))
+        .write.mode("overwrite").parquet(s"${stateDir(dir)}/q124_sigs")
+      Similarity.hardNegativesAnn(emb, "vec_id", "embedding",
+          lo = 0.3, hi = 0.8, k = 5, probeK = 40, bits = 8, tables = 4)
+        .orderBy("anchor_id", "rank")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3902,5 +3923,43 @@ object SparkEntry {
         |SELECT canonical_url, doc_id, CAST(n_variants AS BIGINT) AS n_variants
         |FROM agg
         |ORDER BY canonical_url, doc_id""".stripMargin,
+
+    // q124: candidates from exported signature collisions; the
+    // top-probeK cut ranks the RAW sim (lshTopK's internal order), the
+    // band and the final re-rank use the ROUNDED sim it emits.
+    "q124_hard_negatives_ann" ->
+      """WITH sigs AS (
+        |  SELECT vec_id, t, sig
+        |  FROM read_parquet('__GRAFT_STATE_DIR__/q124_sigs/*.parquet')),
+        |e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |  WHERE embedding IS NOT NULL
+        |    AND len(list_filter(CAST(embedding AS DOUBLE[]), x -> isnan(x))) = 0),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS anchor_id, b.vec_id AS neg_id
+        |  FROM sigs a JOIN sigs b ON a.t = b.t AND a.sig = b.sig
+        |  WHERE a.vec_id <> b.vec_id),
+        |ap AS (
+        |  SELECT anchor_id, neg_id,
+        |    CASE WHEN sqrt(list_dot_product(qa.v, qa.v)) = 0
+        |          OR sqrt(list_dot_product(qb.v, qb.v)) = 0 THEN 0.0
+        |     ELSE list_dot_product(qa.v, qb.v) /
+        |          (sqrt(list_dot_product(qa.v, qa.v)) *
+        |           sqrt(list_dot_product(qb.v, qb.v))) END AS sim
+        |  FROM cand JOIN e qa ON qa.vec_id = anchor_id
+        |            JOIN e qb ON qb.vec_id = neg_id),
+        |topk AS (
+        |  SELECT anchor_id, neg_id, round(sim, 6) AS sim FROM (
+        |    SELECT anchor_id, neg_id, sim, row_number() OVER (
+        |      PARTITION BY anchor_id ORDER BY sim DESC, neg_id) AS rk FROM ap)
+        |  WHERE rk <= 40),
+        |band AS (SELECT anchor_id, neg_id, sim FROM topk
+        |         WHERE sim >= 0.3 AND sim < 0.8),
+        |r AS (SELECT anchor_id, neg_id, sim, row_number() OVER (
+        |        PARTITION BY anchor_id ORDER BY sim DESC, neg_id) AS rank
+        |      FROM band)
+        |SELECT anchor_id, neg_id, sim, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 5
+        |ORDER BY anchor_id, rank""".stripMargin,
   )
 }

@@ -643,4 +643,55 @@ object Similarity {
     sym.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** ANN hard-negative mining — the 100 TB path, and how production
+    * retrieval training actually mines (ANCE/RocketQA retrieve
+    * negatives from an ANN index, not an exact all-pairs band):
+    * candidates come from [[lshTopK]]'s hyperplane-bucket equi-join
+    * (top `probeK` per anchor), then the `[lo, hi)` band filter and
+    * the final per-anchor `k` re-rank. [[hardNegatives]] is the
+    * exact-output oracle companion; its band enumeration measured
+    * 61× wall at 30× data (SCALING.md) because a low `lo` admits
+    * nearly every cell pair — this variant's bucket join is linear in
+    * collisions and never enumerates the band.
+    *
+    * The recall contract is the LSH one, per-PAIR probabilistic, NOT
+    * exact: a band pair colliding in no table is never seen, and
+    * collision probability decays with the pair's angle — size `bits`
+    * DOWN (coarser buckets) when the band sits at mid similarities,
+    * up when it hugs the near-duplicate zone. Two crowding caveats:
+    * `probeK` must exceed the anchor's expected ABOVE-band neighbor
+    * count plus `k` (near-duplicates outrank the band and are
+    * filtered after the top-probeK cut); and the band filter applies
+    * to the ROUNDED sim that [[lshTopK]] emits. Seeded — the mined
+    * set is deterministic on any cluster shape.
+    *
+    * FIXED `bits` at a growing corpus is the fixed-cell-count
+    * mistake: collisions ≈ n²·tables/2^bits, quadratic for any pinned
+    * bits. Measured at 30× data (60k vectors, SCALING.md): bits=8 →
+    * 56 s; bits=10 → 17.7 s at −0.4% mined pairs; bits=12 → 6.7 s at
+    * −8.5%. `bits <= 0` auto-sizes to keep ~64 vectors per bucket
+    * (max(4, ⌈log2(n/64)⌉) — bits=10 at that corpus), one eager
+    * sizing count like [[graft.operators.Dedup.semanticDedup]] —
+    * pass `bits` explicitly at scale, and add `tables` to buy back
+    * the recall that finer buckets cost. */
+  def hardNegativesAnn(df: DataFrame, idCol: String, vecCol: String,
+      lo: Double, hi: Double, k: Int, probeK: Int = 0,
+      bits: Int = 0, tables: Int = 4): DataFrame = {
+    require(lo < hi && hi <= 1.0, "need lo < hi <= 1")
+    require(k > 0, "k must be positive")
+    val pk = if (probeK > 0) probeK else 4 * k
+    require(pk >= k, "probeK must be >= k")
+    val b =
+      if (bits > 0) bits
+      else math.max(4, math.ceil(
+        math.log(math.max(df.count(), 1L) / 64.0) / math.log(2)).toInt)
+    val w = Window.partitionBy(col("anchor_id")).orderBy(desc("sim"), asc("neg_id"))
+    lshTopK(df, df, idCol, vecCol, pk, b, tables)
+      .select(col("query_id").as("anchor_id"), col("corpus_id").as("neg_id"),
+        col("sim"))
+      .filter(col("sim") >= lo && col("sim") < hi)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
 }

@@ -196,6 +196,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(run(true) === run(false))
   }
 
+  test("hardNegativesAnn: subset of the exact band, same sims, coarse-bucket recall") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+      .filter(!exists(col("embedding"), x => isnan(x)))
+    // the exact FULL band membership (k large enough to keep every
+    // in-band mate) is the ground truth the ANN miner can only shrink
+    val exact = Similarity.hardNegatives(emb, "vec_id", "embedding",
+        lo = 0.3, hi = 0.8, k = 100000)
+      .select("anchor_id", "neg_id", "sim")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val ann = Similarity.hardNegativesAnn(emb, "vec_id", "embedding",
+        lo = 0.3, hi = 0.8, k = 5, probeK = 40, bits = 8, tables = 4)
+      .select("anchor_id", "neg_id", "sim", "rank")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getInt(3))))
+    // every mined pair is a true band pair with the identical sim
+    ann.foreach { case (pair, (sim, _)) =>
+      assert(exact.contains(pair), s"ANN mined a non-band pair $pair")
+      assert(exact(pair) === sim, s"sim mismatch on $pair")
+    }
+    // k-limit per anchor
+    assert(ann.groupBy(_._1._1).values.forall(_.length <= 5))
+    // deterministic on any partitioning (seeded signatures)
+    val again = Similarity.hardNegativesAnn(emb.repartition(7), "vec_id",
+        "embedding", lo = 0.3, hi = 0.8, k = 5, probeK = 40,
+        bits = 8, tables = 4)
+      .select("anchor_id", "neg_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(again === ann.map(x => (x._1._1, x._1._2, x._2._2)).toSet)
+    // coarse buckets + generous probe recover most of the true band —
+    // the bits-down-for-mid-band guidance in the scaladoc, measured
+    val coarse = Similarity.hardNegativesAnn(emb, "vec_id", "embedding",
+        lo = 0.3, hi = 0.8, k = 100000, probeK = 100000, bits = 2, tables = 8)
+      .select("anchor_id", "neg_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = coarse.count(exact.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"coarse-bucket recall $recall")
+  }
+
   test("similarPairsApprox equals exact similarPairs on unclustered random embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .withColumn("embedding", col("embedding").cast("array<double>"))
