@@ -10,7 +10,11 @@ import graft.warehouse.Warehouse
   * the beyond-reference driver composing the engine's LLM-data
   * operators end to end over a parquet corpus:
   *
+  *   URL-level dedup (when the corpus carries a `url` column —
+  *     canonicalize, keep lowest id; the cheapest dedup runs first) →
   *   quality gates (length bounds + Gopher repetition) →
+  *   per-source cap (GRAFT_SOURCE_CAP > 0 and a `source` column —
+  *     the RefinedWeb domain cap, skew-proof two-stage) →
   *   exact dedup (normalized-text digest, keep lowest id) →
   *   banded MinHash near-dup removal →
   *   eval-set decontamination (optional, guarded jaccard join) →
@@ -30,8 +34,8 @@ import graft.warehouse.Warehouse
 object CurationCli {
 
   final case class Funnel(
-      input: Long, gated: Long, exact: Long, fuzzy: Long,
-      decontaminated: Long, output: Long)
+      input: Long, urlDeduped: Long, gated: Long, capped: Long,
+      exact: Long, fuzzy: Long, decontaminated: Long, output: Long)
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 4,
@@ -44,7 +48,8 @@ object CurationCli {
       val (funnel, results) = run(spark, corpusPath,
         Option(evalPath).filter(p => p.nonEmpty && p != "-"),
         outDir, GraftConfig.fromEnv(), Some(tracker))
-      println(s"[curation] input=${funnel.input} gated=${funnel.gated} " +
+      println(s"[curation] input=${funnel.input} url=${funnel.urlDeduped} " +
+        s"gated=${funnel.gated} capped=${funnel.capped} " +
         s"exact=${funnel.exact} fuzzy=${funnel.fuzzy} " +
         s"decontaminated=${funnel.decontaminated} output=${funnel.output}")
       results.foreach(r =>
@@ -76,19 +81,41 @@ object CurationCli {
     val corpus = spark.read.parquet(corpusPath)
     val input = corpus.count()
 
+    // 0. URL-level dedup when provenance is present — two fetches of
+    // one page are duplicates before any content work, and the
+    // canonical-URL window is the cheapest dedup in the funnel
+    val urlDeduped =
+      if (corpus.columns.contains("url"))
+        Dedup.keepBestWindow(
+          corpus.withColumn("__curl",
+            graft.functions.analysis.canonicalize_url(col("url"))),
+          col("__curl"), Seq(col("doc_id").asc)).drop("__curl")
+      else corpus
+    val nUrl = if (corpus.columns.contains("url")) urlDeduped.count() else input
+
     // 1. quality gates — length bounds + Gopher top-word share, the
     // map-side filters every curation run starts with
-    val rep = Stats.wordRepetition(corpus, "doc_id", col("text"))
+    val rep = Stats.wordRepetition(urlDeduped, "doc_id", col("text"))
       .select(col("doc_id"), col("top_word_frac"))
-    val gated = corpus
+    val gated = urlDeduped
       .filter(length(col("text")).between(cfg.minTextLength, cfg.maxTextLength))
       .join(rep, Seq("doc_id"), "left")
       .filter(col("top_word_frac").isNull || col("top_word_frac") <= 0.8)
       .drop("top_word_frac")
     val nGated = gated.count()
 
+    // 1.5. per-source cap (RefinedWeb domain cap) — bounded, skew-proof
+    val capped =
+      if (cfg.sourceCap > 0 && gated.columns.contains("source"))
+        Split.capPerStratum(gated, col("source"), col("doc_id"),
+          cap = cfg.sourceCap.toInt, seed = cfg.seed)
+      else gated
+    val nCapped =
+      if (cfg.sourceCap > 0 && gated.columns.contains("source")) capped.count()
+      else nGated
+
     // 2. exact dedup: keep the lowest id per normalized text
-    val exact = Dedup.keepBestWindow(gated,
+    val exact = Dedup.keepBestWindow(capped,
       graft.functions.text.norm_key(col("text")), Seq(col("doc_id").asc))
     val nExact = exact.count()
 
@@ -130,12 +157,15 @@ object CurationCli {
       Quality.MembershipCheck("split",
         Seq("train", "validation", "test"), 1.0)))
 
-    val funnel = Funnel(input, nGated, nExact, nFuzzy, nDecon, output)
+    val funnel = Funnel(input, nUrl, nGated, nCapped, nExact, nFuzzy,
+      nDecon, output)
     tracker.foreach { t =>
       t.lineage(corpusPath, "parquet", "input", input, nGated)
       t.lineage(s"$outDir/gold", "parquet", "gold", nDecon, output)
       t.metric("curation_input", input.toDouble)
+      t.metric("curation_url_deduped", nUrl.toDouble)
       t.metric("curation_gated", nGated.toDouble)
+      t.metric("curation_capped", nCapped.toDouble)
       t.metric("curation_exact", nExact.toDouble)
       t.metric("curation_fuzzy", nFuzzy.toDouble)
       t.metric("curation_decontaminated", nDecon.toDouble)

@@ -26,7 +26,8 @@ final case class GraftConfig(
     fuzzyThreshold: Double = 0.5,
     unicodeNormalization: String = "NFC",
     minVolume: Long = 1L,
-    maxVolume: Long = 10000000L) {
+    maxVolume: Long = 10000000L,
+    sourceCap: Long = 0L) {
 
   /** Split ratios in pipeline order. The reference validator accepts a
     * sum within ±0.01 of 1.0 (config.py:236-241); [[Split.assign]]
@@ -68,6 +69,7 @@ final case class GraftConfig(
     require(minVolume >= 0 && maxVolume >= minVolume,
       s"volume bounds must satisfy 0 <= minVolume <= maxVolume, " +
         s"got [$minVolume, $maxVolume]")
+    require(sourceCap >= 0, s"sourceCap must be >= 0 (0 = off), got $sourceCap")
     this
   }
 }
@@ -100,6 +102,7 @@ object GraftConfig {
       fuzzyThreshold = parse("FUZZY_THRESHOLD", _.toDouble, d.fuzzyThreshold),
       unicodeNormalization = parse("UNICODE_NORM", identity, d.unicodeNormalization),
       minVolume = parse("MIN_VOLUME", _.toLong, d.minVolume),
-      maxVolume = parse("MAX_VOLUME", _.toLong, d.maxVolume)).validated
+      maxVolume = parse("MAX_VOLUME", _.toLong, d.maxVolume),
+      sourceCap = parse("SOURCE_CAP", _.toLong, d.sourceCap)).validated
   }
 }

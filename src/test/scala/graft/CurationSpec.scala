@@ -30,10 +30,15 @@ class CurationSpec extends AnyFunSuite {
       GraftConfig(maxTextLength = 100000), Some(tracker))
 
     assert(funnel.input === docs.count())
-    assert(funnel.input >= funnel.gated && funnel.gated >= funnel.exact &&
+    assert(funnel.input >= funnel.urlDeduped &&
+      funnel.urlDeduped >= funnel.gated && funnel.gated >= funnel.capped &&
+      funnel.capped >= funnel.exact &&
       funnel.exact >= funnel.fuzzy && funnel.fuzzy >= funnel.decontaminated &&
       funnel.decontaminated === funnel.output,
       s"funnel must be monotone: $funnel")
+    // no url column and no cap configured → those stages pass through
+    assert(funnel.urlDeduped === funnel.input)
+    assert(funnel.capped === funnel.gated)
     assert(funnel.fuzzy > funnel.decontaminated,
       "the self-overlapping eval set must remove documents")
     assert(funnel.exact < funnel.gated || funnel.fuzzy < funnel.exact,
@@ -54,5 +59,32 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(metrics("curation_input") === funnel.input.toDouble)
     assert(metrics("curation_output") === funnel.output.toDouble)
+  }
+
+  test("curation run: url dedup and source cap stages engage when configured") {
+    val base = Files.createTempDirectory("graft-curation-url").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // every pair of doc_ids shares one canonical URL (tracking-param
+    // variant), so URL dedup must halve the corpus before any content
+    // work
+    docs.withColumn("url",
+        concat(lit("https://example.com/p/"),
+          floor(col("doc_id") / 2).cast("long").cast("string"),
+          when(col("doc_id") % 2 === 0, lit("")).otherwise(lit("?utm_source=x"))))
+      .write.mode("overwrite").parquet(s"$base/corpus")
+
+    val (funnel, _) = CurationCli.run(
+      spark, s"$base/corpus", None, s"$base/out",
+      GraftConfig(maxTextLength = 100000, sourceCap = 5L))
+
+    assert(funnel.urlDeduped * 2 === funnel.input,
+      s"paired URLs must halve the corpus: $funnel")
+    assert(funnel.capped < funnel.gated,
+      s"a cap of 5 per source must bite on ~25-doc sources: $funnel")
+    // the cap holds in the released gold
+    val gold = spark.read.parquet(s"$base/out/gold")
+    val perSource = gold.groupBy("source").count()
+      .collect().map(_.getLong(1))
+    assert(perSource.forall(_ <= 5))
   }
 }

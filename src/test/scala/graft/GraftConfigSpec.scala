@@ -63,8 +63,12 @@ class GraftConfigSpec extends AnyFunSuite {
     val cfg = GraftConfig.fromEnv(Map(
       "GRAFT_SEED" -> "7", "GRAFT_TRAIN_RATIO" -> "0.8",
       "GRAFT_VAL_RATIO" -> "0.1", "GRAFT_TEST_RATIO" -> "0.1",
-      "GRAFT_MIN_VOLUME" -> "100000"))
+      "GRAFT_MIN_VOLUME" -> "100000", "GRAFT_SOURCE_CAP" -> "250"))
     assert(cfg.seed === 7L && cfg.trainRatio === 0.8 && cfg.minVolume === 100000L)
+    assert(cfg.sourceCap === 250L)
+    assert(intercept[IllegalArgumentException] {
+      GraftConfig(sourceCap = -1L).validated
+    }.getMessage.contains("sourceCap"))
     // unrelated env keys ignored
     assert(GraftConfig.fromEnv(Map("PATH" -> "/usr/bin")).seed === 42L)
     val e = intercept[IllegalArgumentException] {
