@@ -245,4 +245,85 @@ class PropertySpec extends AnyFunSuite {
       assert(twiceIds === onceIds, s"trial $trial: pinned-cell dedup must be a fixed point")
     }
   }
+
+  test("property: chunkConcat conserves every token exactly once on random costs") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 5) {
+      val ctx = 16L + rnd.nextInt(100)
+      val rows = (1 to 30 + rnd.nextInt(40)).map(i =>
+        (i.toLong, rnd.nextInt(300).toLong - 20L)) // some non-positive
+      val df = rows.toDF("id", "cost")
+      val out = Split.chunkConcat(df, col("id"), col("cost"), ctx)
+        .select("id", "chunk_id", "seg_begin", "seg_len", "chunk_offset")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      val valid = rows.filter(_._2 > 0).toMap
+      // per-doc conservation + contiguity from token 0
+      out.groupBy(_._1).foreach { case (id, segs) =>
+        assert(valid.contains(id))
+        val s = segs.sortBy(_._2)
+        assert(s.map(_._4).sum === valid(id), s"trial $trial doc $id")
+        assert(s.head._3 === 0L)
+        s.sliding(2).foreach {
+          case Array(a, b) => assert(b._3 === a._3 + a._4)
+          case _ =>
+        }
+      }
+      assert(out.groupBy(_._1).keySet === valid.keySet)
+      // segment boundaries sit inside the example
+      out.foreach { case (_, _, _, len, off) =>
+        assert(len > 0 && off >= 0 && off + len <= ctx, s"trial $trial")
+      }
+      // every example except the highest is exactly full
+      val perChunk = out.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap
+      if (perChunk.nonEmpty) {
+        val last = perChunk.keys.max
+        perChunk.foreach { case (c, tot) =>
+          if (c != last) assert(tot === ctx, s"trial $trial chunk $c") }
+      }
+    }
+  }
+
+  test("property: capPerStratum equals the plain cap for random strata and caps") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 5) {
+      val n = 50 + rnd.nextInt(100)
+      val nStrata = 1 + rnd.nextInt(6)
+      val cap = 1 + rnd.nextInt(12)
+      val salts = 1 + rnd.nextInt(10)
+      val df = (1 to n).map(i => (i.toLong, s"s${rnd.nextInt(nStrata)}"))
+        .toDF("id", "src")
+      def ids(s: Int) = Split.capPerStratum(df, col("src"), col("id"), cap,
+          salts = s).select("id").as[Long].collect().toSet
+      assert(ids(salts) === ids(1),
+        s"trial $trial: salted two-stage (salts=$salts) must equal the plain cap")
+      val kept = Split.capPerStratum(df, col("src"), col("id"), cap, salts = salts)
+        .groupBy("src").count().as[(String, Long)].collect().toMap
+      assert(kept.values.forall(_ <= cap), s"trial $trial: cap violated")
+    }
+  }
+
+  test("property: weightedSample is monotone in k and never draws invalid weights") {
+    val rnd = new scala.util.Random(29)
+    for (trial <- 1 to 5) {
+      val n = 60 + rnd.nextInt(100)
+      val rows = (1 to n).map { i =>
+        val w = rnd.nextInt(5) match {
+          case 0 => 0.0
+          case 1 => -rnd.nextDouble()
+          case _ => rnd.nextDouble() * 100
+        }
+        (i.toLong, w)
+      }
+      val df = rows.toDF("id", "w")
+      val validIds = rows.filter(_._2 > 0).map(_._1).toSet
+      val k1 = 1 + rnd.nextInt(20)
+      val k2 = k1 + 1 + rnd.nextInt(20)
+      def draw(k: Int) = Split.weightedSample(df, col("id"), col("w"), k)
+        .select("id").as[Long].collect().toSet
+      val (d1, d2) = (draw(k1), draw(k2))
+      assert(d1.subsetOf(d2), s"trial $trial: k=$k1 draw must nest in k=$k2")
+      assert(d1.size === math.min(k1, validIds.size))
+      assert(d2.subsetOf(validIds), s"trial $trial: invalid weights drawn")
+    }
+  }
 }
