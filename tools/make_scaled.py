@@ -21,12 +21,23 @@ the way a real 10x corpus does, instead of creating artificial
 Copy 0 is the identity — the source sf is a subset of the output.
 
 Usage: python3 tools/make_scaled.py <srcSfDir> <outDir> [copies=10]
+
+Creates outDir and symlinks the non-scaled tables (region..events)
+from the source so graft.Bench's table warm-up can run against the
+replica directly.
 """
+import os
 import sys
 
 import duckdb
 
 src, out = sys.argv[1], sys.argv[2]
+os.makedirs(out, exist_ok=True)
+for t in ['region', 'nation', 'customer', 'supplier', 'part',
+          'orders', 'lineitem', 'events']:
+    dst = f'{out}/{t}.parquet'
+    if not os.path.exists(dst):
+        os.symlink(os.path.abspath(f'{src}/{t}.parquet'), dst)
 copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 ID_STRIDE = 10_000_000
 
