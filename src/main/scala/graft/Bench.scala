@@ -102,7 +102,15 @@ object Bench {
       val q = df.writeStream.outputMode("append").format("noop")
         .option("checkpointLocation", s"$tmpOut/ckpt_${name}_$stRuns")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination(600000)
+      // awaitTermination(timeout) returns false on expiry with the
+      // query still RUNNING — a leaked query would overlap every
+      // subsequent timed sample and poison the artifact. Stop it and
+      // fail the run loudly; a truncated sample must not look real.
+      if (!q.awaitTermination(600000)) {
+        q.stop()
+        throw new RuntimeException(
+          s"stream $name exceeded the 600 s bench timeout")
+      }
     }
 
     // BASELINE.md op-for-op micro-benchmarks on the corpus-shaped table.

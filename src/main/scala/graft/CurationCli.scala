@@ -136,8 +136,17 @@ object CurationCli {
     }
     val nDecon = decon.count()
 
-    // 5. leakage-free seeded split → gold parquet partitioned by split
-    val gold = Split.split(decon, Seq("doc_id"), cfg.seed)
+    // 5. LEAKAGE-SAFE seeded split → gold parquet partitioned by
+    // split. Near-dups above fuzzyThreshold are already gone (step 3),
+    // but pairs just BELOW it survive dedup and a per-row split would
+    // let a training doc's near-duplicate land in test — the
+    // contamination that inflates eval numbers. SimHash pairs (one
+    // signature pass, Hamming ≤ 3) move such clusters as a unit;
+    // isolated docs (the overwhelming majority) get labels identical
+    // to the plain per-row split.
+    val nearPairs = Dedup.simhashPairs(decon, "doc_id", col("text"))
+    val gold = Split.leakageSafeSplit(decon, "doc_id", nearPairs,
+      cfg.seed, cfg.normalizedRatios)
     gold.write.mode("overwrite").partitionBy("split").parquet(s"$outDir/gold")
     val goldBack = spark.read.parquet(s"$outDir/gold")
     val output = goldBack.count()

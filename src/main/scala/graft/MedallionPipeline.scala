@@ -175,6 +175,12 @@ object MedallionPipeline {
         t.metric(s"${st.stage}_wall_ms", st.wallMs.toDouble, "ms")
         t.metric(s"${st.stage}_sla_missed", if (st.slaMissed) 1.0 else 0.0, "flag")
       }
+      // the quality stage retries and accrues SLA state like every
+      // other stage — its telemetry must land too (it has no lineage
+      // row: it materializes no layer)
+      t.metric("quality_attempts", q.attempts.toDouble, "count")
+      t.metric("quality_wall_ms", q.wallMs.toDouble, "ms")
+      t.metric("quality_sla_missed", if (q.slaMissed) 1.0 else 0.0, "flag")
       t.metric("pipeline_wall_ms", pipelineWallMs.toDouble, "ms")
       t.metric("pipeline_sla_missed",
         if (pipelineWallMs > pipelineSlaMs) 1.0 else 0.0, "flag")

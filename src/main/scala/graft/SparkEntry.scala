@@ -449,10 +449,17 @@ object SparkEntry {
           numPerm = 128, shingleSize = 3)
         .withColumnRenamed("__sig", "sig")
         .write.mode("overwrite").parquet(s"${stateDir(dir)}/q37_sigs")
+      // maxBucketSize UNCAPPED here: the SQL oracle enumerates every
+      // band-slice-equal pair, while the default 1024 cap switches
+      // oversized buckets to the star pattern (which may legally keep
+      // a mixed-bucket member the full enumeration drops). The
+      // default stays capped; the oracle query must match the replay
+      // exactly at any SF.
       Dedup.minhashDedupFromSigs(docs, "doc_id",
           s.read.parquet(s"${stateDir(dir)}/q37_sigs")
             .withColumnRenamed("sig", "__sig"),
-          threshold = 0.5, numPerm = 128, bands = 32)
+          threshold = 0.5, numPerm = 128, bands = 32,
+          maxBucketSize = Int.MaxValue)
         .select("doc_id").orderBy("doc_id")
     },
 
@@ -878,9 +885,10 @@ object SparkEntry {
       // stage-2 self-dedup from the same persisted signatures,
       // restricted to the stage-1 survivors (a superset signature
       // table would resurrect pairs involving removed docs)
+      // uncapped for oracle-exactness, like q37
       Dedup.minhashDedupFromSigs(vsCorpus, "doc_id",
           sigsBack.join(vsCorpus.select("doc_id"), Seq("doc_id"), "left_semi"),
-          threshold = 0.5)
+          threshold = 0.5, maxBucketSize = Int.MaxValue)
         .select("doc_id").orderBy("doc_id")
     },
 

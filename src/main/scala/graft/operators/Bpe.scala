@@ -59,7 +59,7 @@ object Bpe {
       .orderBy(desc("__n"), asc("__w"))
       .limit(maxVocab)
       .collect()
-      .map(r => (r.getString(0).toCharArray.map(String.valueOf), r.getLong(1)))
+      .map(r => (splitCodePoints(r.getString(0)), r.getLong(1)))
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
     val words: Array[Array[String]] = dict.map(_._1)
@@ -110,5 +110,25 @@ object Bpe {
       it += 1
     }
     Model(merges.toArray)
+  }
+
+  /** Initial BPE alphabet = Unicode CODE POINTS, not UTF-16 code
+    * units: a char-unit split would emit lone-surrogate "symbols" for
+    * non-BMP text (emoji, CJK extensions) — invalid Unicode that
+    * corrupts exported merge tables and diverges from any
+    * codepoint-indexed replay (the q111 DuckDB oracle slices words by
+    * code point). Mirrored by the native encoder
+    * ([[graft.functions.BpeEncode]]). */
+  private[graft] def splitCodePoints(s: String): Array[String] = {
+    val out = new Array[String](s.codePointCount(0, s.length))
+    var i = 0
+    var j = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      out(j) = new String(Character.toChars(cp))
+      j += 1
+      i += Character.charCount(cp)
+    }
+    out
   }
 }

@@ -1521,14 +1521,20 @@ object Dedup {
       .select(col("__id"), minhashSig(col("__g"), numPerm).as("__sig"))
       .select(col("__id"), explode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("__sig"), b * r + 1, lit(r)), b))).as("__bucket"))
+    // distinct on BOTH ids, not a packed long: unlike the self-join
+    // hot aggregation (countedPairs, where the pack is the measured
+    // hash-agg win and the 32-bit assumption is documented), the two
+    // sides here are UNRELATED id spaces — a reference set with
+    // ≥ 2^32 ids would silently overflow into the corpus-id bits and
+    // drop the wrong rows. A 16-byte distinct key on a candidate list
+    // costs nothing measurable.
     val cand = bandedSide(setsL).as("l").join(bandedSide(setsR).as("r"), Seq("__bucket"))
-      .select((shiftleft(col("l.__id"), 32) + col("r.__id")).as("__pair"))
+      .select(col("l.__id").cast("long").as("id_a"),
+        col("r.__id").cast("long").as("id_b"))
       .distinct()
     val sa = setsL.select(col("__id").cast("long").as("id_a"), col("__g").as("__ga"))
     val sb = setsR.select(col("__id").cast("long").as("id_b"), col("__g").as("__gb"))
     cand
-      .select(shiftright(col("__pair"), 32).as("id_a"),
-        col("__pair").bitwiseAND(lit(0xFFFFFFFFL)).as("id_b"))
       .join(sa, Seq("id_a")).join(sb, Seq("id_b"))
       .withColumn("jaccard", round(jaccardOfSets(col("__ga"), col("__gb")), 6))
       .filter(col("jaccard") >= t)

@@ -250,16 +250,23 @@ object Quality {
         case "expect_column_values_to_match_regex" =>
           RegexCheck(column, k.path("regex").asText(), mostly)
         case "expect_column_proportion_of_unique_values_to_be_between" =>
-          UniquenessCheck(column, k.path("min_value").asDouble(),
+          // GE allows one-sided bounds on every *_to_be_between
+          // expectation — a missing bound means unbounded on that
+          // side, never 0 (Jackson's MissingNode.asDouble()).
+          UniquenessCheck(column,
+            if (k.has("min_value")) k.path("min_value").asDouble() else 0.0,
             if (k.has("max_value")) k.path("max_value").asDouble() else 1.0)
         case "expect_column_value_lengths_to_be_between" =>
           RangeCheck(s"len_$column", org.apache.spark.sql.functions.length(col(column)),
-            k.path("min_value").asDouble(), k.path("max_value").asDouble(), mostly)
+            if (k.has("min_value")) k.path("min_value").asDouble() else 0.0,
+            if (k.has("max_value")) k.path("max_value").asDouble()
+            else Double.MaxValue, mostly)
         case "expect_column_values_to_be_in_set" =>
           MembershipCheck(column,
             k.path("value_set").elements().asScala.map(_.asText()).toSeq, mostly)
         case "expect_table_row_count_to_be_between" =>
-          RowCountCheck(k.path("min_value").asLong(),
+          RowCountCheck(
+            if (k.has("min_value")) k.path("min_value").asLong() else 0L,
             if (k.has("max_value")) k.path("max_value").asLong() else Long.MaxValue)
         case other =>
           throw new IllegalArgumentException(s"unsupported expectation_type: $other")

@@ -22,6 +22,26 @@ class BpeSpec extends AnyFunSuite {
     assert(m.merges.map(_.toSeq).toSeq === Seq(Seq("a", "a"), Seq("a", "b")))
   }
 
+  test("non-BMP text splits on code points: no lone surrogates, merges are valid Unicode") {
+    // 𝄞 (U+1D11E, a surrogate pair): (𝄞,𝄞) is adjacent twice in the
+    // word, (𝄞,x) once, so the top merge is the WHOLE code point pair
+    // — never half-surrogates (a charAt split would count pairs of
+    // lone 0xD834/0xDD1E units instead)
+    val word = "𝄞𝄞𝄞x"
+    val m = Bpe.train(Seq(s"$word $word").toDF("text"), col("text"), numMerges = 1)
+    assert(m.merges.length === 1)
+    assert(m.merges.head.toSeq === Seq("𝄞", "𝄞"))
+    // every learned symbol is well-formed UTF-16 (round-trips bytes)
+    m.merges.flatten.foreach { s =>
+      assert(new String(s.getBytes("UTF-8"), "UTF-8") === s, s"mangled symbol")
+    }
+    // the native encoder agrees: L→R non-overlapping merge
+    val pieces = Seq(word).toDF("t")
+      .select(m.piecesOfText(col("t")).as("p"))
+      .head().getSeq[String](0)
+    assert(pieces === Seq("𝄞𝄞", "𝄞", "x"))
+  }
+
   test("encode applies merges min-rank-first over all occurrences") {
     val model = Bpe.Model(Array(
       Array("l", "o"), Array("lo", "w"), Array("e", "r")))

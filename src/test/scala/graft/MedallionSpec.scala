@@ -158,6 +158,11 @@ class MedallionSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(metrics("bronze_attempts") === 2.0)
     assert(metrics("gold_attempts") === 1.0)
+    // the quality stage retries like every other stage — its
+    // telemetry must land too
+    assert(metrics("quality_attempts") === 1.0)
+    assert(metrics.contains("quality_wall_ms") &&
+      metrics("quality_sla_missed") === 0.0)
     assert(metrics("pipeline_sla_missed") === 0.0)
     assert(metrics.contains("pipeline_wall_ms"))
   }

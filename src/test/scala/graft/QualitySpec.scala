@@ -74,6 +74,22 @@ class QualitySpec extends AnyFunSuite {
     // unknown expectation types must throw, not silently drop
     val bad = """{"expectations": [{"expectation_type": "expect_magic", "kwargs": {}}]}"""
     intercept[IllegalArgumentException](Quality.loadSuiteJson(bad))
+
+    // GE allows ONE-SIDED *_to_be_between bounds: a missing bound is
+    // unbounded on that side (Jackson's MissingNode.asDouble() = 0.0
+    // must never become the max)
+    val oneSided = Quality.loadSuiteJson("""{"expectations": [
+      {"expectation_type": "expect_column_value_lengths_to_be_between",
+       "kwargs": {"column": "es", "min_value": 10}},
+      {"expectation_type": "expect_column_value_lengths_to_be_between",
+       "kwargs": {"column": "es", "max_value": 100}},
+      {"expectation_type": "expect_column_proportion_of_unique_values_to_be_between",
+       "kwargs": {"column": "es", "max_value": 1.0}},
+      {"expectation_type": "expect_table_row_count_to_be_between",
+       "kwargs": {"max_value": 1000}}]}""")
+    val oneSidedRun = Quality.run(fixture, oneSided)
+    assert(oneSidedRun.forall(_.passed),
+      s"one-sided bounds must be open, not zero: $oneSidedRun")
   }
 
   test("gate returns nonzero when any check fails") {

@@ -36,7 +36,13 @@ os.makedirs(out, exist_ok=True)
 for t in ['region', 'nation', 'customer', 'supplier', 'part',
           'orders', 'lineitem', 'events']:
     dst = f'{out}/{t}.parquet'
-    if not os.path.exists(dst):
+    # lexists + re-link: exists() is False for a dangling symlink
+    # (symlink() would then raise) and True for a stale one pointing
+    # at a previous source dir (the replica would silently mix scale
+    # factors) -- always refresh the link.
+    if os.path.islink(dst):
+        os.unlink(dst)
+    if not os.path.lexists(dst):
         os.symlink(os.path.abspath(f'{src}/{t}.parquet'), dst)
 copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 ID_STRIDE = 10_000_000
