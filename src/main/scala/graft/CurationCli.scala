@@ -107,8 +107,11 @@ object CurationCli {
     // 1.5. per-source cap (RefinedWeb domain cap) — bounded, skew-proof
     val capped =
       if (cfg.sourceCap > 0 && gated.columns.contains("source"))
+        // saturate, never truncate: a Long cap past Int.MaxValue must
+        // mean "effectively uncapped", not a wrapped small number
         Split.capPerStratum(gated, col("source"), col("doc_id"),
-          cap = cfg.sourceCap.toInt, seed = cfg.seed)
+          cap = math.min(cfg.sourceCap, Int.MaxValue.toLong).toInt,
+          seed = cfg.seed)
       else gated
     val nCapped =
       if (cfg.sourceCap > 0 && gated.columns.contains("source")) capped.count()

@@ -35,15 +35,23 @@ object Orchestration {
   }
 
   /** Delay before retry i (0-based): base · 2^i, capped — Airflow's
-    * retry_exponential_backoff + max_retry_delay. */
-  def backoffDelays(p: RetryPolicy): Seq[Long] =
+    * retry_exponential_backoff + max_retry_delay. The shift saturates
+    * relative to the BASE delay (a fixed `i < 62` guard is only
+    * correct for a ≤ 2 ms base — the default 5-minute base overflows
+    * Long at i ≥ 45, and a negative delay escapes the retry loop as a
+    * Thread.sleep IllegalArgumentException). */
+  def backoffDelays(p: RetryPolicy): Seq[Long] = {
+    val maxShift =
+      if (p.retryDelayMs <= 0) Int.MaxValue
+      else java.lang.Long.numberOfLeadingZeros(p.retryDelayMs) - 1
     (0 until p.retries).map { i =>
       val d =
-        if (p.exponentialBackoff && i < 62) p.retryDelayMs << i
+        if (p.exponentialBackoff && i < maxShift) p.retryDelayMs << i
         else if (p.exponentialBackoff) Long.MaxValue
         else p.retryDelayMs
       math.min(d, p.maxRetryDelayMs)
     }
+  }
 
   /** One stage's outcome: how many attempts ran, the wall clock across
     * all of them (sleeps included — that is what an SLA means), whether

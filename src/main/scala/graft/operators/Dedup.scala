@@ -537,23 +537,6 @@ object Dedup {
     df.join(dupIds, Seq(idCol), "left_anti")
   }
 
-  /** Cross-document LINE dedup — the CCNet/RefinedWeb boilerplate
-    * pass: a line occurring in `minDocs`+ DISTINCT documents (nav
-    * menus, cookie banners, licence footers) is removed from EVERY
-    * document; in-document repetition alone never triggers removal.
-    * Documents keep their surviving lines in original order (empty
-    * string when nothing survives); all non-text columns pass through.
-    *
-    * Scale shape: one posexplode, one (line → distinct-doc count)
-    * aggregation — partial aggregation compresses the heavy boilerplate
-    * keys map-side — one left_anti on the line, one per-doc
-    * reassembly aggregation. Nothing driver-side. At 100 TB set
-    * `keyByDigest = true`: the count and anti-join shuffle a 128-bit
-    * line digest (two independent xxhash64 seeds) instead of raw line
-    * strings — same plan, ~16-byte keys instead of whole lines, at
-    * the CCNet-standard cost of treating digest-colliding lines as
-    * equal (2⁻¹²⁸-scale). The raw-string default keeps the operator
-    * exactly SQL-expressible for the oracle. */
   /** WITHIN-document line dedup — the scraped-page cleanup pass
     * [[dedupLines]] deliberately does not do: each document keeps only
     * the FIRST occurrence of every line it contains (repeated nav
@@ -581,6 +564,23 @@ object Dedup {
       .select(df.columns.toIndexedSeq.map(col): _*)
   }
 
+  /** Cross-document LINE dedup — the CCNet/RefinedWeb boilerplate
+    * pass: a line occurring in `minDocs`+ DISTINCT documents (nav
+    * menus, cookie banners, licence footers) is removed from EVERY
+    * document; in-document repetition alone never triggers removal.
+    * Documents keep their surviving lines in original order (empty
+    * string when nothing survives); all non-text columns pass through.
+    *
+    * Scale shape: one posexplode, one (line → distinct-doc count)
+    * aggregation — partial aggregation compresses the heavy boilerplate
+    * keys map-side — one left_anti on the line, one per-doc
+    * reassembly aggregation. Nothing driver-side. At 100 TB set
+    * `keyByDigest = true`: the count and anti-join shuffle a 128-bit
+    * line digest (two independent xxhash64 seeds) instead of raw line
+    * strings — same plan, ~16-byte keys instead of whole lines, at
+    * the CCNet-standard cost of treating digest-colliding lines as
+    * equal (2⁻¹²⁸-scale). The raw-string default keeps the operator
+    * exactly SQL-expressible for the oracle. */
   def dedupLines(df: DataFrame, idCol: String, textCol: String,
       minDocs: Int = 2, sep: String = "\n",
       keyByDigest: Boolean = false): DataFrame = {
@@ -1159,20 +1159,34 @@ object Dedup {
       greatest(col("__sza"), col("__szb")) * (t - 1e-6) - lit(1e-9)
     val joined = a.join(b, Seq("__gram"))
     val scoped = if (antiReflexive) joined.filter(col("id_a") < col("id_b")) else joined
-    // the hot aggregation groups on ONE packed long (ids are read as
-    // 32-bit here; widen the pack if your ids exceed 2^31) — a third
-    // the hash-agg state of grouping on (id_a, id_b, sza, szb). The
-    // sizes ride along as min() buffers (constant within a pair), so
-    // no per-doc side table has to exist downstream.
-    scoped.filter(sizeOk)
-      .groupBy((shiftleft(col("id_a"), 32) + col("id_b")).as("__pair"))
-      .agg(count(lit(1)).as("__i"),
-        min(col("__sza")).as("__sza"), min(col("__szb")).as("__szb"))
+    // SELF-join (antiReflexive): the hot aggregation groups on ONE
+    // packed long (ids read as 32-bit; widen the pack if your ids
+    // exceed 2^31) — a third the hash-agg state of grouping on
+    // (id_a, id_b, sza, szb). The sizes ride along as min() buffers
+    // (constant within a pair), so no per-doc side table exists
+    // downstream. BIPARTITE: the two sides are UNRELATED id spaces —
+    // a ≥ 2^32 reference id would silently overflow into the
+    // corpus-id bits and drop the WRONG rows — so that path groups on
+    // both ids (16-byte key; correctness over the pack's state win).
+    val grouped =
+      if (antiReflexive)
+        scoped.filter(sizeOk)
+          .groupBy((shiftleft(col("id_a"), 32) + col("id_b")).as("__pair"))
+          .agg(count(lit(1)).as("__i"),
+            min(col("__sza")).as("__sza"), min(col("__szb")).as("__szb"))
+          .select(shiftright(col("__pair"), 32).as("id_a"),
+            col("__pair").bitwiseAND(lit(0xFFFFFFFFL)).as("id_b"),
+            col("__i"), col("__sza"), col("__szb"))
+      else
+        scoped.filter(sizeOk)
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("__i"),
+            min(col("__sza")).as("__sza"), min(col("__szb")).as("__szb"))
+    grouped
       .withColumn("jaccard", round(col("__i").cast("double") /
         (col("__sza") + col("__szb") - col("__i")), 6))
       .filter(col("jaccard") >= t)
-      .select(shiftright(col("__pair"), 32).as("id_a"),
-        col("__pair").bitwiseAND(lit(0xFFFFFFFFL)).as("id_b"), col("jaccard"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
   /** Exact all-pairs n-gram Jaccard join via PPJoin-style PREFIX
@@ -1417,15 +1431,22 @@ object Dedup {
     * growth at 10× in the round-4 rehearsal). */
   private[graft] def bipartiteJoinRows(
       left: DataFrame, leftId: String, leftText: Column,
-      right: DataFrame, rightId: String, rightText: Column, n: Int): Long = {
-    val dfL = tokens(spreadWide(left), leftId, leftText, n)
-      .groupBy(col("__gram")).agg(count(lit(1)).as("__dfl"))
-    val dfR = tokens(spreadWide(right), rightId, rightText, n)
-      .groupBy(col("__gram")).agg(count(lit(1)).as("__dfr"))
-    dfL.join(dfR, Seq("__gram"))
+      right: DataFrame, rightId: String, rightText: Column, n: Int): Long =
+    bipartiteJoinRowsFromTokens(
+      tokens(spreadWide(left), leftId, leftText, n),
+      tokens(spreadWide(right), rightId, rightText, n))
+
+  /** Σ_gram dfL·dfR over two `__gram` token streams — the ONE
+    * implementation of the bipartite routing formula, shared by the
+    * spec-facing [[routeExactBipartite]] probe and [[jaccardJoinAuto]]
+    * (which feeds it the token streams read from its gram-set caches,
+    * so the guardrail the spec tests and the guardrail production
+    * routes on cannot drift apart). */
+  private def bipartiteJoinRowsFromTokens(ta: DataFrame, tb: DataFrame): Long =
+    ta.groupBy(col("__gram")).agg(count(lit(1)).as("__dfl"))
+      .join(tb.groupBy(col("__gram")).agg(count(lit(1)).as("__dfr")), Seq("__gram"))
       .agg(coalesce(sum(col("__dfl") * col("__dfr")), lit(0L)).as("__rows"))
       .head().getLong(0)
-  }
 
   /** Routing decision behind [[jaccardJoinAuto]], exposed so the
     * guardrail is spec-testable: true ⟹ the exact bipartite count
@@ -1489,10 +1510,7 @@ object Dedup {
           size(col("__g")).as("__sz"), explode(col("__g")).as("__gram"))
         val ta = toks(setsL)
         val tb = toks(setsR)
-        val joinRows = ta.groupBy(col("__gram")).agg(count(lit(1)).as("__dfl"))
-          .join(tb.groupBy(col("__gram")).agg(count(lit(1)).as("__dfr")), Seq("__gram"))
-          .agg(coalesce(sum(col("__dfl") * col("__dfr")), lit(0L)).as("__rows"))
-          .head().getLong(0)
+        val joinRows = bipartiteJoinRowsFromTokens(ta, tb)
         if (logRouteBipartite(joinRows, nDocs, maxJoinRowsPerDoc))
           countedPairs(
             ta.select(col("__id").as("id_a"), col("__sz").as("__sza"), col("__gram")),
@@ -1667,6 +1685,23 @@ object Dedup {
   private[graft] def semanticComparable(vec: Column): Column =
     vec.isNotNull && size(vec) > 0 && !exists(vec, x => isnan(x))
 
+  /** The `(__cell, __rv)` eval-side frame behind
+    * [[semanticDecontaminate]] and
+    * [[graft.streaming.StreamOps.semanticDecontaminateStream]]:
+    * comparable reference vectors, distinct'd, keyed by their seeded
+    * hyperplane cell. Build ONCE per eval set (it is benchmark-sized
+    * by the decontamination contract) and share across batch jobs and
+    * streams, exactly like [[evalGramBloom]]. */
+  def evalCellVectors(reference: DataFrame, refVecCol: String,
+      nCells: Int, seed: Long = 42L): DataFrame = {
+    val rv = col(refVecCol).cast("array<double>")
+    reference
+      .select(rv.as("__rv"))
+      .filter(semanticComparable(col("__rv")))
+      .distinct()
+      .select(semanticCell(col("__rv"), nCells, seed).as("__cell"), col("__rv"))
+  }
+
   /** Embedding-space decontamination: drop corpus rows whose embedding
     * lies within cosine `eps` of ANY reference (eval-set) embedding —
     * the PARAPHRASE-level member of the decontamination family. The
@@ -1700,23 +1735,6 @@ object Dedup {
     * scale); fewer cells trade cost (more pairs compared) for recall
     * (fewer split pairs), so decontamination callers may want coarser
     * cells than dedup callers. */
-  /** The `(__cell, __rv)` eval-side frame behind
-    * [[semanticDecontaminate]] and
-    * [[graft.streaming.StreamOps.semanticDecontaminateStream]]:
-    * comparable reference vectors, distinct'd, keyed by their seeded
-    * hyperplane cell. Build ONCE per eval set (it is benchmark-sized
-    * by the decontamination contract) and share across batch jobs and
-    * streams, exactly like [[evalGramBloom]]. */
-  def evalCellVectors(reference: DataFrame, refVecCol: String,
-      nCells: Int, seed: Long = 42L): DataFrame = {
-    val rv = col(refVecCol).cast("array<double>")
-    reference
-      .select(rv.as("__rv"))
-      .filter(semanticComparable(col("__rv")))
-      .distinct()
-      .select(semanticCell(col("__rv"), nCells, seed).as("__cell"), col("__rv"))
-  }
-
   def semanticDecontaminate(
       corpus: DataFrame, idCol: String, vecCol: String,
       reference: DataFrame, refVecCol: String,

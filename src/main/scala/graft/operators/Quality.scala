@@ -61,14 +61,24 @@ object Quality {
     def passes(o: Double): Boolean = o >= minRate
   }
 
-  /** Fraction of values in the allowed set ≥ `minRate` (catalog
-    * membership; nulls pass — GE's in_set ignores them too). */
+  /** Fraction of NON-NULL values in the allowed set ≥ `minRate` —
+    * exactly GE's `expect_column_values_to_be_in_set` semantics:
+    * nulls are excluded from BOTH numerator and denominator (they
+    * neither pass nor fail; `expect_column_values_to_not_be_null` is
+    * the null gate). The earlier formulation counted nulls as
+    * successes over a total-row denominator, which at `minRate < 1`
+    * could pass a column GE fails (700 nulls + 300 all-out-of-set =
+    * 0.7 ≥ 0.6 engine-pass vs GE's 0/300). An all-null column has no
+    * in-set evidence either way → metric 1.0 (vacuous pass, as GE). */
   final case class MembershipCheck(column: String, allowed: Seq[String],
       minRate: Double = 1.0) extends QualityCheck {
     val name = s"member_$column"
-    def metric: Column =
-      sum(when(col(column).isin(allowed.map(a => a: Any): _*) || col(column).isNull, 1).otherwise(0))
-        .cast("double") / count(lit(1))
+    def metric: Column = coalesce(
+      sum(when(col(column).isNull, 0)
+          .when(col(column).isin(allowed.map(a => a: Any): _*), 1)
+          .otherwise(0)).cast("double") /
+        sum(when(col(column).isNull, 0).otherwise(1)),
+      lit(1.0))
     def passes(o: Double): Boolean = o >= minRate
   }
 

@@ -57,9 +57,16 @@ vocab = [r[0] for r in con.execute(
 V = len(vocab)
 print(f"vocab={V} copies={copies}")
 
-# per-copy rotation offsets: distinct, non-zero mod V for c>0
+# per-copy rotation offsets: floor(c*V/copies) is strictly increasing
+# in c (steps of V/copies >= 1 when copies <= V), so offsets are
+# provably distinct in [0, V) with offset(0) = 0 -- the previous
+# (c*(V//copies)+c) % V form could collide back to 0 for unlucky
+# (V, copies) pairs (e.g. V=12, copies=8 at c=6), silently creating
+# verbatim cross-copy replicas and the artificial duplicate cliques
+# this tool exists to avoid.
+assert copies <= min(V, 64), f"need copies <= min(vocab, 64 dims), got {copies}"
 def offset(c):
-    return (c * (V // copies) + c) % V if c else 0
+    return (c * V) // copies
 
 idx = {w: i for i, w in enumerate(vocab)}
 rows = con.execute(
@@ -84,7 +91,7 @@ con.execute(f"""
 
 emb_parts = []
 for c in range(copies):
-    shift = (c * (64 // copies) + c) % 64 if c else 0
+    shift = (c * 64) // copies  # distinct for copies <= 64, same argument
     emb_parts.append(f"""
       SELECT vec_id + {c * ID_STRIDE} AS vec_id,
              embedding[{shift + 1}:64] || embedding[1:{shift}] AS embedding,
