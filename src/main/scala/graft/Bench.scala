@@ -242,6 +242,12 @@ object Bench {
       if (only.isDefined && !sys.env.contains("SPARK_GRAFT_BENCH_OUT"))
         throw new RuntimeException(
           "subset run: skipping BENCH.json (set SPARK_GRAFT_BENCH_OUT to force)")
+      // Same hazard for full-suite runs at a smoke scale: the durable
+      // artifact is defined at sf0.1, and a full sf0.001 smoke would
+      // silently replace it with smoke numbers (it did, twice).
+      if (!sfDir.contains("sf0.1") && !sys.env.contains("SPARK_GRAFT_BENCH_OUT"))
+        throw new RuntimeException(
+          s"non-sf0.1 run ($sfDir): skipping BENCH.json (set SPARK_GRAFT_BENCH_OUT to force)")
       val out = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH.json"))
       java.nio.file.Files.write(out,

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{analysis, text}
-import graft.operators.{Dedup, DupClusters, Incremental, Retrieval, Similarity, Skew, Split, Stats}
+import graft.operators.{Classifier, Dedup, DupClusters, Incremental, Retrieval, Similarity, Skew, Split, Stats}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1929,6 +1929,19 @@ object SparkEntry {
       Similarity.hardNegativesAnn(emb, "vec_id", "embedding",
           lo = 0.3, hi = 0.8, k = 5, probeK = 40, bits = 8, tables = 4)
         .orderBy("anchor_id", "rank")
+    },
+
+    // ---- Model-based quality scoring: self-trained multinomial
+    // Naive-Bayes token classifier — the fasttext/CCNet-style learned
+    // quality gate that follows rule gates in LLM curation. A cheap
+    // deterministic heuristic (n_chars >= 300) bootstraps labels; the
+    // classifier turns them into a Laplace-smoothed per-token LLR
+    // dictionary and a per-doc log-odds score. Pure counting, no
+    // seed — DuckDB replays it exactly.
+    "q125_quality_classifier" -> { (s, dir) =>
+      Classifier.nbQualityScore(Tables.documents(s, dir),
+          "doc_id", col("text"), col("n_chars") >= 300)
+        .orderBy("doc_id")
     },
   )
 
@@ -3969,5 +3982,39 @@ object SparkEntry {
         |SELECT anchor_id, neg_id, sim, CAST(rank AS INT) AS rank
         |FROM r WHERE rank <= 5
         |ORDER BY anchor_id, rank""".stripMargin,
+
+    // q125: multinomial NB with Laplace(+1) smoothing over the shared
+    // lowercased-whitespace tokenization; unseen tokens ignored
+    // (inner join), token-less docs score exactly the prior.
+    "q125_quality_classifier" ->
+      """WITH lab AS (
+        |  SELECT doc_id, text, n_chars >= 300 AS pos FROM documents),
+        |tok AS (
+        |  SELECT doc_id, pos,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> t <> '')) AS token
+        |  FROM lab),
+        |cnt AS (
+        |  SELECT token,
+        |    sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cpos,
+        |    sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS cneg
+        |  FROM tok GROUP BY token),
+        |tot AS (SELECT sum(cpos) AS np, sum(cneg) AS nn, count(*) AS v FROM cnt),
+        |llr AS (
+        |  SELECT token,
+        |    ln((cpos + 1.0) / (np + v)) - ln((cneg + 1.0) / (nn + v)) AS w
+        |  FROM cnt, tot),
+        |prior AS (
+        |  SELECT ln(sum(CASE WHEN pos THEN 1 ELSE 0 END) * 1.0 /
+        |            sum(CASE WHEN NOT pos THEN 1 ELSE 0 END)) AS p
+        |  FROM lab),
+        |sc AS (
+        |  SELECT t.doc_id, sum(w) AS s FROM tok t JOIN llr USING (token)
+        |  GROUP BY t.doc_id)
+        |SELECT l.doc_id,
+        |  round(coalesce(s, 0) + p, 4) AS nb_llr,
+        |  (coalesce(s, 0) + p) > 0 AS hq
+        |FROM lab l LEFT JOIN sc ON l.doc_id = sc.doc_id, prior
+        |ORDER BY l.doc_id""".stripMargin,
   )
 }

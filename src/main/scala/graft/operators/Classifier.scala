@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based document quality scoring: a multinomial Naive-Bayes
+  * token classifier, trained and applied inside the engine.
+  *
+  * This is the engine-native analogue of the fasttext/CCNet-style
+  * "quality classifier" step every large-scale LLM curation pipeline
+  * runs after rule-based gates (the reference stops at rule gates —
+  * quality_score is a stored float filled by its validation flow,
+  * /root/reference/src/models/schemas.py:64-69,
+  * great_expectations/expectations/corc_nah_corpus_suite.json:26-273;
+  * the classifier generalizes that to a *learned* score). Training is
+  * bootstrap-style, exactly as in practice: a cheap deterministic
+  * heuristic (a rule gate, a trusted-source flag) labels the corpus,
+  * the classifier smooths those labels into a per-document log-odds
+  * score, and curation thresholds the score instead of the brittle
+  * rule.
+  *
+  * Everything is counting, so the whole flow is aggregation-shaped —
+  * no model object, no driver-side fit, no UDF:
+  *
+  *   - train: one explode → one `groupBy(token)` shuffle with map-side
+  *     partial aggregation → a vocabulary-sized `(token, llr)`
+  *     dictionary. Corpus-scale data crosses exactly one exchange.
+  *   - totals (class token counts, vocabulary size, class priors):
+  *     single-row aggregates attached by broadcast cross join — the
+  *     same broadcast-totals shape the stats operators use.
+  *   - score: the token stream joins the dictionary on `token`
+  *     (vocabulary-sized build side — Spark/AQE broadcasts it when it
+  *     fits, which at sane vocabularies it does) and sums per doc_id:
+  *     one more exchange, proportional to token hits.
+  *
+  * At 100 TB: two corpus scans (one to count, one to score — inherent
+  * to self-training; callers holding a persisted token stream can pass
+  * it to both halves), two corpus-scale exchanges total, and a
+  * dictionary whose size is the vocabulary, not the corpus. Laplace
+  * (+1) smoothing keeps unseen/rare tokens finite, so the dictionary
+  * can also be truncated to the top-N tokens by |llr| before scoring
+  * without changing the plan shape.
+  */
+object Classifier {
+
+  /** Lowercased whitespace word tokens, empties dropped — the same
+    * tokenization [[Retrieval.wordTokens]] and the oracle use. */
+  def wordTokens(c: Column): Column =
+    filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
+
+  /** Multinomial NB token dictionary from boolean-labeled documents:
+    * `(token, llr)` where
+    * `llr = ln((c_pos+1)/(N_pos+V)) − ln((c_neg+1)/(N_neg+V))`
+    * (Laplace-smoothed class-conditional log-likelihood ratio;
+    * `N_±` = total token occurrences per class, `V` = vocabulary
+    * size). Both label classes must be non-empty — an absent class
+    * degenerates the prior, not this dictionary (smoothing keeps
+    * every llr finite), so the guard lives in [[nbQualityScore]].
+    */
+  def nbTrain(docs: DataFrame, textCol: Column, labelCol: Column): DataFrame = {
+    val counts = docs
+      .select(labelCol.as("__pos"), explode(wordTokens(textCol)).as("token"))
+      .groupBy("token")
+      .agg(
+        sum(when(col("__pos"), 1L).otherwise(0L)).as("__cpos"),
+        sum(when(!col("__pos"), 1L).otherwise(0L)).as("__cneg"))
+    val totals = counts.agg(
+      sum("__cpos").as("__np"), sum("__cneg").as("__nn"),
+      count(lit(1)).as("__v"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("token"),
+        (log((col("__cpos") + lit(1.0)) / (col("__np") + col("__v"))) -
+          log((col("__cneg") + lit(1.0)) / (col("__nn") + col("__v")))).as("llr"))
+  }
+
+  /** Per-doc sum of matched-token llr: `(idCol, __s)` for docs with
+    * at least one dictionary hit. The dictionary is the join's build
+    * side candidate (vocabulary-sized); AQE picks the physical build
+    * side from runtime sizes, which at corpus scale broadcasts the
+    * dictionary. */
+  private def hitSums(
+      docs: DataFrame, idCol: String, textCol: Column,
+      dict: DataFrame): DataFrame =
+    docs.select(col(idCol), explode(wordTokens(textCol)).as("token"))
+      .join(dict, "token")
+      .groupBy(idCol)
+      .agg(sum("llr").as("__s"))
+
+  /** Score documents against a `(token, llr)` dictionary: per-doc sum
+    * of matched-token llr plus `logPrior` (a foldable/literal column,
+    * e.g. `lit(math.log(pPos / pNeg))`), as
+    * `(idCol, nb_llr double round-4, hq boolean = score > 0)`.
+    * Documents with no dictionary hits (or no tokens at all) score
+    * exactly the prior. Tokens absent from the dictionary contribute
+    * nothing (an inner join drops them — the conventional
+    * ignore-unseen NB variant, which keeps scoring a pure hit-stream
+    * computation).
+    */
+  def nbScore(
+      docs: DataFrame, idCol: String, textCol: Column,
+      dict: DataFrame, logPrior: Column): DataFrame =
+    docs.select(col(idCol))
+      .join(hitSums(docs, idCol, textCol, dict), Seq(idCol), "left")
+      .select(col(idCol),
+        round(coalesce(col("__s"), lit(0.0)) + logPrior, 4).as("nb_llr"),
+        ((coalesce(col("__s"), lit(0.0)) + logPrior) > 0).as("hq"))
+
+  /** Self-trained quality score: heuristic boolean labels → NB
+    * dictionary → score the same corpus, prior = ln(pos docs / neg
+    * docs). One call, end to end; `(idCol, nb_llr, hq)` per document.
+    *
+    * Contract: `labelCol` must produce BOTH classes — a one-class
+    * corpus has no likelihood ratio to learn (the prior divides by
+    * the absent class's count). Plan shape: the training tokenization
+    * is shuffled once and the totals read it back through a
+    * ReusedExchange; the doc-level prior is a one-row aggregate cross-
+    * joined onto the FINAL id-level result (never into the token
+    * lineage); scoring re-tokenizes in a second scan — inherent to
+    * self-training. Two heavy (text) scans, two cheap (id/label-only,
+    * footer-pruned) scans, total.
+    */
+  def nbQualityScore(
+      docs: DataFrame, idCol: String, textCol: Column,
+      labelCol: Column): DataFrame = {
+    val dict = nbTrain(docs, textCol, labelCol)
+    val prior = docs.agg(
+      log(sum(when(labelCol, 1L).otherwise(0L)) /
+        sum(when(!labelCol, 1L).otherwise(0L))).as("__p"))
+    docs.select(col(idCol))
+      .join(hitSums(docs, idCol, textCol, dict), Seq(idCol), "left")
+      .crossJoin(broadcast(prior))
+      .select(col(idCol),
+        round(coalesce(col("__s"), lit(0.0)) + col("__p"), 4).as("nb_llr"),
+        ((coalesce(col("__s"), lit(0.0)) + col("__p")) > 0).as("hq"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Classifier
+
+class ClassifierSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // two "high-quality" docs sharing the token `good`, two "low" docs
+  // sharing `spam`; `both` appears once in each class.
+  private val corpus = Seq(
+    (1L, "good good both", true),
+    (2L, "good wiki", true),
+    (3L, "spam spam both", false),
+    (4L, "spam junk", false)).toDF("doc_id", "text", "pos")
+
+  test("nbTrain matches hand-computed Laplace-smoothed LLRs") {
+    val dict = Classifier.nbTrain(corpus, col("text"), col("pos"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // N_pos = 5 tokens, N_neg = 5, V = 5 distinct tokens
+    def llr(cp: Long, cn: Long): Double =
+      math.log((cp + 1.0) / 10.0) - math.log((cn + 1.0) / 10.0)
+    assert(dict.keySet == Set("good", "both", "wiki", "spam", "junk"))
+    assert(math.abs(dict("good") - llr(3, 0)) < 1e-12)
+    assert(math.abs(dict("spam") - llr(0, 3)) < 1e-12)
+    assert(math.abs(dict("both") - llr(1, 1)) < 1e-12) // exactly 0
+    assert(dict("both") == 0.0)
+    assert(math.abs(dict("wiki") - llr(1, 0)) < 1e-12)
+  }
+
+  test("nbQualityScore separates the classes and scores every doc") {
+    val scored = Classifier.nbQualityScore(corpus, "doc_id",
+        col("text"), col("pos"))
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(scored.keySet == Set(1L, 2L, 3L, 4L))
+    // balanced classes: prior = ln(2/2) = 0; good-docs positive,
+    // spam-docs negative, symmetric corpus → symmetric scores
+    assert(scored(1L)._1 > 0 && scored(1L)._2)
+    assert(scored(2L)._1 > 0 && scored(2L)._2)
+    assert(scored(3L)._1 < 0 && !scored(3L)._2)
+    assert(scored(4L)._1 < 0 && !scored(4L)._2)
+    assert(scored(1L)._1 == -scored(3L)._1)
+    assert(scored(2L)._1 == -scored(4L)._1)
+  }
+
+  test("nbScore: no-hit and token-less docs score exactly the prior") {
+    val dict = Classifier.nbTrain(corpus, col("text"), col("pos"))
+    val strays = Seq((9L, "unseen tokens only"), (10L, "   "))
+      .toDF("doc_id", "text")
+    val out = Classifier.nbScore(strays, "doc_id", col("text"),
+        dict, lit(0.7))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out == Map(9L -> 0.7, 10L -> 0.7))
+  }
+
+  test("prior shifts scores: unbalanced labels bias toward the bigger class") {
+    val skewed = Seq(
+      (1L, "alpha beta", true),
+      (2L, "alpha gamma", true),
+      (3L, "alpha delta", true),
+      (4L, "omega", false)).toDF("doc_id", "text", "pos")
+    val scored = Classifier.nbQualityScore(skewed, "doc_id",
+        col("text"), col("pos"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // prior = ln(3) > 0 pulls everything up; the lone negative doc's
+    // evidence must still win against the prior (its only token is
+    // pure-negative: llr = ln(1/9) - ln(2/7) < -ln 3)
+    assert(scored(4L) < 0)
+    assert(Seq(1L, 2L, 3L).forall(scored(_) > 0))
+  }
+}

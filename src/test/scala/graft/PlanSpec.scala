@@ -328,4 +328,28 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"the benchmark-sized eval side must broadcast:\n$plan")
   }
+
+  test("q125: NB training shuffles the token counts once (totals via ReusedExchange), no cartesian") {
+    // the at-scale capture: kill broadcast + AQE so the static
+    // shuffle-join shape is visible (same stance as the minhash/
+    // semanticDedup reuse tests)
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevT = spark.conf.get(thresholdKey)
+    val prevA = spark.conf.get(aqeKey)
+    val plan = try {
+      spark.conf.set(thresholdKey, "-1")
+      spark.conf.set(aqeKey, "false")
+      operators.Classifier.nbQualityScore(
+        Tables.documents(spark, dir), "doc_id", col("text"),
+        col("n_chars") >= 300)
+        .queryExecution.executedPlan.toString
+    } finally { spark.conf.set(thresholdKey, prevT); spark.conf.set(aqeKey, prevA) }
+    assert(plan.contains("ReusedExchange"),
+      s"class totals must read the token-count shuffle back, not recount the corpus:\n$plan")
+    // the only non-equi joins allowed are the one-row broadcast-totals
+    // attachments; the token and id joins must stay hash/merge equi-joins
+    assert(!plan.contains("CartesianProduct"),
+      s"single-row totals must attach by broadcast, never cartesian:\n$plan")
+  }
 }
