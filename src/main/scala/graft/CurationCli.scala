@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Dedup, Quality, Split, Stats}
+import graft.operators.{Classifier, Dedup, Quality, Split, Stats}
 import graft.warehouse.Warehouse
 
 /** Operational entrypoint for the TRAINING-DATA curation pipeline —
@@ -13,6 +13,8 @@ import graft.warehouse.Warehouse
   *   URL-level dedup (when the corpus carries a `url` column —
   *     canonicalize, keep lowest id; the cheapest dedup runs first) →
   *   quality gates (length bounds + Gopher repetition) →
+  *   learned NB quality gate (GRAFT_NB_MIN_SCORE set — rule outcomes
+  *     label a self-trained token classifier, map-side scoring) →
   *   per-source cap (GRAFT_SOURCE_CAP > 0 and a `source` column —
   *     the RefinedWeb domain cap, skew-proof two-stage) →
   *   exact dedup (normalized-text digest, keep lowest id) →
@@ -34,8 +36,9 @@ import graft.warehouse.Warehouse
 object CurationCli {
 
   final case class Funnel(
-      input: Long, urlDeduped: Long, gated: Long, capped: Long,
-      exact: Long, fuzzy: Long, decontaminated: Long, output: Long)
+      input: Long, urlDeduped: Long, gated: Long, classified: Long,
+      capped: Long, exact: Long, fuzzy: Long, decontaminated: Long,
+      output: Long)
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 4,
@@ -49,7 +52,8 @@ object CurationCli {
         Option(evalPath).filter(p => p.nonEmpty && p != "-"),
         outDir, GraftConfig.fromEnv(), Some(tracker))
       println(s"[curation] input=${funnel.input} url=${funnel.urlDeduped} " +
-        s"gated=${funnel.gated} capped=${funnel.capped} " +
+        s"gated=${funnel.gated} classified=${funnel.classified} " +
+        s"capped=${funnel.capped} " +
         s"exact=${funnel.exact} fuzzy=${funnel.fuzzy} " +
         s"decontaminated=${funnel.decontaminated} output=${funnel.output}")
       results.foreach(r =>
@@ -104,18 +108,47 @@ object CurationCli {
       .drop("top_word_frac")
     val nGated = gated.count()
 
+    // 1.25. learned quality gate (GRAFT_NB_MIN_SCORE set — the CCNet
+    // shape: cheap rule outcomes on the PRE-gate corpus label a
+    // self-trained NB token classifier, and the classifier's smoothed
+    // log-odds score gates the rule-passed survivors, catching
+    // junk-vocabulary docs the rules can't see). Map-side scoring:
+    // the dictionary rides as referenced arrays, zero extra shuffles.
+    // A one-class corpus has no ratio to learn (prior degenerates to
+    // ±Inf/NaN) — the stage then passes through untouched.
+    val classified = cfg.nbMinScore match {
+      case Some(min) =>
+        val label =
+          length(col("text")).between(cfg.minTextLength, cfg.maxTextLength)
+        val prior = Classifier.collectPrior(urlDeduped, label)
+        if (!java.lang.Double.isFinite(prior)) {
+          System.err.println("[curation] NB gate skipped: one-class labels " +
+            "(every doc on the same side of the length rule)")
+          gated
+        } else {
+          val (keys, weights) = Classifier.collectDict(
+            Classifier.nbTrain(urlDeduped, col("text"), label))
+          gated.filter(
+            Classifier.nbScoreColumn(col("text"), keys, weights, prior) >= min)
+        }
+      case None => gated
+    }
+    val nClassified =
+      if (cfg.nbMinScore.isDefined) classified.count() else nGated
+
     // 1.5. per-source cap (RefinedWeb domain cap) — bounded, skew-proof
     val capped =
-      if (cfg.sourceCap > 0 && gated.columns.contains("source"))
+      if (cfg.sourceCap > 0 && classified.columns.contains("source"))
         // saturate, never truncate: a Long cap past Int.MaxValue must
         // mean "effectively uncapped", not a wrapped small number
-        Split.capPerStratum(gated, col("source"), col("doc_id"),
+        Split.capPerStratum(classified, col("source"), col("doc_id"),
           cap = math.min(cfg.sourceCap, Int.MaxValue.toLong).toInt,
           seed = cfg.seed)
-      else gated
+      else classified
     val nCapped =
-      if (cfg.sourceCap > 0 && gated.columns.contains("source")) capped.count()
-      else nGated
+      if (cfg.sourceCap > 0 && classified.columns.contains("source"))
+        capped.count()
+      else nClassified
 
     // 2. exact dedup: keep the lowest id per normalized text
     val exact = Dedup.keepBestWindow(capped,
@@ -169,14 +202,15 @@ object CurationCli {
       Quality.MembershipCheck("split",
         Seq("train", "validation", "test"), 1.0)))
 
-    val funnel = Funnel(input, nUrl, nGated, nCapped, nExact, nFuzzy,
-      nDecon, output)
+    val funnel = Funnel(input, nUrl, nGated, nClassified, nCapped,
+      nExact, nFuzzy, nDecon, output)
     tracker.foreach { t =>
       t.lineage(corpusPath, "parquet", "input", input, nGated)
       t.lineage(s"$outDir/gold", "parquet", "gold", nDecon, output)
       t.metric("curation_input", input.toDouble)
       t.metric("curation_url_deduped", nUrl.toDouble)
       t.metric("curation_gated", nGated.toDouble)
+      t.metric("curation_classified", nClassified.toDouble)
       t.metric("curation_capped", nCapped.toDouble)
       t.metric("curation_exact", nExact.toDouble)
       t.metric("curation_fuzzy", nFuzzy.toDouble)

@@ -27,7 +27,8 @@ final case class GraftConfig(
     unicodeNormalization: String = "NFC",
     minVolume: Long = 1L,
     maxVolume: Long = 10000000L,
-    sourceCap: Long = 0L) {
+    sourceCap: Long = 0L,
+    nbMinScore: Option[Double] = None) {
 
   /** Split ratios in pipeline order. The reference validator accepts a
     * sum within ±0.01 of 1.0 (config.py:236-241); [[Split.assign]]
@@ -70,6 +71,8 @@ final case class GraftConfig(
       s"volume bounds must satisfy 0 <= minVolume <= maxVolume, " +
         s"got [$minVolume, $maxVolume]")
     require(sourceCap >= 0, s"sourceCap must be >= 0 (0 = off), got $sourceCap")
+    nbMinScore.foreach(m => require(!m.isNaN,
+      "nbMinScore must be a real log-odds threshold (unset GRAFT_NB_MIN_SCORE to disable)"))
     this
   }
 }
@@ -103,6 +106,8 @@ object GraftConfig {
       unicodeNormalization = parse("UNICODE_NORM", identity, d.unicodeNormalization),
       minVolume = parse("MIN_VOLUME", _.toLong, d.minVolume),
       maxVolume = parse("MAX_VOLUME", _.toLong, d.maxVolume),
-      sourceCap = parse("SOURCE_CAP", _.toLong, d.sourceCap)).validated
+      sourceCap = parse("SOURCE_CAP", _.toLong, d.sourceCap),
+      nbMinScore = parse("NB_MIN_SCORE", s => Some(s.toDouble), d.nbMinScore))
+      .validated
   }
 }

@@ -1943,6 +1943,23 @@ object SparkEntry {
           "doc_id", col("text"), col("n_chars") >= 300)
         .orderBy("doc_id")
     },
+
+    // ---- The same classifier through the MAP-SIDE scoring kernel:
+    // dictionary + prior collected once (vocabulary-sized / one row),
+    // scoring is a single codegen'd projection with zero exchanges —
+    // the at-scale and streaming path (train once, score 100 TB for
+    // the cost of a scan). Same oracle as q125: the two paths must
+    // produce identical rows at the round-4 surface.
+    "q126_quality_gate_mapside" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val label = col("n_chars") >= 300
+      val (keys, weights) =
+        Classifier.collectDict(Classifier.nbTrain(docs, col("text"), label))
+      val prior = Classifier.collectPrior(docs, label)
+      Classifier.nbScoreMapSide(docs, "doc_id", col("text"),
+          keys, weights, prior)
+        .orderBy("doc_id")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3987,6 +4004,39 @@ object SparkEntry {
     // lowercased-whitespace tokenization; unseen tokens ignored
     // (inner join), token-less docs score exactly the prior.
     "q125_quality_classifier" ->
+      """WITH lab AS (
+        |  SELECT doc_id, text, n_chars >= 300 AS pos FROM documents),
+        |tok AS (
+        |  SELECT doc_id, pos,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> t <> '')) AS token
+        |  FROM lab),
+        |cnt AS (
+        |  SELECT token,
+        |    sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cpos,
+        |    sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS cneg
+        |  FROM tok GROUP BY token),
+        |tot AS (SELECT sum(cpos) AS np, sum(cneg) AS nn, count(*) AS v FROM cnt),
+        |llr AS (
+        |  SELECT token,
+        |    ln((cpos + 1.0) / (np + v)) - ln((cneg + 1.0) / (nn + v)) AS w
+        |  FROM cnt, tot),
+        |prior AS (
+        |  SELECT ln(sum(CASE WHEN pos THEN 1 ELSE 0 END) * 1.0 /
+        |            sum(CASE WHEN NOT pos THEN 1 ELSE 0 END)) AS p
+        |  FROM lab),
+        |sc AS (
+        |  SELECT t.doc_id, sum(w) AS s FROM tok t JOIN llr USING (token)
+        |  GROUP BY t.doc_id)
+        |SELECT l.doc_id,
+        |  round(coalesce(s, 0) + p, 4) AS nb_llr,
+        |  (coalesce(s, 0) + p) > 0 AS hq
+        |FROM lab l LEFT JOIN sc ON l.doc_id = sc.doc_id, prior
+        |ORDER BY l.doc_id""".stripMargin,
+
+    // q126: the map-side kernel must reproduce q125 exactly — one
+    // shared oracle text.
+    "q126_quality_gate_mapside" ->
       """WITH lab AS (
         |  SELECT doc_id, text, n_chars >= 300 AS pos FROM documents),
         |tok AS (

@@ -133,4 +133,78 @@ object Classifier {
         round(coalesce(col("__s"), lit(0.0)) + col("__p"), 4).as("nb_llr"),
         ((coalesce(col("__s"), lit(0.0)) + col("__p")) > 0).as("hq"))
   }
+
+  /** Doc-count log-prior `ln(pos docs / neg docs)` as a driver-side
+    * double — the scalar companion to the one-row aggregate
+    * [[nbQualityScore]] attaches lazily; use with the map-side
+    * scoring path, which needs the prior as a literal. One bounded
+    * driver action (a single-row agg). */
+  def collectPrior(docs: DataFrame, labelCol: Column): Double = {
+    // A one-class (or empty) corpus has no odds ratio — ANSI mode
+    // would throw DIVIDE_BY_ZERO, so guard the division (CaseWhen
+    // evaluates the matched branch only) and surface the degenerate
+    // case as NaN so callers gate on isFinite.
+    val pos = sum(when(labelCol, 1L).otherwise(0L))
+    val neg = sum(when(!labelCol, 1L).otherwise(0L))
+    val row = docs.agg(
+      when(pos > 0 && neg > 0, log(pos.cast("double") / neg))
+        .otherwise(lit(Double.NaN)).as("p"))
+      .head()
+    if (row.isNullAt(0)) Double.NaN else row.getDouble(0)
+  }
+
+  /** Compact driver-side form of a `(token, llr)` dictionary: parallel
+    * `(sorted xxhash64 digests, weights)` arrays for the map-side
+    * scoring kernel ([[graft.functions.SumWeightsByHash]]). 16 bytes
+    * per token — a 1M-token vocabulary is a 16 MB broadcast, the same
+    * envelope as the eval-digest decontamination gates. `maxTokens >
+    * 0` keeps only the strongest tokens by |llr| (ties broken by
+    * token for determinism) — the standard fasttext-style truncation
+    * when the raw vocabulary is unbounded. One bounded driver action
+    * (the dictionary is vocabulary-sized by construction).
+    *
+    * Digests come from Spark's own `xxhash64(token)` so batch, stream
+    * and dictionary agree byte-for-byte. A 64-bit collision between
+    * two vocabulary tokens would silently merge their weights, so
+    * collisions fail fast instead (P ≈ v²/2⁶⁵ — never in practice).
+    */
+  def collectDict(dict: DataFrame, maxTokens: Int = 0): (Array[Long], Array[Double]) = {
+    val cut =
+      if (maxTokens > 0)
+        dict.orderBy(abs(col("llr")).desc, col("token")).limit(maxTokens)
+      else dict
+    val rows = cut.select(xxhash64(col("token")).as("h"), col("llr"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+    rows.iterator.zip(rows.iterator.drop(1)).foreach { case ((a, _), (b, _)) =>
+      require(a != b, s"xxhash64 collision in NB dictionary on digest $a")
+    }
+    (rows.map(_._1), rows.map(_._2))
+  }
+
+  /** Map-side NB score of a text column against a collected
+    * dictionary: per-row token digests → sorted-array weight lookup →
+    * sum + prior, all inside one codegen'd projection. No explode, no
+    * join, no shuffle — the at-scale and streaming scoring path
+    * (train once with [[nbTrain]]+[[collectDict]], score any corpus
+    * or stream for the cost of a scan). Null text scores exactly the
+    * prior, matching [[nbScore]]'s left-join semantics. */
+  def nbScoreColumn(
+      textCol: Column, keys: Array[Long], weights: Array[Double],
+      logPrior: Double): Column = {
+    import graft.functions.text.{col2expr, expr2col}
+    val digests = transform(wordTokens(textCol), t => xxhash64(t))
+    coalesce(expr2col(graft.functions.SumWeightsByHash(
+      col2expr(digests), keys, weights)), lit(0.0)) + lit(logPrior)
+  }
+
+  /** [[nbScore]] through the map-side kernel: same output contract
+    * `(idCol, nb_llr round-4, hq)`, zero exchanges. Scores agree with
+    * the join-based path to double-sum reassociation (identical after
+    * the round-4 surface). */
+  def nbScoreMapSide(
+      docs: DataFrame, idCol: String, textCol: Column,
+      keys: Array[Long], weights: Array[Double], logPrior: Double): DataFrame = {
+    val s = nbScoreColumn(textCol, keys, weights, logPrior)
+    docs.select(col(idCol), round(s, 4).as("nb_llr"), (s > 0).as("hq"))
+  }
 }

@@ -310,6 +310,23 @@ object StreamOps {
     docs.filter(hits === 0)
   }
 
+  /** Streaming learned-quality gate: keep rows whose Naive-Bayes
+    * log-odds score clears `minScore`. The classifier's dictionary is
+    * trained offline ([[graft.operators.Classifier.nbTrain]] →
+    * `collectDict`) and rides along as referenced primitive arrays
+    * inside ONE codegen'd projection
+    * ([[graft.functions.SumWeightsByHash]]) — no explode, no join, no
+    * state, no watermark; streaming-legal in any output mode and
+    * identical in batch (how the spec pins agreement with
+    * [[graft.operators.Classifier.nbScoreMapSide]]). Null-text rows
+    * score exactly the prior, so they pass iff the prior does — the
+    * same convention as the batch scorer. */
+  def qualityGateStream(docs: DataFrame, textCol: Column,
+      keys: Array[Long], weights: Array[Double],
+      logPrior: Double, minScore: Double): DataFrame =
+    docs.filter(graft.operators.Classifier.nbScoreColumn(
+      textCol, keys, weights, logPrior) >= minScore)
+
   /** Streaming SEMANTIC (paraphrase-level) decontamination gate — the
     * online counterpart of
     * [[graft.operators.Dedup.semanticDecontaminate]], completing the

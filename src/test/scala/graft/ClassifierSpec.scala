@@ -55,6 +55,50 @@ class ClassifierSpec extends AnyFunSuite {
     assert(out == Map(9L -> 0.7, 10L -> 0.7))
   }
 
+  test("map-side scoring reproduces the join-based path on a real corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val label = col("n_chars") >= 300
+    val joined = Classifier.nbQualityScore(docs, "doc_id", col("text"), label)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).sortBy(_._1)
+    val (keys, weights) =
+      Classifier.collectDict(Classifier.nbTrain(docs, col("text"), label))
+    assert(keys.sameElements(keys.sorted), "dictionary digests must be sorted")
+    val prior = Classifier.collectPrior(docs, label)
+    val mapside = Classifier.nbScoreMapSide(docs, "doc_id", col("text"),
+        keys, weights, prior)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).sortBy(_._1)
+    assert(mapside.sameElements(joined),
+      "the two scoring paths must agree exactly at the round-4 surface")
+  }
+
+  test("map-side scoring is a single projection — zero exchanges") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val label = col("n_chars") >= 300
+    val (keys, weights) =
+      Classifier.collectDict(Classifier.nbTrain(docs, col("text"), label))
+    val plan = Classifier.nbScoreMapSide(docs, "doc_id", col("text"),
+        keys, weights, 0.1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"scoring must never shuffle — dictionary rides as a referenced object:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"scoring must not explode the token stream:\n$plan")
+  }
+
+  test("collectDict maxTokens keeps the strongest tokens by |llr|") {
+    val dict = Classifier.nbTrain(corpus, col("text"), col("pos"))
+    val full = dict.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val (keys, weights) = Classifier.collectDict(dict, maxTokens = 2)
+    assert(keys.length == 2 && weights.length == 2)
+    // good and spam (|llr| = ln 4) dominate wiki/junk (ln 2) and both (0)
+    assert(weights.map(math.abs).forall(w => math.abs(w - math.abs(full("good"))) < 1e-12))
+    // truncated dictionary still scores: doc with only weak tokens → prior
+    val strays = Seq((1L, "wiki junk both")).toDF("doc_id", "text")
+    val out = Classifier.nbScoreMapSide(strays, "doc_id", col("text"),
+      keys, weights, 0.25).collect()
+    assert(out.head.getDouble(1) == 0.25)
+  }
+
   test("prior shifts scores: unbalanced labels bias toward the bigger class") {
     val skewed = Seq(
       (1L, "alpha beta", true),

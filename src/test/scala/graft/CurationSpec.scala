@@ -31,13 +31,17 @@ class CurationSpec extends AnyFunSuite {
 
     assert(funnel.input === docs.count())
     assert(funnel.input >= funnel.urlDeduped &&
-      funnel.urlDeduped >= funnel.gated && funnel.gated >= funnel.capped &&
+      funnel.urlDeduped >= funnel.gated &&
+      funnel.gated >= funnel.classified &&
+      funnel.classified >= funnel.capped &&
       funnel.capped >= funnel.exact &&
       funnel.exact >= funnel.fuzzy && funnel.fuzzy >= funnel.decontaminated &&
       funnel.decontaminated === funnel.output,
       s"funnel must be monotone: $funnel")
-    // no url column and no cap configured → those stages pass through
+    // no url column, no cap, no NB gate configured → those stages
+    // pass through
     assert(funnel.urlDeduped === funnel.input)
+    assert(funnel.classified === funnel.gated)
     assert(funnel.capped === funnel.gated)
     assert(funnel.fuzzy > funnel.decontaminated,
       "the self-overlapping eval set must remove documents")
@@ -86,5 +90,51 @@ class CurationSpec extends AnyFunSuite {
     val perSource = gold.groupBy("source").count()
       .collect().map(_.getLong(1))
     assert(perSource.forall(_ <= 5))
+  }
+
+  test("curation run: learned NB gate drops junk-vocabulary docs the rules pass") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-curation-nb").toString
+    // per-doc-unique vocabularies so the downstream near-dup stages
+    // keep all six (the gate under test is the classifier, not dedup)
+    val good = (0L until 6L).map(i => (i,
+      s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f w${i}g w${i}h", "en", "srcA"))
+    // rule-fail negatives: over the length bound, junk vocabulary
+    val junk = (10L until 14L).map(i => (i,
+      ("spam buy now " * 20).trim, "en", "srcB"))
+    // rule-PASS spam: in-bounds length, top-word share under the
+    // Gopher bound, but junk vocabulary — only the classifier can
+    // catch these
+    val borderline = (20L until 22L).map(i => (i,
+      "spam buy now spam buy now spam buy", "en", "srcB"))
+    (good ++ junk ++ borderline)
+      .toDF("doc_id", "text", "lang", "source")
+      .write.mode("overwrite").parquet(s"$base/corpus")
+
+    val (funnel, _) = CurationCli.run(
+      spark, s"$base/corpus", None, s"$base/out",
+      GraftConfig(minTextLength = 10, maxTextLength = 100,
+        nbMinScore = Some(0.0), minVolume = 1L))
+
+    assert(funnel.gated === 8, s"rules drop only the long junk: $funnel")
+    assert(funnel.classified === 6,
+      s"the classifier must drop the two rule-passing spam docs: $funnel")
+    val gold = spark.read.parquet(s"$base/out/gold")
+    assert(gold.select("doc_id").as[Long].collect().toSet === (0L until 6L).toSet)
+  }
+
+  test("curation run: NB gate passes through on one-class labels") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-curation-nb1").toString
+    (0L until 6L).map(i => (i, s"p${i}x p${i}y p${i}z p${i}w", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$base/corpus")
+    val (funnel, _) = CurationCli.run(
+      spark, s"$base/corpus", None, s"$base/out",
+      GraftConfig(minTextLength = 3, maxTextLength = 1000,
+        nbMinScore = Some(100.0)))
+    assert(funnel.classified === funnel.gated,
+      s"a one-class corpus must skip the NB gate, not empty the funnel: $funnel")
+    assert(funnel.output === 6)
   }
 }

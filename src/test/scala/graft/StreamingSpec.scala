@@ -320,6 +320,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(bloomStreamed.select("doc_id").as[Long].collect().toSet === bloomBatch)
   }
 
+  test("streaming quality gate scores with the offline NB dictionary; agrees with batch") {
+    import graft.operators.Classifier
+    // offline training corpus: labels from a trusted-source heuristic
+    val train = Seq(
+      (1L, "clean prose with varied words and structure", true),
+      (2L, "helpful reference text with clean words", true),
+      (3L, "spam spam buy now spam", false),
+      (4L, "buy buy buy spam now", false)).toDF("doc_id", "text", "pos")
+    val (keys, weights) =
+      Classifier.collectDict(Classifier.nbTrain(train, col("text"), col("pos")))
+    val prior = Classifier.collectPrior(train, col("pos"))
+    // incoming stream to gate (includes a null-text row: scores the
+    // prior, and prior = ln(2/2) = 0 < minScore → dropped)
+    val incoming = Seq(
+      (10L, "clean words and helpful structure"),
+      (11L, "spam spam buy spam"),
+      (12L, "entirely novel vocabulary here"),
+      (13L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val batchKept = StreamOps.qualityGateStream(incoming, col("text"),
+        keys, weights, prior, minScore = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchKept === Set(10L), "only the clean-token doc clears 0.5")
+    // agreement with the batch map-side scorer's decisions
+    val scored = Classifier.nbScoreMapSide(incoming, "doc_id", col("text"),
+        keys, weights, prior)
+      .filter(col("nb_llr") >= 0.5).select("doc_id").as[Long].collect().toSet
+    assert(scored === batchKept)
+    // real stream: same gate, append mode, no state store
+    val dir = Files.createTempDirectory("graft-qgate").toString + "/docs"
+    incoming.write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val streamed = runToMemory(
+      StreamOps.qualityGateStream(
+        spark.readStream.schema(schema).parquet(dir), col("text"),
+        keys, weights, prior, minScore = 0.5),
+      "quality_gate_kept")
+    assert(streamed.select("doc_id").as[Long].collect().toSet === batchKept)
+  }
+
   test("streaming semantic decontamination gate agrees with the batch operator") {
     val rnd = new scala.util.Random(11)
     def jitter(v: Array[Double]) = v.map(x => x + rnd.nextGaussian() * 0.002)
