@@ -1,0 +1,296 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PDF text-extraction source (SURVEY §2.1 S14) — the engine-native
+  * counterpart of the reference's pdfplumber page loop
+  * (/root/reference/scripts/gemini_distiller.py:72-82: page texts
+  * joined by newline, extraction failure → empty string;
+  * pipeline/ingestion/drivers.py:33-50 lands the raw bytes in bronze,
+  * which [[graft.operators.Multimodal.readBinaryDir]] already reads).
+  *
+  * The extractor is a self-contained content-stream parser, pure JVM:
+  *   - object streams are located lexically (`<<dict>> stream ...
+  *     endstream`), `/FlateDecode` streams inflated with
+  *     `java.util.zip.Inflater` (the JDK codec — no external library);
+  *   - text shows between `BT`/`ET`: literal `(...)` strings (octal +
+  *     character escapes, nested parens, line continuations) and hex
+  *     `<...>` strings, consumed by `Tj`/`'`/`"`/`TJ`; `Td`/`TD`/`T*`
+  *     and the quote operators break lines; a TJ kerning gap below
+  *     −180/1000 em renders as a space (the word-gap heuristic);
+  *   - strings with a UTF-16BE BOM decode as UTF-16BE, everything
+  *     else as Latin-1 (≈PDFDocEncoding for the ASCII range).
+  *
+  * Documented limits (the "simple PDFs" envelope): no xref/object
+  * graph walk (streams are taken in file order, so `pdf_pages` counts
+  * text-bearing content streams), no font CMap/ToUnicode mapping
+  * (custom-encoded fonts extract as their raw codes), no encryption.
+  * A malformed file extracts as `ok = false` with empty text — the
+  * reference's empty-on-error contract — never an exception.
+  *
+  * Scale shape: extraction runs in `mapPartitions` with ONE Inflater
+  * per partition (codec init amortized, the [[graft.operators
+  * .Multimodal]] batch stance); bytes never hit the driver; the
+  * output is (path, text) — the downstream corpus operators take over
+  * from there.
+  */
+object Pdf {
+
+  final case class PdfDoc(path: String, content: Array[Byte])
+  final case class PdfExtract(
+      path: String, pdf_text: String, pdf_pages: Int, pdf_ok: Boolean)
+
+  /** Directory of PDFs → extracted text, one row per file. */
+  def readPdfDir(spark: SparkSession, path: String,
+      glob: String = "*.pdf"): Dataset[PdfExtract] = {
+    import spark.implicits._
+    val raw = graft.operators.Multimodal.readBinaryDir(spark, path, glob)
+      .select(col("path"), col("content")).as[PdfDoc]
+    extractAll(raw)
+  }
+
+  /** Batch extraction over (path, content) rows. */
+  def extractAll(docs: Dataset[PdfDoc]): Dataset[PdfExtract] = {
+    import docs.sparkSession.implicits._
+    docs.mapPartitions { rows =>
+      val inflater = new java.util.zip.Inflater()
+      rows.map { d =>
+        val r = extractText(d.content, inflater)
+        PdfExtract(d.path, r.text, r.pages, r.ok)
+      }
+    }
+  }
+
+  final case class Extracted(text: String, pages: Int, ok: Boolean)
+
+  /** Single-document extraction (driver-side / test entry). */
+  def extractText(bytes: Array[Byte]): Extracted =
+    extractText(bytes, new java.util.zip.Inflater())
+
+  private val Latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+
+  def extractText(bytes: Array[Byte], inflater: java.util.zip.Inflater): Extracted = {
+    try {
+      val raw = new String(bytes, Latin1)
+      if (!raw.startsWith("%PDF")) return Extracted("", 0, ok = false)
+      val pageTexts = streams(raw, bytes, inflater).flatMap { data =>
+        val t = textOps(new String(data, Latin1))
+        if (t.nonEmpty) Some(t) else None
+      }
+      Extracted(pageTexts.mkString("\n"), pageTexts.length, ok = true)
+    } catch {
+      case scala.util.control.NonFatal(_) => Extracted("", 0, ok = false)
+    }
+  }
+
+  /** Lexical stream scan: every `<<dict>> stream\r?\n ... endstream`,
+    * inflated when the dict names FlateDecode. Undecodable streams
+    * are skipped, not fatal (a real corpus has image XObjects the
+    * text pass must step over). */
+  private def streams(raw: String, bytes: Array[Byte],
+      inflater: java.util.zip.Inflater): Seq[Array[Byte]] = {
+    val out = Seq.newBuilder[Array[Byte]]
+    var from = 0
+    while ({ val s = raw.indexOf("stream", from); s >= 0 } ) {
+      val s = raw.indexOf("stream", from)
+      // require the keyword, not a substring of "endstream"
+      val isKeyword = s < 3 || !raw.regionMatches(s - 3, "end", 0, 3)
+      val dataStart = {
+        var p = s + "stream".length
+        if (p < raw.length && raw.charAt(p) == '\r') p += 1
+        if (p < raw.length && raw.charAt(p) == '\n') p += 1
+        p
+      }
+      val e = raw.indexOf("endstream", dataStart)
+      if (!isKeyword) { from = s + 6 }
+      else if (e < 0) { from = raw.length }
+      else {
+        var dataEnd = e
+        if (dataEnd > dataStart && raw.charAt(dataEnd - 1) == '\n') dataEnd -= 1
+        if (dataEnd > dataStart && raw.charAt(dataEnd - 1) == '\r') dataEnd -= 1
+        val dictStart = raw.lastIndexOf("<<", s)
+        val dict = if (dictStart >= 0) raw.substring(dictStart, s) else ""
+        val data = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+        if (dict.contains("/FlateDecode")) inflate(data, inflater).foreach(out += _)
+        else out += data
+        from = e + "endstream".length
+      }
+    }
+    out.result()
+  }
+
+  private def inflate(data: Array[Byte],
+      inflater: java.util.zip.Inflater): Option[Array[Byte]] =
+    try {
+      inflater.reset()
+      inflater.setInput(data)
+      val buf = new java.io.ByteArrayOutputStream(math.max(64, data.length * 4))
+      val chunk = new Array[Byte](8192)
+      while (!inflater.finished() && !inflater.needsInput()) {
+        val n = inflater.inflate(chunk)
+        if (n > 0) buf.write(chunk, 0, n)
+        else if (!inflater.finished()) return None // truncated/corrupt
+      }
+      if (inflater.finished()) Some(buf.toByteArray) else None
+    } catch { case _: java.util.zip.DataFormatException => None }
+
+  /** Text operators of one decoded content stream → extracted text.
+    * Empty when the stream carries no BT/ET text (image data, fonts). */
+  private[sources] def textOps(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    var inText = false
+    var needNewline = false
+    def emit(str: String): Unit = {
+      if (needNewline && sb.nonEmpty) sb.append('\n')
+      needNewline = false
+      sb.append(str)
+    }
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%') { // comment to end of line
+        while (i < s.length && s.charAt(i) != '\n' && s.charAt(i) != '\r') i += 1
+      } else if (!inText) {
+        if (c == 'B' && s.regionMatches(i, "BT", 0, 2) && delimited(s, i, 2)) {
+          inText = true; i += 2
+        } else i += 1
+      } else if (c == '(') {
+        val (str, next) = literalString(s, i)
+        i = next
+        val op = nextToken(s, i)
+        op._1 match {
+          case "Tj" => emit(str); i = op._2
+          case "'"  => needNewline = true; emit(str); i = op._2
+          case "\"" => needNewline = true; emit(str); i = op._2
+          case _    => // positioned string with no show op — ignore
+        }
+      } else if (c == '<' && i + 1 < s.length && s.charAt(i + 1) != '<') {
+        val (str, next) = hexString(s, i)
+        i = next
+        val op = nextToken(s, i)
+        if (op._1 == "Tj") { emit(str); i = op._2 }
+      } else if (c == '[') {
+        val (str, next) = tjArray(s, i)
+        i = next
+        val op = nextToken(s, i)
+        if (op._1 == "TJ") { emit(str); i = op._2 }
+      } else if (c == 'E' && s.regionMatches(i, "ET", 0, 2) && delimited(s, i, 2)) {
+        inText = false; needNewline = true; i += 2
+      } else if ((c == 'T' && i + 1 < s.length &&
+          (s.charAt(i + 1) == 'd' || s.charAt(i + 1) == 'D' || s.charAt(i + 1) == '*')
+          && delimited(s, i, 2))) {
+        needNewline = true; i += 2
+      } else i += 1
+    }
+    // trim trailing blank space; internal newlines collapse to one
+    sb.toString.replaceAll("\n+", "\n").trim
+  }
+
+  /** True when the 2-char token at `i` is not part of a longer name. */
+  private def delimited(s: String, i: Int, len: Int): Boolean = {
+    def boundary(c: Char) = !c.isLetterOrDigit && c != '*'
+    (i == 0 || boundary(s.charAt(i - 1))) &&
+      (i + len >= s.length || boundary(s.charAt(i + len)))
+  }
+
+  /** Next operator-ish token after optional whitespace, as
+    * (token, index after it); empty token at end of input. */
+  private def nextToken(s: String, start: Int): (String, Int) = {
+    var i = start
+    while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    if (i >= s.length) return ("", i)
+    val c = s.charAt(i)
+    if (c == '\'' || c == '"') return (c.toString, i + 1)
+    val b = i
+    while (i < s.length && (s.charAt(i).isLetter || s.charAt(i) == '*')) i += 1
+    (s.substring(b, i), i)
+  }
+
+  /** PDF literal string starting at `(`: returns (decoded, index after
+    * the closing paren). Handles nesting, escapes, octal, and
+    * backslash line continuation. */
+  private[sources] def literalString(s: String, start: Int): (String, Int) = {
+    val bytes = new java.io.ByteArrayOutputStream()
+    var i = start + 1
+    var depth = 1
+    while (i < s.length && depth > 0) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        val e = s.charAt(i + 1)
+        e match {
+          case 'n' => bytes.write('\n'); i += 2
+          case 'r' => bytes.write('\r'); i += 2
+          case 't' => bytes.write('\t'); i += 2
+          case 'b' => bytes.write('\b'); i += 2
+          case 'f' => bytes.write('\f'); i += 2
+          case '(' => bytes.write('('); i += 2
+          case ')' => bytes.write(')'); i += 2
+          case '\\' => bytes.write('\\'); i += 2
+          case '\r' => i += 2; if (i < s.length && s.charAt(i) == '\n') i += 1
+          case '\n' => i += 2 // line continuation
+          case d if d >= '0' && d <= '7' =>
+            var v = 0; var n = 0; i += 1
+            while (n < 3 && i < s.length && s.charAt(i) >= '0' && s.charAt(i) <= '7') {
+              v = v * 8 + (s.charAt(i) - '0'); i += 1; n += 1
+            }
+            bytes.write(v & 0xFF)
+          case other => bytes.write(other.toInt & 0xFF); i += 2
+        }
+      } else if (c == '(') { depth += 1; bytes.write('('); i += 1 }
+      else if (c == ')') {
+        depth -= 1
+        if (depth > 0) bytes.write(')')
+        i += 1
+      } else { bytes.write(c.toInt & 0xFF); i += 1 }
+    }
+    (decodeString(bytes.toByteArray), i)
+  }
+
+  /** PDF hex string starting at `<`: returns (decoded, index after `>`). */
+  private[sources] def hexString(s: String, start: Int): (String, Int) = {
+    var i = start + 1
+    val hex = new StringBuilder
+    while (i < s.length && s.charAt(i) != '>') {
+      val c = s.charAt(i)
+      if (!c.isWhitespace) hex.append(c)
+      i += 1
+    }
+    if (hex.length % 2 == 1) hex.append('0') // odd count pads with 0
+    val out = new Array[Byte](hex.length / 2)
+    var j = 0
+    while (j < out.length) {
+      out(j) = Integer.parseInt(hex.substring(2 * j, 2 * j + 2), 16).toByte
+      j += 1
+    }
+    (decodeString(out), i + 1)
+  }
+
+  /** UTF-16BE when BOM'd, Latin-1 (≈PDFDocEncoding) otherwise. */
+  private def decodeString(b: Array[Byte]): String =
+    if (b.length >= 2 && (b(0) & 0xFF) == 0xFE && (b(1) & 0xFF) == 0xFF)
+      new String(b, 2, b.length - 2, java.nio.charset.StandardCharsets.UTF_16BE)
+    else new String(b, Latin1)
+
+  /** `[(a) -250 (b)] TJ` array: strings concatenated; a kerning value
+    * below −180 (thousandths of an em) renders as a word gap. */
+  private[sources] def tjArray(s: String, start: Int): (String, Int) = {
+    val sb = new StringBuilder
+    var i = start + 1
+    while (i < s.length && s.charAt(i) != ']') {
+      val c = s.charAt(i)
+      if (c == '(') {
+        val (str, next) = literalString(s, i); sb.append(str); i = next
+      } else if (c == '<') {
+        val (str, next) = hexString(s, i); sb.append(str); i = next
+      } else if (c == '-' || c.isDigit) {
+        val b = i
+        i += 1
+        while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
+        val v = s.substring(b, i).toDouble
+        if (v < -180) sb.append(' ')
+      } else i += 1
+    }
+    (sb.toString, math.min(i + 1, s.length))
+  }
+}

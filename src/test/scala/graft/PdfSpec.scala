@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Pdf
+
+class PdfSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private val Latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+
+  /** Minimal one-content-stream PDF around `content` (raw bytes). */
+  private def pdf(content: Array[Byte], filter: String = ""): Array[Byte] = {
+    val head = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${content.length}$filter >> stream\n").getBytes(Latin1)
+    val tail = "\nendstream endobj\n%%EOF\n".getBytes(Latin1)
+    head ++ content ++ tail
+  }
+
+  private def deflate(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(b); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    out.toByteArray
+  }
+
+  test("uncompressed content stream: Tj concatenation, T* and Td line breaks") {
+    val content = "BT /F1 12 Tf 72 720 Td (Hello ) Tj (World) Tj T* (Line2) Tj ET"
+      .getBytes(Latin1)
+    val r = Pdf.extractText(pdf(content))
+    assert(r.ok && r.pages === 1)
+    assert(r.text === "Hello World\nLine2")
+  }
+
+  test("FlateDecode content stream inflates with the JDK codec") {
+    val content = "BT (Compressed) Tj T* (page text) Tj ET".getBytes(Latin1)
+    val r = Pdf.extractText(pdf(deflate(content), filter = " /Filter /FlateDecode"))
+    assert(r.ok && r.pages === 1)
+    assert(r.text === "Compressed\npage text")
+  }
+
+  test("TJ arrays: kerning below -180 renders a word gap, above does not") {
+    val content = "BT [(Hel) -20 (lo) -250 (world)] TJ ET".getBytes(Latin1)
+    val r = Pdf.extractText(pdf(content))
+    assert(r.text === "Hello world")
+  }
+
+  test("escapes, nested parens, octal, hex and UTF-16BE strings") {
+    val content = ("BT (a\\(b\\)c) Tj T* ((nested) ok) Tj T* (\\101\\102) Tj " +
+      "T* <48495A> Tj T* <FEFF00E400DF> Tj ET").getBytes(Latin1)
+    val r = Pdf.extractText(pdf(content))
+    assert(r.text === "a(b)c\n(nested) ok\nAB\nHIZ\näß")
+  }
+
+  test("non-text streams are stepped over; pages counts text-bearing streams") {
+    val textStream = "BT (Only page) Tj ET".getBytes(Latin1)
+    val imgStream = Array.tabulate[Byte](64)(i => (i * 7).toByte)
+    val doc = ("%PDF-1.4\n5 0 obj << /Subtype /Image /Length 64 >> stream\n").getBytes(Latin1) ++
+      imgStream ++ "\nendstream endobj\n".getBytes(Latin1) ++
+      (s"4 0 obj << /Length ${textStream.length} >> stream\n").getBytes(Latin1) ++
+      textStream ++ "\nendstream endobj\n%%EOF\n".getBytes(Latin1)
+    val r = Pdf.extractText(doc)
+    assert(r.ok && r.pages === 1 && r.text === "Only page")
+  }
+
+  test("corrupt input and non-PDF bytes extract as ok=false, empty text") {
+    val r1 = Pdf.extractText("this is not a pdf at all".getBytes(Latin1))
+    assert(!r1.ok && r1.text === "" && r1.pages === 0)
+    // valid header, corrupt flate stream → stream skipped, doc still ok
+    val r2 = Pdf.extractText(pdf(Array[Byte](1, 2, 3), filter = " /Filter /FlateDecode"))
+    assert(r2.ok && r2.text === "" && r2.pages === 0)
+  }
+
+  test("readPdfDir: Spark round-trip over a directory of PDFs (S14)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-pdf").toString
+    Files.write(java.nio.file.Paths.get(s"$dir/a.pdf"),
+      pdf("BT (doc A) Tj ET".getBytes(Latin1)))
+    Files.write(java.nio.file.Paths.get(s"$dir/b.pdf"),
+      pdf(deflate("BT (doc B compressed) Tj ET".getBytes(Latin1)),
+        filter = " /Filter /FlateDecode"))
+    Files.write(java.nio.file.Paths.get(s"$dir/broken.pdf"),
+      "not a pdf".getBytes(Latin1))
+    Files.write(java.nio.file.Paths.get(s"$dir/skip.txt"),
+      "ignored by the glob".getBytes(Latin1))
+    val out = Pdf.readPdfDir(spark, dir)
+      .collect().map(e => (new java.io.File(e.path).getName, e)).toMap
+    assert(out.keySet === Set("a.pdf", "b.pdf", "broken.pdf"))
+    assert(out("a.pdf").pdf_text === "doc A" && out("a.pdf").pdf_ok)
+    assert(out("b.pdf").pdf_text === "doc B compressed" && out("b.pdf").pdf_ok)
+    assert(!out("broken.pdf").pdf_ok && out("broken.pdf").pdf_text === "")
+  }
+}
