@@ -326,4 +326,49 @@ class PropertySpec extends AnyFunSuite {
       assert(d2.subsetOf(validIds), s"trial $trial: invalid weights drawn")
     }
   }
+
+  test("property: NB llr dictionary is antisymmetric under label flip") {
+    import graft.operators.Classifier
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val rows = (1 to 40).map { i =>
+        val words = Seq.fill(3 + rnd.nextInt(8))(s"w${rnd.nextInt(25)}")
+        (i.toLong, words.mkString(" "), rnd.nextBoolean())
+      }
+      // force both classes
+      val fixed = rows.take(38) :+ (39L, "pad a", true) :+ (40L, "pad b", false)
+      val df = fixed.toDF("id", "text", "pos")
+      def dict(lbl: org.apache.spark.sql.Column) =
+        Classifier.nbTrain(df, col("text"), lbl)
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val d = dict(col("pos"))
+      val flipped = dict(!col("pos"))
+      assert(d.keySet === flipped.keySet)
+      d.foreach { case (tok, w) =>
+        assert(math.abs(w + flipped(tok)) < 1e-12,
+          s"trial $trial: llr($tok) must negate under label flip")
+      }
+    }
+  }
+
+  test("property: map-side NB scoring equals the join-based path on random corpora") {
+    import graft.operators.Classifier
+    val rnd = new scala.util.Random(37)
+    for (trial <- 1 to 3) {
+      val rows = (1 to 50).map { i =>
+        val words = Seq.fill(rnd.nextInt(10))(s"t${rnd.nextInt(30)}")
+        (i.toLong, words.mkString(" "), i % 3 == 0)
+      }
+      val df = rows.toDF("id", "text", "pos")
+      val joined = Classifier.nbQualityScore(df, "id", col("text"), col("pos"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).sortBy(_._1)
+      val (keys, weights) = Classifier.collectDict(
+        Classifier.nbTrain(df, col("text"), col("pos")))
+      val prior = Classifier.collectPrior(df, col("pos"))
+      val mapside = Classifier.nbScoreMapSide(df, "id", col("text"),
+          keys, weights, prior)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).sortBy(_._1)
+      assert(mapside.sameElements(joined), s"trial $trial: paths disagree")
+    }
+  }
 }
