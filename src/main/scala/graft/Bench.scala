@@ -76,6 +76,17 @@ object Bench {
       Tables.documents(spark, sfDir), "doc_id", Seq("text", "lang"),
       "graft_bench_snapshot", s"$tmpOut/snapshot", numBuckets = 8)
 
+    // Pre-trained NB classifier dictionary, OFF the clock: q125/q126
+    // time the composed train+score; op_nb_score_mapside isolates the
+    // steady-state map-side scoring scan — the per-corpus cost a
+    // production quality gate pays once the dictionary exists.
+    val nbLabel = col("n_chars") >= 300
+    val (nbKeys, nbWeights) = operators.Classifier.collectDict(
+      operators.Classifier.nbTrain(Tables.documents(spark, sfDir),
+        col("text"), nbLabel))
+    val nbPrior = operators.Classifier.collectPrior(
+      Tables.documents(spark, sfDir), nbLabel)
+
     // Staged streaming inputs, OFF the clock (parquet-file sources —
     // the same driving pattern as StreamingSpec; sinks are noop with
     // explicit checkpoints). st_* rows measure the full micro-batch
@@ -152,7 +163,10 @@ object Bench {
       "op_snapshot_probe" -> (() => force(
         operators.Incremental.snapshotDiffAgainstTable(
           Tables.documents(spark, sfDir).filter(col("doc_id") % 7 =!= 0),
-          "doc_id", Seq("text", "lang"), spark.table("graft_bench_snapshot")))))
+          "doc_id", Seq("text", "lang"), spark.table("graft_bench_snapshot")))),
+      "op_nb_score_mapside" -> (() => force(
+        operators.Classifier.nbScoreMapSide(Tables.documents(spark, sfDir),
+          "doc_id", col("text"), nbKeys, nbWeights, nbPrior))))
 
     // Streaming throughput micros: one AvailableNow pass of each
     // streaming operator over the staged table (seconds; divide the
