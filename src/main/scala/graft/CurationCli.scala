@@ -116,7 +116,7 @@ object CurationCli {
     // the dictionary rides as referenced arrays, zero extra shuffles.
     // A one-class corpus has no ratio to learn (prior degenerates to
     // ±Inf/NaN) — the stage then passes through untouched.
-    val classified = cfg.nbMinScore match {
+    val (classified, nClassified) = cfg.nbMinScore match {
       case Some(min) =>
         val label =
           length(col("text")).between(cfg.minTextLength, cfg.maxTextLength)
@@ -124,17 +124,16 @@ object CurationCli {
         if (!java.lang.Double.isFinite(prior)) {
           System.err.println("[curation] NB gate skipped: one-class labels " +
             "(every doc on the same side of the length rule)")
-          gated
+          (gated, nGated) // skip = pass-through; nGated is already counted
         } else {
           val (keys, weights) = Classifier.collectDict(
             Classifier.nbTrain(urlDeduped, col("text"), label))
-          gated.filter(
-            Classifier.nbScoreColumn(col("text"), keys, weights, prior) >= min)
+          val f = gated.filter(round(
+            Classifier.nbScoreColumn(col("text"), keys, weights, prior), 4) >= min)
+          (f, f.count())
         }
-      case None => gated
+      case None => (gated, nGated)
     }
-    val nClassified =
-      if (cfg.nbMinScore.isDefined) classified.count() else nGated
 
     // 1.5. per-source cap (RefinedWeb domain cap) — bounded, skew-proof
     val capped =

@@ -71,8 +71,9 @@ final case class GraftConfig(
       s"volume bounds must satisfy 0 <= minVolume <= maxVolume, " +
         s"got [$minVolume, $maxVolume]")
     require(sourceCap >= 0, s"sourceCap must be >= 0 (0 = off), got $sourceCap")
-    nbMinScore.foreach(m => require(!m.isNaN,
-      "nbMinScore must be a real log-odds threshold (unset GRAFT_NB_MIN_SCORE to disable)"))
+    nbMinScore.foreach(m => require(!m.isNaN && !m.isInfinite,
+      "nbMinScore must be a finite log-odds threshold (unset GRAFT_NB_MIN_SCORE " +
+        "to disable): +Inf silently empties the corpus, -Inf gates nothing"))
     this
   }
 }

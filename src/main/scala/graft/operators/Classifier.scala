@@ -43,10 +43,11 @@ import org.apache.spark.sql.functions._
   */
 object Classifier {
 
-  /** Lowercased whitespace word tokens, empties dropped — the same
-    * tokenization [[Retrieval.wordTokens]] and the oracle use. */
-  def wordTokens(c: Column): Column =
-    filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)
+  /** Lowercased whitespace word tokens, empties dropped — ONE
+    * definition shared with [[Retrieval.wordTokens]] (the oracle SQL
+    * mirrors it; two copies could drift and silently break q125/q126
+    * parity). */
+  def wordTokens(c: Column): Column = Retrieval.wordTokens(c)
 
   /** Multinomial NB token dictionary from boolean-labeled documents:
     * `(token, llr)` where

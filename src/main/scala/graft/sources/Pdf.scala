@@ -55,9 +55,19 @@ object Pdf {
     import docs.sparkSession.implicits._
     docs.mapPartitions { rows =>
       val inflater = new java.util.zip.Inflater()
-      rows.map { d =>
-        val r = extractText(d.content, inflater)
-        PdfExtract(d.path, r.text, r.pages, r.ok)
+      // release the native zlib buffers when the partition drains —
+      // executors churn many tasks and GC finalization is too late
+      new Iterator[PdfExtract] {
+        def hasNext: Boolean = {
+          val h = rows.hasNext
+          if (!h) inflater.end()
+          h
+        }
+        def next(): PdfExtract = {
+          val d = rows.next()
+          val r = extractText(d.content, inflater)
+          PdfExtract(d.path, r.text, r.pages, r.ok)
+        }
       }
     }
   }
@@ -65,8 +75,10 @@ object Pdf {
   final case class Extracted(text: String, pages: Int, ok: Boolean)
 
   /** Single-document extraction (driver-side / test entry). */
-  def extractText(bytes: Array[Byte]): Extracted =
-    extractText(bytes, new java.util.zip.Inflater())
+  def extractText(bytes: Array[Byte]): Extracted = {
+    val inflater = new java.util.zip.Inflater()
+    try extractText(bytes, inflater) finally inflater.end()
+  }
 
   private val Latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
 
@@ -74,8 +86,13 @@ object Pdf {
     try {
       val raw = new String(bytes, Latin1)
       if (!raw.startsWith("%PDF")) return Extracted("", 0, ok = false)
+      // a parse error in ONE stream (binary data that happens to lex
+      // as text operators, a malformed number) skips that stream —
+      // never the other 99 pages of the document
       val pageTexts = streams(raw, bytes, inflater).flatMap { data =>
-        val t = textOps(new String(data, Latin1))
+        val t =
+          try textOps(new String(data, Latin1))
+          catch { case scala.util.control.NonFatal(_) => "" }
         if (t.nonEmpty) Some(t) else None
       }
       Extracted(pageTexts.mkString("\n"), pageTexts.length, ok = true)
@@ -91,33 +108,51 @@ object Pdf {
   private def streams(raw: String, bytes: Array[Byte],
       inflater: java.util.zip.Inflater): Seq[Array[Byte]] = {
     val out = Seq.newBuilder[Array[Byte]]
-    var from = 0
-    while ({ val s = raw.indexOf("stream", from); s >= 0 } ) {
-      val s = raw.indexOf("stream", from)
+    var s = raw.indexOf("stream")
+    while (s >= 0) {
       // require the keyword, not a substring of "endstream"
       val isKeyword = s < 3 || !raw.regionMatches(s - 3, "end", 0, 3)
-      val dataStart = {
-        var p = s + "stream".length
-        if (p < raw.length && raw.charAt(p) == '\r') p += 1
-        if (p < raw.length && raw.charAt(p) == '\n') p += 1
-        p
-      }
-      val e = raw.indexOf("endstream", dataStart)
-      if (!isKeyword) { from = s + 6 }
-      else if (e < 0) { from = raw.length }
+      if (!isKeyword) { s = raw.indexOf("stream", s + 6) }
       else {
-        var dataEnd = e
-        if (dataEnd > dataStart && raw.charAt(dataEnd - 1) == '\n') dataEnd -= 1
-        if (dataEnd > dataStart && raw.charAt(dataEnd - 1) == '\r') dataEnd -= 1
-        val dictStart = raw.lastIndexOf("<<", s)
-        val dict = if (dictStart >= 0) raw.substring(dictStart, s) else ""
-        val data = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
-        if (dict.contains("/FlateDecode")) inflate(data, inflater).foreach(out += _)
-        else out += data
-        from = e + "endstream".length
+        val dataStart = {
+          var p = s + "stream".length
+          if (p < raw.length && raw.charAt(p) == '\r') p += 1
+          if (p < raw.length && raw.charAt(p) == '\n') p += 1
+          p
+        }
+        val e = raw.indexOf("endstream", dataStart)
+        if (e < 0) { s = -1 }
+        else {
+          var dataEnd = e
+          if (dataEnd > dataStart && raw.charAt(dataEnd - 1) == '\n') dataEnd -= 1
+          if (dataEnd > dataStart && raw.charAt(dataEnd - 1) == '\r') dataEnd -= 1
+          val dict = dictBefore(raw, s)
+          val data = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
+          if (dict.contains("/FlateDecode")) inflate(data, inflater).foreach(out += _)
+          else out += data
+          s = raw.indexOf("stream", e + "endstream".length)
+        }
       }
     }
     out.result()
+  }
+
+  /** The full `<< ... >>` dictionary text preceding position `s`,
+    * balancing nested dictionaries — `lastIndexOf("<<")` would land
+    * on an inner `/DecodeParms << ... >>` and miss the outer dict's
+    * /Filter entry. Empty when no dict closes right before `s`. */
+  private def dictBefore(raw: String, s: Int): String = {
+    var p = s - 1
+    while (p >= 0 && raw.charAt(p).isWhitespace) p -= 1
+    if (p < 1 || raw.charAt(p) != '>' || raw.charAt(p - 1) != '>') return ""
+    var depth = 1
+    var i = p - 2
+    while (i >= 1 && depth > 0) {
+      if (raw.charAt(i) == '>' && raw.charAt(i - 1) == '>') { depth += 1; i -= 2 }
+      else if (raw.charAt(i) == '<' && raw.charAt(i - 1) == '<') { depth -= 1; i -= 2 }
+      else i -= 1
+    }
+    if (depth == 0) raw.substring(i + 1, p + 1) else ""
   }
 
   private def inflate(data: Array[Byte],
@@ -165,11 +200,20 @@ object Pdf {
           case "\"" => needNewline = true; emit(str); i = op._2
           case _    => // positioned string with no show op — ignore
         }
-      } else if (c == '<' && i + 1 < s.length && s.charAt(i + 1) != '<') {
+      } else if (c == '<' && i + 1 < s.length && s.charAt(i + 1) == '<') {
+        // inline dictionary (marked-content properties: `/P << /MCID 0 >> BDC`)
+        // — skip it whole, or its body would lex as a hex string
+        i = skipInlineDict(s, i)
+      } else if (c == '<') {
         val (str, next) = hexString(s, i)
         i = next
         val op = nextToken(s, i)
-        if (op._1 == "Tj") { emit(str); i = op._2 }
+        op._1 match {
+          case "Tj" => emit(str); i = op._2
+          case "'"  => needNewline = true; emit(str); i = op._2
+          case "\"" => needNewline = true; emit(str); i = op._2
+          case _    =>
+        }
       } else if (c == '[') {
         val (str, next) = tjArray(s, i)
         i = next
@@ -185,6 +229,24 @@ object Pdf {
     }
     // trim trailing blank space; internal newlines collapse to one
     sb.toString.replaceAll("\n+", "\n").trim
+  }
+
+  /** Skip a balanced `<< ... >>` inline dictionary starting at `i`;
+    * returns the index just past the closing `>>` (end of input when
+    * unbalanced). Nested dicts and strings inside the dict are walked
+    * structurally so a `(...)`/`<...>` value can't derail the depth. */
+  private def skipInlineDict(s: String, start: Int): Int = {
+    var i = start + 2
+    var depth = 1
+    while (i < s.length && depth > 0) {
+      val c = s.charAt(i)
+      if (c == '<' && i + 1 < s.length && s.charAt(i + 1) == '<') { depth += 1; i += 2 }
+      else if (c == '>' && i + 1 < s.length && s.charAt(i + 1) == '>') { depth -= 1; i += 2 }
+      else if (c == '(') i = literalString(s, i)._2
+      else if (c == '<') i = hexString(s, i)._2
+      else i += 1
+    }
+    i
   }
 
   /** True when the 2-char token at `i` is not part of a longer name. */
@@ -287,7 +349,10 @@ object Pdf {
         val b = i
         i += 1
         while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
-        val v = s.substring(b, i).toDouble
+        // malformed numbers ("1.2.3", a lone "-") are no-ops, not fatal
+        val v = try s.substring(b, i).toDouble catch {
+          case _: NumberFormatException => 0.0
+        }
         if (v < -180) sb.append(' ')
       } else i += 1
     }

@@ -324,8 +324,11 @@ object StreamOps {
   def qualityGateStream(docs: DataFrame, textCol: Column,
       keys: Array[Long], weights: Array[Double],
       logPrior: Double, minScore: Double): DataFrame =
-    docs.filter(graft.operators.Classifier.nbScoreColumn(
-      textCol, keys, weights, logPrior) >= minScore)
+    // gate on the ROUND-4 score — the batch scorers' output surface —
+    // so a batch consumer filtering `nb_llr >= min` and this stream
+    // can never disagree within 5e-5 of the threshold
+    docs.filter(round(graft.operators.Classifier.nbScoreColumn(
+      textCol, keys, weights, logPrior), 4) >= minScore)
 
   /** Streaming SEMANTIC (paraphrase-level) decontamination gate — the
     * online counterpart of

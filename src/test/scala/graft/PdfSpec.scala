@@ -70,6 +70,38 @@ class PdfSpec extends AnyFunSuite {
     assert(r.ok && r.pages === 1 && r.text === "Only page")
   }
 
+  test("marked-content inline dictionaries inside BT/ET are skipped, not lexed as hex") {
+    // the tagged-PDF shape Word/InDesign emit
+    val content = "BT /P << /MCID 0 >> BDC (Tagged text) Tj EMC ET".getBytes(Latin1)
+    val r = Pdf.extractText(pdf(content))
+    assert(r.ok && r.text === "Tagged text")
+  }
+
+  test("FlateDecode is detected through a nested /DecodeParms dictionary") {
+    val content = "BT (Nested dict page) Tj ET".getBytes(Latin1)
+    val r = Pdf.extractText(pdf(deflate(content),
+      filter = " /Filter /FlateDecode /DecodeParms << /Columns 4 >>"))
+    assert(r.ok && r.text === "Nested dict page")
+  }
+
+  test("hex strings drive the quote show operators too") {
+    val content = "BT (first) Tj <FEFF0073> ' ET".getBytes(Latin1)
+    val r = Pdf.extractText(pdf(content))
+    assert(r.text === "first\ns")
+  }
+
+  test("a malformed stream is skipped; the rest of the document still extracts") {
+    val bad = "BT <4z8> Tj ET".getBytes(Latin1) // non-hex chars in hex string
+    val good = "BT (survivor page) Tj ET".getBytes(Latin1)
+    val doc = "%PDF-1.4\n".getBytes(Latin1) ++
+      (s"5 0 obj << /Length ${bad.length} >> stream\n").getBytes(Latin1) ++
+      bad ++ "\nendstream endobj\n".getBytes(Latin1) ++
+      (s"4 0 obj << /Length ${good.length} >> stream\n").getBytes(Latin1) ++
+      good ++ "\nendstream endobj\n%%EOF\n".getBytes(Latin1)
+    val r = Pdf.extractText(doc)
+    assert(r.ok && r.pages === 1 && r.text === "survivor page")
+  }
+
   test("corrupt input and non-PDF bytes extract as ok=false, empty text") {
     val r1 = Pdf.extractText("this is not a pdf at all".getBytes(Latin1))
     assert(!r1.ok && r1.text === "" && r1.pages === 0)
