@@ -1960,6 +1960,23 @@ object SparkEntry {
           keys, weights, prior)
         .orderBy("doc_id")
     },
+
+    // ---- Release manifest: write a lang-partitioned release, then
+    // roll up per partition (files, bytes, rows) from the file
+    // listing + one grouped count — the audit artifact a dataset
+    // release ships (fileManifest adds per-file SHA-256, which DuckDB
+    // 1.0 can't replay over blobs, so the oracle gates the rollup).
+    // Both engines read the SAME written files: physical sizes agree
+    // by construction.
+    "q127_release_manifest" -> { (s, dir) =>
+      val out = s"${stateDir(dir)}/q127_release"
+      Tables.documents(s, dir)
+        .repartition(col("lang"))
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      sources.CorpusIO.releaseManifest(s, out, "lang")
+        .orderBy("lang")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4066,5 +4083,24 @@ object SparkEntry {
         |  (coalesce(s, 0) + p) > 0 AS hq
         |FROM lab l LEFT JOIN sc ON l.doc_id = sc.doc_id, prior
         |ORDER BY l.doc_id""".stripMargin,
+
+    // q127: physical half from the blob listing, logical half from a
+    // hive-partitioned grouped count — over the exact files the
+    // engine wrote.
+    "q127_release_manifest" ->
+      """WITH f AS (
+        |  SELECT regexp_extract(filename, 'lang=([^/]+)', 1) AS lang, size
+        |  FROM read_blob('__GRAFT_STATE_DIR__/q127_release/*/*.parquet')),
+        |fa AS (SELECT lang, count(*) AS n_files, sum(size) AS size_bytes
+        |       FROM f GROUP BY lang),
+        |r AS (SELECT lang, count(*) AS n_rows
+        |      FROM read_parquet('__GRAFT_STATE_DIR__/q127_release/*/*.parquet',
+        |                        hive_partitioning=1)
+        |      GROUP BY lang)
+        |SELECT fa.lang, CAST(n_files AS BIGINT) AS n_files,
+        |       CAST(size_bytes AS BIGINT) AS size_bytes,
+        |       CAST(n_rows AS BIGINT) AS n_rows
+        |FROM fa JOIN r ON fa.lang = r.lang
+        |ORDER BY fa.lang""".stripMargin,
   )
 }

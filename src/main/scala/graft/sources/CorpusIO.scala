@@ -286,6 +286,43 @@ object CorpusIO {
     nFiles
   }
 
+  /** Per-file integrity manifest of a released dataset directory —
+    * the artifact a 100 TB release ships next to its shards so any
+    * consumer can verify what they downloaded: one row per parquet
+    * file with its byte size and SHA-256. Distributed end to end
+    * (`binaryFile` scan + the codegen'd `sha2`, one task per file —
+    * file bytes never hit the driver); recursive so Hive-partitioned
+    * layouts manifest whole. */
+  def fileManifest(spark: SparkSession, dir: String,
+      glob: String = "*.parquet"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob).option("recursiveFileLookup", "true")
+      .load(dir)
+      .select(col("path"), col("length").as("size_bytes"),
+        sha2(col("content"), 256).as("sha256"))
+
+  /** Release rollup per Hive partition: `(partition value, n_files,
+    * size_bytes, n_rows)` — the physical-layout half comes from the
+    * file listing (no data read beyond footers), the logical half
+    * from one grouped count over the same files; the join key is the
+    * `<partitionCol>=...` path segment. Pair with [[fileManifest]]
+    * for per-file checksums; q127 gates this rollup against the
+    * DuckDB oracle over the same written release. */
+  def releaseManifest(spark: SparkSession, dir: String,
+      partitionCol: String): DataFrame = {
+    val part = regexp_extract(col("path"),
+      java.util.regex.Pattern.quote(partitionCol) + "=([^/]+)", 1)
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.parquet").option("recursiveFileLookup", "true")
+      .load(dir)
+      .select(part.as(partitionCol), col("length"))
+      .groupBy(partitionCol)
+      .agg(count(lit(1)).as("n_files"), sum("length").as("size_bytes"))
+    val rows = spark.read.parquet(dir)
+      .groupBy(partitionCol).agg(count(lit(1)).as("n_rows"))
+    files.join(rows, partitionCol)
+  }
+
   /** Keyed parquet upsert — the MERGE a plain-parquet lake needs
     * between ingestion waves: batch rows REPLACE existing rows with
     * the same key, everything else carries over, and the result lands

@@ -109,4 +109,42 @@ class LayoutSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("fileManifest: per-file sizes and SHA-256 match the filesystem") {
+    val base = Files.createTempDirectory("graft-manifest").toString
+    Tables.documents(spark, "/root/testdata/sf0.001")
+      .repartition(col("lang"))
+      .write.partitionBy("lang").parquet(s"$base/rel")
+    val rows = CorpusIO.fileManifest(spark, s"$base/rel").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val f = new java.io.File(new java.net.URI(r.getString(0)))
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      assert(r.getLong(1) === bytes.length.toLong, s"size mismatch for $f")
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val expect = md.digest(bytes).map("%02x".format(_)).mkString
+      assert(r.getString(2) === expect, s"sha mismatch for $f")
+    }
+  }
+
+  test("releaseManifest rolls up files/bytes/rows per partition consistently") {
+    val base = Files.createTempDirectory("graft-manifest2").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.repartition(col("lang")).write.partitionBy("lang").parquet(s"$base/rel")
+    val m = CorpusIO.releaseManifest(spark, s"$base/rel", "lang")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val expectRows = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.keySet === expectRows.keySet)
+    expectRows.foreach { case (lang, n) =>
+      val (files, bytes, rows) = m(lang)
+      assert(rows === n, s"$lang row count")
+      assert(files >= 1 && bytes > 0)
+    }
+    // bytes reconcile with the per-file manifest
+    val perFile = CorpusIO.fileManifest(spark, s"$base/rel")
+      .select(sum("size_bytes")).head().getLong(0)
+    assert(m.values.map(_._2).sum === perFile)
+  }
 }
