@@ -1977,6 +1977,17 @@ object SparkEntry {
       sources.CorpusIO.releaseManifest(s, out, "lang")
         .orderBy("lang")
     },
+
+    // ---- Per-language quality classifiers in one pass (the CCNet
+    // stance: a separate model per language, so a common token in
+    // lang A never scores lang B's docs). Same pure-counting
+    // semantics as q125, with stratum-local totals, vocabularies and
+    // priors — DuckDB retrains all five models in one SQL replay.
+    "q128_quality_classifier_per_lang" -> { (s, dir) =>
+      Classifier.nbQualityScoreStratified(Tables.documents(s, dir),
+          "doc_id", col("lang"), col("text"), col("n_chars") >= 300)
+        .orderBy("doc_id")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4102,5 +4113,44 @@ object SparkEntry {
         |       CAST(n_rows AS BIGINT) AS n_rows
         |FROM fa JOIN r ON fa.lang = r.lang
         |ORDER BY fa.lang""".stripMargin,
+
+    // q128: q125's replay with the stratum riding every group key —
+    // per-stratum class totals, vocabulary size and prior.
+    "q128_quality_classifier_per_lang" ->
+      """WITH lab AS (
+        |  SELECT doc_id, lang, text, n_chars >= 300 AS pos FROM documents),
+        |tok AS (
+        |  SELECT doc_id, lang, pos,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> t <> '')) AS token
+        |  FROM lab),
+        |cnt AS (
+        |  SELECT lang, token,
+        |    sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cpos,
+        |    sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS cneg
+        |  FROM tok GROUP BY lang, token),
+        |tot AS (SELECT lang, sum(cpos) AS np, sum(cneg) AS nn, count(*) AS v
+        |        FROM cnt GROUP BY lang),
+        |llr AS (
+        |  SELECT cnt.lang, token,
+        |    ln((cpos + 1.0) / (np + v)) - ln((cneg + 1.0) / (nn + v)) AS w
+        |  FROM cnt JOIN tot ON cnt.lang = tot.lang),
+        |prior AS (
+        |  SELECT lang,
+        |    CASE WHEN sum(CASE WHEN pos THEN 1 ELSE 0 END) > 0
+        |          AND sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) > 0
+        |      THEN ln(sum(CASE WHEN pos THEN 1 ELSE 0 END) * 1.0 /
+        |              sum(CASE WHEN NOT pos THEN 1 ELSE 0 END)) END AS p
+        |  FROM lab GROUP BY lang),
+        |sc AS (
+        |  SELECT t.doc_id, sum(w) AS s
+        |  FROM tok t JOIN llr ON t.lang = llr.lang AND t.token = llr.token
+        |  GROUP BY t.doc_id)
+        |SELECT l.doc_id, l.lang AS stratum,
+        |  round(coalesce(s, 0) + p, 4) AS nb_llr,
+        |  (coalesce(s, 0) + p) > 0 AS hq
+        |FROM lab l LEFT JOIN sc ON l.doc_id = sc.doc_id
+        |JOIN prior ON l.lang = prior.lang
+        |ORDER BY l.doc_id""".stripMargin,
   )
 }

@@ -135,6 +135,64 @@ object Classifier {
         ((coalesce(col("__s"), lit(0.0)) + col("__p")) > 0).as("hq"))
   }
 
+  /** Per-stratum NB dictionaries in ONE pass — the CCNet stance of a
+    * separate quality model per language/domain, without training a
+    * model per partition: `(strataCol, token, llr)`, each stratum
+    * smoothed over its OWN class totals and vocabulary. Plan shape is
+    * [[nbTrain]]'s with the stratum riding the keys: one explode →
+    * one `groupBy(stratum, token)` shuffle (map-side combined) →
+    * stratum-level totals (vocabulary-scale input) attached back by a
+    * BROADCAST join on the stratum key (|strata| rows). A stratum
+    * with only one label class still gets finite llrs (smoothing) —
+    * its PRIOR is the degenerate part, handled by the scorer. */
+  def nbTrainStratified(
+      docs: DataFrame, strataCol: Column, textCol: Column,
+      labelCol: Column): DataFrame = {
+    val counts = docs
+      .select(strataCol.as("__st"), labelCol.as("__pos"),
+        explode(wordTokens(textCol)).as("token"))
+      .groupBy("__st", "token")
+      .agg(
+        sum(when(col("__pos"), 1L).otherwise(0L)).as("__cpos"),
+        sum(when(!col("__pos"), 1L).otherwise(0L)).as("__cneg"))
+    val totals = counts.groupBy("__st").agg(
+      sum("__cpos").as("__np"), sum("__cneg").as("__nn"),
+      count(lit(1)).as("__v"))
+    counts.join(broadcast(totals), "__st")
+      .select(col("__st"), col("token"),
+        (log((col("__cpos") + lit(1.0)) / (col("__np") + col("__v"))) -
+          log((col("__cneg") + lit(1.0)) / (col("__nn") + col("__v")))).as("llr"))
+  }
+
+  /** Self-trained per-stratum quality score: [[nbQualityScore]] with
+    * a separate dictionary AND prior per stratum, one call. Output
+    * `(idCol, stratum, nb_llr round-4, hq)`. A one-class stratum
+    * has no odds ratio — its docs score NULL `nb_llr`/`hq` (honest
+    * "no model for this stratum"; ANSI-safe via the lazily-evaluated
+    * branch guard). The hit join is keyed `(stratum, token)` so
+    * identical spellings in different strata never cross-score. */
+  def nbQualityScoreStratified(
+      docs: DataFrame, idCol: String, strataCol: Column, textCol: Column,
+      labelCol: Column): DataFrame = {
+    val dict = nbTrainStratified(docs, strataCol, textCol, labelCol)
+    val pos = sum(when(labelCol, 1L).otherwise(0L))
+    val neg = sum(when(!labelCol, 1L).otherwise(0L))
+    val priors = docs.groupBy(strataCol.as("__st")).agg(
+      when(pos > 0 && neg > 0, log(pos.cast("double") / neg)).as("__p"))
+    val hits = docs
+      .select(col(idCol), strataCol.as("__st"),
+        explode(wordTokens(textCol)).as("token"))
+      .join(dict, Seq("__st", "token"))
+      .groupBy(idCol)
+      .agg(sum("llr").as("__s"))
+    docs.select(col(idCol), strataCol.as("__st"))
+      .join(hits, Seq(idCol), "left")
+      .join(broadcast(priors), "__st")
+      .select(col(idCol), col("__st").as("stratum"),
+        round(coalesce(col("__s"), lit(0.0)) + col("__p"), 4).as("nb_llr"),
+        ((coalesce(col("__s"), lit(0.0)) + col("__p")) > 0).as("hq"))
+  }
+
   /** Doc-count log-prior `ln(pos docs / neg docs)` as a driver-side
     * double — the scalar companion to the one-row aggregate
     * [[nbQualityScore]] attaches lazily; use with the map-side

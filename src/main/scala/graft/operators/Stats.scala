@@ -318,21 +318,35 @@ object Stats {
       .select(col("rank"), col("token"), col("freq"), col("cum_share"))
   }
 
-  /** Exact interpolating quantiles (SQL `quantile_cont` semantics) of
-    * a numeric column, optionally per group — unpivoted to one
+  /** Interpolating quantiles (SQL `quantile_cont` semantics) of a
+    * numeric column, optionally per group — unpivoted to one
     * (group, quantile, value) row each for a stable schema at any
-    * quantile list. Exact percentile shuffles every value; at 100 TB
-    * swap `percentile` for `percentile_approx` (t-digest-style sketch,
-    * map-side mergeable) — the output contract is unchanged. */
+    * quantile list.
+    *
+    * `approx = false` (default, what the q71 oracle gates) is EXACT —
+    * but Spark's exact `percentile` buffers every value of a group in
+    * the aggregation state, so its contract is bounded-group-size
+    * reporting, not 100 TB columns. `approx = true` switches to
+    * `percentile_approx` (Greenwald–Khanna sketch: bounded state,
+    * map-side mergeable, error ≤ 1/accuracy of rank) with the SAME
+    * output contract — the 100 TB profile path. */
   def quantileProfile(df: DataFrame, c: Column, qs: Seq[Double],
-      groupBy: Seq[Column] = Nil): DataFrame = {
+      groupBy: Seq[Column] = Nil, approx: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), "quantiles must be in [0,1]")
-    val pct = percentile(c, array(qs.map(lit): _*)).as("__qv")
+    require(accuracy > 0, "accuracy must be positive")
+    val pct =
+      if (approx) percentile_approx(c, array(qs.map(lit): _*), lit(accuracy)).as("__qv")
+      else percentile(c, array(qs.map(lit): _*)).as("__qv")
     val agged =
       if (groupBy.isEmpty) df.agg(pct)
       else df.groupBy(groupBy: _*).agg(pct)
+    // cast before rounding: exact percentile emits double, approx
+    // emits the input's own type — the profile schema must not depend
+    // on the mode
     val pairs = qs.zipWithIndex.map { case (q, i) =>
-      struct(lit(q).as("quantile"), round(col("__qv").getItem(i), 4).as("value"))
+      struct(lit(q).as("quantile"),
+        round(col("__qv").getItem(i).cast("double"), 4).as("value"))
     }
     val groupCols = agged.columns.toIndexedSeq.init.map(col)
     agged.select(groupCols :+ explode(array(pairs: _*)).as("__s"): _*)

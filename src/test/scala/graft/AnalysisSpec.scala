@@ -241,6 +241,30 @@ class AnalysisSpec extends AnyFunSuite {
     assert(grouped === Map("a" -> 3.0, "b" -> 15.0))
   }
 
+  test("quantileProfile approx: bounded-state sketch tracks exact within rank error") {
+    // the 100 TB path — same output contract, GK sketch instead of
+    // buffering every group value in the aggregation state
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val qs = Seq(0.1, 0.5, 0.9)
+    def profile(approx: Boolean) = graft.operators.Stats.quantileProfile(
+        docs, col("n_chars"), qs, approx = approx)
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val exact = profile(approx = false)
+    val approx = profile(approx = true)
+    assert(approx.keySet === exact.keySet)
+    // at accuracy=10000 on a small corpus the sketch is rank-exact;
+    // values may differ only by interpolation (approx returns a real
+    // data point, exact interpolates between two)
+    qs.foreach { q =>
+      assert(math.abs(approx(q) - exact(q)) <= 1.0 + exact(q) * 0.01,
+        s"q=$q approx=${approx(q)} exact=${exact(q)}")
+    }
+    // schema is mode-independent: both emit double values
+    val schema = graft.operators.Stats.quantileProfile(
+      docs, col("n_chars"), qs, approx = true).schema
+    assert(schema("value").dataType.typeName === "double")
+  }
+
   test("compression_ratio separates boilerplate from prose, deterministically") {
     import spark.implicits._
     val docs = Seq(

@@ -99,6 +99,41 @@ class ClassifierSpec extends AnyFunSuite {
     assert(out.head.getDouble(1) == 0.25)
   }
 
+  test("stratified: per-stratum dictionaries never cross-score a shared token") {
+    // `tok` is pure-positive in stratum A and pure-negative in B —
+    // one global model would wash it out; per-stratum models keep
+    // opposite signs
+    val rows = Seq(
+      (1L, "A", "tok alpha", true), (2L, "A", "beta", false),
+      (3L, "B", "tok gamma", false), (4L, "B", "delta", true))
+      .toDF("doc_id", "st", "text", "pos")
+    val dict = Classifier.nbTrainStratified(rows, col("st"), col("text"), col("pos"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(dict(("A", "tok")) > 0 && dict(("B", "tok")) < 0)
+    assert(dict(("A", "tok")) === -dict(("B", "tok")),
+      "mirror-image strata must produce mirror-image weights")
+    // per-stratum V: stratum A's smoothing uses only A's 3 tokens
+    // N_pos(A)=2 ("tok","alpha"), N_neg(A)=1 ("beta"), V(A)=3
+    val expect = math.log(2.0 / (2 + 3)) - math.log(1.0 / (1 + 3))
+    assert(math.abs(dict(("A", "tok")) - expect) < 1e-12)
+  }
+
+  test("stratified scoring: per-stratum priors; one-class strata score NULL") {
+    val rows = Seq(
+      (1L, "A", "x y", true), (2L, "A", "x z", false),
+      (3L, "C", "only positive docs here", true),
+      (4L, "C", "more positive text", true))
+      .toDF("doc_id", "st", "text", "pos")
+    val out = Classifier.nbQualityScoreStratified(rows, "doc_id",
+        col("st"), col("text"), col("pos"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L))
+    assert(out(1L)._1 === "A" && out(1L)._2.isDefined)
+    // stratum C has no negative docs → no odds ratio → honest NULL
+    assert(out(3L)._2.isEmpty && out(4L)._2.isEmpty)
+  }
+
   test("prior shifts scores: unbalanced labels bias toward the bigger class") {
     val skewed = Seq(
       (1L, "alpha beta", true),
