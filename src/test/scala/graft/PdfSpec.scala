@@ -110,6 +110,32 @@ class PdfSpec extends AnyFunSuite {
     assert(r2.ok && r2.text === "" && r2.pages === 0)
   }
 
+  test("fuzz: extractText is total — random and mutated bytes never throw") {
+    val rnd = new scala.util.Random(41)
+    // pure noise (with and without the magic header)
+    for (_ <- 1 to 25) {
+      val b = new Array[Byte](rnd.nextInt(4096))
+      rnd.nextBytes(b)
+      val r1 = Pdf.extractText(b)
+      assert(r1.text != null)
+      val r2 = Pdf.extractText("%PDF-1.4\n".getBytes(Latin1) ++ b)
+      assert(r2.text != null)
+    }
+    // structured corruption: a valid doc with random bytes flipped —
+    // the parser may extract garbage but must return, not throw
+    val base = pdf(("BT (Fuzz me) Tj [(a) -300 (b)] TJ <4849> Tj " +
+      "/P << /MCID 0 >> BDC (x) ' ET").getBytes(Latin1))
+    for (_ <- 1 to 25) {
+      val b = base.clone()
+      for (_ <- 0 to rnd.nextInt(20)) b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      assert(Pdf.extractText(b).text != null)
+    }
+    // truncation at every region of the valid doc
+    for (cut <- Seq(1, 8, 40, base.length / 2, base.length - 3)) {
+      assert(Pdf.extractText(base.take(cut)).text != null)
+    }
+  }
+
   test("readPdfDir: Spark round-trip over a directory of PDFs (S14)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-pdf").toString
