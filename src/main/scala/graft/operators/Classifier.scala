@@ -175,10 +175,7 @@ object Classifier {
       docs: DataFrame, idCol: String, strataCol: Column, textCol: Column,
       labelCol: Column): DataFrame = {
     val dict = nbTrainStratified(docs, strataCol, textCol, labelCol)
-    val pos = sum(when(labelCol, 1L).otherwise(0L))
-    val neg = sum(when(!labelCol, 1L).otherwise(0L))
-    val priors = docs.groupBy(strataCol.as("__st")).agg(
-      when(pos > 0 && neg > 0, log(pos.cast("double") / neg)).as("__p"))
+    val priors = stratPriors(docs, strataCol, labelCol)
     val hits = docs
       .select(col(idCol), strataCol.as("__st"),
         explode(wordTokens(textCol)).as("token"))
@@ -191,6 +188,32 @@ object Classifier {
       .select(col(idCol), col("__st").as("stratum"),
         round(coalesce(col("__s"), lit(0.0)) + col("__p"), 4).as("nb_llr"),
         ((coalesce(col("__s"), lit(0.0)) + col("__p")) > 0).as("hq"))
+  }
+
+  /** Per-stratum priors frame `(__st, __p)` — [[collectPrior]]'s
+    * grouped sibling. One-class strata carry a NULL `__p` (the ANSI-
+    * safe lazily-evaluated guard): "no model for this stratum".
+    * Strata-count rows — broadcast it wherever it joins. */
+  def stratPriors(docs: DataFrame, strataCol: Column,
+      labelCol: Column): DataFrame = {
+    val pos = sum(when(labelCol, 1L).otherwise(0L))
+    val neg = sum(when(!labelCol, 1L).otherwise(0L))
+    docs.groupBy(strataCol.as("__st")).agg(
+      when(pos > 0 && neg > 0, log(pos.cast("double") / neg)).as("__p"))
+  }
+
+  /** Raw stratified map-side hit sum (no prior): the
+    * [[graft.functions.SumWeightsByHash]] lookup keyed by
+    * `xxhash64(stratum, token)` against a [[collectDictStratified]]
+    * dictionary — zero exchanges, streaming-legal. Missing strata and
+    * unseen tokens contribute 0; the PRIOR carries the per-stratum
+    * part (join the [[stratPriors]] frame and add `__p`). */
+  def stratHitSum(strataCol: Column, textCol: Column,
+      keys: Array[Long], weights: Array[Double]): Column = {
+    import graft.functions.text.{col2expr, expr2col}
+    val digests = transform(wordTokens(textCol), t => xxhash64(strataCol, t))
+    coalesce(expr2col(graft.functions.SumWeightsByHash(
+      col2expr(digests), keys, weights)), lit(0.0))
   }
 
   /** Doc-count log-prior `ln(pos docs / neg docs)` as a driver-side
@@ -227,12 +250,26 @@ object Classifier {
     * two vocabulary tokens would silently merge their weights, so
     * collisions fail fast instead (P ≈ v²/2⁶⁵ — never in practice).
     */
-  def collectDict(dict: DataFrame, maxTokens: Int = 0): (Array[Long], Array[Double]) = {
+  def collectDict(dict: DataFrame, maxTokens: Int = 0): (Array[Long], Array[Double]) =
+    collectKeyed(dict, maxTokens, Seq(col("token")), xxhash64(col("token")))
+
+  /** [[collectDict]] for a [[nbTrainStratified]] dictionary: ONE flat
+    * `(sorted digest, weight)` pair serves every stratum — digests
+    * are `xxhash64(stratum, token)`, so a spelling shared across
+    * strata hashes to distinct entries and the scoring column
+    * ([[nbScoreColumnStratified]]) can never cross-score. */
+  def collectDictStratified(
+      dict: DataFrame, maxTokens: Int = 0): (Array[Long], Array[Double]) =
+    collectKeyed(dict, maxTokens, Seq(col("__st"), col("token")),
+      xxhash64(col("__st"), col("token")))
+
+  private def collectKeyed(dict: DataFrame, maxTokens: Int,
+      tieBreak: Seq[Column], digest: Column): (Array[Long], Array[Double]) = {
     val cut =
       if (maxTokens > 0)
-        dict.orderBy(abs(col("llr")).desc, col("token")).limit(maxTokens)
+        dict.orderBy(abs(col("llr")).desc +: tieBreak: _*).limit(maxTokens)
       else dict
-    val rows = cut.select(xxhash64(col("token")).as("h"), col("llr"))
+    val rows = cut.select(digest.as("h"), col("llr"))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
     rows.iterator.zip(rows.iterator.drop(1)).foreach { case ((a, _), (b, _)) =>
       require(a != b, s"xxhash64 collision in NB dictionary on digest $a")

@@ -330,6 +330,28 @@ object StreamOps {
     docs.filter(round(graft.operators.Classifier.nbScoreColumn(
       textCol, keys, weights, logPrior), 4) >= minScore)
 
+  /** [[qualityGateStream]] with per-stratum models (the CCNet
+    * per-language stance, online): the flat stratified dictionary
+    * rides as referenced arrays (map-side, `xxhash64(stratum, token)`
+    * keys — [[graft.operators.Classifier.collectDictStratified]]) and
+    * the per-stratum priors come in as a stream-STATIC broadcast left
+    * join on the stratum (strata-count rows, the `evalCellVectors`
+    * pattern). Rows from a stratum with no model — absent from
+    * training, or one-class (NULL prior) — score NULL and FAIL the
+    * gate, exactly as a batch consumer filtering the stratified
+    * scorer's `nb_llr >= min` would drop them (SQL null semantics);
+    * pre-route such strata if they must pass. Append-legal, no state,
+    * no watermark. */
+  def qualityGateStreamStratified(docs: DataFrame, strataCol: Column,
+      textCol: Column, keys: Array[Long], weights: Array[Double],
+      priors: DataFrame, minScore: Double): DataFrame = {
+    val score = round(graft.operators.Classifier.stratHitSum(
+      strataCol, textCol, keys, weights) + col("__p"), 4)
+    docs.join(broadcast(priors), strataCol === col("__st"), "left")
+      .filter(score >= minScore)
+      .drop("__st", "__p")
+  }
+
   /** Streaming SEMANTIC (paraphrase-level) decontamination gate — the
     * online counterpart of
     * [[graft.operators.Dedup.semanticDecontaminate]], completing the

@@ -134,6 +134,24 @@ class ClassifierSpec extends AnyFunSuite {
     assert(out(3L)._2.isEmpty && out(4L)._2.isEmpty)
   }
 
+  test("stratified map-side kernel reproduces the join-based stratified scorer") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val label = col("n_chars") >= 300
+    val joined = Classifier.nbQualityScoreStratified(docs, "doc_id",
+        col("lang"), col("text"), label)
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getBoolean(3))).sortBy(_._1)
+    val dict = Classifier.nbTrainStratified(docs, col("lang"), col("text"), label)
+    val (keys, weights) = Classifier.collectDictStratified(dict)
+    val priors = Classifier.stratPriors(docs, col("lang"), label)
+    val score = Classifier.stratHitSum(col("lang"), col("text"), keys, weights) +
+      col("__p")
+    val mapside = docs.join(broadcast(priors), col("lang") === col("__st"), "left")
+      .select(col("doc_id"), round(score, 4).as("nb_llr"), (score > 0).as("hq"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).sortBy(_._1)
+    assert(mapside.sameElements(joined),
+      "stratified paths must agree at the round-4 surface")
+  }
+
   test("prior shifts scores: unbalanced labels bias toward the bigger class") {
     val skewed = Seq(
       (1L, "alpha beta", true),

@@ -359,6 +359,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.select("doc_id").as[Long].collect().toSet === batchKept)
   }
 
+  test("stratified streaming quality gate: per-language models, no-model strata fail") {
+    import graft.operators.Classifier
+    val train = Seq(
+      (1L, "en", "clean helpful words", true), (2L, "en", "spam spam buy", false),
+      (3L, "de", "gute saubere worte", true), (4L, "de", "kauf kauf werbung", false),
+      // one-class stratum: every fr doc positive → NULL prior
+      (5L, "fr", "bonjour propre", true))
+      .toDF("doc_id", "lang", "text", "pos")
+    val dict = Classifier.nbTrainStratified(train, col("lang"), col("text"), col("pos"))
+    val (keys, weights) = Classifier.collectDictStratified(dict)
+    val priors = Classifier.stratPriors(train, col("lang"), col("pos"))
+    val incoming = Seq(
+      (10L, "en", "clean helpful words"),   // en model: positive
+      (11L, "en", "spam buy spam"),         // en model: negative
+      (12L, "de", "gute saubere worte"),    // de model: positive
+      (13L, "de", "spam spam buy"),         // en spam vocab is NOT in the de model → prior only (ln 1 = 0) < 0.5
+      (14L, "fr", "bonjour propre"),        // one-class stratum → NULL → dropped
+      (15L, "zh", "unseen stratum"))        // no model at all → dropped
+      .toDF("doc_id", "lang", "text")
+    val kept = StreamOps.qualityGateStreamStratified(incoming, col("lang"),
+        col("text"), keys, weights, priors, minScore = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(10L, 12L),
+      "only docs scored positive by their OWN language's model pass")
+    // real stream agrees
+    val dir = Files.createTempDirectory("graft-qgate-st").toString + "/docs"
+    incoming.write.parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val streamed = runToMemory(
+      StreamOps.qualityGateStreamStratified(
+        spark.readStream.schema(schema).parquet(dir), col("lang"),
+        col("text"), keys, weights, priors, minScore = 0.5),
+      "quality_gate_strat_kept")
+    assert(streamed.select("doc_id").as[Long].collect().toSet === kept)
+  }
+
   test("streaming semantic decontamination gate agrees with the batch operator") {
     val rnd = new scala.util.Random(11)
     def jitter(v: Array[Double]) = v.map(x => x + rnd.nextGaussian() * 0.002)
