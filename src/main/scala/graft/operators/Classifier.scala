@@ -166,26 +166,30 @@ object Classifier {
 
   /** Self-trained per-stratum quality score: [[nbQualityScore]] with
     * a separate dictionary AND prior per stratum, one call. Output
-    * `(idCol, stratum, nb_llr round-4, hq)`. A one-class stratum
-    * has no odds ratio — its docs score NULL `nb_llr`/`hq` (honest
-    * "no model for this stratum"; ANSI-safe via the lazily-evaluated
-    * branch guard). The hit join is keyed `(stratum, token)` so
-    * identical spellings in different strata never cross-score. */
+    * `(idCol, stratum, nb_llr round-4, hq)` — exactly one row per
+    * input doc, like [[nbQualityScore]]. A one-class stratum has no
+    * odds ratio — its docs score NULL `nb_llr`/`hq` (honest "no model
+    * for this stratum"; ANSI-safe via the lazily-evaluated branch
+    * guard). The hit join is keyed `(stratum, token)` so identical
+    * spellings in different strata never cross-score. A NULL stratum
+    * is a stratum like any other: the joins are null-safe (`<=>`), so
+    * its docs score against the NULL-keyed model instead of silently
+    * vanishing from the output. */
   def nbQualityScoreStratified(
       docs: DataFrame, idCol: String, strataCol: Column, textCol: Column,
       labelCol: Column): DataFrame = {
     val dict = nbTrainStratified(docs, strataCol, textCol, labelCol)
     val priors = stratPriors(docs, strataCol, labelCol)
-    val hits = docs
-      .select(col(idCol), strataCol.as("__st"),
-        explode(wordTokens(textCol)).as("token"))
-      .join(dict, Seq("__st", "token"))
-      .groupBy(idCol)
+    val toks = docs.select(col(idCol), strataCol.as("__st"),
+      explode(wordTokens(textCol)).as("token"))
+    val hits = toks
+      .join(dict, toks("__st") <=> dict("__st") && toks("token") === dict("token"))
+      .groupBy(toks(idCol))
       .agg(sum("llr").as("__s"))
-    docs.select(col(idCol), strataCol.as("__st"))
+    val base = docs.select(col(idCol), strataCol.as("stratum"))
       .join(hits, Seq(idCol), "left")
-      .join(broadcast(priors), "__st")
-      .select(col(idCol), col("__st").as("stratum"),
+    base.join(broadcast(priors), base("stratum") <=> priors("__st"), "left")
+      .select(base(idCol), base("stratum"),
         round(coalesce(col("__s"), lit(0.0)) + col("__p"), 4).as("nb_llr"),
         ((coalesce(col("__s"), lit(0.0)) + col("__p")) > 0).as("hq"))
   }
@@ -250,26 +254,37 @@ object Classifier {
     * two vocabulary tokens would silently merge their weights, so
     * collisions fail fast instead (P ≈ v²/2⁶⁵ — never in practice).
     */
-  def collectDict(dict: DataFrame, maxTokens: Int = 0): (Array[Long], Array[Double]) =
-    collectKeyed(dict, maxTokens, Seq(col("token")), xxhash64(col("token")))
+  def collectDict(dict: DataFrame, maxTokens: Int = 0): (Array[Long], Array[Double]) = {
+    val cut =
+      if (maxTokens > 0)
+        dict.orderBy(abs(col("llr")).desc, col("token")).limit(maxTokens)
+      else dict
+    packDigests(cut, xxhash64(col("token")))
+  }
 
   /** [[collectDict]] for a [[nbTrainStratified]] dictionary: ONE flat
     * `(sorted digest, weight)` pair serves every stratum — digests
     * are `xxhash64(stratum, token)`, so a spelling shared across
     * strata hashes to distinct entries and the scoring column
-    * ([[nbScoreColumnStratified]]) can never cross-score. */
+    * ([[stratHitSum]]) can never cross-score. `maxTokens` truncates
+    * PER STRATUM (rank by |llr| within each stratum) — a global top-N
+    * would let one verbose language's vocabulary evict another's
+    * entire model, silently un-scoring its documents. */
   def collectDictStratified(
-      dict: DataFrame, maxTokens: Int = 0): (Array[Long], Array[Double]) =
-    collectKeyed(dict, maxTokens, Seq(col("__st"), col("token")),
-      xxhash64(col("__st"), col("token")))
-
-  private def collectKeyed(dict: DataFrame, maxTokens: Int,
-      tieBreak: Seq[Column], digest: Column): (Array[Long], Array[Double]) = {
+      dict: DataFrame, maxTokens: Int = 0): (Array[Long], Array[Double]) = {
     val cut =
-      if (maxTokens > 0)
-        dict.orderBy(abs(col("llr")).desc +: tieBreak: _*).limit(maxTokens)
-      else dict
-    val rows = cut.select(digest.as("h"), col("llr"))
+      if (maxTokens > 0) {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("__st").orderBy(abs(col("llr")).desc, col("token"))
+        dict.withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= maxTokens).drop("__rk")
+      } else dict
+    packDigests(cut, xxhash64(col("__st"), col("token")))
+  }
+
+  private def packDigests(dict: DataFrame,
+      digest: Column): (Array[Long], Array[Double]) = {
+    val rows = dict.select(digest.as("h"), col("llr"))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
     rows.iterator.zip(rows.iterator.drop(1)).foreach { case ((a, _), (b, _)) =>
       require(a != b, s"xxhash64 collision in NB dictionary on digest $a")

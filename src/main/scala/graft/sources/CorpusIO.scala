@@ -289,38 +289,86 @@ object CorpusIO {
   /** Per-file integrity manifest of a released dataset directory —
     * the artifact a 100 TB release ships next to its shards so any
     * consumer can verify what they downloaded: one row per parquet
-    * file with its byte size and SHA-256. Distributed end to end
-    * (`binaryFile` scan + the codegen'd `sha2`, one task per file —
-    * file bytes never hit the driver); recursive so Hive-partitioned
+    * file with its byte size and SHA-256. Distributed end to end:
+    * the `binaryFile` LISTING (content pruned — no byte read, no
+    * 2 GiB `maxLength` cap) fans the paths out, and each task streams
+    * its file through a chunked `MessageDigest` — a 30 GiB shard
+    * digests in constant memory. Recursive so Hive-partitioned
     * layouts manifest whole. */
   def fileManifest(spark: SparkSession, dir: String,
-      glob: String = "*.parquet"): DataFrame =
+      glob: String = "*.parquet"): DataFrame = {
+    import spark.implicits._
+    // executor-side FileSystem from the driver's effective Hadoop
+    // conf (shipped as plain entries — Configuration isn't
+    // serializable)
+    val confEntries = {
+      val c = spark.sessionState.newHadoopConf()
+      val it = c.iterator()
+      val b = Seq.newBuilder[(String, String)]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+      b.result()
+    }
     spark.read.format("binaryFile")
       .option("pathGlobFilter", glob).option("recursiveFileLookup", "true")
       .load(dir)
-      .select(col("path"), col("length").as("size_bytes"),
-        sha2(col("content"), 256).as("sha256"))
+      .select(col("path"), col("length").as("size_bytes"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration(false)
+        confEntries.foreach { case (k, v) => conf.set(k, v) }
+        val buf = new Array[Byte](1 << 20)
+        it.map { case (path, len) =>
+          val p = new org.apache.hadoop.fs.Path(new java.net.URI(path))
+          val fs = p.getFileSystem(conf)
+          val md = java.security.MessageDigest.getInstance("SHA-256")
+          val in = fs.open(p)
+          try {
+            var n = in.read(buf)
+            while (n >= 0) {
+              if (n > 0) md.update(buf, 0, n)
+              n = in.read(buf)
+            }
+          } finally in.close()
+          (path, len, md.digest().map("%02x".format(_)).mkString)
+        }
+      }
+      .toDF("path", "size_bytes", "sha256")
+  }
 
   /** Release rollup per Hive partition: `(partition value, n_files,
     * size_bytes, n_rows)` — the physical-layout half comes from the
     * file listing (no data read beyond footers), the logical half
-    * from one grouped count over the same files; the join key is the
-    * `<partitionCol>=...` path segment. Pair with [[fileManifest]]
-    * for per-file checksums; q127 gates this rollup against the
-    * DuckDB oracle over the same written release. */
+    * from one grouped count via partition discovery. The listing's
+    * raw `<partitionCol>=...` path segment is DECODED to the logical
+    * value (Hive %-escaping reversed; the `__HIVE_DEFAULT_PARTITION__`
+    * sentinel → NULL) and the join is null-safe, so escaped values
+    * (`a:b` → dir `a%3Ab`) and NULL partitions can never silently
+    * drop out of an integrity audit. Left outer from the listing, so
+    * a partition whose files hold zero rows still appears (n_rows =
+    * 0). Pair with [[fileManifest]] for per-file checksums; q127
+    * gates this rollup against the DuckDB oracle over the same
+    * written release. */
   def releaseManifest(spark: SparkSession, dir: String,
       partitionCol: String): DataFrame = {
-    val part = regexp_extract(col("path"),
+    val seg = regexp_extract(col("path"),
       java.util.regex.Pattern.quote(partitionCol) + "=([^/]+)", 1)
+    // Hive escapes with %xx only — protect literal '+' from
+    // url_decode's application/x-www-form-urlencoded '+'→space rule
+    val decoded = when(seg === "__HIVE_DEFAULT_PARTITION__",
+        lit(null).cast("string"))
+      .otherwise(url_decode(regexp_replace(seg, "\\+", "%2B")))
     val files = spark.read.format("binaryFile")
       .option("pathGlobFilter", "*.parquet").option("recursiveFileLookup", "true")
       .load(dir)
-      .select(part.as(partitionCol), col("length"))
-      .groupBy(partitionCol)
+      .select(decoded.as("__pv"), col("length"))
+      .groupBy("__pv")
       .agg(count(lit(1)).as("n_files"), sum("length").as("size_bytes"))
     val rows = spark.read.parquet(dir)
-      .groupBy(partitionCol).agg(count(lit(1)).as("n_rows"))
-    files.join(rows, partitionCol)
+      .groupBy(col(partitionCol).cast("string").as("__pr"))
+      .agg(count(lit(1)).as("n_rows"))
+    files.join(rows, col("__pv") <=> col("__pr"), "left")
+      .select(col("__pv").as(partitionCol), col("n_files"),
+        col("size_bytes"), coalesce(col("n_rows"), lit(0L)).as("n_rows"))
   }
 
   /** Keyed parquet upsert — the MERGE a plain-parquet lake needs

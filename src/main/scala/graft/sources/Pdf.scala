@@ -55,19 +55,15 @@ object Pdf {
     import docs.sparkSession.implicits._
     docs.mapPartitions { rows =>
       val inflater = new java.util.zip.Inflater()
-      // release the native zlib buffers when the partition drains —
+      // release the native zlib buffers when the TASK completes —
+      // covers full drains, limit()/take() short-circuits, and task
+      // failure alike (an iterator-drain hook misses the latter two);
       // executors churn many tasks and GC finalization is too late
-      new Iterator[PdfExtract] {
-        def hasNext: Boolean = {
-          val h = rows.hasNext
-          if (!h) inflater.end()
-          h
-        }
-        def next(): PdfExtract = {
-          val d = rows.next()
-          val r = extractText(d.content, inflater)
-          PdfExtract(d.path, r.text, r.pages, r.ok)
-        }
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => inflater.end()))
+      rows.map { d =>
+        val r = extractText(d.content, inflater)
+        PdfExtract(d.path, r.text, r.pages, r.ok)
       }
     }
   }
@@ -140,19 +136,34 @@ object Pdf {
   /** The full `<< ... >>` dictionary text preceding position `s`,
     * balancing nested dictionaries — `lastIndexOf("<<")` would land
     * on an inner `/DecodeParms << ... >>` and miss the outer dict's
-    * /Filter entry. Empty when no dict closes right before `s`. */
+    * /Filter entry. Scans FORWARD from the stream's object header
+    * (the `obj` keyword — the natural restart point where no string
+    * can be open) walking strings/hex/comments structurally, so a
+    * `>>` inside a `(Title (a >> b))` value can never misbalance the
+    * depth the way a naive backward bracket count would. Empty when
+    * no complete dict closes before `s`. */
   private def dictBefore(raw: String, s: Int): String = {
-    var p = s - 1
-    while (p >= 0 && raw.charAt(p).isWhitespace) p -= 1
-    if (p < 1 || raw.charAt(p) != '>' || raw.charAt(p - 1) != '>') return ""
-    var depth = 1
-    var i = p - 2
-    while (i >= 1 && depth > 0) {
-      if (raw.charAt(i) == '>' && raw.charAt(i - 1) == '>') { depth += 1; i -= 2 }
-      else if (raw.charAt(i) == '<' && raw.charAt(i - 1) == '<') { depth -= 1; i -= 2 }
-      else i -= 1
+    val objPos = raw.lastIndexOf("obj", s)
+    var i = if (objPos >= 0) objPos + 3 else math.max(0, s - 8192)
+    var depth = 0
+    var start = -1
+    var doneStart = -1
+    var doneEnd = -1
+    while (i < s) {
+      val c = raw.charAt(i)
+      if (c == '%') {
+        while (i < s && raw.charAt(i) != '\n' && raw.charAt(i) != '\r') i += 1
+      } else if (c == '(') i = literalString(raw, i)._2
+      else if (c == '<' && i + 1 < raw.length && raw.charAt(i + 1) == '<') {
+        if (depth == 0) start = i
+        depth += 1; i += 2
+      } else if (c == '>' && i + 1 < raw.length && raw.charAt(i + 1) == '>') {
+        depth -= 1; i += 2
+        if (depth == 0) { doneStart = start; doneEnd = i }
+      } else if (c == '<') i = hexString(raw, i)._2
+      else i += 1
     }
-    if (depth == 0) raw.substring(i + 1, p + 1) else ""
+    if (doneStart >= 0) raw.substring(doneStart, doneEnd) else ""
   }
 
   private def inflate(data: Array[Byte],

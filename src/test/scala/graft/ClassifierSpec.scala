@@ -134,6 +134,38 @@ class ClassifierSpec extends AnyFunSuite {
     assert(out(3L)._2.isEmpty && out(4L)._2.isEmpty)
   }
 
+  test("stratified: NULL strata score against their own model, never vanish") {
+    val rows = Seq(
+      (1L, "A", "x y", true), (2L, "A", "x z", false),
+      (3L, null.asInstanceOf[String], "n1 n2", true),
+      (4L, null.asInstanceOf[String], "n1 n3", false))
+      .toDF("doc_id", "st", "text", "pos")
+    val out = Classifier.nbQualityScoreStratified(rows, "doc_id",
+        col("st"), col("text"), col("pos"))
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.getString(1)), r.isNullAt(2)))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L),
+      "one output row per input doc — NULL strata must not drop")
+    assert(out(3L)._1.isEmpty && !out(3L)._2,
+      "the NULL stratum is two-class here: its docs get real scores")
+  }
+
+  test("stratified truncation is per stratum — a loud stratum can't evict a quiet one") {
+    // stratum A: strong weights on many tokens; stratum B: weak weights
+    val rows = Seq(
+      (1L, "A", "a1 a2 a3 a4", true), (2L, "A", "a5 a6 a7 a8", false),
+      (3L, "B", "b1 b1 b2", true), (4L, "B", "b3 b2", false))
+      .toDF("doc_id", "st", "text", "pos")
+    val dict = Classifier.nbTrainStratified(rows, col("st"), col("text"), col("pos"))
+    val (keys, _) = Classifier.collectDictStratified(dict, maxTokens = 2)
+    // 2 per stratum → 4 entries total, and B keeps its strongest two
+    assert(keys.length === 4)
+    val bTop = dict.filter(col("__st") === "B")
+      .orderBy(abs(col("llr")).desc, col("token")).limit(2)
+      .select(xxhash64(col("__st"), col("token"))).collect().map(_.getLong(0)).toSet
+    assert(bTop.subsetOf(keys.toSet), "stratum B's own top tokens must survive")
+  }
+
   test("stratified map-side kernel reproduces the join-based stratified scorer") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val label = col("n_chars") >= 300

@@ -147,4 +147,19 @@ class LayoutSpec extends AnyFunSuite {
       .select(sum("size_bytes")).head().getLong(0)
     assert(m.values.map(_._2).sum === perFile)
   }
+
+  test("releaseManifest survives Hive-escaped partition values") {
+    val base = Files.createTempDirectory("graft-manifest3").toString
+    // ':' forces Hive path escaping (src=a%3Ab on disk) — the audit
+    // must key both halves on the same raw segment, not drop the
+    // partition to a raw-vs-decoded join mismatch
+    Seq((1L, "a:b"), (2L, "a:b"), (3L, "plain"))
+      .toDF("id", "src")
+      .repartition(col("src")).write.partitionBy("src").parquet(s"$base/rel")
+    val m = CorpusIO.releaseManifest(spark, s"$base/rel", "src")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(m.values.sum === 3L, s"no partition may vanish from the audit: $m")
+    assert(m === Map("a:b" -> 2L, "plain" -> 1L),
+      s"partition values must come back DECODED: $m")
+  }
 }

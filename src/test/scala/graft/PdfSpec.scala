@@ -84,6 +84,13 @@ class PdfSpec extends AnyFunSuite {
     assert(r.ok && r.text === "Nested dict page")
   }
 
+  test("a '>>' inside a string value in the stream dict cannot hide /FlateDecode") {
+    val content = "BT (Title trap page) Tj ET".getBytes(Latin1)
+    val r = Pdf.extractText(pdf(deflate(content),
+      filter = " /Filter /FlateDecode /Title (a >> b)"))
+    assert(r.ok && r.text === "Title trap page")
+  }
+
   test("hex strings drive the quote show operators too") {
     val content = "BT (first) Tj <FEFF0073> ' ET".getBytes(Latin1)
     val r = Pdf.extractText(pdf(content))
