@@ -162,4 +162,16 @@ class LayoutSpec extends AnyFunSuite {
     assert(m === Map("a:b" -> 2L, "plain" -> 1L),
       s"partition values must come back DECODED: $m")
   }
+
+  test("releaseManifest: a NULL partition joins null-safely, never drops") {
+    val base = Files.createTempDirectory("graft-manifest4").toString
+    Seq((1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]),
+        (3L, "known"))
+      .toDF("id", "src")
+      .repartition(col("src")).write.partitionBy("src").parquet(s"$base/rel")
+    val rows = CorpusIO.releaseManifest(spark, s"$base/rel", "src")
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(3)).toMap
+    assert(rows === Map(None -> 2L, Some("known") -> 1L),
+      s"the __HIVE_DEFAULT_PARTITION__ sentinel must audit as NULL: $rows")
+  }
 }
