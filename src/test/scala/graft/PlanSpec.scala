@@ -352,4 +352,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"),
       s"single-row totals must attach by broadcast, never cartesian:\n$plan")
   }
+
+  test("q128: stratified NB keeps the q125 plan shape — reused token shuffle, no cartesian") {
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevT = spark.conf.get(thresholdKey)
+    val prevA = spark.conf.get(aqeKey)
+    val plan = try {
+      spark.conf.set(thresholdKey, "-1")
+      spark.conf.set(aqeKey, "false")
+      operators.Classifier.nbQualityScoreStratified(
+        Tables.documents(spark, dir), "doc_id", col("lang"), col("text"),
+        col("n_chars") >= 300)
+        .queryExecution.executedPlan.toString
+    } finally { spark.conf.set(thresholdKey, prevT); spark.conf.set(aqeKey, prevA) }
+    assert(plan.contains("ReusedExchange"),
+      s"per-stratum totals must read the (stratum, token) shuffle back:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"the null-safe stratum joins must stay hash/merge joins:\n$plan")
+  }
 }
