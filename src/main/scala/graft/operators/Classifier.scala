@@ -155,10 +155,13 @@ object Classifier {
       .agg(
         sum(when(col("__pos"), 1L).otherwise(0L)).as("__cpos"),
         sum(when(!col("__pos"), 1L).otherwise(0L)).as("__cneg"))
-    val totals = counts.groupBy("__st").agg(
+    // null-safe totals attach: a NULL stratum is a stratum like any
+    // other (groupBy already keyed it); a plain equality join would
+    // silently drop its whole dictionary
+    val totals = counts.groupBy(col("__st").as("__stt")).agg(
       sum("__cpos").as("__np"), sum("__cneg").as("__nn"),
       count(lit(1)).as("__v"))
-    counts.join(broadcast(totals), "__st")
+    counts.join(broadcast(totals), col("__st") <=> col("__stt"))
       .select(col("__st"), col("token"),
         (log((col("__cpos") + lit(1.0)) / (col("__np") + col("__v"))) -
           log((col("__cneg") + lit(1.0)) / (col("__nn") + col("__v")))).as("llr"))

@@ -318,7 +318,11 @@ object CorpusIO {
         confEntries.foreach { case (k, v) => conf.set(k, v) }
         val buf = new Array[Byte](1 << 20)
         it.map { case (path, len) =>
-          val p = new org.apache.hadoop.fs.Path(new java.net.URI(path))
+          // Path(String), not Path(URI): binaryFile's path column is
+          // the already-decoded FileStatus string — URI would
+          // double-decode %-escapes (and reject raw spaces) and open
+          // a file that doesn't exist
+          val p = new org.apache.hadoop.fs.Path(path)
           val fs = p.getFileSystem(conf)
           val md = java.security.MessageDigest.getInstance("SHA-256")
           val in = fs.open(p)
@@ -363,7 +367,16 @@ object CorpusIO {
       .select(decoded.as("__pv"), col("length"))
       .groupBy("__pv")
       .agg(count(lit(1)).as("n_files"), sum("length").as("size_bytes"))
-    val rows = spark.read.parquet(dir)
+    // partition values must stay STRINGS: type inference would read a
+    // "01" directory back as int 1, the cast-back gives "1", and the
+    // join misses — an audit claiming a populated partition is empty.
+    // Inference runs eagerly at read time, so save/restore is safe.
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prevInfer = spark.conf.get(inferKey)
+    val parquet =
+      try { spark.conf.set(inferKey, "false"); spark.read.parquet(dir) }
+      finally spark.conf.set(inferKey, prevInfer)
+    val rows = parquet
       .groupBy(col(partitionCol).cast("string").as("__pr"))
       .agg(count(lit(1)).as("n_rows"))
     files.join(rows, col("__pv") <=> col("__pr"), "left")

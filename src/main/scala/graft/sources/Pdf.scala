@@ -140,10 +140,19 @@ object Pdf {
     * (the `obj` keyword — the natural restart point where no string
     * can be open) walking strings/hex/comments structurally, so a
     * `>>` inside a `(Title (a >> b))` value can never misbalance the
-    * depth the way a naive backward bracket count would. Empty when
-    * no complete dict closes before `s`. */
+    * depth the way a naive backward bracket count would. The anchor
+    * must be a DELIMITED `obj` token — a bare substring match would
+    * anchor inside a string value like `(An object summary)` and
+    * start the structural scan mid-string. Empty when no complete
+    * dict closes before `s`. */
   private def dictBefore(raw: String, s: Int): String = {
-    val objPos = raw.lastIndexOf("obj", s)
+    def delimitedToken(p: Int): Boolean =
+      p >= 0 &&
+        (p == 0 || !raw.charAt(p - 1).isLetter) &&
+        (p + 3 >= raw.length || !raw.charAt(p + 3).isLetterOrDigit)
+    var objPos = raw.lastIndexOf("obj", s)
+    while (objPos >= 0 && !delimitedToken(objPos))
+      objPos = raw.lastIndexOf("obj", objPos - 1)
     var i = if (objPos >= 0) objPos + 3 else math.max(0, s - 8192)
     var depth = 0
     var start = -1

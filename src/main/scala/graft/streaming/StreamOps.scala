@@ -347,7 +347,9 @@ object StreamOps {
       priors: DataFrame, minScore: Double): DataFrame = {
     val score = round(graft.operators.Classifier.stratHitSum(
       strataCol, textCol, keys, weights) + col("__p"), 4)
-    docs.join(broadcast(priors), strataCol === col("__st"), "left")
+    // null-safe, like the batch scorer: a two-class NULL stratum has a
+    // real model and its rows must gate on it, not auto-fail
+    docs.join(broadcast(priors), strataCol <=> col("__st"), "left")
       .filter(score >= minScore)
       .drop("__st", "__p")
   }

@@ -148,6 +148,14 @@ class ClassifierSpec extends AnyFunSuite {
       "one output row per input doc — NULL strata must not drop")
     assert(out(3L)._1.isEmpty && !out(3L)._2,
       "the NULL stratum is two-class here: its docs get real scores")
+    // ...and the scores carry real token EVIDENCE, not just the prior:
+    // n2 is pure-positive in the NULL stratum (llr = ln 2), n3 pure-
+    // negative; a null-unsafe dictionary join would score both 0.0
+    val scores = Classifier.nbQualityScoreStratified(rows, "doc_id",
+        col("st"), col("text"), col("pos"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scores(3L) === 0.6931 && scores(4L) === -0.6931,
+      s"NULL-stratum docs must score against their own dictionary: $scores")
   }
 
   test("stratified truncation is per stratum — a loud stratum can't evict a quiet one") {

@@ -161,6 +161,22 @@ class LayoutSpec extends AnyFunSuite {
     assert(m.values.sum === 3L, s"no partition may vanish from the audit: $m")
     assert(m === Map("a:b" -> 2L, "plain" -> 1L),
       s"partition values must come back DECODED: $m")
+    // the per-file manifest must be able to OPEN files in escaped
+    // dirs (a URI re-parse would double-decode %3A and miss the file)
+    val files = CorpusIO.fileManifest(spark, s"$base/rel").collect()
+    assert(files.length >= 2 && files.forall(_.getString(2).length === 64))
+  }
+
+  test("releaseManifest: numeric-looking partition strings keep their spelling") {
+    val base = Files.createTempDirectory("graft-manifest5").toString
+    // type inference would read "01" back as int 1 and the audit
+    // would claim the populated partition holds zero rows
+    Seq((1L, "01"), (2L, "01"), (3L, "1.10"))
+      .toDF("id", "src")
+      .repartition(col("src")).write.partitionBy("src").parquet(s"$base/rel")
+    val m = CorpusIO.releaseManifest(spark, s"$base/rel", "src")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(m === Map("01" -> 2L, "1.10" -> 1L), s"audit mismatch: $m")
   }
 
   test("releaseManifest: a NULL partition joins null-safely, never drops") {

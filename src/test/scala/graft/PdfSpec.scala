@@ -91,6 +91,13 @@ class PdfSpec extends AnyFunSuite {
     assert(r.ok && r.text === "Title trap page")
   }
 
+  test("'obj' inside a dict string value cannot derail the dict anchor") {
+    val content = "BT (Anchored page) Tj ET".getBytes(Latin1)
+    val r = Pdf.extractText(pdf(deflate(content),
+      filter = " /Filter /FlateDecode /Title (An object summary)"))
+    assert(r.ok && r.text === "Anchored page")
+  }
+
   test("hex strings drive the quote show operators too") {
     val content = "BT (first) Tj <FEFF0073> ' ET".getBytes(Latin1)
     val r = Pdf.extractText(pdf(content))
