@@ -185,7 +185,11 @@ object Bench {
             staged(s"$tmpOut/st_vecs").as[streaming.StreamOps.KeyedVec]).toDF(), "sem")),
         "st_decontaminate" -> (() => runStream(
           streaming.StreamOps.decontaminateStream(
-            staged(s"$tmpOut/st_docs"), col("text"), stDigests, nWords = 5), "decon")))
+            staged(s"$tmpOut/st_docs"), col("text"), stDigests, nWords = 5), "decon")),
+        "st_quality_gate" -> (() => runStream(
+          streaming.StreamOps.qualityGateStream(
+            staged(s"$tmpOut/st_docs"), col("text"),
+            nbKeys, nbWeights, nbPrior, minScore = 0.0), "qgate")))
     }
 
     val queryRuns: Seq[(String, () => Unit)] =

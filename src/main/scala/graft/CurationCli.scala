@@ -186,10 +186,15 @@ object CurationCli {
     val goldBack = spark.read.parquet(s"$outDir/gold")
     val output = goldBack.count()
 
-    // 6. data-mixture card alongside the release
+    // 6. data-mixture card + release manifest alongside the release
+    // (per-split files/bytes/rows — the integrity artifact a consumer
+    // verifies their download against; per-file SHA-256 via
+    // CorpusIO.fileManifest when they need it)
     Stats.mixtureReport(goldBack, Seq(col("lang"), col("split")),
         cost = length(col("text")))
       .write.mode("overwrite").parquet(s"$outDir/mixture")
+    sources.CorpusIO.releaseManifest(spark, s"$outDir/gold", "split")
+      .write.mode("overwrite").parquet(s"$outDir/manifest")
 
     // 7. output suite: structural gates on the released corpus
     val results = Quality.run(goldBack, Seq(

@@ -54,6 +54,12 @@ class CurationSpec extends AnyFunSuite {
     assert(goldDirs.nonEmpty && goldDirs.forall(_.startsWith("split=")))
     val mix = spark.read.parquet(s"$base/out/mixture")
     assert(mix.count() > 0)
+    // release manifest ships alongside: per-split rows reconcile with gold
+    val manifest = spark.read.parquet(s"$base/out/manifest")
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(manifest.keySet === goldDirs.map(_.stripPrefix("split=")).toSet)
+    assert(manifest.values.sum === funnel.output,
+      s"manifest rows must reconcile with the release: $manifest")
 
     // suite green; warehouse carries the funnel
     assert(results.nonEmpty && operators.Quality.gate(results) === 0,
