@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{analysis, text}
-import graft.operators.{Classifier, Dedup, DupClusters, Incremental, Retrieval, Similarity, Skew, Split, Stats}
+import graft.operators.{Classifier, Dedup, DupClusters, Incremental, Retrieval, Similarity, Skew, Split, Stats, Winnow}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -1987,6 +1987,24 @@ object SparkEntry {
       Classifier.nbQualityScoreStratified(Tables.documents(s, dir),
           "doc_id", col("lang"), col("text"), col("n_chars") >= 300)
         .orderBy("doc_id")
+    },
+
+    // ---- Winnowing fingerprints (Schleimer et al., SIGMOD'03): the
+    // bounded-density local fingerprinting guarantee — any shared run
+    // of ≥ k+w−1 words shares a fingerprint. Portable md5-prefix gram
+    // hash, so the oracle replays the rightmost-min selection exactly.
+    "q129_winnow_fingerprints" -> { (s, dir) =>
+      Winnow.fingerprints(Tables.documents(s, dir), "doc_id", col("text"),
+          k = 4, w = 4)
+        .orderBy("doc_id", "pos")
+    },
+
+    // ---- Fingerprint-overlap candidates: posting self-join on the
+    // LONG fingerprint with the df-cap boilerplate guardrail.
+    "q130_winnow_overlap" -> { (s, dir) =>
+      Winnow.overlapPairs(Tables.documents(s, dir), "doc_id", col("text"),
+          k = 4, w = 4, minShared = 2, maxDf = 64)
+        .orderBy("id_a", "id_b")
     },
   )
 
@@ -4152,5 +4170,83 @@ object SparkEntry {
         |FROM lab l LEFT JOIN sc ON l.doc_id = sc.doc_id
         |JOIN prior ON l.lang = prior.lang
         |ORDER BY l.doc_id""".stripMargin,
+
+    // q129/q130: full winnowing replay — the rightmost-min-per-window
+    // selection as the same frame-bounded window-min predicate the
+    // engine evaluates (WinnowSpec fuzz-proves the reformulation).
+    "q129_winnow_fingerprints" ->
+      """WITH w0 AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id, i AS pos,
+        |    CAST(('0x' || substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM w0, UNNEST(generate_series(1, len(ws) - 3)) AS t(i)),
+        |b AS (SELECT doc_id, pos, h,
+        |    count(*) OVER (PARTITION BY doc_id) AS n,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 1 PRECEDING AND 1 PRECEDING) AS pm1,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS pm2,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS pm3,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 1 FOLLOWING AND 1 FOLLOWING) AS nm1,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS nm2,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS nm3
+        |  FROM g)
+        |SELECT doc_id, pos, h AS fp FROM b
+        |WHERE (pos <= n - 3 AND coalesce(nm3 > h, TRUE))
+        |   OR (pos - 1 >= 1 AND pos - 1 <= n - 3
+        |       AND coalesce(pm1 >= h, TRUE) AND coalesce(nm2 > h, TRUE))
+        |   OR (pos - 2 >= 1 AND pos - 2 <= n - 3
+        |       AND coalesce(pm2 >= h, TRUE) AND coalesce(nm1 > h, TRUE))
+        |   OR (pos - 3 >= 1 AND pos - 3 <= n - 3 AND coalesce(pm3 >= h, TRUE))
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    "q130_winnow_overlap" ->
+      """WITH w0 AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id, i AS pos,
+        |    CAST(('0x' || substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM w0, UNNEST(generate_series(1, len(ws) - 3)) AS t(i)),
+        |b AS (SELECT doc_id, pos, h,
+        |    count(*) OVER (PARTITION BY doc_id) AS n,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 1 PRECEDING AND 1 PRECEDING) AS pm1,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS pm2,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS pm3,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 1 FOLLOWING AND 1 FOLLOWING) AS nm1,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS nm2,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS nm3
+        |  FROM g),
+        |sel AS (SELECT doc_id, pos, h FROM b
+        |  WHERE (pos <= n - 3 AND coalesce(nm3 > h, TRUE))
+        |     OR (pos - 1 >= 1 AND pos - 1 <= n - 3
+        |         AND coalesce(pm1 >= h, TRUE) AND coalesce(nm2 > h, TRUE))
+        |     OR (pos - 2 >= 1 AND pos - 2 <= n - 3
+        |         AND coalesce(pm2 >= h, TRUE) AND coalesce(nm1 > h, TRUE))
+        |     OR (pos - 3 >= 1 AND pos - 3 <= n - 3
+        |         AND coalesce(pm3 >= h, TRUE))),
+        |fp AS (SELECT DISTINCT doc_id, h FROM sel),
+        |dfs AS (SELECT h FROM fp GROUP BY h
+        |        HAVING count(*) >= 2 AND count(*) <= 64),
+        |keyed AS (SELECT doc_id, h FROM fp JOIN dfs USING (h))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(count(*) AS BIGINT) AS shared_fps
+        |FROM keyed a JOIN keyed b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY id_a, id_b""".stripMargin,
   )
 }
