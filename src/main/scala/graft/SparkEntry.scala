@@ -2006,6 +2006,27 @@ object SparkEntry {
           k = 4, w = 4, minShared = 2, maxDf = 64)
         .orderBy("id_a", "id_b")
     },
+
+    // ---- n-gram novelty: each distinct 4-gram is owned by its
+    // smallest doc_id; novelty = owned fraction — the data-valuation
+    // signal behind dedup-aware selection. Digest-keyed in the engine,
+    // gram-string-keyed in the oracle (identical partition of grams).
+    "q131_ngram_novelty" -> { (s, dir) =>
+      Stats.ngramNovelty(Tables.documents(s, dir), "doc_id", col("text"),
+          n = 4)
+        .orderBy("doc_id")
+    },
+
+    // ---- DoReMi-style mixture update: one multiplicative-weights
+    // step over per-source mean excess loss. n_chars as the loss
+    // keeps every sum integer-exact (order-independent), so the
+    // update is bit-reproducible; eta is scaled to the char-count
+    // loss magnitude.
+    "q132_domain_reweight" -> { (s, dir) =>
+      Split.domainReweight(Tables.documents(s, dir), col("source"),
+          col("n_chars"), eta = 0.01, smoothing = 0.01)
+        .orderBy("domain")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4248,5 +4269,44 @@ object SparkEntry {
         |FROM keyed a JOIN keyed b ON a.h = b.h AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q131_ngram_novelty" ->
+      """WITH w0 AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS ws
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+3], ' ') AS gram
+        |  FROM w0, UNNEST(generate_series(1, len(ws) - 3)) AS t(i)),
+        |own AS (SELECT gram, min(doc_id) AS owner FROM g GROUP BY gram),
+        |per AS (SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN own.owner = g.doc_id THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_novel
+        |  FROM g JOIN own USING (gram) GROUP BY g.doc_id)
+        |SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+        |  coalesce(n_novel, 0) AS n_novel,
+        |  CASE WHEN n_grams > 0
+        |    THEN round(n_novel * 1.0 / n_grams, 6) END AS novelty
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q132_domain_reweight" ->
+      """WITH per AS (SELECT source AS domain,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS DOUBLE) AS sl
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tn, sum(sl) AS tl,
+        |    CAST(count(*) AS BIGINT) AS k FROM per),
+        |upd AS (SELECT domain, n_docs,
+        |    greatest(sl / n_docs - (SELECT tl FROM tot) * 1.0 /
+        |      (SELECT tn FROM tot), 0.0) AS excess,
+        |    n_docs * 1.0 / (SELECT tn FROM tot) *
+        |      exp(0.01 * greatest(sl / n_docs - (SELECT tl FROM tot) * 1.0 /
+        |        (SELECT tn FROM tot), 0.0)) AS up
+        |  FROM per),
+        |norm AS (SELECT sum(up) AS z FROM upd)
+        |SELECT domain, n_docs, round(excess, 6) AS excess,
+        |  round(0.99 * up / (SELECT z FROM norm) +
+        |    0.01 / (SELECT k FROM tot), 6) AS weight
+        |FROM upd ORDER BY domain""".stripMargin,
   )
 }

@@ -554,4 +554,55 @@ object Split {
         (col("mix_rank").cast("double") - lit(0.5)) / col("__w"))
       .drop("__g", "__w")
   }
+
+  /** One DoReMi-style domain-reweighting step (Xie et al., "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining",
+    * 2023): given a per-document loss signal, compute each domain's
+    * mean EXCESS loss over the corpus-wide reference mean (clamped at
+    * 0 — only domains the reference handles worse than average earn
+    * up-weight), apply a multiplicative-weights update to the
+    * baseline share w₀ = n_domain / n_total, renormalize, and mix
+    * with the uniform distribution at `smoothing` so no domain's
+    * weight can collapse to zero:
+    *
+    *   weight = (1 − c) · w₀·exp(η·excess) / Σ w₀·exp(η·excess) + c/K
+    *
+    * The output is the next round's sampling mixture — feed `weight`
+    * to [[budgetSample]]/[[temperatureSample]] quotas. The published
+    * procedure iterates this update inside proxy-model training; one
+    * engine-side step IS the inner update, with the loss column
+    * supplied by whatever scorer the caller trusts (held-out
+    * log-loss, [[graft.operators.Classifier]] log-odds,
+    * [[graft.operators.Stats.unigramSurprisal]]…).
+    *
+    * Scale shape: one corpus-scale map-side-combined aggregation to
+    * (domain, n, Σloss); everything after runs on the domain frame,
+    * whose cardinality is bounded by design (languages, sources,
+    * crawl buckets — never corpus-scale), attached via the
+    * broadcast-totals pattern twice (reference mean, then the
+    * normalizer). Integer-valued loss columns make the whole output
+    * exactly reproducible (long sums are order-independent; double
+    * sums agree to the rounded surface). */
+  def domainReweight(df: DataFrame, domain: Column, loss: Column,
+      eta: Double = 1.0, smoothing: Double = 0.01): DataFrame = {
+    require(eta >= 0, "eta must be >= 0")
+    require(smoothing >= 0 && smoothing <= 1, "smoothing must be in [0, 1]")
+    val per = df.select(domain.as("domain"), loss.cast("double").as("__l"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), sum("__l").as("__sl"))
+    val tot = per.agg(sum("n_docs").as("__tn"), sum("__sl").as("__tl"),
+      count(lit(1)).as("__k"))
+    val upd = per.crossJoin(broadcast(tot))
+      .withColumn("excess",
+        greatest(col("__sl") / col("n_docs") - col("__tl") / col("__tn"),
+          lit(0.0)))
+      .withColumn("__up",
+        col("n_docs").cast("double") / col("__tn") * exp(lit(eta) * col("excess")))
+    val norm = upd.agg(sum("__up").as("__z"))
+    upd.crossJoin(broadcast(norm))
+      .select(col("domain"), col("n_docs"),
+        round(col("excess"), 6).as("excess"),
+        round(lit(1.0 - smoothing) * col("__up") / col("__z") +
+          lit(smoothing) / col("__k"), 6).as("weight"))
+  }
 }

@@ -366,6 +366,47 @@ object Stats {
         round(count(lit(1)).cast("double") / sum(col("__c")), 6).as("ttr"))
   }
 
+  /** Per-document n-gram NOVELTY under the corpus's id scan order:
+    * each distinct word n-gram is "owned" by the smallest doc_id that
+    * contains it; a document's novelty is the fraction of its distinct
+    * grams it owns. High-novelty documents contribute content the
+    * scan has not seen before; near-zero novelty marks documents whose
+    * every phrase already exists earlier in the corpus — the
+    * data-valuation signal behind dedup-aware selection and
+    * incremental-crawl triage (what did this snapshot actually add?),
+    * one level finer than [[snapshotDiff]]'s whole-document verdict.
+    *
+    * Scale shape: grams are DISTINCT per document (array_distinct
+    * before the explode), keyed by the 128-bit double-xxhash64 digest
+    * so the exchange never carries gram text; the min-owner aggregate
+    * and the posting join both partition by the same digest, and
+    * because `grams` is the literally-same instance on both sides the
+    * exchange is written once and read twice (ReusedExchange). One
+    * id-keyed aggregation and a left join back to the id spine
+    * complete it: three exchanges total, all on fixed-width keys,
+    * map-side combined. Novelty is NULL for documents with fewer than
+    * `n` words (no grams — the guarded division never runs under ANSI). */
+  def ngramNovelty(df: DataFrame, idCol: String, textCol: Column,
+      n: Int = 4): DataFrame = {
+    val grams = Dedup.spreadWide(df.select(col(idCol), textCol.as("__t")))
+      .select(col(idCol),
+        explode(array_distinct(Dedup.wordNGrams(col("__t"), n))).as("__g"))
+      .select(col(idCol),
+        xxhash64(col("__g")).as("__h1"), xxhash64(col("__g"), lit(1)).as("__h2"))
+    val owners = grams.groupBy("__h1", "__h2").agg(min(col(idCol)).as("__owner"))
+    val per = grams.join(owners, Seq("__h1", "__h2"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__owner") === col(idCol), 1L).otherwise(0L)).as("n_novel"))
+    df.select(col(idCol))
+      .join(per, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(col("n_grams") > 0,
+          round(col("n_novel") * lit(1.0) / col("n_grams"), 6)).as("novelty"))
+  }
+
   /** Dataset snapshot diff — the release-audit primitive between two
     * corpus versions: per id, was the row `added`, `removed`,
     * `changed` (any content column differs, null-safely) or

@@ -472,4 +472,31 @@ class AnalysisSpec extends AnyFunSuite {
       Seq("text", "lang")).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(only1(1L) === "changed")
   }
+
+  test("ngramNovelty: min-id ownership, hand-computed fractions, null below n words") {
+    import graft.operators.Stats
+    val docs = Seq(
+      (1L, "a b c d e"),  // owns "a b c d", "b c d e"
+      (2L, "a b c d x"),  // "a b c d" owned by 1; owns "b c d x"
+      (3L, "a b c"),      // < 4 words: no grams
+      (4L, "b c d e f")   // "b c d e" owned by 1; owns "c d e f"
+    ).toDF("doc_id", "text")
+    val out = Stats.ngramNovelty(docs, "doc_id", col("text"), n = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]))))
+      .toMap
+    assert(out(1L) === ((2L, 2L, Some(1.0))))
+    assert(out(2L) === ((2L, 1L, Some(0.5))))
+    assert(out(3L) === ((0L, 0L, None)))
+    assert(out(4L) === ((2L, 1L, Some(0.5))))
+  }
+
+  test("ngramNovelty is partitioning-invariant and total (every input id present)") {
+    import graft.operators.Stats
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = Stats.ngramNovelty(docs, "doc_id", col("text"))
+    val b = Stats.ngramNovelty(docs.repartition(7), "doc_id", col("text"))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    assert(a.count() === docs.count())
+  }
 }

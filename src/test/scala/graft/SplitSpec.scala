@@ -398,4 +398,34 @@ class SplitSpec extends AnyFunSuite {
       .select("id", "mix_rank", "mix_pos").collect().toSet
     assert(again === mixed.select("id", "mix_rank", "mix_pos").collect().toSet)
   }
+
+  test("domainReweight: hand-computed multiplicative-weights step") {
+    // A: losses 10,20 (mean 15); B: 0,10 (mean 5); global mean 10
+    // excess A=5, B=0; w0=0.5 each; eta=0.1, smoothing=0.02
+    val rows = Seq(("A", 10L), ("A", 20L), ("B", 0L), ("B", 10L))
+      .toDF("dom", "loss")
+    val out = Split.domainReweight(rows, col("dom"), col("loss"),
+        eta = 0.1, smoothing = 0.02)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out("A") === ((2L, 5.0, 0.62001)))
+    assert(out("B") === ((2L, 0.0, 0.37999)))
+  }
+
+  test("domainReweight invariants: weights sum to 1, eta=0 is the smoothed baseline, below-mean domains clamp at 0 excess") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val w = Split.domainReweight(docs, col("source"), col("n_chars"),
+      eta = 0.01, smoothing = 0.01).collect()
+    assert(math.abs(w.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    assert(w.forall(_.getDouble(2) >= 0.0), "excess is clamped at 0")
+    // eta=0: weight = (1-c)*n/tn + c/k exactly
+    val k = w.length
+    val tn = w.map(_.getLong(1)).sum.toDouble
+    val w0 = Split.domainReweight(docs, col("source"), col("n_chars"),
+      eta = 0.0, smoothing = 0.01).collect()
+    w0.foreach { r =>
+      val expect = 0.99 * r.getLong(1) / tn + 0.01 / k
+      assert(math.abs(r.getDouble(3) - expect) < 1e-6, s"${r.getString(0)}")
+    }
+  }
 }
