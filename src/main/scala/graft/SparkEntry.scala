@@ -2027,6 +2027,20 @@ object SparkEntry {
           col("n_chars"), eta = 0.01, smoothing = 0.01)
         .orderBy("domain")
     },
+
+    // ---- Incremental novelty: the recurring-crawl form of q131 —
+    // batch docs probed against the persisted bucketed seen-gram
+    // state (what did this snapshot actually add, per document?).
+    "q133_incremental_novelty" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft_q133").toString
+      s.sql("DROP TABLE IF EXISTS graft_q133_grams")
+      Incremental.writeGramTable(docs.filter(col("doc_id") < 400),
+        col("text"), 4, "graft_q133_grams", path, numBuckets = 8)
+      Incremental.noveltyAgainstTable(docs.filter(col("doc_id") >= 400),
+          "doc_id", col("text"), 4, s.table("graft_q133_grams"))
+        .orderBy("doc_id")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4308,5 +4322,26 @@ object SparkEntry {
         |  round(0.99 * up / (SELECT z FROM norm) +
         |    0.01 / (SELECT k FROM tot), 6) AS weight
         |FROM upd ORDER BY domain""".stripMargin,
+
+    "q133_incremental_novelty" ->
+      """WITH w0 AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS ws
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+3], ' ') AS gram
+        |  FROM w0, UNNEST(generate_series(1, len(ws) - 3)) AS t(i)),
+        |state AS (SELECT DISTINCT gram FROM g WHERE doc_id < 400),
+        |bat AS (SELECT doc_id, gram FROM g WHERE doc_id >= 400),
+        |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN gram IN (SELECT gram FROM state)
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS n_new
+        |  FROM bat GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(n_grams, 0) AS n_grams,
+        |  coalesce(n_new, 0) AS n_new,
+        |  CASE WHEN n_grams > 0
+        |    THEN round(n_new * 1.0 / n_grams, 6) END AS novelty
+        |FROM (SELECT doc_id FROM documents WHERE doc_id >= 400) d
+        |LEFT JOIN per USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
   )
 }

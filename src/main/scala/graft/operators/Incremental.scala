@@ -279,4 +279,79 @@ object Incremental {
             xxhash64(slice(col("__sig"), b * r + 1, lit(r))).as("bucket")))).as("__b"))
       .select(col("__b.band").as("band"), col("__b.bucket").as("bucket"),
         col(idCol), col("__sig").as("sig"))
+
+  // ---- Seen-gram state: incremental n-gram novelty ----------------
+
+  /** Novelty state: ONE row per distinct word-n-gram digest ever
+    * ingested (the "seen set" behind
+    * [[Stats.ngramNovelty]]'s recurring form), bucketed + sorted by
+    * the 128-bit digest pair so every batch probe joins the corpus
+    * side bucket-aligned with no corpus shuffle. At 100 TB the seen
+    * set is corpus-scale (grams ≫ documents) — exactly the relation
+    * the `bucketBy` layout exists for. */
+  def writeGramTable(corpus: DataFrame, textCol: Column, n: Int,
+      table: String, path: String, numBuckets: Int = 64): Unit =
+    gramKeys(corpus.select(textCol.as("__t")), col("__t"), n)
+      .select("__g1", "__g2").distinct()
+      .repartition(numBuckets, col("__g1"), col("__g2"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, "__g1", "__g2").sortBy("__g1", "__g2")
+      .option("path", path)
+      .saveAsTable(table)
+
+  /** Per-document novelty of a batch against the persisted seen-gram
+    * table: `n_new` counts the doc's distinct grams ABSENT from state
+    * (anti-join — duplicate-safe even if the state's distinctness
+    * invariant were violated), `novelty = n_new / n_grams`, NULL when
+    * the doc has fewer than `n` words. Two batch-side passes over the
+    * gram stream (the per-doc total aggregates by id, the probe joins
+    * by digest — different partitionings, both batch-sized); the
+    * state side is read bucket-aligned and never shuffled. */
+  def noveltyAgainstTable(batch: DataFrame, idCol: String, textCol: Column,
+      n: Int, seenGrams: DataFrame): DataFrame = {
+    val grams = gramKeys(batch.select(col(idCol), textCol.as("__t")),
+      col("__t"), n).drop("__t")
+    val perDoc = grams.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
+    val fresh = grams
+      .join(seenGrams.select(col("__g1"), col("__g2")),
+        Seq("__g1", "__g2"), "left_anti")
+      .groupBy(idCol).agg(count(lit(1)).as("n_new"))
+    batch.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .join(fresh, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        // NULL n_new means "has grams, none new" (empty anti-join
+        // group), which must read 0 — not propagate NULL novelty
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        when(col("n_grams") > 0,
+          round(coalesce(col("n_new"), lit(0L)) * lit(1.0) /
+            col("n_grams"), 6)).as("novelty"))
+  }
+
+  /** Grow the seen-gram state by a batch: append only the grams NOT
+    * already in state (anti-join before the append preserves the
+    * one-row-per-gram invariant `noveltyAgainstTable` does not need
+    * but state size does), with the SAME bucket spec so the table
+    * stays probe-aligned. Shuffle bounded by batch gram count. */
+  def appendGrams(batch: DataFrame, textCol: Column, n: Int,
+      seenGrams: DataFrame, table: String, numBuckets: Int = 64): Unit =
+    gramKeys(batch.select(textCol.as("__t")), col("__t"), n)
+      .select("__g1", "__g2").distinct()
+      .join(seenGrams.select(col("__g1"), col("__g2")),
+        Seq("__g1", "__g2"), "left_anti")
+      .repartition(numBuckets, col("__g1"), col("__g2"))
+      .write.mode(SaveMode.Append)
+      .bucketBy(numBuckets, "__g1", "__g2").sortBy("__g1", "__g2")
+      .saveAsTable(table)
+
+  /** Distinct-per-document word n-grams as 128-bit digest pairs —
+    * the same gram identity as [[Stats.ngramNovelty]] (digest keys,
+    * never gram text, on any exchange). */
+  private def gramKeys(df: DataFrame, textCol: Column, n: Int): DataFrame =
+    df.select(col("*"),
+        explode(array_distinct(Dedup.wordNGrams(textCol, n))).as("__g"))
+      .withColumn("__g1", xxhash64(col("__g")))
+      .withColumn("__g2", xxhash64(col("__g"), lit(1)))
+      .drop("__g")
 }

@@ -222,4 +222,60 @@ class IncrementalSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS t_snapshot")
     }
   }
+
+  test("noveltyAgainstTable: hand-computed counts; append drives repeat batches to zero novelty") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c d e")).toDF("doc_id", "text") // grams: "a b c d", "b c d e"
+    Incremental.writeGramTable(corpus, col("text"), 4,
+      "t_grams", tmp("graft_grams"), numBuckets = 4)
+    try {
+      val batch = Seq(
+        (10L, "a b c d x"),  // "a b c d" seen, "b c d x" new → 1/2
+        (11L, "a b c"),      // no grams → novelty NULL
+        (12L, "p q r s")     // one gram, new → 1/1
+      ).toDF("doc_id", "text")
+      val out = Incremental.noveltyAgainstTable(batch, "doc_id", col("text"),
+          4, spark.table("t_grams"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), Option(r.get(3))))).toMap
+      assert(out(10L) === ((2L, 1L, Some(0.5))))
+      assert(out(11L) === ((0L, 0L, None)))
+      assert(out(12L) === ((1L, 1L, Some(1.0))))
+
+      // absorb the batch; the SAME batch re-probed is now 0-novel
+      Incremental.appendGrams(batch, col("text"), 4,
+        spark.table("t_grams"), "t_grams", numBuckets = 4)
+      val again = Incremental.noveltyAgainstTable(batch, "doc_id",
+          col("text"), 4, spark.table("t_grams"))
+        .collect().map(r => r.getLong(0) -> Option(r.get(3))).toMap
+      assert(again(10L) === Some(0.0) && again(12L) === Some(0.0))
+      // append keeps state distinct: re-appending adds nothing
+      val size1 = spark.table("t_grams").count()
+      Incremental.appendGrams(batch, col("text"), 4,
+        spark.table("t_grams"), "t_grams", numBuckets = 4)
+      assert(spark.table("t_grams").count() === size1)
+    } finally spark.sql("DROP TABLE IF EXISTS t_grams")
+  }
+
+  test("seen-gram probe join does not re-shuffle the state side") {
+    Incremental.writeGramTable(docs.filter(col("doc_id") < 300), col("text"),
+      4, "t_grams_plan", tmp("graft_grams_plan"), numBuckets = 8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = Incremental.noveltyAgainstTable(docs.filter(col("doc_id") >= 300),
+        "doc_id", col("text"), 4, spark.table("t_grams_plan"))
+      q.write.mode("overwrite").format("noop").save()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("LeftAnti"), s"anti-join probe expected:\n$plan")
+      assert(plan.contains("Bucketed: true"),
+        s"state scan must be bucket-aligned:\n$plan")
+      // exactly one digest-keyed shuffle in the whole query — the
+      // batch side of the probe; the state side reads bucket-aligned
+      assert("Exchange hashpartitioning\\(__g1".r.findAllIn(plan).size === 1,
+        s"state side must not re-shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS t_grams_plan")
+    }
+  }
 }
