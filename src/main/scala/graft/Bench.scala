@@ -104,6 +104,13 @@ object Bench {
       .write.mode("overwrite").parquet(s"$tmpOut/st_vecs")
     val stDigests = streaming.StreamOps.evalGramDigests(
       docs0.filter(col("doc_id") % 7 === 0), col("text"), nWords = 5)
+    // seen-set Bloom for the novelty gate, built off-clock from half
+    // the corpus (the gate itself is the thing being measured)
+    val stSeenBloom = operators.Incremental.gramBloom(
+      docs0.filter(col("doc_id") % 2 === 0)
+        .select(explode(array_distinct(
+          operators.Dedup.wordNGrams(col("text"), 4))).as("__g"))
+        .select(xxhash64(col("__g")).as("__g1")).distinct())
 
     def staged(path: String) =
       spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
@@ -189,7 +196,11 @@ object Bench {
         "st_quality_gate" -> (() => runStream(
           streaming.StreamOps.qualityGateStream(
             staged(s"$tmpOut/st_docs"), col("text"),
-            nbKeys, nbWeights, nbPrior, minScore = 0.0), "qgate")))
+            nbKeys, nbWeights, nbPrior, minScore = 0.0), "qgate")),
+        "st_novelty_gate" -> (() => runStream(
+          streaming.StreamOps.noveltyGateStream(
+            staged(s"$tmpOut/st_docs"), col("text"), stSeenBloom,
+            n = 4, minNovelty = 0.5), "ngate")))
     }
 
     val queryRuns: Seq[(String, () => Unit)] =

@@ -345,6 +345,22 @@ object Incremental {
       .bucketBy(numBuckets, "__g1", "__g2").sortBy("__g1", "__g2")
       .saveAsTable(table)
 
+  /** Bloom filter over the seen-gram state's primary digest (`__g1`
+    * — `xxhash64(gram)`, the key [[graft.streaming.StreamOps
+    * .noveltyGateStream]] recomputes per incoming doc): the broadcast
+    * form of the seen set for stateless online gating, ~2.9
+    * bytes/gram at fpp=1e-6 against 16 for the digest pair. Built
+    * distributed (`stat.bloomFilter` aggregates per partition); the
+    * error is one-sided in the CONSERVATIVE direction for a novelty
+    * gate — false positives claim a new gram was already seen, so
+    * estimated novelty can only be under-reported and stale content
+    * can never masquerade as fresh. */
+  def gramBloom(seenGrams: DataFrame, fpp: Double = 1e-6):
+      org.apache.spark.util.sketch.BloomFilter = {
+    val keys = seenGrams.select(col("__g1"))
+    keys.stat.bloomFilter("__g1", math.max(keys.count(), 1L), fpp)
+  }
+
   /** Distinct-per-document word n-grams as 128-bit digest pairs —
     * the same gram identity as [[Stats.ngramNovelty]] (digest keys,
     * never gram text, on any exchange). */

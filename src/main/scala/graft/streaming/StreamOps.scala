@@ -310,6 +310,43 @@ object StreamOps {
     docs.filter(hits === 0)
   }
 
+  /** Streaming novelty gate: keep only incoming documents whose
+    * estimated n-gram novelty — the fraction of their distinct grams
+    * ABSENT from the frozen seen-set Bloom filter
+    * ([[graft.operators.Incremental.gramBloom]] over the persisted
+    * seen-gram state) — clears `minNovelty`. The online counterpart
+    * of [[graft.operators.Incremental.noveltyAgainstTable]] for
+    * ingestion pipelines that triage crawl snapshots before paying
+    * storage: stale re-crawls drop at the edge.
+    *
+    * Same architecture as [[decontaminateStreamBloom]]: the seen set
+    * is FIXED for the gate's lifetime, so membership rides into one
+    * codegen'd map-side expression — no join, no state, no
+    * watermark; append-mode legal, identical in batch (how the spec
+    * pins agreement with the batch operator). Bloom error is
+    * one-sided conservative: a false positive marks a new gram
+    * "seen", so novelty is only ever UNDER-estimated — stale content
+    * can never pass as fresh; truly-novel docs are over-dropped at
+    * ~fpp per gram. Documents with fewer than `n` words have no
+    * grams and PASS (novelty is unprovable, the
+    * [[semanticDecontaminateStream]] convention); the batch operator
+    * reports them as NULL for the same reason. Novelty is rounded at
+    * the batch surface (6 places) before the threshold so a batch
+    * consumer filtering `novelty >= min` can never disagree near the
+    * boundary. */
+  def noveltyGateStream(docs: DataFrame, textCol: Column,
+      seenBloom: org.apache.spark.util.sketch.BloomFilter,
+      n: Int = 4, minNovelty: Double = 0.5): DataFrame = {
+    val digests = transform(
+      array_distinct(graft.operators.Dedup.wordNGrams(textCol, n)),
+      g => xxhash64(g))
+    val seen = graft.functions.text.expr2col(graft.functions.CountInBloom(
+      graft.functions.text.col2expr(digests), seenBloom))
+    val total = size(digests)
+    docs.filter(total === 0 ||
+      round((total - seen) * lit(1.0) / total, 6) >= minNovelty)
+  }
+
   /** Streaming learned-quality gate: keep rows whose Naive-Bayes
     * log-odds score clears `minScore`. The classifier's dictionary is
     * trained offline ([[graft.operators.Classifier.nbTrain]] →

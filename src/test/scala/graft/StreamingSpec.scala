@@ -441,4 +441,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(inc.count() < e.count() && inc.count() > 0)
     assert(inc.filter(col("ts") <= lit(sync)).count() === 0)
   }
+
+  test("noveltyGateStream: stream decisions == batch novelty threshold; short docs pass") {
+    import graft.operators.Incremental
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter(col("doc_id") < 30)
+    Incremental.writeGramTable(corpus, col("text"), 4,
+      "t_grams_stream", java.nio.file.Files.createTempDirectory("graft_ng").toString,
+      numBuckets = 4)
+    try {
+      val bloom = Incremental.gramBloom(spark.table("t_grams_stream"))
+      val batch = docs.filter(col("doc_id") >= 30)
+        .unionByName(spark.range(1).select(lit(9999L).as("doc_id"),
+          lit("a b").as("text"), lit("xx").as("lang"), lit("s").as("source"),
+          lit(3L).as("n_chars")))
+      // batch reference decisions from the exact state operator
+      val novelty = Incremental.noveltyAgainstTable(batch, "doc_id",
+          col("text"), 4, spark.table("t_grams_stream"))
+      val wantKept = novelty
+        .filter(col("n_grams") === 0 || col("novelty") >= 0.5)
+        .select("doc_id").as[Long].collect().toSet
+      // gate in batch mode (fpp=1e-6 on a tiny state: Bloom exact here)
+      val gateBatch = StreamOps.noveltyGateStream(batch, col("text"), bloom,
+          n = 4, minNovelty = 0.5)
+        .select("doc_id").as[Long].collect().toSet
+      assert(gateBatch === wantKept)
+      assert(gateBatch.contains(9999L), "a below-n-words doc must pass")
+      // the same rows through a REAL stream agree with batch
+      val dir = java.nio.file.Files.createTempDirectory("graft_ng_in").toString
+      batch.coalesce(1).write.mode("overwrite").parquet(dir)
+      val streamed = runToMemory(
+        StreamOps.noveltyGateStream(
+          spark.readStream.schema(batch.schema).parquet(dir),
+          col("text"), bloom, n = 4, minNovelty = 0.5),
+        "novelty_kept")
+      assert(streamed.select("doc_id").as[Long].collect().toSet === gateBatch)
+    } finally spark.sql("DROP TABLE IF EXISTS t_grams_stream")
+  }
 }
