@@ -2028,6 +2028,21 @@ object SparkEntry {
         .orderBy("domain")
     },
 
+    // ---- End-to-end MOSS-style dedup: winnowing overlap pairs →
+    // connected components → keep the best-QUALITY representative
+    // per cluster (longest doc, min-id tie-break) — the
+    // representative-selection composition the cluster family exists
+    // for, driven by the fingerprint detector instead of MinHash.
+    "q134_winnow_dedup" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val pairs = Winnow.overlapPairs(docs, "doc_id", col("text"),
+        k = 4, w = 4, minShared = 2, maxDf = 64)
+      DupClusters.clusterDedup(docs, "doc_id", pairs,
+          order = Seq(col("n_chars"), col("doc_id") * -1))
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    },
+
     // ---- Incremental novelty: the recurring-crawl form of q131 —
     // batch docs probed against the persisted bucketed seen-gram
     // state (what did this snapshot actually add, per document?).
@@ -4343,5 +4358,60 @@ object SparkEntry {
         |FROM (SELECT doc_id FROM documents WHERE doc_id >= 400) d
         |LEFT JOIN per USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // q134: the q130 pair replay + recursive-CTE closure (q104's
+    // idiom) + per-cluster argmax (n_chars desc, doc_id asc).
+    "q134_winnow_dedup" ->
+      """WITH RECURSIVE w0 AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id, i AS pos,
+        |    CAST(('0x' || substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM w0, UNNEST(generate_series(1, len(ws) - 3)) AS t(i)),
+        |b AS (SELECT doc_id, pos, h,
+        |    count(*) OVER (PARTITION BY doc_id) AS n,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 1 PRECEDING AND 1 PRECEDING) AS pm1,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS pm2,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS pm3,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 1 FOLLOWING AND 1 FOLLOWING) AS nm1,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS nm2,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS nm3
+        |  FROM g),
+        |sel AS (SELECT doc_id, h FROM b
+        |  WHERE (pos <= n - 3 AND coalesce(nm3 > h, TRUE))
+        |     OR (pos - 1 >= 1 AND pos - 1 <= n - 3
+        |         AND coalesce(pm1 >= h, TRUE) AND coalesce(nm2 > h, TRUE))
+        |     OR (pos - 2 >= 1 AND pos - 2 <= n - 3
+        |         AND coalesce(pm2 >= h, TRUE) AND coalesce(nm1 > h, TRUE))
+        |     OR (pos - 3 >= 1 AND pos - 3 <= n - 3
+        |         AND coalesce(pm3 >= h, TRUE))),
+        |fp AS (SELECT DISTINCT doc_id, h FROM sel),
+        |dfs AS (SELECT h FROM fp GROUP BY h
+        |        HAVING count(*) >= 2 AND count(*) <= 64),
+        |keyed AS (SELECT doc_id, h FROM fp JOIN dfs USING (h)),
+        |p AS (SELECT a.doc_id AS id_a, b2.doc_id AS id_b
+        |  FROM keyed a JOIN keyed b2 ON a.h = b2.h AND a.doc_id < b2.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
+        |edges AS (SELECT id_a AS a, id_b AS bb FROM p
+        |          UNION ALL SELECT id_b, id_a FROM p),
+        |reach(id, m) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e2.a, r.m FROM edges e2 JOIN reach r ON r.id = e2.bb),
+        |comp AS (SELECT id AS doc_id, min(m) AS cluster FROM reach GROUP BY id),
+        |rk AS (SELECT d.doc_id, d.lang, d.source, d.n_chars,
+        |    row_number() OVER (PARTITION BY c.cluster
+        |      ORDER BY d.n_chars DESC, d.doc_id ASC) AS rn
+        |  FROM documents d JOIN comp c USING (doc_id))
+        |SELECT doc_id, lang, source, n_chars FROM rk WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -76,6 +76,23 @@ class WinnowSpec extends AnyFunSuite {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((100L, 101L)))
   }
 
+  test("winnow-dedup composition keeps the best-quality representative per cluster") {
+    import graft.operators.DupClusters
+    val run = "uno dos tres cuatro cinco seis siete ocho nueve diez"
+    val docs = Seq(
+      (1L, s"$run corto", 12L),
+      (2L, s"$run mas largo que uno", 22L),     // longest in cluster → kept
+      (3L, s"$run corto tambien aqui", 22L),    // ties 2 on n_chars → id 2 wins
+      (9L, "sin parecido alguno en absoluto con los otros documentos aqui", 61L)
+    ).toDF("doc_id", "text", "n_chars")
+    val pairs = graft.operators.Winnow.overlapPairs(docs, "doc_id",
+      col("text"), k = 4, w = 4, minShared = 2, maxDf = 64)
+    val kept = DupClusters.clusterDedup(docs, "doc_id", pairs,
+        order = Seq(col("n_chars"), col("doc_id") * -1))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 9L))
+  }
+
   test("plan: one exchange into the window sort; overlap join reuses the fp shuffle") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val fp = Winnow.fingerprints(docs, "doc_id", col("text"))
