@@ -11,7 +11,7 @@ import org.apache.spark.util.sketch.BloomFilter
   * against an eval set too large to collect as a sorted digest array
   * ([[CountInSortedLongs]]'s scale sibling). A sorted `long[]` of n
   * digests costs 8n bytes on the driver and in every task broadcast;
-  * the Bloom filter costs ~1.44·log2(1/fpp) BITS per digest (~2.9
+  * the Bloom filter costs ~1.44·log2(1/fpp) BITS per digest (~3.6
   * bytes at fpp=1e-6) with a one-sided error: the count can only
   * OVER-estimate, so "count == 0 → provably clean" still holds and a
   * removal gate built on it only over-removes at the fpp rate, never

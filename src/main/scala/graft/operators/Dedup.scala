@@ -705,7 +705,7 @@ object Dedup {
 
   /** [[contaminationProfile]] for an eval set too large to broadcast
     * as a distinct gram table or collect as a digest array: eval gram
-    * digests are folded into a Bloom filter (~2.9 BYTES per gram at
+    * digests are folded into a Bloom filter (~3.6 BYTES per gram at
     * fpp=1e-6 vs 8 for a raw digest) and the whole corpus-side
     * profile becomes ONE map — no explode past the gram kernel, no
     * join, no shuffle at all; `n_grams`/`hit_grams` come from `size`

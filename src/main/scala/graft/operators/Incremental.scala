@@ -303,20 +303,25 @@ object Incremental {
     * table: `n_new` counts the doc's distinct grams ABSENT from state
     * (anti-join — duplicate-safe even if the state's distinctness
     * invariant were violated), `novelty = n_new / n_grams`, NULL when
-    * the doc has fewer than `n` words. Two batch-side passes over the
-    * gram stream (the per-doc total aggregates by id, the probe joins
-    * by digest — different partitionings, both batch-sized); the
-    * state side is read bucket-aligned and never shuffled. */
+    * the doc has fewer than `n` words. Gram distinctness is per
+    * DOCUMENT ((id, digest)-level distinct), so a batch carrying the
+    * same id on several rows counts each gram once and reports one
+    * row per id. Two batch-side passes over the gram stream (the
+    * per-doc total aggregates by id, the probe joins by digest —
+    * different partitionings, both batch-sized); the state side is
+    * read bucket-aligned and never shuffled. */
   def noveltyAgainstTable(batch: DataFrame, idCol: String, textCol: Column,
       n: Int, seenGrams: DataFrame): DataFrame = {
+    // distinct over (id, digest pair): duplicate-id batch rows — the
+    // exact input a recurring crawl produces — must not double-count
     val grams = gramKeys(batch.select(col(idCol), textCol.as("__t")),
-      col("__t"), n).drop("__t")
+      col("__t"), n).drop("__t").distinct()
     val perDoc = grams.groupBy(idCol).agg(count(lit(1)).as("n_grams"))
     val fresh = grams
       .join(seenGrams.select(col("__g1"), col("__g2")),
         Seq("__g1", "__g2"), "left_anti")
       .groupBy(idCol).agg(count(lit(1)).as("n_new"))
-    batch.select(col(idCol))
+    batch.select(col(idCol)).distinct()
       .join(perDoc, Seq(idCol), "left")
       .join(fresh, Seq(idCol), "left")
       .select(col(idCol),
@@ -348,7 +353,7 @@ object Incremental {
   /** Bloom filter over the seen-gram state's primary digest (`__g1`
     * — `xxhash64(gram)`, the key [[graft.streaming.StreamOps
     * .noveltyGateStream]] recomputes per incoming doc): the broadcast
-    * form of the seen set for stateless online gating, ~2.9
+    * form of the seen set for stateless online gating, ~3.6
     * bytes/gram at fpp=1e-6 against 16 for the digest pair. Built
     * distributed (`stat.bloomFilter` aggregates per partition); the
     * error is one-sided in the CONSERVATIVE direction for a novelty

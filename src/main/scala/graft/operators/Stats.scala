@@ -376,8 +376,10 @@ object Stats {
     * incremental-crawl triage (what did this snapshot actually add?),
     * one level finer than [[snapshotDiff]]'s whole-document verdict.
     *
-    * Scale shape: grams are DISTINCT per document (array_distinct
-    * before the explode), keyed by the 128-bit double-xxhash64 digest
+    * Scale shape: grams are DISTINCT per document — array_distinct
+    * before the explode, then a (id, digest)-level distinct so
+    * duplicate-id input rows still count each gram once — keyed by
+    * the 128-bit double-xxhash64 digest
     * so the exchange never carries gram text; the min-owner aggregate
     * and the posting join both partition by the same digest, and
     * because `grams` is the literally-same instance on both sides the
@@ -388,17 +390,21 @@ object Stats {
     * `n` words (no grams — the guarded division never runs under ANSI). */
   def ngramNovelty(df: DataFrame, idCol: String, textCol: Column,
       n: Int = 4): DataFrame = {
+    // distinct over (id, digest), not just array_distinct per row: an
+    // input carrying the same id on several rows (duplicate-laden
+    // crawl batches) must still count each gram once per DOCUMENT
     val grams = Dedup.spreadWide(df.select(col(idCol), textCol.as("__t")))
       .select(col(idCol),
         explode(array_distinct(Dedup.wordNGrams(col("__t"), n))).as("__g"))
       .select(col(idCol),
         xxhash64(col("__g")).as("__h1"), xxhash64(col("__g"), lit(1)).as("__h2"))
+      .distinct()
     val owners = grams.groupBy("__h1", "__h2").agg(min(col(idCol)).as("__owner"))
     val per = grams.join(owners, Seq("__h1", "__h2"))
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("__owner") === col(idCol), 1L).otherwise(0L)).as("n_novel"))
-    df.select(col(idCol))
+    df.select(col(idCol)).distinct()
       .join(per, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),

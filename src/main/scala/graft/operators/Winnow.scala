@@ -45,6 +45,9 @@ import org.apache.spark.sql.functions._
   */
 object Winnow {
 
+  /** Suffix source for per-query-unique observation names. */
+  private val obsCounter = new java.util.concurrent.atomic.AtomicLong()
+
   /** Portable 60-bit gram hash: the first 15 hex digits of md5,
     * parsed base-16 — bit-identical in DuckDB as
     * `CAST('0x' || substr(md5(g), 1, 15) AS BIGINT)`. Non-negative,
@@ -104,10 +107,12 @@ object Winnow {
       DataFrame = {
     val posting = fingerprints(df, idCol, textCol, k, w)
       .select(col(idCol).as("__id"), col("fp")).distinct()
-    // fp document frequency: shared (df >= 2) and bounded (df <= maxDf)
+    // fp document frequency: shared (df >= 2) and bounded (df <= maxDf).
+    // Observation names must be unique per query (two overlapPairs in
+    // one action would otherwise fail analysis), hence the counter.
     val dfs = posting.groupBy("fp")
       .agg(count(lit(1)).as("__df"))
-      .observe("winnow_stop_fps",
+      .observe(s"winnow_stop_fps.${Winnow.obsCounter.incrementAndGet()}",
         sum(when(col("__df") > maxDf, 1L).otherwise(0L)).as("stop_fps"))
       .filter(col("__df") >= 2 && col("__df") <= maxDf)
     val keyed = posting.join(dfs.select("fp"), Seq("fp"))

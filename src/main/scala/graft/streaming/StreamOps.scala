@@ -295,7 +295,7 @@ object StreamOps {
   /** [[decontaminateStream]] for an eval set too large to collect as
     * a sorted digest array: same stateless map-side gate, with
     * membership tested against a Bloom filter built once via
-    * [[graft.operators.Dedup.evalGramBloom]] (~2.9 bytes/gram at
+    * [[graft.operators.Dedup.evalGramBloom]] (~3.6 bytes/gram at
     * fpp=1e-6 vs 8 for raw digests). The Bloom error is one-sided —
     * a contaminated doc can NEVER pass the gate; a clean doc is
     * over-dropped at ~fpp per gram. Streaming-legal in any output
@@ -337,8 +337,13 @@ object StreamOps {
   def noveltyGateStream(docs: DataFrame, textCol: Column,
       seenBloom: org.apache.spark.util.sketch.BloomFilter,
       n: Int = 4, minNovelty: Double = 0.5): DataFrame = {
+    // null text → zero grams → PASS, matching the batch operator's
+    // (n_grams=0, novelty NULL) verdict; without the coalesce the
+    // null-intolerant gram kernel would turn the whole predicate
+    // NULL and silently DROP the row
     val digests = transform(
-      array_distinct(graft.operators.Dedup.wordNGrams(textCol, n)),
+      array_distinct(graft.operators.Dedup.wordNGrams(
+        coalesce(textCol, lit("")), n)),
       g => xxhash64(g))
     val seen = graft.functions.text.expr2col(graft.functions.CountInBloom(
       graft.functions.text.col2expr(digests), seenBloom))

@@ -489,6 +489,14 @@ class AnalysisSpec extends AnyFunSuite {
     assert(out(2L) === ((2L, 1L, Some(0.5))))
     assert(out(3L) === ((0L, 0L, None)))
     assert(out(4L) === ((2L, 1L, Some(0.5))))
+
+    // duplicate-id input rows: per-document distinctness holds and
+    // the output stays one row per id
+    val dup = Stats.ngramNovelty(docs.unionByName(docs.filter(col("doc_id") === 1)),
+      "doc_id", col("text"), n = 4)
+    assert(dup.count() === 4)
+    val d1 = dup.filter(col("doc_id") === 1).collect().head
+    assert((d1.getLong(1), d1.getLong(2)) === ((2L, 2L)))
   }
 
   test("ngramNovelty is partitioning-invariant and total (every input id present)") {

@@ -242,6 +242,15 @@ class IncrementalSpec extends AnyFunSuite {
       assert(out(11L) === ((0L, 0L, None)))
       assert(out(12L) === ((1L, 1L, Some(1.0))))
 
+      // duplicate-id batch rows (recurring-crawl reality): grams are
+      // per-DOCUMENT distinct and the output stays one row per id
+      val dup = Incremental.noveltyAgainstTable(
+          batch.unionByName(batch.filter(col("doc_id") === 10)),
+          "doc_id", col("text"), 4, spark.table("t_grams"))
+      assert(dup.count() === 3)
+      val dup10 = dup.filter(col("doc_id") === 10).collect().head
+      assert((dup10.getLong(1), dup10.getLong(2)) === ((2L, 1L)))
+
       // absorb the batch; the SAME batch re-probed is now 0-novel
       Incremental.appendGrams(batch, col("text"), 4,
         spark.table("t_grams"), "t_grams", numBuckets = 4)

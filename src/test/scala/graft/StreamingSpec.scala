@@ -455,6 +455,9 @@ class StreamingSpec extends AnyFunSuite {
         .unionByName(spark.range(1).select(lit(9999L).as("doc_id"),
           lit("a b").as("text"), lit("xx").as("lang"), lit("s").as("source"),
           lit(3L).as("n_chars")))
+        .unionByName(spark.range(1).select(lit(9998L).as("doc_id"),
+          lit(null).cast("string").as("text"), lit("xx").as("lang"),
+          lit("s").as("source"), lit(0L).as("n_chars")))
       // batch reference decisions from the exact state operator
       val novelty = Incremental.noveltyAgainstTable(batch, "doc_id",
           col("text"), 4, spark.table("t_grams_stream"))
@@ -467,6 +470,7 @@ class StreamingSpec extends AnyFunSuite {
         .select("doc_id").as[Long].collect().toSet
       assert(gateBatch === wantKept)
       assert(gateBatch.contains(9999L), "a below-n-words doc must pass")
+      assert(gateBatch.contains(9998L), "a null-text doc must pass, not drop")
       // the same rows through a REAL stream agree with batch
       val dir = java.nio.file.Files.createTempDirectory("graft_ng_in").toString
       batch.coalesce(1).write.mode("overwrite").parquet(dir)
