@@ -19,6 +19,8 @@ import graft.warehouse.Warehouse
   *     the RefinedWeb domain cap, skew-proof two-stage) →
   *   exact dedup (normalized-text digest, keep lowest id) →
   *   banded MinHash near-dup removal →
+  *   in-corpus novelty floor (GRAFT_MIN_NOVELTY set — drop
+  *     templated/remix docs below the distinct-gram novelty floor) →
   *   eval-set decontamination (optional, guarded jaccard join) →
   *   seeded leakage-free split →
   *   gold parquet partitioned by split + data-mixture card →
@@ -37,8 +39,8 @@ object CurationCli {
 
   final case class Funnel(
       input: Long, urlDeduped: Long, gated: Long, classified: Long,
-      capped: Long, exact: Long, fuzzy: Long, decontaminated: Long,
-      output: Long)
+      capped: Long, exact: Long, fuzzy: Long, novel: Long,
+      decontaminated: Long, output: Long)
 
   def main(args: Array[String]): Unit = {
     require(args.length >= 4,
@@ -55,6 +57,7 @@ object CurationCli {
         s"gated=${funnel.gated} classified=${funnel.classified} " +
         s"capped=${funnel.capped} " +
         s"exact=${funnel.exact} fuzzy=${funnel.fuzzy} " +
+        s"novel=${funnel.novel} " +
         s"decontaminated=${funnel.decontaminated} output=${funnel.output}")
       results.foreach(r =>
         println(f"[quality] ${r.name}%-24s observed=${r.observed}%.4f passed=${r.passed}"))
@@ -159,15 +162,33 @@ object CurationCli {
       threshold = cfg.fuzzyThreshold)
     val nFuzzy = fuzzy.count()
 
+    // 3.5. in-corpus novelty floor (GRAFT_MIN_NOVELTY set): after
+    // near-dup removal, drop documents whose distinct-gram novelty
+    // under the id scan order sits below the floor — templated/remix
+    // content not similar enough to any SINGLE earlier doc to dedup,
+    // yet contributing almost no phrasing the corpus lacks. NULL
+    // novelty (fewer than n words) passes: unprovable, the gate
+    // convention everywhere else in the engine.
+    val (novel, nNovel) = cfg.minNovelty match {
+      case Some(min) =>
+        val nov = Stats.ngramNovelty(fuzzy, "doc_id", col("text"))
+          .select(col("doc_id"), col("novelty"))
+        val f = fuzzy.join(nov, Seq("doc_id"), "left")
+          .filter(col("novelty").isNull || col("novelty") >= min)
+          .drop("novelty")
+        (f, f.count())
+      case None => (fuzzy, nFuzzy)
+    }
+
     // 4. decontamination against the eval set (guarded join — routes
     // to banded candidates when the eval side is oversized)
     val decon = evalPath match {
       case Some(p) =>
         val eval = spark.read.parquet(p)
           .select(col("doc_id").as("eval_id"), col("text").as("eval_text"))
-        Dedup.decontaminate(fuzzy, "doc_id", col("text"),
+        Dedup.decontaminate(novel, "doc_id", col("text"),
           eval, "eval_id", col("eval_text"), t = 0.8, n = 5)
-      case None => fuzzy
+      case None => novel
     }
     val nDecon = decon.count()
 
@@ -207,7 +228,7 @@ object CurationCli {
         Seq("train", "validation", "test"), 1.0)))
 
     val funnel = Funnel(input, nUrl, nGated, nClassified, nCapped,
-      nExact, nFuzzy, nDecon, output)
+      nExact, nFuzzy, nNovel, nDecon, output)
     tracker.foreach { t =>
       t.lineage(corpusPath, "parquet", "input", input, nGated)
       t.lineage(s"$outDir/gold", "parquet", "gold", nDecon, output)
@@ -218,6 +239,7 @@ object CurationCli {
       t.metric("curation_capped", nCapped.toDouble)
       t.metric("curation_exact", nExact.toDouble)
       t.metric("curation_fuzzy", nFuzzy.toDouble)
+      t.metric("curation_novel", nNovel.toDouble)
       t.metric("curation_decontaminated", nDecon.toDouble)
       t.metric("curation_output", output.toDouble)
       results.foreach(r => t.metric(r.name, r.observed, "rate"))

@@ -28,7 +28,8 @@ final case class GraftConfig(
     minVolume: Long = 1L,
     maxVolume: Long = 10000000L,
     sourceCap: Long = 0L,
-    nbMinScore: Option[Double] = None) {
+    nbMinScore: Option[Double] = None,
+    minNovelty: Option[Double] = None) {
 
   /** Split ratios in pipeline order. The reference validator accepts a
     * sum within ±0.01 of 1.0 (config.py:236-241); [[Split.assign]]
@@ -74,6 +75,9 @@ final case class GraftConfig(
     nbMinScore.foreach(m => require(!m.isNaN && !m.isInfinite,
       "nbMinScore must be a finite log-odds threshold (unset GRAFT_NB_MIN_SCORE " +
         "to disable): +Inf silently empties the corpus, -Inf gates nothing"))
+    minNovelty.foreach(m => require(m >= 0.0 && m <= 1.0,
+      s"minNovelty is a fraction in [0, 1] (unset GRAFT_MIN_NOVELTY to " +
+        s"disable), got $m"))
     this
   }
 }
@@ -108,7 +112,8 @@ object GraftConfig {
       minVolume = parse("MIN_VOLUME", _.toLong, d.minVolume),
       maxVolume = parse("MAX_VOLUME", _.toLong, d.maxVolume),
       sourceCap = parse("SOURCE_CAP", _.toLong, d.sourceCap),
-      nbMinScore = parse("NB_MIN_SCORE", s => Some(s.toDouble), d.nbMinScore))
+      nbMinScore = parse("NB_MIN_SCORE", s => Some(s.toDouble), d.nbMinScore),
+      minNovelty = parse("MIN_NOVELTY", s => Some(s.toDouble), d.minNovelty))
       .validated
   }
 }

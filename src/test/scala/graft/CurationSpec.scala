@@ -35,7 +35,8 @@ class CurationSpec extends AnyFunSuite {
       funnel.gated >= funnel.classified &&
       funnel.classified >= funnel.capped &&
       funnel.capped >= funnel.exact &&
-      funnel.exact >= funnel.fuzzy && funnel.fuzzy >= funnel.decontaminated &&
+      funnel.exact >= funnel.fuzzy && funnel.fuzzy >= funnel.novel &&
+      funnel.novel >= funnel.decontaminated &&
       funnel.decontaminated === funnel.output,
       s"funnel must be monotone: $funnel")
     // no url column, no cap, no NB gate configured → those stages
@@ -142,5 +143,38 @@ class CurationSpec extends AnyFunSuite {
     assert(funnel.classified === funnel.gated,
       s"a one-class corpus must skip the NB gate, not empty the funnel: $funnel")
     assert(funnel.output === 6)
+  }
+
+  test("curation run: novelty floor drops the remix doc, keeps originals and short docs") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-curation-nov").toString
+    // docs 0/1: original phrasing; doc 2: a remix of whole spans of
+    // both (novelty 3/9 — only its boundary grams are new, yet it is
+    // not a near-dup of either SINGLE doc); doc 3: too short for
+    // grams (NULL novelty must pass). fuzzyThreshold raised so the
+    // near-dup stage provably does not remove the remix first.
+    Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta", "en"),
+      (1L, "one two three four five six seven eight", "en"),
+      (2L, "alpha beta gamma delta epsilon zeta one two three four five six", "en"),
+      (3L, "tiny doc", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$base/corpus")
+    val (funnel, _) = CurationCli.run(
+      spark, s"$base/corpus", None, s"$base/out",
+      GraftConfig(minTextLength = 3, maxTextLength = 1000,
+        fuzzyThreshold = 0.9, minNovelty = Some(0.5)))
+    val gold = spark.read.parquet(s"$base/out/gold")
+      .select("doc_id").as[Long].collect().toSet
+    assert(funnel.fuzzy === 4, s"near-dup must not claim the remix: $funnel")
+    assert(funnel.novel === 3, s"exactly the remix doc drops: $funnel")
+    assert(gold === Set(0L, 1L, 3L))
+
+    // floor unset → stage passes through
+    val (noFloor, _) = CurationCli.run(
+      spark, s"$base/corpus", None, s"$base/out2",
+      GraftConfig(minTextLength = 3, maxTextLength = 1000,
+        fuzzyThreshold = 0.9))
+    assert(noFloor.novel === noFloor.fuzzy)
   }
 }
