@@ -2043,6 +2043,22 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ---- Recurring winnow overlap: batch docs probed against the
+    // persisted bucketed fingerprint postings — "does this crawl
+    // batch re-serve anything we already hold?" at batch cost.
+    "q135_winnow_incremental" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft_q135").toString
+      s.sql("DROP TABLE IF EXISTS graft_q135_fps")
+      Incremental.writeFingerprintTable(docs.filter(col("doc_id") < 400),
+        "doc_id", col("text"), "graft_q135_fps", path,
+        k = 4, w = 4, maxDf = 64, numBuckets = 8)
+      Incremental.overlapAgainstTable(docs.filter(col("doc_id") >= 400),
+          "doc_id", col("text"), s.table("graft_q135_fps"),
+          k = 4, w = 4, minShared = 2)
+        .orderBy("doc_id", "corpus_id")
+    },
+
     // ---- Incremental novelty: the recurring-crawl form of q131 —
     // batch docs probed against the persisted bucketed seen-gram
     // state (what did this snapshot actually add, per document?).
@@ -4358,6 +4374,51 @@ object SparkEntry {
         |FROM (SELECT doc_id FROM documents WHERE doc_id >= 400) d
         |LEFT JOIN per USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // q135: the q129 selection replay split into state (corpus fps,
+    // build-time df cap) and batch sides, joined on the fingerprint.
+    "q135_winnow_incremental" ->
+      """WITH w0 AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id, i AS pos,
+        |    CAST(('0x' || substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM w0, UNNEST(generate_series(1, len(ws) - 3)) AS t(i)),
+        |b AS (SELECT doc_id, pos, h,
+        |    count(*) OVER (PARTITION BY doc_id) AS n,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 1 PRECEDING AND 1 PRECEDING) AS pm1,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS pm2,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS pm3,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 1 FOLLOWING AND 1 FOLLOWING) AS nm1,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS nm2,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS nm3
+        |  FROM g),
+        |sel AS (SELECT doc_id, h FROM b
+        |  WHERE (pos <= n - 3 AND coalesce(nm3 > h, TRUE))
+        |     OR (pos - 1 >= 1 AND pos - 1 <= n - 3
+        |         AND coalesce(pm1 >= h, TRUE) AND coalesce(nm2 > h, TRUE))
+        |     OR (pos - 2 >= 1 AND pos - 2 <= n - 3
+        |         AND coalesce(pm2 >= h, TRUE) AND coalesce(nm1 > h, TRUE))
+        |     OR (pos - 3 >= 1 AND pos - 3 <= n - 3
+        |         AND coalesce(pm3 >= h, TRUE))),
+        |state AS (SELECT DISTINCT doc_id AS corpus_id, h FROM sel
+        |  WHERE doc_id < 400),
+        |keepfp AS (SELECT h FROM state GROUP BY h HAVING count(*) <= 64),
+        |st AS (SELECT corpus_id, h FROM state JOIN keepfp USING (h)),
+        |bat AS (SELECT DISTINCT doc_id, h FROM sel WHERE doc_id >= 400)
+        |SELECT bat.doc_id, st.corpus_id,
+        |  CAST(count(*) AS BIGINT) AS shared_fps
+        |FROM bat JOIN st USING (h)
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY doc_id, corpus_id""".stripMargin,
 
     // q134: the q130 pair replay + recursive-CTE closure (q104's
     // idiom) + per-cluster argmax (n_chars desc, doc_id asc).

@@ -350,6 +350,66 @@ object Incremental {
       .bucketBy(numBuckets, "__g1", "__g2").sortBy("__g1", "__g2")
       .saveAsTable(table)
 
+  // ---- Winnowing fingerprint state: recurring overlap detection ---
+
+  /** Near-verbatim-overlap state: the corpus's winnowing fingerprints
+    * ([[Winnow.fingerprints]] — any shared ≥ k+w−1-word run shares
+    * one) as distinct `(fp, corpus_id)` postings, bucketed + sorted
+    * by the LONG fingerprint so every batch probe joins the corpus
+    * side bucket-aligned. Fingerprints seen in more than `maxDf`
+    * corpus documents (boilerplate) are excluded AT BUILD TIME — the
+    * q130 stop-fingerprint guardrail moved into the state itself, so
+    * no probe can ever hit a quadratic posting. */
+  def writeFingerprintTable(corpus: DataFrame, idCol: String,
+      textCol: Column, table: String, path: String,
+      k: Int = 4, w: Int = 4, maxDf: Long = 64,
+      numBuckets: Int = 64): Unit = {
+    val fp = Winnow.fingerprints(corpus, idCol, textCol, k, w)
+      .select(col("fp"), col(idCol).as("corpus_id")).distinct()
+    val keep = fp.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("fp")
+    fp.join(keep, Seq("fp"))
+      .repartition(numBuckets, col("fp"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, "fp").sortBy("fp")
+      .option("path", path)
+      .saveAsTable(table)
+  }
+
+  /** Which corpus documents does each batch document near-verbatim
+    * overlap? Batch fingerprints join the persisted posting table on
+    * the long fp (state side bucket-aligned, zero corpus shuffle);
+    * pairs sharing at least `minShared` distinct fingerprints
+    * survive. `(k, w)` must match the table's. The recurring form of
+    * [[Winnow.overlapPairs]]: "does this crawl batch re-serve
+    * anything we already hold?" at batch cost, not corpus cost. */
+  def overlapAgainstTable(batch: DataFrame, idCol: String,
+      textCol: Column, fpTable: DataFrame,
+      k: Int = 4, w: Int = 4, minShared: Long = 2): DataFrame =
+    Winnow.fingerprints(batch, idCol, textCol, k, w)
+      .select(col(idCol), col("fp")).distinct()
+      .join(fpTable.select(col("fp"), col("corpus_id")), Seq("fp"))
+      .groupBy(col(idCol), col("corpus_id"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+
+  /** Grow the fingerprint state by an accepted batch with the SAME
+    * bucket spec. NOTE the honest cap caveat: the build-time `maxDf`
+    * exclusion is NOT re-evaluated across appends — a fingerprint can
+    * drift past the cap as batches accumulate. Probes stay correct
+    * (just less bounded); rebuild the table periodically (the cheap
+    * corpus-side pass) to re-apply the cap, exactly like re-running
+    * compaction. */
+  def appendFingerprints(batch: DataFrame, idCol: String,
+      textCol: Column, table: String,
+      k: Int = 4, w: Int = 4, numBuckets: Int = 64): Unit =
+    Winnow.fingerprints(batch, idCol, textCol, k, w)
+      .select(col("fp"), col(idCol).as("corpus_id")).distinct()
+      .repartition(numBuckets, col("fp"))
+      .write.mode(SaveMode.Append)
+      .bucketBy(numBuckets, "fp").sortBy("fp")
+      .saveAsTable(table)
+
   /** Bloom filter over the seen-gram state's primary digest (`__g1`
     * — `xxhash64(gram)`, the key [[graft.streaming.StreamOps
     * .noveltyGateStream]] recomputes per incoming doc): the broadcast

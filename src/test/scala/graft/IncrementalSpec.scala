@@ -266,6 +266,57 @@ class IncrementalSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS t_grams")
   }
 
+  test("overlapAgainstTable: planted near-verbatim batch doc matches its corpus source; append absorbs") {
+    import spark.implicits._
+    val run = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    val corpus = Seq(
+      (1L, s"$run tail uno dos"),
+      (2L, "completely different corpus content with nothing shared at all here")
+    ).toDF("doc_id", "text")
+    Incremental.writeFingerprintTable(corpus, "doc_id", col("text"),
+      "t_fps", tmp("graft_fps"), k = 4, w = 4, maxDf = 8, numBuckets = 4)
+    try {
+      val batch = Seq(
+        (10L, s"prefix words here $run and an ending"), // shares the 12-word run with 1
+        (11L, "nothing in common with the corpus whatsoever in any way truly")
+      ).toDF("doc_id", "text")
+      val hits = Incremental.overlapAgainstTable(batch, "doc_id", col("text"),
+          spark.table("t_fps"), k = 4, w = 4, minShared = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hits === Set((10L, 1L)))
+      // absorb doc 10; a re-crawl of it now also matches 10 itself
+      Incremental.appendFingerprints(batch.filter(col("doc_id") === 10),
+        "doc_id", col("text"), "t_fps", k = 4, w = 4, numBuckets = 4)
+      val again = Incremental.overlapAgainstTable(
+          batch.filter(col("doc_id") === 10)
+            .withColumn("doc_id", lit(20L)),
+          "doc_id", col("text"), spark.table("t_fps"),
+          k = 4, w = 4, minShared = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(again === Set((20L, 1L), (20L, 10L)))
+    } finally spark.sql("DROP TABLE IF EXISTS t_fps")
+  }
+
+  test("fingerprint probe join does not re-shuffle the state side") {
+    Incremental.writeFingerprintTable(docs.filter(col("doc_id") < 300),
+      "doc_id", col("text"), "t_fps_plan", tmp("graft_fps_plan"), numBuckets = 8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = Incremental.overlapAgainstTable(docs.filter(col("doc_id") >= 300),
+        "doc_id", col("text"), spark.table("t_fps_plan"))
+      q.write.mode("overwrite").format("noop").save()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"state scan must be bucket-aligned:\n$plan")
+      // exactly one fp-keyed shuffle — the batch posting side
+      assert("Exchange hashpartitioning\\(fp".r.findAllIn(plan).size === 1,
+        s"state side must not re-shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS t_fps_plan")
+    }
+  }
+
   test("seen-gram probe join does not re-shuffle the state side") {
     Incremental.writeGramTable(docs.filter(col("doc_id") < 300), col("text"),
       4, "t_grams_plan", tmp("graft_grams_plan"), numBuckets = 8)
