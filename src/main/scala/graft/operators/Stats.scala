@@ -379,15 +379,15 @@ object Stats {
     * Scale shape: grams are DISTINCT per document — array_distinct
     * before the explode, then a (id, digest)-level distinct so
     * duplicate-id input rows still count each gram once — keyed by
-    * the 128-bit double-xxhash64 digest
-    * so the exchange never carries gram text; the min-owner aggregate
-    * and the posting join both partition by the same digest, and
-    * because `grams` is the literally-same instance on both sides the
-    * exchange is written once and read twice (ReusedExchange). One
-    * id-keyed aggregation and a left join back to the id spine
-    * complete it: three exchanges total, all on fixed-width keys,
-    * map-side combined. Novelty is NULL for documents with fewer than
-    * `n` words (no grams — the guarded division never runs under ANSI). */
+    * the 128-bit double-xxhash64 digest so no exchange carries gram
+    * text. The min-owner aggregate reads the RAW gram stream (the
+    * optimizer correctly drops the redundant distinct under `min`, so
+    * that side pays a map-side partial-min instead of a distinct
+    * shuffle); the per-doc count reads the distinct output; owners
+    * attach by broadcast when gram cardinality allows, SMJ otherwise.
+    * Every exchange is on fixed-width keys, map-side combined.
+    * Novelty is NULL for documents with fewer than `n` words (no
+    * grams — the guarded division never runs under ANSI). */
   def ngramNovelty(df: DataFrame, idCol: String, textCol: Column,
       n: Int = 4): DataFrame = {
     // distinct over (id, digest), not just array_distinct per row: an
