@@ -171,11 +171,14 @@ object CurationCli {
     // convention everywhere else in the engine.
     val (novel, nNovel) = cfg.minNovelty match {
       case Some(min) =>
+        // internal __-alias: a corpus legitimately carrying its own
+        // `novelty` column (extra columns pass through to gold) must
+        // not make the join ambiguous
         val nov = Stats.ngramNovelty(fuzzy, "doc_id", col("text"))
-          .select(col("doc_id"), col("novelty"))
+          .select(col("doc_id"), col("novelty").as("__nov"))
         val f = fuzzy.join(nov, Seq("doc_id"), "left")
-          .filter(col("novelty").isNull || col("novelty") >= min)
-          .drop("novelty")
+          .filter(col("__nov").isNull || col("__nov") >= min)
+          .drop("__nov")
         (f, f.count())
       case None => (fuzzy, nFuzzy)
     }

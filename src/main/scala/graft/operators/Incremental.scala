@@ -390,21 +390,29 @@ object Incremental {
       .select(col(idCol), col("fp")).distinct()
       .join(fpTable.select(col("fp"), col("corpus_id")), Seq("fp"))
       .groupBy(col(idCol), col("corpus_id"))
-      .agg(count(lit(1)).as("shared_fps"))
+      // DISTINCT fps, not join rows: duplicate-safe should the state's
+      // posting invariant ever be violated (same defense as
+      // noveltyAgainstTable's anti-join)
+      .agg(countDistinct(col("fp")).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
 
   /** Grow the fingerprint state by an accepted batch with the SAME
-    * bucket spec. NOTE the honest cap caveat: the build-time `maxDf`
-    * exclusion is NOT re-evaluated across appends — a fingerprint can
-    * drift past the cap as batches accumulate. Probes stay correct
-    * (just less bounded); rebuild the table periodically (the cheap
-    * corpus-side pass) to re-apply the cap, exactly like re-running
-    * compaction. */
+    * bucket spec, anti-joined against existing state first so the
+    * distinct (fp, corpus_id) posting invariant survives retried
+    * append jobs and re-crawled already-absorbed documents (the
+    * [[appendGrams]] discipline). NOTE the honest cap caveat: the
+    * build-time `maxDf` exclusion is NOT re-evaluated across appends —
+    * a fingerprint can drift past the cap as batches accumulate.
+    * Probes stay correct (just less bounded); rebuild the table
+    * periodically (the cheap corpus-side pass) to re-apply the cap,
+    * exactly like re-running compaction. */
   def appendFingerprints(batch: DataFrame, idCol: String,
-      textCol: Column, table: String,
+      textCol: Column, fpTable: DataFrame, table: String,
       k: Int = 4, w: Int = 4, numBuckets: Int = 64): Unit =
     Winnow.fingerprints(batch, idCol, textCol, k, w)
       .select(col("fp"), col(idCol).as("corpus_id")).distinct()
+      .join(fpTable.select(col("fp"), col("corpus_id")),
+        Seq("fp", "corpus_id"), "left_anti")
       .repartition(numBuckets, col("fp"))
       .write.mode(SaveMode.Append)
       .bucketBy(numBuckets, "fp").sortBy("fp")

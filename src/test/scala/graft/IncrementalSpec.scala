@@ -286,7 +286,14 @@ class IncrementalSpec extends AnyFunSuite {
       assert(hits === Set((10L, 1L)))
       // absorb doc 10; a re-crawl of it now also matches 10 itself
       Incremental.appendFingerprints(batch.filter(col("doc_id") === 10),
-        "doc_id", col("text"), "t_fps", k = 4, w = 4, numBuckets = 4)
+        "doc_id", col("text"), spark.table("t_fps"), "t_fps",
+        k = 4, w = 4, numBuckets = 4)
+      // idempotent: re-appending the same doc adds zero postings
+      val size1 = spark.table("t_fps").count()
+      Incremental.appendFingerprints(batch.filter(col("doc_id") === 10),
+        "doc_id", col("text"), spark.table("t_fps"), "t_fps",
+        k = 4, w = 4, numBuckets = 4)
+      assert(spark.table("t_fps").count() === size1)
       val again = Incremental.overlapAgainstTable(
           batch.filter(col("doc_id") === 10)
             .withColumn("doc_id", lit(20L)),
