@@ -109,6 +109,10 @@ object Bench {
     // digest identity as Incremental.gramBloom over the state table
     val stSeenBloom = operators.Dedup.evalGramBloom(
       docs0.filter(col("doc_id") % 2 === 0), col("text"), nWords = 4)
+    // corpus fingerprint Bloom for the overlap gate, same off-clock rule
+    val stFpBloom = operators.Incremental.fingerprintBloom(
+      docs0.filter(col("doc_id") % 2 === 0)
+        .select(explode(operators.Winnow.fingerprintSet(col("text"))).as("fp")))
 
     def staged(path: String) =
       spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
@@ -198,7 +202,11 @@ object Bench {
         "st_novelty_gate" -> (() => runStream(
           streaming.StreamOps.noveltyGateStream(
             staged(s"$tmpOut/st_docs"), col("text"), stSeenBloom,
-            n = 4, minNovelty = 0.5), "ngate")))
+            n = 4, minNovelty = 0.5), "ngate")),
+        "st_overlap_gate" -> (() => runStream(
+          streaming.StreamOps.overlapGateStream(
+            staged(s"$tmpOut/st_docs"), col("text"), stFpBloom,
+            maxShared = 2), "ovgate")))
     }
 
     val queryRuns: Seq[(String, () => Unit)] =

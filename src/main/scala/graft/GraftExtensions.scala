@@ -49,6 +49,9 @@ object GraftExtensions {
     "word_ngrams" ->
       ((es: Seq[Expression]) => graft.functions.WordNGrams(es.head,
         es(1).eval().asInstanceOf[Int])),
+    "winnow_fps" ->
+      ((es: Seq[Expression]) => graft.functions.WinnowFps(es.head,
+        es(1).eval().asInstanceOf[Int], es(2).eval().asInstanceOf[Int])),
     "sorted_intersect_size" ->
       ((es: Seq[Expression]) => graft.functions.SortedIntersectSize(es.head, es(1))),
     "vector_dot" ->

@@ -2043,6 +2043,20 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ---- Native winnowing kernel: the map-side WinnowFps expression
+    // (grams → md5-prefix hashes → rightmost-min selection in ONE
+    // codegen'd call, zero exchanges) against the same SQL replay
+    // that gates the window-function formulation (q129).
+    "q136_winnow_fps_native" -> { (s, dir) =>
+      // spreadWide first: the single-row-group test parquet scans as
+      // one task, and the kernel fuses into the scan stage — without
+      // the repartition all hashing runs on one core
+      Dedup.spreadWide(Tables.documents(s, dir).select("doc_id", "text"))
+        .select(col("doc_id"),
+          explode(Winnow.fingerprintSet(col("text"), k = 4, w = 4)).as("fp"))
+        .orderBy("doc_id", "fp")
+    },
+
     // ---- Recurring winnow overlap: batch docs probed against the
     // persisted bucketed fingerprint postings — "does this crawl
     // batch re-serve anything we already hold?" at batch cost.
@@ -4374,6 +4388,41 @@ object SparkEntry {
         |FROM (SELECT doc_id FROM documents WHERE doc_id >= 400) d
         |LEFT JOIN per USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // q136: q129's selection replay, positions dropped, per-doc
+    // distinct — exactly the native kernel's output contract.
+    "q136_winnow_fps_native" ->
+      """WITH w0 AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id, i AS pos,
+        |    CAST(('0x' || substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM w0, UNNEST(generate_series(1, len(ws) - 3)) AS t(i)),
+        |b AS (SELECT doc_id, pos, h,
+        |    count(*) OVER (PARTITION BY doc_id) AS n,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 1 PRECEDING AND 1 PRECEDING) AS pm1,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS pm2,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS pm3,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 1 FOLLOWING AND 1 FOLLOWING) AS nm1,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS nm2,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS nm3
+        |  FROM g)
+        |SELECT DISTINCT doc_id, h AS fp FROM b
+        |WHERE (pos <= n - 3 AND coalesce(nm3 > h, TRUE))
+        |   OR (pos - 1 >= 1 AND pos - 1 <= n - 3
+        |       AND coalesce(pm1 >= h, TRUE) AND coalesce(nm2 > h, TRUE))
+        |   OR (pos - 2 >= 1 AND pos - 2 <= n - 3
+        |       AND coalesce(pm2 >= h, TRUE) AND coalesce(nm1 > h, TRUE))
+        |   OR (pos - 3 >= 1 AND pos - 3 <= n - 3 AND coalesce(pm3 >= h, TRUE))
+        |ORDER BY doc_id, fp""".stripMargin,
 
     // q135: the q129 selection replay split into state (corpus fps,
     // build-time df cap) and batch sides, joined on the fingerprint.

@@ -418,6 +418,19 @@ object Incremental {
       .bucketBy(numBuckets, "fp").sortBy("fp")
       .saveAsTable(table)
 
+  /** Bloom filter over the fingerprint state's `fp` column — the
+    * broadcast form of the corpus fingerprint set for the stateless
+    * streaming overlap gate ([[graft.streaming.StreamOps
+    * .overlapGateStream]]). Same one-sided-conservative contract as
+    * [[gramBloom]]: a false positive claims a fingerprint was seen,
+    * so the gate can only over-FLAG (review queue noise at ~fpp), a
+    * genuinely overlapping document can never slip through clean. */
+  def fingerprintBloom(fpTable: DataFrame, fpp: Double = 1e-6):
+      org.apache.spark.util.sketch.BloomFilter = {
+    val keys = fpTable.select(col("fp")).distinct()
+    keys.stat.bloomFilter("fp", math.max(keys.count(), 1L), fpp)
+  }
+
   /** Bloom filter over the seen-gram state's primary digest (`__g1`
     * — `xxhash64(gram)`, the key [[graft.streaming.StreamOps
     * .noveltyGateStream]] recomputes per incoming doc): the broadcast

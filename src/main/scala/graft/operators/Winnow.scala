@@ -55,6 +55,16 @@ object Winnow {
   def gramHash(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** The fingerprint SET of a text column as one map-side codegen'd
+    * kernel ([[graft.functions.WinnowFps]]): distinct selected
+    * hashes, ascending, positions dropped. Identical selection to
+    * [[fingerprints]] (WinnowSpec asserts set equality) with ZERO
+    * exchanges — the form streaming gates and batch probes want when
+    * provenance inside the document does not matter. */
+  def fingerprintSet(textCol: Column, k: Int = 4, w: Int = 4): Column =
+    graft.functions.text.expr2col(graft.functions.WinnowFps(
+      graft.functions.text.col2expr(textCol), k, w))
+
   /** Winnowing fingerprints of `textCol`: one row per selected
     * position — (idCol, pos, fp) with pos the 1-based k-gram start.
     * Documents with fewer than `k + w − 1` words yield no

@@ -352,6 +352,38 @@ object StreamOps {
       round((total - seen) * lit(1.0) / total, 6) >= minNovelty)
   }
 
+  /** Streaming near-verbatim-overlap gate: keep only incoming
+    * documents sharing fewer than `maxShared` winnowing fingerprints
+    * with the frozen corpus fingerprint set
+    * ([[graft.operators.Incremental.fingerprintBloom]] over the
+    * persisted posting table). The online triage in front of
+    * [[graft.operators.Incremental.overlapAgainstTable]]: a crawl
+    * batch re-serving pages the corpus already holds is flagged at
+    * the edge, before storage or a batch probe is paid.
+    *
+    * The whole document-side computation — grams, hashes, rightmost-
+    * min selection — runs inside ONE codegen'd kernel
+    * ([[graft.functions.WinnowFps]]), so the gate is a stateless
+    * map-side filter: no join, no state, no watermark; append-legal,
+    * identical in batch. Semantics are deliberately CORPUS-level, not
+    * pair-level: the Bloom counts fingerprints seen anywhere, so a
+    * doc sharing one fingerprint with each of two different corpus
+    * documents counts 2 — a superset of any per-pair `shared_fps ≥
+    * maxShared` verdict (the spec pins the superset property). Bloom
+    * error is one-sided toward over-flagging (~fpp per fingerprint);
+    * a clean pass is provably clean. Null/short texts have no
+    * complete window and PASS — novelty-unprovable rows are never
+    * dropped, the gate convention everywhere in the engine. */
+  def overlapGateStream(docs: DataFrame, textCol: Column,
+      corpusFps: org.apache.spark.util.sketch.BloomFilter,
+      k: Int = 4, w: Int = 4, maxShared: Int = 2): DataFrame = {
+    val fps = graft.operators.Winnow.fingerprintSet(
+      coalesce(textCol, lit("")), k, w)
+    val hits = graft.functions.text.expr2col(graft.functions.CountInBloom(
+      graft.functions.text.col2expr(fps), corpusFps))
+    docs.filter(hits < maxShared)
+  }
+
   /** Streaming learned-quality gate: keep rows whose Naive-Bayes
     * log-odds score clears `minScore`. The classifier's dictionary is
     * trained offline ([[graft.operators.Classifier.nbTrain]] →

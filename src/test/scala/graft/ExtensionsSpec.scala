@@ -24,7 +24,8 @@ class ExtensionsSpec extends AnyFunSuite {
         |  sorted_intersect_size(array('a','b'), array('b','c')) AS isz,
         |  vector_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot,
         |  sig_agree_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS agree,
-        |  hyperplane_sig(array(1.0d, -2.0d, 0.5d), 8, 42L) AS sig
+        |  hyperplane_sig(array(1.0d, -2.0d, 0.5d), 8, 42L) AS sig,
+        |  winnow_fps('a b c d e f g h i j', 4, 4) AS wfps
         |""".stripMargin).collect().head
     assert(row.getString(0) === "ā", "NFC composes a + combining macron")
     assert(row.getSeq[String](1) === Seq("abc", "bcd"))
@@ -41,6 +42,10 @@ class ExtensionsSpec extends AnyFunSuite {
         .collect().head.getLong(0)
     }
     assert(row.getLong(5) === viaColumn)
+    // 10 words, k=4 → 7 grams, w=4 → 4 windows; selection non-empty,
+    // sorted ascending, distinct — the kernel's output contract
+    val wfps = row.getSeq[Long](6)
+    assert(wfps.nonEmpty && wfps === wfps.sorted && wfps.distinct === wfps)
   }
 
   test("a session without the extensions or registerFunctions does NOT see the functions") {

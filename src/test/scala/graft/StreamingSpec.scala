@@ -482,4 +482,40 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.select("doc_id").as[Long].collect().toSet === gateBatch)
     } finally spark.sql("DROP TABLE IF EXISTS t_grams_stream")
   }
+
+  test("overlapGateStream: stream == batch; flags a superset of the pair verdicts; null passes") {
+    import graft.operators.Incremental
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val corpus = docs.filter(col("doc_id") < 30)
+    Incremental.writeFingerprintTable(corpus, "doc_id", col("text"),
+      "t_fps_stream", java.nio.file.Files.createTempDirectory("graft_fpb").toString,
+      numBuckets = 4)
+    try {
+      val bloom = Incremental.fingerprintBloom(spark.table("t_fps_stream"))
+      val batch = docs.filter(col("doc_id") >= 30)
+        .unionByName(spark.range(1).select(lit(9998L).as("doc_id"),
+          lit(null).cast("string").as("text"), lit("xx").as("lang"),
+          lit("s").as("source"), lit(0L).as("n_chars")))
+      val gateBatch = StreamOps.overlapGateStream(batch, col("text"), bloom,
+          maxShared = 2)
+        .select("doc_id").as[Long].collect().toSet
+      assert(gateBatch.contains(9998L), "null text must pass")
+      // every doc the PAIR probe convicts (shared_fps >= 2 with some
+      // single corpus doc) is also gate-flagged — superset property
+      val pairConvicted = Incremental.overlapAgainstTable(batch, "doc_id",
+          col("text"), spark.table("t_fps_stream"), minShared = 2)
+        .select("doc_id").as[Long].collect().toSet
+      assert((gateBatch intersect pairConvicted).isEmpty,
+        "a pair-convicted doc must never pass the gate")
+      // the same rows through a REAL stream agree with batch
+      val dir = java.nio.file.Files.createTempDirectory("graft_fpb_in").toString
+      batch.coalesce(1).write.mode("overwrite").parquet(dir)
+      val streamed = runToMemory(
+        StreamOps.overlapGateStream(
+          spark.readStream.schema(batch.schema).parquet(dir),
+          col("text"), bloom, maxShared = 2),
+        "overlap_kept")
+      assert(streamed.select("doc_id").as[Long].collect().toSet === gateBatch)
+    } finally spark.sql("DROP TABLE IF EXISTS t_fps_stream")
+  }
 }

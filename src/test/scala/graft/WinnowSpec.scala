@@ -76,6 +76,33 @@ class WinnowSpec extends AnyFunSuite {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((100L, 101L)))
   }
 
+  test("native WinnowFps kernel == window-function fingerprints, ties and fixture") {
+    // tie-heavy fuzz fixture (2-word vocab) + the real sf docs
+    val rnd = new scala.util.Random(11)
+    val fuzz = (0 until 40).map { i =>
+      (i.toLong, (0 until rnd.nextInt(20)).map(_ =>
+        if (rnd.nextBoolean()) "aa" else "bb").mkString(" "))
+    }.toDF("doc_id", "text")
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    for (docs <- Seq(fuzz, real); (k, w) <- Seq((3, 4), (4, 4), (2, 2))) {
+      val win = Winnow.fingerprints(docs, "doc_id", col("text"), k, w)
+        .select(col("doc_id"), col("fp")).distinct()
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val native = docs.select(col("doc_id"),
+          explode(Winnow.fingerprintSet(col("text"), k, w)).as("fp"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(native === win, s"k=$k w=$w")
+    }
+  }
+
+  test("fingerprintSet is a zero-exchange map-side projection") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val q = docs.select(col("doc_id"), Winnow.fingerprintSet(col("text")))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"kernel must not shuffle:\n$plan")
+  }
+
   test("winnow-dedup composition keeps the best-quality representative per cluster") {
     import graft.operators.DupClusters
     val run = "uno dos tres cuatro cinco seis siete ocho nueve diez"
