@@ -418,17 +418,38 @@ object Incremental {
       .bucketBy(numBuckets, "fp").sortBy("fp")
       .saveAsTable(table)
 
+  /** The corpus fingerprint set as a broadcastable Bloom, CARRYING
+    * the (k, w) it was hashed with so a consumer can never probe it
+    * with mismatched winnowing parameters (a k=3 Bloom probed with
+    * k=4 fingerprints matches nothing and silently passes every
+    * duplicate). */
+  case class CorpusFingerprints(
+      bloom: org.apache.spark.util.sketch.BloomFilter, k: Int, w: Int)
+
   /** Bloom filter over the fingerprint state's `fp` column — the
     * broadcast form of the corpus fingerprint set for the stateless
     * streaming overlap gate ([[graft.streaming.StreamOps
-    * .overlapGateStream]]). Same one-sided-conservative contract as
-    * [[gramBloom]]: a false positive claims a fingerprint was seen,
-    * so the gate can only over-FLAG (review queue noise at ~fpp), a
-    * genuinely overlapping document can never slip through clean. */
-  def fingerprintBloom(fpTable: DataFrame, fpp: Double = 1e-6):
-      org.apache.spark.util.sketch.BloomFilter = {
+    * .overlapGateStream]]). `k`/`w` MUST be the values the posting
+    * table was built with ([[writeFingerprintTable]]); the returned
+    * [[CorpusFingerprints]] carries them so the gate hashes
+    * identically by construction. Bloom error is one-sided toward
+    * over-FLAGGING (a false positive claims a fingerprint was seen —
+    * review-queue noise at ~fpp); the clean-pass guarantee is exactly
+    * as strong as the posting table: fingerprints the build's `maxDf`
+    * cap excluded (ubiquitous boilerplate runs) are absent here too,
+    * so overlap carried ONLY by capped fingerprints passes — the same
+    * documented cap caveat as [[writeFingerprintTable]], not a new
+    * gate weakness. */
+  def fingerprintBloom(fpTable: DataFrame, k: Int = 4, w: Int = 4,
+      fpp: Double = 1e-6): CorpusFingerprints = {
+    // one distinct pass shared by the sizing count and the filter
+    // build (the cache-then-unpersist discipline — unpersisted this
+    // would scan + shuffle the posting table twice)
     val keys = fpTable.select(col("fp")).distinct()
-    keys.stat.bloomFilter("fp", math.max(keys.count(), 1L), fpp)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try CorpusFingerprints(
+      keys.stat.bloomFilter("fp", math.max(keys.count(), 1L), fpp), k, w)
+    finally keys.unpersist(blocking = false)
   }
 
   /** Bloom filter over the seen-gram state's primary digest (`__g1`
@@ -443,8 +464,12 @@ object Incremental {
     * can never masquerade as fresh. */
   def gramBloom(seenGrams: DataFrame, fpp: Double = 1e-6):
       org.apache.spark.util.sketch.BloomFilter = {
+    // persist for the same reason as fingerprintBloom: the sizing
+    // count and the filter build otherwise scan the state twice
     val keys = seenGrams.select(col("__g1"))
-    keys.stat.bloomFilter("__g1", math.max(keys.count(), 1L), fpp)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try keys.stat.bloomFilter("__g1", math.max(keys.count(), 1L), fpp)
+    finally keys.unpersist(blocking = false)
   }
 
   /** Distinct-per-document word n-grams as 128-bit digest pairs —

@@ -371,16 +371,23 @@ object StreamOps {
     * documents counts 2 — a superset of any per-pair `shared_fps ≥
     * maxShared` verdict (the spec pins the superset property). Bloom
     * error is one-sided toward over-flagging (~fpp per fingerprint);
-    * a clean pass is provably clean. Null/short texts have no
-    * complete window and PASS — novelty-unprovable rows are never
-    * dropped, the gate convention everywhere in the engine. */
+    * a clean pass is as strong as the posting table behind the Bloom
+    * — overlap carried ONLY by fingerprints the build's `maxDf` cap
+    * excluded (ubiquitous boilerplate) is invisible to it, the
+    * documented [[graft.operators.Incremental.writeFingerprintTable]]
+    * caveat. The gate hashes with the (k, w) the
+    * [[graft.operators.Incremental.CorpusFingerprints]] carries, so
+    * it can never silently mismatch the corpus build. Null/short
+    * texts have no complete window and PASS — novelty-unprovable
+    * rows are never dropped, the gate convention everywhere in the
+    * engine. */
   def overlapGateStream(docs: DataFrame, textCol: Column,
-      corpusFps: org.apache.spark.util.sketch.BloomFilter,
-      k: Int = 4, w: Int = 4, maxShared: Int = 2): DataFrame = {
+      corpusFps: graft.operators.Incremental.CorpusFingerprints,
+      maxShared: Int = 2): DataFrame = {
     val fps = graft.operators.Winnow.fingerprintSet(
-      coalesce(textCol, lit("")), k, w)
+      coalesce(textCol, lit("")), corpusFps.k, corpusFps.w)
     val hits = graft.functions.text.expr2col(graft.functions.CountInBloom(
-      graft.functions.text.col2expr(fps), corpusFps))
+      graft.functions.text.col2expr(fps), corpusFps.bloom))
     docs.filter(hits < maxShared)
   }
 
