@@ -10,6 +10,8 @@ import graft.warehouse.Warehouse
   * the beyond-reference driver composing the engine's LLM-data
   * operators end to end over a parquet corpus:
   *
+  *   takedown enforcement (GRAFT_TAKEDOWN set — retract opted-out
+  *     ids before any content work) →
   *   URL-level dedup (when the corpus carries a `url` column —
   *     canonicalize, keep lowest id; the cheapest dedup runs first) →
   *   quality gates (length bounds + Gopher repetition) →
@@ -38,8 +40,8 @@ import graft.warehouse.Warehouse
 object CurationCli {
 
   final case class Funnel(
-      input: Long, urlDeduped: Long, gated: Long, classified: Long,
-      capped: Long, exact: Long, fuzzy: Long, novel: Long,
+      input: Long, retracted: Long, urlDeduped: Long, gated: Long,
+      classified: Long, capped: Long, exact: Long, fuzzy: Long, novel: Long,
       decontaminated: Long, output: Long)
 
   def main(args: Array[String]): Unit = {
@@ -53,7 +55,8 @@ object CurationCli {
       val (funnel, results) = run(spark, corpusPath,
         Option(evalPath).filter(p => p.nonEmpty && p != "-"),
         outDir, GraftConfig.fromEnv(), Some(tracker))
-      println(s"[curation] input=${funnel.input} url=${funnel.urlDeduped} " +
+      println(s"[curation] input=${funnel.input} " +
+        s"retracted=${funnel.retracted} url=${funnel.urlDeduped} " +
         s"gated=${funnel.gated} classified=${funnel.classified} " +
         s"capped=${funnel.capped} " +
         s"exact=${funnel.exact} fuzzy=${funnel.fuzzy} " +
@@ -85,8 +88,24 @@ object CurationCli {
       cfg: GraftConfig = GraftConfig(),
       tracker: Option[Warehouse.MetricsTracker] = None)
       : (Funnel, Seq[Quality.CheckResult]) = {
-    val corpus = spark.read.parquet(corpusPath)
-    val input = corpus.count()
+    val raw = spark.read.parquet(corpusPath)
+    val input = raw.count()
+
+    // -1. takedown enforcement FIRST (GRAFT_TAKEDOWN = parquet of
+    // retracted doc_ids): opt-out and legal-removal requests are
+    // honored before any content work, so a retracted document can
+    // never influence dedup survivors, classifier training, or the
+    // gold output. Broadcast anti-join — the takedown list is
+    // request-sized, the corpus side never shuffles. Derived state
+    // tables get the same treatment via Incremental.retractIds /
+    // compactState at their own cadence.
+    val corpus = cfg.takedownPath match {
+      case Some(pth) => graft.operators.Incremental.retractIds(
+        raw, "doc_id",
+        spark.read.parquet(pth).select(col("doc_id").as("retract_id")))
+      case None => raw
+    }
+    val nRetracted = if (cfg.takedownPath.isDefined) corpus.count() else input
 
     // 0. URL-level dedup when provenance is present — two fetches of
     // one page are duplicates before any content work, and the
@@ -230,12 +249,13 @@ object CurationCli {
       Quality.MembershipCheck("split",
         Seq("train", "validation", "test"), 1.0)))
 
-    val funnel = Funnel(input, nUrl, nGated, nClassified, nCapped,
-      nExact, nFuzzy, nNovel, nDecon, output)
+    val funnel = Funnel(input, nRetracted, nUrl, nGated, nClassified,
+      nCapped, nExact, nFuzzy, nNovel, nDecon, output)
     tracker.foreach { t =>
       t.lineage(corpusPath, "parquet", "input", input, nGated)
       t.lineage(s"$outDir/gold", "parquet", "gold", nDecon, output)
       t.metric("curation_input", input.toDouble)
+      t.metric("curation_retracted", nRetracted.toDouble)
       t.metric("curation_url_deduped", nUrl.toDouble)
       t.metric("curation_gated", nGated.toDouble)
       t.metric("curation_classified", nClassified.toDouble)

@@ -29,7 +29,8 @@ final case class GraftConfig(
     maxVolume: Long = 10000000L,
     sourceCap: Long = 0L,
     nbMinScore: Option[Double] = None,
-    minNovelty: Option[Double] = None) {
+    minNovelty: Option[Double] = None,
+    takedownPath: Option[String] = None) {
 
   /** Split ratios in pipeline order. The reference validator accepts a
     * sum within ±0.01 of 1.0 (config.py:236-241); [[Split.assign]]
@@ -78,6 +79,9 @@ final case class GraftConfig(
     minNovelty.foreach(m => require(m >= 0.0 && m <= 1.0,
       s"minNovelty is a fraction in [0, 1] (unset GRAFT_MIN_NOVELTY to " +
         s"disable), got $m"))
+    takedownPath.foreach(pth => require(pth.trim.nonEmpty,
+      "takedownPath must be a parquet path of retracted ids (unset " +
+        "GRAFT_TAKEDOWN to disable)"))
     this
   }
 }
@@ -113,7 +117,8 @@ object GraftConfig {
       maxVolume = parse("MAX_VOLUME", _.toLong, d.maxVolume),
       sourceCap = parse("SOURCE_CAP", _.toLong, d.sourceCap),
       nbMinScore = parse("NB_MIN_SCORE", s => Some(s.toDouble), d.nbMinScore),
-      minNovelty = parse("MIN_NOVELTY", s => Some(s.toDouble), d.minNovelty))
+      minNovelty = parse("MIN_NOVELTY", s => Some(s.toDouble), d.minNovelty),
+      takedownPath = parse("TAKEDOWN", s => Some(s), d.takedownPath))
       .validated
   }
 }

@@ -2073,6 +2073,31 @@ object SparkEntry {
         .orderBy("doc_id", "corpus_id")
     },
 
+    // ---- Takedown propagated to derived state: tombstone the
+    // retracted corpus ids, blue/green-compact the fingerprint
+    // posting table, and probe the crawl batch against the LIVE
+    // table — retracted documents can no longer be matched, the
+    // opt-out guarantee a training pipeline owes its sources.
+    "q137_takedown_compact" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft_q137").toString
+      Seq("graft_q137_fps", "graft_q137_tomb", "graft_q137_fps_live")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      Incremental.writeFingerprintTable(docs.filter(col("doc_id") < 400),
+        "doc_id", col("text"), "graft_q137_fps", s"$base/fps",
+        k = 4, w = 4, maxDf = 64, numBuckets = 8)
+      Incremental.writeTombstones(
+        docs.filter(col("doc_id") < 400 && col("doc_id") % 7 === 0),
+        "doc_id", "graft_q137_tomb", s"$base/tomb", numBuckets = 4)
+      Incremental.compactState(s.table("graft_q137_fps"), "corpus_id",
+        s.table("graft_q137_tomb"), "graft_q137_fps_live",
+        s"$base/fps_live", Seq("fp"), numBuckets = 8)
+      Incremental.overlapAgainstTable(docs.filter(col("doc_id") >= 400),
+          "doc_id", col("text"), s.table("graft_q137_fps_live"),
+          k = 4, w = 4, minShared = 2)
+        .orderBy("doc_id", "corpus_id")
+    },
+
     // ---- Incremental novelty: the recurring-crawl form of q131 —
     // batch docs probed against the persisted bucketed seen-gram
     // state (what did this snapshot actually add, per document?).
@@ -4462,6 +4487,55 @@ object SparkEntry {
         |  WHERE doc_id < 400),
         |keepfp AS (SELECT h FROM state GROUP BY h HAVING count(*) <= 64),
         |st AS (SELECT corpus_id, h FROM state JOIN keepfp USING (h)),
+        |bat AS (SELECT DISTINCT doc_id, h FROM sel WHERE doc_id >= 400)
+        |SELECT bat.doc_id, st.corpus_id,
+        |  CAST(count(*) AS BIGINT) AS shared_fps
+        |FROM bat JOIN st USING (h)
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY doc_id, corpus_id""".stripMargin,
+
+    // q137: q135's replay with the tombstoned corpus ids compacted
+    // OUT of the posting state — retraction applies AFTER the
+    // build-time df cap (compactState rewrites rows, it does not
+    // re-evaluate the cap), so keepfp is computed over the
+    // pre-retraction state exactly like the engine.
+    "q137_takedown_compact" ->
+      """WITH w0 AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id, i AS pos,
+        |    CAST(('0x' || substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM w0, UNNEST(generate_series(1, len(ws) - 3)) AS t(i)),
+        |b AS (SELECT doc_id, pos, h,
+        |    count(*) OVER (PARTITION BY doc_id) AS n,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 1 PRECEDING AND 1 PRECEDING) AS pm1,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS pm2,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS pm3,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 1 FOLLOWING AND 1 FOLLOWING) AS nm1,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS nm2,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS nm3
+        |  FROM g),
+        |sel AS (SELECT doc_id, h FROM b
+        |  WHERE (pos <= n - 3 AND coalesce(nm3 > h, TRUE))
+        |     OR (pos - 1 >= 1 AND pos - 1 <= n - 3
+        |         AND coalesce(pm1 >= h, TRUE) AND coalesce(nm2 > h, TRUE))
+        |     OR (pos - 2 >= 1 AND pos - 2 <= n - 3
+        |         AND coalesce(pm2 >= h, TRUE) AND coalesce(nm1 > h, TRUE))
+        |     OR (pos - 3 >= 1 AND pos - 3 <= n - 3
+        |         AND coalesce(pm3 >= h, TRUE))),
+        |state AS (SELECT DISTINCT doc_id AS corpus_id, h FROM sel
+        |  WHERE doc_id < 400),
+        |keepfp AS (SELECT h FROM state GROUP BY h HAVING count(*) <= 64),
+        |st AS (SELECT corpus_id, h FROM state JOIN keepfp USING (h)
+        |  WHERE corpus_id % 7 <> 0),
         |bat AS (SELECT DISTINCT doc_id, h FROM sel WHERE doc_id >= 400)
         |SELECT bat.doc_id, st.corpus_id,
         |  CAST(count(*) AS BIGINT) AS shared_fps

@@ -472,6 +472,86 @@ object Incremental {
     finally keys.unpersist(blocking = false)
   }
 
+  // --------------------------------------------------------------
+  // Takedown / retraction: opt-out and legal-removal lists must
+  // propagate to the corpus AND every derived state table.
+  // --------------------------------------------------------------
+
+  /** Tombstone state: the distinct set of retracted document ids as
+    * a tiny bucketed table (column `retract_id`, the id's original
+    * type preserved). The 100 TB shape is deliberately asymmetric:
+    * takedown lists are human/legal-request sized (thousands, not
+    * billions), so every consumer BROADCASTS the tombstones and the
+    * corpus/state side never shuffles — retraction-at-read is a
+    * map-side anti-join ([[retractIds]]), and the periodic
+    * [[compactState]] pass makes it physical. */
+  def writeTombstones(ids: DataFrame, idCol: String,
+      table: String, path: String, numBuckets: Int = 16): Unit =
+    ids.select(col(idCol).as("retract_id")).distinct()
+      .repartition(numBuckets, col("retract_id"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, "retract_id").sortBy("retract_id")
+      .option("path", path)
+      .saveAsTable(table)
+
+  /** Grow the tombstone state by a new takedown batch, anti-joined
+    * against existing tombstones first so retries and re-submitted
+    * requests keep the table distinct (the [[appendGrams]]
+    * discipline), same bucket spec as [[writeTombstones]]. */
+  def appendTombstones(ids: DataFrame, idCol: String,
+      tombstones: DataFrame, table: String, numBuckets: Int = 16): Unit =
+    ids.select(col(idCol).as("retract_id")).distinct()
+      .join(tombstones.select(col("retract_id")), Seq("retract_id"),
+        "left_anti")
+      .repartition(numBuckets, col("retract_id"))
+      .write.mode(SaveMode.Append).format("parquet")
+      .bucketBy(numBuckets, "retract_id").sortBy("retract_id")
+      .saveAsTable(table)
+
+  /** Drop every row whose `idColName` is tombstoned — retraction at
+    * READ time: a broadcast left_anti (tombstones are takedown-list
+    * sized), so the big side stays map-side and unshuffled. Works
+    * identically on the corpus (`doc_id`) and on any id-carrying
+    * state table (`corpus_id` in fingerprint postings, the id in
+    * snapshot/cell-vector/banded-signature state) — put this between
+    * `spark.table(state)` and the probe until the next
+    * [[compactState]] pass makes the removal physical. */
+  def retractIds(df: DataFrame, idColName: String,
+      tombstones: DataFrame): DataFrame =
+    df.join(
+      org.apache.spark.sql.functions.broadcast(
+        tombstones.select(col("retract_id"))),
+      df(idColName) === col("retract_id"), "left_anti")
+
+  /** Make retraction PHYSICAL for one id-carrying state family:
+    * rewrite the state minus tombstoned ids into a NEW (table, path)
+    * with the family's own bucket spec preserved, so every probe
+    * against the compacted table is still state-shuffle-free.
+    * Blue/green by construction — Spark cannot overwrite a table it
+    * is reading, and a compaction that repoints consumers AFTER the
+    * new table lands is also the atomic-cutover shape production
+    * wants. One bucketed write per family per compaction cycle;
+    * the anti-join side is broadcast, so compaction cost is the
+    * state's own size, independent of corpus text.
+    *
+    * Content-keyed state WITHOUT ids (the digest and seen-gram
+    * tables) cannot be compacted this way — a digest/gram may also
+    * be owned by retained documents, so the only correct retraction
+    * is a rebuild from the retained corpus
+    * ([[writeDigestTable]]/[[writeGramTable]] over
+    * [[retractIds]]-filtered input), the same cheap corpus-side pass
+    * as the maxDf-cap refresh. */
+  def compactState(state: DataFrame, idColName: String,
+      tombstones: DataFrame, table: String, path: String,
+      bucketCols: Seq[String], numBuckets: Int = 64): Unit =
+    retractIds(state, idColName, tombstones)
+      .repartition(numBuckets, bucketCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .option("path", path)
+      .saveAsTable(table)
+
   /** Distinct-per-document word n-grams as 128-bit digest pairs —
     * the same gram identity as [[Stats.ngramNovelty]] (digest keys,
     * never gram text, on any exchange). */

@@ -30,7 +30,8 @@ class CurationSpec extends AnyFunSuite {
       GraftConfig(maxTextLength = 100000), Some(tracker))
 
     assert(funnel.input === docs.count())
-    assert(funnel.input >= funnel.urlDeduped &&
+    assert(funnel.input >= funnel.retracted &&
+      funnel.retracted >= funnel.urlDeduped &&
       funnel.urlDeduped >= funnel.gated &&
       funnel.gated >= funnel.classified &&
       funnel.classified >= funnel.capped &&
@@ -70,6 +71,27 @@ class CurationSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(metrics("curation_input") === funnel.input.toDouble)
     assert(metrics("curation_output") === funnel.output.toDouble)
+  }
+
+  test("curation run: takedown stage retracts listed ids before any content work") {
+    val base = Files.createTempDirectory("graft-curation-td").toString
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.write.mode("overwrite").parquet(s"$base/corpus")
+    docs.filter(col("doc_id") % 10 === 0).select("doc_id")
+      .write.mode("overwrite").parquet(s"$base/takedown")
+
+    val (funnel, _) = CurationCli.run(
+      spark, s"$base/corpus", None, s"$base/out",
+      GraftConfig(maxTextLength = 100000,
+        takedownPath = Some(s"$base/takedown")))
+
+    assert(funnel.retracted ===
+      funnel.input - docs.filter(col("doc_id") % 10 === 0).count(),
+      s"every listed id must be retracted: $funnel")
+    // the opt-out guarantee holds in the released gold
+    val gold = spark.read.parquet(s"$base/out/gold")
+    assert(gold.filter(col("doc_id") % 10 === 0).count() === 0L,
+      "a retracted document must never reach the release")
   }
 
   test("curation run: url dedup and source cap stages engage when configured") {

@@ -345,4 +345,63 @@ class IncrementalSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS t_grams_plan")
     }
   }
+
+  test("takedown: read-time retraction == compacted probe; tombstone append idempotent; compacted table stays bucket-aligned") {
+    val corpus = docs.filter(col("doc_id") < 300)
+    Incremental.writeFingerprintTable(corpus, "doc_id", col("text"),
+      "t_td_fps", tmp("graft_td_fps"), numBuckets = 8)
+    Incremental.writeTombstones(corpus.filter(col("doc_id") % 7 === 0),
+      "doc_id", "t_td_tomb", tmp("graft_td_tomb"), numBuckets = 4)
+    try {
+      val batch = docs.filter(col("doc_id") >= 300)
+      def pairs(state: org.apache.spark.sql.DataFrame) =
+        Incremental.overlapAgainstTable(batch, "doc_id", col("text"), state)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val full = pairs(spark.table("t_td_fps"))
+      // retraction at READ: broadcast anti-join between table and probe
+      val readTime = pairs(Incremental.retractIds(
+        spark.table("t_td_fps"), "corpus_id", spark.table("t_td_tomb")))
+      assert(full.exists(_._2 % 7 === 0),
+        "fixture must plant overlap with a retracted corpus doc")
+      assert(readTime === full.filter(_._2 % 7 != 0))
+      // compaction makes it physical: identical verdicts from the live table
+      Incremental.compactState(spark.table("t_td_fps"), "corpus_id",
+        spark.table("t_td_tomb"), "t_td_fps_live", tmp("graft_td_live"),
+        Seq("fp"), numBuckets = 8)
+      assert(pairs(spark.table("t_td_fps_live")) === readTime)
+      assert(spark.table("t_td_fps_live")
+        .filter(col("corpus_id") % 7 === 0).count() === 0L)
+      // append idempotence: re-submitting the same takedown adds nothing
+      val size1 = spark.table("t_td_tomb").count()
+      Incremental.appendTombstones(corpus.filter(col("doc_id") % 7 === 0),
+        "doc_id", spark.table("t_td_tomb"), "t_td_tomb", numBuckets = 4)
+      assert(spark.table("t_td_tomb").count() === size1)
+      // a NEW takedown batch lands, and retraction sees it immediately
+      Incremental.appendTombstones(corpus.filter(col("doc_id") % 11 === 0),
+        "doc_id", spark.table("t_td_tomb"), "t_td_tomb", numBuckets = 4)
+      val wider = pairs(Incremental.retractIds(
+        spark.table("t_td_fps"), "corpus_id", spark.table("t_td_tomb")))
+      assert(wider === full.filter(p => p._2 % 7 != 0 && p._2 % 11 != 0))
+      // plan shape: retraction is a BROADCAST anti-join (the big side
+      // never shuffles), and the compacted table probes bucket-aligned
+      val retPlan = Incremental.retractIds(
+          spark.table("t_td_fps"), "corpus_id", spark.table("t_td_tomb"))
+        .queryExecution.executedPlan.toString
+      assert(retPlan.contains("BroadcastHashJoin") &&
+        retPlan.contains("LeftAnti"), s"retraction must broadcast:\n$retPlan")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val q = Incremental.overlapAgainstTable(batch, "doc_id", col("text"),
+          spark.table("t_td_fps_live"))
+        q.write.mode("overwrite").format("noop").save()
+        val plan = q.queryExecution.executedPlan.toString
+        assert(plan.contains("Bucketed: true"),
+          s"compacted state must stay bucket-aligned:\n$plan")
+        assert("Exchange hashpartitioning\\(fp".r.findAllIn(plan).size === 1,
+          s"compacted state must not re-shuffle:\n$plan")
+      } finally spark.conf.set(
+        "spark.sql.autoBroadcastJoinThreshold", "10485760")
+    } finally Seq("t_td_fps", "t_td_tomb", "t_td_fps_live")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
