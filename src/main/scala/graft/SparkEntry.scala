@@ -2098,6 +2098,18 @@ object SparkEntry {
         .orderBy("doc_id", "corpus_id")
     },
 
+    // ---- Deterministic epoch shuffle: the training-order
+    // permutation for epoch 3, computed with the q99 distributed
+    // prefix-sum (no global window) — reproducible, addressable
+    // (resume at epoch_pos >= P), portable (md5-prefix key, DuckDB
+    // replays the permutation exactly).
+    "q138_epoch_shuffle" -> { (s, dir) =>
+      Split.epochOrder(Tables.documents(s, dir).select("doc_id"),
+          col("doc_id"), epoch = 3, seed = 42L, buckets = 16)
+        .select("doc_id", "shuffle_key", "epoch_pos")
+        .orderBy("epoch_pos")
+    },
+
     // ---- Incremental novelty: the recurring-crawl form of q131 —
     // batch docs probed against the persisted bucketed seen-gram
     // state (what did this snapshot actually add, per document?).
@@ -4493,6 +4505,18 @@ object SparkEntry {
         |FROM bat JOIN st USING (h)
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY doc_id, corpus_id""".stripMargin,
+
+    // q138: the epoch-3 permutation replayed as one window — the
+    // distributed prefix-sum must equal the single-ORDER-BY truth.
+    "q138_epoch_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5(doc_id || ':3:42'), 1, 15)) AS BIGINT)
+        |      AS shuffle_key
+        |  FROM documents)
+        |SELECT doc_id, shuffle_key,
+        |  CAST(row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS BIGINT)
+        |    AS epoch_pos
+        |FROM k ORDER BY epoch_pos""".stripMargin,
 
     // q137: q135's replay with the tombstoned corpus ids compacted
     // OUT of the posting state — retraction applies AFTER the

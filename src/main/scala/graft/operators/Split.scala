@@ -502,6 +502,65 @@ object Split {
       .sortWithinPartitions(col("shard"), key)
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 
+  /** Deterministic per-epoch training-order shuffle: every row gets a
+    * `shuffle_key` (the portable 60-bit md5-prefix hash of
+    * `"<id>:<epoch>:<seed>"` — [[graft.operators.Winnow.gramHash]]
+    * identity, so DuckDB replays the permutation bit-for-bit) and its
+    * global 0-based `epoch_pos` under (`shuffle_key`, id) order — a
+    * fresh pseudo-random permutation per epoch, identical on every
+    * rerun, cluster shape, and resume.
+    *
+    * Why hash-keyed, not `ORDER BY rand()`: at 100 TB the order must
+    * be REPRODUCIBLE (a retried stage, a resumed job, or a different
+    * partition count must not reshuffle the epoch — rand() output
+    * depends on partition assignment), and addressable (a loader
+    * resuming mid-epoch seeks to `epoch_pos >= P` instead of
+    * replaying the stream). The position is computed with the q99
+    * distributed prefix-sum shape, NOT a global window (a 1-partition
+    * window is the textbook driver-shaped bottleneck): quantile
+    * bucket boundaries on the hash (one agg, B−1 longs to the
+    * driver), map-side bucket id, B-row count prefix on the driver,
+    * then ONE bucket-partitioned window whose per-partition sort is
+    * quantile-bounded (~n/B rows). Output is invariant to `buckets`
+    * (SplitSpec), which just tracks cluster parallelism. Epoch-ordered
+    * WRITING composes downstream: `repartitionByRange(shuffle_key)` +
+    * sort-within-partitions, or [[writeShards]] with cost 1 over
+    * `epoch_pos` for loader-sized files. */
+  def epochOrder(df: DataFrame, idCol: Column, epoch: Int,
+      seed: Long = 42L, buckets: Int = 64): DataFrame = {
+    require(epoch >= 0, "epoch must be >= 0")
+    require(buckets > 0, "buckets must be positive")
+    val skey = graft.operators.Winnow.gramHash(
+      concat(idCol.cast("string"), lit(":"), lit(epoch).cast("string"),
+        lit(":"), lit(seed).cast("string")))
+    val keyed = df.withColumn("shuffle_key", skey)
+    val probs = (1 until buckets).map(_.toDouble / buckets)
+    val bounds: Array[Long] =
+      if (probs.isEmpty) Array.empty
+      else {
+        val row = keyed.agg(percentile_approx(col("shuffle_key"),
+          lit(probs.toArray), lit(10000)).as("bs")).head()
+        if (row.isNullAt(0)) Array.empty
+        else row.getSeq[Long](0).distinct.sorted.toArray
+      }
+    val bucketOf = graft.functions.text.expr2col(
+      graft.functions.RankInSortedLongs(
+        graft.functions.text.col2expr(col("shuffle_key")), bounds))
+    val bucketed = keyed.withColumn("__b", bucketOf)
+    val totals = bucketed.groupBy(col("__b")).agg(count(lit(1)).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets: Array[Long] = (0 to bounds.length)
+      .map(totals.getOrElse(_, 0L))
+      .scanLeft(0L)(_ + _).init.toArray
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("shuffle_key"), idCol)
+    bucketed
+      .withColumn("epoch_pos",
+        (element_at(lit(offsets), col("__b") + 1) +
+          row_number().over(w) - 1).cast("long"))
+      .drop("__b")
+  }
+
   /** O5 — split-disjointness invariant: pairwise key intersections empty. */
   def disjoint(a: DataFrame, b: DataFrame, keyCols: Seq[String]): Boolean = {
     val ka = a.select(Dedup.compositeKey(keyCols).as("k"))

@@ -428,4 +428,48 @@ class SplitSpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(3) - expect) < 1e-6, s"${r.getString(0)}")
     }
   }
+
+  test("epochOrder: a bijective permutation, invariant to buckets, epoch-distinct, resumable") {
+    val ids = docs.select("doc_id")
+    val n = ids.count()
+    // driver-side truth: sort by the same md5-prefix key
+    def key(id: Long, epoch: Int) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:$epoch:42".getBytes)
+      var v = 0L; for (i <- 0 until 8) v = (v << 8) | (md(i) & 0xffL)
+      v >>> 4
+    }
+    val allIds = ids.collect().map(_.getLong(0))
+    val expected = allIds.map(id => (key(id, 3), id)).sorted
+      .zipWithIndex.map { case ((k, id), pos) => (id, k, pos.toLong) }.toSet
+    for (b <- Seq(1, 5, 16)) {
+      val got = Split.epochOrder(ids.repartition(13), col("doc_id"), 3,
+          buckets = b)
+        .select("doc_id", "shuffle_key", "epoch_pos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got === expected, s"buckets=$b must not change the permutation")
+    }
+    // epoch_pos is a bijection 0..n-1 (implied by === expected, spelled out)
+    assert(expected.map(_._3) === (0L until n).toSet)
+    // a different epoch is a genuinely different order
+    val e4 = Split.epochOrder(ids, col("doc_id"), 4)
+      .select("doc_id", "epoch_pos").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e3 = expected.map(t => t._1 -> t._3).toMap
+    val moved = allIds.count(id => e3(id) != e4(id))
+    assert(moved > n * 0.9, s"epochs must decorrelate, only $moved/$n moved")
+    // addressable resume: the tail from epoch_pos >= P is exactly the
+    // last n-P rows of the permutation
+    val p = n / 2
+    val tail = Split.epochOrder(ids, col("doc_id"), 3)
+      .filter(col("epoch_pos") >= p).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(tail === expected.filter(_._3 >= p).map(_._1))
+    // no global window: a 1-partition sort would plan Exchange
+    // SinglePartition in front of the Window
+    val plan = Split.epochOrder(ids, col("doc_id"), 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"the position window must be bucket-partitioned:\n$plan")
+  }
 }
