@@ -75,6 +75,18 @@ object Bench {
     operators.Incremental.writeSnapshotTable(
       Tables.documents(spark, sfDir), "doc_id", Seq("text", "lang"),
       "graft_bench_snapshot", s"$tmpOut/snapshot", numBuckets = 8)
+    // NB count log with two appended blocks — op_nb_dict_merge
+    // isolates the steady-state dictionary derivation (bucket-local
+    // merge, vocabulary-sized) that replaces a full corpus retrain
+    spark.sql("DROP TABLE IF EXISTS graft_bench_nb_log")
+    operators.Incremental.writeNbCounts(
+      Tables.documents(spark, sfDir).filter(col("doc_id") % 2 === 0),
+      col("text"), col("n_chars") >= 300,
+      "graft_bench_nb_log", s"$tmpOut/nb_log", numBuckets = 8)
+    operators.Incremental.appendNbCounts(
+      Tables.documents(spark, sfDir).filter(col("doc_id") % 2 === 1),
+      col("text"), col("n_chars") >= 300, "graft_bench_nb_log",
+      numBuckets = 8)
 
     // Pre-trained NB classifier dictionary, OFF the clock: q125/q126
     // time the composed train+score; op_nb_score_mapside isolates the
@@ -175,7 +187,10 @@ object Bench {
           "doc_id", Seq("text", "lang"), spark.table("graft_bench_snapshot")))),
       "op_nb_score_mapside" -> (() => force(
         operators.Classifier.nbScoreMapSide(Tables.documents(spark, sfDir),
-          "doc_id", col("text"), nbKeys, nbWeights, nbPrior))))
+          "doc_id", col("text"), nbKeys, nbWeights, nbPrior))),
+      "op_nb_dict_merge" -> (() => force(
+        operators.Incremental.nbDictFromTable(
+          spark.table("graft_bench_nb_log")))))
 
     // Streaming throughput micros: one AvailableNow pass of each
     // streaming operator over the staged table (seconds; divide the

@@ -2098,6 +2098,26 @@ object SparkEntry {
         .orderBy("doc_id", "corpus_id")
     },
 
+    // ---- Incremental classifier: the NB count log built on the
+    // first corpus half, grown by the second half with ONE
+    // batch-sized append, dictionary derived bucket-local from the
+    // state — and the scores must hash-match q125's from-scratch
+    // retrain over the full corpus (the merge ≡ retrain guarantee).
+    "q139_incremental_classifier" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val label = col("n_chars") >= 300
+      val base = java.nio.file.Files.createTempDirectory("graft_q139").toString
+      s.sql("DROP TABLE IF EXISTS graft_q139_nb")
+      Incremental.writeNbCounts(docs.filter(col("doc_id") < 400),
+        col("text"), label, "graft_q139_nb", base, numBuckets = 8)
+      Incremental.appendNbCounts(docs.filter(col("doc_id") >= 400),
+        col("text"), label, "graft_q139_nb", numBuckets = 8)
+      val dict = Incremental.nbDictFromTable(s.table("graft_q139_nb"))
+      val prior = Classifier.collectPrior(docs, label)
+      Classifier.nbScore(docs, "doc_id", col("text"), dict, lit(prior))
+        .orderBy("doc_id")
+    },
+
     // ---- Deterministic epoch shuffle: the training-order
     // permutation for epoch 3, computed with the q99 distributed
     // prefix-sum (no global window) — reproducible, addressable
@@ -4505,6 +4525,40 @@ object SparkEntry {
         |FROM bat JOIN st USING (h)
         |GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY doc_id, corpus_id""".stripMargin,
+
+    // q139: the merge ≡ retrain guarantee — the oracle retrains from
+    // scratch over the full corpus (q125's replay verbatim); the
+    // engine's count-log merge must produce identical scores.
+    "q139_incremental_classifier" ->
+      """WITH lab AS (
+        |  SELECT doc_id, text, n_chars >= 300 AS pos FROM documents),
+        |tok AS (
+        |  SELECT doc_id, pos,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      t -> t <> '')) AS token
+        |  FROM lab),
+        |cnt AS (
+        |  SELECT token,
+        |    sum(CASE WHEN pos THEN 1 ELSE 0 END) AS cpos,
+        |    sum(CASE WHEN NOT pos THEN 1 ELSE 0 END) AS cneg
+        |  FROM tok GROUP BY token),
+        |tot AS (SELECT sum(cpos) AS np, sum(cneg) AS nn, count(*) AS v FROM cnt),
+        |llr AS (
+        |  SELECT token,
+        |    ln((cpos + 1.0) / (np + v)) - ln((cneg + 1.0) / (nn + v)) AS w
+        |  FROM cnt, tot),
+        |prior AS (
+        |  SELECT ln(sum(CASE WHEN pos THEN 1 ELSE 0 END) * 1.0 /
+        |            sum(CASE WHEN NOT pos THEN 1 ELSE 0 END)) AS p
+        |  FROM lab),
+        |sc AS (
+        |  SELECT t.doc_id, sum(w) AS s FROM tok t JOIN llr USING (token)
+        |  GROUP BY t.doc_id)
+        |SELECT l.doc_id,
+        |  round(coalesce(s, 0) + p, 4) AS nb_llr,
+        |  (coalesce(s, 0) + p) > 0 AS hq
+        |FROM lab l LEFT JOIN sc ON l.doc_id = sc.doc_id, prior
+        |ORDER BY l.doc_id""".stripMargin,
 
     // q138: the epoch-3 permutation replayed as one window — the
     // distributed prefix-sum must equal the single-ORDER-BY truth.

@@ -58,20 +58,37 @@ object Classifier {
     * degenerates the prior, not this dictionary (smoothing keeps
     * every llr finite), so the guard lives in [[nbQualityScore]].
     */
-  def nbTrain(docs: DataFrame, textCol: Column, labelCol: Column): DataFrame = {
-    val counts = docs
+  def nbTrain(docs: DataFrame, textCol: Column, labelCol: Column): DataFrame =
+    dictFromCounts(tokenClassCounts(docs, textCol, labelCol))
+
+  /** The countable half of [[nbTrain]]: per-token class-conditional
+    * occurrence counts `(token, cpos, cneg)` — one explode, one
+    * token-keyed shuffle with map-side partial aggregation. Counts
+    * are the MERGEABLE representation of the classifier (sums of
+    * longs), which is what the incremental state family persists
+    * ([[Incremental.writeNbCounts]]); the dictionary itself (log
+    * ratios) is not mergeable. */
+  def tokenClassCounts(docs: DataFrame, textCol: Column,
+      labelCol: Column): DataFrame =
+    docs
       .select(labelCol.as("__pos"), explode(wordTokens(textCol)).as("token"))
       .groupBy("token")
       .agg(
-        sum(when(col("__pos"), 1L).otherwise(0L)).as("__cpos"),
-        sum(when(!col("__pos"), 1L).otherwise(0L)).as("__cneg"))
+        sum(when(col("__pos"), 1L).otherwise(0L)).as("cpos"),
+        sum(when(!col("__pos"), 1L).otherwise(0L)).as("cneg"))
+
+  /** The arithmetic half of [[nbTrain]]: `(token, cpos, cneg)` counts
+    * → the Laplace-smoothed `(token, llr)` dictionary. Totals are a
+    * single-row aggregate attached by broadcast — vocabulary-sized
+    * work after the counts exist. */
+  def dictFromCounts(counts: DataFrame): DataFrame = {
     val totals = counts.agg(
-      sum("__cpos").as("__np"), sum("__cneg").as("__nn"),
+      sum("cpos").as("__np"), sum("cneg").as("__nn"),
       count(lit(1)).as("__v"))
     counts.crossJoin(broadcast(totals))
       .select(col("token"),
-        (log((col("__cpos") + lit(1.0)) / (col("__np") + col("__v"))) -
-          log((col("__cneg") + lit(1.0)) / (col("__nn") + col("__v")))).as("llr"))
+        (log((col("cpos") + lit(1.0)) / (col("__np") + col("__v"))) -
+          log((col("cneg") + lit(1.0)) / (col("__nn") + col("__v")))).as("llr"))
   }
 
   /** Per-doc sum of matched-token llr: `(idCol, __s)` for docs with

@@ -472,6 +472,69 @@ object Incremental {
     finally keys.unpersist(blocking = false)
   }
 
+  /** Incremental Naive-Bayes classifier state: the corpus's per-token
+    * class counts ([[Classifier.tokenClassCounts]]) persisted as an
+    * APPEND-ONLY COUNT LOG bucketed + bucket-sorted by `token`. Counts
+    * are the mergeable form of the classifier — sums of longs — so
+    * growing the model by a labeled batch is [[appendNbCounts]] (one
+    * batch-sized write), and deriving the current dictionary is
+    * [[nbDictFromTable]], whose token-keyed merge aggregation runs
+    * BUCKET-LOCAL with zero exchange: retraining cost is the
+    * vocabulary-sized state, never the corpus. `nbDictFromTable`
+    * after N appends is provably identical to [[Classifier.nbTrain]]
+    * over the union of all batches (q139 hash-checks exactly that
+    * equivalence against a from-scratch SQL retrain).
+    *
+    * Contract difference vs the distinct-posting state tables: this
+    * is a LOG, so appending the same batch twice double-counts it —
+    * drive appends exactly-once (the batch-id idempotence ledger
+    * belongs to the orchestrator, as with any metric accumulator).
+    * The log grows one vocabulary-row block per append;
+    * [[compactNbCounts]] folds it back to one row per token
+    * (blue/green, like [[compactState]]) at whatever cadence keeps
+    * the state read cheap. */
+  def writeNbCounts(docs: DataFrame, textCol: Column, labelCol: Column,
+      table: String, path: String, numBuckets: Int = 64): Unit =
+    Classifier.tokenClassCounts(docs, textCol, labelCol)
+      .repartition(numBuckets, col("token"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, "token").sortBy("token")
+      .option("path", path)
+      .saveAsTable(table)
+
+  /** Grow the NB count log by one labeled batch — same bucket spec as
+    * [[writeNbCounts]]; see the exactly-once caveat there. */
+  def appendNbCounts(batch: DataFrame, textCol: Column, labelCol: Column,
+      table: String, numBuckets: Int = 64): Unit =
+    Classifier.tokenClassCounts(batch, textCol, labelCol)
+      .repartition(numBuckets, col("token"))
+      .write.mode(SaveMode.Append).format("parquet")
+      .bucketBy(numBuckets, "token").sortBy("token")
+      .saveAsTable(table)
+
+  /** The CURRENT `(token, llr)` dictionary from the persisted count
+    * log: bucket-local merge of the per-append count blocks (zero
+    * token-keyed exchange — the scan is bucketed on `token`), then
+    * [[Classifier.dictFromCounts]]. Equal to a from-scratch
+    * [[Classifier.nbTrain]] over every appended batch. */
+  def nbDictFromTable(countLog: DataFrame): DataFrame =
+    Classifier.dictFromCounts(
+      countLog.groupBy("token")
+        .agg(sum("cpos").as("cpos"), sum("cneg").as("cneg")))
+
+  /** Fold the count log back to one row per token into a NEW
+    * (table, path) — blue/green like [[compactState]]; bounds the
+    * per-dictionary-derivation merge work after many appends. */
+  def compactNbCounts(countLog: DataFrame, table: String, path: String,
+      numBuckets: Int = 64): Unit =
+    countLog.groupBy("token")
+      .agg(sum("cpos").as("cpos"), sum("cneg").as("cneg"))
+      .repartition(numBuckets, col("token"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, "token").sortBy("token")
+      .option("path", path)
+      .saveAsTable(table)
+
   // --------------------------------------------------------------
   // Takedown / retraction: opt-out and legal-removal lists must
   // propagate to the corpus AND every derived state table.

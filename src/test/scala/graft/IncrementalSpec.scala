@@ -404,4 +404,44 @@ class IncrementalSpec extends AnyFunSuite {
     } finally Seq("t_td_fps", "t_td_tomb", "t_td_fps_live")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("NB count log: merge == from-scratch retrain; compaction folds; dict merge is exchange-free") {
+    import graft.operators.Classifier
+    val label = col("n_chars") >= 300
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    Incremental.writeNbCounts(half1, col("text"), label,
+      "t_nb_log", tmp("graft_nb_log"), numBuckets = 8)
+    Incremental.appendNbCounts(half2, col("text"), label,
+      "t_nb_log", numBuckets = 8)
+    try {
+      def dictMap(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val merged = dictMap(Incremental.nbDictFromTable(spark.table("t_nb_log")))
+      val scratch = dictMap(Classifier.nbTrain(docs, col("text"), label))
+      assert(merged.keySet === scratch.keySet)
+      merged.foreach { case (t, w) =>
+        assert(math.abs(w - scratch(t)) < 1e-12, s"token $t: $w vs ${scratch(t)}") }
+      // the log has one block per append (some tokens twice);
+      // compaction folds it to one row per token, dictionary unchanged
+      val logRows = spark.table("t_nb_log").count()
+      assert(logRows > merged.size, "fixture must produce a multi-block log")
+      Incremental.compactNbCounts(spark.table("t_nb_log"),
+        "t_nb_compact", tmp("graft_nb_compact"), numBuckets = 8)
+      assert(spark.table("t_nb_compact").count() === merged.size.toLong)
+      assert(dictMap(Incremental.nbDictFromTable(
+        spark.table("t_nb_compact"))) === merged)
+      // plan: the merge aggregation reads the bucketed log with NO
+      // token-keyed exchange (the whole point of bucketing the state)
+      val q = spark.table("t_nb_log").groupBy("token")
+        .agg(sum("cpos").as("cpos"), sum("cneg").as("cneg"))
+      q.write.mode("overwrite").format("noop").save()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"count log must scan bucket-aligned:\n$plan")
+      assert(!"Exchange hashpartitioning\\(token".r.findFirstIn(plan).isDefined,
+        s"dictionary merge must be bucket-local:\n$plan")
+    } finally Seq("t_nb_log", "t_nb_compact")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
