@@ -2118,6 +2118,29 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ---- Incremental retrieval index: BM25 postings built on the
+    // even half, grown by the odd half with ONE batch-sized append;
+    // the probe is bucket-PRUNED to the query's terms and never
+    // touches corpus text — and must hash-match q54's from-scratch
+    // BM25 over the full corpus (append ≡ rebuild).
+    "q140_incremental_bm25" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft_q140").toString
+      s.sql("DROP TABLE IF EXISTS graft_q140_post")
+      s.sql("DROP TABLE IF EXISTS graft_q140_stats")
+      Incremental.writePostings(docs.filter(col("doc_id") % 2 === 0),
+        "doc_id", col("text"), "graft_q140_post", s"$base/post", numBuckets = 8)
+      Incremental.appendPostings(docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", col("text"), "graft_q140_post", numBuckets = 8)
+      Incremental.writeIndexStats(docs.filter(col("doc_id") % 2 === 0),
+        col("text"), "graft_q140_stats", s"$base/stats")
+      Incremental.appendIndexStats(docs.filter(col("doc_id") % 2 === 1),
+        col("text"), "graft_q140_stats")
+      Incremental.bm25AgainstIndex(s.table("graft_q140_post"),
+        s.table("graft_q140_stats"), "doc_id",
+        queryTerms = Seq("spark", "shuffle", "join"), k = 20)
+    },
+
     // ---- Deterministic epoch shuffle: the training-order
     // permutation for epoch 3, computed with the q99 distributed
     // prefix-sum (no global window) — reproducible, addressable
@@ -4559,6 +4582,31 @@ object SparkEntry {
         |  (coalesce(s, 0) + p) > 0 AS hq
         |FROM lab l LEFT JOIN sc ON l.doc_id = sc.doc_id, prior
         |ORDER BY l.doc_id""".stripMargin,
+
+    // q140: append ≡ rebuild for the BM25 index — the oracle is q54's
+    // from-scratch BM25 replay over the full corpus, verbatim; the
+    // engine's probe of the two-block posting state must match it.
+    "q140_incremental_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks WHERE term <> '' GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n, avg(CAST(coalesce(dl.dl, 0) AS DOUBLE)) AS avgdl
+        |          FROM documents LEFT JOIN dl USING (doc_id)),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('spark', 'shuffle', 'join') GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+        |SELECT tf.doc_id,
+        |  round(sum(
+        |    ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+        |    tf.tf * (1.2 + 1.0) /
+        |    (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+        |  ), 4) AS bm25_score
+        |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |GROUP BY tf.doc_id
+        |ORDER BY bm25_score DESC, tf.doc_id
+        |LIMIT 20""".stripMargin,
 
     // q138: the epoch-3 permutation replayed as one window — the
     // distributed prefix-sum must equal the single-ORDER-BY truth.

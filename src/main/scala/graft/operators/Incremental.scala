@@ -535,6 +535,129 @@ object Incremental {
       .option("path", path)
       .saveAsTable(table)
 
+  // ---- Retrieval-index state: incremental BM25 --------------------
+
+  /** Inverted-index state for recurring BM25 search
+    * ([[Retrieval.bm25TopK]]'s incremental complement): one posting
+    * row per (term, document) — `(term, <idCol>, tf, dl)` — bucketed +
+    * bucket-sorted by `term`. The serving shape at 100 TB: a query
+    * probe filters the postings by its terms, so the bucketed layout
+    * gives BUCKET PRUNING at the scan (only the terms' buckets are
+    * read — `SelectedBucketsCount` in the plan) and the per-term
+    * document-frequency aggregation runs bucket-local with zero
+    * exchange; the corpus text is never tokenized again. Growing the
+    * index by a crawled batch is [[appendPostings]] — one batch-sized
+    * tokenize + write; postings from disjoint-id batches are disjoint
+    * rows, so the union of appends IS the index of the unioned corpus
+    * (q140 hash-checks probe-after-append ≡ from-scratch
+    * [[Retrieval.bm25TopK]] against the q54 oracle).
+    *
+    * Contracts: batches must carry NEW document ids (re-appending a
+    * doc duplicates its postings and inflates tf/df — the same
+    * exactly-once contract as the NB count log [[writeNbCounts]];
+    * gate re-crawls with [[exactDedupAgainstTable]] first). Takedown
+    * composes: postings are id-carrying, so
+    * [[compactState]]`(postings, idCol, tombstones, bucketCols =
+    * Seq("term"))` removes a retracted doc's postings physically —
+    * but the stats log ([[writeIndexStats]]) still counts the removed
+    * docs; rebuild it from the retained corpus (one agg scan) when
+    * retraction volume starts to matter for ranking. */
+  def writePostings(corpus: DataFrame, idCol: String, textCol: Column,
+      table: String, path: String, numBuckets: Int = 64): Unit =
+    postingRows(corpus, idCol, textCol)
+      .repartition(numBuckets, col("term"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, "term").sortBy("term")
+      .option("path", path)
+      .saveAsTable(table)
+
+  /** Grow the posting state by one batch of NEW documents — same
+    * bucket spec as [[writePostings]]; see the new-ids contract there. */
+  def appendPostings(batch: DataFrame, idCol: String, textCol: Column,
+      table: String, numBuckets: Int = 64): Unit =
+    postingRows(batch, idCol, textCol)
+      .repartition(numBuckets, col("term"))
+      .write.mode(SaveMode.Append).format("parquet")
+      .bucketBy(numBuckets, "term").sortBy("term")
+      .saveAsTable(table)
+
+  /** Corpus-stats side of the index: an append-only ONE-ROW-PER-BATCH
+    * log `(n_docs, sum_dl)` — the mergeable form of BM25's global
+    * N/avgdl (sums of longs, like the NB count log). Deriving the
+    * current stats is a log-sized aggregate; null-text docs count as
+    * length 0, exactly as [[Retrieval.bm25TopK]] counts them. */
+  def writeIndexStats(corpus: DataFrame, textCol: Column,
+      table: String, path: String): Unit =
+    indexStatsRow(corpus, textCol)
+      .write.mode(SaveMode.Overwrite).option("path", path)
+      .saveAsTable(table)
+
+  /** Append one batch's `(n_docs, sum_dl)` row — same exactly-once
+    * contract as [[appendPostings]]. */
+  def appendIndexStats(batch: DataFrame, textCol: Column,
+      table: String): Unit =
+    indexStatsRow(batch, textCol)
+      .write.mode(SaveMode.Append).format("parquet")
+      .saveAsTable(table)
+
+  /** Top-k BM25 against the persisted index — identical output to
+    * [[Retrieval.bm25TopK]] over the union of every appended batch
+    * (`(idCol, bm25_score)`, score rounded to 4 decimals, ordered by
+    * (score desc, id asc)), but the probe never touches corpus text:
+    * the postings scan is bucket-PRUNED to the query's terms, the
+    * per-term df aggregate is bucket-local (zero exchange), global
+    * stats fold the log, and the only data-sized exchange is the
+    * hit-proportional per-doc score aggregation. The filtered
+    * postings are scanned twice (df + score) — both reads are pruned
+    * to the same |terms| buckets. Parameters (k1, b) are free at
+    * probe time; the tokenization is fixed at build time. */
+  def bm25AgainstIndex(postings: DataFrame, statsLog: DataFrame,
+      idColName: String, queryTerms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // exactly (term, <id>, tf, dl) — reject anything else rather than
+    // silently scoring the wrong column (the cellDupIds discipline)
+    require(postings.columns.toSet == Set("term", idColName, "tf", "dl"),
+      s"not a posting table for id '$idColName' " +
+        s"(want term, $idColName, tf, dl): ${postings.columns.mkString(",")}")
+    val stats = statsLog.agg(
+      sum(col("n_docs")).as("__n"),
+      // integer-valued double sums are exact below 2^53, so this
+      // equals bm25TopK's avg() bit-for-bit at any realistic scale
+      (sum(col("sum_dl")) * lit(1.0) / sum(col("n_docs"))).as("__avgdl"))
+    val hits = postings
+      .filter(col("term").isin(queryTerms.map(t => t: Any): _*))
+    // df = posting rows per term (one row per (term, doc) by the
+    // new-ids contract): bucket-local agg, ≤ |queryTerms| rows out
+    val df = hits.groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val idf = log(lit(1.0) +
+      (col("__n") - col("__df") + lit(0.5)) / (col("__df") + lit(0.5)))
+    val tfNorm = col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("__avgdl")))
+    hits.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idColName))
+      .agg(round(sum(idf * tfNorm), 4).as("bm25_score"))
+      .orderBy(desc("bm25_score"), col(idColName))
+      .limit(k)
+  }
+
+  /** `(term, <idCol>, tf, dl)` posting rows — the same token identity
+    * as [[Retrieval.bm25TopK]] ([[Retrieval.wordTokens]]); `dl` rides
+    * every posting of its doc so probes never join a doc-length
+    * table. Null/empty texts yield no postings (they still count in
+    * the stats log). */
+  private def postingRows(df: DataFrame, idCol: String, textCol: Column): DataFrame =
+    df.select(col(idCol), Retrieval.wordTokens(textCol).as("__toks"))
+      .select(col(idCol), size(col("__toks")).as("__dl"),
+        explode(col("__toks")).as("term"))
+      .groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).as("tf"), min(col("__dl")).as("dl"))
+
+  private def indexStatsRow(df: DataFrame, textCol: Column): DataFrame =
+    df.agg(count(lit(1)).as("n_docs"),
+      sum(coalesce(size(Retrieval.wordTokens(textCol)), lit(0))
+        .cast("long")).as("sum_dl"))
+
   // --------------------------------------------------------------
   // Takedown / retraction: opt-out and legal-removal lists must
   // propagate to the corpus AND every derived state table.

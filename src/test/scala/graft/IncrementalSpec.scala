@@ -444,4 +444,46 @@ class IncrementalSpec extends AnyFunSuite {
     } finally Seq("t_nb_log", "t_nb_compact")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("BM25 index: probe-after-append == from-scratch bm25TopK; scan is bucket-pruned; df agg is exchange-free") {
+    import graft.operators.Retrieval
+    val terms = Seq("the", "data", "join")
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    Incremental.writePostings(half1, "doc_id", col("text"),
+      "t_bm25_post", tmp("graft_bm25_post"), numBuckets = 8)
+    Incremental.appendPostings(half2, "doc_id", col("text"),
+      "t_bm25_post", numBuckets = 8)
+    Incremental.writeIndexStats(half1, col("text"),
+      "t_bm25_stats", tmp("graft_bm25_stats"))
+    Incremental.appendIndexStats(half2, col("text"), "t_bm25_stats")
+    try {
+      val got = Incremental.bm25AgainstIndex(spark.table("t_bm25_post"),
+          spark.table("t_bm25_stats"), "doc_id", terms, k = 15)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val want = Retrieval.bm25TopK(docs, "doc_id", col("text"), terms, k = 15)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.nonEmpty, "fixture terms must hit documents")
+      assert(got.toSeq === want.toSeq)
+      // a wrong-shape posting frame must throw, not mis-score
+      intercept[IllegalArgumentException](Incremental.bm25AgainstIndex(
+        spark.table("t_bm25_post").withColumn("extra", lit(1)),
+        spark.table("t_bm25_stats"), "doc_id", terms, k = 5))
+      // plan: the probe reads ONLY the query terms' buckets (bucket
+      // pruning on the IN filter) and the df aggregation is
+      // bucket-local — no term-keyed exchange anywhere
+      val hits = spark.table("t_bm25_post")
+        .filter(col("term").isin(terms.map(t => t: Any): _*))
+      val dfAgg = hits.groupBy("term").agg(count(lit(1)).as("df"))
+      dfAgg.write.mode("overwrite").format("noop").save()
+      val plan = dfAgg.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"),
+        s"posting scan must be bucket-aligned:\n$plan")
+      assert("SelectedBucketsCount: \\d+ \\(out of 8\\)".r.findFirstIn(plan).isDefined,
+        s"term IN filter must prune buckets:\n$plan")
+      assert(!"Exchange hashpartitioning\\(term".r.findFirstIn(plan).isDefined,
+        s"df aggregation must be bucket-local:\n$plan")
+    } finally Seq("t_bm25_post", "t_bm25_stats")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
