@@ -495,6 +495,29 @@ object Dedup {
     * theta-join predicate is null on them too). `strict` verifies
     * `< maxHamming` instead of `<=` while banding at the same width
     * (a strictly-smaller distance is also ≤). */
+  /** Near-duplicate id pairs over ANY precomputed 64-bit signature
+    * frame `(<idCol>, <sigCol>)`: every (id_a < id_b, dist) with
+    * popcount(sig_a XOR sig_b) ≤ maxHamming — EXACT output (the
+    * pigeonhole banding never misses a within-budget pair). Null
+    * signatures never pair. Value-level banding + id re-attach, so
+    * duplicate signature VALUES cost one bucket row each regardless
+    * of multiplicity — a million byte-identical payloads are one
+    * value row, not a 10¹²-pair bucket. The shared engine under the
+    * image (aHash/dHash, [[Images.nearDupPairs]]) and audio
+    * ([[Audio]] energy-contour hash) perceptual-dedup families. */
+  def hammingNearDupPairs(sigs: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int): DataFrame = {
+    val ids = sigs.select(col(idCol), col(sigCol)).filter(col(sigCol).isNotNull)
+    val valPairs = hammingPairsValues(ids, col(sigCol), ids, col(sigCol), maxHamming)
+    valPairs
+      .join(ids.select(col(idCol).as("id_a"), col(sigCol).as("__ham_sa")), Seq("__ham_sa"))
+      .join(ids.select(col(idCol).as("id_b"), col(sigCol).as("__ham_sb")), Seq("__ham_sb"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("__ham_sa").bitwiseXOR(col("__ham_sb"))).as("dist"))
+      .distinct()
+  }
+
   private[graft] def hammingPairsValues(
       ldf: DataFrame, lsig: Column,
       rdf: DataFrame, rsig: Column,

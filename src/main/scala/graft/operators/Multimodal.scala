@@ -8,10 +8,14 @@ import org.apache.spark.sql.types._
   * image/audio/video as opaque `binary` columns with typed metadata.
   *
   * The Spark-side contract is real and tested — schema, partitioning,
-  * batch shape, feature-vector layout — while the actual media decode
-  * is STUBBED with a deterministic fake (the image/audio codec
-  * libraries are not in this container). Swap [[MediaCodec.decode]]
-  * for a real JNI/javacpp decoder without touching any plumbing.
+  * batch shape, feature-vector layout. The IMAGE modality has a REAL
+  * decoder ([[Images]] — `javax.imageio` PNG/JPEG + perceptual
+  * near-dup signatures, q141) and so does WAV AUDIO ([[Audio]] —
+  * self-contained RIFF/PCM parser + gain-invariant energy-contour
+  * fingerprint, q143). Compressed-codec decode (MP3/MP4/video)
+  * remains STUBBED with a deterministic fake (those codec libraries
+  * are not in this container); swap [[MediaCodec.decode]] for a real
+  * JNI/javacpp decoder without touching any plumbing.
   *
   * Scale notes: decode runs in `mapPartitions` so each task amortizes
   * codec init across its whole partition (the batch shape a real
