@@ -378,4 +378,105 @@ object Pdf {
     }
     (sb.toString, math.min(i + 1, s.length))
   }
+
+  // ======== deterministic PDF synthesis (fixture / round-trip
+  // generation — the write half that lets the extractor be checked
+  // end-to-end against source-of-truth text, q142) ========
+
+  /** One PDF literal/hex string for `s`, chosen so extraction inverts
+    * it exactly: all-Latin-1 text becomes an escaped `(...)` literal
+    * (backslash/parens escaped, control + high bytes as octal);
+    * anything wider becomes a BOM'd UTF-16BE `<...>` hex string. */
+  private[sources] def pdfString(s: String): String =
+    if (s.forall(_ <= 0xFF)) {
+      val b = new StringBuilder("(")
+      s.foreach {
+        case '\\' => b.append("\\\\")
+        case '(' => b.append("\\(")
+        case ')' => b.append("\\)")
+        case c if c >= 32 && c <= 126 => b.append(c)
+        case c => b.append("\\%03o".format(c.toInt))
+      }
+      b.append(")").toString
+    } else {
+      val bytes = ("\uFEFF" + s).getBytes(java.nio.charset.StandardCharsets.UTF_16BE)
+      bytes.map("%02X".format(_)).mkString("<", "", ">")
+    }
+
+  private def deflateBytes(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    try {
+      d.setInput(b); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  /** A complete single-file PDF with one FlateDecode content stream
+    * per page (catalog → page tree → page objects → streams, plus a
+    * correct xref table, so any conforming reader opens it — not just
+    * this extractor's lexical scan). Deterministic: same pages, same
+    * bytes, on any JVM (JDK Deflater with default settings).
+    * Guarantee the oracle leans on (q142, PdfSpec round-trip fuzz):
+    * extraction inverts synthesis up to the extractor's per-stream
+    * normalization — each page comes back `trim`med with newline runs
+    * collapsed, and blank pages drop from the count. Pages free of
+    * edge whitespace and newline runs (every documents-table text)
+    * round-trip EXACTLY:
+    * `extractText(synthesize(pages)).text == pages.mkString("\n")`. */
+  def synthesize(pages: Seq[String]): Array[Byte] = {
+    require(pages.nonEmpty, "a PDF needs at least one page")
+    val n = pages.length
+    val out = new java.io.ByteArrayOutputStream()
+    val offsets = new Array[Int](2 * n + 3) // 1-based object offsets
+    def w(s: String): Unit = out.write(s.getBytes(Latin1))
+    w("%PDF-1.4\n")
+    offsets(1) = out.size()
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    offsets(2) = out.size()
+    val kids = (0 until n).map(i => s"${3 + i} 0 R").mkString(" ")
+    w(s"2 0 obj << /Type /Pages /Kids [$kids] /Count $n >> endobj\n")
+    pages.indices.foreach { i =>
+      offsets(3 + i) = out.size()
+      w(s"${3 + i} 0 obj << /Type /Page /Parent 2 0 R " +
+        s"/MediaBox [0 0 612 792] /Contents ${3 + n + i} 0 R >> endobj\n")
+    }
+    pages.zipWithIndex.foreach { case (text, i) =>
+      val content = deflateBytes(
+        s"BT /F1 12 Tf 72 720 Td ${pdfString(text)} Tj ET".getBytes(Latin1))
+      offsets(3 + n + i) = out.size()
+      w(s"${3 + n + i} 0 obj << /Length ${content.length} " +
+        "/Filter /FlateDecode >> stream\n")
+      out.write(content)
+      w("\nendstream endobj\n")
+    }
+    val xref = out.size()
+    w(s"xref\n0 ${2 * n + 3}\n0000000000 65535 f \n")
+    (1 until 2 * n + 3).foreach(i => w("%010d 00000 n \n".format(offsets(i))))
+    w(s"trailer << /Size ${2 * n + 3} /Root 1 0 R >>\n" +
+      s"startxref\n$xref\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Distributed fixture/export writer: one synthesized PDF per input
+    * row into `dir` as `<name>.pdf`. Files are written executor-side
+    * through the Hadoop FS API (works on local paths and HDFS alike);
+    * bytes never hit the driver. Input: (name, pages). */
+  def writePdfDir(rows: Dataset[(String, Seq[String])], dir: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    val fsSetup = hp.getFileSystem(
+      rows.sparkSession.sessionState.newHadoopConf())
+    fsSetup.delete(hp, true)
+    fsSetup.mkdirs(hp)
+    rows.foreachPartition { it: Iterator[(String, Seq[String])] =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+      it.foreach { case (name, pages) =>
+        val os = fs.create(new org.apache.hadoop.fs.Path(dir, s"$name.pdf"), true)
+        try os.write(synthesize(pages)) finally os.close()
+      }
+    }
+  }
 }

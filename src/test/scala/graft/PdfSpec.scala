@@ -169,4 +169,69 @@ class PdfSpec extends AnyFunSuite {
     assert(out("b.pdf").pdf_text === "doc B compressed" && out("b.pdf").pdf_ok)
     assert(!out("broken.pdf").pdf_ok && out("broken.pdf").pdf_text === "")
   }
+
+  test("synthesize -> extractText inverts exactly: escapes, unicode, multi-page, fuzz") {
+    // hand-picked hostile pages: parens, backslashes, octal-range
+    // control chars, Latin-1 high bytes, and a >0xFF char forcing the
+    // UTF-16BE hex form
+    val hostile = Seq(
+      "plain words only",
+      "parens (nested (deep)) and \\ backslash",
+      "tab\there, high byte: äß",
+      "beyond latin-1: ā中文 mixed ascii")
+    hostile.foreach { page =>
+      val r = Pdf.extractText(Pdf.synthesize(Seq(page)))
+      assert(r.ok && r.pages === 1 && r.text === page, s"page <$page>")
+    }
+    // multi-page: join order and page count
+    val r3 = Pdf.extractText(Pdf.synthesize(Seq("one", "two (2)", "three")))
+    assert(r3.ok && r3.pages === 3 && r3.text === "one\ntwo (2)\nthree")
+    // fuzz: random printable + occasional hostile chars round-trip —
+    // up to the extractor's per-stream normalization (pages come back
+    // trimmed, blank pages drop)
+    val rnd = new scala.util.Random(13)
+    val alphabet = "abc XYZ()\\%<>[]/#éő" // includes delimiters
+    (0 until 60).foreach { _ =>
+      val pages = (0 to rnd.nextInt(2)).map(_ =>
+        (1 to 1 + rnd.nextInt(40)).map(_ =>
+          alphabet(rnd.nextInt(alphabet.length))).mkString)
+      val expected = pages.map(_.trim).filter(_.nonEmpty)
+      val r = Pdf.extractText(Pdf.synthesize(pages))
+      assert(r.ok && r.pages === expected.length &&
+        r.text === expected.mkString("\n"), s"pages $pages")
+    }
+  }
+
+  test("synthesize emits a complete xref whose offsets hit 'N 0 obj' headers") {
+    val bytes = Pdf.synthesize(Seq("check the xref", "page two"))
+    val raw = new String(bytes, Latin1)
+    val xrefAt = raw.lastIndexOf("xref\n0 7\n")
+    assert(xrefAt > 0, "xref table with 7 entries (2n+3)")
+    assert(raw.substring(raw.lastIndexOf("startxref\n") + 10)
+      .trim.startsWith(xrefAt.toString), "startxref points at the table")
+    val entries = raw.substring(xrefAt).linesIterator.drop(3).take(6).toSeq
+    entries.zipWithIndex.foreach { case (e, i) =>
+      val off = e.take(10).toInt
+      assert(raw.startsWith(s"${i + 1} 0 obj", off), s"object ${i + 1} at $off")
+    }
+  }
+
+  test("writePdfDir + readPdfDir: distributed generate/parse round-trip") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-pdf-w").toString + "/out"
+    val rows = spark.range(0, 12).as[Long]
+      .map(i => (f"doc_$i%04d", Seq(s"body of document $i", s"doc $i page 2")))
+    Pdf.writePdfDir(rows, dir)
+    val out = Pdf.readPdfDir(spark, dir).collect()
+    assert(out.length === 12)
+    out.foreach { e =>
+      val id = new java.io.File(e.path).getName.stripPrefix("doc_")
+        .stripSuffix(".pdf").toInt
+      assert(e.pdf_ok && e.pdf_pages === 2)
+      assert(e.pdf_text === s"body of document $id\ndoc $id page 2")
+    }
+    // overwrite semantics: a second write replaces, never accumulates
+    Pdf.writePdfDir(rows.filter(_._1 < "doc_0006"), dir)
+    assert(Pdf.readPdfDir(spark, dir).count() === 6)
+  }
 }
