@@ -27,6 +27,10 @@ object Jdbc {
     "sqlserver" -> "com.microsoft.sqlserver.jdbc.SQLServerDriver",
     "db2" -> "com.ibm.db2.jcc.DB2Driver",
     "oracle" -> "oracle.jdbc.OracleDriver",
+    // the reference ships a dedicated Teradata connector
+    // (/root/reference/src/connectors/teradata_connector.py) — its
+    // JDBC equivalent is the public TeraDriver
+    "teradata" -> "com.teradata.jdbc.TeraDriver",
     "derby" -> "org.apache.derby.jdbc.EmbeddedDriver")
 
   def urlFor(kind: String, host: String, port: Int, database: String): String = kind match {
@@ -35,6 +39,7 @@ object Jdbc {
     case "sqlserver" => s"jdbc:sqlserver://$host:$port;databaseName=$database"
     case "db2" => s"jdbc:db2://$host:$port/$database"
     case "oracle" => s"jdbc:oracle:thin:@$host:$port/$database"
+    case "teradata" => s"jdbc:teradata://$host/DATABASE=$database,DBS_PORT=$port"
     case "derby" => s"jdbc:derby:$database"
     case other => throw new IllegalArgumentException(s"unknown jdbc kind: $other")
   }

@@ -51,6 +51,12 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Jdbc.urlFor("postgresql", "h", 5432, "db") === "jdbc:postgresql://h:5432/db")
     assert(Jdbc.urlFor("sqlserver", "h", 1433, "db") === "jdbc:sqlserver://h:1433;databaseName=db")
     assert(Jdbc.driverRegistry("mysql") === "com.mysql.cj.jdbc.Driver")
+    // the reference's dedicated Teradata connector
+    // (src/connectors/teradata_connector.py) maps to the public
+    // TeraDriver + DBS_PORT URL form
+    assert(Jdbc.urlFor("teradata", "h", 1025, "db") ===
+      "jdbc:teradata://h/DATABASE=db,DBS_PORT=1025")
+    assert(Jdbc.driverRegistry("teradata") === "com.teradata.jdbc.TeraDriver")
     assert(Jdbc.incrementalSubquery("t", "updated_at", null) === "t")
     assert(Jdbc.incrementalSubquery("t", "updated_at", "2026-01-01 00:00:00") ===
       "(SELECT * FROM t WHERE updated_at > '2026-01-01 00:00:00') AS graft_incr")
