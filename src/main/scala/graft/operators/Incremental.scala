@@ -105,6 +105,15 @@ object Incremental {
       .withColumn("__d2", xxhash64(k, lit(0x9e3779b9L)))
   }
 
+  /** The `(__d1, __d2)` digest keys of a batch's texts — the identity
+    * the digest state is keyed by. Public so a takedown path can
+    * compute the retracted documents' keys (from their retained text)
+    * and compact the CONTENT-keyed digest table physically; see
+    * [[graft.IngestCli.applyTakedown]]. */
+  def digestKeys(df: DataFrame, textCol: Column): DataFrame =
+    digests(df.select(textCol.as("__t")), col("__t"))
+      .select(col("__d1"), col("__d2"))
+
   /** Fuzzy-dedup state: the corpus MinHash signature table persisted
     * in BANDED form — one row per (band, bucket) collision key with
     * the document id and full signature — bucketed by (band, bucket),
@@ -127,6 +136,26 @@ object Incremental {
       .write.mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, "band", "bucket").sortBy("band", "bucket")
       .option("path", path)
+      .saveAsTable(table)
+  }
+
+  /** Grow the banded-signature state by a batch with the SAME bucket
+    * spec (parameters must match [[writeBandedSignatures]]'s). The
+    * seen-not-kept contract lives HERE: to reproduce batch dedup
+    * semantics across waves, append every document that REACHED the
+    * fuzzy stage — including ones the probe then drops — because a
+    * later document similar only to a dropped one must still drop
+    * (the round-5 chain shape a~b~c). [[graft.IngestCli]] is the
+    * composition that gets this right. */
+  def appendBandedSignatures(batch: DataFrame, idCol: String,
+      textCol: Column, table: String, numBuckets: Int = 64,
+      numPerm: Int = 128, bands: Int = 32, shingleSize: Int = 3): Unit = {
+    require(numPerm % bands == 0, "bands must divide numPerm")
+    banded(Dedup.minhashSignatures(batch, idCol, textCol, numPerm, shingleSize),
+        idCol, bands, numPerm / bands)
+      .repartition(numBuckets, col("band"), col("bucket"))
+      .write.mode(SaveMode.Append).format("parquet")
+      .bucketBy(numBuckets, "band", "bucket").sortBy("band", "bucket")
       .saveAsTable(table)
   }
 
@@ -657,6 +686,98 @@ object Incremental {
     df.agg(count(lit(1)).as("n_docs"),
       sum(coalesce(size(Retrieval.wordTokens(textCol)), lit(0))
         .cast("long")).as("sum_dl"))
+
+  // --------------------------------------------------------------
+  // Persisted Hamming-signature state: the incremental form for EVERY
+  // 64-bit signature family — image dHash (q141), audio eHash (q143),
+  // text SimHash (q72) — one state layout, one probe.
+  // --------------------------------------------------------------
+
+  /** Pigeonhole bands of a 64-bit signature: `maxHamming + 1` bands
+    * so any pair within the budget agrees on ≥ 1 whole band. Rows:
+    * `(band INT, bucket BIGINT, <idCol>, sig BIGINT)`; null
+    * signatures (undecoded media) produce no rows. */
+  private def hammingBanded(df: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, "maxHamming must be in [0, 32)")
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
+    val sig = col(sigCol).cast("long")
+    val bandStructs = (0 until nBands).map { b =>
+      val lo = b * width
+      val w = if (b == nBands - 1) 64 - lo else width
+      val shifted = shiftrightunsigned(sig, lo)
+      val bucket = if (w >= 64) shifted else shifted.bitwiseAND(lit((1L << w) - 1))
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }
+    df.select(col(idCol), sig.as("sig")).filter(col("sig").isNotNull)
+      .select(col(idCol), col("sig"), explode(array(bandStructs: _*)).as("__b"))
+      .select(col("__b.band").as("band"), col("__b.bucket").as("bucket"),
+        col(idCol), col("sig"))
+  }
+
+  /** Corpus Hamming-signature state: banded rows bucketed + sorted by
+    * (band, bucket) — exactly the probe's join key, so recurring
+    * batches join without a state-side exchange (the
+    * [[writeBandedSignatures]] stance for 64-bit perceptual hashes).
+    * `maxHamming` FIXES the band layout at write time; probes must
+    * use the same value (≤ would under-band, ≥ would miss pairs).
+    * 100 TB shape: state size = (maxHamming+1) rows × 20 B per
+    * signature; a billion images at the default budget is ~180 GB of
+    * bucketed parquet — probe cost stays batch-sized forever. */
+  def writeHammingState(corpus: DataFrame, idCol: String, sigCol: String,
+      table: String, path: String, maxHamming: Int = 8,
+      numBuckets: Int = 64): Unit =
+    hammingBanded(corpus, idCol, sigCol, maxHamming)
+      .repartition(numBuckets, col("band"), col("bucket"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, "band", "bucket").sortBy("band", "bucket")
+      .option("path", path)
+      .saveAsTable(table)
+
+  /** Grow the Hamming state by a batch — same band layout, same
+    * bucket spec. Seen-not-kept composes exactly as in
+    * [[appendBandedSignatures]]: append every signature that was
+    * COMPARED, not only survivors, when batch-parity across waves
+    * matters. */
+  def appendHammingState(batch: DataFrame, idCol: String, sigCol: String,
+      table: String, maxHamming: Int = 8, numBuckets: Int = 64): Unit =
+    hammingBanded(batch, idCol, sigCol, maxHamming)
+      .repartition(numBuckets, col("band"), col("bucket"))
+      .write.mode(SaveMode.Append).format("parquet")
+      .bucketBy(numBuckets, "band", "bucket").sortBy("band", "bucket")
+      .saveAsTable(table)
+
+  /** Batch ids within `maxHamming` bits of ANY state signature:
+    * banded batch rows equi-join the table on (band, bucket) —
+    * state side bucket-aligned from disk, only the batch shuffles —
+    * then the popcount verify, then distinct ids. EXACT (pigeonhole:
+    * a within-budget pair shares ≥ 1 band). */
+  def hammingDupIdsAgainstTable(batch: DataFrame, idCol: String,
+      sigCol: String, state: DataFrame, maxHamming: Int = 8): DataFrame = {
+    require(Set("band", "bucket", "sig").subsetOf(state.columns.toSet) &&
+      state.columns.length <= 4,
+      s"not a hamming state table (want band, bucket, sig[, <id>]): " +
+        state.columns.mkString(","))
+    hammingBanded(batch, idCol, sigCol, maxHamming)
+      .join(state.select(col("band"), col("bucket"), col("sig").as("__ssig")),
+        Seq("band", "bucket"))
+      .filter(bit_count(col("sig").bitwiseXOR(col("__ssig"))) <= maxHamming)
+      .select(col(idCol)).distinct()
+  }
+
+  /** Drop every batch row whose signature is within `maxHamming` of
+    * any state signature — the recurring media-dedup probe
+    * ([[graft.operators.Images]] dHash / [[graft.operators.Audio]]
+    * eHash / [[graft.operators.Dedup.simhashSignature]]). The dup id
+    * set is checkpointed before the anti-join (it is tiny; the plan
+    * assert lives on [[hammingDupIdsAgainstTable]]). */
+  def hammingDedupAgainstTable(batch: DataFrame, idCol: String,
+      sigCol: String, state: DataFrame, maxHamming: Int = 8): DataFrame = {
+    val dupIds = hammingDupIdsAgainstTable(batch, idCol, sigCol, state, maxHamming)
+      .localCheckpoint(true)
+    batch.join(dupIds, Seq(idCol), "left_anti")
+  }
 
   // --------------------------------------------------------------
   // Takedown / retraction: opt-out and legal-removal lists must

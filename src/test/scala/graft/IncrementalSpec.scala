@@ -486,4 +486,53 @@ class IncrementalSpec extends AnyFunSuite {
     } finally Seq("t_bm25_post", "t_bm25_stats")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
+
+  test("Hamming state: probe-after-append == brute force; state side bucket-aligned, one exchange") {
+    import spark.implicits._
+    val sigs = docs.select(col("doc_id"),
+      Dedup.simhashSignature(col("text")).as("sig")).cache()
+    val cor = sigs.filter(col("doc_id") % 4 === 0)
+    val grow = sigs.filter(col("doc_id") % 4 === 2)
+    val batch = sigs.filter(col("doc_id") % 2 === 1)
+    Incremental.writeHammingState(cor, "doc_id", "sig",
+      "t_hamm", tmp("graft_hamm"), maxHamming = 8, numBuckets = 8)
+    Incremental.appendHammingState(grow, "doc_id", "sig",
+      "t_hamm", maxHamming = 8, numBuckets = 8)
+    try {
+      val kept = Incremental.hammingDedupAgainstTable(batch, "doc_id", "sig",
+          spark.table("t_hamm"), maxHamming = 8)
+        .select("doc_id").as[Long].collect().toSet
+      // brute force over (written ∪ appended) state vs batch
+      val corVals = sigs.filter(col("doc_id") % 2 === 0)
+        .as[(Long, Long)].collect()
+      val batchVals = batch.as[(Long, Long)].collect()
+      val expected = batchVals.collect {
+        case (id, s) if !corVals.exists { case (_, cs) =>
+          java.lang.Long.bitCount(s ^ cs) <= 8 } => id
+      }.toSet
+      assert(kept === expected)
+      // dropping REALLY happened (the fixture has near-dup texts)
+      assert(kept.size < batchVals.length,
+        "fixture produced no Hamming hits; assertions are vacuous")
+      // plan: state side streams bucket-aligned, only the batch
+      // (banded) side shuffles
+      val dup = Incremental.hammingDupIdsAgainstTable(batch, "doc_id", "sig",
+        spark.table("t_hamm"), maxHamming = 8)
+      dup.write.mode("overwrite").format("noop").save()
+      val plan = dup.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"state must be bucket-read:\n$plan")
+      assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 1,
+        s"only the batch side may shuffle:\n$plan")
+      // undecoded (null) signatures never pair
+      val withNull = batch.union(Seq((999999L, null.asInstanceOf[java.lang.Long]))
+        .toDF("doc_id", "sig").select(col("doc_id"), col("sig").cast("long")))
+      val keptN = Incremental.hammingDedupAgainstTable(withNull, "doc_id", "sig",
+          spark.table("t_hamm"), maxHamming = 8)
+        .select("doc_id").as[Long].collect().toSet
+      assert(keptN.contains(999999L))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS t_hamm")
+      sigs.unpersist(blocking = false)
+    }
+  }
 }
