@@ -1,0 +1,242 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Incremental}
+
+/** Recurring-ingestion driver — the WAVE loop the incremental state
+  * families exist for, composed the way [[CurationCli]] composes the
+  * batch gates. Each arriving batch (a crawl snapshot, a CDC pull —
+  * the reference's incremental cursor loop,
+  * /root/reference/src/connectors/oracle_connector.py:95-169) runs:
+  *
+  *   takedown enforcement (tombstoned ids never enter) →
+  *   quality gate (length bounds — map-side, first) →
+  *   exact dedup: in-wave keep-lowest-id + anti-join against the
+  *     persisted digest state (batch-side shuffle only) →
+  *   fuzzy dedup: in-wave banded MinHash + probe against the
+  *     persisted banded-signature state →
+  *   state append (digests + signatures — SEEN-not-kept, see below) →
+  *   gold append (partitioned by wave) → release manifest.
+  *
+  * '''Equivalence contract''' (IngestSpec): with waves arriving in id
+  * order (every new id above all previously ingested ones — the CDC
+  * watermark shape) and healthy LSH buckets (≤ maxBucketSize), the
+  * gold corpus after any number of waves is IDENTICAL to
+  * [[batchEquivalent]] — the from-scratch batch pipeline over the
+  * union of all waves. Two details make that hold:
+  *
+  *   - the signature state appends every document that REACHED the
+  *     fuzzy stage, dropped or not — batch dedup drops a doc similar
+  *     to ANY lower-id doc including ones that were themselves
+  *     dropped (the round-5 chain a~b~c), so a survivors-only state
+  *     would silently keep c;
+  *   - in-wave and against-state drop decisions are computed over the
+  *     SAME fuzzy-stage input and unioned, never chained, so a doc
+  *     dropped by the state probe still serves as an in-wave mate.
+  *
+  * '''Takedown''' ([[applyTakedown]]): tombstones append to the
+  * bucketed tombstone table (enforced at the top of every later
+  * wave), gold is rewritten blue/green minus the ids, the id-carrying
+  * signature state compacts via [[Incremental.compactState]], and the
+  * content-keyed digest state compacts by the retracted documents'
+  * OWN digest keys (recomputed from their gold text before the gold
+  * rewrite). Retraction removes content, not history: documents
+  * dropped earlier as a retracted document's duplicates stay dropped
+  * (re-run the batch pipeline over the retained corpus when decisions
+  * themselves must be replayed). A retracted doc that never reached
+  * gold (dropped as a dup) leaves its digest behind — the documented
+  * rebuild-from-retained-corpus path for content-keyed state.
+  *
+  * '''Scale shape''' (the recurring 100 TB question): a wave pays
+  * wave-sized costs only — the digest/signature probes shuffle the
+  * batch side alone (state arrives bucket-aligned from disk,
+  * plan-asserted in IncrementalSpec), appends are batch-sized bucketed
+  * writes, gold append touches no prior wave, and takedown costs are
+  * tombstone-broadcast + state-sized rewrites at the operator's own
+  * cadence. Nothing in the loop ever re-reads previously ingested
+  * corpus text.
+  *
+  * Usage:
+  *   runMain graft.IngestCli <stateDir> <wave1.parquet> [wave2 ...]
+  * with GRAFT_TAKEDOWN optionally naming a parquet of doc_ids to
+  * retract before the waves run. Waves need (doc_id, text, ...);
+  * extra columns ride to gold.
+  */
+object IngestCli {
+
+  final case class IngestState(ns: String, dir: String, numBuckets: Int,
+      version: Int = 0) {
+    def digestTable: String = s"${ns}_digests_v$version"
+    def sigTable: String = s"${ns}_sigs_v$version"
+    def tombTable: String = s"${ns}_tombstones"
+    def goldPath: String = s"$dir/gold"
+    def manifestPath: String = s"$dir/manifest"
+  }
+
+  final case class WaveReport(wave: Int, incoming: Long, live: Long,
+      gated: Long, exactSurvivors: Long, accepted: Long, goldTotal: Long)
+
+  /** Fresh state: empty bucketed digest/signature/tombstone tables
+    * (the same specs every append preserves) and a clean gold dir. */
+  def initState(spark: SparkSession, ns: String, dir: String,
+      numBuckets: Int = 8): IngestState = {
+    val st = IngestState(ns, dir, numBuckets)
+    Seq(st.digestTable, st.sigTable, st.tombTable)
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val empty = spark.range(0)
+      .select(col("id").as("doc_id"), lit("empty seed").as("text"))
+    Incremental.writeDigestTable(empty, col("text"),
+      st.digestTable, s"$dir/digests_v0", numBuckets)
+    Incremental.writeBandedSignatures(empty, "doc_id", col("text"),
+      st.sigTable, s"$dir/sigs_v0", numBuckets)
+    Incremental.writeTombstones(empty.select("doc_id"), "doc_id",
+      st.tombTable, s"$dir/tombstones", numBuckets)
+    val fs = fsFor(spark, dir)
+    fs.delete(new org.apache.hadoop.fs.Path(st.goldPath), true)
+    st
+  }
+
+  /** One wave through the loop. `waveNo` labels the gold partition. */
+  def ingestWave(spark: SparkSession, st: IngestState, wave: DataFrame,
+      waveNo: Int, cfg: GraftConfig = GraftConfig()): WaveReport = {
+    val incoming = wave.count()
+
+    // takedown first: a retracted id can never re-enter through a
+    // re-crawl (broadcast anti — the tombstone table is request-sized)
+    val live = Incremental.retractIds(wave, "doc_id", spark.table(st.tombTable))
+    val nLive = live.count()
+
+    // map-side gate before any shuffle work
+    val gated = live.filter(
+      length(col("text")).between(cfg.minTextLength, cfg.maxTextLength))
+    val nGated = gated.count()
+
+    // exact: keep-lowest-id within the wave, then drop anything whose
+    // normalized digest the corpus has EVER seen (state side
+    // bucket-aligned; only the wave shuffles). Materialized eagerly —
+    // it feeds the fuzzy stage, two state appends, and the report.
+    val exact = Incremental.exactDedupAgainstTable(
+        Dedup.keepBestWindow(gated,
+          graft.functions.text.norm_key(col("text")), Seq(col("doc_id").asc)),
+        col("text"), spark.table(st.digestTable))
+      .localCheckpoint(true)
+    val nExact = exact.count()
+
+    // fuzzy: against-state and in-wave drops computed over the SAME
+    // input and unioned (never chained) — the seen-not-kept contract
+    val stateDups = Incremental.fuzzyDupIds(exact, "doc_id", col("text"),
+        spark.table(st.sigTable), cfg.fuzzyThreshold,
+        numPerm = 128, bands = 32, shingleSize = 3)
+      .select(col("doc_id")).distinct()
+    val accepted = Dedup.minhashDedup(exact, "doc_id", col("text"),
+        threshold = cfg.fuzzyThreshold)
+      .join(stateDups, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val nAccepted = accepted.count()
+
+    // state grows by the wave's FUZZY-STAGE INPUT (exact survivors),
+    // not by the accepted set — see the equivalence contract above
+    Incremental.appendDigests(exact, col("text"), st.digestTable, st.numBuckets)
+    Incremental.appendBandedSignatures(exact, "doc_id", col("text"),
+      st.sigTable, st.numBuckets)
+
+    // gold append + per-wave release manifest (an all-duplicate wave
+    // appends nothing; gold may not exist yet in that case)
+    accepted.withColumn("ingest_wave", lit(waveNo))
+      .write.mode(SaveMode.Append).partitionBy("ingest_wave")
+      .parquet(st.goldPath)
+    val goldExists = fsFor(spark, st.dir)
+      .exists(new org.apache.hadoop.fs.Path(st.goldPath))
+    val goldTotal = if (goldExists) spark.read.parquet(st.goldPath).count() else 0L
+    if (goldExists)
+      sources.CorpusIO.releaseManifest(spark, st.goldPath, "ingest_wave")
+        .write.mode(SaveMode.Overwrite).parquet(st.manifestPath)
+
+    WaveReport(waveNo, incoming, nLive, nGated, nExact, nAccepted, goldTotal)
+  }
+
+  /** Retract `ids` (a one-column frame of doc_ids): append tombstones,
+    * rewrite gold blue/green without them, compact the id-carrying
+    * signature state, and compact the content-keyed digest state by
+    * the retracted documents' own keys (recomputed from gold text
+    * BEFORE the rewrite). Returns the bumped state (new table
+    * versions — consumers repoint atomically, the q137 cutover). */
+  def applyTakedown(spark: SparkSession, st: IngestState,
+      ids: DataFrame): IngestState = {
+    Incremental.appendTombstones(ids, ids.columns.head,
+      spark.table(st.tombTable), st.tombTable, st.numBuckets)
+
+    // digest keys of the retracted docs, from their retained gold text
+    val retractKeys = Incremental.digestKeys(
+        spark.read.parquet(st.goldPath).join(
+          broadcast(ids.select(col(ids.columns.head).as("doc_id"))), Seq("doc_id")),
+        col("text"))
+      .distinct().localCheckpoint(true)
+
+    val next = st.copy(version = st.version + 1)
+    Incremental.compactState(spark.table(st.sigTable), "doc_id",
+      spark.table(st.tombTable), next.sigTable,
+      s"${st.dir}/sigs_v${next.version}",
+      bucketCols = Seq("band", "bucket"), numBuckets = st.numBuckets)
+    spark.table(st.digestTable)
+      .join(retractKeys, Seq("__d1", "__d2"), "left_anti")
+      .repartition(st.numBuckets, col("__d1"), col("__d2"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(st.numBuckets, "__d1", "__d2").sortBy("__d1", "__d2")
+      .option("path", s"${st.dir}/digests_v${next.version}")
+      .saveAsTable(next.digestTable)
+
+    // gold blue/green: write retained rows beside, then swap dirs
+    val fs = fsFor(spark, st.dir)
+    val tmp = new org.apache.hadoop.fs.Path(s"${st.goldPath}__next")
+    fs.delete(tmp, true)
+    Incremental.retractIds(spark.read.parquet(st.goldPath), "doc_id",
+        spark.table(st.tombTable))
+      .write.partitionBy("ingest_wave").parquet(tmp.toString)
+    val goldP = new org.apache.hadoop.fs.Path(st.goldPath)
+    fs.delete(goldP, true)
+    fs.rename(tmp, goldP)
+    sources.CorpusIO.releaseManifest(spark, st.goldPath, "ingest_wave")
+      .write.mode(SaveMode.Overwrite).parquet(st.manifestPath)
+    next
+  }
+
+  /** The from-scratch batch pipeline the wave loop must equal over the
+    * union of its waves: gate → keep-lowest-id exact dedup → banded
+    * MinHash near-dup dedup (same thresholds, same signatures). */
+  def batchEquivalent(corpus: DataFrame,
+      cfg: GraftConfig = GraftConfig()): DataFrame = {
+    val gated = corpus.filter(
+      length(col("text")).between(cfg.minTextLength, cfg.maxTextLength))
+    val exact = Dedup.keepBestWindow(gated,
+      graft.functions.text.norm_key(col("text")), Seq(col("doc_id").asc))
+    Dedup.minhashDedup(exact, "doc_id", col("text"),
+      threshold = cfg.fuzzyThreshold)
+  }
+
+  private def fsFor(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: IngestCli <stateDir> <wave1.parquet> [wave2.parquet ...]")
+    val dir = args(0)
+    val spark = GraftSession.get(
+      s"local[${Runtime.getRuntime.availableProcessors()}]")
+    val cfg = GraftConfig.fromEnv()
+    var st = initState(spark, "graft_ingest", dir)
+    sys.env.get("GRAFT_TAKEDOWN").foreach { p =>
+      st = applyTakedown(spark, st, spark.read.parquet(p).select("doc_id"))
+    }
+    args.drop(1).zipWithIndex.foreach { case (path, i) =>
+      val r = ingestWave(spark, st, spark.read.parquet(path), i, cfg)
+      println(s"[ingest] wave=${r.wave} incoming=${r.incoming} " +
+        s"live=${r.live} gated=${r.gated} exact=${r.exactSurvivors} " +
+        s"accepted=${r.accepted} gold=${r.goldTotal}")
+    }
+    spark.stop()
+  }
+}
