@@ -87,6 +87,52 @@ object Bench {
       Tables.documents(spark, sfDir).filter(col("doc_id") % 2 === 1),
       col("text"), col("n_chars") >= 300, "graft_bench_nb_log",
       numBuckets = 8)
+    // BM25 index state, OFF the clock: q140 times build + append +
+    // probe together; op_bm25_probe isolates the recurring query-time
+    // cost against an existing bucketed posting table (bucket-pruned
+    // scan + log-sized stats fold).
+    spark.sql("DROP TABLE IF EXISTS graft_bench_bm25_post")
+    spark.sql("DROP TABLE IF EXISTS graft_bench_bm25_stats")
+    operators.Incremental.writePostings(
+      Tables.documents(spark, sfDir), "doc_id", col("text"),
+      "graft_bench_bm25_post", s"$tmpOut/bm25_post", numBuckets = 8)
+    operators.Incremental.writeIndexStats(
+      Tables.documents(spark, sfDir), col("text"),
+      "graft_bench_bm25_stats", s"$tmpOut/bm25_stats")
+    // Takedown state, OFF the clock: q137 times build + tombstones +
+    // compaction together; op_takedown_read isolates the at-read
+    // retraction cost — the broadcast anti-join every consumer pays
+    // between a takedown and the next compaction pass.
+    spark.sql("DROP TABLE IF EXISTS graft_bench_fp_post")
+    operators.Incremental.writeFingerprintTable(
+      Tables.documents(spark, sfDir), "doc_id", col("text"),
+      "graft_bench_fp_post", s"$tmpOut/fp_post", numBuckets = 8)
+    spark.sql("DROP TABLE IF EXISTS graft_bench_tombs")
+    operators.Incremental.writeTombstones(
+      Tables.documents(spark, sfDir).filter(col("doc_id") % 50 === 0)
+        .select("doc_id"),
+      "doc_id", "graft_bench_tombs", s"$tmpOut/tombs")
+    // Synthetic image corpus staged to parquet, OFF the clock: q141
+    // times generate + encode + decode + dedup together;
+    // op_image_phash isolates the recurring decode+signature scan —
+    // the per-corpus cost an image-dedup pass actually pays.
+    operators.Images.syntheticCorpus(
+        Tables.documents(spark, sfDir).select("doc_id"), "doc_id")
+      .write.mode("overwrite").parquet(s"$tmpOut/images")
+    // same staging for the audio modality: op_audio_ehash isolates
+    // the recurring RIFF decode + fingerprint scan
+    operators.Audio.syntheticCorpus(
+        Tables.documents(spark, sfDir).select("doc_id"), "doc_id")
+      .write.mode("overwrite").parquet(s"$tmpOut/audio")
+    // Materialized epoch order, OFF the clock: q138 times the
+    // permutation build; op_epoch_resume isolates the loader's
+    // recurring addressable read — resume the final 10% of epoch 3
+    // from the written order (a pruned scan, not a re-shuffle).
+    operators.Split.epochOrder(
+        Tables.documents(spark, sfDir).select("doc_id"),
+        col("doc_id"), epoch = 3)
+      .write.mode("overwrite").parquet(s"$tmpOut/epoch3")
+    val epochResumeAt = Tables.documents(spark, sfDir).count() * 9L / 10L
 
     // Pre-trained NB classifier dictionary, OFF the clock: q125/q126
     // time the composed train+score; op_nb_score_mapside isolates the
@@ -190,7 +236,25 @@ object Bench {
           "doc_id", col("text"), nbKeys, nbWeights, nbPrior))),
       "op_nb_dict_merge" -> (() => force(
         operators.Incremental.nbDictFromTable(
-          spark.table("graft_bench_nb_log")))))
+          spark.table("graft_bench_nb_log")))),
+      "op_bm25_probe" -> (() => force(
+        operators.Incremental.bm25AgainstIndex(
+          spark.table("graft_bench_bm25_post"),
+          spark.table("graft_bench_bm25_stats"), "doc_id",
+          queryTerms = Seq("spark", "shuffle", "join"), k = 20))),
+      "op_image_phash" -> (() => force(
+        operators.Images.imageSignatures(
+          spark.read.parquet(s"$tmpOut/images"), "doc_id", col("content")))),
+      "op_audio_ehash" -> (() => force(
+        operators.Audio.audioSignatures(
+          spark.read.parquet(s"$tmpOut/audio"), "doc_id", col("content")))),
+      "op_takedown_read" -> (() => force(
+        operators.Incremental.retractIds(
+          spark.table("graft_bench_fp_post"), "corpus_id",
+          spark.table("graft_bench_tombs")))),
+      "op_epoch_resume" -> (() => force(
+        spark.read.parquet(s"$tmpOut/epoch3")
+          .filter(col("epoch_pos") >= epochResumeAt))))
 
     // Streaming throughput micros: one AvailableNow pass of each
     // streaming operator over the staged table (seconds; divide the

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{analysis, text}
-import graft.operators.{Classifier, Dedup, DupClusters, Incremental, Retrieval, Similarity, Skew, Split, Stats, Winnow}
+import graft.operators.{Classifier, Dedup, DupClusters, Images, Incremental, Retrieval, Similarity, Skew, Split, Stats, Winnow}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -2139,6 +2139,100 @@ object SparkEntry {
       Incremental.bm25AgainstIndex(s.table("graft_q140_post"),
         s.table("graft_q140_stats"), "doc_id",
         queryTerms = Seq("spark", "shuffle", "join"), k = 20)
+    },
+
+    // ---- Multimodal image near-dup: REAL javax.imageio decode of a
+    // deterministic synthetic PNG corpus (scene = doc_id/3, so ids
+    // sharing a scene are planted 3×3-patch variants ≤ 6 dHash bits
+    // apart; every 97th payload is corrupt and must quarantine, not
+    // throw). The dHash signatures are the exported seeded state; the
+    // oracle replays the ALL-PAIRS Hamming-≤-8 + keep-lowest-id
+    // anti-join over them (the pigeonhole banding GUARANTEES the
+    // engine's pair set equals brute force — the q72 pattern).
+    "q141_image_near_dedup" -> { (s, dir) =>
+      val imgs = Images.syntheticCorpus(
+        Tables.documents(s, dir).select("doc_id"), "doc_id",
+        variantsPerScene = 3, corruptEvery = 97)
+      Images.imageSignatures(imgs, "doc_id", col("content"))
+        .write.mode("overwrite").parquet(s"${stateDir(dir)}/q141_sigs")
+      val sigs = s.read.parquet(s"${stateDir(dir)}/q141_sigs")
+      val dupIds = Images.nearDupPairs(sigs, "doc_id", "dhash", maxHamming = 8)
+        .select(col("id_b").as("doc_id")).distinct()
+      sigs.select("doc_id", "decoded", "width", "height")
+        .join(dupIds, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    },
+
+    // ---- PDF source end-to-end (S14): synthesize one two-page PDF
+    // per sampled doc (page 1 = the doc's text, page 2 a
+    // deterministic footer; real Flate compression + xref), re-read
+    // the directory through the binaryFile scan + content-stream
+    // extractor, and emit the PARSED rows. The oracle never sees the
+    // parser — it recomputes expected (text, pages, ok) straight from
+    // the documents table, so extraction is hash-checked against
+    // source-of-truth text end to end (the ParitySpec stance).
+    "q142_pdf_scan" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") % 10 === 0 && col("text").isNotNull &&
+          length(col("text")) > 0)
+        .select(col("doc_id"), col("text"))
+      val pdfDir = s"${stateDir(dir)}/q142_pdfs"
+      val rows = docs.as[(Long, String)].map { case (id, text) =>
+        (f"doc_$id%08d", Seq(text, s"doc $id page 2"))
+      }
+      sources.Pdf.writePdfDir(rows, pdfDir)
+      sources.Pdf.readPdfDir(s, pdfDir).toDF()
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.pdf$", 1)
+            .cast("long").as("doc_id"),
+          col("pdf_text"), col("pdf_pages"), col("pdf_ok"))
+        .orderBy("doc_id")
+    },
+
+    // ---- Multimodal audio near-dup: REAL RIFF/PCM decode of a
+    // deterministic synthetic WAV corpus (scene = doc_id/3, planted
+    // 3-frame variants ≤ 4 eHash bits apart; every 97th payload
+    // corrupt → quarantined). The gain-invariant energy-contour
+    // signatures are the exported seeded state; the oracle replays
+    // the ALL-PAIRS Hamming-≤-8 + keep-lowest-id anti-join over them
+    // (exact by the pigeonhole guarantee — the q72/q141 pattern).
+    "q143_audio_near_dedup" -> { (s, dir) =>
+      val clips = operators.Audio.syntheticCorpus(
+        Tables.documents(s, dir).select("doc_id"), "doc_id",
+        variantsPerScene = 3, corruptEvery = 97)
+      operators.Audio.audioSignatures(clips, "doc_id", col("content"))
+        .write.mode("overwrite").parquet(s"${stateDir(dir)}/q143_sigs")
+      val sigs = s.read.parquet(s"${stateDir(dir)}/q143_sigs")
+      val dupIds = Dedup.hammingNearDupPairs(sigs, "doc_id", "ehash", maxHamming = 8)
+        .select(col("id_b").as("doc_id")).distinct()
+      sigs.select("doc_id", "decoded", "sample_rate", "duration_ms")
+        .join(dupIds, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    },
+
+    // ---- Persisted Hamming-signature state: the ONE incremental
+    // layout for every 64-bit signature family (image dHash, audio
+    // eHash, text SimHash). State built on ids ≡ 0 (mod 4), grown by
+    // ids ≡ 2 with one batch-sized append, odd ids probed against it
+    // (band-bucket equi-join, state bucket-aligned, popcount verify —
+    // exact by pigeonhole). The signatures are the exported seeded
+    // state; DuckDB replays the whole probe brute-force.
+    "q144_incremental_hamming" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      docs.select(col("doc_id"), Dedup.simhashSignature(col("text")).as("sig"))
+        .write.mode("overwrite").parquet(s"${stateDir(dir)}/q144_sigs")
+      val sigs = s.read.parquet(s"${stateDir(dir)}/q144_sigs")
+      val base = java.nio.file.Files.createTempDirectory("graft_q144").toString
+      s.sql("DROP TABLE IF EXISTS graft_q144_hamming")
+      Incremental.writeHammingState(sigs.filter(col("doc_id") % 4 === 0),
+        "doc_id", "sig", "graft_q144_hamming", base, maxHamming = 8,
+        numBuckets = 8)
+      Incremental.appendHammingState(sigs.filter(col("doc_id") % 4 === 2),
+        "doc_id", "sig", "graft_q144_hamming", maxHamming = 8, numBuckets = 8)
+      Incremental.hammingDedupAgainstTable(sigs.filter(col("doc_id") % 2 === 1),
+          "doc_id", "sig", s.table("graft_q144_hamming"), maxHamming = 8)
+        .select("doc_id").orderBy("doc_id")
     },
 
     // ---- Deterministic epoch shuffle: the training-order
@@ -4607,6 +4701,66 @@ object SparkEntry {
         |GROUP BY tf.doc_id
         |ORDER BY bm25_score DESC, tf.doc_id
         |LIMIT 20""".stripMargin,
+
+    // q141: the dHash signatures are the exported decode state; the
+    // oracle replays the full near-dup decision — all-pairs Hamming ≤ 8
+    // + keep-lowest-id anti-join (exact thanks to the pigeonhole band
+    // guarantee); undecoded rows (null dhash) never pair and survive.
+    "q141_image_near_dedup" ->
+      """WITH sigs AS (
+        |  SELECT doc_id, decoded, width, height, dhash
+        |  FROM read_parquet('__GRAFT_STATE_DIR__/q141_sigs/*.parquet')),
+        |dup AS (
+        |  SELECT DISTINCT b.doc_id FROM sigs a JOIN sigs b
+        |    ON a.doc_id < b.doc_id
+        |   AND a.dhash IS NOT NULL AND b.dhash IS NOT NULL
+        |   AND bit_count(xor(a.dhash, b.dhash)) <= 8)
+        |SELECT doc_id, decoded, width, height FROM sigs
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q142: the oracle recomputes the expected extraction from the
+    // documents table alone — the engine's value only matches if the
+    // synthesized PDFs decode (Flate), unescape, and page-join back
+    // to the source text exactly.
+    "q142_pdf_scan" ->
+      """SELECT doc_id,
+        |  text || chr(10) || 'doc ' || doc_id || ' page 2' AS pdf_text,
+        |  2 AS pdf_pages, TRUE AS pdf_ok
+        |FROM documents
+        |WHERE doc_id % 10 = 0 AND text IS NOT NULL AND length(text) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // q143: exported eHash signatures; the oracle replays the full
+    // near-dup decision (all-pairs Hamming ≤ 8 + keep-lowest-id);
+    // undecoded clips never pair and survive.
+    "q143_audio_near_dedup" ->
+      """WITH sigs AS (
+        |  SELECT doc_id, decoded, sample_rate, duration_ms, ehash
+        |  FROM read_parquet('__GRAFT_STATE_DIR__/q143_sigs/*.parquet')),
+        |dup AS (
+        |  SELECT DISTINCT b.doc_id FROM sigs a JOIN sigs b
+        |    ON a.doc_id < b.doc_id
+        |   AND a.ehash IS NOT NULL AND b.ehash IS NOT NULL
+        |   AND bit_count(xor(a.ehash, b.ehash)) <= 8)
+        |SELECT doc_id, decoded, sample_rate, duration_ms FROM sigs
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q144: append ≡ rebuild for the Hamming state — the oracle
+    // replays the probe brute-force over the exported signatures
+    // (corpus = even ids, i.e. the written ∪ appended halves).
+    "q144_incremental_hamming" ->
+      """WITH sigs AS (
+        |  SELECT doc_id, sig FROM read_parquet('__GRAFT_STATE_DIR__/q144_sigs/*.parquet')),
+        |cor AS (SELECT * FROM sigs WHERE doc_id % 2 = 0),
+        |inc AS (SELECT * FROM sigs WHERE doc_id % 2 = 1),
+        |dup AS (
+        |  SELECT DISTINCT i.doc_id FROM inc i JOIN cor c
+        |    ON bit_count(xor(i.sig, c.sig)) <= 8)
+        |SELECT doc_id FROM inc
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+        |ORDER BY doc_id""".stripMargin,
 
     // q138: the epoch-3 permutation replayed as one window — the
     // distributed prefix-sum must equal the single-ORDER-BY truth.
