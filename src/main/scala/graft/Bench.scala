@@ -28,6 +28,12 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val tmpOut = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    // staged state for a 30x rehearsal runs to gigabytes — repeated
+    // bench invocations must not fill the disk (a full /tmp aborted
+    // the round-7 scale runs silently)
+    sys.addShutdownHook {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmpOut))
+    }
 
     // warm-up: session init, codegen compiler, parquet footer caches —
     // one tiny job so the first measured op isn't charged JVM startup
@@ -171,6 +177,13 @@ object Bench {
     val stFpBloom = operators.Incremental.fingerprintBloom(
       docs0.filter(col("doc_id") % 2 === 0)
         .select(explode(operators.Winnow.fingerprintSet(col("text"))).as("fp")))
+    // image signatures staged + a blocklist index (even ids) for the
+    // media blocklist gate, same off-clock rule
+    val stImgSigs = operators.Images.imageSignatures(
+      spark.read.parquet(s"$tmpOut/images"), "doc_id", col("content"))
+    stImgSigs.write.mode("overwrite").parquet(s"$tmpOut/st_imgsigs")
+    val stBlockIdx = operators.Dedup.hammingIndex(
+      stImgSigs.filter(col("doc_id") % 2 === 0), "dhash", maxHamming = 8)
 
     def staged(path: String) =
       spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
@@ -285,7 +298,11 @@ object Bench {
         "st_overlap_gate" -> (() => runStream(
           streaming.StreamOps.overlapGateStream(
             staged(s"$tmpOut/st_docs"), col("text"), stFpBloom,
-            maxShared = 2), "ovgate")))
+            maxShared = 2), "ovgate")),
+        "st_hamming_block_gate" -> (() => runStream(
+          streaming.StreamOps.hammingBlockGateStream(
+            staged(s"$tmpOut/st_imgsigs"), col("dhash"), stBlockIdx,
+            maxHamming = 8), "hblock")))
     }
 
     val queryRuns: Seq[(String, () => Unit)] =

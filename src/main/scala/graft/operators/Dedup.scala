@@ -518,6 +518,48 @@ object Dedup {
       .distinct()
   }
 
+  /** Driver-side pigeonhole index over a BOUNDED 64-bit signature set
+    * — a media BLOCKLIST (flagged imagery, licensed content,
+    * takedown signatures: request-scale, thousands to low millions,
+    * NOT corpus-scale; for corpus-scale recurring dedup use
+    * [[Incremental.writeHammingState]]). Per band: bucket-sorted
+    * (buckets, sigs) arrays, ~16(k+1) B per signature. Feed to
+    * [[hammingNearSet]] / [[graft.streaming.StreamOps
+    * .hammingBlockGateStream]]. */
+  def hammingIndex(df: DataFrame, sigCol: String,
+      maxHamming: Int): (Array[Array[Long]], Array[Array[Long]]) = {
+    require(maxHamming >= 0 && maxHamming < 32, "maxHamming must be in [0, 32)")
+    val vals = df.select(col(sigCol).cast("long"))
+      .filter(col(sigCol).isNotNull).distinct()
+      .collect().map(_.getLong(0))
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
+    val buckets = Array.ofDim[Array[Long]](nBands)
+    val sigs = Array.ofDim[Array[Long]](nBands)
+    var b = 0
+    while (b < nBands) {
+      val lo = b * width
+      val w = if (b == nBands - 1) 64 - lo else width
+      val mask = if (w >= 64) -1L else (1L << w) - 1
+      val pairs = vals.map(v => ((v >>> lo) & mask, v)).sortBy(_._1)
+      buckets(b) = pairs.map(_._1)
+      sigs(b) = pairs.map(_._2)
+      b += 1
+    }
+    (buckets, sigs)
+  }
+
+  /** Boolean Column: is `sig` within `maxHamming` bits of any indexed
+    * signature? EXACT (pigeonhole — no false negatives, and every
+    * candidate is popcount-verified, unlike the Bloom gates), pure
+    * map-side codegen, streaming-legal in any output mode. */
+  def hammingNearSet(sig: Column,
+      index: (Array[Array[Long]], Array[Array[Long]]),
+      maxHamming: Int): Column =
+    graft.functions.text.expr2col(graft.functions.HammingNearSet(
+      graft.functions.text.col2expr(sig.cast("long")),
+      maxHamming, index._1, index._2))
+
   private[graft] def hammingPairsValues(
       ldf: DataFrame, lsig: Column,
       rdf: DataFrame, rsig: Column,

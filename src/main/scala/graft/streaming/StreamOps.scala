@@ -391,6 +391,27 @@ object StreamOps {
     docs.filter(hits < maxShared)
   }
 
+  /** Streaming media blocklist gate: keep rows whose 64-bit
+    * perceptual signature (image dHash / audio eHash / text SimHash —
+    * compute it upstream with [[graft.operators.Images
+    * .imageSignatures]]-style typed ops, which are streaming-legal)
+    * is NOT within `maxHamming` bits of any blocklisted signature.
+    * The blocklist rides as a driver-built pigeonhole index
+    * ([[graft.operators.Dedup.hammingIndex]] — request-scale:
+    * flagged/licensed/takedown media, not a corpus) inside ONE
+    * codegen'd filter ([[graft.functions.HammingNearSet]]): no join,
+    * no state, no watermark, EXACT both ways (a blocked payload can
+    * never pass, a clean one is never dropped — the Bloom gates'
+    * one-sided error does not apply here), identical in batch. Null
+    * signatures (undecodable payloads) pass — unprovable, the gate
+    * convention everywhere else; quarantine them upstream on the
+    * `decoded` flag when policy requires it. */
+  def hammingBlockGateStream(rows: DataFrame, sigCol: Column,
+      blockIndex: (Array[Array[Long]], Array[Array[Long]]),
+      maxHamming: Int = 8): DataFrame =
+    rows.filter(sigCol.isNull ||
+      !graft.operators.Dedup.hammingNearSet(sigCol, blockIndex, maxHamming))
+
   /** Streaming learned-quality gate: keep rows whose Naive-Bayes
     * log-odds score clears `minScore`. The classifier's dictionary is
     * trained offline ([[graft.operators.Classifier.nbTrain]] →

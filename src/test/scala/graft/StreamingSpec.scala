@@ -518,4 +518,47 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.select("doc_id").as[Long].collect().toSet === gateBatch)
     } finally spark.sql("DROP TABLE IF EXISTS t_fps_stream")
   }
+
+  test("hammingBlockGateStream: stream == batch == brute force; exact both ways; null sig passes") {
+    import graft.operators.{Dedup, Images}
+    // blocklist: the dHash signatures of 10 scenes' base images
+    val blocked = Images.imageSignatures(
+      Images.syntheticCorpus(spark.range(0, 30).filter(col("id") % 3 === 0)
+        .toDF("doc_id"), "doc_id", corruptEvery = 0),
+      "doc_id", col("content"))
+    val index = Dedup.hammingIndex(blocked, "dhash", maxHamming = 8)
+    // incoming: variants of blocked scenes (must drop), fresh scenes
+    // (must pass), one corrupt payload (null sig -> must pass)
+    val incoming = Images.imageSignatures(
+      Images.syntheticCorpus(spark.range(0, 60).toDF("doc_id"), "doc_id",
+        corruptEvery = 59),
+      "doc_id", col("content")).cache()
+    val gateBatch = StreamOps.hammingBlockGateStream(incoming, col("dhash"),
+        index, maxHamming = 8)
+      .select("doc_id").as[Long].collect().toSet
+    // brute force: blocked iff within 8 bits of any blocklist sig
+    val blockSigs = blocked.select("dhash").as[Long].collect()
+    val want = incoming.select("doc_id", "dhash")
+      .as[(Long, Option[Long])].collect().collect {
+        case (id, None) => id
+        case (id, Some(s))
+          if !blockSigs.exists(b => java.lang.Long.bitCount(b ^ s) <= 8) => id
+      }.toSet
+    assert(gateBatch === want)
+    // planted behavior: ids 0..29 (blocked scenes + their variants)
+    // drop — except id 0, corrupt in the INCOMING corpus (null sig,
+    // unprovable, passes); 30..59 (fresh scenes + corrupt 59) pass
+    assert(gateBatch.filter(_ < 30) === Set(0L))
+    assert((30L until 60L).toSet.subsetOf(gateBatch))
+    // the same rows through a REAL stream agree with batch
+    val dir = java.nio.file.Files.createTempDirectory("graft_hbg").toString
+    incoming.coalesce(1).write.mode("overwrite").parquet(dir)
+    val streamed = runToMemory(
+      StreamOps.hammingBlockGateStream(
+        spark.readStream.schema(incoming.schema).parquet(dir),
+        col("dhash"), index, maxHamming = 8),
+      "hamm_block_kept")
+    assert(streamed.select("doc_id").as[Long].collect().toSet === gateBatch)
+    incoming.unpersist(blocking = false)
+  }
 }
