@@ -130,6 +130,11 @@ object Bench {
     operators.Audio.syntheticCorpus(
         Tables.documents(spark, sfDir).select("doc_id"), "doc_id")
       .write.mode("overwrite").parquet(s"$tmpOut/audio")
+    // and the video modality: op_video_frames isolates the recurring
+    // AVI walk + per-frame JPEG decode + dHash scan
+    operators.Video.syntheticCorpus(
+        Tables.documents(spark, sfDir).select("doc_id"), "doc_id")
+      .write.mode("overwrite").parquet(s"$tmpOut/video")
     // Materialized epoch order, OFF the clock: q138 times the
     // permutation build; op_epoch_resume isolates the loader's
     // recurring addressable read — resume the final 10% of epoch 3
@@ -261,6 +266,10 @@ object Bench {
       "op_audio_ehash" -> (() => force(
         operators.Audio.audioSignatures(
           spark.read.parquet(s"$tmpOut/audio"), "doc_id", col("content")))),
+      "op_video_frames" -> (() => force(
+        operators.Video.frameSignatures(
+          spark.read.parquet(s"$tmpOut/video"), "doc_id", col("content"),
+          everyNth = 2))),
       "op_takedown_read" -> (() => force(
         operators.Incremental.retractIds(
           spark.table("graft_bench_fp_post"), "corpus_id",

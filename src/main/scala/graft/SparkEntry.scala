@@ -2211,6 +2211,30 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ---- Multimodal video near-dup: REAL MJPEG-in-AVI decode of a
+    // deterministic synthetic clip corpus (scene = doc_id/3; variants
+    // rewrite 2 of 8 frames → partial overlap, 3 of 4 sampled
+    // positions; every 97th payload corrupt → no frame rows →
+    // survives). Clips match when ≥ 2 sampled positions are pairwise
+    // within 8 dHash bits. The per-frame signatures are the exported
+    // seeded state; DuckDB replays the position-aligned pair counting
+    // and the keep-lowest-id dedup in full.
+    "q145_video_near_dedup" -> { (s, dir) =>
+      val clips = operators.Video.syntheticCorpus(
+        Tables.documents(s, dir).select("doc_id"), "doc_id",
+        variantsPerScene = 3, corruptEvery = 97)
+      operators.Video.frameSignatures(clips, "doc_id", col("content"),
+          everyNth = 2)
+        .write.mode("overwrite").parquet(s"${stateDir(dir)}/q145_sigs")
+      val sigs = s.read.parquet(s"${stateDir(dir)}/q145_sigs")
+      val dupIds = operators.Video.clipNearDupPairs(sigs, "doc_id",
+          maxHamming = 8, minFrames = 2)
+        .select(col("id_b").as("doc_id")).distinct()
+      Tables.documents(s, dir).select("doc_id")
+        .join(dupIds, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    },
+
     // ---- Persisted Hamming-signature state: the ONE incremental
     // layout for every 64-bit signature family (image dHash, audio
     // eHash, text SimHash). State built on ids ≡ 0 (mod 4), grown by
@@ -4744,6 +4768,26 @@ object SparkEntry {
         |   AND a.ehash IS NOT NULL AND b.ehash IS NOT NULL
         |   AND bit_count(xor(a.ehash, b.ehash)) <= 8)
         |SELECT doc_id, decoded, sample_rate, duration_ms FROM sigs
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q145: exported per-frame dHash signatures; the oracle replays
+    // the position-aligned pair counting (≥ 2 sampled positions within
+    // 8 bits) and the keep-lowest-id dedup; corrupt clips have no
+    // signature rows and survive.
+    "q145_video_near_dedup" ->
+      """WITH sigs AS (
+        |  SELECT doc_id, frame_pos, dhash
+        |  FROM read_parquet('__GRAFT_STATE_DIR__/q145_sigs/*.parquet')),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         count(DISTINCT a.frame_pos) AS m
+        |  FROM sigs a JOIN sigs b
+        |    ON a.doc_id < b.doc_id AND a.frame_pos = b.frame_pos
+        |   AND bit_count(xor(a.dhash, b.dhash)) <= 8
+        |  GROUP BY 1, 2),
+        |dup AS (SELECT DISTINCT id_b AS doc_id FROM pairs WHERE m >= 2)
+        |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM dup)
         |ORDER BY doc_id""".stripMargin,
 

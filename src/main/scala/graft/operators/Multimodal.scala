@@ -8,14 +8,17 @@ import org.apache.spark.sql.types._
   * image/audio/video as opaque `binary` columns with typed metadata.
   *
   * The Spark-side contract is real and tested — schema, partitioning,
-  * batch shape, feature-vector layout. The IMAGE modality has a REAL
-  * decoder ([[Images]] — `javax.imageio` PNG/JPEG + perceptual
-  * near-dup signatures, q141) and so does WAV AUDIO ([[Audio]] —
-  * self-contained RIFF/PCM parser + gain-invariant energy-contour
-  * fingerprint, q143). Compressed-codec decode (MP3/MP4/video)
-  * remains STUBBED with a deterministic fake (those codec libraries
-  * are not in this container); swap [[MediaCodec.decode]] for a real
-  * JNI/javacpp decoder without touching any plumbing.
+  * batch shape, feature-vector layout. All three modalities now have
+  * REAL decoders for their library-free formats: IMAGES ([[Images]] —
+  * `javax.imageio` PNG/JPEG + perceptual near-dup signatures, q141),
+  * WAV AUDIO ([[Audio]] — self-contained RIFF/PCM parser +
+  * gain-invariant energy-contour fingerprint, q143), and MJPEG-AVI
+  * VIDEO ([[Video]] — RIFF walk + per-frame JPEG decode, frame
+  * sampling, clip-level near-dup, q145). Only compressed-codec decode
+  * (MP3/H.264/MP4) remains STUBBED with a deterministic fake (those
+  * codec libraries are not in this container); swap
+  * [[MediaCodec.decode]] for a real JNI/javacpp decoder without
+  * touching any plumbing.
   *
   * Scale notes: decode runs in `mapPartitions` so each task amortizes
   * codec init across its whole partition (the batch shape a real

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Images, Video}
+
+/** MJPEG-in-AVI decode + clip-level near-dup: the RIFF walk finds the
+  * movi frames, every frame decodes through the exact image pipeline,
+  * variants overlap partially (not fully), distinct scenes never
+  * match, corrupt payloads quarantine. */
+class VideoSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("aviFrames: frame extraction, corruption tolerance, truncation") {
+    val avi = Video.syntheticAvi(scene = 4L, variant = 0, nFrames = 8)
+    val Some(frames) = Video.aviFrames(avi)
+    assert(frames.length === 8)
+    // every frame is a decodable JPEG with the expected geometry
+    frames.foreach { f =>
+      val Some((w, h, _)) = Images.decodeGray(f)
+      assert(w === 32 && h === 32)
+    }
+    // deterministic bytes
+    assert(Video.syntheticAvi(4L, 0).sameElements(avi))
+    // corruption and non-AVI input
+    assert(Video.aviFrames(null).isEmpty)
+    assert(Video.aviFrames(Array[Byte]('R', 'I', 'F', 'F', 2)).isEmpty)
+    assert(Video.aviFrames("RIFFxxxxWAVE1234".getBytes("US-ASCII")).isEmpty)
+    val rnd = new scala.util.Random(3)
+    (0 until 40).foreach { _ =>
+      Video.aviFrames(Array.fill(rnd.nextInt(200))(rnd.nextInt().toByte))
+    }
+    // truncation mid-movi still yields the complete leading frames
+    val Some(partial) = Video.aviFrames(avi.take(avi.length - 40))
+    assert(partial.length >= 1 && partial.length <= 8)
+  }
+
+  test("frameSignatures: stride sampling, cross-modality signature identity") {
+    val clips = Video.syntheticCorpus(spark.range(0, 30).toDF("doc_id"),
+      "doc_id", corruptEvery = 10)
+    val sigs = Video.frameSignatures(clips, "doc_id", col("content"),
+      everyNth = 2).cache()
+    // 8 frames, stride 2 -> 4 sampled positions per decodable clip
+    val perClip = sigs.groupBy("doc_id").count()
+    assert(perClip.filter(col("count") =!= 4).count() === 0)
+    // corrupt clips (0, 10, 20) emit no frame rows
+    assert(sigs.filter(col("doc_id").isin(0L, 10L, 20L)).count() === 0)
+    assert(sigs.select("doc_id").distinct().count() === 27)
+    // a frame hashed through the video path == the same pixels hashed
+    // through the image path (shared decode/hash pipeline)
+    val Some(frames) = Video.aviFrames(Video.syntheticAvi(1L, 0)) // doc_id 3
+    val Some((w, h, g)) = Images.decodeGray(frames(2)) // sample idx 1
+    val engine = sigs.filter(col("doc_id") === 3 && col("frame_pos") === 1)
+      .select("dhash").as[Long].head()
+    assert(engine === Images.dHash64(w, h, g))
+    sigs.unpersist(blocking = false)
+  }
+
+  test("clipNearDupPairs: partial-overlap variants match, distinct scenes never; brute-force parity") {
+    val clips = Video.syntheticCorpus(spark.range(0, 60).toDF("doc_id"),
+      "doc_id", corruptEvery = 0)
+    val sigs = Video.frameSignatures(clips, "doc_id", col("content"),
+      everyNth = 2).cache()
+    val pairs = Video.clipNearDupPairs(sigs, "doc_id",
+        maxHamming = 8, minFrames = 2)
+      .as[(Long, Long, Long)].collect()
+      .map { case (a, b, m) => (a, b) -> m }.toMap
+    // brute force from the same signatures
+    val rows = sigs.select("doc_id", "frame_pos", "dhash")
+      .as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    val brute = (for {
+      a <- rows.keys; b <- rows.keys; if a < b
+      m = rows(a).keySet.intersect(rows(b).keySet).count(p =>
+        java.lang.Long.bitCount(rows(a)(p) ^ rows(b)(p)) <= 8)
+      if m >= 2
+    } yield (a, b) -> m.toLong).toMap
+    assert(pairs === brute)
+    // planted: variants match their scene on EXACTLY 3 of 4 sampled
+    // positions (frame 2 = sample 1 was rewritten) — partial overlap,
+    // not identity
+    (0L until 60L by 3L).foreach { base =>
+      assert(pairs.get((base, base + 1)).contains(3L), s"scene ${base / 3}")
+      assert(pairs.get((base, base + 2)).contains(3L))
+    }
+    // no cross-scene pair anywhere
+    assert(pairs.keys.forall { case (a, b) => a / 3 == b / 3 })
+    sigs.unpersist(blocking = false)
+  }
+
+  test("videoNearDedup: scene bases + corrupt clips survive") {
+    val kept = Video.videoNearDedup(
+        Video.syntheticCorpus(spark.range(0, 120).toDF("doc_id"), "doc_id",
+          variantsPerScene = 3, corruptEvery = 40),
+        "doc_id", col("content"), everyNth = 2, maxHamming = 8, minFrames = 2)
+      .select("doc_id").as[Long].collect().toSet
+    val expected = (0L until 120L).filter { id =>
+      val corrupt = id % 40 == 0
+      val base = (id / 3) * 3
+      corrupt || id == base || (base % 40 == 0 && id == base + 1)
+    }.toSet
+    assert(kept === expected)
+  }
+}
