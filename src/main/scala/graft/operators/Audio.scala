@@ -228,7 +228,7 @@ object Audio {
     val spark = ids.sparkSession
     val vps = variantsPerScene; val ce = corruptEvery
     import spark.implicits._
-    ids.select(col(idCol).cast("long")).as[Long].map { id =>
+    Dedup.spreadWide(ids.select(col(idCol).cast("long"))).as[Long].map { id =>
       val content =
         if (ce > 0 && id % ce == 0) Array[Byte]('R', 'I', 'F', 'F', 0x01)
         else syntheticWav(id / vps, (id % vps).toInt)

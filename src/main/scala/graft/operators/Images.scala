@@ -251,7 +251,7 @@ object Images {
     val spark = ids.sparkSession
     val vps = variantsPerScene; val ce = corruptEvery
     import spark.implicits._
-    ids.select(col(idCol).cast("long")).as[Long].map { id =>
+    Dedup.spreadWide(ids.select(col(idCol).cast("long"))).as[Long].map { id =>
       val content =
         if (ce > 0 && id % ce == 0) Array[Byte](0x50, 0x4E, 0x47, 0x00, 0x01)
         else syntheticPng(id / vps, (id % vps).toInt)

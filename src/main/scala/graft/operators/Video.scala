@@ -250,7 +250,7 @@ object Video {
     val spark = ids.sparkSession
     val vps = variantsPerScene; val ce = corruptEvery
     import spark.implicits._
-    ids.select(col(idCol).cast("long")).as[Long].map { id =>
+    Dedup.spreadWide(ids.select(col(idCol).cast("long"))).as[Long].map { id =>
       val content =
         if (ce > 0 && id % ce == 0) Array[Byte]('R', 'I', 'F', 'F', 0x02)
         else syntheticAvi(id / vps, (id % vps).toInt)

@@ -470,7 +470,13 @@ object Pdf {
       rows.sparkSession.sessionState.newHadoopConf())
     fsSetup.delete(hp, true)
     fsSetup.mkdirs(hp)
-    rows.foreachPartition { it: Iterator[(String, Seq[String])] =>
+    // spread before the write: a single-row-group upstream scan would
+    // otherwise synthesize every file on one core (the round-2 gotcha)
+    val par = rows.sparkSession.sparkContext.defaultParallelism
+    val spread =
+      if (rows.rdd.getNumPartitions < math.max(2, par / 2)) rows.repartition(par)
+      else rows
+    spread.foreachPartition { it: Iterator[(String, Seq[String])] =>
       val conf = new org.apache.hadoop.conf.Configuration()
       val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
       it.foreach { case (name, pages) =>
