@@ -189,6 +189,15 @@ object Bench {
     stImgSigs.write.mode("overwrite").parquet(s"$tmpOut/st_imgsigs")
     val stBlockIdx = operators.Dedup.hammingIndex(
       stImgSigs.filter(col("doc_id") % 2 === 0), "dhash", maxHamming = 8)
+    // pre-built Hamming-signature state, OFF the clock: q144 times
+    // write + append + probe together; op_hamming_probe isolates the
+    // recurring batch-vs-state probe — the steady-state cost every
+    // media/SimHash ingestion wave pays (the op_bm25_probe stance)
+    spark.sql("DROP TABLE IF EXISTS graft_bench_hamming")
+    operators.Incremental.writeHammingState(
+      stImgSigs.filter(col("doc_id") % 2 === 0), "doc_id", "dhash",
+      "graft_bench_hamming", s"$tmpOut/hamming_state", maxHamming = 8,
+      numBuckets = 8)
 
     def staged(path: String) =
       spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
@@ -270,6 +279,12 @@ object Bench {
         operators.Video.frameSignatures(
           spark.read.parquet(s"$tmpOut/video"), "doc_id", col("content"),
           everyNth = 2))),
+      "op_hamming_probe" -> (() => force(
+        operators.Incremental.hammingDupIdsAgainstTable(
+          spark.read.parquet(s"$tmpOut/st_imgsigs")
+            .filter(col("doc_id") % 2 === 1),
+          "doc_id", "dhash", spark.table("graft_bench_hamming"),
+          maxHamming = 8))),
       "op_takedown_read" -> (() => force(
         operators.Incremental.retractIds(
           spark.table("graft_bench_fp_post"), "corpus_id",
@@ -310,8 +325,8 @@ object Bench {
             maxShared = 2), "ovgate")),
         "st_hamming_block_gate" -> (() => runStream(
           streaming.StreamOps.hammingBlockGateStream(
-            staged(s"$tmpOut/st_imgsigs"), col("dhash"), stBlockIdx,
-            maxHamming = 8), "hblock")))
+            staged(s"$tmpOut/st_imgsigs"), col("dhash"), stBlockIdx),
+          "hblock")))
     }
 
     val queryRuns: Seq[(String, () => Unit)] =

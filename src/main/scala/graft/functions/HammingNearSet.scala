@@ -45,13 +45,9 @@ object HammingNearSet {
   def near(sig: Long, maxHamming: Int,
       buckets: Array[Array[Long]], sigs: Array[Array[Long]]): Boolean = {
     val nBands = maxHamming + 1
-    val width = 64 / nBands
     var b = 0
     while (b < nBands) {
-      val lo = b * width
-      val w = if (b == nBands - 1) 64 - lo else width
-      val shifted = sig >>> lo
-      val bucket = if (w >= 64) shifted else shifted & ((1L << w) - 1)
+      val bucket = Bits.bandOf(sig, b, maxHamming)
       val arr = buckets(b)
       var i = java.util.Arrays.binarySearch(arr, bucket)
       if (i >= 0) {

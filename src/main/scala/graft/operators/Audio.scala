@@ -168,13 +168,6 @@ object Audio {
   // ======== deterministic synthetic WAV corpus (test/bench fixture
   // generation — executor-side, seeded, no I/O) ========
 
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
-
   /** Deterministic mono 16-bit PCM WAV, 6500 samples at 8 kHz: a sine
     * whose per-frame amplitude (65 frames of 100 samples) is a PRF of
     * (scene, frame) in [2000, 30000] — frame energies are therefore
@@ -193,11 +186,11 @@ object Audio {
     while (f < frames) {
       val keyed =
         if (variant > 0 && f >= 30 && f <= 32)
-          mix(scene ^ (variant.toLong << 40) ^ f.toLong)
-        else mix(mix(scene) ^ f.toLong)
+          graft.functions.Bits.mix64(scene ^ (variant.toLong << 40) ^ f.toLong)
+        else graft.functions.Bits.mix64(graft.functions.Bits.mix64(scene) ^ f.toLong)
       // amp ≤ 24000 keeps a 5/4 gain fixture under the 16-bit clip
       val amp = 2000 + (Math.floorMod(keyed, 22000L)).toInt
-      val freq = 200 + (Math.floorMod(mix(scene ^ 0x5EEDL), 1800L)).toInt
+      val freq = 200 + (Math.floorMod(graft.functions.Bits.mix64(scene ^ 0x5EEDL), 1800L)).toInt
       var i = 0
       while (i < perFrame) {
         val t = f * perFrame + i

@@ -446,17 +446,9 @@ object Dedup {
   def simhashPairs(df: DataFrame, idCol: String, textCol: Column,
       maxHamming: Int = 3, maxBucketSize: Int = 4096): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, "maxHamming must be in [0, 32)")
-    val nBands = maxHamming + 1
-    val width = 64 / nBands
     val sigDf = spreadWide(df).select(col(idCol),
       simhashSignature(textCol).as("__sig"))
-    val bandStructs = (0 until nBands).map { b =>
-      val lo = b * width
-      val w = if (b == nBands - 1) 64 - lo else width // last band absorbs the remainder bits
-      val shifted = shiftrightunsigned(col("__sig"), lo)
-      val bucket = if (w >= 64) shifted else shifted.bitwiseAND(lit((1L << w) - 1))
-      struct(lit(b).as("band"), bucket.as("bucket"))
-    }
+    val bandStructs = graft.functions.Bits.bandStructs(col("__sig"), maxHamming)
     val banded = sigDf
       .select(col(idCol), col("__sig"), explode(array(bandStructs: _*)).as("__b"))
       .select(col(idCol), col("__sig"), col("__b.band"), col("__b.bucket"))
@@ -526,57 +518,54 @@ object Dedup {
     * (buckets, sigs) arrays, ~16(k+1) B per signature. Feed to
     * [[hammingNearSet]] / [[graft.streaming.StreamOps
     * .hammingBlockGateStream]]. */
+  /** A driver-built pigeonhole blocklist index. Carries the
+    * `maxHamming` it was banded with so a probe can never be issued
+    * at a DIFFERENT band layout — a mismatch would silently produce
+    * false negatives, the one failure a compliance gate must not
+    * have. Construct only via [[hammingIndex]]. */
+  final case class HammingIndex(maxHamming: Int,
+      buckets: Array[Array[Long]], sigs: Array[Array[Long]])
+
   def hammingIndex(df: DataFrame, sigCol: String,
-      maxHamming: Int): (Array[Array[Long]], Array[Array[Long]]) = {
+      maxHamming: Int): HammingIndex = {
     require(maxHamming >= 0 && maxHamming < 32, "maxHamming must be in [0, 32)")
     val vals = df.select(col(sigCol).cast("long"))
       .filter(col(sigCol).isNotNull).distinct()
       .collect().map(_.getLong(0))
     val nBands = maxHamming + 1
-    val width = 64 / nBands
     val buckets = Array.ofDim[Array[Long]](nBands)
     val sigs = Array.ofDim[Array[Long]](nBands)
     var b = 0
     while (b < nBands) {
-      val lo = b * width
-      val w = if (b == nBands - 1) 64 - lo else width
-      val mask = if (w >= 64) -1L else (1L << w) - 1
-      val pairs = vals.map(v => ((v >>> lo) & mask, v)).sortBy(_._1)
+      val pairs = vals
+        .map(v => (graft.functions.Bits.bandOf(v, b, maxHamming), v)).sortBy(_._1)
       buckets(b) = pairs.map(_._1)
       sigs(b) = pairs.map(_._2)
       b += 1
     }
-    (buckets, sigs)
+    HammingIndex(maxHamming, buckets, sigs)
   }
 
-  /** Boolean Column: is `sig` within `maxHamming` bits of any indexed
-    * signature? EXACT (pigeonhole — no false negatives, and every
-    * candidate is popcount-verified, unlike the Bloom gates), pure
-    * map-side codegen, streaming-legal in any output mode. */
-  def hammingNearSet(sig: Column,
-      index: (Array[Array[Long]], Array[Array[Long]]),
-      maxHamming: Int): Column =
+  /** Boolean Column: is `sig` within the index's `maxHamming` bits of
+    * any indexed signature? EXACT (pigeonhole — no false negatives,
+    * and every candidate is popcount-verified, unlike the Bloom
+    * gates), pure map-side codegen, streaming-legal in any output
+    * mode. The Hamming budget comes from the index itself — the band
+    * layout is fixed at build time. */
+  def hammingNearSet(sig: Column, index: HammingIndex): Column =
     graft.functions.text.expr2col(graft.functions.HammingNearSet(
       graft.functions.text.col2expr(sig.cast("long")),
-      maxHamming, index._1, index._2))
+      index.maxHamming, index.buckets, index.sigs))
 
   private[graft] def hammingPairsValues(
       ldf: DataFrame, lsig: Column,
       rdf: DataFrame, rsig: Column,
       maxHamming: Int, strict: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, "maxHamming must be in [0, 32)")
-    val nBands = maxHamming + 1
-    val width = 64 / nBands
     def banded(df: DataFrame, sig: Column, out: String): DataFrame = {
       val base = spreadWide(df).select(sig.cast("long").as(out))
         .filter(col(out).isNotNull).distinct()
-      val bandStructs = (0 until nBands).map { b =>
-        val lo = b * width
-        val w = if (b == nBands - 1) 64 - lo else width
-        val shifted = shiftrightunsigned(col(out), lo)
-        val bucket = if (w >= 64) shifted else shifted.bitwiseAND(lit((1L << w) - 1))
-        struct(lit(b).as("band"), bucket.as("bucket"))
-      }
+      val bandStructs = graft.functions.Bits.bandStructs(col(out), maxHamming)
       base.select(col(out), explode(array(bandStructs: _*)).as("__b"))
         .select(col(out), col("__b.band"), col("__b.bucket"))
     }

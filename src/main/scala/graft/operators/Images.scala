@@ -58,11 +58,18 @@ object Images {
 
   /** Decode to (width, height, row-major integer luma 0..255).
     * Returns None for null/empty/undecodable bytes — error tolerance
-    * is the S3/JSONL contract: quarantine, don't throw. */
+    * is the S3/JSONL contract: quarantine, don't throw.
+    *
+    * The bytes are already in memory, so the reader gets an explicit
+    * [[MemoryCacheImageInputStream]]: ImageIO's default behavior
+    * (`getUseCache`) spools every input to an executor TEMP FILE
+    * first — one create/write/delete per image (and per video frame)
+    * is pure /tmp pressure in the hot decode path at corpus scale. */
   def decodeGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     if (bytes == null || bytes.length == 0) return None
     try {
-      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      val img = ImageIO.read(new javax.imageio.stream.MemoryCacheImageInputStream(
+        new ByteArrayInputStream(bytes)))
       if (img == null) return None
       val w = img.getWidth; val h = img.getHeight
       if (w <= 0 || h <= 0) return None
@@ -194,13 +201,6 @@ object Images {
   // generation — executor-side, seeded, no I/O) ========
 
   /** splitmix64 — the fixture's pixel PRF. */
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
-
   /** Deterministic 32×32 RGB PNG: pixels are a PRF of (scene, x, y);
     * `variant > 0` overwrites a fixed 3×3 patch with variant-keyed
     * pixels. A 3×3 patch on a 32×32 image intersects ≤ 2×2 cells of
@@ -214,7 +214,7 @@ object Images {
     while (y < h) {
       var x = 0
       while (x < w) {
-        val hpx = mix(mix(scene) ^ (x.toLong << 20) ^ y.toLong)
+        val hpx = graft.functions.Bits.mix64(graft.functions.Bits.mix64(scene) ^ (x.toLong << 20) ^ y.toLong)
         img.setRGB(x, y, (hpx & 0xFFFFFF).toInt)
         x += 1
       }
@@ -226,7 +226,7 @@ object Images {
       while (dy < 3) {
         var dx = 0
         while (dx < 3) {
-          val hpx = mix(mix(scene ^ (variant.toLong << 40)) ^
+          val hpx = graft.functions.Bits.mix64(graft.functions.Bits.mix64(scene ^ (variant.toLong << 40)) ^
             ((px + dx).toLong << 20) ^ (py + dy).toLong)
           img.setRGB(px + dx, py + dy, (hpx & 0xFFFFFF).toInt)
           dx += 1
@@ -235,7 +235,11 @@ object Images {
       }
     }
     val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", bos)
+    // explicit memory-cache stream: the default write path spools
+    // through an executor temp file (see decodeGray)
+    val mos = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    ImageIO.write(img, "png", mos)
+    mos.close()
     bos.toByteArray
   }
 

@@ -700,17 +700,12 @@ object Incremental {
   private def hammingBanded(df: DataFrame, idCol: String, sigCol: String,
       maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, "maxHamming must be in [0, 32)")
-    val nBands = maxHamming + 1
-    val width = 64 / nBands
-    val sig = col(sigCol).cast("long")
-    val bandStructs = (0 until nBands).map { b =>
-      val lo = b * width
-      val w = if (b == nBands - 1) 64 - lo else width
-      val shifted = shiftrightunsigned(sig, lo)
-      val bucket = if (w >= 64) shifted else shifted.bitwiseAND(lit((1L << w) - 1))
-      struct(lit(b).as("band"), bucket.as("bucket"))
-    }
-    df.select(col(idCol), sig.as("sig")).filter(col("sig").isNotNull)
+    // band over the RENAMED column — referencing `sigCol` here would
+    // fail resolution for any source column not literally named "sig"
+    // (the projection below renames it away)
+    val bandStructs = graft.functions.Bits.bandStructs(col("sig"), maxHamming)
+    df.select(col(idCol), col(sigCol).cast("long").as("sig"))
+      .filter(col("sig").isNotNull)
       .select(col(idCol), col("sig"), explode(array(bandStructs: _*)).as("__b"))
       .select(col("__b.band").as("band"), col("__b.bucket").as("bucket"),
         col(idCol), col("sig"))

@@ -133,17 +133,9 @@ object Video {
   def clipNearDupPairs(frameSigs: DataFrame, idCol: String,
       maxHamming: Int = 8, minFrames: Int = 2): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, "maxHamming must be in [0, 32)")
-    val nBands = maxHamming + 1
-    val width = 64 / nBands
     def banded(side: String): DataFrame = {
       val sig = col(s"sig_$side")
-      val bandStructs = (0 until nBands).map { b =>
-        val lo = b * width
-        val w = if (b == nBands - 1) 64 - lo else width
-        val shifted = shiftrightunsigned(sig, lo)
-        val bucket = if (w >= 64) shifted else shifted.bitwiseAND(lit((1L << w) - 1))
-        struct(lit(b).as("band"), bucket.as("bucket"))
-      }
+      val bandStructs = graft.functions.Bits.bandStructs(sig, maxHamming)
       frameSigs
         .select(col(idCol).as(s"id_$side"), col("frame_pos"),
           col("dhash").as(s"sig_$side"))
@@ -182,7 +174,11 @@ object Video {
 
   private def jpegBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "jpg", bos)
+    // explicit memory-cache stream: the default write path spools
+    // through an executor temp file (see Images.decodeGray)
+    val mos = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    javax.imageio.ImageIO.write(img, "jpg", mos)
+    mos.close()
     bos.toByteArray
   }
 
@@ -206,7 +202,7 @@ object Video {
       while (y < 32) {
         var x = 0
         while (x < 32) {
-          val h = mix(mix(sceneKey ^ (f.toLong << 50)) ^ (x.toLong << 20) ^ y.toLong)
+          val h = graft.functions.Bits.mix64(graft.functions.Bits.mix64(sceneKey ^ (f.toLong << 50)) ^ (x.toLong << 20) ^ y.toLong)
           img.setRGB(x, y, (h & 0xFFFFFF).toInt)
           x += 1
         }
@@ -235,13 +231,6 @@ object Video {
   private def le32(v: Int): Array[Byte] =
     Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
       ((v >> 16) & 0xFF).toByte, ((v >>> 24) & 0xFF).toByte)
-
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
 
   /** Synthetic clip corpus keyed by an id frame — the [[Images
     * .syntheticCorpus]] layout for the video modality. */

@@ -476,8 +476,17 @@ object Pdf {
     val spread =
       if (rows.rdd.getNumPartitions < math.max(2, par / 2)) rows.repartition(par)
       else rows
+    // ship the SESSION's effective Hadoop conf to the executors — a
+    // bare `new Configuration()` there would drop spark.hadoop.*
+    // settings (object-store credentials, fs.defaultFS), silently
+    // writing against the wrong filesystem
+    val confKv: Array[(String, String)] = {
+      import scala.jdk.CollectionConverters._
+      fsSetup.getConf.iterator().asScala.map(e => (e.getKey, e.getValue)).toArray
+    }
     spread.foreachPartition { it: Iterator[(String, Seq[String])] =>
-      val conf = new org.apache.hadoop.conf.Configuration()
+      val conf = new org.apache.hadoop.conf.Configuration(false)
+      confKv.foreach { case (k, v) => conf.set(k, v) }
       val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
       it.foreach { case (name, pages) =>
         val os = fs.create(new org.apache.hadoop.fs.Path(dir, s"$name.pdf"), true)

@@ -405,12 +405,14 @@ object StreamOps {
     * one-sided error does not apply here), identical in batch. Null
     * signatures (undecodable payloads) pass — unprovable, the gate
     * convention everywhere else; quarantine them upstream on the
-    * `decoded` flag when policy requires it. */
+    * `decoded` flag when policy requires it. The Hamming budget is
+    * the INDEX's — carried inside [[graft.operators.Dedup
+    * .HammingIndex]] so the gate can never probe at a band layout
+    * different from the one the blocklist was built with. */
   def hammingBlockGateStream(rows: DataFrame, sigCol: Column,
-      blockIndex: (Array[Array[Long]], Array[Array[Long]]),
-      maxHamming: Int = 8): DataFrame =
+      blockIndex: graft.operators.Dedup.HammingIndex): DataFrame =
     rows.filter(sigCol.isNull ||
-      !graft.operators.Dedup.hammingNearSet(sigCol, blockIndex, maxHamming))
+      !graft.operators.Dedup.hammingNearSet(sigCol, blockIndex))
 
   /** Streaming learned-quality gate: keep rows whose Naive-Bayes
     * log-odds score clears `minScore`. The classifier's dictionary is

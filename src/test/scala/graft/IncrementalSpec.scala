@@ -535,4 +535,23 @@ class IncrementalSpec extends AnyFunSuite {
       sigs.unpersist(blocking = false)
     }
   }
+
+  test("Hamming state: works for ANY signature column name, not just 'sig'") {
+    // regression: the band expressions once referenced the SOURCE
+    // column name after the projection renamed it to "sig" — every
+    // caller with a differently-named column (dhash, ehash) failed
+    // resolution; q144's literal "sig" masked it
+    import spark.implicits._
+    val sigs = docs.limit(50).select(col("doc_id"),
+      Dedup.simhashSignature(col("text")).as("dhash"))
+    Incremental.writeHammingState(sigs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "dhash", "t_hamm_dh", tmp("graft_hamm_dh"),
+      maxHamming = 8, numBuckets = 4)
+    try {
+      val dup = Incremental.hammingDupIdsAgainstTable(
+        sigs.filter(col("doc_id") % 2 === 1), "doc_id", "dhash",
+        spark.table("t_hamm_dh"), maxHamming = 8)
+      dup.count() // resolution + execution must both succeed
+    } finally spark.sql("DROP TABLE IF EXISTS t_hamm_dh")
+  }
 }

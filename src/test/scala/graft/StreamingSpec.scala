@@ -534,7 +534,7 @@ class StreamingSpec extends AnyFunSuite {
         corruptEvery = 59),
       "doc_id", col("content")).cache()
     val gateBatch = StreamOps.hammingBlockGateStream(incoming, col("dhash"),
-        index, maxHamming = 8)
+        index)
       .select("doc_id").as[Long].collect().toSet
     // brute force: blocked iff within 8 bits of any blocklist sig
     val blockSigs = blocked.select("dhash").as[Long].collect()
@@ -556,7 +556,7 @@ class StreamingSpec extends AnyFunSuite {
     val streamed = runToMemory(
       StreamOps.hammingBlockGateStream(
         spark.readStream.schema(incoming.schema).parquet(dir),
-        col("dhash"), index, maxHamming = 8),
+        col("dhash"), index),
       "hamm_block_kept")
     assert(streamed.select("doc_id").as[Long].collect().toSet === gateBatch)
     incoming.unpersist(blocking = false)
