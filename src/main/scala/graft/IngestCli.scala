@@ -142,19 +142,34 @@ object IngestCli {
     Incremental.appendBandedSignatures(exact, "doc_id", col("text"),
       st.sigTable, st.numBuckets)
 
-    // gold append + per-wave release manifest (an all-duplicate wave
-    // appends nothing; gold may not exist yet in that case)
+    // gold append + per-wave release manifest. An all-duplicate wave
+    // appends nothing — but an empty Append still CREATES the gold
+    // dir (committer setup + _SUCCESS), so presence must be judged by
+    // data files, not the directory, or schema inference throws on
+    // the next read.
     accepted.withColumn("ingest_wave", lit(waveNo))
       .write.mode(SaveMode.Append).partitionBy("ingest_wave")
       .parquet(st.goldPath)
-    val goldExists = fsFor(spark, st.dir)
-      .exists(new org.apache.hadoop.fs.Path(st.goldPath))
-    val goldTotal = if (goldExists) spark.read.parquet(st.goldPath).count() else 0L
-    if (goldExists)
+    val goldHas = goldHasData(spark, st.goldPath)
+    val goldTotal = if (goldHas) spark.read.parquet(st.goldPath).count() else 0L
+    if (goldHas)
       sources.CorpusIO.releaseManifest(spark, st.goldPath, "ingest_wave")
         .write.mode(SaveMode.Overwrite).parquet(st.manifestPath)
 
     WaveReport(waveNo, incoming, nLive, nGated, nExact, nAccepted, goldTotal)
+  }
+
+  /** Does the partitioned gold dir hold any actual parquet data?
+    * (`fs.exists` is NOT enough: an empty append or an
+    * everything-retracted rewrite leaves a dir with only _SUCCESS,
+    * and reading it fails schema inference.) */
+  private def goldHasData(spark: SparkSession, goldPath: String): Boolean = {
+    val fs = fsFor(spark, goldPath)
+    fs.exists(new org.apache.hadoop.fs.Path(goldPath)) && {
+      val glob = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$goldPath/*/*.parquet"))
+      glob != null && glob.nonEmpty
+    }
   }
 
   /** Retract `ids` (a one-column frame of doc_ids): append tombstones,
@@ -168,12 +183,20 @@ object IngestCli {
     Incremental.appendTombstones(ids, ids.columns.head,
       spark.table(st.tombTable), st.tombTable, st.numBuckets)
 
-    // digest keys of the retracted docs, from their retained gold text
-    val retractKeys = Incremental.digestKeys(
-        spark.read.parquet(st.goldPath).join(
-          broadcast(ids.select(col(ids.columns.head).as("doc_id"))), Seq("doc_id")),
-        col("text"))
-      .distinct().localCheckpoint(true)
+    // digest keys of the retracted docs, from their retained gold
+    // text. A takedown BEFORE any gold exists (tombstone seeding —
+    // the CLI's GRAFT_TAKEDOWN-before-waves shape) retracts no
+    // content, so the key set is empty.
+    val hadGold = goldHasData(spark, st.goldPath)
+    val retractKeys =
+      if (hadGold)
+        Incremental.digestKeys(
+            spark.read.parquet(st.goldPath).join(
+              broadcast(ids.select(col(ids.columns.head).as("doc_id"))),
+              Seq("doc_id")),
+            col("text"))
+          .distinct().localCheckpoint(true)
+      else spark.range(0).select(col("id").as("__d1"), col("id").as("__d2"))
 
     val next = st.copy(version = st.version + 1)
     Incremental.compactState(spark.table(st.sigTable), "doc_id",
@@ -188,18 +211,26 @@ object IngestCli {
       .option("path", s"${st.dir}/digests_v${next.version}")
       .saveAsTable(next.digestTable)
 
-    // gold blue/green: write retained rows beside, then swap dirs
-    val fs = fsFor(spark, st.dir)
-    val tmp = new org.apache.hadoop.fs.Path(s"${st.goldPath}__next")
-    fs.delete(tmp, true)
-    Incremental.retractIds(spark.read.parquet(st.goldPath), "doc_id",
-        spark.table(st.tombTable))
-      .write.partitionBy("ingest_wave").parquet(tmp.toString)
-    val goldP = new org.apache.hadoop.fs.Path(st.goldPath)
-    fs.delete(goldP, true)
-    fs.rename(tmp, goldP)
-    sources.CorpusIO.releaseManifest(spark, st.goldPath, "ingest_wave")
-      .write.mode(SaveMode.Overwrite).parquet(st.manifestPath)
+    // gold blue/green: write retained rows beside, then swap dirs.
+    // Skipped when no gold data exists; manifest only when data
+    // REMAINS (a retract-everything takedown leaves an empty dir a
+    // manifest read could not infer a schema from).
+    if (hadGold) {
+      val fs = fsFor(spark, st.dir)
+      val tmp = new org.apache.hadoop.fs.Path(s"${st.goldPath}__next")
+      fs.delete(tmp, true)
+      Incremental.retractIds(spark.read.parquet(st.goldPath), "doc_id",
+          spark.table(st.tombTable))
+        .write.partitionBy("ingest_wave").parquet(tmp.toString)
+      val goldP = new org.apache.hadoop.fs.Path(st.goldPath)
+      fs.delete(goldP, true)
+      fs.rename(tmp, goldP)
+      if (goldHasData(spark, st.goldPath))
+        sources.CorpusIO.releaseManifest(spark, st.goldPath, "ingest_wave")
+          .write.mode(SaveMode.Overwrite).parquet(st.manifestPath)
+      else
+        fs.delete(new org.apache.hadoop.fs.Path(st.manifestPath), true)
+    }
     next
   }
 
@@ -215,6 +246,173 @@ object IngestCli {
     Dedup.minhashDedup(exact, "doc_id", col("text"),
       threshold = cfg.fuzzyThreshold)
   }
+
+  // --------------------------------------------------------------
+  // The MEDIA wave loop: the same recurring-ingestion composition for
+  // binary payloads (images by default; audio via Audio.audioSignatures
+  // — anything that reduces to a 64-bit perceptual signature). Decode
+  // → optional blocklist gate → in-wave Hamming near-dup keep-lowest-
+  // id → probe against the persisted Hamming state → append state
+  // (seen-not-kept) → gold append.
+  //
+  // Equivalence contract (IngestSpec): with waves arriving in id
+  // order, gold after any number of waves IS [[batchMediaEquivalent]]
+  // over the union — unconditionally, because the Hamming pair
+  // enumeration is EXACT (pigeonhole banding has no big-bucket
+  // approximation the MinHash loop needs guarding from). Undecodable
+  // payloads pass (nothing provable) and never enter state; blocked
+  // payloads never enter gold OR state.
+  //
+  // 100 TB shape: decode is the wave-sized mapPartitions scan, the
+  // state probe shuffles only the wave's banded signatures (state
+  // bucket-aligned from disk), the blocklist rides map-side inside
+  // codegen, and appends are wave-sized bucketed writes. Nothing
+  // re-reads previously ingested media bytes.
+  // --------------------------------------------------------------
+
+  final case class MediaState(ns: String, dir: String, numBuckets: Int,
+      maxHamming: Int, version: Int = 0) {
+    def sigTable: String = s"${ns}_hsigs_v$version"
+    def tombTable: String = s"${ns}_tombstones"
+    def goldPath: String = s"$dir/gold"
+  }
+
+  final case class MediaWaveReport(wave: Int, incoming: Long, live: Long,
+      decoded: Long, blocked: Long, accepted: Long, goldTotal: Long)
+
+  /** Fresh media state: empty bucketed Hamming-signature and tombstone
+    * tables, clean gold dir. `maxHamming` fixes the band layout for
+    * the state's whole life (every append and probe uses it). */
+  def initMediaState(spark: SparkSession, ns: String, dir: String,
+      maxHamming: Int = 8, numBuckets: Int = 8): MediaState = {
+    val st = MediaState(ns, dir, numBuckets, maxHamming)
+    Seq(st.sigTable, st.tombTable)
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val empty = spark.range(0)
+      .select(col("id").as("doc_id"), col("id").as("sig"))
+    Incremental.writeHammingState(empty, "doc_id", "sig", st.sigTable,
+      s"$dir/hsigs_v0", maxHamming, numBuckets)
+    Incremental.writeTombstones(empty.select("doc_id"), "doc_id",
+      st.tombTable, s"$dir/tombstones", numBuckets)
+    fsFor(spark, dir).delete(new org.apache.hadoop.fs.Path(st.goldPath), true)
+    st
+  }
+
+  /** One media wave. `wave` needs (doc_id, content binary); extra
+    * columns ride to gold. `signer` turns the wave into
+    * `(doc_id, decoded, sig)` rows — 64-bit perceptual signature,
+    * null when undecodable; the default is the image dHash
+    * ([[operators.Images.imageSignatures]]); pass the audio eHash or
+    * a SimHash the same way. `blocklist` (licensing/flagged-content
+    * enforcement) gates EXACTLY, map-side, before any dedup work. */
+  def ingestMediaWave(spark: SparkSession, st: MediaState, wave: DataFrame,
+      waveNo: Int,
+      signer: DataFrame => DataFrame = defaultImageSigner,
+      blocklist: Option[Dedup.HammingIndex] = None): MediaWaveReport = {
+    val incoming = wave.count()
+    val live = Incremental.retractIds(wave, "doc_id", spark.table(st.tombTable))
+    val nLive = live.count()
+
+    // decode once per wave; (doc_id, decoded, sig) is 17 bytes/row —
+    // the content bytes never travel past this scan
+    val sigs = signer(live).select(col("doc_id"), col("decoded"), col("sig"))
+      .localCheckpoint(true)
+    val nDecoded = sigs.filter(col("decoded")).count()
+
+    // blocklist gate: exact, codegen'd, no join (null sigs pass —
+    // undecodable is unprovable; quarantine upstream when policy
+    // requires)
+    val admitted = blocklist match {
+      case Some(idx) =>
+        sigs.filter(col("sig").isNull || !Dedup.hammingNearSet(col("sig"), idx))
+      case None => sigs
+    }
+    val nBlocked = nLive - admitted.count()
+
+    // in-wave and against-state drops over the SAME input, unioned —
+    // the seen-not-kept contract, exactly as the text loop
+    val decoded = admitted.filter(col("decoded"))
+    val inWaveDups = Dedup.hammingNearDupPairs(decoded, "doc_id", "sig",
+        st.maxHamming)
+      .select(col("id_b").as("doc_id"))
+    val stateDups = Incremental.hammingDupIdsAgainstTable(decoded, "doc_id",
+      "sig", spark.table(st.sigTable), st.maxHamming)
+    val dropIds = inWaveDups.union(stateDups).distinct().localCheckpoint(true)
+    val acceptedIds = admitted.select("doc_id")
+      .join(dropIds, Seq("doc_id"), "left_anti")
+
+    // state grows by every decoded admitted signature (dropped or not)
+    Incremental.appendHammingState(decoded, "doc_id", "sig", st.sigTable,
+      st.maxHamming, st.numBuckets)
+
+    val accepted = live.join(acceptedIds, Seq("doc_id"), "left_semi")
+    val nAccepted = accepted.count()
+    accepted.withColumn("ingest_wave", lit(waveNo))
+      .write.mode(SaveMode.Append).partitionBy("ingest_wave")
+      .parquet(st.goldPath)
+    val goldTotal =
+      if (goldHasData(spark, st.goldPath))
+        spark.read.parquet(st.goldPath).count()
+      else 0L
+    MediaWaveReport(waveNo, incoming, nLive, nDecoded, nBlocked, nAccepted,
+      goldTotal)
+  }
+
+  /** Media takedown: tombstones gate later waves, gold rewrites
+    * blue/green without the ids, and the id-carrying signature state
+    * compacts — the retracted media can no longer suppress future
+    * near-duplicates (content-level forgetting, not just removal).
+    * Caveat shared with the text loop's digest state: signatures of
+    * documents DROPPED as the retracted doc's duplicates stay in the
+    * state (seen-not-kept), so content near THOSE still rejects —
+    * conservative direction; rebuild the state from retained gold
+    * when retraction must readmit a whole near-dup cluster. */
+  def applyMediaTakedown(spark: SparkSession, st: MediaState,
+      ids: DataFrame): MediaState = {
+    Incremental.appendTombstones(ids, ids.columns.head,
+      spark.table(st.tombTable), st.tombTable, st.numBuckets)
+    val next = st.copy(version = st.version + 1)
+    Incremental.compactState(spark.table(st.sigTable), "doc_id",
+      spark.table(st.tombTable), next.sigTable,
+      s"${st.dir}/hsigs_v${next.version}",
+      bucketCols = Seq("band", "bucket"), numBuckets = st.numBuckets)
+    if (goldHasData(spark, st.goldPath)) {
+      val fs = fsFor(spark, st.dir)
+      val tmp = new org.apache.hadoop.fs.Path(s"${st.goldPath}__next")
+      fs.delete(tmp, true)
+      Incremental.retractIds(spark.read.parquet(st.goldPath), "doc_id",
+          spark.table(st.tombTable))
+        .write.partitionBy("ingest_wave").parquet(tmp.toString)
+      val goldP = new org.apache.hadoop.fs.Path(st.goldPath)
+      fs.delete(goldP, true)
+      fs.rename(tmp, goldP)
+    }
+    next
+  }
+
+  /** The from-scratch media batch the wave loop must equal over the
+    * union of its waves: sign → blocklist gate → keep every row not
+    * within `maxHamming` of a LOWER-id decoded row (kept or dropped —
+    * the chain shape is inherent to the id-ordered contract). */
+  def batchMediaEquivalent(corpus: DataFrame, maxHamming: Int = 8,
+      signer: DataFrame => DataFrame = defaultImageSigner,
+      blocklist: Option[Dedup.HammingIndex] = None): DataFrame = {
+    val sigs = signer(corpus).select(col("doc_id"), col("decoded"), col("sig"))
+    val admitted = blocklist match {
+      case Some(idx) =>
+        sigs.filter(col("sig").isNull || !Dedup.hammingNearSet(col("sig"), idx))
+      case None => sigs
+    }
+    val decoded = admitted.filter(col("decoded"))
+    val dropIds = Dedup.hammingNearDupPairs(decoded, "doc_id", "sig", maxHamming)
+      .select(col("id_b").as("doc_id")).distinct()
+    corpus.join(admitted.select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(dropIds, Seq("doc_id"), "left_anti")
+  }
+
+  private def defaultImageSigner(df: DataFrame): DataFrame =
+    operators.Images.imageSignatures(df, "doc_id", col("content"))
+      .select(col("doc_id"), col("decoded"), col("dhash").as("sig"))
 
   private def fsFor(spark: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)

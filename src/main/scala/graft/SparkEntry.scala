@@ -1508,7 +1508,7 @@ object SparkEntry {
     // predicate (IncrementalSpec pins the normalized semantics).
     "q100_incremental_exact" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val path = java.nio.file.Files.createTempDirectory("graft_q100").toString
+      val path = s"${stateDir(dir)}/q100_state"
       s.sql("DROP TABLE IF EXISTS graft_q100_digests")
       Incremental.writeDigestTable(docs.filter(col("doc_id") % 5 =!= 0),
         col("text"), "graft_q100_digests", path, numBuckets = 8)
@@ -2062,7 +2062,7 @@ object SparkEntry {
     // batch re-serve anything we already hold?" at batch cost.
     "q135_winnow_incremental" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val path = java.nio.file.Files.createTempDirectory("graft_q135").toString
+      val path = s"${stateDir(dir)}/q135_state"
       s.sql("DROP TABLE IF EXISTS graft_q135_fps")
       Incremental.writeFingerprintTable(docs.filter(col("doc_id") < 400),
         "doc_id", col("text"), "graft_q135_fps", path,
@@ -2080,7 +2080,7 @@ object SparkEntry {
     // opt-out guarantee a training pipeline owes its sources.
     "q137_takedown_compact" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val base = java.nio.file.Files.createTempDirectory("graft_q137").toString
+      val base = s"${stateDir(dir)}/q137_state"
       Seq("graft_q137_fps", "graft_q137_tomb", "graft_q137_fps_live")
         .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
       Incremental.writeFingerprintTable(docs.filter(col("doc_id") < 400),
@@ -2106,7 +2106,7 @@ object SparkEntry {
     "q139_incremental_classifier" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val label = col("n_chars") >= 300
-      val base = java.nio.file.Files.createTempDirectory("graft_q139").toString
+      val base = s"${stateDir(dir)}/q139_state"
       s.sql("DROP TABLE IF EXISTS graft_q139_nb")
       Incremental.writeNbCounts(docs.filter(col("doc_id") < 400),
         col("text"), label, "graft_q139_nb", base, numBuckets = 8)
@@ -2125,7 +2125,7 @@ object SparkEntry {
     // BM25 over the full corpus (append ≡ rebuild).
     "q140_incremental_bm25" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val base = java.nio.file.Files.createTempDirectory("graft_q140").toString
+      val base = s"${stateDir(dir)}/q140_state"
       s.sql("DROP TABLE IF EXISTS graft_q140_post")
       s.sql("DROP TABLE IF EXISTS graft_q140_stats")
       Incremental.writePostings(docs.filter(col("doc_id") % 2 === 0),
@@ -2235,6 +2235,30 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ---- The media wave loop END TO END: Spark runs the RECURRING
+    // form (two id-ordered waves through IngestCli.ingestMediaWave —
+    // decode, in-wave Hamming dedup, probe vs persisted state, state
+    // append, gold append) while the oracle replays the FROM-SCRATCH
+    // batch semantics over the exported signatures. Equal outputs ARE
+    // the wave ≡ batch equivalence guarantee, checked cross-engine —
+    // unconditional for Hamming (exact pigeonhole pairs, no
+    // big-bucket caveat), given id-ordered waves (the CDC shape).
+    "q146_media_wave_ingest" -> { (s, dir) =>
+      val corpus = operators.Images.syntheticCorpus(
+          Tables.documents(s, dir).select("doc_id"), "doc_id",
+          variantsPerScene = 3, corruptEvery = 97)
+        .localCheckpoint(true)
+      operators.Images.imageSignatures(corpus, "doc_id", col("content"))
+        .select(col("doc_id"), col("decoded"), col("dhash"))
+        .write.mode("overwrite").parquet(s"${stateDir(dir)}/q146_sigs")
+      val mid = corpus.agg(max(col("doc_id")) / 2).head().getDouble(0)
+      val st = IngestCli.initMediaState(s, "graft_q146_media",
+        s"${stateDir(dir)}/q146_state", maxHamming = 8, numBuckets = 8)
+      IngestCli.ingestMediaWave(s, st, corpus.filter(col("doc_id") <= mid), 1)
+      IngestCli.ingestMediaWave(s, st, corpus.filter(col("doc_id") > mid), 2)
+      s.read.parquet(st.goldPath).select("doc_id").orderBy("doc_id")
+    },
+
     // ---- Persisted Hamming-signature state: the ONE incremental
     // layout for every 64-bit signature family (image dHash, audio
     // eHash, text SimHash). State built on ids ≡ 0 (mod 4), grown by
@@ -2247,7 +2271,7 @@ object SparkEntry {
       docs.select(col("doc_id"), Dedup.simhashSignature(col("text")).as("sig"))
         .write.mode("overwrite").parquet(s"${stateDir(dir)}/q144_sigs")
       val sigs = s.read.parquet(s"${stateDir(dir)}/q144_sigs")
-      val base = java.nio.file.Files.createTempDirectory("graft_q144").toString
+      val base = s"${stateDir(dir)}/q144_state"
       s.sql("DROP TABLE IF EXISTS graft_q144_hamming")
       Incremental.writeHammingState(sigs.filter(col("doc_id") % 4 === 0),
         "doc_id", "sig", "graft_q144_hamming", base, maxHamming = 8,
@@ -2276,7 +2300,7 @@ object SparkEntry {
     // state (what did this snapshot actually add, per document?).
     "q133_incremental_novelty" -> { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val path = java.nio.file.Files.createTempDirectory("graft_q133").toString
+      val path = s"${stateDir(dir)}/q133_state"
       s.sql("DROP TABLE IF EXISTS graft_q133_grams")
       Incremental.writeGramTable(docs.filter(col("doc_id") < 400),
         col("text"), 4, "graft_q133_grams", path, numBuckets = 8)
@@ -3587,7 +3611,9 @@ object SparkEntry {
         |uu AS (SELECT wd, count(*) AS f1 FROM u WHERE wd <> '' GROUP BY wd),
         |f2 AS (SELECT bg, count(*) AS f2 FROM b GROUP BY bg)
         |SELECT doc_id, count(*) AS n_bigrams,
-        |  round(round(sum(-log2(f2 / CAST(f1 AS DOUBLE))), 4) / count(*), 6)
+        |  CAST((CAST(sum(CAST(round(round(-log2(f2 / CAST(f1 AS DOUBLE)), 4)
+        |        * 10000, 0) AS BIGINT)) AS BIGINT) * 200 + count(*))
+        |      // (count(*) * 2) AS BIGINT) / 1000000.0
         |    AS mean_surprisal
         |FROM b JOIN f2 USING (bg)
         |JOIN uu ON split_part(bg, ' ', 1) = uu.wd
@@ -4788,6 +4814,23 @@ object SparkEntry {
         |  GROUP BY 1, 2),
         |dup AS (SELECT DISTINCT id_b AS doc_id FROM pairs WHERE m >= 2)
         |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q146: Spark ran the WAVE loop; the oracle replays the
+    // FROM-SCRATCH batch (keep each id unless a LOWER-id decoded
+    // signature is within 8 bits — kept or dropped, the seen-not-kept
+    // contract) over the exported signatures. Matching outputs check
+    // the wave ≡ batch guarantee across engines.
+    "q146_media_wave_ingest" ->
+      """WITH sigs AS (
+        |  SELECT doc_id, decoded, dhash
+        |  FROM read_parquet('__GRAFT_STATE_DIR__/q146_sigs/*.parquet')),
+        |dup AS (
+        |  SELECT DISTINCT b.doc_id FROM sigs b JOIN sigs a
+        |    ON a.decoded AND b.decoded AND a.doc_id < b.doc_id
+        |   AND bit_count(xor(a.dhash, b.dhash)) <= 8)
+        |SELECT doc_id FROM sigs
         |WHERE doc_id NOT IN (SELECT doc_id FROM dup)
         |ORDER BY doc_id""".stripMargin,
 

@@ -241,10 +241,23 @@ object Stats {
     bigrams.join(f2, Seq("__bg"))
       .withColumn("__w1", substring_index(col("__bg"), " ", 1))
       .join(f1, col("__w1") === col("__w"))
-      .select(col(idCol), (-log2(col("__f2") / col("__f1"))).as("__s"))
+      // per-term surprisal rounded to 4 places, then INTEGER-ized
+      // (×10⁴) so the per-doc sum is an exact integer on any engine —
+      // a raw double sum is partition-order-dependent, and rounding
+      // it afterwards flips at .00005 boundaries. The MEAN's own
+      // half-up rounding then happens in INTEGER space too
+      // ((200s + n) div 2n — exact): a sum landing exactly on a
+      // half-microunit otherwise rounds differently per engine
+      // (BigDecimal reads the double's full expansion, C rounds the
+      // halfway product up — one sf0.001 doc hit precisely this).
+      .select(col(idCol),
+        round(round(-log2(col("__f2") / col("__f1")), 4) * 10000, 0)
+          .cast("long").as("__k"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"),
-        round(round(sum(col("__s")), 4) / count(lit(1)), 6).as("mean_surprisal"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__k")).as("__sk"))
+      .select(col(idCol), col("n_bigrams"),
+        (expr("(__sk * 200 + n_bigrams) div (n_bigrams * 2)") / lit(1000000.0))
+          .as("mean_surprisal"))
   }
 
   /** DSIR-style importance weighting (unigram flavor of "Data

@@ -128,4 +128,106 @@ class IngestSpec extends AnyFunSuite {
       assert(exchanges <= 1, s"only the batch side may shuffle:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("edges: takedown before any gold; an all-filtered wave; retract-everything") {
+    // regression: (a) GRAFT_TAKEDOWN before the first wave used to
+    // read a gold dir that never existed; (b) an all-filtered wave's
+    // EMPTY append still creates the gold dir (committer + _SUCCESS),
+    // and judging existence by the dir instead of data files crashed
+    // schema inference on the next read
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest4").toString
+    var st = IngestCli.initState(spark, "graft_ingest_t4", dir, numBuckets = 4)
+
+    // (a) tombstone seeding with no gold: must not throw, id 1 gated out
+    st = IngestCli.applyTakedown(spark, st, Seq(1L).toDF("doc_id"))
+    // (b) a wave where every doc fails the length gate
+    val r0 = IngestCli.ingestWave(spark, st, df(5L -> "x", 6L -> "y"), 1, cfg)
+    assert(r0.gated === 0 && r0.accepted === 0 && r0.goldTotal === 0)
+    // a real wave afterwards works and the seeded tombstone held
+    val r1 = IngestCli.ingestWave(spark, st, wave1, 2, cfg)
+    assert(r1.goldTotal === 2) // 1 tombstoned, "ab" gated, 2 and 4 land
+    assert(goldIds(st.goldPath) === Set(2L, 4L))
+    // (c) retract EVERYTHING: gold empties without crashing
+    st = IngestCli.applyTakedown(spark, st, Seq(2L, 4L).toDF("doc_id"))
+    val r2 = IngestCli.ingestWave(spark, st, df(31L -> textC), 3, cfg)
+    assert(r2.goldTotal === 1 && goldIds(st.goldPath) === Set(31L))
+  }
+
+  // ---- the MEDIA wave loop ----
+
+  test("media waves: gold == from-scratch batch over the union after every wave") {
+    import operators.Images
+    // 20 scenes × 3 variants (near-dup structure crosses the wave
+    // boundaries), every 13th payload corrupted (undecodable)
+    val corpus = Images.syntheticCorpus(
+      spark.range(60).select(col("id").as("doc_id")), "doc_id",
+      variantsPerScene = 3, corruptEvery = 13).cache()
+    corpus.count()
+    val waves = Seq(
+      corpus.filter(col("doc_id") < 20),
+      corpus.filter(col("doc_id") >= 20 && col("doc_id") < 40),
+      corpus.filter(col("doc_id") >= 40))
+    val dir = java.nio.file.Files.createTempDirectory("graft_mingest").toString
+    val st = IngestCli.initMediaState(spark, "graft_mingest_t1", dir,
+      maxHamming = 8, numBuckets = 4)
+    var union: DataFrame = null
+    waves.zipWithIndex.foreach { case (w, i) =>
+      union = if (union == null) w else union.union(w)
+      val r = IngestCli.ingestMediaWave(spark, st, w, i + 1)
+      val expect = IngestCli.batchMediaEquivalent(union, maxHamming = 8)
+        .select("doc_id").as[Long].collect().toSet
+      assert(goldIds(st.goldPath) === expect, s"after wave ${i + 1}")
+      assert(r.goldTotal === expect.size)
+    }
+    // the loop genuinely deduped (variants of earlier-wave scenes) and
+    // genuinely kept undecodables
+    val gold = goldIds(st.goldPath)
+    assert(gold.size < 60, "no dedup happened; assertions vacuous")
+    assert(gold.exists(_ % 13 == 0), "undecodable payloads must pass")
+    corpus.unpersist(blocking = false)
+  }
+
+  test("media blocklist gates exactly; takedown forgets a retracted signature") {
+    import operators.{Dedup, Images}
+    // with variantsPerScene = 3, id = 3·scene is the scene's BASE and
+    // 3·scene + 1/2 are its near-dup variants (fixed-patch edits)
+    def imgs(ids: Long*) = Images.syntheticCorpus(
+      ids.toDF("doc_id"), "doc_id", variantsPerScene = 3, corruptEvery = 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mingest2").toString
+    var st = IngestCli.initMediaState(spark, "graft_mingest_t2", dir,
+      maxHamming = 8, numBuckets = 4)
+    // blocklist = scene 0's base signature: its near-dups can never land
+    val blockIdx = Dedup.hammingIndex(
+      Images.imageSignatures(imgs(0L), "doc_id", col("content")),
+      "dhash", maxHamming = 8)
+    // wave 1: the bases of scenes 0..9 (ids 0, 3, …, 27)
+    val r1 = IngestCli.ingestMediaWave(spark, st,
+      imgs((0L until 10L).map(_ * 3): _*), 1, blocklist = Some(blockIdx))
+    assert(r1.blocked === 1 && !goldIds(st.goldPath).contains(0L))
+    assert(r1.accepted === 9)
+    // scene 4's VARIANT (id 13) near-dups its live base (id 12):
+    // rejected — the recurring-dedup path works against state
+    val r2 = IngestCli.ingestMediaWave(spark, st, imgs(13L), 2,
+      blocklist = Some(blockIdx))
+    assert(r2.accepted === 0)
+    // take down scene 3's base (id 9): tombstone gates its re-crawl
+    // AND the compacted state forgets its signature — NOTE scene 3
+    // had no other sighting, so nothing of it remains in state (the
+    // seen-not-kept caveat is exactly why scene 4 would NOT forget)
+    st = IngestCli.applyMediaTakedown(spark, st, Seq(9L).toDF("doc_id"))
+    assert(!goldIds(st.goldPath).contains(9L))
+    val r3 = IngestCli.ingestMediaWave(spark, st, imgs(9L), 3,
+      blocklist = Some(blockIdx))
+    assert(r3.live === 0, "tombstoned id must never re-enter")
+    // a NEW sighting of scene 3 content (variant id 10): admitted —
+    // content-level forgetting after compaction
+    val r4 = IngestCli.ingestMediaWave(spark, st, imgs(10L), 4,
+      blocklist = Some(blockIdx))
+    assert(r4.accepted === 1, "retracted signature must stop suppressing")
+    // scene 4 by contrast still rejects: the dropped variant's
+    // signature (id 13, seen-not-kept) remains in state
+    val r5 = IngestCli.ingestMediaWave(spark, st, imgs(14L), 5,
+      blocklist = Some(blockIdx))
+    assert(r5.accepted === 0, "seen-not-kept state must keep suppressing")
+  }
 }
