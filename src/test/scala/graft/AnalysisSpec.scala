@@ -324,14 +324,20 @@ class AnalysisSpec extends AnyFunSuite {
     assert(!out.contains(3L), "single-word docs have no bigrams")
     // corpus: f1(x)=3, f1(y)=4; f2("x y")=2, "y x"=2, "y y"=1
     def lg(p: Double): Double = -math.log(p) / math.log(2)
-    def expect(sum: Double, n: Int): Double =
-      BigDecimal(BigDecimal(sum).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble / n)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // mirror the operator's cross-engine-stable arithmetic: each term
+    // rounded to 4 places and integer-ized (×10⁴), exact integer sum,
+    // half-up mean in integer space ((200s + n) div 2n), then /10⁶
+    def expect(terms: Double*): Double = {
+      val ks = terms.map(t => math.round(
+        BigDecimal(t).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble * 10000))
+      val n = terms.length
+      ((ks.sum * 200 + n) / (2L * n)) / 1000000.0
+    }
     assert(out(1L).getAs[Long]("n_bigrams") === 3L)
     assert(math.abs(out(1L).getAs[Double]("mean_surprisal")
-      - expect(2 * lg(2.0 / 3) + lg(2.0 / 4), 3)) < 1e-9)
+      - expect(lg(2.0 / 3), lg(2.0 / 3), lg(2.0 / 4))) < 1e-9)
     assert(math.abs(out(2L).getAs[Double]("mean_surprisal")
-      - expect(lg(1.0 / 4) + lg(2.0 / 4), 2)) < 1e-9)
+      - expect(lg(1.0 / 4), lg(2.0 / 4))) < 1e-9)
     assert(out(2L).getAs[Double]("mean_surprisal") >
       out(1L).getAs[Double]("mean_surprisal"),
       "word salad (rare transitions over common words) must score higher")
