@@ -557,23 +557,36 @@ object Dedup {
       graft.functions.text.col2expr(sig.cast("long")),
       index.maxHamming, index.buckets, index.sigs))
 
+  /** Value-level banded Hamming join. Band layout comes from
+    * [[graft.functions.Bits.joinBands]]: the exact `maxHamming + 1`
+    * layout at small budgets; at `maxHamming ≥ 6` (where exact-layout
+    * buckets collapse to ≤ 9 bits and the bucket join's candidate
+    * mass goes n²·k/2⁹ — the measured 16×-wall-at-10×-docs shape) the
+    * 1-error multi-probe layout: LEFT banded exactly, RIGHT emitting
+    * each band bucket plus its single-bit flips. Both are EXACT — a
+    * within-budget pair shares an exact band, or (probe layout, by
+    * `probeBands`'s pigeonhole) a band with ≤ 1 differing bit that
+    * one flip reaches. */
   private[graft] def hammingPairsValues(
       ldf: DataFrame, lsig: Column,
       rdf: DataFrame, rsig: Column,
       maxHamming: Int, strict: Boolean = false): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, "maxHamming must be in [0, 32)")
-    def banded(df: DataFrame, sig: Column, out: String): DataFrame = {
+    val nBands = graft.functions.Bits.joinBands(maxHamming)
+    def banded(df: DataFrame, sig: Column, out: String,
+        probe: Boolean): DataFrame = {
       val base = spreadWide(df).select(sig.cast("long").as(out))
         .filter(col(out).isNotNull).distinct()
-      val bandStructs = graft.functions.Bits.bandStructs(col(out), maxHamming)
-      base.select(col(out), explode(array(bandStructs: _*)).as("__b"))
-        .select(col(out), col("__b.band"), col("__b.bucket"))
+      base.select(col(out), explode(graft.functions.Bits.hammingBandCol(
+          col(out), nBands, probe && nBands < maxHamming + 1)).as("__e"))
+        .select(col(out), graft.functions.Bits.unpackBand(col("__e")).as("band"),
+          graft.functions.Bits.unpackBucket(col("__e")).as("bucket"))
     }
     val verify =
       if (strict) bit_count(col("__ham_sa").bitwiseXOR(col("__ham_sb"))) < maxHamming
       else bit_count(col("__ham_sa").bitwiseXOR(col("__ham_sb"))) <= maxHamming
-    banded(ldf, lsig, "__ham_sa")
-      .join(banded(rdf, rsig, "__ham_sb"), Seq("band", "bucket"))
+    banded(ldf, lsig, "__ham_sa", probe = false)
+      .join(banded(rdf, rsig, "__ham_sb", probe = true), Seq("band", "bucket"))
       .filter(verify)
       .select(col("__ham_sa"), col("__ham_sb"))
       .distinct()

@@ -698,16 +698,22 @@ object Incremental {
     * `(band INT, bucket BIGINT, <idCol>, sig BIGINT)`; null
     * signatures (undecoded media) produce no rows. */
   private def hammingBanded(df: DataFrame, idCol: String, sigCol: String,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, nBands: Int, probe: Boolean): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, "maxHamming must be in [0, 32)")
+    require(nBands == maxHamming + 1 ||
+      nBands >= graft.functions.Bits.probeBands(maxHamming),
+      s"nBands=$nBands under-bands maxHamming=$maxHamming (needs " +
+        s"${graft.functions.Bits.probeBands(maxHamming)}+ for 1-error probing)")
     // band over the RENAMED column — referencing `sigCol` here would
     // fail resolution for any source column not literally named "sig"
     // (the projection below renames it away)
-    val bandStructs = graft.functions.Bits.bandStructs(col("sig"), maxHamming)
+    val bands = graft.functions.Bits.hammingBandCol(col("sig"), nBands,
+      probe && nBands < maxHamming + 1)
     df.select(col(idCol), col(sigCol).cast("long").as("sig"))
       .filter(col("sig").isNotNull)
-      .select(col(idCol), col("sig"), explode(array(bandStructs: _*)).as("__b"))
-      .select(col("__b.band").as("band"), col("__b.bucket").as("bucket"),
+      .select(col(idCol), col("sig"), explode(bands).as("__e"))
+      .select(graft.functions.Bits.unpackBand(col("__e")).as("band"),
+        graft.functions.Bits.unpackBucket(col("__e")).as("bucket"),
         col(idCol), col("sig"))
   }
 
@@ -715,15 +721,24 @@ object Incremental {
     * (band, bucket) — exactly the probe's join key, so recurring
     * batches join without a state-side exchange (the
     * [[writeBandedSignatures]] stance for 64-bit perceptual hashes).
-    * `maxHamming` FIXES the band layout at write time; probes must
-    * use the same value (≤ would under-band, ≥ would miss pairs).
-    * 100 TB shape: state size = (maxHamming+1) rows × 20 B per
-    * signature; a billion images at the default budget is ~180 GB of
-    * bucketed parquet — probe cost stays batch-sized forever. */
+    * `(maxHamming, nBands)` FIX the band layout at write time; probes
+    * must use the same values. The default `nBands` is
+    * [[graft.functions.Bits.joinBands]] — at budgets ≥ 6 that is the
+    * 1-error MULTI-PROBE layout (fewer, WIDER bands; the batch side
+    * probes single-bit flips), because the exact `maxHamming + 1`
+    * layout's buckets collapse to ≤ 9 bits there and the probe join's
+    * candidate mass goes n_state·n_batch·k/2⁹ — quadratic with a fat
+    * constant (measured 12× wall at 10× docs). With 12/13-bit buckets
+    * the same probe is exact and ~7× leaner, and the flip expansion
+    * is linear in the BATCH only. 100 TB shape: state size = nBands
+    * rows × 20 B per signature; a billion images at the default
+    * budget is ~100 GB of bucketed parquet — probe cost stays
+    * batch-sized forever. */
   def writeHammingState(corpus: DataFrame, idCol: String, sigCol: String,
       table: String, path: String, maxHamming: Int = 8,
-      numBuckets: Int = 64): Unit =
-    hammingBanded(corpus, idCol, sigCol, maxHamming)
+      numBuckets: Int = 64, nBands: Int = -1): Unit =
+    hammingBanded(corpus, idCol, sigCol, maxHamming,
+        resolveBands(maxHamming, nBands), probe = false)
       .repartition(numBuckets, col("band"), col("bucket"))
       .write.mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, "band", "bucket").sortBy("band", "bucket")
@@ -731,35 +746,59 @@ object Incremental {
       .saveAsTable(table)
 
   /** Grow the Hamming state by a batch — same band layout, same
-    * bucket spec. Seen-not-kept composes exactly as in
+    * bucket spec (`maxHamming`/`nBands` must match the write's).
+    * Seen-not-kept composes exactly as in
     * [[appendBandedSignatures]]: append every signature that was
     * COMPARED, not only survivors, when batch-parity across waves
     * matters. */
   def appendHammingState(batch: DataFrame, idCol: String, sigCol: String,
-      table: String, maxHamming: Int = 8, numBuckets: Int = 64): Unit =
-    hammingBanded(batch, idCol, sigCol, maxHamming)
+      table: String, maxHamming: Int = 8, numBuckets: Int = 64,
+      nBands: Int = -1): Unit =
+    hammingBanded(batch, idCol, sigCol, maxHamming,
+        resolveBands(maxHamming, nBands), probe = false)
       .repartition(numBuckets, col("band"), col("bucket"))
       .write.mode(SaveMode.Append).format("parquet")
       .bucketBy(numBuckets, "band", "bucket").sortBy("band", "bucket")
       .saveAsTable(table)
 
   /** Batch ids within `maxHamming` bits of ANY state signature:
-    * banded batch rows equi-join the table on (band, bucket) —
-    * state side bucket-aligned from disk, only the batch shuffles —
-    * then the popcount verify, then distinct ids. EXACT (pigeonhole:
-    * a within-budget pair shares ≥ 1 band). */
+    * banded batch rows SEMI-join the table on (band, bucket) with the
+    * popcount verify as a join predicate — state side bucket-aligned
+    * from disk, only the batch shuffles — then distinct ids. EXACT
+    * under either layout: a within-budget pair shares an exact band
+    * (`maxHamming + 1` bands), or a band with ≤ 1 differing bit that
+    * the batch side's single-bit flips reach (the default multi-probe
+    * layout at budgets ≥ 6).
+    *
+    * The SEMI join is load-bearing, not a style choice: the contract
+    * is EXISTENCE of a matching state row, and an inner-join +
+    * distinct enumerates every match first — when signatures cluster
+    * (real corpora do; near-identical content concentrates into a few
+    * band buckets) a batch row can match THOUSANDS of state rows and
+    * the enumeration is quadratic in the cluster size regardless of
+    * band width. The semi join stops each probe row at its first
+    * match: measured 229 s → ~4 s on a 75k-batch/75k-state probe
+    * whose hit rate was 98%. */
   def hammingDupIdsAgainstTable(batch: DataFrame, idCol: String,
-      sigCol: String, state: DataFrame, maxHamming: Int = 8): DataFrame = {
+      sigCol: String, state: DataFrame, maxHamming: Int = 8,
+      nBands: Int = -1): DataFrame = {
     require(Set("band", "bucket", "sig").subsetOf(state.columns.toSet) &&
       state.columns.length <= 4,
       s"not a hamming state table (want band, bucket, sig[, <id>]): " +
         state.columns.mkString(","))
-    hammingBanded(batch, idCol, sigCol, maxHamming)
-      .join(state.select(col("band"), col("bucket"), col("sig").as("__ssig")),
-        Seq("band", "bucket"))
-      .filter(bit_count(col("sig").bitwiseXOR(col("__ssig"))) <= maxHamming)
+    val st = state.select(col("band").as("__hb"), col("bucket").as("__hk"),
+      col("sig").as("__ssig"))
+    hammingBanded(batch, idCol, sigCol, maxHamming,
+        resolveBands(maxHamming, nBands), probe = true)
+      .join(st,
+        col("band") === col("__hb") && col("bucket") === col("__hk") &&
+          bit_count(col("sig").bitwiseXOR(col("__ssig"))) <= maxHamming,
+        "left_semi")
       .select(col(idCol)).distinct()
   }
+
+  private def resolveBands(maxHamming: Int, nBands: Int): Int =
+    if (nBands == -1) graft.functions.Bits.joinBands(maxHamming) else nBands
 
   /** Drop every batch row whose signature is within `maxHamming` of
     * any state signature — the recurring media-dedup probe
@@ -768,8 +807,10 @@ object Incremental {
     * set is checkpointed before the anti-join (it is tiny; the plan
     * assert lives on [[hammingDupIdsAgainstTable]]). */
   def hammingDedupAgainstTable(batch: DataFrame, idCol: String,
-      sigCol: String, state: DataFrame, maxHamming: Int = 8): DataFrame = {
-    val dupIds = hammingDupIdsAgainstTable(batch, idCol, sigCol, state, maxHamming)
+      sigCol: String, state: DataFrame, maxHamming: Int = 8,
+      nBands: Int = -1): DataFrame = {
+    val dupIds = hammingDupIdsAgainstTable(batch, idCol, sigCol, state,
+        maxHamming, nBands)
       .localCheckpoint(true)
     batch.join(dupIds, Seq(idCol), "left_anti")
   }

@@ -129,26 +129,35 @@ object Video {
     * `minFrames` sampled positions are pairwise within `maxHamming`
     * bits. One banded frame-level equi-join on (frame_pos, band,
     * bucket) + popcount verify + per-pair distinct-position count —
-    * EXACT (pigeonhole per frame). */
+    * EXACT under either band layout ([[graft.functions.Bits
+    * .joinBands]]: the `maxHamming + 1` exact layout at small
+    * budgets; at budgets ≥ 6 the 1-error multi-probe layout — side
+    * "b" emits single-bit bucket flips — because 7-bit buckets make
+    * the per-position join quadratic in clips-per-corpus with a fat
+    * constant). */
   def clipNearDupPairs(frameSigs: DataFrame, idCol: String,
       maxHamming: Int = 8, minFrames: Int = 2): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, "maxHamming must be in [0, 32)")
-    def banded(side: String): DataFrame = {
+    val nBands = graft.functions.Bits.joinBands(maxHamming)
+    def banded(side: String, probe: Boolean): DataFrame = {
       val sig = col(s"sig_$side")
-      val bandStructs = graft.functions.Bits.bandStructs(sig, maxHamming)
+      val bands = graft.functions.Bits.hammingBandCol(sig, nBands,
+        probe && nBands < maxHamming + 1)
       frameSigs
         .select(col(idCol).as(s"id_$side"), col("frame_pos"),
           col("dhash").as(s"sig_$side"))
         .filter(sig.isNotNull)
         .select(col(s"id_$side"), col("frame_pos"), sig,
-          explode(array(bandStructs: _*)).as("__b"))
+          explode(bands).as("__e"))
         .select(col(s"id_$side"), col("frame_pos"), sig,
-          col("__b.band").as("band"), col("__b.bucket").as("bucket"))
+          graft.functions.Bits.unpackBand(col("__e")).as("band"),
+          graft.functions.Bits.unpackBucket(col("__e")).as("bucket"))
     }
     // note: banded("a") and banded("b") project DIFFERENT columns, so
     // no ReusedExchange — acceptable: the frame-sig frame is tiny
     // relative to the clips (nSampled rows of 16 B each)
-    banded("a").join(banded("b"), Seq("frame_pos", "band", "bucket"))
+    banded("a", probe = false)
+      .join(banded("b", probe = true), Seq("frame_pos", "band", "bucket"))
       .filter(col("id_a") < col("id_b") &&
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= maxHamming)
       .select(col("id_a"), col("id_b"), col("frame_pos"))
