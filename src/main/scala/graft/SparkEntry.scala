@@ -3017,7 +3017,9 @@ object SparkEntry {
         |f AS (SELECT word, count(*) AS f FROM ww GROUP BY word),
         |t AS (SELECT CAST(sum(f) AS DOUBLE) AS tot FROM f)
         |SELECT doc_id, count(*) AS n_words,
-        |  round(round(sum(-log2(f / tot)), 4) / count(*), 6) AS mean_surprisal
+        |  CAST((CAST(sum(CAST(round(round(-log2(f / tot), 4) * 10000, 0)
+        |        AS BIGINT)) AS BIGINT) * 200 + count(*))
+        |      // (count(*) * 2) AS BIGINT) / 1000000.0 AS mean_surprisal
         |FROM ww JOIN f USING (word) CROSS JOIN t
         |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
@@ -3693,10 +3695,16 @@ object SparkEntry {
         |    CAST(count(*) AS DOUBLE) AS v FROM dict),
         |s AS (SELECT w, log2(((f_t + 1) / (tt + v)) / ((f_r + 1) / (tr + v))) AS lr
         |      FROM dict CROSS JOIN t)
-        |SELECT doc_id, count(*) AS n_words,
-        |  round(round(sum(lr), 4) / count(*), 6) AS importance
-        |FROM ww JOIN s USING (w)
-        |GROUP BY doc_id
+        |SELECT doc_id, n AS n_words,
+        |  CASE WHEN sk >= 0 THEN CAST((sk * 200 + n) // (n * 2) AS BIGINT)
+        |       ELSE -CAST(((-sk) * 200 + n) // (n * 2) AS BIGINT)
+        |  END / 1000000.0 AS importance
+        |FROM (
+        |  SELECT doc_id, count(*) AS n,
+        |    CAST(sum(CAST(round(round(lr, 4) * 10000, 0) AS BIGINT))
+        |      AS BIGINT) AS sk
+        |  FROM ww JOIN s USING (w)
+        |  GROUP BY doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     "q104_cluster_stats" ->

@@ -75,21 +75,30 @@ object Bits {
   def bandOf(sig: Long, b: Int, maxHamming: Int): Long =
     bandOfK(sig, b, maxHamming + 1)
 
+  /** Band tag offset for the strided layout ("layout v1"): bands are
+    * stored as `32 + b`. The pre-strided contiguous layout stored
+    * bare 0-based bands (always < 32 since maxHamming < 32), so a
+    * probe can DETECT persisted state written under the old layout
+    * and refuse it instead of silently matching nothing
+    * ([[graft.operators.Incremental.hammingDupIdsAgainstTable]]
+    * checks this). */
+  val LayoutV1Tag: Int = 32
+
   /** Packed (band, bucket) rows of a signature as one LONG each —
-    * band in the top 8 bits, bucket below (bucket width ≤ 32 for
-    * nBands ≥ 2) — so banded joins key on a single long. `probe`
-    * additionally emits every single-bit flip of each bucket (the
-    * 1-error multi-probe side). Computed in ONE call per row by the
-    * [[HammingBands]] expression: the equivalent Column expression
-    * tree (64 gathered bits × 65 probe elements) would blow the JIT
-    * method cap and run interpreted. */
+    * the [[LayoutV1Tag]]-offset band in the top 8 bits, bucket below
+    * (bucket width ≤ 32 for nBands ≥ 2) — so banded joins key on a
+    * single long. `probe` additionally emits every single-bit flip of
+    * each bucket (the 1-error multi-probe side). Computed in ONE call
+    * per row by the [[HammingBands]] expression: the equivalent
+    * Column expression tree (64 gathered bits × 65 probe elements)
+    * would blow the JIT method cap and run interpreted. */
   def packedBands(sig: Long, nBands: Int, probe: Boolean): Array[Long] = {
     val out = new Array[Long](if (probe) nBands + 64 else nBands)
     var idx = 0
     var b = 0
     while (b < nBands) {
       val base = bandOfK(sig, b, nBands)
-      val tag = b.toLong << 56
+      val tag = (LayoutV1Tag + b).toLong << 56
       out(idx) = tag | base
       idx += 1
       if (probe) {
@@ -107,9 +116,16 @@ object Bits {
   }
 
   /** Column form of [[packedBands]] — explode it and unpack with
-    * [[unpackBand]]/[[unpackBucket]]. */
-  def hammingBandCol(sig: Column, nBands: Int, probe: Boolean): Column =
-    text.expr2col(HammingBands(text.col2expr(sig.cast("long")), nBands, probe))
+    * [[unpackBand]]/[[unpackBucket]]. The probe expansion is enabled
+    * HERE, from (maxHamming, nBands): flips are REQUIRED for
+    * exactness exactly when the layout has fewer bands than the exact
+    * `maxHamming + 1` (the ≤ 1-error-band guarantee needs the probe
+    * side to reach one flip away) — callers say which SIDE probes,
+    * never whether the layout needs it. */
+  def hammingBandCol(sig: Column, maxHamming: Int, nBands: Int,
+      probeSide: Boolean): Column =
+    text.expr2col(HammingBands(text.col2expr(sig.cast("long")), nBands,
+      probeSide && nBands < maxHamming + 1))
 
   def unpackBand(packed: Column): Column =
     shiftrightunsigned(packed, 56).cast("int")

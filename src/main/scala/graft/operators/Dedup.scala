@@ -426,7 +426,9 @@ object Dedup {
     * one-word edit flips a few signature bits).
     *
     * Pigeonhole banding: split the 64 bits into `maxHamming + 1`
-    * contiguous bands; two signatures within distance `maxHamming`
+    * strided bands ([[graft.functions.Bits]] — bit entropy is uneven
+    * in real signatures, so contiguous ranges skew); two signatures
+    * within distance `maxHamming`
     * MUST agree exactly on at least one band (at most `maxHamming`
     * bands can contain a differing bit), so an equi-join per band finds
     * every qualifying pair — candidates are then verified with the
@@ -448,10 +450,17 @@ object Dedup {
     require(maxHamming >= 0 && maxHamming < 32, "maxHamming must be in [0, 32)")
     val sigDf = spreadWide(df).select(col(idCol),
       simhashSignature(textCol).as("__sig"))
-    val bandStructs = graft.functions.Bits.bandStructs(col("__sig"), maxHamming)
+    // exact maxHamming+1 layout on BOTH sides (this self-join reuses
+    // one banded frame, so the asymmetric multi-probe form doesn't
+    // fit; at the default budget 3 the exact layout is already the
+    // wide one) — native kernel, not a per-bit Column gather
     val banded = sigDf
-      .select(col(idCol), col("__sig"), explode(array(bandStructs: _*)).as("__b"))
-      .select(col(idCol), col("__sig"), col("__b.band"), col("__b.bucket"))
+      .select(col(idCol), col("__sig"),
+        explode(graft.functions.Bits.hammingBandCol(col("__sig"),
+          maxHamming, maxHamming + 1, probeSide = false)).as("__e"))
+      .select(col(idCol), col("__sig"),
+        graft.functions.Bits.unpackBand(col("__e")).as("band"),
+        graft.functions.Bits.unpackBucket(col("__e")).as("bucket"))
     val sizes = banded.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("__bsz"))
     val tagged = banded.join(sizes, Seq("band", "bucket"))
@@ -578,7 +587,7 @@ object Dedup {
       val base = spreadWide(df).select(sig.cast("long").as(out))
         .filter(col(out).isNotNull).distinct()
       base.select(col(out), explode(graft.functions.Bits.hammingBandCol(
-          col(out), nBands, probe && nBands < maxHamming + 1)).as("__e"))
+          col(out), maxHamming, nBands, probe)).as("__e"))
         .select(col(out), graft.functions.Bits.unpackBand(col("__e")).as("band"),
           graft.functions.Bits.unpackBucket(col("__e")).as("bucket"))
     }

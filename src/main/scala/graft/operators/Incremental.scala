@@ -707,8 +707,8 @@ object Incremental {
     // band over the RENAMED column — referencing `sigCol` here would
     // fail resolution for any source column not literally named "sig"
     // (the projection below renames it away)
-    val bands = graft.functions.Bits.hammingBandCol(col("sig"), nBands,
-      probe && nBands < maxHamming + 1)
+    val bands = graft.functions.Bits.hammingBandCol(col("sig"), maxHamming,
+      nBands, probe)
     df.select(col(idCol), col(sigCol).cast("long").as("sig"))
       .filter(col("sig").isNotNull)
       .select(col(idCol), col("sig"), explode(bands).as("__e"))
@@ -786,6 +786,15 @@ object Incremental {
       state.columns.length <= 4,
       s"not a hamming state table (want band, bucket, sig[, <id>]): " +
         state.columns.mkString(","))
+    // layout guard: strided-v1 stores bands as 32 + b; a state table
+    // persisted under the old contiguous layout (bare 0-based bands)
+    // would silently match NOTHING against a strided probe — refuse
+    // it instead (one-row metadata read)
+    val sample = state.select(col("band")).limit(1).collect()
+    require(sample.isEmpty ||
+      sample(0).getInt(0) >= graft.functions.Bits.LayoutV1Tag,
+      "Hamming state table was written under the pre-strided band " +
+        "layout — rebuild it with writeHammingState (layout v1)")
     val st = state.select(col("band").as("__hb"), col("bucket").as("__hk"),
       col("sig").as("__ssig"))
     hammingBanded(batch, idCol, sigCol, maxHamming,

@@ -156,11 +156,18 @@ object Stats {
       .filter(col("__w") =!= "")
     val freq = words.groupBy(col("__w")).agg(count(lit(1)).as("__f"))
     val total = freq.agg(sum(col("__f")).as("__tot"))
+    // same cross-engine-stable arithmetic as [[bigramSurprisal]]:
+    // per-term round to 4 places, exact integer sum, half-up mean in
+    // integer space (terms are non-negative: f <= tot)
     words.join(freq, Seq("__w")).crossJoin(broadcast(total))
-      .select(col(idCol), (-log2(col("__f") / col("__tot"))).as("__s"))
+      .select(col(idCol),
+        round(round(-log2(col("__f") / col("__tot")), 4) * 10000, 0)
+          .cast("long").as("__k"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_words"),
-        round(round(sum(col("__s")), 4) / count(lit(1)), 6).as("mean_surprisal"))
+      .agg(count(lit(1)).as("n_words"), sum(col("__k")).as("__sk"))
+      .select(col(idCol), col("n_words"),
+        (expr("(__sk * 200 + n_words) div (n_words * 2)") / lit(1000000.0))
+          .as("mean_surprisal"))
   }
 
   /** Per-column profile — the dataset-card table (per column:
@@ -297,10 +304,20 @@ object Stats {
       .select(col("__w"), log2(
         ((col("__ft") + 1) / (col("__tt") + col("__v"))) /
           ((col("__fr") + 1) / (col("__tr") + col("__v")))).as("__lr"))
+    // integer-space mean as in [[bigramSurprisal]], with a sign split:
+    // log-ratios can be NEGATIVE, and half-up integer division differs
+    // across engines there (Spark `div` truncates toward zero, DuckDB
+    // `//` floors) — so divide on the absolute value and re-sign
     words.join(scored, Seq("__w"))
+      .select(col(idCol),
+        round(round(col("__lr"), 4) * 10000, 0).cast("long").as("__k"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_words"),
-        round(round(sum(col("__lr")), 4) / count(lit(1)), 6).as("importance"))
+      .agg(count(lit(1)).as("n_words"), sum(col("__k")).as("__sk"))
+      .select(col(idCol), col("n_words"),
+        (expr("""CASE WHEN __sk >= 0
+                 THEN (__sk * 200 + n_words) div (n_words * 2)
+                 ELSE -((-__sk * 200 + n_words) div (n_words * 2)) END""")
+          / lit(1000000.0)).as("importance"))
   }
 
   /** Vocabulary coverage report — the tokenizer-sizing question: what

@@ -141,8 +141,8 @@ object Video {
     val nBands = graft.functions.Bits.joinBands(maxHamming)
     def banded(side: String, probe: Boolean): DataFrame = {
       val sig = col(s"sig_$side")
-      val bands = graft.functions.Bits.hammingBandCol(sig, nBands,
-        probe && nBands < maxHamming + 1)
+      val bands = graft.functions.Bits.hammingBandCol(sig, maxHamming,
+        nBands, probe)
       frameSigs
         .select(col(idCol).as(s"id_$side"), col("frame_pos"),
           col("dhash").as(s"sig_$side"))

@@ -189,9 +189,13 @@ class AnalysisSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r).toMap
     assert(!prof.contains(3L))
     // freqs over 8 words: the=5, rare*=1 → surprisal(the)=log2(8/5), rare=3 bits
+    // mirror the operator's integer-space arithmetic (per-term round
+    // to 4 → ×10⁴ ints → exact sum → half-up integer mean)
     val sThe = math.log(8.0 / 5.0) / math.log(2.0)
-    val exp1 = BigDecimal(4 * sThe).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble / 4
-    assert(math.abs(prof(1L).getAs[Double]("mean_surprisal") - exp1) < 1e-6)
+    val kThe = math.round(
+      BigDecimal(sThe).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble * 10000)
+    val exp1 = ((4 * kThe * 200 + 4) / (2L * 4)) / 1000000.0
+    assert(math.abs(prof(1L).getAs[Double]("mean_surprisal") - exp1) < 1e-9)
     assert(prof(2L).getAs[Double]("mean_surprisal") >
       prof(1L).getAs[Double]("mean_surprisal"),
       "rare-word doc must out-score the stuffed doc")
@@ -352,9 +356,16 @@ class AnalysisSpec extends AnyFunSuite {
     // fr: x=2,y=2; ft: x=3,y=0; V=2, tr=4, tt=3 (add-one smoothing)
     val lrx = math.log(((3.0 + 1) / (3 + 2)) / ((2.0 + 1) / (4 + 2))) / math.log(2)
     val lry = math.log(((0.0 + 1) / (3 + 2)) / ((2.0 + 1) / (4 + 2))) / math.log(2)
-    def expect(lr: Double, n: Int): Double =
-      BigDecimal(BigDecimal(lr * n).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble / n)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // mirror the operator's integer-space arithmetic, sign-split for
+    // negative log-ratios (half-up = half away from zero on |sum|)
+    def expect(lr: Double, n: Int): Double = {
+      val k = math.round(
+        BigDecimal(lr).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble * 10000)
+      val sk = n * k
+      val m = if (sk >= 0) (sk * 200 + n) / (2L * n)
+              else -((-sk * 200 + n) / (2L * n))
+      m / 1000000.0
+    }
     assert(out(1L).getAs[Long]("n_words") === 2L)
     assert(math.abs(out(1L).getAs[Double]("importance") - expect(lrx, 2)) < 1e-9)
     assert(math.abs(out(2L).getAs[Double]("importance") - expect(lry, 2)) < 1e-9)

@@ -85,7 +85,7 @@ class BitsSpec extends AnyFunSuite {
       val sig = randSig()
       val packed = Bits.packedBands(sig, k, probe = false)
       packed.zipWithIndex.foreach { case (e, b) =>
-        assert((e >>> 56).toInt === b)
+        assert((e >>> 56).toInt === Bits.LayoutV1Tag + b)
         assert((e & ((1L << 56) - 1)) === Bits.bandOfK(sig, b, k))
       }
     }
