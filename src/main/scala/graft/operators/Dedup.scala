@@ -541,6 +541,21 @@ object Dedup {
     val vals = df.select(col(sigCol).cast("long"))
       .filter(col(sigCol).isNotNull).distinct()
       .collect().map(_.getLong(0))
+    // the index is embedded in the codegen'd probe via addReferenceObj
+    // — ~16·(maxHamming + 2) bytes per signature ride the PLAN into
+    // every task binary. Request-scale inputs (blocklists) fit; a
+    // corpus-scale input would OOM the driver or bloat tasks silently,
+    // so refuse it loudly and name the corpus-scale path.
+    require(vals.length <= 4_000_000,
+      s"hammingIndex: ${vals.length} distinct signatures exceeds the " +
+        "4M driver-index bound (~0.5+ GB serialized with the plan). " +
+        "This index is for request-scale blocklists; corpus-scale " +
+        "recurring dedup is Incremental.writeHammingState + " +
+        "hammingDupIdsAgainstTable (bucketed state, batch-sized probes).")
+    if (vals.length > 1_000_000)
+      System.err.println(s"[graft] hammingIndex: ${vals.length} distinct " +
+        "signatures — approaching the 4M driver-index bound; consider " +
+        "Incremental.writeHammingState for corpus-scale sets")
     val nBands = maxHamming + 1
     val buckets = Array.ofDim[Array[Long]](nBands)
     val sigs = Array.ofDim[Array[Long]](nBands)

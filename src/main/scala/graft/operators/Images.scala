@@ -73,17 +73,19 @@ object Images {
       if (img == null) return None
       val w = img.getWidth; val h = img.getHeight
       if (w <= 0 || h <= 0) return None
+      // one BULK getRGB (not per-pixel getRGB(x, y), whose per-call
+      // ColorModel conversion is the slow ImageIO access path — 2-5×
+      // on large images, and decode is the dominant linear cost of an
+      // image corpus). Same conversion pipeline → same sRGB ints →
+      // signatures stay bit-identical (ImagesSpec pins them).
+      val rgbs = img.getRGB(0, 0, w, h, null, 0, w)
       val gray = new Array[Int](w * h)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val rgb = img.getRGB(x, y)
-          val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
-          gray(y * w + x) = (299 * r + 587 * g + 114 * b) / 1000
-          x += 1
-        }
-        y += 1
+      var i = 0
+      while (i < gray.length) {
+        val rgb = rgbs(i)
+        val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
+        gray(i) = (299 * r + 587 * g + 114 * b) / 1000
+        i += 1
       }
       Some((w, h, gray))
     } catch { case scala.util.control.NonFatal(_) => None }

@@ -56,25 +56,41 @@ object Video {
           new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
         else ""
       if (fourcc(0) != "RIFF" || fourcc(8) != "AVI ") return None
-      // find the movi LIST at top level (lists can precede it)
+      // find the movi LIST at top level (lists can precede it).
+      // Advances are computed in LONG space and a chunk whose declared
+      // size runs past the buffer ends the scan (treat as truncated —
+      // Audio.decodePcm's guard): a corrupt size near 0xFFFFFFFF would
+      // otherwise wrap (8 + sz + pad).toInt to 0 and the loop would
+      // never advance — a 24-byte malformed file must quarantine, not
+      // hang the executor task.
       var pos = 12
       var moviAt = -1; var moviEnd = -1
-      while (pos + 12 <= bytes.length && moviAt < 0) {
+      var truncated = false
+      while (pos + 12 <= bytes.length && moviAt < 0 && !truncated) {
         val id = fourcc(pos); val sz = u32(pos + 4)
         if (id == "LIST" && fourcc(pos + 8) == "movi") {
           moviAt = pos + 12
           moviEnd = math.min(bytes.length.toLong, pos + 8 + sz).toInt
-        } else pos += (8 + sz + (sz & 1)).toInt
+        } else {
+          val adv = 8L + sz + (sz & 1L)
+          if (pos + adv > bytes.length) truncated = true
+          else pos += adv.toInt
+        }
       }
       if (moviAt < 0) return None
       val frames = Seq.newBuilder[Array[Byte]]
       var p = moviAt
-      while (p + 8 <= moviEnd) {
+      var done = false
+      while (p + 8 <= moviEnd && !done) {
         val id = fourcc(p); val sz = u32(p + 4)
         val end = math.min(moviEnd.toLong, p + 8 + sz).toInt
         if (id.length == 4 && (id.endsWith("dc") || id.endsWith("db")) && end > p + 8)
           frames += java.util.Arrays.copyOfRange(bytes, p + 8, end)
-        p += (8 + sz + (sz & 1)).toInt
+        val adv = 8L + sz + (sz & 1L)
+        // declared size past the movi end: the final (truncated) chunk
+        // was already clamped and emitted above — stop advancing
+        if (p + adv > moviEnd) done = true
+        else p += adv.toInt
       }
       val out = frames.result()
       if (out.isEmpty) None else Some(out)

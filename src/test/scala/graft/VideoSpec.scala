@@ -35,6 +35,32 @@ class VideoSpec extends AnyFunSuite {
     // truncation mid-movi still yields the complete leading frames
     val Some(partial) = Video.aviFrames(avi.take(avi.length - 40))
     assert(partial.length >= 1 && partial.length <= 8)
+    // wrap-around chunk sizes must TERMINATE (quarantine), not hang:
+    // 8 + 0xFFFFFFF8 (or 0xFFFFFFF7 + odd pad) wraps .toInt to 0 and
+    // the pre-guard scan never advanced — a 24-byte file hung the task
+    def wrapAvi(sz: Long): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(24)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(16)
+      b.put("AVI ".getBytes("US-ASCII"))
+      b.put("JUNK".getBytes("US-ASCII")).putInt(sz.toInt)
+      b.putInt(0)
+      b.array()
+    }
+    assert(Video.aviFrames(wrapAvi(0xFFFFFFF8L)).isEmpty)
+    assert(Video.aviFrames(wrapAvi(0xFFFFFFF7L)).isEmpty)
+    // same wrap declared INSIDE a movi list: the scan must stop at the
+    // clamped end instead of looping; the truncated frame still decodes
+    val inMovi = java.nio.ByteBuffer.allocate(40)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    inMovi.put("RIFF".getBytes("US-ASCII")).putInt(32)
+    inMovi.put("AVI ".getBytes("US-ASCII"))
+    inMovi.put("LIST".getBytes("US-ASCII")).putInt(24)
+    inMovi.put("movi".getBytes("US-ASCII"))
+    inMovi.put("00dc".getBytes("US-ASCII")).putInt(0xFFFFFFF8)
+    inMovi.putLong(0x1111111111111111L)
+    val Some(clamped) = Video.aviFrames(inMovi.array())
+    assert(clamped.length === 1 && clamped.head.length === 8)
   }
 
   test("frameSignatures: stride sampling, cross-modality signature identity") {
