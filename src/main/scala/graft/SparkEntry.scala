@@ -2283,6 +2283,38 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     },
 
+    // ---- Persisted POSITIONAL Hamming state: the q144 layout for
+    // the video modality — per-frame dHash rows keyed (frame_pos,
+    // band, bucket), so a recurring video crawl probes batch-sized
+    // state (clips match on ≥ 2 sampled positions within 8 bits)
+    // instead of re-running the batch self-join every wave. State
+    // built on clips ≡ 0 (mod 4), grown by ≡ 2 with one append, odd
+    // clips probed; the per-frame signatures are the exported seeded
+    // state and DuckDB replays the positional probe brute-force.
+    // Corrupt odd clips have no frame rows and survive.
+    "q147_video_frame_state" -> { (s, dir) =>
+      val clips = operators.Video.syntheticCorpus(
+        Tables.documents(s, dir).select("doc_id"), "doc_id",
+        variantsPerScene = 3, corruptEvery = 97)
+      operators.Video.frameSignatures(clips, "doc_id", col("content"),
+          everyNth = 2)
+        .write.mode("overwrite").parquet(s"${stateDir(dir)}/q147_sigs")
+      val sigs = s.read.parquet(s"${stateDir(dir)}/q147_sigs")
+      s.sql("DROP TABLE IF EXISTS graft_q147_frames")
+      Incremental.writeFrameHammingState(sigs.filter(col("doc_id") % 4 === 0),
+        "doc_id", "dhash", "graft_q147_frames",
+        s"${stateDir(dir)}/q147_state", maxHamming = 8, numBuckets = 8)
+      Incremental.appendFrameHammingState(sigs.filter(col("doc_id") % 4 === 2),
+        "doc_id", "dhash", "graft_q147_frames", maxHamming = 8, numBuckets = 8)
+      val dupIds = Incremental.frameHammingDupIdsAgainstTable(
+        sigs.filter(col("doc_id") % 2 === 1), "doc_id", "dhash",
+        s.table("graft_q147_frames"), maxHamming = 8, minFrames = 2)
+      Tables.documents(s, dir).select("doc_id")
+        .filter(col("doc_id") % 2 === 1)
+        .join(dupIds, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    },
+
     // ---- Deterministic epoch shuffle: the training-order
     // permutation for epoch 3, computed with the q99 distributed
     // prefix-sum (no global window) — reproducible, addressable
@@ -4855,6 +4887,30 @@ object SparkEntry {
         |    ON bit_count(xor(i.sig, c.sig)) <= 8)
         |SELECT doc_id FROM inc
         |WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q147: append ≡ rebuild for the POSITIONAL Hamming state — the
+    // oracle replays the probe brute-force over the exported frame
+    // signatures (state = even clips, written ∪ appended; a probe
+    // clip drops when ≥ 2 distinct sampled positions are within 8
+    // bits of SOME single state clip). Corrupt odd clips have no
+    // frame rows and survive.
+    "q147_video_frame_state" ->
+      """WITH sigs AS (
+        |  SELECT doc_id, frame_pos, dhash
+        |  FROM read_parquet('__GRAFT_STATE_DIR__/q147_sigs/*.parquet')),
+        |cor AS (SELECT * FROM sigs WHERE doc_id % 2 = 0),
+        |inc AS (SELECT * FROM sigs WHERE doc_id % 2 = 1),
+        |pairs AS (
+        |  SELECT i.doc_id, c.doc_id AS cid,
+        |         count(DISTINCT i.frame_pos) AS m
+        |  FROM inc i JOIN cor c
+        |    ON i.frame_pos = c.frame_pos
+        |   AND bit_count(xor(i.dhash, c.dhash)) <= 8
+        |  GROUP BY 1, 2),
+        |dup AS (SELECT DISTINCT doc_id FROM pairs WHERE m >= 2)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM dup)
         |ORDER BY doc_id""".stripMargin,
 
     // q138: the epoch-3 permutation replayed as one window — the

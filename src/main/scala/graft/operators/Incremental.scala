@@ -717,12 +717,82 @@ object Incremental {
         col(idCol), col("sig"))
   }
 
+  /** Reserved band id of the one `_meta` row every Hamming state
+    * table carries (see [[hammingMeta]]): real band tags are
+    * `32 + b < 64` ([[graft.functions.Bits.LayoutV1Tag]]), so the
+    * meta row can never collide with a probe's join key. */
+  private[graft] val HammingMetaBand = 255
+
+  /** The `_meta` payload, packed into the row's `bucket` (and,
+    * redundantly, `sig`): layout version in bits 32+, `maxHamming` in
+    * 16..31, `nBands` in 0..15. */
+  private def packHammingMeta(maxHamming: Int, nBands: Int): Long =
+    (1L << 32) | (maxHamming.toLong << 16) | nBands.toLong
+
+  /** The one-row `_meta` companion rides INSIDE the state table (band
+    * [[HammingMetaBand]], null id) rather than in a sidecar file, so
+    * it survives every path a state table travels — `SaveMode.Append`
+    * growth, [[compactState]] blue/green rewrites (a null id never
+    * matches a tombstone), table renames — and a probe can validate
+    * any state DataFrame without knowing its table name or location.
+    * Reading it back is a band-filtered scan parquet row-group stats
+    * reduce to the meta row's file (every data file's band range is
+    * below [[HammingMetaBand]]). */
+  private def hammingMeta(spark: org.apache.spark.sql.SparkSession,
+      idCol: String, idType: org.apache.spark.sql.types.DataType,
+      maxHamming: Int, nBands: Int): DataFrame = {
+    val packed = packHammingMeta(maxHamming, nBands)
+    spark.range(1).select(
+      lit(HammingMetaBand).as("band"),
+      lit(packed).as("bucket"),
+      lit(null).cast(idType).as(idCol),
+      lit(packed).as("sig"))
+  }
+
+  /** Validate a state frame's `_meta` against the band layout a
+    * caller is about to probe or append with. The failure mode this
+    * closes is SILENT: different strides gather different buckets, so
+    * a probe issued with a `maxHamming`/`nBands` other than the
+    * write's would simply match nothing — false negatives in a dedup
+    * or compliance gate. Refuses (loudly) tables with no meta row:
+    * both pre-layout-v1 contiguous tables and pre-meta strided tables
+    * must be rebuilt once with [[writeHammingState]]. */
+  private def validateHammingMeta(state: DataFrame, maxHamming: Int,
+      nBands: Int, caller: String): Unit = {
+    val rows = state.filter(col("band") === HammingMetaBand)
+      .select(col("bucket")).distinct().limit(3).collect()
+    require(rows.length == 1,
+      if (rows.isEmpty)
+        s"$caller: Hamming state table carries no _meta row — it was " +
+          "written under a pre-self-describing layout; rebuild it with " +
+          "writeHammingState"
+      else
+        s"$caller: Hamming state table carries ${rows.length} conflicting " +
+          "_meta rows — mixed-layout appends corrupted it; rebuild with " +
+          "writeHammingState")
+    val packed = rows(0).getLong(0)
+    val v = (packed >>> 32).toInt
+    val mh = ((packed >> 16) & 0xFFFF).toInt
+    val nb = (packed & 0xFFFF).toInt
+    require(v == 1, s"$caller: Hamming state layout version $v is not " +
+      "supported by this build (expected 1)")
+    require(mh == maxHamming && nb == nBands,
+      s"$caller: state table was written with (maxHamming=$mh, " +
+        s"nBands=$nb) but called with (maxHamming=$maxHamming, " +
+        s"nBands=$nBands) — a mismatched band layout silently matches " +
+        "nothing; pass the written values (or rebuild the state)")
+  }
+
   /** Corpus Hamming-signature state: banded rows bucketed + sorted by
     * (band, bucket) — exactly the probe's join key, so recurring
     * batches join without a state-side exchange (the
     * [[writeBandedSignatures]] stance for 64-bit perceptual hashes).
-    * `(maxHamming, nBands)` FIX the band layout at write time; probes
-    * must use the same values. The default `nBands` is
+    * `(maxHamming, nBands)` FIX the band layout at write time and are
+    * persisted IN the table as a one-row `_meta` companion
+    * ([[hammingMeta]]) that [[appendHammingState]] and
+    * [[hammingDupIdsAgainstTable]] validate — a divergent override
+    * fails loudly instead of silently matching nothing (different
+    * strides gather different buckets). The default `nBands` is
     * [[graft.functions.Bits.joinBands]] — at budgets ≥ 6 that is the
     * 1-error MULTI-PROBE layout (fewer, WIDER bands; the batch side
     * probes single-bit flips), because the exact `maxHamming + 1`
@@ -736,30 +806,38 @@ object Incremental {
     * batch-sized forever. */
   def writeHammingState(corpus: DataFrame, idCol: String, sigCol: String,
       table: String, path: String, maxHamming: Int = 8,
-      numBuckets: Int = 64, nBands: Int = -1): Unit =
-    hammingBanded(corpus, idCol, sigCol, maxHamming,
-        resolveBands(maxHamming, nBands), probe = false)
+      numBuckets: Int = 64, nBands: Int = -1): Unit = {
+    val nb = resolveBands(maxHamming, nBands)
+    hammingBanded(corpus, idCol, sigCol, maxHamming, nb, probe = false)
+      .unionByName(hammingMeta(corpus.sparkSession, idCol,
+        corpus.schema(idCol).dataType, maxHamming, nb))
       .repartition(numBuckets, col("band"), col("bucket"))
       .write.mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, "band", "bucket").sortBy("band", "bucket")
       .option("path", path)
       .saveAsTable(table)
+  }
 
   /** Grow the Hamming state by a batch — same band layout, same
-    * bucket spec (`maxHamming`/`nBands` must match the write's).
+    * bucket spec as the write's, VALIDATED against the table's
+    * `_meta` row before anything is written (a mismatched append
+    * would poison the table with rows probes can never reach).
     * Seen-not-kept composes exactly as in
     * [[appendBandedSignatures]]: append every signature that was
     * COMPARED, not only survivors, when batch-parity across waves
     * matters. */
   def appendHammingState(batch: DataFrame, idCol: String, sigCol: String,
       table: String, maxHamming: Int = 8, numBuckets: Int = 64,
-      nBands: Int = -1): Unit =
-    hammingBanded(batch, idCol, sigCol, maxHamming,
-        resolveBands(maxHamming, nBands), probe = false)
+      nBands: Int = -1): Unit = {
+    val nb = resolveBands(maxHamming, nBands)
+    validateHammingMeta(batch.sparkSession.table(table), maxHamming, nb,
+      "appendHammingState")
+    hammingBanded(batch, idCol, sigCol, maxHamming, nb, probe = false)
       .repartition(numBuckets, col("band"), col("bucket"))
       .write.mode(SaveMode.Append).format("parquet")
       .bucketBy(numBuckets, "band", "bucket").sortBy("band", "bucket")
       .saveAsTable(table)
+  }
 
   /** Batch ids within `maxHamming` bits of ANY state signature:
     * banded batch rows SEMI-join the table on (band, bucket) with the
@@ -786,19 +864,15 @@ object Incremental {
       state.columns.length <= 4,
       s"not a hamming state table (want band, bucket, sig[, <id>]): " +
         state.columns.mkString(","))
-    // layout guard: strided-v1 stores bands as 32 + b; a state table
-    // persisted under the old contiguous layout (bare 0-based bands)
-    // would silently match NOTHING against a strided probe — refuse
-    // it instead (one-row metadata read)
-    val sample = state.select(col("band")).limit(1).collect()
-    require(sample.isEmpty ||
-      sample(0).getInt(0) >= graft.functions.Bits.LayoutV1Tag,
-      "Hamming state table was written under the pre-strided band " +
-        "layout — rebuild it with writeHammingState (layout v1)")
-    val st = state.select(col("band").as("__hb"), col("bucket").as("__hk"),
-      col("sig").as("__ssig"))
-    hammingBanded(batch, idCol, sigCol, maxHamming,
-        resolveBands(maxHamming, nBands), probe = true)
+    // the _meta row is the layout contract: refuses pre-strided and
+    // pre-meta tables AND any probe issued at a band layout other
+    // than the write's (one filtered metadata-sized read)
+    val nb = resolveBands(maxHamming, nBands)
+    validateHammingMeta(state, maxHamming, nb, "hammingDupIdsAgainstTable")
+    val st = state.filter(col("band") =!= HammingMetaBand)
+      .select(col("band").as("__hb"), col("bucket").as("__hk"),
+        col("sig").as("__ssig"))
+    hammingBanded(batch, idCol, sigCol, maxHamming, nb, probe = true)
       .join(st,
         col("band") === col("__hb") && col("bucket") === col("__hk") &&
           bit_count(col("sig").bitwiseXOR(col("__ssig"))) <= maxHamming,
@@ -808,6 +882,150 @@ object Incremental {
 
   private def resolveBands(maxHamming: Int, nBands: Int): Int =
     if (nBands == -1) graft.functions.Bits.joinBands(maxHamming) else nBands
+
+  // --------------------------------------------------------------
+  // Positional Hamming state: the persisted form for SEQUENCE
+  // modalities — a video clip is its per-sampled-position frame
+  // signatures ([[Video.frameSignatures]]), and two clips match when
+  // ≥ minFrames positions are pairwise within the Hamming budget
+  // ([[Video.clipNearDupPairs]]'s contract). This is q144's layout
+  // with the position folded into the key, so a recurring video
+  // crawl probes batch-sized state instead of re-running the batch
+  // self-join every wave.
+  // --------------------------------------------------------------
+
+  /** Banded frame rows `(frame_pos, band, bucket, <idCol>, sig)` —
+    * [[hammingBanded]] with the sample position riding the key. */
+  private def frameHammingBanded(df: DataFrame, idCol: String,
+      sigCol: String, maxHamming: Int, nBands: Int,
+      probe: Boolean): DataFrame = {
+    require(df.columns.contains("frame_pos"),
+      s"positional signature frame needs a frame_pos column: " +
+        df.columns.mkString(","))
+    val bands = graft.functions.Bits.hammingBandCol(col("sig"), maxHamming,
+      nBands, probe)
+    df.select(col(idCol), col("frame_pos").cast("int").as("frame_pos"),
+        col(sigCol).cast("long").as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col(idCol), col("frame_pos"), col("sig"), explode(bands).as("__e"))
+      .select(col("frame_pos"),
+        graft.functions.Bits.unpackBand(col("__e")).as("band"),
+        graft.functions.Bits.unpackBucket(col("__e")).as("bucket"),
+        col(idCol), col("sig"))
+  }
+
+  /** Corpus positional-signature state: banded per-frame rows
+    * bucketed + sorted by (frame_pos, band, bucket) — exactly the
+    * probe's join key, so recurring clip batches join with an
+    * exchange on the (wave-sized) batch side only. Input is a
+    * [[Video.frameSignatures]]-shaped frame `(<idCol>, frame_pos,
+    * <sigCol>)`; the band layout is persisted as the same in-table
+    * `_meta` row as [[writeHammingState]] and validated by every
+    * append and probe.
+    *
+    * 100 TB shape: state size = nSampled · nBands rows × ~24 B per
+    * clip (a billion 8-sample clips at the default budget ≈ 1 TB of
+    * bucketed parquet); a wave's probe shuffles only its own banded
+    * frames, and the position in the join key means a batch frame can
+    * only meet state frames AT ITS OWN SAMPLE POSITION — the
+    * candidate space is partitioned |positions| ways before banding
+    * even starts. */
+  def writeFrameHammingState(frameSigs: DataFrame, idCol: String,
+      sigCol: String, table: String, path: String, maxHamming: Int = 8,
+      numBuckets: Int = 64, nBands: Int = -1): Unit = {
+    val nb = resolveBands(maxHamming, nBands)
+    frameHammingBanded(frameSigs, idCol, sigCol, maxHamming, nb,
+        probe = false)
+      .unionByName(hammingMeta(frameSigs.sparkSession, idCol,
+          frameSigs.schema(idCol).dataType, maxHamming, nb)
+        .withColumn("frame_pos", lit(null).cast("int")))
+      .repartition(numBuckets, col("frame_pos"), col("band"), col("bucket"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, "frame_pos", "band", "bucket")
+      .sortBy("frame_pos", "band", "bucket")
+      .option("path", path)
+      .saveAsTable(table)
+  }
+
+  /** Grow the positional state by a wave's frame signatures — same
+    * band layout (validated against the `_meta` row BEFORE writing),
+    * same bucket spec. Seen-not-kept composes as everywhere else:
+    * append every clip that was COMPARED when batch-parity across
+    * waves matters. */
+  def appendFrameHammingState(batch: DataFrame, idCol: String,
+      sigCol: String, table: String, maxHamming: Int = 8,
+      numBuckets: Int = 64, nBands: Int = -1): Unit = {
+    val nb = resolveBands(maxHamming, nBands)
+    validateHammingMeta(batch.sparkSession.table(table), maxHamming, nb,
+      "appendFrameHammingState")
+    frameHammingBanded(batch, idCol, sigCol, maxHamming, nb, probe = false)
+      .repartition(numBuckets, col("frame_pos"), col("band"), col("bucket"))
+      .write.mode(SaveMode.Append).format("parquet")
+      .bucketBy(numBuckets, "frame_pos", "band", "bucket")
+      .sortBy("frame_pos", "band", "bucket")
+      .saveAsTable(table)
+  }
+
+  /** Batch clip ids whose sampled frames are within `maxHamming` bits
+    * of SOME state clip's frames at ≥ `minFrames` distinct positions
+    * — [[Video.clipNearDupPairs]]'s match contract against persisted
+    * state. Banded batch frames equi-join the table on (frame_pos,
+    * band, bucket) — the state streams bucket-aligned from disk —
+    * then popcount verify, collapse multi-band collisions to distinct
+    * (batch, state, position) rows, and count positions per pair.
+    *
+    * Unlike [[hammingDupIdsAgainstTable]] this CANNOT be a semi join:
+    * the contract is a per-(batch, state) POSITION COUNT, not
+    * existence, so matches must be enumerated. The enumeration is
+    * bounded the same way the batch self-join is — position-aligned
+    * 12/13-bit strided buckets — with the same honestly-quadratic
+    * residual within a (position, bucket) cluster of near-identical
+    * frames (title cards, black frames); the position key bounds each
+    * cluster to clips sharing that sample index, and the per-wave
+    * probe never grows with corpus age on the BATCH side. */
+  def frameHammingDupIdsAgainstTable(batch: DataFrame, idCol: String,
+      sigCol: String, state: DataFrame, maxHamming: Int = 8,
+      minFrames: Int = 2, nBands: Int = -1): DataFrame = {
+    require(Set("frame_pos", "band", "bucket", "sig")
+      .subsetOf(state.columns.toSet) && state.columns.length <= 5,
+      s"not a positional hamming state table (want frame_pos, band, " +
+        s"bucket, sig[, <id>]): ${state.columns.mkString(",")}")
+    val stateIdCol = state.columns
+      .filterNot(Set("frame_pos", "band", "bucket", "sig")) match {
+      case Array(id) => id
+      case _ => throw new IllegalArgumentException(
+        "positional hamming state table carries no id column: " +
+          state.columns.mkString(","))
+    }
+    val nb = resolveBands(maxHamming, nBands)
+    validateHammingMeta(state, maxHamming, nb, "frameHammingDupIdsAgainstTable")
+    val st = state.filter(col("band") =!= HammingMetaBand)
+      .select(col("frame_pos"), col("band"), col("bucket"),
+        col(stateIdCol).as("__idC"), col("sig").as("__ssig"))
+    frameHammingBanded(batch, idCol, sigCol, maxHamming, nb, probe = true)
+      .join(st, Seq("frame_pos", "band", "bucket"))
+      .filter(bit_count(col("sig").bitwiseXOR(col("__ssig"))) <= maxHamming)
+      .select(col(idCol), col("__idC"), col("frame_pos"))
+      .distinct()
+      .groupBy(col(idCol), col("__idC"))
+      .agg(count(lit(1)).as("__mf"))
+      .filter(col("__mf") >= minFrames)
+      .select(col(idCol)).distinct()
+  }
+
+  /** Drop every batch frame-signature row whose CLIP matches state on
+    * ≥ `minFrames` positions — the recurring video-dedup probe.
+    * Returns the surviving rows of `batch` (clips with zero decodable
+    * frames have no rows here and survive by construction at the clip
+    * level; see [[Video.dedupAgainstState]] for the clip-frame form). */
+  def frameHammingDedupAgainstTable(batch: DataFrame, idCol: String,
+      sigCol: String, state: DataFrame, maxHamming: Int = 8,
+      minFrames: Int = 2, nBands: Int = -1): DataFrame = {
+    val dupIds = frameHammingDupIdsAgainstTable(batch, idCol, sigCol, state,
+        maxHamming, minFrames, nBands)
+      .localCheckpoint(true)
+    batch.join(dupIds, Seq(idCol), "left_anti")
+  }
 
   /** Drop every batch row whose signature is within `maxHamming` of
     * any state signature — the recurring media-dedup probe

@@ -195,6 +195,29 @@ object Video {
     df.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** The RECURRING form of [[videoNearDedup]]: drop every clip of a
+    * crawl wave whose sampled frames match a clip already in the
+    * persisted positional Hamming state
+    * ([[Incremental.writeFrameHammingState]]) on ≥ `minFrames`
+    * positions. Decode once per wave; the probe shuffles only the
+    * wave's banded frames (state streams bucket-aligned from disk),
+    * so a video crawl's per-wave cost stops growing with corpus age —
+    * without this the only option was re-running the batch self-join
+    * over everything ever crawled, or mis-modeling clips as single
+    * signatures. Undecodable clips survive (no frame rows, nothing
+    * provable); `everyNth` must match the stride the state was built
+    * at (positions are SAMPLE indices — a stride change renumbers
+    * them, exactly like re-shingling a MinHash corpus). */
+  def dedupAgainstState(df: DataFrame, idCol: String, contentCol: Column,
+      state: DataFrame, everyNth: Int = 2, maxHamming: Int = 8,
+      minFrames: Int = 2): DataFrame = {
+    val sigs = frameSignatures(df, idCol, contentCol, everyNth)
+    val dupIds = Incremental.frameHammingDupIdsAgainstTable(sigs, idCol,
+        "dhash", state, maxHamming, minFrames)
+      .localCheckpoint(true)
+    df.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   // ======== deterministic synthetic MJPEG-AVI corpus ========
 
   private def jpegBytes(img: java.awt.image.BufferedImage): Array[Byte] = {

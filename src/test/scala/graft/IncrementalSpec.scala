@@ -554,4 +554,119 @@ class IncrementalSpec extends AnyFunSuite {
       dup.count() // resolution + execution must both succeed
     } finally spark.sql("DROP TABLE IF EXISTS t_hamm_dh")
   }
+
+  test("positional Hamming state: probe-after-append == brute force; bucket-aligned, batch-side-only exchange") {
+    import spark.implicits._
+    // 36 synthetic clips, 3 variants per scene: a variant matches its
+    // scene base at 3 of 4 sampled positions (>= minFrames 2). Every
+    // 10th clip corrupt -> no frame rows: clip 10 is scene 3's ONLY
+    // even member, so decoded odd clips 9 and 11 have no state mate
+    // and must SURVIVE (decoded-survivor coverage, not just corrupt)
+    val clips = operators.Video.syntheticCorpus(
+      spark.range(0, 36).toDF("doc_id"), "doc_id",
+      variantsPerScene = 3, corruptEvery = 10)
+    val sigs = operators.Video.frameSignatures(clips, "doc_id",
+      col("content"), everyNth = 2).cache()
+    val cor = sigs.filter(col("doc_id") % 4 === 0)
+    val grow = sigs.filter(col("doc_id") % 4 === 2)
+    val batch = sigs.filter(col("doc_id") % 2 === 1)
+    Incremental.writeFrameHammingState(cor, "doc_id", "dhash",
+      "t_fhamm", tmp("graft_fhamm"), maxHamming = 8, numBuckets = 8)
+    Incremental.appendFrameHammingState(grow, "doc_id", "dhash",
+      "t_fhamm", maxHamming = 8, numBuckets = 8)
+    try {
+      val dup = Incremental.frameHammingDupIdsAgainstTable(batch, "doc_id",
+        "dhash", spark.table("t_fhamm"), maxHamming = 8, minFrames = 2)
+      val dupIds = dup.as[Long].collect().toSet
+      // brute force: batch clip drops when >= 2 distinct positions are
+      // within 8 bits of SOME single state clip at the same position
+      val corVals = sigs.filter(col("doc_id") % 2 === 0)
+        .as[(Long, Int, Long)].collect()
+        .groupBy(_._1).map { case (id, rs) =>
+          id -> rs.map(r => r._2 -> r._3).toMap }
+      val batVals = batch.as[(Long, Int, Long)].collect()
+        .groupBy(_._1).map { case (id, rs) =>
+          id -> rs.map(r => r._2 -> r._3).toMap }
+      val expected = batVals.collect { case (id, frames)
+        if corVals.values.exists { cf =>
+          frames.count { case (p, s) =>
+            cf.get(p).exists(cs => java.lang.Long.bitCount(s ^ cs) <= 8)
+          } >= 2 } => id }.toSet
+      assert(dupIds === expected)
+      assert(dupIds.nonEmpty && dupIds.size < batVals.size,
+        "fixture must produce hits AND survivors, or assertions are vacuous")
+      // plan: state streams bucket-aligned; the ONLY (frame_pos, band,
+      // bucket) exchange is the batch side's
+      dup.write.mode("overwrite").format("noop").save()
+      val plan = dup.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"state must be bucket-read:\n$plan")
+      // a tiny batch may BROADCAST instead of shuffling (0 exchanges);
+      // what must never appear is a SECOND state-key exchange — that
+      // would mean the bucketed state side got re-shuffled
+      assert("Exchange hashpartitioning\\(frame_pos".r.findAllIn(plan).length <= 1,
+        s"only the batch side may shuffle on the state key:\n$plan")
+      // clip-level dedup wrapper: corrupt clips (no frame rows) survive
+      val kept = operators.Video.dedupAgainstState(
+          clips.filter(col("doc_id") % 2 === 1), "doc_id", col("content"),
+          spark.table("t_fhamm"), everyNth = 2, maxHamming = 8, minFrames = 2)
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept === (1L until 36L by 2).toSet -- expected)
+      // mismatched layout on the POSITIONAL probe fails loudly too
+      intercept[IllegalArgumentException] {
+        Incremental.frameHammingDupIdsAgainstTable(batch, "doc_id", "dhash",
+          spark.table("t_fhamm"), maxHamming = 4)
+      }
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS t_fhamm")
+      sigs.unpersist(blocking = false)
+    }
+  }
+
+  test("Hamming state is self-describing: mismatched probe/append FAIL loudly") {
+    // the failure this closes is SILENT: a probe at a band layout
+    // other than the write's gathers different strides and matches
+    // NOTHING — false negatives in a dedup/compliance gate. The
+    // in-table _meta row turns that into a loud refusal.
+    val sigs = docs.limit(60).select(col("doc_id"),
+      Dedup.simhashSignature(col("text")).as("sig"))
+    Incremental.writeHammingState(sigs.filter(col("doc_id") % 2 === 0),
+      "doc_id", "sig", "t_hamm_meta", tmp("graft_hamm_meta"),
+      maxHamming = 8, numBuckets = 4)
+    val probe = sigs.filter(col("doc_id") % 2 === 1)
+    try {
+      // state written at maxHamming=8 (5 strided bands); a probe at
+      // maxHamming=4 (5 exact bands — same COUNT, different meaning)
+      // and one at an overridden band count must both refuse
+      val e1 = intercept[IllegalArgumentException] {
+        Incremental.hammingDupIdsAgainstTable(probe, "doc_id", "sig",
+          spark.table("t_hamm_meta"), maxHamming = 4)
+      }
+      assert(e1.getMessage.contains("maxHamming=8") &&
+        e1.getMessage.contains("maxHamming=4"))
+      val e2 = intercept[IllegalArgumentException] {
+        Incremental.hammingDupIdsAgainstTable(probe, "doc_id", "sig",
+          spark.table("t_hamm_meta"), maxHamming = 8, nBands = 9)
+      }
+      assert(e2.getMessage.contains("nBands"))
+      // a mismatched APPEND must refuse BEFORE writing anything
+      val before = spark.table("t_hamm_meta").count()
+      intercept[IllegalArgumentException] {
+        Incremental.appendHammingState(probe, "doc_id", "sig",
+          "t_hamm_meta", maxHamming = 4, numBuckets = 4)
+      }
+      assert(spark.table("t_hamm_meta").count() === before,
+        "refused append must not have written rows")
+      // a table with no _meta row (pre-self-describing layout) refuses
+      val metaless = spark.table("t_hamm_meta")
+        .filter(col("band") =!= Incremental.HammingMetaBand)
+      val e3 = intercept[IllegalArgumentException] {
+        Incremental.hammingDupIdsAgainstTable(probe, "doc_id", "sig",
+          metaless, maxHamming = 8)
+      }
+      assert(e3.getMessage.contains("no _meta row"))
+      // and the MATCHING layout still probes fine (meta row inert)
+      Incremental.hammingDupIdsAgainstTable(probe, "doc_id", "sig",
+        spark.table("t_hamm_meta"), maxHamming = 8).count()
+    } finally spark.sql("DROP TABLE IF EXISTS t_hamm_meta")
+  }
 }
