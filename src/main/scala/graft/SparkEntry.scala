@@ -2235,6 +2235,29 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ---- Sharded batch Hamming self-join: the >10⁶-signature escape
+    // hatch made real — an orthogonal shard key (here: source blocks
+    // of 30 ids; scenes are 3 ids so no scene straddles a boundary)
+    // folds into the band join key and bounds the quadratic term to
+    // each shard's n. Cross-shard pairs are DECLARED out of scope
+    // (the semantic is per-source dedup); the oracle replays the
+    // within-shard all-pairs decision over the exported signatures.
+    "q148_audio_sharded_neardup" -> { (s, dir) =>
+      val clips = operators.Audio.syntheticCorpus(
+        Tables.documents(s, dir).select("doc_id"), "doc_id",
+        variantsPerScene = 3, corruptEvery = 97)
+      operators.Audio.audioSignatures(clips, "doc_id", col("content"))
+        .withColumn("source", expr("doc_id div 30"))
+        .write.mode("overwrite").parquet(s"${stateDir(dir)}/q148_sigs")
+      val sigs = s.read.parquet(s"${stateDir(dir)}/q148_sigs")
+      val dupIds = Dedup.hammingNearDupPairs(sigs, "doc_id", "ehash",
+          maxHamming = 8, shardCols = Seq("source"))
+        .select(col("id_b").as("doc_id")).distinct()
+      sigs.select("doc_id", "decoded", "source")
+        .join(dupIds, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    },
+
     // ---- The media wave loop END TO END: Spark runs the RECURRING
     // form (two id-ordered waves through IngestCli.ingestMediaWave —
     // decode, in-wave Hamming dedup, probe vs persisted state, state
@@ -4854,6 +4877,23 @@ object SparkEntry {
         |  GROUP BY 1, 2),
         |dup AS (SELECT DISTINCT id_b AS doc_id FROM pairs WHERE m >= 2)
         |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q148: exported eHash signatures + shard key; the oracle replays
+    // the WITHIN-SHARD all-pairs Hamming decision (a.source =
+    // b.source is part of the pair contract — cross-shard pairs are
+    // out of scope by design).
+    "q148_audio_sharded_neardup" ->
+      """WITH sigs AS (
+        |  SELECT doc_id, decoded, source, ehash
+        |  FROM read_parquet('__GRAFT_STATE_DIR__/q148_sigs/*.parquet')),
+        |dup AS (
+        |  SELECT DISTINCT b.doc_id FROM sigs a JOIN sigs b
+        |    ON a.source = b.source AND a.doc_id < b.doc_id
+        |   AND a.ehash IS NOT NULL AND b.ehash IS NOT NULL
+        |   AND bit_count(xor(a.ehash, b.ehash)) <= 8)
+        |SELECT doc_id, decoded, source FROM sigs
         |WHERE doc_id NOT IN (SELECT doc_id FROM dup)
         |ORDER BY doc_id""".stripMargin,
 

@@ -505,14 +505,33 @@ object Dedup {
     * of multiplicity — a million byte-identical payloads are one
     * value row, not a 10¹²-pair bucket. The shared engine under the
     * image (aHash/dHash, [[Images.nearDupPairs]]) and audio
-    * ([[Audio]] energy-contour hash) perceptual-dedup families. */
+    * ([[Audio]] energy-contour hash) perceptual-dedup families.
+    *
+    * '''`shardCols` — the >10⁶-signature escape hatch.''' The batch
+    * self-join's candidate mass is quadratic in DISTINCT signatures
+    * per join (healthy to ~10⁶; SCALING.md's envelope). When a corpus
+    * has an orthogonal partition no duplicate should cross anyway —
+    * source site, ingest day, tenant — folding it into the band join
+    * key bounds each n to the shard's size: pairs are only sought
+    * WITHIN equal shard values (the semantic change is the point:
+    * cross-shard pairs are declared out of scope, exactly like
+    * [[graft.operators.Video.clipNearDupPairs]] scoping frame pairs
+    * to equal positions). Value-level dedup becomes per (shard, sig);
+    * ids re-attach by (shard, sig). */
   def hammingNearDupPairs(sigs: DataFrame, idCol: String, sigCol: String,
-      maxHamming: Int): DataFrame = {
-    val ids = sigs.select(col(idCol), col(sigCol)).filter(col(sigCol).isNotNull)
-    val valPairs = hammingPairsValues(ids, col(sigCol), ids, col(sigCol), maxHamming)
+      maxHamming: Int, shardCols: Seq[String] = Nil): DataFrame = {
+    val shards = shardCols.map(col)
+    val ids = sigs.select((col(idCol) +: col(sigCol) +: shards): _*)
+      .filter(col(sigCol).isNotNull)
+    val valPairs = hammingPairsValues(ids, col(sigCol), ids, col(sigCol),
+      maxHamming, strict = false, shardCols)
     valPairs
-      .join(ids.select(col(idCol).as("id_a"), col(sigCol).as("__ham_sa")), Seq("__ham_sa"))
-      .join(ids.select(col(idCol).as("id_b"), col(sigCol).as("__ham_sb")), Seq("__ham_sb"))
+      .join(ids.select((col(idCol).as("id_a") +:
+        col(sigCol).as("__ham_sa") +: shards): _*),
+        "__ham_sa" +: shardCols)
+      .join(ids.select((col(idCol).as("id_b") +:
+        col(sigCol).as("__ham_sb") +: shards): _*),
+        "__ham_sb" +: shardCols)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("__ham_sa").bitwiseXOR(col("__ham_sb"))).as("dist"))
@@ -594,25 +613,33 @@ object Dedup {
   private[graft] def hammingPairsValues(
       ldf: DataFrame, lsig: Column,
       rdf: DataFrame, rsig: Column,
-      maxHamming: Int, strict: Boolean = false): DataFrame = {
+      maxHamming: Int, strict: Boolean = false,
+      shardCols: Seq[String] = Nil): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, "maxHamming must be in [0, 32)")
     val nBands = graft.functions.Bits.joinBands(maxHamming)
+    val shards = shardCols.map(col)
     def banded(df: DataFrame, sig: Column, out: String,
         probe: Boolean): DataFrame = {
-      val base = spreadWide(df).select(sig.cast("long").as(out))
+      // value-level dedup per (shard, sig): a signature re-occurring
+      // across shards is one value row PER SHARD — the shard is part
+      // of the value's identity once it joins the band key
+      val base = spreadWide(df).select((shards :+ sig.cast("long").as(out)): _*)
         .filter(col(out).isNotNull).distinct()
-      base.select(col(out), explode(graft.functions.Bits.hammingBandCol(
-          col(out), maxHamming, nBands, probe)).as("__e"))
-        .select(col(out), graft.functions.Bits.unpackBand(col("__e")).as("band"),
-          graft.functions.Bits.unpackBucket(col("__e")).as("bucket"))
+      base.select((shards :+ col(out) :+
+          explode(graft.functions.Bits.hammingBandCol(
+            col(out), maxHamming, nBands, probe)).as("__e")): _*)
+        .select((shards :+ col(out) :+
+          graft.functions.Bits.unpackBand(col("__e")).as("band") :+
+          graft.functions.Bits.unpackBucket(col("__e")).as("bucket")): _*)
     }
     val verify =
       if (strict) bit_count(col("__ham_sa").bitwiseXOR(col("__ham_sb"))) < maxHamming
       else bit_count(col("__ham_sa").bitwiseXOR(col("__ham_sb"))) <= maxHamming
     banded(ldf, lsig, "__ham_sa", probe = false)
-      .join(banded(rdf, rsig, "__ham_sb", probe = true), Seq("band", "bucket"))
+      .join(banded(rdf, rsig, "__ham_sb", probe = true),
+        shardCols ++ Seq("band", "bucket"))
       .filter(verify)
-      .select(col("__ham_sa"), col("__ham_sb"))
+      .select((shards :+ col("__ham_sa") :+ col("__ham_sb")): _*)
       .distinct()
   }
 

@@ -138,4 +138,31 @@ class AudioSpec extends AnyFunSuite {
     }.toSet
     assert(kept === expected)
   }
+
+  test("shardCols bound the self-join: within-shard pairs only, constant shard == unsharded") {
+    val clips = Audio.syntheticCorpus(
+      spark.range(0, 90).toDF("doc_id"), "doc_id",
+      variantsPerScene = 3, corruptEvery = 0)
+    val sigs = Audio.audioSignatures(clips, "doc_id", col("content"))
+      .withColumn("source", expr("doc_id div 30"))
+      .withColumn("all_one", lit(1)).cache()
+    val unsharded = operators.Dedup.hammingNearDupPairs(
+        sigs, "doc_id", "ehash", 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // a CONSTANT shard key changes nothing — the knob is pure scoping
+    val constant = operators.Dedup.hammingNearDupPairs(
+        sigs, "doc_id", "ehash", 8, shardCols = Seq("all_one"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(constant === unsharded)
+    // a partitioning shard key = exactly the within-shard subset
+    val sharded = operators.Dedup.hammingNearDupPairs(
+        sigs, "doc_id", "ehash", 8, shardCols = Seq("source"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sharded === unsharded.filter { case (a, b) => a / 30 == b / 30 })
+    // scenes are 3 ids and shards 30, so every planted pair survives
+    // sharding — the knob severs only out-of-scope pairs
+    val planted = (0L until 90L by 3L).flatMap(b => Seq((b, b + 1), (b, b + 2))).toSet
+    assert(planted.subsetOf(sharded))
+    sigs.unpersist(blocking = false)
+  }
 }
