@@ -67,8 +67,8 @@ import graft.operators.{Dedup, Incremental}
 object IngestCli {
 
   final case class IngestState(ns: String, dir: String, numBuckets: Int,
-      version: Int = 0) {
-    def digestTable: String = s"${ns}_digests_v$version"
+      version: Int = 0, digestVersion: Int = 0) {
+    def digestTable: String = s"${ns}_digests_v$digestVersion"
     def sigTable: String = s"${ns}_sigs_v$version"
     def tombTable: String = s"${ns}_tombstones"
     def goldPath: String = s"$dir/gold"
@@ -198,7 +198,8 @@ object IngestCli {
           .distinct().localCheckpoint(true)
       else spark.range(0).select(col("id").as("__d1"), col("id").as("__d2"))
 
-    val next = st.copy(version = st.version + 1)
+    val next = st.copy(version = st.version + 1,
+      digestVersion = st.digestVersion + 1)
     Incremental.compactState(spark.table(st.sigTable), "doc_id",
       spark.table(st.tombTable), next.sigTable,
       s"${st.dir}/sigs_v${next.version}",
@@ -208,7 +209,7 @@ object IngestCli {
       .repartition(st.numBuckets, col("__d1"), col("__d2"))
       .write.mode(SaveMode.Overwrite)
       .bucketBy(st.numBuckets, "__d1", "__d2").sortBy("__d1", "__d2")
-      .option("path", s"${st.dir}/digests_v${next.version}")
+      .option("path", s"${st.dir}/digests_v${next.digestVersion}")
       .saveAsTable(next.digestTable)
 
     // gold blue/green: write retained rows beside, then swap dirs.
@@ -231,6 +232,28 @@ object IngestCli {
       else
         fs.delete(new org.apache.hadoop.fs.Path(st.manifestPath), true)
     }
+    next
+  }
+
+  /** Rebuild the content-keyed digest state from RETAINED GOLD — the
+    * mechanized form of [[applyTakedown]]'s documented residual: a
+    * retracted document that never reached gold (dropped as a
+    * duplicate) leaves its digest behind, because takedown can only
+    * recompute keys from text it still holds; content byte-equal to
+    * that document then stays rejected forever even after every copy
+    * was retracted. One [[Incremental.writeDigestTable]] pass over
+    * gold text (corpus-sized, at the operator's own cadence — the
+    * same blue/green versioning as takedown compaction, digest table
+    * only; the id-carrying signature state needs no rebuild, its
+    * compaction is already complete). Run it after takedowns whose
+    * content must become re-admittable, or periodically. */
+  def rebuildDigestState(spark: SparkSession, st: IngestState): IngestState = {
+    val next = st.copy(digestVersion = st.digestVersion + 1)
+    val gold =
+      if (goldHasData(spark, st.goldPath)) spark.read.parquet(st.goldPath)
+      else spark.range(0).select(col("id").as("doc_id"), lit("empty").as("text"))
+    Incremental.writeDigestTable(gold, col("text"), next.digestTable,
+      s"${st.dir}/digests_v${next.digestVersion}", st.numBuckets)
     next
   }
 

@@ -2141,6 +2141,32 @@ object SparkEntry {
         queryTerms = Seq("spark", "shuffle", "join"), k = 20)
     },
 
+    // ---- BM25 takedown epilogue: postings compact (tombstoned docs'
+    // rows removed physically), then the stats log REBUILDS from the
+    // retained postings — without the rebuild the append-only log
+    // still counts retracted docs and N/avgdl drift high. The oracle
+    // replays BM25 over the retained corpus with postings-derived
+    // stats (docs with ≥ 1 token — the rebuild's stated contract).
+    "q149_bm25_takedown_rebuild" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val base = s"${stateDir(dir)}/q149_state"
+      Seq("graft_q149_post", "graft_q149_post2", "graft_q149_stats2",
+        "graft_q149_tomb").foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      Incremental.writePostings(docs, "doc_id", col("text"),
+        "graft_q149_post", s"$base/post", numBuckets = 8)
+      Incremental.writeTombstones(
+        docs.filter(col("doc_id") % 6 === 0).select("doc_id"), "doc_id",
+        "graft_q149_tomb", s"$base/tomb")
+      Incremental.compactState(s.table("graft_q149_post"), "doc_id",
+        s.table("graft_q149_tomb"), "graft_q149_post2", s"$base/post2",
+        bucketCols = Seq("term"), numBuckets = 8)
+      Incremental.rebuildIndexStats(s.table("graft_q149_post2"), "doc_id",
+        "graft_q149_stats2", s"$base/stats2")
+      Incremental.bm25AgainstIndex(s.table("graft_q149_post2"),
+        s.table("graft_q149_stats2"), "doc_id",
+        queryTerms = Seq("spark", "shuffle", "join"), k = 20)
+    },
+
     // ---- Multimodal image near-dup: REAL javax.imageio decode of a
     // deterministic synthetic PNG corpus (scene = doc_id/3, so ids
     // sharing a scene are planted 3×3-patch variants ≤ 6 dHash bits
@@ -4879,6 +4905,33 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM dup)
         |ORDER BY doc_id""".stripMargin,
+
+    // q149: q54's replay over the RETAINED corpus (doc_id % 6 <> 0)
+    // with postings-derived stats (only docs with >= 1 token count in
+    // N/avgdl — rebuildIndexStats's stated contract; every sf doc
+    // tokenizes, so the distinction is dormant here and pinned by the
+    // IncrementalSpec caveat case instead).
+    "q149_bm25_takedown_rebuild" ->
+      """WITH ret AS (SELECT * FROM documents WHERE doc_id % 6 <> 0),
+        |toks AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM ret),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM toks WHERE term <> '' GROUP BY doc_id),
+        |stats AS (SELECT count(*) AS n, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+        |       WHERE term IN ('spark', 'shuffle', 'join') GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+        |SELECT tf.doc_id,
+        |  round(sum(
+        |    ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5)) *
+        |    tf.tf * (1.2 + 1.0) /
+        |    (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+        |  ), 4) AS bm25_score
+        |FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+        |GROUP BY tf.doc_id
+        |ORDER BY bm25_score DESC, tf.doc_id
+        |LIMIT 20""".stripMargin,
 
     // q148: exported eHash signatures + shard key; the oracle replays
     // the WITHIN-SHARD all-pairs Hamming decision (a.source =

@@ -629,6 +629,66 @@ object Incremental {
       .write.mode(SaveMode.Append).format("parquet")
       .saveAsTable(table)
 
+  /** Rebuild the BM25 stats log from RETAINED postings — the takedown
+    * epilogue: after [[compactState]] removes a retracted doc's
+    * posting rows, the append-only stats log still counts it (N and
+    * avgdl drift high), so rewrite the log as ONE row derived from
+    * what the index actually still holds. One agg scan over the
+    * posting table (distinct (doc, dl) pairs — `dl` rides every
+    * posting of its doc), never the corpus text: at 100 TB the
+    * posting state is the cheap relation and the retained corpus is
+    * the expensive one.
+    *
+    * Contract caveat, stated once and pinned by its spec: a document
+    * with ZERO tokens has no postings, so a from-postings rebuild
+    * cannot count it — [[writeIndexStats]] over the corpus counts it
+    * as length 0. Such documents also can never match a query term,
+    * so the drift is one count in N per empty doc; rebuild from the
+    * corpus instead when empty docs are material to ranking. */
+  def rebuildIndexStats(postings: DataFrame, idColName: String,
+      table: String, path: String): Unit = {
+    require(postings.columns.toSet == Set("term", idColName, "tf", "dl"),
+      s"not a posting table for id '$idColName' " +
+        s"(want term, $idColName, tf, dl): ${postings.columns.mkString(",")}")
+    postings.select(col(idColName), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).cast("long").as("sum_dl"))
+      .write.mode(SaveMode.Overwrite).option("path", path)
+      .saveAsTable(table)
+  }
+
+  /** Rebuild the winnowing fingerprint state with its `maxDf` cap
+    * RE-EVALUATED over the current posting counts — the documented
+    * append drift ([[appendFingerprints]]: appends never re-check the
+    * cap, so a boilerplate fingerprint can accumulate past it and
+    * unbound future probes) turned into one state-sized pass: count
+    * df per fp, drop over-cap fps, rewrite bucketed blue/green into a
+    * NEW (table, path). No corpus text is touched — at 100 TB the
+    * fingerprint state is orders cheaper than re-winnowing.
+    *
+    * Residual, stated honestly: a fingerprint the ORIGINAL build
+    * excluded has no pre-append postings here, so if later appends
+    * brought it back under-counted it stays with partial postings
+    * (probes over-survive on it — conservative for overlap FLAGGING
+    * is the wrong direction, but the magnitude is bounded by append
+    * volume). Full fidelity is [[writeFingerprintTable]] over the
+    * retained corpus — the corpus-side pass this function exists to
+    * avoid on the common cadence. */
+  def rebuildFingerprints(fpTable: DataFrame, table: String, path: String,
+      maxDf: Long = 64, numBuckets: Int = 64): Unit = {
+    require(fpTable.columns.toSet == Set("fp", "corpus_id"),
+      s"not a fingerprint posting table (want fp, corpus_id): " +
+        fpTable.columns.mkString(","))
+    val keep = fpTable.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("fp")
+    fpTable.join(keep, Seq("fp"))
+      .repartition(numBuckets, col("fp"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, "fp").sortBy("fp")
+      .option("path", path)
+      .saveAsTable(table)
+  }
+
   /** Top-k BM25 against the persisted index — identical output to
     * [[Retrieval.bm25TopK]] over the union of every appended batch
     * (`(idCol, bm25_score)`, score rounded to 4 decimals, ordered by

@@ -555,6 +555,97 @@ class IncrementalSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS t_hamm_dh")
   }
 
+  test("rebuildIndexStats: post-takedown stats == from-scratch over retained corpus; empty-doc caveat pinned") {
+    import spark.implicits._
+    val base = tmp("graft_rebuild_bm25")
+    Seq("t_rb_post", "t_rb_stats", "t_rb_post2", "t_rb_stats2", "t_rb_tomb")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Incremental.writePostings(docs, "doc_id", col("text"),
+      "t_rb_post", s"$base/post", numBuckets = 4)
+    Incremental.writeIndexStats(docs, col("text"), "t_rb_stats", s"$base/stats")
+    Incremental.writeTombstones(docs.filter(col("doc_id") % 6 === 0)
+        .select("doc_id"), "doc_id", "t_rb_tomb", s"$base/tomb")
+    try {
+      // takedown: compact postings, then the epilogue under test
+      Incremental.compactState(spark.table("t_rb_post"), "doc_id",
+        spark.table("t_rb_tomb"), "t_rb_post2", s"$base/post2",
+        bucketCols = Seq("term"), numBuckets = 4)
+      Incremental.rebuildIndexStats(spark.table("t_rb_post2"), "doc_id",
+        "t_rb_stats2", s"$base/stats2")
+      // the OLD log still counts retracted docs; the rebuilt one must
+      // equal a from-scratch build over the retained corpus (every
+      // fixture doc tokenizes to >= 1 word, so the caveat is inert)
+      val retained = docs.filter(col("doc_id") % 6 =!= 0)
+      assert(retained.filter(size(operators.Retrieval.wordTokens(col("text"))) === 0)
+        .count() === 0, "fixture assumption: no token-less docs")
+      val got = spark.table("t_rb_stats2").as[(Long, Long)].head()
+      val wantN = retained.count()
+      val wantDl = retained.select(
+        sum(size(operators.Retrieval.wordTokens(col("text"))).cast("long")))
+        .head().getLong(0)
+      assert(got === ((wantN, wantDl)))
+      val stale = spark.table("t_rb_stats").as[(Long, Long)].head()
+      assert(stale._1 > wantN, "old log must still count retracted docs")
+      // probe after rebuild == from-scratch BM25 over the retained corpus
+      val probe = Incremental.bm25AgainstIndex(spark.table("t_rb_post2"),
+          spark.table("t_rb_stats2"), "doc_id",
+          queryTerms = Seq("spark", "join"), k = 10)
+        .as[(Long, Double)].collect().toSeq
+      val scratch = operators.Retrieval.bm25TopK(retained, "doc_id",
+          col("text"), Seq("spark", "join"), k = 10)
+        .as[(Long, Double)].collect().toSeq
+      assert(probe === scratch)
+      // caveat pinned: a token-less doc is invisible to a from-postings
+      // rebuild but counted by the corpus-side build
+      val withEmpty = retained.select("doc_id", "text")
+        .union(Seq((999999L, "")).toDF("doc_id", "text"))
+      Incremental.writePostings(withEmpty, "doc_id", col("text"),
+        "t_rb_post3", s"$base/post3", numBuckets = 4)
+      Incremental.rebuildIndexStats(spark.table("t_rb_post3"), "doc_id",
+        "t_rb_stats3", s"$base/stats3")
+      assert(spark.table("t_rb_stats3").as[(Long, Long)].head()._1 === wantN)
+      Incremental.writeIndexStats(withEmpty, col("text"),
+        "t_rb_stats4", s"$base/stats4")
+      assert(spark.table("t_rb_stats4").as[(Long, Long)].head()._1 === wantN + 1)
+    } finally Seq("t_rb_post", "t_rb_stats", "t_rb_post2", "t_rb_stats2",
+      "t_rb_post3", "t_rb_stats3", "t_rb_stats4", "t_rb_tomb")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("rebuildFingerprints: re-applied df cap == from-scratch build over the union") {
+    import spark.implicits._
+    val base = tmp("graft_rebuild_fp")
+    Seq("t_rf_a", "t_rf_b").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // 12 docs sharing one 8-word boilerplate run + unique tails; with
+    // maxDf = 8 the boilerplate fps are UNDER cap in corpus A (6 docs)
+    // and must drop once appends push their df to 12
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta"
+    def mk(id: Long) = (id, s"$boiler unique$id tail$id words$id here$id now$id")
+    val a = (0L until 6L).map(mk).toDF("doc_id", "text")
+    val b = (6L until 12L).map(mk).toDF("doc_id", "text")
+    Incremental.writeFingerprintTable(a, "doc_id", col("text"),
+      "t_rf_a", s"$base/a", k = 4, w = 4, maxDf = 8, numBuckets = 4)
+    try {
+      Incremental.appendFingerprints(b, "doc_id", col("text"),
+        spark.table("t_rf_a"), "t_rf_a", k = 4, w = 4, numBuckets = 4)
+      // drifted: some fp now has df 12 > 8 (the documented append gap)
+      val over = spark.table("t_rf_a").groupBy("fp")
+        .agg(count(lit(1)).as("df")).filter(col("df") > 8).count()
+      assert(over > 0, "fixture must drift past the cap, or the test is vacuous")
+      Incremental.rebuildFingerprints(spark.table("t_rf_a"), "t_rf_b",
+        s"$base/b", maxDf = 8, numBuckets = 4)
+      val rebuilt = spark.table("t_rf_b").as[(Long, Long)].collect().toSet
+      // from-scratch over the union, same cap (no fp was over cap at
+      // A's own build, so the rebuild's residual corner is not in play)
+      Incremental.writeFingerprintTable(a.union(b), "doc_id", col("text"),
+        "t_rf_c", s"$base/c", k = 4, w = 4, maxDf = 8, numBuckets = 4)
+      val scratch = spark.table("t_rf_c").as[(Long, Long)].collect().toSet
+      assert(rebuilt === scratch)
+      assert(rebuilt.nonEmpty, "unique tails must keep under-cap fps")
+    } finally Seq("t_rf_a", "t_rf_b", "t_rf_c")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("positional Hamming state: probe-after-append == brute force; bucket-aligned, batch-side-only exchange") {
     import spark.implicits._
     // 36 synthetic clips, 3 variants per scene: a variant matches its

@@ -153,6 +153,35 @@ class IngestSpec extends AnyFunSuite {
     assert(r2.goldTotal === 1 && goldIds(st.goldPath) === Set(31L))
   }
 
+  test("rebuildDigestState: retracted-but-never-gold content becomes re-admittable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest5").toString
+    var st = IngestCli.initState(spark, "graft_ingest_t5", dir, numBuckets = 4)
+    IngestCli.ingestWave(spark, st, df(1L -> textA, 2L -> textB), 1, cfg)
+    // id 12 (nd1): survives the exact stage (unique digest — appended,
+    // seen-not-kept), then drops as A's fuzzy near-dup: never in gold
+    val r2 = IngestCli.ingestWave(spark, st, df(12L -> nd1), 2, cfg)
+    assert(r2.exactSurvivors === 1 && r2.accepted === 0)
+    // retract A AND the never-gold 12. Takedown can only compact
+    // digest keys recomputed from text it still HOLDS (gold), so
+    // nd1's digest survives — the documented residual under test
+    st = IngestCli.applyTakedown(spark, st, Seq(1L, 12L).toDF("doc_id"))
+    assert(goldIds(st.goldPath) === Set(2L))
+    val r3 = IngestCli.ingestWave(spark, st, df(31L -> nd1), 3, cfg)
+    assert(r3.accepted === 0,
+      "pre-rebuild, the orphaned digest still rejects (residual)")
+    // the mechanized rebuild: digests re-derived from retained gold
+    st = IngestCli.rebuildDigestState(spark, st)
+    assert(st.digestTable.endsWith("_v2"),
+      s"blue/green digest version bump expected: ${st.digestTable}")
+    val r4 = IngestCli.ingestWave(spark, st, df(32L -> nd1), 4, cfg)
+    assert(r4.accepted === 1,
+      "post-rebuild, fully-retracted content must re-admit")
+    assert(goldIds(st.goldPath) === Set(2L, 32L))
+    // and retained content is still rejected (the rebuild kept B)
+    val r5 = IngestCli.ingestWave(spark, st, df(33L -> textB), 5, cfg)
+    assert(r5.accepted === 0)
+  }
+
   // ---- the MEDIA wave loop ----
 
   test("media waves: gold == from-scratch batch over the union after every wave") {
