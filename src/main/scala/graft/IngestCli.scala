@@ -441,22 +441,75 @@ object IngestCli {
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
 
-  def main(args: Array[String]): Unit = {
-    require(args.length >= 2,
-      "usage: IngestCli <stateDir> <wave1.parquet> [wave2.parquet ...]")
-    val dir = args(0)
-    val spark = GraftSession.get(
-      s"local[${Runtime.getRuntime.availableProcessors()}]")
-    val cfg = GraftConfig.fromEnv()
+  /** The TEXT loop main drives — separated from session lifecycle so
+    * IngestSpec exercises the exact CLI code path. */
+  def runText(spark: SparkSession, dir: String, wavePaths: Seq[String],
+      takedownPath: Option[String], cfg: GraftConfig): Unit = {
     var st = initState(spark, "graft_ingest", dir)
-    sys.env.get("GRAFT_TAKEDOWN").foreach { p =>
+    takedownPath.foreach { p =>
       st = applyTakedown(spark, st, spark.read.parquet(p).select("doc_id"))
     }
-    args.drop(1).zipWithIndex.foreach { case (path, i) =>
+    wavePaths.zipWithIndex.foreach { case (path, i) =>
       val r = ingestWave(spark, st, spark.read.parquet(path), i, cfg)
       println(s"[ingest] wave=${r.wave} incoming=${r.incoming} " +
         s"live=${r.live} gated=${r.gated} exact=${r.exactSurvivors} " +
         s"accepted=${r.accepted} gold=${r.goldTotal}")
+    }
+  }
+
+  /** The MEDIA loop (`GRAFT_MEDIA=image|audio`): decode → optional
+    * exact codegen blocklist gate (`GRAFT_BLOCKLIST` = parquet of
+    * 64-bit `sig`s — request-scale, the [[Dedup.hammingIndex]]
+    * contract) → in-wave Hamming dedup → persisted-state probe →
+    * seen-not-kept append → gold. An optional takedown
+    * (`GRAFT_TAKEDOWN` = parquet of doc_ids) applies before the waves,
+    * exactly like the text loop. Waves need `(doc_id, content
+    * binary)`; extra columns ride to gold. */
+  def runMedia(spark: SparkSession, dir: String, wavePaths: Seq[String],
+      mode: String, blocklistPath: Option[String],
+      takedownPath: Option[String], maxHamming: Int = 8): Unit = {
+    val signer: DataFrame => DataFrame = mode match {
+      case "image" => defaultImageSigner
+      case "audio" => df =>
+        operators.Audio.audioSignatures(df, "doc_id", col("content"))
+          .select(col("doc_id"), col("decoded"), col("ehash").as("sig"))
+      case other => throw new IllegalArgumentException(
+        s"GRAFT_MEDIA=$other (want image|audio; video dedups through " +
+          "the positional state, Video.dedupAgainstState)")
+    }
+    val blocklist = blocklistPath.map { p =>
+      Dedup.hammingIndex(spark.read.parquet(p), "sig", maxHamming)
+    }
+    var st = initMediaState(spark, "graft_ingest_media", dir, maxHamming)
+    takedownPath.foreach { p =>
+      st = applyMediaTakedown(spark, st,
+        spark.read.parquet(p).select("doc_id"))
+    }
+    wavePaths.zipWithIndex.foreach { case (path, i) =>
+      val r = ingestMediaWave(spark, st, spark.read.parquet(path), i,
+        signer, blocklist)
+      println(s"[ingest-media] wave=${r.wave} incoming=${r.incoming} " +
+        s"live=${r.live} decoded=${r.decoded} blocked=${r.blocked} " +
+        s"accepted=${r.accepted} gold=${r.goldTotal}")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2,
+      "usage: IngestCli <stateDir> <wave1.parquet> [wave2.parquet ...] " +
+        "(GRAFT_MEDIA=image|audio selects the media loop; " +
+        "GRAFT_BLOCKLIST/GRAFT_TAKEDOWN name parquet inputs)")
+    val dir = args(0)
+    val spark = GraftSession.get(
+      s"local[${Runtime.getRuntime.availableProcessors()}]")
+    sys.env.get("GRAFT_MEDIA") match {
+      case Some(mode) =>
+        runMedia(spark, dir, args.drop(1).toSeq, mode,
+          sys.env.get("GRAFT_BLOCKLIST"), sys.env.get("GRAFT_TAKEDOWN"),
+          sys.env.get("GRAFT_MAX_HAMMING").map(_.toInt).getOrElse(8))
+      case None =>
+        runText(spark, dir, args.drop(1).toSeq,
+          sys.env.get("GRAFT_TAKEDOWN"), GraftConfig.fromEnv())
     }
     spark.stop()
   }

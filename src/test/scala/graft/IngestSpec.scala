@@ -216,6 +216,42 @@ class IngestSpec extends AnyFunSuite {
     corpus.unpersist(blocking = false)
   }
 
+  test("IngestCli.runMedia drives the CLI media loop: blocklist, takedown seeding, state dedup") {
+    import operators.Images
+    def imgs(ids: Long*) = Images.syntheticCorpus(
+      ids.toDF("doc_id"), "doc_id", variantsPerScene = 3, corruptEvery = 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_mcli").toString
+    // staged exactly as the CLI consumes them: wave parquets, a
+    // blocklist parquet of 64-bit sigs, a takedown parquet of doc_ids
+    imgs((0L until 10L).map(_ * 3): _*).write.parquet(s"$dir/w1")
+    imgs(13L, 10L).write.parquet(s"$dir/w2")
+    Images.imageSignatures(imgs(0L), "doc_id", col("content"))
+      .select(col("dhash").as("sig")).write.parquet(s"$dir/block")
+    Seq(9L).toDF("doc_id").write.parquet(s"$dir/td")
+    IngestCli.runMedia(spark, s"$dir/state", Seq(s"$dir/w1", s"$dir/w2"),
+      "image", Some(s"$dir/block"), Some(s"$dir/td"))
+    val gold = goldIds(s"$dir/state/gold")
+    // 0 blocked (blocklist); 9 tombstoned before any wave (seeding);
+    // 13 near-dups base 12 already in state; 10's scene base (9) never
+    // entered state, so 10 lands
+    assert(gold === Set(3L, 6L, 12L, 15L, 18L, 21L, 24L, 27L, 10L))
+    // audio mode exercises the alternate signer end to end
+    operators.Audio.syntheticCorpus(
+        spark.range(0, 12).toDF("doc_id"), "doc_id",
+        variantsPerScene = 3, corruptEvery = 0)
+      .write.parquet(s"$dir/aw1")
+    IngestCli.runMedia(spark, s"$dir/astate", Seq(s"$dir/aw1"), "audio",
+      None, None)
+    val agold = goldIds(s"$dir/astate/gold")
+    assert(agold === Set(0L, 3L, 6L, 9L), "audio in-wave dedup keeps bases")
+    // unknown mode refuses with the supported set named
+    val e = intercept[IllegalArgumentException] {
+      IngestCli.runMedia(spark, s"$dir/x", Seq(s"$dir/aw1"), "video",
+        None, None)
+    }
+    assert(e.getMessage.contains("image|audio"))
+  }
+
   test("media blocklist gates exactly; takedown forgets a retracted signature") {
     import operators.{Dedup, Images}
     // with variantsPerScene = 3, id = 3·scene is the scene's BASE and
