@@ -517,21 +517,30 @@ object Dedup {
     * cross-shard pairs are declared out of scope, exactly like
     * [[graft.operators.Video.clipNearDupPairs]] scoping frame pairs
     * to equal positions). Value-level dedup becomes per (shard, sig);
-    * ids re-attach by (shard, sig). */
+    * ids re-attach by (shard, sig). NULL shard values form ONE group
+    * (the groupBy convention, via null-safe struct equality) — a raw
+    * equi-join would silently exempt null-shard rows from dedup. */
   def hammingNearDupPairs(sigs: DataFrame, idCol: String, sigCol: String,
       maxHamming: Int, shardCols: Seq[String] = Nil): DataFrame = {
-    val shards = shardCols.map(col)
-    val ids = sigs.select((col(idCol) +: col(sigCol) +: shards): _*)
+    val sharded = shardCols.nonEmpty
+    // the SAME struct construction hammingPairsValues packs its
+    // `__shard` output with — identical types, so the re-attach joins
+    // below key on it directly (null-safe by struct equality)
+    def shardKey = struct(shardCols.map(col): _*).as("__shard")
+    val ids = sigs
+      .select((col(idCol) +: col(sigCol) +: shardCols.map(col)): _*)
       .filter(col(sigCol).isNotNull)
     val valPairs = hammingPairsValues(ids, col(sigCol), ids, col(sigCol),
       maxHamming, strict = false, shardCols)
+    val attachKeysA = "__ham_sa" +: (if (sharded) Seq("__shard") else Nil)
+    val attachKeysB = "__ham_sb" +: (if (sharded) Seq("__shard") else Nil)
     valPairs
       .join(ids.select((col(idCol).as("id_a") +:
-        col(sigCol).as("__ham_sa") +: shards): _*),
-        "__ham_sa" +: shardCols)
+        col(sigCol).as("__ham_sa") +:
+        (if (sharded) Seq(shardKey) else Nil)): _*), attachKeysA)
       .join(ids.select((col(idCol).as("id_b") +:
-        col(sigCol).as("__ham_sb") +: shards): _*),
-        "__ham_sb" +: shardCols)
+        col(sigCol).as("__ham_sb") +:
+        (if (sharded) Seq(shardKey) else Nil)): _*), attachKeysB)
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("__ham_sa").bitwiseXOR(col("__ham_sb"))).as("dist"))
@@ -617,29 +626,43 @@ object Dedup {
       shardCols: Seq[String] = Nil): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, "maxHamming must be in [0, 32)")
     val nBands = graft.functions.Bits.joinBands(maxHamming)
-    val shards = shardCols.map(col)
+    val sharded = shardCols.nonEmpty
+    // shard values are packed into ONE non-null struct key: Spark
+    // struct equality compares fields with null-safe semantics, so a
+    // NULL shard value forms a real group (the groupBy convention)
+    // instead of silently exempting its rows from dedup the way a
+    // raw equi-join on a nullable column would — silent under-dedup
+    // is the one failure a dedup knob must not have. Output carries
+    // `__shard` when sharded (callers re-attach ids by it).
     def banded(df: DataFrame, sig: Column, out: String,
         probe: Boolean): DataFrame = {
       // value-level dedup per (shard, sig): a signature re-occurring
       // across shards is one value row PER SHARD — the shard is part
       // of the value's identity once it joins the band key
-      val base = spreadWide(df).select((shards :+ sig.cast("long").as(out)): _*)
-        .filter(col(out).isNotNull).distinct()
-      base.select((shards :+ col(out) :+
+      val keyed =
+        if (sharded)
+          spreadWide(df).select(struct(shardCols.map(col): _*).as("__shard"),
+            sig.cast("long").as(out))
+        else spreadWide(df).select(sig.cast("long").as(out))
+      val keys = if (sharded) Seq(col("__shard")) else Nil
+      val base = keyed.filter(col(out).isNotNull).distinct()
+      base.select((keys :+ col(out) :+
           explode(graft.functions.Bits.hammingBandCol(
             col(out), maxHamming, nBands, probe)).as("__e")): _*)
-        .select((shards :+ col(out) :+
+        .select((keys :+ col(out) :+
           graft.functions.Bits.unpackBand(col("__e")).as("band") :+
           graft.functions.Bits.unpackBucket(col("__e")).as("bucket")): _*)
     }
     val verify =
       if (strict) bit_count(col("__ham_sa").bitwiseXOR(col("__ham_sb"))) < maxHamming
       else bit_count(col("__ham_sa").bitwiseXOR(col("__ham_sb"))) <= maxHamming
+    val joinKeys = (if (sharded) Seq("__shard") else Nil) ++ Seq("band", "bucket")
+    val outCols = (if (sharded) Seq(col("__shard")) else Nil) :+
+      col("__ham_sa") :+ col("__ham_sb")
     banded(ldf, lsig, "__ham_sa", probe = false)
-      .join(banded(rdf, rsig, "__ham_sb", probe = true),
-        shardCols ++ Seq("band", "bucket"))
+      .join(banded(rdf, rsig, "__ham_sb", probe = true), joinKeys)
       .filter(verify)
-      .select((shards :+ col("__ham_sa") :+ col("__ham_sb")): _*)
+      .select(outCols: _*)
       .distinct()
   }
 

@@ -77,12 +77,14 @@ object Images {
       // ColorModel conversion is the slow ImageIO access path — 2-5×
       // on large images, and decode is the dominant linear cost of an
       // image corpus). Same conversion pipeline → same sRGB ints →
-      // signatures stay bit-identical (ImagesSpec pins them).
-      val rgbs = img.getRGB(0, 0, w, h, null, 0, w)
-      val gray = new Array[Int](w * h)
+      // signatures stay bit-identical (ImagesSpec pins them). Luma is
+      // computed IN PLACE over the returned array: a second w·h int
+      // buffer would double transient allocation per image (real GC
+      // pressure on 8k-frame corpora).
+      val gray = img.getRGB(0, 0, w, h, null, 0, w)
       var i = 0
       while (i < gray.length) {
-        val rgb = rgbs(i)
+        val rgb = gray(i)
         val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF; val b = rgb & 0xFF
         gray(i) = (299 * r + 587 * g + 114 * b) / 1000
         i += 1

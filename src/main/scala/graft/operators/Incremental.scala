@@ -755,26 +755,78 @@ object Incremental {
 
   /** Pigeonhole bands of a 64-bit signature: `maxHamming + 1` bands
     * so any pair within the budget agrees on ≥ 1 whole band. Rows:
-    * `(band INT, bucket BIGINT, <idCol>, sig BIGINT)`; null
-    * signatures (undecoded media) produce no rows. */
+    * `(<keyCols...>, band INT, bucket BIGINT, <idCol>, sig BIGINT)`;
+    * null signatures (undecoded media) produce no rows. `keyCols`
+    * (e.g. `frame_pos` for the positional video family) ride the
+    * band key — ONE definition serves the flat and positional state
+    * families, so the under-banding guard below can never diverge
+    * between them (an under-banded layout silently misses
+    * within-budget pairs — the class of failure the `_meta` row
+    * cannot catch when write and probe agree on the same bad value). */
   private def hammingBanded(df: DataFrame, idCol: String, sigCol: String,
-      maxHamming: Int, nBands: Int, probe: Boolean): DataFrame = {
+      maxHamming: Int, nBands: Int, probe: Boolean,
+      keyCols: Seq[String] = Nil): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, "maxHamming must be in [0, 32)")
     require(nBands == maxHamming + 1 ||
       nBands >= graft.functions.Bits.probeBands(maxHamming),
       s"nBands=$nBands under-bands maxHamming=$maxHamming (needs " +
         s"${graft.functions.Bits.probeBands(maxHamming)}+ for 1-error probing)")
+    val missing = keyCols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"signature frame lacks key column(s) ${missing.mkString(",")}: " +
+        df.columns.mkString(","))
+    val keys = keyCols.map(col)
     // band over the RENAMED column — referencing `sigCol` here would
     // fail resolution for any source column not literally named "sig"
     // (the projection below renames it away)
     val bands = graft.functions.Bits.hammingBandCol(col("sig"), maxHamming,
       nBands, probe)
-    df.select(col(idCol), col(sigCol).cast("long").as("sig"))
+    df.select((keys :+ col(idCol) :+ col(sigCol).cast("long").as("sig")): _*)
       .filter(col("sig").isNotNull)
-      .select(col(idCol), col("sig"), explode(bands).as("__e"))
-      .select(graft.functions.Bits.unpackBand(col("__e")).as("band"),
-        graft.functions.Bits.unpackBucket(col("__e")).as("bucket"),
-        col(idCol), col("sig"))
+      .select((keys :+ col(idCol) :+ col("sig") :+ explode(bands).as("__e")): _*)
+      .select((keys :+
+        graft.functions.Bits.unpackBand(col("__e")).as("band") :+
+        graft.functions.Bits.unpackBucket(col("__e")).as("bucket") :+
+        col(idCol) :+ col("sig")): _*)
+  }
+
+  /** Shared write/append bodies for the flat (`keyCols = Nil`) and
+    * positional (`keyCols = Seq("frame_pos")`) state families — one
+    * banding, one meta-union, one bucket spec. */
+  private def writeHammingStateKeyed(corpus: DataFrame, idCol: String,
+      sigCol: String, table: String, path: String, maxHamming: Int,
+      numBuckets: Int, nBands: Int, keyCols: Seq[String]): Unit = {
+    val nb = resolveBands(maxHamming, nBands)
+    val meta = keyCols.foldLeft(
+        hammingMeta(corpus.sparkSession, idCol,
+          corpus.schema(idCol).dataType, maxHamming, nb))(
+      (m, k) => m.withColumn(k, lit(null).cast(corpus.schema(k).dataType)))
+    val bcols = keyCols ++ Seq("band", "bucket")
+    hammingBanded(corpus, idCol, sigCol, maxHamming, nb, probe = false,
+        keyCols)
+      .unionByName(meta)
+      .repartition(numBuckets, bcols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bcols.head, bcols.tail: _*)
+      .sortBy(bcols.head, bcols.tail: _*)
+      .option("path", path)
+      .saveAsTable(table)
+  }
+
+  private def appendHammingStateKeyed(batch: DataFrame, idCol: String,
+      sigCol: String, table: String, maxHamming: Int, numBuckets: Int,
+      nBands: Int, keyCols: Seq[String], caller: String): Unit = {
+    val nb = resolveBands(maxHamming, nBands)
+    validateHammingMeta(batch.sparkSession.table(table), maxHamming, nb,
+      caller)
+    val bcols = keyCols ++ Seq("band", "bucket")
+    hammingBanded(batch, idCol, sigCol, maxHamming, nb, probe = false,
+        keyCols)
+      .repartition(numBuckets, bcols.map(col): _*)
+      .write.mode(SaveMode.Append).format("parquet")
+      .bucketBy(numBuckets, bcols.head, bcols.tail: _*)
+      .sortBy(bcols.head, bcols.tail: _*)
+      .saveAsTable(table)
   }
 
   /** Reserved band id of the one `_meta` row every Hamming state
@@ -866,17 +918,9 @@ object Incremental {
     * batch-sized forever. */
   def writeHammingState(corpus: DataFrame, idCol: String, sigCol: String,
       table: String, path: String, maxHamming: Int = 8,
-      numBuckets: Int = 64, nBands: Int = -1): Unit = {
-    val nb = resolveBands(maxHamming, nBands)
-    hammingBanded(corpus, idCol, sigCol, maxHamming, nb, probe = false)
-      .unionByName(hammingMeta(corpus.sparkSession, idCol,
-        corpus.schema(idCol).dataType, maxHamming, nb))
-      .repartition(numBuckets, col("band"), col("bucket"))
-      .write.mode(SaveMode.Overwrite)
-      .bucketBy(numBuckets, "band", "bucket").sortBy("band", "bucket")
-      .option("path", path)
-      .saveAsTable(table)
-  }
+      numBuckets: Int = 64, nBands: Int = -1): Unit =
+    writeHammingStateKeyed(corpus, idCol, sigCol, table, path, maxHamming,
+      numBuckets, nBands, keyCols = Nil)
 
   /** Grow the Hamming state by a batch — same band layout, same
     * bucket spec as the write's, VALIDATED against the table's
@@ -888,16 +932,9 @@ object Incremental {
     * matters. */
   def appendHammingState(batch: DataFrame, idCol: String, sigCol: String,
       table: String, maxHamming: Int = 8, numBuckets: Int = 64,
-      nBands: Int = -1): Unit = {
-    val nb = resolveBands(maxHamming, nBands)
-    validateHammingMeta(batch.sparkSession.table(table), maxHamming, nb,
-      "appendHammingState")
-    hammingBanded(batch, idCol, sigCol, maxHamming, nb, probe = false)
-      .repartition(numBuckets, col("band"), col("bucket"))
-      .write.mode(SaveMode.Append).format("parquet")
-      .bucketBy(numBuckets, "band", "bucket").sortBy("band", "bucket")
-      .saveAsTable(table)
-  }
+      nBands: Int = -1): Unit =
+    appendHammingStateKeyed(batch, idCol, sigCol, table, maxHamming,
+      numBuckets, nBands, keyCols = Nil, caller = "appendHammingState")
 
   /** Batch ids within `maxHamming` bits of ANY state signature:
     * banded batch rows SEMI-join the table on (band, bucket) with the
@@ -954,24 +991,13 @@ object Incremental {
   // self-join every wave.
   // --------------------------------------------------------------
 
-  /** Banded frame rows `(frame_pos, band, bucket, <idCol>, sig)` —
-    * [[hammingBanded]] with the sample position riding the key. */
-  private def frameHammingBanded(df: DataFrame, idCol: String,
-      sigCol: String, maxHamming: Int, nBands: Int,
-      probe: Boolean): DataFrame = {
+  /** The positional frame at a canonical `frame_pos` type (int) —
+    * bucketBy column types must match between write and append. */
+  private def frameCast(df: DataFrame): DataFrame = {
     require(df.columns.contains("frame_pos"),
       s"positional signature frame needs a frame_pos column: " +
         df.columns.mkString(","))
-    val bands = graft.functions.Bits.hammingBandCol(col("sig"), maxHamming,
-      nBands, probe)
-    df.select(col(idCol), col("frame_pos").cast("int").as("frame_pos"),
-        col(sigCol).cast("long").as("sig"))
-      .filter(col("sig").isNotNull)
-      .select(col(idCol), col("frame_pos"), col("sig"), explode(bands).as("__e"))
-      .select(col("frame_pos"),
-        graft.functions.Bits.unpackBand(col("__e")).as("band"),
-        graft.functions.Bits.unpackBucket(col("__e")).as("bucket"),
-        col(idCol), col("sig"))
+    df.withColumn("frame_pos", col("frame_pos").cast("int"))
   }
 
   /** Corpus positional-signature state: banded per-frame rows
@@ -992,20 +1018,9 @@ object Incremental {
     * even starts. */
   def writeFrameHammingState(frameSigs: DataFrame, idCol: String,
       sigCol: String, table: String, path: String, maxHamming: Int = 8,
-      numBuckets: Int = 64, nBands: Int = -1): Unit = {
-    val nb = resolveBands(maxHamming, nBands)
-    frameHammingBanded(frameSigs, idCol, sigCol, maxHamming, nb,
-        probe = false)
-      .unionByName(hammingMeta(frameSigs.sparkSession, idCol,
-          frameSigs.schema(idCol).dataType, maxHamming, nb)
-        .withColumn("frame_pos", lit(null).cast("int")))
-      .repartition(numBuckets, col("frame_pos"), col("band"), col("bucket"))
-      .write.mode(SaveMode.Overwrite)
-      .bucketBy(numBuckets, "frame_pos", "band", "bucket")
-      .sortBy("frame_pos", "band", "bucket")
-      .option("path", path)
-      .saveAsTable(table)
-  }
+      numBuckets: Int = 64, nBands: Int = -1): Unit =
+    writeHammingStateKeyed(frameCast(frameSigs), idCol, sigCol, table,
+      path, maxHamming, numBuckets, nBands, keyCols = Seq("frame_pos"))
 
   /** Grow the positional state by a wave's frame signatures — same
     * band layout (validated against the `_meta` row BEFORE writing),
@@ -1014,17 +1029,10 @@ object Incremental {
     * waves matters. */
   def appendFrameHammingState(batch: DataFrame, idCol: String,
       sigCol: String, table: String, maxHamming: Int = 8,
-      numBuckets: Int = 64, nBands: Int = -1): Unit = {
-    val nb = resolveBands(maxHamming, nBands)
-    validateHammingMeta(batch.sparkSession.table(table), maxHamming, nb,
-      "appendFrameHammingState")
-    frameHammingBanded(batch, idCol, sigCol, maxHamming, nb, probe = false)
-      .repartition(numBuckets, col("frame_pos"), col("band"), col("bucket"))
-      .write.mode(SaveMode.Append).format("parquet")
-      .bucketBy(numBuckets, "frame_pos", "band", "bucket")
-      .sortBy("frame_pos", "band", "bucket")
-      .saveAsTable(table)
-  }
+      numBuckets: Int = 64, nBands: Int = -1): Unit =
+    appendHammingStateKeyed(frameCast(batch), idCol, sigCol, table,
+      maxHamming, numBuckets, nBands, keyCols = Seq("frame_pos"),
+      caller = "appendFrameHammingState")
 
   /** Batch clip ids whose sampled frames are within `maxHamming` bits
     * of SOME state clip's frames at ≥ `minFrames` distinct positions
@@ -1062,7 +1070,8 @@ object Incremental {
     val st = state.filter(col("band") =!= HammingMetaBand)
       .select(col("frame_pos"), col("band"), col("bucket"),
         col(stateIdCol).as("__idC"), col("sig").as("__ssig"))
-    frameHammingBanded(batch, idCol, sigCol, maxHamming, nb, probe = true)
+    hammingBanded(frameCast(batch), idCol, sigCol, maxHamming, nb,
+        probe = true, keyCols = Seq("frame_pos"))
       .join(st, Seq("frame_pos", "band", "bucket"))
       .filter(bit_count(col("sig").bitwiseXOR(col("__ssig"))) <= maxHamming)
       .select(col(idCol), col("__idC"), col("frame_pos"))

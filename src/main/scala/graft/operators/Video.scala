@@ -210,10 +210,10 @@ object Video {
     * them, exactly like re-shingling a MinHash corpus). */
   def dedupAgainstState(df: DataFrame, idCol: String, contentCol: Column,
       state: DataFrame, everyNth: Int = 2, maxHamming: Int = 8,
-      minFrames: Int = 2): DataFrame = {
+      minFrames: Int = 2, nBands: Int = -1): DataFrame = {
     val sigs = frameSignatures(df, idCol, contentCol, everyNth)
     val dupIds = Incremental.frameHammingDupIdsAgainstTable(sigs, idCol,
-        "dhash", state, maxHamming, minFrames)
+        "dhash", state, maxHamming, minFrames, nBands)
       .localCheckpoint(true)
     df.join(dupIds, Seq(idCol), "left_anti")
   }

@@ -163,6 +163,20 @@ class AudioSpec extends AnyFunSuite {
     // sharding — the knob severs only out-of-scope pairs
     val planted = (0L until 90L by 3L).flatMap(b => Seq((b, b + 1), (b, b + 2))).toSet
     assert(planted.subsetOf(sharded))
+    // NULL shard values form ONE group (groupBy convention): scene 0's
+    // pair with both sources null must still dedup; a null-vs-non-null
+    // pair must not. A raw equi-join would silently exempt ALL null
+    // rows — the regression this pins
+    val nullish = sigs.withColumn("source",
+      when(col("doc_id") <= 1, lit(null).cast("long"))
+        .otherwise(lit(7L)))
+    val nullPairs = operators.Dedup.hammingNearDupPairs(
+        nullish, "doc_id", "ehash", 8, shardCols = Seq("source"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(nullPairs.contains((0L, 1L)),
+      "both-null shard rows must pair (one group)")
+    assert(!nullPairs.contains((0L, 2L)) && !nullPairs.contains((1L, 2L)),
+      "null vs non-null shard must not pair")
     sigs.unpersist(blocking = false)
   }
 }

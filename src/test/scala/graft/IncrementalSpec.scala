@@ -707,6 +707,16 @@ class IncrementalSpec extends AnyFunSuite {
         Incremental.frameHammingDupIdsAgainstTable(batch, "doc_id", "dhash",
           spark.table("t_fhamm"), maxHamming = 4)
       }
+      // UNDER-BANDED explicit nBands refuses on the positional family
+      // exactly like the flat one (regression: the positional copy
+      // once lacked the guard, and a write+probe AGREEING on a bad
+      // value sails past the _meta check → silent false negatives)
+      val eUnder = intercept[IllegalArgumentException] {
+        Incremental.writeFrameHammingState(cor, "doc_id", "dhash",
+          "t_fhamm_bad", tmp("graft_fhamm_bad"), maxHamming = 8,
+          numBuckets = 4, nBands = 3)
+      }
+      assert(eUnder.getMessage.contains("under-bands"))
     } finally {
       spark.sql("DROP TABLE IF EXISTS t_fhamm")
       sigs.unpersist(blocking = false)
