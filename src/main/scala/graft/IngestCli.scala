@@ -437,6 +437,175 @@ object IngestCli {
     operators.Images.imageSignatures(df, "doc_id", col("content"))
       .select(col("doc_id"), col("decoded"), col("dhash").as("sig"))
 
+  // --------------------------------------------------------------
+  // The VIDEO wave loop: recurring clip ingestion over the persisted
+  // POSITIONAL Hamming state (q147's layout) — a clip is its
+  // per-sampled-position frame signatures, and two clips match when
+  // ≥ minFrames positions are pairwise within the budget. Composition
+  // mirrors the media loop; the blocklist gate is CROSS-MODAL by
+  // construction: frames share the image dHash identity, so a
+  // blocklist of flagged IMAGE signatures blocks every clip ANY of
+  // whose sampled frames is within the budget of a flagged still —
+  // near-copies of flagged content (re-encodes, light edits) are
+  // blocked too, which is what an enforcement gate wants.
+  //
+  // Equivalence contract (IngestSpec): with waves arriving in id
+  // order, gold after any number of waves IS [[batchVideoEquivalent]]
+  // over the union — unconditional (positional pigeonhole pairs are
+  // exact). Undecodable clips pass (nothing provable) and never enter
+  // state; blocked clips never enter gold OR state.
+  //
+  // 100 TB shape: decode is the wave-sized mapPartitions scan (the
+  // dominant linear cost; `everyNth` is the knob), the blocklist
+  // rides map-side in codegen over 16 B/frame rows, the state probe
+  // shuffles only the wave's banded frames (state bucket-aligned,
+  // plan-asserted in IncrementalSpec), appends are wave-sized
+  // bucketed writes. Nothing re-reads previously ingested clip bytes.
+  // --------------------------------------------------------------
+
+  final case class VideoState(ns: String, dir: String, numBuckets: Int,
+      maxHamming: Int, minFrames: Int, everyNth: Int, version: Int = 0) {
+    def sigTable: String = s"${ns}_fsigs_v$version"
+    def tombTable: String = s"${ns}_tombstones"
+    def goldPath: String = s"$dir/gold"
+  }
+
+  /** Fresh video state: empty positional Hamming-signature and
+    * tombstone tables, clean gold dir. `(maxHamming, minFrames,
+    * everyNth)` fix the match contract AND the sampling grid for the
+    * state's whole life — a stride change renumbers positions, like
+    * re-shingling a MinHash corpus. */
+  def initVideoState(spark: SparkSession, ns: String, dir: String,
+      maxHamming: Int = 8, minFrames: Int = 2, everyNth: Int = 2,
+      numBuckets: Int = 8): VideoState = {
+    val st = VideoState(ns, dir, numBuckets, maxHamming, minFrames, everyNth)
+    Seq(st.sigTable, st.tombTable)
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val empty = spark.range(0).select(col("id").as("doc_id"),
+      col("id").cast("int").as("frame_pos"), col("id").as("dhash"))
+    Incremental.writeFrameHammingState(empty, "doc_id", "dhash",
+      st.sigTable, s"$dir/fsigs_v0", maxHamming, numBuckets)
+    Incremental.writeTombstones(empty.select("doc_id"), "doc_id",
+      st.tombTable, s"$dir/tombstones", numBuckets)
+    fsFor(spark, dir).delete(new org.apache.hadoop.fs.Path(st.goldPath), true)
+    st
+  }
+
+  /** One video wave. `wave` needs (doc_id, content binary AVI); extra
+    * columns ride to gold. `blocklist` = flagged IMAGE signatures —
+    * a clip is blocked when ANY sampled frame is within the index's
+    * budget of a flagged still (cross-modal enforcement). */
+  def ingestVideoWave(spark: SparkSession, st: VideoState, wave: DataFrame,
+      waveNo: Int,
+      blocklist: Option[Dedup.HammingIndex] = None): MediaWaveReport = {
+    val incoming = wave.count()
+    val live = Incremental.retractIds(wave, "doc_id", spark.table(st.tombTable))
+    val nLive = live.count()
+
+    // decode once per wave: (doc_id, frame_pos, dhash) — 16 B/frame;
+    // clip bytes never travel past this scan
+    val sigs = operators.Video.frameSignatures(live, "doc_id",
+        col("content"), st.everyNth)
+      .localCheckpoint(true)
+    val decodedIds = sigs.select("doc_id").distinct()
+    val nDecoded = decodedIds.count()
+
+    // cross-modal blocklist: ANY flagged sampled frame blocks the
+    // whole clip — map-side codegen per frame row, one tiny distinct
+    val blockedIds = blocklist match {
+      case Some(idx) =>
+        sigs.filter(Dedup.hammingNearSet(col("dhash"), idx))
+          .select("doc_id").distinct().localCheckpoint(true)
+      case None => spark.range(0).select(col("id").as("doc_id"))
+    }
+    val nBlocked = blockedIds.count()
+    val admitted = sigs.join(blockedIds, Seq("doc_id"), "left_anti")
+
+    // in-wave and against-state drops over the SAME admitted input,
+    // unioned — the seen-not-kept contract, exactly as the text and
+    // media loops
+    val inWaveDups = operators.Video.clipNearDupPairs(admitted, "doc_id",
+        st.maxHamming, st.minFrames)
+      .select(col("id_b").as("doc_id"))
+    val stateDups = Incremental.frameHammingDupIdsAgainstTable(admitted,
+      "doc_id", "dhash", spark.table(st.sigTable), st.maxHamming,
+      st.minFrames)
+    val dropIds = inWaveDups.union(stateDups).distinct().localCheckpoint(true)
+
+    // state grows by every admitted decoded clip's frames (dropped or
+    // not); blocked clips never enter state
+    Incremental.appendFrameHammingState(admitted, "doc_id", "dhash",
+      st.sigTable, st.maxHamming, st.numBuckets)
+
+    val accepted = live
+      .join(blockedIds, Seq("doc_id"), "left_anti")
+      .join(dropIds, Seq("doc_id"), "left_anti")
+    val nAccepted = accepted.count()
+    accepted.withColumn("ingest_wave", lit(waveNo))
+      .write.mode(SaveMode.Append).partitionBy("ingest_wave")
+      .parquet(st.goldPath)
+    val goldTotal =
+      if (goldHasData(spark, st.goldPath))
+        spark.read.parquet(st.goldPath).count()
+      else 0L
+    MediaWaveReport(waveNo, incoming, nLive, nDecoded, nBlocked, nAccepted,
+      goldTotal)
+  }
+
+  /** Video takedown: tombstones gate later waves, gold rewrites
+    * blue/green, and the id-carrying positional state compacts — the
+    * retracted clip's frames stop suppressing future near-duplicates.
+    * Seen-not-kept caveat shared with the other loops: frames of
+    * clips DROPPED as the retracted clip's duplicates remain. */
+  def applyVideoTakedown(spark: SparkSession, st: VideoState,
+      ids: DataFrame): VideoState = {
+    Incremental.appendTombstones(ids, ids.columns.head,
+      spark.table(st.tombTable), st.tombTable, st.numBuckets)
+    val next = st.copy(version = st.version + 1)
+    Incremental.compactState(spark.table(st.sigTable), "doc_id",
+      spark.table(st.tombTable), next.sigTable,
+      s"${st.dir}/fsigs_v${next.version}",
+      bucketCols = Seq("frame_pos", "band", "bucket"),
+      numBuckets = st.numBuckets)
+    if (goldHasData(spark, st.goldPath)) {
+      val fs = fsFor(spark, st.dir)
+      val tmp = new org.apache.hadoop.fs.Path(s"${st.goldPath}__next")
+      fs.delete(tmp, true)
+      Incremental.retractIds(spark.read.parquet(st.goldPath), "doc_id",
+          spark.table(st.tombTable))
+        .write.partitionBy("ingest_wave").parquet(tmp.toString)
+      val goldP = new org.apache.hadoop.fs.Path(st.goldPath)
+      fs.delete(goldP, true)
+      fs.rename(tmp, goldP)
+    }
+    next
+  }
+
+  /** The from-scratch video batch the wave loop must equal over the
+    * union of its waves: sign → cross-modal blocklist gate → drop
+    * every clip matching a LOWER-id admitted decoded clip on
+    * ≥ `minFrames` sampled positions (kept or dropped). */
+  def batchVideoEquivalent(corpus: DataFrame, maxHamming: Int = 8,
+      minFrames: Int = 2, everyNth: Int = 2,
+      blocklist: Option[Dedup.HammingIndex] = None): DataFrame = {
+    val sigs = operators.Video.frameSignatures(corpus, "doc_id",
+      col("content"), everyNth)
+    val blockedIds = blocklist match {
+      case Some(idx) =>
+        sigs.filter(Dedup.hammingNearSet(col("dhash"), idx))
+          .select("doc_id").distinct()
+      case None =>
+        corpus.sparkSession.range(0).select(col("id").as("doc_id"))
+    }
+    val admitted = sigs.join(blockedIds, Seq("doc_id"), "left_anti")
+    val dropIds = operators.Video.clipNearDupPairs(admitted, "doc_id",
+        maxHamming, minFrames)
+      .select(col("id_b").as("doc_id")).distinct()
+    corpus
+      .join(blockedIds, Seq("doc_id"), "left_anti")
+      .join(dropIds, Seq("doc_id"), "left_anti")
+  }
+
   private def fsFor(spark: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
@@ -474,8 +643,8 @@ object IngestCli {
         operators.Audio.audioSignatures(df, "doc_id", col("content"))
           .select(col("doc_id"), col("decoded"), col("ehash").as("sig"))
       case other => throw new IllegalArgumentException(
-        s"GRAFT_MEDIA=$other (want image|audio; video dedups through " +
-          "the positional state, Video.dedupAgainstState)")
+        s"GRAFT_MEDIA=$other (want image|audio — video routes through " +
+          "runVideo and its positional state)")
     }
     val blocklist = blocklistPath.map { p =>
       Dedup.hammingIndex(spark.read.parquet(p), "sig", maxHamming)
@@ -494,19 +663,52 @@ object IngestCli {
     }
   }
 
+  /** The VIDEO loop (`GRAFT_MEDIA=video`): clip waves through the
+    * positional Hamming state; `GRAFT_BLOCKLIST` = parquet of flagged
+    * IMAGE `sig`s (cross-modal frame gate), `GRAFT_TAKEDOWN` seeds
+    * tombstones, `GRAFT_MIN_FRAMES`/`GRAFT_EVERY_NTH` tune the match
+    * contract / sampling grid. */
+  def runVideo(spark: SparkSession, dir: String, wavePaths: Seq[String],
+      blocklistPath: Option[String], takedownPath: Option[String],
+      maxHamming: Int = 8, minFrames: Int = 2, everyNth: Int = 2): Unit = {
+    val blocklist = blocklistPath.map { p =>
+      Dedup.hammingIndex(spark.read.parquet(p), "sig", maxHamming)
+    }
+    var st = initVideoState(spark, "graft_ingest_video", dir, maxHamming,
+      minFrames, everyNth)
+    takedownPath.foreach { p =>
+      st = applyVideoTakedown(spark, st,
+        spark.read.parquet(p).select("doc_id"))
+    }
+    wavePaths.zipWithIndex.foreach { case (path, i) =>
+      val r = ingestVideoWave(spark, st, spark.read.parquet(path), i,
+        blocklist)
+      println(s"[ingest-video] wave=${r.wave} incoming=${r.incoming} " +
+        s"live=${r.live} decoded=${r.decoded} blocked=${r.blocked} " +
+        s"accepted=${r.accepted} gold=${r.goldTotal}")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: IngestCli <stateDir> <wave1.parquet> [wave2.parquet ...] " +
-        "(GRAFT_MEDIA=image|audio selects the media loop; " +
+        "(GRAFT_MEDIA=image|audio|video selects the media loop; " +
         "GRAFT_BLOCKLIST/GRAFT_TAKEDOWN name parquet inputs)")
     val dir = args(0)
     val spark = GraftSession.get(
       s"local[${Runtime.getRuntime.availableProcessors()}]")
+    val maxHamming = sys.env.get("GRAFT_MAX_HAMMING").map(_.toInt).getOrElse(8)
     sys.env.get("GRAFT_MEDIA") match {
+      case Some("video") =>
+        runVideo(spark, dir, args.drop(1).toSeq,
+          sys.env.get("GRAFT_BLOCKLIST"), sys.env.get("GRAFT_TAKEDOWN"),
+          maxHamming,
+          sys.env.get("GRAFT_MIN_FRAMES").map(_.toInt).getOrElse(2),
+          sys.env.get("GRAFT_EVERY_NTH").map(_.toInt).getOrElse(2))
       case Some(mode) =>
         runMedia(spark, dir, args.drop(1).toSeq, mode,
           sys.env.get("GRAFT_BLOCKLIST"), sys.env.get("GRAFT_TAKEDOWN"),
-          sys.env.get("GRAFT_MAX_HAMMING").map(_.toInt).getOrElse(8))
+          maxHamming)
       case None =>
         runText(spark, dir, args.drop(1).toSeq,
           sys.env.get("GRAFT_TAKEDOWN"), GraftConfig.fromEnv())

@@ -2308,6 +2308,31 @@ object SparkEntry {
       s.read.parquet(st.goldPath).select("doc_id").orderBy("doc_id")
     },
 
+    // ---- Recurring VIDEO ingestion over the persisted POSITIONAL
+    // Hamming state (q147's layout): the corpus arrives as two
+    // id-ordered clip waves; each decodes once, probes state on
+    // (frame_pos, band, bucket), drops clips matching ≥ 2 sampled
+    // positions of any earlier admitted decoded clip, and appends its
+    // frames (seen-not-kept). The exported per-frame signatures let
+    // DuckDB replay the FROM-SCRATCH batch — matching outputs check
+    // the wave ≡ batch guarantee cross-engine, positional edition.
+    "q150_video_wave_ingest" -> { (s, dir) =>
+      val corpus = operators.Video.syntheticCorpus(
+          Tables.documents(s, dir).select("doc_id"), "doc_id",
+          variantsPerScene = 3, corruptEvery = 97)
+        .localCheckpoint(true)
+      operators.Video.frameSignatures(corpus, "doc_id", col("content"),
+          everyNth = 2)
+        .write.mode("overwrite").parquet(s"${stateDir(dir)}/q150_sigs")
+      val mid = corpus.agg(max(col("doc_id")) / 2).head().getDouble(0)
+      val st = IngestCli.initVideoState(s, "graft_q150_video",
+        s"${stateDir(dir)}/q150_state", maxHamming = 8, minFrames = 2,
+        everyNth = 2, numBuckets = 8)
+      IngestCli.ingestVideoWave(s, st, corpus.filter(col("doc_id") <= mid), 1)
+      IngestCli.ingestVideoWave(s, st, corpus.filter(col("doc_id") > mid), 2)
+      s.read.parquet(st.goldPath).select("doc_id").orderBy("doc_id")
+    },
+
     // ---- Persisted Hamming-signature state: the ONE incremental
     // layout for every 64-bit signature family (image dHash, audio
     // eHash, text SimHash). State built on ids ≡ 0 (mod 4), grown by
@@ -4964,6 +4989,27 @@ object SparkEntry {
         |    ON a.decoded AND b.decoded AND a.doc_id < b.doc_id
         |   AND bit_count(xor(a.dhash, b.dhash)) <= 8)
         |SELECT doc_id FROM sigs
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q150: Spark ran the VIDEO wave loop over positional state; the
+    // oracle replays the from-scratch batch (drop a clip iff ≥ 2
+    // distinct sampled positions are within 8 bits of a LOWER-id
+    // decoded clip — kept or dropped, the seen-not-kept contract;
+    // corrupt clips have no frame rows and survive).
+    "q150_video_wave_ingest" ->
+      """WITH sigs AS (
+        |  SELECT doc_id, frame_pos, dhash
+        |  FROM read_parquet('__GRAFT_STATE_DIR__/q150_sigs/*.parquet')),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         count(DISTINCT a.frame_pos) AS m
+        |  FROM sigs a JOIN sigs b
+        |    ON a.doc_id < b.doc_id AND a.frame_pos = b.frame_pos
+        |   AND bit_count(xor(a.dhash, b.dhash)) <= 8
+        |  GROUP BY 1, 2),
+        |dup AS (SELECT DISTINCT id_b AS doc_id FROM pairs WHERE m >= 2)
+        |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM dup)
         |ORDER BY doc_id""".stripMargin,
 

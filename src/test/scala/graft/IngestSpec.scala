@@ -295,4 +295,102 @@ class IngestSpec extends AnyFunSuite {
       blocklist = Some(blockIdx))
     assert(r5.accepted === 0, "seen-not-kept state must keep suppressing")
   }
+
+  // ---- the VIDEO wave loop (positional state) ----
+
+  test("video waves: gold == from-scratch batch over the union after every wave") {
+    import operators.Video
+    // 10 scenes × 3 variants (clip near-dups cross wave boundaries:
+    // a variant matches its scene at 3 of 4 sampled positions), every
+    // 13th payload corrupt (no frame rows → must survive)
+    val corpus = Video.syntheticCorpus(
+      spark.range(30).select(col("id").as("doc_id")), "doc_id",
+      variantsPerScene = 3, corruptEvery = 13).cache()
+    corpus.count()
+    val waves = Seq(
+      corpus.filter(col("doc_id") < 10),
+      corpus.filter(col("doc_id") >= 10 && col("doc_id") < 20),
+      corpus.filter(col("doc_id") >= 20))
+    val dir = java.nio.file.Files.createTempDirectory("graft_vingest").toString
+    val st = IngestCli.initVideoState(spark, "graft_vingest_t1", dir,
+      maxHamming = 8, minFrames = 2, everyNth = 2, numBuckets = 4)
+    var union: DataFrame = null
+    waves.zipWithIndex.foreach { case (w, i) =>
+      union = if (union == null) w else union.union(w)
+      val r = IngestCli.ingestVideoWave(spark, st, w, i + 1)
+      val expect = IngestCli.batchVideoEquivalent(union, maxHamming = 8,
+          minFrames = 2, everyNth = 2)
+        .select("doc_id").as[Long].collect().toSet
+      assert(goldIds(st.goldPath) === expect, s"after wave ${i + 1}")
+      assert(r.goldTotal === expect.size)
+    }
+    val gold = goldIds(st.goldPath)
+    assert(gold.size < 30, "no dedup happened; assertions vacuous")
+    assert(gold.exists(_ % 13 == 0), "undecodable payloads must pass")
+    corpus.unpersist(blocking = false)
+  }
+
+  test("IngestCli.runVideo drives the CLI video loop: cross-modal blocklist, takedown seeding, state dedup") {
+    import operators.Video
+    def clips(ids: Long*) = Video.syntheticCorpus(
+      ids.toDF("doc_id"), "doc_id", variantsPerScene = 3, corruptEvery = 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_vcli").toString
+    clips((0L until 10L).map(_ * 3): _*).write.parquet(s"$dir/w1")
+    clips(13L, 10L).write.parquet(s"$dir/w2")
+    // CROSS-MODAL blocklist: a flagged IMAGE signature — scene 0's
+    // sampled frame 0 — blocks every clip sharing (a near-copy of)
+    // that still, base AND variants alike
+    Video.frameSignatures(clips(0L), "doc_id", col("content"), everyNth = 2)
+      .filter(col("frame_pos") === 0)
+      .select(col("dhash").as("sig")).write.parquet(s"$dir/block")
+    Seq(9L).toDF("doc_id").write.parquet(s"$dir/td")
+    IngestCli.runVideo(spark, s"$dir/state", Seq(s"$dir/w1", s"$dir/w2"),
+      Some(s"$dir/block"), Some(s"$dir/td"))
+    val gold = goldIds(s"$dir/state/gold")
+    // 0 blocked (flagged frame); 9 tombstoned before any wave; 13
+    // matches live base 12 on 3 of 4 positions → dropped; 10's scene
+    // base (9) never entered state, so 10 lands
+    assert(gold === Set(3L, 6L, 12L, 15L, 18L, 21L, 24L, 27L, 10L))
+  }
+
+  test("video blocklist blocks variants through shared frames; takedown forgets clip frames") {
+    import operators.{Dedup, Video}
+    def clips(ids: Long*) = Video.syntheticCorpus(
+      ids.toDF("doc_id"), "doc_id", variantsPerScene = 3, corruptEvery = 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_vingest2").toString
+    var st = IngestCli.initVideoState(spark, "graft_vingest_t2", dir,
+      maxHamming = 8, minFrames = 2, everyNth = 2, numBuckets = 4)
+    val blockIdx = Dedup.hammingIndex(
+      Video.frameSignatures(clips(0L), "doc_id", col("content"), everyNth = 2)
+        .filter(col("frame_pos") === 0),
+      "dhash", maxHamming = 8)
+    // wave 1: scene 0's VARIANT (id 1, frame 0 untouched by the edit)
+    // is blocked through the shared still — cross-modal enforcement
+    // reaches near-copies; bases of scenes 1..4 land
+    val r1 = IngestCli.ingestVideoWave(spark, st,
+      clips(1L, 3L, 6L, 9L, 12L), 1, blocklist = Some(blockIdx))
+    assert(r1.blocked === 1 && !goldIds(st.goldPath).contains(1L))
+    assert(r1.accepted === 4)
+    // scene 4's variant (id 13) matches live base 12 on 3 positions
+    val r2 = IngestCli.ingestVideoWave(spark, st, clips(13L), 2,
+      blocklist = Some(blockIdx))
+    assert(r2.accepted === 0)
+    // take down scene 3's base (id 9): tombstone gates re-crawl AND
+    // compaction forgets its frames (no other sighting of scene 3)
+    st = IngestCli.applyVideoTakedown(spark, st, Seq(9L).toDF("doc_id"))
+    assert(!goldIds(st.goldPath).contains(9L))
+    val r3 = IngestCli.ingestVideoWave(spark, st, clips(9L), 3,
+      blocklist = Some(blockIdx))
+    assert(r3.live === 0, "tombstoned id must never re-enter")
+    // a NEW sighting of scene 3 content (variant id 10): admitted —
+    // content-level forgetting after positional-state compaction
+    val r4 = IngestCli.ingestVideoWave(spark, st, clips(10L), 4,
+      blocklist = Some(blockIdx))
+    assert(r4.accepted === 1, "retracted clip frames must stop suppressing")
+    // scene 4 still rejects: dropped variant 13's frames remain in
+    // state (seen-not-kept), and variants share 3 sampled positions
+    val r5 = IngestCli.ingestVideoWave(spark, st, clips(14L), 5,
+      blocklist = Some(blockIdx))
+    assert(r5.accepted === 0, "seen-not-kept state must keep suppressing")
+  }
 }
