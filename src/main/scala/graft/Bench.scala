@@ -210,7 +210,7 @@ object Bench {
       spark.read.parquet(s"$tmpOut/st_framesigs")
         .filter(col("doc_id") % 2 === 0),
       "doc_id", "dhash", "graft_bench_framestate", s"$tmpOut/frame_state",
-      maxHamming = 8, numBuckets = 8)
+      maxHamming = 8, numBuckets = 8, everyNth = 2)
 
     def staged(path: String) =
       spark.readStream.schema(spark.read.parquet(path).schema).parquet(path)
@@ -303,7 +303,7 @@ object Bench {
           spark.read.parquet(s"$tmpOut/st_framesigs")
             .filter(col("doc_id") % 2 === 1),
           "doc_id", "dhash", spark.table("graft_bench_framestate"),
-          maxHamming = 8, minFrames = 2))),
+          maxHamming = 8, minFrames = 2, everyNth = 2))),
       "op_takedown_read" -> (() => force(
         operators.Incremental.retractIds(
           spark.table("graft_bench_fp_post"), "corpus_id",

@@ -217,22 +217,46 @@ object IngestCli {
     // REMAINS (a retract-everything takedown leaves an empty dir a
     // manifest read could not infer a schema from).
     if (hadGold) {
-      val fs = fsFor(spark, st.dir)
-      val tmp = new org.apache.hadoop.fs.Path(s"${st.goldPath}__next")
-      fs.delete(tmp, true)
-      Incremental.retractIds(spark.read.parquet(st.goldPath), "doc_id",
-          spark.table(st.tombTable))
-        .write.partitionBy("ingest_wave").parquet(tmp.toString)
-      val goldP = new org.apache.hadoop.fs.Path(st.goldPath)
-      fs.delete(goldP, true)
-      fs.rename(tmp, goldP)
+      rewriteGoldRetained(spark, st.dir, st.goldPath, st.tombTable)
       if (goldHasData(spark, st.goldPath))
         sources.CorpusIO.releaseManifest(spark, st.goldPath, "ingest_wave")
           .write.mode(SaveMode.Overwrite).parquet(st.manifestPath)
       else
-        fs.delete(new org.apache.hadoop.fs.Path(st.manifestPath), true)
+        fsFor(spark, st.dir)
+          .delete(new org.apache.hadoop.fs.Path(st.manifestPath), true)
     }
     next
+  }
+
+  /** Blue/green gold rewrite shared by every loop's takedown: write
+    * the retained rows beside the live dir, then swap — readers see
+    * the old gold or the new, never a partial. Callers guard on
+    * [[goldHasData]]. */
+  private def rewriteGoldRetained(spark: SparkSession, dir: String,
+      goldPath: String, tombTable: String): Unit = {
+    val fs = fsFor(spark, dir)
+    val tmp = new org.apache.hadoop.fs.Path(s"${goldPath}__next")
+    fs.delete(tmp, true)
+    Incremental.retractIds(spark.read.parquet(goldPath), "doc_id",
+        spark.table(tombTable))
+      .write.partitionBy("ingest_wave").parquet(tmp.toString)
+    val goldP = new org.apache.hadoop.fs.Path(goldPath)
+    fs.delete(goldP, true)
+    fs.rename(tmp, goldP)
+  }
+
+  /** Shared takedown prologue for the signature-state loops:
+    * tombstone append + blue/green compaction of the id-carrying
+    * signature state (the `_meta` row rides through — a null id never
+    * matches a tombstone). */
+  private def tombstoneAndCompact(spark: SparkSession, ids: DataFrame,
+      tombTable: String, sigTable: String, nextTable: String,
+      nextPath: String, bucketCols: Seq[String], numBuckets: Int): Unit = {
+    Incremental.appendTombstones(ids, ids.columns.head,
+      spark.table(tombTable), tombTable, numBuckets)
+    Incremental.compactState(spark.table(sigTable), "doc_id",
+      spark.table(tombTable), nextTable, nextPath,
+      bucketCols = bucketCols, numBuckets = numBuckets)
   }
 
   /** Rebuild the content-keyed digest state from RETAINED GOLD — the
@@ -392,24 +416,12 @@ object IngestCli {
     * when retraction must readmit a whole near-dup cluster. */
   def applyMediaTakedown(spark: SparkSession, st: MediaState,
       ids: DataFrame): MediaState = {
-    Incremental.appendTombstones(ids, ids.columns.head,
-      spark.table(st.tombTable), st.tombTable, st.numBuckets)
     val next = st.copy(version = st.version + 1)
-    Incremental.compactState(spark.table(st.sigTable), "doc_id",
-      spark.table(st.tombTable), next.sigTable,
-      s"${st.dir}/hsigs_v${next.version}",
+    tombstoneAndCompact(spark, ids, st.tombTable, st.sigTable,
+      next.sigTable, s"${st.dir}/hsigs_v${next.version}",
       bucketCols = Seq("band", "bucket"), numBuckets = st.numBuckets)
-    if (goldHasData(spark, st.goldPath)) {
-      val fs = fsFor(spark, st.dir)
-      val tmp = new org.apache.hadoop.fs.Path(s"${st.goldPath}__next")
-      fs.delete(tmp, true)
-      Incremental.retractIds(spark.read.parquet(st.goldPath), "doc_id",
-          spark.table(st.tombTable))
-        .write.partitionBy("ingest_wave").parquet(tmp.toString)
-      val goldP = new org.apache.hadoop.fs.Path(st.goldPath)
-      fs.delete(goldP, true)
-      fs.rename(tmp, goldP)
-    }
+    if (goldHasData(spark, st.goldPath))
+      rewriteGoldRetained(spark, st.dir, st.goldPath, st.tombTable)
     next
   }
 
@@ -484,7 +496,8 @@ object IngestCli {
     val empty = spark.range(0).select(col("id").as("doc_id"),
       col("id").cast("int").as("frame_pos"), col("id").as("dhash"))
     Incremental.writeFrameHammingState(empty, "doc_id", "dhash",
-      st.sigTable, s"$dir/fsigs_v0", maxHamming, numBuckets)
+      st.sigTable, s"$dir/fsigs_v0", maxHamming, numBuckets,
+      everyNth = everyNth)
     Incremental.writeTombstones(empty.select("doc_id"), "doc_id",
       st.tombTable, s"$dir/tombstones", numBuckets)
     fsFor(spark, dir).delete(new org.apache.hadoop.fs.Path(st.goldPath), true)
@@ -529,13 +542,14 @@ object IngestCli {
       .select(col("id_b").as("doc_id"))
     val stateDups = Incremental.frameHammingDupIdsAgainstTable(admitted,
       "doc_id", "dhash", spark.table(st.sigTable), st.maxHamming,
-      st.minFrames)
+      st.minFrames, everyNth = st.everyNth)
     val dropIds = inWaveDups.union(stateDups).distinct().localCheckpoint(true)
 
     // state grows by every admitted decoded clip's frames (dropped or
     // not); blocked clips never enter state
     Incremental.appendFrameHammingState(admitted, "doc_id", "dhash",
-      st.sigTable, st.maxHamming, st.numBuckets)
+      st.sigTable, st.maxHamming, st.numBuckets,
+      everyNth = st.everyNth)
 
     val accepted = live
       .join(blockedIds, Seq("doc_id"), "left_anti")
@@ -559,25 +573,13 @@ object IngestCli {
     * clips DROPPED as the retracted clip's duplicates remain. */
   def applyVideoTakedown(spark: SparkSession, st: VideoState,
       ids: DataFrame): VideoState = {
-    Incremental.appendTombstones(ids, ids.columns.head,
-      spark.table(st.tombTable), st.tombTable, st.numBuckets)
     val next = st.copy(version = st.version + 1)
-    Incremental.compactState(spark.table(st.sigTable), "doc_id",
-      spark.table(st.tombTable), next.sigTable,
-      s"${st.dir}/fsigs_v${next.version}",
+    tombstoneAndCompact(spark, ids, st.tombTable, st.sigTable,
+      next.sigTable, s"${st.dir}/fsigs_v${next.version}",
       bucketCols = Seq("frame_pos", "band", "bucket"),
       numBuckets = st.numBuckets)
-    if (goldHasData(spark, st.goldPath)) {
-      val fs = fsFor(spark, st.dir)
-      val tmp = new org.apache.hadoop.fs.Path(s"${st.goldPath}__next")
-      fs.delete(tmp, true)
-      Incremental.retractIds(spark.read.parquet(st.goldPath), "doc_id",
-          spark.table(st.tombTable))
-        .write.partitionBy("ingest_wave").parquet(tmp.toString)
-      val goldP = new org.apache.hadoop.fs.Path(st.goldPath)
-      fs.delete(goldP, true)
-      fs.rename(tmp, goldP)
-    }
+    if (goldHasData(spark, st.goldPath))
+      rewriteGoldRetained(spark, st.dir, st.goldPath, st.tombTable)
     next
   }
 
@@ -646,22 +648,32 @@ object IngestCli {
         s"GRAFT_MEDIA=$other (want image|audio — video routes through " +
           "runVideo and its positional state)")
     }
-    val blocklist = blocklistPath.map { p =>
-      Dedup.hammingIndex(spark.read.parquet(p), "sig", maxHamming)
-    }
+    val blocklist = loadBlocklist(spark, blocklistPath, maxHamming)
     var st = initMediaState(spark, "graft_ingest_media", dir, maxHamming)
     takedownPath.foreach { p =>
       st = applyMediaTakedown(spark, st,
         spark.read.parquet(p).select("doc_id"))
     }
+    driveWaves(spark, "ingest-media", wavePaths,
+      (w, i) => ingestMediaWave(spark, st, w, i, signer, blocklist))
+  }
+
+  private def loadBlocklist(spark: SparkSession, path: Option[String],
+      maxHamming: Int): Option[Dedup.HammingIndex] =
+    path.map(p => Dedup.hammingIndex(spark.read.parquet(p), "sig",
+      maxHamming))
+
+  /** Shared CLI wave loop for the media/video modes: read each staged
+    * wave, ingest, report one line. */
+  private def driveWaves(spark: SparkSession, tag: String,
+      wavePaths: Seq[String],
+      ingest: (DataFrame, Int) => MediaWaveReport): Unit =
     wavePaths.zipWithIndex.foreach { case (path, i) =>
-      val r = ingestMediaWave(spark, st, spark.read.parquet(path), i,
-        signer, blocklist)
-      println(s"[ingest-media] wave=${r.wave} incoming=${r.incoming} " +
+      val r = ingest(spark.read.parquet(path), i)
+      println(s"[$tag] wave=${r.wave} incoming=${r.incoming} " +
         s"live=${r.live} decoded=${r.decoded} blocked=${r.blocked} " +
         s"accepted=${r.accepted} gold=${r.goldTotal}")
     }
-  }
 
   /** The VIDEO loop (`GRAFT_MEDIA=video`): clip waves through the
     * positional Hamming state; `GRAFT_BLOCKLIST` = parquet of flagged
@@ -671,22 +683,15 @@ object IngestCli {
   def runVideo(spark: SparkSession, dir: String, wavePaths: Seq[String],
       blocklistPath: Option[String], takedownPath: Option[String],
       maxHamming: Int = 8, minFrames: Int = 2, everyNth: Int = 2): Unit = {
-    val blocklist = blocklistPath.map { p =>
-      Dedup.hammingIndex(spark.read.parquet(p), "sig", maxHamming)
-    }
+    val blocklist = loadBlocklist(spark, blocklistPath, maxHamming)
     var st = initVideoState(spark, "graft_ingest_video", dir, maxHamming,
       minFrames, everyNth)
     takedownPath.foreach { p =>
       st = applyVideoTakedown(spark, st,
         spark.read.parquet(p).select("doc_id"))
     }
-    wavePaths.zipWithIndex.foreach { case (path, i) =>
-      val r = ingestVideoWave(spark, st, spark.read.parquet(path), i,
-        blocklist)
-      println(s"[ingest-video] wave=${r.wave} incoming=${r.incoming} " +
-        s"live=${r.live} decoded=${r.decoded} blocked=${r.blocked} " +
-        s"accepted=${r.accepted} gold=${r.goldTotal}")
-    }
+    driveWaves(spark, "ingest-video", wavePaths,
+      (w, i) => ingestVideoWave(spark, st, w, i, blocklist))
   }
 
   def main(args: Array[String]): Unit = {

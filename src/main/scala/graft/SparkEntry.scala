@@ -2377,12 +2377,15 @@ object SparkEntry {
       s.sql("DROP TABLE IF EXISTS graft_q147_frames")
       Incremental.writeFrameHammingState(sigs.filter(col("doc_id") % 4 === 0),
         "doc_id", "dhash", "graft_q147_frames",
-        s"${stateDir(dir)}/q147_state", maxHamming = 8, numBuckets = 8)
+        s"${stateDir(dir)}/q147_state", maxHamming = 8, numBuckets = 8,
+        everyNth = 2)
       Incremental.appendFrameHammingState(sigs.filter(col("doc_id") % 4 === 2),
-        "doc_id", "dhash", "graft_q147_frames", maxHamming = 8, numBuckets = 8)
+        "doc_id", "dhash", "graft_q147_frames", maxHamming = 8,
+        numBuckets = 8, everyNth = 2)
       val dupIds = Incremental.frameHammingDupIdsAgainstTable(
         sigs.filter(col("doc_id") % 2 === 1), "doc_id", "dhash",
-        s.table("graft_q147_frames"), maxHamming = 8, minFrames = 2)
+        s.table("graft_q147_frames"), maxHamming = 8, minFrames = 2,
+        everyNth = 2)
       Tables.documents(s, dir).select("doc_id")
         .filter(col("doc_id") % 2 === 1)
         .join(dupIds, Seq("doc_id"), "left_anti")

@@ -795,11 +795,12 @@ object Incremental {
     * banding, one meta-union, one bucket spec. */
   private def writeHammingStateKeyed(corpus: DataFrame, idCol: String,
       sigCol: String, table: String, path: String, maxHamming: Int,
-      numBuckets: Int, nBands: Int, keyCols: Seq[String]): Unit = {
+      numBuckets: Int, nBands: Int, keyCols: Seq[String],
+      grid: Int): Unit = {
     val nb = resolveBands(maxHamming, nBands)
     val meta = keyCols.foldLeft(
         hammingMeta(corpus.sparkSession, idCol,
-          corpus.schema(idCol).dataType, maxHamming, nb))(
+          corpus.schema(idCol).dataType, maxHamming, nb, grid))(
       (m, k) => m.withColumn(k, lit(null).cast(corpus.schema(k).dataType)))
     val bcols = keyCols ++ Seq("band", "bucket")
     hammingBanded(corpus, idCol, sigCol, maxHamming, nb, probe = false,
@@ -815,10 +816,11 @@ object Incremental {
 
   private def appendHammingStateKeyed(batch: DataFrame, idCol: String,
       sigCol: String, table: String, maxHamming: Int, numBuckets: Int,
-      nBands: Int, keyCols: Seq[String], caller: String): Unit = {
+      nBands: Int, keyCols: Seq[String], caller: String,
+      grid: Int): Unit = {
     val nb = resolveBands(maxHamming, nBands)
     validateHammingMeta(batch.sparkSession.table(table), maxHamming, nb,
-      caller)
+      caller, grid)
     val bcols = keyCols ++ Seq("band", "bucket")
     hammingBanded(batch, idCol, sigCol, maxHamming, nb, probe = false,
         keyCols)
@@ -836,10 +838,15 @@ object Incremental {
   private[graft] val HammingMetaBand = 255
 
   /** The `_meta` payload, packed into the row's `bucket` (and,
-    * redundantly, `sig`): layout version in bits 32+, `maxHamming` in
+    * redundantly, `sig`): sampling grid in bits 48..63 (the
+    * `everyNth` stride for positional states — grid IS layout
+    * identity, a different stride renumbers `frame_pos`; 0 for
+    * unkeyed states), layout version in 32..47, `maxHamming` in
     * 16..31, `nBands` in 0..15. */
-  private def packHammingMeta(maxHamming: Int, nBands: Int): Long =
-    (1L << 32) | (maxHamming.toLong << 16) | nBands.toLong
+  private def packHammingMeta(maxHamming: Int, nBands: Int,
+      grid: Int): Long =
+    (grid.toLong << 48) | (1L << 32) | (maxHamming.toLong << 16) |
+      nBands.toLong
 
   /** The one-row `_meta` companion rides INSIDE the state table (band
     * [[HammingMetaBand]], null id) rather than in a sidecar file, so
@@ -852,8 +859,8 @@ object Incremental {
     * below [[HammingMetaBand]]). */
   private def hammingMeta(spark: org.apache.spark.sql.SparkSession,
       idCol: String, idType: org.apache.spark.sql.types.DataType,
-      maxHamming: Int, nBands: Int): DataFrame = {
-    val packed = packHammingMeta(maxHamming, nBands)
+      maxHamming: Int, nBands: Int, grid: Int): DataFrame = {
+    val packed = packHammingMeta(maxHamming, nBands, grid)
     spark.range(1).select(
       lit(HammingMetaBand).as("band"),
       lit(packed).as("bucket"),
@@ -870,7 +877,7 @@ object Incremental {
     * both pre-layout-v1 contiguous tables and pre-meta strided tables
     * must be rebuilt once with [[writeHammingState]]. */
   private def validateHammingMeta(state: DataFrame, maxHamming: Int,
-      nBands: Int, caller: String): Unit = {
+      nBands: Int, caller: String, grid: Int): Unit = {
     val rows = state.filter(col("band") === HammingMetaBand)
       .select(col("bucket")).distinct().limit(3).collect()
     require(rows.length == 1,
@@ -883,7 +890,8 @@ object Incremental {
           "_meta rows — mixed-layout appends corrupted it; rebuild with " +
           "writeHammingState")
     val packed = rows(0).getLong(0)
-    val v = (packed >>> 32).toInt
+    val v = ((packed >> 32) & 0xFFFF).toInt
+    val g = (packed >>> 48).toInt
     val mh = ((packed >> 16) & 0xFFFF).toInt
     val nb = (packed & 0xFFFF).toInt
     require(v == 1, s"$caller: Hamming state layout version $v is not " +
@@ -893,6 +901,12 @@ object Incremental {
         s"nBands=$nb) but called with (maxHamming=$maxHamming, " +
         s"nBands=$nBands) — a mismatched band layout silently matches " +
         "nothing; pass the written values (or rebuild the state)")
+    require(g == grid,
+      s"$caller: state table was written under sampling grid " +
+        s"(everyNth=$g) but called with everyNth=$grid — a different " +
+        "stride renumbers frame positions, so position-aligned joins " +
+        "silently match nothing; pass the written stride (or rebuild " +
+        "the state)")
   }
 
   /** Corpus Hamming-signature state: banded rows bucketed + sorted by
@@ -920,7 +934,7 @@ object Incremental {
       table: String, path: String, maxHamming: Int = 8,
       numBuckets: Int = 64, nBands: Int = -1): Unit =
     writeHammingStateKeyed(corpus, idCol, sigCol, table, path, maxHamming,
-      numBuckets, nBands, keyCols = Nil)
+      numBuckets, nBands, keyCols = Nil, grid = 0)
 
   /** Grow the Hamming state by a batch — same band layout, same
     * bucket spec as the write's, VALIDATED against the table's
@@ -934,7 +948,8 @@ object Incremental {
       table: String, maxHamming: Int = 8, numBuckets: Int = 64,
       nBands: Int = -1): Unit =
     appendHammingStateKeyed(batch, idCol, sigCol, table, maxHamming,
-      numBuckets, nBands, keyCols = Nil, caller = "appendHammingState")
+      numBuckets, nBands, keyCols = Nil, caller = "appendHammingState",
+      grid = 0)
 
   /** Batch ids within `maxHamming` bits of ANY state signature:
     * banded batch rows SEMI-join the table on (band, bucket) with the
@@ -965,7 +980,8 @@ object Incremental {
     // pre-meta tables AND any probe issued at a band layout other
     // than the write's (one filtered metadata-sized read)
     val nb = resolveBands(maxHamming, nBands)
-    validateHammingMeta(state, maxHamming, nb, "hammingDupIdsAgainstTable")
+    validateHammingMeta(state, maxHamming, nb, "hammingDupIdsAgainstTable",
+      grid = 0)
     val st = state.filter(col("band") =!= HammingMetaBand)
       .select(col("band").as("__hb"), col("bucket").as("__hk"),
         col("sig").as("__ssig"))
@@ -1018,9 +1034,24 @@ object Incremental {
     * even starts. */
   def writeFrameHammingState(frameSigs: DataFrame, idCol: String,
       sigCol: String, table: String, path: String, maxHamming: Int = 8,
-      numBuckets: Int = 64, nBands: Int = -1): Unit =
+      numBuckets: Int = 64, nBands: Int = -1, everyNth: Int): Unit = {
+    requireGrid(everyNth, "writeFrameHammingState")
     writeHammingStateKeyed(frameCast(frameSigs), idCol, sigCol, table,
-      path, maxHamming, numBuckets, nBands, keyCols = Seq("frame_pos"))
+      path, maxHamming, numBuckets, nBands, keyCols = Seq("frame_pos"),
+      grid = everyNth)
+  }
+
+  /** The sampling stride is LAYOUT IDENTITY for positional state — a
+    * different `everyNth` renumbers `frame_pos`, so position-aligned
+    * joins against rows written under another grid silently match
+    * nothing. Every write declares it (persisted in the `_meta` row)
+    * and every append/probe is validated against it, exactly like
+    * `(maxHamming, nBands)`. */
+  private def requireGrid(everyNth: Int, caller: String): Unit =
+    require(everyNth >= 1 && everyNth <= 0xFFFF,
+      s"$caller: everyNth must be in [1, 65535], got $everyNth — the " +
+        "stride that produced these frame_pos values (the " +
+        "Video.frameSignatures sampling grid)")
 
   /** Grow the positional state by a wave's frame signatures — same
     * band layout (validated against the `_meta` row BEFORE writing),
@@ -1029,10 +1060,12 @@ object Incremental {
     * waves matters. */
   def appendFrameHammingState(batch: DataFrame, idCol: String,
       sigCol: String, table: String, maxHamming: Int = 8,
-      numBuckets: Int = 64, nBands: Int = -1): Unit =
+      numBuckets: Int = 64, nBands: Int = -1, everyNth: Int): Unit = {
+    requireGrid(everyNth, "appendFrameHammingState")
     appendHammingStateKeyed(frameCast(batch), idCol, sigCol, table,
       maxHamming, numBuckets, nBands, keyCols = Seq("frame_pos"),
-      caller = "appendFrameHammingState")
+      caller = "appendFrameHammingState", grid = everyNth)
+  }
 
   /** Batch clip ids whose sampled frames are within `maxHamming` bits
     * of SOME state clip's frames at ≥ `minFrames` distinct positions
@@ -1053,7 +1086,8 @@ object Incremental {
     * probe never grows with corpus age on the BATCH side. */
   def frameHammingDupIdsAgainstTable(batch: DataFrame, idCol: String,
       sigCol: String, state: DataFrame, maxHamming: Int = 8,
-      minFrames: Int = 2, nBands: Int = -1): DataFrame = {
+      minFrames: Int = 2, nBands: Int = -1, everyNth: Int): DataFrame = {
+    requireGrid(everyNth, "frameHammingDupIdsAgainstTable")
     require(Set("frame_pos", "band", "bucket", "sig")
       .subsetOf(state.columns.toSet) && state.columns.length <= 5,
       s"not a positional hamming state table (want frame_pos, band, " +
@@ -1066,7 +1100,8 @@ object Incremental {
           state.columns.mkString(","))
     }
     val nb = resolveBands(maxHamming, nBands)
-    validateHammingMeta(state, maxHamming, nb, "frameHammingDupIdsAgainstTable")
+    validateHammingMeta(state, maxHamming, nb,
+      "frameHammingDupIdsAgainstTable", grid = everyNth)
     val st = state.filter(col("band") =!= HammingMetaBand)
       .select(col("frame_pos"), col("band"), col("bucket"),
         col(stateIdCol).as("__idC"), col("sig").as("__ssig"))
@@ -1089,9 +1124,9 @@ object Incremental {
     * level; see [[Video.dedupAgainstState]] for the clip-frame form). */
   def frameHammingDedupAgainstTable(batch: DataFrame, idCol: String,
       sigCol: String, state: DataFrame, maxHamming: Int = 8,
-      minFrames: Int = 2, nBands: Int = -1): DataFrame = {
+      minFrames: Int = 2, nBands: Int = -1, everyNth: Int): DataFrame = {
     val dupIds = frameHammingDupIdsAgainstTable(batch, idCol, sigCol, state,
-        maxHamming, minFrames, nBands)
+        maxHamming, minFrames, nBands, everyNth)
       .localCheckpoint(true)
     batch.join(dupIds, Seq(idCol), "left_anti")
   }

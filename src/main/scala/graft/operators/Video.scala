@@ -213,7 +213,7 @@ object Video {
       minFrames: Int = 2, nBands: Int = -1): DataFrame = {
     val sigs = frameSignatures(df, idCol, contentCol, everyNth)
     val dupIds = Incremental.frameHammingDupIdsAgainstTable(sigs, idCol,
-        "dhash", state, maxHamming, minFrames, nBands)
+        "dhash", state, maxHamming, minFrames, nBands, everyNth)
       .localCheckpoint(true)
     df.join(dupIds, Seq(idCol), "left_anti")
   }

@@ -116,13 +116,13 @@ object HammingScale {
           (col("id") % 4).cast("int").as("frame_pos"),
           skewSig(col("id")).as("dhash")),
         "doc_id", "dhash", table, s"$tmp/fstate_$scale",
-        maxHamming = 8, numBuckets = 8)
+        maxHamming = 8, numBuckets = 8, everyNth = 1)
       val buildS = (System.nanoTime() - t0) / 1e9
       def probe(): Double = {
         val p0 = System.nanoTime()
         val hits = Incremental.frameHammingDupIdsAgainstTable(frameBatch,
           "doc_id", "dhash", spark.table(table), maxHamming = 8,
-          minFrames = 2).count()
+          minFrames = 2, everyNth = 1).count()
         val dt = (System.nanoTime() - p0) / 1e9
         System.gc(); Thread.sleep(200)
         println(f"  sample: frame_probe=$dt%.2f s hits=$hits")

@@ -662,12 +662,14 @@ class IncrementalSpec extends AnyFunSuite {
     val grow = sigs.filter(col("doc_id") % 4 === 2)
     val batch = sigs.filter(col("doc_id") % 2 === 1)
     Incremental.writeFrameHammingState(cor, "doc_id", "dhash",
-      "t_fhamm", tmp("graft_fhamm"), maxHamming = 8, numBuckets = 8)
+      "t_fhamm", tmp("graft_fhamm"), maxHamming = 8, numBuckets = 8,
+      everyNth = 2)
     Incremental.appendFrameHammingState(grow, "doc_id", "dhash",
-      "t_fhamm", maxHamming = 8, numBuckets = 8)
+      "t_fhamm", maxHamming = 8, numBuckets = 8, everyNth = 2)
     try {
       val dup = Incremental.frameHammingDupIdsAgainstTable(batch, "doc_id",
-        "dhash", spark.table("t_fhamm"), maxHamming = 8, minFrames = 2)
+        "dhash", spark.table("t_fhamm"), maxHamming = 8, minFrames = 2,
+        everyNth = 2)
       val dupIds = dup.as[Long].collect().toSet
       // brute force: batch clip drops when >= 2 distinct positions are
       // within 8 bits of SOME single state clip at the same position
@@ -705,8 +707,21 @@ class IncrementalSpec extends AnyFunSuite {
       // mismatched layout on the POSITIONAL probe fails loudly too
       intercept[IllegalArgumentException] {
         Incremental.frameHammingDupIdsAgainstTable(batch, "doc_id", "dhash",
-          spark.table("t_fhamm"), maxHamming = 4)
+          spark.table("t_fhamm"), maxHamming = 4, everyNth = 2)
       }
+      // mismatched SAMPLING GRID fails loudly — a different stride
+      // renumbers positions (silent false negatives otherwise)
+      val eGrid = intercept[IllegalArgumentException] {
+        Incremental.frameHammingDupIdsAgainstTable(batch, "doc_id", "dhash",
+          spark.table("t_fhamm"), maxHamming = 8, minFrames = 2,
+          everyNth = 4)
+      }
+      assert(eGrid.getMessage.contains("everyNth"))
+      val eGridApp = intercept[IllegalArgumentException] {
+        Incremental.appendFrameHammingState(grow, "doc_id", "dhash",
+          "t_fhamm", maxHamming = 8, numBuckets = 8, everyNth = 1)
+      }
+      assert(eGridApp.getMessage.contains("everyNth"))
       // UNDER-BANDED explicit nBands refuses on the positional family
       // exactly like the flat one (regression: the positional copy
       // once lacked the guard, and a write+probe AGREEING on a bad
@@ -714,7 +729,7 @@ class IncrementalSpec extends AnyFunSuite {
       val eUnder = intercept[IllegalArgumentException] {
         Incremental.writeFrameHammingState(cor, "doc_id", "dhash",
           "t_fhamm_bad", tmp("graft_fhamm_bad"), maxHamming = 8,
-          numBuckets = 4, nBands = 3)
+          numBuckets = 4, nBands = 3, everyNth = 2)
       }
       assert(eUnder.getMessage.contains("under-bands"))
     } finally {
