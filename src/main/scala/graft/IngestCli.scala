@@ -615,8 +615,9 @@ object IngestCli {
   /** The TEXT loop main drives — separated from session lifecycle so
     * IngestSpec exercises the exact CLI code path. */
   def runText(spark: SparkSession, dir: String, wavePaths: Seq[String],
-      takedownPath: Option[String], cfg: GraftConfig): Unit = {
-    var st = initState(spark, "graft_ingest", dir)
+      takedownPath: Option[String], cfg: GraftConfig,
+      ns: String = "graft_ingest"): Unit = {
+    var st = initState(spark, ns, dir)
     takedownPath.foreach { p =>
       st = applyTakedown(spark, st, spark.read.parquet(p).select("doc_id"))
     }
@@ -638,7 +639,8 @@ object IngestCli {
     * binary)`; extra columns ride to gold. */
   def runMedia(spark: SparkSession, dir: String, wavePaths: Seq[String],
       mode: String, blocklistPath: Option[String],
-      takedownPath: Option[String], maxHamming: Int = 8): Unit = {
+      takedownPath: Option[String], maxHamming: Int = 8,
+      ns: String = "graft_ingest_media"): Unit = {
     val signer: DataFrame => DataFrame = mode match {
       case "image" => defaultImageSigner
       case "audio" => df =>
@@ -649,7 +651,7 @@ object IngestCli {
           "runVideo and its positional state)")
     }
     val blocklist = loadBlocklist(spark, blocklistPath, maxHamming)
-    var st = initMediaState(spark, "graft_ingest_media", dir, maxHamming)
+    var st = initMediaState(spark, ns, dir, maxHamming)
     takedownPath.foreach { p =>
       st = applyMediaTakedown(spark, st,
         spark.read.parquet(p).select("doc_id"))
@@ -682,9 +684,10 @@ object IngestCli {
     * contract / sampling grid. */
   def runVideo(spark: SparkSession, dir: String, wavePaths: Seq[String],
       blocklistPath: Option[String], takedownPath: Option[String],
-      maxHamming: Int = 8, minFrames: Int = 2, everyNth: Int = 2): Unit = {
+      maxHamming: Int = 8, minFrames: Int = 2, everyNth: Int = 2,
+      ns: String = "graft_ingest_video"): Unit = {
     val blocklist = loadBlocklist(spark, blocklistPath, maxHamming)
-    var st = initVideoState(spark, "graft_ingest_video", dir, maxHamming,
+    var st = initVideoState(spark, ns, dir, maxHamming,
       minFrames, everyNth)
     takedownPath.foreach { p =>
       st = applyVideoTakedown(spark, st,
@@ -698,25 +701,30 @@ object IngestCli {
     require(args.length >= 2,
       "usage: IngestCli <stateDir> <wave1.parquet> [wave2.parquet ...] " +
         "(GRAFT_MEDIA=image|audio|video selects the media loop; " +
-        "GRAFT_BLOCKLIST/GRAFT_TAKEDOWN name parquet inputs)")
+        "GRAFT_BLOCKLIST/GRAFT_TAKEDOWN name parquet inputs; GRAFT_NS " +
+        "sets the state-table namespace so concurrent loops on one " +
+        "metastore never collide)")
     val dir = args(0)
     val spark = GraftSession.get(
       s"local[${Runtime.getRuntime.availableProcessors()}]")
     val maxHamming = sys.env.get("GRAFT_MAX_HAMMING").map(_.toInt).getOrElse(8)
+    val ns = sys.env.get("GRAFT_NS")
     sys.env.get("GRAFT_MEDIA") match {
       case Some("video") =>
         runVideo(spark, dir, args.drop(1).toSeq,
           sys.env.get("GRAFT_BLOCKLIST"), sys.env.get("GRAFT_TAKEDOWN"),
           maxHamming,
           sys.env.get("GRAFT_MIN_FRAMES").map(_.toInt).getOrElse(2),
-          sys.env.get("GRAFT_EVERY_NTH").map(_.toInt).getOrElse(2))
+          sys.env.get("GRAFT_EVERY_NTH").map(_.toInt).getOrElse(2),
+          ns.getOrElse("graft_ingest_video"))
       case Some(mode) =>
         runMedia(spark, dir, args.drop(1).toSeq, mode,
           sys.env.get("GRAFT_BLOCKLIST"), sys.env.get("GRAFT_TAKEDOWN"),
-          maxHamming)
+          maxHamming, ns.getOrElse("graft_ingest_media"))
       case None =>
         runText(spark, dir, args.drop(1).toSeq,
-          sys.env.get("GRAFT_TAKEDOWN"), GraftConfig.fromEnv())
+          sys.env.get("GRAFT_TAKEDOWN"), GraftConfig.fromEnv(),
+          ns.getOrElse("graft_ingest"))
     }
     spark.stop()
   }

@@ -150,30 +150,51 @@ object Video {
     * budgets; at budgets ≥ 6 the 1-error multi-probe layout — side
     * "b" emits single-bit bucket flips — because 7-bit buckets make
     * the per-position join quadratic in clips-per-corpus with a fat
-    * constant). */
+    * constant). `shardCols` (columns of `frameSigs`, constant per
+    * clip — source/day/tenant) fold into the join key exactly like
+    * [[Dedup.hammingNearDupPairs]]'s: pairs are sought only WITHIN
+    * equal shard values, bounding the residual per-(position, bucket)
+    * quadratic term to each shard's clips — the >10⁶-signature
+    * envelope escape for batch video self-joins. */
   def clipNearDupPairs(frameSigs: DataFrame, idCol: String,
-      maxHamming: Int = 8, minFrames: Int = 2): DataFrame = {
+      maxHamming: Int = 8, minFrames: Int = 2,
+      shardCols: Seq[String] = Nil): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 32, "maxHamming must be in [0, 32)")
     val nBands = graft.functions.Bits.joinBands(maxHamming)
+    val sharded = shardCols.nonEmpty
     def banded(side: String, probe: Boolean): DataFrame = {
       val sig = col(s"sig_$side")
       val bands = graft.functions.Bits.hammingBandCol(sig, maxHamming,
         nBands, probe)
-      frameSigs
-        .select(col(idCol).as(s"id_$side"), col("frame_pos"),
-          col("dhash").as(s"sig_$side"))
+      val base = frameSigs
+        .select((col(idCol).as(s"id_$side") +: col("frame_pos") +:
+          col("dhash").as(s"sig_$side") +: shardCols.map(col)): _*)
         .filter(sig.isNotNull)
-        .select(col(s"id_$side"), col("frame_pos"), sig,
-          explode(bands).as("__e"))
-        .select(col(s"id_$side"), col("frame_pos"), sig,
+      // the shard key joins the position in the band key — pairs are
+      // sought only WITHIN equal shard values (the q148 envelope
+      // escape: bounds the per-(position, bucket) cluster to each
+      // shard's clips). Struct packing makes null shard values
+      // join-equal, like Dedup.hammingPairsValues.
+      val keyed =
+        if (sharded)
+          base.select(col(s"id_$side"), col("frame_pos"), sig,
+            struct(shardCols.map(col): _*).as("__shard"))
+        else base
+      val carry = Seq(col(s"id_$side"), col("frame_pos"), sig) ++
+        (if (sharded) Seq(col("__shard")) else Nil)
+      keyed
+        .select(carry :+ explode(bands).as("__e"): _*)
+        .select(carry ++ Seq(
           graft.functions.Bits.unpackBand(col("__e")).as("band"),
-          graft.functions.Bits.unpackBucket(col("__e")).as("bucket"))
+          graft.functions.Bits.unpackBucket(col("__e")).as("bucket")): _*)
     }
     // note: banded("a") and banded("b") project DIFFERENT columns, so
     // no ReusedExchange — acceptable: the frame-sig frame is tiny
     // relative to the clips (nSampled rows of 16 B each)
+    val joinKeys = Seq("frame_pos", "band", "bucket") ++
+      (if (sharded) Seq("__shard") else Nil)
     banded("a", probe = false)
-      .join(banded("b", probe = true), Seq("frame_pos", "band", "bucket"))
+      .join(banded("b", probe = true), joinKeys)
       .filter(col("id_a") < col("id_b") &&
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= maxHamming)
       .select(col("id_a"), col("id_b"), col("frame_pos"))

@@ -244,6 +244,12 @@ class IngestSpec extends AnyFunSuite {
       None, None)
     val agold = goldIds(s"$dir/astate/gold")
     assert(agold === Set(0L, 3L, 6L, 9L), "audio in-wave dedup keeps bases")
+    // a custom namespace (the CLI's GRAFT_NS) isolates state tables,
+    // so two loops can share one metastore without colliding
+    IngestCli.runMedia(spark, s"$dir/nstate", Seq(s"$dir/aw1"), "audio",
+      None, None, ns = "graft_ns_alt")
+    assert(goldIds(s"$dir/nstate/gold") === Set(0L, 3L, 6L, 9L))
+    assert(spark.catalog.tableExists("graft_ns_alt_tombstones"))
     // unknown mode refuses with the supported set named
     val e = intercept[IllegalArgumentException] {
       IngestCli.runMedia(spark, s"$dir/x", Seq(s"$dir/aw1"), "video",

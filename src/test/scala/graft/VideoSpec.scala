@@ -116,6 +116,42 @@ class VideoSpec extends AnyFunSuite {
     sigs.unpersist(blocking = false)
   }
 
+  test("shardCols bound the clip self-join: within-shard pairs only, constant shard == unsharded") {
+    val clips = Video.syntheticCorpus(spark.range(0, 30).toDF("doc_id"),
+      "doc_id", variantsPerScene = 3, corruptEvery = 0)
+    val sigs = Video.frameSignatures(clips, "doc_id", col("content"),
+        everyNth = 2)
+      .withColumn("source", expr("doc_id div 15"))
+      .withColumn("all_one", lit(1)).cache()
+    def pairsOf(shard: Seq[String]) = Video.clipNearDupPairs(sigs,
+        "doc_id", maxHamming = 8, minFrames = 2, shardCols = shard)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val unsharded = pairsOf(Nil)
+    // a CONSTANT shard key changes nothing — the knob is pure scoping
+    assert(pairsOf(Seq("all_one")) === unsharded)
+    // a partitioning shard key = exactly the within-shard subset;
+    // scenes are 3 ids and shards 15, so no scene straddles a boundary
+    // and every planted pair survives
+    val sharded = pairsOf(Seq("source"))
+    assert(sharded === unsharded.filter { case (a, b) => a / 15 == b / 15 })
+    val planted = (0L until 30L by 3L)
+      .flatMap(b => Seq((b, b + 1), (b, b + 2))).toSet
+    assert(planted.subsetOf(sharded))
+    // null shard values form ONE group (struct packing): scene 0's
+    // both-null pair still dedups; null-vs-non-null must not pair
+    val nullish = sigs.withColumn("source",
+      when(col("doc_id") <= 1, lit(null).cast("long"))
+        .otherwise(lit(7L)))
+    val nullPairs = Video.clipNearDupPairs(nullish, "doc_id",
+        maxHamming = 8, minFrames = 2, shardCols = Seq("source"))
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(nullPairs.contains((0L, 1L)),
+      "both-null shard rows must pair (one group)")
+    assert(!nullPairs.contains((0L, 2L)) && !nullPairs.contains((1L, 2L)),
+      "null vs non-null shard must not pair")
+    sigs.unpersist(blocking = false)
+  }
+
   test("videoNearDedup: scene bases + corrupt clips survive") {
     val kept = Video.videoNearDedup(
         Video.syntheticCorpus(spark.range(0, 120).toDF("doc_id"), "doc_id",
