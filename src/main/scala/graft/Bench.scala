@@ -345,7 +345,11 @@ object Bench {
         "st_hamming_block_gate" -> (() => runStream(
           streaming.StreamOps.hammingBlockGateStream(
             staged(s"$tmpOut/st_imgsigs"), col("dhash"), stBlockIdx),
-          "hblock")))
+          "hblock")),
+        "st_video_block_gate" -> (() => runStream(
+          streaming.StreamOps.videoBlockGateStream(
+            staged(s"$tmpOut/video"), "content", stBlockIdx),
+          "vblock")))
     }
 
     val queryRuns: Seq[(String, () => Unit)] =

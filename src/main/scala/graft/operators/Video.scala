@@ -204,6 +204,27 @@ object Video {
       .filter(col("matched_frames") >= minFrames)
   }
 
+  /** True when ANY sampled frame of the clip is within the index's
+    * budget of a flagged still — the cross-modal enforcement decision
+    * ([[graft.IngestCli]]'s video blocklist gate) as one
+    * short-circuiting function over the raw bytes, usable inside a
+    * typed filter (batch or streaming — see
+    * [[graft.streaming.StreamOps.videoBlockGateStream]]).
+    * Undecodable clips and frames are never blocked (nothing
+    * provable); `everyNth` must match the enforcement contract's
+    * sampling grid. */
+  def clipBlocked(bytes: Array[Byte], index: Dedup.HammingIndex,
+      everyNth: Int = 2): Boolean =
+    aviFrames(bytes).exists { frames =>
+      frames.indices.by(everyNth).exists { fi =>
+        Images.decodeGray(frames(fi)).exists { case (w, h, gray) =>
+          graft.functions.HammingNearSet.near(
+            Images.dHash64(w, h, gray), index.maxHamming,
+            index.buckets, index.sigs)
+        }
+      }
+    }
+
   /** Clip-level near-dup dedup: decode → sample → dHash → drop every
     * clip matching a LOWER-id clip on ≥ `minFrames` sampled
     * positions. Undecodable clips survive (nothing provable). */

@@ -414,6 +414,27 @@ object StreamOps {
     rows.filter(sigCol.isNull ||
       !graft.operators.Dedup.hammingNearSet(sigCol, blockIndex))
 
+  /** Streaming VIDEO blocklist gate: keep clips NONE of whose sampled
+    * frames is within the blocklist's budget of a flagged still — the
+    * video wave loop's cross-modal gate ([[graft.IngestCli]]) at
+    * stream cadence. Decode happens INSIDE one stateless typed filter
+    * — clip bytes never leave the partition and there is no frame
+    * explode (a frame-level explode would need a stream-stream
+    * anti-join to reassemble clips, which is not streaming-legal);
+    * the driver-built index rides in the closure exactly like the
+    * codegen gates' referenced arrays, and the per-clip decision
+    * short-circuits on the first flagged frame. EXACT both ways like
+    * [[hammingBlockGateStream]]; undecodable clips pass (unprovable);
+    * `everyNth` must match the enforcement contract's sampling grid.
+    * Identical in batch (StreamingSpec pins stream ≡ batch ≡ brute
+    * force). */
+  def videoBlockGateStream(clips: DataFrame, contentCol: String,
+      blockIndex: graft.operators.Dedup.HammingIndex,
+      everyNth: Int = 2): DataFrame =
+    clips.filter((row: org.apache.spark.sql.Row) =>
+      !graft.operators.Video.clipBlocked(
+        row.getAs[Array[Byte]](contentCol), blockIndex, everyNth))
+
   /** Streaming learned-quality gate: keep rows whose Naive-Bayes
     * log-odds score clears `minScore`. The classifier's dictionary is
     * trained offline ([[graft.operators.Classifier.nbTrain]] →

@@ -561,4 +561,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.select("doc_id").as[Long].collect().toSet === gateBatch)
     incoming.unpersist(blocking = false)
   }
+
+  test("videoBlockGateStream: stream == batch == the wave loop's gate; undecodable passes") {
+    import graft.operators.{Dedup, Video}
+    // blocklist: scene 0's sampled frame 0 — every clip sharing (a
+    // near-copy of) that still must drop, base AND variants alike
+    val flagged = Video.frameSignatures(
+      Video.syntheticCorpus(Seq(0L).toDF("doc_id"), "doc_id",
+        corruptEvery = 0),
+      "doc_id", col("content"), everyNth = 2)
+      .filter(col("frame_pos") === 0)
+    val index = Dedup.hammingIndex(flagged, "dhash", maxHamming = 8)
+    // incoming: scene 0 base + variants (drop), fresh scenes (pass),
+    // one corrupt payload (undecodable -> pass)
+    val incoming = Video.syntheticCorpus(spark.range(0, 12).toDF("doc_id"),
+      "doc_id", variantsPerScene = 3, corruptEvery = 11).cache()
+    incoming.count()
+    val gateBatch = StreamOps.videoBlockGateStream(incoming, "content",
+        index)
+      .select("doc_id").as[Long].collect().toSet
+    // the SAME decision the wave loop's gate computes (frame-level
+    // filter + distinct clip ids), plus the corrupt survivor
+    val loopBlocked = Video.frameSignatures(incoming, "doc_id",
+        col("content"), everyNth = 2)
+      .filter(Dedup.hammingNearSet(col("dhash"), index))
+      .select("doc_id").as[Long].collect().toSet
+    assert(gateBatch === (0L until 12L).toSet -- loopBlocked)
+    // planted: scene 0's variants (ids 1-2, sharing the flagged still)
+    // drop; ids 0 and 11 are corrupt in the INCOMING corpus
+    // (undecodable, unprovable — pass); fresh scenes pass
+    assert(gateBatch === Set(0L) ++ (3L until 12L))
+    // the same clips through a REAL stream agree with batch
+    val dir = java.nio.file.Files.createTempDirectory("graft_vbg").toString
+    incoming.coalesce(1).write.mode("overwrite").parquet(dir)
+    val streamed = runToMemory(
+      StreamOps.videoBlockGateStream(
+        spark.readStream.schema(incoming.schema).parquet(dir),
+        "content", index),
+      "video_block_kept")
+    assert(streamed.select("doc_id").as[Long].collect().toSet === gateBatch)
+    incoming.unpersist(blocking = false)
+  }
 }
