@@ -180,12 +180,10 @@ object IngestCli {
     * versions — consumers repoint atomically, the q137 cutover). */
   def applyTakedown(spark: SparkSession, st: IngestState,
       ids: DataFrame): IngestState = {
-    Incremental.appendTombstones(ids, ids.columns.head,
-      spark.table(st.tombTable), st.tombTable, st.numBuckets)
-
     // digest keys of the retracted docs, from their retained gold
-    // text. A takedown BEFORE any gold exists (tombstone seeding —
-    // the CLI's GRAFT_TAKEDOWN-before-waves shape) retracts no
+    // text (computed FIRST — it reads gold, which the rewrite below
+    // replaces). A takedown BEFORE any gold exists (tombstone seeding
+    // — the CLI's GRAFT_TAKEDOWN-before-waves shape) retracts no
     // content, so the key set is empty.
     val hadGold = goldHasData(spark, st.goldPath)
     val retractKeys =
@@ -200,9 +198,8 @@ object IngestCli {
 
     val next = st.copy(version = st.version + 1,
       digestVersion = st.digestVersion + 1)
-    Incremental.compactState(spark.table(st.sigTable), "doc_id",
-      spark.table(st.tombTable), next.sigTable,
-      s"${st.dir}/sigs_v${next.version}",
+    tombstoneAndCompact(spark, ids, st.tombTable, st.sigTable,
+      next.sigTable, s"${st.dir}/sigs_v${next.version}",
       bucketCols = Seq("band", "bucket"), numBuckets = st.numBuckets)
     spark.table(st.digestTable)
       .join(retractKeys, Seq("__d1", "__d2"), "left_anti")
@@ -228,10 +225,15 @@ object IngestCli {
     next
   }
 
-  /** Blue/green gold rewrite shared by every loop's takedown: write
-    * the retained rows beside the live dir, then swap — readers see
-    * the old gold or the new, never a partial. Callers guard on
-    * [[goldHasData]]. */
+  /** Gold rewrite shared by every loop's takedown: write the retained
+    * rows beside the live dir, then delete-and-rename. Readers never
+    * see a PARTIAL rewrite, but the swap itself is not atomic: a
+    * lister in the delete→rename window (or after a crash there)
+    * finds gold absent, with the complete retained copy parked at
+    * `<gold>__next` for manual recovery — the single-operator CLI
+    * assumption; an HDFS/object-store deployment needing concurrent
+    * readers during takedown should version the gold DIRECTORY and
+    * repoint, like the state tables' blue/green versions. */
   private def rewriteGoldRetained(spark: SparkSession, dir: String,
       goldPath: String, tombTable: String): Unit = {
     val fs = fsFor(spark, dir)
@@ -245,9 +247,9 @@ object IngestCli {
     fs.rename(tmp, goldP)
   }
 
-  /** Shared takedown prologue for the signature-state loops:
-    * tombstone append + blue/green compaction of the id-carrying
-    * signature state (the `_meta` row rides through — a null id never
+  /** Shared takedown prologue for ALL THREE loops: tombstone append +
+    * blue/green compaction of the id-carrying signature state (the
+    * Hamming loops' `_meta` row rides through — a null id never
     * matches a tombstone). */
   private def tombstoneAndCompact(spark: SparkSession, ids: DataFrame,
       tombTable: String, sigTable: String, nextTable: String,
@@ -702,13 +704,20 @@ object IngestCli {
       "usage: IngestCli <stateDir> <wave1.parquet> [wave2.parquet ...] " +
         "(GRAFT_MEDIA=image|audio|video selects the media loop; " +
         "GRAFT_BLOCKLIST/GRAFT_TAKEDOWN name parquet inputs; GRAFT_NS " +
-        "sets the state-table namespace so concurrent loops on one " +
-        "metastore never collide)")
+        "sets the state-table namespace — mode-suffixed, so concurrent " +
+        "loops on one metastore never collide)")
     val dir = args(0)
     val spark = GraftSession.get(
       s"local[${Runtime.getRuntime.availableProcessors()}]")
     val maxHamming = sys.env.get("GRAFT_MAX_HAMMING").map(_.toInt).getOrElse(8)
-    val ns = sys.env.get("GRAFT_NS")
+    // GRAFT_NS is mode-SUFFIXED: every state family names its
+    // tombstone table "${ns}_tombstones", so one raw namespace shared
+    // across modes would collide (a media init dropping the text
+    // loop's seeded tombstones — silent re-entry of retracted docs).
+    // Suffixing keeps same-value-different-mode runs isolated;
+    // distinct values isolate same-mode loops.
+    def ns(mode: String, default: String): String =
+      sys.env.get("GRAFT_NS").map(n => s"${n}_$mode").getOrElse(default)
     sys.env.get("GRAFT_MEDIA") match {
       case Some("video") =>
         runVideo(spark, dir, args.drop(1).toSeq,
@@ -716,15 +725,15 @@ object IngestCli {
           maxHamming,
           sys.env.get("GRAFT_MIN_FRAMES").map(_.toInt).getOrElse(2),
           sys.env.get("GRAFT_EVERY_NTH").map(_.toInt).getOrElse(2),
-          ns.getOrElse("graft_ingest_video"))
+          ns("video", "graft_ingest_video"))
       case Some(mode) =>
         runMedia(spark, dir, args.drop(1).toSeq, mode,
           sys.env.get("GRAFT_BLOCKLIST"), sys.env.get("GRAFT_TAKEDOWN"),
-          maxHamming, ns.getOrElse("graft_ingest_media"))
+          maxHamming, ns("media", "graft_ingest_media"))
       case None =>
         runText(spark, dir, args.drop(1).toSeq,
           sys.env.get("GRAFT_TAKEDOWN"), GraftConfig.fromEnv(),
-          ns.getOrElse("graft_ingest"))
+          ns("text", "graft_ingest"))
     }
     spark.stop()
   }

@@ -902,11 +902,16 @@ object Incremental {
         s"nBands=$nBands) — a mismatched band layout silently matches " +
         "nothing; pass the written values (or rebuild the state)")
     require(g == grid,
-      s"$caller: state table was written under sampling grid " +
-        s"(everyNth=$g) but called with everyNth=$grid — a different " +
-        "stride renumbers frame positions, so position-aligned joins " +
-        "silently match nothing; pass the written stride (or rebuild " +
-        "the state)")
+      if (g == 0 && grid > 0)
+        s"$caller: positional state table carries no sampling grid — " +
+          "it was written before the grid rode in _meta; rebuild it " +
+          "once with writeFrameHammingState (which persists everyNth)"
+      else
+        s"$caller: state table was written under sampling grid " +
+          s"(everyNth=$g) but called with everyNth=$grid — a different " +
+          "stride renumbers frame positions, so position-aligned joins " +
+          "silently match nothing; pass the written stride (or rebuild " +
+          "the state)")
   }
 
   /** Corpus Hamming-signature state: banded rows bucketed + sorted by
