@@ -427,6 +427,32 @@ object IngestCli {
     next
   }
 
+  /** Rebuild the media Hamming state from RETAINED GOLD — the
+    * mechanized form of the seen-not-kept residual
+    * ([[rebuildDigestState]]'s shape for signatures): an item dropped
+    * as a retracted item's duplicate left its signature in state
+    * (takedown compaction removes only the retracted ids' OWN rows),
+    * so near-copies of fully-retracted content stay rejected forever.
+    * One signer pass over gold content (corpus-sized, at the
+    * operator's own cadence), written under a bumped blue/green state
+    * version. The rebuilt state anchors suppression to GOLD only:
+    * chain-dropped signatures (seen-not-kept) vanish, so the strict
+    * wave ≡ batch equivalence is re-baselined at the rebuild — the
+    * documented trade for content-level forgetting. Gold rows must
+    * still carry the content column the signer reads. */
+  def rebuildMediaState(spark: SparkSession, st: MediaState,
+      signer: DataFrame => DataFrame = defaultImageSigner): MediaState = {
+    val next = st.copy(version = st.version + 1)
+    val sigs =
+      if (goldHasData(spark, st.goldPath))
+        signer(spark.read.parquet(st.goldPath))
+          .filter(col("decoded")).select("doc_id", "sig")
+      else spark.range(0).select(col("id").as("doc_id"), col("id").as("sig"))
+    Incremental.writeHammingState(sigs, "doc_id", "sig", next.sigTable,
+      s"${st.dir}/hsigs_v${next.version}", st.maxHamming, st.numBuckets)
+    next
+  }
+
   /** The from-scratch media batch the wave loop must equal over the
     * union of its waves: sign → blocklist gate → keep every row not
     * within `maxHamming` of a LOWER-id decoded row (kept or dropped —
@@ -582,6 +608,27 @@ object IngestCli {
       numBuckets = st.numBuckets)
     if (goldHasData(spark, st.goldPath))
       rewriteGoldRetained(spark, st.dir, st.goldPath, st.tombTable)
+    next
+  }
+
+  /** Rebuild the positional video state from RETAINED GOLD —
+    * [[rebuildMediaState]]'s shape for clips: one decode pass over
+    * gold content (`everyNth` from the state's own contract — the
+    * grid is layout identity), written under a bumped blue/green
+    * version. Chain-dropped clips' frames (seen-not-kept) vanish, so
+    * near-copies of fully-retracted clips become re-admittable and
+    * the wave ≡ batch equivalence re-baselines at the rebuild. */
+  def rebuildVideoState(spark: SparkSession, st: VideoState): VideoState = {
+    val next = st.copy(version = st.version + 1)
+    val sigs =
+      if (goldHasData(spark, st.goldPath))
+        operators.Video.frameSignatures(spark.read.parquet(st.goldPath),
+          "doc_id", col("content"), st.everyNth)
+      else spark.range(0).select(col("id").as("doc_id"),
+        col("id").cast("int").as("frame_pos"), col("id").as("dhash"))
+    Incremental.writeFrameHammingState(sigs, "doc_id", "dhash",
+      next.sigTable, s"${st.dir}/fsigs_v${next.version}", st.maxHamming,
+      st.numBuckets, everyNth = st.everyNth)
     next
   }
 

@@ -300,6 +300,18 @@ class IngestSpec extends AnyFunSuite {
     val r5 = IngestCli.ingestMediaWave(spark, st, imgs(14L), 5,
       blocklist = Some(blockIdx))
     assert(r5.accepted === 0, "seen-not-kept state must keep suppressing")
+    // take down scene 4's base (12) too, then REBUILD from gold: the
+    // chain-dropped sig (13) vanishes with its anchor, so a new
+    // sighting of scene 4 content re-admits — while retained scenes
+    // (e.g. 15's) still reject their variants
+    st = IngestCli.applyMediaTakedown(spark, st, Seq(12L).toDF("doc_id"))
+    st = IngestCli.rebuildMediaState(spark, st)
+    val r6 = IngestCli.ingestMediaWave(spark, st, imgs(14L), 6,
+      blocklist = Some(blockIdx))
+    assert(r6.accepted === 1, "rebuild must forget seen-not-kept sigs")
+    val r7 = IngestCli.ingestMediaWave(spark, st, imgs(16L), 7,
+      blocklist = Some(blockIdx))
+    assert(r7.accepted === 0, "retained content must still suppress")
   }
 
   // ---- the VIDEO wave loop (positional state) ----
@@ -398,5 +410,17 @@ class IngestSpec extends AnyFunSuite {
     val r5 = IngestCli.ingestVideoWave(spark, st, clips(14L), 5,
       blocklist = Some(blockIdx))
     assert(r5.accepted === 0, "seen-not-kept state must keep suppressing")
+    // take down scene 4's base (12) too, then REBUILD from gold:
+    // chain-dropped clip 13's frames vanish with their anchor, so a
+    // new sighting of scene 4 re-admits; retained scene 2 (base 6 in
+    // gold) still suppresses its variant
+    st = IngestCli.applyVideoTakedown(spark, st, Seq(12L).toDF("doc_id"))
+    st = IngestCli.rebuildVideoState(spark, st)
+    val r6 = IngestCli.ingestVideoWave(spark, st, clips(14L), 6,
+      blocklist = Some(blockIdx))
+    assert(r6.accepted === 1, "rebuild must forget seen-not-kept frames")
+    val r7 = IngestCli.ingestVideoWave(spark, st, clips(7L), 7,
+      blocklist = Some(blockIdx))
+    assert(r7.accepted === 0, "retained clips must still suppress")
   }
 }
