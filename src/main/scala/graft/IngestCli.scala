@@ -337,8 +337,7 @@ object IngestCli {
     val st = MediaState(ns, dir, numBuckets, maxHamming)
     Seq(st.sigTable, st.tombTable)
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
-    val empty = spark.range(0)
-      .select(col("id").as("doc_id"), col("id").as("sig"))
+    val empty = emptyMediaSigs(spark)
     Incremental.writeHammingState(empty, "doc_id", "sig", st.sigTable,
       s"$dir/hsigs_v0", maxHamming, numBuckets)
     Incremental.writeTombstones(empty.select("doc_id"), "doc_id",
@@ -427,6 +426,15 @@ object IngestCli {
     next
   }
 
+  /** Seed schemas shared by the init and rebuild paths of each state
+    * family — ONE definition per family, or a type drift between the
+    * two writers would split the bucketBy layout. */
+  private def emptyMediaSigs(spark: SparkSession): DataFrame =
+    spark.range(0).select(col("id").as("doc_id"), col("id").as("sig"))
+  private def emptyFrameSigs(spark: SparkSession): DataFrame =
+    spark.range(0).select(col("id").as("doc_id"),
+      col("id").cast("int").as("frame_pos"), col("id").as("dhash"))
+
   /** Rebuild the media Hamming state from RETAINED GOLD — the
     * mechanized form of the seen-not-kept residual
     * ([[rebuildDigestState]]'s shape for signatures): an item dropped
@@ -439,15 +447,27 @@ object IngestCli {
     * chain-dropped signatures (seen-not-kept) vanish, so the strict
     * wave ≡ batch equivalence is re-baselined at the rebuild — the
     * documented trade for content-level forgetting. Gold rows must
-    * still carry the content column the signer reads. */
+    * still carry the content column the signer reads — and the signer
+    * is REQUIRED (no image default, unlike the per-wave calls): a
+    * wrong-modality rebuild decodes nothing and would silently write
+    * an empty state, disarming every later probe; the wave report
+    * surfaces that mistake immediately, a rebuild would not. */
   def rebuildMediaState(spark: SparkSession, st: MediaState,
-      signer: DataFrame => DataFrame = defaultImageSigner): MediaState = {
+      signer: DataFrame => DataFrame): MediaState = {
     val next = st.copy(version = st.version + 1)
     val sigs =
-      if (goldHasData(spark, st.goldPath))
-        signer(spark.read.parquet(st.goldPath))
+      if (goldHasData(spark, st.goldPath)) {
+        val out = signer(spark.read.parquet(st.goldPath))
           .filter(col("decoded")).select("doc_id", "sig")
-      else spark.range(0).select(col("id").as("doc_id"), col("id").as("sig"))
+          .localCheckpoint(true)
+        if (out.isEmpty)
+          // legal (a quarantine-only gold decodes nothing) but almost
+          // always a wrong-signer mistake — say so, loudly
+          System.err.println("[graft] rebuildMediaState: gold has rows " +
+            s"but the signer decoded NONE — wrong modality signer for " +
+            s"${st.goldPath}? The rebuilt state suppresses nothing.")
+        out
+      } else emptyMediaSigs(spark)
     Incremental.writeHammingState(sigs, "doc_id", "sig", next.sigTable,
       s"${st.dir}/hsigs_v${next.version}", st.maxHamming, st.numBuckets)
     next
@@ -473,7 +493,10 @@ object IngestCli {
       .join(dropIds, Seq("doc_id"), "left_anti")
   }
 
-  private def defaultImageSigner(df: DataFrame): DataFrame =
+  /** The stock image signer (dHash over decoded stills) — the default
+    * for the per-wave calls, and the value to pass EXPLICITLY to
+    * [[rebuildMediaState]] when the state is image-modality. */
+  def defaultImageSigner(df: DataFrame): DataFrame =
     operators.Images.imageSignatures(df, "doc_id", col("content"))
       .select(col("doc_id"), col("decoded"), col("dhash").as("sig"))
 
@@ -521,8 +544,7 @@ object IngestCli {
     val st = VideoState(ns, dir, numBuckets, maxHamming, minFrames, everyNth)
     Seq(st.sigTable, st.tombTable)
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
-    val empty = spark.range(0).select(col("id").as("doc_id"),
-      col("id").cast("int").as("frame_pos"), col("id").as("dhash"))
+    val empty = emptyFrameSigs(spark)
     Incremental.writeFrameHammingState(empty, "doc_id", "dhash",
       st.sigTable, s"$dir/fsigs_v0", maxHamming, numBuckets,
       everyNth = everyNth)
@@ -624,8 +646,7 @@ object IngestCli {
       if (goldHasData(spark, st.goldPath))
         operators.Video.frameSignatures(spark.read.parquet(st.goldPath),
           "doc_id", col("content"), st.everyNth)
-      else spark.range(0).select(col("id").as("doc_id"),
-        col("id").cast("int").as("frame_pos"), col("id").as("dhash"))
+      else emptyFrameSigs(spark)
     Incremental.writeFrameHammingState(sigs, "doc_id", "dhash",
       next.sigTable, s"${st.dir}/fsigs_v${next.version}", st.maxHamming,
       st.numBuckets, everyNth = st.everyNth)
@@ -776,7 +797,7 @@ object IngestCli {
       case Some(mode) =>
         runMedia(spark, dir, args.drop(1).toSeq, mode,
           sys.env.get("GRAFT_BLOCKLIST"), sys.env.get("GRAFT_TAKEDOWN"),
-          maxHamming, ns("media", "graft_ingest_media"))
+          maxHamming, ns(mode, "graft_ingest_media"))
       case None =>
         runText(spark, dir, args.drop(1).toSeq,
           sys.env.get("GRAFT_TAKEDOWN"), GraftConfig.fromEnv(),

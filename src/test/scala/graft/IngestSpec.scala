@@ -305,7 +305,8 @@ class IngestSpec extends AnyFunSuite {
     // sighting of scene 4 content re-admits — while retained scenes
     // (e.g. 15's) still reject their variants
     st = IngestCli.applyMediaTakedown(spark, st, Seq(12L).toDF("doc_id"))
-    st = IngestCli.rebuildMediaState(spark, st)
+    st = IngestCli.rebuildMediaState(spark, st,
+      IngestCli.defaultImageSigner)
     val r6 = IngestCli.ingestMediaWave(spark, st, imgs(14L), 6,
       blocklist = Some(blockIdx))
     assert(r6.accepted === 1, "rebuild must forget seen-not-kept sigs")
