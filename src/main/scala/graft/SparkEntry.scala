@@ -2308,6 +2308,32 @@ object SparkEntry {
       s.read.parquet(st.goldPath).select("doc_id").orderBy("doc_id")
     },
 
+    // ---- Media takedown + state REBUILD, end to end: wave 1 ingests
+    // bases + first variants (variants drop seen-not-kept), takedown
+    // retracts every even scene's base, rebuildMediaState re-derives
+    // the Hamming state from RETAINED GOLD (chain-dropped variant sigs
+    // vanish with their anchors), wave 2 ingests second variants —
+    // admitted exactly where the whole scene was forgotten. The oracle
+    // replays every decision from the exported signatures.
+    "q151_media_takedown_rebuild" -> { (s, dir) =>
+      val corpus = operators.Images.syntheticCorpus(
+          Tables.documents(s, dir).select("doc_id"), "doc_id",
+          variantsPerScene = 3, corruptEvery = 97)
+        .localCheckpoint(true)
+      operators.Images.imageSignatures(corpus, "doc_id", col("content"))
+        .select(col("doc_id"), col("decoded"), col("dhash"))
+        .write.mode("overwrite").parquet(s"${stateDir(dir)}/q151_sigs")
+      var st = IngestCli.initMediaState(s, "graft_q151_media",
+        s"${stateDir(dir)}/q151_state", maxHamming = 8, numBuckets = 8)
+      IngestCli.ingestMediaWave(s, st, corpus.filter(col("doc_id") % 3 < 2), 1)
+      st = IngestCli.applyMediaTakedown(s, st,
+        Tables.documents(s, dir).select("doc_id")
+          .filter(col("doc_id") % 6 === 0))
+      st = IngestCli.rebuildMediaState(s, st, IngestCli.defaultImageSigner)
+      IngestCli.ingestMediaWave(s, st, corpus.filter(col("doc_id") % 3 === 2), 2)
+      s.read.parquet(st.goldPath).select("doc_id").orderBy("doc_id")
+    },
+
     // ---- Recurring VIDEO ingestion over the persisted POSITIONAL
     // Hamming state (q147's layout): the corpus arrives as two
     // id-ordered clip waves; each decodes once, probes state on
@@ -4993,6 +5019,40 @@ object SparkEntry {
         |   AND bit_count(xor(a.dhash, b.dhash)) <= 8)
         |SELECT doc_id FROM sigs
         |WHERE doc_id NOT IN (SELECT doc_id FROM dup)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q151: Spark ran wave → takedown → REBUILD → wave; the oracle
+    // replays it all from the exported signatures: wave-1 keep-lowest
+    // (decoded pairs only), retract %6==0 from gold, rebuild state =
+    // retained gold's decoded sigs, wave-2 drop = in-wave pair OR
+    // within 8 bits of rebuilt state. Undecodables pass everywhere.
+    "q151_media_takedown_rebuild" ->
+      """WITH sigs AS (
+        |  SELECT doc_id, decoded, dhash
+        |  FROM read_parquet('__GRAFT_STATE_DIR__/q151_sigs/*.parquet')),
+        |w1 AS (SELECT * FROM sigs WHERE doc_id % 3 < 2),
+        |w1dup AS (
+        |  SELECT DISTINCT b.doc_id FROM w1 b JOIN w1 a
+        |    ON a.decoded AND b.decoded AND a.doc_id < b.doc_id
+        |   AND bit_count(xor(a.dhash, b.dhash)) <= 8),
+        |gold1 AS (SELECT doc_id FROM w1
+        |          WHERE doc_id NOT IN (SELECT doc_id FROM w1dup)),
+        |ret AS (SELECT doc_id FROM gold1 WHERE doc_id % 6 <> 0),
+        |state AS (
+        |  SELECT s.dhash FROM sigs s JOIN ret r USING (doc_id)
+        |  WHERE s.decoded),
+        |w2 AS (SELECT * FROM sigs WHERE doc_id % 3 = 2),
+        |w2dup AS (
+        |  SELECT DISTINCT b.doc_id FROM w2 b JOIN w2 a
+        |    ON a.decoded AND b.decoded AND a.doc_id < b.doc_id
+        |   AND bit_count(xor(a.dhash, b.dhash)) <= 8
+        |  UNION
+        |  SELECT DISTINCT b.doc_id FROM w2 b JOIN state s
+        |    ON b.decoded AND bit_count(xor(b.dhash, s.dhash)) <= 8),
+        |acc2 AS (SELECT doc_id FROM w2
+        |         WHERE doc_id NOT IN (SELECT doc_id FROM w2dup))
+        |SELECT doc_id FROM ret
+        |UNION ALL SELECT doc_id FROM acc2
         |ORDER BY doc_id""".stripMargin,
 
     // q150: Spark ran the VIDEO wave loop over positional state; the
