@@ -2334,6 +2334,28 @@ object SparkEntry {
       s.read.parquet(st.goldPath).select("doc_id").orderBy("doc_id")
     },
 
+    // ---- q151's shape for CLIPS: positional-state takedown + rebuild
+    // with the per-pair distinct-position contract replayed in full.
+    "q152_video_takedown_rebuild" -> { (s, dir) =>
+      val corpus = operators.Video.syntheticCorpus(
+          Tables.documents(s, dir).select("doc_id"), "doc_id",
+          variantsPerScene = 3, corruptEvery = 97)
+        .localCheckpoint(true)
+      operators.Video.frameSignatures(corpus, "doc_id", col("content"),
+          everyNth = 2)
+        .write.mode("overwrite").parquet(s"${stateDir(dir)}/q152_sigs")
+      var st = IngestCli.initVideoState(s, "graft_q152_video",
+        s"${stateDir(dir)}/q152_state", maxHamming = 8, minFrames = 2,
+        everyNth = 2, numBuckets = 8)
+      IngestCli.ingestVideoWave(s, st, corpus.filter(col("doc_id") % 3 < 2), 1)
+      st = IngestCli.applyVideoTakedown(s, st,
+        Tables.documents(s, dir).select("doc_id")
+          .filter(col("doc_id") % 6 === 0))
+      st = IngestCli.rebuildVideoState(s, st)
+      IngestCli.ingestVideoWave(s, st, corpus.filter(col("doc_id") % 3 === 2), 2)
+      s.read.parquet(st.goldPath).select("doc_id").orderBy("doc_id")
+    },
+
     // ---- Recurring VIDEO ingestion over the persisted POSITIONAL
     // Hamming state (q147's layout): the corpus arrives as two
     // id-ordered clip waves; each decodes once, probes state on
@@ -5050,6 +5072,56 @@ object SparkEntry {
         |  SELECT DISTINCT b.doc_id FROM w2 b JOIN state s
         |    ON b.decoded AND bit_count(xor(b.dhash, s.dhash)) <= 8),
         |acc2 AS (SELECT doc_id FROM w2
+        |         WHERE doc_id NOT IN (SELECT doc_id FROM w2dup))
+        |SELECT doc_id FROM ret
+        |UNION ALL SELECT doc_id FROM acc2
+        |ORDER BY doc_id""".stripMargin,
+
+    // q152: q151's replay for clips — positional pair counting
+    // (≥ 2 distinct sampled positions within 8 bits) drives wave-1
+    // keep-lowest, the rebuilt state anchors to retained gold's
+    // frames, and wave 2 drops on in-wave OR against-state position
+    // counts. Corrupt clips have no frame rows and pass everywhere;
+    // the id universe is the documents table.
+    "q152_video_takedown_rebuild" ->
+      """WITH sigs AS (
+        |  SELECT doc_id, frame_pos, dhash
+        |  FROM read_parquet('__GRAFT_STATE_DIR__/q152_sigs/*.parquet')),
+        |w1ids AS (SELECT doc_id FROM documents WHERE doc_id % 3 < 2),
+        |w1 AS (SELECT s.* FROM sigs s JOIN w1ids USING (doc_id)),
+        |w1pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         count(DISTINCT a.frame_pos) AS m
+        |  FROM w1 a JOIN w1 b
+        |    ON a.doc_id < b.doc_id AND a.frame_pos = b.frame_pos
+        |   AND bit_count(xor(a.dhash, b.dhash)) <= 8
+        |  GROUP BY 1, 2),
+        |w1dup AS (SELECT DISTINCT id_b AS doc_id FROM w1pairs WHERE m >= 2),
+        |gold1 AS (SELECT doc_id FROM w1ids
+        |          WHERE doc_id NOT IN (SELECT doc_id FROM w1dup)),
+        |ret AS (SELECT doc_id FROM gold1 WHERE doc_id % 6 <> 0),
+        |state AS (SELECT s.* FROM sigs s JOIN ret USING (doc_id)),
+        |w2ids AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 2),
+        |w2 AS (SELECT s.* FROM sigs s JOIN w2ids USING (doc_id)),
+        |w2inpairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         count(DISTINCT a.frame_pos) AS m
+        |  FROM w2 a JOIN w2 b
+        |    ON a.doc_id < b.doc_id AND a.frame_pos = b.frame_pos
+        |   AND bit_count(xor(a.dhash, b.dhash)) <= 8
+        |  GROUP BY 1, 2),
+        |w2stpairs AS (
+        |  SELECT b.doc_id, c.doc_id AS cid,
+        |         count(DISTINCT b.frame_pos) AS m
+        |  FROM w2 b JOIN state c
+        |    ON b.frame_pos = c.frame_pos
+        |   AND bit_count(xor(b.dhash, c.dhash)) <= 8
+        |  GROUP BY 1, 2),
+        |w2dup AS (
+        |  SELECT DISTINCT id_b AS doc_id FROM w2inpairs WHERE m >= 2
+        |  UNION
+        |  SELECT DISTINCT doc_id FROM w2stpairs WHERE m >= 2),
+        |acc2 AS (SELECT doc_id FROM w2ids
         |         WHERE doc_id NOT IN (SELECT doc_id FROM w2dup))
         |SELECT doc_id FROM ret
         |UNION ALL SELECT doc_id FROM acc2
