@@ -152,6 +152,46 @@ class VideoSpec extends AnyFunSuite {
     sigs.unpersist(blocking = false)
   }
 
+  test("fuzz: aviFrames is total — noise, mutations, and truncations return, never throw or hang") {
+    val rnd = new scala.util.Random(41)
+    // pure noise, with and without the RIFF/AVI magic (the 24-byte
+    // wrap-hang reproducer class: corrupt sizes near 0xFFFFFFFF)
+    for (_ <- 1 to 25) {
+      val b = new Array[Byte](rnd.nextInt(2048))
+      rnd.nextBytes(b)
+      Video.aviFrames(b) // may be None or Some — must return
+      val magic = "RIFF".getBytes ++ b.take(4) ++ "AVI ".getBytes ++ b
+      Video.aviFrames(magic)
+    }
+    // structured corruption: a valid clip with random bytes flipped —
+    // the walk may lose frames or quarantine but must return; a
+    // surviving frame set must still dHash cleanly downstream
+    val base = Video.syntheticAvi(scene = 7L, variant = 0, nFrames = 4)
+    for (_ <- 1 to 40) {
+      val b = base.clone()
+      for (_ <- 0 to rnd.nextInt(24)) b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      Video.aviFrames(b).foreach(_.foreach(f => Images.decodeGray(f)))
+    }
+    // every truncation point of the container (chunk-boundary class)
+    (0 until base.length by 97).foreach { n =>
+      Video.aviFrames(java.util.Arrays.copyOf(base, n))
+    }
+    // clipBlocked is total over the same hostile inputs
+    val idx = operators.Dedup.hammingIndex(
+      Video.frameSignatures(
+        Video.syntheticCorpus(Seq(21L).toDF("doc_id"), "doc_id",
+          corruptEvery = 0),
+        "doc_id", col("content"), everyNth = 2)
+        .filter(col("frame_pos") === 0),
+      "dhash", maxHamming = 8)
+    for (_ <- 1 to 10) {
+      val b = base.clone()
+      for (_ <- 0 to rnd.nextInt(24)) b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      Video.clipBlocked(b, idx, everyNth = 2) // boolean either way
+    }
+    assert(Video.clipBlocked(null, idx) === false, "null bytes never block")
+  }
+
   test("videoNearDedup: scene bases + corrupt clips survive") {
     val kept = Video.videoNearDedup(
         Video.syntheticCorpus(spark.range(0, 120).toDF("doc_id"), "doc_id",
