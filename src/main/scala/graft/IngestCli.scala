@@ -98,9 +98,17 @@ object IngestCli {
     st
   }
 
-  /** One wave through the loop. `waveNo` labels the gold partition. */
+  /** One wave through the loop. `waveNo` labels the gold partition.
+    * `evalDigests` (from [[graft.streaming.StreamOps.evalGramDigests]])
+    * arms the benchmark-decontamination gate: docs sharing an
+    * `evalNWords`-gram with the eval set never reach dedup, gold OR
+    * state — the text loop's analog of the media blocklist, map-side
+    * in one referenced-array expression. Like blocked media, a gated
+    * doc cannot suppress its near-duplicates (it was never seen). */
   def ingestWave(spark: SparkSession, st: IngestState, wave: DataFrame,
-      waveNo: Int, cfg: GraftConfig = GraftConfig()): WaveReport = {
+      waveNo: Int, cfg: GraftConfig = GraftConfig(),
+      evalDigests: Option[Array[Long]] = None,
+      evalNWords: Int = 13): WaveReport = {
     val incoming = wave.count()
 
     // takedown first: a retracted id can never re-enter through a
@@ -108,9 +116,15 @@ object IngestCli {
     val live = Incremental.retractIds(wave, "doc_id", spark.table(st.tombTable))
     val nLive = live.count()
 
-    // map-side gate before any shuffle work
-    val gated = live.filter(
+    // map-side gates before any shuffle work (length bounds + the
+    // optional decontamination membership filter — both row-local)
+    val lengthGated = live.filter(
       length(col("text")).between(cfg.minTextLength, cfg.maxTextLength))
+    val gated = evalDigests match {
+      case Some(d) => graft.streaming.StreamOps.decontaminateStream(
+        lengthGated, col("text"), d, evalNWords)
+      case None => lengthGated
+    }
     val nGated = gated.count()
 
     // exact: keep-lowest-id within the wave, then drop anything whose
@@ -287,9 +301,16 @@ object IngestCli {
     * union of its waves: gate → keep-lowest-id exact dedup → banded
     * MinHash near-dup dedup (same thresholds, same signatures). */
   def batchEquivalent(corpus: DataFrame,
-      cfg: GraftConfig = GraftConfig()): DataFrame = {
-    val gated = corpus.filter(
+      cfg: GraftConfig = GraftConfig(),
+      evalDigests: Option[Array[Long]] = None,
+      evalNWords: Int = 13): DataFrame = {
+    val lengthGated = corpus.filter(
       length(col("text")).between(cfg.minTextLength, cfg.maxTextLength))
+    val gated = evalDigests match {
+      case Some(d) => graft.streaming.StreamOps.decontaminateStream(
+        lengthGated, col("text"), d, evalNWords)
+      case None => lengthGated
+    }
     val exact = Dedup.keepBestWindow(gated,
       graft.functions.text.norm_key(col("text")), Seq(col("doc_id").asc))
     Dedup.minhashDedup(exact, "doc_id", col("text"),
@@ -686,13 +707,21 @@ object IngestCli {
     * IngestSpec exercises the exact CLI code path. */
   def runText(spark: SparkSession, dir: String, wavePaths: Seq[String],
       takedownPath: Option[String], cfg: GraftConfig,
-      ns: String = "graft_ingest"): Unit = {
+      ns: String = "graft_ingest",
+      evalPath: Option[String] = None): Unit = {
+    // digests built ONCE per run — benchmark-sized eval sets, the
+    // evalGramDigests contract
+    val evalDigests = evalPath.map { p =>
+      graft.streaming.StreamOps.evalGramDigests(
+        spark.read.parquet(p), col("text"))
+    }
     var st = initState(spark, ns, dir)
     takedownPath.foreach { p =>
       st = applyTakedown(spark, st, spark.read.parquet(p).select("doc_id"))
     }
     wavePaths.zipWithIndex.foreach { case (path, i) =>
-      val r = ingestWave(spark, st, spark.read.parquet(path), i, cfg)
+      val r = ingestWave(spark, st, spark.read.parquet(path), i, cfg,
+        evalDigests)
       println(s"[ingest] wave=${r.wave} incoming=${r.incoming} " +
         s"live=${r.live} gated=${r.gated} exact=${r.exactSurvivors} " +
         s"accepted=${r.accepted} gold=${r.goldTotal}")
@@ -771,7 +800,9 @@ object IngestCli {
     require(args.length >= 2,
       "usage: IngestCli <stateDir> <wave1.parquet> [wave2.parquet ...] " +
         "(GRAFT_MEDIA=image|audio|video selects the media loop; " +
-        "GRAFT_BLOCKLIST/GRAFT_TAKEDOWN name parquet inputs; GRAFT_NS " +
+        "GRAFT_BLOCKLIST/GRAFT_TAKEDOWN/GRAFT_EVAL name parquet " +
+        "inputs — GRAFT_EVAL arms the text loop's benchmark-" +
+        "decontamination gate; GRAFT_NS " +
         "sets the state-table namespace — mode-suffixed, so concurrent " +
         "loops on one metastore never collide)")
     val dir = args(0)
@@ -801,7 +832,7 @@ object IngestCli {
       case None =>
         runText(spark, dir, args.drop(1).toSeq,
           sys.env.get("GRAFT_TAKEDOWN"), GraftConfig.fromEnv(),
-          ns("text", "graft_ingest"))
+          ns("text", "graft_ingest"), sys.env.get("GRAFT_EVAL"))
     }
     spark.stop()
   }

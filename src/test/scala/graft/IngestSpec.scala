@@ -182,6 +182,36 @@ class IngestSpec extends AnyFunSuite {
     assert(r5.accepted === 0)
   }
 
+  test("decontamination gate: eval-overlapping docs never enter gold OR state; wave == batch under the gate") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest5").toString
+    val st = IngestCli.initState(spark, "graft_ingest_t5", dir, numBuckets = 4)
+    // eval text covers words a62..a79 — 13-grams unique to textA's
+    // TAIL (nd1 replaced exactly those words with x's, so nd1 is
+    // clean and the fuzzy interplay below is non-vacuous)
+    val evalDf = Seq((100L, words("a", 18, from = 62).mkString(" ")))
+      .toDF("doc_id", "text")
+    val dig = graft.streaming.StreamOps.evalGramDigests(
+      evalDf, col("text"), nWords = 13)
+    val r1 = IngestCli.ingestWave(spark, st, wave1, 1, cfg, Some(dig))
+    // textA (1) decontaminated, "ab" (3) length-gated, B and E land
+    assert(r1.gated === 2 && goldIds(st.goldPath) === Set(2L, 4L))
+    // wave ≡ batch under the SAME digests
+    assert(goldIds(st.goldPath) ===
+      IngestCli.batchEquivalent(wave1, cfg, Some(dig))
+        .select("doc_id").as[Long].collect().toSet)
+    // the contract: a gated doc was never SEEN, so content similar to
+    // it (nd1 ~ textA, J ≈ 0.6 ≥ 0.5) is ADMITTED in a later wave —
+    // unlike seen-not-kept dedup drops, which keep suppressing
+    val r2 = IngestCli.ingestWave(spark, st, df(12L -> nd1), 2, cfg,
+      Some(dig))
+    assert(r2.accepted === 1,
+      "decontaminated docs must not suppress later near-dups")
+    // and the gate keeps holding wave over wave
+    val r3 = IngestCli.ingestWave(spark, st, df(21L -> textA), 3, cfg,
+      Some(dig))
+    assert(r3.gated === 0 && r3.accepted === 0)
+  }
+
   // ---- the MEDIA wave loop ----
 
   test("media waves: gold == from-scratch batch over the union after every wave") {
