@@ -78,6 +78,33 @@ object IngestCli {
   final case class WaveReport(wave: Int, incoming: Long, live: Long,
       gated: Long, exactSurvivors: Long, accepted: Long, goldTotal: Long)
 
+  /** Benchmark-decontamination gate model: the eval set's sorted
+    * gram digests BUNDLED with the gram size that produced them — a
+    * digest array probed at a different `nWords` matches nothing
+    * (silently disarming the gate, the dangerous direction), so the
+    * pair is unrepresentable apart. Build with [[evalGate]]. */
+  final case class EvalGate(digests: Array[Long], nWords: Int)
+
+  /** Build an [[EvalGate]] from an eval/benchmark frame's text. */
+  def evalGate(evalSet: DataFrame, textCol: org.apache.spark.sql.Column,
+      nWords: Int = 13): EvalGate =
+    EvalGate(graft.streaming.StreamOps.evalGramDigests(evalSet, textCol,
+      nWords), nWords)
+
+  /** The map-side gate block shared VERBATIM by [[ingestWave]] and
+    * [[batchEquivalent]] — one definition, or the loop's provable
+    * wave ≡ batch contract could drift. */
+  private def applyGates(df: DataFrame, cfg: GraftConfig,
+      gate: Option[EvalGate]): DataFrame = {
+    val lengthGated = df.filter(
+      length(col("text")).between(cfg.minTextLength, cfg.maxTextLength))
+    gate match {
+      case Some(g) => graft.streaming.StreamOps.decontaminateStream(
+        lengthGated, col("text"), g.digests, g.nWords)
+      case None => lengthGated
+    }
+  }
+
   /** Fresh state: empty bucketed digest/signature/tombstone tables
     * (the same specs every append preserves) and a clean gold dir. */
   def initState(spark: SparkSession, ns: String, dir: String,
@@ -99,16 +126,14 @@ object IngestCli {
   }
 
   /** One wave through the loop. `waveNo` labels the gold partition.
-    * `evalDigests` (from [[graft.streaming.StreamOps.evalGramDigests]])
-    * arms the benchmark-decontamination gate: docs sharing an
-    * `evalNWords`-gram with the eval set never reach dedup, gold OR
-    * state — the text loop's analog of the media blocklist, map-side
+    * `evalGate` ([[evalGate]]) arms the benchmark-decontamination
+    * gate: docs sharing an `nWords`-gram with the eval set never
+    * reach dedup, gold OR state — the text loop's analog of the media blocklist, map-side
     * in one referenced-array expression. Like blocked media, a gated
     * doc cannot suppress its near-duplicates (it was never seen). */
   def ingestWave(spark: SparkSession, st: IngestState, wave: DataFrame,
       waveNo: Int, cfg: GraftConfig = GraftConfig(),
-      evalDigests: Option[Array[Long]] = None,
-      evalNWords: Int = 13): WaveReport = {
+      evalGate: Option[EvalGate] = None): WaveReport = {
     val incoming = wave.count()
 
     // takedown first: a retracted id can never re-enter through a
@@ -118,13 +143,7 @@ object IngestCli {
 
     // map-side gates before any shuffle work (length bounds + the
     // optional decontamination membership filter — both row-local)
-    val lengthGated = live.filter(
-      length(col("text")).between(cfg.minTextLength, cfg.maxTextLength))
-    val gated = evalDigests match {
-      case Some(d) => graft.streaming.StreamOps.decontaminateStream(
-        lengthGated, col("text"), d, evalNWords)
-      case None => lengthGated
-    }
+    val gated = applyGates(live, cfg, evalGate)
     val nGated = gated.count()
 
     // exact: keep-lowest-id within the wave, then drop anything whose
@@ -302,15 +321,8 @@ object IngestCli {
     * MinHash near-dup dedup (same thresholds, same signatures). */
   def batchEquivalent(corpus: DataFrame,
       cfg: GraftConfig = GraftConfig(),
-      evalDigests: Option[Array[Long]] = None,
-      evalNWords: Int = 13): DataFrame = {
-    val lengthGated = corpus.filter(
-      length(col("text")).between(cfg.minTextLength, cfg.maxTextLength))
-    val gated = evalDigests match {
-      case Some(d) => graft.streaming.StreamOps.decontaminateStream(
-        lengthGated, col("text"), d, evalNWords)
-      case None => lengthGated
-    }
+      evalGate: Option[EvalGate] = None): DataFrame = {
+    val gated = applyGates(corpus, cfg, evalGate)
     val exact = Dedup.keepBestWindow(gated,
       graft.functions.text.norm_key(col("text")), Seq(col("doc_id").asc))
     Dedup.minhashDedup(exact, "doc_id", col("text"),
@@ -711,17 +723,14 @@ object IngestCli {
       evalPath: Option[String] = None): Unit = {
     // digests built ONCE per run — benchmark-sized eval sets, the
     // evalGramDigests contract
-    val evalDigests = evalPath.map { p =>
-      graft.streaming.StreamOps.evalGramDigests(
-        spark.read.parquet(p), col("text"))
-    }
+    val gate = evalPath.map(p => evalGate(spark.read.parquet(p), col("text")))
     var st = initState(spark, ns, dir)
     takedownPath.foreach { p =>
       st = applyTakedown(spark, st, spark.read.parquet(p).select("doc_id"))
     }
     wavePaths.zipWithIndex.foreach { case (path, i) =>
       val r = ingestWave(spark, st, spark.read.parquet(path), i, cfg,
-        evalDigests)
+        gate)
       println(s"[ingest] wave=${r.wave} incoming=${r.incoming} " +
         s"live=${r.live} gated=${r.gated} exact=${r.exactSurvivors} " +
         s"accepted=${r.accepted} gold=${r.goldTotal}")
@@ -817,6 +826,13 @@ object IngestCli {
     // distinct values isolate same-mode loops.
     def ns(mode: String, default: String): String =
       sys.env.get("GRAFT_NS").map(n => s"${n}_$mode").getOrElse(default)
+    // GRAFT_EVAL is a TEXT-loop knob; make setting it alongside a
+    // media mode a loud no-op instead of a silent one
+    if (sys.env.contains("GRAFT_EVAL") && sys.env.contains("GRAFT_MEDIA"))
+      System.err.println("[graft] GRAFT_EVAL is ignored by the media/" +
+        "video loops (text-gram decontamination) — gate captions/" +
+        "transcripts through the text loop, or flag media signatures " +
+        "via GRAFT_BLOCKLIST")
     sys.env.get("GRAFT_MEDIA") match {
       case Some("video") =>
         runVideo(spark, dir, args.drop(1).toSeq,

@@ -190,8 +190,7 @@ class IngestSpec extends AnyFunSuite {
     // clean and the fuzzy interplay below is non-vacuous)
     val evalDf = Seq((100L, words("a", 18, from = 62).mkString(" ")))
       .toDF("doc_id", "text")
-    val dig = graft.streaming.StreamOps.evalGramDigests(
-      evalDf, col("text"), nWords = 13)
+    val dig = IngestCli.evalGate(evalDf, col("text"), nWords = 13)
     val r1 = IngestCli.ingestWave(spark, st, wave1, 1, cfg, Some(dig))
     // textA (1) decontaminated, "ab" (3) length-gated, B and E land
     assert(r1.gated === 2 && goldIds(st.goldPath) === Set(2L, 4L))
