@@ -2216,6 +2216,32 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ---- Modern-PDF source end-to-end (the PDF 1.5 envelope): same
+    // recompute-from-documents oracle as q142, but the synthesized
+    // files use cross-reference STREAMS (PNG Up predictor) + /Type
+    // /ObjStm object streams, with content streams deliberately laid
+    // out in REVERSED file order — only a genuine xref walk (page
+    // TREE order) reproduces the oracle's page join; the pre-walk
+    // lexical scan would hash-mismatch on every multi-page file.
+    "q153_pdf_xref_stream_scan" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") % 10 === 5 && col("text").isNotNull &&
+          length(col("text")) > 0)
+        .select(col("doc_id"), col("text"))
+      val pdfDir = s"${stateDir(dir)}/q153_pdfs"
+      val rows = docs.as[(Long, String)].map { case (id, text) =>
+        (f"doc_$id%08d", Seq(text, s"doc $id page 2"))
+      }
+      sources.Pdf.writePdfDir(rows, pdfDir, modern = true)
+      sources.Pdf.readPdfDir(s, pdfDir).toDF()
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.pdf$", 1)
+            .cast("long").as("doc_id"),
+          col("pdf_text"), col("pdf_pages"), col("pdf_ok"))
+        .orderBy("doc_id")
+    },
+
     // ---- Multimodal audio near-dup: REAL RIFF/PCM decode of a
     // deterministic synthetic WAV corpus (scene = doc_id/3, planted
     // 3-frame variants ≤ 4 eHash bits apart; every 97th payload
@@ -4944,6 +4970,17 @@ object SparkEntry {
         |  2 AS pdf_pages, TRUE AS pdf_ok
         |FROM documents
         |WHERE doc_id % 10 = 0 AND text IS NOT NULL AND length(text) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // q153: identical recompute-from-documents shape for the PDF 1.5
+    // layout; the expected page ORDER is only reachable through the
+    // xref-stream + ObjStm walk (file order is reversed on disk).
+    "q153_pdf_xref_stream_scan" ->
+      """SELECT doc_id,
+        |  text || chr(10) || 'doc ' || doc_id || ' page 2' AS pdf_text,
+        |  2 AS pdf_pages, TRUE AS pdf_ok
+        |FROM documents
+        |WHERE doc_id % 10 = 5 AND text IS NOT NULL AND length(text) > 0
         |ORDER BY doc_id""".stripMargin,
 
     // q143: exported eHash signatures; the oracle replays the full

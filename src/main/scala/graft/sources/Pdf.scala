@@ -22,12 +22,23 @@ import org.apache.spark.sql.functions._
   *   - strings with a UTF-16BE BOM decode as UTF-16BE, everything
   *     else as Latin-1 (≈PDFDocEncoding for the ASCII range).
   *
-  * Documented limits (the "simple PDFs" envelope): no xref/object
-  * graph walk (streams are taken in file order, so `pdf_pages` counts
-  * text-bearing content streams), no font CMap/ToUnicode mapping
-  * (custom-encoded fonts extract as their raw codes), no encryption.
-  * A malformed file extracts as `ok = false` with empty text — the
-  * reference's empty-on-error contract — never an exception.
+  * Extraction is STRUCTURED-FIRST: a real cross-reference walk
+  * (classic `xref` tables, PDF 1.5 cross-reference STREAMS with PNG
+  * predictors, `/Prev` incremental-update chains with newest-wins
+  * entries, hybrid `/XRefStm` trailers) resolves the catalog → page
+  * tree → per-page `/Contents`, decompressing `/Type /ObjStm` object
+  * streams on demand, so pages extract in PAGE-TREE order with
+  * `pdf_pages` counting text-bearing PAGES. When the walk fails (no
+  * `startxref`, damaged tables — the long tail of real corpora) the
+  * lexical scan above is the fallback: streams taken in file order,
+  * `pdf_pages` counting text-bearing content streams.
+  *
+  * Documented limits: no font CMap/ToUnicode mapping (custom-encoded
+  * fonts extract as their raw codes), no encryption, no non-Flate
+  * stream filters (LZW/DCT/JBIG2 streams are stepped over). A
+  * malformed file extracts as `ok = false` with empty text — the
+  * reference's empty-on-error contract — never an exception (every
+  * parser here is index-guarded and depth-capped; fuzz-pinned).
   *
   * Scale shape: extraction runs in `mapPartitions` with ONE Inflater
   * per partition (codec init amortized, the [[graft.operators
@@ -82,19 +93,32 @@ object Pdf {
     try {
       val raw = new String(bytes, Latin1)
       if (!raw.startsWith("%PDF")) return Extracted("", 0, ok = false)
-      // a parse error in ONE stream (binary data that happens to lex
-      // as text operators, a malformed number) skips that stream —
-      // never the other 99 pages of the document
-      val pageTexts = streams(raw, bytes, inflater).flatMap { data =>
-        val t =
-          try textOps(new String(data, Latin1))
-          catch { case scala.util.control.NonFatal(_) => "" }
-        if (t.nonEmpty) Some(t) else None
-      }
-      Extracted(pageTexts.mkString("\n"), pageTexts.length, ok = true)
+      // structured walk first (page-tree order, ObjStm-aware); any
+      // failure — or a walk that reaches no text — falls back to the
+      // lexical scan, so the envelope is strictly wider than before
+      val structured =
+        try new XrefWalk(raw, bytes, inflater).extract()
+        catch { case scala.util.control.NonFatal(_) => None }
+      structured.getOrElse(extractLexical(raw, bytes, inflater))
     } catch {
       case scala.util.control.NonFatal(_) => Extracted("", 0, ok = false)
     }
+  }
+
+  /** The pre-xref-walk scan (fallback path; also the spec's probe for
+    * proving the structured walk is the one producing a result). A
+    * parse error in ONE stream (binary data that happens to lex as
+    * text operators, a malformed number) skips that stream — never
+    * the other 99 pages of the document. */
+  private[graft] def extractLexical(raw: String, bytes: Array[Byte],
+      inflater: java.util.zip.Inflater): Extracted = {
+    val pageTexts = streams(raw, bytes, inflater).flatMap { data =>
+      val t =
+        try textOps(new String(data, Latin1))
+        catch { case scala.util.control.NonFatal(_) => "" }
+      if (t.nonEmpty) Some(t) else None
+    }
+    Extracted(pageTexts.mkString("\n"), pageTexts.length, ok = true)
   }
 
   /** Lexical stream scan: every `<<dict>> stream\r?\n ... endstream`,
@@ -379,6 +403,528 @@ object Pdf {
     (sb.toString, math.min(i + 1, s.length))
   }
 
+  // ======== structured cross-reference walk (the PDF 1.5 envelope:
+  // xref streams, object streams, /Prev chains, hybrid /XRefStm —
+  // the layouts the reference's pdfplumber opens,
+  // /root/reference/pipeline/ingestion/drivers.py:33-50) ========
+
+  /** Minimal PDF object model — just the shapes the walk needs. */
+  private sealed trait PVal
+  private final case class PNum(v: Double) extends PVal
+  private final case class PRef(num: Int) extends PVal
+  private final case class PName(v: String) extends PVal
+  private final case class PArr(v: Vector[PVal]) extends PVal
+  private final case class PDict(m: Map[String, PVal]) extends PVal
+  private case object POther extends PVal
+
+  private def isPdfDelim(c: Char): Boolean =
+    c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
+      c == '{' || c == '}' || c == '/' || c == '%' || c.isWhitespace
+
+  /** Skip PDF whitespace and `%` comments. */
+  private def skipWs(s: String, p0: Int): Int = {
+    var p = p0
+    var go = true
+    while (go && p < s.length) {
+      val c = s.charAt(p)
+      if (c == '%') {
+        while (p < s.length && s.charAt(p) != '\n' && s.charAt(p) != '\r') p += 1
+      } else if (c.isWhitespace) p += 1
+      else go = false
+    }
+    p
+  }
+
+  /** Unsigned decimal at `p`; (value, after) or None. Int-guarded. */
+  private def parseUInt(s: String, p0: Int): Option[(Int, Int)] = {
+    var p = p0
+    var v = 0L
+    while (p < s.length && s.charAt(p).isDigit && v < Int.MaxValue) {
+      v = v * 10 + (s.charAt(p) - '0'); p += 1
+    }
+    if (p == p0 || v > Int.MaxValue) None else Some((v.toInt, p))
+  }
+
+  /** One PDF value at `pos` → (value, index after). Total: malformed
+    * input yields POther and always advances; recursion depth-capped
+    * (a fuzzer's `[[[[...` must not overflow the stack — the fallback
+    * contract is NonFatal-only). */
+  private def parseVal(s: String, pos0: Int, depth: Int = 0): (PVal, Int) = {
+    val pos = skipWs(s, pos0)
+    if (pos >= s.length || depth > 48) return (POther, math.min(pos + 1, s.length))
+    val c = s.charAt(pos)
+    if (c == '<' && pos + 1 < s.length && s.charAt(pos + 1) == '<') {
+      parseDict(s, pos, depth)
+    } else if (c == '<') { (POther, hexString(s, pos)._2) }
+    else if (c == '(') { (POther, literalString(s, pos)._2) }
+    else if (c == '/') {
+      var i = pos + 1
+      while (i < s.length && !isPdfDelim(s.charAt(i))) i += 1
+      (PName(s.substring(pos + 1, i)), i)
+    } else if (c == '[') {
+      var i = pos + 1
+      val b = Vector.newBuilder[PVal]
+      var go = true
+      while (go) {
+        val j = skipWs(s, i)
+        if (j >= s.length) { go = false; i = j }
+        else if (s.charAt(j) == ']') { go = false; i = j + 1 }
+        else {
+          val (v, n) = parseVal(s, j, depth + 1)
+          if (n <= j) { go = false; i = j + 1 } else { b += v; i = n }
+        }
+      }
+      (PArr(b.result()), i)
+    } else if (c == '-' || c == '+' || c == '.' || c.isDigit) {
+      var i = pos + 1
+      while (i < s.length &&
+          (s.charAt(i).isDigit || s.charAt(i) == '.' ||
+            s.charAt(i) == '-' || s.charAt(i) == '+')) i += 1
+      val num = s.substring(pos, i).toDoubleOption
+      // `N G R` lookahead: two non-negative ints then a delimited R
+      if (num.exists(v => v >= 0 && v <= Int.MaxValue && v == v.floor)) {
+        parseUInt(s, skipWs(s, i)).foreach { case (_, afterGen) =>
+          val l = skipWs(s, afterGen)
+          if (l < s.length && s.charAt(l) == 'R' &&
+              (l + 1 >= s.length || isPdfDelim(s.charAt(l + 1))))
+            return (PRef(num.get.toInt), l + 1)
+        }
+      }
+      (num.map(PNum).getOrElse(POther), i)
+    } else {
+      var i = pos
+      while (i < s.length && s.charAt(i).isLetter) i += 1
+      (POther, if (i == pos) pos + 1 else i) // true/false/null/junk
+    }
+  }
+
+  private def parseDict(s: String, pos: Int, depth: Int): (PVal, Int) = {
+    var i = pos + 2
+    val m = Map.newBuilder[String, PVal]
+    var go = true
+    while (go) {
+      val j = skipWs(s, i)
+      if (j >= s.length) { go = false; i = j }
+      else if (j + 1 < s.length && s.charAt(j) == '>' && s.charAt(j + 1) == '>') {
+        go = false; i = j + 2
+      } else {
+        parseVal(s, j, depth + 1) match {
+          case (PName(key), n) =>
+            val (v, n2) = parseVal(s, n, depth + 1)
+            m += key -> v
+            i = math.max(n2, j + 1)
+          case (_, n) => i = math.max(n, j + 1) // junk key — skip it
+        }
+      }
+    }
+    (PDict(m.result()), i)
+  }
+
+  /** Big-endian unsigned int of `w` bytes (w=0 → 0). */
+  private def readBE(d: Array[Byte], pos: Int, w: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < w) { v = (v << 8) | (d(pos + i) & 0xFFL); i += 1 }
+    v
+  }
+
+  /** Undo a /DecodeParms predictor: 1 = none, 2 = TIFF horizontal,
+    * 10–15 = PNG (per-row filter byte: None/Sub/Up/Average/Paeth) —
+    * predictor 12 (PNG Up) is what real xref-stream writers emit.
+    * Malformed rows truncate the output rather than throw. */
+  private[graft] def unpredict(data: Array[Byte], predictor: Int,
+      columns: Int, colors: Int = 1, bpc: Int = 8): Array[Byte] = {
+    if (predictor < 2) return data
+    val bpp = math.max(1, colors * bpc / 8)
+    val rowLen = math.max(1, (columns * colors * bpc + 7) / 8)
+    if (predictor == 2) { // TIFF: left-add per sample byte
+      val out = data.clone()
+      var r = 0
+      while (r + rowLen <= out.length) {
+        var i = bpp
+        while (i < rowLen) {
+          out(r + i) = (out(r + i) + out(r + i - bpp)).toByte; i += 1
+        }
+        r += rowLen
+      }
+      return out
+    }
+    // PNG predictors: rows of (1 filter byte + rowLen data bytes)
+    val nRows = data.length / (rowLen + 1)
+    val out = new Array[Byte](nRows * rowLen)
+    val prev = new Array[Byte](rowLen)
+    var r = 0
+    while (r < nRows) {
+      val base = r * (rowLen + 1)
+      val filter = data(base) & 0xFF
+      var i = 0
+      while (i < rowLen) {
+        val x = data(base + 1 + i) & 0xFF
+        val left = if (i >= bpp) out(r * rowLen + i - bpp) & 0xFF else 0
+        val up = prev(i) & 0xFF
+        val upLeft = if (i >= bpp) prev(i - bpp) & 0xFF else 0
+        val v = filter match {
+          case 0 => x
+          case 1 => x + left
+          case 2 => x + up
+          case 3 => x + ((left + up) / 2)
+          case 4 => // Paeth
+            val p = left + up - upLeft
+            val pa = math.abs(p - left); val pb = math.abs(p - up)
+            val pc = math.abs(p - upLeft)
+            x + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft)
+          case _ => x
+        }
+        out(r * rowLen + i) = (v & 0xFF).toByte
+        i += 1
+      }
+      System.arraycopy(out, r * rowLen, prev, 0, rowLen)
+      r += 1
+    }
+    out
+  }
+
+  private final case class XInFile(off: Int)
+  private final case class XInStm(stm: Int, idx: Int)
+
+  /** One document's cross-reference walk. Entries resolve newest-wins
+    * across /Prev chains; object streams decompress once per document
+    * (cache), which at corpus scale is once per ROW inside the
+    * `mapPartitions` decode pass — the walk allocates nothing global
+    * and shares the per-partition Inflater. */
+  private final class XrefWalk(raw: String, bytes: Array[Byte],
+      inflater: java.util.zip.Inflater) {
+    import scala.collection.mutable
+
+    private val entries = mutable.HashMap.empty[Int, Any] // XInFile | XInStm
+    private var rootRef: Option[Int] = None
+    private val objStmCache =
+      mutable.HashMap.empty[Int, Option[(String, Vector[(Int, Int)])]]
+
+    private def record(num: Int, e: Any): Unit =
+      if (!entries.contains(num)) entries.update(num, e) // newest wins
+
+    // ---- section loading ----
+
+    private def load(): Boolean = {
+      val sx = raw.lastIndexOf("startxref")
+      if (sx < 0) return false
+      val first = parseUInt(raw, skipWs(raw, sx + 9)).map(_._1)
+      if (first.isEmpty) return false
+      val queue = mutable.Queue(first.get)
+      val seen = mutable.Set.empty[Int]
+      var any = false
+      var guard = 0
+      while (queue.nonEmpty && guard < 64) {
+        guard += 1
+        val o = queue.dequeue()
+        if (o >= 0 && o < raw.length && seen.add(o)) {
+          val q = skipWs(raw, o)
+          if (raw.startsWith("xref", q)) any |= loadClassic(q + 4, queue)
+          else any |= loadXrefStream(q, queue)
+        }
+      }
+      any && rootRef.isDefined
+    }
+
+    private def trailerDict(m: Map[String, PVal], queue: mutable.Queue[Int]): Unit = {
+      if (rootRef.isEmpty) m.get("Root").foreach {
+        case PRef(n) => rootRef = Some(n); case _ => ()
+      }
+      // hybrid-reference file: the classic trailer points at a PARALLEL
+      // xref stream carrying the ObjStm entries — higher precedence
+      // than /Prev, so enqueue it first
+      m.get("XRefStm").foreach { case PNum(v) => queue.enqueue(v.toInt); case _ => () }
+      m.get("Prev").foreach { case PNum(v) => queue.enqueue(v.toInt); case _ => () }
+    }
+
+    private def loadClassic(p0: Int, queue: mutable.Queue[Int]): Boolean = {
+      var p = p0
+      var ok = false
+      var go = true
+      while (go) {
+        p = skipWs(raw, p)
+        if (raw.startsWith("trailer", p)) {
+          parseVal(raw, p + 7) match {
+            case (PDict(m), _) => trailerDict(m, queue); ok = true
+            case _ => ()
+          }
+          go = false
+        } else {
+          (for {
+            (start, p1) <- parseUInt(raw, p)
+            (count, p2) <- parseUInt(raw, skipWs(raw, p1))
+          } yield (start, count, p2)) match {
+            case None => go = false
+            case Some((start, count, p2)) =>
+              p = p2
+              var k = 0
+              while (k < count && go) {
+                (for {
+                  (off, q1) <- parseUInt(raw, skipWs(raw, p))
+                  (_, q2) <- parseUInt(raw, skipWs(raw, q1))
+                } yield (off, skipWs(raw, q2))) match {
+                  case Some((off, q3)) if q3 < raw.length =>
+                    if (raw.charAt(q3) == 'n') record(start + k, XInFile(off))
+                    p = q3 + 1
+                    ok = true
+                  case _ => go = false
+                }
+                k += 1
+              }
+          }
+        }
+      }
+      ok
+    }
+
+    private def loadXrefStream(p0: Int, queue: mutable.Queue[Int]): Boolean = {
+      val parsed = for {
+        (_, afterObj) <- objHeaderAt(p0)
+        (dict, afterDict) = parseVal(raw, afterObj)
+        m <- dict match { case PDict(m) => Some(m); case _ => None }
+        if m.get("Type").contains(PName("XRef"))
+        rawData <- rawStreamAt(afterDict, m, direct = true)
+        data <- decodeStream(rawData, m)
+      } yield (m, data)
+      parsed match {
+        case None => false
+        case Some((m, data)) =>
+          val w = m.get("W") match {
+            case Some(PArr(v)) => v.collect { case PNum(x) => x.toInt }.toArray
+            case _ => return false
+          }
+          if (w.length < 3 || w.exists(x => x < 0 || x > 8)) return false
+          val size = m.get("Size") match {
+            case Some(PNum(v)) => v.toInt; case _ => Int.MaxValue
+          }
+          val index: Vector[Int] = m.get("Index") match {
+            case Some(PArr(v)) => v.collect { case PNum(x) => x.toInt }.toVector
+            case _ => Vector(0, size)
+          }
+          val rowLen = w.sum
+          var pos = 0
+          index.grouped(2).foreach {
+            case Vector(start, count) =>
+              var k = 0
+              while (k < count && pos + rowLen <= data.length) {
+                val t = if (w(0) == 0) 1L else readBE(data, pos, w(0))
+                val f2 = readBE(data, pos + w(0), w(1))
+                val f3 = readBE(data, pos + w(0) + w(1), w(2))
+                t match {
+                  case 1L => record(start + k, XInFile(f2.toInt))
+                  case 2L => record(start + k, XInStm(f2.toInt, f3.toInt))
+                  case _ => () // free
+                }
+                pos += rowLen
+                k += 1
+              }
+            case _ => ()
+          }
+          trailerDict(m, queue)
+          true
+      }
+    }
+
+    // ---- object access ----
+
+    /** `N G obj` at `p` → (objnum, index after the obj keyword). */
+    private def objHeaderAt(p0: Int): Option[(Int, Int)] =
+      for {
+        (num, p1) <- parseUInt(raw, skipWs(raw, p0))
+        (_, p2) <- parseUInt(raw, skipWs(raw, p1))
+        p3 = skipWs(raw, p2)
+        if raw.startsWith("obj", p3)
+      } yield (num, p3 + 3)
+
+    /** Raw (still-encoded) stream payload following a dict that ended
+      * at `afterDict`. A direct /Length is trusted when `endstream`
+      * confirms it; otherwise (indirect /Length, or binary payloads
+      * whose declared length lies) the lexical `endstream` bound is
+      * the fallback. `direct` skips ref resolution — the xref-stream
+      * bootstrap runs before any entries exist. */
+    private def rawStreamAt(afterDict: Int, m: Map[String, PVal],
+        direct: Boolean, depth: Int = 0): Option[Array[Byte]] = {
+      val p = skipWs(raw, afterDict)
+      if (!raw.startsWith("stream", p)) return None
+      var ds = p + 6
+      if (ds < raw.length && raw.charAt(ds) == '\r') ds += 1
+      if (ds < raw.length && raw.charAt(ds) == '\n') ds += 1
+      val len: Option[Int] = m.get("Length") match {
+        case Some(PNum(v)) => Some(v.toInt)
+        case Some(PRef(n)) if !direct => intOf(Some(PRef(n)), depth)
+        case _ => None
+      }
+      val de = len match {
+        case Some(l) if l >= 0 && ds + l <= raw.length &&
+            raw.startsWith("endstream", skipWs(raw, ds + l)) => ds + l
+        case _ =>
+          val e = raw.indexOf("endstream", ds)
+          if (e < 0) return None
+          var x = e
+          if (x > ds && raw.charAt(x - 1) == '\n') x -= 1
+          if (x > ds && raw.charAt(x - 1) == '\r') x -= 1
+          x
+      }
+      Some(java.util.Arrays.copyOfRange(bytes, ds, de))
+    }
+
+    /** Apply /Filter (+ /DecodeParms predictors). Only FlateDecode is
+      * supported — an unsupported filter yields None and the caller
+      * steps over the stream (image XObjects etc.). */
+    private def decodeStream(data: Array[Byte], m: Map[String, PVal]): Option[Array[Byte]] = {
+      val filters: Seq[String] = m.get("Filter") match {
+        case Some(PName(n)) => Seq(n)
+        case Some(PArr(v)) => v.collect { case PName(n) => n }
+        case _ => Seq.empty
+      }
+      val parms: Seq[Option[Map[String, PVal]]] = m.get("DecodeParms") match {
+        case Some(PDict(d)) => Seq(Some(d))
+        case Some(PArr(v)) => v.map { case PDict(d) => Some(d); case _ => None }
+        case _ => Seq.empty
+      }
+      filters.zipWithIndex.foldLeft(Option(data)) { case (acc, (f, i)) =>
+        acc.flatMap { d =>
+          f match {
+            case "FlateDecode" | "Fl" =>
+              inflate(d, inflater).map { x =>
+                parms.lift(i).flatten match {
+                  case Some(pm) => unpredict(x,
+                    intOf(pm.get("Predictor"), 0).getOrElse(1),
+                    intOf(pm.get("Columns"), 0).getOrElse(1),
+                    intOf(pm.get("Colors"), 0).getOrElse(1),
+                    intOf(pm.get("BitsPerComponent"), 0).getOrElse(8))
+                  case None => x
+                }
+              }
+            case _ => None
+          }
+        }
+      }
+    }
+
+    private def intOf(v: Option[PVal], depth: Int): Option[Int] = v match {
+      case Some(PNum(x)) => Some(x.toInt)
+      case Some(PRef(n)) if depth < 8 => fetchVal(n, depth + 1) match {
+        case Some(PNum(x)) => Some(x.toInt)
+        case _ => None
+      }
+      case _ => None
+    }
+
+    /** The object's VALUE (dict/array/number), through ObjStm. */
+    private def fetchVal(num: Int, depth: Int = 0): Option[PVal] = {
+      if (depth > 16) return None
+      entries.get(num).flatMap {
+        case XInFile(off) =>
+          objHeaderAt(off).filter(_._1 == num)
+            .map { case (_, p) => parseVal(raw, p)._1 }
+        case XInStm(stm, idx) =>
+          loadObjStm(stm, depth).flatMap { case (text, offs) =>
+            offs.lift(idx).map { case (_, o) => parseVal(text, o)._1 }
+          }
+        case _ => None
+      }
+    }
+
+    /** Decoded stream payload of an in-file stream object. */
+    private def fetchStream(num: Int, depth: Int = 0): Option[Array[Byte]] =
+      entries.get(num) match {
+        case Some(XInFile(off)) =>
+          for {
+            (_, p) <- objHeaderAt(off)
+            (dict, afterDict) = parseVal(raw, p)
+            m <- dict match { case PDict(m) => Some(m); case _ => None }
+            rawData <- rawStreamAt(afterDict, m, direct = false, depth)
+            decoded <- decodeStream(rawData, m)
+          } yield decoded
+        case _ => None
+      }
+
+    /** /Type /ObjStm: decompress once, parse the N (objnum, offset)
+      * header pairs; offsets become absolute into the decoded text. */
+    private def loadObjStm(stm: Int, depth: Int): Option[(String, Vector[(Int, Int)])] =
+      objStmCache.getOrElseUpdate(stm, {
+        for {
+          m <- fetchVal(stm, depth + 1) match {
+            case Some(PDict(m)) if m.get("Type").contains(PName("ObjStm")) => Some(m)
+            case _ => None
+          }
+          data <- fetchStream(stm, depth + 1)
+          n <- intOf(m.get("N"), depth + 1)
+          first <- intOf(m.get("First"), depth + 1)
+        } yield {
+          val text = new String(data, Latin1)
+          val pairs = Vector.newBuilder[(Int, Int)]
+          var p = 0
+          var k = 0
+          var ok = true
+          while (k < n && ok) {
+            (for {
+              (onum, p1) <- parseUInt(text, skipWs(text, p))
+              (off, p2) <- parseUInt(text, skipWs(text, p1))
+            } yield (onum, off, p2)) match {
+              case Some((onum, off, p2)) =>
+                pairs += ((onum, first + off)); p = p2
+              case None => ok = false
+            }
+            k += 1
+          }
+          (text, pairs.result())
+        }
+      })
+
+    // ---- page tree ----
+
+    private def walkPages(num: Int, depth: Int,
+        visited: mutable.Set[Int]): Vector[Map[String, PVal]] = {
+      if (depth > 32 || !visited.add(num)) return Vector.empty
+      fetchVal(num) match {
+        case Some(PDict(m)) =>
+          m.get("Kids") match {
+            case Some(PArr(kids)) =>
+              kids.collect { case PRef(k) => k }
+                .flatMap(walkPages(_, depth + 1, visited))
+            case _ =>
+              if (m.get("Type").contains(PName("Page")) || m.contains("Contents"))
+                Vector(m)
+              else Vector.empty
+          }
+        case _ => Vector.empty
+      }
+    }
+
+    /** Full walk → Extracted, or None to trigger the lexical fallback
+      * (no xref, no pages reached, or no text found — the last so a
+      * damaged tree can never HIDE text the lexical scan would see). */
+    def extract(): Option[Extracted] = {
+      if (!load()) return None
+      val pageDicts = for {
+        root <- rootRef.toVector
+        cat <- fetchVal(root) match { case Some(PDict(m)) => Vector(m); case _ => Vector.empty }
+        pagesRef <- cat.get("Pages") match { case Some(PRef(n)) => Vector(n); case _ => Vector.empty }
+        pd <- walkPages(pagesRef, 0, mutable.Set.empty)
+      } yield pd
+      if (pageDicts.isEmpty) return None
+      val texts = pageDicts.flatMap { pd =>
+        val contentRefs = pd.get("Contents") match {
+          case Some(PRef(n)) => Seq(n)
+          case Some(PArr(v)) => v.collect { case PRef(n) => n }
+          case _ => Seq.empty
+        }
+        // multiple /Contents streams concatenate with whitespace
+        // between (ISO 32000 7.8.2) before operator lexing
+        val data = contentRefs.flatMap(fetchStream(_))
+          .map(new String(_, Latin1)).mkString("\n")
+        val t = try textOps(data)
+        catch { case scala.util.control.NonFatal(_) => "" }
+        if (t.nonEmpty) Some(t) else None
+      }
+      if (texts.isEmpty) None
+      else Some(Extracted(texts.mkString("\n"), texts.length, ok = true))
+    }
+  }
+
   // ======== deterministic PDF synthesis (fixture / round-trip
   // generation — the write half that lets the extractor be checked
   // end-to-end against source-of-truth text, q142) ========
@@ -460,11 +1006,95 @@ object Pdf {
     out.toByteArray
   }
 
+  /** A complete PDF 1.5 file for the same pages: the non-stream
+    * objects (catalog, page tree, page dicts) live COMPRESSED inside
+    * a `/Type /ObjStm` object stream, and the cross-reference is a
+    * `/Type /XRef` STREAM (W [1 4 2], PNG Up predictor 12 — the
+    * layout real writers emit since Acrobat 6). Content streams are
+    * deliberately written in REVERSED file order while the page tree
+    * stays in page order, so only a genuine xref walk (not the
+    * lexical file-order scan) extracts pages in order — the property
+    * q153's oracle hash-checks. Same round-trip guarantee as
+    * [[synthesize]]. */
+  def synthesizeModern(pages: Seq[String]): Array[Byte] = {
+    require(pages.nonEmpty, "a PDF needs at least one page")
+    val n = pages.length
+    // numbering: 1 catalog, 2 pages, 3..n+2 page dicts (in the
+    // ObjStm), n+3..2n+2 content streams, 2n+3 ObjStm, 2n+4 XRef
+    val size = 2 * n + 5
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(Latin1))
+    val offsets = new Array[Int](size)
+    w("%PDF-1.5\n%âãÏÓ\n") // binary-content marker
+    ((n - 1) to 0 by -1).foreach { i =>
+      val content = deflateBytes(
+        s"BT /F1 12 Tf 72 720 Td ${pdfString(pages(i))} Tj ET".getBytes(Latin1))
+      offsets(n + 3 + i) = out.size()
+      w(s"${n + 3 + i} 0 obj << /Length ${content.length} " +
+        "/Filter /FlateDecode >> stream\n")
+      out.write(content)
+      w("\nendstream endobj\n")
+    }
+    // object stream: header of (objnum, offset) pairs, then bodies
+    val bodies: Seq[(Int, String)] =
+      Seq(1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+        2 -> s"<< /Type /Pages /Kids [${(0 until n).map(i => s"${3 + i} 0 R").mkString(" ")}] /Count $n >>") ++
+        (0 until n).map(i => (3 + i) ->
+          (s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+            s"/Contents ${n + 3 + i} 0 R >>"))
+    val bodyOffsets = bodies.map(_._2.length + 1).scanLeft(0)(_ + _)
+    val header = bodies.zip(bodyOffsets)
+      .map { case ((num, _), off) => s"$num $off" }.mkString("", " ", " ")
+    val stmPayload = deflateBytes(
+      (header + bodies.map(_._2).mkString("", "\n", "\n")).getBytes(Latin1))
+    offsets(2 * n + 3) = out.size()
+    w(s"${2 * n + 3} 0 obj << /Type /ObjStm /N ${bodies.length} " +
+      s"/First ${header.length} /Length ${stmPayload.length} " +
+      "/Filter /FlateDecode >> stream\n")
+    out.write(stmPayload)
+    w("\nendstream endobj\n")
+    // xref stream: rows (type[1] field2[4] field3[2]), PNG Up rows
+    offsets(2 * n + 4) = out.size()
+    val rowLen = 7
+    val rows = new Array[Byte](size * rowLen)
+    def putRow(objNum: Int, t: Int, f2: Int, f3: Int): Unit = {
+      val b = objNum * rowLen
+      rows(b) = t.toByte
+      rows(b + 1) = (f2 >>> 24).toByte; rows(b + 2) = (f2 >>> 16).toByte
+      rows(b + 3) = (f2 >>> 8).toByte; rows(b + 4) = f2.toByte
+      rows(b + 5) = (f3 >>> 8).toByte; rows(b + 6) = f3.toByte
+    }
+    putRow(0, 0, 0, 65535)
+    bodies.zipWithIndex.foreach { case ((num, _), idx) =>
+      putRow(num, 2, 2 * n + 3, idx)
+    }
+    ((n + 3) until size).foreach(k => putRow(k, 1, offsets(k), 0))
+    val filtered = new Array[Byte](size * (rowLen + 1))
+    (0 until size).foreach { r =>
+      filtered(r * (rowLen + 1)) = 2 // PNG Up
+      (0 until rowLen).foreach { i =>
+        val prev = if (r == 0) 0 else rows((r - 1) * rowLen + i)
+        filtered(r * (rowLen + 1) + 1 + i) = (rows(r * rowLen + i) - prev).toByte
+      }
+    }
+    val xrefPayload = deflateBytes(filtered)
+    w(s"${2 * n + 4} 0 obj << /Type /XRef /Size $size /W [1 4 2] " +
+      s"/Index [0 $size] /Root 1 0 R /Filter /FlateDecode " +
+      s"/DecodeParms << /Predictor 12 /Columns $rowLen >> " +
+      s"/Length ${xrefPayload.length} >> stream\n")
+    out.write(xrefPayload)
+    w("\nendstream endobj\n")
+    w(s"startxref\n${offsets(2 * n + 4)}\n%%EOF\n")
+    out.toByteArray
+  }
+
   /** Distributed fixture/export writer: one synthesized PDF per input
     * row into `dir` as `<name>.pdf`. Files are written executor-side
     * through the Hadoop FS API (works on local paths and HDFS alike);
-    * bytes never hit the driver. Input: (name, pages). */
-  def writePdfDir(rows: Dataset[(String, Seq[String])], dir: String): Unit = {
+    * bytes never hit the driver. Input: (name, pages). `modern` picks
+    * the PDF 1.5 layout ([[synthesizeModern]]) over the classic one. */
+  def writePdfDir(rows: Dataset[(String, Seq[String])], dir: String,
+      modern: Boolean = false): Unit = {
     val hp = new org.apache.hadoop.fs.Path(dir)
     val fsSetup = hp.getFileSystem(
       rows.sparkSession.sessionState.newHadoopConf())
@@ -490,7 +1120,8 @@ object Pdf {
       val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
       it.foreach { case (name, pages) =>
         val os = fs.create(new org.apache.hadoop.fs.Path(dir, s"$name.pdf"), true)
-        try os.write(synthesize(pages)) finally os.close()
+        val bytes = if (modern) synthesizeModern(pages) else synthesize(pages)
+        try os.write(bytes) finally os.close()
       }
     }
   }

@@ -216,6 +216,133 @@ class PdfSpec extends AnyFunSuite {
     }
   }
 
+  test("synthesizeModern -> extractText: xref stream + ObjStm + predictor round-trip") {
+    val hostile = Seq(
+      "plain words only",
+      "parens (nested (deep)) and \\ backslash",
+      "tab\there, high byte: äß",
+      "beyond latin-1: ā中文 mixed ascii")
+    hostile.foreach { page =>
+      val r = Pdf.extractText(Pdf.synthesizeModern(Seq(page)))
+      assert(r.ok && r.pages === 1 && r.text === page, s"page <$page>")
+    }
+    val r3 = Pdf.extractText(Pdf.synthesizeModern(Seq("one", "two (2)", "three")))
+    assert(r3.ok && r3.pages === 3 && r3.text === "one\ntwo (2)\nthree")
+    val rnd = new scala.util.Random(17)
+    val alphabet = "abc XYZ()\\%<>[]/#éő"
+    (0 until 40).foreach { _ =>
+      val pages = (0 to rnd.nextInt(2)).map(_ =>
+        (1 to 1 + rnd.nextInt(40)).map(_ =>
+          alphabet(rnd.nextInt(alphabet.length))).mkString)
+      val expected = pages.map(_.trim).filter(_.nonEmpty)
+      val r = Pdf.extractText(Pdf.synthesizeModern(pages))
+      assert(r.ok && r.pages === expected.length &&
+        r.text === expected.mkString("\n"), s"pages $pages")
+    }
+  }
+
+  test("modern layout defeats the lexical scan — only the xref walk orders pages") {
+    // content streams are written in REVERSED file order; the page
+    // tree carries the real order. The lexical fallback (file order)
+    // therefore reverses the pages — proving extractText's result
+    // came from the structured walk, and that q153's oracle hash
+    // genuinely gates it.
+    val bytes = Pdf.synthesizeModern(Seq("alpha", "beta", "gamma"))
+    val inflater = new java.util.zip.Inflater()
+    try {
+      val lex = Pdf.extractLexical(new String(bytes, Latin1), bytes, inflater)
+      assert(lex.text === "gamma\nbeta\nalpha", "lexical scan sees file order")
+      val structured = Pdf.extractText(bytes)
+      assert(structured.text === "alpha\nbeta\ngamma", "walk sees page-tree order")
+    } finally inflater.end()
+  }
+
+  test("classic incremental update: /Prev chain resolves newest-wins") {
+    // base doc, then an appended update replacing the content stream
+    // (object 4) plus a new xref section whose trailer /Prev points at
+    // the original table — the standard save-in-place layout.
+    val base = Pdf.synthesize(Seq("old page"))
+    val baseStr = new String(base, Latin1)
+    val oldXref = baseStr.lastIndexOf("xref\n0 ") // NOT the "xref" inside "startxref"
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base)
+    val newContent = deflate("BT (new page) Tj ET".getBytes(Latin1))
+    val objOff = out.size()
+    out.write((s"4 0 obj << /Length ${newContent.length} /Filter /FlateDecode >> stream\n")
+      .getBytes(Latin1))
+    out.write(newContent)
+    out.write("\nendstream endobj\n".getBytes(Latin1))
+    val xrefOff = out.size()
+    out.write((s"xref\n4 1\n${"%010d".format(objOff)} 00000 n \n" +
+      s"trailer << /Size 5 /Root 1 0 R /Prev $oldXref >>\n" +
+      s"startxref\n$xrefOff\n%%EOF\n").getBytes(Latin1))
+    val r = Pdf.extractText(out.toByteArray)
+    assert(r.ok && r.pages === 1 && r.text === "new page")
+  }
+
+  test("unpredict: TIFF and all five PNG filters invert their encoders") {
+    val rnd = new scala.util.Random(7)
+    val rowLen = 5
+    val nRows = 8
+    val plain = Array.tabulate[Byte](nRows * rowLen)(_ => rnd.nextInt(256).toByte)
+    // PNG: encode each row with filter f, decode with unpredict
+    for (f <- 0 to 4) {
+      val enc = new Array[Byte](nRows * (rowLen + 1))
+      for (r <- 0 until nRows) {
+        enc(r * (rowLen + 1)) = f.toByte
+        for (i <- 0 until rowLen) {
+          val x = plain(r * rowLen + i) & 0xFF
+          val left = if (i >= 1) plain(r * rowLen + i - 1) & 0xFF else 0
+          val up = if (r >= 1) plain((r - 1) * rowLen + i) & 0xFF else 0
+          val ul = if (i >= 1 && r >= 1) plain((r - 1) * rowLen + i - 1) & 0xFF else 0
+          val pred = f match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case 4 =>
+              val p = left + up - ul
+              val pa = math.abs(p - left); val pb = math.abs(p - up)
+              val pc = math.abs(p - ul)
+              if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+          }
+          enc(r * (rowLen + 1) + 1 + i) = ((x - pred) & 0xFF).toByte
+        }
+      }
+      assert(Pdf.unpredict(enc, 10 + f, rowLen).toSeq === plain.toSeq, s"PNG filter $f")
+    }
+    // TIFF predictor 2: encode = per-row byte diffs
+    val tiff = plain.clone()
+    for (r <- 0 until nRows; i <- (rowLen - 1) to 1 by -1)
+      tiff(r * rowLen + i) = (tiff(r * rowLen + i) - tiff(r * rowLen + i - 1)).toByte
+    assert(Pdf.unpredict(tiff, 2, rowLen).toSeq === plain.toSeq, "TIFF predictor")
+  }
+
+  test("fuzz: modern layout is total under noise, mutation, and truncation") {
+    val rnd = new scala.util.Random(43)
+    val base = Pdf.synthesizeModern(Seq("fuzz page one", "and (two)", "three äß"))
+    for (_ <- 1 to 40) {
+      val b = base.clone()
+      for (_ <- 0 to rnd.nextInt(24)) b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      assert(Pdf.extractText(b).text != null)
+    }
+    for (cut <- 1 until base.length by math.max(1, base.length / 80)) {
+      assert(Pdf.extractText(base.take(cut)).text != null)
+    }
+    // corrupt ONLY the xref payload region: the walk must fail closed
+    // into the lexical fallback, never throw
+    val raw = new String(base, Latin1)
+    val xrefObjAt = raw.lastIndexOf(" 0 obj << /Type /XRef")
+    for (_ <- 1 to 20) {
+      val b = base.clone()
+      for (_ <- 0 to 8) {
+        val p = xrefObjAt + rnd.nextInt(base.length - xrefObjAt)
+        b(p) = rnd.nextInt(256).toByte
+      }
+      assert(Pdf.extractText(b).text != null)
+    }
+  }
+
   test("writePdfDir + readPdfDir: distributed generate/parse round-trip") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-pdf-w").toString + "/out"
