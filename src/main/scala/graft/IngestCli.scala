@@ -362,17 +362,29 @@ object IngestCli {
   final case class MediaWaveReport(wave: Int, incoming: Long, live: Long,
       decoded: Long, blocked: Long, accepted: Long, goldTotal: Long)
 
+  /** Declared signer identities — the contract strings the state
+    * `_meta` row is signed with ([[Incremental.signerTag]]). Two
+    * states are signature-comparable iff their names match; every
+    * write/append/probe in the loops below declares one, so a
+    * wrong-modality signer (the classic rebuild mistake) refuses
+    * loudly instead of writing incomparable signatures. */
+  val ImageSignerName = "image-dhash64-v1"
+  val AudioSignerName = "audio-ehash64-v1"
+  val VideoSignerName = "video-frame-dhash64-v1"
+
   /** Fresh media state: empty bucketed Hamming-signature and tombstone
     * tables, clean gold dir. `maxHamming` fixes the band layout for
     * the state's whole life (every append and probe uses it). */
   def initMediaState(spark: SparkSession, ns: String, dir: String,
-      maxHamming: Int = 8, numBuckets: Int = 8): MediaState = {
+      maxHamming: Int = 8, numBuckets: Int = 8,
+      signerName: String = ImageSignerName): MediaState = {
     val st = MediaState(ns, dir, numBuckets, maxHamming)
     Seq(st.sigTable, st.tombTable)
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
     val empty = emptyMediaSigs(spark)
     Incremental.writeHammingState(empty, "doc_id", "sig", st.sigTable,
-      s"$dir/hsigs_v0", maxHamming, numBuckets)
+      s"$dir/hsigs_v0", maxHamming, numBuckets,
+      signer = Some(signerName))
     Incremental.writeTombstones(empty.select("doc_id"), "doc_id",
       st.tombTable, s"$dir/tombstones", numBuckets)
     fsFor(spark, dir).delete(new org.apache.hadoop.fs.Path(st.goldPath), true)
@@ -389,7 +401,8 @@ object IngestCli {
   def ingestMediaWave(spark: SparkSession, st: MediaState, wave: DataFrame,
       waveNo: Int,
       signer: DataFrame => DataFrame = defaultImageSigner,
-      blocklist: Option[Dedup.HammingIndex] = None): MediaWaveReport = {
+      blocklist: Option[Dedup.HammingIndex] = None,
+      signerName: String = ImageSignerName): MediaWaveReport = {
     val incoming = wave.count()
     val live = Incremental.retractIds(wave, "doc_id", spark.table(st.tombTable))
     val nLive = live.count()
@@ -417,14 +430,15 @@ object IngestCli {
         st.maxHamming)
       .select(col("id_b").as("doc_id"))
     val stateDups = Incremental.hammingDupIdsAgainstTable(decoded, "doc_id",
-      "sig", spark.table(st.sigTable), st.maxHamming)
+      "sig", spark.table(st.sigTable), st.maxHamming,
+      signer = Some(signerName))
     val dropIds = inWaveDups.union(stateDups).distinct().localCheckpoint(true)
     val acceptedIds = admitted.select("doc_id")
       .join(dropIds, Seq("doc_id"), "left_anti")
 
     // state grows by every decoded admitted signature (dropped or not)
     Incremental.appendHammingState(decoded, "doc_id", "sig", st.sigTable,
-      st.maxHamming, st.numBuckets)
+      st.maxHamming, st.numBuckets, signer = Some(signerName))
 
     val accepted = live.join(acceptedIds, Seq("doc_id"), "left_semi")
     val nAccepted = accepted.count()
@@ -486,7 +500,13 @@ object IngestCli {
     * an empty state, disarming every later probe; the wave report
     * surfaces that mistake immediately, a rebuild would not. */
   def rebuildMediaState(spark: SparkSession, st: MediaState,
-      signer: DataFrame => DataFrame): MediaState = {
+      signer: DataFrame => DataFrame,
+      signerName: String): MediaState = {
+    // the guard this function exists for: a wrong-but-still-decoding
+    // signer would write incomparable signatures every later probe
+    // silently fails against — refuse BEFORE the decode pass
+    Incremental.requireSigner(spark.table(st.sigTable), signerName,
+      "rebuildMediaState")
     val next = st.copy(version = st.version + 1)
     val sigs =
       if (goldHasData(spark, st.goldPath)) {
@@ -502,7 +522,8 @@ object IngestCli {
         out
       } else emptyMediaSigs(spark)
     Incremental.writeHammingState(sigs, "doc_id", "sig", next.sigTable,
-      s"${st.dir}/hsigs_v${next.version}", st.maxHamming, st.numBuckets)
+      s"${st.dir}/hsigs_v${next.version}", st.maxHamming, st.numBuckets,
+      signer = Some(signerName))
     next
   }
 
@@ -580,7 +601,7 @@ object IngestCli {
     val empty = emptyFrameSigs(spark)
     Incremental.writeFrameHammingState(empty, "doc_id", "dhash",
       st.sigTable, s"$dir/fsigs_v0", maxHamming, numBuckets,
-      everyNth = everyNth)
+      everyNth = everyNth, signer = Some(VideoSignerName))
     Incremental.writeTombstones(empty.select("doc_id"), "doc_id",
       st.tombTable, s"$dir/tombstones", numBuckets)
     fsFor(spark, dir).delete(new org.apache.hadoop.fs.Path(st.goldPath), true)
@@ -625,14 +646,15 @@ object IngestCli {
       .select(col("id_b").as("doc_id"))
     val stateDups = Incremental.frameHammingDupIdsAgainstTable(admitted,
       "doc_id", "dhash", spark.table(st.sigTable), st.maxHamming,
-      st.minFrames, everyNth = st.everyNth)
+      st.minFrames, everyNth = st.everyNth,
+      signer = Some(VideoSignerName))
     val dropIds = inWaveDups.union(stateDups).distinct().localCheckpoint(true)
 
     // state grows by every admitted decoded clip's frames (dropped or
     // not); blocked clips never enter state
     Incremental.appendFrameHammingState(admitted, "doc_id", "dhash",
       st.sigTable, st.maxHamming, st.numBuckets,
-      everyNth = st.everyNth)
+      everyNth = st.everyNth, signer = Some(VideoSignerName))
 
     val accepted = live
       .join(blockedIds, Seq("doc_id"), "left_anti")
@@ -674,6 +696,8 @@ object IngestCli {
     * near-copies of fully-retracted clips become re-admittable and
     * the wave ≡ batch equivalence re-baselines at the rebuild. */
   def rebuildVideoState(spark: SparkSession, st: VideoState): VideoState = {
+    Incremental.requireSigner(spark.table(st.sigTable), VideoSignerName,
+      "rebuildVideoState")
     val next = st.copy(version = st.version + 1)
     val sigs =
       if (goldHasData(spark, st.goldPath))
@@ -682,7 +706,8 @@ object IngestCli {
       else emptyFrameSigs(spark)
     Incremental.writeFrameHammingState(sigs, "doc_id", "dhash",
       next.sigTable, s"${st.dir}/fsigs_v${next.version}", st.maxHamming,
-      st.numBuckets, everyNth = st.everyNth)
+      st.numBuckets, everyNth = st.everyNth,
+      signer = Some(VideoSignerName))
     next
   }
 
@@ -749,23 +774,26 @@ object IngestCli {
       mode: String, blocklistPath: Option[String],
       takedownPath: Option[String], maxHamming: Int = 8,
       ns: String = "graft_ingest_media"): Unit = {
-    val signer: DataFrame => DataFrame = mode match {
-      case "image" => defaultImageSigner
-      case "audio" => df =>
+    val (signer: (DataFrame => DataFrame), signerName: String) = mode match {
+      case "image" => (defaultImageSigner _, ImageSignerName)
+      case "audio" => ((df: DataFrame) =>
         operators.Audio.audioSignatures(df, "doc_id", col("content"))
-          .select(col("doc_id"), col("decoded"), col("ehash").as("sig"))
+          .select(col("doc_id"), col("decoded"), col("ehash").as("sig")),
+        AudioSignerName)
       case other => throw new IllegalArgumentException(
         s"GRAFT_MEDIA=$other (want image|audio — video routes through " +
           "runVideo and its positional state)")
     }
     val blocklist = loadBlocklist(spark, blocklistPath, maxHamming)
-    var st = initMediaState(spark, ns, dir, maxHamming)
+    var st = initMediaState(spark, ns, dir, maxHamming,
+      signerName = signerName)
     takedownPath.foreach { p =>
       st = applyMediaTakedown(spark, st,
         spark.read.parquet(p).select("doc_id"))
     }
     driveWaves(spark, "ingest-media", wavePaths,
-      (w, i) => ingestMediaWave(spark, st, w, i, signer, blocklist))
+      (w, i) => ingestMediaWave(spark, st, w, i, signer, blocklist,
+        signerName))
   }
 
   private def loadBlocklist(spark: SparkSession, path: Option[String],

@@ -2355,7 +2355,8 @@ object SparkEntry {
       st = IngestCli.applyMediaTakedown(s, st,
         Tables.documents(s, dir).select("doc_id")
           .filter(col("doc_id") % 6 === 0))
-      st = IngestCli.rebuildMediaState(s, st, IngestCli.defaultImageSigner)
+      st = IngestCli.rebuildMediaState(s, st, IngestCli.defaultImageSigner,
+        IngestCli.ImageSignerName)
       IngestCli.ingestMediaWave(s, st, corpus.filter(col("doc_id") % 3 === 2), 2)
       s.read.parquet(st.goldPath).select("doc_id").orderBy("doc_id")
     },
@@ -2460,6 +2461,45 @@ object SparkEntry {
         sigs.filter(col("doc_id") % 2 === 1), "doc_id", "dhash",
         s.table("graft_q147_frames"), maxHamming = 8, minFrames = 2,
         everyNth = 2)
+      Tables.documents(s, dir).select("doc_id")
+        .filter(col("doc_id") % 2 === 1)
+        .join(dupIds, Seq("doc_id"), "left_anti")
+        .orderBy("doc_id")
+    },
+
+    // ---- SHARDED positional Hamming state (q147 + the q148 shard
+    // fold, persisted): the shard value — a per-clip constant (here
+    // a deterministic source tag with a planted NULL stratum) — rides
+    // the state's join key, so probe matches are sought only WITHIN
+    // equal shard values and a (position, bucket) title-card cluster
+    // enumerates per shard, Σn² → Σ(n/s)²·s. NULL shards fold to ONE
+    // group (DuckDB replays via IS NOT DISTINCT FROM). Scenes the tag
+    // splits (e.g. base 9 / variant 10 across 'a'/'b') SURVIVE the
+    // probe here — the rows that hash-differ from q147 and prove the
+    // within-shard contract end to end.
+    "q154_video_frame_state_sharded" -> { (s, dir) =>
+      val clips = operators.Video.syntheticCorpus(
+        Tables.documents(s, dir).select("doc_id"), "doc_id",
+        variantsPerScene = 3, corruptEvery = 97)
+      val shardTag = when(col("doc_id") % 11 === 0, lit(null).cast("string"))
+        .otherwise(when(col("doc_id") % 7 < 3, lit("a")).otherwise(lit("b")))
+      operators.Video.frameSignatures(clips, "doc_id", col("content"),
+          everyNth = 2)
+        .withColumn("src", shardTag)
+        .write.mode("overwrite").parquet(s"${stateDir(dir)}/q154_sigs")
+      val sigs = s.read.parquet(s"${stateDir(dir)}/q154_sigs")
+      s.sql("DROP TABLE IF EXISTS graft_q154_frames")
+      Incremental.writeFrameHammingState(sigs.filter(col("doc_id") % 4 === 0),
+        "doc_id", "dhash", "graft_q154_frames",
+        s"${stateDir(dir)}/q154_state", maxHamming = 8, numBuckets = 8,
+        everyNth = 2, shardCol = Some("src"))
+      Incremental.appendFrameHammingState(sigs.filter(col("doc_id") % 4 === 2),
+        "doc_id", "dhash", "graft_q154_frames", maxHamming = 8,
+        numBuckets = 8, everyNth = 2, shardCol = Some("src"))
+      val dupIds = Incremental.frameHammingDupIdsAgainstTable(
+        sigs.filter(col("doc_id") % 2 === 1), "doc_id", "dhash",
+        s.table("graft_q154_frames"), maxHamming = 8, minFrames = 2,
+        everyNth = 2, shardCol = Some("src"))
       Tables.documents(s, dir).select("doc_id")
         .filter(col("doc_id") % 2 === 1)
         .join(dupIds, Seq("doc_id"), "left_anti")
@@ -5217,6 +5257,29 @@ object SparkEntry {
         |         count(DISTINCT i.frame_pos) AS m
         |  FROM inc i JOIN cor c
         |    ON i.frame_pos = c.frame_pos
+        |   AND bit_count(xor(i.dhash, c.dhash)) <= 8
+        |  GROUP BY 1, 2),
+        |dup AS (SELECT DISTINCT doc_id FROM pairs WHERE m >= 2)
+        |SELECT doc_id FROM documents
+        |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM dup)
+        |ORDER BY doc_id""".stripMargin,
+
+    // q154: the q147 replay with the exported shard tag riding the
+    // join — matches only within equal shard values, NULL shards one
+    // group (IS NOT DISTINCT FROM ≡ the engine's canonical "n"/"v+x"
+    // string fold).
+    "q154_video_frame_state_sharded" ->
+      """WITH sigs AS (
+        |  SELECT doc_id, frame_pos, dhash, src
+        |  FROM read_parquet('__GRAFT_STATE_DIR__/q154_sigs/*.parquet')),
+        |cor AS (SELECT * FROM sigs WHERE doc_id % 2 = 0),
+        |inc AS (SELECT * FROM sigs WHERE doc_id % 2 = 1),
+        |pairs AS (
+        |  SELECT i.doc_id, c.doc_id AS cid,
+        |         count(DISTINCT i.frame_pos) AS m
+        |  FROM inc i JOIN cor c
+        |    ON i.frame_pos = c.frame_pos
+        |   AND i.src IS NOT DISTINCT FROM c.src
         |   AND bit_count(xor(i.dhash, c.dhash)) <= 8
         |  GROUP BY 1, 2),
         |dup AS (SELECT DISTINCT doc_id FROM pairs WHERE m >= 2)

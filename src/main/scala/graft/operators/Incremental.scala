@@ -796,11 +796,13 @@ object Incremental {
   private def writeHammingStateKeyed(corpus: DataFrame, idCol: String,
       sigCol: String, table: String, path: String, maxHamming: Int,
       numBuckets: Int, nBands: Int, keyCols: Seq[String],
-      grid: Int): Unit = {
+      grid: Int, sharded: Boolean = false,
+      signer: Option[String] = None): Unit = {
     val nb = resolveBands(maxHamming, nBands)
     val meta = keyCols.foldLeft(
         hammingMeta(corpus.sparkSession, idCol,
-          corpus.schema(idCol).dataType, maxHamming, nb, grid))(
+          corpus.schema(idCol).dataType, maxHamming, nb, grid, sharded,
+          signer))(
       (m, k) => m.withColumn(k, lit(null).cast(corpus.schema(k).dataType)))
     val bcols = keyCols ++ Seq("band", "bucket")
     hammingBanded(corpus, idCol, sigCol, maxHamming, nb, probe = false,
@@ -812,15 +814,18 @@ object Incremental {
       .sortBy(bcols.head, bcols.tail: _*)
       .option("path", path)
       .saveAsTable(table)
+    // an overwrite may have changed the layout under a memoized name
+    hammingMetaMemo.clear()
   }
 
   private def appendHammingStateKeyed(batch: DataFrame, idCol: String,
       sigCol: String, table: String, maxHamming: Int, numBuckets: Int,
       nBands: Int, keyCols: Seq[String], caller: String,
-      grid: Int): Unit = {
+      grid: Int, sharded: Boolean = false,
+      signer: Option[String] = None): Unit = {
     val nb = resolveBands(maxHamming, nBands)
     validateHammingMeta(batch.sparkSession.table(table), maxHamming, nb,
-      caller, grid)
+      caller, grid, sharded, signer)
     val bcols = keyCols ++ Seq("band", "bucket")
     hammingBanded(batch, idCol, sigCol, maxHamming, nb, probe = false,
         keyCols)
@@ -841,12 +846,33 @@ object Incremental {
     * redundantly, `sig`): sampling grid in bits 48..63 (the
     * `everyNth` stride for positional states — grid IS layout
     * identity, a different stride renumbers `frame_pos`; 0 for
-    * unkeyed states), layout version in 32..47, `maxHamming` in
-    * 16..31, `nBands` in 0..15. */
+    * unkeyed states), shard flag in 40..47 (1 when the state rows
+    * carry a `shard` join-key column — shardedness is layout
+    * identity too: a shardless probe against sharded rows, or the
+    * reverse, silently matches nothing), layout version in 32..39,
+    * `maxHamming` in 16..31, `nBands` in 0..15. Tables written
+    * before the shard flag existed have zeros in 40..47 and read
+    * back as unsharded version-1 — no migration. */
   private def packHammingMeta(maxHamming: Int, nBands: Int,
-      grid: Int): Long =
-    (grid.toLong << 48) | (1L << 32) | (maxHamming.toLong << 16) |
-      nBands.toLong
+      grid: Int, sharded: Boolean): Long =
+    (grid.toLong << 48) | ((if (sharded) 1L else 0L) << 40) | (1L << 32) |
+      (maxHamming.toLong << 16) | nBands.toLong
+
+  /** 64-bit signer-identity tag from a DECLARED signer name (FNV-1a
+    * over the UTF-8 bytes, finalized with mix64 — deterministic
+    * across JVMs). The name is a contract string like
+    * `"image-dhash64-v1"`: two states are signature-comparable iff
+    * their names match, which is exactly what the `_meta` row
+    * enforces. The tag can never equal the packed layout word a
+    * legacy/unsigned meta row carries in `sig` (that word mirrors
+    * `bucket`; the 2⁻⁶⁴ collision flips a bit). */
+  def signerTag(name: String): Long = {
+    var h = 0xcbf29ce484222325L
+    name.getBytes(java.nio.charset.StandardCharsets.UTF_8).foreach { b =>
+      h = (h ^ (b & 0xFFL)) * 0x100000001b3L
+    }
+    graft.functions.Bits.mix64(h)
+  }
 
   /** The one-row `_meta` companion rides INSIDE the state table (band
     * [[HammingMetaBand]], null id) rather than in a sidecar file, so
@@ -856,16 +882,27 @@ object Incremental {
     * any state DataFrame without knowing its table name or location.
     * Reading it back is a band-filtered scan parquet row-group stats
     * reduce to the meta row's file (every data file's band range is
-    * below [[HammingMetaBand]]). */
+    * below [[HammingMetaBand]]).
+    *
+    * The meta row's `sig` field carries the SIGNER TAG when the write
+    * declared one ([[signerTag]] of the signer name); an unsigned
+    * write mirrors `bucket` into `sig` (the legacy shape), which
+    * readers interpret as "no declared signer". */
   private def hammingMeta(spark: org.apache.spark.sql.SparkSession,
       idCol: String, idType: org.apache.spark.sql.types.DataType,
-      maxHamming: Int, nBands: Int, grid: Int): DataFrame = {
-    val packed = packHammingMeta(maxHamming, nBands, grid)
+      maxHamming: Int, nBands: Int, grid: Int,
+      sharded: Boolean = false,
+      signer: Option[String] = None): DataFrame = {
+    val packed = packHammingMeta(maxHamming, nBands, grid, sharded)
+    val sigWord = signer.map { n =>
+      val t = signerTag(n)
+      if (t == packed) t ^ 1L else t // never collide with "unsigned"
+    }.getOrElse(packed)
     spark.range(1).select(
       lit(HammingMetaBand).as("band"),
       lit(packed).as("bucket"),
       lit(null).cast(idType).as(idCol),
-      lit(packed).as("sig"))
+      lit(sigWord).as("sig"))
   }
 
   /** Validate a state frame's `_meta` against the band layout a
@@ -876,10 +913,54 @@ object Incremental {
     * or compliance gate. Refuses (loudly) tables with no meta row:
     * both pre-layout-v1 contiguous tables and pre-meta strided tables
     * must be rebuilt once with [[writeHammingState]]. */
-  private def validateHammingMeta(state: DataFrame, maxHamming: Int,
-      nBands: Int, caller: String, grid: Int): Unit = {
+  /** Per-session memo of `_meta` validations: the validating read is
+    * a driver-blocking filter+distinct+collect, and a recurring wave
+    * loop re-pays it per append AND per probe on the same table. The
+    * key pairs the state's ANALYZED-plan semantic hash with the exact
+    * packed expectation, so a caller switching parameters always
+    * revalidates; every state-table (over)write in this JVM clears
+    * the memo (see [[writeHammingStateKeyed]]). Out-of-process
+    * rewrites are invisible to it — after one, call
+    * [[invalidateHammingMetaCache]] (the `REFRESH TABLE` analog). */
+  private val hammingMetaMemo =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, Long)]()
+
+  /** Drop every memoized `_meta` validation (needed only when a state
+    * table was rebuilt by ANOTHER process mid-session). */
+  def invalidateHammingMetaCache(): Unit = hammingMetaMemo.clear()
+
+  /** Rebuild-time signer guard: refuse when `state`'s `_meta` row was
+    * signed under a DIFFERENT signer name than `signerName`. The
+    * failure this closes is silent and unrecoverable-after-the-fact:
+    * a wrong-but-still-decoding signer on a state REBUILD writes
+    * incomparable signatures that every later probe joins against
+    * and matches nothing. Unsigned (pre-signer) states accept any
+    * declared name — the rebuild ADOPTS it. One metadata-sized read. */
+  def requireSigner(state: DataFrame, signerName: String,
+      caller: String): Unit = {
     val rows = state.filter(col("band") === HammingMetaBand)
-      .select(col("bucket")).distinct().limit(3).collect()
+      .select(col("bucket"), col("sig")).distinct().limit(2).collect()
+    if (rows.length != 1) return // no/ambiguous meta: the full
+    // validation on the next write/probe owns that refusal
+    val (packed, stored) = (rows(0).getLong(0), rows(0).getLong(1))
+    require(stored == packed || stored == signerTag(signerName) ||
+        stored == (signerTag(signerName) ^ 1L),
+      s"$caller: state table was signed under a DIFFERENT signer than " +
+        s"'$signerName' — rebuilding across signers writes incomparable " +
+        "signatures that silently match nothing; pass the signer the " +
+        "state was written with (check the ingestion loop's signerName)")
+  }
+
+  private def validateHammingMeta(state: DataFrame, maxHamming: Int,
+      nBands: Int, caller: String, grid: Int,
+      sharded: Boolean = false,
+      signer: Option[String] = None): Unit = {
+    val memoKey = (state.queryExecution.analyzed.semanticHash(),
+      packHammingMeta(maxHamming, nBands, grid, sharded) ^
+        signer.map(signerTag).getOrElse(0L))
+    if (hammingMetaMemo.contains(memoKey)) return
+    val rows = state.filter(col("band") === HammingMetaBand)
+      .select(col("bucket"), col("sig")).distinct().limit(3).collect()
     require(rows.length == 1,
       if (rows.isEmpty)
         s"$caller: Hamming state table carries no _meta row — it was " +
@@ -890,12 +971,41 @@ object Incremental {
           "_meta rows — mixed-layout appends corrupted it; rebuild with " +
           "writeHammingState")
     val packed = rows(0).getLong(0)
-    val v = ((packed >> 32) & 0xFFFF).toInt
+    // signer check first: a cross-signer state makes every other
+    // layout field moot (the signatures themselves are incomparable)
+    val storedSig = rows(0).getLong(1)
+    if (storedSig != packed) signer match { // state IS signed
+      case Some(n) =>
+        require(storedSig == signerTag(n) ||
+            storedSig == (signerTag(n) ^ 1L),
+          s"$caller: state table was written under a DIFFERENT signer " +
+            s"than '$n' — cross-signer signatures are incomparable and " +
+            "would silently match nothing; pass the signer the state " +
+            "was written with (or rebuild it under this one)")
+      case None => () // undeclared probe of a signed state: allowed —
+        // generic operators can't know the name; the ingestion loops
+        // always declare, which is where wrong-signer rebuilds happen
+    }
+    // (signed expectation against an UNSIGNED state is allowed too:
+    // pre-signer tables read as "no declared signer", no migration)
+    val v = ((packed >> 32) & 0xFF).toInt
+    val sh = ((packed >> 40) & 0xFF).toInt
     val g = (packed >>> 48).toInt
     val mh = ((packed >> 16) & 0xFFFF).toInt
     val nb = (packed & 0xFFFF).toInt
     require(v == 1, s"$caller: Hamming state layout version $v is not " +
       "supported by this build (expected 1)")
+    require((sh == 1) == sharded,
+      if (sh == 1)
+        s"$caller: state table rows carry a shard join key but the " +
+          "call passed no shardCol — a shardless probe/append against " +
+          "sharded rows silently matches nothing; pass the shard " +
+          "column the state was written with (or rebuild unsharded)"
+      else
+        s"$caller: called with a shardCol but the state table was " +
+          "written UNSHARDED — rebuild it with shardCol to adopt the " +
+          "within-shard contract (an unvalidated mix would silently " +
+          "match nothing)")
     require(mh == maxHamming && nb == nBands,
       s"$caller: state table was written with (maxHamming=$mh, " +
         s"nBands=$nb) but called with (maxHamming=$maxHamming, " +
@@ -912,6 +1022,7 @@ object Incremental {
           "stride renumbers frame positions, so position-aligned joins " +
           "silently match nothing; pass the written stride (or rebuild " +
           "the state)")
+    hammingMetaMemo.add(memoKey)
   }
 
   /** Corpus Hamming-signature state: banded rows bucketed + sorted by
@@ -937,9 +1048,11 @@ object Incremental {
     * batch-sized forever. */
   def writeHammingState(corpus: DataFrame, idCol: String, sigCol: String,
       table: String, path: String, maxHamming: Int = 8,
-      numBuckets: Int = 64, nBands: Int = -1): Unit =
+      numBuckets: Int = 64, nBands: Int = -1,
+      signer: Option[String] = None): Unit =
     writeHammingStateKeyed(corpus, idCol, sigCol, table, path, maxHamming,
-      numBuckets, nBands, keyCols = Nil, grid = 0)
+      numBuckets, nBands, keyCols = Nil, grid = 0, sharded = false,
+      signer = signer)
 
   /** Grow the Hamming state by a batch — same band layout, same
     * bucket spec as the write's, VALIDATED against the table's
@@ -951,10 +1064,10 @@ object Incremental {
     * matters. */
   def appendHammingState(batch: DataFrame, idCol: String, sigCol: String,
       table: String, maxHamming: Int = 8, numBuckets: Int = 64,
-      nBands: Int = -1): Unit =
+      nBands: Int = -1, signer: Option[String] = None): Unit =
     appendHammingStateKeyed(batch, idCol, sigCol, table, maxHamming,
       numBuckets, nBands, keyCols = Nil, caller = "appendHammingState",
-      grid = 0)
+      grid = 0, sharded = false, signer = signer)
 
   /** Batch ids within `maxHamming` bits of ANY state signature:
     * banded batch rows SEMI-join the table on (band, bucket) with the
@@ -976,7 +1089,7 @@ object Incremental {
     * whose hit rate was 98%. */
   def hammingDupIdsAgainstTable(batch: DataFrame, idCol: String,
       sigCol: String, state: DataFrame, maxHamming: Int = 8,
-      nBands: Int = -1): DataFrame = {
+      nBands: Int = -1, signer: Option[String] = None): DataFrame = {
     require(Set("band", "bucket", "sig").subsetOf(state.columns.toSet) &&
       state.columns.length <= 4,
       s"not a hamming state table (want band, bucket, sig[, <id>]): " +
@@ -986,7 +1099,7 @@ object Incremental {
     // than the write's (one filtered metadata-sized read)
     val nb = resolveBands(maxHamming, nBands)
     validateHammingMeta(state, maxHamming, nb, "hammingDupIdsAgainstTable",
-      grid = 0)
+      grid = 0, sharded = false, signer = signer)
     val st = state.filter(col("band") =!= HammingMetaBand)
       .select(col("band").as("__hb"), col("bucket").as("__hk"),
         col("sig").as("__ssig"))
@@ -1021,6 +1134,27 @@ object Incremental {
     df.withColumn("frame_pos", col("frame_pos").cast("int"))
   }
 
+  /** Canonical persisted `shard` column from the caller's shard
+    * column: injective string form (`"v" + value`) with NULLs folded
+    * to ONE group (`"n"`) — [[graft.operators.Dedup
+    * .hammingNearDupPairs]]'s struct-packing semantics for the
+    * persisted world, where a plain equi-join would silently exempt
+    * null-shard rows from dedup. One helper serves write, append and
+    * probe, so the canonical form can never diverge between them. */
+  private def shardCast(df: DataFrame, shardCol: Option[String]): DataFrame =
+    shardCol.fold(df) { c =>
+      require(!Set("band", "bucket", "sig", "frame_pos").contains(c),
+        s"shardCol '$c' collides with a reserved state column")
+      require(df.columns.contains(c),
+        s"signature frame lacks shard column '$c': ${df.columns.mkString(",")}")
+      df.withColumn("shard",
+        when(col(c).isNull, lit("n"))
+          .otherwise(concat(lit("v"), col(c).cast("string"))))
+    }
+
+  private def frameKeyCols(shardCol: Option[String]): Seq[String] =
+    "frame_pos" +: shardCol.map(_ => "shard").toSeq
+
   /** Corpus positional-signature state: banded per-frame rows
     * bucketed + sorted by (frame_pos, band, bucket) — exactly the
     * probe's join key, so recurring clip batches join with an
@@ -1039,11 +1173,14 @@ object Incremental {
     * even starts. */
   def writeFrameHammingState(frameSigs: DataFrame, idCol: String,
       sigCol: String, table: String, path: String, maxHamming: Int = 8,
-      numBuckets: Int = 64, nBands: Int = -1, everyNth: Int): Unit = {
+      numBuckets: Int = 64, nBands: Int = -1, everyNth: Int,
+      shardCol: Option[String] = None,
+      signer: Option[String] = None): Unit = {
     requireGrid(everyNth, "writeFrameHammingState")
-    writeHammingStateKeyed(frameCast(frameSigs), idCol, sigCol, table,
-      path, maxHamming, numBuckets, nBands, keyCols = Seq("frame_pos"),
-      grid = everyNth)
+    writeHammingStateKeyed(shardCast(frameCast(frameSigs), shardCol),
+      idCol, sigCol, table, path, maxHamming, numBuckets, nBands,
+      keyCols = frameKeyCols(shardCol), grid = everyNth,
+      sharded = shardCol.isDefined, signer = signer)
   }
 
   /** The sampling stride is LAYOUT IDENTITY for positional state — a
@@ -1065,11 +1202,15 @@ object Incremental {
     * waves matters. */
   def appendFrameHammingState(batch: DataFrame, idCol: String,
       sigCol: String, table: String, maxHamming: Int = 8,
-      numBuckets: Int = 64, nBands: Int = -1, everyNth: Int): Unit = {
+      numBuckets: Int = 64, nBands: Int = -1, everyNth: Int,
+      shardCol: Option[String] = None,
+      signer: Option[String] = None): Unit = {
     requireGrid(everyNth, "appendFrameHammingState")
-    appendHammingStateKeyed(frameCast(batch), idCol, sigCol, table,
-      maxHamming, numBuckets, nBands, keyCols = Seq("frame_pos"),
-      caller = "appendFrameHammingState", grid = everyNth)
+    appendHammingStateKeyed(shardCast(frameCast(batch), shardCol),
+      idCol, sigCol, table, maxHamming, numBuckets, nBands,
+      keyCols = frameKeyCols(shardCol),
+      caller = "appendFrameHammingState", grid = everyNth,
+      sharded = shardCol.isDefined, signer = signer)
   }
 
   /** Batch clip ids whose sampled frames are within `maxHamming` bits
@@ -1088,17 +1229,46 @@ object Incremental {
     * residual within a (position, bucket) cluster of near-identical
     * frames (title cards, black frames); the position key bounds each
     * cluster to clips sharing that sample index, and the per-wave
-    * probe never grows with corpus age on the BATCH side. */
+    * probe never grows with corpus age on the BATCH side.
+    *
+    * '''`shardCol` — the title-card escape hatch, persisted.''' When
+    * the state was written with a shard column
+    * ([[writeFrameHammingState]]'s `shardCol` — a per-clip constant
+    * like source or series), the shard value joins the position in
+    * the key and matches are sought only WITHIN equal shard values
+    * (the [[Video.clipNearDupPairs]] `shardCols` contract, carried
+    * into the persisted world). That bounds the residual
+    * per-(position, bucket) enumeration to each shard's clips:
+    * Σn² → Σ(n/s)²·s for s even shards. Shardedness is LAYOUT
+    * IDENTITY, validated against the `_meta` row exactly like the
+    * grid — a shardless probe of sharded state (or the reverse)
+    * refuses loudly instead of silently matching nothing. */
   def frameHammingDupIdsAgainstTable(batch: DataFrame, idCol: String,
       sigCol: String, state: DataFrame, maxHamming: Int = 8,
-      minFrames: Int = 2, nBands: Int = -1, everyNth: Int): DataFrame = {
+      minFrames: Int = 2, nBands: Int = -1, everyNth: Int,
+      shardCol: Option[String] = None,
+      signer: Option[String] = None): DataFrame = {
     requireGrid(everyNth, "frameHammingDupIdsAgainstTable")
-    require(Set("frame_pos", "band", "bucket", "sig")
-      .subsetOf(state.columns.toSet) && state.columns.length <= 5,
-      s"not a positional hamming state table (want frame_pos, band, " +
-        s"bucket, sig[, <id>]): ${state.columns.mkString(",")}")
-    val stateIdCol = state.columns
-      .filterNot(Set("frame_pos", "band", "bucket", "sig")) match {
+    // the shard-mix refusals mirror the _meta flag check but fire on
+    // the cheaper structural evidence (the shard COLUMN), so a caller
+    // gets the actionable message even on a bare DataFrame
+    require(shardCol.isEmpty || state.columns.contains("shard"),
+      "frameHammingDupIdsAgainstTable: called with a shardCol but the " +
+        "state table was written UNSHARDED — rebuild it with shardCol " +
+        "to adopt the within-shard contract")
+    require(shardCol.isDefined || !state.columns.contains("shard"),
+      "frameHammingDupIdsAgainstTable: state table rows carry a shard " +
+        "join key but the call passed no shardCol — a shardless probe " +
+        "against sharded rows silently matches nothing; pass the shard " +
+        "column the state was written with")
+    val reserved = Set("frame_pos", "band", "bucket", "sig") ++
+      shardCol.map(_ => "shard")
+    require(reserved.subsetOf(state.columns.toSet) &&
+      state.columns.length <= reserved.size + 1,
+      s"not a ${shardCol.map(_ => "sharded ").getOrElse("")}positional " +
+        s"hamming state table (want ${reserved.mkString(", ")}[, <id>]): " +
+        state.columns.mkString(","))
+    val stateIdCol = state.columns.filterNot(reserved) match {
       case Array(id) => id
       case _ => throw new IllegalArgumentException(
         "positional hamming state table carries no id column: " +
@@ -1106,13 +1276,15 @@ object Incremental {
     }
     val nb = resolveBands(maxHamming, nBands)
     validateHammingMeta(state, maxHamming, nb,
-      "frameHammingDupIdsAgainstTable", grid = everyNth)
+      "frameHammingDupIdsAgainstTable", grid = everyNth,
+      sharded = shardCol.isDefined, signer = signer)
+    val keyCols = frameKeyCols(shardCol)
     val st = state.filter(col("band") =!= HammingMetaBand)
-      .select(col("frame_pos"), col("band"), col("bucket"),
-        col(stateIdCol).as("__idC"), col("sig").as("__ssig"))
-    hammingBanded(frameCast(batch), idCol, sigCol, maxHamming, nb,
-        probe = true, keyCols = Seq("frame_pos"))
-      .join(st, Seq("frame_pos", "band", "bucket"))
+      .select((keyCols.map(col) ++ Seq(col("band"), col("bucket"),
+        col(stateIdCol).as("__idC"), col("sig").as("__ssig"))): _*)
+    hammingBanded(shardCast(frameCast(batch), shardCol), idCol, sigCol,
+        maxHamming, nb, probe = true, keyCols = keyCols)
+      .join(st, keyCols ++ Seq("band", "bucket"))
       .filter(bit_count(col("sig").bitwiseXOR(col("__ssig"))) <= maxHamming)
       .select(col(idCol), col("__idC"), col("frame_pos"))
       .distinct()
@@ -1129,9 +1301,11 @@ object Incremental {
     * level; see [[Video.dedupAgainstState]] for the clip-frame form). */
   def frameHammingDedupAgainstTable(batch: DataFrame, idCol: String,
       sigCol: String, state: DataFrame, maxHamming: Int = 8,
-      minFrames: Int = 2, nBands: Int = -1, everyNth: Int): DataFrame = {
+      minFrames: Int = 2, nBands: Int = -1, everyNth: Int,
+      shardCol: Option[String] = None,
+      signer: Option[String] = None): DataFrame = {
     val dupIds = frameHammingDupIdsAgainstTable(batch, idCol, sigCol, state,
-        maxHamming, minFrames, nBands, everyNth)
+        maxHamming, minFrames, nBands, everyNth, shardCol, signer)
       .localCheckpoint(true)
     batch.join(dupIds, Seq(idCol), "left_anti")
   }
@@ -1144,9 +1318,9 @@ object Incremental {
     * assert lives on [[hammingDupIdsAgainstTable]]). */
   def hammingDedupAgainstTable(batch: DataFrame, idCol: String,
       sigCol: String, state: DataFrame, maxHamming: Int = 8,
-      nBands: Int = -1): DataFrame = {
+      nBands: Int = -1, signer: Option[String] = None): DataFrame = {
     val dupIds = hammingDupIdsAgainstTable(batch, idCol, sigCol, state,
-        maxHamming, nBands)
+        maxHamming, nBands, signer)
       .localCheckpoint(true)
     batch.join(dupIds, Seq(idCol), "left_anti")
   }

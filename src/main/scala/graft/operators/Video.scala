@@ -249,13 +249,22 @@ object Video {
     * signatures. Undecodable clips survive (no frame rows, nothing
     * provable); `everyNth` must match the stride the state was built
     * at (positions are SAMPLE indices — a stride change renumbers
-    * them, exactly like re-shingling a MinHash corpus). */
+    * them, exactly like re-shingling a MinHash corpus); `shardCol`
+    * (a per-clip constant column of `df`, e.g. source or series)
+    * must likewise match the state's — matches are sought only
+    * within equal shard values, and the `_meta` row refuses a
+    * sharded/shardless mix loudly. */
   def dedupAgainstState(df: DataFrame, idCol: String, contentCol: Column,
       state: DataFrame, everyNth: Int = 2, maxHamming: Int = 8,
-      minFrames: Int = 2, nBands: Int = -1): DataFrame = {
-    val sigs = frameSignatures(df, idCol, contentCol, everyNth)
+      minFrames: Int = 2, nBands: Int = -1,
+      shardCol: Option[String] = None): DataFrame = {
+    val sigs0 = frameSignatures(df, idCol, contentCol, everyNth)
+    // the shard is clip-level metadata: re-attach by id (the content
+    // column prunes out of this branch, so the join side is tiny)
+    val sigs = shardCol.fold(sigs0)(c =>
+      sigs0.join(df.select(col(idCol), col(c)), Seq(idCol)))
     val dupIds = Incremental.frameHammingDupIdsAgainstTable(sigs, idCol,
-        "dhash", state, maxHamming, minFrames, nBands, everyNth)
+        "dhash", state, maxHamming, minFrames, nBands, everyNth, shardCol)
       .localCheckpoint(true)
     df.join(dupIds, Seq(idCol), "left_anti")
   }

@@ -738,6 +738,84 @@ class IncrementalSpec extends AnyFunSuite {
     }
   }
 
+  test("SHARDED positional state: title-card cluster bounded per shard, null shards one group, mixes refuse") {
+    import spark.implicits._
+    // the pathological shape the shard key exists for: EVERY clip is
+    // the same title card (identical dhash at every position), so an
+    // unsharded probe enumerates the full state×batch cross product
+    // per position. Shards: nulls (id%5==0) fold to ONE group, "c" is
+    // an odd-id-only shard (its members must SURVIVE a probe against
+    // the even-id state), the rest split "a"/"b".
+    val ids = (0L until 30L)
+    def src(id: Long): Option[String] =
+      if (id == 7 || id == 17) Some("c")
+      else if (id % 5 == 0) None
+      else if (id % 3 == 0) Some("a") else Some("b")
+    val rows = for { id <- ids; p <- 0 until 4 }
+      yield (id, p, 0xABCDL, src(id))
+    val sigs = rows.toDF("doc_id", "frame_pos", "dhash", "src")
+    val cor = sigs.filter(col("doc_id") % 2 === 0)
+    val batch = sigs.filter(col("doc_id") % 2 === 1)
+    Incremental.writeFrameHammingState(cor, "doc_id", "dhash",
+      "t_fhamm_sh", tmp("graft_fhamm_sh"), maxHamming = 8, numBuckets = 4,
+      everyNth = 2, shardCol = Some("src"))
+    try {
+      val dup = Incremental.frameHammingDupIdsAgainstTable(batch, "doc_id",
+        "dhash", spark.table("t_fhamm_sh"), maxHamming = 8, minFrames = 2,
+        everyNth = 2, shardCol = Some("src"))
+      val dupIds = dup.as[Long].collect().toSet
+      // brute force: odd id drops iff SOME even id shares its shard
+      // (null ≡ null — one group); every position matches by fixture
+      val evens = ids.filter(_ % 2 == 0).toSet
+      val expected = ids.filter(_ % 2 == 1)
+        .filter(id => evens.exists(e => src(e) == src(id))).toSet
+      assert(dupIds === expected)
+      // shard "c" members survive; null-group odds (5, 15, 25) drop
+      // against even nulls (0, 10, 20) — the one-group contract
+      assert(!dupIds.contains(7L) && !dupIds.contains(17L))
+      assert(Set(5L, 15L, 25L).subsetOf(dupIds))
+      // the shard rides the join key (bounding each enumeration to
+      // the shard's clips) and the state still streams bucket-aligned
+      dup.write.mode("overwrite").format("noop").save()
+      val plan = dup.queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), s"state must be bucket-read:\n$plan")
+      assert(plan.contains("shard"), s"shard must ride the join key:\n$plan")
+      // shardless probe of sharded state refuses LOUDLY (the _meta
+      // flag), as does a sharded probe of unsharded state
+      val eMix = intercept[IllegalArgumentException] {
+        Incremental.frameHammingDupIdsAgainstTable(batch, "doc_id",
+          "dhash", spark.table("t_fhamm_sh"), maxHamming = 8,
+          minFrames = 2, everyNth = 2)
+      }
+      assert(eMix.getMessage.contains("shard"))
+      Incremental.writeFrameHammingState(cor, "doc_id", "dhash",
+        "t_fhamm_nosh", tmp("graft_fhamm_nosh"), maxHamming = 8,
+        numBuckets = 4, everyNth = 2)
+      val eMix2 = intercept[IllegalArgumentException] {
+        Incremental.frameHammingDupIdsAgainstTable(batch, "doc_id",
+          "dhash", spark.table("t_fhamm_nosh"), maxHamming = 8,
+          minFrames = 2, everyNth = 2, shardCol = Some("src"))
+      }
+      assert(eMix2.getMessage.contains("UNSHARDED"))
+      // sharded append then re-probe: appended shard rows participate
+      val more = Seq((100L, 0, 0xABCDL, Option("c")),
+        (100L, 1, 0xABCDL, Option("c")))
+        .toDF("doc_id", "frame_pos", "dhash", "src")
+      Incremental.appendFrameHammingState(more, "doc_id", "dhash",
+        "t_fhamm_sh", maxHamming = 8, numBuckets = 4, everyNth = 2,
+        shardCol = Some("src"))
+      val dup2 = Incremental.frameHammingDupIdsAgainstTable(batch, "doc_id",
+          "dhash", spark.table("t_fhamm_sh"), maxHamming = 8,
+          minFrames = 2, everyNth = 2, shardCol = Some("src"))
+        .as[Long].collect().toSet
+      assert(dup2 === expected ++ Set(7L, 17L),
+        "the appended 'c' state clip must now catch the 'c' batch clips")
+    } finally {
+      Seq("t_fhamm_sh", "t_fhamm_nosh")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("Hamming state is self-describing: mismatched probe/append FAIL loudly") {
     // the failure this closes is SILENT: a probe at a band layout
     // other than the write's gathers different strides and matches

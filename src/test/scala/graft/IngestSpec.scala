@@ -335,13 +335,28 @@ class IngestSpec extends AnyFunSuite {
     // (e.g. 15's) still reject their variants
     st = IngestCli.applyMediaTakedown(spark, st, Seq(12L).toDF("doc_id"))
     st = IngestCli.rebuildMediaState(spark, st,
-      IngestCli.defaultImageSigner)
+      IngestCli.defaultImageSigner, IngestCli.ImageSignerName)
     val r6 = IngestCli.ingestMediaWave(spark, st, imgs(14L), 6,
       blocklist = Some(blockIdx))
     assert(r6.accepted === 1, "rebuild must forget seen-not-kept sigs")
     val r7 = IngestCli.ingestMediaWave(spark, st, imgs(16L), 7,
       blocklist = Some(blockIdx))
     assert(r7.accepted === 0, "retained content must still suppress")
+    // CROSS-SIGNER rebuild refuses LOUDLY: the state was signed
+    // image-dhash at init; rebuilding under the audio signer name
+    // would write incomparable signatures every later probe silently
+    // fails against — the exact mistake the _meta signer tag closes
+    val eSigner = intercept[IllegalArgumentException] {
+      IngestCli.rebuildMediaState(spark, st,
+        IngestCli.defaultImageSigner, IngestCli.AudioSignerName)
+    }
+    assert(eSigner.getMessage.contains("DIFFERENT signer"))
+    // and a wave probed/appended under the wrong name refuses too
+    val eWave = intercept[IllegalArgumentException] {
+      IngestCli.ingestMediaWave(spark, st, imgs(18L), 8,
+        signerName = IngestCli.AudioSignerName)
+    }
+    assert(eWave.getMessage.contains("DIFFERENT signer"))
   }
 
   // ---- the VIDEO wave loop (positional state) ----
