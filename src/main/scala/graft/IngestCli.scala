@@ -67,11 +67,11 @@ import graft.operators.{Dedup, Incremental}
 object IngestCli {
 
   final case class IngestState(ns: String, dir: String, numBuckets: Int,
-      version: Int = 0, digestVersion: Int = 0) {
+      version: Int = 0, digestVersion: Int = 0, goldVersion: Int = 0) {
     def digestTable: String = s"${ns}_digests_v$digestVersion"
     def sigTable: String = s"${ns}_sigs_v$version"
     def tombTable: String = s"${ns}_tombstones"
-    def goldPath: String = s"$dir/gold"
+    def goldPath: String = s"$dir/gold_v$goldVersion"
     def manifestPath: String = s"$dir/manifest"
   }
 
@@ -120,8 +120,7 @@ object IngestCli {
       st.sigTable, s"$dir/sigs_v0", numBuckets)
     Incremental.writeTombstones(empty.select("doc_id"), "doc_id",
       st.tombTable, s"$dir/tombstones", numBuckets)
-    val fs = fsFor(spark, dir)
-    fs.delete(new org.apache.hadoop.fs.Path(st.goldPath), true)
+    resetGold(spark, dir)
     st
   }
 
@@ -192,6 +191,19 @@ object IngestCli {
     WaveReport(waveNo, incoming, nLive, nGated, nExact, nAccepted, goldTotal)
   }
 
+
+  /** Fresh-start gold reset shared by the three init functions: wipe
+    * every gold version, the legacy unversioned dir, and the pointer,
+    * then point at `gold_v0` (where the first wave appends). */
+  private def resetGold(spark: SparkSession, dir: String): Unit = {
+    val fs = fsFor(spark, dir)
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/gold_v*")))
+      .toSeq.flatten.foreach(st => fs.delete(st.getPath, true))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/gold"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_GOLD_CURRENT"), false)
+    writeGoldPointer(spark, dir, "gold_v0")
+  }
+
   /** Does the partitioned gold dir hold any actual parquet data?
     * (`fs.exists` is NOT enough: an empty append or an
     * everything-retracted rewrite leaves a dir with only _SUCCESS,
@@ -230,7 +242,8 @@ object IngestCli {
       else spark.range(0).select(col("id").as("__d1"), col("id").as("__d2"))
 
     val next = st.copy(version = st.version + 1,
-      digestVersion = st.digestVersion + 1)
+      digestVersion = st.digestVersion + 1,
+      goldVersion = st.goldVersion + (if (hadGold) 1 else 0))
     tombstoneAndCompact(spark, ids, st.tombTable, st.sigTable,
       next.sigTable, s"${st.dir}/sigs_v${next.version}",
       bucketCols = Seq("band", "bucket"), numBuckets = st.numBuckets)
@@ -247,9 +260,10 @@ object IngestCli {
     // REMAINS (a retract-everything takedown leaves an empty dir a
     // manifest read could not infer a schema from).
     if (hadGold) {
-      rewriteGoldRetained(spark, st.dir, st.goldPath, st.tombTable)
-      if (goldHasData(spark, st.goldPath))
-        sources.CorpusIO.releaseManifest(spark, st.goldPath, "ingest_wave")
+      rewriteGoldRetained(spark, st.dir, st.goldPath, next.goldPath,
+        st.goldVersion, st.tombTable)
+      if (goldHasData(spark, next.goldPath))
+        sources.CorpusIO.releaseManifest(spark, next.goldPath, "ingest_wave")
           .write.mode(SaveMode.Overwrite).parquet(st.manifestPath)
       else
         fsFor(spark, st.dir)
@@ -258,26 +272,80 @@ object IngestCli {
     next
   }
 
-  /** Gold rewrite shared by every loop's takedown: write the retained
-    * rows beside the live dir, then delete-and-rename. Readers never
-    * see a PARTIAL rewrite, but the swap itself is not atomic: a
-    * lister in the delete→rename window (or after a crash there)
-    * finds gold absent, with the complete retained copy parked at
-    * `<gold>__next` for manual recovery — the single-operator CLI
-    * assumption; an HDFS/object-store deployment needing concurrent
-    * readers during takedown should version the gold DIRECTORY and
-    * repoint, like the state tables' blue/green versions. */
+  /** Gold rewrite shared by every loop's takedown — VERSIONED
+    * blue/green, the state tables' pattern applied to the directory:
+    * retained rows land in a fresh `gold_v{n+1}`, the `_GOLD_CURRENT`
+    * pointer repoints, and only then does the n−1 version (two
+    * behind) get reclaimed. A concurrent reader therefore always has
+    * a COMPLETE directory to read: mid-scan readers of `gold_v{n}`
+    * keep their files (it survives this takedown), and a reader
+    * resolving in the pointer-swap instant falls back to the highest
+    * `_SUCCESS`-bearing version ([[currentGoldPath]]) — old or new,
+    * never nothing. A crash mid-write leaves `gold_v{n+1}` without
+    * `_SUCCESS` and the pointer on `gold_v{n}`: the next takedown
+    * overwrites the partial dir. */
   private def rewriteGoldRetained(spark: SparkSession, dir: String,
-      goldPath: String, tombTable: String): Unit = {
+      goldPath: String, nextGoldPath: String, prevVersion: Int,
+      tombTable: String): Unit = {
     val fs = fsFor(spark, dir)
-    val tmp = new org.apache.hadoop.fs.Path(s"${goldPath}__next")
-    fs.delete(tmp, true)
     Incremental.retractIds(spark.read.parquet(goldPath), "doc_id",
         spark.table(tombTable))
-      .write.partitionBy("ingest_wave").parquet(tmp.toString)
-    val goldP = new org.apache.hadoop.fs.Path(goldPath)
-    fs.delete(goldP, true)
-    fs.rename(tmp, goldP)
+      .write.mode(SaveMode.Overwrite) // clobber a crashed prior attempt
+      .partitionBy("ingest_wave").parquet(nextGoldPath)
+    writeGoldPointer(spark, dir,
+      nextGoldPath.substring(nextGoldPath.lastIndexOf('/') + 1))
+    if (prevVersion >= 1) // keep current + previous; reclaim two-behind
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/gold_v${prevVersion - 1}"),
+        true)
+  }
+
+  /** Repoint `_GOLD_CURRENT` at `name` (tmp-write + rename — the only
+    * non-atomic instant is the pointer FILE swap, which
+    * [[currentGoldPath]]'s fallback covers). */
+  private def writeGoldPointer(spark: SparkSession, dir: String,
+      name: String): Unit = {
+    val fs = fsFor(spark, dir)
+    val tmp = new org.apache.hadoop.fs.Path(s"$dir/_GOLD_CURRENT.tmp")
+    val cur = new org.apache.hadoop.fs.Path(s"$dir/_GOLD_CURRENT")
+    val os = fs.create(tmp, true)
+    try os.write(name.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally os.close()
+    fs.delete(cur, false)
+    fs.rename(tmp, cur)
+  }
+
+  /** Resolve a loop dir's CURRENT gold directory — the entry point
+    * for out-of-process readers (the in-process loops carry the
+    * version in their state). Resolution order: the `_GOLD_CURRENT`
+    * pointer when it names an existing dir; else the highest
+    * `gold_v*` whose write COMPLETED (top-level `_SUCCESS` — a crash
+    * mid-rewrite must not surface a partial copy); else the legacy
+    * unversioned `gold`. A reader calling this at ANY instant of a
+    * takedown gets a complete old or new copy, never an absent dir. */
+  def currentGoldPath(spark: SparkSession, dir: String): String = {
+    val fs = fsFor(spark, dir)
+    val ptr = new org.apache.hadoop.fs.Path(s"$dir/_GOLD_CURRENT")
+    val pointed =
+      if (fs.exists(ptr)) {
+        val in = fs.open(ptr)
+        val name =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        Some(s"$dir/$name")
+          .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+      } else None
+    pointed.getOrElse {
+      val versions = Option(fs.globStatus(
+          new org.apache.hadoop.fs.Path(s"$dir/gold_v*"))).toSeq.flatten
+        .filter(_.isDirectory)
+        .filter(st => fs.exists(
+          new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+        .map(_.getPath.getName)
+        .flatMap(n => n.stripPrefix("gold_v").toIntOption.map(_ -> n))
+        .sortBy(_._1)
+      versions.lastOption.map { case (_, n) => s"$dir/$n" }
+        .getOrElse(s"$dir/gold")
+    }
   }
 
   /** Shared takedown prologue for ALL THREE loops: tombstone append +
@@ -353,10 +421,10 @@ object IngestCli {
   // --------------------------------------------------------------
 
   final case class MediaState(ns: String, dir: String, numBuckets: Int,
-      maxHamming: Int, version: Int = 0) {
+      maxHamming: Int, version: Int = 0, goldVersion: Int = 0) {
     def sigTable: String = s"${ns}_hsigs_v$version"
     def tombTable: String = s"${ns}_tombstones"
-    def goldPath: String = s"$dir/gold"
+    def goldPath: String = s"$dir/gold_v$goldVersion"
   }
 
   final case class MediaWaveReport(wave: Int, incoming: Long, live: Long,
@@ -387,7 +455,7 @@ object IngestCli {
       signer = Some(signerName))
     Incremental.writeTombstones(empty.select("doc_id"), "doc_id",
       st.tombTable, s"$dir/tombstones", numBuckets)
-    fsFor(spark, dir).delete(new org.apache.hadoop.fs.Path(st.goldPath), true)
+    resetGold(spark, dir)
     st
   }
 
@@ -464,12 +532,15 @@ object IngestCli {
     * when retraction must readmit a whole near-dup cluster. */
   def applyMediaTakedown(spark: SparkSession, st: MediaState,
       ids: DataFrame): MediaState = {
-    val next = st.copy(version = st.version + 1)
+    val hadGold = goldHasData(spark, st.goldPath)
+    val next = st.copy(version = st.version + 1,
+      goldVersion = st.goldVersion + (if (hadGold) 1 else 0))
     tombstoneAndCompact(spark, ids, st.tombTable, st.sigTable,
       next.sigTable, s"${st.dir}/hsigs_v${next.version}",
       bucketCols = Seq("band", "bucket"), numBuckets = st.numBuckets)
-    if (goldHasData(spark, st.goldPath))
-      rewriteGoldRetained(spark, st.dir, st.goldPath, st.tombTable)
+    if (hadGold)
+      rewriteGoldRetained(spark, st.dir, st.goldPath, next.goldPath,
+        st.goldVersion, st.tombTable)
     next
   }
 
@@ -581,10 +652,11 @@ object IngestCli {
   // --------------------------------------------------------------
 
   final case class VideoState(ns: String, dir: String, numBuckets: Int,
-      maxHamming: Int, minFrames: Int, everyNth: Int, version: Int = 0) {
+      maxHamming: Int, minFrames: Int, everyNth: Int, version: Int = 0,
+      goldVersion: Int = 0) {
     def sigTable: String = s"${ns}_fsigs_v$version"
     def tombTable: String = s"${ns}_tombstones"
-    def goldPath: String = s"$dir/gold"
+    def goldPath: String = s"$dir/gold_v$goldVersion"
   }
 
   /** Fresh video state: empty positional Hamming-signature and
@@ -604,7 +676,7 @@ object IngestCli {
       everyNth = everyNth, signer = Some(VideoSignerName))
     Incremental.writeTombstones(empty.select("doc_id"), "doc_id",
       st.tombTable, s"$dir/tombstones", numBuckets)
-    fsFor(spark, dir).delete(new org.apache.hadoop.fs.Path(st.goldPath), true)
+    resetGold(spark, dir)
     st
   }
 
@@ -678,13 +750,16 @@ object IngestCli {
     * clips DROPPED as the retracted clip's duplicates remain. */
   def applyVideoTakedown(spark: SparkSession, st: VideoState,
       ids: DataFrame): VideoState = {
-    val next = st.copy(version = st.version + 1)
+    val hadGold = goldHasData(spark, st.goldPath)
+    val next = st.copy(version = st.version + 1,
+      goldVersion = st.goldVersion + (if (hadGold) 1 else 0))
     tombstoneAndCompact(spark, ids, st.tombTable, st.sigTable,
       next.sigTable, s"${st.dir}/fsigs_v${next.version}",
       bucketCols = Seq("frame_pos", "band", "bucket"),
       numBuckets = st.numBuckets)
-    if (goldHasData(spark, st.goldPath))
-      rewriteGoldRetained(spark, st.dir, st.goldPath, st.tombTable)
+    if (hadGold)
+      rewriteGoldRetained(spark, st.dir, st.goldPath, next.goldPath,
+        st.goldVersion, st.tombTable)
     next
   }
 

@@ -108,6 +108,50 @@ class IngestSpec extends AnyFunSuite {
     assert(goldIds(st.goldPath) === Set(1L, 4L, 13L, 31L))
   }
 
+  test("versioned gold: a reader at ANY takedown instant sees old or new, never nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_vg").toString
+    var st = IngestCli.initState(spark, "graft_ingest_tvg", dir, numBuckets = 4)
+    IngestCli.ingestWave(spark, st, wave1, 1, cfg)
+    IngestCli.ingestWave(spark, st, wave2, 2, cfg)
+    val v0 = st.goldPath
+    assert(v0.endsWith("gold_v0"))
+    assert(IngestCli.currentGoldPath(spark, dir) === v0)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def p(s: String) = new org.apache.hadoop.fs.Path(s)
+
+    st = IngestCli.applyTakedown(spark, st, Seq(2L).toDF("doc_id"))
+    // steady state after the swap: pointer → v1, and v0 is STILL on
+    // disk — a reader that resolved before the takedown keeps every
+    // file of its complete copy (the delete-then-rename window is gone)
+    assert(st.goldPath.endsWith("gold_v1"))
+    assert(IngestCli.currentGoldPath(spark, dir) === st.goldPath)
+    assert(goldIds(st.goldPath) === Set(1L, 4L, 13L))
+    assert(fs.exists(p(v0)), "previous version retained for in-flight readers")
+    assert(goldIds(v0) === Set(1L, 2L, 4L, 13L), "old copy still complete")
+
+    // crash window A: pointer file mid-swap (deleted, rename pending)
+    // — the resolver falls back to the highest COMPLETE version
+    fs.delete(p(s"$dir/_GOLD_CURRENT"), false)
+    assert(IngestCli.currentGoldPath(spark, dir) === st.goldPath)
+    assert(goldIds(IngestCli.currentGoldPath(spark, dir)) === Set(1L, 4L, 13L))
+
+    // crash window B: a takedown died mid-write — gold_v2 exists but
+    // has no _SUCCESS; it must NOT surface (partial copy), the last
+    // complete version must
+    fs.mkdirs(p(s"$dir/gold_v2"))
+    assert(IngestCli.currentGoldPath(spark, dir) === st.goldPath)
+    fs.delete(p(s"$dir/gold_v2"), true)
+
+    // second takedown: v2 becomes current, v1 retained, v0 (two
+    // behind) reclaimed — bounded disk, never an absent dir
+    st = IngestCli.applyTakedown(spark, st, Seq(4L).toDF("doc_id"))
+    assert(st.goldPath.endsWith("gold_v2"))
+    assert(IngestCli.currentGoldPath(spark, dir) === st.goldPath)
+    assert(goldIds(st.goldPath) === Set(1L, 13L))
+    assert(fs.exists(p(s"$dir/gold_v1")) && !fs.exists(p(v0)))
+  }
+
   test("wave probes only shuffle the batch side (state arrives bucket-aligned)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest3").toString
     val st = IngestCli.initState(spark, "graft_ingest_t3", dir, numBuckets = 4)
@@ -259,7 +303,7 @@ class IngestSpec extends AnyFunSuite {
     Seq(9L).toDF("doc_id").write.parquet(s"$dir/td")
     IngestCli.runMedia(spark, s"$dir/state", Seq(s"$dir/w1", s"$dir/w2"),
       "image", Some(s"$dir/block"), Some(s"$dir/td"))
-    val gold = goldIds(s"$dir/state/gold")
+    val gold = goldIds(IngestCli.currentGoldPath(spark, s"$dir/state"))
     // 0 blocked (blocklist); 9 tombstoned before any wave (seeding);
     // 13 near-dups base 12 already in state; 10's scene base (9) never
     // entered state, so 10 lands
@@ -271,13 +315,13 @@ class IngestSpec extends AnyFunSuite {
       .write.parquet(s"$dir/aw1")
     IngestCli.runMedia(spark, s"$dir/astate", Seq(s"$dir/aw1"), "audio",
       None, None)
-    val agold = goldIds(s"$dir/astate/gold")
+    val agold = goldIds(IngestCli.currentGoldPath(spark, s"$dir/astate"))
     assert(agold === Set(0L, 3L, 6L, 9L), "audio in-wave dedup keeps bases")
     // a custom namespace (the CLI's GRAFT_NS) isolates state tables,
     // so two loops can share one metastore without colliding
     IngestCli.runMedia(spark, s"$dir/nstate", Seq(s"$dir/aw1"), "audio",
       None, None, ns = "graft_ns_alt")
-    assert(goldIds(s"$dir/nstate/gold") === Set(0L, 3L, 6L, 9L))
+    assert(goldIds(IngestCli.currentGoldPath(spark, s"$dir/nstate")) === Set(0L, 3L, 6L, 9L))
     assert(spark.catalog.tableExists("graft_ns_alt_tombstones"))
     // unknown mode refuses with the supported set named
     val e = intercept[IllegalArgumentException] {
@@ -409,7 +453,7 @@ class IngestSpec extends AnyFunSuite {
     Seq(9L).toDF("doc_id").write.parquet(s"$dir/td")
     IngestCli.runVideo(spark, s"$dir/state", Seq(s"$dir/w1", s"$dir/w2"),
       Some(s"$dir/block"), Some(s"$dir/td"))
-    val gold = goldIds(s"$dir/state/gold")
+    val gold = goldIds(IngestCli.currentGoldPath(spark, s"$dir/state"))
     // 0 blocked (flagged frame); 9 tombstoned before any wave; 13
     // matches live base 12 on 3 of 4 positions → dropped; 10's scene
     // base (9) never entered state, so 10 lands
