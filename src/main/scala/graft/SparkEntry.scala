@@ -512,11 +512,19 @@ object SparkEntry {
         .orderBy("c_custkey")
     },
 
-    // ---- F13: sentence segmentation (generator shape: explode(split)).
+    // ---- F13: sentence segmentation (generator shape: explode(split)),
+    // pysbd-grade: the planted suffix carries every protection class —
+    // title abbreviations (Sr./Dra. before capitalized names), p. ej.,
+    // a general abbreviation continuing lowercase (etc. así), a
+    // decimal, an ellipsis continuing lowercase, and a run of initials
+    // (J. R. R.) that only the two-pass shield segments right. The
+    // oracle replays the exact regexp_replace chain in DuckDB.
     "q35_sentence_split" -> { (s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), explode(analysis.sentences_of(
-          concat(col("text"), lit("one. two! three? four")))).as("sentence"))
+          concat(col("text"), lit(" El Sr. López y la Dra. Ruiz, " +
+            "p. ej. etc. así 3.14 sigue... baja. J. R. R. Tolkien " +
+            "escribió. Fin one. two! three? four")))).as("sentence"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sentences"),
           max(length(col("sentence"))).as("max_sentence_len"))
         .orderBy("doc_id")
@@ -2879,14 +2887,36 @@ object SparkEntry {
         |FROM customer c LEFT JOIN big ON c.c_custkey = big.c_custkey
         |ORDER BY c.c_custkey""".stripMargin,
 
+    // q35: the oracle replays sentences_of's protection chain pass by
+    // pass (the patterns are RE2-safe by design; chr(31) = the shield,
+    // chr(30) = the boundary marker, both restored/consumed below).
     "q35_sentence_split" ->
-      """WITH s AS (
-        |  SELECT doc_id, string_split(regexp_replace(
-        |    text || 'one. two! three? four', '([.!?])\s+', '\1' || chr(30), 'g'),
-        |    chr(30)) AS sent
+      """WITH raw AS (
+        |  SELECT doc_id, text || ' El Sr. López y la Dra. Ruiz, p. ej. etc. así 3.14 sigue... baja. J. R. R. Tolkien escribió. Fin one. two! three? four' AS t
         |  FROM documents),
-        |e AS (SELECT doc_id, trim(x) AS sentence
-        |      FROM s, unnest(sent) AS t(x) WHERE length(trim(x)) > 0)
+        |p1 AS (SELECT doc_id, regexp_replace(t, '\b([pP])\.(\s*)(ej)\.',
+        |  '\1' || chr(31) || '\2\3' || chr(31), 'g') AS t FROM raw),
+        |p2 AS (SELECT doc_id, regexp_replace(t,
+        |  '\b(Sr|Sra|Srta|Dr|Dra|Prof|Profa|Lic|Ing|Gral|Mtro|Mtra|Dña|Ud|Uds|Vd|Vds)\.',
+        |  '\1' || chr(31), 'g') AS t FROM p1),
+        |p3 AS (SELECT doc_id, regexp_replace(t,
+        |  '\b(etc|núm|pág|art|vs|aprox|cap|ed|fig|ref|op|cit)\.(\s+\p{Ll})',
+        |  '\1' || chr(31) || '\2', 'g') AS t FROM p2),
+        |p4 AS (SELECT doc_id, regexp_replace(t, '\.\.\.(\s+\p{Ll})',
+        |  chr(31) || chr(31) || chr(31) || '\1', 'g') AS t FROM p3),
+        |p5 AS (SELECT doc_id, regexp_replace(t,
+        |  '\b([A-ZÁÉÍÓÚÑ])\.(\s+[A-ZÁÉÍÓÚÑ])',
+        |  '\1' || chr(31) || '\2', 'g') AS t FROM p4),
+        |p6 AS (SELECT doc_id, regexp_replace(t,
+        |  '\b([A-ZÁÉÍÓÚÑ])\.(\s+[A-ZÁÉÍÓÚÑ])',
+        |  '\1' || chr(31) || '\2', 'g') AS t FROM p5),
+        |s AS (
+        |  SELECT doc_id, string_split(regexp_replace(
+        |    t, '([.!?])\s+', '\1' || chr(30), 'g'), chr(30)) AS sent
+        |  FROM p6),
+        |e AS (SELECT doc_id, trim(replace(x, chr(31), '.')) AS sentence
+        |      FROM s, unnest(sent) AS t(x)
+        |      WHERE length(trim(replace(x, chr(31), '.'))) > 0)
         |SELECT doc_id, count(*) AS n_sentences,
         |  CAST(max(length(sentence)) AS INT) AS max_sentence_len
         |FROM e GROUP BY doc_id

@@ -215,14 +215,58 @@ object analysis {
     xxhash64(concat_ws(" ",
       filter(split(lower(trim(c)), "\\s+"), t => length(t) > 0)))
 
+  /** The pysbd-grade protection passes [[sentences_of]] runs BEFORE
+    * boundary injection: each replaces a non-terminal period with
+    * \u001F (restored after the split). Deliberately RE2-safe — no
+    * lookbehind/lookahead — so a SQL engine replays the exact
+    * semantics as the same `regexp_replace` chain (q35's oracle
+    * does); the price is the two-pass initials rule below. Mirrors
+    * the reference's Spanish segmenter
+    * (pipeline/alignment/segmentation.py:3-11, pysbd es):
+    *   1. `p. ej.` — both periods protected;
+    *   2. honorific/title abbreviations (Sr. López) — never a
+    *      boundary, even before the capitalized name;
+    *   3. general abbreviations (etc., núm., pág.) — a boundary only
+    *      before a capital (protected when lowercase continues);
+    *   4. ASCII ellipsis `...` continuing in lowercase — no boundary
+    *      (before a capital it stays one);
+    *   5. initials before a capitalized word (J. R. R. Tolkien) —
+    *      run TWICE: the consumed trailing context skips alternate
+    *      periods in an initials run, and the second pass protects
+    *      the ones pass one stepped over (fixed point for any run
+    *      length).
+    * Decimals (3.14) need no pass: the boundary rule requires
+    * whitespace after the terminal. */
+  private[graft] val SentenceProtections: Seq[(String, String)] = {
+    val cap = "A-Z\u00c1\u00c9\u00cd\u00d3\u00da\u00d1"
+    val initials = (s"\\b([$cap])\\.(\\s+[$cap])", "$1\u001F$2")
+    Seq(
+      ("\\b([pP])\\.(\\s*)(ej)\\.", "$1\u001F$2$3\u001F"),
+      ("\\b(Sr|Sra|Srta|Dr|Dra|Prof|Profa|Lic|Ing|Gral|Mtro|Mtra|D\u00f1a|Ud|Uds|Vd|Vds)\\.",
+        "$1\u001F"),
+      ("\\b(etc|n\u00fam|p\u00e1g|art|vs|aprox|cap|ed|fig|ref|op|cit)\\.(\\s+\\p{Ll})",
+        "$1\u001F$2"),
+      ("\\.\\.\\.(\\s+\\p{Ll})", "\u001F\u001F\u001F$1"),
+      initials, initials)
+  }
+
   /** F13 — sentence segmentation as an array column (explode at call
     * site makes it the generator/UDTF shape). Separator-injection
     * instead of lookbehind so the exact semantics are portable to
-    * RE2-based engines. */
-  def sentences_of(c: Column): Column =
+    * RE2-based engines; [[SentenceProtections]] shields abbreviation,
+    * initials and ellipsis periods first (the pysbd envelope the
+    * reference segments Spanish prose with), then `[.!?]` +
+    * whitespace injects boundaries and the protected periods
+    * restore. */
+  def sentences_of(c: Column): Column = {
+    val shielded = SentenceProtections.foldLeft(c) { case (acc, (p, r)) =>
+      regexp_replace(acc, p, r)
+    }
     filter(
-      transform(split(regexp_replace(c, "([.!?])\\s+", "$1\u001E"), "\u001E"), s => trim(s)),
+      transform(split(regexp_replace(shielded, "([.!?])\\s+", "$1\u001E"), "\u001E"),
+        s => trim(translate(s, "\u001F", "."))),
       s => length(s) > 0)
+  }
 
   /** F14 — sentence-bounded chunking: pack sentences into chunks of at
     * most `maxChars` (a sentence longer than the budget becomes its own

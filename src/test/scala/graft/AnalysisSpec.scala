@@ -55,6 +55,37 @@ class AnalysisSpec extends AnyFunSuite {
     assert(r === Seq("One two.", "Three!", "Four?", "five"))
   }
 
+  test("sentences_of: pysbd-grade Spanish — abbreviations, initials, ellipses, decimals") {
+    def seg(s: String): Seq[String] =
+      Seq(s).toDF("s").select(analysis.sentences_of(col("s")).as("r"))
+        .head().getSeq[String](0)
+    // title abbreviations never break, even before the capitalized name
+    assert(seg("El Sr. López llegó. La Dra. Ruiz salió.") ===
+      Seq("El Sr. López llegó.", "La Dra. Ruiz salió."))
+    // "p. ej." holds as one unit
+    assert(seg("Hay casos, p. ej. este, y más. Fin") ===
+      Seq("Hay casos, p. ej. este, y más.", "Fin"))
+    // general abbreviation: no break before lowercase, break before capital
+    assert(seg("Libros, mapas, etc. fueron vendidos. Todo") ===
+      Seq("Libros, mapas, etc. fueron vendidos.", "Todo"))
+    assert(seg("Libros, mapas, etc. Fueron vendidos.") ===
+      Seq("Libros, mapas, etc.", "Fueron vendidos."))
+    // decimals never break (no whitespace after the period)
+    assert(seg("El valor 3.14 es pi. Sí") === Seq("El valor 3.14 es pi.", "Sí"))
+    // ellipsis: continues in lowercase, breaks before a capital
+    assert(seg("Pensaba... y siguió. Fin") === Seq("Pensaba... y siguió.", "Fin"))
+    assert(seg("Pensaba... Entonces salió.") ===
+      Seq("Pensaba...", "Entonces salió."))
+    // a RUN of initials (the two-pass shield): never split mid-name
+    assert(seg("J. R. R. Tolkien escribió mucho. Fin") ===
+      Seq("J. R. R. Tolkien escribió mucho.", "Fin"))
+    assert(seg("A. B. C. D. E. Cinco iniciales aquí. Fin") ===
+      Seq("A. B. C. D. E. Cinco iniciales aquí.", "Fin"))
+    // protections restore the periods verbatim — no shield bytes leak
+    assert(seg("El Sr. López, p. ej. J. R. Ruiz... sigue aquí")
+      .forall(s => !s.exists(c => c == '' || c == '')))
+  }
+
   test("chunk_sentences packs sentences under the budget, oversize stands alone") {
     val s = "aaaa. bbbb. cccc. ddddddddddddddddddddddd. ee."
     val chunks = Seq(s).toDF("s")
