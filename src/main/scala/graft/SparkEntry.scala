@@ -2514,6 +2514,41 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ---- FULL-FIDELITY fingerprint rebuild (writeFingerprintTable
+    // semantics over the retained corpus, as one takedown-cadence
+    // operator): build on A (planted 12-word boilerplate run in every
+    // 20th doc → its winnow-min gram's df = 15 > cap 8, EXCLUDED at
+    // build), append B (3 more planted docs re-admit that gram with
+    // partial postings — the cheap rebuildFingerprints residual),
+    // tombstone every 7th id, then rebuild FROM RETAINED TEXT. The
+    // oracle recomputes the whole table from documents: df re-counted
+    // over retained, so the re-admitted gram re-excludes — the rows
+    // that hash-differ from the state-sized rebuild and prove full
+    // fidelity.
+    "q155_fingerprint_full_rebuild" -> { (s, dir) =>
+      val boiler = " px1 px2 px3 px4 px5 px6 px7 px8 px9 pxa pxb pxc"
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 400)
+        .withColumn("text",
+          when(col("doc_id") % 20 === 0 ||
+              (col("doc_id") >= 300 && col("doc_id") % 31 === 0),
+            concat(col("text"), lit(boiler))).otherwise(col("text")))
+      val base = s"${stateDir(dir)}/q155_state"
+      Seq("graft_q155_fps", "graft_q155_tomb", "graft_q155_fps_full")
+        .foreach(t => s.sql(s"DROP TABLE IF EXISTS $t"))
+      Incremental.writeFingerprintTable(docs.filter(col("doc_id") < 300),
+        "doc_id", col("text"), "graft_q155_fps", s"$base/fps",
+        k = 4, w = 4, maxDf = 8, numBuckets = 8)
+      Incremental.appendFingerprints(docs.filter(col("doc_id") >= 300),
+        "doc_id", col("text"), s.table("graft_q155_fps"),
+        "graft_q155_fps", k = 4, w = 4, numBuckets = 8)
+      Incremental.writeTombstones(docs.filter(col("doc_id") % 7 === 0),
+        "doc_id", "graft_q155_tomb", s"$base/tomb", numBuckets = 4)
+      Incremental.rebuildFingerprintsFromCorpus(docs, "doc_id",
+        col("text"), s.table("graft_q155_tomb"), "graft_q155_fps_full",
+        s"$base/fps_full", k = 4, w = 4, maxDf = 8, numBuckets = 8)
+      s.table("graft_q155_fps_full").orderBy("fp", "corpus_id")
+    },
+
     // ---- Deterministic epoch shuffle: the training-order
     // permutation for epoch 3, computed with the q99 distributed
     // prefix-sum (no global window) — reproducible, addressable
@@ -5293,6 +5328,50 @@ object SparkEntry {
         |SELECT doc_id FROM documents
         |WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT doc_id FROM dup)
         |ORDER BY doc_id""".stripMargin,
+
+    // q155: the q135 winnow-selection replay over the PLANTED corpus,
+    // with the df cap re-counted over retained rows only — the oracle
+    // IS writeFingerprintTable-over-retained, recomputed from text.
+    "q155_fingerprint_full_rebuild" ->
+      """WITH w0 AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(
+        |      text || CASE WHEN doc_id % 20 = 0
+        |          OR (doc_id >= 300 AND doc_id % 31 = 0)
+        |        THEN ' px1 px2 px3 px4 px5 px6 px7 px8 px9 pxa pxb pxc'
+        |        ELSE '' END)), '\s+'), x -> x <> '') AS ws
+        |  FROM documents WHERE doc_id < 400),
+        |g AS (SELECT doc_id, i AS pos,
+        |    CAST(('0x' || substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM w0, UNNEST(generate_series(1, len(ws) - 3)) AS t(i)),
+        |b AS (SELECT doc_id, pos, h,
+        |    count(*) OVER (PARTITION BY doc_id) AS n,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 1 PRECEDING AND 1 PRECEDING) AS pm1,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS pm2,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS pm3,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 1 FOLLOWING AND 1 FOLLOWING) AS nm1,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS nm2,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS nm3
+        |  FROM g),
+        |sel AS (SELECT doc_id, h FROM b
+        |  WHERE (pos <= n - 3 AND coalesce(nm3 > h, TRUE))
+        |     OR (pos - 1 >= 1 AND pos - 1 <= n - 3
+        |         AND coalesce(pm1 >= h, TRUE) AND coalesce(nm2 > h, TRUE))
+        |     OR (pos - 2 >= 1 AND pos - 2 <= n - 3
+        |         AND coalesce(pm2 >= h, TRUE) AND coalesce(nm1 > h, TRUE))
+        |     OR (pos - 3 >= 1 AND pos - 3 <= n - 3
+        |         AND coalesce(pm3 >= h, TRUE))),
+        |state AS (SELECT DISTINCT h AS fp, doc_id AS corpus_id FROM sel
+        |  WHERE doc_id % 7 <> 0),
+        |keepfp AS (SELECT fp FROM state GROUP BY fp HAVING count(*) <= 8)
+        |SELECT fp, corpus_id FROM state JOIN keepfp USING (fp)
+        |ORDER BY fp, corpus_id""".stripMargin,
 
     // q154: the q147 replay with the exported shard tag riding the
     // join — matches only within equal shard values, NULL shards one

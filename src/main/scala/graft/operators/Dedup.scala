@@ -564,7 +564,7 @@ object Dedup {
       buckets: Array[Array[Long]], sigs: Array[Array[Long]])
 
   def hammingIndex(df: DataFrame, sigCol: String,
-      maxHamming: Int): HammingIndex = {
+      maxHamming: Int, maxSignatures: Int = 4_000_000): HammingIndex = {
     require(maxHamming >= 0 && maxHamming < 32, "maxHamming must be in [0, 32)")
     val vals = df.select(col(sigCol).cast("long"))
       .filter(col(sigCol).isNotNull).distinct()
@@ -573,17 +573,22 @@ object Dedup {
     // — ~16·(maxHamming + 2) bytes per signature ride the PLAN into
     // every task binary. Request-scale inputs (blocklists) fit; a
     // corpus-scale input would OOM the driver or bloat tasks silently,
-    // so refuse it loudly and name the corpus-scale path.
-    require(vals.length <= 4_000_000,
+    // so refuse it loudly and name the corpus-scale path. The bound
+    // is a PARAMETER (default 4M ≈ 0.5+ GB serialized): an operator
+    // who accepts the task-binary weight for a bigger blocklist
+    // raises it explicitly instead of being hard-walled.
+    require(vals.length <= maxSignatures,
       s"hammingIndex: ${vals.length} distinct signatures exceeds the " +
-        "4M driver-index bound (~0.5+ GB serialized with the plan). " +
-        "This index is for request-scale blocklists; corpus-scale " +
-        "recurring dedup is Incremental.writeHammingState + " +
-        "hammingDupIdsAgainstTable (bucketed state, batch-sized probes).")
-    if (vals.length > 1_000_000)
+        s"$maxSignatures driver-index bound (~16·(maxHamming+2) B each, " +
+        "serialized with the plan into every task). Raise maxSignatures " +
+        "to accept the weight knowingly; corpus-scale recurring dedup " +
+        "is Incremental.writeHammingState + hammingDupIdsAgainstTable " +
+        "(bucketed state, batch-sized probes).")
+    if (vals.length > maxSignatures / 4)
       System.err.println(s"[graft] hammingIndex: ${vals.length} distinct " +
-        "signatures — approaching the 4M driver-index bound; consider " +
-        "Incremental.writeHammingState for corpus-scale sets")
+        s"signatures — approaching the $maxSignatures driver-index " +
+        "bound; consider Incremental.writeHammingState for corpus-scale " +
+        "sets")
     val nBands = maxHamming + 1
     val buckets = Array.ofDim[Array[Long]](nBands)
     val sigs = Array.ofDim[Array[Long]](nBands)

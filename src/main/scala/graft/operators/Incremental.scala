@@ -652,7 +652,10 @@ object Incremental {
         s"(want term, $idColName, tf, dl): ${postings.columns.mkString(",")}")
     postings.select(col(idColName), col("dl")).distinct()
       .agg(count(lit(1)).as("n_docs"),
-        sum(col("dl")).cast("long").as("sum_dl"))
+        // sum over ZERO rows is NULL — the retract-everything rebuild
+        // must still write the (0, 0L) shape writeIndexStats produces,
+        // not a null avgdl seed for bm25AgainstIndex
+        coalesce(sum(col("dl")).cast("long"), lit(0L)).as("sum_dl"))
       .write.mode(SaveMode.Overwrite).option("path", path)
       .saveAsTable(table)
   }
@@ -688,6 +691,31 @@ object Incremental {
       .option("path", path)
       .saveAsTable(table)
   }
+
+  /** FULL-FIDELITY fingerprint rebuild: re-winnow the RETAINED corpus
+    * (corpus minus tombstones) from text — [[writeFingerprintTable]]'s
+    * from-scratch semantics as a first-class takedown-cadence
+    * operator, closing [[rebuildFingerprints]]' documented residual:
+    * a fingerprint the ORIGINAL build excluded but later appends
+    * re-admitted under-counted keeps partial postings in the cheap
+    * state-sized rebuild; here df re-evaluates over the retained
+    * corpus, so such fingerprints re-exclude (or carry their full
+    * postings) — post-rebuild table ≡ a fresh build over retained,
+    * which q155's oracle hash-checks end to end. Corpus-sized by
+    * design (one winnowing pass + one df aggregate): the cadence
+    * trade against the state-sized [[rebuildFingerprints]] is the
+    * point — run THIS one when takedowns or append drift make
+    * posting fidelity material. 100 TB shape: identical to the
+    * original build — text never crosses an exchange (8-byte
+    * md5-prefix fingerprints do), df is a long-key aggregate, and
+    * the output is the same bucketed blue/green table every probe
+    * streams aligned from disk. */
+  def rebuildFingerprintsFromCorpus(corpus: DataFrame, idCol: String,
+      textCol: Column, tombstones: DataFrame, table: String,
+      path: String, k: Int = 4, w: Int = 4, maxDf: Long = 64,
+      numBuckets: Int = 64): Unit =
+    writeFingerprintTable(retractIds(corpus, idCol, tombstones), idCol,
+      textCol, table, path, k, w, maxDf, numBuckets)
 
   /** Top-k BM25 against the persisted index — identical output to
     * [[Retrieval.bm25TopK]] over the union of every appended batch

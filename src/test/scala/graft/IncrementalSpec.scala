@@ -646,6 +646,55 @@ class IncrementalSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("rebuildFingerprintsFromCorpus: full fidelity where the cheap rebuild's residual bites") {
+    import spark.implicits._
+    val base = tmp("graft_rebuild_fp_full")
+    Seq("t_rff_a", "t_rff_cheap", "t_rff_full", "t_rff_scratch", "t_rff_tomb")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    // THE CORNER: boilerplate over cap at A's OWN build (10 docs,
+    // maxDf 8 → excluded from state), then appends re-admit it with
+    // PARTIAL postings (3 B-docs ≤ cap). The state-sized rebuild sees
+    // df = 3 and keeps the partial postings; only re-winnowing the
+    // corpus re-counts df = 13 and re-excludes.
+    val boiler = "alpha beta gamma delta epsilon zeta eta theta"
+    def mk(id: Long) = (id, s"$boiler unique$id tail$id words$id here$id now$id")
+    val a = (0L until 10L).map(mk).toDF("doc_id", "text")
+    val b = (10L until 13L).map(mk).toDF("doc_id", "text")
+    Incremental.writeFingerprintTable(a, "doc_id", col("text"),
+      "t_rff_a", s"$base/a", k = 4, w = 4, maxDf = 8, numBuckets = 4)
+    try {
+      Incremental.appendFingerprints(b, "doc_id", col("text"),
+        spark.table("t_rff_a"), "t_rff_a", k = 4, w = 4, numBuckets = 4)
+      // cheap rebuild keeps the re-admitted boilerplate fp (df 3 ≤ 8)
+      Incremental.rebuildFingerprints(spark.table("t_rff_a"),
+        "t_rff_cheap", s"$base/cheap", maxDf = 8, numBuckets = 4)
+      // full rebuild from retained text (retract id 5 on the way —
+      // the takedown-cadence shape)
+      Incremental.writeTombstones(Seq(5L).toDF("doc_id"), "doc_id",
+        "t_rff_tomb", s"$base/tomb", numBuckets = 2)
+      Incremental.rebuildFingerprintsFromCorpus(a.union(b), "doc_id",
+        col("text"), spark.table("t_rff_tomb"), "t_rff_full",
+        s"$base/full", k = 4, w = 4, maxDf = 8, numBuckets = 4)
+      val full = spark.table("t_rff_full").as[(Long, Long)].collect().toSet
+      // ≡ from-scratch build over retained — the q155 contract
+      Incremental.writeFingerprintTable(
+        a.union(b).filter(col("doc_id") =!= 5L), "doc_id", col("text"),
+        "t_rff_scratch", s"$base/scratch", k = 4, w = 4, maxDf = 8,
+        numBuckets = 4)
+      val scratch = spark.table("t_rff_scratch").as[(Long, Long)].collect().toSet
+      assert(full === scratch)
+      assert(!full.exists(_._2 == 5L), "tombstoned doc's postings gone")
+      // and the corner is REAL: the cheap rebuild differs here (it
+      // kept boilerplate postings full fidelity re-excludes)
+      val cheap = spark.table("t_rff_cheap").as[(Long, Long)].collect().toSet
+      val cheapFps = cheap.map(_._1)
+      val fullFps = full.map(_._1)
+      assert((cheapFps -- fullFps).nonEmpty,
+        "fixture must make the residual observable, or this test is vacuous")
+    } finally Seq("t_rff_a", "t_rff_cheap", "t_rff_full", "t_rff_scratch",
+      "t_rff_tomb").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("positional Hamming state: probe-after-append == brute force; bucket-aligned, batch-side-only exchange") {
     import spark.implicits._
     // 36 synthetic clips, 3 variants per scene: a variant matches its
