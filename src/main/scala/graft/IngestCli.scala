@@ -78,6 +78,36 @@ object IngestCli {
   final case class WaveReport(wave: Int, incoming: Long, live: Long,
       gated: Long, exactSurvivors: Long, accepted: Long, goldTotal: Long)
 
+  /** Cadence policy for the duplicate-signature compaction epilogue
+    * the run* loops apply ([[Incremental.dedupCompactBandedState]] /
+    * [[Incremental.dedupCompactFrameState]] — decision-preserving by
+    * construction). Trigger arithmetic: compact when the documents
+    * appended since the last compaction exceed `ratio` × the state's
+    * document count AT that compaction (and at least `minDocs`, so
+    * small states never churn). Amortization: each compaction is one
+    * state-sized pass, fired only after appends could have grown the
+    * state by the same factor — total compaction work ≤ (1 + 1/ratio)
+    * × total append work for ANY wave schedule, while a steady-state
+    * recrawl loop's table stays ≤ (1 + ratio) × its distinct content
+    * instead of growing by a wave-sized slab forever. `ratio <= 0`
+    * disables the epilogue. */
+  final case class CompactionPolicy(ratio: Double = 0.5,
+      minDocs: Long = 100000) {
+    def enabled: Boolean = ratio > 0
+    def due(appended: Long, baseline: Long): Boolean =
+      enabled && appended >= math.max(minDocs, (ratio * baseline).toLong)
+  }
+
+  /** Mutable trigger bookkeeping for one loop run: O(1) per wave (no
+    * state scans — the wave report's own counts feed `appended`);
+    * one exact count per fired compaction resets the baseline. */
+  private final class CompactionClock(policy: CompactionPolicy) {
+    private var baseline = 0L
+    private var appended = 0L
+    def record(n: Long): Boolean = { appended += n; policy.due(appended, baseline) }
+    def reset(newBaseline: Long): Unit = { baseline = newBaseline; appended = 0L }
+  }
+
   /** Benchmark-decontamination gate model: the eval set's sorted
     * gram digests BUNDLED with the gram size that produced them — a
     * digest array probed at a different `nWords` matches nothing
@@ -346,6 +376,45 @@ object IngestCli {
       versions.lastOption.map { case (_, n) => s"$dir/$n" }
         .getOrElse(s"$dir/gold")
     }
+  }
+
+  /** Duplicate-signature compaction epilogues — the blue/green bump
+    * for each loop's signature state ([[CompactionPolicy]] decides
+    * WHEN; these are safe at any time: probe decisions provably
+    * unchanged, see the Incremental scaladocs). The text epilogue
+    * compacts BOTH text states (banded MinHash rows by (band, bucket,
+    * sig); the bare digest table by DISTINCT) — honestly, the text
+    * loop's own exact gate already stops identical re-appends (only
+    * exact SURVIVORS reach either table), so it bites mainly for
+    * out-of-loop `appendBandedSignatures` callers; the MEDIA and
+    * VIDEO loops are where recrawl accretion is structural (they
+    * append every decoded admitted signature, dropped or not, so a
+    * recrawled item adds an identical row per sighting forever).
+    * Returns the bumped state — consumers repoint exactly like after
+    * a takedown. */
+  def compactTextSigs(spark: SparkSession, st: IngestState): IngestState = {
+    val next = st.copy(version = st.version + 1,
+      digestVersion = st.digestVersion + 1)
+    Incremental.dedupCompactBandedState(spark.table(st.sigTable), "doc_id",
+      next.sigTable, s"${st.dir}/sigs_v${next.version}", st.numBuckets)
+    Incremental.dedupCompactDigestState(spark.table(st.digestTable),
+      next.digestTable, s"${st.dir}/digests_v${next.digestVersion}",
+      st.numBuckets)
+    next
+  }
+
+  def compactMediaSigs(spark: SparkSession, st: MediaState): MediaState = {
+    val next = st.copy(version = st.version + 1)
+    Incremental.dedupCompactBandedState(spark.table(st.sigTable), "doc_id",
+      next.sigTable, s"${st.dir}/hsigs_v${next.version}", st.numBuckets)
+    next
+  }
+
+  def compactVideoSigs(spark: SparkSession, st: VideoState): VideoState = {
+    val next = st.copy(version = st.version + 1)
+    Incremental.dedupCompactFrameState(spark.table(st.sigTable), "doc_id",
+      next.sigTable, s"${st.dir}/fsigs_v${next.version}", st.numBuckets)
+    next
   }
 
   /** Shared takedown prologue for ALL THREE loops: tombstone append +
@@ -820,7 +889,8 @@ object IngestCli {
   def runText(spark: SparkSession, dir: String, wavePaths: Seq[String],
       takedownPath: Option[String], cfg: GraftConfig,
       ns: String = "graft_ingest",
-      evalPath: Option[String] = None): Unit = {
+      evalPath: Option[String] = None,
+      compaction: CompactionPolicy = CompactionPolicy()): Unit = {
     // digests built ONCE per run — benchmark-sized eval sets, the
     // evalGramDigests contract
     val gate = evalPath.map(p => evalGate(spark.read.parquet(p), col("text")))
@@ -828,12 +898,18 @@ object IngestCli {
     takedownPath.foreach { p =>
       st = applyTakedown(spark, st, spark.read.parquet(p).select("doc_id"))
     }
+    val clock = new CompactionClock(compaction)
     wavePaths.zipWithIndex.foreach { case (path, i) =>
       val r = ingestWave(spark, st, spark.read.parquet(path), i, cfg,
         gate)
       println(s"[ingest] wave=${r.wave} incoming=${r.incoming} " +
         s"live=${r.live} gated=${r.gated} exact=${r.exactSurvivors} " +
         s"accepted=${r.accepted} gold=${r.goldTotal}")
+      if (clock.record(r.exactSurvivors)) {
+        st = compactTextSigs(spark, st)
+        clock.reset(spark.table(st.digestTable).count())
+        println(s"[ingest] compacted signature state -> ${st.sigTable}")
+      }
     }
   }
 
@@ -848,7 +924,8 @@ object IngestCli {
   def runMedia(spark: SparkSession, dir: String, wavePaths: Seq[String],
       mode: String, blocklistPath: Option[String],
       takedownPath: Option[String], maxHamming: Int = 8,
-      ns: String = "graft_ingest_media"): Unit = {
+      ns: String = "graft_ingest_media",
+      compaction: CompactionPolicy = CompactionPolicy()): Unit = {
     val (signer: (DataFrame => DataFrame), signerName: String) = mode match {
       case "image" => (defaultImageSigner _, ImageSignerName)
       case "audio" => ((df: DataFrame) =>
@@ -866,9 +943,18 @@ object IngestCli {
       st = applyMediaTakedown(spark, st,
         spark.read.parquet(p).select("doc_id"))
     }
-    driveWaves(spark, "ingest-media", wavePaths,
-      (w, i) => ingestMediaWave(spark, st, w, i, signer, blocklist,
-        signerName))
+    val clock = new CompactionClock(compaction)
+    driveWaves(spark, "ingest-media", wavePaths, (w, i) => {
+      val r = ingestMediaWave(spark, st, w, i, signer, blocklist,
+        signerName)
+      if (clock.record(r.decoded)) {
+        st = compactMediaSigs(spark, st)
+        clock.reset(spark.table(st.sigTable)
+          .select("doc_id").distinct().count())
+        println(s"[ingest-media] compacted signature state -> ${st.sigTable}")
+      }
+      r
+    })
   }
 
   private def loadBlocklist(spark: SparkSession, path: Option[String],
@@ -896,7 +982,8 @@ object IngestCli {
   def runVideo(spark: SparkSession, dir: String, wavePaths: Seq[String],
       blocklistPath: Option[String], takedownPath: Option[String],
       maxHamming: Int = 8, minFrames: Int = 2, everyNth: Int = 2,
-      ns: String = "graft_ingest_video"): Unit = {
+      ns: String = "graft_ingest_video",
+      compaction: CompactionPolicy = CompactionPolicy()): Unit = {
     val blocklist = loadBlocklist(spark, blocklistPath, maxHamming)
     var st = initVideoState(spark, ns, dir, maxHamming,
       minFrames, everyNth)
@@ -904,8 +991,17 @@ object IngestCli {
       st = applyVideoTakedown(spark, st,
         spark.read.parquet(p).select("doc_id"))
     }
-    driveWaves(spark, "ingest-video", wavePaths,
-      (w, i) => ingestVideoWave(spark, st, w, i, blocklist))
+    val clock = new CompactionClock(compaction)
+    driveWaves(spark, "ingest-video", wavePaths, (w, i) => {
+      val r = ingestVideoWave(spark, st, w, i, blocklist)
+      if (clock.record(r.decoded)) {
+        st = compactVideoSigs(spark, st)
+        clock.reset(spark.table(st.sigTable)
+          .select("doc_id").distinct().count())
+        println(s"[ingest-video] compacted signature state -> ${st.sigTable}")
+      }
+      r
+    })
   }
 
   def main(args: Array[String]): Unit = {

@@ -1354,6 +1354,100 @@ object Incremental {
   }
 
   // --------------------------------------------------------------
+  // Duplicate-signature compaction: the steady-state crawl loops
+  // append EVERY sighted signature (the seen-not-kept contract), so
+  // a recrawl-heavy loop re-appends an identical row per wave
+  // forever. These compactions drop only rows that are provably
+  // interchangeable evidence for every probe over the table.
+  // --------------------------------------------------------------
+
+  /** Duplicate-signature compaction for a FLAT banded state table
+    * (`(band, bucket, <id>, sig)` — the text MinHash and media
+    * Hamming layouts alike): one surviving row per (band, bucket,
+    * sig), lowest id. Decision-preserving BY CONSTRUCTION: every
+    * probe over these tables is an existence test on exactly those
+    * three columns ([[hammingDupIdsAgainstTable]]'s semi-join;
+    * [[fuzzyDupIds]]' band join + signature-agreement filter), so
+    * identical rows differ only in multiplicity. The `_meta` row
+    * rides through (its reserved band groups alone; `min` of its
+    * null id stays null). One state-sized aggregate + bucketed
+    * blue/green rewrite into a NEW (table, path) — run it at the
+    * cadence [[graft.IngestCli.CompactionPolicy]] computes, where
+    * the amortized cost stays linear in total appends. */
+  def dedupCompactBandedState(state: DataFrame, idColName: String,
+      table: String, path: String, numBuckets: Int): Unit = {
+    require(Set("band", "bucket", "sig", idColName)
+        .subsetOf(state.columns.toSet) && state.columns.length == 4,
+      s"not a flat banded state table (want band, bucket, $idColName, " +
+        s"sig): ${state.columns.mkString(",")}")
+    state.groupBy(col("band"), col("bucket"), col("sig"))
+      .agg(min(col(idColName)).as(idColName))
+      .select(col("band"), col("bucket"), col(idColName), col("sig"))
+      .repartition(numBuckets, col("band"), col("bucket"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, "band", "bucket").sortBy("band", "bucket")
+      .option("path", path)
+      .saveAsTable(table)
+  }
+
+  /** Duplicate-digest compaction for the bare-key exact-dedup table
+    * (`(__d1, __d2)`): `DISTINCT`, same bucket spec. The probe is an
+    * anti-join on the pair — multiplicity is invisible to it. */
+  def dedupCompactDigestState(state: DataFrame, table: String,
+      path: String, numBuckets: Int): Unit = {
+    require(state.columns.toSet == Set("__d1", "__d2"),
+      s"not a digest state table (want __d1, __d2): " +
+        state.columns.mkString(","))
+    state.distinct()
+      .repartition(numBuckets, col("__d1"), col("__d2"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, "__d1", "__d2").sortBy("__d1", "__d2")
+      .option("path", path)
+      .saveAsTable(table)
+  }
+
+  /** Clip-level duplicate compaction for the POSITIONAL state: drop
+    * every clip whose COMPLETE `(frame_pos[, shard], band, bucket,
+    * sig)` row set equals a lower-id clip's (128-bit order-free
+    * digest: summed pair of independent row hashes). Recrawled
+    * identical clips are exactly this shape. Row-level dedup across
+    * ids would be WRONG here — the probe counts positions per
+    * (batch, state-clip) pair, so removing one clip's row can flip a
+    * ≥ minFrames decision for a pair the surviving row's clip does
+    * not complete; whole-identical-clip removal cannot (the keeper
+    * matches whenever the dropped clip would, position for
+    * position). The `_meta` row rides through untouched. */
+  def dedupCompactFrameState(state: DataFrame, idColName: String,
+      table: String, path: String, numBuckets: Int): Unit = {
+    val sharded = state.columns.contains("shard")
+    val keyCols = Seq("frame_pos") ++ (if (sharded) Seq("shard") else Nil) ++
+      Seq("band", "bucket")
+    require((keyCols.toSet + "sig" + idColName)
+        .subsetOf(state.columns.toSet),
+      s"not a positional state table: ${state.columns.mkString(",")}")
+    val metaRow = state.filter(col("band") === HammingMetaBand)
+    val data = state.filter(col("band") =!= HammingMetaBand)
+    val rowCols: Seq[Column] = keyCols.map(col) :+ col("sig")
+    // decimal(38) sums: order-free set digests that cannot hit ANSI
+    // long overflow (Spark 4 throws on it) at any clip size
+    val keep = data.groupBy(col(idColName))
+      .agg(sum(xxhash64(rowCols: _*).cast("decimal(38,0)")).as("__c1"),
+        sum(xxhash64((rowCols :+ lit(0x9e3779b9L)): _*)
+          .cast("decimal(38,0)")).as("__c2"))
+      .groupBy(col("__c1"), col("__c2"))
+      .agg(min(col(idColName)).as(idColName))
+      .select(col(idColName))
+    data.join(keep, Seq(idColName), "left_semi")
+      .unionByName(metaRow)
+      .repartition(numBuckets, keyCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, keyCols.head, keyCols.tail: _*)
+      .sortBy(keyCols.head, keyCols.tail: _*)
+      .option("path", path)
+      .saveAsTable(table)
+  }
+
+  // --------------------------------------------------------------
   // Takedown / retraction: opt-out and legal-removal lists must
   // propagate to the corpus AND every derived state table.
   // --------------------------------------------------------------

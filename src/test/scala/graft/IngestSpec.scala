@@ -39,6 +39,8 @@ class IngestSpec extends AnyFunSuite {
   private val wave2 = df(11L -> textA, 12L -> nd1, 13L -> textC, 14L -> nd1)
   private val wave3 = df(21L -> nd2, 22L -> nd1, 23L -> textD)
 
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
   private def goldIds(path: String): Set[Long] =
     spark.read.parquet(path).select("doc_id").as[Long].collect().toSet
   private def batchIds(union: DataFrame): Set[Long] =
@@ -106,6 +108,87 @@ class IngestSpec extends AnyFunSuite {
     // idempotent re-submission of the same takedown
     st = IngestCli.applyTakedown(spark, st, Seq(2L).toDF("doc_id"))
     assert(goldIds(st.goldPath) === Set(1L, 4L, 13L, 31L))
+  }
+
+  test("compaction cadence: recrawls trigger the epilogue; state bounded; probe decisions unchanged") {
+    import operators.{Images, Incremental}
+    def imgs(ids: Long*) = Images.syntheticCorpus(
+      ids.toDF("doc_id"), "doc_id", variantsPerScene = 3, corruptEvery = 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    var st = IngestCli.initMediaState(spark, "graft_compact_t1", dir,
+      maxHamming = 8, numBuckets = 4)
+    // the steady-state shape: the same items sighted on every crawl —
+    // seen-not-kept appends an identical signature row per sighting
+    val wave = imgs(0L, 1L, 3L, 4L)
+    (1 to 3).foreach(i => IngestCli.ingestMediaWave(spark, st, wave, i))
+    val rows0 = spark.table(st.sigTable).count()
+    val batch = Images.imageSignatures(imgs(2L, 5L, 6L), "doc_id",
+      col("content")).select(col("doc_id"), col("dhash").as("sig"))
+    val before = Incremental.hammingDupIdsAgainstTable(batch, "doc_id",
+        "sig", spark.table(st.sigTable), maxHamming = 8)
+      .as[Long].collect().toSet
+    assert(before.nonEmpty, "fixture needs hits or the assert is vacuous")
+    st = IngestCli.compactMediaSigs(spark, st)
+    val rows1 = spark.table(st.sigTable).count()
+    assert(rows1 * 2 < rows0,
+      s"3x recrawl must compact away >half the rows ($rows0 -> $rows1)")
+    val after = Incremental.hammingDupIdsAgainstTable(batch, "doc_id",
+        "sig", spark.table(st.sigTable), maxHamming = 8)
+      .as[Long].collect().toSet
+    assert(after === before, "compaction must not change probe decisions")
+    // the compacted table still appends/probes (meta + signer intact)
+    val r = IngestCli.ingestMediaWave(spark, st, imgs(6L, 7L), 4)
+    assert(r.accepted >= 1)
+
+    // ratio trigger end-to-end through the CLI loop: identical waves
+    // with ratio 0.2 fire the epilogue, and gold matches the
+    // untriggered run exactly
+    val w = imgs(0L, 1L, 3L, 4L)
+    w.write.mode("overwrite").parquet(s"$dir/rw")
+    IngestCli.runMedia(spark, s"$dir/trig", Seq(s"$dir/rw", s"$dir/rw", s"$dir/rw"),
+      "image", None, None, ns = "graft_compact_trig",
+      compaction = IngestCli.CompactionPolicy(ratio = 0.2, minDocs = 1))
+    IngestCli.runMedia(spark, s"$dir/notrig", Seq(s"$dir/rw", s"$dir/rw", s"$dir/rw"),
+      "image", None, None, ns = "graft_compact_notrig",
+      compaction = IngestCli.CompactionPolicy(ratio = 0.0))
+    assert(spark.catalog.tableExists("graft_compact_trig_hsigs_v1"),
+      "the ratio trigger must have fired at least one compaction")
+    assert(!spark.catalog.tableExists("graft_compact_notrig_hsigs_v1"))
+    assert(goldIds(IngestCli.currentGoldPath(spark, s"$dir/trig")) ===
+      goldIds(IngestCli.currentGoldPath(spark, s"$dir/notrig")))
+  }
+
+  test("positional clip-digest compaction: identical clips collapse, partial overlaps never do") {
+    import operators.Incremental
+    // clips 2 and 4: IDENTICAL (pos, sig) sets (a recrawled clip
+    // under a new id); clip 6: shares 1 of 2 positions with them
+    // (partial overlap — removing it would flip minFrames counts)
+    val rows = Seq(
+      (2L, 0, 0x1111L), (2L, 1, 0x2222L),
+      (4L, 0, 0x1111L), (4L, 1, 0x2222L),
+      (6L, 0, 0x1111L), (6L, 1, 0xFFFF00000000L))
+      .toDF("doc_id", "frame_pos", "dhash")
+    Seq("t_cfs", "t_cfs2").foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Incremental.writeFrameHammingState(rows, "doc_id", "dhash", "t_cfs",
+      tmp("graft_cfs"), maxHamming = 8, numBuckets = 2, everyNth = 2)
+    try {
+      val batch = Seq((1L, 0, 0x1111L), (1L, 1, 0x2222L))
+        .toDF("doc_id", "frame_pos", "dhash")
+      val before = Incremental.frameHammingDupIdsAgainstTable(batch,
+          "doc_id", "dhash", spark.table("t_cfs"), maxHamming = 8,
+          minFrames = 2, everyNth = 2).as[Long].collect().toSet
+      Incremental.dedupCompactFrameState(spark.table("t_cfs"), "doc_id",
+        "t_cfs2", tmp("graft_cfs2"), numBuckets = 2)
+      val keptIds = spark.table("t_cfs2").filter(col("band") =!= 255)
+        .select("doc_id").distinct().as[Long].collect().toSet
+      assert(keptIds === Set(2L, 6L),
+        "identical clip 4 collapses into 2; partial-overlap 6 survives")
+      val after = Incremental.frameHammingDupIdsAgainstTable(batch,
+          "doc_id", "dhash", spark.table("t_cfs2"), maxHamming = 8,
+          minFrames = 2, everyNth = 2).as[Long].collect().toSet
+      assert(after === before && before === Set(1L))
+    } finally Seq("t_cfs", "t_cfs2")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
   test("versioned gold: a reader at ANY takedown instant sees old or new, never nothing") {
