@@ -1139,6 +1139,21 @@ object Incremental {
       .select(col(idCol)).distinct()
   }
 
+  /** Broadcastable Hamming index of a persisted signature state table
+    * — the against-state probe for the STREAMING media gate chain
+    * ([[graft.streaming.StreamOps.mediaIngestStream]]): the state's
+    * distinct signatures collected into [[graft.operators.Dedup
+    * .hammingIndex]] (its request-scale cap applies and refuses
+    * loudly — the 100 TB-state path remains the batch bucketed
+    * probe). The `_meta` row is excluded by its reserved band; the
+    * caller refreshes the index at its own cadence (each refresh is
+    * one distinct-scan of 20 B rows). */
+  def stateHammingIndex(state: DataFrame, maxHamming: Int,
+      maxSignatures: Int = 4_000_000): Dedup.HammingIndex =
+    Dedup.hammingIndex(
+      state.filter(col("band") =!= HammingMetaBand).select(col("sig")),
+      "sig", maxHamming, maxSignatures)
+
   private def resolveBands(maxHamming: Int, nBands: Int): Int =
     if (nBands == -1) graft.functions.Bits.joinBands(maxHamming) else nBands
 

@@ -435,6 +435,89 @@ object StreamOps {
       !graft.operators.Video.clipBlocked(
         row.getAs[Array[Byte]](contentCol), blockIndex, everyNth))
 
+  /** Byte-level signers for [[mediaIngestStream]] — the SAME decoders
+    * the batch loop's signers wrap ([[graft.operators.Images
+    * .imageSignatures]] / [[graft.operators.Audio.audioSignatures]]),
+    * as plain functions a stateless streaming map closes over, so
+    * stream and batch hash identical bytes to identical signatures
+    * by construction. */
+  val imageSignBytes: Array[Byte] => Option[Long] = bytes =>
+    graft.operators.Images.decodeGray(bytes).map { case (w, h, g) =>
+      graft.operators.Images.dHash64(w, h, g) }
+  val audioSignBytes: Array[Byte] => Option[Long] = bytes =>
+    graft.operators.Audio.decodePcm(bytes).map { case (_, _, mono) =>
+      graft.operators.Audio.eHash64(mono) }
+
+  /** Decode + sign a (possibly streaming) media frame in ONE
+    * stateless map: every input column rides through, `decoded` and
+    * the nullable 64-bit `sig` append. Payload bytes never leave the
+    * partition; no state, no watermark — legal in any output mode. */
+  def mediaSignStream(media: DataFrame, contentCol: String,
+      sign: Array[Byte] => Option[Long] = imageSignBytes): DataFrame = {
+    val outSchema = media.schema
+      .add("decoded", org.apache.spark.sql.types.BooleanType)
+      .add("sig", org.apache.spark.sql.types.LongType)
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val s = Option(r.getAs[Array[Byte]](contentCol)).flatMap(sign)
+        org.apache.spark.sql.Row.fromSeq(
+          r.toSeq :+ s.isDefined :+ s.map(Long.box).orNull)
+      }
+    }
+  }
+
+  /** Streaming MEDIA ingestion — the media wave loop's gate chain
+    * ([[graft.IngestCli.ingestMediaWave]]) at stream cadence:
+    * [[mediaSignStream]] decode+sign, the exact codegen blocklist
+    * gate, the AGAINST-STATE probe as a map-side filter over a
+    * driver-built broadcast Hamming index of the persisted signature
+    * state ([[graft.operators.Incremental.stateHammingIndex]] —
+    * request-scale per the index cap; the 100 TB-state path remains
+    * the batch bucketed probe), and an exact in-stream duplicate
+    * drop on the signature within the watermark — the recrawl shape,
+    * bounded state via `dropDuplicatesWithinWatermark`. Undecodable
+    * rows (null sig) pass every gate unprovable and are EXEMPT from
+    * the exact drop (a naive dropDuplicates("sig") would collapse
+    * all of them into one row).
+    *
+    * Division of labor, stated honestly: near-dup pairs BOTH new in
+    * the stream (neither in state, not bit-identical) are NOT decided
+    * here — exact pigeonhole near-dedup in-stream needs a per-band
+    * stateful merge whose verdicts only resolve behind the watermark;
+    * the loops run that decision at micro-batch boundaries instead
+    * (`foreachBatch` → [[graft.IngestCli.ingestMediaWave]], which
+    * also appends state and refreshes the broadcast index at the
+    * operator's cadence). The spec pins stream ≡ batch wave decisions
+    * on exactly that contract: blocklist, state-dup and exact-recrawl
+    * verdicts agree row for row. */
+  def mediaIngestStream(media: DataFrame, contentCol: String,
+      stateIndex: graft.operators.Dedup.HammingIndex,
+      blockIndex: Option[graft.operators.Dedup.HammingIndex] = None,
+      sign: Array[Byte] => Option[Long] = imageSignBytes,
+      dropExactSigDups: Boolean = true,
+      tsCol: String = "ts",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    val signed = mediaSignStream(media, contentCol, sign)
+    val unblocked = blockIndex match {
+      case Some(idx) => hammingBlockGateStream(signed, col("sig"), idx)
+      case None => signed
+    }
+    val admitted = unblocked.filter(col("sig").isNull ||
+      !graft.operators.Dedup.hammingNearSet(col("sig"), stateIndex))
+    if (!dropExactSigDups) admitted
+    else {
+      val decodedRows = admitted.filter(col("sig").isNotNull)
+      val deduped =
+        if (admitted.isStreaming)
+          decodedRows.withWatermark(tsCol, watermarkDelay)
+            .dropDuplicatesWithinWatermark(Seq("sig"))
+        else decodedRows.dropDuplicates(Seq("sig"))
+      deduped.unionByName(admitted.filter(col("sig").isNull))
+    }
+  }
+
   /** Streaming learned-quality gate: keep rows whose Naive-Bayes
     * log-odds score clears `minScore`. The classifier's dictionary is
     * trained offline ([[graft.operators.Classifier.nbTrain]] →

@@ -602,4 +602,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.select("doc_id").as[Long].collect().toSet === gateBatch)
     incoming.unpersist(blocking = false)
   }
+
+  test("mediaIngestStream: stream == batch wave decisions (blocklist, state-dup, exact recrawl); undecodable passes") {
+    import graft.operators.{Dedup, Images, Incremental}
+    val dir = Files.createTempDirectory("graft_mstream").toString
+    def imgs(ids: Long*) = Images.syntheticCorpus(
+      ids.toDF("doc_id"), "doc_id", variantsPerScene = 3, corruptEvery = 0)
+    // persisted state: wave 1 through the BATCH loop (scenes 0 and 1)
+    val st = IngestCli.initMediaState(spark, "graft_mstream_t1", dir,
+      maxHamming = 8, numBuckets = 4)
+    IngestCli.ingestMediaWave(spark, st, imgs(0L, 1L, 3L, 4L), 1)
+    val stateIdx = Incremental.stateHammingIndex(
+      spark.table(st.sigTable), maxHamming = 8)
+    // blocklist: scene 2's base still (near-copies blocked too)
+    val blockIdx = Dedup.hammingIndex(
+      Images.imageSignatures(imgs(6L), "doc_id", col("content")),
+      "dhash", maxHamming = 8)
+    // wave 2: 2/5 near state (drop), 6/7 blocked (base + variant),
+    // 9 fresh (pass), 209 an EXACT byte recrawl of 9 (one of the
+    // pair survives), 999 corrupt (null sig -> passes unprovable)
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val base = imgs(2L, 5L, 6L, 7L, 9L)
+      .select("doc_id", "content").as[(Long, Array[Byte])].collect()
+    val c9 = base.find(_._1 == 9L).get._2
+    val rows = base.toSeq.map { case (id, c) => (id, c, ts0) } ++
+      Seq((209L, c9, ts0), (999L, Array[Byte](1, 2, 3), ts0))
+    val w2 = rows.toDF("doc_id", "content", "ts")
+
+    // batch wave decisions through the real loop (keeps lowest id 9)
+    val r2 = IngestCli.ingestMediaWave(spark, st, w2, 2,
+      blocklist = Some(blockIdx))
+    val goldW2 = spark.read.parquet(st.goldPath)
+      .filter(col("ingest_wave") === 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(goldW2 === Set(9L, 999L), s"batch loop decisions: $goldW2")
+    assert(r2.blocked === 2)
+
+    // the same wave through the STREAM gate chain
+    val waveDir = s"$dir/w2"
+    w2.coalesce(1).write.mode("overwrite").parquet(waveDir)
+    val streamed = runToMemory(
+      StreamOps.mediaIngestStream(
+        spark.readStream.schema(w2.schema).parquet(waveDir),
+        "content", stateIdx, Some(blockIdx)),
+      "media_ingest_kept")
+    val keptIds = streamed.select("doc_id").as[Long].collect().toSet
+    // the exact pair keeps FIRST ARRIVAL (either id — documented),
+    // everything else matches the batch loop row for row
+    assert(keptIds - 9L - 209L === Set(999L), s"kept: $keptIds")
+    assert((keptIds & Set(9L, 209L)).size === 1, s"kept: $keptIds")
+    // corrupt row surfaces as undecodable, not silently dropped
+    val corrupt = streamed.filter(col("doc_id") === 999L).collect()(0)
+    assert(!corrupt.getAs[Boolean]("decoded") && corrupt.isNullAt(
+      corrupt.fieldIndex("sig")))
+    // batch-mode invocation of the same chain agrees (same code path)
+    val batchKept = StreamOps.mediaIngestStream(w2, "content", stateIdx,
+      Some(blockIdx)).select("doc_id").as[Long].collect().toSet
+    assert(batchKept - 9L - 209L === Set(999L))
+    assert((batchKept & Set(9L, 209L)).size === 1)
+  }
 }
