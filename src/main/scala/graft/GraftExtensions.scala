@@ -75,5 +75,8 @@ object GraftExtensions {
           org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
         org.apache.spark.sql.catalyst.expressions.Cast(es(1),
           org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))),
+    "feature_hash_embed" ->
+      ((es: Seq[Expression]) => graft.functions.FeatureHashEmbed(es.head,
+        es(1).eval().asInstanceOf[Int])),
   )
 }

@@ -2574,6 +2574,32 @@ object SparkEntry {
           "doc_id", col("text"), 4, s.table("graft_q133_grams"))
         .orderBy("doc_id")
     },
+
+    // ---- Embedding GENERATION (the hashing trick): the engine-owned
+    // text→vector map — the whole corpus embeds in one codegen'd scan,
+    // no model, no shuffle. Dense exploded export shape; the oracle
+    // replays the two code-point Horner hashes with a recursive CTE.
+    "q156_hashed_embedding" -> { (s, dir) =>
+      operators.Embed.embeddingRows(
+          Tables.documents(s, dir), "doc_id", col("text"), dim = 64)
+        .orderBy("doc_id", "dim")
+    },
+
+    // ---- End-to-end vector search from RAW TEXT: hash-embed the
+    // corpus, then brute-force cosine top-3 for the German slice —
+    // the J4 alignment story with no user-supplied embedding column
+    // anywhere in the plan. The production path at corpus×corpus
+    // scale swaps bruteForceTopK for Similarity.lshTopK unchanged.
+    "q157_embed_knn" -> { (s, dir) =>
+      val emb = operators.Embed.hashedEmbedding(
+        Tables.documents(s, dir), col("text"), dim = 64)
+        .select(col("doc_id"), col("lang"), col("embedding"))
+      Similarity.bruteForceTopK(
+          emb.drop("lang"),
+          emb.filter(col("lang") === "de").drop("lang"),
+          "doc_id", "embedding", k = 3)
+        .orderBy("query_id", "rank")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5511,5 +5537,87 @@ object SparkEntry {
         |  FROM documents d JOIN comp c USING (doc_id))
         |SELECT doc_id, lang, source, n_chars FROM rk WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
+
+    // Replays FeatureHashEmbed exactly: tokens = lower/trim/\s+-split
+    // non-empty (the q85 tokenization), per DISTINCT token two Horner
+    // chains over code points (mults 31/131, mod 1000003) via a
+    // recursive CTE, bucket = h1 % 64, sign from h2's parity, per-doc
+    // bucket sums L2-normalized, dense 64-dim explode. Accumulators
+    // are exact ints and the norm/division are single IEEE ops, so the
+    // doubles match Spark bit-for-bit before the round.
+    "q156_hashed_embedding" ->
+      """WITH RECURSIVE tw AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents),
+        |twf AS (SELECT doc_id, w FROM tw WHERE w <> ''),
+        |dw AS (SELECT DISTINCT w FROM twf),
+        |h(w, i, h1, h2) AS (
+        |  SELECT w, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM dw
+        |  UNION ALL
+        |  SELECT w, i + 1,
+        |    (h1 * 31 + unicode(substr(w, i + 1, 1))) % 1000003,
+        |    (h2 * 131 + unicode(substr(w, i + 1, 1))) % 1000003
+        |  FROM h WHERE i < length(w)),
+        |hf AS (SELECT w, h1 % 64 AS bucket,
+        |         CASE WHEN h2 % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        |       FROM h WHERE i = length(w)),
+        |contrib AS (SELECT doc_id, bucket, CAST(sum(sgn) AS DOUBLE) AS v
+        |            FROM twf JOIN hf USING (w) GROUP BY doc_id, bucket),
+        |nrm AS (SELECT doc_id, sqrt(sum(v * v)) AS n FROM contrib GROUP BY doc_id),
+        |dims AS (SELECT doc_id, unnest(generate_series(0, 63)) AS dim FROM documents)
+        |SELECT d.doc_id, d.dim,
+        |  round(coalesce(c.v, 0) /
+        |    CASE WHEN n.n IS NULL OR n.n = 0 THEN 1 ELSE n.n END, 6) AS val
+        |FROM dims d
+        |LEFT JOIN contrib c ON d.doc_id = c.doc_id AND d.dim = c.bucket
+        |LEFT JOIN nrm n ON d.doc_id = n.doc_id
+        |ORDER BY d.doc_id, d.dim""".stripMargin,
+
+    // q156's embedding build (list-assembled in dim order so
+    // list_dot_product folds in the same index order as the engine's
+    // DotProduct), then the q20 brute-force top-k shape over it.
+    "q157_embed_knn" ->
+      """WITH RECURSIVE tw AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents),
+        |twf AS (SELECT doc_id, w FROM tw WHERE w <> ''),
+        |dw AS (SELECT DISTINCT w FROM twf),
+        |h(w, i, h1, h2) AS (
+        |  SELECT w, 0, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM dw
+        |  UNION ALL
+        |  SELECT w, i + 1,
+        |    (h1 * 31 + unicode(substr(w, i + 1, 1))) % 1000003,
+        |    (h2 * 131 + unicode(substr(w, i + 1, 1))) % 1000003
+        |  FROM h WHERE i < length(w)),
+        |hf AS (SELECT w, h1 % 64 AS bucket,
+        |         CASE WHEN h2 % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        |       FROM h WHERE i = length(w)),
+        |contrib AS (SELECT doc_id, bucket, CAST(sum(sgn) AS DOUBLE) AS v
+        |            FROM twf JOIN hf USING (w) GROUP BY doc_id, bucket),
+        |nrm0 AS (SELECT doc_id, sqrt(sum(v * v)) AS n FROM contrib GROUP BY doc_id),
+        |dims AS (SELECT doc_id, unnest(generate_series(0, 63)) AS dim FROM documents),
+        |vecs AS (
+        |  SELECT d.doc_id,
+        |    list(coalesce(c.v, 0) /
+        |      CASE WHEN n.n IS NULL OR n.n = 0 THEN 1 ELSE n.n END ORDER BY d.dim) AS v
+        |  FROM dims d
+        |  LEFT JOIN contrib c ON d.doc_id = c.doc_id AND d.dim = c.bucket
+        |  LEFT JOIN nrm0 n ON d.doc_id = n.doc_id
+        |  GROUP BY d.doc_id),
+        |q AS (SELECT v.doc_id AS query_id, v.v AS qv
+        |      FROM vecs v JOIN documents dd ON v.doc_id = dd.doc_id
+        |      WHERE dd.lang = 'de'),
+        |c AS (SELECT doc_id AS corpus_id, v AS cv FROM vecs),
+        |s AS (SELECT query_id, corpus_id,
+        |        CASE WHEN sqrt(list_dot_product(cv, cv)) = 0 OR sqrt(list_dot_product(qv, qv)) = 0
+        |             THEN 0.0
+        |             ELSE list_dot_product(cv, qv) /
+        |                  (sqrt(list_dot_product(cv, cv)) * sqrt(list_dot_product(qv, qv))) END AS sim
+        |      FROM c, q WHERE corpus_id <> query_id),
+        |r AS (SELECT query_id, corpus_id, sim, row_number() OVER (
+        |        PARTITION BY query_id ORDER BY sim DESC, corpus_id) AS rank FROM s)
+        |SELECT query_id, corpus_id, round(sim, 6) AS sim, CAST(rank AS INT) AS rank
+        |FROM r WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
   )
 }
