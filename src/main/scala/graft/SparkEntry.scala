@@ -2600,6 +2600,31 @@ object SparkEntry {
           "doc_id", "embedding", k = 3)
         .orderBy("query_id", "rank")
     },
+
+    // ---- Corpus drift monitoring: PSI between the last release
+    // (doc_id < 250 stands in) and this wave, per bounded feature —
+    // the standing "did the crawl change under us?" report every
+    // recurring loop runs before promoting a wave to gold.
+    "q158_drift_report" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Stats.driftReport(
+          docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+          Seq("lang" -> col("lang"),
+            "len_bucket" -> floor(col("n_chars") / lit(100)),
+            "source" -> col("source")))
+        .orderBy("feature", "bucket")
+    },
+
+    // ---- Token-stream drift: the top-64 reference vocabulary plus an
+    // <other> fold as the bucket alphabet — catches boilerplate
+    // injection / register shift that document-level features miss.
+    "q159_token_drift" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      Stats.tokenDrift(
+          docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+          col("text"), k = 64)
+        .orderBy("feature", "bucket")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5619,5 +5644,93 @@ object SparkEntry {
         |SELECT query_id, corpus_id, round(sim, 6) AS sim, CAST(rank AS INT) AS rank
         |FROM r WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
+
+    // Replays driftReport: tagged per-feature union, count per side,
+    // per-feature totals, eps-floored (1e-6) shares, per-bucket PSI
+    // contribution, per-feature total via a partitioned window. All
+    // arithmetic is exact-int division + one ln/mul per bucket; the
+    // round(,6) absorbs libm ulp noise.
+    "q158_drift_report" ->
+      """WITH fb AS (
+        |  SELECT 'lang' AS feature,
+        |    coalesce(CAST(lang AS VARCHAR), '<null>') AS bucket,
+        |    doc_id < 250 AS is_ref FROM documents
+        |  UNION ALL
+        |  SELECT 'len_bucket',
+        |    coalesce(CAST(CAST(floor(n_chars / 100) AS BIGINT) AS VARCHAR), '<null>'),
+        |    doc_id < 250 FROM documents
+        |  UNION ALL
+        |  SELECT 'source',
+        |    coalesce(CAST(source AS VARCHAR), '<null>'),
+        |    doc_id < 250 FROM documents),
+        |g AS (SELECT feature, bucket,
+        |        count(CASE WHEN is_ref THEN 1 END) AS ref_n,
+        |        count(CASE WHEN NOT is_ref THEN 1 END) AS cur_n
+        |      FROM fb GROUP BY 1, 2),
+        |t AS (SELECT feature, sum(ref_n) AS rt, sum(cur_n) AS ct
+        |      FROM g GROUP BY 1),
+        |s AS (SELECT g.feature, g.bucket, ref_n, cur_n,
+        |        CASE WHEN rt = 0 THEN 0.0
+        |             ELSE CAST(ref_n AS DOUBLE) / rt END AS rs,
+        |        CASE WHEN ct = 0 THEN 0.0
+        |             ELSE CAST(cur_n AS DOUBLE) / ct END AS cs
+        |      FROM g JOIN t USING (feature)),
+        |p AS (SELECT feature, bucket, ref_n, cur_n, rs, cs,
+        |        (greatest(cs, 1e-6) - greatest(rs, 1e-6)) *
+        |          ln(greatest(cs, 1e-6) / greatest(rs, 1e-6)) AS psi0
+        |      FROM s)
+        |SELECT feature, bucket, ref_n, cur_n,
+        |  round(rs, 6) AS ref_share, round(cs, 6) AS cur_share,
+        |  round(psi0, 6) AS psi,
+        |  round(sum(psi0) OVER (PARTITION BY feature), 6) AS feature_psi
+        |FROM p ORDER BY feature, bucket""".stripMargin,
+
+    // Replays tokenDrift: q85 tokenization on both sides, reference
+    // top-64 vocabulary (freq desc, token asc — vocabCoverage's
+    // ranking), <other> fold, then the identical PSI pipeline over the
+    // token OCCURRENCE stream.
+    "q159_token_drift" ->
+      """WITH rt AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents WHERE doc_id < 250),
+        |rtf AS (SELECT w FROM rt WHERE w <> ''),
+        |ct AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS w
+        |  FROM documents WHERE doc_id >= 250),
+        |ctf AS (SELECT w FROM ct WHERE w <> ''),
+        |vocab AS (
+        |  SELECT w FROM (SELECT w, count(*) AS f FROM rtf GROUP BY 1)
+        |  ORDER BY f DESC, w LIMIT 64),
+        |fb AS (
+        |  SELECT 'token' AS feature,
+        |    CASE WHEN v.w IS NULL THEN '<other>' ELSE t.w END AS bucket,
+        |    TRUE AS is_ref
+        |  FROM rtf t LEFT JOIN vocab v ON t.w = v.w
+        |  UNION ALL
+        |  SELECT 'token',
+        |    CASE WHEN v.w IS NULL THEN '<other>' ELSE t.w END,
+        |    FALSE
+        |  FROM ctf t LEFT JOIN vocab v ON t.w = v.w),
+        |g AS (SELECT feature, bucket,
+        |        count(CASE WHEN is_ref THEN 1 END) AS ref_n,
+        |        count(CASE WHEN NOT is_ref THEN 1 END) AS cur_n
+        |      FROM fb GROUP BY 1, 2),
+        |t AS (SELECT feature, sum(ref_n) AS rt, sum(cur_n) AS ct
+        |      FROM g GROUP BY 1),
+        |s AS (SELECT g.feature, g.bucket, ref_n, cur_n,
+        |        CASE WHEN rt = 0 THEN 0.0
+        |             ELSE CAST(ref_n AS DOUBLE) / rt END AS rs,
+        |        CASE WHEN ct = 0 THEN 0.0
+        |             ELSE CAST(cur_n AS DOUBLE) / ct END AS cs
+        |      FROM g JOIN t USING (feature)),
+        |p AS (SELECT feature, bucket, ref_n, cur_n, rs, cs,
+        |        (greatest(cs, 1e-6) - greatest(rs, 1e-6)) *
+        |          ln(greatest(cs, 1e-6) / greatest(rs, 1e-6)) AS psi0
+        |      FROM s)
+        |SELECT feature, bucket, ref_n, cur_n,
+        |  round(rs, 6) AS ref_share, round(cs, 6) AS cur_share,
+        |  round(psi0, 6) AS psi,
+        |  round(sum(psi0) OVER (PARTITION BY feature), 6) AS feature_psi
+        |FROM p ORDER BY feature, bucket""".stripMargin,
   )
 }

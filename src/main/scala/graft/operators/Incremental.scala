@@ -1353,6 +1353,70 @@ object Incremental {
     batch.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** Broadcastable POSITIONAL Hamming index of a persisted
+    * frame-signature state table — the against-state probe for the
+    * STREAMING video gate chain ([[graft.streaming.StreamOps
+    * .videoIngestStream]]): distinct `(frame_pos, sig, id)` triples
+    * collected into [[Video.FrameStateIndex]]'s per-position exact
+    * band layout. The id must ride along (the positional contract is
+    * a per-pair position count), so the cap is on TRIPLES — the same
+    * request-scale envelope as [[stateHammingIndex]], refused loudly;
+    * the 100 TB-state path remains the batch bucketed probe
+    * ([[frameHammingDupIdsAgainstTable]]). SHARDED state is refused
+    * (the `_meta` flag): the shard contract exists precisely because
+    * such states are beyond driver-index scale. */
+  def stateFrameHammingIndex(state: DataFrame, maxHamming: Int,
+      everyNth: Int, nBands: Int = -1, signer: Option[String] = None,
+      maxSignatures: Int = 4_000_000): Video.FrameStateIndex = {
+    val reserved = Set("frame_pos", "band", "bucket", "sig")
+    require(reserved.subsetOf(state.columns.toSet) &&
+      state.columns.length == reserved.size + 1,
+      "not an unsharded positional hamming state table (want " +
+        s"frame_pos, band, bucket, sig, <id>): ${state.columns.mkString(",")}")
+    val stateIdCol = state.columns.filterNot(reserved).head
+    validateHammingMeta(state, maxHamming, resolveBands(maxHamming, nBands),
+      "stateFrameHammingIndex", grid = everyNth, sharded = false,
+      signer = signer)
+    val triples = state.filter(col("band") =!= HammingMetaBand)
+      .select(col("frame_pos").cast("int"), col("sig").cast("long"),
+        col(stateIdCol).cast("long"))
+      .filter(col("sig").isNotNull).distinct()
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    require(triples.length <= maxSignatures,
+      s"stateFrameHammingIndex: ${triples.length} distinct (position, " +
+        s"sig, id) triples exceeds the $maxSignatures driver-index " +
+        "bound (serialized with the plan into every task). Raise " +
+        "maxSignatures to accept the weight knowingly; corpus-scale " +
+        "recurring video dedup is frameHammingDupIdsAgainstTable " +
+        "(bucketed state, batch-sized probes).")
+    val nb = maxHamming + 1
+    val byPos = triples.groupBy(_._1).toArray.sortBy(_._1)
+    val positions = byPos.map(_._1)
+    val buckets = Array.ofDim[Array[Array[Long]]](positions.length)
+    val sigsA = Array.ofDim[Array[Array[Long]]](positions.length)
+    val idsA = Array.ofDim[Array[Array[Long]]](positions.length)
+    var p = 0
+    while (p < positions.length) {
+      val rows = byPos(p)._2
+      buckets(p) = Array.ofDim[Array[Long]](nb)
+      sigsA(p) = Array.ofDim[Array[Long]](nb)
+      idsA(p) = Array.ofDim[Array[Long]](nb)
+      var b = 0
+      while (b < nb) {
+        val sorted = rows
+          .map(t => (graft.functions.Bits.bandOf(t._2, b, maxHamming), t._2, t._3))
+          .sortBy(_._1)
+        buckets(p)(b) = sorted.map(_._1)
+        sigsA(p)(b) = sorted.map(_._2)
+        idsA(p)(b) = sorted.map(_._3)
+        b += 1
+      }
+      p += 1
+    }
+    Video.FrameStateIndex(maxHamming, everyNth, positions, buckets, sigsA,
+      idsA)
+  }
+
   /** Drop every batch row whose signature is within `maxHamming` of
     * any state signature — the recurring media-dedup probe
     * ([[graft.operators.Images]] dHash / [[graft.operators.Audio]]

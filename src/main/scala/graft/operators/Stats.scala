@@ -489,4 +489,103 @@ object Stats {
           .when(col("__nh").isNull, lit("removed"))
           .when(col("__oh") =!= col("__nh"), lit("changed"))
           .otherwise(lit("unchanged")).as("change"))
+
+  /** Population-stability-index (PSI) drift report between a REFERENCE
+    * corpus snapshot and the CURRENT one (typically: last release vs
+    * this crawl wave) over a list of bucketed features — the standing
+    * monitoring question of a recurring ingestion loop: "did the crawl
+    * change under us?". One row per (feature, bucket) with both
+    * shares, the bucket's signed PSI contribution, and the feature's
+    * total PSI (the alarm number: <0.1 stable, 0.1–0.25 drifting,
+    * >0.25 shifted — the credit-scoring rule of thumb).
+    *
+    * PSI per bucket = (c' − r')·ln(c'/r') with both shares floored at
+    * `eps`, so buckets present on one side only contribute a finite
+    * spike instead of ±∞ — the floor IS the report's sensitivity limit
+    * for appear/disappear events and is part of the contract.
+    *
+    * Scale shape: one map-side-combined count per side per feature
+    * (the frames are scanned once each thanks to the tagged union),
+    * then everything downstream — totals, shares, the feature-PSI
+    * window — runs on (feature × bucket)-cardinality rows. Bucket
+    * expressions must be bounded-cardinality (language, source, a
+    * quantized length), the same contract as [[mixtureReport]]. */
+  def driftReport(ref: DataFrame, cur: DataFrame,
+      features: Seq[(String, Column)], eps: Double = 1e-6): DataFrame = {
+    require(features.nonEmpty, "features must be non-empty")
+    require(eps > 0, "eps must be positive")
+    val tagged = features.map { case (name, bucket) =>
+      ref.select(lit(name).as("feature"), bucketStr(bucket),
+          lit(true).as("__is_ref"))
+        .unionAll(cur.select(lit(name).as("feature"), bucketStr(bucket),
+          lit(false).as("__is_ref")))
+    }.reduce(_ unionAll _)
+    psiFromTagged(tagged, eps)
+  }
+
+  /** Token-distribution drift between two corpus snapshots — the
+    * vocabulary-level sibling of [[driftReport]]: the reference side's
+    * top-`k` tokens become the bucket alphabet (deterministic
+    * tie-break on the token, exactly [[vocabCoverage]]'s ranking), all
+    * other tokens fold into the `<other>` bucket, and the PSI machinery
+    * runs over the token STREAM (occurrences, not documents). Catches
+    * what document-level features can't: a new boilerplate phrase, a
+    * language-register shift, a tokenizer-breaking encoding change.
+    *
+    * Scale shape: the vocabulary is a top-k (bounded) broadcast; each
+    * side's token stream is one explode + broadcast hash join — no
+    * shuffle carries tokens, only the (k+1)-bucket counts do. */
+  def tokenDrift(ref: DataFrame, cur: DataFrame, textCol: Column,
+      k: Int, eps: Double = 1e-6): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(eps > 0, "eps must be positive")
+    def toks(df: DataFrame): DataFrame =
+      df.select(explode(split(lower(trim(textCol)), "\\s+")).as("__w"))
+        .filter(col("__w") =!= "")
+    val refToks = toks(ref)
+    val vocab = refToks.groupBy(col("__w")).agg(count(lit(1)).as("__f"))
+      .orderBy(desc("__f"), asc("__w")).limit(k)
+      .select(col("__w").as("__v"))
+    def tag(tokens: DataFrame, isRef: Boolean): DataFrame =
+      tokens.join(broadcast(vocab), col("__w") === col("__v"), "left")
+        .select(lit("token").as("feature"),
+          when(col("__v").isNull, lit("<other>")).otherwise(col("__w"))
+            .as("bucket"),
+          lit(isRef).as("__is_ref"))
+    psiFromTagged(tag(refToks, isRef = true).unionAll(tag(toks(cur), isRef = false)), eps)
+  }
+
+  /** Null-safe string bucket — a null feature value is its own bucket,
+    * not a dropped row (a crawl that suddenly emits null languages is
+    * exactly the drift the report exists to catch). */
+  private def bucketStr(bucket: Column): Column =
+    coalesce(bucket.cast("string"), lit("<null>")).as("bucket")
+
+  /** The shared PSI pipeline over a `(feature, bucket, __is_ref)`
+    * tagged frame: count per side, per-feature totals (broadcast back
+    * — feature-cardinality rows), eps-floored shares, per-bucket
+    * contribution, per-feature total via a PARTITIONED window over
+    * bucket-cardinality rows. */
+  private def psiFromTagged(tagged: DataFrame, eps: Double): DataFrame = {
+    val g = tagged.groupBy(col("feature"), col("bucket")).agg(
+      count(when(col("__is_ref"), lit(1))).as("ref_n"),
+      count(when(!col("__is_ref"), lit(1))).as("cur_n"))
+    val t = g.groupBy(col("feature"))
+      .agg(sum(col("ref_n")).as("__rt"), sum(col("cur_n")).as("__ct"))
+    val shared = g.join(broadcast(t), Seq("feature"))
+      .withColumn("__rs", when(col("__rt") === 0, lit(0.0))
+        .otherwise(col("ref_n").cast("double") / col("__rt")))
+      .withColumn("__cs", when(col("__ct") === 0, lit(0.0))
+        .otherwise(col("cur_n").cast("double") / col("__ct")))
+      .withColumn("__psi0",
+        (greatest(col("__cs"), lit(eps)) - greatest(col("__rs"), lit(eps))) *
+          log(greatest(col("__cs"), lit(eps)) / greatest(col("__rs"), lit(eps))))
+    val byFeature = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("feature"))
+    shared.select(col("feature"), col("bucket"), col("ref_n"), col("cur_n"),
+      round(col("__rs"), 6).as("ref_share"),
+      round(col("__cs"), 6).as("cur_share"),
+      round(col("__psi0"), 6).as("psi"),
+      round(sum(col("__psi0")).over(byFeature), 6).as("feature_psi"))
+  }
 }

@@ -518,6 +518,118 @@ object StreamOps {
     }
   }
 
+  /** Decode + sample + sign a (possibly streaming) video clip in ONE
+    * stateless map — every input column rides through and four append:
+    * `decoded`, the parallel `frame_pos`/`frame_sigs` arrays (sample
+    * index + per-frame dHash, [[graft.operators.Video
+    * .frameSignatures]]'s rows folded in-row so the downstream gates
+    * never re-decode), and `clip_sig` (the exact sampled-content
+    * digest, [[graft.operators.Video.clipSigDigest]]). Undecodable
+    * clips get `decoded = false` and nulls; clip bytes never leave
+    * the partition. `everyNth` must match the state/enforcement
+    * contracts' sampling grid. */
+  def videoSignStream(clips: DataFrame, contentCol: String,
+      everyNth: Int = 2): DataFrame = {
+    require(everyNth >= 1, "everyNth must be >= 1")
+    val outSchema = clips.schema
+      .add("decoded", org.apache.spark.sql.types.BooleanType)
+      .add("frame_pos", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.IntegerType, containsNull = false))
+      .add("frame_sigs", org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType, containsNull = false))
+      .add("clip_sig", org.apache.spark.sql.types.LongType)
+    implicit val enc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    clips.mapPartitions { rows =>
+      rows.map { r =>
+        val decoded = Option(r.getAs[Array[Byte]](contentCol))
+          .flatMap(graft.operators.Video.aviFrames)
+        decoded match {
+          case Some(frames) =>
+            val pos = scala.collection.mutable.ArrayBuffer.empty[Int]
+            val sigs = scala.collection.mutable.ArrayBuffer.empty[Long]
+            frames.indices.by(everyNth).zipWithIndex.foreach { case (fi, si) =>
+              graft.operators.Images.decodeGray(frames(fi)).foreach {
+                case (w, h, gray) =>
+                  pos += si
+                  sigs += graft.operators.Images.dHash64(w, h, gray)
+              }
+            }
+            val pa = pos.toArray; val sa = sigs.toArray
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ true :+
+              pa.toSeq :+ sa.toSeq :+
+              graft.operators.Video.clipSigDigest(pa, sa))
+          case None =>
+            org.apache.spark.sql.Row.fromSeq(
+              r.toSeq :+ false :+ null :+ null :+ null)
+        }
+      }
+    }
+  }
+
+  /** Streaming VIDEO ingestion — the video wave loop's gate chain
+    * ([[graft.IngestCli.ingestVideoWave]]) at stream cadence, on the
+    * [[mediaIngestStream]] model: [[videoSignStream]] decode+sample+
+    * sign once, the CROSS-MODAL blocklist gate (any sampled frame
+    * within the flagged-still index's budget blocks the clip — the
+    * wave loop's enforcement decision, here over the in-row signature
+    * array so the clip is never decoded twice), the AGAINST-STATE
+    * positional probe as a map-side filter over a driver-built
+    * broadcast index of the persisted frame state
+    * ([[graft.operators.Incremental.stateFrameHammingIndex]] —
+    * request-scale per its cap; the 100 TB-state path remains the
+    * batch bucketed probe), and an exact in-stream recrawl drop on
+    * the sampled-content digest within the watermark. Undecodable
+    * clips pass every gate unprovable and are EXEMPT from the exact
+    * drop.
+    *
+    * Division of labor, exactly [[mediaIngestStream]]'s: near-dup
+    * pairs BOTH new in the stream are decided at micro-batch
+    * boundaries (`foreachBatch` → [[graft.IngestCli
+    * .ingestVideoWave]], which also appends state and refreshes the
+    * broadcast index at the operator's cadence); the spec pins
+    * stream ≡ batch wave decisions on that contract. */
+  def videoIngestStream(clips: DataFrame, contentCol: String,
+      stateIndex: graft.operators.Video.FrameStateIndex,
+      blockIndex: Option[graft.operators.Dedup.HammingIndex] = None,
+      minFrames: Int = 2, everyNth: Int = 2,
+      dropExactSigDups: Boolean = true,
+      tsCol: String = "ts",
+      watermarkDelay: String = "10 minutes"): DataFrame = {
+    require(everyNth == stateIndex.everyNth,
+      s"videoIngestStream: everyNth=$everyNth does not match the state " +
+        s"index's sampling grid (${stateIndex.everyNth}) — positions are " +
+        "sample indices; a stride mismatch silently matches nothing")
+    val signed = videoSignStream(clips, contentCol, everyNth)
+    // positional indexes resolved at PLAN time — rows inside a
+    // mid-stream typed filter carry no schema to look names up in
+    val posI = signed.schema.fieldIndex("frame_pos")
+    val sigI = signed.schema.fieldIndex("frame_sigs")
+    val unblocked = blockIndex match {
+      case Some(idx) =>
+        signed.filter((row: org.apache.spark.sql.Row) =>
+          row.isNullAt(sigI) || !row.getSeq[Long](sigI).exists(s =>
+            graft.functions.HammingNearSet.near(
+              s, idx.maxHamming, idx.buckets, idx.sigs)))
+      case None => signed
+    }
+    val admitted = unblocked.filter((row: org.apache.spark.sql.Row) =>
+      row.isNullAt(posI) || !graft.operators.Video.clipMatchesState(
+        row.getSeq[Int](posI).toArray,
+        row.getSeq[Long](sigI).toArray,
+        stateIndex, minFrames))
+    if (!dropExactSigDups) admitted
+    else {
+      val decodedRows = admitted.filter(col("clip_sig").isNotNull)
+      val deduped =
+        if (admitted.isStreaming)
+          decodedRows.withWatermark(tsCol, watermarkDelay)
+            .dropDuplicatesWithinWatermark(Seq("clip_sig"))
+        else decodedRows.dropDuplicates(Seq("clip_sig"))
+      deduped.unionByName(admitted.filter(col("clip_sig").isNull))
+    }
+  }
+
   /** Streaming learned-quality gate: keep rows whose Naive-Bayes
     * log-odds score clears `minScore`. The classifier's dictionary is
     * trained offline ([[graft.operators.Classifier.nbTrain]] →

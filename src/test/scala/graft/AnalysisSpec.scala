@@ -190,6 +190,63 @@ class AnalysisSpec extends AnyFunSuite {
     assert(prof(4L).getAs[Double]("ttr") === 1.0)
   }
 
+  test("driftReport: zero PSI on identical corpora, positive on shift, null bucket surfaces") {
+    import graft.operators.Stats
+    val ref = Seq((1L, "en", 10), (2L, "en", 20), (3L, "es", 30),
+      (4L, "es", 40)).toDF("doc_id", "lang", "n")
+    // identical distributions → every bucket and feature at PSI 0
+    val same = Stats.driftReport(ref, ref,
+      Seq("lang" -> col("lang"))).collect()
+    assert(same.forall(_.getAs[Double]("psi") === 0.0))
+    assert(same.forall(_.getAs[Double]("feature_psi") === 0.0))
+    assert(same.map(r => (r.getAs[String]("bucket"),
+      r.getAs[Double]("ref_share"))).toSet === Set("en" -> 0.5, "es" -> 0.5))
+    // shifted: cur is all-en plus a bucket ref never saw (null lang)
+    val cur = Seq((5L, "en", 10), (6L, "en", 20), (7L, "en", 30),
+      (8L, null.asInstanceOf[String], 40)).toDF("doc_id", "lang", "n")
+    val drift = Stats.driftReport(ref, cur, Seq("lang" -> col("lang")))
+      .collect().map(r => r.getAs[String]("bucket") -> r).toMap
+    assert(drift.keySet === Set("en", "es", "<null>"),
+      "buckets on either side all surface, nulls as <null>")
+    assert(drift("es").getAs[Long]("cur_n") === 0L)
+    assert(drift("<null>").getAs[Long]("ref_n") === 0L)
+    assert(drift.values.forall(_.getAs[Double]("feature_psi") > 0.1),
+      "an all-bucket shift must read as drifted")
+    // a one-side-only bucket contributes a finite (eps-floored) spike
+    assert(drift("es").getAs[Double]("psi") > 0 &&
+      !drift("es").getAs[Double]("psi").isInfinite)
+    // two features → independent feature_psi groups
+    val two = Stats.driftReport(ref, cur,
+      Seq("lang" -> col("lang"), "n_bucket" -> floor(col("n") / lit(25))))
+      .collect().map(r => r.getAs[String]("feature")).distinct
+    assert(two.toSet === Set("lang", "n_bucket"))
+  }
+
+  test("tokenDrift: stable stream at zero, injected boilerplate folds to its token or <other>") {
+    import graft.operators.Stats
+    val ref = Seq((1L, "alpha beta gamma"), (2L, "alpha beta delta"))
+      .toDF("doc_id", "text")
+    val same = Stats.tokenDrift(ref, ref, col("text"), k = 10).collect()
+    assert(same.forall(_.getAs[Double]("psi") === 0.0))
+    // cur injects a boilerplate token ref never saw: with k large it
+    // is NOT in the ref vocab → folds to <other>, which spikes
+    val cur = Seq((3L, "alpha beta spamspam"), (4L, "spamspam spamspam gamma"))
+      .toDF("doc_id", "text")
+    val drift = Stats.tokenDrift(ref, cur, col("text"), k = 10)
+      .collect().map(r => r.getAs[String]("bucket") -> r).toMap
+    assert(drift.contains("<other>"), "unseen tokens fold to <other>")
+    assert(drift("<other>").getAs[Long]("ref_n") === 0L)
+    assert(drift("<other>").getAs[Long]("cur_n") === 3L)
+    assert(drift("<other>").getAs[Double]("psi") > 0.1)
+    // shares are over the token STREAM (occurrences), not documents
+    assert(drift("alpha").getAs[Double]("ref_share") === 0.333333)
+    // k = 1 keeps only the top ref token (tie broken on the token:
+    // alpha/beta both ×2 → alpha); everything else is <other>
+    val k1 = Stats.tokenDrift(ref, ref, col("text"), k = 1)
+      .collect().map(_.getAs[String]("bucket")).toSet
+    assert(k1 === Set("alpha", "<other>"))
+  }
+
   test("dupNgramProfile: phrase-stuffed vs clean docs; short docs produce no row") {
     import spark.implicits._
     val docs = Seq(

@@ -661,4 +661,74 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchKept - 9L - 209L === Set(999L))
     assert((batchKept & Set(9L, 209L)).size === 1)
   }
+
+  test("videoIngestStream: stream == batch wave decisions (cross-modal blocklist, positional state-dup, exact recrawl); undecodable passes") {
+    import graft.operators.{Dedup, Incremental, Video}
+    val dir = Files.createTempDirectory("graft_vstream").toString
+    def clips(ids: Long*) = Video.syntheticCorpus(
+      ids.toDF("doc_id"), "doc_id", variantsPerScene = 3, corruptEvery = 0)
+    // persisted positional state: wave 1 through the BATCH loop
+    // (scene 0 base = clip 0, scene 1 base = clip 3)
+    val st = IngestCli.initVideoState(spark, "graft_vstream_t1", dir,
+      maxHamming = 8, minFrames = 2, everyNth = 2, numBuckets = 4)
+    IngestCli.ingestVideoWave(spark, st, clips(0L, 3L), 1)
+    val stateIdx = Incremental.stateFrameHammingIndex(
+      spark.table(st.sigTable), maxHamming = 8, everyNth = 2,
+      signer = Some(IngestCli.VideoSignerName))
+    // cross-modal blocklist: scene 2's base STILL (sampled frame 0) —
+    // variants share untouched frames, so near-copy clips block too
+    val blockIdx = Dedup.hammingIndex(
+      Video.frameSignatures(clips(6L), "doc_id", col("content"),
+        everyNth = 2).filter(col("frame_pos") === 0),
+      "dhash", maxHamming = 8)
+    // wave 2: 1 = scene-0 variant (positional match vs state clip 0 →
+    // drop), 6/7 = scene 2 base + variant (blocked through the shared
+    // still), 9 fresh (pass), 209 an EXACT byte recrawl of 9 (one of
+    // the pair survives), 999 corrupt (undecodable → pass)
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    val base = clips(1L, 6L, 7L, 9L)
+      .select("doc_id", "content").as[(Long, Array[Byte])].collect()
+    val c9 = base.find(_._1 == 9L).get._2
+    val rows = base.toSeq.map { case (id, c) => (id, c, ts0) } ++
+      Seq((209L, c9, ts0), (999L, Array[Byte](1, 2, 3), ts0))
+    val w2 = rows.toDF("doc_id", "content", "ts")
+
+    // batch wave decisions through the real loop (keeps lowest id 9)
+    val r2 = IngestCli.ingestVideoWave(spark, st, w2, 2,
+      blocklist = Some(blockIdx))
+    val goldW2 = spark.read.parquet(st.goldPath)
+      .filter(col("ingest_wave") === 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(goldW2 === Set(9L, 999L), s"batch loop decisions: $goldW2")
+    assert(r2.blocked === 2)
+
+    // the same wave through the STREAM gate chain
+    val waveDir = s"$dir/w2"
+    w2.coalesce(1).write.mode("overwrite").parquet(waveDir)
+    val streamed = runToMemory(
+      StreamOps.videoIngestStream(
+        spark.readStream.schema(w2.schema).parquet(waveDir),
+        "content", stateIdx, Some(blockIdx)),
+      "video_ingest_kept")
+    val keptIds = streamed.select("doc_id").as[Long].collect().toSet
+    // the exact pair keeps FIRST ARRIVAL (either id — documented),
+    // everything else matches the batch loop row for row
+    assert(keptIds - 9L - 209L === Set(999L), s"kept: $keptIds")
+    assert((keptIds & Set(9L, 209L)).size === 1, s"kept: $keptIds")
+    // corrupt row surfaces as undecodable, not silently dropped
+    val corrupt = streamed.filter(col("doc_id") === 999L).collect()(0)
+    assert(!corrupt.getAs[Boolean]("decoded") && corrupt.isNullAt(
+      corrupt.fieldIndex("clip_sig")))
+    // batch-mode invocation of the same chain agrees (same code path)
+    val batchKept = StreamOps.videoIngestStream(w2, "content", stateIdx,
+      Some(blockIdx)).select("doc_id").as[Long].collect().toSet
+    assert(batchKept - 9L - 209L === Set(999L))
+    assert((batchKept & Set(9L, 209L)).size === 1)
+    // a stride-mismatched probe refuses loudly instead of silently
+    // matching nothing
+    val e = intercept[IllegalArgumentException] {
+      StreamOps.videoIngestStream(w2, "content", stateIdx, everyNth = 3)
+    }
+    assert(e.getMessage.contains("sampling grid"))
+  }
 }
