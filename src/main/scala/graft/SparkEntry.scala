@@ -2625,6 +2625,32 @@ object SparkEntry {
           col("text"), k = 64)
         .orderBy("feature", "bucket")
     },
+
+    // ---- Incremental near-dup CLUSTERS at crawl cadence: three
+    // id-ranged waves through the persisted cluster state (exact
+    // word-4-gram Jaccard ≥ 0.4 edges), resolved membership out. The
+    // oracle is ONE batch transitive closure over the union — the
+    // wave-order-independent equivalence the state is built around
+    // (min-labels are global minima; merges retire behind the flat
+    // alias map).
+    "q160_incremental_clusters" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val sd = stateDir(dir)
+      val t = Incremental.ClusterTables(
+        "graft_q160_post", s"$sd/q160_post",
+        "graft_q160_member", s"$sd/q160_member",
+        "graft_q160_alias", s"$sd/q160_alias", numBuckets = 8)
+      Seq(t.postTable, t.memberTable, t.aliasTable)
+        .foreach(tb => s.sql(s"DROP TABLE IF EXISTS $tb"))
+      Incremental.writeClusterState(docs.filter(col("doc_id") < 200),
+        "doc_id", col("text"), n = 4, threshold = 0.4, t)
+      Incremental.appendClusters(
+        docs.filter(col("doc_id") >= 200 && col("doc_id") < 350),
+        "doc_id", col("text"), n = 4, threshold = 0.4, t)
+      Incremental.appendClusters(docs.filter(col("doc_id") >= 350),
+        "doc_id", col("text"), n = 4, threshold = 0.4, t)
+      Incremental.resolveClusters(s, t).orderBy("doc_id")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -5732,5 +5758,35 @@ object SparkEntry {
         |  round(psi0, 6) AS psi,
         |  round(sum(psi0) OVER (PARTITION BY feature), 6) AS feature_psi
         |FROM p ORDER BY feature, bucket""".stripMargin,
+
+    // The batch equivalence the incremental cluster state guarantees:
+    // exact word-4-gram Jaccard ≥ 0.4 pairs over the WHOLE corpus
+    // (q133's tokenization + slicing, round-then-compare), then the
+    // q104-style min-label transitive closure — what three id-ranged
+    // waves through write/append/append must resolve to exactly.
+    "q160_incremental_clusters" ->
+      """WITH RECURSIVE w0 AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS ws
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+3], ' ') AS gram
+        |  FROM w0, UNNEST(generate_series(1, len(ws) - 3)) AS t(i)),
+        |cnt AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    count(*) AS iv
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (SELECT id_a, id_b FROM inter
+        |  JOIN cnt ca ON ca.doc_id = id_a
+        |  JOIN cnt cb ON cb.doc_id = id_b
+        |  WHERE round(iv * 1.0 / (ca.ng + cb.ng - iv), 6) >= 0.4),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM p
+        |          UNION ALL SELECT id_b, id_a FROM p),
+        |reach(id, m) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, r.m FROM edges e JOIN reach r ON r.id = e.b)
+        |SELECT id AS doc_id, CAST(min(m) AS BIGINT) AS cluster
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1609,6 +1609,208 @@ object Incremental {
   /** Distinct-per-document word n-grams as 128-bit digest pairs —
     * the same gram identity as [[Stats.ngramNovelty]] (digest keys,
     * never gram text, on any exchange). */
+  // --------------------------------------------------------------
+  // Incremental near-dup CLUSTERS: stable cluster ids at crawl
+  // cadence. [[DupClusters.connectedComponents]] answers the batch
+  // question ("what are the components of the near-dup graph right
+  // now?"); this family answers the recurring one: a wave arrives and
+  // each document either JOINS an existing cluster, FOUNDS a new one,
+  // or BRIDGES existing clusters — which must then merge — without
+  // the corpus-side pair enumeration ever re-running. The cluster id
+  // is the component's minimum document id, which is wave-order
+  // INDEPENDENT (a min is a min whichever wave contributed it), so
+  // resolved membership after any wave sequence over unique ids is
+  // identical to one batch clustering of the union — the oracle's
+  // contract.
+  // --------------------------------------------------------------
+
+  /** The three persisted relations of a cluster state, named once.
+    * `postings` (g1, g2, <id>, n_grams) is corpus-scale, bucketed by
+    * the 128-bit gram digest so wave probes stream it bucket-aligned;
+    * the per-doc distinct-gram total rides DENORMALIZED on every row
+    * (8 B) so a probe needs no second state lookup. `membership`
+    * (<id>, cluster) is corpus-scale, bucketed by id; its `cluster`
+    * values are the labels AT ASSIGNMENT TIME and are never rewritten.
+    * `alias` (cluster, canon) records merges — merge-event-scale
+    * (tiny), kept FLAT (depth 1) by rewriting at each append, and
+    * broadcast at read so resolution is one narrow join. */
+  final case class ClusterTables(postTable: String, postPath: String,
+      memberTable: String, memberPath: String,
+      aliasTable: String, aliasPath: String, numBuckets: Int = 64)
+
+  /** Exact word-n-gram Jaccard pairs between two posting-shaped
+    * frames `(<key>, __g1, __g2, n_grams)`: equi-join on the digest,
+    * per-pair intersection count, threshold on
+    * `round(inter / (na + nb − inter), 6)` — the round-then-compare
+    * convention every oracle replays. The per-gram fan-out is
+    * Σ df_a·df_b — exactness's price, disclosed; `n` is the knob
+    * (bigger grams, thinner document frequencies), and the guarded
+    * router (q97) or winnowing fingerprints are the production
+    * alternatives when a corpus carries heavy boilerplate. */
+  private def gramJaccardPairs(a: DataFrame, b: DataFrame,
+      threshold: Double, selfLt: Boolean): DataFrame = {
+    val joined = a.join(b, Seq("__g1", "__g2"))
+    val constrained =
+      if (selfLt) joined.filter(col("__ia") < col("__ib")) else joined
+    constrained
+      .groupBy(col("__ia"), col("__ib"))
+      .agg(count(lit(1)).as("__iv"),
+        max(col("__na")).as("__na"), max(col("__nb")).as("__nb"))
+      .filter(round(col("__iv") * lit(1.0) /
+        (col("__na") + col("__nb") - col("__iv")), 6) >= threshold)
+      .select(col("__ia"), col("__ib"))
+  }
+
+  private def postingsShape(df: DataFrame, idCol: String, side: String): DataFrame =
+    df.select(col(idCol).as(s"__i$side"), col("__g1"), col("__g2"),
+      col("n_grams").as(s"__n$side"))
+
+  /** Wave-shaped postings from raw (id, text): per-doc DISTINCT gram
+    * digests + the denormalized total. Materialized eagerly — the
+    * frame feeds the self-join, the state probe AND the append. */
+  private def wavePostings(wave: DataFrame, idCol: String,
+      textCol: Column, n: Int): DataFrame = {
+    val grams = gramKeys(wave.select(col(idCol), textCol.as("__t")),
+      col("__t"), n).drop("__t").distinct()
+    grams.join(grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams")),
+        Seq(idCol))
+      .localCheckpoint(true)
+  }
+
+  /** Initial cluster state: batch-cluster the corpus (exact gram
+    * Jaccard pairs → [[DupClusters.connectedComponents]] min-label
+    * components), then persist postings + membership + an empty alias
+    * table. Documents with fewer than `n` words have no grams, match
+    * nothing, and found their own singleton clusters — exactly the
+    * batch semantics. */
+  def writeClusterState(corpus: DataFrame, idCol: String, textCol: Column,
+      n: Int, threshold: Double, t: ClusterTables): Unit = {
+    val spark = corpus.sparkSession
+    val posts = wavePostings(corpus, idCol, textCol, n)
+    val pairs = gramJaccardPairs(postingsShape(posts, idCol, "a"),
+      postingsShape(posts, idCol, "b"), threshold, selfLt = true)
+      .select(col("__ia").as("id_a"), col("__ib").as("id_b"))
+    val comps = DupClusters.connectedComponents(
+      corpus.select(col(idCol)), pairs)
+    posts.select(col("__g1").as("g1"), col("__g2").as("g2"), col(idCol),
+        col("n_grams"))
+      .repartition(t.numBuckets, col("g1"), col("g2"))
+      .write.mode(SaveMode.Overwrite).bucketBy(t.numBuckets, "g1", "g2")
+      .sortBy("g1", "g2").option("path", t.postPath)
+      .saveAsTable(t.postTable)
+    comps.select(col("id").as(idCol), col("cluster"))
+      .repartition(t.numBuckets, col(idCol))
+      .write.mode(SaveMode.Overwrite).bucketBy(t.numBuckets, idCol)
+      .sortBy(idCol).option("path", t.memberPath)
+      .saveAsTable(t.memberTable)
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("cluster",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("canon",
+            org.apache.spark.sql.types.LongType))))
+      .write.mode(SaveMode.Overwrite).option("path", t.aliasPath)
+      .saveAsTable(t.aliasTable)
+  }
+
+  /** One wave against the cluster state. Ids must be UNIQUE across
+    * the state's life (a recrawl under the same id would stack a
+    * second membership row — dedup upstream, as every loop does).
+    *
+    * Mechanics: wave postings probe the bucketed gram table for exact
+    * wave↔state Jaccard pairs (state streams bucket-aligned, only the
+    * wave's grams shuffle); matched state ids resolve to their CURRENT
+    * canonical clusters (bucketed membership join + broadcast alias);
+    * [[DupClusters.connectedComponents]] runs over the WAVE-SIZED
+    * contracted graph — wave ids plus touched canons, in-wave pairs
+    * plus (wave id, canon) edges. Contracting a cluster to its canon
+    * preserves components, so the labels are exactly the batch
+    * labels. Appends membership + postings; canons whose component
+    * label differs become alias rows, and the (tiny) alias table is
+    * rewritten FLAT: existing rows pointing at a merged canon repoint
+    * to its new label, so resolution stays one broadcast join deep.
+    * Returns the wave's `(id, cluster)` assignments.
+    *
+    * 100 TB shape: state-side work is a bucket-aligned stream of the
+    * gram table plus an id-join on bucketed membership — nothing
+    * corpus-sized shuffles, ever; the CC loop sees a wave-bounded
+    * graph. The honest residual is the exact probe's per-gram
+    * Σ df_wave·df_state fan-out (boilerplate grams), same envelope
+    * and knobs as the batch pair join (q45's disclosure). */
+  def appendClusters(wave: DataFrame, idCol: String, textCol: Column,
+      n: Int, threshold: Double, t: ClusterTables): DataFrame = {
+    val spark = wave.sparkSession
+    val posts = wavePostings(wave, idCol, textCol, n)
+    val inWave = gramJaccardPairs(postingsShape(posts, idCol, "a"),
+      postingsShape(posts, idCol, "b"), threshold, selfLt = true)
+    val statePosts = spark.table(t.postTable)
+      .select(col(idCol).as("__ib"), col("g1").as("__g1"),
+        col("g2").as("__g2"), col("n_grams").as("__nb"))
+    val waveState = gramJaccardPairs(postingsShape(posts, idCol, "a"),
+      statePosts, threshold, selfLt = false)
+    // matched state ids → current canonical clusters: bucketed
+    // membership join (matched-id-sized shuffle) + flat alias broadcast
+    val alias = spark.table(t.aliasTable)
+    val canonOf = spark.table(t.memberTable)
+      .join(waveState.select(col("__ib").as(idCol)).distinct(), Seq(idCol))
+      .join(broadcast(alias), Seq("cluster"), "left")
+      .select(col(idCol).as("__ib"),
+        coalesce(col("canon"), col("cluster")).as("__canon"))
+    val bridgeEdges = waveState.join(canonOf, Seq("__ib"))
+      .select(col("__ia").as("id_a"), col("__canon").as("id_b")).distinct()
+    val touched = bridgeEdges.select(col("id_b")).distinct()
+      .localCheckpoint(true)
+    val vertices = wave.select(col(idCol))
+      .union(touched.select(col("id_b").as(idCol))).distinct()
+    val comps = DupClusters.connectedComponents(vertices,
+      inWave.select(col("__ia").as("id_a"), col("__ib").as("id_b"))
+        .union(bridgeEdges))
+      .localCheckpoint(true)
+    // merges: a touched canon whose component label is smaller (a
+    // bridge reached an older/smaller cluster or a smaller wave id)
+    // retires behind an alias row; existing aliases pointing at it
+    // repoint to the new label so the table stays depth-1
+    val newAliases = comps
+      .join(touched.select(col("id_b").as("id")), Seq("id"))
+      .filter(col("cluster") =!= col("id"))
+      .select(col("id").as("cluster"), col("cluster").as("canon"))
+    val rewritten = alias
+      .join(broadcast(newAliases.select(col("cluster").as("__mc"),
+        col("canon").as("__nc"))), col("canon") === col("__mc"), "left")
+      .select(col("cluster"), coalesce(col("__nc"), col("canon")).as("canon"))
+      .union(newAliases)
+      .localCheckpoint(true)
+    rewritten.write.mode(SaveMode.Overwrite).option("path", t.aliasPath)
+      .saveAsTable(t.aliasTable)
+    val assigned = comps
+      .join(wave.select(col(idCol).as("id")), Seq("id"))
+      .select(col("id").as(idCol), col("cluster"))
+      .localCheckpoint(true)
+    assigned.repartition(t.numBuckets, col(idCol))
+      .write.mode(SaveMode.Append).bucketBy(t.numBuckets, idCol)
+      .sortBy(idCol).saveAsTable(t.memberTable)
+    posts.select(col("__g1").as("g1"), col("__g2").as("g2"), col(idCol),
+        col("n_grams"))
+      .repartition(t.numBuckets, col("g1"), col("g2"))
+      .write.mode(SaveMode.Append).bucketBy(t.numBuckets, "g1", "g2")
+      .sortBy("g1", "g2").saveAsTable(t.postTable)
+    assigned
+  }
+
+  /** Canonical cluster of every document seen so far: membership with
+    * the flat alias map applied — one bucket-aligned scan + one
+    * broadcast join, no corpus shuffle. */
+  def resolveClusters(spark: org.apache.spark.sql.SparkSession,
+      t: ClusterTables): DataFrame = {
+    val idCol = spark.table(t.memberTable).columns
+      .filterNot(_ == "cluster").head
+    spark.table(t.memberTable)
+      .join(broadcast(spark.table(t.aliasTable)), Seq("cluster"), "left")
+      .select(col(idCol),
+        coalesce(col("canon"), col("cluster")).as("cluster"))
+  }
+
   private def gramKeys(df: DataFrame, textCol: Column, n: Int): DataFrame =
     df.select(col("*"),
         explode(array_distinct(Dedup.wordNGrams(textCol, n))).as("__g"))

@@ -1,0 +1,79 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.GraftSession
+import graft.operators.Incremental
+
+/** Scratch rehearsal: the incremental-cluster wave append
+  * ([[Incremental.appendClusters]]) against cluster state grown with
+  * the corpus (isometric `tools/make_scaled.py` replicas) while the
+  * WAVE size stays fixed — the flatness claim: a recurring wave's
+  * cost must be wave-sized plus a bucket-aligned stream of the gram
+  * table, never corpus-shuffling. Not part of the library surface.
+  *
+  * The wave is copy-0 documents (the replicas' identity copy), so the
+  * SAME texts probe every scale; the state holds everything else —
+  * growing linearly in documents AND in gram document frequency (the
+  * Σ df_wave·df_state fan-out term under test, since rotated copies
+  * keep within-copy df structure and add no cross-copy collisions).
+  * Two disjoint fixed-size waves run back to back per scale (state
+  * growth between them is one wave — noise); min wall reported.
+  *
+  * Usage: runMain graft.tools.ClusterScale <sfDir>[,<sfDir>...]
+  *        [waveN=500] [n=4] [threshold=0.4]
+  * State builds are OFF the clock (the op_bm25_probe stance).
+  */
+object ClusterScale {
+  def main(args: Array[String]): Unit = {
+    val dirs = args.headOption
+      .getOrElse("/root/testdata/sf0.1").split(",").toSeq
+    val waveN = args.lift(1).map(_.toInt).getOrElse(500)
+    val n = args.lift(2).map(_.toInt).getOrElse(4)
+    val threshold = args.lift(3).map(_.toDouble).getOrElse(0.4)
+    val cpus = Runtime.getRuntime.availableProcessors()
+    val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-cscale").toString
+    sys.addShutdownHook {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    }
+    dirs.zipWithIndex.foreach { case (dir, i) =>
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val total = docs.count()
+      // two disjoint copy-0 waves off the state's tail; ids are
+      // copy-0 (< 10M ID_STRIDE) at every scale, so the same texts
+      // probe 1x and 30x state
+      val w1Lo = 5000L - 2L * waveN
+      val waveA = docs.filter(col("doc_id") >= w1Lo &&
+        col("doc_id") < w1Lo + waveN)
+      val waveB = docs.filter(col("doc_id") >= w1Lo + waveN &&
+        col("doc_id") < 5000L)
+      val state = docs.filter(col("doc_id") < w1Lo ||
+        col("doc_id") >= 5000L)
+      val t = Incremental.ClusterTables(
+        s"cscale_post_$i", s"$tmp/post_$i",
+        s"cscale_member_$i", s"$tmp/member_$i",
+        s"cscale_alias_$i", s"$tmp/alias_$i", numBuckets = 16)
+      Seq(t.postTable, t.memberTable, t.aliasTable)
+        .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS $tb"))
+      val b0 = System.nanoTime()
+      Incremental.writeClusterState(state, "doc_id", col("text"),
+        n, threshold, t)
+      val buildS = (System.nanoTime() - b0) / 1e9
+      def probe(w: org.apache.spark.sql.DataFrame): Double = {
+        val p0 = System.nanoTime()
+        val assigned = Incremental.appendClusters(w, "doc_id",
+          col("text"), n, threshold, t)
+        assigned.count()
+        (System.nanoTime() - p0) / 1e9
+      }
+      val wallA = probe(waveA)
+      val wallB = probe(waveB)
+      println(f"[cscale] dir=$dir docs=$total stateDocs=${total - 2 * waveN} " +
+        f"waveN=$waveN build=$buildS%.1f appendMin=${math.min(wallA, wallB)}%.2f " +
+        f"(a=$wallA%.2f b=$wallB%.2f)")
+    }
+    spark.stop()
+  }
+}

@@ -912,4 +912,98 @@ class IncrementalSpec extends AnyFunSuite {
         spark.table("t_hamm_meta"), maxHamming = 8).count()
     } finally spark.sql("DROP TABLE IF EXISTS t_hamm_meta")
   }
+
+  test("cluster state: join / found / BRIDGE-merge across waves; flat alias; resolve == batch clustering") {
+    import spark.implicits._
+    val d = tmp("graft_clusters")
+    val t = Incremental.ClusterTables(
+      "t_cl_post", s"$d/post", "t_cl_member", s"$d/member",
+      "t_cl_alias", s"$d/alias", numBuckets = 4)
+    val tb = Incremental.ClusterTables(
+      "t_clb_post", s"$d/bpost", "t_clb_member", s"$d/bmember",
+      "t_clb_alias", s"$d/balias", numBuckets = 4)
+    // word-2-gram Jaccard at 0.3: 1 and 2 are separate clusters until
+    // the wave-2 BRIDGE doc 3 overlaps both; wave-3 doc 4 matches doc
+    // 2's text and must resolve THROUGH the (2 → 1) alias; wave-4 doc
+    // 0 (a smaller id) merges into cluster 1, forcing the existing
+    // alias to REWRITE (2 → 0) so the table stays depth-1; doc 5 has
+    // no 2-grams and stays a singleton
+    val t1 = "alpha beta gamma delta"
+    val t2 = "one two three four"
+    val w1 = Seq((1L, t1), (2L, t2)).toDF("doc_id", "text")
+    val w2 = Seq((3L, "alpha beta gamma one two three")).toDF("doc_id", "text")
+    val w3 = Seq((4L, "one two three five"), (5L, "word")).toDF("doc_id", "text")
+    val w4 = Seq((0L, "alpha beta gamma delta extra")).toDF("doc_id", "text")
+    try {
+      Incremental.writeClusterState(w1, "doc_id", col("text"),
+        n = 2, threshold = 0.3, t)
+      assert(Incremental.resolveClusters(spark, t)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+        Map(1L -> 1L, 2L -> 2L), "separate clusters before the bridge")
+      val a2 = Incremental.appendClusters(w2, "doc_id", col("text"),
+        n = 2, threshold = 0.3, t)
+      assert(a2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+        Map(3L -> 1L), "the bridge joins the merged (min-label) cluster")
+      assert(spark.table(t.aliasTable).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap === Map(2L -> 1L),
+        "the larger canon retires behind an alias")
+      val a3 = Incremental.appendClusters(w3, "doc_id", col("text"),
+        n = 2, threshold = 0.3, t)
+      assert(a3.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+        Map(4L -> 1L, 5L -> 5L),
+        "membership of a retired canon resolves THROUGH the alias; " +
+          "gram-less docs found singletons")
+      Incremental.appendClusters(w4, "doc_id", col("text"),
+        n = 2, threshold = 0.3, t)
+      val alias = spark.table(t.aliasTable).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(alias === Map(2L -> 0L, 1L -> 0L),
+        s"existing aliases REWRITE to the new canon (flat, depth-1): $alias")
+      val resolved = Incremental.resolveClusters(spark, t)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(resolved ===
+        Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 5L))
+      // wave-order-independent equivalence: one batch clustering of
+      // the union resolves identically
+      Incremental.writeClusterState(
+        w1.union(w2).union(w3).union(w4), "doc_id", col("text"),
+        n = 2, threshold = 0.3, tb)
+      val batch = Incremental.resolveClusters(spark, tb)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(resolved === batch, "incremental == batch over the union")
+    } finally Seq(t, tb).foreach(x => Seq(x.postTable, x.memberTable,
+      x.aliasTable).foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n")))
+  }
+
+  test("cluster state: the wave probe never shuffles the corpus-side gram table") {
+    val d = tmp("graft_clusters_plan")
+    val t = Incremental.ClusterTables(
+      "t_clp_post", s"$d/post", "t_clp_member", s"$d/member",
+      "t_clp_alias", s"$d/alias", numBuckets = 4)
+    try {
+      Incremental.writeClusterState(docs.filter(col("doc_id") < 40),
+        "doc_id", col("text"), n = 4, threshold = 0.4, t)
+      // the probe join plan: with broadcast off (the cluster-scale
+      // shape — a wave is not broadcastable at 100 TB) the state
+      // postings scan must be bucketed, i.e. read with NO exchange
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = try {
+        val statePosts = spark.table(t.postTable)
+        statePosts.join(
+          docs.filter(col("doc_id") >= 40 && col("doc_id") < 60)
+            .select(col("doc_id"),
+              xxhash64(col("text")).as("g1"),
+              xxhash64(col("text"), lit(1)).as("g2")),
+          Seq("g1", "g2")).queryExecution.executedPlan.toString
+      } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      assert(plan.contains("Bucketed: true"),
+        s"state gram table must be read bucket-aligned:\n$plan")
+      // and the real append returns assignments for every wave doc
+      val waveIds = Incremental.appendClusters(
+        docs.filter(col("doc_id") >= 40 && col("doc_id") < 60),
+        "doc_id", col("text"), n = 4, threshold = 0.4, t)
+      assert(waveIds.count() === 20)
+    } finally Seq(t.postTable, t.memberTable, t.aliasTable)
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+  }
 }
