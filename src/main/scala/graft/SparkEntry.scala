@@ -2639,8 +2639,9 @@ object SparkEntry {
       val t = Incremental.ClusterTables(
         "graft_q160_post", s"$sd/q160_post",
         "graft_q160_member", s"$sd/q160_member",
-        "graft_q160_alias", s"$sd/q160_alias", numBuckets = 8)
-      Seq(t.postTable, t.memberTable, t.aliasTable)
+        "graft_q160_alias", s"$sd/q160_alias",
+        "graft_q160_edges", s"$sd/q160_edges", numBuckets = 8)
+      Seq(t.postTable, t.memberTable, t.aliasTable, t.edgeTable)
         .foreach(tb => s.sql(s"DROP TABLE IF EXISTS $tb"))
       Incremental.writeClusterState(docs.filter(col("doc_id") < 200),
         "doc_id", col("text"), n = 4, threshold = 0.4, t)
@@ -2650,6 +2651,60 @@ object SparkEntry {
       Incremental.appendClusters(docs.filter(col("doc_id") >= 350),
         "doc_id", col("text"), n = 4, threshold = 0.4, t)
       Incremental.resolveClusters(s, t).orderBy("doc_id")
+    },
+
+    // ---- Cluster-AWARE curation: the reason stable cluster ids
+    // exist — keep the best representative (longest text, lowest-id
+    // tie) of every resolved cluster, recurring state in, one window
+    // out. Two id-ranged waves so the kept set provably spans the
+    // incremental path, not one batch.
+    "q161_cluster_curation" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val sd = stateDir(dir)
+      val t = Incremental.ClusterTables(
+        "graft_q161_post", s"$sd/q161_post",
+        "graft_q161_member", s"$sd/q161_member",
+        "graft_q161_alias", s"$sd/q161_alias",
+        "graft_q161_edges", s"$sd/q161_edges", numBuckets = 8)
+      Seq(t.postTable, t.memberTable, t.aliasTable, t.edgeTable)
+        .foreach(tb => s.sql(s"DROP TABLE IF EXISTS $tb"))
+      Incremental.writeClusterState(docs.filter(col("doc_id") < 300),
+        "doc_id", col("text"), n = 4, threshold = 0.4, t)
+      Incremental.appendClusters(docs.filter(col("doc_id") >= 300),
+        "doc_id", col("text"), n = 4, threshold = 0.4, t)
+      Dedup.keepBestWindow(
+          docs.join(Incremental.resolveClusters(s, t), Seq("doc_id")),
+          col("cluster"),
+          Seq(col("n_chars").desc, col("doc_id").asc))
+        .select(col("doc_id"), col("cluster"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
+    // ---- SPLIT-CORRECT cluster takedown: retract every 97th doc
+    // (including canon ids — re-election observable) from a two-wave
+    // state; the persisted doc-level edge graph decides the resulting
+    // components. The oracle is the batch closure over the RETAINED
+    // corpus — what an in-place membership filter provably cannot
+    // compute when a retracted doc was a bridge.
+    "q162_cluster_takedown" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val sd = stateDir(dir)
+      def tabs(v: String) = Incremental.ClusterTables(
+        s"graft_q162_post$v", s"$sd/q162_post$v",
+        s"graft_q162_member$v", s"$sd/q162_member$v",
+        s"graft_q162_alias$v", s"$sd/q162_alias$v",
+        s"graft_q162_edges$v", s"$sd/q162_edges$v", numBuckets = 8)
+      val t0 = tabs(""); val t1 = tabs("_v1")
+      Seq(t0, t1).foreach(x => Seq(x.postTable, x.memberTable,
+        x.aliasTable, x.edgeTable)
+        .foreach(tb => s.sql(s"DROP TABLE IF EXISTS $tb")))
+      Incremental.writeClusterState(docs.filter(col("doc_id") < 250),
+        "doc_id", col("text"), n = 4, threshold = 0.4, t0)
+      Incremental.appendClusters(docs.filter(col("doc_id") >= 250),
+        "doc_id", col("text"), n = 4, threshold = 0.4, t0)
+      Incremental.takedownClusters(s,
+        docs.filter(col("doc_id") % 97 === 0).select("doc_id"), t0, t1)
+      Incremental.resolveClusters(s, t1).orderBy("doc_id")
     },
   )
 
@@ -5784,6 +5839,69 @@ object SparkEntry {
         |          UNION ALL SELECT id_b, id_a FROM p),
         |reach(id, m) AS (
         |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, r.m FROM edges e JOIN reach r ON r.id = e.b)
+        |SELECT id AS doc_id, CAST(min(m) AS BIGINT) AS cluster
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // q160's closure, then keep the best representative per cluster
+    // (n_chars desc, doc_id asc) — the cluster-aware curation shape.
+    "q161_cluster_curation" ->
+      """WITH RECURSIVE w0 AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS ws
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+3], ' ') AS gram
+        |  FROM w0, UNNEST(generate_series(1, len(ws) - 3)) AS t(i)),
+        |cnt AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    count(*) AS iv
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (SELECT id_a, id_b FROM inter
+        |  JOIN cnt ca ON ca.doc_id = id_a
+        |  JOIN cnt cb ON cb.doc_id = id_b
+        |  WHERE round(iv * 1.0 / (ca.ng + cb.ng - iv), 6) >= 0.4),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM p
+        |          UNION ALL SELECT id_b, id_a FROM p),
+        |reach(id, m) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, r.m FROM edges e JOIN reach r ON r.id = e.b),
+        |comp AS (SELECT id AS doc_id, CAST(min(m) AS BIGINT) AS cluster
+        |  FROM reach GROUP BY id),
+        |ranked AS (SELECT d.doc_id, c.cluster, d.n_chars,
+        |    row_number() OVER (PARTITION BY c.cluster
+        |      ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        |  FROM documents d JOIN comp c USING (doc_id))
+        |SELECT doc_id, cluster, n_chars FROM ranked
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // The takedown contract: the q160 closure computed over the
+    // RETAINED corpus only — retracted vertices gone, bridges broken,
+    // canons re-elected to the min retained id.
+    "q162_cluster_takedown" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+        |w0 AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS ws
+        |  FROM docs),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+3], ' ') AS gram
+        |  FROM w0, UNNEST(generate_series(1, len(ws) - 3)) AS t(i)),
+        |cnt AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    count(*) AS iv
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (SELECT id_a, id_b FROM inter
+        |  JOIN cnt ca ON ca.doc_id = id_a
+        |  JOIN cnt cb ON cb.doc_id = id_b
+        |  WHERE round(iv * 1.0 / (ca.ng + cb.ng - iv), 6) >= 0.4),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM p
+        |          UNION ALL SELECT id_b, id_a FROM p),
+        |reach(id, m) AS (
+        |  SELECT doc_id, doc_id FROM docs
         |  UNION
         |  SELECT e.a, r.m FROM edges e JOIN reach r ON r.id = e.b)
         |SELECT id AS doc_id, CAST(min(m) AS BIGINT) AS cluster

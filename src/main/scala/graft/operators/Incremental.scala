@@ -1624,7 +1624,7 @@ object Incremental {
   // contract.
   // --------------------------------------------------------------
 
-  /** The three persisted relations of a cluster state, named once.
+  /** The four persisted relations of a cluster state, named once.
     * `postings` (g1, g2, <id>, n_grams) is corpus-scale, bucketed by
     * the 128-bit gram digest so wave probes stream it bucket-aligned;
     * the per-doc distinct-gram total rides DENORMALIZED on every row
@@ -1633,10 +1633,18 @@ object Incremental {
     * values are the labels AT ASSIGNMENT TIME and are never rewritten.
     * `alias` (cluster, canon) records merges — merge-event-scale
     * (tiny), kept FLAT (depth 1) by rewriting at each append, and
-    * broadcast at read so resolution is one narrow join. */
+    * broadcast at read so resolution is one narrow join. `edges`
+    * (src, dst) persists the DOC-LEVEL pair graph symmetrically,
+    * bucketed by src — edge-scale (pair enumeration output, orders
+    * below postings) — because takedown is a GRAPH operation:
+    * removing a document can SPLIT its cluster (it may be the only
+    * bridge), which membership alone cannot decide
+    * ([[takedownClusters]] re-runs components over the affected
+    * subgraph only). */
   final case class ClusterTables(postTable: String, postPath: String,
       memberTable: String, memberPath: String,
-      aliasTable: String, aliasPath: String, numBuckets: Int = 64)
+      aliasTable: String, aliasPath: String,
+      edgeTable: String, edgePath: String, numBuckets: Int = 64)
 
   /** Exact word-n-gram Jaccard pairs between two posting-shaped
     * frames `(<key>, __g1, __g2, n_grams)`: equi-join on the digest,
@@ -1690,8 +1698,10 @@ object Incremental {
     val pairs = gramJaccardPairs(postingsShape(posts, idCol, "a"),
       postingsShape(posts, idCol, "b"), threshold, selfLt = true)
       .select(col("__ia").as("id_a"), col("__ib").as("id_b"))
+      .localCheckpoint(true)
     val comps = DupClusters.connectedComponents(
       corpus.select(col(idCol)), pairs)
+    writeEdges(pairs, t, SaveMode.Overwrite)
     posts.select(col("__g1").as("g1"), col("__g2").as("g2"), col(idCol),
         col("n_grams"))
       .repartition(t.numBuckets, col("g1"), col("g2"))
@@ -1703,6 +1713,11 @@ object Incremental {
       .write.mode(SaveMode.Overwrite).bucketBy(t.numBuckets, idCol)
       .sortBy(idCol).option("path", t.memberPath)
       .saveAsTable(t.memberTable)
+    writeEmptyAlias(spark, t)
+  }
+
+  private def writeEmptyAlias(spark: org.apache.spark.sql.SparkSession,
+      t: ClusterTables): Unit =
     spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
@@ -1712,6 +1727,18 @@ object Incremental {
             org.apache.spark.sql.types.LongType))))
       .write.mode(SaveMode.Overwrite).option("path", t.aliasPath)
       .saveAsTable(t.aliasTable)
+
+  /** Persist `(id_a, id_b)` pairs SYMMETRICALLY as (src, dst),
+    * bucketed by src, so takedown can find every edge incident to a
+    * retracted id with one bucket-aligned semi-join per direction. */
+  private def writeEdges(pairs: DataFrame, t: ClusterTables,
+      mode: SaveMode): Unit = {
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val w = sym.repartition(t.numBuckets, col("src"))
+      .write.mode(mode).bucketBy(t.numBuckets, "src").sortBy("src")
+    (if (mode == SaveMode.Overwrite) w.option("path", t.edgePath) else w)
+      .saveAsTable(t.edgeTable)
   }
 
   /** One wave against the cluster state. Ids must be UNIQUE across
@@ -1744,11 +1771,19 @@ object Incremental {
     val posts = wavePostings(wave, idCol, textCol, n)
     val inWave = gramJaccardPairs(postingsShape(posts, idCol, "a"),
       postingsShape(posts, idCol, "b"), threshold, selfLt = true)
+      .localCheckpoint(true)
     val statePosts = spark.table(t.postTable)
       .select(col(idCol).as("__ib"), col("g1").as("__g1"),
         col("g2").as("__g2"), col("n_grams").as("__nb"))
     val waveState = gramJaccardPairs(postingsShape(posts, idCol, "a"),
       statePosts, threshold, selfLt = false)
+      .localCheckpoint(true)
+    // the DOC-LEVEL pair graph persists (takedown needs it to decide
+    // splits); the CC below runs over the cheaper CONTRACTED graph
+    writeEdges(inWave.select(col("__ia").as("id_a"), col("__ib").as("id_b"))
+        .union(waveState.select(col("__ia").as("id_a"),
+          col("__ib").as("id_b"))),
+      t, SaveMode.Append)
     // matched state ids → current canonical clusters: bucketed
     // membership join (matched-id-sized shuffle) + flat alias broadcast
     val alias = spark.table(t.aliasTable)
@@ -1809,6 +1844,72 @@ object Incremental {
       .join(broadcast(spark.table(t.aliasTable)), Seq("cluster"), "left")
       .select(col(idCol),
         coalesce(col("canon"), col("cluster")).as("cluster"))
+  }
+
+  /** Takedown over the cluster state, SPLIT-CORRECT: removing a
+    * document removes its graph VERTEX, and if it was the only bridge
+    * its cluster must fall apart — which membership alone cannot
+    * decide. Mechanics: affected clusters = resolved canons of any
+    * retracted id (takedown-request-scale); their retained members
+    * re-cluster by components over the PERSISTED doc-level edges
+    * restricted to retained members (the affected subgraph — bounded
+    * by the touched clusters, never the corpus); every other
+    * membership row carries over with its RESOLVED label. All four
+    * relations rewrite blue/green into `nt` (new tables + paths, the
+    * takedown pattern everywhere): postings and edges minus the
+    * retracted ids, membership fully canonicalized, alias EMPTY (the
+    * rewrite bakes every alias in — a fresh slate, so reads of the
+    * new state are one join cheaper until its first merge).
+    *
+    * Canonical labels re-elect where the canon itself was retracted
+    * (min retained id wins); cluster ids are therefore RELEASE-SCOPED
+    * across takedowns, exactly as the alias mechanism already implies
+    * for merges. A retracted id never ingested is a no-op row. */
+  def takedownClusters(spark: org.apache.spark.sql.SparkSession,
+      retract: DataFrame, t: ClusterTables, nt: ClusterTables): Unit = {
+    val rid = retract.select(col(retract.columns.head).as("__rid"))
+      .distinct().localCheckpoint(true)
+    val resolved = resolveClusters(spark, t)
+    val idCol = resolved.columns.head
+    val affected = resolved
+      .join(rid, col(idCol) === col("__rid"), "left_semi")
+      .select(col("cluster")).distinct().localCheckpoint(true)
+    val members = resolved.join(broadcast(affected), Seq("cluster"))
+      .select(col(idCol))
+    val retained = members
+      .join(rid, col(idCol) === col("__rid"), "left_anti")
+      .localCheckpoint(true)
+    val edges = spark.table(t.edgeTable)
+    val sub = edges
+      .join(retained.select(col(idCol).as("src")), Seq("src"), "left_semi")
+      .join(retained.select(col(idCol).as("dst")), Seq("dst"), "left_semi")
+      .filter(col("src") < col("dst"))
+    val comps = DupClusters.connectedComponents(
+      retained.select(col(idCol)),
+      sub.select(col("src").as("id_a"), col("dst").as("id_b")))
+    val untouched = resolved
+      .join(broadcast(affected), Seq("cluster"), "left_anti")
+      .select(col(idCol), col("cluster"))
+    untouched
+      .union(comps.select(col("id").as(idCol), col("cluster")))
+      .repartition(nt.numBuckets, col(idCol))
+      .write.mode(SaveMode.Overwrite).bucketBy(nt.numBuckets, idCol)
+      .sortBy(idCol).option("path", nt.memberPath)
+      .saveAsTable(nt.memberTable)
+    spark.table(t.postTable)
+      .join(rid, col(idCol) === col("__rid"), "left_anti")
+      .repartition(nt.numBuckets, col("g1"), col("g2"))
+      .write.mode(SaveMode.Overwrite).bucketBy(nt.numBuckets, "g1", "g2")
+      .sortBy("g1", "g2").option("path", nt.postPath)
+      .saveAsTable(nt.postTable)
+    edges
+      .join(rid, col("src") === col("__rid"), "left_anti")
+      .join(rid, col("dst") === col("__rid"), "left_anti")
+      .repartition(nt.numBuckets, col("src"))
+      .write.mode(SaveMode.Overwrite).bucketBy(nt.numBuckets, "src")
+      .sortBy("src").option("path", nt.edgePath)
+      .saveAsTable(nt.edgeTable)
+    writeEmptyAlias(spark, nt)
   }
 
   private def gramKeys(df: DataFrame, textCol: Column, n: Int): DataFrame =

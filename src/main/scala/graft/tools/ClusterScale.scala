@@ -54,8 +54,9 @@ object ClusterScale {
       val t = Incremental.ClusterTables(
         s"cscale_post_$i", s"$tmp/post_$i",
         s"cscale_member_$i", s"$tmp/member_$i",
-        s"cscale_alias_$i", s"$tmp/alias_$i", numBuckets = 16)
-      Seq(t.postTable, t.memberTable, t.aliasTable)
+        s"cscale_alias_$i", s"$tmp/alias_$i",
+        s"cscale_edges_$i", s"$tmp/edges_$i", numBuckets = 16)
+      Seq(t.postTable, t.memberTable, t.aliasTable, t.edgeTable)
         .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS $tb"))
       val b0 = System.nanoTime()
       Incremental.writeClusterState(state, "doc_id", col("text"),

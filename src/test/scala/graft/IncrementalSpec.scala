@@ -918,10 +918,11 @@ class IncrementalSpec extends AnyFunSuite {
     val d = tmp("graft_clusters")
     val t = Incremental.ClusterTables(
       "t_cl_post", s"$d/post", "t_cl_member", s"$d/member",
-      "t_cl_alias", s"$d/alias", numBuckets = 4)
+      "t_cl_alias", s"$d/alias", "t_cl_edges", s"$d/edges", numBuckets = 4)
     val tb = Incremental.ClusterTables(
       "t_clb_post", s"$d/bpost", "t_clb_member", s"$d/bmember",
-      "t_clb_alias", s"$d/balias", numBuckets = 4)
+      "t_clb_alias", s"$d/balias", "t_clb_edges", s"$d/bedges",
+      numBuckets = 4)
     // word-2-gram Jaccard at 0.3: 1 and 2 are separate clusters until
     // the wave-2 BRIDGE doc 3 overlaps both; wave-3 doc 4 matches doc
     // 2's text and must resolve THROUGH the (2 → 1) alias; wave-4 doc
@@ -972,14 +973,77 @@ class IncrementalSpec extends AnyFunSuite {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(resolved === batch, "incremental == batch over the union")
     } finally Seq(t, tb).foreach(x => Seq(x.postTable, x.memberTable,
-      x.aliasTable).foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n")))
+      x.aliasTable, x.edgeTable)
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n")))
+  }
+
+  test("cluster takedown: retracting the BRIDGE splits; retracting the canon re-elects; state stays appendable") {
+    import spark.implicits._
+    val d = tmp("graft_cluster_td")
+    def tabs(v: String) = Incremental.ClusterTables(
+      s"t_ctd_post$v", s"$d/post$v", s"t_ctd_member$v", s"$d/member$v",
+      s"t_ctd_alias$v", s"$d/alias$v", s"t_ctd_edges$v", s"$d/edges$v",
+      numBuckets = 4)
+    val t0 = tabs("0"); val t1 = tabs("1"); val t2 = tabs("2")
+    // the q160-spec chain: {0,1} ~ 3 ~ {2,4} all one cluster via the
+    // BRIDGE doc 3 (no direct 1~2 edge), 5 a gram-less singleton
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta extra"),
+      (1L, "alpha beta gamma delta"),
+      (2L, "one two three four"),
+      (3L, "alpha beta gamma one two three"),
+      (4L, "one two three five"),
+      (5L, "word")).toDF("doc_id", "text")
+    try {
+      Incremental.writeClusterState(corpus.filter(col("doc_id") < 4),
+        "doc_id", col("text"), n = 2, threshold = 0.3, t0)
+      Incremental.appendClusters(corpus.filter(col("doc_id") >= 4),
+        "doc_id", col("text"), n = 2, threshold = 0.3, t0)
+      assert(Incremental.resolveClusters(spark, t0).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+        Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 5L))
+      // retract the bridge: the cluster must SPLIT — an in-place
+      // membership filter would leave 2 and 4 labeled 0 forever
+      Incremental.takedownClusters(spark,
+        Seq(3L).toDF("doc_id"), t0, t1)
+      val afterBridge = Incremental.resolveClusters(spark, t1).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(afterBridge ===
+        Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 4L -> 2L, 5L -> 5L),
+        s"bridge removal must split the cluster: $afterBridge")
+      assert(spark.table(t1.aliasTable).count() === 0,
+        "takedown bakes aliases into a fresh slate")
+      // retract the CANON of {0,1}: min retained id re-elects
+      Incremental.takedownClusters(spark, Seq(0L).toDF("doc_id"), t1, t2)
+      val afterCanon = Incremental.resolveClusters(spark, t2).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(afterCanon === Map(1L -> 1L, 2L -> 2L, 4L -> 2L, 5L -> 5L),
+        s"canon retraction re-elects the min retained id: $afterCanon")
+      // the post-takedown state still ingests: a near-copy of doc 2
+      // joins cluster 2 through the rewritten postings
+      val a = Incremental.appendClusters(
+        Seq((6L, "one two three six")).toDF("doc_id", "text"),
+        "doc_id", col("text"), n = 2, threshold = 0.3, t2)
+      assert(a.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+        Map(6L -> 2L))
+      // and a near-copy of the fully-retracted bridge text matches
+      // only the RETAINED halves it still overlaps
+      val b = Incremental.appendClusters(
+        Seq((7L, "alpha beta gamma delta seven")).toDF("doc_id", "text"),
+        "doc_id", col("text"), n = 2, threshold = 0.3, t2)
+      assert(b.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+        Map(7L -> 1L), "retracted docs' postings are gone from the probe")
+    } finally Seq(t0, t1, t2).foreach(x => Seq(x.postTable, x.memberTable,
+      x.aliasTable, x.edgeTable)
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n")))
   }
 
   test("cluster state: the wave probe never shuffles the corpus-side gram table") {
     val d = tmp("graft_clusters_plan")
     val t = Incremental.ClusterTables(
       "t_clp_post", s"$d/post", "t_clp_member", s"$d/member",
-      "t_clp_alias", s"$d/alias", numBuckets = 4)
+      "t_clp_alias", s"$d/alias", "t_clp_edges", s"$d/edges",
+      numBuckets = 4)
     try {
       Incremental.writeClusterState(docs.filter(col("doc_id") < 40),
         "doc_id", col("text"), n = 4, threshold = 0.4, t)
@@ -1003,7 +1067,7 @@ class IncrementalSpec extends AnyFunSuite {
         docs.filter(col("doc_id") >= 40 && col("doc_id") < 60),
         "doc_id", col("text"), n = 4, threshold = 0.4, t)
       assert(waveIds.count() === 20)
-    } finally Seq(t.postTable, t.memberTable, t.aliasTable)
+    } finally Seq(t.postTable, t.memberTable, t.aliasTable, t.edgeTable)
       .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
   }
 }
