@@ -890,7 +890,8 @@ object IngestCli {
       takedownPath: Option[String], cfg: GraftConfig,
       ns: String = "graft_ingest",
       evalPath: Option[String] = None,
-      compaction: CompactionPolicy = CompactionPolicy()): Unit = {
+      compaction: CompactionPolicy = CompactionPolicy(),
+      driftCols: Seq[String] = Nil): Unit = {
     // digests built ONCE per run — benchmark-sized eval sets, the
     // evalGramDigests contract
     val gate = evalPath.map(p => evalGate(spark.read.parquet(p), col("text")))
@@ -900,7 +901,11 @@ object IngestCli {
     }
     val clock = new CompactionClock(compaction)
     wavePaths.zipWithIndex.foreach { case (path, i) =>
-      val r = ingestWave(spark, st, spark.read.parquet(path), i, cfg,
+      val wave = spark.read.parquet(path)
+      // drift is measured BEFORE ingesting: the question is "does this
+      // wave look like the corpus we promoted so far?"
+      if (driftCols.nonEmpty) waveDrift(spark, st, wave, driftCols, i)
+      val r = ingestWave(spark, st, wave, i, cfg,
         gate)
       println(s"[ingest] wave=${r.wave} incoming=${r.incoming} " +
         s"live=${r.live} gated=${r.gated} exact=${r.exactSurvivors} " +
@@ -911,6 +916,39 @@ object IngestCli {
         println(s"[ingest] compacted signature state -> ${st.sigTable}")
       }
     }
+  }
+
+  /** PSI alarm threshold for the wave drift monitor — the standard
+    * credit-scoring reading of PSI ([[graft.operators.Stats
+    * .driftReport]]'s scaladoc): > 0.25 means the incoming
+    * distribution has shifted materially against promoted gold. */
+  val DriftAlarmPsi = 0.25
+
+  /** Per-wave drift monitoring: PSI of the incoming wave against
+    * CURRENT gold over the named bounded-cardinality columns
+    * ([[graft.operators.Stats.driftReport]]), appended to the
+    * `$dir/drift` parquet log with the wave number, feature totals
+    * printed, alarms (> [[DriftAlarmPsi]]) flagged loudly. Monitoring
+    * only — it never gates the wave (a drifted crawl may be exactly
+    * the new data wanted; the operator decides, with the log as
+    * evidence). Skipped while gold is empty (wave 0: nothing to
+    * drift from — every share would be eps-floored noise). */
+  def waveDrift(spark: SparkSession, st: IngestState, wave: DataFrame,
+      featureCols: Seq[String], waveNo: Int): Option[DataFrame] = {
+    if (!goldHasData(spark, st.goldPath)) return None
+    val gold = spark.read.parquet(st.goldPath)
+    val rep = operators.Stats.driftReport(gold, wave,
+        featureCols.map(c => c -> col(c)))
+      .withColumn("ingest_wave", lit(waveNo))
+      .localCheckpoint(true)
+    rep.write.mode(SaveMode.Append).parquet(s"${st.dir}/drift")
+    rep.select(col("feature"), col("feature_psi")).distinct()
+      .collect().sortBy(_.getString(0)).foreach { r =>
+        val alarm = if (r.getDouble(1) > DriftAlarmPsi) " ALARM" else ""
+        println(f"[ingest] wave=$waveNo drift feature=${r.getString(0)} " +
+          f"psi=${r.getDouble(1)}%.6f$alarm")
+      }
+    Some(rep)
   }
 
   /** The MEDIA loop (`GRAFT_MEDIA=image|audio`): decode → optional
@@ -1010,7 +1048,8 @@ object IngestCli {
         "(GRAFT_MEDIA=image|audio|video selects the media loop; " +
         "GRAFT_BLOCKLIST/GRAFT_TAKEDOWN/GRAFT_EVAL name parquet " +
         "inputs — GRAFT_EVAL arms the text loop's benchmark-" +
-        "decontamination gate; GRAFT_NS " +
+        "decontamination gate; GRAFT_DRIFT=col1,col2 arms the text " +
+        "loop's per-wave PSI monitor against gold; GRAFT_NS " +
         "sets the state-table namespace — mode-suffixed, so concurrent " +
         "loops on one metastore never collide)")
     val dir = args(0)
@@ -1047,7 +1086,9 @@ object IngestCli {
       case None =>
         runText(spark, dir, args.drop(1).toSeq,
           sys.env.get("GRAFT_TAKEDOWN"), GraftConfig.fromEnv(),
-          ns("text", "graft_ingest"), sys.env.get("GRAFT_EVAL"))
+          ns("text", "graft_ingest"), sys.env.get("GRAFT_EVAL"),
+          driftCols = sys.env.get("GRAFT_DRIFT").toSeq
+            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
     }
     spark.stop()
   }

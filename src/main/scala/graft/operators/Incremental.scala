@@ -1656,11 +1656,8 @@ object Incremental {
     * router (q97) or winnowing fingerprints are the production
     * alternatives when a corpus carries heavy boilerplate. */
   private def gramJaccardPairs(a: DataFrame, b: DataFrame,
-      threshold: Double, selfLt: Boolean): DataFrame = {
-    val joined = a.join(b, Seq("__g1", "__g2"))
-    val constrained =
-      if (selfLt) joined.filter(col("__ia") < col("__ib")) else joined
-    constrained
+      threshold: Double): DataFrame = {
+    a.join(b, Seq("__g1", "__g2"))
       .groupBy(col("__ia"), col("__ib"))
       .agg(count(lit(1)).as("__iv"),
         max(col("__na")).as("__na"), max(col("__nb")).as("__nb"))
@@ -1672,6 +1669,24 @@ object Incremental {
   private def postingsShape(df: DataFrame, idCol: String, side: String): DataFrame =
     df.select(col(idCol).as(s"__i$side"), col("__g1"), col("__g2"),
       col("n_grams").as(s"__n$side"))
+
+  /** [[gramJaccardPairs]]' SELF-join form over one posting frame: the
+    * literally-same instance joins itself under two aliases, so the
+    * gram shuffle canonicalizes equal and plans as ONE exchange
+    * written once, read twice (ReusedExchange) — two separately
+    * projected copies would shuffle the wave's grams twice. */
+  private def gramJaccardPairsSelf(posts: DataFrame, idCol: String,
+      threshold: Double): DataFrame =
+    posts.alias("a").join(posts.alias("b"),
+        col("a.__g1") === col("b.__g1") &&
+          col("a.__g2") === col("b.__g2") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("__ia"), col(s"b.$idCol").as("__ib"))
+      .agg(count(lit(1)).as("__iv"),
+        max(col("a.n_grams")).as("__na"), max(col("b.n_grams")).as("__nb"))
+      .filter(round(col("__iv") * lit(1.0) /
+        (col("__na") + col("__nb") - col("__iv")), 6) >= threshold)
+      .select(col("__ia"), col("__ib"))
 
   /** Wave-shaped postings from raw (id, text): per-doc DISTINCT gram
     * digests + the denormalized total. Materialized eagerly — the
@@ -1695,8 +1710,7 @@ object Incremental {
       n: Int, threshold: Double, t: ClusterTables): Unit = {
     val spark = corpus.sparkSession
     val posts = wavePostings(corpus, idCol, textCol, n)
-    val pairs = gramJaccardPairs(postingsShape(posts, idCol, "a"),
-      postingsShape(posts, idCol, "b"), threshold, selfLt = true)
+    val pairs = gramJaccardPairsSelf(posts, idCol, threshold)
       .select(col("__ia").as("id_a"), col("__ib").as("id_b"))
       .localCheckpoint(true)
     val comps = DupClusters.connectedComponents(
@@ -1769,14 +1783,13 @@ object Incremental {
       n: Int, threshold: Double, t: ClusterTables): DataFrame = {
     val spark = wave.sparkSession
     val posts = wavePostings(wave, idCol, textCol, n)
-    val inWave = gramJaccardPairs(postingsShape(posts, idCol, "a"),
-      postingsShape(posts, idCol, "b"), threshold, selfLt = true)
+    val inWave = gramJaccardPairsSelf(posts, idCol, threshold)
       .localCheckpoint(true)
     val statePosts = spark.table(t.postTable)
       .select(col(idCol).as("__ib"), col("g1").as("__g1"),
         col("g2").as("__g2"), col("n_grams").as("__nb"))
     val waveState = gramJaccardPairs(postingsShape(posts, idCol, "a"),
-      statePosts, threshold, selfLt = false)
+      statePosts, threshold)
       .localCheckpoint(true)
     // the DOC-LEVEL pair graph persists (takedown needs it to decide
     // splits); the CC below runs over the cheaper CONTRACTED graph

@@ -338,6 +338,38 @@ class IngestSpec extends AnyFunSuite {
     assert(r3.gated === 0 && r3.accepted === 0)
   }
 
+  test("drift monitor: per-wave PSI against promoted gold; wave 0 skipped; monitoring never gates") {
+    import operators.Stats
+    val dir = tmp("graft_ingest_drift")
+    // wave 0 promotes an all-es corpus; wave 1 arrives mostly zh —
+    // the monitor must flag it loudly while STILL ingesting it
+    val w0 = Seq((1L, textA, "es"), (2L, textB, "es"))
+      .toDF("doc_id", "text", "lang")
+    val w1 = Seq((11L, textC, "zh"), (12L, textD, "zh"), (13L, textE, "es"))
+      .toDF("doc_id", "text", "lang")
+    w0.write.parquet(s"$dir/w0")
+    w1.write.parquet(s"$dir/w1")
+    IngestCli.runText(spark, s"$dir/state", Seq(s"$dir/w0", s"$dir/w1"),
+      None, cfg, ns = "graft_ingest_drift_t", driftCols = Seq("lang"))
+    val drift = spark.read.parquet(s"$dir/state/drift")
+    // wave 0 had no gold to drift from — no rows; wave 1 reported
+    assert(drift.select("ingest_wave").distinct().as[Int].collect()
+      .toSet === Set(1))
+    // the logged report IS Stats.driftReport(gold-so-far, wave):
+    // wave 0 was fully promoted, so gold-so-far == w0
+    val got = drift.drop("ingest_wave").collect()
+      .map(_.toSeq).toSet
+    val want = Stats.driftReport(w0, w1, Seq("lang" -> col("lang")))
+      .collect().map(_.toSeq).toSet
+    assert(got === want)
+    // an all-bucket register shift reads as a loud alarm (> 0.25)...
+    assert(drift.select("feature_psi").as[Double].head() >
+      IngestCli.DriftAlarmPsi)
+    // ...but monitoring never gates: the drifted wave still landed
+    assert(goldIds(IngestCli.currentGoldPath(spark, s"$dir/state")) ===
+      Set(1L, 2L, 11L, 12L, 13L))
+  }
+
   // ---- the MEDIA wave loop ----
 
   test("media waves: gold == from-scratch batch over the union after every wave") {
