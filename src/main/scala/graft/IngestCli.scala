@@ -1042,6 +1042,63 @@ object IngestCli {
     })
   }
 
+  /** The CLUSTER loop (`GRAFT_CLUSTERS=1`): text waves through the
+    * incremental near-dup cluster state ([[graft.operators.Incremental
+    * .writeClusterState]]/`appendClusters`) — the first wave
+    * initializes, later waves join/found/bridge; each wave prints its
+    * assignment count plus the cluster-stats audit row over resolved
+    * membership. `GRAFT_TAKEDOWN` applies AFTER the waves (unlike the
+    * tombstone loops: cluster takedown is a state REWRITE over
+    * already-ingested docs, so a pre-wave takedown on empty state
+    * would be a no-op) and retracts SPLIT-CORRECTLY via
+    * [[graft.operators.Incremental.takedownClusters]] into the `_v1`
+    * tables. `GRAFT_GRAM_N` / `GRAFT_JACCARD` tune the edge contract
+    * — fixed for the state's life (a gram-size change re-keys every
+    * posting, the re-shingling rule). */
+  def runClusters(spark: SparkSession, dir: String, wavePaths: Seq[String],
+      takedownPath: Option[String], n: Int = 4, threshold: Double = 0.4,
+      ns: String = "graft_ingest_clusters"): Unit = {
+    def tabs(v: Int) = operators.Incremental.ClusterTables(
+      s"${ns}_post_v$v", s"$dir/post_v$v",
+      s"${ns}_member_v$v", s"$dir/member_v$v",
+      s"${ns}_alias_v$v", s"$dir/alias_v$v",
+      s"${ns}_edges_v$v", s"$dir/edges_v$v")
+    val t0 = tabs(0)
+    Seq(tabs(0), tabs(1)).foreach(x => Seq(x.postTable, x.memberTable,
+      x.aliasTable, x.edgeTable)
+      .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS $tb")))
+    def audit(tag: String, t: operators.Incremental.ClusterTables): Unit = {
+      val s = graft.operators.DupClusters.clusterStats(
+        operators.Incremental.resolveClusters(spark, t)).head()
+      println(s"[$tag] clusters=${s.getAs[Long]("clusters")} " +
+        s"vertices=${s.getAs[Long]("vertices")} " +
+        s"in_dup_clusters=${s.getAs[Long]("vertices_in_dup_clusters")} " +
+        s"largest=${s.getAs[Long]("largest_cluster")} " +
+        s"removable=${s.getAs[Long]("removable")}")
+    }
+    wavePaths.zipWithIndex.foreach { case (path, i) =>
+      val wave = spark.read.parquet(path)
+      if (i == 0) {
+        operators.Incremental.writeClusterState(wave, "doc_id",
+          col("text"), n, threshold, t0)
+        println(s"[ingest-clusters] wave=0 initialized " +
+          s"docs=${wave.count()}")
+      } else {
+        val a = operators.Incremental.appendClusters(wave, "doc_id",
+          col("text"), n, threshold, t0)
+        println(s"[ingest-clusters] wave=$i assigned=${a.count()}")
+      }
+      audit(s"ingest-clusters wave=$i", t0)
+    }
+    takedownPath.foreach { p =>
+      val t1 = tabs(1)
+      operators.Incremental.takedownClusters(spark,
+        spark.read.parquet(p).select("doc_id"), t0, t1)
+      println(s"[ingest-clusters] takedown -> ${t1.memberTable}")
+      audit("ingest-clusters takedown", t1)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
       "usage: IngestCli <stateDir> <wave1.parquet> [wave2.parquet ...] " +
@@ -1049,7 +1106,10 @@ object IngestCli {
         "GRAFT_BLOCKLIST/GRAFT_TAKEDOWN/GRAFT_EVAL name parquet " +
         "inputs — GRAFT_EVAL arms the text loop's benchmark-" +
         "decontamination gate; GRAFT_DRIFT=col1,col2 arms the text " +
-        "loop's per-wave PSI monitor against gold; GRAFT_NS " +
+        "loop's per-wave PSI monitor against gold; GRAFT_CLUSTERS=1 " +
+        "selects the incremental cluster loop (GRAFT_GRAM_N/" +
+        "GRAFT_JACCARD tune the edge contract, GRAFT_TAKEDOWN applies " +
+        "after the waves, split-correctly); GRAFT_NS " +
         "sets the state-table namespace — mode-suffixed, so concurrent " +
         "loops on one metastore never collide)")
     val dir = args(0)
@@ -1071,6 +1131,20 @@ object IngestCli {
         "video loops (text-gram decontamination) — gate captions/" +
         "transcripts through the text loop, or flag media signatures " +
         "via GRAFT_BLOCKLIST")
+    if (sys.env.contains("GRAFT_CLUSTERS") && sys.env.contains("GRAFT_MEDIA"))
+      System.err.println("[graft] GRAFT_CLUSTERS is a text-corpus loop " +
+        "(word-gram Jaccard edges) — it is ignored when GRAFT_MEDIA " +
+        "selects a media loop; cluster media by signature through the " +
+        "Hamming states instead")
+    if (sys.env.contains("GRAFT_CLUSTERS") && !sys.env.contains("GRAFT_MEDIA")) {
+      runClusters(spark, dir, args.drop(1).toSeq,
+        sys.env.get("GRAFT_TAKEDOWN"),
+        sys.env.get("GRAFT_GRAM_N").map(_.toInt).getOrElse(4),
+        sys.env.get("GRAFT_JACCARD").map(_.toDouble).getOrElse(0.4),
+        ns("clusters", "graft_ingest_clusters"))
+      spark.stop()
+      return
+    }
     sys.env.get("GRAFT_MEDIA") match {
       case Some("video") =>
         runVideo(spark, dir, args.drop(1).toSeq,

@@ -370,6 +370,36 @@ class IngestSpec extends AnyFunSuite {
       Set(1L, 2L, 11L, 12L, 13L))
   }
 
+  test("IngestCli.runClusters drives the cluster loop: init, append, post-wave split-correct takedown") {
+    import operators.Incremental
+    val dir = tmp("graft_ingest_clusters")
+    // the bridge fixture at word-2-grams: {0,1} ~ 3 ~ {2,4}; takedown
+    // of the bridge must split after the waves
+    val w0 = Seq((0L, "alpha beta gamma delta extra"),
+      (1L, "alpha beta gamma delta"),
+      (2L, "one two three four")).toDF("doc_id", "text")
+    val w1 = Seq((3L, "alpha beta gamma one two three"),
+      (4L, "one two three five")).toDF("doc_id", "text")
+    w0.write.parquet(s"$dir/w0")
+    w1.write.parquet(s"$dir/w1")
+    Seq(3L).toDF("doc_id").write.parquet(s"$dir/takedown")
+    IngestCli.runClusters(spark, s"$dir/state", Seq(s"$dir/w0", s"$dir/w1"),
+      Some(s"$dir/takedown"), n = 2, threshold = 0.3,
+      ns = "graft_ingest_clusters_t")
+    def resolved(v: Int) = Incremental.resolveClusters(spark,
+      Incremental.ClusterTables(
+        s"graft_ingest_clusters_t_post_v$v", s"$dir/state/post_v$v",
+        s"graft_ingest_clusters_t_member_v$v", s"$dir/state/member_v$v",
+        s"graft_ingest_clusters_t_alias_v$v", s"$dir/state/alias_v$v",
+        s"graft_ingest_clusters_t_edges_v$v", s"$dir/state/edges_v$v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resolved(0) ===
+      Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L),
+      "waves merged through the bridge")
+    assert(resolved(1) === Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 4L -> 2L),
+      "post-wave takedown of the bridge splits, v1 tables hold it")
+  }
+
   // ---- the MEDIA wave loop ----
 
   test("media waves: gold == from-scratch batch over the union after every wave") {
