@@ -891,7 +891,8 @@ object IngestCli {
       ns: String = "graft_ingest",
       evalPath: Option[String] = None,
       compaction: CompactionPolicy = CompactionPolicy(),
-      driftCols: Seq[String] = Nil): Unit = {
+      driftCols: Seq[String] = Nil,
+      driftTokens: Int = 0): Unit = {
     // digests built ONCE per run — benchmark-sized eval sets, the
     // evalGramDigests contract
     val gate = evalPath.map(p => evalGate(spark.read.parquet(p), col("text")))
@@ -904,7 +905,8 @@ object IngestCli {
       val wave = spark.read.parquet(path)
       // drift is measured BEFORE ingesting: the question is "does this
       // wave look like the corpus we promoted so far?"
-      if (driftCols.nonEmpty) waveDrift(spark, st, wave, driftCols, i)
+      if (driftCols.nonEmpty || driftTokens > 0)
+        waveDrift(spark, st, wave, driftCols, i, driftTokens)
       val r = ingestWave(spark, st, wave, i, cfg,
         gate)
       println(s"[ingest] wave=${r.wave} incoming=${r.incoming} " +
@@ -934,11 +936,23 @@ object IngestCli {
     * evidence). Skipped while gold is empty (wave 0: nothing to
     * drift from — every share would be eps-floored noise). */
   def waveDrift(spark: SparkSession, st: IngestState, wave: DataFrame,
-      featureCols: Seq[String], waveNo: Int): Option[DataFrame] = {
+      featureCols: Seq[String], waveNo: Int,
+      tokenK: Int = 0): Option[DataFrame] = {
     if (!goldHasData(spark, st.goldPath)) return None
     val gold = spark.read.parquet(st.goldPath)
-    val rep = operators.Stats.driftReport(gold, wave,
-        featureCols.map(c => c -> col(c)))
+    // token-stream drift is opt-in (tokenK > 0): it explodes both
+    // corpora once, the heavier monitor — its 'token' feature rows
+    // union into the same log/alarm surface
+    val parts = Seq(
+      if (featureCols.nonEmpty)
+        Some(operators.Stats.driftReport(gold, wave,
+          featureCols.map(c => c -> col(c))))
+      else None,
+      if (tokenK > 0)
+        Some(operators.Stats.tokenDrift(gold, wave, col("text"), tokenK))
+      else None).flatten
+    if (parts.isEmpty) return None
+    val rep = parts.reduce(_ unionByName _)
       .withColumn("ingest_wave", lit(waveNo))
       .localCheckpoint(true)
     rep.write.mode(SaveMode.Append).parquet(s"${st.dir}/drift")
@@ -1106,7 +1120,9 @@ object IngestCli {
         "GRAFT_BLOCKLIST/GRAFT_TAKEDOWN/GRAFT_EVAL name parquet " +
         "inputs — GRAFT_EVAL arms the text loop's benchmark-" +
         "decontamination gate; GRAFT_DRIFT=col1,col2 arms the text " +
-        "loop's per-wave PSI monitor against gold; GRAFT_CLUSTERS=1 " +
+        "loop's per-wave PSI monitor against gold (GRAFT_DRIFT_TOKENS=k " +
+        "adds the token-stream monitor over the top-k gold " +
+        "vocabulary); GRAFT_CLUSTERS=1 " +
         "selects the incremental cluster loop (GRAFT_GRAM_N/" +
         "GRAFT_JACCARD tune the edge contract, GRAFT_TAKEDOWN applies " +
         "after the waves, split-correctly); GRAFT_NS " +
@@ -1162,7 +1178,9 @@ object IngestCli {
           sys.env.get("GRAFT_TAKEDOWN"), GraftConfig.fromEnv(),
           ns("text", "graft_ingest"), sys.env.get("GRAFT_EVAL"),
           driftCols = sys.env.get("GRAFT_DRIFT").toSeq
-            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty))
+            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
+          driftTokens =
+            sys.env.get("GRAFT_DRIFT_TOKENS").map(_.toInt).getOrElse(0))
     }
     spark.stop()
   }

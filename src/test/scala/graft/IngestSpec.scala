@@ -368,6 +368,20 @@ class IngestSpec extends AnyFunSuite {
     // ...but monitoring never gates: the drifted wave still landed
     assert(goldIds(IngestCli.currentGoldPath(spark, s"$dir/state")) ===
       Set(1L, 2L, 11L, 12L, 13L))
+    // token-stream monitor (GRAFT_DRIFT_TOKENS): same waves, token
+    // feature rows logged and equal to the direct tokenDrift report
+    IngestCli.runText(spark, s"$dir/state_tok",
+      Seq(s"$dir/w0", s"$dir/w1"), None, cfg,
+      ns = "graft_ingest_drift_tok", driftTokens = 5)
+    val tok = spark.read.parquet(s"$dir/state_tok/drift")
+    assert(tok.select("feature").distinct().as[String].collect()
+      .toSet === Set("token"))
+    assert(tok.filter(col("bucket") === "<other>").count() === 1,
+      "the <other> fold rides into the loop's log")
+    val gotTok = tok.drop("ingest_wave").collect().map(_.toSeq).toSet
+    val wantTok = Stats.tokenDrift(w0, w1, col("text"), k = 5)
+      .collect().map(_.toSeq).toSet
+    assert(gotTok === wantTok)
   }
 
   test("IngestCli.runClusters drives the cluster loop: init, append, post-wave split-correct takedown") {
