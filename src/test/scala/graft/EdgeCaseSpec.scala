@@ -172,4 +172,50 @@ class EdgeCaseSpec extends AnyFunSuite {
       targetBytes = Long.MaxValue)
     assert(n === 1 && spark.read.parquet(s"$base/out").count() === 1)
   }
+
+  test("round-9 drift and cluster operators on empty and single-row frames") {
+    import graft.operators.{Incremental, Stats}
+    // drift against an EMPTY reference: every cur bucket spikes off
+    // the eps floor, finitely — and the degenerate both-empty case is
+    // an empty report, not a crash
+    val d = Stats.driftReport(emptyDocs, oneDoc, Seq("len" -> length(col("text"))))
+      .collect()
+    assert(d.length === 1 && d(0).getAs[Long]("ref_n") === 0L)
+    assert(!d(0).getAs[Double]("psi").isInfinite &&
+      !d(0).getAs[Double]("psi").isNaN)
+    assert(Stats.driftReport(emptyDocs, emptyDocs,
+      Seq("len" -> length(col("text")))).count() === 0)
+    assert(Stats.tokenDrift(emptyDocs, oneDoc, col("text"), k = 4)
+      .collect().forall(_.getAs[String]("bucket") === "<other>"),
+      "an empty reference vocabulary folds every token to <other>")
+    assert(Stats.tokenDrift(oneDoc, emptyDocs, col("text"), k = 4)
+      .collect().forall(_.getAs[Long]("cur_n") === 0L))
+    // cluster state from an empty corpus: writable, probe-able,
+    // appendable — a dev bucket's first run
+    val dir = java.nio.file.Files.createTempDirectory("graft_edge_cl").toString
+    val t = Incremental.ClusterTables(
+      "t_edge_cl_post", s"$dir/post", "t_edge_cl_member", s"$dir/member",
+      "t_edge_cl_alias", s"$dir/alias", "t_edge_cl_edges", s"$dir/edges",
+      numBuckets = 2)
+    try {
+      Incremental.writeClusterState(emptyDocs, "doc_id", col("text"),
+        n = 2, threshold = 0.5, t)
+      assert(Incremental.resolveClusters(spark, t).count() === 0)
+      val a = Incremental.appendClusters(oneDoc, "doc_id", col("text"),
+        n = 2, threshold = 0.5, t)
+      assert(a.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+        Map(1L -> 1L), "first doc into empty state founds its own cluster")
+      // takedown of an id never ingested is a no-op, not a crash
+      val t2 = Incremental.ClusterTables(
+        "t_edge_cl2_post", s"$dir/post2", "t_edge_cl2_member", s"$dir/member2",
+        "t_edge_cl2_alias", s"$dir/alias2", "t_edge_cl2_edges", s"$dir/edges2",
+        numBuckets = 2)
+      Incremental.takedownClusters(spark, Seq(99L).toDF("doc_id"), t, t2)
+      assert(Incremental.resolveClusters(spark, t2).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap === Map(1L -> 1L))
+    } finally Seq("t_edge_cl_post", "t_edge_cl_member", "t_edge_cl_alias",
+      "t_edge_cl_edges", "t_edge_cl2_post", "t_edge_cl2_member",
+      "t_edge_cl2_alias", "t_edge_cl2_edges")
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+  }
 }
