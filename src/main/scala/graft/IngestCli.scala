@@ -937,9 +937,30 @@ object IngestCli {
     * drift from — every share would be eps-floored noise). */
   def waveDrift(spark: SparkSession, st: IngestState, wave: DataFrame,
       featureCols: Seq[String], waveNo: Int,
-      tokenK: Int = 0): Option[DataFrame] = {
-    if (!goldHasData(spark, st.goldPath)) return None
-    val gold = spark.read.parquet(st.goldPath)
+      tokenK: Int = 0): Option[DataFrame] =
+    waveDriftAt(spark, st.goldPath, st.dir, wave, featureCols, waveNo,
+      tokenK, tag = "ingest")
+
+  /** The modality-agnostic core of [[waveDrift]] — the PSI reports are
+    * feature-column math, so the media and video loops monitor through
+    * the SAME surface (`$dir/drift` log, [[DriftAlarmPsi]] alarm,
+    * never gating): feature drift over whatever bounded-cardinality
+    * wave columns the operator names (signature bands, width/duration
+    * buckets, source tags — media extras ride to gold, so both sides
+    * have them), token drift over extracted text WHERE PRESENT (a
+    * media wave without a `text` column on both sides gets a loud
+    * skip note, not a crash — transcripts/captions may arrive only on
+    * some pipelines). */
+  def waveDriftAt(spark: SparkSession, goldPath: String, dir: String,
+      wave: DataFrame, featureCols: Seq[String], waveNo: Int,
+      tokenK: Int = 0, tag: String = "ingest"): Option[DataFrame] = {
+    if (!goldHasData(spark, goldPath)) return None
+    val gold = spark.read.parquet(goldPath)
+    val textBoth = gold.columns.contains("text") && wave.columns.contains("text")
+    if (tokenK > 0 && !textBoth)
+      println(s"[$tag] wave=$waveNo token drift skipped: no 'text' " +
+        "column on both wave and gold (extracted transcripts/captions " +
+        "are where token drift applies in a media loop)")
     // token-stream drift is opt-in (tokenK > 0): it explodes both
     // corpora once, the heavier monitor — its 'token' feature rows
     // union into the same log/alarm surface
@@ -948,18 +969,18 @@ object IngestCli {
         Some(operators.Stats.driftReport(gold, wave,
           featureCols.map(c => c -> col(c))))
       else None,
-      if (tokenK > 0)
+      if (tokenK > 0 && textBoth)
         Some(operators.Stats.tokenDrift(gold, wave, col("text"), tokenK))
       else None).flatten
     if (parts.isEmpty) return None
     val rep = parts.reduce(_ unionByName _)
       .withColumn("ingest_wave", lit(waveNo))
       .localCheckpoint(true)
-    rep.write.mode(SaveMode.Append).parquet(s"${st.dir}/drift")
+    rep.write.mode(SaveMode.Append).parquet(s"$dir/drift")
     rep.select(col("feature"), col("feature_psi")).distinct()
       .collect().sortBy(_.getString(0)).foreach { r =>
         val alarm = if (r.getDouble(1) > DriftAlarmPsi) " ALARM" else ""
-        println(f"[ingest] wave=$waveNo drift feature=${r.getString(0)} " +
+        println(f"[$tag] wave=$waveNo drift feature=${r.getString(0)} " +
           f"psi=${r.getDouble(1)}%.6f$alarm")
       }
     Some(rep)
@@ -977,7 +998,8 @@ object IngestCli {
       mode: String, blocklistPath: Option[String],
       takedownPath: Option[String], maxHamming: Int = 8,
       ns: String = "graft_ingest_media",
-      compaction: CompactionPolicy = CompactionPolicy()): Unit = {
+      compaction: CompactionPolicy = CompactionPolicy(),
+      driftCols: Seq[String] = Nil, driftTokens: Int = 0): Unit = {
     val (signer: (DataFrame => DataFrame), signerName: String) = mode match {
       case "image" => (defaultImageSigner _, ImageSignerName)
       case "audio" => ((df: DataFrame) =>
@@ -997,6 +1019,11 @@ object IngestCli {
     }
     val clock = new CompactionClock(compaction)
     driveWaves(spark, "ingest-media", wavePaths, (w, i) => {
+      // drift BEFORE ingesting, as the text loop: "does this wave look
+      // like the corpus we promoted so far?"
+      if (driftCols.nonEmpty || driftTokens > 0)
+        waveDriftAt(spark, st.goldPath, st.dir, w, driftCols, i,
+          driftTokens, tag = "ingest-media")
       val r = ingestMediaWave(spark, st, w, i, signer, blocklist,
         signerName)
       if (clock.record(r.decoded)) {
@@ -1035,7 +1062,8 @@ object IngestCli {
       blocklistPath: Option[String], takedownPath: Option[String],
       maxHamming: Int = 8, minFrames: Int = 2, everyNth: Int = 2,
       ns: String = "graft_ingest_video",
-      compaction: CompactionPolicy = CompactionPolicy()): Unit = {
+      compaction: CompactionPolicy = CompactionPolicy(),
+      driftCols: Seq[String] = Nil, driftTokens: Int = 0): Unit = {
     val blocklist = loadBlocklist(spark, blocklistPath, maxHamming)
     var st = initVideoState(spark, ns, dir, maxHamming,
       minFrames, everyNth)
@@ -1045,6 +1073,9 @@ object IngestCli {
     }
     val clock = new CompactionClock(compaction)
     driveWaves(spark, "ingest-video", wavePaths, (w, i) => {
+      if (driftCols.nonEmpty || driftTokens > 0)
+        waveDriftAt(spark, st.goldPath, st.dir, w, driftCols, i,
+          driftTokens, tag = "ingest-video")
       val r = ingestVideoWave(spark, st, w, i, blocklist)
       if (clock.record(r.decoded)) {
         st = compactVideoSigs(spark, st)
@@ -1064,14 +1095,20 @@ object IngestCli {
     * membership. `GRAFT_TAKEDOWN` applies AFTER the waves (unlike the
     * tombstone loops: cluster takedown is a state REWRITE over
     * already-ingested docs, so a pre-wave takedown on empty state
-    * would be a no-op) and retracts SPLIT-CORRECTLY via
+    * would be a no-op) and retracts SPLIT-CORRECTLY — by default via
     * [[graft.operators.Incremental.takedownClusters]] into the `_v1`
-    * tables. `GRAFT_GRAM_N` / `GRAFT_JACCARD` tune the edge contract
-    * — fixed for the state's life (a gram-size change re-keys every
-    * posting, the re-shingling rule). */
+    * tables (the corpus-sized blue/green rewrite); with `patch = true`
+    * (`GRAFT_TAKEDOWN_PATCH=1`) via [[graft.operators.Incremental
+    * .patchTakedownClusters]] — the O(affected) overlay, compacted
+    * into `_v1` only when [[graft.operators.Incremental
+    * .clusterPatchLoad]] exceeds `patchCompactLoad`. `GRAFT_GRAM_N` /
+    * `GRAFT_JACCARD` tune the edge contract — fixed for the state's
+    * life (a gram-size change re-keys every posting, the
+    * re-shingling rule). */
   def runClusters(spark: SparkSession, dir: String, wavePaths: Seq[String],
       takedownPath: Option[String], n: Int = 4, threshold: Double = 0.4,
-      ns: String = "graft_ingest_clusters"): Unit = {
+      ns: String = "graft_ingest_clusters", patch: Boolean = false,
+      patchCompactLoad: Double = 0.3): Unit = {
     def tabs(v: Int) = operators.Incremental.ClusterTables(
       s"${ns}_post_v$v", s"$dir/post_v$v",
       s"${ns}_member_v$v", s"$dir/member_v$v",
@@ -1105,11 +1142,26 @@ object IngestCli {
       audit(s"ingest-clusters wave=$i", t0)
     }
     takedownPath.foreach { p =>
-      val t1 = tabs(1)
-      operators.Incremental.takedownClusters(spark,
-        spark.read.parquet(p).select("doc_id"), t0, t1)
-      println(s"[ingest-clusters] takedown -> ${t1.memberTable}")
-      audit("ingest-clusters takedown", t1)
+      val rid = spark.read.parquet(p).select("doc_id")
+      if (patch) {
+        operators.Incremental.patchTakedownClusters(spark, rid, t0)
+        val load = operators.Incremental.clusterPatchLoad(spark, t0)
+        println(f"[ingest-clusters] takedown patched in place " +
+          f"(overlay load=$load%.4f)")
+        audit("ingest-clusters takedown", t0)
+        if (load > patchCompactLoad) {
+          val t1 = tabs(1)
+          operators.Incremental.compactClusterPatches(spark, t0, t1)
+          println(s"[ingest-clusters] patch ledger compacted -> " +
+            s"${t1.memberTable}")
+          audit("ingest-clusters compacted", t1)
+        }
+      } else {
+        val t1 = tabs(1)
+        operators.Incremental.takedownClusters(spark, rid, t0, t1)
+        println(s"[ingest-clusters] takedown -> ${t1.memberTable}")
+        audit("ingest-clusters takedown", t1)
+      }
     }
   }
 
@@ -1119,10 +1171,11 @@ object IngestCli {
         "(GRAFT_MEDIA=image|audio|video selects the media loop; " +
         "GRAFT_BLOCKLIST/GRAFT_TAKEDOWN/GRAFT_EVAL name parquet " +
         "inputs — GRAFT_EVAL arms the text loop's benchmark-" +
-        "decontamination gate; GRAFT_DRIFT=col1,col2 arms the text " +
-        "loop's per-wave PSI monitor against gold (GRAFT_DRIFT_TOKENS=k " +
-        "adds the token-stream monitor over the top-k gold " +
-        "vocabulary); GRAFT_CLUSTERS=1 " +
+        "decontamination gate; GRAFT_DRIFT=col1,col2 arms the per-wave " +
+        "PSI monitor against gold in EVERY loop — text, media, video " +
+        "(GRAFT_DRIFT_TOKENS=k adds the token-stream monitor over the " +
+        "top-k gold vocabulary, applied where a text column exists on " +
+        "both sides); GRAFT_CLUSTERS=1 " +
         "selects the incremental cluster loop (GRAFT_GRAM_N/" +
         "GRAFT_JACCARD tune the edge contract, GRAFT_TAKEDOWN applies " +
         "after the waves, split-correctly); GRAFT_NS " +
@@ -1157,10 +1210,15 @@ object IngestCli {
         sys.env.get("GRAFT_TAKEDOWN"),
         sys.env.get("GRAFT_GRAM_N").map(_.toInt).getOrElse(4),
         sys.env.get("GRAFT_JACCARD").map(_.toDouble).getOrElse(0.4),
-        ns("clusters", "graft_ingest_clusters"))
+        ns("clusters", "graft_ingest_clusters"),
+        patch = sys.env.get("GRAFT_TAKEDOWN_PATCH").contains("1"))
       spark.stop()
       return
     }
+    val driftCols = sys.env.get("GRAFT_DRIFT").toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val driftTokens =
+      sys.env.get("GRAFT_DRIFT_TOKENS").map(_.toInt).getOrElse(0)
     sys.env.get("GRAFT_MEDIA") match {
       case Some("video") =>
         runVideo(spark, dir, args.drop(1).toSeq,
@@ -1168,19 +1226,19 @@ object IngestCli {
           maxHamming,
           sys.env.get("GRAFT_MIN_FRAMES").map(_.toInt).getOrElse(2),
           sys.env.get("GRAFT_EVERY_NTH").map(_.toInt).getOrElse(2),
-          ns("video", "graft_ingest_video"))
+          ns("video", "graft_ingest_video"),
+          driftCols = driftCols, driftTokens = driftTokens)
       case Some(mode) =>
         runMedia(spark, dir, args.drop(1).toSeq, mode,
           sys.env.get("GRAFT_BLOCKLIST"), sys.env.get("GRAFT_TAKEDOWN"),
-          maxHamming, ns(mode, "graft_ingest_media"))
+          maxHamming, ns(mode, "graft_ingest_media"),
+          driftCols = driftCols, driftTokens = driftTokens)
       case None =>
         runText(spark, dir, args.drop(1).toSeq,
           sys.env.get("GRAFT_TAKEDOWN"), GraftConfig.fromEnv(),
           ns("text", "graft_ingest"), sys.env.get("GRAFT_EVAL"),
-          driftCols = sys.env.get("GRAFT_DRIFT").toSeq
-            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty),
-          driftTokens =
-            sys.env.get("GRAFT_DRIFT_TOKENS").map(_.toInt).getOrElse(0))
+          driftCols = driftCols,
+          driftTokens = driftTokens)
     }
     spark.stop()
   }

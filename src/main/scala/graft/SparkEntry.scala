@@ -524,7 +524,10 @@ object SparkEntry {
         .select(col("doc_id"), explode(analysis.sentences_of(
           concat(col("text"), lit(" El Sr. López y la Dra. Ruiz, " +
             "p. ej. etc. así 3.14 sigue... baja. J. R. R. Tolkien " +
-            "escribió. Fin one. two! three? four")))).as("sentence"))
+            "escribió. Fin one. two! three? four. Vive en EE. UU. " +
+            "desde 1990 en el Blvd. Reforma. Nació en 44 a. C. aprox. " +
+            "el 1.º de mayo. N.º 12, vol. 3 sigue. El 5 dic. de 2020 " +
+            "llegó. FF. AA. listas")))).as("sentence"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sentences"),
           max(length(col("sentence"))).as("max_sentence_len"))
         .orderBy("doc_id")
@@ -2250,6 +2253,33 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ---- CID-font PDF source end-to-end (the ToUnicode envelope):
+    // same recompute-from-documents oracle as q142/q153, but every
+    // page's text shows through a Type0 (CID-keyed) font as 2-byte
+    // synthetic character codes in hex strings — NOTHING in the file
+    // is Latin-1-readable text; only parsing the font's compressed
+    // /ToUnicode CMap (resolved through the INHERITED /Resources on
+    // the Pages node) recovers it. The scanned-book-corpus layout
+    // pdfplumber maps (reference pipeline/ingestion/drivers.py:33-50).
+    "q163_pdf_cid_tounicode_scan" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") % 10 === 1 && col("text").isNotNull &&
+          length(col("text")) > 0)
+        .select(col("doc_id"), col("text"))
+      val pdfDir = s"${stateDir(dir)}/q163_pdfs"
+      val rows = docs.as[(Long, String)].map { case (id, text) =>
+        (f"doc_$id%08d", Seq(text, s"doc $id page 2"))
+      }
+      sources.Pdf.writePdfDir(rows, pdfDir, cid = true)
+      sources.Pdf.readPdfDir(s, pdfDir).toDF()
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.pdf$", 1)
+            .cast("long").as("doc_id"),
+          col("pdf_text"), col("pdf_pages"), col("pdf_ok"))
+        .orderBy("doc_id")
+    },
+
     // ---- Multimodal audio near-dup: REAL RIFF/PCM decode of a
     // deterministic synthetic WAV corpus (scene = doc_id/3, planted
     // 3-frame variants ≤ 4 eHash bits apart; every 97th payload
@@ -2706,6 +2736,43 @@ object SparkEntry {
         docs.filter(col("doc_id") % 97 === 0).select("doc_id"), t0, t1)
       Incremental.resolveClusters(s, t1).orderBy("doc_id")
     },
+
+    // ---- AFFECTED-ONLY cluster takedown (the O(affected) path): the
+    // same split-correct semantics as q162's blue/green rewrite, but
+    // the outcome lands as a broadcast-scale patch + tombstone OVERLAY
+    // over unrewritten state. The fixture interleaves hard cases: a
+    // takedown mid-stream, a wave APPENDED AFTER it (the overlay-aware
+    // probe/canon path), then a SECOND takedown (patch merging, alias
+    // cleanup, prior tombstones). The oracle is one batch closure over
+    // the retained corpus — identical to what the full rewrite
+    // resolves, which is the patched ≡ blue/green contract.
+    "q164_cluster_takedown_patched" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val sd = stateDir(dir)
+      val t = Incremental.ClusterTables(
+        "graft_q164_post", s"$sd/q164_post",
+        "graft_q164_member", s"$sd/q164_member",
+        "graft_q164_alias", s"$sd/q164_alias",
+        "graft_q164_edges", s"$sd/q164_edges", numBuckets = 8)
+      Seq(t.postTable, t.memberTable, t.aliasTable, t.edgeTable)
+        .foreach(tb => s.sql(s"DROP TABLE IF EXISTS $tb"))
+      Incremental.writeClusterState(docs.filter(col("doc_id") < 200),
+        "doc_id", col("text"), n = 4, threshold = 0.4, t)
+      Incremental.appendClusters(
+        docs.filter(col("doc_id") >= 200 && col("doc_id") < 350),
+        "doc_id", col("text"), n = 4, threshold = 0.4, t)
+      Incremental.patchTakedownClusters(s,
+        docs.filter(col("doc_id") % 97 === 0).select("doc_id"), t)
+      // the post-takedown wave arrives tombstone-gated upstream, as
+      // every ingestion loop does (a retracted id is never recrawled
+      // into the same state)
+      Incremental.appendClusters(
+        docs.filter(col("doc_id") >= 350 && col("doc_id") % 97 =!= 0),
+        "doc_id", col("text"), n = 4, threshold = 0.4, t)
+      Incremental.patchTakedownClusters(s,
+        docs.filter(col("doc_id") % 89 === 0).select("doc_id"), t)
+      Incremental.resolveClusters(s, t).orderBy("doc_id")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -3059,15 +3126,24 @@ object SparkEntry {
     // chr(30) = the boundary marker, both restored/consumed below).
     "q35_sentence_split" ->
       """WITH raw AS (
-        |  SELECT doc_id, text || ' El Sr. López y la Dra. Ruiz, p. ej. etc. así 3.14 sigue... baja. J. R. R. Tolkien escribió. Fin one. two! three? four' AS t
+        |  SELECT doc_id, text || ' El Sr. López y la Dra. Ruiz, p. ej. etc. así 3.14 sigue... baja. J. R. R. Tolkien escribió. Fin one. two! three? four. Vive en EE. UU. desde 1990 en el Blvd. Reforma. Nació en 44 a. C. aprox. el 1.º de mayo. N.º 12, vol. 3 sigue. El 5 dic. de 2020 llegó. FF. AA. listas' AS t
         |  FROM documents),
         |p1 AS (SELECT doc_id, regexp_replace(t, '\b([pP])\.(\s*)(ej)\.',
         |  '\1' || chr(31) || '\2\3' || chr(31), 'g') AS t FROM raw),
+        |p1b AS (SELECT doc_id, regexp_replace(t,
+        |  '\b(EE|FF|RR|Bs|[ad])\.(\s*(?:UU|AA|CC|HH|As|C))\.(\s+[\p{Ll}0-9])',
+        |  '\1' || chr(31) || '\2' || chr(31) || '\3', 'g') AS t FROM p1),
+        |p1c AS (SELECT doc_id, regexp_replace(t,
+        |  '\b(EE|FF|RR|Bs|[ad])\.(\s*(?:UU|AA|CC|HH|As|C)\.)',
+        |  '\1' || chr(31) || '\2', 'g') AS t FROM p1b),
+        |p1d AS (SELECT doc_id, regexp_replace(t,
+        |  '([0-9Nn])\.(\s*[ºª°])',
+        |  '\1' || chr(31) || '\2', 'g') AS t FROM p1c),
         |p2 AS (SELECT doc_id, regexp_replace(t,
-        |  '\b(Sr|Sra|Srta|Dr|Dra|Prof|Profa|Lic|Ing|Gral|Mtro|Mtra|Dña|Ud|Uds|Vd|Vds)\.',
-        |  '\1' || chr(31), 'g') AS t FROM p1),
+        |  '\b(Sr|Sra|Srta|Sres|Dr|Dra|Prof|Profa|Lic|Ing|Gral|Mtro|Mtra|Dña|Ud|Uds|Vd|Vds|Excmo|Excma|Ilmo|Ilma|Rvdo|Mons|Hno|Hna|Sta|Sto|Blvd|Avda|Av|Calz|Cnel|Tte|Gob)\.',
+        |  '\1' || chr(31), 'g') AS t FROM p1d),
         |p3 AS (SELECT doc_id, regexp_replace(t,
-        |  '\b(etc|núm|pág|art|vs|aprox|cap|ed|fig|ref|op|cit)\.(\s+\p{Ll})',
+        |  '\b(etc|núm|pág|art|vs|aprox|cap|ed|fig|ref|op|cit|ene|feb|mar|abr|may|jun|jul|ago|sep|sept|oct|nov|dic|tel|tfno|dpto|apdo|vol|pp|párr)\.(\s+[\p{Ll}0-9])',
         |  '\1' || chr(31) || '\2', 'g') AS t FROM p2),
         |p4 AS (SELECT doc_id, regexp_replace(t, '\.\.\.(\s+\p{Ll})',
         |  chr(31) || chr(31) || chr(31) || '\1', 'g') AS t FROM p3),
@@ -5209,6 +5285,18 @@ object SparkEntry {
         |WHERE doc_id % 10 = 0 AND text IS NOT NULL AND length(text) > 0
         |ORDER BY doc_id""".stripMargin,
 
+    // q163: identical recompute-from-documents shape for the CID-font
+    // layout; the expected text is only reachable by decoding every
+    // page's 2-byte codes through the font's /ToUnicode CMap (the
+    // bytes on disk carry no readable text at all).
+    "q163_pdf_cid_tounicode_scan" ->
+      """SELECT doc_id,
+        |  text || chr(10) || 'doc ' || doc_id || ' page 2' AS pdf_text,
+        |  2 AS pdf_pages, TRUE AS pdf_ok
+        |FROM documents
+        |WHERE doc_id % 10 = 1 AND text IS NOT NULL AND length(text) > 0
+        |ORDER BY doc_id""".stripMargin,
+
     // q153: identical recompute-from-documents shape for the PDF 1.5
     // layout; the expected page ORDER is only reachable through the
     // xref-stream + ObjStm walk (file order is reversed on disk).
@@ -5883,6 +5971,37 @@ object SparkEntry {
     "q162_cluster_takedown" ->
       """WITH RECURSIVE docs AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+        |w0 AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS ws
+        |  FROM docs),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(ws[i:i+3], ' ') AS gram
+        |  FROM w0, UNNEST(generate_series(1, len(ws) - 3)) AS t(i)),
+        |cnt AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    count(*) AS iv
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (SELECT id_a, id_b FROM inter
+        |  JOIN cnt ca ON ca.doc_id = id_a
+        |  JOIN cnt cb ON cb.doc_id = id_b
+        |  WHERE round(iv * 1.0 / (ca.ng + cb.ng - iv), 6) >= 0.4),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM p
+        |          UNION ALL SELECT id_b, id_a FROM p),
+        |reach(id, m) AS (
+        |  SELECT doc_id, doc_id FROM docs
+        |  UNION
+        |  SELECT e.a, r.m FROM edges e JOIN reach r ON r.id = e.b)
+        |SELECT id AS doc_id, CAST(min(m) AS BIGINT) AS cluster
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // q164: the patched-takedown state must resolve to the SAME batch
+    // closure over the retained corpus as a full blue/green rewrite
+    // would — takedown-order and wave-order independent.
+    "q164_cluster_takedown_patched" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 97 <> 0 AND doc_id % 89 <> 0),
         |w0 AS (SELECT doc_id,
         |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
         |      x -> x <> '') AS ws

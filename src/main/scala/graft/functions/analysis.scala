@@ -240,11 +240,39 @@ object analysis {
   private[graft] val SentenceProtections: Seq[(String, String)] = {
     val cap = "A-Z\u00c1\u00c9\u00cd\u00d3\u00da\u00d1"
     val initials = (s"\\b([$cap])\\.(\\s+[$cap])", "$1\u001F$2")
+    // doubled-plural compounds (EE. UU., FF. AA., RR. HH., Bs. As.)
+    // and era markers (a. C. / d. C.): the INNER period is never a
+    // boundary; the final one follows the general-abbreviation rule
+    // (protected when lowercase/digit continues, a boundary before a
+    // capital — except single-letter tails like "C.", which the
+    // initials pass then shields before a capitalized word, the same
+    // no-break stance pysbd takes for abbreviation runs). The
+    // continuing-text row must run FIRST: once it consumes a pair, the
+    // inner-only row cannot rematch (the first period is already
+    // \u001F).
+    val compoundBoth = ("\\b(EE|FF|RR|Bs|[ad])\\.(\\s*(?:UU|AA|CC|HH|As|C))\\." +
+      "(\\s+[\\p{Ll}0-9])", "$1\u001F$2\u001F$3")
+    val compoundInner = ("\\b(EE|FF|RR|Bs|[ad])\\.(\\s*(?:UU|AA|CC|HH|As|C)\\.)",
+      "$1\u001F$2")
+    // ordinal indicators: 1.º, 2.ª, N.º 12 — the period binds the
+    // indicator, never ends a sentence
+    val ordinal = ("([0-9Nn])\\.(\\s*[\u00ba\u00aa\u00b0])", "$1\u001F$2")
     Seq(
       ("\\b([pP])\\.(\\s*)(ej)\\.", "$1\u001F$2$3\u001F"),
-      ("\\b(Sr|Sra|Srta|Dr|Dra|Prof|Profa|Lic|Ing|Gral|Mtro|Mtra|D\u00f1a|Ud|Uds|Vd|Vds)\\.",
+      compoundBoth, compoundInner, ordinal,
+      // honorifics/titles + street-type prefixes (Blvd. Insurgentes,
+      // Avda. Ju\u00e1rez): never a boundary, even before the
+      // capitalized name that follows
+      ("\\b(Sr|Sra|Srta|Sres|Dr|Dra|Prof|Profa|Lic|Ing|Gral|Mtro|Mtra" +
+        "|D\u00f1a|Ud|Uds|Vd|Vds|Excmo|Excma|Ilmo|Ilma|Rvdo|Mons|Hno|Hna" +
+        "|Sta|Sto|Blvd|Avda|Av|Calz|Cnel|Tte|Gob)\\.",
         "$1\u001F"),
-      ("\\b(etc|n\u00fam|p\u00e1g|art|vs|aprox|cap|ed|fig|ref|op|cit)\\.(\\s+\\p{Ll})",
+      // general abbreviations incl. month forms: a boundary only
+      // before a capital — lowercase OR digit continuation is the
+      // same utterance (p\u00e1g. 12, vol. 3, 5 dic. de 2020)
+      ("\\b(etc|n\u00fam|p\u00e1g|art|vs|aprox|cap|ed|fig|ref|op|cit" +
+        "|ene|feb|mar|abr|may|jun|jul|ago|sep|sept|oct|nov|dic" +
+        "|tel|tfno|dpto|apdo|vol|pp|p\u00e1rr)\\.(\\s+[\\p{Ll}0-9])",
         "$1\u001F$2"),
       ("\\.\\.\\.(\\s+\\p{Ll})", "\u001F\u001F\u001F$1"),
       initials, initials)

@@ -1337,6 +1337,75 @@ object Incremental {
       .select(col(idCol)).distinct()
   }
 
+  /** Per-shard duplicate-CLIP compaction for the positional state —
+    * the title-card lever. Clips whose ENTIRE sampled
+    * `(frame_pos, sig)` sets are identical (exact re-encodes,
+    * black-frame and title-card families) are INTERCHANGEABLE for
+    * every probe decision: a batch clip matches one iff it matches
+    * all, at the same positions with the same Hamming distances, so
+    * pair counts against the representative equal pair counts against
+    * any dropped twin. Keeping one representative (min id) per
+    * identical family within each shard collapses the
+    * honestly-quadratic within-(position, shard, bucket) enumeration
+    * of [[frameHammingDupIdsAgainstTable]] from n matches per probe
+    * frame to 1 per family — Σn² → Σf² over FAMILY counts f, which a
+    * recrawl-heavy corpus shrinks by orders of magnitude. Only exact
+    * whole-clip equality collapses; subset/overlap clips are kept
+    * (their pair counts genuinely differ). Blue/green into
+    * `(newTable, newPath)` with the bucket spec and `_meta` row
+    * preserved; returns the number of clips dropped.
+    *
+    * Scale shape: one bucketed scan, a per-clip sorted fingerprint
+    * (clip-length arrays, never corpus-wide), a family-keyed min, a
+    * broadcastable drop list is NOT assumed (the anti-join keys by
+    * id over the bucketed scan) — nothing quadratic anywhere. Run it
+    * as a compaction epilogue at the same cadence as tombstone
+    * compaction. */
+  def compactFrameHammingDuplicates(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      newTable: String, newPath: String, numBuckets: Int = 64): Long = {
+    val state = spark.table(table)
+    val sharded = state.columns.contains("shard")
+    val reserved = Set("frame_pos", "band", "bucket", "sig") ++
+      (if (sharded) Set("shard") else Set.empty[String])
+    val idCol = state.columns.filterNot(reserved) match {
+      case Array(id) => id
+      case other => throw new IllegalArgumentException(
+        "not a positional hamming state table (want " +
+          s"${reserved.mkString(", ")}, <id>): ${other.mkString(",")}")
+    }
+    val shardCols = if (sharded) Seq("shard") else Seq.empty[String]
+    val rows = state.filter(col("band") =!= HammingMetaBand)
+    val meta = state.filter(col("band") === HammingMetaBand)
+    // clip fingerprint: the full distinct (frame_pos, sig) set, sorted
+    // — grouped on the SET itself (no hash, no collision risk)
+    val fp = rows
+      .select((Seq(col(idCol)) ++ shardCols.map(col) ++
+        Seq(col("frame_pos"), col("sig"))): _*)
+      .distinct()
+      .groupBy((col(idCol) +: shardCols.map(col)): _*)
+      .agg(sort_array(collect_list(struct(col("frame_pos"), col("sig"))))
+        .as("__fp"))
+    val keep = fp.groupBy((shardCols.map(col) :+ col("__fp")): _*)
+      .agg(min(col(idCol)).as("__keep"))
+    val drop = fp.join(keep, shardCols :+ "__fp")
+      .filter(col(idCol) =!= col("__keep"))
+      .select(col(idCol).as("__dropid"))
+      .localCheckpoint(true)
+    val nDropped = drop.count()
+    val bcols = ("frame_pos" +: shardCols) ++ Seq("band", "bucket")
+    rows.join(drop, col(idCol) === col("__dropid"), "left_anti")
+      .unionByName(meta)
+      .repartition(numBuckets, bcols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bcols.head, bcols.tail: _*)
+      .sortBy(bcols.head, bcols.tail: _*)
+      .option("path", newPath)
+      .saveAsTable(newTable)
+    hammingMetaMemo.clear()
+    nDropped
+  }
+
   /** Drop every batch frame-signature row whose CLIP matches state on
     * ≥ `minFrames` positions — the recurring video-dedup probe.
     * Returns the surviving rows of `batch` (clips with zero decodable
@@ -1377,18 +1446,24 @@ object Incremental {
     validateHammingMeta(state, maxHamming, resolveBands(maxHamming, nBands),
       "stateFrameHammingIndex", grid = everyNth, sharded = false,
       signer = signer)
-    val triples = state.filter(col("band") =!= HammingMetaBand)
+    val triplesDf = state.filter(col("band") =!= HammingMetaBand)
       .select(col("frame_pos").cast("int"), col("sig").cast("long"),
         col(stateIdCol).cast("long"))
       .filter(col("sig").isNotNull).distinct()
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-    require(triples.length <= maxSignatures,
-      s"stateFrameHammingIndex: ${triples.length} distinct (position, " +
-        s"sig, id) triples exceeds the $maxSignatures driver-index " +
-        "bound (serialized with the plan into every task). Raise " +
+      .localCheckpoint(true)
+    // the cap is checked BEFORE the collect: an oversized state must
+    // refuse loudly, not OOM the driver mid-collect (the checkpoint
+    // holds the distinct result on executors, so the extra count is a
+    // limit scan, not a recompute)
+    require(triplesDf.limit(maxSignatures + 1).count() <= maxSignatures,
+      s"stateFrameHammingIndex: more than $maxSignatures distinct " +
+        "(position, sig, id) triples — over the driver-index bound " +
+        "(serialized with the plan into every task). Raise " +
         "maxSignatures to accept the weight knowingly; corpus-scale " +
         "recurring video dedup is frameHammingDupIdsAgainstTable " +
         "(bucketed state, batch-sized probes).")
+    val triples = triplesDf
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
     val nb = maxHamming + 1
     val byPos = triples.groupBy(_._1).toArray.sortBy(_._1)
     val positions = byPos.map(_._1)
@@ -1709,6 +1784,10 @@ object Incremental {
   def writeClusterState(corpus: DataFrame, idCol: String, textCol: Column,
       n: Int, threshold: Double, t: ClusterTables): Unit = {
     val spark = corpus.sparkSession
+    // a fresh state must not inherit a previous life's takedown
+    // overlay under the same derived names
+    Seq(patchTable(t), tombTable(t))
+      .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS $tb"))
     val posts = wavePostings(corpus, idCol, textCol, n)
     val pairs = gramJaccardPairsSelf(posts, idCol, threshold)
       .select(col("__ia").as("id_a"), col("__ib").as("id_b"))
@@ -1730,17 +1809,105 @@ object Incremental {
     writeEmptyAlias(spark, t)
   }
 
+  private val AliasSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("cluster",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("canon",
+      org.apache.spark.sql.types.LongType)))
+
   private def writeEmptyAlias(spark: org.apache.spark.sql.SparkSession,
       t: ClusterTables): Unit =
     spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("cluster",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("canon",
-            org.apache.spark.sql.types.LongType))))
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], AliasSchema)
       .write.mode(SaveMode.Overwrite).option("path", t.aliasPath)
       .saveAsTable(t.aliasTable)
+
+  /** Blue/green alias rewrite for a merging wave. The rewritten rows
+    * land in a FRESH `"${aliasPath}_v{n+1}"` directory — the directory
+    * the live table points at is never deleted or partially
+    * overwritten — and only then does the catalog repoint (drop +
+    * external re-create with an explicit schema: a metadata-only swap,
+    * safe for the empty-alias case where the directory holds no part
+    * files). Crash windows, enumerated: before the data write
+    * completes → the table still points at the old COMPLETE version
+    * (resolution serves pre-merge labels and the interrupted wave
+    * re-runs, the ingest loop's at-least-once contract); between drop
+    * and re-create → [[resolveClusters]] fails LOUDLY (table missing)
+    * instead of silently serving stale labels, and [[recoverClusters]]
+    * rebuilds canonical labels from the persisted edges. Versions
+    * older than current−1 are deleted after the swap (current +
+    * previous retained — the gold-dir convention); alias tables are
+    * merge-event-scale, so the extra copy is bytes, not a corpus
+    * cost. */
+  private def writeAliasVersioned(spark: org.apache.spark.sql.SparkSession,
+      rewritten: DataFrame, t: ClusterTables): Unit =
+    writeVersionedSwap(spark,
+      rewritten.select(col("cluster").cast("long"), col("canon").cast("long")),
+      t.aliasTable, t.aliasPath, AliasSchema)
+
+  /** The generic small-table blue/green swap behind
+    * [[writeAliasVersioned]] (and the takedown patch ledger): data to
+    * a fresh `"${basePath}_v{n+1}"`, catalog repoint with an explicit
+    * schema (empty-safe), versions older than current−1 reaped. */
+  private def writeVersionedSwap(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, table: String, basePath: String,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(basePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = Option(fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"${basePath}_v*")))
+      .toSeq.flatten.map(_.getPath.getName)
+      .flatMap(n => n.substring(n.lastIndexOf("_v") + 2).toIntOption)
+      .sorted
+    val next = versions.lastOption.fold(0)(_ + 1)
+    val newPath = s"${basePath}_v$next"
+    df.write.mode(SaveMode.Overwrite).parquet(newPath)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.catalog.createTable(table, "parquet", schema,
+      Map("path" -> newPath))
+    versions.filter(_ < next - 1).foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"${basePath}_v$v"), true)
+    }
+  }
+
+  /** Recovery for a crash inside [[appendClusters]]' multi-write wave
+    * (edges append → alias swap → membership append → postings append
+    * — not atomic as a group). The persisted doc-level EDGES are the
+    * connectivity source of truth (they land first) and membership is
+    * the vertex authority, so canonical labels are re-derivable
+    * without touching any text: components over (membership ids,
+    * edges restricted to them) written as a fully-canonicalized
+    * membership plus an EMPTY alias into `nt` — blue/green, the
+    * takedown shape. Postings and edges are content state, not label
+    * state: they carry over untouched (point `nt` at the same
+    * post/edge tables as `t`). A wave whose membership append never
+    * landed simply re-runs; its re-appended edges are idempotent
+    * w.r.t. connectivity (duplicate edges do not change components).
+    * Duplicate membership rows from a re-run wave collapse here too
+    * (the id set is DISTINCT and each id gets one component label). */
+  def recoverClusters(spark: org.apache.spark.sql.SparkSession,
+      t: ClusterTables, nt: ClusterTables): Unit = {
+    val member = spark.table(t.memberTable)
+    val idCol = member.columns.filterNot(_ == "cluster").head
+    val ids0 = member.select(col(idCol)).distinct()
+    // a pending takedown overlay holds ground truth the raw edges
+    // pre-date: tombstoned ids (and their bridging edges) are gone
+    val ids = (if (spark.catalog.tableExists(tombTable(t)))
+        retractIds(ids0, idCol, spark.table(tombTable(t)))
+      else ids0).localCheckpoint(true)
+    val sub = spark.table(t.edgeTable)
+      .filter(col("src") < col("dst"))
+      .join(ids.select(col(idCol).as("src")), Seq("src"), "left_semi")
+      .join(ids.select(col(idCol).as("dst")), Seq("dst"), "left_semi")
+    val comps = DupClusters.connectedComponents(ids,
+      sub.select(col("src").as("id_a"), col("dst").as("id_b")))
+    comps.select(col("id").as(idCol), col("cluster"))
+      .repartition(nt.numBuckets, col(idCol))
+      .write.mode(SaveMode.Overwrite).bucketBy(nt.numBuckets, idCol)
+      .sortBy(idCol).option("path", nt.memberPath)
+      .saveAsTable(nt.memberTable)
+    writeEmptyAlias(spark, nt)
+  }
 
   /** Persist `(id_a, id_b)` pairs SYMMETRICALLY as (src, dst),
     * bucketed by src, so takedown can find every edge incident to a
@@ -1785,7 +1952,15 @@ object Incremental {
     val posts = wavePostings(wave, idCol, textCol, n)
     val inWave = gramJaccardPairsSelf(posts, idCol, threshold)
       .localCheckpoint(true)
-    val statePosts = spark.table(t.postTable)
+    // pending takedown overlay: a tombstoned doc's postings must not
+    // match (its content no longer suppresses or links anything) —
+    // broadcast anti-join, the retraction-at-read pattern
+    val statePosts0 = spark.table(t.postTable)
+    val statePosts1 =
+      if (spark.catalog.tableExists(tombTable(t)))
+        retractIds(statePosts0, idCol, spark.table(tombTable(t)))
+      else statePosts0
+    val statePosts = statePosts1
       .select(col(idCol).as("__ib"), col("g1").as("__g1"),
         col("g2").as("__g2"), col("n_grams").as("__nb"))
     val waveState = gramJaccardPairs(postingsShape(posts, idCol, "a"),
@@ -1798,13 +1973,13 @@ object Incremental {
           col("__ib").as("id_b"))),
       t, SaveMode.Append)
     // matched state ids → current canonical clusters: bucketed
-    // membership join (matched-id-sized shuffle) + flat alias broadcast
+    // membership join (matched-id-sized shuffle) + flat alias + the
+    // takedown patch overlay ([[resolveRaw]] — matched ids are never
+    // tombstoned because their postings were filtered above)
     val alias = spark.table(t.aliasTable)
-    val canonOf = spark.table(t.memberTable)
+    val canonOf = resolveRaw(spark, t)
       .join(waveState.select(col("__ib").as(idCol)).distinct(), Seq(idCol))
-      .join(broadcast(alias), Seq("cluster"), "left")
-      .select(col(idCol).as("__ib"),
-        coalesce(col("canon"), col("cluster")).as("__canon"))
+      .select(col(idCol).as("__ib"), col("cluster").as("__canon"))
     val bridgeEdges = waveState.join(canonOf, Seq("__ib"))
       .select(col("__ia").as("id_a"), col("__canon").as("id_b")).distinct()
     val touched = bridgeEdges.select(col("id_b")).distinct()
@@ -1829,8 +2004,7 @@ object Incremental {
       .select(col("cluster"), coalesce(col("__nc"), col("canon")).as("canon"))
       .union(newAliases)
       .localCheckpoint(true)
-    rewritten.write.mode(SaveMode.Overwrite).option("path", t.aliasPath)
-      .saveAsTable(t.aliasTable)
+    writeAliasVersioned(spark, rewritten, t)
     val assigned = comps
       .join(wave.select(col(idCol).as("id")), Seq("id"))
       .select(col("id").as(idCol), col("cluster"))
@@ -1846,18 +2020,157 @@ object Incremental {
     assigned
   }
 
-  /** Canonical cluster of every document seen so far: membership with
-    * the flat alias map applied — one bucket-aligned scan + one
-    * broadcast join, no corpus shuffle. */
-  def resolveClusters(spark: org.apache.spark.sql.SparkSession,
+  // Affected-only takedown OVERLAY: a patch table (id → re-elected
+  // label for members of takedown-affected clusters) and a tombstone
+  // table, both derived names, both broadcast-scale — so takedown
+  // cost is ∝ affected clusters, not corpus ([[patchTakedownClusters]];
+  // the corpus-sized blue/green rewrite becomes the COMPACTION,
+  // [[compactClusterPatches]]).
+  private def patchTable(t: ClusterTables): String = s"${t.memberTable}_patch"
+  private def patchPath(t: ClusterTables): String = s"${t.memberPath}_patch"
+  private def tombTable(t: ClusterTables): String = s"${t.memberTable}_tomb"
+  private def tombPath(t: ClusterTables): String = s"${t.memberPath}_tomb"
+
+  /** Resolution WITHOUT the tombstone filter (retracted ids still
+    * visible): stored label → patch override BY ID → flat alias.
+    * Patch-before-alias is the load-bearing order: a patch label is a
+    * LIVE label, and any pre-existing alias row that could collide
+    * with one (its chain ended in a takedown-affected canon) is
+    * removed at patch time, while aliases created by LATER merging
+    * waves must still apply on top of patched labels. */
+  private def resolveRaw(spark: org.apache.spark.sql.SparkSession,
       t: ClusterTables): DataFrame = {
-    val idCol = spark.table(t.memberTable).columns
-      .filterNot(_ == "cluster").head
-    spark.table(t.memberTable)
+    val member = spark.table(t.memberTable)
+    val idCol = member.columns.filterNot(_ == "cluster").head
+    val withPatch =
+      if (!spark.catalog.tableExists(patchTable(t)))
+        member.select(col(idCol), col("cluster"))
+      else member.join(broadcast(spark.table(patchTable(t))
+          .select(col(idCol), col("cluster").as("__pc"))), Seq(idCol), "left")
+        .select(col(idCol), coalesce(col("__pc"), col("cluster")).as("cluster"))
+    withPatch
       .join(broadcast(spark.table(t.aliasTable)), Seq("cluster"), "left")
       .select(col(idCol),
         coalesce(col("canon"), col("cluster")).as("cluster"))
   }
+
+  /** Canonical cluster of every LIVE document seen so far: membership
+    * with the flat alias map, the takedown patch overlay, and the
+    * tombstone filter applied — one bucket-aligned scan + broadcast
+    * joins, no corpus shuffle, with or without pending patches. */
+  def resolveClusters(spark: org.apache.spark.sql.SparkSession,
+      t: ClusterTables): DataFrame = {
+    val raw = resolveRaw(spark, t)
+    if (!spark.catalog.tableExists(tombTable(t))) raw
+    else retractIds(raw, raw.columns.head, spark.table(tombTable(t)))
+  }
+
+  /** Takedown in O(affected), not O(corpus): the SAME split-correct
+    * semantics as [[takedownClusters]] (affected clusters re-decide by
+    * components over the persisted edges restricted to retained
+    * members), but instead of rewriting all four corpus-sized
+    * relations, the outcome lands as two broadcast-scale OVERLAYS —
+    * re-elected labels into the patch table (superseding earlier
+    * patch rows for the same ids), retracted ids into the tombstone
+    * table. Alias rows whose canon is an affected cluster are
+    * removed (every membership row they could serve is now patched or
+    * tombstoned; leaving them would mis-route a re-elected label that
+    * equals a retired one — the q162 re-election case). Probes,
+    * appends and resolution all honor the overlay at read time;
+    * [[compactClusterPatches]] makes it physical when the ledger
+    * grows past taste.
+    *
+    * Write order for the crash window: patch swap (blue/green), alias
+    * swap (blue/green), tombstones last — a crash anywhere re-runs to
+    * the same converged state (affected clusters are recomputed from
+    * the PRE-tombstone view, so a half-applied takedown is found
+    * again, and patch/alias swaps are idempotent). */
+  def patchTakedownClusters(spark: org.apache.spark.sql.SparkSession,
+      retract: DataFrame, t: ClusterTables): Unit = {
+    val rid = retract.select(col(retract.columns.head).as("__rid"))
+      .distinct().localCheckpoint(true)
+    val raw = resolveRaw(spark, t)
+    val idCol = raw.columns.head
+    val affected = raw
+      .join(rid, col(idCol) === col("__rid"), "left_semi")
+      .select(col("cluster")).distinct().localCheckpoint(true)
+    val members = raw.join(broadcast(affected), Seq("cluster"))
+      .select(col(idCol))
+    val priorTomb =
+      if (spark.catalog.tableExists(tombTable(t)))
+        Some(spark.table(tombTable(t)))
+      else None
+    val retained0 = members
+      .join(rid, col(idCol) === col("__rid"), "left_anti")
+    val retained = priorTomb.fold(retained0)(retractIds(retained0, idCol, _))
+      .localCheckpoint(true)
+    val edges = spark.table(t.edgeTable)
+    val sub = edges
+      .join(retained.select(col(idCol).as("src")), Seq("src"), "left_semi")
+      .join(retained.select(col(idCol).as("dst")), Seq("dst"), "left_semi")
+      .filter(col("src") < col("dst"))
+    val comps = DupClusters.connectedComponents(
+      retained.select(col(idCol)),
+      sub.select(col("src").as("id_a"), col("dst").as("id_b")))
+    val newPatch = comps.select(col("id").as(idCol), col("cluster"))
+      .localCheckpoint(true)
+    val oldPatch =
+      if (spark.catalog.tableExists(patchTable(t)))
+        spark.table(patchTable(t)).select(col(idCol), col("cluster"))
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        patchSchema(idCol))
+    val merged = oldPatch
+      .join(newPatch.select(col(idCol)), Seq(idCol), "left_anti")
+      .join(rid, col(idCol) === col("__rid"), "left_anti")
+      .unionByName(newPatch)
+      .localCheckpoint(true)
+    writeVersionedSwap(spark,
+      merged.select(col(idCol).cast("long"), col("cluster").cast("long")),
+      patchTable(t), patchPath(t), patchSchema(idCol))
+    val aliasKept = spark.table(t.aliasTable)
+      .join(broadcast(affected.select(col("cluster").as("canon"))),
+        Seq("canon"), "left_anti")
+      .select(col("cluster"), col("canon"))
+      .localCheckpoint(true)
+    writeAliasVersioned(spark, aliasKept, t)
+    priorTomb match {
+      case Some(tomb) => appendTombstones(rid.select(col("__rid")), "__rid",
+        tomb, tombTable(t), numBuckets = 16)
+      case None => writeTombstones(rid.select(col("__rid")), "__rid",
+        tombTable(t), tombPath(t), numBuckets = 16)
+    }
+  }
+
+  private def patchSchema(idCol: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(idCol,
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cluster",
+        org.apache.spark.sql.types.LongType)))
+
+  /** Make the patch/tombstone overlay physical: one blue/green rewrite
+    * of all four relations with NO new retractions — exactly
+    * [[takedownClusters]] with an empty list, the compaction trigger
+    * for the patch ledger (run it when the patch table grows past
+    * taste; [[clusterPatchLoad]] is the gauge). */
+  def compactClusterPatches(spark: org.apache.spark.sql.SparkSession,
+      t: ClusterTables, nt: ClusterTables): Unit =
+    takedownClusters(spark, spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("retract_id",
+            org.apache.spark.sql.types.LongType)))),
+      t, nt)
+
+  /** Overlay pressure: patch rows / membership rows — compact
+    * ([[compactClusterPatches]]) when this outgrows broadcast
+    * comfort. */
+  def clusterPatchLoad(spark: org.apache.spark.sql.SparkSession,
+      t: ClusterTables): Double =
+    if (!spark.catalog.tableExists(patchTable(t))) 0.0
+    else spark.table(patchTable(t)).count().toDouble /
+      math.max(1L, spark.table(t.memberTable).count()).toDouble
 
   /** Takedown over the cluster state, SPLIT-CORRECT: removing a
     * document removes its graph VERTEX, and if it was the only bridge
@@ -1909,15 +2222,28 @@ object Incremental {
       .write.mode(SaveMode.Overwrite).bucketBy(nt.numBuckets, idCol)
       .sortBy(idCol).option("path", nt.memberPath)
       .saveAsTable(nt.memberTable)
-    spark.table(t.postTable)
+    // a pending patch/tombstone overlay bakes in here too: membership
+    // came through resolveClusters (overlay-aware), and postings/edges
+    // drop BOTH this request's ids and any previously-tombstoned ones
+    // — so this rewrite doubles as the patch ledger's compaction
+    // ([[compactClusterPatches]])
+    val priorTomb =
+      if (spark.catalog.tableExists(tombTable(t)))
+        Some(spark.table(tombTable(t)))
+      else None
+    val posts0 = spark.table(t.postTable)
       .join(rid, col(idCol) === col("__rid"), "left_anti")
+    priorTomb.fold(posts0)(retractIds(posts0, idCol, _))
       .repartition(nt.numBuckets, col("g1"), col("g2"))
       .write.mode(SaveMode.Overwrite).bucketBy(nt.numBuckets, "g1", "g2")
       .sortBy("g1", "g2").option("path", nt.postPath)
       .saveAsTable(nt.postTable)
-    edges
+    val edges0 = edges
       .join(rid, col("src") === col("__rid"), "left_anti")
       .join(rid, col("dst") === col("__rid"), "left_anti")
+    val edges1 = priorTomb.fold(edges0)(tb =>
+      retractIds(retractIds(edges0, "src", tb), "dst", tb))
+    edges1
       .repartition(nt.numBuckets, col("src"))
       .write.mode(SaveMode.Overwrite).bucketBy(nt.numBuckets, "src")
       .sortBy("src").option("path", nt.edgePath)

@@ -43,10 +43,73 @@ import org.apache.spark.sql.functions._
 object Fetch {
 
   /** One fetch attempt. Implementations throw on transient failure
-    * (timeout, 5xx, reset); the harvest loop owns retries. Must be
-    * serializable — instances ship to executors. */
+    * (timeout, 5xx, reset); the harvest loop owns retries. A failure
+    * retrying cannot fix (HTTP 4xx, malformed URL) throws
+    * [[TerminalFetchException]] — the loop records it immediately and
+    * spends no further attempts. Must be serializable — instances
+    * ship to executors. */
   trait FetchTransport extends Serializable {
     def fetch(url: String): Array[Byte]
+  }
+
+  /** A failure no retry can fix — the harvest loop stops attempting
+    * this URL in this wave and writes the failed ledger row at once. */
+  final class TerminalFetchException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Production transport over `java.net.http` — the reference's
+    * `requests.get(url, timeout=...)` contract
+    * (/root/reference/pipeline/ingestion/drivers/driver_bible.py:24-36)
+    * with the status-code semantics a crawl needs spelled out:
+    *  - 2xx → body bytes;
+    *  - 3xx → followed transparently up to the client's NORMAL
+    *    redirect policy (follows across hosts, but never downgrades
+    *    https → http);
+    *  - 408 (request timeout) and 429 (rate limited) → TRANSIENT
+    *    (plain IOException; the loop backs off and retries — exactly
+    *    the two 4xx codes that are retryable by definition);
+    *  - any other 4xx → TERMINAL (a retry cannot turn a 404 into a
+    *    200; burning attempts on it is impolite and slow);
+    *  - 5xx, connect/read timeout, reset → transient.
+    * One client per executor JVM (`@transient lazy` — HttpClient is
+    * thread-safe and pools connections); the per-request timeout is
+    * the constructor's, covering the full exchange. Zero-egress CI
+    * exercises this class against an in-process localhost stub
+    * (FetchSpec); the scripted-fake transports cover the loop. */
+  final class HttpTransport(
+      connectTimeoutMs: Long = 10_000L,
+      requestTimeoutMs: Long = 30_000L,
+      userAgent: String = "graft-harvest/1.0") extends FetchTransport {
+    @transient private lazy val client: java.net.http.HttpClient =
+      java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofMillis(connectTimeoutMs))
+        .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
+        .build()
+
+    override def fetch(url: String): Array[Byte] = {
+      // URI.create AND newBuilder both throw IllegalArgumentException
+      // on malformed / scheme-less input — terminal either way
+      val req =
+        try java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+          .timeout(java.time.Duration.ofMillis(requestTimeoutMs))
+          .header("User-Agent", userAgent)
+          .GET().build()
+        catch { case e: IllegalArgumentException =>
+          throw new TerminalFetchException(s"malformed URL: ${e.getMessage}") }
+      // send throws HttpTimeoutException / IOException on transport
+      // failure — transient by the trait's contract
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+      resp.statusCode() match {
+        case ok if ok / 100 == 2 => resp.body()
+        case 408 | 429 =>
+          throw new java.io.IOException(s"HTTP ${resp.statusCode()} (transient)")
+        case terminal if terminal / 100 == 4 =>
+          throw new TerminalFetchException(s"HTTP $terminal")
+        case other =>
+          throw new java.io.IOException(s"HTTP $other")
+      }
+    }
   }
 
   /** `file:` URIs and plain paths — the transport local corpus
@@ -151,6 +214,11 @@ object Fetch {
             result = FetchRecord(url, host, "ok", attempt,
               bytes.length.toLong, sha256Hex(bytes), null, bytes)
           } catch {
+            // terminal before the retry guard: a 404 on attempt 1 of 5
+            // records immediately — no backoff, no further requests
+            case e: TerminalFetchException =>
+              result = FetchRecord(url, host, "failed", attempt, 0L, null,
+                s"${e.getClass.getSimpleName}: ${e.getMessage}", null)
             case _: Exception if attempt < policy.maxAttempts =>
               sleeper(backoffMs(policy, url, attempt))
             case e: Exception =>

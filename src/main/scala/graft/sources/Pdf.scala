@@ -33,9 +33,18 @@ import org.apache.spark.sql.functions._
   * lexical scan above is the fallback: streams taken in file order,
   * `pdf_pages` counting text-bearing content streams.
   *
-  * Documented limits: no font CMap/ToUnicode mapping (custom-encoded
-  * fonts extract as their raw codes), no encryption, no non-Flate
-  * stream filters (LZW/DCT/JBIG2 streams are stepped over). A
+  * Fonts: the structured walk resolves each page's effective
+  * /Resources (own or inherited), and any font carrying a /ToUnicode
+  * CMap — Type0/CID-keyed or a custom-encoded simple font — has its
+  * shown strings decoded code-by-code through the parsed CMap
+  * (bfchar + both bfrange forms, codespacerange-derived code width);
+  * fonts WITHOUT a /ToUnicode keep the BOM/Latin-1 default, and a
+  * CMapped code with no entry emits nothing (glyph indices must not
+  * leak as mojibake into dedup keys).
+  *
+  * Documented limits: no /Encoding /Differences fallback when a
+  * /ToUnicode is absent, no encryption, no non-Flate stream filters
+  * (LZW/DCT/JBIG2 streams are stepped over). A
   * malformed file extracts as `ok = false` with empty text — the
   * reference's empty-on-error contract — never an exception (every
   * parser here is index-guarded and depth-capped; fuzz-pinned).
@@ -214,18 +223,191 @@ object Pdf {
       if (inflater.finished()) Some(buf.toByteArray) else None
     } catch { case _: java.util.zip.DataFormatException => None }
 
+  /** Parsed /ToUnicode CMap: fixed code byte-width + code → text.
+    * The decode contract is pdfplumber's: string bytes step by
+    * `codeLen`, each code maps through the CMap; a code with NO entry
+    * has no text meaning and emits nothing (raw CID codes are glyph
+    * indices — leaking them as mojibake would poison dedup keys and
+    * token stats downstream). */
+  private[graft] final case class ToUnicode(codeLen: Int, map: Map[Int, String]) {
+    def decode(b: Array[Byte]): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i + codeLen <= b.length) {
+        var code = 0
+        var j = 0
+        while (j < codeLen) { code = (code << 8) | (b(i + j) & 0xFF); j += 1 }
+        map.get(code).foreach(sb.append)
+        i += codeLen
+      }
+      sb.toString
+    }
+  }
+
+  /** Parse a decoded /ToUnicode CMap stream: `begincodespacerange`
+    * fixes the code byte-width (first range's low bound; bfchar source
+    * width is the fallback), `beginbfchar` pairs and `beginbfrange`
+    * triples (both the `<lo> <hi> <dstStart>` increment form and the
+    * `<lo> <hi> [<d0> <d1> …]` array form) fill the map. Destination
+    * hex is UTF-16BE (the CMap spec's convention — multi-char
+    * ligature targets come through intact). Range sizes and the total
+    * entry count are capped so a fuzzer's `<0000> <FFFF>` range can't
+    * balloon memory; a cap hit keeps what was parsed (partial map,
+    * never a throw). */
+  private[graft] def parseToUnicode(text: String): Option[ToUnicode] = {
+    val MaxEntries = 1 << 17
+    def hexTokenAt(p0: Int): Option[(Array[Byte], Int)] = {
+      val p = skipWs(text, p0)
+      if (p >= text.length || text.charAt(p) != '<') return None
+      var i = p + 1
+      val hex = new StringBuilder
+      while (i < text.length && text.charAt(i) != '>') {
+        val c = text.charAt(i)
+        if (!c.isWhitespace) hex.append(c)
+        i += 1
+      }
+      if (i >= text.length || hex.isEmpty || hex.length % 2 == 1 ||
+        !hex.forall(c => Character.digit(c, 16) >= 0)) return None
+      val out = new Array[Byte](hex.length / 2)
+      var j = 0
+      while (j < out.length) {
+        out(j) = Integer.parseInt(hex.substring(2 * j, 2 * j + 2), 16).toByte
+        j += 1
+      }
+      Some((out, i + 1))
+    }
+    def codeOf(b: Array[Byte]): Int = {
+      var v = 0; var i = 0
+      while (i < b.length && i < 4) { v = (v << 8) | (b(i) & 0xFF); i += 1 }
+      v
+    }
+    def utf16(b: Array[Byte]): String =
+      new String(b, java.nio.charset.StandardCharsets.UTF_16BE)
+    val m = scala.collection.mutable.HashMap.empty[Int, String]
+    var codeLen = 0
+    // code width from the first codespacerange bound
+    val csr = text.indexOf("begincodespacerange")
+    if (csr >= 0) hexTokenAt(csr + "begincodespacerange".length)
+      .foreach { case (b, _) => if (b.length >= 1 && b.length <= 4) codeLen = b.length }
+    // bfchar blocks
+    var p = text.indexOf("beginbfchar")
+    while (p >= 0 && m.size < MaxEntries) {
+      var q = p + "beginbfchar".length
+      var go = true
+      while (go && m.size < MaxEntries) {
+        (for { (src, q1) <- hexTokenAt(q); (dst, q2) <- hexTokenAt(q1) }
+          yield (src, dst, q2)) match {
+          case Some((src, dst, q2)) =>
+            if (codeLen == 0) codeLen = src.length
+            m.update(codeOf(src), utf16(dst)); q = q2
+          case None => go = false
+        }
+      }
+      p = text.indexOf("beginbfchar", q)
+    }
+    // bfrange blocks
+    p = text.indexOf("beginbfrange")
+    while (p >= 0 && m.size < MaxEntries) {
+      var q = p + "beginbfrange".length
+      var go = true
+      while (go && m.size < MaxEntries) {
+        (for { (lo, q1) <- hexTokenAt(q); (hi, q2) <- hexTokenAt(q1) }
+          yield (lo, hi, q2)) match {
+          case None => go = false
+          case Some((lo, hi, q2)) =>
+            if (codeLen == 0) codeLen = lo.length
+            val loC = codeOf(lo); val hiC = codeOf(hi)
+            val r = skipWs(text, q2)
+            if (r < text.length && text.charAt(r) == '[') {
+              // array form: one destination per code
+              var k = loC
+              var rp = r + 1
+              var inner = true
+              while (inner && k <= hiC && m.size < MaxEntries) {
+                hexTokenAt(rp) match {
+                  case Some((dst, rn)) =>
+                    m.update(k, utf16(dst)); k += 1; rp = rn
+                  case None => inner = false
+                }
+              }
+              val close = text.indexOf(']', rp)
+              q = if (close >= 0) close + 1 else rp
+            } else hexTokenAt(r) match {
+              case Some((dst0, rn)) =>
+                // increment form: the LAST 16-bit unit of the UTF-16BE
+                // destination steps with the code (the CMap convention)
+                val base = utf16(dst0)
+                val span = math.min(hiC - loC, 0xFFFF)
+                var k = 0
+                while (k <= span && m.size < MaxEntries) {
+                  val stepped =
+                    if (base.isEmpty) base
+                    else base.dropRight(1) + (base.last + k).toChar
+                  m.update(loC + k, stepped)
+                  k += 1
+                }
+                q = rn
+              case None => go = false
+            }
+        }
+      }
+      p = text.indexOf("beginbfrange", q)
+    }
+    if (m.isEmpty || codeLen < 1 || codeLen > 4) None
+    else Some(ToUnicode(codeLen, m.toMap))
+  }
+
+  /** `/Name <numeric operands> Tf` starting at `start` (the `/`) →
+    * (font resource name, index after Tf); None when the sequence at
+    * `start` is not a font-select. */
+  private def tryFontSelect(s: String, start: Int): Option[(String, Int)] = {
+    var i = start + 1
+    while (i < s.length && !isPdfDelim(s.charAt(i))) i += 1
+    if (i == start + 1) return None
+    val name = s.substring(start + 1, i)
+    // operands between the name and Tf are numeric (the size)
+    var p = skipWs(s, i)
+    var guard = 0
+    while (p < s.length && guard < 4 &&
+        (s.charAt(p).isDigit || s.charAt(p) == '-' ||
+          s.charAt(p) == '+' || s.charAt(p) == '.')) {
+      p += 1
+      while (p < s.length && (s.charAt(p).isDigit || s.charAt(p) == '.')) p += 1
+      p = skipWs(s, p)
+      guard += 1
+    }
+    if (s.regionMatches(p, "Tf", 0, 2) && delimited(s, p, 2))
+      Some((name, p + 2))
+    else None
+  }
+
   /** Text operators of one decoded content stream → extracted text.
-    * Empty when the stream carries no BT/ET text (image data, fonts). */
-  private[sources] def textOps(s: String): String = {
+    * Empty when the stream carries no BT/ET text (image data, fonts).
+    * `fonts` maps font RESOURCE names (the `/F1` of `/F1 12 Tf`) to
+    * their parsed /ToUnicode CMaps: while a mapped font is selected,
+    * shown strings decode code-by-code through the CMap (Type0/CID
+    * and custom-encoded simple fonts); fonts without a CMap — and the
+    * lexical fallback, which has no resource tree to look fonts up
+    * in — keep the BOM/Latin-1 default. */
+  private[graft] def textOps(s: String,
+      fonts: Map[String, ToUnicode] = Map.empty): String = {
     val sb = new StringBuilder
     var i = 0
     var inText = false
     var needNewline = false
+    var cur: Option[ToUnicode] = None
+    def dec(b: Array[Byte]): String =
+      cur.map(_.decode(b)).getOrElse(decodeString(b))
     def emit(str: String): Unit = {
       if (needNewline && sb.nonEmpty) sb.append('\n')
       needNewline = false
       sb.append(str)
     }
+    def fontSelect(at: Int): Option[Int] =
+      if (fonts.isEmpty) None
+      else tryFontSelect(s, at).map { case (name, after) =>
+        cur = fonts.get(name); after
+      }
     while (i < s.length) {
       val c = s.charAt(i)
       if (c == '%') { // comment to end of line
@@ -233,15 +415,18 @@ object Pdf {
       } else if (!inText) {
         if (c == 'B' && s.regionMatches(i, "BT", 0, 2) && delimited(s, i, 2)) {
           inText = true; i += 2
+        } else if (c == '/') {
+          // Tf is a text-STATE operator — legal outside BT/ET too
+          i = fontSelect(i).getOrElse(i + 1)
         } else i += 1
       } else if (c == '(') {
-        val (str, next) = literalString(s, i)
+        val (strB, next) = literalStringBytes(s, i)
         i = next
         val op = nextToken(s, i)
         op._1 match {
-          case "Tj" => emit(str); i = op._2
-          case "'"  => needNewline = true; emit(str); i = op._2
-          case "\"" => needNewline = true; emit(str); i = op._2
+          case "Tj" => emit(dec(strB)); i = op._2
+          case "'"  => needNewline = true; emit(dec(strB)); i = op._2
+          case "\"" => needNewline = true; emit(dec(strB)); i = op._2
           case _    => // positioned string with no show op — ignore
         }
       } else if (c == '<' && i + 1 < s.length && s.charAt(i + 1) == '<') {
@@ -249,17 +434,17 @@ object Pdf {
         // — skip it whole, or its body would lex as a hex string
         i = skipInlineDict(s, i)
       } else if (c == '<') {
-        val (str, next) = hexString(s, i)
+        val (strB, next) = hexStringBytes(s, i)
         i = next
         val op = nextToken(s, i)
         op._1 match {
-          case "Tj" => emit(str); i = op._2
-          case "'"  => needNewline = true; emit(str); i = op._2
-          case "\"" => needNewline = true; emit(str); i = op._2
+          case "Tj" => emit(dec(strB)); i = op._2
+          case "'"  => needNewline = true; emit(dec(strB)); i = op._2
+          case "\"" => needNewline = true; emit(dec(strB)); i = op._2
           case _    =>
         }
       } else if (c == '[') {
-        val (str, next) = tjArray(s, i)
+        val (str, next) = tjArray(s, i, dec)
         i = next
         val op = nextToken(s, i)
         if (op._1 == "TJ") { emit(str); i = op._2 }
@@ -269,6 +454,8 @@ object Pdf {
           (s.charAt(i + 1) == 'd' || s.charAt(i + 1) == 'D' || s.charAt(i + 1) == '*')
           && delimited(s, i, 2))) {
         needNewline = true; i += 2
+      } else if (c == '/') {
+        i = fontSelect(i).getOrElse(i + 1)
       } else i += 1
     }
     // trim trailing blank space; internal newlines collapse to one
@@ -317,6 +504,14 @@ object Pdf {
     * the closing paren). Handles nesting, escapes, octal, and
     * backslash line continuation. */
   private[sources] def literalString(s: String, start: Int): (String, Int) = {
+    val (b, next) = literalStringBytes(s, start)
+    (decodeString(b), next)
+  }
+
+  /** [[literalString]]'s RAW-BYTES form — the string's code bytes
+    * before any charset/CMap interpretation (a CID font's codes must
+    * reach the ToUnicode map undecoded). */
+  private[sources] def literalStringBytes(s: String, start: Int): (Array[Byte], Int) = {
     val bytes = new java.io.ByteArrayOutputStream()
     var i = start + 1
     var depth = 1
@@ -350,11 +545,17 @@ object Pdf {
         i += 1
       } else { bytes.write(c.toInt & 0xFF); i += 1 }
     }
-    (decodeString(bytes.toByteArray), i)
+    (bytes.toByteArray, i)
   }
 
   /** PDF hex string starting at `<`: returns (decoded, index after `>`). */
   private[sources] def hexString(s: String, start: Int): (String, Int) = {
+    val (b, next) = hexStringBytes(s, start)
+    (decodeString(b), next)
+  }
+
+  /** [[hexString]]'s RAW-BYTES form (see [[literalStringBytes]]). */
+  private[sources] def hexStringBytes(s: String, start: Int): (Array[Byte], Int) = {
     var i = start + 1
     val hex = new StringBuilder
     while (i < s.length && s.charAt(i) != '>') {
@@ -369,7 +570,7 @@ object Pdf {
       out(j) = Integer.parseInt(hex.substring(2 * j, 2 * j + 2), 16).toByte
       j += 1
     }
-    (decodeString(out), i + 1)
+    (out, i + 1)
   }
 
   /** UTF-16BE when BOM'd, Latin-1 (≈PDFDocEncoding) otherwise. */
@@ -380,15 +581,21 @@ object Pdf {
 
   /** `[(a) -250 (b)] TJ` array: strings concatenated; a kerning value
     * below −180 (thousandths of an em) renders as a word gap. */
-  private[sources] def tjArray(s: String, start: Int): (String, Int) = {
+  private[sources] def tjArray(s: String, start: Int): (String, Int) =
+    tjArray(s, start, decodeString)
+
+  /** [[tjArray]] with the CALLER's string decoder — the font-aware
+    * text pass routes array elements through the current CMap. */
+  private[sources] def tjArray(s: String, start: Int,
+      dec: Array[Byte] => String): (String, Int) = {
     val sb = new StringBuilder
     var i = start + 1
     while (i < s.length && s.charAt(i) != ']') {
       val c = s.charAt(i)
       if (c == '(') {
-        val (str, next) = literalString(s, i); sb.append(str); i = next
+        val (b, next) = literalStringBytes(s, i); sb.append(dec(b)); i = next
       } else if (c == '<') {
-        val (str, next) = hexString(s, i); sb.append(str); i = next
+        val (b, next) = hexStringBytes(s, i); sb.append(dec(b)); i = next
       } else if (c == '-' || c.isDigit) {
         val b = i
         i += 1
@@ -876,23 +1083,60 @@ object Pdf {
 
     // ---- page tree ----
 
-    private def walkPages(num: Int, depth: Int,
-        visited: mutable.Set[Int]): Vector[Map[String, PVal]] = {
+    /** Leaf page dicts in page-tree order, each paired with its
+      * EFFECTIVE /Resources (own entry, else the nearest ancestor's —
+      * Resources is inheritable, ISO 32000 7.8.3, and real writers
+      * hoist shared font dicts to the Pages node). */
+    private def walkPages(num: Int, depth: Int, visited: mutable.Set[Int],
+        inhRes: Option[PVal]): Vector[(Map[String, PVal], Option[PVal])] = {
       if (depth > 32 || !visited.add(num)) return Vector.empty
       fetchVal(num) match {
         case Some(PDict(m)) =>
+          val res = m.get("Resources").orElse(inhRes)
           m.get("Kids") match {
             case Some(PArr(kids)) =>
               kids.collect { case PRef(k) => k }
-                .flatMap(walkPages(_, depth + 1, visited))
+                .flatMap(walkPages(_, depth + 1, visited, res))
             case _ =>
               if (m.get("Type").contains(PName("Page")) || m.contains("Contents"))
-                Vector(m)
+                Vector((m, res))
               else Vector.empty
           }
         case _ => Vector.empty
       }
     }
+
+    // ---- fonts ----
+
+    private val toUniCache = mutable.HashMap.empty[Int, Option[ToUnicode]]
+
+    private def dictOf(v: Option[PVal]): Option[Map[String, PVal]] = v match {
+      case Some(PDict(m)) => Some(m)
+      case Some(PRef(n)) => fetchVal(n) match {
+        case Some(PDict(m)) => Some(m); case _ => None
+      }
+      case _ => None
+    }
+
+    /** Font resource name → parsed /ToUnicode CMap for one page's
+      * effective resources. Fonts without a /ToUnicode entry are
+      * simply absent (their strings keep the default decoding);
+      * CMap streams parse once per document (cache — fonts are shared
+      * across pages). */
+    private def fontMap(res: Option[PVal]): Map[String, ToUnicode] =
+      (for {
+        r <- dictOf(res)
+        f <- dictOf(r.get("Font"))
+      } yield f.flatMap { case (name, v) =>
+        for {
+          fd <- dictOf(Some(v))
+          tu <- fd.get("ToUnicode") match {
+            case Some(PRef(tn)) => toUniCache.getOrElseUpdate(tn,
+              fetchStream(tn).flatMap(d => parseToUnicode(new String(d, Latin1))))
+            case _ => None
+          }
+        } yield name -> tu
+      }).getOrElse(Map.empty)
 
     /** Full walk → Extracted, or None to trigger the lexical fallback
       * (no xref, no pages reached, or no text found — the last so a
@@ -903,10 +1147,10 @@ object Pdf {
         root <- rootRef.toVector
         cat <- fetchVal(root) match { case Some(PDict(m)) => Vector(m); case _ => Vector.empty }
         pagesRef <- cat.get("Pages") match { case Some(PRef(n)) => Vector(n); case _ => Vector.empty }
-        pd <- walkPages(pagesRef, 0, mutable.Set.empty)
+        pd <- walkPages(pagesRef, 0, mutable.Set.empty, None)
       } yield pd
       if (pageDicts.isEmpty) return None
-      val texts = pageDicts.flatMap { pd =>
+      val texts = pageDicts.flatMap { case (pd, res) =>
         val contentRefs = pd.get("Contents") match {
           case Some(PRef(n)) => Seq(n)
           case Some(PArr(v)) => v.collect { case PRef(n) => n }
@@ -916,7 +1160,9 @@ object Pdf {
         // between (ISO 32000 7.8.2) before operator lexing
         val data = contentRefs.flatMap(fetchStream(_))
           .map(new String(_, Latin1)).mkString("\n")
-        val t = try textOps(data)
+        val fonts = try fontMap(res)
+        catch { case scala.util.control.NonFatal(_) => Map.empty[String, ToUnicode] }
+        val t = try textOps(data, fonts)
         catch { case scala.util.control.NonFatal(_) => "" }
         if (t.nonEmpty) Some(t) else None
       }
@@ -1088,13 +1334,99 @@ object Pdf {
     out.toByteArray
   }
 
+  /** A complete PDF whose text shows through a Type0 (CID-keyed)
+    * font: 2-byte character codes in hex strings, recoverable ONLY
+    * through the font's /ToUnicode CMap stream (Identity-H — the
+    * codes are synthetic glyph indices; nothing in file order is
+    * Latin-1-readable text, exactly the scanned-book-corpus shape
+    * the reference's pdfplumber maps,
+    * /root/reference/pipeline/ingestion/drivers.py:33-50). The
+    * /Resources dict rides on the PAGES node, so extraction must
+    * also honor resource INHERITANCE (ISO 32000 7.8.3). The CMap is
+    * spec-shaped (codespacerange + ≤100-entry bfchar blocks) and
+    * FlateDecode-compressed. Same round-trip guarantee as
+    * [[synthesize]]. */
+  def synthesizeCid(pages: Seq[String]): Array[Byte] = {
+    require(pages.nonEmpty, "a PDF needs at least one page")
+    val n = pages.length
+    val chars: Vector[Char] = pages.flatMap(_.toSeq).distinct.sorted.toVector
+    require(chars.size <= 0xFFFE,
+      "CID synthesis supports at most 65534 distinct characters")
+    val codeOf: Map[Char, Int] =
+      chars.zipWithIndex.map { case (c, i) => c -> (i + 1) }.toMap
+    // numbering: 1 catalog, 2 pages (+ hoisted /Resources),
+    // 3..n+2 page dicts, n+3..2n+2 content streams, 2n+3 the Type0
+    // font, 2n+4 its ToUnicode CMap stream
+    val size = 2 * n + 5
+    val out = new java.io.ByteArrayOutputStream()
+    val offsets = new Array[Int](size)
+    def w(s: String): Unit = out.write(s.getBytes(Latin1))
+    w("%PDF-1.4\n")
+    offsets(1) = out.size()
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    offsets(2) = out.size()
+    val kids = (0 until n).map(i => s"${3 + i} 0 R").mkString(" ")
+    w(s"2 0 obj << /Type /Pages /Kids [$kids] /Count $n " +
+      s"/Resources << /Font << /F1 ${2 * n + 3} 0 R >> >> >> endobj\n")
+    pages.indices.foreach { i =>
+      offsets(3 + i) = out.size()
+      w(s"${3 + i} 0 obj << /Type /Page /Parent 2 0 R " +
+        s"/MediaBox [0 0 612 792] /Contents ${3 + n + i} 0 R >> endobj\n")
+    }
+    pages.zipWithIndex.foreach { case (text, i) =>
+      val hex = text.map(c => f"${codeOf(c)}%04X").mkString
+      val content = deflateBytes(
+        s"BT /F1 12 Tf 72 720 Td <$hex> Tj ET".getBytes(Latin1))
+      offsets(3 + n + i) = out.size()
+      w(s"${3 + n + i} 0 obj << /Length ${content.length} " +
+        "/Filter /FlateDecode >> stream\n")
+      out.write(content)
+      w("\nendstream endobj\n")
+    }
+    offsets(2 * n + 3) = out.size()
+    w(s"${2 * n + 3} 0 obj << /Type /Font /Subtype /Type0 " +
+      "/BaseFont /GraftCID /Encoding /Identity-H " +
+      s"/ToUnicode ${2 * n + 4} 0 R >> endobj\n")
+    val cmap = {
+      val sb = new StringBuilder
+      sb.append("/CIDInit /ProcSet findresource begin\n12 dict begin\n")
+      sb.append("begincmap\n/CMapName /GraftToUnicode def\n/CMapType 2 def\n")
+      sb.append("1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n")
+      chars.grouped(100).foreach { grp =>
+        sb.append(s"${grp.size} beginbfchar\n")
+        grp.foreach { c =>
+          val dst = String.valueOf(c)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_16BE)
+            .map("%02X".format(_)).mkString
+          sb.append(f"<${codeOf(c)}%04X> <$dst>\n")
+        }
+        sb.append("endbfchar\n")
+      }
+      sb.append("endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n")
+      sb.toString
+    }
+    val cmapZ = deflateBytes(cmap.getBytes(Latin1))
+    offsets(2 * n + 4) = out.size()
+    w(s"${2 * n + 4} 0 obj << /Length ${cmapZ.length} " +
+      "/Filter /FlateDecode >> stream\n")
+    out.write(cmapZ)
+    w("\nendstream endobj\n")
+    val xref = out.size()
+    w(s"xref\n0 $size\n0000000000 65535 f \n")
+    (1 until size).foreach(i => w("%010d 00000 n \n".format(offsets(i))))
+    w(s"trailer << /Size $size /Root 1 0 R >>\n" +
+      s"startxref\n$xref\n%%EOF\n")
+    out.toByteArray
+  }
+
   /** Distributed fixture/export writer: one synthesized PDF per input
     * row into `dir` as `<name>.pdf`. Files are written executor-side
     * through the Hadoop FS API (works on local paths and HDFS alike);
     * bytes never hit the driver. Input: (name, pages). `modern` picks
-    * the PDF 1.5 layout ([[synthesizeModern]]) over the classic one. */
+    * the PDF 1.5 layout ([[synthesizeModern]]); `cid` the Type0/CID
+    * ToUnicode layout ([[synthesizeCid]]). */
   def writePdfDir(rows: Dataset[(String, Seq[String])], dir: String,
-      modern: Boolean = false): Unit = {
+      modern: Boolean = false, cid: Boolean = false): Unit = {
     val hp = new org.apache.hadoop.fs.Path(dir)
     val fsSetup = hp.getFileSystem(
       rows.sparkSession.sessionState.newHadoopConf())
@@ -1120,7 +1452,10 @@ object Pdf {
       val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
       it.foreach { case (name, pages) =>
         val os = fs.create(new org.apache.hadoop.fs.Path(dir, s"$name.pdf"), true)
-        val bytes = if (modern) synthesizeModern(pages) else synthesize(pages)
+        val bytes =
+          if (cid) synthesizeCid(pages)
+          else if (modern) synthesizeModern(pages)
+          else synthesize(pages)
         try os.write(bytes) finally os.close()
       }
     }

@@ -556,9 +556,18 @@ object StreamOps {
               }
             }
             val pa = pos.toArray; val sa = sigs.toArray
+            // zero signed frames (container parsed, every sampled frame
+            // failed decode): clip_sig must be NULL, not the shared
+            // empty-digest constant — such clips are mutually
+            // unprovable and must ALL take the exact-drop-exempt path,
+            // exactly as the batch wave (which emits no signature rows
+            // for them) admits every one. A constant here would let the
+            // in-stream recrawl gate drop all but one of them.
+            val clipSig: Any =
+              if (pa.isEmpty) null
+              else graft.operators.Video.clipSigDigest(pa, sa)
             org.apache.spark.sql.Row.fromSeq(r.toSeq :+ true :+
-              pa.toSeq :+ sa.toSeq :+
-              graft.operators.Video.clipSigDigest(pa, sa))
+              pa.toSeq :+ sa.toSeq :+ clipSig)
           case None =>
             org.apache.spark.sql.Row.fromSeq(
               r.toSeq :+ false :+ null :+ null :+ null)
@@ -718,6 +727,48 @@ object StreamOps {
     * almost never wants (sort downstream if an order is required). */
   def incrementalSince(df: DataFrame, wmCol: String, lastSync: java.sql.Timestamp): DataFrame =
     df.filter(col(wmCol) > lit(lastSync))
+
+  /** Streaming cluster assignment — the incremental near-dup CLUSTER
+    * loop ([[graft.operators.Incremental.appendClusters]]) at stream
+    * cadence, giving the q160 family the same wave parity the
+    * text/media/video loops have. Each micro-batch is one WAVE:
+    * `foreachBatch` drives it through the persisted cluster state
+    * (join / found / bridge-merge, overlay-aware) and appends the
+    * wave's `(id, cluster, micro_batch)` assignments to `assignDir`.
+    * Because resolved membership is wave-order INDEPENDENT (min
+    * labels are global minima; merges retire behind the alias map),
+    * any micro-batching of the same rows resolves identically to the
+    * batch path — the parity contract StreamingSpec pins.
+    *
+    * Contracts inherited from appendClusters: ids unique across the
+    * state's life (dedup upstream); the assignment rows are labels AT
+    * ASSIGNMENT TIME — read [[graft.operators.Incremental
+    * .resolveClusters]] for current canon. Delivery is AT-LEAST-ONCE:
+    * a crashed micro-batch replays on restart and would stack
+    * duplicate membership rows — fence replays upstream (the ledger
+    * pattern [[graft.sources.Fetch.harvestResumable]] uses) or
+    * recover via [[graft.operators.Incremental.recoverClusters]]. */
+  def clusterAssignStream(
+      waves: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double,
+      t: graft.operators.Incremental.ClusterTables,
+      assignDir: String,
+      checkpointDir: Option[String] = None,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = waves.writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Incremental.appendClusters(batch, idCol,
+              col(textCol), n, threshold, t)
+            .withColumn("micro_batch", lit(batchId))
+            .write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(assignDir)
+        }
+      }
+      .trigger(trigger)
+    checkpointDir.fold(w)(c => w.option("checkpointLocation", c)).start()
+  }
 
   /** Stream → metadata-warehouse bridge: sink a streaming aggregate
     * into the `quality_metrics` table via foreachBatch, one metric row

@@ -86,6 +86,52 @@ class AnalysisSpec extends AnyFunSuite {
       .forall(s => !s.exists(c => c == '' || c == '')))
   }
 
+  test("sentences_of: extended pysbd inventory — compounds, ordinals, months, street prefixes") {
+    def seg(s: String): Seq[String] =
+      Seq(s).toDF("s").select(analysis.sentences_of(col("s")).as("r"))
+        .head().getSeq[String](0)
+    // doubled-plural compounds: one unit before lowercase, the final
+    // period still breaks before a capital
+    assert(seg("Vive en EE. UU. desde 1990. Fin") ===
+      Seq("Vive en EE. UU. desde 1990.", "Fin"))
+    assert(seg("Vive en EE. UU. La política cambió.") ===
+      Seq("Vive en EE. UU.", "La política cambió."))
+    assert(seg("Las FF. AA. respondieron. Fin") ===
+      Seq("Las FF. AA. respondieron.", "Fin"))
+    assert(seg("El área de RR. HH. contrató. Fin") ===
+      Seq("El área de RR. HH. contrató.", "Fin"))
+    // era markers: the inner period never breaks
+    assert(seg("Nació en 44 a. C. aproximadamente. Fin") ===
+      Seq("Nació en 44 a. C. aproximadamente.", "Fin"))
+    assert(seg("Murió en 14 d. C. según dicen. Fin") ===
+      Seq("Murió en 14 d. C. según dicen.", "Fin"))
+    // ordinal indicators bind their period
+    assert(seg("El 1.º de mayo es fiesta. Fin") ===
+      Seq("El 1.º de mayo es fiesta.", "Fin"))
+    assert(seg("Vive en el N.º 12 de la calle. Fin") ===
+      Seq("Vive en el N.º 12 de la calle.", "Fin"))
+    assert(seg("La 2.ª edición salió. Fin") ===
+      Seq("La 2.ª edición salió.", "Fin"))
+    // month abbreviations continue before lowercase and digits
+    assert(seg("Llegó el 5 dic. de 2020 al puerto. Fin") ===
+      Seq("Llegó el 5 dic. de 2020 al puerto.", "Fin"))
+    assert(seg("Nació el 1 ene. de 1990 en Lima. Fin") ===
+      Seq("Nació el 1 ene. de 1990 en Lima.", "Fin"))
+    // abbreviation before a NUMBER is the same utterance
+    assert(seg("Véase la pág. 12 del libro. Fin") ===
+      Seq("Véase la pág. 12 del libro.", "Fin"))
+    assert(seg("Está en el vol. 3 de la serie. Fin") ===
+      Seq("Está en el vol. 3 de la serie.", "Fin"))
+    // street-type prefixes act as titles before the capitalized name
+    assert(seg("Vive en el Blvd. Insurgentes 10. Fin") ===
+      Seq("Vive en el Blvd. Insurgentes 10.", "Fin"))
+    assert(seg("La Avda. Juárez cruza el centro. Fin") ===
+      Seq("La Avda. Juárez cruza el centro.", "Fin"))
+    // extended honorifics
+    assert(seg("El Excmo. Sr. Presidente habló. Fin") ===
+      Seq("El Excmo. Sr. Presidente habló.", "Fin"))
+  }
+
   test("chunk_sentences packs sentences under the budget, oversize stands alone") {
     val s = "aaaa. bbbb. cccc. ddddddddddddddddddddddd. ee."
     val chunks = Seq(s).toDF("s")

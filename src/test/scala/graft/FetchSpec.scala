@@ -119,6 +119,96 @@ class FetchSpec extends AnyFunSuite {
     assert(Fetch.pending(urls, l3, "url").count() === 0)
   }
 
+  test("HttpTransport status-code semantics against an in-process server") {
+    // zero-egress: the JDK's built-in HttpServer on 127.0.0.1, an
+    // ephemeral port — the production class exercised end to end
+    // through the harvest loop, not just unit-poked
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    def respond(ex: com.sun.net.httpserver.HttpExchange, code: Int,
+        body: Array[Byte]): Unit = {
+      if (body.isEmpty) ex.sendResponseHeaders(code, -1)
+      else {
+        ex.sendResponseHeaders(code, body.length)
+        ex.getResponseBody.write(body)
+      }
+      ex.close()
+    }
+    val empty = Array.empty[Byte]
+    server.createContext("/ok",
+      (ex: com.sun.net.httpserver.HttpExchange) =>
+        respond(ex, 200, "hola".getBytes("UTF-8")))
+    server.createContext("/missing",
+      (ex: com.sun.net.httpserver.HttpExchange) => respond(ex, 404, empty))
+    server.createContext("/flaky",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val n = FetchSpec.httpHits.merge("/flaky", Integer.valueOf(1),
+          ((a: Integer, b: Integer) => Integer.valueOf(a + b)):
+            java.util.function.BiFunction[Integer, Integer, Integer])
+        if (n <= 2) respond(ex, 503, empty)
+        else respond(ex, 200, "fixed".getBytes("UTF-8"))
+      })
+    server.createContext("/limited",
+      (ex: com.sun.net.httpserver.HttpExchange) => respond(ex, 429, empty))
+    server.createContext("/moved",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        ex.getResponseHeaders.add("Location", "/ok")
+        respond(ex, 301, empty)
+      })
+    server.start()
+    try {
+      FetchSpec.httpHits.clear()
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val urls = Seq(s"$base/ok", s"$base/missing", s"$base/flaky",
+        s"$base/limited", s"$base/moved").toDF("url")
+      val ledger = Fetch.harvest(urls, "url", new Fetch.HttpTransport(),
+        FetchPolicy(maxAttempts = 3, baseBackoffMs = 1), noSleep).collect()
+      val byPath = ledger.map(r => r.getString(0).stripPrefix(base) ->
+        (r.getString(2), r.getInt(3), r.getString(6),
+          Option(r.getAs[Array[Byte]]("content"))
+            .map(new String(_, "UTF-8")).orNull)).toMap
+      assert(byPath("/ok") === (("ok", 1, null, "hola")))
+      assert(byPath("/missing")._1 === "failed" &&
+        byPath("/missing")._2 === 1 &&
+        byPath("/missing")._3.contains("HTTP 404"),
+        s"4xx is TERMINAL — one attempt, no retries: ${byPath("/missing")}")
+      assert(byPath("/flaky") === (("ok", 3, null, "fixed")),
+        "5xx is transient — two 503s retried, third attempt succeeds")
+      assert(byPath("/limited")._1 === "failed" &&
+        byPath("/limited")._2 === 3 &&
+        byPath("/limited")._3.contains("HTTP 429"),
+        s"429 is transient — all attempts spent: ${byPath("/limited")}")
+      assert(byPath("/moved") === (("ok", 1, null, "hola")),
+        "3xx followed transparently under the NORMAL redirect policy")
+    } finally server.stop(0)
+  }
+
+  test("HttpTransport: request timeout is transient; malformed URL terminal") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    server.createContext("/slow",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        Thread.sleep(500)
+        ex.sendResponseHeaders(200, -1); ex.close()
+      })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val t = new Fetch.HttpTransport(requestTimeoutMs = 100)
+      val row = Fetch.harvest(Seq(s"$base/slow").toDF("url"), "url", t,
+        FetchPolicy(maxAttempts = 2, baseBackoffMs = 1), noSleep).head()
+      assert(row.getString(2) === "failed" && row.getInt(3) === 2,
+        "a timeout burns the full retry budget (transient)")
+      val bad = Fetch.harvest(Seq("no-scheme-here").toDF("url"), "url", t,
+        FetchPolicy(maxAttempts = 3, baseBackoffMs = 1), noSleep).head()
+      assert(bad.getString(2) === "failed" && bad.getInt(3) === 1 &&
+        bad.getString(6).contains("TerminalFetchException"),
+        s"malformed URL refuses on attempt 1: ${bad.getString(6)}")
+    } finally server.stop(0)
+  }
+
   test("file transport round-trips local bytes") {
     val f = java.nio.file.Files.createTempFile("fetch", ".bin")
     java.nio.file.Files.write(f, Array[Byte](1, 2, 3))
@@ -130,6 +220,7 @@ class FetchSpec extends AnyFunSuite {
 object FetchSpec {
   val counters = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
   val sleeps = new ConcurrentLinkedQueue[Long]()
+  val httpHits = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   /** Fails each URL `failures(url)` times, then succeeds with the
     * URL's bytes. Lives in the companion (no `$outer` — the suite

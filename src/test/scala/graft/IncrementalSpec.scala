@@ -977,6 +977,194 @@ class IncrementalSpec extends AnyFunSuite {
       .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n")))
   }
 
+  test("duplicate-clip compaction: title-card families collapse per shard, probe decisions unchanged") {
+    import spark.implicits._
+    val d = tmp("graft_framedup")
+    // signatures pairwise > 8 bits apart across distinct values
+    val S0 = 0L; val S1 = -1L; val O0 = 0xFFFFL
+    val O1 = 0x0F0F0F0F0F0F0F0FL; val OX = 0xFF00FF00FF00L
+    // shard a: 20 identical title-card clips (10..29), one SUBSET clip
+    // (30 — genuinely different pair counts, must survive), one
+    // distinct clip (31); shard b: 3 clips with the SAME sigs as the
+    // a-family — families collapse WITHIN a shard only
+    val family = (10L until 30L).flatMap(id =>
+      Seq((id, "a", 0, S0), (id, "a", 1, S1)))
+    val rest = Seq((30L, "a", 0, S0), (31L, "a", 0, O0), (31L, "a", 1, O1)) ++
+      (40L until 43L).flatMap(id => Seq((id, "b", 0, S0), (id, "b", 1, S1)))
+    val sigs = (family ++ rest).toDF("doc_id", "src", "frame_pos", "dhash")
+    try {
+      Incremental.writeFrameHammingState(sigs, "doc_id", "dhash",
+        "t_fdup_state", s"$d/state", maxHamming = 8, numBuckets = 4,
+        everyNth = 2, shardCol = Some("src"))
+      val batch = Seq(
+        (100L, "a", 0, S0), (100L, "a", 1, S1), // family match -> dup
+        (101L, "a", 0, S0), (101L, "a", 1, OX), // 1 position only -> keep
+        (102L, "b", 0, S0), (102L, "b", 1, S1), // shard-b family -> dup
+        (103L, "a", 0, O0), (103L, "a", 1, O1)  // matches clip 31 -> dup
+      ).toDF("doc_id", "src", "frame_pos", "dhash")
+      def dupIds(table: String) =
+        Incremental.frameHammingDupIdsAgainstTable(batch, "doc_id",
+          "dhash", spark.table(table), maxHamming = 8, minFrames = 2,
+          everyNth = 2, shardCol = Some("src"))
+          .as[Long].collect().toSet
+      val before = dupIds("t_fdup_state")
+      assert(before === Set(100L, 102L, 103L))
+      val dropped = Incremental.compactFrameHammingDuplicates(spark,
+        "t_fdup_state", "t_fdup_state2", s"$d/state2", numBuckets = 4)
+      assert(dropped === 21L, "19 a-family twins + 2 b-family twins")
+      val keptIds = spark.table("t_fdup_state2")
+        .filter(col("band") =!= Incremental.HammingMetaBand)
+        .select("doc_id").distinct().as[Long].collect().toSet
+      assert(keptIds === Set(10L, 30L, 31L, 40L),
+        "min id per identical family per shard; subset + distinct kept")
+      assert(dupIds("t_fdup_state2") === before,
+        "probe decisions unchanged by the compaction")
+      // and the compacted table still appends (meta row carried over)
+      Incremental.appendFrameHammingState(
+        Seq((50L, "a", 0, OX)).toDF("doc_id", "src", "frame_pos", "dhash"),
+        "doc_id", "dhash", "t_fdup_state2", maxHamming = 8,
+        numBuckets = 4, everyNth = 2, shardCol = Some("src"))
+    } finally Seq("t_fdup_state", "t_fdup_state2")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("alias rewrite is blue/green: versioned dirs, current+previous retained; recoverClusters rebuilds from edges") {
+    import spark.implicits._
+    val d = tmp("graft_cluster_bg")
+    val t = Incremental.ClusterTables(
+      "t_cbg_post", s"$d/post", "t_cbg_member", s"$d/member",
+      "t_cbg_alias", s"$d/alias", "t_cbg_edges", s"$d/edges",
+      numBuckets = 4)
+    val rt = t.copy(memberTable = "t_cbg_member_r",
+      memberPath = s"$d/member_r", aliasTable = "t_cbg_alias_r",
+      aliasPath = s"$d/alias_r")
+    def exists(p: String) = java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+    def resolved(x: Incremental.ClusterTables) =
+      Incremental.resolveClusters(spark, x).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w1 = Seq((1L, "alpha beta gamma delta"), (2L, "one two three four"))
+      .toDF("doc_id", "text")
+    val w2 = Seq((3L, "alpha beta gamma one two three")).toDF("doc_id", "text")
+    val w3 = Seq((4L, "one two three five"), (5L, "word")).toDF("doc_id", "text")
+    val w4 = Seq((0L, "alpha beta gamma delta extra")).toDF("doc_id", "text")
+    val w5 = Seq((-5L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    try {
+      Incremental.writeClusterState(w1, "doc_id", col("text"),
+        n = 2, threshold = 0.3, t)
+      // every append lands its alias rewrite in a FRESH versioned dir
+      // and repoints the table — never an in-place overwrite of the
+      // directory the live table reads
+      Incremental.appendClusters(w2, "doc_id", col("text"), n = 2,
+        threshold = 0.3, t)
+      assert(exists(s"$d/alias_v0"), "first rewrite lands in alias_v0")
+      Incremental.appendClusters(w3, "doc_id", col("text"), n = 2,
+        threshold = 0.3, t)
+      assert(exists(s"$d/alias_v1") && exists(s"$d/alias_v0"),
+        "current + previous versions retained")
+      Incremental.appendClusters(w4, "doc_id", col("text"), n = 2,
+        threshold = 0.3, t)
+      assert(exists(s"$d/alias_v2") && exists(s"$d/alias_v1") &&
+        !exists(s"$d/alias_v0"), "versions older than current-1 reaped")
+      Incremental.appendClusters(w5, "doc_id", col("text"), n = 2,
+        threshold = 0.3, t)
+      val want = Map(-5L -> -5L, 0L -> -5L, 1L -> -5L, 2L -> -5L,
+        3L -> -5L, 4L -> -5L, 5L -> 5L)
+      assert(resolved(t) === want, "merges resolve through versioned alias")
+      // crash window between catalog drop and re-create: resolution is
+      // LOUD (missing table), never silently-stale labels
+      spark.sql(s"DROP TABLE ${t.aliasTable}")
+      intercept[org.apache.spark.sql.AnalysisException] {
+        Incremental.resolveClusters(spark, t).collect()
+      }
+      // recovery: canonical labels rebuilt from the persisted edges +
+      // membership alone — no alias table, no text
+      Incremental.recoverClusters(spark, t, rt)
+      assert(resolved(rt) === want,
+        "recoverClusters must reproduce the exact canonical labels")
+      assert(spark.table(rt.aliasTable).count() === 0,
+        "recovered state starts with a fresh (empty) alias")
+    } finally Seq(t.postTable, t.memberTable, t.aliasTable, t.edgeTable,
+      rt.memberTable, rt.aliasTable)
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+  }
+
+  test("patched takedown ≡ blue/green: splits, canon re-election through alias cleanup, post-patch waves, compaction") {
+    import spark.implicits._
+    val d = tmp("graft_cluster_patch")
+    def tabs(tag: String) = Incremental.ClusterTables(
+      s"t_cpt_post$tag", s"$d/post$tag", s"t_cpt_member$tag", s"$d/member$tag",
+      s"t_cpt_alias$tag", s"$d/alias$tag", s"t_cpt_edges$tag", s"$d/edges$tag",
+      numBuckets = 4)
+    val tA = tabs("a")            // the patched state
+    val tAc = tabs("ac")          // its compaction target
+    val tB = tabs("b"); val tB1 = tabs("b1"); val tB2 = tabs("b2")
+    def resolved(t: Incremental.ClusterTables) =
+      Incremental.resolveClusters(spark, t).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the merge-heavy fixture: w2's bridge creates alias (2→1), w3's
+    // smaller id 0 rewrites it to (2→0),(1→0) — so retracting 0 later
+    // re-elects labels that ARE alias keys (the collision the patch
+    // path must clean up)
+    val w1 = Seq((1L, "alpha beta gamma delta"), (2L, "one two three four"))
+      .toDF("doc_id", "text")
+    val w2 = Seq((3L, "alpha beta gamma one two three")).toDF("doc_id", "text")
+    val w3 = Seq((0L, "alpha beta gamma delta extra"),
+      (4L, "one two three five"), (5L, "word")).toDF("doc_id", "text")
+    val w4 = Seq((6L, "one two three six"), (7L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val allTabs = Seq(tA, tAc, tB, tB1, tB2)
+    try {
+      Seq(tA, tB).foreach { t =>
+        Incremental.writeClusterState(w1, "doc_id", col("text"),
+          n = 2, threshold = 0.3, t)
+        Seq(w2, w3).foreach(w => Incremental.appendClusters(w, "doc_id",
+          col("text"), n = 2, threshold = 0.3, t))
+      }
+      assert(resolved(tA) ===
+        Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 5L))
+      // takedown the BRIDGE and the CANON at once: the cluster must
+      // split {1} / {2,4}, labels 1 and 2 — both former alias keys
+      val rid1 = Seq(3L, 0L).toDF("doc_id")
+      Incremental.patchTakedownClusters(spark, rid1, tA)
+      Incremental.takedownClusters(spark, rid1, tB, tB1)
+      val want1 = Map(1L -> 1L, 2L -> 2L, 4L -> 2L, 5L -> 5L)
+      assert(resolved(tB1) === want1, "blue/green ground truth")
+      assert(resolved(tA) === want1,
+        "patched resolve ≡ blue/green after split + re-election")
+      assert(Incremental.clusterPatchLoad(spark, tA) > 0.0)
+      // a wave APPENDED AFTER the patch: 6 joins the re-elected {2,4};
+      // 7 matches BOTH retained 1 and tombstoned 0's text — the
+      // tombstone-filtered probe must link it through 1 only
+      Incremental.appendClusters(w4, "doc_id", col("text"),
+        n = 2, threshold = 0.3, tA)
+      Incremental.appendClusters(w4, "doc_id", col("text"),
+        n = 2, threshold = 0.3, tB1)
+      val want2 = want1 ++ Map(6L -> 2L, 7L -> 1L)
+      assert(resolved(tB1) === want2)
+      assert(resolved(tA) === want2, "overlay-aware append ≡ blue/green append")
+      // SECOND patch (merging with the first): retract the re-elected
+      // canon 2 → {4,6} re-elect 4
+      val rid2 = Seq(2L).toDF("doc_id")
+      Incremental.patchTakedownClusters(spark, rid2, tA)
+      Incremental.takedownClusters(spark, rid2, tB1, tB2)
+      val want3 = Map(1L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 4L, 7L -> 1L)
+      assert(resolved(tB2) === want3)
+      assert(resolved(tA) === want3, "stacked patches ≡ stacked rewrites")
+      // compaction bakes the overlay in: same resolution, empty ledger
+      Incremental.compactClusterPatches(spark, tA, tAc)
+      assert(resolved(tAc) === want3, "compaction preserves resolution")
+      assert(Incremental.clusterPatchLoad(spark, tAc) === 0.0)
+      // and the compacted state keeps appending normally
+      Incremental.appendClusters(
+        Seq((8L, "one two three seven")).toDF("doc_id", "text"),
+        "doc_id", col("text"), n = 2, threshold = 0.3, tAc)
+      assert(resolved(tAc) === want3 + (8L -> 4L))
+    } finally allTabs.foreach(x => Seq(x.postTable, x.memberTable,
+      x.aliasTable, x.edgeTable, s"${x.memberTable}_patch",
+      s"${x.memberTable}_tomb")
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n")))
+  }
+
   test("cluster takedown: retracting the BRIDGE splits; retracting the canon re-elects; state stays appendable") {
     import spark.implicits._
     val d = tmp("graft_cluster_td")

@@ -384,6 +384,69 @@ class IngestSpec extends AnyFunSuite {
     assert(gotTok === wantTok)
   }
 
+  test("drift monitor wired into the MEDIA loop: feature PSI over ride-along columns, token drift skipped without text") {
+    import operators.{Images, Stats}
+    val dir = tmp("graft_ingest_mdrift")
+    def imgs(ids: Long*) = Images.syntheticCorpus(
+      ids.toDF("doc_id"), "doc_id", variantsPerScene = 3, corruptEvery = 0)
+    // wave 0 promotes a crawl_a-only corpus; wave 1 is all crawl_b —
+    // the ride-along column drifts fully, the monitor must alarm
+    // while the wave still lands
+    imgs(0L, 3L, 6L).withColumn("source", lit("crawl_a"))
+      .write.parquet(s"$dir/w0")
+    imgs(30L, 33L, 36L).withColumn("source", lit("crawl_b"))
+      .write.parquet(s"$dir/w1")
+    IngestCli.runMedia(spark, s"$dir/state", Seq(s"$dir/w0", s"$dir/w1"),
+      "image", None, None, ns = "graft_mdrift_t",
+      driftCols = Seq("source"), driftTokens = 5)
+    val drift = spark.read.parquet(s"$dir/state/drift")
+    assert(drift.select("ingest_wave").distinct().as[Int].collect()
+      .toSet === Set(1), "wave 0 has no gold to drift from")
+    assert(drift.select("feature").distinct().as[String].collect()
+      .toSet === Set("source"),
+      "token drift must SKIP loudly when neither side has a text column")
+    assert(drift.select("feature_psi").as[Double].head() >
+      IngestCli.DriftAlarmPsi, "full register shift reads as an alarm")
+    // the logged report IS driftReport(gold-so-far, wave): media extras
+    // ride to gold, so gold's wave-0 partition is the baseline
+    val goldPath = IngestCli.currentGoldPath(spark, s"$dir/state")
+    val g0 = spark.read.parquet(goldPath).filter(col("ingest_wave") === 0)
+    val want = Stats.driftReport(g0, spark.read.parquet(s"$dir/w1"),
+      Seq("source" -> col("source"))).collect().map(_.toSeq).toSet
+    assert(drift.drop("ingest_wave").collect().map(_.toSeq).toSet === want)
+    // ...and monitoring never gates: the drifted wave promoted
+    assert(goldIds(goldPath).contains(30L))
+  }
+
+  test("drift monitor wired into the VIDEO loop: token drift over ride-along transcripts") {
+    import operators.{Stats, Video}
+    val dir = tmp("graft_ingest_vdrift")
+    def clips(ids: Long*) = Video.syntheticCorpus(
+      ids.toDF("doc_id"), "doc_id", variantsPerScene = 3, corruptEvery = 0)
+    clips(0L, 3L).withColumn("text", lit("uno dos tres cuatro"))
+      .withColumn("source", lit("tv"))
+      .write.parquet(s"$dir/w0")
+    clips(30L, 33L).withColumn("text", lit("alpha beta gamma delta"))
+      .withColumn("source", lit("web"))
+      .write.parquet(s"$dir/w1")
+    IngestCli.runVideo(spark, s"$dir/state", Seq(s"$dir/w0", s"$dir/w1"),
+      None, None, ns = "graft_vdrift_t",
+      driftCols = Seq("source"), driftTokens = 4)
+    val drift = spark.read.parquet(s"$dir/state/drift")
+    assert(drift.select("feature").distinct().as[String].collect()
+      .toSet === Set("source", "token"),
+      "both monitors run: feature PSI + token drift over the transcript")
+    val goldPath = IngestCli.currentGoldPath(spark, s"$dir/state")
+    val g0 = spark.read.parquet(goldPath).filter(col("ingest_wave") === 0)
+    val wantTok = Stats.tokenDrift(g0, spark.read.parquet(s"$dir/w1"),
+      col("text"), k = 4).collect().map(_.toSeq).toSet
+    assert(drift.filter(col("feature") === "token").drop("ingest_wave")
+      .collect().map(_.toSeq).toSet === wantTok)
+    assert(drift.filter(col("feature") === "token")
+      .select("feature_psi").as[Double].head() > IngestCli.DriftAlarmPsi,
+      "a fully-shifted vocabulary alarms")
+  }
+
   test("IngestCli.runClusters drives the cluster loop: init, append, post-wave split-correct takedown") {
     import operators.Incremental
     val dir = tmp("graft_ingest_clusters")
@@ -412,6 +475,43 @@ class IngestSpec extends AnyFunSuite {
       "waves merged through the bridge")
     assert(resolved(1) === Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 4L -> 2L),
       "post-wave takedown of the bridge splits, v1 tables hold it")
+  }
+
+  test("runClusters patched takedown (GRAFT_TAKEDOWN_PATCH): overlay + policy compaction ≡ blue/green rewrite") {
+    import operators.Incremental
+    val dir = tmp("graft_ingest_clusters_p")
+    val w0 = Seq((0L, "alpha beta gamma delta extra"),
+      (1L, "alpha beta gamma delta"),
+      (2L, "one two three four")).toDF("doc_id", "text")
+    val w1 = Seq((3L, "alpha beta gamma one two three"),
+      (4L, "one two three five")).toDF("doc_id", "text")
+    w0.write.parquet(s"$dir/w0"); w1.write.parquet(s"$dir/w1")
+    Seq(3L).toDF("doc_id").write.parquet(s"$dir/takedown")
+    def run(sub: String, patch: Boolean): Unit =
+      IngestCli.runClusters(spark, s"$dir/$sub", Seq(s"$dir/w0", s"$dir/w1"),
+        Some(s"$dir/takedown"), n = 2, threshold = 0.3,
+        ns = s"graft_icp_$sub", patch = patch)
+    def resolved(sub: String, v: Int) = Incremental.resolveClusters(spark,
+      Incremental.ClusterTables(
+        s"graft_icp_${sub}_post_v$v", s"$dir/$sub/post_v$v",
+        s"graft_icp_${sub}_member_v$v", s"$dir/$sub/member_v$v",
+        s"graft_icp_${sub}_alias_v$v", s"$dir/$sub/alias_v$v",
+        s"graft_icp_${sub}_edges_v$v", s"$dir/$sub/edges_v$v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    run("a", patch = false)
+    run("b", patch = true)
+    val want = Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 4L -> 2L)
+    assert(resolved("a", 1) === want, "blue/green ground truth")
+    assert(resolved("b", 0) === want,
+      "patched overlay resolves identically on the UNREWRITTEN v0 tables")
+    // 4 patch rows / 5 membership rows > 0.3 default → the policy
+    // compaction fired and baked the overlay into v1
+    assert(resolved("b", 1) === want, "policy compaction produced v1")
+    assert(Incremental.clusterPatchLoad(spark, Incremental.ClusterTables(
+      s"graft_icp_b_post_v1", s"$dir/b/post_v1",
+      s"graft_icp_b_member_v1", s"$dir/b/member_v1",
+      s"graft_icp_b_alias_v1", s"$dir/b/alias_v1",
+      s"graft_icp_b_edges_v1", s"$dir/b/edges_v1")) === 0.0)
   }
 
   // ---- the MEDIA wave loop ----

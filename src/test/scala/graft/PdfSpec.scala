@@ -257,6 +257,114 @@ class PdfSpec extends AnyFunSuite {
     } finally inflater.end()
   }
 
+  test("synthesizeCid -> extractText: Type0 font codes decode through the ToUnicode CMap") {
+    val hostile = Seq(
+      "plain words only",
+      "parens (nested (deep)) and \\ backslash",
+      "tab\there, high byte: äß",
+      "beyond latin-1: ā中文 mixed ascii")
+    hostile.foreach { page =>
+      val r = Pdf.extractText(Pdf.synthesizeCid(Seq(page)))
+      assert(r.ok && r.pages === 1 && r.text === page, s"page <$page>")
+    }
+    val r3 = Pdf.extractText(Pdf.synthesizeCid(Seq("one", "two (2)", "three")))
+    assert(r3.ok && r3.pages === 3 && r3.text === "one\ntwo (2)\nthree")
+    // fuzz round-trip, same contract as the classic/modern layouts
+    val rnd = new scala.util.Random(29)
+    val alphabet = "abc XYZ()\\%<>[]/#éőā中"
+    (0 until 40).foreach { _ =>
+      val pages = (0 to rnd.nextInt(2)).map(_ =>
+        (1 to 1 + rnd.nextInt(40)).map(_ =>
+          alphabet(rnd.nextInt(alphabet.length))).mkString)
+      val expected = pages.map(_.trim).filter(_.nonEmpty)
+      val r = Pdf.extractText(Pdf.synthesizeCid(pages))
+      assert(r.ok && r.pages === expected.length &&
+        r.text === expected.mkString("\n"), s"pages $pages")
+    }
+  }
+
+  test("CID layout defeats the lexical scan — only the ToUnicode map recovers text") {
+    val bytes = Pdf.synthesizeCid(Seq("recoverable words"))
+    val inflater = new java.util.zip.Inflater()
+    try {
+      // the lexical scan has no resource tree: the 2-byte codes decode
+      // as control-character soup, never the source words
+      val lex = Pdf.extractLexical(new String(bytes, Latin1), bytes, inflater)
+      assert(!lex.text.contains("recoverable"),
+        s"lexical scan must NOT see through the CID codes: <${lex.text}>")
+      val structured = Pdf.extractText(bytes)
+      assert(structured.ok && structured.text === "recoverable words",
+        "the walk maps codes through the inherited font's CMap")
+    } finally inflater.end()
+  }
+
+  test("fuzz: CID layout is total under noise, mutation, and truncation") {
+    val rnd = new scala.util.Random(31)
+    val base = Pdf.synthesizeCid(Seq("mutation target alpha", "beta page"))
+    (0 until 200).foreach { _ =>
+      val b = base.clone()
+      (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      }
+      val cut = if (rnd.nextBoolean()) b.take(1 + rnd.nextInt(b.length)) else b
+      Pdf.extractText(cut) // must never throw
+    }
+  }
+
+  test("parseToUnicode: bfchar, both bfrange forms, ligatures, code widths") {
+    // bfrange increment form: <01>..<03> -> A B C (1-byte codes — the
+    // simple-font shape)
+    val inc = Pdf.parseToUnicode(
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |1 begincodespacerange
+        |<00> <FF>
+        |endcodespacerange
+        |1 beginbfrange
+        |<01> <03> <0041>
+        |endbfrange
+        |endcmap""".stripMargin).get
+    assert(inc.codeLen === 1)
+    assert(inc.decode(Array[Byte](1, 2, 3)) === "ABC")
+    assert(inc.decode(Array[Byte](1, 9, 3)) === "AC",
+      "unmapped codes emit nothing — glyph ids must not leak")
+    // bfrange ARRAY form + a multi-char (ligature) destination
+    val arr = Pdf.parseToUnicode(
+      """begincmap
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |1 beginbfrange
+        |<0001> <0003> [<0066006600690020> <0058> <0059>]
+        |endbfrange
+        |2 beginbfchar
+        |<0010> <0041>
+        |<0011> <00E90151>
+        |endbfchar
+        |endcmap""".stripMargin).get
+    assert(arr.codeLen === 2)
+    assert(arr.decode(Array[Byte](0, 1)) === "ffi ", "ligature target intact")
+    assert(arr.decode(Array[Byte](0, 2, 0, 3)) === "XY")
+    assert(arr.decode(Array[Byte](0, 0x10, 0, 0x11)) === "Aéő")
+    // garbage in, None out — never a throw
+    assert(Pdf.parseToUnicode("no cmap here").isEmpty)
+    assert(Pdf.parseToUnicode("beginbfchar <zz> <qq> endbfchar").isEmpty)
+  }
+
+  test("textOps font routing: Tf switches CMaps mid-stream; unmapped fonts keep the default") {
+    val f1 = Pdf.ToUnicode(2, Map(1 -> "a", 2 -> "b"))
+    val fonts = Map("F1" -> f1)
+    // /F1 text decodes through the CMap; /F9 (no CMap) falls back to
+    // the BOM/Latin-1 default mid-stream
+    val got = Pdf.textOps(
+      "BT /F1 12 Tf <00010002> Tj /F9 10 Tf (plain) Tj ET", fonts)
+    assert(got === "abplain")
+    // a font selected BEFORE BT still applies (Tf is text state)
+    assert(Pdf.textOps("/F1 8 Tf BT <0002> Tj ET", fonts) === "b")
+    // with no fonts at all, behavior is the pre-CMap default
+    assert(Pdf.textOps("BT (x) Tj ET") === "x")
+  }
+
   test("classic incremental update: /Prev chain resolves newest-wins") {
     // base doc, then an appended update replacing the content stream
     // (object 4) plus a new xref section whose trailer /Prev points at

@@ -731,4 +731,98 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("sampling grid"))
   }
+
+  test("streaming cluster assignment parity: micro-batch waves ≡ batch appendClusters") {
+    import graft.operators.Incremental
+    val d = Files.createTempDirectory("graft-stream-clusters").toString
+    def tabs(tag: String) = Incremental.ClusterTables(
+      s"t_scl_post$tag", s"$d/post$tag", s"t_scl_member$tag", s"$d/member$tag",
+      s"t_scl_alias$tag", s"$d/alias$tag", s"t_scl_edges$tag", s"$d/edges$tag",
+      numBuckets = 4)
+    val tS = tabs("s"); val tB = tabs("b")
+    def resolved(t: Incremental.ClusterTables) =
+      Incremental.resolveClusters(spark, t).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val w0 = Seq((1L, "alpha beta gamma delta"), (2L, "one two three four"))
+      .toDF("doc_id", "text")
+    val w1 = Seq((3L, "alpha beta gamma one two three")).toDF("doc_id", "text")
+    val w2 = Seq((0L, "alpha beta gamma delta extra"),
+      (4L, "one two three five"), (5L, "word")).toDF("doc_id", "text")
+    try {
+      // batch ground truth: the bridge merge + smaller-id merge chain
+      Seq(tS, tB).foreach(t => Incremental.writeClusterState(w0, "doc_id",
+        col("text"), n = 2, threshold = 0.3, t))
+      Seq(w1, w2).foreach(w => Incremental.appendClusters(w, "doc_id",
+        col("text"), n = 2, threshold = 0.3, tB))
+      // stream path: the same waves arrive as two file-source
+      // micro-batches against one checkpoint — each micro-batch is one
+      // wave through the SAME persisted state
+      val inDir = s"$d/in"; val ckpt = s"$d/ckpt"; val assignDir = s"$d/assign"
+      def drain(): Unit = {
+        val q = StreamOps.clusterAssignStream(
+          spark.readStream.schema(w1.schema).parquet(inDir),
+          "doc_id", "text", n = 2, threshold = 0.3, tS, assignDir,
+          checkpointDir = Some(ckpt))
+        q.awaitTermination(120000)
+      }
+      w1.coalesce(1).write.mode("append").parquet(inDir)
+      drain()
+      w2.coalesce(1).write.mode("append").parquet(inDir)
+      drain()
+      assert(resolved(tS) === resolved(tB),
+        "stream-cadence waves must resolve exactly as the batch path")
+      assert(resolved(tS) ===
+        Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L, 5L -> 5L))
+      val assigns = spark.read.parquet(assignDir)
+      assert(assigns.count() === 4, "one assignment row per streamed doc")
+      assert(assigns.select("micro_batch").distinct().count() === 2,
+        "two waves arrived as two micro-batches")
+    } finally Seq(tS, tB).foreach(x => Seq(x.postTable, x.memberTable,
+      x.aliasTable, x.edgeTable)
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n")))
+  }
+
+  test("zero-frame clips (container parses, every frame fails decode) are exact-drop-EXEMPT: null clip_sig") {
+    import graft.operators.Video
+    // hand-rolled RIFF/AVI with one 00dc chunk of NON-JPEG payload:
+    // aviFrames parses it, decodeGray rejects every frame — the clip
+    // is decoded=true with zero signed frames
+    def le32(v: Int) = Array[Byte]((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+    def fakeAvi(payload: Array[Byte]): Array[Byte] = {
+      val chunk = "00dc".getBytes("US-ASCII") ++ le32(payload.length) ++ payload
+      val movi = "LIST".getBytes("US-ASCII") ++ le32(4 + chunk.length) ++
+        "movi".getBytes("US-ASCII") ++ chunk
+      "RIFF".getBytes("US-ASCII") ++ le32(4 + movi.length) ++
+        "AVI ".getBytes("US-ASCII") ++ movi
+    }
+    val ts0 = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    // two MUTUALLY-DISTINCT zero-frame clips: nothing is provable
+    // about either, so BOTH must pass every gate — a shared
+    // empty-digest constant would let the exact recrawl gate drop one
+    val w = Seq((1L, fakeAvi(Array[Byte](9, 9, 9, 9)), ts0),
+      (2L, fakeAvi(Array[Byte](8, 8, 8, 8)), ts0))
+      .toDF("doc_id", "content", "ts")
+    val signed = StreamOps.videoSignStream(w, "content").collect()
+    signed.foreach { r =>
+      assert(r.getAs[Boolean]("decoded"), "the container itself parsed")
+      assert(r.getSeq[Int](r.fieldIndex("frame_pos")).isEmpty)
+      assert(r.isNullAt(r.fieldIndex("clip_sig")),
+        "zero signed frames -> NULL clip_sig, never a shared constant")
+    }
+    val emptyIdx = Video.FrameStateIndex(8, 2, Array.empty, Array.empty,
+      Array.empty, Array.empty)
+    val batchKept = StreamOps.videoIngestStream(w, "content", emptyIdx)
+      .select("doc_id").as[Long].collect().toSet
+    assert(batchKept === Set(1L, 2L),
+      "batch chain admits every zero-frame clip (nothing provable)")
+    val dir = Files.createTempDirectory("graft-zero-frames").toString + "/w"
+    w.coalesce(1).write.parquet(dir)
+    val streamed = runToMemory(
+      StreamOps.videoIngestStream(
+        spark.readStream.schema(w.schema).parquet(dir), "content", emptyIdx),
+      "video_zero_frames")
+    assert(streamed.select("doc_id").as[Long].collect().toSet === Set(1L, 2L),
+      "stream ≡ batch: the exact gate exempts zero-frame clips")
+  }
 }
