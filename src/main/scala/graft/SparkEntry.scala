@@ -2280,6 +2280,75 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ---- LZW-filtered PDF source: same recompute-from-documents
+    // oracle; the content streams are LZWDecode (variable-width
+    // early-change codes — the pre-Flate filter old scanned corpora
+    // still carry), so only a working LZW codec reproduces the text.
+    "q165_pdf_lzw_scan" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") % 10 === 2 && col("text").isNotNull &&
+          length(col("text")) > 0)
+        .select(col("doc_id"), col("text"))
+      val pdfDir = s"${stateDir(dir)}/q165_pdfs"
+      val rows = docs.as[(Long, String)].map { case (id, text) =>
+        (f"doc_$id%08d", Seq(text, s"doc $id page 2"))
+      }
+      sources.Pdf.writePdfDir(rows, pdfDir, lzw = true)
+      sources.Pdf.readPdfDir(s, pdfDir).toDF()
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.pdf$", 1)
+            .cast("long").as("doc_id"),
+          col("pdf_text"), col("pdf_pages"), col("pdf_ok"))
+        .orderBy("doc_id")
+    },
+
+    // ---- /Encoding /Differences PDF source: a simple font with a
+    // SHUFFLED single-byte code assignment and no /ToUnicode — the
+    // bytes on disk spell nothing; only mapping codes through the
+    // Differences glyph names recovers the text.
+    "q166_pdf_differences_scan" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") % 10 === 3 && col("text").isNotNull &&
+          length(col("text")) > 0)
+        .select(col("doc_id"), col("text"))
+      val pdfDir = s"${stateDir(dir)}/q166_pdfs"
+      val rows = docs.as[(Long, String)].map { case (id, text) =>
+        (f"doc_$id%08d", Seq(text, s"doc $id page 2"))
+      }
+      sources.Pdf.writePdfDir(rows, pdfDir, differences = true)
+      sources.Pdf.readPdfDir(s, pdfDir).toDF()
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.pdf$", 1)
+            .cast("long").as("doc_id"),
+          col("pdf_text"), col("pdf_pages"), col("pdf_ok"))
+        .orderBy("doc_id")
+    },
+
+    // ---- RC4-encrypted PDF source (Standard handler V2/R3, empty
+    // user password — the owner-locked shape): every content stream
+    // is ciphertext on disk; the /U-verified key derivation plus
+    // per-object RC4 is the only way back to the text.
+    "q167_pdf_encrypted_scan" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") % 10 === 4 && col("text").isNotNull &&
+          length(col("text")) > 0)
+        .select(col("doc_id"), col("text"))
+      val pdfDir = s"${stateDir(dir)}/q167_pdfs"
+      val rows = docs.as[(Long, String)].map { case (id, text) =>
+        (f"doc_$id%08d", Seq(text, s"doc $id page 2"))
+      }
+      sources.Pdf.writePdfDir(rows, pdfDir, encrypted = true)
+      sources.Pdf.readPdfDir(s, pdfDir).toDF()
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.pdf$", 1)
+            .cast("long").as("doc_id"),
+          col("pdf_text"), col("pdf_pages"), col("pdf_ok"))
+        .orderBy("doc_id")
+    },
+
     // ---- Multimodal audio near-dup: REAL RIFF/PCM decode of a
     // deterministic synthetic WAV corpus (scene = doc_id/3, planted
     // 3-frame variants ≤ 4 eHash bits apart; every 97th payload
@@ -5295,6 +5364,32 @@ object SparkEntry {
         |  2 AS pdf_pages, TRUE AS pdf_ok
         |FROM documents
         |WHERE doc_id % 10 = 1 AND text IS NOT NULL AND length(text) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // q165/q166/q167: the same recompute-from-documents shape for the
+    // LZW-filtered, /Differences-encoded, and RC4-encrypted layouts.
+    "q165_pdf_lzw_scan" ->
+      """SELECT doc_id,
+        |  text || chr(10) || 'doc ' || doc_id || ' page 2' AS pdf_text,
+        |  2 AS pdf_pages, TRUE AS pdf_ok
+        |FROM documents
+        |WHERE doc_id % 10 = 2 AND text IS NOT NULL AND length(text) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "q166_pdf_differences_scan" ->
+      """SELECT doc_id,
+        |  text || chr(10) || 'doc ' || doc_id || ' page 2' AS pdf_text,
+        |  2 AS pdf_pages, TRUE AS pdf_ok
+        |FROM documents
+        |WHERE doc_id % 10 = 3 AND text IS NOT NULL AND length(text) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "q167_pdf_encrypted_scan" ->
+      """SELECT doc_id,
+        |  text || chr(10) || 'doc ' || doc_id || ' page 2' AS pdf_text,
+        |  2 AS pdf_pages, TRUE AS pdf_ok
+        |FROM documents
+        |WHERE doc_id % 10 = 4 AND text IS NOT NULL AND length(text) > 0
         |ORDER BY doc_id""".stripMargin,
 
     // q153: identical recompute-from-documents shape for the PDF 1.5

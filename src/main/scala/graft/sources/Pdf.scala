@@ -42,9 +42,20 @@ import org.apache.spark.sql.functions._
   * CMapped code with no entry emits nothing (glyph indices must not
   * leak as mojibake into dedup keys).
   *
-  * Documented limits: no /Encoding /Differences fallback when a
-  * /ToUnicode is absent, no encryption, no non-Flate stream filters
-  * (LZW/DCT/JBIG2 streams are stepped over). A
+  * Fonts without a /ToUnicode fall back to their
+  * `/Encoding /Differences` overlay (glyph names via `uniXXXX`/`uXXXX`
+  * + an Adobe-Glyph-List Latin subset; unmapped codes keep their
+  * base-encoding meaning). Stream filters: FlateDecode and LZWDecode
+  * (early-change variable-width codes), both predictor-aware.
+  * Encryption: the RC4 Standard security handler (V1/V2, R2/R3) with
+  * an empty user password — the owner-locked shape scanned corpora
+  * carry; /U is verified first, so passworded or AES (V≥4) documents
+  * read as UNREADABLE (`ok = false`), never as ciphertext lexed into
+  * garbage.
+  *
+  * Documented limits: no AES encryption (V4/V5), no user-passworded
+  * documents, and image-only filters (DCT/JBIG2/CCITT) are stepped
+  * over — they carry pixels, not text. A
   * malformed file extracts as `ok = false` with empty text — the
   * reference's empty-on-error contract — never an exception (every
   * parser here is index-guarded and depth-capped; fuzz-pinned).
@@ -158,6 +169,7 @@ object Pdf {
           val dict = dictBefore(raw, s)
           val data = java.util.Arrays.copyOfRange(bytes, dataStart, dataEnd)
           if (dict.contains("/FlateDecode")) inflate(data, inflater).foreach(out += _)
+          else if (dict.contains("/LZWDecode")) lzwDecode(data).foreach(out += _)
           else out += data
           s = raw.indexOf("stream", e + "endstream".length)
         }
@@ -208,6 +220,111 @@ object Pdf {
     if (doneStart >= 0) raw.substring(doneStart, doneEnd) else ""
   }
 
+  // ---- LZWDecode (ISO 32000 7.4.4 / TIFF 6.0 LZW) ----
+  // Variable-width MSB-first codes 9..12 bits; 256 = ClearTable,
+  // 257 = EOD; "early change" (the default) bumps the width one code
+  // earlier than strictly needed. The decoder's dictionary runs one
+  // entry BEHIND the encoder's at read time, so the width formulas
+  // differ by exactly one: decoder f(size + earlyChange), encoder
+  // f(size + earlyChange − 1) — the asymmetry the fuzz round-trip
+  // (PdfSpec) pins across every width boundary.
+
+  private def lzwWidth(x: Int): Int =
+    if (x < 512) 9 else if (x < 1024) 10 else if (x < 2048) 11 else 12
+
+  /** LZW decode; None on a malformed stream (the step-over
+    * contract every other filter follows). Tolerates a missing EOD
+    * (truncated streams yield what was decoded). */
+  private[graft] def lzwDecode(data: Array[Byte],
+      earlyChange: Int = 1): Option[Array[Byte]] =
+    try {
+      val out = new java.io.ByteArrayOutputStream(math.max(64, data.length * 3))
+      val dict = new Array[Array[Byte]](4096)
+      var dictSize = 258
+      var width = 9
+      var prev: Array[Byte] = null
+      var bitBuf = 0L
+      var bitCnt = 0
+      var i = 0
+      var done = false
+      while (!done) {
+        while (bitCnt < width && i < data.length) {
+          bitBuf = (bitBuf << 8) | (data(i) & 0xFF); bitCnt += 8; i += 1
+        }
+        if (bitCnt < width) done = true // ran out of bits: tolerate no-EOD
+        else {
+          val code = ((bitBuf >>> (bitCnt - width)) & ((1L << width) - 1)).toInt
+          bitCnt -= width
+          if (code == 256) { dictSize = 258; width = 9; prev = null }
+          else if (code == 257) done = true
+          else {
+            val entry: Array[Byte] =
+              if (code < 256) Array(code.toByte)
+              else if (code < dictSize && dict(code) != null) dict(code)
+              else if (code == dictSize && prev != null) prev :+ prev(0) // KwKwK
+              else return None
+            out.write(entry)
+            if (prev != null && dictSize < 4096) {
+              dict(dictSize) = prev :+ entry(0)
+              dictSize += 1
+            }
+            width = lzwWidth(dictSize + earlyChange)
+            prev = entry
+          }
+        }
+      }
+      Some(out.toByteArray)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** LZW encode — the fixture-writer half ([[synthesize]]'s `lzw`
+    * mode); emits ClearTable first and EOD last, resets at a full
+    * table, width-synchronized with [[lzwDecode]]. */
+  private[graft] def lzwEncode(data: Array[Byte],
+      earlyChange: Int = 1): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, data.length))
+    var bitBuf = 0L
+    var bitCnt = 0
+    var width = 9
+    def put(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code.toLong
+      bitCnt += width
+      while (bitCnt >= 8) {
+        out.write(((bitBuf >>> (bitCnt - 8)) & 0xFF).toInt); bitCnt -= 8
+      }
+    }
+    val dict = new java.util.HashMap[Integer, Integer]()
+    var dictSize = 258
+    def key(p: Int, b: Int): Integer = Integer.valueOf((p << 8) | b)
+    put(256)
+    var prev = -1
+    var i = 0
+    while (i < data.length) {
+      val b = data(i) & 0xFF
+      if (prev == -1) prev = b
+      else {
+        val c = dict.get(key(prev, b))
+        if (c != null) prev = c.intValue()
+        else {
+          put(prev)
+          if (dictSize < 4096) {
+            dict.put(key(prev, b), Integer.valueOf(dictSize))
+            dictSize += 1
+            width = lzwWidth(dictSize + earlyChange - 1)
+          } else {
+            put(256) // table full: clear and start over
+            dict.clear(); dictSize = 258; width = 9
+          }
+          prev = b
+        }
+      }
+      i += 1
+    }
+    if (prev != -1) put(prev)
+    put(257)
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xFF).toInt)
+    out.toByteArray
+  }
+
   private def inflate(data: Array[Byte],
       inflater: java.util.zip.Inflater): Option[Array[Byte]] =
     try {
@@ -229,7 +346,8 @@ object Pdf {
     * has no text meaning and emits nothing (raw CID codes are glyph
     * indices — leaking them as mojibake would poison dedup keys and
     * token stats downstream). */
-  private[graft] final case class ToUnicode(codeLen: Int, map: Map[Int, String]) {
+  private[graft] final case class ToUnicode(codeLen: Int, map: Map[Int, String],
+      fallbackLatin1: Boolean = false) {
     def decode(b: Array[Byte]): String = {
       val sb = new StringBuilder
       var i = 0
@@ -237,11 +355,93 @@ object Pdf {
         var code = 0
         var j = 0
         while (j < codeLen) { code = (code << 8) | (b(i + j) & 0xFF); j += 1 }
-        map.get(code).foreach(sb.append)
+        map.get(code) match {
+          case Some(s) => sb.append(s)
+          // the /Differences overlay semantics: codes the difference
+          // array does NOT remap keep their base-encoding meaning
+          // (≈Latin-1 here, the same default as unmapped strings)
+          case None if fallbackLatin1 && code <= 0xFF =>
+            sb.append(code.toChar)
+          case None => ()
+        }
         i += codeLen
       }
       sb.toString
     }
+  }
+
+  /** Glyph name → text, for /Encoding /Differences fonts without a
+    * /ToUnicode: the `uniXXXX`/`uXXXX[XX]` forms decode numerically;
+    * a compact Adobe-Glyph-List subset covers the Latin names a real
+    * Spanish/Latin corpus meets; single-letter names map to
+    * themselves. Unknown names yield None (the code keeps its
+    * base-encoding meaning — never mojibake). */
+  private[graft] def glyphToUnicode(name: String): Option[String] = {
+    if (name.length == 1 && name.charAt(0).isLetter) return Some(name)
+    if (name.startsWith("uni") && name.length >= 7 &&
+        (name.length - 3) % 4 == 0 &&
+        name.drop(3).forall(c => Character.digit(c, 16) >= 0)) {
+      val sb = new StringBuilder
+      name.drop(3).grouped(4).foreach(g =>
+        sb.append(Integer.parseInt(g, 16).toChar))
+      return Some(sb.toString)
+    }
+    if (name.startsWith("u") && name.length >= 5 && name.length <= 7 &&
+        name.drop(1).forall(c => Character.digit(c, 16) >= 0))
+      return Some(new String(Character.toChars(Integer.parseInt(name.drop(1), 16))))
+    AglSubset.get(name)
+  }
+
+  private val AglSubset: Map[String, String] = Map(
+    "space" -> " ", "exclam" -> "!", "quotedbl" -> "\"",
+    "numbersign" -> "#", "dollar" -> "$", "percent" -> "%",
+    "ampersand" -> "&", "quotesingle" -> "'", "parenleft" -> "(",
+    "parenright" -> ")", "asterisk" -> "*", "plus" -> "+",
+    "comma" -> ",", "hyphen" -> "-", "period" -> ".", "slash" -> "/",
+    "zero" -> "0", "one" -> "1", "two" -> "2", "three" -> "3",
+    "four" -> "4", "five" -> "5", "six" -> "6", "seven" -> "7",
+    "eight" -> "8", "nine" -> "9", "colon" -> ":", "semicolon" -> ";",
+    "less" -> "<", "equal" -> "=", "greater" -> ">", "question" -> "?",
+    "at" -> "@", "bracketleft" -> "[", "backslash" -> "\\",
+    "bracketright" -> "]", "asciicircum" -> "^", "underscore" -> "_",
+    "grave" -> "`", "braceleft" -> "{", "bar" -> "|",
+    "braceright" -> "}", "asciitilde" -> "~",
+    "exclamdown" -> "¡", "questiondown" -> "¿",
+    "ntilde" -> "ñ", "Ntilde" -> "Ñ",
+    "aacute" -> "á", "eacute" -> "é", "iacute" -> "í",
+    "oacute" -> "ó", "uacute" -> "ú",
+    "Aacute" -> "Á", "Eacute" -> "É", "Iacute" -> "Í",
+    "Oacute" -> "Ó", "Uacute" -> "Ú",
+    "udieresis" -> "ü", "Udieresis" -> "Ü",
+    "adieresis" -> "ä", "odieresis" -> "ö",
+    "edieresis" -> "ë", "idieresis" -> "ï",
+    "ccedilla" -> "ç", "Ccedilla" -> "Ç",
+    "agrave" -> "à", "egrave" -> "è", "igrave" -> "ì",
+    "ograve" -> "ò", "ugrave" -> "ù",
+    "quoteleft" -> "‘", "quoteright" -> "’",
+    "quotedblleft" -> "“", "quotedblright" -> "”",
+    "endash" -> "–", "emdash" -> "—",
+    "guillemotleft" -> "«", "guillemotright" -> "»",
+    "bullet" -> "•", "ellipsis" -> "…", "degree" -> "°",
+    "ordfeminine" -> "ª", "ordmasculine" -> "º",
+    "amacron" -> "ā", "emacron" -> "ē", "imacron" -> "ī",
+    "omacron" -> "ō", "umacron" -> "ū")
+
+  /** `/Differences [ n /name /name m /name … ]` → code → text.
+    * Integers set the next code; each name consumes one code. Names
+    * with no known mapping keep their base-encoding meaning (the
+    * code is simply absent from the overlay). */
+  private def parseDifferences(arr: Vector[PVal]): Map[Int, String] = {
+    val m = Map.newBuilder[Int, String]
+    var code = 0
+    arr.foreach {
+      case PNum(v) => code = v.toInt
+      case PName(n) =>
+        glyphToUnicode(n).foreach(s => m += code -> s)
+        code += 1
+      case _ => ()
+    }
+    m.result()
   }
 
   /** Parse a decoded /ToUnicode CMap stream: `begincodespacerange`
@@ -622,7 +822,94 @@ object Pdf {
   private final case class PName(v: String) extends PVal
   private final case class PArr(v: Vector[PVal]) extends PVal
   private final case class PDict(m: Map[String, PVal]) extends PVal
+  private final case class PStr(b: Array[Byte]) extends PVal
   private case object POther extends PVal
+
+  // ---- Standard security handler, RC4 (ISO 32000 7.6.2-7.6.4,
+  // V1/V2, R2/R3) — the "owner-locked, empty user password" shape
+  // most encrypted scanned corpora ship with. AES (V4/V5) is out of
+  // the envelope and refuses as unreadable, never as garbage. ----
+
+  private val PdfPad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  private def md5(parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  private[graft] def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val s = Array.tabulate(256)(_.toByte)
+    var j = 0
+    var i = 0
+    while (i < 256) {
+      j = (j + s(i) + key(i % key.length)) & 0xFF
+      val t = s(i); s(i) = s(j); s(j) = t
+      i += 1
+    }
+    val out = new Array[Byte](data.length)
+    var x = 0; var y = 0; var k = 0
+    while (k < data.length) {
+      x = (x + 1) & 0xFF
+      y = (y + s(x)) & 0xFF
+      val t = s(x); s(x) = s(y); s(y) = t
+      out(k) = (data(k) ^ s((s(x) + s(y)) & 0xFF)).toByte
+      k += 1
+    }
+    out
+  }
+
+  private def padPw(pw: Array[Byte]): Array[Byte] =
+    (pw.take(32) ++ PdfPad).take(32)
+
+  private def pLe(p: Int): Array[Byte] = Array(
+    (p & 0xFF).toByte, ((p >> 8) & 0xFF).toByte,
+    ((p >> 16) & 0xFF).toByte, ((p >> 24) & 0xFF).toByte)
+
+  /** Algorithm 2: the file encryption key (empty-user-password use). */
+  private[graft] def pdfFileKey(userPw: Array[Byte], o: Array[Byte],
+      p: Int, id0: Array[Byte], r: Int, lenBytes: Int): Array[Byte] = {
+    val n = if (r == 2) 5 else lenBytes
+    var key = md5(padPw(userPw), o.take(32), pLe(p), id0).take(n)
+    if (r >= 3) (0 until 50).foreach(_ => key = md5(key).take(n))
+    key
+  }
+
+  /** Algorithm 3: the /O entry (fixture writer's half). */
+  private[graft] def pdfOwnerO(ownerPw: Array[Byte], userPw: Array[Byte],
+      r: Int, lenBytes: Int): Array[Byte] = {
+    val n = if (r == 2) 5 else lenBytes
+    var h = md5(padPw(ownerPw))
+    if (r >= 3) (0 until 50).foreach(_ => h = md5(h))
+    val key = h.take(n)
+    var o = rc4(key, padPw(userPw))
+    if (r >= 3) (1 to 19).foreach(i =>
+      o = rc4(key.map(b => (b ^ i).toByte), o))
+    o
+  }
+
+  /** Algorithms 4 (R2) / 5 (R3): the /U entry. */
+  private[graft] def pdfUserU(encKey: Array[Byte], id0: Array[Byte],
+      r: Int): Array[Byte] =
+    if (r == 2) rc4(encKey, PdfPad)
+    else {
+      var u = rc4(encKey, md5(PdfPad, id0))
+      (1 to 19).foreach(i => u = rc4(encKey.map(b => (b ^ i).toByte), u))
+      u ++ new Array[Byte](16)
+    }
+
+  /** Algorithm 1's per-object RC4 key. */
+  private[graft] def pdfObjKey(fileKey: Array[Byte], num: Int,
+      gen: Int): Array[Byte] =
+    md5(fileKey ++ Array(
+      (num & 0xFF).toByte, ((num >> 8) & 0xFF).toByte,
+      ((num >> 16) & 0xFF).toByte,
+      (gen & 0xFF).toByte, ((gen >> 8) & 0xFF).toByte))
+      .take(math.min(fileKey.length + 5, 16))
 
   private def isPdfDelim(c: Char): Boolean =
     c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
@@ -662,8 +949,11 @@ object Pdf {
     val c = s.charAt(pos)
     if (c == '<' && pos + 1 < s.length && s.charAt(pos + 1) == '<') {
       parseDict(s, pos, depth)
-    } else if (c == '<') { (POther, hexString(s, pos)._2) }
-    else if (c == '(') { (POther, literalString(s, pos)._2) }
+    } else if (c == '<') {
+      val (b, n) = hexStringBytes(s, pos); (PStr(b), n)
+    } else if (c == '(') {
+      val (b, n) = literalStringBytes(s, pos); (PStr(b), n)
+    }
     else if (c == '/') {
       var i = pos + 1
       while (i < s.length && !isPdfDelim(s.charAt(i))) i += 1
@@ -807,6 +1097,11 @@ object Pdf {
     private var rootRef: Option[Int] = None
     private val objStmCache =
       mutable.HashMap.empty[Int, Option[(String, Vector[(Int, Int)])]]
+    // encryption state (newest trailer wins, like /Root)
+    private var encryptVal: Option[PVal] = None
+    private var fileId0: Array[Byte] = Array.empty
+    private var encKey: Option[Array[Byte]] = None
+    private var encUnreadable = false
 
     private def record(num: Int, e: Any): Unit =
       if (!entries.contains(num)) entries.update(num, e) // newest wins
@@ -837,6 +1132,11 @@ object Pdf {
     private def trailerDict(m: Map[String, PVal], queue: mutable.Queue[Int]): Unit = {
       if (rootRef.isEmpty) m.get("Root").foreach {
         case PRef(n) => rootRef = Some(n); case _ => ()
+      }
+      if (encryptVal.isEmpty) encryptVal = m.get("Encrypt")
+      if (fileId0.isEmpty) m.get("ID").foreach {
+        case PArr(PStr(b) +: _) => fileId0 = b
+        case _ => ()
       }
       // hybrid-reference file: the classic trailer points at a PARALLEL
       // xref stream carrying the ObjStm entries — higher precedence
@@ -992,18 +1292,21 @@ object Pdf {
       }
       filters.zipWithIndex.foldLeft(Option(data)) { case (acc, (f, i)) =>
         acc.flatMap { d =>
+          def post(x: Array[Byte]): Array[Byte] =
+            parms.lift(i).flatten match {
+              case Some(pm) => unpredict(x,
+                intOf(pm.get("Predictor"), 0).getOrElse(1),
+                intOf(pm.get("Columns"), 0).getOrElse(1),
+                intOf(pm.get("Colors"), 0).getOrElse(1),
+                intOf(pm.get("BitsPerComponent"), 0).getOrElse(8))
+              case None => x
+            }
           f match {
-            case "FlateDecode" | "Fl" =>
-              inflate(d, inflater).map { x =>
-                parms.lift(i).flatten match {
-                  case Some(pm) => unpredict(x,
-                    intOf(pm.get("Predictor"), 0).getOrElse(1),
-                    intOf(pm.get("Columns"), 0).getOrElse(1),
-                    intOf(pm.get("Colors"), 0).getOrElse(1),
-                    intOf(pm.get("BitsPerComponent"), 0).getOrElse(8))
-                  case None => x
-                }
-              }
+            case "FlateDecode" | "Fl" => inflate(d, inflater).map(post)
+            case "LZWDecode" | "LZW" =>
+              val early = parms.lift(i).flatten
+                .flatMap(pm => intOf(pm.get("EarlyChange"), 0)).getOrElse(1)
+              lzwDecode(d, early).map(post)
             case _ => None
           }
         }
@@ -1034,6 +1337,58 @@ object Pdf {
       }
     }
 
+    /** Resolve the trailer's /Encrypt into a usable file key (empty
+      * user password — the owner-locked shape), verifying /U so a
+      * passworded or unsupported (AES/V≥4) document reads as
+      * UNREADABLE instead of decrypting to garbage that would poison
+      * dedup keys downstream. */
+    private def setupDecryption(): Unit = encryptVal.foreach { ev =>
+      encUnreadable = true // until proven readable
+      val em = ev match {
+        case PDict(m) => Some(m)
+        case PRef(n) => fetchVal(n) match {
+          case Some(PDict(m)) => Some(m); case _ => None
+        }
+        case _ => None
+      }
+      for {
+        m <- em
+        if m.get("Filter").contains(PName("Standard"))
+        v <- intOf(m.get("V"), 0)
+        if v == 1 || v == 2
+        r <- intOf(m.get("R"), 0)
+        if r == 2 || r == 3
+        o <- m.get("O") match {
+          case Some(PStr(b)) if b.length >= 32 => Some(b.take(32))
+          case _ => None
+        }
+        u <- m.get("U") match {
+          case Some(PStr(b)) if b.length >= 16 => Some(b)
+          case _ => None
+        }
+        p <- m.get("P") match {
+          // /P is a 32-bit mask; writers emit it signed OR unsigned
+          case Some(PNum(x)) => Some((x.toLong & 0xFFFFFFFFL).toInt)
+          case _ => None
+        }
+      } {
+        val lenBytes = intOf(m.get("Length"), 0).getOrElse(40) / 8
+        val key = pdfFileKey(Array.empty, o, p, fileId0, r, lenBytes)
+        val expectU = pdfUserU(key, fileId0, r)
+        val checkLen = if (r == 2) 32 else 16
+        if (expectU.take(checkLen).sameElements(u.take(checkLen))) {
+          encKey = Some(key)
+          encUnreadable = false
+        }
+      }
+    }
+
+    private def decrypt(num: Int, data: Array[Byte]): Array[Byte] =
+      encKey match {
+        case Some(k) => rc4(pdfObjKey(k, num, 0), data)
+        case None => data
+      }
+
     /** Decoded stream payload of an in-file stream object. */
     private def fetchStream(num: Int, depth: Int = 0): Option[Array[Byte]] =
       entries.get(num) match {
@@ -1043,7 +1398,7 @@ object Pdf {
             (dict, afterDict) = parseVal(raw, p)
             m <- dict match { case PDict(m) => Some(m); case _ => None }
             rawData <- rawStreamAt(afterDict, m, direct = false, depth)
-            decoded <- decodeStream(rawData, m)
+            decoded <- decodeStream(decrypt(num, rawData), m)
           } yield decoded
         case _ => None
       }
@@ -1118,24 +1473,36 @@ object Pdf {
       case _ => None
     }
 
-    /** Font resource name → parsed /ToUnicode CMap for one page's
-      * effective resources. Fonts without a /ToUnicode entry are
-      * simply absent (their strings keep the default decoding);
-      * CMap streams parse once per document (cache — fonts are shared
-      * across pages). */
+    /** Font resource name → decoder for one page's effective
+      * resources. Preference order per font: a /ToUnicode CMap
+      * (authoritative, any font type; parsed once per document —
+      * fonts are shared across pages); else a simple font's
+      * `/Encoding << /Differences [...] >>` overlay (glyph names →
+      * text, unmapped codes keep their base-encoding ≈Latin-1
+      * meaning). Fonts with neither are absent — their strings keep
+      * the default decoding. */
     private def fontMap(res: Option[PVal]): Map[String, ToUnicode] =
       (for {
         r <- dictOf(res)
         f <- dictOf(r.get("Font"))
       } yield f.flatMap { case (name, v) =>
-        for {
-          fd <- dictOf(Some(v))
-          tu <- fd.get("ToUnicode") match {
+        dictOf(Some(v)).flatMap { fd =>
+          val viaCMap = fd.get("ToUnicode") match {
             case Some(PRef(tn)) => toUniCache.getOrElseUpdate(tn,
               fetchStream(tn).flatMap(d => parseToUnicode(new String(d, Latin1))))
             case _ => None
           }
-        } yield name -> tu
+          val viaDifferences = viaCMap.orElse {
+            dictOf(fd.get("Encoding")).flatMap(_.get("Differences")).flatMap {
+              case PArr(diffs) =>
+                val m = parseDifferences(diffs)
+                if (m.isEmpty) None
+                else Some(ToUnicode(1, m, fallbackLatin1 = true))
+              case _ => None
+            }
+          }
+          viaDifferences.map(name -> _)
+        }
       }).getOrElse(Map.empty)
 
     /** Full walk → Extracted, or None to trigger the lexical fallback
@@ -1143,6 +1510,10 @@ object Pdf {
       * damaged tree can never HIDE text the lexical scan would see). */
     def extract(): Option[Extracted] = {
       if (!load()) return None
+      setupDecryption()
+      // unsupported or passworded encryption: empty-on-error, and the
+      // lexical fallback must NOT run (it would lex ciphertext)
+      if (encUnreadable) return Some(Extracted("", 0, ok = false))
       val pageDicts = for {
         root <- rootRef.toVector
         cat <- fetchVal(root) match { case Some(PDict(m)) => Vector(m); case _ => Vector.empty }
@@ -1218,9 +1589,11 @@ object Pdf {
     * edge whitespace and newline runs (every documents-table text)
     * round-trip EXACTLY:
     * `extractText(synthesize(pages)).text == pages.mkString("\n")`. */
-  def synthesize(pages: Seq[String]): Array[Byte] = {
+  def synthesize(pages: Seq[String], lzw: Boolean = false): Array[Byte] = {
     require(pages.nonEmpty, "a PDF needs at least one page")
     val n = pages.length
+    val (filterName, encode): (String, Array[Byte] => Array[Byte]) =
+      if (lzw) ("LZWDecode", lzwEncode(_)) else ("FlateDecode", deflateBytes)
     val out = new java.io.ByteArrayOutputStream()
     val offsets = new Array[Int](2 * n + 3) // 1-based object offsets
     def w(s: String): Unit = out.write(s.getBytes(Latin1))
@@ -1236,11 +1609,11 @@ object Pdf {
         s"/MediaBox [0 0 612 792] /Contents ${3 + n + i} 0 R >> endobj\n")
     }
     pages.zipWithIndex.foreach { case (text, i) =>
-      val content = deflateBytes(
+      val content = encode(
         s"BT /F1 12 Tf 72 720 Td ${pdfString(text)} Tj ET".getBytes(Latin1))
       offsets(3 + n + i) = out.size()
       w(s"${3 + n + i} 0 obj << /Length ${content.length} " +
-        "/Filter /FlateDecode >> stream\n")
+        s"/Filter /$filterName >> stream\n")
       out.write(content)
       w("\nendstream endobj\n")
     }
@@ -1248,6 +1621,83 @@ object Pdf {
     w(s"xref\n0 ${2 * n + 3}\n0000000000 65535 f \n")
     (1 until 2 * n + 3).foreach(i => w("%010d 00000 n \n".format(offsets(i))))
     w(s"trailer << /Size ${2 * n + 3} /Root 1 0 R >>\n" +
+      s"startxref\n$xref\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Escaped PDF literal string for raw single-byte CODES (the
+    * /Differences fixture: bytes are font codes, not text). */
+  private def pdfCodeString(codes: Seq[Int]): String = {
+    val b = new StringBuilder("(")
+    codes.foreach {
+      case c if c == '\\' => b.append("\\\\")
+      case c if c == '(' => b.append("\\(")
+      case c if c == ')' => b.append("\\)")
+      case c if c >= 32 && c <= 126 => b.append(c.toChar)
+      case c => b.append("\\%03o".format(c & 0xFF))
+    }
+    b.append(")").toString
+  }
+
+  /** A complete PDF whose text shows through a SIMPLE font with a
+    * custom `/Encoding /Differences` overlay and NO /ToUnicode — the
+    * other custom-encoding shape scanned corpora carry. Every
+    * distinct character gets a remapped single-byte code whose
+    * Differences entry names it as `uniXXXX`, so the bytes on disk
+    * are deliberately shuffled relative to the text and only the
+    * Differences walk recovers it. Resources ride on the PAGE dicts
+    * here (the non-inherited placement — [[synthesizeCid]] covers
+    * the inherited one). Same round-trip guarantee as
+    * [[synthesize]]. */
+  def synthesizeDifferences(pages: Seq[String]): Array[Byte] = {
+    require(pages.nonEmpty, "a PDF needs at least one page")
+    val n = pages.length
+    val chars: Vector[Char] = pages.flatMap(_.toSeq).distinct.sorted.toVector
+    require(chars.size <= 223,
+      "a /Differences overlay addresses single-byte codes (max 223 here)")
+    // deliberately SHUFFLED assignment (reverse order) so identity
+    // mappings cannot mask a broken overlay
+    val codeOf: Map[Char, Int] =
+      chars.zipWithIndex.map { case (c, i) => c -> (255 - i) }.toMap
+    val size = 2 * n + 4
+    val out = new java.io.ByteArrayOutputStream()
+    val offsets = new Array[Int](size)
+    def w(s: String): Unit = out.write(s.getBytes(Latin1))
+    w("%PDF-1.4\n")
+    offsets(1) = out.size()
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    offsets(2) = out.size()
+    val kids = (0 until n).map(i => s"${3 + i} 0 R").mkString(" ")
+    w(s"2 0 obj << /Type /Pages /Kids [$kids] /Count $n >> endobj\n")
+    pages.indices.foreach { i =>
+      offsets(3 + i) = out.size()
+      w(s"${3 + i} 0 obj << /Type /Page /Parent 2 0 R " +
+        s"/MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 ${2 * n + 3} 0 R >> >> " +
+        s"/Contents ${3 + n + i} 0 R >> endobj\n")
+    }
+    pages.zipWithIndex.foreach { case (text, i) =>
+      val content = deflateBytes(
+        (s"BT /F1 12 Tf 72 720 Td " +
+          s"${pdfCodeString(text.map(codeOf))} Tj ET").getBytes(Latin1))
+      offsets(3 + n + i) = out.size()
+      w(s"${3 + n + i} 0 obj << /Length ${content.length} " +
+        "/Filter /FlateDecode >> stream\n")
+      out.write(content)
+      w("\nendstream endobj\n")
+    }
+    offsets(2 * n + 3) = out.size()
+    // codes descend from 255, so emit entries in ASCENDING code order
+    val diffs = chars.zipWithIndex.sortBy { case (_, i) => 255 - i }
+      .map { case (c, i) => s"${255 - i} /uni${"%04X".format(c.toInt)}" }
+      .mkString(" ")
+    w(s"${2 * n + 3} 0 obj << /Type /Font /Subtype /Type1 " +
+      "/BaseFont /Helvetica /Encoding << /Type /Encoding " +
+      s"/Differences [ $diffs ] >> >> endobj\n")
+    val xref = out.size()
+    w(s"xref\n0 $size\n0000000000 65535 f \n")
+    (1 until size).foreach(i => w("%010d 00000 n \n".format(offsets(i))))
+    w(s"trailer << /Size $size /Root 1 0 R >>\n" +
       s"startxref\n$xref\n%%EOF\n")
     out.toByteArray
   }
@@ -1419,14 +1869,81 @@ object Pdf {
     out.toByteArray
   }
 
+  /** A complete RC4-encrypted PDF (Standard security handler, V2/R3,
+    * 128-bit, EMPTY user password, owner password `ownerPw`) — the
+    * owner-locked-but-openable shape encrypted scanned corpora
+    * usually carry. Content streams are Flate-compressed then
+    * RC4-encrypted under Algorithm 1 per-object keys; /O, /U and the
+    * file key follow Algorithms 2/3/5, /ID is a deterministic digest
+    * of the pages. Same round-trip guarantee as [[synthesize]] for
+    * the empty-password reader; a wrong-password or AES document
+    * reads as UNREADABLE (`ok = false`), never as ciphertext
+    * garbage. */
+  def synthesizeEncrypted(pages: Seq[String],
+      ownerPw: String = "owner"): Array[Byte] = {
+    require(pages.nonEmpty, "a PDF needs at least one page")
+    val n = pages.length
+    val encObjNum = 2 * n + 3
+    val size = 2 * n + 4
+    val id0 = md5(pages.mkString(" ").getBytes(
+      java.nio.charset.StandardCharsets.UTF_8))
+    val perms = -3904 // print+copy denied to non-owners: a typical mask
+    val o = pdfOwnerO(ownerPw.getBytes(Latin1), Array.empty, r = 3,
+      lenBytes = 16)
+    val key = pdfFileKey(Array.empty, o, perms, id0, r = 3, lenBytes = 16)
+    val u = pdfUserU(key, id0, r = 3)
+    def hex(b: Array[Byte]): String =
+      b.map("%02X".format(_)).mkString("<", "", ">")
+    val out = new java.io.ByteArrayOutputStream()
+    val offsets = new Array[Int](size)
+    def w(s: String): Unit = out.write(s.getBytes(Latin1))
+    w("%PDF-1.4\n")
+    offsets(1) = out.size()
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    offsets(2) = out.size()
+    val kids = (0 until n).map(i => s"${3 + i} 0 R").mkString(" ")
+    w(s"2 0 obj << /Type /Pages /Kids [$kids] /Count $n >> endobj\n")
+    pages.indices.foreach { i =>
+      offsets(3 + i) = out.size()
+      w(s"${3 + i} 0 obj << /Type /Page /Parent 2 0 R " +
+        s"/MediaBox [0 0 612 792] /Contents ${3 + n + i} 0 R >> endobj\n")
+    }
+    pages.zipWithIndex.foreach { case (text, i) =>
+      val objNum = 3 + n + i
+      val content = rc4(pdfObjKey(key, objNum, 0), deflateBytes(
+        s"BT /F1 12 Tf 72 720 Td ${pdfString(text)} Tj ET".getBytes(Latin1)))
+      offsets(objNum) = out.size()
+      w(s"$objNum 0 obj << /Length ${content.length} " +
+        "/Filter /FlateDecode >> stream\n")
+      out.write(content)
+      w("\nendstream endobj\n")
+    }
+    offsets(encObjNum) = out.size()
+    w(s"$encObjNum 0 obj << /Filter /Standard /V 2 /R 3 /Length 128 " +
+      s"/P $perms /O ${hex(o)} /U ${hex(u)} >> endobj\n")
+    val xref = out.size()
+    w(s"xref\n0 $size\n0000000000 65535 f \n")
+    (1 until size).foreach(i => w("%010d 00000 n \n".format(offsets(i))))
+    w(s"trailer << /Size $size /Root 1 0 R /Encrypt $encObjNum 0 R " +
+      s"/ID [${hex(id0)} ${hex(id0)}] >>\n" +
+      s"startxref\n$xref\n%%EOF\n")
+    out.toByteArray
+  }
+
   /** Distributed fixture/export writer: one synthesized PDF per input
     * row into `dir` as `<name>.pdf`. Files are written executor-side
     * through the Hadoop FS API (works on local paths and HDFS alike);
     * bytes never hit the driver. Input: (name, pages). `modern` picks
     * the PDF 1.5 layout ([[synthesizeModern]]); `cid` the Type0/CID
-    * ToUnicode layout ([[synthesizeCid]]). */
+    * ToUnicode layout ([[synthesizeCid]]); `differences` the
+    * simple-font /Encoding overlay ([[synthesizeDifferences]]);
+    * `lzw` swaps the classic layout's content filter to LZWDecode;
+    * `encrypted` writes the RC4 owner-locked layout
+    * ([[synthesizeEncrypted]]). */
   def writePdfDir(rows: Dataset[(String, Seq[String])], dir: String,
-      modern: Boolean = false, cid: Boolean = false): Unit = {
+      modern: Boolean = false, cid: Boolean = false,
+      differences: Boolean = false, lzw: Boolean = false,
+      encrypted: Boolean = false): Unit = {
     val hp = new org.apache.hadoop.fs.Path(dir)
     val fsSetup = hp.getFileSystem(
       rows.sparkSession.sessionState.newHadoopConf())
@@ -1454,8 +1971,10 @@ object Pdf {
         val os = fs.create(new org.apache.hadoop.fs.Path(dir, s"$name.pdf"), true)
         val bytes =
           if (cid) synthesizeCid(pages)
+          else if (differences) synthesizeDifferences(pages)
+          else if (encrypted) synthesizeEncrypted(pages)
           else if (modern) synthesizeModern(pages)
-          else synthesize(pages)
+          else synthesize(pages, lzw)
         try os.write(bytes) finally os.close()
       }
     }

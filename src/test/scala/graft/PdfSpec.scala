@@ -365,6 +365,133 @@ class PdfSpec extends AnyFunSuite {
     assert(Pdf.textOps("BT (x) Tj ET") === "x")
   }
 
+  test("LZW decode matches the ISO 32000 worked example; encode/decode round-trip across width bumps") {
+    // ISO 32000-1 table 7.4.4.2's example: decimal bytes
+    // 45 45 45 45 45 65 45 45 45 66 encode (early change) to
+    // 80 0B 60 50 22 0C 0C 85 01
+    val plain = Array[Byte](45, 45, 45, 45, 45, 65, 45, 45, 45, 66)
+    val encoded = Array(0x80, 0x0B, 0x60, 0x50, 0x22, 0x0C, 0x0C, 0x85, 0x01)
+      .map(_.toByte)
+    assert(Pdf.lzwDecode(encoded).get.toSeq === plain.toSeq,
+      "spec vector decodes exactly")
+    assert(Pdf.lzwEncode(plain).toSeq === encoded.toSeq,
+      "the encoder reproduces the spec vector bit for bit")
+    // round-trip fuzz crossing the 9->10->11->12-bit boundaries and a
+    // full-table clear: sizes chosen so the dictionary passes 511,
+    // 1023, 2047 and 4096 entries
+    val rnd = new scala.util.Random(59)
+    Seq(10, 300, 2000, 9000, 40000).foreach { size =>
+      val data = Array.fill[Byte](size)((rnd.nextInt(7) * 37).toByte)
+      assert(Pdf.lzwDecode(Pdf.lzwEncode(data)).get.toSeq === data.toSeq,
+        s"low-entropy round-trip at $size bytes")
+      val hard = Array.fill[Byte](size)(rnd.nextInt(256).toByte)
+      assert(Pdf.lzwDecode(Pdf.lzwEncode(hard)).get.toSeq === hard.toSeq,
+        s"high-entropy round-trip at $size bytes")
+    }
+    // malformed: a code past the dictionary must refuse, not throw
+    assert(Pdf.lzwDecode(Array.fill[Byte](6)(0xFF.toByte)).isEmpty)
+  }
+
+  test("synthesize(lzw) -> extractText: LZW-filtered content streams round-trip") {
+    val hostile = Seq(
+      "plain words only",
+      "parens (nested (deep)) and \\ backslash",
+      "beyond latin-1: ā中文 mixed ascii")
+    hostile.foreach { page =>
+      val r = Pdf.extractText(Pdf.synthesize(Seq(page), lzw = true))
+      assert(r.ok && r.pages === 1 && r.text === page, s"page <$page>")
+    }
+    val r3 = Pdf.extractText(Pdf.synthesize(Seq("one", "two (2)", "three"),
+      lzw = true))
+    assert(r3.ok && r3.pages === 3 && r3.text === "one\ntwo (2)\nthree")
+  }
+
+  test("glyphToUnicode: uniXXXX forms, AGL subset, single letters, unknowns") {
+    assert(Pdf.glyphToUnicode("uni00E1") === Some("á"))
+    assert(Pdf.glyphToUnicode("uni00410042") === Some("AB"), "ligature form")
+    assert(Pdf.glyphToUnicode("u1F600").map(_.codePointAt(0)) === Some(0x1F600),
+      "uXXXXX reaches beyond the BMP")
+    assert(Pdf.glyphToUnicode("ntilde") === Some("ñ"))
+    assert(Pdf.glyphToUnicode("guillemotleft") === Some("«"))
+    assert(Pdf.glyphToUnicode("a") === Some("a"))
+    assert(Pdf.glyphToUnicode("Q") === Some("Q"))
+    assert(Pdf.glyphToUnicode("g123456") === None, "unknown names map to nothing")
+    assert(Pdf.glyphToUnicode("unixyzw") === None, "non-hex uni name rejected")
+  }
+
+  test("synthesizeDifferences -> extractText: shuffled /Encoding codes recover through glyph names only") {
+    val hostile = Seq(
+      "plain words only",
+      "acentos: á é í ó ú ñ ü ¿qué? ¡sí!",
+      "parens (nested) and \\ backslash")
+    hostile.foreach { page =>
+      val r = Pdf.extractText(Pdf.synthesizeDifferences(Seq(page)))
+      assert(r.ok && r.pages === 1 && r.text === page, s"page <$page>")
+    }
+    val r3 = Pdf.extractText(
+      Pdf.synthesizeDifferences(Seq("uno", "dos (2)", "tres")))
+    assert(r3.ok && r3.pages === 3 && r3.text === "uno\ndos (2)\ntres")
+    // the bytes on disk are SHUFFLED codes: the lexical scan (no
+    // resource tree) must not see the words
+    val bytes = Pdf.synthesizeDifferences(Seq("recoverable words"))
+    val inflater = new java.util.zip.Inflater()
+    try {
+      val lex = Pdf.extractLexical(new String(bytes, Latin1), bytes, inflater)
+      assert(!lex.text.contains("recoverable"),
+        s"lexical scan must not see through the overlay: <${lex.text}>")
+    } finally inflater.end()
+    assert(Pdf.extractText(bytes).text === "recoverable words")
+  }
+
+  test("synthesizeEncrypted -> extractText: RC4 owner-locked docs decrypt; tampered/AES docs read unreadable") {
+    val hostile = Seq(
+      "plain words only",
+      "parens (nested (deep)) and \\ backslash",
+      "beyond latin-1: ā中文 mixed ascii")
+    hostile.foreach { page =>
+      val r = Pdf.extractText(Pdf.synthesizeEncrypted(Seq(page)))
+      assert(r.ok && r.pages === 1 && r.text === page, s"page <$page>")
+    }
+    val r3 = Pdf.extractText(
+      Pdf.synthesizeEncrypted(Seq("one", "two (2)", "three"), ownerPw = "x"))
+    assert(r3.ok && r3.pages === 3 && r3.text === "one\ntwo (2)\nthree")
+    // nothing readable on disk: the deflate magic of every content
+    // stream is RC4'd away, so the lexical scan finds no text at all
+    val bytes = Pdf.synthesizeEncrypted(Seq("recoverable words"))
+    assert(!new String(bytes, Latin1).contains("recoverable"))
+    // a tampered /U (≈ a user-passworded document) must refuse as
+    // UNREADABLE — ok=false, empty — never lex ciphertext into text
+    val raw = new String(bytes, Latin1)
+    val uAt = raw.indexOf("/U <") + 4
+    val tampered = bytes.clone()
+    tampered(uAt) = (if (bytes(uAt) == '0') '1' else '0').toByte
+    val rt = Pdf.extractText(tampered)
+    assert(!rt.ok && rt.text === "" && rt.pages === 0,
+      "wrong-password documents are unreadable, not garbage")
+    // same refusal for an AES (V 4) marker
+    val aes = new String(bytes, Latin1).replace("/V 2 /R 3", "/V 4 /R 4")
+    val ra = Pdf.extractText(aes.getBytes(Latin1))
+    assert(!ra.ok && ra.text === "",
+      "AES layouts are out of envelope and refuse loudly")
+  }
+
+  test("fuzz: encrypted/differences/lzw layouts are total under mutation and truncation") {
+    val rnd = new scala.util.Random(61)
+    Seq(Pdf.synthesizeEncrypted(Seq("mutation alpha", "beta")),
+      Pdf.synthesizeDifferences(Seq("mutation alpha", "beta")),
+      Pdf.synthesize(Seq("mutation alpha", "beta"), lzw = true))
+      .foreach { base =>
+        (0 until 120).foreach { _ =>
+          val b = base.clone()
+          (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+            b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+          }
+          val cut = if (rnd.nextBoolean()) b.take(1 + rnd.nextInt(b.length)) else b
+          Pdf.extractText(cut) // must never throw
+        }
+      }
+  }
+
   test("classic incremental update: /Prev chain resolves newest-wins") {
     // base doc, then an appended update replacing the content stream
     // (object 4) plus a new xref section whose trailer /Prev points at
