@@ -324,10 +324,26 @@ object IngestCli {
       .partitionBy("ingest_wave").parquet(nextGoldPath)
     writeGoldPointer(spark, dir,
       nextGoldPath.substring(nextGoldPath.lastIndexOf('/') + 1))
-    if (prevVersion >= 1) // keep current + previous; reclaim two-behind
-      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/gold_v${prevVersion - 1}"),
+    // reclaim the version that fell off the retention window (one per
+    // cycle — raising the knob simply stops reclaims until the window
+    // refills); with the default 2 that is current + previous
+    val reclaim = prevVersion - (goldRetain(spark) - 1)
+    if (reclaim >= 0)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/gold_v$reclaim"),
         true)
   }
+
+  /** How many gold versions survive each takedown rewrite — current
+    * plus `retain − 1` predecessors, so a reader PINNING a resolved
+    * gold path keeps a complete directory across `retain − 1`
+    * takedown cycles (the registered residual was a reader losing its
+    * pin across two). `spark.graft.gold.retain` (or
+    * `GRAFT_GOLD_RETAIN`), floor 2: current + previous is the
+    * crash-window minimum [[currentGoldPath]] depends on. */
+  private def goldRetain(spark: SparkSession): Int =
+    math.max(2, spark.conf.getOption("spark.graft.gold.retain")
+      .orElse(sys.env.get("GRAFT_GOLD_RETAIN"))
+      .flatMap(_.toIntOption).getOrElse(2))
 
   /** Repoint `_GOLD_CURRENT` at `name` (tmp-write + rename — the only
     * non-atomic instant is the pointer FILE swap, which

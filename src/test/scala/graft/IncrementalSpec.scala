@@ -1150,6 +1150,14 @@ class IncrementalSpec extends AnyFunSuite {
       val want3 = Map(1L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 4L, 7L -> 1L)
       assert(resolved(tB2) === want3)
       assert(resolved(tA) === want3, "stacked patches ≡ stacked rewrites")
+      // plan shape: the overlay costs BROADCASTS only — resolution
+      // adds zero hash exchanges on top of the membership scan
+      val rplan = Incremental.resolveClusters(spark, tA)
+        .queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning".r.findAllIn(rplan).size === 0,
+        s"patched resolve must not shuffle anything:\n$rplan")
+      assert("BroadcastExchange".r.findAllIn(rplan).size >= 2,
+        s"patch + tombstones ride as broadcasts:\n$rplan")
       // compaction bakes the overlay in: same resolution, empty ledger
       Incremental.compactClusterPatches(spark, tA, tAc)
       assert(resolved(tAc) === want3, "compaction preserves resolution")

@@ -514,6 +514,38 @@ class IngestSpec extends AnyFunSuite {
       s"graft_icp_b_edges_v1", s"$dir/b/edges_v1")) === 0.0)
   }
 
+  test("gold retention window (spark.graft.gold.retain): pinned readers survive N-1 takedown cycles") {
+    import operators.Images
+    def imgs(ids: Long*) = Images.syntheticCorpus(
+      ids.toDF("doc_id"), "doc_id", variantsPerScene = 1, corruptEvery = 0)
+    val dir = tmp("graft_gold_retain")
+    def exists(v: Int) = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/gold_v$v"))
+    var st = IngestCli.initMediaState(spark, "graft_goldret_t", dir,
+      numBuckets = 4)
+    IngestCli.ingestMediaWave(spark, st, imgs(0L, 3L, 6L, 9L, 12L), 0)
+    spark.conf.set("spark.graft.gold.retain", "3")
+    try {
+      st = IngestCli.applyMediaTakedown(spark, st, Seq(0L).toDF("doc_id"))
+      st = IngestCli.applyMediaTakedown(spark, st, Seq(3L).toDF("doc_id"))
+      assert(exists(0) && exists(1) && exists(2),
+        "a window of 3 keeps a reader's pin alive across two cycles")
+      st = IngestCli.applyMediaTakedown(spark, st, Seq(6L).toDF("doc_id"))
+      assert(!exists(0) && exists(1) && exists(2) && exists(3),
+        "the version falling off the window is reclaimed, one per cycle")
+    } finally spark.conf.unset("spark.graft.gold.retain")
+    // the default window (2) reclaims two-behind each cycle, unchanged
+    val dir2 = tmp("graft_gold_retain2")
+    def exists2(v: Int) = java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir2/gold_v$v"))
+    var st2 = IngestCli.initMediaState(spark, "graft_goldret2_t", dir2,
+      numBuckets = 4)
+    IngestCli.ingestMediaWave(spark, st2, imgs(0L, 3L, 6L), 0)
+    st2 = IngestCli.applyMediaTakedown(spark, st2, Seq(0L).toDF("doc_id"))
+    st2 = IngestCli.applyMediaTakedown(spark, st2, Seq(3L).toDF("doc_id"))
+    assert(!exists2(0) && exists2(1) && exists2(2))
+  }
+
   // ---- the MEDIA wave loop ----
 
   test("media waves: gold == from-scratch batch over the union after every wave") {
