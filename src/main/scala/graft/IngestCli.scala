@@ -1181,10 +1181,49 @@ object IngestCli {
     }
   }
 
+  /** The FETCH loop (`GRAFT_FETCH=<urls.parquet>`): the reference's
+    * ingestion manager (drivers fetch → raw bytes land in bronze,
+    * pipeline/ingestion/manager.py:17-47) as one resumable CLI pass —
+    * the work list anti-joins the ledger at `$dir/ledger` (ok rows
+    * never refetched, failures retried), the harvest runs
+    * host-partitioned with the policy's backoff, and every `ok` row
+    * projects into an S13-shaped bronze at `$dir/bronze`
+    * (url, content bytes, sha-256 content id, size). Bronze is a
+    * DERIVED projection of the ledger, so the overwrite is idempotent
+    * across re-runs and crashes — the ledger is the source of truth.
+    * Transport: `file:` URLs by default (zero-egress CI, local
+    * mirrors); `GRAFT_FETCH_HTTP=1` selects [[graft.sources.Fetch
+    * .HttpTransport]] (4xx terminal, 408/429/5xx/timeout retried).
+    * Returns the ledger for composition. */
+  def runFetch(spark: SparkSession, dir: String, urlsPath: String,
+      http: Boolean = false, maxAttempts: Int = 3,
+      minGapMs: Long = 0L): DataFrame = {
+    val transport: graft.sources.Fetch.FetchTransport =
+      if (http) new graft.sources.Fetch.HttpTransport()
+      else graft.sources.Fetch.FileTransport
+    val ledger = graft.sources.Fetch.harvestResumable(spark,
+      spark.read.parquet(urlsPath), "url", s"$dir/ledger", transport,
+      graft.sources.Fetch.FetchPolicy(maxAttempts = maxAttempts,
+        minGapMs = minGapMs))
+    val ok = ledger.filter(col("status") === "ok")
+    ok.select(col("url"), col("content"),
+        col("content_sha256").as("content_id"), col("n_bytes"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dir/bronze")
+    val nOk = ok.count()
+    val nFail = ledger.filter(col("status") === "failed").count()
+    println(s"[fetch] ledger=${nOk + nFail} ok=$nOk failed=$nFail " +
+      s"bronze=$dir/bronze")
+    ledger
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2,
+    require(args.length >= 2 ||
+      (sys.env.contains("GRAFT_FETCH") && args.length >= 1),
       "usage: IngestCli <stateDir> <wave1.parquet> [wave2.parquet ...] " +
-        "(GRAFT_MEDIA=image|audio|video selects the media loop; " +
+        "(GRAFT_FETCH=<urls.parquet> runs the resumable harvest loop " +
+        "into <stateDir>/ledger + bronze — no wave args; " +
+        "GRAFT_FETCH_HTTP=1 selects the java.net.http transport; " +
+        "GRAFT_MEDIA=image|audio|video selects the media loop; " +
         "GRAFT_BLOCKLIST/GRAFT_TAKEDOWN/GRAFT_EVAL name parquet " +
         "inputs — GRAFT_EVAL arms the text loop's benchmark-" +
         "decontamination gate; GRAFT_DRIFT=col1,col2 arms the per-wave " +
@@ -1221,6 +1260,16 @@ object IngestCli {
         "(word-gram Jaccard edges) — it is ignored when GRAFT_MEDIA " +
         "selects a media loop; cluster media by signature through the " +
         "Hamming states instead")
+    sys.env.get("GRAFT_FETCH").foreach { urlsPath =>
+      runFetch(spark, dir, urlsPath,
+        http = sys.env.get("GRAFT_FETCH_HTTP").contains("1"),
+        maxAttempts =
+          sys.env.get("GRAFT_FETCH_ATTEMPTS").map(_.toInt).getOrElse(3),
+        minGapMs =
+          sys.env.get("GRAFT_FETCH_GAP_MS").map(_.toLong).getOrElse(0L))
+      spark.stop()
+      return
+    }
     if (sys.env.contains("GRAFT_CLUSTERS") && !sys.env.contains("GRAFT_MEDIA")) {
       runClusters(spark, dir, args.drop(1).toSeq,
         sys.env.get("GRAFT_TAKEDOWN"),

@@ -546,6 +546,39 @@ class IngestSpec extends AnyFunSuite {
     assert(!exists2(0) && exists2(1) && exists2(2))
   }
 
+  test("runFetch drives the harvest loop end to end: ledger accretes, failures retry, bronze derives") {
+    val dir = tmp("graft_fetch_cli")
+    // a local mirror of three docs; one URL points at a missing file
+    val files = (0 until 3).map { i =>
+      val p = java.nio.file.Paths.get(s"$dir/mirror_$i.txt")
+      java.nio.file.Files.write(p, s"contenido $i".getBytes("UTF-8"))
+      p.toUri.toString
+    }
+    val missing = s"$dir/mirror_missing.txt"
+    (files :+ missing).toDF("url").write.parquet(s"$dir/urls")
+    // wave 1: three ok, one terminal failure
+    val l1 = IngestCli.runFetch(spark, s"$dir/state", s"$dir/urls")
+    assert(l1.filter(col("status") === "ok").count() === 3)
+    assert(l1.filter(col("status") === "failed").count() === 1)
+    val bronze1 = spark.read.parquet(s"$dir/state/bronze")
+    assert(bronze1.count() === 3, "every ok row lands in bronze")
+    assert(bronze1.select("content_id").distinct().count() === 3)
+    val c0 = bronze1.filter(col("url") === files(0))
+      .select("content").head().getAs[Array[Byte]](0)
+    assert(new String(c0, "UTF-8") === "contenido 0")
+    // the missing file appears: a re-run fetches ONLY it (resume)
+    java.nio.file.Files.write(java.nio.file.Paths.get(missing),
+      "contenido nuevo".getBytes("UTF-8"))
+    val l2 = IngestCli.runFetch(spark, s"$dir/state", s"$dir/urls")
+    assert(l2.count() === 5, "one retry row appended, ok rows untouched")
+    assert(l2.filter(col("status") === "ok").count() === 4)
+    val bronze2 = spark.read.parquet(s"$dir/state/bronze")
+    assert(bronze2.count() === 4, "bronze re-derives from the full ledger")
+    // and a third run is a no-op wave (nothing pending)
+    val l3 = IngestCli.runFetch(spark, s"$dir/state", s"$dir/urls")
+    assert(l3.count() === 5, "nothing pending, nothing refetched")
+  }
+
   // ---- the MEDIA wave loop ----
 
   test("media waves: gold == from-scratch batch over the union after every wave") {
