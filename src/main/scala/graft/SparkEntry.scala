@@ -2306,7 +2306,11 @@ object SparkEntry {
     // ---- /Encoding /Differences PDF source: a simple font with a
     // SHUFFLED single-byte code assignment and no /ToUnicode — the
     // bytes on disk spell nothing; only mapping codes through the
-    // Differences glyph names recovers the text.
+    // Differences glyph names recovers the text. Page 2 carries
+    // Greek/Cyrillic/typographic glyphs whose Differences entries use
+    // their AGL NAMES (alpha, afii10078, Euro, …), so the oracle only
+    // matches through the full Adobe-Glyph-List table, not the
+    // numeric uniXXXX decode.
     "q166_pdf_differences_scan" -> { (s, dir) =>
       import s.implicits._
       val docs = Tables.documents(s, dir)
@@ -2315,7 +2319,7 @@ object SparkEntry {
         .select(col("doc_id"), col("text"))
       val pdfDir = s"${stateDir(dir)}/q166_pdfs"
       val rows = docs.as[(Long, String)].map { case (id, text) =>
-        (f"doc_$id%08d", Seq(text, s"doc $id page 2"))
+        (f"doc_$id%08d", Seq(text, s"doc $id page 2 αΩ жЯ €“½ß”"))
       }
       sources.Pdf.writePdfDir(rows, pdfDir, differences = true)
       sources.Pdf.readPdfDir(s, pdfDir).toDF()
@@ -2341,6 +2345,63 @@ object SparkEntry {
         (f"doc_$id%08d", Seq(text, s"doc $id page 2"))
       }
       sources.Pdf.writePdfDir(rows, pdfDir, encrypted = true)
+      sources.Pdf.readPdfDir(s, pdfDir).toDF()
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.pdf$", 1)
+            .cast("long").as("doc_id"),
+          col("pdf_text"), col("pdf_pages"), col("pdf_ok"))
+        .orderBy("doc_id")
+    },
+
+    // ---- AES-encrypted PDF source (Standard handler, empty user
+    // password): half the corpus is V4/R4 /CFM /AESV2 (AES-128-CBC,
+    // per-object sAlT keys), half V5/R6 /CFM /AESV3 (AES-256-CBC,
+    // Algorithm-2.B /U verification + /UE key unwrap) — the modern
+    // owner-locked scan shapes RC4 deprecated into. Every content
+    // stream is CBC ciphertext behind a 16-byte IV; only a correct
+    // byte-level key derivation + decrypt reproduces the text.
+    "q168_pdf_aes_scan" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") % 10 === 6 && col("text").isNotNull &&
+          length(col("text")) > 0)
+        .select(col("doc_id"), col("text"))
+      val rows = docs.as[(Long, String)].map { case (id, text) =>
+        (f"doc_$id%08d", Seq(text, s"doc $id page 2"), (id / 10) % 2 == 0)
+      }
+      val dirV2 = s"${stateDir(dir)}/q168_pdfs_aesv2"
+      val dirV3 = s"${stateDir(dir)}/q168_pdfs_aesv3"
+      sources.Pdf.writePdfDir(
+        rows.filter(_._3).map(r => (r._1, r._2)), dirV2,
+        encrypted = true, encryptMode = "aesv2")
+      sources.Pdf.writePdfDir(
+        rows.filter(!_._3).map(r => (r._1, r._2)), dirV3,
+        encrypted = true, encryptMode = "aesv3")
+      sources.Pdf.readPdfDir(s, dirV2).unionByName(
+        sources.Pdf.readPdfDir(s, dirV3)).toDF()
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.pdf$", 1)
+            .cast("long").as("doc_id"),
+          col("pdf_text"), col("pdf_pages"), col("pdf_ok"))
+        .orderBy("doc_id")
+    },
+
+    // ---- Predefined-CMap PDF source: Type0 /Encoding /Identity-H
+    // with NO /ToUnicode — 2-byte codes ARE the UTF-16 units (the
+    // subset-writer shape). Nothing on disk is Latin-1-readable and
+    // no embedded CMap exists; only the predefined-Identity fallback
+    // recovers the text (registry CMaps read honest-empty instead).
+    "q169_pdf_identity_cid_scan" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") % 10 === 7 && col("text").isNotNull &&
+          length(col("text")) > 0)
+        .select(col("doc_id"), col("text"))
+      val pdfDir = s"${stateDir(dir)}/q169_pdfs"
+      val rows = docs.as[(Long, String)].map { case (id, text) =>
+        (f"doc_$id%08d", Seq(text, s"doc $id page 2"))
+      }
+      sources.Pdf.writePdfDir(rows, pdfDir, cidPredefined = true)
       sources.Pdf.readPdfDir(s, pdfDir).toDF()
         .select(
           regexp_extract(col("path"), "doc_(\\d+)\\.pdf$", 1)
@@ -5378,7 +5439,7 @@ object SparkEntry {
 
     "q166_pdf_differences_scan" ->
       """SELECT doc_id,
-        |  text || chr(10) || 'doc ' || doc_id || ' page 2' AS pdf_text,
+        |  text || chr(10) || 'doc ' || doc_id || ' page 2 αΩ жЯ €“½ß”' AS pdf_text,
         |  2 AS pdf_pages, TRUE AS pdf_ok
         |FROM documents
         |WHERE doc_id % 10 = 3 AND text IS NOT NULL AND length(text) > 0
@@ -5390,6 +5451,25 @@ object SparkEntry {
         |  2 AS pdf_pages, TRUE AS pdf_ok
         |FROM documents
         |WHERE doc_id % 10 = 4 AND text IS NOT NULL AND length(text) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // q168/q169: the same recompute-from-documents shape for the
+    // AES-encrypted (AESV2 + AESV3 halves) and the Identity-H
+    // predefined-CMap (no /ToUnicode) layouts.
+    "q168_pdf_aes_scan" ->
+      """SELECT doc_id,
+        |  text || chr(10) || 'doc ' || doc_id || ' page 2' AS pdf_text,
+        |  2 AS pdf_pages, TRUE AS pdf_ok
+        |FROM documents
+        |WHERE doc_id % 10 = 6 AND text IS NOT NULL AND length(text) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "q169_pdf_identity_cid_scan" ->
+      """SELECT doc_id,
+        |  text || chr(10) || 'doc ' || doc_id || ' page 2' AS pdf_text,
+        |  2 AS pdf_pages, TRUE AS pdf_ok
+        |FROM documents
+        |WHERE doc_id % 10 = 7 AND text IS NOT NULL AND length(text) > 0
         |ORDER BY doc_id""".stripMargin,
 
     // q153: identical recompute-from-documents shape for the PDF 1.5

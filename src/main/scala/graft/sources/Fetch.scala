@@ -50,7 +50,22 @@ object Fetch {
     * ship to executors. */
   trait FetchTransport extends Serializable {
     def fetch(url: String): Array[Byte]
+
+    /** Conditional fetch for recrawl waves: pass the prior wave's
+      * validators and get `notModified = true` (body null) when the
+      * origin answers 304. The default ignores validators — scripted
+      * fake transports keep working unchanged; [[HttpTransport]]
+      * sends real If-None-Match / If-Modified-Since headers. */
+    def fetchValidated(url: String, etag: String,
+        lastModified: String): FetchResult =
+      FetchResult(fetch(url), null, null, notModified = false)
   }
+
+  /** One transport exchange: payload plus the cache validators the
+    * origin returned (either may be null). `notModified` marks a 304
+    * short-circuit — body is null and the caller keeps prior bytes. */
+  final case class FetchResult(body: Array[Byte], etag: String,
+      lastModified: String, notModified: Boolean)
 
   /** A failure no retry can fix — the harvest loop stops attempting
     * this URL in this wave and writes the failed ledger row at once. */
@@ -86,26 +101,49 @@ object Fetch {
         .followRedirects(java.net.http.HttpClient.Redirect.NORMAL)
         .build()
 
-    override def fetch(url: String): Array[Byte] = {
+    override def fetch(url: String): Array[Byte] =
+      fetchValidated(url, null, null).body
+
+    override def fetchValidated(url: String, etag: String,
+        lastModified: String): FetchResult = {
       // URI.create AND newBuilder both throw IllegalArgumentException
       // on malformed / scheme-less input — terminal either way
       val req =
-        try java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
-          .timeout(java.time.Duration.ofMillis(requestTimeoutMs))
-          .header("User-Agent", userAgent)
-          .GET().build()
+        try {
+          val b = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+            .timeout(java.time.Duration.ofMillis(requestTimeoutMs))
+            .header("User-Agent", userAgent)
+          if (etag != null) b.header("If-None-Match", etag)
+          if (lastModified != null) b.header("If-Modified-Since", lastModified)
+          b.GET().build()
+        }
         catch { case e: IllegalArgumentException =>
           throw new TerminalFetchException(s"malformed URL: ${e.getMessage}") }
       // send throws HttpTimeoutException / IOException on transport
       // failure — transient by the trait's contract
       val resp = client.send(req,
         java.net.http.HttpResponse.BodyHandlers.ofByteArray())
+      def hdr(name: String): String =
+        resp.headers().firstValue(name).orElse(null)
       resp.statusCode() match {
-        case ok if ok / 100 == 2 => resp.body()
+        case 304 =>
+          // validators held: keep the prior bytes (recrawl waves
+          // never re-download unchanged bodies)
+          FetchResult(null, etag, lastModified, notModified = true)
+        case ok if ok / 100 == 2 =>
+          FetchResult(resp.body(), hdr("ETag"), hdr("Last-Modified"),
+            notModified = false)
         case 408 | 429 =>
           throw new java.io.IOException(s"HTTP ${resp.statusCode()} (transient)")
         case terminal if terminal / 100 == 4 =>
           throw new TerminalFetchException(s"HTTP $terminal")
+        // a 3xx SURFACING here means the client refused to follow it
+        // (missing Location, or a redirect the NORMAL policy rejects,
+        // e.g. an https→http downgrade) — permanently unfollowable,
+        // so terminal: retrying with backoff cannot change the
+        // server's redirect and would burn the whole attempt budget
+        case redirect if redirect / 100 == 3 =>
+          throw new TerminalFetchException(s"HTTP $redirect (unfollowable redirect)")
         case other =>
           throw new java.io.IOException(s"HTTP $other")
       }
@@ -135,17 +173,26 @@ object Fetch {
       baseBackoffMs: Long = 250L,
       maxBackoffMs: Long = 10_000L,
       minGapMs: Long = 0L,
-      jitterSeed: Long = 42L) {
+      jitterSeed: Long = 42L,
+      respectRobots: Boolean = false,
+      robotsAgent: String = "graft-harvest") {
     require(maxAttempts >= 1, "maxAttempts must be >= 1")
     require(baseBackoffMs >= 0 && maxBackoffMs >= baseBackoffMs, "bad backoff bounds")
   }
 
-  /** Ledger row. `status` is `ok` or `failed`; `content` is null on
-    * failure, `error` null on success. */
+  /** Ledger row. `status` is `ok`, `failed`, or `denied` (robots);
+    * `content` is null on failure/denial AND on a 304 short-circuit
+    * (`not_modified = true` — sha/size copied from the prior wave, so
+    * bytes are resolved via [[resolveLatest]] without re-shipping
+    * them through the fetch shuffle). `etag`/`last_modified` are the
+    * origin's cache validators for the next recrawl wave; `wave`
+    * orders a multi-wave ledger (newest wins). */
   final case class FetchRecord(
       url: String, host: String, status: String, attempts: Int,
       n_bytes: Long, content_sha256: String, error: String,
-      content: Array[Byte])
+      content: Array[Byte],
+      etag: String = null, last_modified: String = null,
+      not_modified: Boolean = false, wave: Int = 0)
 
   /** Deterministic equal-jitter backoff before attempt `attempt + 1`
     * (so `attempt` = how many have failed): half the exponential step
@@ -168,6 +215,72 @@ object Fetch {
       if (h == null) "" else h.toLowerCase
     } catch { case _: Exception => "" }
 
+  // ---- robots.txt (opt-in politeness gate) ----
+
+  /** Parsed robots rules: (path-prefix, allow) pairs from the groups
+    * addressing our agent. Longest-prefix match wins; an allow wins a
+    * same-length tie (Google's published tie-break); no match =
+    * allowed. */
+  private[graft] final case class RobotsRules(
+      rules: Vector[(String, Boolean)]) {
+    def allows(path: String): Boolean = {
+      val p = if (path == null || path.isEmpty) "/" else path
+      var bestLen = -1
+      var bestAllow = true
+      rules.foreach { case (prefix, allow) =>
+        if (p.startsWith(prefix) &&
+            (prefix.length > bestLen ||
+              (prefix.length == bestLen && allow))) {
+          bestLen = prefix.length
+          bestAllow = allow
+        }
+      }
+      bestAllow
+    }
+  }
+
+  /** Minimal robots.txt parser (RFC 9309 shape): consecutive
+    * `User-agent` lines open a group; `Allow`/`Disallow` lines fill
+    * it; the most specific agent match wins (a group naming a
+    * substring of `agent` beats the `*` group — never merged, per the
+    * RFC). Empty Disallow means allow-everything (no rule). Unknown
+    * directives (Crawl-delay, Sitemap) are ignored. */
+  private[graft] def parseRobots(txt: String, agent: String): RobotsRules = {
+    val agentLc = agent.toLowerCase
+    var groups = Vector.empty[(Vector[String], Vector[(String, Boolean)])]
+    var curAgents = Vector.empty[String]
+    var curRules = Vector.empty[(String, Boolean)]
+    var inRules = false
+    def flush(): Unit = {
+      if (curAgents.nonEmpty) groups :+= ((curAgents, curRules))
+      curAgents = Vector.empty; curRules = Vector.empty; inRules = false
+    }
+    txt.linesIterator.foreach { line0 =>
+      val line = line0.takeWhile(_ != '#').trim
+      val i = line.indexOf(':')
+      if (i > 0) {
+        val key = line.substring(0, i).trim.toLowerCase
+        val value = line.substring(i + 1).trim
+        key match {
+          case "user-agent" =>
+            if (inRules) flush()
+            curAgents :+= value.toLowerCase
+          case "disallow" | "allow" if curAgents.nonEmpty =>
+            inRules = true
+            if (value.nonEmpty) curRules :+= ((value, key == "allow"))
+          case _ => ()
+        }
+      }
+    }
+    flush()
+    val specific = groups.filter {
+      case (as, _) => as.exists(a => a != "*" && agentLc.contains(a))
+    }
+    val chosen =
+      if (specific.nonEmpty) specific else groups.filter(_._1.contains("*"))
+    RobotsRules(chosen.flatMap(_._2))
+  }
+
   private def sha256Hex(bytes: Array[Byte]): String =
     MessageDigest.getInstance("SHA-256").digest(bytes)
       .map(b => f"$b%02x").mkString
@@ -184,51 +297,123 @@ object Fetch {
     * ledger with ONE terminal write before any multi-pass consumption
     * ([[harvestResumable]] does exactly this); origins see at-least-
     * once requests, the ledger itself stays one-row-per-URL. */
+  /** Per-URL work item: the URL plus the prior wave's validators
+    * (null when no prior `ok` row exists — an unconditional fetch).
+    * Public only because Catalyst's generated deserializer must
+    * instantiate it — not API. */
+  final case class WorkItem(url: String, v_etag: String,
+      v_last_modified: String, v_sha: String, v_bytes: Long)
+
   def harvest(
       urls: DataFrame, urlCol: String, transport: FetchTransport,
       policy: FetchPolicy = FetchPolicy(),
-      sleeper: Long => Unit = Thread.sleep): DataFrame = {
+      sleeper: Long => Unit = Thread.sleep,
+      validators: DataFrame = null,
+      wave: Int = 0): DataFrame = {
     val spark = urls.sparkSession
     import spark.implicits._
-    val distinctUrls = urls.select(col(urlCol).cast("string").as("url"))
+    val base = urls.select(col(urlCol).cast("string").as("url"))
       .filter(col("url").isNotNull).distinct()
+    // validators ride the same (small: url + two header strings + a
+    // hash) work list — the prior wave's BYTES never enter the fetch
+    // shuffle; a 304 row carries sha/size only and resolveLatest
+    // re-attaches content from the wave that downloaded it
+    val withV = Option(validators) match {
+      case Some(v) => base.join(
+        v.select(col("url"), col("etag").as("v_etag"),
+          col("last_modified").as("v_last_modified"),
+          col("content_sha256").as("v_sha"),
+          coalesce(col("n_bytes"), lit(0L)).as("v_bytes")),
+        Seq("url"), "left")
+        .withColumn("v_bytes", coalesce(col("v_bytes"), lit(0L)))
+      case None => base
+        .withColumn("v_etag", lit(null: String))
+        .withColumn("v_last_modified", lit(null: String))
+        .withColumn("v_sha", lit(null: String))
+        .withColumn("v_bytes", lit(0L))
+    }
+    val work = withV
       // all URLs of a host into ONE task ⇒ per-host serial politeness;
       // hosts spread across the cluster
       .repartition(hostColumn(col("url")))
-      .as[String]
-    distinctUrls.mapPartitions { it =>
+      .as[WorkItem]
+    work.mapPartitions { it =>
       var lastHost: String = null
       var lastAt = 0L
-      it.map { url =>
+      // one robots.txt fetch per host per task (hosts are partition-
+      // local, so effectively once per host per wave); an unfetchable
+      // robots.txt (404, connection refused) allows everything — the
+      // RFC 9309 "unavailable = unrestricted" convention
+      val robotsCache = scala.collection.mutable.HashMap
+        .empty[String, RobotsRules]
+      def robotsAllows(url: String, host: String): Boolean = {
+        val rules = robotsCache.getOrElseUpdate(host, {
+          val txt = try {
+            val u = java.net.URI.create(url)
+            new String(
+              transport.fetch(s"${u.getScheme}://${u.getRawAuthority}/robots.txt"),
+              java.nio.charset.StandardCharsets.UTF_8)
+          } catch { case scala.util.control.NonFatal(_) => "" }
+          parseRobots(txt, policy.robotsAgent)
+        })
+        val path =
+          try java.net.URI.create(url).getRawPath
+          catch { case _: Exception => "/" }
+        rules.allows(path)
+      }
+      it.map { w =>
+        val url = w.url
         val host = hostOf(url)
-        if (policy.minGapMs > 0 && host == lastHost) {
-          val wait = lastAt + policy.minGapMs - System.nanoTime() / 1000000L
-          if (wait > 0) sleeper(wait)
-        }
-        var attempt = 0
-        var result: FetchRecord = null
-        while (result == null) {
-          attempt += 1
-          try {
-            val bytes = transport.fetch(url)
-            result = FetchRecord(url, host, "ok", attempt,
-              bytes.length.toLong, sha256Hex(bytes), null, bytes)
-          } catch {
-            // terminal before the retry guard: a 404 on attempt 1 of 5
-            // records immediately — no backoff, no further requests
-            case e: TerminalFetchException =>
-              result = FetchRecord(url, host, "failed", attempt, 0L, null,
-                s"${e.getClass.getSimpleName}: ${e.getMessage}", null)
-            case _: Exception if attempt < policy.maxAttempts =>
-              sleeper(backoffMs(policy, url, attempt))
-            case e: Exception =>
-              result = FetchRecord(url, host, "failed", attempt, 0L, null,
-                s"${e.getClass.getSimpleName}: ${e.getMessage}", null)
+        if (policy.respectRobots && host.nonEmpty &&
+            !robotsAllows(url, host)) {
+          // denied rows spend ZERO request attempts on the document
+          // URL and are re-checked next wave (robots files change)
+          FetchRecord(url, host, "denied", 0, 0L, null,
+            "robots.txt disallow", null, wave = wave)
+        } else {
+          if (policy.minGapMs > 0 && host == lastHost) {
+            val wait = lastAt + policy.minGapMs - System.nanoTime() / 1000000L
+            if (wait > 0) sleeper(wait)
           }
+          var attempt = 0
+          var result: FetchRecord = null
+          while (result == null) {
+            attempt += 1
+            try {
+              val r = transport.fetchValidated(url, w.v_etag,
+                w.v_last_modified)
+              result =
+                if (r.notModified)
+                  // 304: validators held — sha/size copied from the
+                  // prior wave, bytes resolved there (never re-sent)
+                  FetchRecord(url, host, "ok", attempt, w.v_bytes,
+                    w.v_sha, null, null, etag = w.v_etag,
+                    last_modified = w.v_last_modified,
+                    not_modified = true, wave = wave)
+                else
+                  FetchRecord(url, host, "ok", attempt,
+                    r.body.length.toLong, sha256Hex(r.body), null, r.body,
+                    etag = r.etag, last_modified = r.lastModified,
+                    wave = wave)
+            } catch {
+              // terminal before the retry guard: a 404 on attempt 1 of 5
+              // records immediately — no backoff, no further requests
+              case e: TerminalFetchException =>
+                result = FetchRecord(url, host, "failed", attempt, 0L, null,
+                  s"${e.getClass.getSimpleName}: ${e.getMessage}", null,
+                  wave = wave)
+              case _: Exception if attempt < policy.maxAttempts =>
+                sleeper(backoffMs(policy, url, attempt))
+              case e: Exception =>
+                result = FetchRecord(url, host, "failed", attempt, 0L, null,
+                  s"${e.getClass.getSimpleName}: ${e.getMessage}", null,
+                  wave = wave)
+            }
+          }
+          lastHost = host
+          lastAt = System.nanoTime() / 1000000L
+          result
         }
-        lastHost = host
-        lastAt = System.nanoTime() / 1000000L
-        result
       }
     }.toDF()
   }
@@ -267,14 +452,93 @@ object Fetch {
       })
       finally s.close()
     }
-    val prior = if (hasPrior) Some(spark.read.parquet(ledgerDir)) else None
+    val prior = if (hasPrior) Some(readLedger(spark, ledgerDir)) else None
     val todo = prior match {
       case Some(l) => pending(urls, l, urlCol)
       case None => urls.select(col(urlCol).cast("string").as("url"))
         .filter(col("url").isNotNull).distinct()
     }
-    harvest(todo, "url", transport, policy, sleeper)
+    val wave = prior.map(nextWave).getOrElse(0)
+    harvest(todo, "url", transport, policy, sleeper, wave = wave)
       .write.mode("append").parquet(ledgerDir)
-    spark.read.parquet(ledgerDir)
+    readLedger(spark, ledgerDir)
+  }
+
+  /** One recrawl wave: refetch EVERY url (not just pending ones)
+    * CONDITIONALLY — the prior wave's `ETag`/`Last-Modified`
+    * validators ride the work list as If-None-Match /
+    * If-Modified-Since, and a 304 answer appends an `ok` row carrying
+    * sha/size but NO bytes (`not_modified = true`). Unchanged bodies
+    * are never re-downloaded and never re-shuffled; [[resolveLatest]]
+    * re-attaches content from the wave that fetched it. Reference
+    * contract: the ingestion manager's content-id sidecar dedupe
+    * (/root/reference/pipeline/ingestion/manager.py:17-47) — same
+    * skip-unchanged outcome, pushed to the HTTP layer where it also
+    * saves the transfer. */
+  def recrawlResumable(
+      spark: SparkSession, urls: DataFrame, urlCol: String,
+      ledgerDir: String, transport: FetchTransport,
+      policy: FetchPolicy = FetchPolicy(),
+      sleeper: Long => Unit = Thread.sleep): DataFrame = {
+    val prior = readLedger(spark, ledgerDir)
+    val validators = latestOk(prior)
+      .select("url", "etag", "last_modified", "content_sha256", "n_bytes")
+    val wave = nextWave(prior)
+    harvest(urls, urlCol, transport, policy, sleeper,
+      validators = validators, wave = wave)
+      .write.mode("append").parquet(ledgerDir)
+    readLedger(spark, ledgerDir)
+  }
+
+  /** Current content per url from a multi-wave ledger: the newest
+    * `ok` row wins; a `not_modified` winner takes its bytes from the
+    * newest row that actually carried them (same url — the sha is
+    * unchanged by the 304 contract). One shuffle on url; bytes cross
+    * it once. */
+  def resolveLatest(ledger: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUrl = Window.partitionBy("url")
+      .orderBy(col("wave").desc, col("attempts").desc)
+    val ok = ledger.filter(col("status") === "ok")
+    val latest = ok.withColumn("rn", row_number().over(byUrl))
+      .filter(col("rn") === 1).drop("rn")
+    val bytes = ok.filter(col("content").isNotNull)
+      .withColumn("rn", row_number().over(byUrl))
+      .filter(col("rn") === 1)
+      .select(col("url"), col("content").as("prior_content"))
+    latest.join(bytes, Seq("url"), "left")
+      .withColumn("content", coalesce(col("content"), col("prior_content")))
+      .drop("prior_content")
+  }
+
+  /** Ledger read with schema merge — waves written by older engine
+    * versions (no etag/wave columns) coexist with new ones. */
+  private def readLedger(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.option("mergeSchema", "true").parquet(dir)
+    val withDefaults = Seq(
+      "etag" -> lit(null: String).cast("string"),
+      "last_modified" -> lit(null: String).cast("string"),
+      "not_modified" -> lit(false),
+      "wave" -> lit(0))
+      .foldLeft(raw) { case (df, (name, default)) =>
+        if (df.columns.contains(name)) df
+        else df.withColumn(name, default)
+      }
+    withDefaults
+  }
+
+  private def nextWave(ledger: DataFrame): Int =
+    ledger.agg(max(col("wave"))).head() match {
+      case r if r.isNullAt(0) => 0
+      case r => r.getInt(0) + 1
+    }
+
+  /** Newest `ok` row per url (validators live here). */
+  private def latestOk(ledger: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ledger.filter(col("status") === "ok")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("url").orderBy(col("wave").desc)))
+      .filter(col("rn") === 1).drop("rn")
   }
 }

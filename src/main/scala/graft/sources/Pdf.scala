@@ -115,14 +115,42 @@ object Pdf {
       if (!raw.startsWith("%PDF")) return Extracted("", 0, ok = false)
       // structured walk first (page-tree order, ObjStm-aware); any
       // failure — or a walk that reaches no text — falls back to the
-      // lexical scan, so the envelope is strictly wider than before
+      // lexical scan, so the envelope is strictly wider than before.
+      // EXCEPT for encrypted documents: when a trailer carries
+      // /Encrypt (or the walk never loaded a trailer but the raw
+      // bytes carry the token), the lexical scan must never run — it
+      // would lex ciphertext streams (unfiltered DCT payloads, a
+      // damaged page tree behind a verified key) into garbage text.
+      // Those read as honest-empty ok=false instead.
+      val walk = new XrefWalk(raw, bytes, inflater)
       val structured =
-        try new XrefWalk(raw, bytes, inflater).extract()
+        try walk.extract()
         catch { case scala.util.control.NonFatal(_) => None }
-      structured.getOrElse(extractLexical(raw, bytes, inflater))
+      structured.getOrElse {
+        if (walk.sawEncrypt || hasEncryptToken(raw))
+          Extracted("", 0, ok = false)
+        else extractLexical(raw, bytes, inflater)
+      }
     } catch {
       case scala.util.control.NonFatal(_) => Extracted("", 0, ok = false)
     }
+  }
+
+  /** Delimited `/Encrypt` token anywhere in the raw bytes — the
+    * fail-closed backstop for documents whose xref never loads (so
+    * the walk never read a trailer). A false positive (the token
+    * inside an unencrypted document's uncompressed string) only
+    * suppresses the lexical fallback — the conservative direction;
+    * it can never fabricate text. */
+  private[graft] def hasEncryptToken(raw: String): Boolean = {
+    var i = raw.indexOf("/Encrypt")
+    while (i >= 0) {
+      val after = i + 8
+      if (after >= raw.length || !raw.charAt(after).isLetterOrDigit ||
+          raw.startsWith("Metadata", after)) return true
+      i = raw.indexOf("/Encrypt", i + 1)
+    }
+    false
   }
 
   /** The pre-xref-walk scan (fallback path; also the spec's probe for
@@ -347,7 +375,7 @@ object Pdf {
     * indices — leaking them as mojibake would poison dedup keys and
     * token stats downstream). */
   private[graft] final case class ToUnicode(codeLen: Int, map: Map[Int, String],
-      fallbackLatin1: Boolean = false) {
+      fallbackLatin1: Boolean = false, identityUtf16: Boolean = false) {
     def decode(b: Array[Byte]): String = {
       val sb = new StringBuilder
       var i = 0
@@ -362,6 +390,11 @@ object Pdf {
           // (≈Latin-1 here, the same default as unmapped strings)
           case None if fallbackLatin1 && code <= 0xFF =>
             sb.append(code.toChar)
+          // /Identity-H Type0 fonts without /ToUnicode: 2-byte codes
+          // pass through as UTF-16BE units (CID ≡ Unicode — the shape
+          // subset writers that key glyphs by code point emit;
+          // surrogate pairs compose naturally across adjacent codes)
+          case None if identityUtf16 => sb.append(code.toChar)
           case None => ()
         }
         i += codeLen
@@ -425,7 +458,78 @@ object Pdf {
     "bullet" -> "•", "ellipsis" -> "…", "degree" -> "°",
     "ordfeminine" -> "ª", "ordmasculine" -> "º",
     "amacron" -> "ā", "emacron" -> "ē", "imacron" -> "ī",
-    "omacron" -> "ō", "umacron" -> "ū")
+    "omacron" -> "ō", "umacron" -> "ū",
+    // Latin extended + typographic punctuation (AGL rows)
+    "AE" -> "Æ", "ae" -> "æ", "OE" -> "Œ", "oe" -> "œ",
+    "Oslash" -> "Ø", "oslash" -> "ø", "Aring" -> "Å", "aring" -> "å",
+    "germandbls" -> "ß", "Thorn" -> "Þ", "thorn" -> "þ",
+    "Eth" -> "Ð", "eth" -> "ð", "Atilde" -> "Ã", "atilde" -> "ã",
+    "Otilde" -> "Õ", "otilde" -> "õ", "Yacute" -> "Ý", "yacute" -> "ý",
+    "ydieresis" -> "ÿ", "Ydieresis" -> "Ÿ",
+    "Scaron" -> "Š", "scaron" -> "š", "Zcaron" -> "Ž", "zcaron" -> "ž",
+    "Lslash" -> "Ł", "lslash" -> "ł",
+    "dagger" -> "†", "daggerdbl" -> "‡", "perthousand" -> "‰",
+    "trademark" -> "™", "copyright" -> "©", "registered" -> "®",
+    "section" -> "§", "paragraph" -> "¶", "plusminus" -> "±",
+    "multiply" -> "×", "divide" -> "÷", "logicalnot" -> "¬",
+    "florin" -> "ƒ", "fraction" -> "⁄", "minus" -> "−",
+    "quotesinglbase" -> "‚", "quotedblbase" -> "„",
+    "guilsinglleft" -> "‹", "guilsinglright" -> "›",
+    "Euro" -> "€", "sterling" -> "£", "yen" -> "¥", "cent" -> "¢",
+    "currency" -> "¤", "micro" -> "µ", "periodcentered" -> "·",
+    "brokenbar" -> "¦", "onequarter" -> "¼", "onehalf" -> "½",
+    "threequarters" -> "¾", "onesuperior" -> "¹",
+    "twosuperior" -> "²", "threesuperior" -> "³",
+    "macron" -> "¯", "acute" -> "´", "cedilla" -> "¸",
+    "dieresis" -> "¨", "tilde" -> "˜", "circumflex" -> "ˆ",
+    "caron" -> "ˇ", "breve" -> "˘", "dotaccent" -> "˙",
+    "ring" -> "˚", "ogonek" -> "˛", "hungarumlaut" -> "˝") ++
+    AglGreek ++ AglCyrillic
+
+  /** AGL Greek block: letter names map 1:1 to the Greek and Coptic
+    * range, plus the variant/tonos rows real Type1 Greek fonts use. */
+  private def AglGreek: Map[String, String] = {
+    val caps = Seq("Alpha", "Beta", "Gamma", "Delta", "Epsilon", "Zeta",
+      "Eta", "Theta", "Iota", "Kappa", "Lambda", "Mu", "Nu", "Xi",
+      "Omicron", "Pi", "Rho", "Sigma", "Tau", "Upsilon", "Phi", "Chi",
+      "Psi", "Omega")
+    // uppercase Α=0391.., skipping 03A2 (unassigned) after Rho
+    val capCps = (0x0391 to 0x03A1) ++ (0x03A3 to 0x03A9)
+    // lowercase α=03B1..03C9 including final sigma 03C2 (named sigma1)
+    val lows = caps.map(_.toLowerCase)
+    val lowCps = (0x03B1 to 0x03C1) ++ (0x03C3 to 0x03C9)
+    (caps.zip(capCps) ++ lows.zip(lowCps)).map { case (n, cp) =>
+      n -> cp.toChar.toString
+    }.toMap ++ Map(
+      "sigma1" -> "ς", "theta1" -> "ϑ", "phi1" -> "ϕ", "omega1" -> "ϖ",
+      "alphatonos" -> "ά", "epsilontonos" -> "έ", "etatonos" -> "ή",
+      "iotatonos" -> "ί", "omicrontonos" -> "ό", "upsilontonos" -> "ύ",
+      "omegatonos" -> "ώ", "iotadieresis" -> "ϊ",
+      "upsilondieresis" -> "ϋ")
+  }
+
+  /** Single-character AGL rows reversed (char → canonical glyph
+    * name) — the fixture writer's half: [[synthesizeDifferences]]
+    * names glyphs the way real AGL-conformant fonts do. Built lazily
+    * AFTER AglSubset initializes. */
+  private lazy val AglReverse: Map[Char, String] =
+    AglSubset.collect {
+      case (n, v) if v.length == 1 && !(n.length == 1) => v.charAt(0) -> n
+    }
+
+  /** AGL Cyrillic block: the `afiiNNNNN` rows — uppercase А..Я at
+    * afii10017..10049 (Ё inline after Е) and lowercase а..я at
+    * afii10065..10097 (ё after е), the layout every AGL-conformant
+    * Cyrillic Type1 font names its glyphs with. */
+  private def AglCyrillic: Map[String, String] = {
+    val caps = "АБВГДЕЁЖЗИЙКЛМНОПРСТУФХЦЧШЩЪЫЬЭЮЯ"
+    val lows = "абвгдеёжзийклмнопрстуфхцчшщъыьэюя"
+    (caps.zipWithIndex.map { case (c, i) =>
+      s"afii${10017 + i}" -> c.toString
+    } ++ lows.zipWithIndex.map { case (c, i) =>
+      s"afii${10065 + i}" -> c.toString
+    }).toMap
+  }
 
   /** `/Differences [ n /name /name m /name … ]` → code → text.
     * Integers set the next code; each name consumes one code. Names
@@ -825,10 +929,15 @@ object Pdf {
   private final case class PStr(b: Array[Byte]) extends PVal
   private case object POther extends PVal
 
-  // ---- Standard security handler, RC4 (ISO 32000 7.6.2-7.6.4,
-  // V1/V2, R2/R3) — the "owner-locked, empty user password" shape
-  // most encrypted scanned corpora ship with. AES (V4/V5) is out of
-  // the envelope and refuses as unreadable, never as garbage. ----
+  // ---- Standard security handler (ISO 32000 7.6.2-7.6.4) — the
+  // "owner-locked, empty user password" shape most encrypted scanned
+  // corpora ship with. Three cipher generations are in envelope:
+  // RC4 (V1/V2, R2/R3), AES-128-CBC behind V4 /CF crypt filters
+  // (CFM /AESV2, R4 — plus /V2 = RC4 in the V4 envelope), and
+  // AES-256-CBC (V5, R5/R6, CFM /AESV3). Every path verifies /U
+  // BEFORE decrypting, so a passworded, tampered, or
+  // unknown-crypt-filter document reads as UNREADABLE, never as
+  // garbage. ----
 
   private val PdfPad: Array[Byte] = Array(
     0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
@@ -870,11 +979,18 @@ object Pdf {
     (p & 0xFF).toByte, ((p >> 8) & 0xFF).toByte,
     ((p >> 16) & 0xFF).toByte, ((p >> 24) & 0xFF).toByte)
 
-  /** Algorithm 2: the file encryption key (empty-user-password use). */
+  /** Algorithm 2: the file encryption key (empty-user-password use).
+    * For R4+, `/EncryptMetadata false` appends 0xFFFFFFFF to the
+    * digest input — callers try both shapes since the boolean lives
+    * outside the parsed value model. */
   private[graft] def pdfFileKey(userPw: Array[Byte], o: Array[Byte],
-      p: Int, id0: Array[Byte], r: Int, lenBytes: Int): Array[Byte] = {
+      p: Int, id0: Array[Byte], r: Int, lenBytes: Int,
+      encryptMeta: Boolean = true): Array[Byte] = {
     val n = if (r == 2) 5 else lenBytes
-    var key = md5(padPw(userPw), o.take(32), pLe(p), id0).take(n)
+    val extra =
+      if (r >= 4 && !encryptMeta) Array.fill[Byte](4)(0xFF.toByte)
+      else Array.empty[Byte]
+    var key = md5(padPw(userPw), o.take(32), pLe(p), id0, extra).take(n)
     if (r >= 3) (0 until 50).foreach(_ => key = md5(key).take(n))
     key
   }
@@ -910,6 +1026,93 @@ object Pdf {
       ((num >> 16) & 0xFF).toByte,
       (gen & 0xFF).toByte, ((gen >> 8) & 0xFF).toByte))
       .take(math.min(fileKey.length + 5, 16))
+
+  /** Algorithm 1's per-object AES-128 key (CFM /AESV2): the RC4
+    * derivation plus the constant `sAlT` suffix ISO 32000 7.6.2
+    * mandates for AES filters. AESV3 skips this — the file key is
+    * used directly. */
+  private[graft] def pdfObjKeyAes(fileKey: Array[Byte], num: Int,
+      gen: Int): Array[Byte] =
+    md5(fileKey ++ Array(
+      (num & 0xFF).toByte, ((num >> 8) & 0xFF).toByte,
+      ((num >> 16) & 0xFF).toByte,
+      (gen & 0xFF).toByte, ((gen >> 8) & 0xFF).toByte,
+      0x73.toByte, 0x41.toByte, 0x6C.toByte, 0x54.toByte))
+      .take(math.min(fileKey.length + 5, 16))
+
+  /** AES-CBC through the JDK provider. `pad=true` uses PKCS#5 (the
+    * stream/string payload shape); `pad=false` is the raw-key shape
+    * (/UE, /OE — exactly two blocks, no padding). Throws on malformed
+    * padding — callers convert that to a skipped stream, never to
+    * garbage text. */
+  private[graft] def aesCbc(encrypt: Boolean, key: Array[Byte],
+      iv: Array[Byte], data: Array[Byte], pad: Boolean): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance(
+      if (pad) "AES/CBC/PKCS5Padding" else "AES/CBC/NoPadding")
+    c.init(
+      if (encrypt) javax.crypto.Cipher.ENCRYPT_MODE
+      else javax.crypto.Cipher.DECRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    c.doFinal(data)
+  }
+
+  /** AES-ECB, no padding — only the 16-byte /Perms block uses it. */
+  private[graft] def aesEcb(encrypt: Boolean, key: Array[Byte],
+      data: Array[Byte]): Array[Byte] = {
+    val c = javax.crypto.Cipher.getInstance("AES/ECB/NoPadding")
+    c.init(
+      if (encrypt) javax.crypto.Cipher.ENCRYPT_MODE
+      else javax.crypto.Cipher.DECRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"))
+    c.doFinal(data)
+  }
+
+  private def sha2(bits: Int, parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance(s"SHA-$bits")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** ISO 32000-2 Algorithm 2.B (R6) / plain SHA-256 (the deprecated
+    * R5): the password hash AES-256 documents verify /U and derive
+    * the intermediate key with. R6 iterates: K1 = 64×(pw∥K∥udata),
+    * E = AES-128-CBC(K[0..16], iv=K[16..32], K1), then K re-hashes E
+    * through SHA-{256,384,512} picked by (ΣE[0..16]) mod 3 — 256 ≡ 1
+    * (mod 3), so the byte sum equals the spec's big-endian-integer
+    * residue — until ≥64 rounds AND E's last byte ≤ round−32. The
+    * fixture writer and the reader share this one implementation, and
+    * the formulation matches the published qpdf/pdfminer loop, so
+    * real AES-256 documents verify identically. */
+  private[graft] def pdfHash2B(pw: Array[Byte], salt: Array[Byte],
+      udata: Array[Byte], r: Int): Array[Byte] = {
+    if (r == 5) return sha2(256, pw, salt, udata)
+    var k = sha2(256, pw, salt, udata)
+    var i = 0
+    var done = false
+    while (!done) {
+      val block = pw ++ k ++ udata
+      val k1 = new Array[Byte](block.length * 64)
+      var j = 0
+      while (j < 64) {
+        System.arraycopy(block, 0, k1, j * block.length, block.length)
+        j += 1
+      }
+      val e = aesCbc(encrypt = true, k.take(16), k.slice(16, 32), k1,
+        pad = false)
+      var sum = 0
+      var b = 0
+      while (b < 16) { sum += e(b) & 0xFF; b += 1 }
+      k = sha2(sum % 3 match {
+        case 0 => 256
+        case 1 => 384
+        case _ => 512
+      }, e)
+      if (i >= 63 && (e(e.length - 1) & 0xFF) <= i - 32) done = true
+      i += 1
+    }
+    k.take(32)
+  }
 
   private def isPdfDelim(c: Char): Boolean =
     c == '(' || c == ')' || c == '<' || c == '>' || c == '[' || c == ']' ||
@@ -1101,7 +1304,14 @@ object Pdf {
     private var encryptVal: Option[PVal] = None
     private var fileId0: Array[Byte] = Array.empty
     private var encKey: Option[Array[Byte]] = None
+    private var encCfm: String = "RC4" // "RC4" | "AESV2" | "AESV3"
     private var encUnreadable = false
+
+    /** Whether any loaded trailer carried /Encrypt — the caller's
+      * never-lex-ciphertext guard (an encrypted document that the
+      * walk cannot extract must NOT fall through to the lexical
+      * scan over raw ciphertext). */
+    def sawEncrypt: Boolean = encryptVal.isDefined
 
     private def record(num: Int, e: Any): Unit =
       if (!entries.contains(num)) entries.update(num, e) // newest wins
@@ -1338,10 +1548,13 @@ object Pdf {
     }
 
     /** Resolve the trailer's /Encrypt into a usable file key (empty
-      * user password — the owner-locked shape), verifying /U so a
-      * passworded or unsupported (AES/V≥4) document reads as
-      * UNREADABLE instead of decrypting to garbage that would poison
-      * dedup keys downstream. */
+      * user password — the owner-locked shape), verifying /U BEFORE
+      * any decryption so a passworded, tampered, or
+      * unknown-crypt-filter document reads as UNREADABLE instead of
+      * decrypting to garbage that would poison dedup keys downstream.
+      * Envelope: RC4 V1/V2 R2/R3; V4 /CF crypt filters with CFM /V2
+      * (RC4) or /AESV2 (AES-128-CBC, R3/R4, both /EncryptMetadata
+      * shapes tried); V5 R5/R6 (AES-256-CBC via /U salts + /UE). */
     private def setupDecryption(): Unit = encryptVal.foreach { ev =>
       encUnreadable = true // until proven readable
       val em = ev match {
@@ -1355,39 +1568,102 @@ object Pdf {
         m <- em
         if m.get("Filter").contains(PName("Standard"))
         v <- intOf(m.get("V"), 0)
-        if v == 1 || v == 2
         r <- intOf(m.get("R"), 0)
-        if r == 2 || r == 3
-        o <- m.get("O") match {
-          case Some(PStr(b)) if b.length >= 32 => Some(b.take(32))
-          case _ => None
+      } {
+        def bytesOf(k: String): Option[Array[Byte]] = m.get(k) match {
+          case Some(PStr(b)) => Some(b); case _ => None
         }
-        u <- m.get("U") match {
-          case Some(PStr(b)) if b.length >= 16 => Some(b)
-          case _ => None
-        }
-        p <- m.get("P") match {
+        val pOpt = m.get("P") match {
           // /P is a 32-bit mask; writers emit it signed OR unsigned
           case Some(PNum(x)) => Some((x.toLong & 0xFFFFFFFFL).toInt)
           case _ => None
         }
-      } {
-        val lenBytes = intOf(m.get("Length"), 0).getOrElse(40) / 8
-        val key = pdfFileKey(Array.empty, o, p, fileId0, r, lenBytes)
-        val expectU = pdfUserU(key, fileId0, r)
-        val checkLen = if (r == 2) 32 else 16
-        if (expectU.take(checkLen).sameElements(u.take(checkLen))) {
-          encKey = Some(key)
-          encUnreadable = false
+        /* RC4 + AESV2 share Algorithm 2/5: derive, verify /U, keep. */
+        def tryRc4Family(lenBytes: Int): Option[Array[Byte]] =
+          for {
+            o <- bytesOf("O").filter(_.length >= 32).map(_.take(32))
+            u <- bytesOf("U").filter(_.length >= 16)
+            p <- pOpt
+            key <- Seq(true, false).view.map { meta =>
+              pdfFileKey(Array.empty, o, p, fileId0, r, lenBytes, meta)
+            }.find { key =>
+              val expectU = pdfUserU(key, fileId0, r)
+              val checkLen = if (r == 2) 32 else 16
+              expectU.take(checkLen).sameElements(u.take(checkLen))
+            }
+          } yield key
+        if ((v == 1 || v == 2) && (r == 2 || r == 3)) {
+          val lenBytes = intOf(m.get("Length"), 0).getOrElse(40) / 8
+          tryRc4Family(lenBytes).foreach { key =>
+            encKey = Some(key); encCfm = "RC4"; encUnreadable = false
+          }
+        } else if (v == 4 && (r == 3 || r == 4)) {
+          // the stream crypt filter: /StmF names an entry in /CF;
+          // anything but V2/AESV2 (incl. an absent /StmF) fails closed
+          val cfm: Option[String] = for {
+            stmf <- m.get("StmF") match {
+              case Some(PName(nm)) => Some(nm); case _ => None
+            }
+            cf <- dictOf(m.get("CF"))
+            std <- dictOf(cf.get(stmf))
+            nm <- std.get("CFM") match {
+              case Some(PName(x)) => Some(x); case _ => None
+            }
+          } yield nm
+          cfm match {
+            case Some(c @ ("V2" | "AESV2")) =>
+              val lenBytes = intOf(m.get("Length"), 0).getOrElse(128) / 8
+              tryRc4Family(lenBytes).foreach { key =>
+                encKey = Some(key)
+                encCfm = if (c == "AESV2") "AESV2" else "RC4"
+                encUnreadable = false
+              }
+            case _ => ()
+          }
+        } else if (v == 5 && (r == 5 || r == 6)) {
+          // AES-256: /U = hash(32) ∥ validation salt(8) ∥ key salt(8);
+          // the file key is AES-unwrapped from /UE with the key-salt
+          // hash — per-object derivation does not apply (ISO 32000-2)
+          for {
+            u <- bytesOf("U").filter(_.length >= 48)
+            ue <- bytesOf("UE").filter(_.length >= 32)
+          } {
+            val hash = pdfHash2B(Array.empty, u.slice(32, 40),
+              Array.empty, r)
+            if (hash.sameElements(u.take(32))) {
+              val ikey = pdfHash2B(Array.empty, u.slice(40, 48),
+                Array.empty, r)
+              try {
+                val fk = aesCbc(encrypt = false, ikey,
+                  new Array[Byte](16), ue.take(32), pad = false)
+                encKey = Some(fk); encCfm = "AESV3"
+                encUnreadable = false
+              } catch { case scala.util.control.NonFatal(_) => () }
+            }
+          }
         }
       }
     }
 
     private def decrypt(num: Int, data: Array[Byte]): Array[Byte] =
       encKey match {
-        case Some(k) => rc4(pdfObjKey(k, num, 0), data)
+        case Some(k) => encCfm match {
+          case "AESV2" => aesStream(pdfObjKeyAes(k, num, 0), data)
+          case "AESV3" => aesStream(k, data)
+          case _ => rc4(pdfObjKey(k, num, 0), data)
+        }
         case None => data
       }
+
+    /** AES stream payload: leading 16-byte IV, then CBC ciphertext
+      * with PKCS#5 padding. Malformed payloads (too short, not
+      * block-aligned, bad padding) yield empty — the stream is then
+      * skipped by decode, never surfaced as garbage. */
+    private def aesStream(key: Array[Byte], data: Array[Byte]): Array[Byte] =
+      if (data.length < 32 || data.length % 16 != 0) Array.empty
+      else try aesCbc(encrypt = false, key, data.take(16), data.drop(16),
+        pad = true)
+      catch { case scala.util.control.NonFatal(_) => Array.empty }
 
     /** Decoded stream payload of an in-file stream object. */
     private def fetchStream(num: Int, depth: Int = 0): Option[Array[Byte]] =
@@ -1464,6 +1740,10 @@ object Pdf {
     // ---- fonts ----
 
     private val toUniCache = mutable.HashMap.empty[Int, Option[ToUnicode]]
+    // a Type0 font named a registry CMap (UniJIS/UniGB/… — tables
+    // this engine does not bundle): its strings extract honest-empty,
+    // and the lexical fallback must not re-surface them as mojibake
+    private var sawRegistryCmap = false
 
     private def dictOf(v: Option[PVal]): Option[Map[String, PVal]] = v match {
       case Some(PDict(m)) => Some(m)
@@ -1501,7 +1781,27 @@ object Pdf {
               case _ => None
             }
           }
-          viaDifferences.map(name -> _)
+          // Type0 fonts naming a PREDEFINED CMap with no /ToUnicode:
+          // the Identity variants decode 2-byte codes as UTF-16BE
+          // (CID ≡ Unicode, the common subset-writer shape); registry
+          // CMaps (UniGB/UniJIS/UniKS/UniCNS/UCS2 families) fix the
+          // 2-byte code width but extract honest-empty — their
+          // CID→Unicode tables are font resources this engine does
+          // not bundle, and leaking raw CIDs as mojibake would poison
+          // dedup keys downstream.
+          val viaPredefined = viaDifferences.orElse {
+            (fd.get("Subtype"), fd.get("Encoding")) match {
+              case (Some(PName("Type0")), Some(PName(enc))) =>
+                if (enc == "Identity-H" || enc == "Identity-V")
+                  Some(ToUnicode(2, Map.empty, identityUtf16 = true))
+                else if (enc.startsWith("Uni")) {
+                  sawRegistryCmap = true
+                  Some(ToUnicode(2, Map.empty))
+                } else None
+              case _ => None
+            }
+          }
+          viaPredefined.map(name -> _)
         }
       }).getOrElse(Map.empty)
 
@@ -1537,8 +1837,12 @@ object Pdf {
         catch { case scala.util.control.NonFatal(_) => "" }
         if (t.nonEmpty) Some(t) else None
       }
-      if (texts.isEmpty) None
-      else Some(Extracted(texts.mkString("\n"), texts.length, ok = true))
+      if (texts.isEmpty) {
+        // registry-CMap documents with no other text: honest-empty
+        // (readable file, untranslatable CIDs) — returning None here
+        // would hand the 2-byte codes to the lexical scan as mojibake
+        if (sawRegistryCmap) Some(Extracted("", 0, ok = true)) else None
+      } else Some(Extracted(texts.mkString("\n"), texts.length, ok = true))
     }
   }
 
@@ -1687,9 +1991,16 @@ object Pdf {
       w("\nendstream endobj\n")
     }
     offsets(2 * n + 3) = out.size()
-    // codes descend from 255, so emit entries in ASCENDING code order
+    // codes descend from 255, so emit entries in ASCENDING code order.
+    // Glyph NAMES prefer the AGL row when one exists (alpha, Euro,
+    // afii10017, ntilde — what real Type1 fonts emit) over the
+    // uniXXXX numeric form, so the fixture exercises the AGL table,
+    // not just the numeric decode.
     val diffs = chars.zipWithIndex.sortBy { case (_, i) => 255 - i }
-      .map { case (c, i) => s"${255 - i} /uni${"%04X".format(c.toInt)}" }
+      .map { case (c, i) =>
+        val glyph = AglReverse.getOrElse(c, f"uni${c.toInt}%04X")
+        s"${255 - i} /$glyph"
+      }
       .mkString(" ")
     w(s"${2 * n + 3} 0 obj << /Type /Font /Subtype /Type1 " +
       "/BaseFont /Helvetica /Encoding << /Type /Encoding " +
@@ -1796,18 +2107,23 @@ object Pdf {
     * spec-shaped (codespacerange + ≤100-entry bfchar blocks) and
     * FlateDecode-compressed. Same round-trip guarantee as
     * [[synthesize]]. */
-  def synthesizeCid(pages: Seq[String]): Array[Byte] = {
+  def synthesizeCid(pages: Seq[String],
+      predefined: Boolean = false): Array[Byte] = {
     require(pages.nonEmpty, "a PDF needs at least one page")
     val n = pages.length
     val chars: Vector[Char] = pages.flatMap(_.toSeq).distinct.sorted.toVector
     require(chars.size <= 0xFFFE,
       "CID synthesis supports at most 65534 distinct characters")
+    // `predefined` drops the /ToUnicode stream entirely: codes ARE
+    // the UTF-16 units (CID ≡ Unicode, the subset-writer shape), and
+    // only the Identity-H predefined-CMap fallback recovers the text
     val codeOf: Map[Char, Int] =
-      chars.zipWithIndex.map { case (c, i) => c -> (i + 1) }.toMap
+      if (predefined) chars.map(c => c -> c.toInt).toMap
+      else chars.zipWithIndex.map { case (c, i) => c -> (i + 1) }.toMap
     // numbering: 1 catalog, 2 pages (+ hoisted /Resources),
     // 3..n+2 page dicts, n+3..2n+2 content streams, 2n+3 the Type0
-    // font, 2n+4 its ToUnicode CMap stream
-    val size = 2 * n + 5
+    // font, 2n+4 its ToUnicode CMap stream (absent when predefined)
+    val size = if (predefined) 2 * n + 4 else 2 * n + 5
     val out = new java.io.ByteArrayOutputStream()
     val offsets = new Array[Int](size)
     def w(s: String): Unit = out.write(s.getBytes(Latin1))
@@ -1834,6 +2150,16 @@ object Pdf {
       w("\nendstream endobj\n")
     }
     offsets(2 * n + 3) = out.size()
+    if (predefined) {
+      w(s"${2 * n + 3} 0 obj << /Type /Font /Subtype /Type0 " +
+        "/BaseFont /GraftCID /Encoding /Identity-H >> endobj\n")
+      val xref = out.size()
+      w(s"xref\n0 $size\n0000000000 65535 f \n")
+      (1 until size).foreach(i => w("%010d 00000 n \n".format(offsets(i))))
+      w(s"trailer << /Size $size /Root 1 0 R >>\n" +
+        s"startxref\n$xref\n%%EOF\n")
+      return out.toByteArray
+    }
     w(s"${2 * n + 3} 0 obj << /Type /Font /Subtype /Type0 " +
       "/BaseFont /GraftCID /Encoding /Identity-H " +
       s"/ToUnicode ${2 * n + 4} 0 R >> endobj\n")
@@ -1869,35 +2195,98 @@ object Pdf {
     out.toByteArray
   }
 
-  /** A complete RC4-encrypted PDF (Standard security handler, V2/R3,
-    * 128-bit, EMPTY user password, owner password `ownerPw`) — the
+  /** A complete encrypted PDF (Standard security handler, EMPTY user
+    * password, owner password `ownerPw`) — the
     * owner-locked-but-openable shape encrypted scanned corpora
-    * usually carry. Content streams are Flate-compressed then
-    * RC4-encrypted under Algorithm 1 per-object keys; /O, /U and the
-    * file key follow Algorithms 2/3/5, /ID is a deterministic digest
-    * of the pages. Same round-trip guarantee as [[synthesize]] for
-    * the empty-password reader; a wrong-password or AES document
-    * reads as UNREADABLE (`ok = false`), never as ciphertext
-    * garbage. */
+    * usually carry. `mode` picks the cipher generation:
+    *
+    *   - `"rc4"`   — V2/R3, RC4-128, Algorithm 1 per-object keys
+    *   - `"aesv2"` — V4/R4, /CF /StdCF /CFM /AESV2 (AES-128-CBC,
+    *                 per-object key + sAlT suffix, 16-byte IV,
+    *                 PKCS#5 padding)
+    *   - `"aesv3"` — V5/R6, /CFM /AESV3 (AES-256-CBC with the file
+    *                 key directly; /U and /O carry the Algorithm-2.B
+    *                 hash + salts, /UE and /OE AES-wrap the file key,
+    *                 /Perms is the ECB-sealed permission block)
+    *
+    * Content streams are Flate-compressed then encrypted; /ID and
+    * every IV/salt are deterministic digests of the pages so fixtures
+    * are byte-reproducible. Same round-trip guarantee as
+    * [[synthesize]] for the empty-password reader; a wrong-password
+    * or unknown-crypt-filter document reads as UNREADABLE
+    * (`ok = false`), never as ciphertext garbage. */
   def synthesizeEncrypted(pages: Seq[String],
-      ownerPw: String = "owner"): Array[Byte] = {
+      ownerPw: String = "owner", mode: String = "rc4"): Array[Byte] = {
     require(pages.nonEmpty, "a PDF needs at least one page")
+    require(Set("rc4", "aesv2", "aesv3")(mode), s"unknown mode <$mode>")
     val n = pages.length
     val encObjNum = 2 * n + 3
     val size = 2 * n + 4
-    val id0 = md5(pages.mkString(" ").getBytes(
+    val id0 = md5(pages.mkString(" ").getBytes(
       java.nio.charset.StandardCharsets.UTF_8))
     val perms = -3904 // print+copy denied to non-owners: a typical mask
-    val o = pdfOwnerO(ownerPw.getBytes(Latin1), Array.empty, r = 3,
-      lenBytes = 16)
-    val key = pdfFileKey(Array.empty, o, perms, id0, r = 3, lenBytes = 16)
-    val u = pdfUserU(key, id0, r = 3)
     def hex(b: Array[Byte]): String =
       b.map("%02X".format(_)).mkString("<", "", ">")
+    def iv(objNum: Int): Array[Byte] =
+      md5(id0, Array(objNum.toByte, (objNum >> 8).toByte, mode.length.toByte))
+    // (encrypt-one-object, /Encrypt dict body) per mode
+    val (encObj, encDict): ((Int, Array[Byte]) => Array[Byte], String) =
+      mode match {
+        case "rc4" =>
+          val r = 3
+          val o = pdfOwnerO(ownerPw.getBytes(Latin1), Array.empty, r, 16)
+          val key = pdfFileKey(Array.empty, o, perms, id0, r, 16)
+          val u = pdfUserU(key, id0, r)
+          (((num, data) => rc4(pdfObjKey(key, num, 0), data)),
+            s"/Filter /Standard /V 2 /R 3 /Length 128 " +
+              s"/P $perms /O ${hex(o)} /U ${hex(u)}")
+        case "aesv2" =>
+          val r = 4
+          val o = pdfOwnerO(ownerPw.getBytes(Latin1), Array.empty, r, 16)
+          val key = pdfFileKey(Array.empty, o, perms, id0, r, 16)
+          val u = pdfUserU(key, id0, r)
+          (((num, data) => {
+            val v = iv(num)
+            v ++ aesCbc(encrypt = true, pdfObjKeyAes(key, num, 0), v,
+              data, pad = true)
+          }),
+            s"/Filter /Standard /V 4 /R 4 /Length 128 " +
+              "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
+              s"/StmF /StdCF /StrF /StdCF /P $perms " +
+              s"/O ${hex(o)} /U ${hex(u)}")
+        case _ => // aesv3
+          val r = 6
+          val pw = ownerPw.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val fileKey = sha2(256, "graft aes256 file key".getBytes(Latin1), id0)
+          val vsalt = md5(id0, Array('v'.toByte)).take(8)
+          val ksalt = md5(id0, Array('k'.toByte)).take(8)
+          val u = pdfHash2B(Array.empty, vsalt, Array.empty, r) ++
+            vsalt ++ ksalt
+          val ue = aesCbc(encrypt = true,
+            pdfHash2B(Array.empty, ksalt, Array.empty, r),
+            new Array[Byte](16), fileKey, pad = false)
+          val ovsalt = md5(id0, Array('V'.toByte)).take(8)
+          val oksalt = md5(id0, Array('K'.toByte)).take(8)
+          val o = pdfHash2B(pw, ovsalt, u, r) ++ ovsalt ++ oksalt
+          val oe = aesCbc(encrypt = true, pdfHash2B(pw, oksalt, u, r),
+            new Array[Byte](16), fileKey, pad = false)
+          val permsBlock = aesEcb(encrypt = true, fileKey,
+            pLe(perms) ++ Array.fill[Byte](4)(0xFF.toByte) ++
+              "Tadb".getBytes(Latin1) ++ md5(id0).take(4))
+          (((num, data) => {
+            val v = iv(num)
+            v ++ aesCbc(encrypt = true, fileKey, v, data, pad = true)
+          }),
+            s"/Filter /Standard /V 5 /R 6 /Length 256 " +
+              "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> " +
+              s"/StmF /StdCF /StrF /StdCF /P $perms " +
+              s"/O ${hex(o)} /U ${hex(u)} " +
+              s"/OE ${hex(oe)} /UE ${hex(ue)} /Perms ${hex(permsBlock)}")
+      }
     val out = new java.io.ByteArrayOutputStream()
     val offsets = new Array[Int](size)
     def w(s: String): Unit = out.write(s.getBytes(Latin1))
-    w("%PDF-1.4\n")
+    w(if (mode == "rc4") "%PDF-1.4\n" else "%PDF-1.6\n")
     offsets(1) = out.size()
     w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
     offsets(2) = out.size()
@@ -1910,7 +2299,7 @@ object Pdf {
     }
     pages.zipWithIndex.foreach { case (text, i) =>
       val objNum = 3 + n + i
-      val content = rc4(pdfObjKey(key, objNum, 0), deflateBytes(
+      val content = encObj(objNum, deflateBytes(
         s"BT /F1 12 Tf 72 720 Td ${pdfString(text)} Tj ET".getBytes(Latin1)))
       offsets(objNum) = out.size()
       w(s"$objNum 0 obj << /Length ${content.length} " +
@@ -1919,8 +2308,7 @@ object Pdf {
       w("\nendstream endobj\n")
     }
     offsets(encObjNum) = out.size()
-    w(s"$encObjNum 0 obj << /Filter /Standard /V 2 /R 3 /Length 128 " +
-      s"/P $perms /O ${hex(o)} /U ${hex(u)} >> endobj\n")
+    w(s"$encObjNum 0 obj << $encDict >> endobj\n")
     val xref = out.size()
     w(s"xref\n0 $size\n0000000000 65535 f \n")
     (1 until size).foreach(i => w("%010d 00000 n \n".format(offsets(i))))
@@ -1938,12 +2326,16 @@ object Pdf {
     * ToUnicode layout ([[synthesizeCid]]); `differences` the
     * simple-font /Encoding overlay ([[synthesizeDifferences]]);
     * `lzw` swaps the classic layout's content filter to LZWDecode;
-    * `encrypted` writes the RC4 owner-locked layout
-    * ([[synthesizeEncrypted]]). */
+    * `encrypted` writes the owner-locked layout
+    * ([[synthesizeEncrypted]]) with `encryptMode` picking the cipher
+    * generation (`"rc4"`, `"aesv2"`, `"aesv3"`); `cidPredefined`
+    * writes the Type0 layout with NO /ToUnicode (Identity-H
+    * predefined-CMap fallback required). */
   def writePdfDir(rows: Dataset[(String, Seq[String])], dir: String,
       modern: Boolean = false, cid: Boolean = false,
       differences: Boolean = false, lzw: Boolean = false,
-      encrypted: Boolean = false): Unit = {
+      encrypted: Boolean = false, encryptMode: String = "rc4",
+      cidPredefined: Boolean = false): Unit = {
     val hp = new org.apache.hadoop.fs.Path(dir)
     val fsSetup = hp.getFileSystem(
       rows.sparkSession.sessionState.newHadoopConf())
@@ -1970,9 +2362,9 @@ object Pdf {
       it.foreach { case (name, pages) =>
         val os = fs.create(new org.apache.hadoop.fs.Path(dir, s"$name.pdf"), true)
         val bytes =
-          if (cid) synthesizeCid(pages)
+          if (cid || cidPredefined) synthesizeCid(pages, cidPredefined)
           else if (differences) synthesizeDifferences(pages)
-          else if (encrypted) synthesizeEncrypted(pages)
+          else if (encrypted) synthesizeEncrypted(pages, mode = encryptMode)
           else if (modern) synthesizeModern(pages)
           else synthesize(pages, lzw)
         try os.write(bytes) finally os.close()

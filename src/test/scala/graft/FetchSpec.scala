@@ -209,6 +209,146 @@ class FetchSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("parseRobots: group selection, longest-prefix match, allow tie-break") {
+    val txt =
+      """# corpus crawl policy
+        |User-agent: *
+        |Disallow: /private/
+        |Disallow: /tmp
+        |Allow: /private/pub/
+        |
+        |User-agent: graft-harvest
+        |Disallow: /heavy/
+        |Allow:
+        |
+        |User-agent: otherbot
+        |Disallow: /
+        |""".stripMargin
+    // the specific group wins outright — * rules are NOT merged in
+    val mine = Fetch.parseRobots(txt, "graft-harvest/1.0")
+    assert(mine.allows("/private/anything"), "the * group must not apply")
+    assert(!mine.allows("/heavy/file.pdf"))
+    assert(mine.allows("/heavy") && mine.allows("/anything"))
+    // fallback to * when no specific group matches
+    val generic = Fetch.parseRobots(txt, "somebody-else")
+    assert(!generic.allows("/private/secret.html"))
+    assert(generic.allows("/private/pub/data.csv"),
+      "longest prefix wins: Allow /private/pub/ beats Disallow /private/")
+    assert(!generic.allows("/tmpfile"), "prefix match, not path-segment match")
+    assert(generic.allows("/public/x"))
+    // otherbot: everything denied
+    assert(!Fetch.parseRobots(txt, "otherbot").allows("/"))
+    // empty/absent robots: everything allowed
+    assert(Fetch.parseRobots("", "graft-harvest").allows("/anything"))
+  }
+
+  test("robots gating: disallowed URLs record 'denied' with zero attempts; unfetchable robots allows") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    def respond(ex: com.sun.net.httpserver.HttpExchange, code: Int,
+        body: Array[Byte]): Unit = {
+      if (body.isEmpty) ex.sendResponseHeaders(code, -1)
+      else { ex.sendResponseHeaders(code, body.length); ex.getResponseBody.write(body) }
+      ex.close()
+    }
+    server.createContext("/robots.txt",
+      (ex: com.sun.net.httpserver.HttpExchange) => respond(ex, 200,
+        "User-agent: *\nDisallow: /blocked/\n".getBytes("UTF-8")))
+    server.createContext("/blocked/",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        FetchSpec.httpHits.merge("/blocked", Integer.valueOf(1),
+          ((a: Integer, b: Integer) => Integer.valueOf(a + b)):
+            java.util.function.BiFunction[Integer, Integer, Integer])
+        respond(ex, 200, "secret".getBytes("UTF-8"))
+      })
+    server.createContext("/open/",
+      (ex: com.sun.net.httpserver.HttpExchange) =>
+        respond(ex, 200, "public".getBytes("UTF-8")))
+    server.start()
+    try {
+      FetchSpec.httpHits.clear()
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val urls = Seq(s"$base/blocked/doc.html", s"$base/open/doc.html").toDF("url")
+      val ledger = Fetch.harvest(urls, "url", new Fetch.HttpTransport(),
+        FetchPolicy(maxAttempts = 3, baseBackoffMs = 1, respectRobots = true),
+        noSleep).collect()
+      val byPath = ledger.map(r => r.getString(0).stripPrefix(base) ->
+        ((r.getString(2), r.getInt(3), r.getString(6)))).toMap
+      assert(byPath(s"/blocked/doc.html") ===
+        (("denied", 0, "robots.txt disallow")))
+      assert(byPath(s"/open/doc.html")._1 === "ok")
+      assert(FetchSpec.httpHits.getOrDefault("/blocked", 0) === 0,
+        "a denied URL must never be requested")
+      // a denied row is NOT 'ok' — it stays in the pending set, so a
+      // future robots relaxation is picked up on the next wave
+      val ld = spark.createDataFrame(
+        spark.sparkContext.parallelize(ledger.toSeq), ledger.head.schema)
+      assert(Fetch.pending(urls, ld, "url").count() === 1)
+    } finally server.stop(0)
+  }
+
+  test("conditional recrawl: 304 keeps prior bytes, changed bodies refetch; resolveLatest re-attaches") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    def serveVersioned(path: String, tag: String, body: String): Unit =
+      server.createContext(path,
+        (ex: com.sun.net.httpserver.HttpExchange) => {
+          val inm = ex.getRequestHeaders.getFirst("If-None-Match")
+          if (inm != null && inm == tag) {
+            FetchSpec.httpHits.merge(s"304$path", Integer.valueOf(1),
+              ((a: Integer, b: Integer) => Integer.valueOf(a + b)):
+                java.util.function.BiFunction[Integer, Integer, Integer])
+            ex.sendResponseHeaders(304, -1); ex.close()
+          } else {
+            val b = body.getBytes("UTF-8")
+            ex.getResponseHeaders.add("ETag", tag)
+            ex.getResponseHeaders.add("Last-Modified",
+              "Mon, 01 Jan 2024 00:00:00 GMT")
+            ex.sendResponseHeaders(200, b.length)
+            ex.getResponseBody.write(b); ex.close()
+          }
+        })
+    serveVersioned("/stable", "\"v1\"", "stable body")
+    server.start()
+    val dir = java.nio.file.Files.createTempDirectory("fetch-recrawl").toString
+    try {
+      FetchSpec.httpHits.clear()
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val urls = Seq(s"$base/stable").toDF("url")
+      val t = new Fetch.HttpTransport()
+      val pol = FetchPolicy(maxAttempts = 2, baseBackoffMs = 1)
+      // wave 0: full download, validators recorded in the ledger
+      val l0 = Fetch.harvestResumable(spark, urls, "url", dir, t, pol, noSleep)
+      val r0 = l0.head()
+      assert(r0.getAs[String]("etag") === "\"v1\"" &&
+        !r0.getAs[Boolean]("not_modified") &&
+        r0.getAs[Array[Byte]]("content") != null)
+      // wave 1 recrawl: the origin answers 304 — no bytes transferred
+      val l1 = Fetch.recrawlResumable(spark, urls, "url", dir, t, pol, noSleep)
+      assert(l1.count() === 2, "recrawl appends one row per url")
+      val w1 = l1.filter(col("wave") === 1).head()
+      assert(w1.getAs[String]("status") === "ok" &&
+        w1.getAs[Boolean]("not_modified") &&
+        w1.getAs[Array[Byte]]("content") == null &&
+        w1.getAs[String]("content_sha256") === r0.getAs[String]("content_sha256"),
+        "304 rows carry sha/size but no payload")
+      assert(FetchSpec.httpHits.getOrDefault("304/stable", 0) === 1,
+        "the conditional request must actually hit the 304 path")
+      // resolveLatest: the newest ok row wins AND carries real bytes
+      val resolved = Fetch.resolveLatest(l1).collect()
+      assert(resolved.length === 1)
+      assert(resolved.head.getAs[Int]("wave") === 1)
+      assert(new String(resolved.head.getAs[Array[Byte]]("content"),
+        "UTF-8") === "stable body",
+        "not_modified winners re-attach bytes from the downloading wave")
+    } finally {
+      server.stop(0)
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("file transport round-trips local bytes") {
     val f = java.nio.file.Files.createTempFile("fetch", ".bin")
     java.nio.file.Files.write(f, Array[Byte](1, 2, 3))

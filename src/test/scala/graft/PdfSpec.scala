@@ -468,16 +468,129 @@ class PdfSpec extends AnyFunSuite {
     val rt = Pdf.extractText(tampered)
     assert(!rt.ok && rt.text === "" && rt.pages === 0,
       "wrong-password documents are unreadable, not garbage")
-    // same refusal for an AES (V 4) marker
+    // a V4 marker with NO /CF crypt-filter dict (malformed AES
+    // envelope) must still refuse — never guess a cipher
     val aes = new String(bytes, Latin1).replace("/V 2 /R 3", "/V 4 /R 4")
     val ra = Pdf.extractText(aes.getBytes(Latin1))
     assert(!ra.ok && ra.text === "",
-      "AES layouts are out of envelope and refuse loudly")
+      "a crypt-filter-less V4 dict is out of envelope and refuses loudly")
+  }
+
+  test("synthesizeEncrypted aesv2/aesv3 -> extractText: AES docs decrypt; tampered /U or /UE read unreadable") {
+    val hostile = Seq(
+      "plain words only",
+      "parens (nested (deep)) and \\ backslash",
+      "beyond latin-1: ā中文 mixed ascii")
+    for (mode <- Seq("aesv2", "aesv3")) {
+      hostile.foreach { page =>
+        val r = Pdf.extractText(Pdf.synthesizeEncrypted(Seq(page), mode = mode))
+        assert(r.ok && r.pages === 1 && r.text === page, s"$mode page <$page>")
+      }
+      val r3 = Pdf.extractText(Pdf.synthesizeEncrypted(
+        Seq("one", "two (2)", "three"), ownerPw = "x", mode = mode))
+      assert(r3.ok && r3.pages === 3 && r3.text === "one\ntwo (2)\nthree", mode)
+      // nothing readable on disk — every content stream is AES-CBC
+      // ciphertext behind a random-looking IV
+      val bytes = Pdf.synthesizeEncrypted(Seq("recoverable words"), mode = mode)
+      assert(!new String(bytes, Latin1).contains("recoverable"), mode)
+      // tampering the password-verification entry (/U hash) must
+      // refuse as UNREADABLE — ok=false, empty — never ciphertext
+      val raw = new String(bytes, Latin1)
+      val uAt = raw.indexOf("/U <") + 4
+      val tampered = bytes.clone()
+      tampered(uAt) = (if (bytes(uAt) == '0') '1' else '0').toByte
+      val rt = Pdf.extractText(tampered)
+      assert(!rt.ok && rt.text === "" && rt.pages === 0,
+        s"$mode: tampered /U documents are unreadable, not garbage")
+    }
+    // aesv3: a corrupted key-wrap (/UE) verifies /U but yields a
+    // wrong file key — streams fail CBC padding and decode empty,
+    // and the encrypted guard keeps the lexical scan off the bytes
+    val v3 = Pdf.synthesizeEncrypted(Seq("secret text"), mode = "aesv3")
+    val raw3 = new String(v3, Latin1)
+    val ueAt = raw3.indexOf("/UE <") + 5
+    val t3 = v3.clone()
+    t3(ueAt) = (if (v3(ueAt) == '0') '1' else '0').toByte
+    val rt3 = Pdf.extractText(t3)
+    assert(rt3.text === "" && rt3.pages === 0,
+      "a corrupted /UE never surfaces ciphertext as text")
+  }
+
+  test("never lex ciphertext: encrypted docs whose walk fails read unreadable, not garbage") {
+    for (mode <- Seq("rc4", "aesv2", "aesv3")) {
+      val bytes = Pdf.synthesizeEncrypted(Seq("hidden words"), mode = mode)
+      val raw = new String(bytes, Latin1)
+      // corrupt the startxref offset: the walk can't load any trailer,
+      // but the raw /Encrypt token must still suppress the lexical scan
+      val sx = raw.lastIndexOf("startxref")
+      val broken = raw.substring(0, sx) + "startxref\n999999999\n%%EOF\n"
+      val rb = Pdf.extractText(broken.getBytes(Latin1))
+      assert(!rb.ok && rb.text === "",
+        s"$mode: a broken-xref encrypted doc must not be lexed")
+      // a VERIFIED key whose page tree yields no text (all-empty
+      // pages ≈ image-only scans) also refuses the lexical fallback
+      val empty = Pdf.extractText(Pdf.synthesizeEncrypted(Seq(""), mode = mode))
+      assert(!empty.ok && empty.text === "",
+        s"$mode: a no-text encrypted doc reads honest-empty")
+    }
+  }
+
+  test("predefined Identity-H CMap: Type0 fonts without /ToUnicode decode codes as UTF-16BE") {
+    val pages = Seq("plain ascii words", "beyond latin-1: ā中文 αΩ жЯ €“")
+    val bytes = Pdf.synthesizeCid(pages, predefined = true)
+    // nothing Latin-1-readable on disk (2-byte hex codes only), and
+    // the lexical scan cannot see through the encoding
+    assert(!new String(bytes, Latin1).contains("plain ascii"))
+    val inflater = new java.util.zip.Inflater()
+    try {
+      val lex = Pdf.extractLexical(new String(bytes, Latin1), bytes, inflater)
+      assert(!lex.text.contains("plain ascii"),
+        s"lexical scan must not see through Identity-H: <${lex.text}>")
+    } finally inflater.end()
+    val r = Pdf.extractText(bytes)
+    assert(r.ok && r.pages === 2 && r.text === pages.mkString("\n"))
+  }
+
+  test("registry CMaps without /ToUnicode extract honest-empty, never mojibake") {
+    // same fixture, but the font names a registry CMap whose
+    // CID->Unicode table we do not bundle: the document reads ok with
+    // EMPTY text — the 2-byte codes must not leak through any path
+    val bytes = Pdf.synthesizeCid(Seq("untranslatable codes"), predefined = true)
+    // same-length name swap so the xref offsets stay valid
+    val swapped = new String(bytes, Latin1)
+      .replace("/Encoding /Identity-H", "/Encoding /UniKS-UCS2")
+    val r = Pdf.extractText(swapped.getBytes(Latin1))
+    assert(r.ok && r.text === "" && r.pages === 0,
+      s"registry-CMap codes must extract empty, got <${r.text}>")
+  }
+
+  test("glyphToUnicode: AGL Greek/Cyrillic/punctuation rows (table test)") {
+    val cases = Seq(
+      "alpha" -> "α", "beta" -> "β", "Omega" -> "Ω", "Sigma" -> "Σ",
+      "sigma" -> "σ", "sigma1" -> "ς", "rho" -> "ρ", "tau" -> "τ",
+      "omega" -> "ω", "Alpha" -> "Α", "Rho" -> "Ρ", "alphatonos" -> "ά",
+      "afii10017" -> "А", "afii10023" -> "Ё", "afii10049" -> "Я",
+      "afii10065" -> "а", "afii10071" -> "ё", "afii10097" -> "я",
+      "afii10037" -> "У", "afii10085" -> "у",
+      "Euro" -> "€", "dagger" -> "†", "perthousand" -> "‰",
+      "trademark" -> "™", "copyright" -> "©", "section" -> "§",
+      "onehalf" -> "½", "germandbls" -> "ß", "oe" -> "œ", "AE" -> "Æ",
+      "Lslash" -> "Ł", "scaron" -> "š", "quotesinglbase" -> "‚",
+      "guilsinglleft" -> "‹", "minus" -> "−", "multiply" -> "×")
+    cases.foreach { case (name, expect) =>
+      assert(Pdf.glyphToUnicode(name) === Some(expect), s"/$name")
+    }
+    // unknown names still yield None (base encoding wins, no mojibake)
+    assert(Pdf.glyphToUnicode("afii99999") === None)
+    assert(Pdf.glyphToUnicode("notaglyphname") === None)
   }
 
   test("fuzz: encrypted/differences/lzw layouts are total under mutation and truncation") {
     val rnd = new scala.util.Random(61)
     Seq(Pdf.synthesizeEncrypted(Seq("mutation alpha", "beta")),
+      Pdf.synthesizeEncrypted(Seq("mutation alpha", "beta"), mode = "aesv2"),
+      Pdf.synthesizeEncrypted(Seq("mutation alpha", "beta"), mode = "aesv3"),
+      Pdf.synthesizeCid(Seq("mutation alpha", "beta"), predefined = true),
       Pdf.synthesizeDifferences(Seq("mutation alpha", "beta")),
       Pdf.synthesize(Seq("mutation alpha", "beta"), lzw = true))
       .foreach { base =>
