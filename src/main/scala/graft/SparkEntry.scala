@@ -2813,6 +2813,35 @@ object SparkEntry {
       Incremental.resolveClusters(s, t).orderBy("doc_id")
     },
 
+    // ---- Winnow-backed incremental clusters (q160's contract over
+    // q130's pair semantics): same three-wave life, but the edge
+    // enumerator is the df-capped winnowing fingerprint join instead
+    // of the exact gram probe — the designed escape from the gram
+    // probe's Σ df_wave·df_state fan-out. Resolution after the waves
+    // must hash-match one batch winnow clustering of the union.
+    "q170_winnow_clusters" -> { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val sd = stateDir(dir)
+      val t = Incremental.ClusterTables(
+        "graft_q170_post", s"$sd/q170_post",
+        "graft_q170_member", s"$sd/q170_member",
+        "graft_q170_alias", s"$sd/q170_alias",
+        "graft_q170_edges", s"$sd/q170_edges", numBuckets = 8)
+      Seq(t.postTable, t.memberTable, t.aliasTable, t.edgeTable)
+        .foreach(tb => s.sql(s"DROP TABLE IF EXISTS $tb"))
+      Incremental.writeWinnowClusterState(docs.filter(col("doc_id") < 200),
+        "doc_id", col("text"), t, k = 4, w = 4, minShared = 2,
+        maxDf = 1000)
+      Incremental.appendWinnowClusters(
+        docs.filter(col("doc_id") >= 200 && col("doc_id") < 350),
+        "doc_id", col("text"), t, k = 4, w = 4, minShared = 2,
+        maxDf = 1000)
+      Incremental.appendWinnowClusters(docs.filter(col("doc_id") >= 350),
+        "doc_id", col("text"), t, k = 4, w = 4, minShared = 2,
+        maxDf = 1000)
+      Incremental.resolveClusters(s, t).orderBy("doc_id")
+    },
+
     // ---- Cluster-AWARE curation: the reason stable cluster ids
     // exist — keep the best representative (longest text, lowest-id
     // tie) of every resolved cluster, recurring state in, one window
@@ -6098,6 +6127,58 @@ object SparkEntry {
         |  JOIN cnt ca ON ca.doc_id = id_a
         |  JOIN cnt cb ON cb.doc_id = id_b
         |  WHERE round(iv * 1.0 / (ca.ng + cb.ng - iv), 6) >= 0.4),
+        |edges AS (SELECT id_a AS a, id_b AS b FROM p
+        |          UNION ALL SELECT id_b, id_a FROM p),
+        |reach(id, m) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.a, r.m FROM edges e JOIN reach r ON r.id = e.b)
+        |SELECT id AS doc_id, CAST(min(m) AS BIGINT) AS cluster
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // q170: q130's winnowing fingerprint selection (portable md5
+    // gram hash, rightmost-min windows) feeds q160's recursive
+    // closure — one batch winnow clustering of the union, which the
+    // three-wave incremental state must reproduce exactly. The df
+    // cap (1000) mirrors the driver's maxDf; minShared = 2.
+    "q170_winnow_clusters" ->
+      """WITH RECURSIVE w0 AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x <> '') AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id, i AS pos,
+        |    CAST(('0x' || substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 15))
+        |      AS BIGINT) AS h
+        |  FROM w0, UNNEST(generate_series(1, len(ws) - 3)) AS t(i)),
+        |b AS (SELECT doc_id, pos, h,
+        |    count(*) OVER (PARTITION BY doc_id) AS n,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 1 PRECEDING AND 1 PRECEDING) AS pm1,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING) AS pm2,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS pm3,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 1 FOLLOWING AND 1 FOLLOWING) AS nm1,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS nm2,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS nm3
+        |  FROM g),
+        |sel AS (SELECT doc_id, pos, h FROM b
+        |  WHERE (pos <= n - 3 AND coalesce(nm3 > h, TRUE))
+        |     OR (pos - 1 >= 1 AND pos - 1 <= n - 3
+        |         AND coalesce(pm1 >= h, TRUE) AND coalesce(nm2 > h, TRUE))
+        |     OR (pos - 2 >= 1 AND pos - 2 <= n - 3
+        |         AND coalesce(pm2 >= h, TRUE) AND coalesce(nm1 > h, TRUE))
+        |     OR (pos - 3 >= 1 AND pos - 3 <= n - 3
+        |         AND coalesce(pm3 >= h, TRUE))),
+        |fp AS (SELECT DISTINCT doc_id, h FROM sel),
+        |dfs AS (SELECT h FROM fp GROUP BY h HAVING count(*) <= 1000),
+        |keyed AS (SELECT doc_id, h FROM fp JOIN dfs USING (h)),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM keyed a JOIN keyed b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2),
         |edges AS (SELECT id_a AS a, id_b AS b FROM p
         |          UNION ALL SELECT id_b, id_a FROM p),
         |reach(id, m) AS (

@@ -514,17 +514,25 @@ object Incremental {
     * over the union of all batches (q139 hash-checks exactly that
     * equivalence against a from-scratch SQL retrain).
     *
-    * Contract difference vs the distinct-posting state tables: this
-    * is a LOG, so appending the same batch twice double-counts it —
-    * drive appends exactly-once (the batch-id idempotence ledger
-    * belongs to the orchestrator, as with any metric accumulator).
-    * The log grows one vocabulary-row block per append;
-    * [[compactNbCounts]] folds it back to one row per token
-    * (blue/green, like [[compactState]]) at whatever cadence keeps
-    * the state read cheap. */
+    * Contract: this is a LOG, so a blind re-append of the same batch
+    * would double-count it. The exactly-once guarantee is IN THE
+    * DATA: every row carries the append's `batch_id`, and
+    * [[appendNbCounts]] anti-checks the log for that id before
+    * writing — a replayed wave (stream restart, retried orchestrator
+    * step) is a detected NO-OP, not a silent double count, with no
+    * side ledger that could desynchronize from the rows it guards
+    * (the foreachBatch txn pattern the tombstone tables use). Passing
+    * `batchId = null` opts out (the pre-ledger behavior). The log
+    * grows one vocabulary-row block per append; [[compactNbCounts]]
+    * folds it back to one row per token (blue/green, like
+    * [[compactState]]) while PRESERVING applied batch ids as
+    * zero-count marker rows, so replays stay no-ops across
+    * compactions. */
   def writeNbCounts(docs: DataFrame, textCol: Column, labelCol: Column,
-      table: String, path: String, numBuckets: Int = 64): Unit =
+      table: String, path: String, numBuckets: Int = 64,
+      batchId: String = null): Unit =
     Classifier.tokenClassCounts(docs, textCol, labelCol)
+      .withColumn("batch_id", lit(batchId).cast("string"))
       .repartition(numBuckets, col("token"))
       .write.mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, "token").sortBy("token")
@@ -532,37 +540,74 @@ object Incremental {
       .saveAsTable(table)
 
   /** Grow the NB count log by one labeled batch — same bucket spec as
-    * [[writeNbCounts]]; see the exactly-once caveat there. */
+    * [[writeNbCounts]]. Returns true when the batch was applied,
+    * false when `batchId` was already in the log (replay no-op). */
   def appendNbCounts(batch: DataFrame, textCol: Column, labelCol: Column,
-      table: String, numBuckets: Int = 64): Unit =
+      table: String, numBuckets: Int = 64,
+      batchId: String = null): Boolean = {
+    if (batchAlreadyApplied(batch.sparkSession, table, batchId))
+      return false
     Classifier.tokenClassCounts(batch, textCol, labelCol)
+      .withColumn("batch_id", lit(batchId).cast("string"))
       .repartition(numBuckets, col("token"))
       .write.mode(SaveMode.Append).format("parquet")
       .bucketBy(numBuckets, "token").sortBy("token")
       .saveAsTable(table)
+    true
+  }
+
+  /** True iff `table` exists, carries the idempotence column, and
+    * already holds a row stamped `batchId` — the replay detector
+    * shared by every count-log append. `limit(1)` bounds the probe;
+    * logs written before the column existed (or null batch ids)
+    * never match, preserving the pre-ledger behavior. */
+  private def batchAlreadyApplied(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      batchId: String): Boolean =
+    batchId != null && spark.catalog.tableExists(table) && {
+      val t = spark.table(table)
+      t.columns.contains("batch_id") &&
+        t.filter(col("batch_id") === batchId).limit(1).count() > 0
+    }
 
   /** The CURRENT `(token, llr)` dictionary from the persisted count
     * log: bucket-local merge of the per-append count blocks (zero
     * token-keyed exchange — the scan is bucketed on `token`), then
     * [[Classifier.dictFromCounts]]. Equal to a from-scratch
-    * [[Classifier.nbTrain]] over every appended batch. */
+    * [[Classifier.nbTrain]] over every appended batch. Null-token
+    * rows are compaction's batch-id markers, not counts — excluded. */
   def nbDictFromTable(countLog: DataFrame): DataFrame =
     Classifier.dictFromCounts(
-      countLog.groupBy("token")
+      countLog.filter(col("token").isNotNull).groupBy("token")
         .agg(sum("cpos").as("cpos"), sum("cneg").as("cneg")))
 
   /** Fold the count log back to one row per token into a NEW
     * (table, path) — blue/green like [[compactState]]; bounds the
-    * per-dictionary-derivation merge work after many appends. */
+    * per-dictionary-derivation merge work after many appends.
+    * Applied batch ids survive as `(null, 0, 0, batch_id)` marker
+    * rows so a replayed pre-compaction wave is still a no-op. */
   def compactNbCounts(countLog: DataFrame, table: String, path: String,
-      numBuckets: Int = 64): Unit =
-    countLog.groupBy("token")
+      numBuckets: Int = 64): Unit = {
+    val hasIds = countLog.columns.contains("batch_id")
+    val folded0 = countLog.filter(col("token").isNotNull)
+      .groupBy("token")
       .agg(sum("cpos").as("cpos"), sum("cneg").as("cneg"))
+    val folded =
+      if (hasIds) {
+        val markers = countLog.select(col("batch_id"))
+          .filter(col("batch_id").isNotNull).distinct()
+          .select(lit(null).cast("string").as("token"),
+            lit(0L).as("cpos"), lit(0L).as("cneg"), col("batch_id"))
+        folded0.withColumn("batch_id", lit(null).cast("string"))
+          .unionByName(markers)
+      } else folded0
+    folded
       .repartition(numBuckets, col("token"))
       .write.mode(SaveMode.Overwrite)
       .bucketBy(numBuckets, "token").sortBy("token")
       .option("path", path)
       .saveAsTable(table)
+  }
 
   // ---- Retrieval-index state: incremental BM25 --------------------
 
@@ -611,23 +656,35 @@ object Incremental {
       .saveAsTable(table)
 
   /** Corpus-stats side of the index: an append-only ONE-ROW-PER-BATCH
-    * log `(n_docs, sum_dl)` — the mergeable form of BM25's global
-    * N/avgdl (sums of longs, like the NB count log). Deriving the
-    * current stats is a log-sized aggregate; null-text docs count as
-    * length 0, exactly as [[Retrieval.bm25TopK]] counts them. */
+    * log `(n_docs, sum_dl, batch_id)` — the mergeable form of BM25's
+    * global N/avgdl (sums of longs, like the NB count log). Deriving
+    * the current stats is a log-sized aggregate; null-text docs count
+    * as length 0, exactly as [[Retrieval.bm25TopK]] counts them.
+    * `batch_id` is the in-data idempotence key ([[writeNbCounts]]'
+    * contract): [[appendIndexStats]] detects a replayed wave and
+    * no-ops instead of inflating N/avgdl. */
   def writeIndexStats(corpus: DataFrame, textCol: Column,
-      table: String, path: String): Unit =
+      table: String, path: String, batchId: String = null): Unit =
     indexStatsRow(corpus, textCol)
+      .withColumn("batch_id", lit(batchId).cast("string"))
       .write.mode(SaveMode.Overwrite).option("path", path)
       .saveAsTable(table)
 
   /** Append one batch's `(n_docs, sum_dl)` row — same exactly-once
-    * contract as [[appendPostings]]. */
+    * mechanism as [[appendNbCounts]]: returns false (no write) when
+    * `batchId` already stamped a log row. The posting side of a
+    * replayed wave is gated upstream (new-ids contract /
+    * [[exactDedupAgainstTable]]); this closes the stats side. */
   def appendIndexStats(batch: DataFrame, textCol: Column,
-      table: String): Unit =
+      table: String, batchId: String = null): Boolean = {
+    if (batchAlreadyApplied(batch.sparkSession, table, batchId))
+      return false
     indexStatsRow(batch, textCol)
+      .withColumn("batch_id", lit(batchId).cast("string"))
       .write.mode(SaveMode.Append).format("parquet")
       .saveAsTable(table)
+    true
+  }
 
   /** Rebuild the BM25 stats log from RETAINED postings — the takedown
     * epilogue: after [[compactState]] removes a retracted doc's
@@ -646,16 +703,31 @@ object Incremental {
     * so the drift is one count in N per empty doc; rebuild from the
     * corpus instead when empty docs are material to ranking. */
   def rebuildIndexStats(postings: DataFrame, idColName: String,
-      table: String, path: String): Unit = {
+      table: String, path: String,
+      priorStats: DataFrame = null): Unit = {
     require(postings.columns.toSet == Set("term", idColName, "tf", "dl"),
       s"not a posting table for id '$idColName' " +
         s"(want term, $idColName, tf, dl): ${postings.columns.mkString(",")}")
-    postings.select(col(idColName), col("dl")).distinct()
+    val fresh = postings.select(col(idColName), col("dl")).distinct()
       .agg(count(lit(1)).as("n_docs"),
         // sum over ZERO rows is NULL — the retract-everything rebuild
         // must still write the (0, 0L) shape writeIndexStats produces,
         // not a null avgdl seed for bm25AgainstIndex
         coalesce(sum(col("dl")).cast("long"), lit(0L)).as("sum_dl"))
+      .withColumn("batch_id", lit(null).cast("string"))
+    // pass the OLD log as priorStats to carry its applied batch ids
+    // across the rebuild as zero-count markers — otherwise a wave
+    // replayed after the rebuild would re-append (the ledger is in
+    // the rows, so rewriting the rows rewrites the ledger)
+    val out = Option(priorStats)
+      .filter(_.columns.contains("batch_id"))
+      .map(p => fresh.unionByName(
+        p.select(col("batch_id")).filter(col("batch_id").isNotNull)
+          .distinct()
+          .select(lit(0L).as("n_docs"), lit(0L).as("sum_dl"),
+            col("batch_id"))))
+      .getOrElse(fresh)
+    out
       .write.mode(SaveMode.Overwrite).option("path", path)
       .saveAsTable(table)
   }
@@ -1355,6 +1427,15 @@ object Incremental {
     * `(newTable, newPath)` with the bucket spec and `_meta` row
     * preserved; returns the number of clips dropped.
     *
+    * The dropped-id → representative REMAP persists as a sidecar
+    * table `"${newTable}_remap"` (composed across re-compactions:
+    * a representative dethroned by a smaller later twin repoints its
+    * family). The remap is what makes compaction safe to combine
+    * with id-level retraction: [[retractFrameHammingIds]] re-elects
+    * a surviving twin when a representative is tombstoned — the
+    * family's rows live on under the twin's id instead of silently
+    * vanishing while dropped twins are still live corpus members.
+    *
     * Scale shape: one bucketed scan, a per-clip sorted fingerprint
     * (clip-length arrays, never corpus-wide), a family-keyed min, a
     * broadcastable drop list is NOT assumed (the anti-join keys by
@@ -1388,13 +1469,16 @@ object Incremental {
         .as("__fp"))
     val keep = fp.groupBy((shardCols.map(col) :+ col("__fp")): _*)
       .agg(min(col(idCol)).as("__keep"))
-    val drop = fp.join(keep, shardCols :+ "__fp")
+    // (dropped twin → representative) — ids are globally unique, so
+    // the remap needs no shard column
+    val newDrops = fp.join(keep, shardCols :+ "__fp")
       .filter(col(idCol) =!= col("__keep"))
-      .select(col(idCol).as("__dropid"))
+      .select(col(idCol).as("dropped_id"), col("__keep").as("rep_id"))
       .localCheckpoint(true)
-    val nDropped = drop.count()
+    val nDropped = newDrops.count()
     val bcols = ("frame_pos" +: shardCols) ++ Seq("band", "bucket")
-    rows.join(drop, col(idCol) === col("__dropid"), "left_anti")
+    rows.join(newDrops.select(col("dropped_id").as("__dropid")),
+        col(idCol) === col("__dropid"), "left_anti")
       .unionByName(meta)
       .repartition(numBuckets, bcols.map(col): _*)
       .write.mode(SaveMode.Overwrite)
@@ -1402,8 +1486,113 @@ object Incremental {
       .sortBy(bcols.head, bcols.tail: _*)
       .option("path", newPath)
       .saveAsTable(newTable)
+    // compose the remap across re-compactions: a prior representative
+    // dethroned now (a smaller identical twin arrived since) appears
+    // in newDrops — its old family rows repoint to the new rep, so
+    // chains never exceed depth 1
+    val composed = {
+      val oldT = s"${table}_remap"
+      if (spark.catalog.tableExists(oldT)) {
+        spark.table(oldT)
+          .join(newDrops.select(col("dropped_id").as("rep_id"),
+            col("rep_id").as("__r2")), Seq("rep_id"), "left")
+          .withColumn("rep_id", coalesce(col("__r2"), col("rep_id")))
+          .select(col("dropped_id"), col("rep_id"))
+          .unionByName(newDrops)
+      } else newDrops
+    }
+    composed
+      .repartition(16, col("rep_id"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(16, "rep_id").sortBy("rep_id")
+      .option("path", s"${newPath}_remap")
+      .saveAsTable(s"${newTable}_remap")
     hammingMetaMemo.clear()
     nDropped
+  }
+
+  /** Id-level retraction for a (possibly compacted) positional
+    * hamming state — the takedown pass that is SAFE to combine with
+    * [[compactFrameHammingDuplicates]]. A plain
+    * [[compactState]]/tombstone delete of a compacted table has a
+    * silent failure mode: retracting a family REPRESENTATIVE deletes
+    * the family's only remaining rows while its dropped twins are
+    * still live corpus members, so the family stops suppressing new
+    * duplicates. Here a retracted representative with surviving
+    * twins RE-ELECTS the minimum surviving twin: the family's rows
+    * are identical by construction (whole-clip signature equality is
+    * what compaction collapsed), so re-election is a pure id rewrite
+    * on the representative's rows — no corpus re-decode. The remap
+    * sidecar updates in the same pass (tombstoned twins leave,
+    * repointed families stay depth-1, the new representative's own
+    * row is removed). Blue/green into `(newTable, newPath)`;
+    * tombstones broadcast, elections are takedown-sized. States never
+    * compacted (no remap table) degrade to the plain physical delete. */
+  def retractFrameHammingIds(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      newTable: String, newPath: String, tombstones: DataFrame,
+      numBuckets: Int = 64): Long = {
+    val state = spark.table(table)
+    val sharded = state.columns.contains("shard")
+    val reserved = Set("frame_pos", "band", "bucket", "sig") ++
+      (if (sharded) Set("shard") else Set.empty[String])
+    val idCol = state.columns.filterNot(reserved) match {
+      case Array(id) => id
+      case other => throw new IllegalArgumentException(
+        "not a positional hamming state table (want " +
+          s"${reserved.mkString(", ")}, <id>): ${other.mkString(",")}")
+    }
+    val shardCols = if (sharded) Seq("shard") else Seq.empty[String]
+    val rows = state.filter(col("band") =!= HammingMetaBand)
+    val metaRows = state.filter(col("band") === HammingMetaBand)
+    val tomb = org.apache.spark.sql.functions.broadcast(
+      tombstones.select(col(tombstones.columns.head).as("retract_id"))
+        .distinct().localCheckpoint(true))
+    val remapT = s"${table}_remap"
+    val hasRemap = spark.catalog.tableExists(remapT)
+    val (rows2, remap2) = if (hasRemap) {
+      val remap = spark.table(remapT)
+      // retired representatives → min SURVIVING twin (if any)
+      val elect = remap
+        .join(tomb, remap("rep_id") === col("retract_id"), "left_semi")
+        .join(tomb, remap("dropped_id") === col("retract_id"), "left_anti")
+        .groupBy(col("rep_id"))
+        .agg(min(col("dropped_id")).as("__new"))
+        .localCheckpoint(true)
+      val bElect = org.apache.spark.sql.functions.broadcast(elect)
+      val r2 = rows
+        .join(bElect.select(col("rep_id").as("__old"), col("__new")),
+          col(idCol) === col("__old"), "left")
+        .withColumn(idCol, coalesce(col("__new"), col(idCol)))
+        .drop("__old", "__new")
+        .join(tomb, col(idCol) === col("retract_id"), "left_anti")
+      val m2 = remap
+        .join(tomb, col("dropped_id") === col("retract_id"), "left_anti")
+        .join(bElect.select(col("rep_id"), col("__new")), Seq("rep_id"), "left")
+        .withColumn("rep_id", coalesce(col("__new"), col("rep_id")))
+        .filter(col("dropped_id") =!= col("rep_id"))
+        .select(col("dropped_id"), col("rep_id"))
+      (r2, Some(m2))
+    } else {
+      (rows.join(tomb, col(idCol) === col("retract_id"), "left_anti"), None)
+    }
+    val bcols = ("frame_pos" +: shardCols) ++ Seq("band", "bucket")
+    rows2.unionByName(metaRows)
+      .repartition(numBuckets, bcols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bcols.head, bcols.tail: _*)
+      .sortBy(bcols.head, bcols.tail: _*)
+      .option("path", newPath)
+      .saveAsTable(newTable)
+    remap2.foreach { m =>
+      m.repartition(16, col("rep_id"))
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(16, "rep_id").sortBy("rep_id")
+        .option("path", s"${newPath}_remap")
+        .saveAsTable(s"${newTable}_remap")
+    }
+    hammingMetaMemo.clear()
+    tomb.count()
   }
 
   /** Drop every batch frame-signature row whose CLIP matches state on
@@ -1907,6 +2096,16 @@ object Incremental {
       .sortBy(idCol).option("path", nt.memberPath)
       .saveAsTable(nt.memberTable)
     writeEmptyAlias(spark, nt)
+    // the tombstone overlay must SURVIVE recovery under nt's derived
+    // name: membership above is tombstone-free, but postings/edges
+    // carry over from t untouched, and future appendClusters waves
+    // against nt filter postings through tombTable(nt) — without this
+    // copy, retracted documents' content would again suppress or
+    // bridge new documents
+    if (spark.catalog.tableExists(tombTable(t)) &&
+        tombTable(nt) != tombTable(t))
+      writeTombstones(spark.table(tombTable(t)), "retract_id",
+        tombTable(nt), tombPath(nt))
   }
 
   /** Persist `(id_a, id_b)` pairs SYMMETRICALLY as (src, dst),
@@ -1966,6 +2165,25 @@ object Incremental {
     val waveState = gramJaccardPairs(postingsShape(posts, idCol, "a"),
       statePosts, threshold)
       .localCheckpoint(true)
+    appendClustersCore(spark, wave, idCol, inWave, waveState, t) {
+      posts.select(col("__g1").as("g1"), col("__g2").as("g2"), col(idCol),
+          col("n_grams"))
+        .repartition(t.numBuckets, col("g1"), col("g2"))
+        .write.mode(SaveMode.Append).bucketBy(t.numBuckets, "g1", "g2")
+        .sortBy("g1", "g2").saveAsTable(t.postTable)
+    }
+  }
+
+  /** The posting-agnostic half of a cluster-state wave: persists the
+    * doc-level pair graph, contracts matched state ids to canons,
+    * runs CC over the wave-bounded graph, lands membership + alias
+    * rewrites, and runs `appendPosts` to grow whatever posting family
+    * enumerated the pairs (exact grams or winnow fingerprints).
+    * `inWave`/`waveState` are `(__ia, __ib)` pair frames. */
+  private def appendClustersCore(
+      spark: org.apache.spark.sql.SparkSession, wave: DataFrame,
+      idCol: String, inWave: DataFrame, waveState: DataFrame,
+      t: ClusterTables)(appendPosts: => Unit): DataFrame = {
     // the DOC-LEVEL pair graph persists (takedown needs it to decide
     // splits); the CC below runs over the cheaper CONTRACTED graph
     writeEdges(inWave.select(col("__ia").as("id_a"), col("__ib").as("id_b"))
@@ -2012,12 +2230,109 @@ object Incremental {
     assigned.repartition(t.numBuckets, col(idCol))
       .write.mode(SaveMode.Append).bucketBy(t.numBuckets, idCol)
       .sortBy(idCol).saveAsTable(t.memberTable)
-    posts.select(col("__g1").as("g1"), col("__g2").as("g2"), col(idCol),
-        col("n_grams"))
-      .repartition(t.numBuckets, col("g1"), col("g2"))
-      .write.mode(SaveMode.Append).bucketBy(t.numBuckets, "g1", "g2")
-      .sortBy("g1", "g2").saveAsTable(t.postTable)
+    appendPosts
     assigned
+  }
+
+  /** Winnowing-backed initial cluster state — the SAME
+    * [[ClusterTables]] life cycle (append/resolve/takedown/recover
+    * all reuse the membership/alias/edge machinery) with
+    * [[Winnow.fingerprints]] as the edge enumerator instead of exact
+    * gram postings. Pair semantics are q130's: two documents link iff
+    * they share ≥ `minShared` distinct fingerprints whose document
+    * frequency is ≤ `maxDf` (the df cap is the state's boilerplate
+    * guardrail — [[writeFingerprintTable]]'s build-time exclusion).
+    * This is the designed escape from the exact gram probe's
+    * Σ df_wave·df_state fan-out: fingerprint density is ~2/(w+1) of
+    * the gram count and the cap bounds every posting, so the
+    * recurring probe is strictly bucket-join-shaped at 100 TB.
+    *
+    * Posting schema: `(fp, <idCol>)` bucketed+sorted by the long
+    * fingerprint. Cap drift caveat (same as [[appendFingerprints]]):
+    * appends do not re-evaluate `maxDf` across waves, so resolution ≡
+    * batch holds exactly while no fingerprint crosses the cap
+    * mid-life; rebuild at compaction cadence to re-apply it. */
+  def writeWinnowClusterState(corpus: DataFrame, idCol: String,
+      textCol: Column, t: ClusterTables, k: Int = 4, w: Int = 4,
+      minShared: Long = 2, maxDf: Long = 64): Unit = {
+    val spark = corpus.sparkSession
+    Seq(patchTable(t), tombTable(t))
+      .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS $tb"))
+    val fp0 = Winnow.fingerprints(corpus, idCol, textCol, k, w)
+      .select(col("fp"), col(idCol)).distinct()
+    val keep = fp0.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("fp")
+    val posts = fp0.join(keep, Seq("fp")).localCheckpoint(true)
+    val pairs = posts.alias("a").join(posts.alias("b"),
+        col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("__shared"))
+      .filter(col("__shared") >= minShared)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(true)
+    val comps = DupClusters.connectedComponents(
+      corpus.select(col(idCol)), pairs)
+    writeEdges(pairs, t, SaveMode.Overwrite)
+    posts.repartition(t.numBuckets, col("fp"))
+      .write.mode(SaveMode.Overwrite).bucketBy(t.numBuckets, "fp")
+      .sortBy("fp").option("path", t.postPath)
+      .saveAsTable(t.postTable)
+    comps.select(col("id").as(idCol), col("cluster"))
+      .repartition(t.numBuckets, col(idCol))
+      .write.mode(SaveMode.Overwrite).bucketBy(t.numBuckets, idCol)
+      .sortBy(idCol).option("path", t.memberPath)
+      .saveAsTable(t.memberTable)
+    writeEmptyAlias(spark, t)
+  }
+
+  /** One wave against a winnow-backed cluster state — the q160
+    * contract over the q130 pair semantics: resolution after any wave
+    * sequence over unique ids equals one batch winnow clustering of
+    * the union. Mechanics identical to [[appendClusters]] (contracted
+    * CC, alias rewrite, takedown overlay honored) with the
+    * fingerprint bucket-join as the pair enumerator: only the wave's
+    * fingerprints shuffle; the state streams bucket-aligned. Shared
+    * counts between two fixed documents are wave-independent (each
+    * doc's fingerprint SET is a pure function of its text), which is
+    * what makes the incremental ≡ batch equality exact. */
+  def appendWinnowClusters(wave: DataFrame, idCol: String,
+      textCol: Column, t: ClusterTables, k: Int = 4, w: Int = 4,
+      minShared: Long = 2, maxDf: Long = 64): DataFrame = {
+    val spark = wave.sparkSession
+    val fp0 = Winnow.fingerprints(wave, idCol, textCol, k, w)
+      .select(col("fp"), col(idCol)).distinct()
+    val keep = fp0.groupBy("fp").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") <= maxDf).select("fp")
+    val posts = fp0.join(keep, Seq("fp")).localCheckpoint(true)
+    val inWave = posts.alias("a").join(posts.alias("b"),
+        col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .groupBy(col(s"a.$idCol").as("__ia"), col(s"b.$idCol").as("__ib"))
+      .agg(count(lit(1)).as("__shared"))
+      .filter(col("__shared") >= minShared)
+      .select(col("__ia"), col("__ib"))
+      .localCheckpoint(true)
+    val statePosts0 = spark.table(t.postTable)
+    val statePosts =
+      (if (spark.catalog.tableExists(tombTable(t)))
+        retractIds(statePosts0, idCol, spark.table(tombTable(t)))
+      else statePosts0)
+        .select(col("fp"), col(idCol).as("__ib"))
+    val waveState = posts.select(col("fp"), col(idCol).as("__ia"))
+      .join(statePosts, Seq("fp"))
+      .groupBy(col("__ia"), col("__ib"))
+      // distinct fps, not join rows — duplicate-safe like
+      // overlapAgainstTable should the posting invariant break
+      .agg(countDistinct(col("fp")).as("__shared"))
+      .filter(col("__shared") >= minShared)
+      .select(col("__ia"), col("__ib"))
+      .localCheckpoint(true)
+    appendClustersCore(spark, wave, idCol, inWave, waveState, t) {
+      posts.join(statePosts0.select(col("fp"),
+          col(idCol)), Seq("fp", idCol), "left_anti")
+        .repartition(t.numBuckets, col("fp"))
+        .write.mode(SaveMode.Append).bucketBy(t.numBuckets, "fp")
+        .sortBy("fp").saveAsTable(t.postTable)
+    }
   }
 
   // Affected-only takedown OVERLAY: a patch table (id → re-elected

@@ -20,9 +20,16 @@ import graft.operators.Incremental
   * Two disjoint fixed-size waves run back to back per scale (state
   * growth between them is one wave — noise); min wall reported.
   *
-  * Usage: runMain graft.tools.ClusterScale <sfDir>[,<sfDir>...]
+  * Usage: runMain graft.tools.ClusterScale <spec>[,<spec>...]
   *        [waveN=500] [n=4] [threshold=0.4]
-  * State builds are OFF the clock (the op_bm25_probe stance).
+  * where <spec> is an sfDir, or `synth:<m>:<sfDir>` — an IN-TOOL
+  * isometric replica: every copy c suffixes each word with `_c`, so
+  * within-copy gram document frequency is preserved exactly and
+  * copies never collide (the make_scaled.py property without its
+  * vocab-rotation 64-copy cap — the 100× point needs ~100 copies).
+  * State builds are OFF the clock (the op_bm25_probe stance). After
+  * the two appends, a 10-id takedown OVERLAY lands and resolveClusters
+  * is timed — the recurring read path with patches live.
   */
 object ClusterScale {
   def main(args: Array[String]): Unit = {
@@ -39,7 +46,23 @@ object ClusterScale {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     }
     dirs.zipWithIndex.foreach { case (dir, i) =>
-      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val docs0 =
+        if (dir.startsWith("synth:")) {
+          val Array(_, m, base) = dir.split(":", 3)
+          val raw = spark.read.parquet(s"$base/documents.parquet")
+            .filter(col("doc_id") < 10000000L) // copy-0 only
+            .select(col("doc_id"), col("text"))
+          raw.select(col("doc_id"), col("text"),
+              explode(sequence(lit(0), lit(m.toInt - 1))).as("__c"))
+            .select(
+              (col("doc_id") + col("__c") * lit(10000000L)).as("doc_id"),
+              when(col("__c") === 0, col("text")).otherwise(
+                array_join(transform(split(col("text"), " "),
+                  w => concat(w, lit("_"), col("__c"))), " ")).as("text"))
+        } else spark.read.parquet(s"$dir/documents.parquet")
+      // synthesized copies are narrow map work, but the build must
+      // not recompute them per consumer
+      val docs = docs0.localCheckpoint(true)
       val total = docs.count()
       // two disjoint copy-0 waves off the state's tail; ids are
       // copy-0 (< 10M ID_STRIDE) at every scale, so the same texts
@@ -71,9 +94,25 @@ object ClusterScale {
       }
       val wallA = probe(waveA)
       val wallB = probe(waveB)
+      // the recurring READ path with a takedown overlay live: patch
+      // 10 state ids, then time full resolution (stored -> patch ->
+      // alias -> tombstone filter)
+      val rids = state.select(col("doc_id")).orderBy(col("doc_id"))
+        .limit(10)
+      val td0 = System.nanoTime()
+      Incremental.patchTakedownClusters(spark, rids, t)
+      val tdS = (System.nanoTime() - td0) / 1e9
+      def resolveWall(): Double = {
+        val r0 = System.nanoTime()
+        Incremental.resolveClusters(spark, t).write
+          .mode("overwrite").format("noop").save()
+        (System.nanoTime() - r0) / 1e9
+      }
+      val res1 = resolveWall(); val res2 = resolveWall()
       println(f"[cscale] dir=$dir docs=$total stateDocs=${total - 2 * waveN} " +
         f"waveN=$waveN build=$buildS%.1f appendMin=${math.min(wallA, wallB)}%.2f " +
-        f"(a=$wallA%.2f b=$wallB%.2f)")
+        f"(a=$wallA%.2f b=$wallB%.2f) takedown10=$tdS%.2f " +
+        f"resolveMin=${math.min(res1, res2)}%.2f")
     }
     spark.stop()
   }

@@ -445,6 +445,87 @@ class IncrementalSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("count-log appends are exactly-once: replayed batch ids no-op, dict/stats unchanged, markers survive compaction and rebuild") {
+    import graft.operators.Classifier
+    val label = col("n_chars") >= 300
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    try {
+      // ---- NB count log ----
+      Incremental.writeNbCounts(half1, col("text"), label,
+        "t_nb_once", tmp("graft_nb_once"), numBuckets = 8, batchId = "w0")
+      assert(Incremental.appendNbCounts(half2, col("text"), label,
+        "t_nb_once", numBuckets = 8, batchId = "w1"))
+      def dictMap(d: org.apache.spark.sql.DataFrame) =
+        d.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val once = dictMap(Incremental.nbDictFromTable(spark.table("t_nb_once")))
+      val rowsOnce = spark.table("t_nb_once").count()
+      // the replay: a restarted orchestrator re-submits wave w1 —
+      // detected in the DATA, zero rows written, dictionary identical
+      assert(!Incremental.appendNbCounts(half2, col("text"), label,
+        "t_nb_once", numBuckets = 8, batchId = "w1"),
+        "a replayed batch id must report no-op")
+      assert(spark.table("t_nb_once").count() === rowsOnce)
+      assert(dictMap(Incremental.nbDictFromTable(
+        spark.table("t_nb_once"))) === once)
+      val scratch = dictMap(Classifier.nbTrain(docs, col("text"), label))
+      assert(once.keySet === scratch.keySet)
+      once.foreach { case (t, w) =>
+        assert(math.abs(w - scratch(t)) < 1e-12,
+          s"sanity vs retrain, token $t: $w vs ${scratch(t)}") }
+      // compaction preserves the applied-id markers: the replay is
+      // STILL a no-op against the compacted log
+      Incremental.compactNbCounts(spark.table("t_nb_once"),
+        "t_nb_once_c", tmp("graft_nb_once_c"), numBuckets = 8)
+      assert(!Incremental.appendNbCounts(half2, col("text"), label,
+        "t_nb_once_c", numBuckets = 8, batchId = "w1"))
+      assert(dictMap(Incremental.nbDictFromTable(
+        spark.table("t_nb_once_c"))) === once,
+        "marker rows are zero-count: dictionary unchanged by them")
+      // a genuinely NEW wave still applies after compaction
+      assert(Incremental.appendNbCounts(half2.limit(5), col("text"), label,
+        "t_nb_once_c", numBuckets = 8, batchId = "w2"))
+      // ---- BM25 stats log ----
+      Incremental.writeIndexStats(half1, col("text"),
+        "t_bm_once", tmp("graft_bm_once"), batchId = "w0")
+      assert(Incremental.appendIndexStats(half2, col("text"),
+        "t_bm_once", batchId = "w1"))
+      def stats() = spark.table("t_bm_once")
+        .agg(sum("n_docs"), sum("sum_dl")).head()
+      val s1 = stats()
+      assert(!Incremental.appendIndexStats(half2, col("text"),
+        "t_bm_once", batchId = "w1"), "stats replay must no-op")
+      assert(stats() === s1, "N/avgdl inputs unchanged by the replay")
+      // rebuild with priorStats carries the ledger: replay stays no-op
+      Incremental.writePostings(docs, "doc_id", col("text"),
+        "t_bm_once_post", tmp("graft_bm_once_post"), numBuckets = 8)
+      Incremental.rebuildIndexStats(spark.table("t_bm_once_post"),
+        "doc_id", "t_bm_once_r", tmp("graft_bm_once_r"),
+        priorStats = spark.table("t_bm_once"))
+      assert(!Incremental.appendIndexStats(half2, col("text"),
+        "t_bm_once_r", batchId = "w1"),
+        "applied ids survive the from-postings rebuild")
+      // ---- the streaming shape: foreachBatch(batchDf, batchId) ----
+      // Spark re-invokes foreachBatch with the SAME batchId after a
+      // restart; the txn body below is exactly what a sink writes —
+      // pin that a double invocation lands one block
+      def txn(df: org.apache.spark.sql.DataFrame, batchId: Long): Unit = {
+        Incremental.appendNbCounts(df, col("text"), label,
+          "t_nb_once", numBuckets = 8, batchId = s"stream-$batchId")
+        ()
+      }
+      val before = spark.table("t_nb_once").count()
+      txn(half2.limit(3), 7L)
+      val afterFirst = spark.table("t_nb_once").count()
+      txn(half2.limit(3), 7L) // the post-restart replay
+      assert(afterFirst > before &&
+        spark.table("t_nb_once").count() === afterFirst,
+        "foreachBatch replay semantics: same batchId appends once")
+    } finally Seq("t_nb_once", "t_nb_once_c", "t_bm_once",
+      "t_bm_once_post", "t_bm_once_r")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
   test("BM25 index: probe-after-append == from-scratch bm25TopK; scan is bucket-pruned; df agg is exchange-free") {
     import graft.operators.Retrieval
     val terms = Seq("the", "data", "join")
@@ -578,13 +659,13 @@ class IncrementalSpec extends AnyFunSuite {
       val retained = docs.filter(col("doc_id") % 6 =!= 0)
       assert(retained.filter(size(operators.Retrieval.wordTokens(col("text"))) === 0)
         .count() === 0, "fixture assumption: no token-less docs")
-      val got = spark.table("t_rb_stats2").as[(Long, Long)].head()
+      val got = spark.table("t_rb_stats2").select("n_docs", "sum_dl").as[(Long, Long)].head()
       val wantN = retained.count()
       val wantDl = retained.select(
         sum(size(operators.Retrieval.wordTokens(col("text"))).cast("long")))
         .head().getLong(0)
       assert(got === ((wantN, wantDl)))
-      val stale = spark.table("t_rb_stats").as[(Long, Long)].head()
+      val stale = spark.table("t_rb_stats").select("n_docs", "sum_dl").as[(Long, Long)].head()
       assert(stale._1 > wantN, "old log must still count retracted docs")
       // probe after rebuild == from-scratch BM25 over the retained corpus
       val probe = Incremental.bm25AgainstIndex(spark.table("t_rb_post2"),
@@ -603,10 +684,10 @@ class IncrementalSpec extends AnyFunSuite {
         "t_rb_post3", s"$base/post3", numBuckets = 4)
       Incremental.rebuildIndexStats(spark.table("t_rb_post3"), "doc_id",
         "t_rb_stats3", s"$base/stats3")
-      assert(spark.table("t_rb_stats3").as[(Long, Long)].head()._1 === wantN)
+      assert(spark.table("t_rb_stats3").select("n_docs", "sum_dl").as[(Long, Long)].head()._1 === wantN)
       Incremental.writeIndexStats(withEmpty, col("text"),
         "t_rb_stats4", s"$base/stats4")
-      assert(spark.table("t_rb_stats4").as[(Long, Long)].head()._1 === wantN + 1)
+      assert(spark.table("t_rb_stats4").select("n_docs", "sum_dl").as[(Long, Long)].head()._1 === wantN + 1)
     } finally Seq("t_rb_post", "t_rb_stats", "t_rb_post2", "t_rb_stats2",
       "t_rb_post3", "t_rb_stats3", "t_rb_stats4", "t_rb_tomb")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
@@ -1026,6 +1107,176 @@ class IncrementalSpec extends AnyFunSuite {
         numBuckets = 4, everyNth = 2, shardCol = Some("src"))
     } finally Seq("t_fdup_state", "t_fdup_state2")
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("retraction of a compacted representative re-elects a surviving twin (remap sidecar)") {
+    import spark.implicits._
+    val d = tmp("graft_framedup_retract")
+    val S0 = 0L; val S1 = -1L; val O0 = 0xFFFFL
+    val O1 = 0x0F0F0F0F0F0F0F0FL
+    // same fixture family as the compaction test: 20 identical
+    // title-card clips 10..29 in shard a, a subset clip 30, a
+    // distinct clip 31, a 3-clip b family 40..42
+    val family = (10L until 30L).flatMap(id =>
+      Seq((id, "a", 0, S0), (id, "a", 1, S1)))
+    val rest = Seq((30L, "a", 0, S0), (31L, "a", 0, O0), (31L, "a", 1, O1)) ++
+      (40L until 43L).flatMap(id => Seq((id, "b", 0, S0), (id, "b", 1, S1)))
+    val sigs = (family ++ rest).toDF("doc_id", "src", "frame_pos", "dhash")
+    val batch = Seq(
+      (100L, "a", 0, S0), (100L, "a", 1, S1), // a-family match
+      (103L, "a", 0, O0), (103L, "a", 1, O1)  // matches clip 31
+    ).toDF("doc_id", "src", "frame_pos", "dhash")
+    def dupIds(table: String) =
+      Incremental.frameHammingDupIdsAgainstTable(batch, "doc_id",
+        "dhash", spark.table(table), maxHamming = 8, minFrames = 2,
+        everyNth = 2, shardCol = Some("src"))
+        .as[Long].collect().toSet
+    val tables = Seq("t_fret_state", "t_fret_state2", "t_fret_state3",
+      "t_fret_state4", "t_fret_state2_remap", "t_fret_state3_remap",
+      "t_fret_state4_remap")
+    try {
+      Incremental.writeFrameHammingState(sigs, "doc_id", "dhash",
+        "t_fret_state", s"$d/state", maxHamming = 8, numBuckets = 4,
+        everyNth = 2, shardCol = Some("src"))
+      Incremental.compactFrameHammingDuplicates(spark,
+        "t_fret_state", "t_fret_state2", s"$d/state2", numBuckets = 4)
+      // the remap sidecar landed: 19 + 2 dropped-twin rows
+      val remap = spark.table("t_fret_state2_remap")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(remap === ((11L until 30L).map(_ -> 10L) ++
+        Seq(41L -> 40L, 42L -> 40L)).toMap)
+      // retract representative 10, one twin 11, and the singleton 31:
+      // the a family must re-elect 12 (min SURVIVING twin), 31's rows
+      // just delete, probe decisions for live content unchanged
+      assert(dupIds("t_fret_state2") === Set(100L, 103L))
+      Incremental.retractFrameHammingIds(spark, "t_fret_state2",
+        "t_fret_state3", s"$d/state3",
+        Seq(10L, 11L, 31L).toDF("doc_id"), numBuckets = 4)
+      val kept = spark.table("t_fret_state3")
+        .filter(col("band") =!= Incremental.HammingMetaBand)
+        .select("doc_id").distinct().as[Long].collect().toSet
+      assert(kept === Set(12L, 30L, 40L),
+        s"family rows live on under the re-elected twin: $kept")
+      assert(dupIds("t_fret_state3") === Set(100L),
+        "the family keeps suppressing; retracted 31 no longer matches")
+      val remap3 = spark.table("t_fret_state3_remap")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(remap3 === ((13L until 30L).map(_ -> 12L) ++
+        Seq(41L -> 40L, 42L -> 40L)).toMap,
+        s"twins repoint to the new representative, depth 1: $remap3")
+      // the retracted state still appends and re-compacts: nothing
+      // new collapses (all families are single-representative now)
+      val dropped2 = Incremental.compactFrameHammingDuplicates(spark,
+        "t_fret_state3", "t_fret_state4", s"$d/state4", numBuckets = 4)
+      assert(dropped2 === 0L)
+      assert(dupIds("t_fret_state4") === Set(100L))
+    } finally tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+  }
+
+  test("winnow-backed clusters: waves == batch, takedown overlay honored by the fp probe") {
+    import spark.implicits._
+    val d = tmp("graft_winnow_clusters")
+    def tabs(tag: String) = Incremental.ClusterTables(
+      s"t_wc_post$tag", s"$d/post$tag", s"t_wc_member$tag", s"$d/member$tag",
+      s"t_wc_alias$tag", s"$d/alias$tag", s"t_wc_edges$tag", s"$d/edges$tag",
+      numBuckets = 4)
+    val t = tabs(""); val tb = tabs("b")
+    def resolved(x: Incremental.ClusterTables) =
+      Incremental.resolveClusters(spark, x).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // k=4, w=4 ⇒ docs need ≥ 7 words for any fingerprint; sharing a
+    // ≥ 7-word run guarantees a shared fingerprint (the winnowing
+    // bound). Doc 5 is too short for fingerprints → singleton.
+    // 14-word runs: two disjoint k+w-1 = 7-word windows each, so any
+    // two docs sharing a run share ≥ 2 DISTINCT fingerprints (the
+    // winnowing guarantee per window) — minShared = 2 links reliably
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi"
+    val other = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen"
+    val w1 = Seq((1L, s"$run tail one"), (2L, s"$other tail two"))
+      .toDF("doc_id", "text")
+    val w2 = Seq((3L, s"$run $other")).toDF("doc_id", "text") // bridge
+    val w3 = Seq((0L, s"$run prefix zero"), (5L, "short words only"))
+      .toDF("doc_id", "text")
+    try {
+      Incremental.writeWinnowClusterState(w1, "doc_id", col("text"), t)
+      Incremental.appendWinnowClusters(w2, "doc_id", col("text"), t)
+      Incremental.appendWinnowClusters(w3, "doc_id", col("text"), t)
+      val inc = resolved(t)
+      Incremental.writeWinnowClusterState(
+        w1.union(w2).union(w3), "doc_id", col("text"), tb)
+      assert(inc === resolved(tb),
+        s"incremental winnow clusters == batch over the union: $inc")
+      assert(inc(5L) === 5L, "fingerprint-less docs found singletons")
+      assert(inc(0L) === inc(1L) && inc(1L) === inc(2L),
+        "the bridge doc merged both runs' clusters")
+      // takedown overlay: retract the bridge; a NEW doc matching the
+      // retracted text must not link through its (still-persisted)
+      // postings
+      Incremental.patchTakedownClusters(spark, Seq(3L).toDF("doc_id"), t)
+      val after = resolved(t)
+      assert(!after.contains(3L) && after(1L) != after(2L),
+        s"retracting the bridge splits the merged cluster: $after")
+      val a = Incremental.appendWinnowClusters(
+        Seq((9L, s"$run $other")).toDF("doc_id", "text"),
+        "doc_id", col("text"), t)
+      val m9 = a.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(m9 === Map(9L -> 0L),
+        s"9 re-merges both runs through its OWN live matches: $m9")
+      // ...but never through 3's tombstoned postings: the edge table
+      // must carry no (9,3) edge in either direction
+      val edges9 = spark.table(t.edgeTable)
+        .filter((col("src") === 9L && col("dst") === 3L) ||
+          (col("src") === 3L && col("dst") === 9L)).count()
+      assert(edges9 === 0L,
+        "tombstoned postings must not pair with new waves")
+    } finally Seq(t, tb).foreach(x => Seq(x.postTable, x.memberTable,
+      x.aliasTable, x.edgeTable, s"${x.memberTable}_tomb",
+      s"${x.memberTable}_patch")
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n")))
+  }
+
+  test("recoverClusters carries the tombstone overlay to the recovered state") {
+    import spark.implicits._
+    val d = tmp("graft_cluster_recover_tomb")
+    val t = Incremental.ClusterTables(
+      "t_crt_post", s"$d/post", "t_crt_member", s"$d/member",
+      "t_crt_alias", s"$d/alias", "t_crt_edges", s"$d/edges",
+      numBuckets = 4)
+    val rt = t.copy(memberTable = "t_crt_member_r",
+      memberPath = s"$d/member_r", aliasTable = "t_crt_alias_r",
+      aliasPath = s"$d/alias_r")
+    try {
+      Incremental.writeClusterState(
+        Seq((1L, "alpha beta gamma delta"), (2L, "one two three four"))
+          .toDF("doc_id", "text"), "doc_id", col("text"),
+        n = 2, threshold = 0.3, t)
+      // patch-takedown doc 1: overlay tombstone, postings/edges keep it
+      Incremental.patchTakedownClusters(spark, Seq(1L).toDF("doc_id"), t)
+      Incremental.recoverClusters(spark, t, rt)
+      assert(spark.catalog.tableExists(s"${rt.memberTable}_tomb"),
+        "the tombstone table must be recreated under nt's derived name")
+      assert(spark.table(s"${rt.memberTable}_tomb")
+        .as[Long].collect().toSet === Set(1L))
+      // a post-recovery wave matching ONLY the tombstoned text must
+      // found its own cluster AND leave no persisted edge to the
+      // retracted id (its postings are filtered by the carried
+      // tombstones — without the copy they would match again)
+      val a = Incremental.appendClusters(
+        Seq((9L, "alpha beta gamma delta")).toDF("doc_id", "text"),
+        "doc_id", col("text"), n = 2, threshold = 0.3, rt)
+      assert(a.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+        Map(9L -> 9L))
+      val edges9 = spark.table(rt.edgeTable)
+        .filter(col("src") === 9L || col("dst") === 9L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(edges9 === Set.empty,
+        s"retracted content must not bridge the new doc: $edges9")
+    } finally Seq(t.postTable, t.memberTable, t.aliasTable, t.edgeTable,
+      s"${t.memberTable}_tomb", s"${t.memberTable}_patch",
+      rt.memberTable, rt.aliasTable, s"${rt.memberTable}_tomb")
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
   }
 
   test("alias rewrite is blue/green: versioned dirs, current+previous retained; recoverClusters rebuilds from edges") {
