@@ -38,6 +38,9 @@ object ClusterScale {
     val waveN = args.lift(1).map(_.toInt).getOrElse(500)
     val n = args.lift(2).map(_.toInt).getOrElse(4)
     val threshold = args.lift(3).map(_.toDouble).getOrElse(0.4)
+    // "gram" = exact n-gram Jaccard enumerator; "winnow" = the
+    // df-capped fingerprint enumerator (k=w=4, minShared=2)
+    val mode = args.lift(4).getOrElse("gram")
     val cpus = Runtime.getRuntime.availableProcessors()
     val spark = GraftSession.builder(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -82,13 +85,19 @@ object ClusterScale {
       Seq(t.postTable, t.memberTable, t.aliasTable, t.edgeTable)
         .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS $tb"))
       val b0 = System.nanoTime()
-      Incremental.writeClusterState(state, "doc_id", col("text"),
-        n, threshold, t)
+      if (mode == "winnow")
+        Incremental.writeWinnowClusterState(state, "doc_id", col("text"), t)
+      else
+        Incremental.writeClusterState(state, "doc_id", col("text"),
+          n, threshold, t)
       val buildS = (System.nanoTime() - b0) / 1e9
       def probe(w: org.apache.spark.sql.DataFrame): Double = {
         val p0 = System.nanoTime()
-        val assigned = Incremental.appendClusters(w, "doc_id",
-          col("text"), n, threshold, t)
+        val assigned =
+          if (mode == "winnow")
+            Incremental.appendWinnowClusters(w, "doc_id", col("text"), t)
+          else Incremental.appendClusters(w, "doc_id",
+            col("text"), n, threshold, t)
         assigned.count()
         (System.nanoTime() - p0) / 1e9
       }
@@ -109,7 +118,7 @@ object ClusterScale {
         (System.nanoTime() - r0) / 1e9
       }
       val res1 = resolveWall(); val res2 = resolveWall()
-      println(f"[cscale] dir=$dir docs=$total stateDocs=${total - 2 * waveN} " +
+      println(f"[cscale] mode=$mode dir=$dir docs=$total stateDocs=${total - 2 * waveN} " +
         f"waveN=$waveN build=$buildS%.1f appendMin=${math.min(wallA, wallB)}%.2f " +
         f"(a=$wallA%.2f b=$wallB%.2f) takedown10=$tdS%.2f " +
         f"resolveMin=${math.min(res1, res2)}%.2f")
