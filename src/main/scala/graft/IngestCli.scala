@@ -428,8 +428,14 @@ object IngestCli {
 
   def compactVideoSigs(spark: SparkSession, st: VideoState): VideoState = {
     val next = st.copy(version = st.version + 1)
+    // carry the dropped-id → representative remap across versions so
+    // a LATER takedown of a representative can re-elect a surviving
+    // twin (the compaction-vs-retraction interaction)
+    val prior = Some(s"${st.sigTable}_remap")
+      .filter(spark.catalog.tableExists).map(spark.table)
     Incremental.dedupCompactFrameState(spark.table(st.sigTable), "doc_id",
-      next.sigTable, s"${st.dir}/fsigs_v${next.version}", st.numBuckets)
+      next.sigTable, s"${st.dir}/fsigs_v${next.version}", st.numBuckets,
+      priorRemap = prior)
     next
   }
 
@@ -838,10 +844,17 @@ object IngestCli {
     val hadGold = goldHasData(spark, st.goldPath)
     val next = st.copy(version = st.version + 1,
       goldVersion = st.goldVersion + (if (hadGold) 1 else 0))
-    tombstoneAndCompact(spark, ids, st.tombTable, st.sigTable,
+    // positional state retraction is REMAP-AWARE: when compaction
+    // collapsed a duplicate-clip family, retracting its kept
+    // representative re-elects the min surviving twin instead of
+    // silently deleting the family's only rows while twins are still
+    // live corpus members (retractFrameHammingIds; states never
+    // compacted degrade to the plain physical delete)
+    Incremental.appendTombstones(ids, ids.columns.head,
+      spark.table(st.tombTable), st.tombTable, st.numBuckets)
+    Incremental.retractFrameHammingIds(spark, st.sigTable,
       next.sigTable, s"${st.dir}/fsigs_v${next.version}",
-      bucketCols = Seq("frame_pos", "band", "bucket"),
-      numBuckets = st.numBuckets)
+      spark.table(st.tombTable), st.numBuckets)
     if (hadGold)
       rewriteGoldRetained(spark, st.dir, st.goldPath, next.goldPath,
         st.goldVersion, st.tombTable)

@@ -1761,7 +1761,8 @@ object Incremental {
     * matches whenever the dropped clip would, position for
     * position). The `_meta` row rides through untouched. */
   def dedupCompactFrameState(state: DataFrame, idColName: String,
-      table: String, path: String, numBuckets: Int): Unit = {
+      table: String, path: String, numBuckets: Int,
+      priorRemap: Option[DataFrame] = None): Unit = {
     val sharded = state.columns.contains("shard")
     val keyCols = Seq("frame_pos") ++ (if (sharded) Seq("shard") else Nil) ++
       Seq("band", "bucket")
@@ -1773,13 +1774,14 @@ object Incremental {
     val rowCols: Seq[Column] = keyCols.map(col) :+ col("sig")
     // decimal(38) sums: order-free set digests that cannot hit ANSI
     // long overflow (Spark 4 throws on it) at any clip size
-    val keep = data.groupBy(col(idColName))
+    val digests = data.groupBy(col(idColName))
       .agg(sum(xxhash64(rowCols: _*).cast("decimal(38,0)")).as("__c1"),
         sum(xxhash64((rowCols :+ lit(0x9e3779b9L)): _*)
           .cast("decimal(38,0)")).as("__c2"))
-      .groupBy(col("__c1"), col("__c2"))
-      .agg(min(col(idColName)).as(idColName))
-      .select(col(idColName))
+      .localCheckpoint(true)
+    val reps = digests.groupBy(col("__c1"), col("__c2"))
+      .agg(min(col(idColName)).as("__rep"))
+    val keep = reps.select(col("__rep").as(idColName))
     data.join(keep, Seq(idColName), "left_semi")
       .unionByName(metaRow)
       .repartition(numBuckets, keyCols.map(col): _*)
@@ -1788,6 +1790,30 @@ object Incremental {
       .sortBy(keyCols.head, keyCols.tail: _*)
       .option("path", path)
       .saveAsTable(table)
+    // persist the dropped-id → representative remap sidecar (the
+    // compactFrameHammingDuplicates contract): id-level retraction of
+    // a representative must be able to re-elect a surviving twin
+    // ([[retractFrameHammingIds]]) instead of silently deleting the
+    // family's only rows while twins are live corpus members.
+    // Composed across re-compactions so chains stay depth-1.
+    val newDrops = digests.join(reps, Seq("__c1", "__c2"))
+      .filter(col(idColName) =!= col("__rep"))
+      .select(col(idColName).as("dropped_id"), col("__rep").as("rep_id"))
+    val composed = priorRemap match {
+      case Some(o) =>
+        o.join(newDrops.select(col("dropped_id").as("rep_id"),
+            col("rep_id").as("__r2")), Seq("rep_id"), "left")
+          .withColumn("rep_id", coalesce(col("__r2"), col("rep_id")))
+          .select(col("dropped_id"), col("rep_id"))
+          .unionByName(newDrops)
+      case None => newDrops
+    }
+    composed
+      .repartition(16, col("rep_id"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(16, "rep_id").sortBy("rep_id")
+      .option("path", s"${path}_remap")
+      .saveAsTable(s"${table}_remap")
   }
 
   // --------------------------------------------------------------

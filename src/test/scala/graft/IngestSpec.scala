@@ -191,6 +191,60 @@ class IngestSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("video takedown after compaction: a retracted representative re-elects its surviving twin") {
+    import operators.{Incremental, Video}
+    // 4 distinct scenes; wave 2 re-serves scene 1's EXACT bytes under
+    // id 101 (dropped at ingest, signatures appended seen-not-kept) —
+    // the identical family clip-digest compaction collapses
+    val base = Video.syntheticCorpus(
+      spark.range(4).select(col("id").as("doc_id")), "doc_id",
+      variantsPerScene = 1, corruptEvery = 1000).cache()
+    base.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft_vreelect").toString
+    val st0 = IngestCli.initVideoState(spark, "graft_vreelect_t", dir,
+      maxHamming = 8, minFrames = 2, everyNth = 2, numBuckets = 4)
+    try {
+      IngestCli.ingestVideoWave(spark, st0, base, 1)
+      val w2 = base.filter(col("doc_id") === 1)
+        .withColumn("doc_id", lit(101L))
+      IngestCli.ingestVideoWave(spark, st0, w2, 2)
+      assert(goldIds(st0.goldPath) === Set(0L, 1L, 2L, 3L),
+        "the exact re-encode must dedup at ingest")
+      // compaction collapses {1, 101} to representative 1 + remap
+      val st1 = IngestCli.compactVideoSigs(spark, st0)
+      val remap = spark.table(s"${st1.sigTable}_remap")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(remap === Map(101L -> 1L), s"remap sidecar: $remap")
+      // retract the REPRESENTATIVE: the family's rows must live on
+      // under the surviving twin, not silently vanish
+      val st2 = IngestCli.applyVideoTakedown(spark, st1,
+        Seq(1L).toDF("doc_id"))
+      val kept = spark.table(st2.sigTable)
+        .filter(col("band") =!= Incremental.HammingMetaBand)
+        .select("doc_id").distinct().as[Long].collect().toSet
+      // clip 0 is the planted corrupt payload (0 % corruptEvery == 0):
+      // it has no signature rows anywhere (undecodables pass by
+      // construction), so the state holds 2, 3, and the re-elected 101
+      assert(kept === Set(2L, 3L, 101L),
+        s"re-elected twin 101 carries the family rows: $kept")
+      // a THIRD copy of the same content must still be suppressed —
+      // exactly what batch-over-union-minus-tombstoned computes (101
+      // is live in the union and suppresses it there too)
+      val w3 = base.filter(col("doc_id") === 1)
+        .withColumn("doc_id", lit(201L))
+      IngestCli.ingestVideoWave(spark, st2, w3, 3)
+      assert(!goldIds(st2.goldPath).contains(201L),
+        "the surviving family must keep suppressing new copies")
+      assert(!goldIds(st2.goldPath).contains(1L),
+        "the retracted representative left gold")
+    } finally {
+      base.unpersist(blocking = false)
+      spark.sql(s"SHOW TABLES LIKE 'graft_vreelect_t*'").collect()
+        .map(_.getString(1))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("versioned gold: a reader at ANY takedown instant sees old or new, never nothing") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ingest_vg").toString
     var st = IngestCli.initState(spark, "graft_ingest_tvg", dir, numBuckets = 4)
