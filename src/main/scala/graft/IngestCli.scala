@@ -421,8 +421,14 @@ object IngestCli {
 
   def compactMediaSigs(spark: SparkSession, st: MediaState): MediaState = {
     val next = st.copy(version = st.version + 1)
+    // remap carried across versions: a later takedown of a kept id
+    // can re-elect a surviving signature twin (the video loop's
+    // compaction-vs-retraction contract, banded form)
+    val prior = Some(s"${st.sigTable}_remap")
+      .filter(spark.catalog.tableExists).map(spark.table)
     Incremental.dedupCompactBandedState(spark.table(st.sigTable), "doc_id",
-      next.sigTable, s"${st.dir}/hsigs_v${next.version}", st.numBuckets)
+      next.sigTable, s"${st.dir}/hsigs_v${next.version}", st.numBuckets,
+      priorRemap = prior)
     next
   }
 
@@ -626,9 +632,15 @@ object IngestCli {
     val hadGold = goldHasData(spark, st.goldPath)
     val next = st.copy(version = st.version + 1,
       goldVersion = st.goldVersion + (if (hadGold) 1 else 0))
-    tombstoneAndCompact(spark, ids, st.tombTable, st.sigTable,
+    // banded-state retraction is REMAP-AWARE (the video loop's
+    // contract, signature-family form): retracting a kept id with
+    // live signature twins re-elects the min twin instead of
+    // deleting the only rows suppressing that content
+    Incremental.appendTombstones(ids, ids.columns.head,
+      spark.table(st.tombTable), st.tombTable, st.numBuckets)
+    Incremental.retractBandedHammingIds(spark, st.sigTable,
       next.sigTable, s"${st.dir}/hsigs_v${next.version}",
-      bucketCols = Seq("band", "bucket"), numBuckets = st.numBuckets)
+      spark.table(st.tombTable), st.numBuckets)
     if (hadGold)
       rewriteGoldRetained(spark, st.dir, st.goldPath, next.goldPath,
         st.goldVersion, st.tombTable)

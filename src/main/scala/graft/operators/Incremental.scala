@@ -1543,6 +1543,48 @@ object Incremental {
           s"${reserved.mkString(", ")}, <id>): ${other.mkString(",")}")
     }
     val shardCols = if (sharded) Seq("shard") else Seq.empty[String]
+    val bcols = ("frame_pos" +: shardCols) ++ Seq("band", "bucket")
+    retractHammingCore(spark, table, newTable, newPath, tombstones,
+      idCol, bcols, numBuckets)
+  }
+
+  /** [[retractFrameHammingIds]]' sibling for the FLAT banded state
+    * (`(band, bucket, <id>, sig)` — the media loops' layout): the
+    * same remap-aware re-election, because [[dedupCompactBandedState]]
+    * collapses signature-identical ids (all nBands rows of an id are
+    * functions of its one sig, so identical rows ⟺ identical sig —
+    * families keyed by signature). A retracted kept id with surviving
+    * signature twins rewrites its rows to the min twin; states never
+    * compacted degrade to the plain physical delete. */
+  def retractBandedHammingIds(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      newTable: String, newPath: String, tombstones: DataFrame,
+      numBuckets: Int = 64): Long = {
+    val state = spark.table(table)
+    require(state.columns.length == 4 &&
+      Set("band", "bucket", "sig").subsetOf(state.columns.toSet),
+      s"not a flat banded state table (want band, bucket, <id>, sig): " +
+        state.columns.mkString(","))
+    val idCol = state.columns
+      .filterNot(Set("band", "bucket", "sig")).head
+    retractHammingCore(spark, table, newTable, newPath, tombstones,
+      idCol, Seq("band", "bucket"), numBuckets)
+  }
+
+  /** Shared retraction core for the id-carrying Hamming states:
+    * tombstoned ids drop; a tombstoned family REPRESENTATIVE (per the
+    * `"${table}_remap"` sidecar) with surviving twins re-elects the
+    * minimum twin by pure id rewrite — family rows are identical by
+    * the compaction's own construction, so the rewrite preserves
+    * every probe decision for live content. The remap updates in the
+    * same pass (tombstoned twins leave, repointed families stay
+    * depth-1, the new representative's own row is removed).
+    * Tombstones broadcast; elections are takedown-sized. */
+  private def retractHammingCore(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      newTable: String, newPath: String, tombstones: DataFrame,
+      idCol: String, bcols: Seq[String], numBuckets: Int): Long = {
+    val state = spark.table(table)
     val rows = state.filter(col("band") =!= HammingMetaBand)
     val metaRows = state.filter(col("band") === HammingMetaBand)
     val tomb = org.apache.spark.sql.functions.broadcast(
@@ -1576,7 +1618,6 @@ object Incremental {
     } else {
       (rows.join(tomb, col(idCol) === col("retract_id"), "left_anti"), None)
     }
-    val bcols = ("frame_pos" +: shardCols) ++ Seq("band", "bucket")
     rows2.unionByName(metaRows)
       .repartition(numBuckets, bcols.map(col): _*)
       .write.mode(SaveMode.Overwrite)
@@ -1718,7 +1759,8 @@ object Incremental {
     * cadence [[graft.IngestCli.CompactionPolicy]] computes, where
     * the amortized cost stays linear in total appends. */
   def dedupCompactBandedState(state: DataFrame, idColName: String,
-      table: String, path: String, numBuckets: Int): Unit = {
+      table: String, path: String, numBuckets: Int,
+      priorRemap: Option[DataFrame] = None): Unit = {
     require(Set("band", "bucket", "sig", idColName)
         .subsetOf(state.columns.toSet) && state.columns.length == 4,
       s"not a flat banded state table (want band, bucket, $idColName, " +
@@ -1731,6 +1773,33 @@ object Incremental {
       .bucketBy(numBuckets, "band", "bucket").sortBy("band", "bucket")
       .option("path", path)
       .saveAsTable(table)
+    // dropped-id → representative remap sidecar: the per-row min-id
+    // collapse is a FAMILY collapse keyed by signature (an id's
+    // nBands rows are all functions of its one sig), so retraction
+    // of a kept id can re-elect a surviving signature twin
+    // ([[retractBandedHammingIds]]). Composed across re-compactions.
+    val idSig = state.filter(col("band") =!= HammingMetaBand)
+      .select(col(idColName), col("sig")).distinct()
+    val reps = idSig.groupBy(col("sig"))
+      .agg(min(col(idColName)).as("__rep"))
+    val newDrops = idSig.join(reps, Seq("sig"))
+      .filter(col(idColName) =!= col("__rep"))
+      .select(col(idColName).as("dropped_id"), col("__rep").as("rep_id"))
+    val composed = priorRemap match {
+      case Some(o) =>
+        o.join(newDrops.select(col("dropped_id").as("rep_id"),
+            col("rep_id").as("__r2")), Seq("rep_id"), "left")
+          .withColumn("rep_id", coalesce(col("__r2"), col("rep_id")))
+          .select(col("dropped_id"), col("rep_id"))
+          .unionByName(newDrops)
+      case None => newDrops
+    }
+    composed
+      .repartition(16, col("rep_id"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(16, "rep_id").sortBy("rep_id")
+      .option("path", s"${path}_remap")
+      .saveAsTable(s"${table}_remap")
   }
 
   /** Duplicate-digest compaction for the bare-key exact-dedup table

@@ -2216,7 +2216,8 @@ object Pdf {
     * or unknown-crypt-filter document reads as UNREADABLE
     * (`ok = false`), never as ciphertext garbage. */
   def synthesizeEncrypted(pages: Seq[String],
-      ownerPw: String = "owner", mode: String = "rc4"): Array[Byte] = {
+      ownerPw: String = "owner", mode: String = "rc4",
+      encryptMeta: Boolean = true): Array[Byte] = {
     require(pages.nonEmpty, "a PDF needs at least one page")
     require(Set("rc4", "aesv2", "aesv3")(mode), s"unknown mode <$mode>")
     val n = pages.length
@@ -2243,8 +2244,13 @@ object Pdf {
         case "aesv2" =>
           val r = 4
           val o = pdfOwnerO(ownerPw.getBytes(Latin1), Array.empty, r, 16)
-          val key = pdfFileKey(Array.empty, o, perms, id0, r, 16)
+          // R4's key derivation folds /EncryptMetadata false into the
+          // digest input — the shape the reader's both-ways probe covers
+          val key = pdfFileKey(Array.empty, o, perms, id0, r, 16,
+            encryptMeta)
           val u = pdfUserU(key, id0, r)
+          val metaEntry =
+            if (encryptMeta) "" else "/EncryptMetadata false "
           (((num, data) => {
             val v = iv(num)
             v ++ aesCbc(encrypt = true, pdfObjKeyAes(key, num, 0), v,
@@ -2252,7 +2258,7 @@ object Pdf {
           }),
             s"/Filter /Standard /V 4 /R 4 /Length 128 " +
               "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
-              s"/StmF /StdCF /StrF /StdCF /P $perms " +
+              s"/StmF /StdCF /StrF /StdCF $metaEntry/P $perms " +
               s"/O ${hex(o)} /U ${hex(u)}")
         case _ => // aesv3
           val r = 6

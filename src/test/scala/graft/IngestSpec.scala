@@ -191,6 +191,52 @@ class IngestSpec extends AnyFunSuite {
       .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
   }
 
+  test("media takedown after compaction: a retracted kept id re-elects its signature twin") {
+    import operators.{Images, Incremental}
+    // 3 distinct scenes; wave 2 re-serves scene 3's EXACT bytes under
+    // id 103 (same dHash ⇒ identical banded rows — the signature
+    // family the banded compaction collapses)
+    val base = Images.syntheticCorpus(Seq(0L, 3L, 6L).toDF("doc_id"),
+      "doc_id", variantsPerScene = 3, corruptEvery = 0).cache()
+    base.count()
+    val dir = java.nio.file.Files.createTempDirectory("graft_mreelect").toString
+    val st0 = IngestCli.initMediaState(spark, "graft_mreelect_t", dir,
+      maxHamming = 8, numBuckets = 4)
+    try {
+      IngestCli.ingestMediaWave(spark, st0, base, 1)
+      val w2 = base.filter(col("doc_id") === 3)
+        .withColumn("doc_id", lit(103L))
+      IngestCli.ingestMediaWave(spark, st0, w2, 2)
+      assert(goldIds(st0.goldPath) === Set(0L, 3L, 6L),
+        "the exact re-encode must dedup at ingest")
+      val st1 = IngestCli.compactMediaSigs(spark, st0)
+      val remap = spark.table(s"${st1.sigTable}_remap")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(remap === Map(103L -> 3L), s"remap sidecar: $remap")
+      // retract the kept id: the signature rows live on under 103
+      val st2 = IngestCli.applyMediaTakedown(spark, st1,
+        Seq(3L).toDF("doc_id"))
+      val kept = spark.table(st2.sigTable)
+        .filter(col("band") =!= Incremental.HammingMetaBand)
+        .select("doc_id").distinct().as[Long].collect().toSet
+      assert(kept === Set(0L, 6L, 103L),
+        s"re-elected twin 103 carries the signature rows: $kept")
+      // a third copy must still be suppressed (103 is live in the
+      // union, so batch-over-union-minus-tombstoned agrees)
+      val w3 = base.filter(col("doc_id") === 3)
+        .withColumn("doc_id", lit(203L))
+      IngestCli.ingestMediaWave(spark, st2, w3, 3)
+      assert(!goldIds(st2.goldPath).contains(203L),
+        "the surviving signature family must keep suppressing")
+      assert(!goldIds(st2.goldPath).contains(3L))
+    } finally {
+      base.unpersist(blocking = false)
+      spark.sql(s"SHOW TABLES LIKE 'graft_mreelect_t*'").collect()
+        .map(_.getString(1))
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("video takedown after compaction: a retracted representative re-elects its surviving twin") {
     import operators.{Incremental, Video}
     // 4 distinct scenes; wave 2 re-serves scene 1's EXACT bytes under

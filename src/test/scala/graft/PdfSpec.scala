@@ -503,6 +503,14 @@ class PdfSpec extends AnyFunSuite {
       assert(!rt.ok && rt.text === "" && rt.pages === 0,
         s"$mode: tampered /U documents are unreadable, not garbage")
     }
+    // aesv2 with /EncryptMetadata false: the file key folds the flag
+    // into its digest — the reader's both-shapes probe must find it
+    val metaFalse = Pdf.synthesizeEncrypted(Seq("meta off words"),
+      mode = "aesv2", encryptMeta = false)
+    assert(new String(metaFalse, Latin1).contains("/EncryptMetadata false"))
+    val rm = Pdf.extractText(metaFalse)
+    assert(rm.ok && rm.text === "meta off words",
+      "the EncryptMetadata-false key shape must verify and decrypt")
     // aesv3: a corrupted key-wrap (/UE) verifies /U but yields a
     // wrong file key — streams fail CBC padding and decode empty,
     // and the encrypted guard keeps the lexical scan off the bytes
