@@ -222,7 +222,8 @@ object Fetch {
     * same-length tie (Google's published tie-break); no match =
     * allowed. */
   private[graft] final case class RobotsRules(
-      rules: Vector[(String, Boolean)]) {
+      rules: Vector[(String, Boolean)],
+      crawlDelayMs: Option[Long] = None) {
     def allows(path: String): Boolean = {
       val p = if (path == null || path.isEmpty) "/" else path
       var bestLen = -1
@@ -247,13 +248,16 @@ object Fetch {
     * directives (Crawl-delay, Sitemap) are ignored. */
   private[graft] def parseRobots(txt: String, agent: String): RobotsRules = {
     val agentLc = agent.toLowerCase
-    var groups = Vector.empty[(Vector[String], Vector[(String, Boolean)])]
+    var groups = Vector.empty[(Vector[String], Vector[(String, Boolean)],
+      Option[Long])]
     var curAgents = Vector.empty[String]
     var curRules = Vector.empty[(String, Boolean)]
+    var curDelay: Option[Long] = None
     var inRules = false
     def flush(): Unit = {
-      if (curAgents.nonEmpty) groups :+= ((curAgents, curRules))
-      curAgents = Vector.empty; curRules = Vector.empty; inRules = false
+      if (curAgents.nonEmpty) groups :+= ((curAgents, curRules, curDelay))
+      curAgents = Vector.empty; curRules = Vector.empty
+      curDelay = None; inRules = false
     }
     txt.linesIterator.foreach { line0 =>
       val line = line0.takeWhile(_ != '#').trim
@@ -268,17 +272,26 @@ object Fetch {
           case "disallow" | "allow" if curAgents.nonEmpty =>
             inRules = true
             if (value.nonEmpty) curRules :+= ((value, key == "allow"))
+          // the de-facto extension big origins still serve: seconds
+          // (fractional allowed) between requests; group-scoped like
+          // Allow/Disallow
+          case "crawl-delay" if curAgents.nonEmpty =>
+            inRules = true
+            curDelay = value.toDoubleOption.filter(_ >= 0)
+              .map(d => (d * 1000).toLong)
           case _ => ()
         }
       }
     }
     flush()
     val specific = groups.filter {
-      case (as, _) => as.exists(a => a != "*" && agentLc.contains(a))
+      case (as, _, _) => as.exists(a => a != "*" && agentLc.contains(a))
     }
     val chosen =
-      if (specific.nonEmpty) specific else groups.filter(_._1.contains("*"))
-    RobotsRules(chosen.flatMap(_._2))
+      if (specific.nonEmpty) specific
+      else groups.filter(_._1.contains("*"))
+    RobotsRules(chosen.flatMap(_._2),
+      chosen.flatMap(_._3).reduceOption(_ max _))
   }
 
   private def sha256Hex(bytes: Array[Byte]): String =
@@ -346,8 +359,8 @@ object Fetch {
       // RFC 9309 "unavailable = unrestricted" convention
       val robotsCache = scala.collection.mutable.HashMap
         .empty[String, RobotsRules]
-      def robotsAllows(url: String, host: String): Boolean = {
-        val rules = robotsCache.getOrElseUpdate(host, {
+      def robotsFor(url: String, host: String): RobotsRules =
+        robotsCache.getOrElseUpdate(host, {
           val txt = try {
             val u = java.net.URI.create(url)
             new String(
@@ -356,23 +369,30 @@ object Fetch {
           } catch { case scala.util.control.NonFatal(_) => "" }
           parseRobots(txt, policy.robotsAgent)
         })
-        val path =
-          try java.net.URI.create(url).getRawPath
-          catch { case _: Exception => "/" }
-        rules.allows(path)
-      }
       it.map { w =>
         val url = w.url
         val host = hostOf(url)
-        if (policy.respectRobots && host.nonEmpty &&
-            !robotsAllows(url, host)) {
+        val rulesOpt =
+          if (policy.respectRobots && host.nonEmpty)
+            Some(robotsFor(url, host))
+          else None
+        if (rulesOpt.exists { rules =>
+          val path =
+            try java.net.URI.create(url).getRawPath
+            catch { case _: Exception => "/" }
+          !rules.allows(path)
+        }) {
           // denied rows spend ZERO request attempts on the document
           // URL and are re-checked next wave (robots files change)
           FetchRecord(url, host, "denied", 0, 0L, null,
             "robots.txt disallow", null, wave = wave)
         } else {
-          if (policy.minGapMs > 0 && host == lastHost) {
-            val wait = lastAt + policy.minGapMs - System.nanoTime() / 1000000L
+          // per-host gap: the policy floor, raised by the host's
+          // robots Crawl-delay when one applies
+          val gapMs = math.max(policy.minGapMs,
+            rulesOpt.flatMap(_.crawlDelayMs).getOrElse(0L))
+          if (gapMs > 0 && host == lastHost) {
+            val wait = lastAt + gapMs - System.nanoTime() / 1000000L
             if (wait > 0) sleeper(wait)
           }
           var attempt = 0

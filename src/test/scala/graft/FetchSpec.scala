@@ -240,6 +240,56 @@ class FetchSpec extends AnyFunSuite {
     assert(!Fetch.parseRobots(txt, "otherbot").allows("/"))
     // empty/absent robots: everything allowed
     assert(Fetch.parseRobots("", "graft-harvest").allows("/anything"))
+    // crawl-delay: group-scoped, seconds (fractional), specific wins
+    val delayed =
+      """User-agent: *
+        |Crawl-delay: 10
+        |Disallow: /x
+        |
+        |User-agent: graft-harvest
+        |Crawl-delay: 1.5
+        |""".stripMargin
+    assert(Fetch.parseRobots(delayed, "graft-harvest").crawlDelayMs ===
+      Some(1500L))
+    assert(Fetch.parseRobots(delayed, "otherbot").crawlDelayMs ===
+      Some(10000L))
+    assert(Fetch.parseRobots("User-agent: *\nDisallow:\n",
+      "graft-harvest").crawlDelayMs === None)
+  }
+
+  test("robots Crawl-delay raises the per-host politeness gap") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    server.createContext("/robots.txt",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val b = "User-agent: *\nCrawl-delay: 2\n".getBytes("UTF-8")
+        ex.sendResponseHeaders(200, b.length)
+        ex.getResponseBody.write(b); ex.close()
+      })
+    server.createContext("/doc",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val b = "x".getBytes("UTF-8")
+        ex.sendResponseHeaders(200, b.length)
+        ex.getResponseBody.write(b); ex.close()
+      })
+    server.start()
+    try {
+      FetchSpec.sleeps.clear()
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val urls = Seq(s"$base/doc?a", s"$base/doc?b").toDF("url")
+      val recorder: Long => Unit = ms => { FetchSpec.sleeps.add(ms); () }
+      val ledger = Fetch.harvest(urls, "url", new Fetch.HttpTransport(),
+        FetchPolicy(maxAttempts = 1, respectRobots = true), recorder)
+        .collect()
+      assert(ledger.forall(_.getString(2) == "ok"))
+      // the SECOND same-host request must wait out the 2 s crawl
+      // delay (minus the first request's own elapsed time)
+      val waits = FetchSpec.sleeps.toArray(Array.empty[java.lang.Long])
+      assert(waits.length === 1 && waits.head >= 1000L &&
+        waits.head <= 2000L,
+        s"crawl-delay gap must be scheduled: ${waits.mkString(",")}")
+    } finally server.stop(0)
   }
 
   test("robots gating: disallowed URLs record 'denied' with zero attempts; unfetchable robots allows") {
