@@ -1222,22 +1222,38 @@ object IngestCli {
     * Returns the ledger for composition. */
   def runFetch(spark: SparkSession, dir: String, urlsPath: String,
       http: Boolean = false, maxAttempts: Int = 3,
-      minGapMs: Long = 0L): DataFrame = {
+      minGapMs: Long = 0L, recrawl: Boolean = false,
+      respectRobots: Boolean = false): DataFrame = {
     val transport: graft.sources.Fetch.FetchTransport =
       if (http) new graft.sources.Fetch.HttpTransport()
       else graft.sources.Fetch.FileTransport
-    val ledger = graft.sources.Fetch.harvestResumable(spark,
-      spark.read.parquet(urlsPath), "url", s"$dir/ledger", transport,
-      graft.sources.Fetch.FetchPolicy(maxAttempts = maxAttempts,
-        minGapMs = minGapMs))
-    val ok = ledger.filter(col("status") === "ok")
-    ok.select(col("url"), col("content"),
+    val policy = graft.sources.Fetch.FetchPolicy(
+      maxAttempts = maxAttempts, minGapMs = minGapMs,
+      respectRobots = respectRobots)
+    // recrawl waves refetch EVERYTHING conditionally (ETag /
+    // Last-Modified validators from the latest ok rows; 304 appends a
+    // bytes-free row) — the normal wave only fetches what the ledger
+    // hasn't succeeded on
+    val ledger =
+      if (recrawl) graft.sources.Fetch.recrawlResumable(spark,
+        spark.read.parquet(urlsPath), "url", s"$dir/ledger", transport,
+        policy)
+      else graft.sources.Fetch.harvestResumable(spark,
+        spark.read.parquet(urlsPath), "url", s"$dir/ledger", transport,
+        policy)
+    // bronze = CURRENT content per url: the newest ok row, with
+    // not_modified winners re-attached to the wave that carried the
+    // bytes (resolveLatest) — a plain status filter would emit
+    // byte-less rows after a 304-heavy recrawl
+    val current = graft.sources.Fetch.resolveLatest(ledger)
+    current.select(col("url"), col("content"),
         col("content_sha256").as("content_id"), col("n_bytes"))
       .write.mode(SaveMode.Overwrite).parquet(s"$dir/bronze")
-    val nOk = ok.count()
+    val nOk = current.count()
     val nFail = ledger.filter(col("status") === "failed").count()
-    println(s"[fetch] ledger=${nOk + nFail} ok=$nOk failed=$nFail " +
-      s"bronze=$dir/bronze")
+    val nDenied = ledger.filter(col("status") === "denied").count()
+    println(s"[fetch] bronzeUrls=$nOk failedRows=$nFail " +
+      s"deniedRows=$nDenied bronze=$dir/bronze")
     ledger
   }
 
@@ -1247,7 +1263,10 @@ object IngestCli {
       "usage: IngestCli <stateDir> <wave1.parquet> [wave2.parquet ...] " +
         "(GRAFT_FETCH=<urls.parquet> runs the resumable harvest loop " +
         "into <stateDir>/ledger + bronze — no wave args; " +
-        "GRAFT_FETCH_HTTP=1 selects the java.net.http transport; " +
+        "GRAFT_FETCH_HTTP=1 selects the java.net.http transport, " +
+        "GRAFT_FETCH_RECRAWL=1 refetches everything conditionally " +
+        "(ETag/If-None-Match — 304 keeps prior bytes), " +
+        "GRAFT_FETCH_ROBOTS=1 arms robots.txt gating + Crawl-delay; " +
         "GRAFT_MEDIA=image|audio|video selects the media loop; " +
         "GRAFT_BLOCKLIST/GRAFT_TAKEDOWN/GRAFT_EVAL name parquet " +
         "inputs — GRAFT_EVAL arms the text loop's benchmark-" +
@@ -1291,7 +1310,9 @@ object IngestCli {
         maxAttempts =
           sys.env.get("GRAFT_FETCH_ATTEMPTS").map(_.toInt).getOrElse(3),
         minGapMs =
-          sys.env.get("GRAFT_FETCH_GAP_MS").map(_.toLong).getOrElse(0L))
+          sys.env.get("GRAFT_FETCH_GAP_MS").map(_.toLong).getOrElse(0L),
+        recrawl = sys.env.get("GRAFT_FETCH_RECRAWL").contains("1"),
+        respectRobots = sys.env.get("GRAFT_FETCH_ROBOTS").contains("1"))
       spark.stop()
       return
     }

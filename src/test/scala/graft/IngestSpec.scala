@@ -679,6 +679,42 @@ class IngestSpec extends AnyFunSuite {
     assert(l3.count() === 5, "nothing pending, nothing refetched")
   }
 
+  test("runFetch recrawl mode: conditional refetch, 304 keeps prior bytes, bronze stays byte-complete") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    server.createContext("/stable",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val inm = ex.getRequestHeaders.getFirst("If-None-Match")
+        if (inm != null && inm == "\"v1\"") {
+          ex.sendResponseHeaders(304, -1); ex.close()
+        } else {
+          val b = "cuerpo estable".getBytes("UTF-8")
+          ex.getResponseHeaders.add("ETag", "\"v1\"")
+          ex.sendResponseHeaders(200, b.length)
+          ex.getResponseBody.write(b); ex.close()
+        }
+      })
+    server.start()
+    val dir = tmp("graft_fetch_recrawl_cli")
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      Seq(s"$base/stable").toDF("url").write.parquet(s"$dir/urls")
+      IngestCli.runFetch(spark, s"$dir/state", s"$dir/urls", http = true)
+      val l2 = IngestCli.runFetch(spark, s"$dir/state", s"$dir/urls",
+        http = true, recrawl = true)
+      assert(l2.count() === 2, "the recrawl appends one conditional row")
+      assert(l2.filter(col("not_modified") === true).count() === 1,
+        "the origin's 304 must be recorded")
+      // bronze still carries the BYTES (resolveLatest re-attaches
+      // them from the wave that downloaded them)
+      val bronze = spark.read.parquet(s"$dir/state/bronze")
+      assert(bronze.count() === 1)
+      assert(new String(bronze.select("content").head()
+        .getAs[Array[Byte]](0), "UTF-8") === "cuerpo estable")
+    } finally server.stop(0)
+  }
+
   // ---- the MEDIA wave loop ----
 
   test("media waves: gold == from-scratch batch over the union after every wave") {
