@@ -1149,7 +1149,7 @@ object IngestCli {
   def runClusters(spark: SparkSession, dir: String, wavePaths: Seq[String],
       takedownPath: Option[String], n: Int = 4, threshold: Double = 0.4,
       ns: String = "graft_ingest_clusters", patch: Boolean = false,
-      patchCompactLoad: Double = 0.3): Unit = {
+      patchCompactLoad: Double = 0.3, winnow: Boolean = false): Unit = {
     def tabs(v: Int) = operators.Incremental.ClusterTables(
       s"${ns}_post_v$v", s"$dir/post_v$v",
       s"${ns}_member_v$v", s"$dir/member_v$v",
@@ -1171,13 +1171,20 @@ object IngestCli {
     wavePaths.zipWithIndex.foreach { case (path, i) =>
       val wave = spark.read.parquet(path)
       if (i == 0) {
-        operators.Incremental.writeClusterState(wave, "doc_id",
+        if (winnow)
+          operators.Incremental.writeWinnowClusterState(wave, "doc_id",
+            col("text"), t0)
+        else operators.Incremental.writeClusterState(wave, "doc_id",
           col("text"), n, threshold, t0)
         println(s"[ingest-clusters] wave=0 initialized " +
-          s"docs=${wave.count()}")
+          s"docs=${wave.count()} enumerator=" +
+          (if (winnow) "winnow" else "gram"))
       } else {
-        val a = operators.Incremental.appendClusters(wave, "doc_id",
-          col("text"), n, threshold, t0)
+        val a =
+          if (winnow) operators.Incremental.appendWinnowClusters(wave,
+            "doc_id", col("text"), t0)
+          else operators.Incremental.appendClusters(wave, "doc_id",
+            col("text"), n, threshold, t0)
         println(s"[ingest-clusters] wave=$i assigned=${a.count()}")
       }
       audit(s"ingest-clusters wave=$i", t0)
@@ -1276,8 +1283,10 @@ object IngestCli {
         "top-k gold vocabulary, applied where a text column exists on " +
         "both sides); GRAFT_CLUSTERS=1 " +
         "selects the incremental cluster loop (GRAFT_GRAM_N/" +
-        "GRAFT_JACCARD tune the edge contract, GRAFT_TAKEDOWN applies " +
-        "after the waves, split-correctly); GRAFT_NS " +
+        "GRAFT_JACCARD tune the edge contract, GRAFT_CLUSTER_WINNOW=1 " +
+        "swaps in the df-capped winnow-fingerprint enumerator, " +
+        "GRAFT_TAKEDOWN applies after the waves, split-correctly); " +
+        "GRAFT_NS " +
         "sets the state-table namespace — mode-suffixed, so concurrent " +
         "loops on one metastore never collide)")
     val dir = args(0)
@@ -1322,7 +1331,8 @@ object IngestCli {
         sys.env.get("GRAFT_GRAM_N").map(_.toInt).getOrElse(4),
         sys.env.get("GRAFT_JACCARD").map(_.toDouble).getOrElse(0.4),
         ns("clusters", "graft_ingest_clusters"),
-        patch = sys.env.get("GRAFT_TAKEDOWN_PATCH").contains("1"))
+        patch = sys.env.get("GRAFT_TAKEDOWN_PATCH").contains("1"),
+        winnow = sys.env.get("GRAFT_CLUSTER_WINNOW").contains("1"))
       spark.stop()
       return
     }

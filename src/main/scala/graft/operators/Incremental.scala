@@ -2643,10 +2643,16 @@ object Incremental {
       else None
     val posts0 = spark.table(t.postTable)
       .join(rid, col(idCol) === col("__rid"), "left_anti")
+    // posting bucket spec follows the enumerator: exact gram digests
+    // (g1, g2) or winnowing fingerprints (fp)
+    val pb =
+      if (spark.table(t.postTable).columns.contains("fp")) Seq("fp")
+      else Seq("g1", "g2")
     priorTomb.fold(posts0)(retractIds(posts0, idCol, _))
-      .repartition(nt.numBuckets, col("g1"), col("g2"))
-      .write.mode(SaveMode.Overwrite).bucketBy(nt.numBuckets, "g1", "g2")
-      .sortBy("g1", "g2").option("path", nt.postPath)
+      .repartition(nt.numBuckets, pb.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(nt.numBuckets, pb.head, pb.tail: _*)
+      .sortBy(pb.head, pb.tail: _*).option("path", nt.postPath)
       .saveAsTable(nt.postTable)
     val edges0 = edges
       .join(rid, col("src") === col("__rid"), "left_anti")

@@ -577,6 +577,42 @@ class IngestSpec extends AnyFunSuite {
       "post-wave takedown of the bridge splits, v1 tables hold it")
   }
 
+  test("runClusters winnow enumerator: waves, split-correct takedown over fp postings") {
+    import operators.Incremental
+    val dir = tmp("graft_ingest_wclusters")
+    // the bridge fixture at winnow scale: 14-word runs guarantee ≥ 2
+    // shared fingerprints (two disjoint k+w-1 windows per run)
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi"
+    val other = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen"
+    val w0 = Seq((0L, s"$run p zero"), (1L, s"$run p one"),
+      (2L, s"$other p two")).toDF("doc_id", "text")
+    val w1 = Seq((3L, s"$run $other"), (4L, s"$other p four"))
+      .toDF("doc_id", "text")
+    w0.write.parquet(s"$dir/w0")
+    w1.write.parquet(s"$dir/w1")
+    Seq(3L).toDF("doc_id").write.parquet(s"$dir/takedown")
+    IngestCli.runClusters(spark, s"$dir/state", Seq(s"$dir/w0", s"$dir/w1"),
+      Some(s"$dir/takedown"), ns = "graft_ingest_wclusters_t",
+      winnow = true)
+    def resolved(v: Int) = Incremental.resolveClusters(spark,
+      Incremental.ClusterTables(
+        s"graft_ingest_wclusters_t_post_v$v", s"$dir/state/post_v$v",
+        s"graft_ingest_wclusters_t_member_v$v", s"$dir/state/member_v$v",
+        s"graft_ingest_wclusters_t_alias_v$v", s"$dir/state/alias_v$v",
+        s"graft_ingest_wclusters_t_edges_v$v", s"$dir/state/edges_v$v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(resolved(0) ===
+      Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L),
+      "waves merged through the fp bridge")
+    assert(resolved(1) === Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 4L -> 2L),
+      "takedown of the bridge splits; v1 postings rewrote fp-bucketed")
+    // the blue/green posting rewrite kept the fp schema + bucket spec
+    val post1 = spark.table("graft_ingest_wclusters_t_post_v1")
+    assert(post1.columns.toSet === Set("fp", "doc_id"))
+  }
+
   test("runClusters patched takedown (GRAFT_TAKEDOWN_PATCH): overlay + policy compaction ≡ blue/green rewrite") {
     import operators.Incremental
     val dir = tmp("graft_ingest_clusters_p")
