@@ -1108,7 +1108,15 @@ object Pdf {
         case 1 => 384
         case _ => 512
       }, e)
-      if (i >= 63 && (e(e.length - 1) & 0xFF) <= i - 32) done = true
+      // Termination (ISO 32000-2 7.6.4.3.4, qpdf/pdfminer agree):
+      // after round `i+1` (1-based), stop iff rounds >= 64 and E's
+      // last byte <= rounds - 32. With 0-based `i` checked before the
+      // increment that is `i >= 63 && last <= (i+1) - 32 = i - 31`.
+      // (`i - 32` here was an off-by-one that added a spurious extra
+      // round whenever the canonical loop ends exactly on the
+      // boundary — caught by the external known-answer vectors in
+      // PdfSpec.)
+      if (i >= 63 && (e(e.length - 1) & 0xFF) <= i - 31) done = true
       i += 1
     }
     k.take(32)

@@ -717,4 +717,62 @@ class PdfSpec extends AnyFunSuite {
     Pdf.writePdfDir(rows.filter(_._1 < "doc_0006"), dir)
     assert(Pdf.readPdfDir(spark, dir).count() === 6)
   }
+
+  private def unhex(s: String): Array[Byte] =
+    s.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+  private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+
+  test("pdfHash2B known-answer vectors (external: independent Python " +
+      "hashlib+cryptography implementation of ISO 32000-2 Algorithm 2.B)") {
+    // Literal expected bytes below were generated OUTSIDE this codebase by
+    // a second implementation written directly from the published
+    // pseudocode (qpdf's hash_V5 / pdfminer's Algorithm-2.B loop:
+    // round_number pre-incremented, stop iff rounds >= 64 and
+    // E.last <= rounds - 32), in Python over hashlib + pyca/cryptography.
+    // The writer (synthesizeEncrypted) and reader share pdfHash2B, so a
+    // self-consistent bug would still round-trip — these vectors are the
+    // independent check. The "boundary" row terminates with
+    // E.last == rounds - 32 exactly (rounds=68): the historical
+    // `<= i - 32` off-by-one ran one extra round on exactly this shape
+    // and produced a different hash.
+    val pwUser = "user".getBytes(Latin1)
+    val vectors = Seq(
+      ("r6 basic", pwUser, unhex("0001020304050607"), Array.empty[Byte], 6,
+        "731758c09c8b0160a34721d18bdd24220abada0070aa3f05b8103fd5b8d05f17"),
+      ("r6 with udata", "owner".getBytes(Latin1), unhex("08090a0b0c0d0e0f"),
+        (0 until 48).map(_.toByte).toArray, 6,
+        "400c13628b144fe2fbb850b65729e9ecb63c00fbb817c685725f25de85af0521"),
+      ("r6 empty pw", Array.empty[Byte], unhex("deadbeef01020304"),
+        Array.empty[Byte], 6,
+        "c99f2e6935d3c5db3330ab88cb17b3c0b05c5efb808955c997c54c95a9110772"),
+      ("r6 boundary rounds=68 lastE=36", pwUser, unhex("f503baeea6a0ee68"),
+        Array.empty[Byte], 6,
+        "43f94370d0d325def53577fc707abd94fceef082a41cceb31501909380a51e8f"),
+      ("r5 plain sha-256", pwUser, unhex("0001020304050607"),
+        Array.empty[Byte], 5,
+        "f90940351d2eddc7a5d9bf15695a020054f9854261486d8a51767ad0089e4c26"))
+    for ((name, pw, salt, udata, r, want) <- vectors)
+      assert(hex(Pdf.pdfHash2B(pw, salt, udata, r)) === want, name)
+  }
+
+  test("per-object key derivation + /U known-answer vectors (external)") {
+    // Same provenance as above: independent Python implementation of
+    // ISO 32000 Algorithm 1 (MD5 of key||num_le3||gen_le2, AES filters
+    // append the mandated 0x73 0x41 0x6C 0x54) and Algorithms 4/5 (/U).
+    val fkey16 = (0 until 16).map(_.toByte).toArray
+    val fkey5 = Array[Byte](1, 2, 3, 4, 5)
+    assert(hex(Pdf.pdfObjKeyAes(fkey16, 7, 0)) ===
+      "8be05f4432358a80b1989cd329ba6e21")
+    assert(hex(Pdf.pdfObjKeyAes(fkey16, 300, 2)) ===
+      "96edc5261782b6e168920c5fa5421f3f")
+    assert(hex(Pdf.pdfObjKeyAes(fkey5, 7, 0)) === "c56ef98308a4fccb5430")
+    assert(hex(Pdf.pdfObjKey(fkey16, 7, 0)) ===
+      "8d0ca33b06a706a98dd4116373447883")
+    assert(hex(Pdf.pdfObjKey(fkey5, 300, 2)) === "2e432e093ebbcd8191e0")
+    val id0 = (0 until 16).map(_.toByte).toArray
+    assert(hex(Pdf.pdfUserU(fkey16, id0, 3)) ===
+      "8f605afd79ac56b021f1d348e5796b7c00000000000000000000000000000000")
+    assert(hex(Pdf.pdfUserU(fkey5, id0, 2)) ===
+      "9a862d5bbe484a66a8c31c1cf5eb19a047ac94f9c894bc55a6c8aa5a1e5e6063")
+  }
 }
