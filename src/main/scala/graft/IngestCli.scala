@@ -1259,8 +1259,12 @@ object IngestCli {
     val nOk = current.count()
     val nFail = ledger.filter(col("status") === "failed").count()
     val nDenied = ledger.filter(col("status") === "denied").count()
+    // hosts whose robots Crawl-delay exceeded FetchPolicy.maxGapMs —
+    // they were crawled at the clamped gap, not the asked-for one
+    val nClampedHosts = ledger.filter(col("gap_clamped"))
+      .select("host").distinct().count()
     println(s"[fetch] bronzeUrls=$nOk failedRows=$nFail " +
-      s"deniedRows=$nDenied bronze=$dir/bronze")
+      s"deniedRows=$nDenied clampedHosts=$nClampedHosts bronze=$dir/bronze")
     ledger
   }
 

@@ -167,17 +167,28 @@ object Fetch {
     * @param maxBackoffMs  backoff ceiling (caps the exponential)
     * @param minGapMs      politeness floor between CONSECUTIVE
     *                      requests to the same host within a task
+    * @param maxGapMs      per-host gap CEILING — a robots Crawl-delay
+    *                      is honored only up to this bound. All of a
+    *                      host's URLs live in one task by design, so
+    *                      an uncapped hostile/typo'd `Crawl-delay:
+    *                      86400` would stall the whole partition for
+    *                      a day per request (a self-DoS / straggler
+    *                      vector at fleet scale). Clamped rows land
+    *                      with `gap_clamped = true` so the audit line
+    *                      can count affected hosts.
     * @param jitterSeed    seed for the deterministic jitter hash */
   final case class FetchPolicy(
       maxAttempts: Int = 3,
       baseBackoffMs: Long = 250L,
       maxBackoffMs: Long = 10_000L,
       minGapMs: Long = 0L,
+      maxGapMs: Long = 5_000L,
       jitterSeed: Long = 42L,
       respectRobots: Boolean = false,
       robotsAgent: String = "graft-harvest") {
     require(maxAttempts >= 1, "maxAttempts must be >= 1")
     require(baseBackoffMs >= 0 && maxBackoffMs >= baseBackoffMs, "bad backoff bounds")
+    require(maxGapMs >= minGapMs, "maxGapMs must be >= minGapMs")
   }
 
   /** Ledger row. `status` is `ok`, `failed`, or `denied` (robots);
@@ -186,13 +197,16 @@ object Fetch {
     * bytes are resolved via [[resolveLatest]] without re-shipping
     * them through the fetch shuffle). `etag`/`last_modified` are the
     * origin's cache validators for the next recrawl wave; `wave`
-    * orders a multi-wave ledger (newest wins). */
+    * orders a multi-wave ledger (newest wins); `gap_clamped` marks
+    * rows whose host asked for a robots Crawl-delay above the
+    * policy's `maxGapMs` ceiling (the clamped gap was used). */
   final case class FetchRecord(
       url: String, host: String, status: String, attempts: Int,
       n_bytes: Long, content_sha256: String, error: String,
       content: Array[Byte],
       etag: String = null, last_modified: String = null,
-      not_modified: Boolean = false, wave: Int = 0)
+      not_modified: Boolean = false, wave: Int = 0,
+      gap_clamped: Boolean = false)
 
   /** Deterministic equal-jitter backoff before attempt `attempt + 1`
     * (so `attempt` = how many have failed): half the exponential step
@@ -242,10 +256,14 @@ object Fetch {
 
   /** Minimal robots.txt parser (RFC 9309 shape): consecutive
     * `User-agent` lines open a group; `Allow`/`Disallow` lines fill
-    * it; the most specific agent match wins (a group naming a
-    * substring of `agent` beats the `*` group — never merged, per the
-    * RFC). Empty Disallow means allow-everything (no rule). Unknown
-    * directives (Crawl-delay, Sitemap) are ignored. */
+    * it; the SINGLE most specific agent match wins (RFC 9309 §2.2.1 —
+    * the longest agent token contained in `agent`; groups repeating
+    * that same winning token combine, everything less specific —
+    * including `*` — is ignored, never merged). Empty Disallow means
+    * allow-everything (no rule). `Crawl-delay` (the de-facto
+    * extension) is parsed group-scoped and honored as the per-host
+    * gap, clamped to `FetchPolicy.maxGapMs`; `Sitemap` and other
+    * unknown directives are ignored. */
   private[graft] def parseRobots(txt: String, agent: String): RobotsRules = {
     val agentLc = agent.toLowerCase
     var groups = Vector.empty[(Vector[String], Vector[(String, Boolean)],
@@ -284,11 +302,18 @@ object Fetch {
       }
     }
     flush()
-    val specific = groups.filter {
-      case (as, _, _) => as.exists(a => a != "*" && agentLc.contains(a))
-    }
+    // RFC 9309 §2.2.1: obey only the MOST specific matching group —
+    // the longest agent token our product token contains. Merging
+    // every matching group lets an Allow from a less-specific group
+    // win the equal-length-prefix tie against the specific group's
+    // Disallow, crawling paths the origin denied us.
+    def matchLen(as: Vector[String]): Int =
+      as.iterator.filter(a => a != "*" && agentLc.contains(a))
+        .map(_.length).maxOption.getOrElse(-1)
+    val best = groups.iterator.map(g => matchLen(g._1))
+      .maxOption.getOrElse(-1)
     val chosen =
-      if (specific.nonEmpty) specific
+      if (best > 0) groups.filter(g => matchLen(g._1) == best)
       else groups.filter(_._1.contains("*"))
     RobotsRules(chosen.flatMap(_._2),
       chosen.flatMap(_._3).reduceOption(_ max _))
@@ -354,9 +379,11 @@ object Fetch {
       var lastHost: String = null
       var lastAt = 0L
       // one robots.txt fetch per host per task (hosts are partition-
-      // local, so effectively once per host per wave); an unfetchable
-      // robots.txt (404, connection refused) allows everything — the
-      // RFC 9309 "unavailable = unrestricted" convention
+      // local, so effectively once per host per wave). RFC 9309 error
+      // semantics: UNAVAILABLE (4xx, missing file) = unrestricted
+      // (§2.3.1.3); UNREACHABLE (5xx, network failure) = complete
+      // disallow (§2.3.1.4) — a flapping origin must make the wave
+      // back off the whole host, not crawl it ungated.
       val robotsCache = scala.collection.mutable.HashMap
         .empty[String, RobotsRules]
       def robotsFor(url: String, host: String): RobotsRules =
@@ -366,7 +393,15 @@ object Fetch {
             new String(
               transport.fetch(s"${u.getScheme}://${u.getRawAuthority}/robots.txt"),
               java.nio.charset.StandardCharsets.UTF_8)
-          } catch { case scala.util.control.NonFatal(_) => "" }
+          } catch {
+            // 4xx (HttpTransport) / missing local file: unavailable
+            case _: TerminalFetchException => ""
+            case _: java.nio.file.NoSuchFileException => ""
+            case _: java.io.FileNotFoundException => ""
+            // 5xx, timeouts, refused connections: unreachable
+            case scala.util.control.NonFatal(_) =>
+              "User-agent: *\nDisallow: /\n"
+          }
           parseRobots(txt, policy.robotsAgent)
         })
       it.map { w =>
@@ -377,9 +412,15 @@ object Fetch {
             Some(robotsFor(url, host))
           else None
         if (rulesOpt.exists { rules =>
+          // match on path PLUS query — robots rules like
+          // `Disallow: /search?q=` must gate query-carrying URLs
           val path =
-            try java.net.URI.create(url).getRawPath
-            catch { case _: Exception => "/" }
+            try {
+              val u = java.net.URI.create(url)
+              val p = Option(u.getRawPath).filter(_.nonEmpty).getOrElse("/")
+              val q = u.getRawQuery
+              if (q == null) p else s"$p?$q"
+            } catch { case _: Exception => "/" }
           !rules.allows(path)
         }) {
           // denied rows spend ZERO request attempts on the document
@@ -388,9 +429,12 @@ object Fetch {
             "robots.txt disallow", null, wave = wave)
         } else {
           // per-host gap: the policy floor, raised by the host's
-          // robots Crawl-delay when one applies
-          val gapMs = math.max(policy.minGapMs,
+          // robots Crawl-delay when one applies — clamped at the
+          // policy ceiling (see FetchPolicy.maxGapMs)
+          val askedGapMs = math.max(policy.minGapMs,
             rulesOpt.flatMap(_.crawlDelayMs).getOrElse(0L))
+          val gapMs = math.min(policy.maxGapMs, askedGapMs)
+          val gapClamped = askedGapMs > policy.maxGapMs
           if (gapMs > 0 && host == lastHost) {
             val wait = lastAt + gapMs - System.nanoTime() / 1000000L
             if (wait > 0) sleeper(wait)
@@ -432,7 +476,7 @@ object Fetch {
           }
           lastHost = host
           lastAt = System.nanoTime() / 1000000L
-          result
+          if (gapClamped) result.copy(gap_clamped = true) else result
         }
       }
     }.toDF()
@@ -490,11 +534,11 @@ object Fetch {
     * If-Modified-Since, and a 304 answer appends an `ok` row carrying
     * sha/size but NO bytes (`not_modified = true`). Unchanged bodies
     * are never re-downloaded and never re-shuffled; [[resolveLatest]]
-    * re-attaches content from the wave that fetched it. Reference
-    * contract: the ingestion manager's content-id sidecar dedupe
-    * (/root/reference/pipeline/ingestion/manager.py:17-47) — same
-    * skip-unchanged outcome, pushed to the HTTP layer where it also
-    * saves the transfer. */
+    * re-attaches content from the wave that fetched it. This is plain
+    * HTTP conditional-request caching (RFC 9110 §13.1 If-None-Match /
+    * If-Modified-Since); the reference pipeline has no recrawl loop —
+    * its drivers refetch unconditionally — so this is an engine
+    * extension, not a ported contract. */
   def recrawlResumable(
       spark: SparkSession, urls: DataFrame, urlCol: String,
       ledgerDir: String, transport: FetchTransport,
@@ -539,7 +583,8 @@ object Fetch {
       "etag" -> lit(null: String).cast("string"),
       "last_modified" -> lit(null: String).cast("string"),
       "not_modified" -> lit(false),
-      "wave" -> lit(0))
+      "wave" -> lit(0),
+      "gap_clamped" -> lit(false))
       .foldLeft(raw) { case (df, (name, default)) =>
         if (df.columns.contains(name)) df
         else df.withColumn(name, default)

@@ -257,6 +257,154 @@ class FetchSpec extends AnyFunSuite {
       "graft-harvest").crawlDelayMs === None)
   }
 
+  test("parseRobots: only the single most specific group applies (RFC 9309 §2.2.1)") {
+    // a less-specific-but-matching group's Allow must NOT win the
+    // equal-length-prefix tie against the specific group's Disallow
+    val txt =
+      """User-agent: graft
+        |Allow: /private/
+        |Crawl-delay: 9
+        |
+        |User-agent: graft-harvest
+        |Disallow: /private/
+        |Crawl-delay: 2
+        |
+        |User-agent: *
+        |Allow: /
+        |""".stripMargin
+    val r = Fetch.parseRobots(txt, "graft-harvest/1.0")
+    assert(!r.allows("/private/doc.html"),
+      "the 'graft' group's Allow must not be merged into the " +
+        "'graft-harvest' group's rules")
+    assert(r.crawlDelayMs === Some(2000L),
+      "crawl-delay comes from the winning group only")
+    // the shorter token still wins for an agent only IT matches
+    val r2 = Fetch.parseRobots(txt, "graft-fetcher/1.0")
+    assert(r2.allows("/private/doc.html") && r2.crawlDelayMs === Some(9000L))
+    // groups repeating the SAME winning token combine
+    val dup =
+      """User-agent: graft-harvest
+        |Disallow: /a/
+        |
+        |User-agent: graft-harvest
+        |Disallow: /b/
+        |""".stripMargin
+    val r3 = Fetch.parseRobots(dup, "graft-harvest")
+    assert(!r3.allows("/a/x") && !r3.allows("/b/x") && r3.allows("/c/x"))
+  }
+
+  test("robots gating matches path plus query string") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    def respond(ex: com.sun.net.httpserver.HttpExchange, code: Int,
+        body: Array[Byte]): Unit = {
+      if (body.isEmpty) ex.sendResponseHeaders(code, -1)
+      else { ex.sendResponseHeaders(code, body.length); ex.getResponseBody.write(body) }
+      ex.close()
+    }
+    server.createContext("/robots.txt",
+      (ex: com.sun.net.httpserver.HttpExchange) => respond(ex, 200,
+        "User-agent: *\nDisallow: /search?q=\n".getBytes("UTF-8")))
+    server.createContext("/search",
+      (ex: com.sun.net.httpserver.HttpExchange) =>
+        respond(ex, 200, "results".getBytes("UTF-8")))
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val urls = Seq(s"$base/search?q=secret", s"$base/search").toDF("url")
+      val ledger = Fetch.harvest(urls, "url", new Fetch.HttpTransport(),
+        FetchPolicy(maxAttempts = 1, respectRobots = true), noSleep)
+        .collect()
+      val byUrl = ledger.map(r => r.getString(0).stripPrefix(base) ->
+        r.getString(2)).toMap
+      assert(byUrl("/search?q=secret") === "denied",
+        "query-targeting rules must gate query-carrying URLs")
+      assert(byUrl("/search") === "ok")
+    } finally server.stop(0)
+  }
+
+  test("unreachable robots.txt (5xx) disallows the whole host; 404 allows") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    server.createContext("/robots.txt",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        ex.sendResponseHeaders(503, -1); ex.close()
+      })
+    server.createContext("/doc",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val b = "x".getBytes("UTF-8")
+        ex.sendResponseHeaders(200, b.length)
+        ex.getResponseBody.write(b); ex.close()
+      })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val urls = Seq(s"$base/doc").toDF("url")
+      val row = Fetch.harvest(urls, "url", new Fetch.HttpTransport(),
+        FetchPolicy(maxAttempts = 1, respectRobots = true), noSleep).head()
+      assert(row.getString(2) === "denied",
+        "RFC 9309 §2.3.1.4: unreachable robots = complete disallow")
+    } finally server.stop(0)
+    // 404 robots (no context registered) = unrestricted (§2.3.1.3)
+    val open = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    open.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(2))
+    open.createContext("/doc",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val b = "y".getBytes("UTF-8")
+        ex.sendResponseHeaders(200, b.length)
+        ex.getResponseBody.write(b); ex.close()
+      })
+    open.start()
+    try {
+      val base = s"http://127.0.0.1:${open.getAddress.getPort}"
+      val row = Fetch.harvest(Seq(s"$base/doc").toDF("url"), "url",
+        new Fetch.HttpTransport(),
+        FetchPolicy(maxAttempts = 1, respectRobots = true), noSleep).head()
+      assert(row.getString(2) === "ok")
+    } finally open.stop(0)
+  }
+
+  test("a hostile Crawl-delay is clamped to maxGapMs and flagged in the ledger") {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    server.createContext("/robots.txt",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        // a day between requests: taken literally this stalls the
+        // host's whole partition — the policy ceiling must apply
+        val b = "User-agent: *\nCrawl-delay: 86400\n".getBytes("UTF-8")
+        ex.sendResponseHeaders(200, b.length)
+        ex.getResponseBody.write(b); ex.close()
+      })
+    server.createContext("/doc",
+      (ex: com.sun.net.httpserver.HttpExchange) => {
+        val b = "x".getBytes("UTF-8")
+        ex.sendResponseHeaders(200, b.length)
+        ex.getResponseBody.write(b); ex.close()
+      })
+    server.start()
+    try {
+      FetchSpec.sleeps.clear()
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      val urls = Seq(s"$base/doc?a", s"$base/doc?b").toDF("url")
+      val recorder: Long => Unit = ms => { FetchSpec.sleeps.add(ms); () }
+      val ledger = Fetch.harvest(urls, "url", new Fetch.HttpTransport(),
+        FetchPolicy(maxAttempts = 1, respectRobots = true,
+          maxGapMs = 1500L), recorder)
+        .collect()
+      assert(ledger.forall(_.getString(2) == "ok"),
+        "clamping must not deny the host")
+      assert(ledger.forall(_.getAs[Boolean]("gap_clamped")),
+        "rows fetched under a clamped gap carry the audit flag")
+      val waits = FetchSpec.sleeps.toArray(Array.empty[java.lang.Long])
+      assert(waits.length === 1 && waits.head <= 1500L,
+        s"the scheduled gap must be the CLAMPED one: ${waits.mkString(",")}")
+    } finally server.stop(0)
+  }
+
   test("robots Crawl-delay raises the per-host politeness gap") {
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress("127.0.0.1", 0), 0)
