@@ -547,8 +547,9 @@ object Incremental {
       batchId: String = null): Boolean = {
     if (batchAlreadyApplied(batch.sparkSession, table, batchId))
       return false
-    Classifier.tokenClassCounts(batch, textCol, labelCol)
-      .withColumn("batch_id", lit(batchId).cast("string"))
+    alignToLedgerSchema(batch.sparkSession, table,
+      Classifier.tokenClassCounts(batch, textCol, labelCol)
+        .withColumn("batch_id", lit(batchId).cast("string")))
       .repartition(numBuckets, col("token"))
       .write.mode(SaveMode.Append).format("parquet")
       .bucketBy(numBuckets, "token").sortBy("token")
@@ -556,11 +557,35 @@ object Incremental {
     true
   }
 
+  /** A count log written BEFORE the ledger column existed has no
+    * `batch_id` — appending a stamped frame into it would fail the
+    * schema check, so the column is dropped and the append proceeds
+    * exactly as pre-ledger code did (no replay protection on that
+    * table until it is re-written/compacted by a ledger-aware
+    * version, which adds the column). */
+  private def alignToLedgerSchema(
+      spark: org.apache.spark.sql.SparkSession, table: String,
+      df: DataFrame): DataFrame =
+    if (spark.catalog.tableExists(table) &&
+        !spark.table(table).columns.contains("batch_id"))
+      df.drop("batch_id")
+    else df
+
   /** True iff `table` exists, carries the idempotence column, and
     * already holds a row stamped `batchId` — the replay detector
     * shared by every count-log append. `limit(1)` bounds the probe;
     * logs written before the column existed (or null batch ids)
-    * never match, preserving the pre-ledger behavior. */
+    * never match, preserving the pre-ledger behavior (the append
+    * side drops the column for such tables — see
+    * [[alignToLedgerSchema]]).
+    *
+    * SINGLE-WRITER CONTRACT: this is check-then-append, not a lock —
+    * two CONCURRENT appenders of the same `batchId` can both pass the
+    * probe and double-count. The guarded shapes are SERIAL replays
+    * (a restarted stream's foreachBatch, a retried orchestrator
+    * step), where one append per log is in flight at a time; a
+    * multi-writer deployment must serialize appends per log table
+    * externally (a warehouse lock or a single-threaded committer). */
   private def batchAlreadyApplied(
       spark: org.apache.spark.sql.SparkSession, table: String,
       batchId: String): Boolean =
@@ -679,8 +704,9 @@ object Incremental {
       table: String, batchId: String = null): Boolean = {
     if (batchAlreadyApplied(batch.sparkSession, table, batchId))
       return false
-    indexStatsRow(batch, textCol)
-      .withColumn("batch_id", lit(batchId).cast("string"))
+    alignToLedgerSchema(batch.sparkSession, table,
+      indexStatsRow(batch, textCol)
+        .withColumn("batch_id", lit(batchId).cast("string")))
       .write.mode(SaveMode.Append).format("parquet")
       .saveAsTable(table)
     true
@@ -1579,7 +1605,16 @@ object Incremental {
     * every probe decision for live content. The remap updates in the
     * same pass (tombstoned twins leave, repointed families stay
     * depth-1, the new representative's own row is removed).
-    * Tombstones broadcast; elections are takedown-sized. */
+    * Tombstones broadcast; elections are takedown-sized.
+    *
+    * Returns the number of distinct ids ACTUALLY removed from the
+    * state in this pass — tombstoned ids present before the rewrite
+    * either as signature rows or as a remap-sidecar dropped id
+    * (compacted-away twins have no rows but ARE state: their remap
+    * entry is what suppresses re-ingest), matching
+    * `compactFrameHammingDuplicates`' nDropped convention. Callers
+    * pass the full historical tombstone table, so the cumulative
+    * tombstone count would overstate every pass after the first. */
   private def retractHammingCore(
       spark: org.apache.spark.sql.SparkSession, table: String,
       newTable: String, newPath: String, tombstones: DataFrame,
@@ -1592,6 +1627,20 @@ object Incremental {
         .distinct().localCheckpoint(true))
     val remapT = s"${table}_remap"
     val hasRemap = spark.catalog.tableExists(remapT)
+    // the pass's honest metric: tombstoned ids present in the
+    // PRE-rewrite state — as signature rows OR as a remap dropped id
+    // (one broadcast-semi scan each; retraction already rewrites the
+    // whole state, so this doesn't change the envelope)
+    val presentRowIds = rows
+      .join(tomb, col(idCol) === col("retract_id"), "left_semi")
+      .select(col(idCol).cast("long").as("__rid"))
+    val presentIds =
+      if (hasRemap) presentRowIds.unionByName(
+        spark.table(remapT)
+          .join(tomb, col("dropped_id") === col("retract_id"), "left_semi")
+          .select(col("dropped_id").cast("long").as("__rid")))
+      else presentRowIds
+    val nRemoved = presentIds.distinct().count()
     val (rows2, remap2) = if (hasRemap) {
       val remap = spark.table(remapT)
       // retired representatives → min SURVIVING twin (if any)
@@ -1633,7 +1682,7 @@ object Incremental {
         .saveAsTable(s"${newTable}_remap")
     }
     hammingMetaMemo.clear()
-    tomb.count()
+    nRemoved
   }
 
   /** Drop every batch frame-signature row whose CLIP matches state on

@@ -1149,9 +1149,19 @@ class IncrementalSpec extends AnyFunSuite {
       // the a family must re-elect 12 (min SURVIVING twin), 31's rows
       // just delete, probe decisions for live content unchanged
       assert(dupIds("t_fret_state2") === Set(100L, 103L))
-      Incremental.retractFrameHammingIds(spark, "t_fret_state2",
-        "t_fret_state3", s"$d/state3",
+      val nRemoved = Incremental.retractFrameHammingIds(spark,
+        "t_fret_state2", "t_fret_state3", s"$d/state3",
         Seq(10L, 11L, 31L).toDF("doc_id"), numBuckets = 4)
+      assert(nRemoved === 3L,
+        "the return value counts ids actually removed this pass")
+      // replaying the same tombstones against the retracted state is
+      // a no-op pass: 0 removed, NOT the cumulative tombstone count
+      val nReplay = Incremental.retractFrameHammingIds(spark,
+        "t_fret_state3", "t_fret_state3b", s"$d/state3b",
+        Seq(10L, 11L, 31L).toDF("doc_id"), numBuckets = 4)
+      assert(nReplay === 0L)
+      spark.sql("DROP TABLE IF EXISTS t_fret_state3b")
+      spark.sql("DROP TABLE IF EXISTS t_fret_state3b_remap")
       val kept = spark.table("t_fret_state3")
         .filter(col("band") =!= Incremental.HammingMetaBand)
         .select("doc_id").distinct().as[Long].collect().toSet
