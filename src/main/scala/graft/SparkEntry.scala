@@ -2410,6 +2410,41 @@ object SparkEntry {
         .orderBy("doc_id")
     },
 
+    // ---- Registry-CMap PDF source: Type0 fonts naming a PREDEFINED
+    // REGISTRY CMap (no /ToUnicode). One half uses UniGB-UCS2-H —
+    // whose code space IS Unicode (ISO 32000 9.7.5.2), so CJK text
+    // must round-trip exactly with no bundled CID table; the other
+    // half uses GBK-EUC-H — a non-Unicode code space this engine does
+    // not ship tables for, which must read HONEST-EMPTY (ok, zero
+    // pages, never mojibake). The oracle recomputes both halves from
+    // the documents table.
+    "q171_pdf_registry_cmap_scan" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+        .filter(col("doc_id") % 10 === 8 && col("text").isNotNull &&
+          length(col("text")) > 0)
+        .select(col("doc_id"), col("text"))
+      val dirUni = s"${stateDir(dir)}/q171_pdfs_ucs2"
+      val dirEuc = s"${stateDir(dir)}/q171_pdfs_euc"
+      val rows = docs.as[(Long, String)].map { case (id, text) =>
+        (f"doc_$id%08d", Seq(text, s"doc $id page 2 漢字 中文 한글"),
+          id % 20 == 8)
+      }
+      sources.Pdf.writePdfDir(
+        rows.filter(_._3).map(r => (r._1, r._2)), dirUni,
+        cidPredefined = true, cidRegistry = "UniGB-UCS2-H")
+      sources.Pdf.writePdfDir(
+        rows.filter(!_._3).map(r => (r._1, r._2)), dirEuc,
+        cidPredefined = true, cidRegistry = "GBK-EUC-H")
+      sources.Pdf.readPdfDir(s, dirUni).unionByName(
+        sources.Pdf.readPdfDir(s, dirEuc)).toDF()
+        .select(
+          regexp_extract(col("path"), "doc_(\\d+)\\.pdf$", 1)
+            .cast("long").as("doc_id"),
+          col("pdf_text"), col("pdf_pages"), col("pdf_ok"))
+        .orderBy("doc_id")
+    },
+
     // ---- Multimodal audio near-dup: REAL RIFF/PCM decode of a
     // deterministic synthetic WAV corpus (scene = doc_id/3, planted
     // 3-frame variants ≤ 4 eHash bits apart; every 97th payload
@@ -5499,6 +5534,20 @@ object SparkEntry {
         |  2 AS pdf_pages, TRUE AS pdf_ok
         |FROM documents
         |WHERE doc_id % 10 = 7 AND text IS NOT NULL AND length(text) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    // q171: the UniGB-UCS2-H half round-trips (its code space IS
+    // Unicode); the GBK-EUC-H half is honest-empty (unbundled
+    // registry tables — ok, zero pages, no text).
+    "q171_pdf_registry_cmap_scan" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 20 = 8
+        |    THEN text || chr(10) || 'doc ' || doc_id || ' page 2 漢字 中文 한글'
+        |    ELSE '' END AS pdf_text,
+        |  CASE WHEN doc_id % 20 = 8 THEN 2 ELSE 0 END AS pdf_pages,
+        |  TRUE AS pdf_ok
+        |FROM documents
+        |WHERE doc_id % 10 = 8 AND text IS NOT NULL AND length(text) > 0
         |ORDER BY doc_id""".stripMargin,
 
     // q153: identical recompute-from-documents shape for the PDF 1.5

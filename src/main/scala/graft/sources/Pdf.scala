@@ -368,6 +368,21 @@ object Pdf {
       if (inflater.finished()) Some(buf.toByteArray) else None
     } catch { case _: java.util.zip.DataFormatException => None }
 
+  /** The predefined registry CMaps whose CODE SPACE is Unicode
+    * itself: `Uni<collection>-UCS2[-HW]-H/V` and
+    * `Uni<collection>-UTF16[-HW]-H/V` (Adobe-GB1, -CNS1, -Japan1/
+    * JIS2004, -Korea1/-KR, -HKSCS collections). In these encodings
+    * the 2-byte character codes in content-stream strings ARE UCS-2 /
+    * UTF-16BE code units — the CMap's CID mapping exists only to pick
+    * glyphs, so TEXT extraction is an exact UTF-16BE passthrough with
+    * no bundled table (surrogate pairs in the UTF16 forms compose
+    * across adjacent 2-byte codes). The UTF32/UTF8 forms are
+    * deliberately NOT matched: their code width is not 2, and
+    * misreading them as UCS-2 would fabricate text. */
+  private[graft] val UnicodeCodespaceCmap =
+    "^Uni(GB|CNS|JIS(2004)?|KS|AKR|HKS?)-(UCS2|UTF16)(-HW)?-[HV]$".r
+      .pattern
+
   /** Parsed /ToUnicode CMap: fixed code byte-width + code → text.
     * The decode contract is pdfplumber's: string bytes step by
     * `codeLen`, each code maps through the CMap; a code with NO entry
@@ -1791,21 +1806,28 @@ object Pdf {
           }
           // Type0 fonts naming a PREDEFINED CMap with no /ToUnicode:
           // the Identity variants decode 2-byte codes as UTF-16BE
-          // (CID ≡ Unicode, the common subset-writer shape); registry
-          // CMaps (UniGB/UniJIS/UniKS/UniCNS/UCS2 families) fix the
-          // 2-byte code width but extract honest-empty — their
-          // CID→Unicode tables are font resources this engine does
-          // not bundle, and leaking raw CIDs as mojibake would poison
+          // (CID ≡ Unicode, the common subset-writer shape). The
+          // registry UCS2/UTF16 encodings (UniGB-UCS2-H, UniJIS-
+          // UTF16-H, …) ALSO decode as UTF-16BE passthrough — by
+          // definition their code space IS Unicode (the CMap maps
+          // Unicode CODES to collection CIDs purely for glyph
+          // selection; ISO 32000 9.7.5.2 + the Adobe CMap resources'
+          // own naming), so extraction needs no bundled CID table at
+          // all. Every OTHER registry CMap (GBK-EUC, 90ms-RKSJ,
+          // UniJIS-90pv legacy forms, …) has a non-Unicode code space
+          // whose tables this engine does not bundle: those extract
+          // honest-empty — leaking raw codes as mojibake would poison
           // dedup keys downstream.
           val viaPredefined = viaDifferences.orElse {
             (fd.get("Subtype"), fd.get("Encoding")) match {
               case (Some(PName("Type0")), Some(PName(enc))) =>
-                if (enc == "Identity-H" || enc == "Identity-V")
+                if (enc == "Identity-H" || enc == "Identity-V" ||
+                    UnicodeCodespaceCmap.matcher(enc).matches())
                   Some(ToUnicode(2, Map.empty, identityUtf16 = true))
-                else if (enc.startsWith("Uni")) {
+                else {
                   sawRegistryCmap = true
                   Some(ToUnicode(2, Map.empty))
-                } else None
+                }
               case _ => None
             }
           }
@@ -2116,15 +2138,23 @@ object Pdf {
     * FlateDecode-compressed. Same round-trip guarantee as
     * [[synthesize]]. */
   def synthesizeCid(pages: Seq[String],
-      predefined: Boolean = false): Array[Byte] = {
+      predefined: Boolean = false, registry: String = null): Array[Byte] = {
     require(pages.nonEmpty, "a PDF needs at least one page")
     val n = pages.length
     val chars: Vector[Char] = pages.flatMap(_.toSeq).distinct.sorted.toVector
     require(chars.size <= 0xFFFE,
       "CID synthesis supports at most 65534 distinct characters")
     // `predefined` drops the /ToUnicode stream entirely: codes ARE
-    // the UTF-16 units (CID ≡ Unicode, the subset-writer shape), and
-    // only the Identity-H predefined-CMap fallback recovers the text
+    // the UTF-16 units, and only the predefined-CMap fallback
+    // recovers the text. `registry` names the /Encoding to stamp
+    // (default Identity-H, CID ≡ Unicode subset-writer shape; a
+    // UniXX-UCS2/UTF16 name is equally faithful — those encodings'
+    // code space is DEFINED as Unicode, so UTF-16 codes are what a
+    // real writer emits; an unsupported registry name produces the
+    // honest-empty fixture).
+    val predefEnc = Option(registry).getOrElse("Identity-H")
+    require(registry == null || predefined,
+      "registry encodings are the predefined (no /ToUnicode) layout")
     val codeOf: Map[Char, Int] =
       if (predefined) chars.map(c => c -> c.toInt).toMap
       else chars.zipWithIndex.map { case (c, i) => c -> (i + 1) }.toMap
@@ -2160,7 +2190,7 @@ object Pdf {
     offsets(2 * n + 3) = out.size()
     if (predefined) {
       w(s"${2 * n + 3} 0 obj << /Type /Font /Subtype /Type0 " +
-        "/BaseFont /GraftCID /Encoding /Identity-H >> endobj\n")
+        s"/BaseFont /GraftCID /Encoding /$predefEnc >> endobj\n")
       val xref = out.size()
       w(s"xref\n0 $size\n0000000000 65535 f \n")
       (1 until size).foreach(i => w("%010d 00000 n \n".format(offsets(i))))
@@ -2343,13 +2373,14 @@ object Pdf {
     * `encrypted` writes the owner-locked layout
     * ([[synthesizeEncrypted]]) with `encryptMode` picking the cipher
     * generation (`"rc4"`, `"aesv2"`, `"aesv3"`); `cidPredefined`
-    * writes the Type0 layout with NO /ToUnicode (Identity-H
-    * predefined-CMap fallback required). */
+    * writes the Type0 layout with NO /ToUnicode (predefined-CMap
+    * fallback required), stamping `cidRegistry` as the /Encoding
+    * when given (e.g. `"UniGB-UCS2-H"`; default Identity-H). */
   def writePdfDir(rows: Dataset[(String, Seq[String])], dir: String,
       modern: Boolean = false, cid: Boolean = false,
       differences: Boolean = false, lzw: Boolean = false,
       encrypted: Boolean = false, encryptMode: String = "rc4",
-      cidPredefined: Boolean = false): Unit = {
+      cidPredefined: Boolean = false, cidRegistry: String = null): Unit = {
     val hp = new org.apache.hadoop.fs.Path(dir)
     val fsSetup = hp.getFileSystem(
       rows.sparkSession.sessionState.newHadoopConf())
@@ -2376,7 +2407,8 @@ object Pdf {
       it.foreach { case (name, pages) =>
         val os = fs.create(new org.apache.hadoop.fs.Path(dir, s"$name.pdf"), true)
         val bytes =
-          if (cid || cidPredefined) synthesizeCid(pages, cidPredefined)
+          if (cid || cidPredefined)
+            synthesizeCid(pages, cidPredefined, cidRegistry)
           else if (differences) synthesizeDifferences(pages)
           else if (encrypted) synthesizeEncrypted(pages, mode = encryptMode)
           else if (modern) synthesizeModern(pages)

@@ -572,6 +572,44 @@ class PdfSpec extends AnyFunSuite {
       s"registry-CMap codes must extract empty, got <${r.text}>")
   }
 
+  test("registry UCS2/UTF16 CMaps decode exactly: their code space IS Unicode") {
+    // UniGB-UCS2-H / UniJIS-UCS2-HW-V / UniKS-UTF16-H etc. define
+    // their 2-byte codes AS UCS-2/UTF-16BE units (the CMap only maps
+    // them to collection CIDs for glyph selection) — extraction is a
+    // table-free passthrough, and CJK text must round-trip exactly
+    val pages = Seq("mixed ascii and 漢字中文텍스트", "page 2 日本語")
+    Seq("UniGB-UCS2-H", "UniJIS-UCS2-HW-V", "UniKS-UTF16-H",
+      "UniCNS-UTF16-V", "UniJIS2004-UTF16-H").foreach { enc =>
+      val bytes = Pdf.synthesizeCid(pages, predefined = true, registry = enc)
+      assert(!new String(bytes, Latin1).contains("mixed ascii"))
+      val r = Pdf.extractText(bytes)
+      assert(r.ok && r.pages === 2 && r.text === pages.mkString("\n"),
+        s"$enc must decode as UTF-16BE passthrough, got <${r.text}>")
+    }
+  }
+
+  test("registry UTF16 CMaps compose surrogate pairs across adjacent codes") {
+    val pages = Seq("emoji plane: 😀 and 𝄞 done")
+    val bytes = Pdf.synthesizeCid(pages, predefined = true,
+      registry = "UniGB-UTF16-H")
+    val r = Pdf.extractText(bytes)
+    assert(r.ok && r.text === pages.head,
+      s"surrogate pairs must survive the 2-byte code stream: <${r.text}>")
+  }
+
+  test("non-Unicode and non-2-byte registry CMaps stay honest-empty") {
+    // GBK-EUC-H codes are GBK bytes; UniGB-UTF32-H codes are 4-byte
+    // UTF-32BE — reading either as UCS-2 would FABRICATE text, so
+    // both must take the honest-empty path (ok, zero pages, no text)
+    Seq("GBK-EUC-H", "UniGB-UTF32-H", "UniGB-UTF8-H", "B5pc-H").foreach { enc =>
+      val bytes = Pdf.synthesizeCid(Seq("never surfaced 中文"),
+        predefined = true, registry = enc)
+      val r = Pdf.extractText(bytes)
+      assert(r.ok && r.text === "" && r.pages === 0,
+        s"$enc must extract honest-empty, got <${r.text}>")
+    }
+  }
+
   test("glyphToUnicode: AGL Greek/Cyrillic/punctuation rows (table test)") {
     val cases = Seq(
       "alpha" -> "α", "beta" -> "β", "Omega" -> "Ω", "Sigma" -> "Σ",
