@@ -747,7 +747,19 @@ object StreamOps {
     * a crashed micro-batch replays on restart and would stack
     * duplicate membership rows — fence replays upstream (the ledger
     * pattern [[graft.sources.Fetch.harvestResumable]] uses) or
-    * recover via [[graft.operators.Incremental.recoverClusters]]. */
+    * recover via [[graft.operators.Incremental.recoverClusters]].
+    *
+    * `winnow = true` swaps the wave enumerator to the df-capped
+    * winnow-fingerprint state ([[graft.operators.Incremental
+    * .appendWinnowClusters]], the q170 family — `k`/`winnowW`/
+    * `minShared`/`maxDf` are its knobs and `n`/`threshold` are
+    * ignored): the production escape from the exact-gram probe's
+    * Σ df_wave·df_state boilerplate fan-out, now with the same
+    * stream-cadence parity as the gram path. The two enumerators
+    * keep INCOMPATIBLE posting schemas — point `winnow` streams at
+    * winnow-built [[graft.operators.Incremental.ClusterTables]]
+    * only (writeWinnowClusterState), exactly as the batch CLI
+    * does. */
   def clusterAssignStream(
       waves: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double,
@@ -755,12 +767,18 @@ object StreamOps {
       assignDir: String,
       checkpointDir: Option[String] = None,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow()): org.apache.spark.sql.streaming.StreamingQuery = {
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      winnow: Boolean = false, k: Int = 4, winnowW: Int = 4,
+      minShared: Long = 2, maxDf: Long = 64): org.apache.spark.sql.streaming.StreamingQuery = {
     val w = waves.writeStream.outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          graft.operators.Incremental.appendClusters(batch, idCol,
+          val assigned =
+            if (winnow) graft.operators.Incremental.appendWinnowClusters(
+              batch, idCol, col(textCol), t, k, winnowW, minShared, maxDf)
+            else graft.operators.Incremental.appendClusters(batch, idCol,
               col(textCol), n, threshold, t)
+          assigned
             .withColumn("micro_batch", lit(batchId))
             .write.mode(org.apache.spark.sql.SaveMode.Append)
             .parquet(assignDir)

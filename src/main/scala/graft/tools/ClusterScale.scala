@@ -21,7 +21,7 @@ import graft.operators.Incremental
   * growth between them is one wave — noise); min wall reported.
   *
   * Usage: runMain graft.tools.ClusterScale <spec>[,<spec>...]
-  *        [waveN=500] [n=4] [threshold=0.4]
+  *        [waveN=500] [n=4] [threshold=0.4] [mode=gram|winnow]
   * where <spec> is an sfDir, or `synth:<m>:<sfDir>` — an IN-TOOL
   * isometric replica: every copy c suffixes each word with `_c`, so
   * within-copy gram document frequency is preserved exactly and
@@ -30,6 +30,17 @@ import graft.operators.Incremental
   * State builds are OFF the clock (the op_bm25_probe stance). After
   * the two appends, a 10-id takedown OVERLAY lands and resolveClusters
   * is timed — the recurring read path with patches live.
+  *
+  * `synthbp:<m>:<sfDir>` is the ADVERSARIAL variant: same isometric
+  * replicas, but every document in every copy additionally carries
+  * one SHARED header and footer (the terms-of-service/nav-chrome
+  * shape real crawls have). Boilerplate grams then hit df ≈ corpus
+  * size, so the exact-gram probe's Σ df_wave·df_state join fan-out —
+  * collision-free in plain `synth:` runs by construction — actually
+  * fires and grows with state. The winnow enumerator df-caps those
+  * same fingerprints out of the postings (maxDf), so its append must
+  * stay flat on the identical corpus: the pair of runs is the
+  * quantified case for the production escape hatch.
   */
 object ClusterScale {
   def main(args: Array[String]): Unit = {
@@ -50,18 +61,28 @@ object ClusterScale {
     }
     dirs.zipWithIndex.foreach { case (dir, i) =>
       val docs0 =
-        if (dir.startsWith("synth:")) {
-          val Array(_, m, base) = dir.split(":", 3)
+        if (dir.startsWith("synth:") || dir.startsWith("synthbp:")) {
+          val Array(kind, m, base) = dir.split(":", 3)
           val raw = spark.read.parquet(s"$base/documents.parquet")
             .filter(col("doc_id") < 10000000L) // copy-0 only
             .select(col("doc_id"), col("text"))
-          raw.select(col("doc_id"), col("text"),
+          val rotated = raw.select(col("doc_id"), col("text"),
               explode(sequence(lit(0), lit(m.toInt - 1))).as("__c"))
             .select(
               (col("doc_id") + col("__c") * lit(10000000L)).as("doc_id"),
               when(col("__c") === 0, col("text")).otherwise(
                 array_join(transform(split(col("text"), " "),
                   w => concat(w, lit("_"), col("__c"))), " ")).as("text"))
+          if (kind == "synthbp")
+            // the SAME header/footer on every doc of every copy:
+            // boilerplate gram df ≈ corpus size, cross-copy by design
+            rotated.select(col("doc_id"), concat(
+              lit("site header terms of service apply to every page " +
+                "of this corpus archive "),
+              col("text"),
+              lit(" footer navigation home about contact privacy " +
+                "policy copyright notice")).as("text"))
+          else rotated
         } else spark.read.parquet(s"$dir/documents.parquet")
       // synthesized copies are narrow map work, but the build must
       // not recompute them per consumer

@@ -782,6 +782,64 @@ class StreamingSpec extends AnyFunSuite {
       .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n")))
   }
 
+  test("streaming WINNOW cluster assignment parity: micro-batch waves ≡ batch appendWinnowClusters") {
+    import graft.operators.Incremental
+    val d = Files.createTempDirectory("graft-stream-winnow").toString
+    def tabs(tag: String) = Incremental.ClusterTables(
+      s"t_swc_post$tag", s"$d/post$tag", s"t_swc_member$tag", s"$d/member$tag",
+      s"t_swc_alias$tag", s"$d/alias$tag", s"t_swc_edges$tag", s"$d/edges$tag",
+      numBuckets = 4)
+    val tS = tabs("s"); val tB = tabs("b")
+    def resolved(t: Incremental.ClusterTables) =
+      Incremental.resolveClusters(spark, t).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the q170 fixture geometry: 14-word shared runs guarantee ≥ 2
+    // shared distinct fingerprints at k=4/w=4 (two disjoint 7-word
+    // windows); the short doc has no fingerprints → singleton
+    val run = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi"
+    val other = "one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen"
+    val w0 = Seq((1L, s"$run tail one"), (2L, s"$other tail two"))
+      .toDF("doc_id", "text")
+    val w1 = Seq((3L, s"$run $other")).toDF("doc_id", "text") // bridge
+    val w2 = Seq((0L, s"$run prefix zero"), (5L, "short words only"))
+      .toDF("doc_id", "text")
+    try {
+      // batch ground truth over the same persisted-state mechanics
+      Seq(tS, tB).foreach(t => Incremental.writeWinnowClusterState(
+        w0, "doc_id", col("text"), t))
+      Seq(w1, w2).foreach(w => Incremental.appendWinnowClusters(
+        w, "doc_id", col("text"), tB))
+      val inDir = s"$d/in"; val ckpt = s"$d/ckpt"; val assignDir = s"$d/assign"
+      def drain(): Unit = {
+        val q = StreamOps.clusterAssignStream(
+          spark.readStream.schema(w1.schema).parquet(inDir),
+          "doc_id", "text", n = 2, threshold = 0.3, tS, assignDir,
+          checkpointDir = Some(ckpt), winnow = true)
+        q.awaitTermination(120000)
+      }
+      w1.coalesce(1).write.mode("append").parquet(inDir)
+      drain()
+      w2.coalesce(1).write.mode("append").parquet(inDir)
+      drain()
+      assert(resolved(tS) === resolved(tB),
+        "winnow stream waves must resolve exactly as the batch path")
+      assert(resolved(tS) ===
+        Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 5L -> 5L))
+      val assigns = spark.read.parquet(assignDir)
+      assert(assigns.count() === 3, "one assignment row per streamed doc")
+      assert(assigns.select("micro_batch").distinct().count() === 2,
+        "two waves arrived as two micro-batches")
+      // the persisted postings are the FP schema — the stream really
+      // drove the winnow enumerator, not the gram one
+      assert(spark.table(tS.postTable).columns.contains("fp"))
+    } finally Seq(tS, tB).foreach(x => Seq(x.postTable, x.memberTable,
+      x.aliasTable, x.edgeTable, s"${x.memberTable}_tomb",
+      s"${x.memberTable}_patch")
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n")))
+  }
+
   test("zero-frame clips (container parses, every frame fails decode) are exact-drop-EXEMPT: null clip_sig") {
     import graft.operators.Video
     // hand-rolled RIFF/AVI with one 00dc chunk of NON-JPEG payload:
