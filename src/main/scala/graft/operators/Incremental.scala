@@ -2099,7 +2099,7 @@ object Incremental {
   /** Wave-shaped postings from raw (id, text): per-doc DISTINCT gram
     * digests + the denormalized total. Materialized eagerly — the
     * frame feeds the self-join, the state probe AND the append. */
-  private def wavePostings(wave: DataFrame, idCol: String,
+  private[graft] def wavePostings(wave: DataFrame, idCol: String,
       textCol: Column, n: Int): DataFrame = {
     val grams = gramKeys(wave.select(col(idCol), textCol.as("__t")),
       col("__t"), n).drop("__t").distinct()

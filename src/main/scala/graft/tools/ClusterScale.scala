@@ -60,30 +60,31 @@ object ClusterScale {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     }
     dirs.zipWithIndex.foreach { case (dir, i) =>
-      val docs0 =
-        if (dir.startsWith("synth:") || dir.startsWith("synthbp:")) {
-          val Array(kind, m, base) = dir.split(":", 3)
+      val isBp = dir.startsWith("synthbp:")
+      // the SAME header/footer on every doc of every copy:
+      // boilerplate gram df ≈ corpus size, cross-copy by design
+      val bpHead = "site header terms of service apply to every page " +
+        "of this corpus archive"
+      val bpFoot = "footer navigation home about contact privacy " +
+        "policy copyright notice"
+      def addBp(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("doc_id"), concat(lit(bpHead + " "), col("text"),
+          lit(" " + bpFoot)).as("text"))
+      val plain0 =
+        if (dir.startsWith("synth:") || isBp) {
+          val Array(_, m, base) = dir.split(":", 3)
           val raw = spark.read.parquet(s"$base/documents.parquet")
             .filter(col("doc_id") < 10000000L) // copy-0 only
             .select(col("doc_id"), col("text"))
-          val rotated = raw.select(col("doc_id"), col("text"),
+          raw.select(col("doc_id"), col("text"),
               explode(sequence(lit(0), lit(m.toInt - 1))).as("__c"))
             .select(
               (col("doc_id") + col("__c") * lit(10000000L)).as("doc_id"),
               when(col("__c") === 0, col("text")).otherwise(
                 array_join(transform(split(col("text"), " "),
                   w => concat(w, lit("_"), col("__c"))), " ")).as("text"))
-          if (kind == "synthbp")
-            // the SAME header/footer on every doc of every copy:
-            // boilerplate gram df ≈ corpus size, cross-copy by design
-            rotated.select(col("doc_id"), concat(
-              lit("site header terms of service apply to every page " +
-                "of this corpus archive "),
-              col("text"),
-              lit(" footer navigation home about contact privacy " +
-                "policy copyright notice")).as("text"))
-          else rotated
         } else spark.read.parquet(s"$dir/documents.parquet")
+      val docs0 = if (isBp) addBp(plain0) else plain0
       // synthesized copies are narrow map work, but the build must
       // not recompute them per consumer
       val docs = docs0.localCheckpoint(true)
@@ -107,8 +108,41 @@ object ClusterScale {
         .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS $tb"))
       val b0 = System.nanoTime()
       if (mode == "winnow")
+        // feasible directly even on the boilerplate corpus: the df
+        // cap drops boilerplate fingerprints BEFORE the self-join
         Incremental.writeWinnowClusterState(state, "doc_id", col("text"), t)
-      else
+      else if (isBp) {
+        // a direct gram build over shared-boilerplate docs is the
+        // quadratic batch shape this whole family exists to avoid
+        // (Σ df² join rows ≈ 16·N² — infeasible past ~1×), so build
+        // collision-free from the STRIPPED texts and overlay the
+        // boilerplate postings the true build would have landed:
+        // per state doc, the head/foot gram digests (df = corpus by
+        // construction) with per-doc totals raised accordingly.
+        // Membership/edges are IDENTICAL to a true boilerplate build
+        // at t=0.4: boilerplate-only overlap is J ≈ 16/130 ≈ 0.12,
+        // below threshold, so no pair decision changes — only the
+        // posting df the APPEND fan-out (the term under test) sees.
+        val statePlain = plain0.filter(col("doc_id") < w1Lo ||
+          col("doc_id") >= 5000L)
+        Incremental.writeClusterState(statePlain, "doc_id", col("text"),
+          n, threshold, t)
+        val bpDocs = state.select(col("doc_id"))
+          .withColumn("text", explode(array(lit(bpHead), lit(bpFoot))))
+        val bpPosts = Incremental.wavePostings(bpDocs, "doc_id",
+          col("text"), n)
+        val totals = spark.table(t.postTable).groupBy(col("doc_id"))
+          .agg(max(col("n_grams")).as("__body"))
+        bpPosts.join(totals, Seq("doc_id"), "left")
+          .select(col("__g1").as("g1"), col("__g2").as("g2"),
+            col("doc_id"),
+            (col("n_grams") + coalesce(col("__body"), lit(0L)))
+              .as("n_grams"))
+          .repartition(t.numBuckets, col("g1"), col("g2"))
+          .write.mode(org.apache.spark.sql.SaveMode.Append)
+          .bucketBy(t.numBuckets, "g1", "g2").sortBy("g1", "g2")
+          .saveAsTable(t.postTable)
+      } else
         Incremental.writeClusterState(state, "doc_id", col("text"),
           n, threshold, t)
       val buildS = (System.nanoTime() - b0) / 1e9
