@@ -2967,6 +2967,97 @@ object SparkEntry {
         docs.filter(col("doc_id") % 89 === 0).select("doc_id"), t)
       Incremental.resolveClusters(s, t).orderBy("doc_id")
     },
+
+    // ---- HTML main-content extraction (engine extension; the
+    // reference stops at a bare tag strip, driver_bible.py:55-56).
+    // Pages are synthesized IN-QUERY around each document's
+    // entity-escaped text: head/title/script/style, header/nav/
+    // footer chrome, a link-farm sidebar and a comment — all of
+    // which the block-scored extractor must drop — plus two real
+    // content blocks it must keep in order. The whole synthesize→
+    // extract chain is native column work (one WholeStageCodegen
+    // span, zero shuffles, no UDF); the oracle recomputes the
+    // expected main text from the documents table directly.
+    "q172_html_main_text" -> { (s, dir) =>
+      val wsCollapsed = trim(regexp_replace(col("text"),
+        "[ \\t\\n\\r\\f]+", " "))
+      val docs = Tables.documents(s, dir)
+        .filter(col("text").isNotNull &&
+          size(split(wsCollapsed, " ")) >= 3)
+        .select(col("doc_id"), col("text"))
+      val page = concat(
+        lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+        lit(" of the corpus archive</title><style>p{margin:0}</style>" +
+          "<script>var beacon = 'analytics payload';</script></head>" +
+          "<body><header><h1>Corpus Site Banner Headline</h1></header>" +
+          "<nav><a href=\"/\">home page</a> <a href=\"/about\">about " +
+          "page</a></nav><!-- hidden comment words -->" +
+          "<div><a href=\"/r1\">related article one</a> " +
+          "<a href=\"/r2\">related article two</a></div><article><p>"),
+        functions.web.encode_entities(col("text")),
+        lit("</p><p>doc "), col("doc_id").cast("string"),
+        lit(" section 2 content words</p></article>" +
+          "<footer>Copyright footer navigation words</footer>" +
+          "</body></html>"))
+      docs.select(col("doc_id"),
+          functions.web.html_main_text(page).as("main_text"))
+        .orderBy("doc_id")
+    },
+
+    // ---- URL canonicalization for crawl-frontier identity (engine
+    // extension, RFC 3986 §6.2): five deterministic messy shapes per
+    // doc_id — scheme/host case + default port, fragment, unsorted
+    // query, tracking params, a kept non-default port, and a
+    // non-absolute passthrough. The oracle states the EXPECTED
+    // canonical form from the construction, so every rule is checked
+    // against ground truth rather than a re-implementation.
+    "q173_url_canonical" -> { (s, dir) =>
+      val id = col("doc_id").cast("string")
+      val raw = when(col("doc_id") % 5 === 0,
+          concat(lit("HTTP://Example.COM:80/Path/"), id,
+            lit("?utm_source=feed&b=2&a=1#frag")))
+        .when(col("doc_id") % 5 === 1,
+          concat(lit("https://CDN.Example.com:443/assets/"), id))
+        .when(col("doc_id") % 5 === 2,
+          concat(lit("http://example.com?z="), id,
+            lit("&y=2&utm_campaign=x")))
+        .when(col("doc_id") % 5 === 3,
+          concat(lit("http://example.com:8080/keep/"), id,
+            lit("?fbclid=abc")))
+        .otherwise(concat(lit("/relative/"), id))
+      Tables.documents(s, dir).select(col("doc_id"))
+        .select(col("doc_id"), raw.as("url_raw"),
+          functions.web.canonical_url(raw).as("url_canonical"))
+        .orderBy("doc_id")
+    },
+
+    // ---- Sitemap parse (engine extension, sitemaps.org schema):
+    // sitemap XML documents are ASSEMBLED in-query (10 urls per
+    // sitemap, ordered entry concat, ampersands entity-escaped, even
+    // ids carry lastmod) and parsed back through sitemap_entries —
+    // a real serialize→parse round-trip per group. The oracle
+    // recomputes the expected (loc, lastmod) rows from doc_ids.
+    "q174_sitemap_parse" -> { (s, dir) =>
+      val id = col("doc_id").cast("string")
+      val entry = concat(lit("<url><loc>http://corpus.example/doc/"),
+        id, lit("?lang=nah&amp;x=1</loc>"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("<lastmod>2026-03-"),
+            lpad((col("doc_id") % 28 + 1).cast("string"), 2, "0"),
+            lit("</lastmod>"))).otherwise(lit("")),
+        lit("</url>"))
+      val xml = Tables.documents(s, dir)
+        .select(col("doc_id"), entry.as("e"))
+        .groupBy((col("doc_id") / 10).cast("long").as("sitemap_id"))
+        .agg(concat(lit("<?xml version=\"1.0\"?><urlset>"),
+          concat_ws("", array_sort(collect_list(col("e")))),
+          lit("</urlset>")).as("xml"))
+      xml.select(col("sitemap_id"),
+          explode(functions.web.sitemap_entries(col("xml"))).as("ent"))
+        .select(col("sitemap_id"), col("ent.loc").as("loc"),
+          col("ent.lastmod").as("lastmod"))
+        .orderBy("loc")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6330,5 +6421,57 @@ object SparkEntry {
         |  SELECT e.a, r.m FROM edges e JOIN reach r ON r.id = e.b)
         |SELECT id AS doc_id, CAST(min(m) AS BIGINT) AS cluster
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    // q172: the block-scored extractor must recover EXACTLY the
+    // document text (whitespace-collapsed, entity round-tripped) plus
+    // the second content block — every piece of synthesized chrome
+    // (head/title/script/style, header/nav/footer, link farm,
+    // comment) must vanish. Ground-truth recompute, not a replay.
+    "q172_html_main_text" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g'))
+        |    || chr(10) || 'doc ' || doc_id
+        |    || ' section 2 content words' AS main_text
+        |FROM documents
+        |WHERE text IS NOT NULL AND len(string_split(
+        |    trim(regexp_replace(text, '[ \t\n\r\f]+', ' ', 'g')),
+        |    ' ')) >= 3
+        |ORDER BY doc_id""".stripMargin,
+
+    // q173: expected canonical forms stated directly from the
+    // construction — each of the five shapes checks a distinct RFC
+    // 3986 §6.2 rule (case+default port, fragment, empty path, query
+    // sort, tracker strip, kept port, non-absolute passthrough).
+    "q173_url_canonical" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN 'HTTP://Example.COM:80/Path/' || doc_id
+        |      || '?utm_source=feed&b=2&a=1#frag'
+        |    WHEN 1 THEN 'https://CDN.Example.com:443/assets/' || doc_id
+        |    WHEN 2 THEN 'http://example.com?z=' || doc_id
+        |      || '&y=2&utm_campaign=x'
+        |    WHEN 3 THEN 'http://example.com:8080/keep/' || doc_id
+        |      || '?fbclid=abc'
+        |    ELSE '/relative/' || doc_id END AS url_raw,
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN 'http://example.com/Path/' || doc_id || '?a=1&b=2'
+        |    WHEN 1 THEN 'https://cdn.example.com/assets/' || doc_id
+        |    WHEN 2 THEN 'http://example.com/?y=2&z=' || doc_id
+        |    WHEN 3 THEN 'http://example.com:8080/keep/' || doc_id
+        |    ELSE '/relative/' || doc_id END AS url_canonical
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // q174: expected (sitemap_id, loc, lastmod) recomputed from
+    // doc_ids — the Spark side must survive its own assemble→parse
+    // round-trip (entity-escaped ampersands, optional lastmod).
+    "q174_sitemap_parse" ->
+      """SELECT CAST(doc_id // 10 AS BIGINT) AS sitemap_id,
+        |  'http://corpus.example/doc/' || doc_id || '?lang=nah&x=1' AS loc,
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN '2026-03-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |    ELSE NULL END AS lastmod
+        |FROM documents
+        |ORDER BY loc""".stripMargin,
   )
 }

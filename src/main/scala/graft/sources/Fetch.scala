@@ -606,4 +606,99 @@ object Fetch {
         Window.partitionBy("url").orderBy(col("wave").desc)))
       .filter(col("rn") === 1).drop("rn")
   }
+
+  /** Fetched sitemap bytes → XML text: gzip-aware (sitemaps.org
+    * allows `.xml.gz`; sniffed by the 1f 8b magic, not the name) and
+    * UTF-8 decoded. Byte-level codec work, so it runs in
+    * `mapPartitions` like every other codec in the engine; sitemap
+    * files are metadata-scale (≤ 50 MB uncompressed each by spec). */
+  private def sitemapXmlText(rows: DataFrame): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col("url"), col("content")).as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (u, bytes) =>
+          val body =
+            if (bytes.length > 2 && (bytes(0) & 0xFF) == 0x1F &&
+                (bytes(1) & 0xFF) == 0x8B) {
+              val in = new java.util.zip.GZIPInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              try in.readAllBytes() finally in.close()
+            } else bytes
+          (u, new String(body, java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }.toDF("sitemap", "xml")
+  }
+
+  /** Crawl-frontier seeds from sitemaps (sitemaps.org protocol; an
+    * engine extension — the reference's drivers hardcode their URL
+    * lists, pipeline/ingestion/drivers/driver_bible.py:23-26).
+    *
+    * Each round fetches the current level of sitemap URLs through the
+    * SAME politeness-governed distributed harvest as any other crawl
+    * (robots gating, Crawl-delay, backoff and the resumable ledger at
+    * `ledgerDir` all apply — a re-run re-reads the ledger instead of
+    * re-fetching), parses the XML (gzip-sniffed), collects `<url>`
+    * entries, and recurses through `<sitemapindex>` children until
+    * `maxDepth`. Returns distinct `(url, lastmod, sitemap)` seeds
+    * with `url` canonicalized ([[graft.functions.web.canonical_url]])
+    * so the frontier dedups across escaped/unsorted-query variants.
+    *
+    * The per-round frontier is counted against `maxSitemaps` BEFORE
+    * fetching and refused loudly when exceeded (an index bomb must
+    * not schedule a million fetches); entries stay fully distributed
+    * — nothing document-scale ever reaches the driver. */
+  def sitemapSeeds(
+      spark: SparkSession, sitemapUrls: DataFrame, urlCol: String,
+      ledgerDir: String, transport: FetchTransport,
+      policy: FetchPolicy = FetchPolicy(), maxDepth: Int = 3,
+      maxSitemaps: Long = 100000L,
+      sleeper: Long => Unit = Thread.sleep): DataFrame = {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("url",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lastmod",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("sitemap",
+          org.apache.spark.sql.types.StringType))))
+    var frontier = sitemapUrls.select(col(urlCol).cast("string").as("url"))
+      .filter(col("url").isNotNull).distinct()
+    var seeds = empty
+    var depth = 0
+    var exhausted = false
+    while (!exhausted && depth < maxDepth) {
+      val n = frontier.count()
+      if (n == 0) exhausted = true
+      else {
+        require(n <= maxSitemaps,
+          s"sitemap frontier at depth $depth holds $n sitemaps > " +
+            s"maxSitemaps=$maxSitemaps — refusing (index bomb?); " +
+            "raise the cap explicitly if this corpus is real")
+        val ledger = harvestResumable(spark, frontier, "url", ledgerDir,
+          transport, policy, sleeper)
+        val fetched = resolveLatest(ledger)
+          .join(frontier, Seq("url"))
+          .filter(col("status") === "ok" && col("content").isNotNull)
+        // the parse feeds two consumers (entries + child index locs);
+        // decode once
+        val xml = sitemapXmlText(fetched).localCheckpoint(true)
+        val ents = xml.select(col("sitemap"),
+            explode(graft.functions.web.sitemap_entries(col("xml")))
+              .as("e"))
+          .select(
+            graft.functions.web.canonical_url(col("e.loc")).as("url"),
+            col("e.lastmod").as("lastmod"), col("sitemap"))
+          .filter(col("url") =!= "")
+        seeds = seeds.unionByName(ents)
+        frontier = xml.select(
+            explode(graft.functions.web.sitemap_index_locs(col("xml")))
+              .as("url"))
+          .filter(col("url") =!= "").distinct()
+        depth += 1
+      }
+    }
+    seeds.distinct()
+  }
 }
