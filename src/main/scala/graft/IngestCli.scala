@@ -1230,7 +1230,8 @@ object IngestCli {
   def runFetch(spark: SparkSession, dir: String, urlsPath: String,
       http: Boolean = false, maxAttempts: Int = 3,
       minGapMs: Long = 0L, recrawl: Boolean = false,
-      respectRobots: Boolean = false): DataFrame = {
+      respectRobots: Boolean = false,
+      extractHtml: Boolean = false): DataFrame = {
     val transport: graft.sources.Fetch.FetchTransport =
       if (http) new graft.sources.Fetch.HttpTransport()
       else graft.sources.Fetch.FileTransport
@@ -1265,6 +1266,25 @@ object IngestCli {
       .select("host").distinct().count()
     println(s"[fetch] bronzeUrls=$nOk failedRows=$nFail " +
       s"deniedRows=$nDenied clampedHosts=$nClampedHosts bronze=$dir/bronze")
+    // GRAFT_FETCH_EXTRACT=html: derive silver text from bronze in the
+    // same pass — UTF-8 decode, block-scored main-content extraction
+    // (chrome/link farms dropped), url canonicalized for downstream
+    // identity. Like bronze, a DERIVED overwrite: bronze bytes stay
+    // the source of truth and re-runs are idempotent. Pages whose
+    // every block is chrome extract empty and are kept OUT of silver
+    // (they carry no trainable text), but remain in bronze.
+    if (extractHtml) {
+      val silver = current.select(
+          graft.functions.web.canonical_url(col("url")).as("url"),
+          col("content_sha256").as("content_id"),
+          graft.functions.web.html_main_text(
+            decode(col("content"), "UTF-8")).as("text"))
+        .filter(col("text") =!= "")
+      silver.write.mode(SaveMode.Overwrite).parquet(s"$dir/silver_text")
+      val nSilver = spark.read.parquet(s"$dir/silver_text").count()
+      println(s"[fetch] silverTextRows=$nSilver " +
+        s"emptyExtracts=${nOk - nSilver} silver=$dir/silver_text")
+    }
     ledger
   }
 
@@ -1277,7 +1297,9 @@ object IngestCli {
         "GRAFT_FETCH_HTTP=1 selects the java.net.http transport, " +
         "GRAFT_FETCH_RECRAWL=1 refetches everything conditionally " +
         "(ETag/If-None-Match — 304 keeps prior bytes), " +
-        "GRAFT_FETCH_ROBOTS=1 arms robots.txt gating + Crawl-delay; " +
+        "GRAFT_FETCH_ROBOTS=1 arms robots.txt gating + Crawl-delay, " +
+        "GRAFT_FETCH_EXTRACT=html derives silver_text from bronze " +
+        "(block-scored HTML main-content extraction, canonical urls); " +
         "GRAFT_MEDIA=image|audio|video selects the media loop; " +
         "GRAFT_BLOCKLIST/GRAFT_TAKEDOWN/GRAFT_EVAL name parquet " +
         "inputs — GRAFT_EVAL arms the text loop's benchmark-" +
@@ -1325,7 +1347,8 @@ object IngestCli {
         minGapMs =
           sys.env.get("GRAFT_FETCH_GAP_MS").map(_.toLong).getOrElse(0L),
         recrawl = sys.env.get("GRAFT_FETCH_RECRAWL").contains("1"),
-        respectRobots = sys.env.get("GRAFT_FETCH_ROBOTS").contains("1"))
+        respectRobots = sys.env.get("GRAFT_FETCH_ROBOTS").contains("1"),
+        extractHtml = sys.env.get("GRAFT_FETCH_EXTRACT").contains("html"))
       spark.stop()
       return
     }

@@ -3058,6 +3058,25 @@ object SparkEntry {
           col("ent.lastmod").as("lastmod"))
         .orderBy("loc")
     },
+
+    // ---- Percent-encoding normalization inside canonical_url (RFC
+    // 3986 §6.2.2.2, the PercentNormalize native expression): three
+    // shapes — unreserved escapes decode (%61→a, %7e→~, %41→A),
+    // reserved escapes keep their meaning but uppercase their hex
+    // (%2f→%2F, %3a→%3A), malformed escapes (%G1, trailing %) pass
+    // through untouched. Expected forms stated from construction.
+    "q175_url_percent_normalize" -> { (s, dir) =>
+      val id = col("doc_id").cast("string")
+      val raw = when(col("doc_id") % 3 === 0,
+          concat(lit("http://EX.com/p%61th/"), id, lit("?x=%7e%41")))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("https://ex.com/%2Fkeep%2f"), id, lit("?y=%3a%3A")))
+        .otherwise(concat(lit("http://ex.com/bad%G1/"), id, lit("%")))
+      Tables.documents(s, dir).select(col("doc_id"))
+        .select(col("doc_id"), raw.as("url_raw"),
+          functions.web.canonical_url(raw).as("url_canonical"))
+        .orderBy("doc_id")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6473,5 +6492,22 @@ object SparkEntry {
         |    ELSE NULL END AS lastmod
         |FROM documents
         |ORDER BY loc""".stripMargin,
+
+    // q175: percent-normalization rules checked against ground truth
+    // (unreserved decode, reserved hex uppercase, malformed pass
+    // through) — DuckDB cannot replay per-match hex decoding, so the
+    // expected strings are stated from the construction.
+    "q175_url_percent_normalize" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN 'http://EX.com/p%61th/' || doc_id || '?x=%7e%41'
+        |    WHEN 1 THEN 'https://ex.com/%2Fkeep%2f' || doc_id || '?y=%3a%3A'
+        |    ELSE 'http://ex.com/bad%G1/' || doc_id || '%' END AS url_raw,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN 'http://ex.com/path/' || doc_id || '?x=~A'
+        |    WHEN 1 THEN 'https://ex.com/%2Fkeep%2F' || doc_id || '?y=%3A%3A'
+        |    ELSE 'http://ex.com/bad%G1/' || doc_id || '%' END AS url_canonical
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -107,6 +107,12 @@ object web {
     array_join(transform(kept, b => blockText(b)), "\n")
   }
 
+  /** RFC 3986 §6.2.2.2 percent-encoding normalization (decode
+    * unreserved escapes, uppercase the rest, pass malformed escapes
+    * through) — the [[PercentNormalize]] native expression. */
+  def percent_normalize(c: Column): Column =
+    text.expr2col(PercentNormalize(text.col2expr(c)))
+
   // Tracking query parameters dropped by canonical_url: pure
   // click-attribution noise that fragments crawl frontiers (the same
   // default list trafilatura/courlan ship).
@@ -117,13 +123,14 @@ object web {
     * lowercase scheme + authority (§6.2.2.1), strip the fragment,
     * drop default ports (§6.2.3), empty path → "/", drop tracking
     * params, sort the surviving query params (order-insensitive
-    * identity), and drop an empty query. Percent-encoding case
-    * normalization is a documented residual (needs per-match
-    * compute). Non-absolute inputs pass through trimmed — the
-    * function never fabricates a scheme. */
+    * identity), drop an empty query, and normalize percent encoding
+    * (§6.2.2.2 via [[percent_normalize]] — decoding only unreserved
+    * octets never creates a delimiter, so it is safe before parsing).
+    * Non-absolute inputs pass through trimmed — the function never
+    * fabricates a scheme. */
   def canonical_url(u: Column): Column = {
     val t = trim(u)
-    val noFrag = regexp_replace(t, "(?s)#.*$", "")
+    val noFrag = percent_normalize(regexp_replace(t, "(?s)#.*$", ""))
     val scheme = lower(regexp_extract(noFrag,
       "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
@@ -157,6 +164,18 @@ object web {
           "(?is)<loc>(.*?)</loc>", 1))).as("loc"),
         nullif(trim(regexp_extract(e,
           "(?is)<lastmod>(.*?)</lastmod>", 1)), lit("")).as("lastmod")))
+
+  /** `Sitemap:` directives of a robots.txt body, as an array of
+    * trimmed URLs. Group-independent per sitemaps.org — the directive
+    * may appear anywhere in the file; `#` comments are clipped like
+    * every other robots line. */
+  def robots_sitemap_locs(txt: Column): Column =
+    filter(
+      transform(
+        regexp_extract_all(txt,
+          lit("(?im)^[ \\t]*sitemap[ \\t]*:[ \\t]*([^#\\r\\n]*)"), lit(1)),
+        v => trim(v)),
+      v => v =!= "")
 
   /** Child sitemap locations of a `<sitemapindex>` document. */
   def sitemap_index_locs(xml: Column): Column =

@@ -262,8 +262,11 @@ object Fetch {
     * including `*` — is ignored, never merged). Empty Disallow means
     * allow-everything (no rule). `Crawl-delay` (the de-facto
     * extension) is parsed group-scoped and honored as the per-host
-    * gap, clamped to `FetchPolicy.maxGapMs`; `Sitemap` and other
-    * unknown directives are ignored. */
+    * gap, clamped to `FetchPolicy.maxGapMs`; `Sitemap` directives are
+    * group-independent and handled separately
+    * ([[graft.functions.web.robots_sitemap_locs]] /
+    * [[sitemapSeedsFromRobots]]); other unknown directives are
+    * ignored. */
   private[graft] def parseRobots(txt: String, agent: String): RobotsRules = {
     val agentLc = agent.toLowerCase
     var groups = Vector.empty[(Vector[String], Vector[(String, Boolean)],
@@ -700,5 +703,34 @@ object Fetch {
       }
     }
     seeds.distinct()
+  }
+
+  /** Sitemap discovery per host (the full cold-start story): fetch
+    * each host's `/robots.txt` through the resumable harvest, extract
+    * the group-independent `Sitemap:` directives
+    * ([[graft.functions.web.robots_sitemap_locs]] — native column
+    * work over the fetched bodies), and run [[sitemapSeeds]] over
+    * their union. Hosts are given as base URLs (`http://h.example`);
+    * robots and sitemap ledgers land under separate subdirectories of
+    * `ledgerDir`, so re-runs are served from both ledgers. */
+  def sitemapSeedsFromRobots(
+      spark: SparkSession, hosts: DataFrame, hostCol: String,
+      ledgerDir: String, transport: FetchTransport,
+      policy: FetchPolicy = FetchPolicy(), maxDepth: Int = 3,
+      maxSitemaps: Long = 100000L,
+      sleeper: Long => Unit = Thread.sleep): DataFrame = {
+    val robotsUrls = hosts
+      .select(concat(regexp_replace(col(hostCol).cast("string"),
+        "/+$", ""), lit("/robots.txt")).as("url"))
+      .filter(col("url").isNotNull).distinct()
+    val ledger = harvestResumable(spark, robotsUrls, "url",
+      s"$ledgerDir/robots", transport, policy, sleeper)
+    val smUrls = resolveLatest(ledger).join(robotsUrls, Seq("url"))
+      .filter(col("status") === "ok" && col("content").isNotNull)
+      .select(explode(graft.functions.web.robots_sitemap_locs(
+        decode(col("content"), "UTF-8"))).as("u"))
+      .distinct()
+    sitemapSeeds(spark, smUrls, "u", s"$ledgerDir/sitemaps", transport,
+      policy, maxDepth, maxSitemaps, sleeper)
   }
 }

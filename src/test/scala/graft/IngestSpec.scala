@@ -751,6 +751,35 @@ class IngestSpec extends AnyFunSuite {
     } finally server.stop(0)
   }
 
+  test("runFetch extractHtml: silver_text derives main content, chrome-only pages stay bronze-only") {
+    val dir = tmp("graft_fetch_html")
+    val page = "<html><head><title>title words words words</title></head>" +
+      "<body><nav><a href='/'>home link words</a></nav>" +
+      "<p>real content paragraph with several plain words</p>" +
+      "<footer>footer chrome words here</footer></body></html>"
+    val chromeOnly = "<nav><a href='/'>only nav words here</a></nav>"
+    val p1 = java.nio.file.Paths.get(s"$dir/page.html")
+    val p2 = java.nio.file.Paths.get(s"$dir/chrome.html")
+    java.nio.file.Files.write(p1, page.getBytes("UTF-8"))
+    java.nio.file.Files.write(p2, chromeOnly.getBytes("UTF-8"))
+    Seq(p1.toUri.toString, p2.toUri.toString).toDF("url")
+      .write.parquet(s"$dir/urls")
+    IngestCli.runFetch(spark, s"$dir/state", s"$dir/urls",
+      extractHtml = true)
+    val bronze = spark.read.parquet(s"$dir/state/bronze")
+    assert(bronze.count() === 2, "bronze keeps every fetched page")
+    val silver = spark.read.parquet(s"$dir/state/silver_text")
+    val rows = silver.collect()
+    assert(rows.length === 1, "the chrome-only page carries no text")
+    assert(rows.head.getAs[String]("text") ===
+      "real content paragraph with several plain words")
+    assert(rows.head.getAs[String]("content_id").nonEmpty)
+    // a re-run is idempotent (ledger-served, silver re-derived)
+    IngestCli.runFetch(spark, s"$dir/state", s"$dir/urls",
+      extractHtml = true)
+    assert(spark.read.parquet(s"$dir/state/silver_text").count() === 1)
+  }
+
   // ---- the MEDIA wave loop ----
 
   test("media waves: gold == from-scratch batch over the union after every wave") {

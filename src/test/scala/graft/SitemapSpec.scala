@@ -81,6 +81,29 @@ class SitemapSpec extends AnyFunSuite {
       .filter(k => k.startsWith("sm3|http://b.test/s")).count() === 0)
   }
 
+  test("sitemapSeedsFromRobots: robots Sitemap directives feed the harvest") {
+    val robots = """User-agent: *
+      |Disallow: /private
+      |Sitemap: http://rb.test/s1.xml  # primary
+      |sitemap:http://rb.test/s2.xml
+      |""".stripMargin
+    val s1 = "<urlset><url><loc>http://rb.test/a</loc></url></urlset>"
+    val s2 = "<urlset><url><loc>http://rb.test/b</loc>" +
+      "<lastmod>2026-05-06</lastmod></url></urlset>"
+    pages.put("sm5", Map(
+      "http://rb.test/robots.txt" -> robots.getBytes("UTF-8"),
+      "http://rb.test/s1.xml" -> s1.getBytes("UTF-8"),
+      "http://rb.test/s2.xml" -> s2.getBytes("UTF-8")))
+    // trailing slash on the host base must not double up
+    val seeds = Fetch.sitemapSeedsFromRobots(spark,
+      Seq("http://rb.test/").toDF("h"), "h", tmpDir(),
+      new MapTransport("sm5"), FetchPolicy(1), sleeper = noSleep)
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(seeds === Set(
+      ("http://rb.test/a", None),
+      ("http://rb.test/b", Some("2026-05-06"))))
+  }
+
   test("a re-run over the same ledger re-parses without re-fetching") {
     val s = "<urlset><url><loc>http://r.test/x</loc></url></urlset>"
     pages.put("sm4", Map("http://r.test/s.xml" -> s.getBytes("UTF-8")))

@@ -118,6 +118,37 @@ class WebSpec extends AnyFunSuite {
     assert(canon("http://e.com/p?utm=keep") === "http://e.com/p?utm=keep")
   }
 
+  test("percent_normalize: unreserved decode, reserved uppercase, malformed untouched") {
+    val pn = (s: String) => one(web.percent_normalize(col("s")), s)
+    assert(pn("%61%2f%3a%G1%") === "a%2F%3A%G1%")
+    assert(pn("%7E%7e%2D%5F") === "~~-_")
+    assert(pn("no escapes at all") === "no escapes at all")
+    assert(pn("%") === "%")
+    assert(pn("%4") === "%4")
+    assert(pn("caf%C3%A9") === "caf%C3%A9", "non-ASCII octets stay encoded")
+  }
+
+  test("canonical_url applies percent normalization before parsing") {
+    assert(canon("http://EX.com/p%61th?x=%7e") === "http://ex.com/path?x=~")
+    assert(canon("https://e.com/%2fa%2Fb") === "https://e.com/%2Fa%2Fb")
+    // decoding %26 would change the query structure — it stays encoded
+    assert(canon("http://e.com/p?a=x%26y") === "http://e.com/p?a=x%26y")
+  }
+
+  test("robots_sitemap_locs: anywhere in the file, comment-clipped, case-insensitive") {
+    val txt = """User-agent: *
+      |Disallow: /private
+      |Sitemap: http://e.com/s1.xml  # the main one
+      |user-agent: graft
+      |sitemap:http://e.com/s2.xml.gz
+      |SITEMAP:   # empty after comment clip
+      |""".stripMargin
+    val locs = Seq(txt).toDF("s")
+      .select(explode(web.robots_sitemap_locs(col("s"))).as("l"))
+      .collect().toSeq.map(_.getString(0))
+    assert(locs === Seq("http://e.com/s1.xml", "http://e.com/s2.xml.gz"))
+  }
+
   test("canonical_url: non-absolute and non-http inputs pass through") {
     assert(canon("  /relative/path?b=1 ") === "/relative/path?b=1")
     assert(canon("mailto:x@y.z") === "mailto:x@y.z")
