@@ -1288,6 +1288,35 @@ object IngestCli {
     ledger
   }
 
+  /** The WARC loop (`GRAFT_WARC=<warcDir>`): archived-crawl
+    * containers → trainable silver text in one pass. Every ok HTTP
+    * 200 response record lands as a row: url canonicalized, content
+    * id = sha-256 of the body bytes, text = block-scored main content
+    * for HTML payloads ([[graft.functions.web.html_main_text]]) and
+    * the plain decoded body otherwise — no entity/tag processing is
+    * applied to non-HTML text. Chrome-only pages (empty extraction)
+    * are excluded, like the fetch loop's silver. Derived overwrite,
+    * idempotent across re-runs. */
+  def runWarc(spark: SparkSession, dir: String, warcDir: String): Unit = {
+    val rows = graft.sources.Warc.readWarcDir(spark, warcDir).toDF()
+      .filter(col("warc_type") === "response" && col("warc_ok") &&
+        col("http_status") === 200)
+    val isHtml = lower(coalesce(col("http_content_type"), lit("")))
+      .contains("html")
+    val decoded = decode(col("body"), "UTF-8")
+    val silver = rows.select(
+        graft.functions.web.canonical_url(col("target_uri")).as("url"),
+        sha2(col("body"), 256).as("content_id"),
+        when(isHtml, graft.functions.web.html_main_text(decoded))
+          .otherwise(decoded).as("text"))
+      .filter(col("text") =!= "")
+    silver.write.mode(SaveMode.Overwrite).parquet(s"$dir/silver_text")
+    val n = spark.read.parquet(s"$dir/silver_text").count()
+    val nRec = rows.count()
+    println(s"[warc] responses=$nRec silverTextRows=$n " +
+      s"silver=$dir/silver_text")
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2 ||
       (sys.env.contains("GRAFT_FETCH") && args.length >= 1),
@@ -1300,6 +1329,8 @@ object IngestCli {
         "GRAFT_FETCH_ROBOTS=1 arms robots.txt gating + Crawl-delay, " +
         "GRAFT_FETCH_EXTRACT=html derives silver_text from bronze " +
         "(block-scored HTML main-content extraction, canonical urls); " +
+        "GRAFT_WARC=<warcDir> scans archived-crawl WARC containers " +
+        "into silver_text instead of fetching; " +
         "GRAFT_MEDIA=image|audio|video selects the media loop; " +
         "GRAFT_BLOCKLIST/GRAFT_TAKEDOWN/GRAFT_EVAL name parquet " +
         "inputs — GRAFT_EVAL arms the text loop's benchmark-" +
@@ -1339,6 +1370,11 @@ object IngestCli {
         "(word-gram Jaccard edges) — it is ignored when GRAFT_MEDIA " +
         "selects a media loop; cluster media by signature through the " +
         "Hamming states instead")
+    sys.env.get("GRAFT_WARC").foreach { warcDir =>
+      runWarc(spark, dir, warcDir)
+      spark.stop()
+      return
+    }
     sys.env.get("GRAFT_FETCH").foreach { urlsPath =>
       runFetch(spark, dir, urlsPath,
         http = sys.env.get("GRAFT_FETCH_HTTP").contains("1"),

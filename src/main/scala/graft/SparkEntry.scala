@@ -3077,6 +3077,44 @@ object SparkEntry {
           functions.web.canonical_url(raw).as("url_canonical"))
         .orderBy("doc_id")
     },
+
+    // ---- WARC container scan (ISO 28500; engine extension — the
+    // format 100 TB crawls arrive in). Real serialize→parse: the
+    // corpus is packed into WARC files of 20 response records (one
+    // warcinfo each), ODD file ids written as .warc.gz with ONE GZIP
+    // MEMBER PER RECORD and every 3rd response in chunked transfer
+    // encoding — so the member-concat gunzip, the record walk, the
+    // HTTP split AND the de-chunker all sit on the oracle path. The
+    // oracle recomputes (doc_id, body, status) from documents.
+    "q176_warc_scan" -> { (s, dir) =>
+      import s.implicits._
+      val wdir = s"${stateDir(dir)}/q176_warcs"
+      val files = Tables.documents(s, dir)
+        .filter(col("text").isNotNull && length(col("text")) > 0)
+        .withColumn("gid", (col("doc_id") / 20).cast("long"))
+        .groupBy(col("gid"))
+        .agg(sort_array(collect_list(
+          struct(col("doc_id"), col("text")))).as("es"))
+        .as[(Long, Seq[(Long, String)])]
+        .map { case (gid, es) =>
+          (gid, f"crawl_$gid%05d",
+            es.map { case (id, t) =>
+              (s"http://corpus.example/doc/$id", t) })
+        }
+      sources.Warc.writeWarcDir(
+        files.filter(_._1 % 2 == 0).map(t => (t._2, t._3)), wdir)
+      sources.Warc.writeWarcDir(
+        files.filter(_._1 % 2 == 1).map(t => (t._2, t._3)), wdir,
+        gzip = true, chunkEvery = 3, clean = false)
+      sources.Warc.readWarcDir(s, wdir).toDF()
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/(\\d+)$", 1)
+            .cast("long").as("doc_id"),
+          decode(col("body"), "UTF-8").as("text_out"),
+          col("http_status"), col("warc_ok"))
+        .orderBy("doc_id")
+    },
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -6508,6 +6546,16 @@ object SparkEntry {
         |    WHEN 1 THEN 'https://ex.com/%2Fkeep%2F' || doc_id || '?y=%3A%3A'
         |    ELSE 'http://ex.com/bad%G1/' || doc_id || '%' END AS url_canonical
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // q176: ground-truth recompute — every response body must come
+    // back byte-exact through pack→(gzip-member)→walk→HTTP-split→
+    // (dechunk); status pinned by the fixture writer.
+    "q176_warc_scan" ->
+      """SELECT doc_id, text AS text_out,
+        |  200 AS http_status, TRUE AS warc_ok
+        |FROM documents
+        |WHERE text IS NOT NULL AND length(text) > 0
         |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -780,6 +780,31 @@ class IngestSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/state/silver_text").count() === 1)
   }
 
+  test("runWarc: WARC containers to silver text — HTML extracted, plain passthrough") {
+    import graft.sources.Warc
+    val dir = tmp("graft_warc_cli")
+    val html = "<html><head><title>t words words words</title></head>" +
+      "<body><nav><a href='/'>home nav words</a></nav>" +
+      "<p>archived page body with several plain words</p></body></html>"
+    val plain = "plain corpus text & literally <kept> as-is"
+    Warc.writeWarcDir(
+      Seq(("h0", Seq("HTTP://A.test:80/p?b=2&a=1" -> html))).toDS(),
+      s"$dir/warcs", contentType = "text/html; charset=utf-8")
+    Warc.writeWarcDir(
+      Seq(("p0", Seq("http://a.test/q" -> plain))).toDS(),
+      s"$dir/warcs", gzip = true, clean = false)
+    IngestCli.runWarc(spark, s"$dir/state", s"$dir/warcs")
+    val silver = spark.read.parquet(s"$dir/state/silver_text")
+      .collect().map(r => (r.getAs[String]("url"),
+        r.getAs[String]("text"))).toMap
+    assert(silver.size === 2)
+    assert(silver("http://a.test/p?a=1&b=2") ===
+      "archived page body with several plain words",
+      "HTML payloads go through main-content extraction + canonical url")
+    assert(silver("http://a.test/q") === plain,
+      "non-HTML payloads pass through byte-exact — no entity/tag pass")
+  }
+
   // ---- the MEDIA wave loop ----
 
   test("media waves: gold == from-scratch batch over the union after every wave") {
