@@ -1303,7 +1303,24 @@ object IngestCli {
         col("http_status") === 200)
     val isHtml = lower(coalesce(col("http_content_type"), lit("")))
       .contains("html")
-    val decoded = decode(col("body"), "UTF-8")
+    // charset from the Content-Type parameter; UTF-8 when absent or
+    // exotic. Spark's `decode` takes a LITERAL charset from a fixed
+    // whitelist, so the dispatch is a native `when` chain over the
+    // charsets that cover real crawls (windows-1252 is decoded as its
+    // ISO-8859-1 superset-by-structure — the 0x80-0x9F printables
+    // land as C1 controls; documented approximation, never mojibake
+    // of ASCII). Unknown charsets fall back to UTF-8 rather than
+    // dropping the row — the quality gates downstream own the call.
+    val cs = lower(regexp_extract(
+      coalesce(col("http_content_type"), lit("")),
+      "charset=\\s*\"?([A-Za-z0-9_.:-]+)", 1))
+    val decoded =
+      when(cs === "iso-8859-1" || cs === "latin1" || cs === "latin-1" ||
+          cs === "windows-1252" || cs === "cp1252",
+        decode(col("body"), "ISO-8859-1"))
+      .when(cs === "us-ascii" || cs === "ascii",
+        decode(col("body"), "US-ASCII"))
+      .otherwise(decode(col("body"), "UTF-8"))
     val silver = rows.select(
         graft.functions.web.canonical_url(col("target_uri")).as("url"),
         sha2(col("body"), 256).as("content_id"),

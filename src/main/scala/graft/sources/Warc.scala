@@ -238,7 +238,9 @@ object Warc {
     * Deterministic throughout — no clocks, no randomness. */
   def synthesizeWarc(entries: Seq[(String, String)], gzip: Boolean = false,
       chunkEvery: Int = 0,
-      contentType: String = "text/plain; charset=utf-8"): Array[Byte] = {
+      contentType: String = "text/plain; charset=utf-8",
+      bodyCharset: String = "UTF-8"): Array[Byte] = {
+    val bodyCs = java.nio.charset.Charset.forName(bodyCharset)
     def record(headers: Seq[(String, String)], body: Array[Byte]): Array[Byte] = {
       val head = ("WARC/1.0" +: headers.map { case (k, v) => s"$k: $v" })
         .mkString("", CRLF, CRLF)
@@ -259,7 +261,7 @@ object Warc {
         "Content-Length" -> body.length.toString), body)
     }
     val recs = info +: entries.zipWithIndex.map { case ((url, text), k) =>
-      val payload = text.getBytes(Utf8)
+      val payload = text.getBytes(bodyCs)
       val chunked = chunkEvery > 0 && k % chunkEvery == 0
       val body =
         if (!chunked) payload
@@ -307,7 +309,8 @@ object Warc {
   def writeWarcDir(files: Dataset[(String, Seq[(String, String)])],
       dir: String, gzip: Boolean = false, chunkEvery: Int = 0,
       clean: Boolean = true,
-      contentType: String = "text/plain; charset=utf-8"): Unit = {
+      contentType: String = "text/plain; charset=utf-8",
+      bodyCharset: String = "UTF-8"): Unit = {
     val spark = files.sparkSession
     val hp = new org.apache.hadoop.fs.Path(dir)
     val fsSetup = hp.getFileSystem(spark.sessionState.newHadoopConf())
@@ -331,7 +334,8 @@ object Warc {
       it.foreach { case (name, entries) =>
         val os = fs.create(
           new org.apache.hadoop.fs.Path(dir, s"$name$ext"), true)
-        try os.write(synthesizeWarc(entries, gzip, chunkEvery, contentType))
+        try os.write(synthesizeWarc(entries, gzip, chunkEvery, contentType,
+          bodyCharset))
         finally os.close()
       }
     }

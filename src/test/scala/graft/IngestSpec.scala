@@ -805,6 +805,22 @@ class IngestSpec extends AnyFunSuite {
       "non-HTML payloads pass through byte-exact — no entity/tag pass")
   }
 
+  test("runWarc honors the Content-Type charset parameter (Latin-1 bodies)") {
+    import graft.sources.Warc
+    val dir = tmp("graft_warc_charset")
+    val latin = "canción y niño ¿qué año?" // every char Latin-1-representable
+    assert(latin.getBytes("ISO-8859-1").length < latin.getBytes("UTF-8").length,
+      "fixture must actually exercise a non-UTF-8 byte stream")
+    Warc.writeWarcDir(
+      Seq(("l0", Seq("http://a.test/latin" -> latin))).toDS(),
+      s"$dir/warcs", contentType = "text/plain; charset=ISO-8859-1",
+      bodyCharset = "ISO-8859-1")
+    IngestCli.runWarc(spark, s"$dir/state", s"$dir/warcs")
+    val got = spark.read.parquet(s"$dir/state/silver_text")
+      .select("text").head().getString(0)
+    assert(got === latin)
+  }
+
   // ---- the MEDIA wave loop ----
 
   test("media waves: gold == from-scratch batch over the union after every wave") {
