@@ -33,6 +33,23 @@ object GraftSession {
       // TIMESTAMP_NTZ, which watermarks/window() reject; with a UTC
       // session the instant semantics are identical either way.
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // InferFiltersFromGenerate synthesizes `size(gen) > 0 AND
+      // isnotnull(gen)` under every explode and predicate pushdown
+      // then drags that filter below projections and exchanges,
+      // SUBSTITUTING the generator's expression tree into it — for
+      // this engine's explodes the generator is almost always an
+      // expensive derived set (char_ngrams, word n-grams, MinHash
+      // bands, winnow fingerprints), never a stored array, so the
+      // "optimization" re-evaluates the expensive expression 1-2
+      // extra times per row, frequently inside the single-task scan
+      // stage below the spread repartition (measured: the q45
+      // tokenize stage runs 3.4 s single-task with the inferred
+      // filter vs 0.3 s without; outputs bit-identical — the
+      // explode itself already skips empty/null arrays). Excluded
+      // engine-wide: rows-with-empty-sets pruning buys nothing when
+      // the set is computed, not stored.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.ui.enabled", "false")
 
   def get(master: String = "local[*]"): SparkSession = {

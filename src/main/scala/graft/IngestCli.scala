@@ -135,6 +135,46 @@ object IngestCli {
     }
   }
 
+  /** [[applyGates]] as one row-local predicate — for folding the
+    * gate-survivor count into the wave's single audit aggregation
+    * (guide §1.2: don't pay a full pass per counter). Built from the
+    * SAME component predicates the filtering path applies
+    * ([[graft.streaming.StreamOps.decontaminatePredicate]] is the one
+    * definition `decontaminateStream` itself filters on), so the
+    * counted set provably equals the [[applyGates]] output set. */
+  private def gatePredicate(cfg: GraftConfig,
+      gate: Option[EvalGate]): org.apache.spark.sql.Column = {
+    val lengthOk =
+      length(col("text")).between(cfg.minTextLength, cfg.maxTextLength)
+    gate match {
+      case Some(g) => lengthOk && graft.streaming.StreamOps
+        .decontaminatePredicate(col("text"), g.digests, g.nWords)
+      case None => lengthOk
+    }
+  }
+
+  /** One-pass wave audit: total rows, tombstone survivors, and (when
+    * `gatePred` is given) gate survivors among the live rows — the
+    * counts [[ingestWave]]/[[ingestMediaWave]]/[[ingestVideoWave]]
+    * previously paid one full wave scan EACH for. The tombstone table
+    * is distinct by construction ([[operators.Incremental
+    * .writeTombstones]]/`appendTombstones`), so the broadcast left
+    * join marks each wave row at most once and `__tomb IS NULL`
+    * counts exactly the rows [[operators.Incremental.retractIds]]'
+    * left_anti would keep (null ids match nothing on either path). */
+  private def waveAuditCounts(wave: DataFrame, tombs: DataFrame,
+      gatePred: Option[org.apache.spark.sql.Column]): (Long, Long, Long) = {
+    val marked = wave.join(
+      broadcast(tombs.select(col("retract_id")).withColumn("__tomb", lit(true))),
+      wave("doc_id") === col("retract_id"), "left")
+    val liveOk = col("__tomb").isNull
+    val r = marked.agg(
+      count(lit(1)),
+      count(when(liveOk, 1)),
+      count(when(liveOk && gatePred.getOrElse(lit(true)), 1))).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
   /** Fresh state: empty bucketed digest/signature/tombstone tables
     * (the same specs every append preserves) and a clean gold dir. */
   def initState(spark: SparkSession, ns: String, dir: String,
@@ -163,27 +203,33 @@ object IngestCli {
   def ingestWave(spark: SparkSession, st: IngestState, wave: DataFrame,
       waveNo: Int, cfg: GraftConfig = GraftConfig(),
       evalGate: Option[EvalGate] = None): WaveReport = {
-    val incoming = wave.count()
+    // all three audit counts in ONE wave pass (they used to be one
+    // full scan each; at corpus scale that is two avoidable passes)
+    val tombs = spark.table(st.tombTable)
+    val (incoming, nLive, nGated) =
+      waveAuditCounts(wave, tombs, Some(gatePredicate(cfg, evalGate)))
 
     // takedown first: a retracted id can never re-enter through a
     // re-crawl (broadcast anti — the tombstone table is request-sized)
-    val live = Incremental.retractIds(wave, "doc_id", spark.table(st.tombTable))
-    val nLive = live.count()
+    val live = Incremental.retractIds(wave, "doc_id", tombs)
 
     // map-side gates before any shuffle work (length bounds + the
     // optional decontamination membership filter — both row-local)
     val gated = applyGates(live, cfg, evalGate)
-    val nGated = gated.count()
 
     // exact: keep-lowest-id within the wave, then drop anything whose
     // normalized digest the corpus has EVER seen (state side
     // bucket-aligned; only the wave shuffles). Materialized eagerly —
     // it feeds the fuzzy stage, two state appends, and the report.
+    // lazy local checkpoint + count: the count action itself
+    // materializes the checkpoint blocks, so the materialize-then-
+    // count pair costs ONE job instead of two (the next consumer
+    // reads the blocks either way)
     val exact = Incremental.exactDedupAgainstTable(
         Dedup.keepBestWindow(gated,
           graft.functions.text.norm_key(col("text")), Seq(col("doc_id").asc)),
         col("text"), spark.table(st.digestTable))
-      .localCheckpoint(true)
+      .localCheckpoint(eager = false)
     val nExact = exact.count()
 
     // fuzzy: against-state and in-wave drops computed over the SAME
@@ -195,7 +241,7 @@ object IngestCli {
     val accepted = Dedup.minhashDedup(exact, "doc_id", col("text"),
         threshold = cfg.fuzzyThreshold)
       .join(stateDups, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+      .localCheckpoint(eager = false)
     val nAccepted = accepted.count()
 
     // state grows by the wave's FUZZY-STAGE INPUT (exact survivors),
@@ -568,25 +614,33 @@ object IngestCli {
       signer: DataFrame => DataFrame = defaultImageSigner,
       blocklist: Option[Dedup.HammingIndex] = None,
       signerName: String = ImageSignerName): MediaWaveReport = {
-    val incoming = wave.count()
-    val live = Incremental.retractIds(wave, "doc_id", spark.table(st.tombTable))
-    val nLive = live.count()
+    // audit counts in ONE wave pass (was one full scan each)
+    val tombs = spark.table(st.tombTable)
+    val (incoming, nLive, _) = waveAuditCounts(wave, tombs, None)
+    val live = Incremental.retractIds(wave, "doc_id", tombs)
 
     // decode once per wave; (doc_id, decoded, sig) is 17 bytes/row —
-    // the content bytes never travel past this scan
+    // the content bytes never travel past this scan. Lazy local
+    // checkpoint: the audit aggregation right below materializes the
+    // blocks, so decode+materialize+counts cost ONE job, not three.
     val sigs = signer(live).select(col("doc_id"), col("decoded"), col("sig"))
-      .localCheckpoint(true)
-    val nDecoded = sigs.filter(col("decoded")).count()
+      .localCheckpoint(eager = false)
 
     // blocklist gate: exact, codegen'd, no join (null sigs pass —
     // undecodable is unprovable; quarantine upstream when policy
-    // requires)
-    val admitted = blocklist match {
+    // requires). The predicate is row-local, so the decoded and
+    // admitted counts fold into one aggregation over the checkpointed
+    // signatures.
+    val admittedPred = blocklist match {
       case Some(idx) =>
-        sigs.filter(col("sig").isNull || !Dedup.hammingNearSet(col("sig"), idx))
-      case None => sigs
+        col("sig").isNull || !Dedup.hammingNearSet(col("sig"), idx)
+      case None => lit(true)
     }
-    val nBlocked = nLive - admitted.count()
+    val sigCounts = sigs.agg(
+      count(when(col("decoded"), 1)), count(when(admittedPred, 1))).head()
+    val nDecoded = sigCounts.getLong(0)
+    val nBlocked = nLive - sigCounts.getLong(1)
+    val admitted = sigs.filter(admittedPred)
 
     // in-wave and against-state drops over the SAME input, unioned —
     // the seen-not-kept contract, exactly as the text loop
@@ -597,7 +651,13 @@ object IngestCli {
     val stateDups = Incremental.hammingDupIdsAgainstTable(decoded, "doc_id",
       "sig", spark.table(st.sigTable), st.maxHamming,
       signer = Some(signerName))
-    val dropIds = inWaveDups.union(stateDups).distinct().localCheckpoint(true)
+    val dropIds = inWaveDups.union(stateDups).distinct()
+      .localCheckpoint(eager = false)
+    // drop ids are DECODED ADMITTED wave ids by construction (both
+    // enumerations read `decoded`), wave ids are unique (the loop's
+    // documented contract), so |accepted| = |admitted| − |dropIds| —
+    // no second content-carrying pass just to count the survivors
+    val nAccepted = sigCounts.getLong(1) - dropIds.count()
     val acceptedIds = admitted.select("doc_id")
       .join(dropIds, Seq("doc_id"), "left_anti")
 
@@ -606,7 +666,6 @@ object IngestCli {
       st.maxHamming, st.numBuckets, signer = Some(signerName))
 
     val accepted = live.join(acceptedIds, Seq("doc_id"), "left_semi")
-    val nAccepted = accepted.count()
     accepted.withColumn("ingest_wave", lit(waveNo))
       .write.mode(SaveMode.Append).partitionBy("ingest_wave")
       .parquet(st.goldPath)
@@ -790,27 +849,31 @@ object IngestCli {
   def ingestVideoWave(spark: SparkSession, st: VideoState, wave: DataFrame,
       waveNo: Int,
       blocklist: Option[Dedup.HammingIndex] = None): MediaWaveReport = {
-    val incoming = wave.count()
-    val live = Incremental.retractIds(wave, "doc_id", spark.table(st.tombTable))
-    val nLive = live.count()
+    // audit counts in ONE wave pass (was one full scan each)
+    val tombs = spark.table(st.tombTable)
+    val (incoming, nLive, _) = waveAuditCounts(wave, tombs, None)
+    val live = Incremental.retractIds(wave, "doc_id", tombs)
 
     // decode once per wave: (doc_id, frame_pos, dhash) — 16 B/frame;
-    // clip bytes never travel past this scan
+    // clip bytes never travel past this scan. Lazy local checkpoint:
+    // the decoded-clip count below materializes the blocks, so
+    // decode+materialize+count is ONE job.
     val sigs = operators.Video.frameSignatures(live, "doc_id",
         col("content"), st.everyNth)
-      .localCheckpoint(true)
+      .localCheckpoint(eager = false)
     val decodedIds = sigs.select("doc_id").distinct()
     val nDecoded = decodedIds.count()
 
     // cross-modal blocklist: ANY flagged sampled frame blocks the
-    // whole clip — map-side codegen per frame row, one tiny distinct
+    // whole clip — map-side codegen per frame row, one tiny distinct.
+    // No blocklist ⇒ no blocked ids, no job spent proving it.
     val blockedIds = blocklist match {
       case Some(idx) =>
         sigs.filter(Dedup.hammingNearSet(col("dhash"), idx))
-          .select("doc_id").distinct().localCheckpoint(true)
+          .select("doc_id").distinct().localCheckpoint(eager = false)
       case None => spark.range(0).select(col("id").as("doc_id"))
     }
-    val nBlocked = blockedIds.count()
+    val nBlocked = if (blocklist.isDefined) blockedIds.count() else 0L
     val admitted = sigs.join(blockedIds, Seq("doc_id"), "left_anti")
 
     // in-wave and against-state drops over the SAME admitted input,
@@ -823,7 +886,14 @@ object IngestCli {
       "doc_id", "dhash", spark.table(st.sigTable), st.maxHamming,
       st.minFrames, everyNth = st.everyNth,
       signer = Some(VideoSignerName))
-    val dropIds = inWaveDups.union(stateDups).distinct().localCheckpoint(true)
+    val dropIds = inWaveDups.union(stateDups).distinct()
+      .localCheckpoint(eager = false)
+    // drop ids are ADMITTED DECODED clip ids, blocked ids are DECODED
+    // live ids, the two are disjoint (drops enumerate post-blocklist
+    // rows), and wave ids are unique (the loop's documented
+    // contract) — so |accepted| = |live| − |blocked| − |dropIds| and
+    // the survivors need no second content-carrying pass to count
+    val nAccepted = nLive - nBlocked - dropIds.count()
 
     // state grows by every admitted decoded clip's frames (dropped or
     // not); blocked clips never enter state
@@ -834,7 +904,6 @@ object IngestCli {
     val accepted = live
       .join(blockedIds, Seq("doc_id"), "left_anti")
       .join(dropIds, Seq("doc_id"), "left_anti")
-    val nAccepted = accepted.count()
     accepted.withColumn("ingest_wave", lit(waveNo))
       .write.mode(SaveMode.Append).partitionBy("ingest_wave")
       .parquet(st.goldPath)

@@ -2522,10 +2522,15 @@ object SparkEntry {
     // unconditional for Hamming (exact pigeonhole pairs, no
     // big-bucket caveat), given id-ordered waves (the CDC shape).
     "q146_media_wave_ingest" -> { (s, dir) =>
+      // LAZY checkpoint mark (here and in q150/q151/q152): the first
+      // consumer is the single-subtree signature-export write, which
+      // scans every partition exactly once — it materializes the
+      // blocks as a side effect, so mark+materialize costs no
+      // dedicated job and later consumers (waves, gold) read blocks.
       val corpus = operators.Images.syntheticCorpus(
           Tables.documents(s, dir).select("doc_id"), "doc_id",
           variantsPerScene = 3, corruptEvery = 97)
-        .localCheckpoint(true)
+        .localCheckpoint(eager = false)
       operators.Images.imageSignatures(corpus, "doc_id", col("content"))
         .select(col("doc_id"), col("decoded"), col("dhash"))
         .write.mode("overwrite").parquet(s"${stateDir(dir)}/q146_sigs")
@@ -2548,7 +2553,7 @@ object SparkEntry {
       val corpus = operators.Images.syntheticCorpus(
           Tables.documents(s, dir).select("doc_id"), "doc_id",
           variantsPerScene = 3, corruptEvery = 97)
-        .localCheckpoint(true)
+        .localCheckpoint(eager = false)
       operators.Images.imageSignatures(corpus, "doc_id", col("content"))
         .select(col("doc_id"), col("decoded"), col("dhash"))
         .write.mode("overwrite").parquet(s"${stateDir(dir)}/q151_sigs")
@@ -2570,7 +2575,7 @@ object SparkEntry {
       val corpus = operators.Video.syntheticCorpus(
           Tables.documents(s, dir).select("doc_id"), "doc_id",
           variantsPerScene = 3, corruptEvery = 97)
-        .localCheckpoint(true)
+        .localCheckpoint(eager = false)
       operators.Video.frameSignatures(corpus, "doc_id", col("content"),
           everyNth = 2)
         .write.mode("overwrite").parquet(s"${stateDir(dir)}/q152_sigs")
@@ -2598,7 +2603,7 @@ object SparkEntry {
       val corpus = operators.Video.syntheticCorpus(
           Tables.documents(s, dir).select("doc_id"), "doc_id",
           variantsPerScene = 3, corruptEvery = 97)
-        .localCheckpoint(true)
+        .localCheckpoint(eager = false)
       operators.Video.frameSignatures(corpus, "doc_id", col("content"),
           everyNth = 2)
         .write.mode("overwrite").parquet(s"${stateDir(dir)}/q150_sigs")

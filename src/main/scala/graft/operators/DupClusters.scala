@@ -57,8 +57,17 @@ object DupClusters {
       if (reliable) df.checkpoint(true) else df.localCheckpoint(true)
     // materialize the edge list BEFORE symmetrizing: the union would
     // otherwise embed the (expensive) pair-enumeration plan in both
-    // branches and execute it twice.
-    val e0 = materialize(edges.select(col("id_a"), col("id_b")))
+    // branches and execute it twice. LAZY local checkpoint + count:
+    // the count action computes every partition and materializes the
+    // checkpoint blocks as it goes, so mark+count costs ONE job where
+    // the eager form paid a dedicated materialization job first (the
+    // union below only runs after the count, against the blocks).
+    // The reliable-checkpoint branch stays eager: a lazy reliable
+    // checkpoint recomputes the plan a second time to write the
+    // checkpoint files.
+    val e0 =
+      if (reliable) materialize(edges.select(col("id_a"), col("id_b")))
+      else edges.select(col("id_a"), col("id_b")).localCheckpoint(eager = false)
     val nEdges = e0.count()
 
     // Small-graph fast path: after near-dup pair enumeration the edge

@@ -284,12 +284,22 @@ object StreamOps {
     * watermark, works in append mode and identically in batch (how
     * the spec pins agreement with the batch operator). */
   def decontaminateStream(docs: DataFrame, textCol: Column,
-      evalDigests: Array[Long], nWords: Int = 13): DataFrame = {
+      evalDigests: Array[Long], nWords: Int = 13): DataFrame =
+    docs.filter(decontaminatePredicate(textCol, evalDigests, nWords))
+
+  /** The row-local predicate behind [[decontaminateStream]] — exposed
+    * so audit aggregations can COUNT gate survivors in the same pass
+    * that computes other wave statistics (one scan, not one per
+    * counter) while the filtering data path keeps calling
+    * [[decontaminateStream]]; both routes evaluate this one
+    * definition, so the gate cannot drift between them. */
+  def decontaminatePredicate(textCol: Column, evalDigests: Array[Long],
+      nWords: Int = 13): Column = {
     val grams = graft.operators.Dedup.wordNGrams(textCol, nWords)
     val digests = transform(grams, g => xxhash64(g))
     val hits = graft.functions.text.expr2col(graft.functions.CountInSortedLongs(
       graft.functions.text.col2expr(digests), evalDigests))
-    docs.filter(hits === 0)
+    hits === 0
   }
 
   /** [[decontaminateStream]] for an eval set too large to collect as
