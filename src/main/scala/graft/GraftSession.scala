@@ -21,6 +21,14 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
 
+  /** The engine-wide optimizer-rule exclusion list (comma-separated,
+    * the `spark.sql.optimizer.excludedRules` format). Callers adding
+    * their own exclusions must APPEND to this constant — setting the
+    * conf to a bare rule name replaces it and silently re-enables
+    * InferFiltersFromGenerate (see the builder comment). */
+  val ExcludedOptimizerRules: String =
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+
   def builder(master: String = "local[*]", shufflePartitions: Int = 32): SparkSession.Builder =
     SparkSession.builder()
       .master(master)
@@ -48,8 +56,13 @@ object GraftSession {
       // explode itself already skips empty/null arrays). Excluded
       // engine-wide: rows-with-empty-sets pruning buys nothing when
       // the set is computed, not stored.
-      .config("spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      //
+      // APPEND, DON'T REPLACE: spark.sql.optimizer.excludedRules is a
+      // single comma-separated value — a later .config() call with a
+      // different exclusion silently REPLACES this one (re-enabling
+      // InferFiltersFromGenerate and re-paying the double evaluation
+      // engine-wide). Extend [[ExcludedOptimizerRules]] instead.
+      .config("spark.sql.optimizer.excludedRules", ExcludedOptimizerRules)
       .config("spark.ui.enabled", "false")
 
   def get(master: String = "local[*]"): SparkSession = {

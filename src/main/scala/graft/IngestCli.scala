@@ -122,26 +122,21 @@ object IngestCli {
       nWords), nWords)
 
   /** The map-side gate block shared VERBATIM by [[ingestWave]] and
-    * [[batchEquivalent]] — one definition, or the loop's provable
-    * wave ≡ batch contract could drift. */
+    * [[batchEquivalent]] — literally one filter on [[gatePredicate]],
+    * so the counted set and the filtered set cannot drift (they are
+    * the same Column expression; Spark's And short-circuits, so the
+    * fused predicate behaves exactly like the two chained filters it
+    * replaced). */
   private def applyGates(df: DataFrame, cfg: GraftConfig,
-      gate: Option[EvalGate]): DataFrame = {
-    val lengthGated = df.filter(
-      length(col("text")).between(cfg.minTextLength, cfg.maxTextLength))
-    gate match {
-      case Some(g) => graft.streaming.StreamOps.decontaminateStream(
-        lengthGated, col("text"), g.digests, g.nWords)
-      case None => lengthGated
-    }
-  }
+      gate: Option[EvalGate]): DataFrame =
+    df.filter(gatePredicate(cfg, gate))
 
-  /** [[applyGates]] as one row-local predicate — for folding the
-    * gate-survivor count into the wave's single audit aggregation
-    * (guide §1.2: don't pay a full pass per counter). Built from the
-    * SAME component predicates the filtering path applies
-    * ([[graft.streaming.StreamOps.decontaminatePredicate]] is the one
-    * definition `decontaminateStream` itself filters on), so the
-    * counted set provably equals the [[applyGates]] output set. */
+  /** THE gate definition — one row-local predicate used by both the
+    * filtering path ([[applyGates]]) and the wave's single audit
+    * aggregation (guide §1.2: don't pay a full pass per counter).
+    * The decontamination component is
+    * [[graft.streaming.StreamOps.decontaminatePredicate]], the same
+    * definition `decontaminateStream` filters on. */
   private def gatePredicate(cfg: GraftConfig,
       gate: Option[EvalGate]): org.apache.spark.sql.Column = {
     val lengthOk =
@@ -175,6 +170,14 @@ object IngestCli {
     (r.getLong(0), r.getLong(1), r.getLong(2))
   }
 
+  /** Label the Spark jobs of one loop phase (guide §1.5) — job
+    * descriptions are thread-local, so this works inside
+    * [[operators.Actions.par2]] branches too. */
+  private def labeled[T](spark: SparkSession, tag: String)(f: => T): T = {
+    spark.sparkContext.setJobDescription(tag)
+    try f finally spark.sparkContext.setJobDescription(null)
+  }
+
   /** Fresh state: empty bucketed digest/signature/tombstone tables
     * (the same specs every append preserves) and a clean gold dir. */
   def initState(spark: SparkSession, ns: String, dir: String,
@@ -203,11 +206,7 @@ object IngestCli {
   def ingestWave(spark: SparkSession, st: IngestState, wave: DataFrame,
       waveNo: Int, cfg: GraftConfig = GraftConfig(),
       evalGate: Option[EvalGate] = None): WaveReport = {
-    // all three audit counts in ONE wave pass (they used to be one
-    // full scan each; at corpus scale that is two avoidable passes)
     val tombs = spark.table(st.tombTable)
-    val (incoming, nLive, nGated) =
-      waveAuditCounts(wave, tombs, Some(gatePredicate(cfg, evalGate)))
 
     // takedown first: a retracted id can never re-enter through a
     // re-crawl (broadcast anti — the tombstone table is request-sized)
@@ -230,7 +229,13 @@ object IngestCli {
           graft.functions.text.norm_key(col("text")), Seq(col("doc_id").asc)),
         col("text"), spark.table(st.digestTable))
       .localCheckpoint(eager = false)
-    val nExact = exact.count()
+    // all three audit counts in ONE wave pass (they used to be one
+    // full scan each), overlapped with the exact-stage materialization
+    // — the two scans are independent, so the audit hides inside the
+    // heavier dedup wall (guide §2.6)
+    val ((incoming, nLive, nGated), nExact) = operators.Actions.par2(
+      waveAuditCounts(wave, tombs, Some(gatePredicate(cfg, evalGate))),
+      exact.count())
 
     // fuzzy: against-state and in-wave drops computed over the SAME
     // input and unioned (never chained) — the seen-not-kept contract
@@ -245,10 +250,19 @@ object IngestCli {
     val nAccepted = accepted.count()
 
     // state grows by the wave's FUZZY-STAGE INPUT (exact survivors),
-    // not by the accepted set — see the equivalence contract above
-    Incremental.appendDigests(exact, col("text"), st.digestTable, st.numBuckets)
-    Incremental.appendBandedSignatures(exact, "doc_id", col("text"),
-      st.sigTable, st.numBuckets)
+    // not by the accepted set — see the equivalence contract above.
+    // The two state appends write DIFFERENT tables from the same
+    // materialized exact blocks and run concurrently: the loop is
+    // at-least-once (a crashed wave re-runs and re-appends), and both
+    // state tables tolerate the duplicate rows a re-run can leave in
+    // ANY landing order (digests feed an anti-join, signature dup ids
+    // collapse behind `.distinct()`), so no ordering between them was
+    // ever load-bearing. State-before-GOLD stays strict below.
+    operators.Actions.inParallel(Seq(
+      () => Incremental.appendDigests(exact, col("text"), st.digestTable,
+        st.numBuckets),
+      () => Incremental.appendBandedSignatures(exact, "doc_id", col("text"),
+        st.sigTable, st.numBuckets)))
 
     // gold append + per-wave release manifest. An all-duplicate wave
     // appends nothing — but an empty Append still CREATES the gold
@@ -259,10 +273,13 @@ object IngestCli {
       .write.mode(SaveMode.Append).partitionBy("ingest_wave")
       .parquet(st.goldPath)
     val goldHas = goldHasData(spark, st.goldPath)
-    val goldTotal = if (goldHas) spark.read.parquet(st.goldPath).count() else 0L
-    if (goldHas)
-      sources.CorpusIO.releaseManifest(spark, st.goldPath, "ingest_wave")
-        .write.mode(SaveMode.Overwrite).parquet(st.manifestPath)
+    var goldTotal = 0L
+    // audit count and manifest overwrite both read the just-appended
+    // gold and are mutually independent — overlapped
+    if (goldHas) operators.Actions.inParallel(Seq(
+      () => goldTotal = spark.read.parquet(st.goldPath).count(),
+      () => sources.CorpusIO.releaseManifest(spark, st.goldPath, "ingest_wave")
+        .write.mode(SaveMode.Overwrite).parquet(st.manifestPath)))
 
     WaveReport(waveNo, incoming, nLive, nGated, nExact, nAccepted, goldTotal)
   }
@@ -607,21 +624,25 @@ object IngestCli {
     * `(doc_id, decoded, sig)` rows — 64-bit perceptual signature,
     * null when undecodable; the default is the image dHash
     * ([[operators.Images.imageSignatures]]); pass the audio eHash or
-    * a SimHash the same way. `blocklist` (licensing/flagged-content
-    * enforcement) gates EXACTLY, map-side, before any dedup work. */
+    * a SimHash the same way. CONTRACT: the signer must emit EXACTLY
+    * ONE row per input doc (every stock signer does) — the wave
+    * report's decoded/blocked/accepted counts are row counts over the
+    * signer output plus arithmetic, so a signer emitting zero or
+    * multiple rows per doc would skew the REPORT (the written gold is
+    * still id-keyed and stays correct). `blocklist`
+    * (licensing/flagged-content enforcement) gates EXACTLY, map-side,
+    * before any dedup work. */
   def ingestMediaWave(spark: SparkSession, st: MediaState, wave: DataFrame,
       waveNo: Int,
       signer: DataFrame => DataFrame = defaultImageSigner,
       blocklist: Option[Dedup.HammingIndex] = None,
       signerName: String = ImageSignerName): MediaWaveReport = {
-    // audit counts in ONE wave pass (was one full scan each)
     val tombs = spark.table(st.tombTable)
-    val (incoming, nLive, _) = waveAuditCounts(wave, tombs, None)
     val live = Incremental.retractIds(wave, "doc_id", tombs)
 
     // decode once per wave; (doc_id, decoded, sig) is 17 bytes/row —
     // the content bytes never travel past this scan. Lazy local
-    // checkpoint: the audit aggregation right below materializes the
+    // checkpoint: the signature aggregation below materializes the
     // blocks, so decode+materialize+counts cost ONE job, not three.
     val sigs = signer(live).select(col("doc_id"), col("decoded"), col("sig"))
       .localCheckpoint(eager = false)
@@ -636,8 +657,16 @@ object IngestCli {
         col("sig").isNull || !Dedup.hammingNearSet(col("sig"), idx)
       case None => lit(true)
     }
-    val sigCounts = sigs.agg(
-      count(when(col("decoded"), 1)), count(when(admittedPred, 1))).head()
+    // the audit aggregation (wave + tombstones only) and the decode
+    // pass behind the signature aggregation are independent — run the
+    // two wave scans concurrently; the cheap audit hides entirely
+    // inside the decode wall (guide §2.6)
+    val ((incoming, nLive, _), sigCounts) = operators.Actions.par2(
+      labeled(spark, s"media wave $waveNo: audit counts") {
+        waveAuditCounts(wave, tombs, None) },
+      labeled(spark, s"media wave $waveNo: decode + counts") {
+        sigs.agg(count(when(col("decoded"), 1)),
+          count(when(admittedPred, 1))).head() })
     val nDecoded = sigCounts.getLong(0)
     val nBlocked = nLive - sigCounts.getLong(1)
     val admitted = sigs.filter(admittedPred)
@@ -657,21 +686,27 @@ object IngestCli {
     // enumerations read `decoded`), wave ids are unique (the loop's
     // documented contract), so |accepted| = |admitted| − |dropIds| —
     // no second content-carrying pass just to count the survivors
-    val nAccepted = sigCounts.getLong(1) - dropIds.count()
+    val nAccepted = sigCounts.getLong(1) -
+      labeled(spark, s"media wave $waveNo: drop ids") { dropIds.count() }
     val acceptedIds = admitted.select("doc_id")
       .join(dropIds, Seq("doc_id"), "left_anti")
 
     // state grows by every decoded admitted signature (dropped or not)
-    Incremental.appendHammingState(decoded, "doc_id", "sig", st.sigTable,
-      st.maxHamming, st.numBuckets, signer = Some(signerName))
+    labeled(spark, s"media wave $waveNo: state append") {
+      Incremental.appendHammingState(decoded, "doc_id", "sig", st.sigTable,
+        st.maxHamming, st.numBuckets, signer = Some(signerName))
+    }
 
     val accepted = live.join(acceptedIds, Seq("doc_id"), "left_semi")
-    accepted.withColumn("ingest_wave", lit(waveNo))
-      .write.mode(SaveMode.Append).partitionBy("ingest_wave")
-      .parquet(st.goldPath)
+    labeled(spark, s"media wave $waveNo: gold append") {
+      accepted.withColumn("ingest_wave", lit(waveNo))
+        .write.mode(SaveMode.Append).partitionBy("ingest_wave")
+        .parquet(st.goldPath)
+    }
     val goldTotal =
       if (goldHasData(spark, st.goldPath))
-        spark.read.parquet(st.goldPath).count()
+        labeled(spark, s"media wave $waveNo: gold count") {
+          spark.read.parquet(st.goldPath).count() }
       else 0L
     MediaWaveReport(waveNo, incoming, nLive, nDecoded, nBlocked, nAccepted,
       goldTotal)
@@ -849,20 +884,25 @@ object IngestCli {
   def ingestVideoWave(spark: SparkSession, st: VideoState, wave: DataFrame,
       waveNo: Int,
       blocklist: Option[Dedup.HammingIndex] = None): MediaWaveReport = {
-    // audit counts in ONE wave pass (was one full scan each)
     val tombs = spark.table(st.tombTable)
-    val (incoming, nLive, _) = waveAuditCounts(wave, tombs, None)
     val live = Incremental.retractIds(wave, "doc_id", tombs)
 
     // decode once per wave: (doc_id, frame_pos, dhash) — 16 B/frame;
     // clip bytes never travel past this scan. Lazy local checkpoint:
     // the decoded-clip count below materializes the blocks, so
-    // decode+materialize+count is ONE job.
+    // decode+materialize+count is ONE job. The audit aggregation
+    // (wave + tombstones only) is independent of the decode — the two
+    // wave scans run concurrently and the cheap audit hides inside
+    // the decode wall (guide §2.6).
     val sigs = operators.Video.frameSignatures(live, "doc_id",
         col("content"), st.everyNth)
       .localCheckpoint(eager = false)
     val decodedIds = sigs.select("doc_id").distinct()
-    val nDecoded = decodedIds.count()
+    val ((incoming, nLive, _), nDecoded) = operators.Actions.par2(
+      labeled(spark, s"video wave $waveNo: audit counts") {
+        waveAuditCounts(wave, tombs, None) },
+      labeled(spark, s"video wave $waveNo: decode + count") {
+        decodedIds.count() })
 
     // cross-modal blocklist: ANY flagged sampled frame blocks the
     // whole clip — map-side codegen per frame row, one tiny distinct.
@@ -893,23 +933,29 @@ object IngestCli {
     // rows), and wave ids are unique (the loop's documented
     // contract) — so |accepted| = |live| − |blocked| − |dropIds| and
     // the survivors need no second content-carrying pass to count
-    val nAccepted = nLive - nBlocked - dropIds.count()
+    val nAccepted = nLive - nBlocked -
+      labeled(spark, s"video wave $waveNo: drop ids") { dropIds.count() }
 
     // state grows by every admitted decoded clip's frames (dropped or
     // not); blocked clips never enter state
-    Incremental.appendFrameHammingState(admitted, "doc_id", "dhash",
-      st.sigTable, st.maxHamming, st.numBuckets,
-      everyNth = st.everyNth, signer = Some(VideoSignerName))
+    labeled(spark, s"video wave $waveNo: state append") {
+      Incremental.appendFrameHammingState(admitted, "doc_id", "dhash",
+        st.sigTable, st.maxHamming, st.numBuckets,
+        everyNth = st.everyNth, signer = Some(VideoSignerName))
+    }
 
     val accepted = live
       .join(blockedIds, Seq("doc_id"), "left_anti")
       .join(dropIds, Seq("doc_id"), "left_anti")
-    accepted.withColumn("ingest_wave", lit(waveNo))
-      .write.mode(SaveMode.Append).partitionBy("ingest_wave")
-      .parquet(st.goldPath)
+    labeled(spark, s"video wave $waveNo: gold append") {
+      accepted.withColumn("ingest_wave", lit(waveNo))
+        .write.mode(SaveMode.Append).partitionBy("ingest_wave")
+        .parquet(st.goldPath)
+    }
     val goldTotal =
       if (goldHasData(spark, st.goldPath))
-        spark.read.parquet(st.goldPath).count()
+        labeled(spark, s"video wave $waveNo: gold count") {
+          spark.read.parquet(st.goldPath).count() }
       else 0L
     MediaWaveReport(waveNo, incoming, nLive, nDecoded, nBlocked, nAccepted,
       goldTotal)

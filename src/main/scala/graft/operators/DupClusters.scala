@@ -68,7 +68,6 @@ object DupClusters {
     val e0 =
       if (reliable) materialize(edges.select(col("id_a"), col("id_b")))
       else edges.select(col("id_a"), col("id_b")).localCheckpoint(eager = false)
-    val nEdges = e0.count()
 
     // Small-graph fast path: after near-dup pair enumeration the edge
     // set is typically orders of magnitude smaller than the corpus —
@@ -80,11 +79,46 @@ object DupClusters {
     // bounded METADATA collect — cluster labels for edge endpoints —
     // not a data collect: isolated vertices (the corpus bulk) never
     // leave the cluster.
+    //
+    // The size gate and the edge fetch fuse into ONE job (they used to
+    // be a count job followed by a collect job — two scheduled jobs
+    // plus a driver gap for every CC call in the engine): each
+    // partition emits its row count plus its rows CAPPED at ~2× the
+    // per-partition share of the threshold. When no partition hit its
+    // cap and the total is inside the threshold, the capped rows ARE
+    // the complete edge list; any overflow keeps only the counts
+    // (driver intake stays ≤ ~2× threshold tuples by construction) and
+    // the distributed loop below runs against the already-materialized
+    // checkpoint blocks with nEdges known. A skew-pathological small
+    // graph (one partition > 2× the average at the threshold) merely
+    // falls back to the distributed loop — never a wrong answer.
     val idType = e0.schema.fields(0).dataType
     val integral = idType.isInstanceOf[org.apache.spark.sql.types.LongType] ||
       idType.isInstanceOf[org.apache.spark.sql.types.IntegerType] ||
       idType.isInstanceOf[org.apache.spark.sql.types.ShortType]
-    if (nEdges <= driverEdgeThreshold && integral) {
+    var nEdges = -1L
+    var collected: Array[(Long, Long)] = null
+    if (integral) {
+      val rdd0 = e0.rdd
+      val cap = math.max(1024L, 2L * (driverEdgeThreshold + 1) /
+        math.max(1, rdd0.getNumPartitions))
+      val parts = rdd0.mapPartitions { it =>
+        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var cnt = 0L
+        it.foreach { row =>
+          cnt += 1
+          if (cnt <= cap)
+            buf += ((row.get(0).asInstanceOf[Number].longValue,
+              row.get(1).asInstanceOf[Number].longValue))
+        }
+        Iterator.single((cnt, if (cnt <= cap) buf.toArray
+          else Array.empty[(Long, Long)]))
+      }.collect()
+      nEdges = parts.map(_._1).sum
+      if (nEdges <= driverEdgeThreshold && parts.forall(p => p._1 <= cap))
+        collected = parts.flatMap(_._2)
+    } else nEdges = e0.count()
+    if (collected != null) {
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -93,9 +127,7 @@ object DupClusters {
         while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      e0.collect().foreach { row =>
-        val a = row.get(0).asInstanceOf[Number].longValue
-        val b = row.get(1).asInstanceOf[Number].longValue
+      collected.foreach { case (a, b) =>
         parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
         val (ra, rb) = (find(a), find(b))
         // union by MIN root so the representative is the smallest id

@@ -68,8 +68,7 @@ object Images {
   def decodeGray(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
     if (bytes == null || bytes.length == 0) return None
     try {
-      val img = ImageIO.read(new javax.imageio.stream.MemoryCacheImageInputStream(
-        new ByteArrayInputStream(bytes)))
+      val img = readImage(bytes)
       if (img == null) return None
       val w = img.getWidth; val h = img.getHeight
       if (w <= 0 || h <= 0) return None
@@ -91,6 +90,65 @@ object Images {
       }
       Some((w, h, gray))
     } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Per-thread ImageReader cache keyed by container format.
+    *
+    * `ImageIO.read(stream)` re-runs service-registry reader DISCOVERY
+    * and constructs a fresh reader per call — for corpus-scale decode
+    * of SMALL images (32×32 stills, per-frame MJPEG payloads) that
+    * fixed cost rivals the decode itself. The format is sniffed from
+    * the magic bytes and a per-thread reader of the SAME JDK plugin
+    * class `ImageIO.read` would have selected is reused with
+    * `setInput(stream, seekForwardOnly=true, ignoreMetadata=true)` +
+    * `read(0)` — exactly `ImageIO.read`'s call sequence, same codec,
+    * same pixels, so signatures stay bit-identical (ImagesSpec /
+    * VideoSpec pin them). Unknown magics fall back to `ImageIO.read`
+    * verbatim; a reader that throws is disposed and dropped (never
+    * reused dirty). Executor task threads are reused across tasks, so
+    * the cache amortizes across the whole executor lifetime. */
+  private val readerCache =
+    new ThreadLocal[java.util.HashMap[String, javax.imageio.ImageReader]] {
+      override def initialValue(): java.util.HashMap[String, javax.imageio.ImageReader] =
+        new java.util.HashMap()
+    }
+
+  private def sniffFormat(b: Array[Byte]): String =
+    if (b.length >= 8 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' &&
+      b(3) == 'G') "png"
+    else if (b.length >= 3 && (b(0) & 0xFF) == 0xFF && (b(1) & 0xFF) == 0xD8) "jpeg"
+    else if (b.length >= 4 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F') "gif"
+    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+    else null
+
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val fmt = sniffFormat(bytes)
+    val fresh = () => ImageIO.read(
+      new javax.imageio.stream.MemoryCacheImageInputStream(
+        new ByteArrayInputStream(bytes)))
+    if (fmt == null) return fresh()
+    val cache = readerCache.get()
+    var reader = cache.get(fmt)
+    if (reader == null) {
+      val it = ImageIO.getImageReadersByFormatName(fmt)
+      if (!it.hasNext) return fresh()
+      reader = it.next()
+      cache.put(fmt, reader)
+    }
+    val stream = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new ByteArrayInputStream(bytes))
+    try {
+      reader.setInput(stream, true, true)
+      reader.read(0)
+    } catch { case e: Throwable =>
+      // never reuse a reader that threw mid-decode — its internal
+      // state may be corrupt; the next call re-creates one
+      cache.remove(fmt)
+      try reader.dispose() catch { case _: Throwable => () }
+      throw e
+    } finally {
+      try stream.close() catch { case _: Throwable => () }
+    }
   }
 
   /** Area-average downscale to tw×th (row-major). Integer block

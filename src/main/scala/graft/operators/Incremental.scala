@@ -2098,15 +2098,30 @@ object Incremental {
 
   /** Wave-shaped postings from raw (id, text): per-doc DISTINCT gram
     * digests + the denormalized total. Materialized eagerly — the
-    * frame feeds the self-join, the state probe AND the append. */
+    * frame feeds the self-join, the state probe AND the append.
+    *
+    * Computed entirely MAP-SIDE, zero exchanges (guide §2.4): the
+    * per-doc gram set is already distinct via `array_distinct` (wave
+    * ids are unique by the loop contract, so a global `.distinct()`
+    * was a full gram shuffle that deduplicated nothing), and
+    * `n_grams` is the set's size taken BEFORE the explode — the old
+    * groupBy-count-then-join-back re-derived exactly this number at
+    * the cost of two more exchanges. Identical output modulo 128-bit
+    * xxhash64 pair collisions between distinct gram strings (the same
+    * place the old global distinct differed from the string-level
+    * set). */
   private[graft] def wavePostings(wave: DataFrame, idCol: String,
-      textCol: Column, n: Int): DataFrame = {
-    val grams = gramKeys(wave.select(col(idCol), textCol.as("__t")),
-      col("__t"), n).drop("__t").distinct()
-    grams.join(grams.groupBy(col(idCol)).agg(count(lit(1)).as("n_grams")),
-        Seq(idCol))
+      textCol: Column, n: Int): DataFrame =
+    wave.select(col(idCol),
+        array_distinct(Dedup.wordNGrams(textCol, n)).as("__gs"))
+      // cast: size() is int, the legacy count() column was long — the
+      // posting-table schema is layout identity, so keep it bit-equal
+      .select(col(idCol), col("__gs"),
+        size(col("__gs")).cast("long").as("n_grams"))
+      .select(col(idCol), explode(col("__gs")).as("__g"), col("n_grams"))
+      .select(col(idCol), xxhash64(col("__g")).as("__g1"),
+        xxhash64(col("__g"), lit(1)).as("__g2"), col("n_grams"))
       .localCheckpoint(true)
-  }
 
   /** Initial cluster state: batch-cluster the corpus (exact gram
     * Jaccard pairs → [[DupClusters.connectedComponents]] min-label
@@ -2122,24 +2137,34 @@ object Incremental {
     Seq(patchTable(t), tombTable(t))
       .foreach(tb => spark.sql(s"DROP TABLE IF EXISTS $tb"))
     val posts = wavePostings(corpus, idCol, textCol, n)
-    val pairs = gramJaccardPairsSelf(posts, idCol, threshold)
-      .select(col("__ia").as("id_a"), col("__ib").as("id_b"))
-      .localCheckpoint(true)
-    val comps = DupClusters.connectedComponents(
-      corpus.select(col(idCol)), pairs)
-    writeEdges(pairs, t, SaveMode.Overwrite)
-    posts.select(col("__g1").as("g1"), col("__g2").as("g2"), col(idCol),
-        col("n_grams"))
-      .repartition(t.numBuckets, col("g1"), col("g2"))
-      .write.mode(SaveMode.Overwrite).bucketBy(t.numBuckets, "g1", "g2")
-      .sortBy("g1", "g2").option("path", t.postPath)
-      .saveAsTable(t.postTable)
-    comps.select(col("id").as(idCol), col("cluster"))
-      .repartition(t.numBuckets, col(idCol))
-      .write.mode(SaveMode.Overwrite).bucketBy(t.numBuckets, idCol)
-      .sortBy(idCol).option("path", t.memberPath)
-      .saveAsTable(t.memberTable)
-    writeEmptyAlias(spark, t)
+    // A FRESH state's four relations are each a blue/green Overwrite
+    // into their own dir (a crash re-inits from scratch), so no write
+    // ordering is load-bearing here — unlike the append path. The
+    // postings write and the empty alias depend only on `posts`, so
+    // they overlap the whole pair-enumeration → CC → edges/membership
+    // chain instead of queueing behind it (guide §2.6).
+    Actions.inParallel(Seq(
+      () => {
+        val pairs = gramJaccardPairsSelf(posts, idCol, threshold)
+          .select(col("__ia").as("id_a"), col("__ib").as("id_b"))
+          .localCheckpoint(true)
+        val comps = DupClusters.connectedComponents(
+          corpus.select(col(idCol)), pairs)
+        Actions.inParallel(Seq(
+          () => writeEdges(pairs, t, SaveMode.Overwrite),
+          () => comps.select(col("id").as(idCol), col("cluster"))
+            .repartition(t.numBuckets, col(idCol))
+            .write.mode(SaveMode.Overwrite).bucketBy(t.numBuckets, idCol)
+            .sortBy(idCol).option("path", t.memberPath)
+            .saveAsTable(t.memberTable)))
+      },
+      () => posts.select(col("__g1").as("g1"), col("__g2").as("g2"),
+          col(idCol), col("n_grams"))
+        .repartition(t.numBuckets, col("g1"), col("g2"))
+        .write.mode(SaveMode.Overwrite).bucketBy(t.numBuckets, "g1", "g2")
+        .sortBy("g1", "g2").option("path", t.postPath)
+        .saveAsTable(t.postTable),
+      () => writeEmptyAlias(spark, t)))
   }
 
   private val AliasSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -2204,8 +2229,11 @@ object Incremental {
   }
 
   /** Recovery for a crash inside [[appendClusters]]' multi-write wave
-    * (edges append → alias swap → membership append → postings append
-    * — not atomic as a group). The persisted doc-level EDGES are the
+    * (edges append → {alias swap ∥ membership append} → postings
+    * append — not atomic as a group; the middle pair runs concurrently
+    * because both are regenerated here from the edges, while edges
+    * stay FIRST and the non-idempotent postings append stays LAST).
+    * The persisted doc-level EDGES are the
     * connectivity source of truth (they land first) and membership is
     * the vertex authority, so canonical labels are re-derivable
     * without touching any text: components over (membership ids,
@@ -2293,8 +2321,6 @@ object Incremental {
       n: Int, threshold: Double, t: ClusterTables): DataFrame = {
     val spark = wave.sparkSession
     val posts = wavePostings(wave, idCol, textCol, n)
-    val inWave = gramJaccardPairsSelf(posts, idCol, threshold)
-      .localCheckpoint(true)
     // pending takedown overlay: a tombstoned doc's postings must not
     // match (its content no longer suppresses or links anything) —
     // broadcast anti-join, the retraction-at-read pattern
@@ -2306,9 +2332,16 @@ object Incremental {
     val statePosts = statePosts1
       .select(col(idCol).as("__ib"), col("g1").as("__g1"),
         col("g2").as("__g2"), col("n_grams").as("__nb"))
-    val waveState = gramJaccardPairs(postingsShape(posts, idCol, "a"),
-      statePosts, threshold)
-      .localCheckpoint(true)
+    // the in-wave self-join and the wave↔state probe are independent
+    // reads of the materialized postings: UNION them under a source
+    // tag and materialize ONCE — one action instead of two, and AQE
+    // materializes the two subtrees' independent stages concurrently
+    // within the single plan, so the wave pays max not sum (guide
+    // §2.6) without a second job's worth of submit latency
+    val (inWave, waveState) = enumeratePairsTagged(
+      gramJaccardPairsSelf(posts, idCol, threshold),
+      gramJaccardPairs(postingsShape(posts, idCol, "a"), statePosts,
+        threshold))
     appendClustersCore(spark, wave, idCol, inWave, waveState, t) {
       posts.select(col("__g1").as("g1"), col("__g2").as("g2"), col(idCol),
           col("n_grams"))
@@ -2316,6 +2349,23 @@ object Incremental {
         .write.mode(SaveMode.Append).bucketBy(t.numBuckets, "g1", "g2")
         .sortBy("g1", "g2").saveAsTable(t.postTable)
     }
+  }
+
+  /** Materialize a wave's two pair enumerations — the in-wave
+    * self-join and the wave↔state probe, both `(__ia, __ib)` — in ONE
+    * localCheckpoint action: the frames union under a source tag, so
+    * one job materializes both (AQE runs the two subtrees' independent
+    * stages concurrently inside it) and the downstream consumers read
+    * tag-filtered blocks. Returns (inWave, waveState). */
+  private def enumeratePairsTagged(inWavePlan: DataFrame,
+      waveStatePlan: DataFrame): (DataFrame, DataFrame) = {
+    val tagged = inWavePlan
+      .select(lit(0).as("__src"), col("__ia"), col("__ib"))
+      .unionByName(waveStatePlan
+        .select(lit(1).as("__src"), col("__ia"), col("__ib")))
+      .localCheckpoint(true)
+    (tagged.filter(col("__src") === 0).select(col("__ia"), col("__ib")),
+      tagged.filter(col("__src") === 1).select(col("__ia"), col("__ib")))
   }
 
   /** The posting-agnostic half of a cluster-state wave: persists the
@@ -2342,10 +2392,16 @@ object Incremental {
     val canonOf = resolveRaw(spark, t)
       .join(waveState.select(col("__ib").as(idCol)).distinct(), Seq(idCol))
       .select(col(idCol).as("__ib"), col("cluster").as("__canon"))
+    // bridgeEdges is the frame with THREE consumers (touched, the CC
+    // edge list, and — via touched — the alias rewrite), so IT is the
+    // one to checkpoint; deriving `touched` lazily from its blocks is
+    // a trivial distinct, while checkpointing touched instead (the old
+    // shape) left the CC edge materialization re-running the whole
+    // membership probe a second time.
     val bridgeEdges = waveState.join(canonOf, Seq("__ib"))
       .select(col("__ia").as("id_a"), col("__canon").as("id_b")).distinct()
-    val touched = bridgeEdges.select(col("id_b")).distinct()
       .localCheckpoint(true)
+    val touched = bridgeEdges.select(col("id_b")).distinct()
     val vertices = wave.select(col(idCol))
       .union(touched.select(col("id_b").as(idCol))).distinct()
     val comps = DupClusters.connectedComponents(vertices,
@@ -2360,20 +2416,36 @@ object Incremental {
       .join(touched.select(col("id_b").as("id")), Seq("id"))
       .filter(col("cluster") =!= col("id"))
       .select(col("id").as("cluster"), col("cluster").as("canon"))
-    val rewritten = alias
-      .join(broadcast(newAliases.select(col("cluster").as("__mc"),
-        col("canon").as("__nc"))), col("canon") === col("__mc"), "left")
-      .select(col("cluster"), coalesce(col("__nc"), col("canon")).as("canon"))
-      .union(newAliases)
-      .localCheckpoint(true)
-    writeAliasVersioned(spark, rewritten, t)
-    val assigned = comps
-      .join(wave.select(col(idCol).as("id")), Seq("id"))
-      .select(col("id").as(idCol), col("cluster"))
-      .localCheckpoint(true)
-    assigned.repartition(t.numBuckets, col(idCol))
-      .write.mode(SaveMode.Append).bucketBy(t.numBuckets, idCol)
-      .sortBy(idCol).saveAsTable(t.memberTable)
+    // alias swap and membership append both derive from the
+    // checkpointed comps and have no ordering contract BETWEEN them
+    // (the alias swap is idempotent blue/green; duplicate membership
+    // rows from a crashed re-run collapse in [[recoverClusters]],
+    // which regenerates both relations from the edges either way) —
+    // so the two chains run concurrently. Edges stay FIRST (the
+    // connectivity source of truth, written above) and postings stay
+    // LAST (the one non-idempotent append — landing it last keeps a
+    // crashed wave's re-run duplicate-free).
+    var assigned: DataFrame = null
+    Actions.inParallel(Seq(
+      () => {
+        val rewritten = alias
+          .join(broadcast(newAliases.select(col("cluster").as("__mc"),
+            col("canon").as("__nc"))), col("canon") === col("__mc"), "left")
+          .select(col("cluster"),
+            coalesce(col("__nc"), col("canon")).as("canon"))
+          .union(newAliases)
+          .localCheckpoint(true)
+        writeAliasVersioned(spark, rewritten, t)
+      },
+      () => {
+        assigned = comps
+          .join(wave.select(col(idCol).as("id")), Seq("id"))
+          .select(col("id").as(idCol), col("cluster"))
+          .localCheckpoint(true)
+        assigned.repartition(t.numBuckets, col(idCol))
+          .write.mode(SaveMode.Append).bucketBy(t.numBuckets, idCol)
+          .sortBy(idCol).saveAsTable(t.memberTable)
+      }))
     appendPosts
     assigned
   }
@@ -2407,26 +2479,33 @@ object Incremental {
     val keep = fp0.groupBy("fp").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf).select("fp")
     val posts = fp0.join(keep, Seq("fp")).localCheckpoint(true)
-    val pairs = posts.alias("a").join(posts.alias("b"),
-        col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .agg(count(lit(1)).as("__shared"))
-      .filter(col("__shared") >= minShared)
-      .select(col("id_a"), col("id_b"))
-      .localCheckpoint(true)
-    val comps = DupClusters.connectedComponents(
-      corpus.select(col(idCol)), pairs)
-    writeEdges(pairs, t, SaveMode.Overwrite)
-    posts.repartition(t.numBuckets, col("fp"))
-      .write.mode(SaveMode.Overwrite).bucketBy(t.numBuckets, "fp")
-      .sortBy("fp").option("path", t.postPath)
-      .saveAsTable(t.postTable)
-    comps.select(col("id").as(idCol), col("cluster"))
-      .repartition(t.numBuckets, col(idCol))
-      .write.mode(SaveMode.Overwrite).bucketBy(t.numBuckets, idCol)
-      .sortBy(idCol).option("path", t.memberPath)
-      .saveAsTable(t.memberTable)
-    writeEmptyAlias(spark, t)
+    // same overlap as [[writeClusterState]]: fresh-state Overwrites
+    // are order-free, so the posting and alias writes run concurrently
+    // with the pair → CC → edges/membership chain
+    Actions.inParallel(Seq(
+      () => {
+        val pairs = posts.alias("a").join(posts.alias("b"),
+            col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))
+          .groupBy(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+          .agg(count(lit(1)).as("__shared"))
+          .filter(col("__shared") >= minShared)
+          .select(col("id_a"), col("id_b"))
+          .localCheckpoint(true)
+        val comps = DupClusters.connectedComponents(
+          corpus.select(col(idCol)), pairs)
+        Actions.inParallel(Seq(
+          () => writeEdges(pairs, t, SaveMode.Overwrite),
+          () => comps.select(col("id").as(idCol), col("cluster"))
+            .repartition(t.numBuckets, col(idCol))
+            .write.mode(SaveMode.Overwrite).bucketBy(t.numBuckets, idCol)
+            .sortBy(idCol).option("path", t.memberPath)
+            .saveAsTable(t.memberTable)))
+      },
+      () => posts.repartition(t.numBuckets, col("fp"))
+        .write.mode(SaveMode.Overwrite).bucketBy(t.numBuckets, "fp")
+        .sortBy("fp").option("path", t.postPath)
+        .saveAsTable(t.postTable),
+      () => writeEmptyAlias(spark, t)))
   }
 
   /** One wave against a winnow-backed cluster state — the q160
@@ -2448,28 +2527,30 @@ object Incremental {
     val keep = fp0.groupBy("fp").agg(count(lit(1)).as("__df"))
       .filter(col("__df") <= maxDf).select("fp")
     val posts = fp0.join(keep, Seq("fp")).localCheckpoint(true)
-    val inWave = posts.alias("a").join(posts.alias("b"),
-        col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .groupBy(col(s"a.$idCol").as("__ia"), col(s"b.$idCol").as("__ib"))
-      .agg(count(lit(1)).as("__shared"))
-      .filter(col("__shared") >= minShared)
-      .select(col("__ia"), col("__ib"))
-      .localCheckpoint(true)
     val statePosts0 = spark.table(t.postTable)
     val statePosts =
       (if (spark.catalog.tableExists(tombTable(t)))
         retractIds(statePosts0, idCol, spark.table(tombTable(t)))
       else statePosts0)
         .select(col("fp"), col(idCol).as("__ib"))
-    val waveState = posts.select(col("fp"), col(idCol).as("__ia"))
-      .join(statePosts, Seq("fp"))
-      .groupBy(col("__ia"), col("__ib"))
-      // distinct fps, not join rows — duplicate-safe like
-      // overlapAgainstTable should the posting invariant break
-      .agg(countDistinct(col("fp")).as("__shared"))
-      .filter(col("__shared") >= minShared)
-      .select(col("__ia"), col("__ib"))
-      .localCheckpoint(true)
+    // in-wave self-join + wave↔state probe materialized in ONE tagged
+    // action ([[enumeratePairsTagged]] — one job, AQE-concurrent
+    // subtree stages)
+    val (inWave, waveState) = enumeratePairsTagged(
+      posts.alias("a").join(posts.alias("b"),
+          col("a.fp") === col("b.fp") && col(s"a.$idCol") < col(s"b.$idCol"))
+        .groupBy(col(s"a.$idCol").as("__ia"), col(s"b.$idCol").as("__ib"))
+        .agg(count(lit(1)).as("__shared"))
+        .filter(col("__shared") >= minShared)
+        .select(col("__ia"), col("__ib")),
+      posts.select(col("fp"), col(idCol).as("__ia"))
+        .join(statePosts, Seq("fp"))
+        .groupBy(col("__ia"), col("__ib"))
+        // distinct fps, not join rows — duplicate-safe like
+        // overlapAgainstTable should the posting invariant break
+        .agg(countDistinct(col("fp")).as("__shared"))
+        .filter(col("__shared") >= minShared)
+        .select(col("__ia"), col("__ib")))
     appendClustersCore(spark, wave, idCol, inWave, waveState, t) {
       posts.join(statePosts0.select(col("fp"),
           col(idCol)), Seq("fp", idCol), "left_anti")
@@ -2539,8 +2620,9 @@ object Incremental {
     * [[compactClusterPatches]] makes it physical when the ledger
     * grows past taste.
     *
-    * Write order for the crash window: patch swap (blue/green), alias
-    * swap (blue/green), tombstones last — a crash anywhere re-runs to
+    * Write order for the crash window: patch swap ∥ alias swap (both
+    * idempotent blue/green — safe under any interleaving, so they run
+    * concurrently), tombstones LAST — a crash anywhere re-runs to
     * the same converged state (affected clusters are recomputed from
     * the PRE-tombstone view, so a half-applied takedown is found
     * again, and patch/alias swaps are idempotent). */
@@ -2579,20 +2661,28 @@ object Incremental {
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         patchSchema(idCol))
-    val merged = oldPatch
-      .join(newPatch.select(col(idCol)), Seq(idCol), "left_anti")
-      .join(rid, col(idCol) === col("__rid"), "left_anti")
-      .unionByName(newPatch)
-      .localCheckpoint(true)
-    writeVersionedSwap(spark,
-      merged.select(col(idCol).cast("long"), col("cluster").cast("long")),
-      patchTable(t), patchPath(t), patchSchema(idCol))
-    val aliasKept = spark.table(t.aliasTable)
-      .join(broadcast(affected.select(col("cluster").as("canon"))),
-        Seq("canon"), "left_anti")
-      .select(col("cluster"), col("canon"))
-      .localCheckpoint(true)
-    writeAliasVersioned(spark, aliasKept, t)
+    // patch swap ∥ alias swap: both idempotent blue/green (the crash
+    // story above holds under any interleaving of the two); only the
+    // tombstone append below must stay LAST
+    Actions.inParallel(Seq(
+      () => {
+        val merged = oldPatch
+          .join(newPatch.select(col(idCol)), Seq(idCol), "left_anti")
+          .join(rid, col(idCol) === col("__rid"), "left_anti")
+          .unionByName(newPatch)
+          .localCheckpoint(true)
+        writeVersionedSwap(spark,
+          merged.select(col(idCol).cast("long"), col("cluster").cast("long")),
+          patchTable(t), patchPath(t), patchSchema(idCol))
+      },
+      () => {
+        val aliasKept = spark.table(t.aliasTable)
+          .join(broadcast(affected.select(col("cluster").as("canon"))),
+            Seq("canon"), "left_anti")
+          .select(col("cluster"), col("canon"))
+          .localCheckpoint(true)
+        writeAliasVersioned(spark, aliasKept, t)
+      }))
     priorTomb match {
       case Some(tomb) => appendTombstones(rid.select(col("__rid")), "__rid",
         tomb, tombTable(t), numBuckets = 16)
@@ -2675,12 +2765,6 @@ object Incremental {
     val untouched = resolved
       .join(broadcast(affected), Seq("cluster"), "left_anti")
       .select(col(idCol), col("cluster"))
-    untouched
-      .union(comps.select(col("id").as(idCol), col("cluster")))
-      .repartition(nt.numBuckets, col(idCol))
-      .write.mode(SaveMode.Overwrite).bucketBy(nt.numBuckets, idCol)
-      .sortBy(idCol).option("path", nt.memberPath)
-      .saveAsTable(nt.memberTable)
     // a pending patch/tombstone overlay bakes in here too: membership
     // came through resolveClusters (overlay-aware), and postings/edges
     // drop BOTH this request's ids and any previously-tombstoned ones
@@ -2697,23 +2781,34 @@ object Incremental {
     val pb =
       if (spark.table(t.postTable).columns.contains("fp")) Seq("fp")
       else Seq("g1", "g2")
-    priorTomb.fold(posts0)(retractIds(posts0, idCol, _))
-      .repartition(nt.numBuckets, pb.map(col): _*)
-      .write.mode(SaveMode.Overwrite)
-      .bucketBy(nt.numBuckets, pb.head, pb.tail: _*)
-      .sortBy(pb.head, pb.tail: _*).option("path", nt.postPath)
-      .saveAsTable(nt.postTable)
     val edges0 = edges
       .join(rid, col("src") === col("__rid"), "left_anti")
       .join(rid, col("dst") === col("__rid"), "left_anti")
     val edges1 = priorTomb.fold(edges0)(tb =>
       retractIds(retractIds(edges0, "src", tb), "dst", tb))
-    edges1
-      .repartition(nt.numBuckets, col("src"))
-      .write.mode(SaveMode.Overwrite).bucketBy(nt.numBuckets, "src")
-      .sortBy("src").option("path", nt.edgePath)
-      .saveAsTable(nt.edgeTable)
-    writeEmptyAlias(spark, nt)
+    // all four relations rewrite blue/green into nt's FRESH tables and
+    // dirs — no ordering is load-bearing (a crash mid-takedown leaves
+    // `t` intact and the re-run overwrites every nt relation), so the
+    // four corpus-sized writes run concurrently (guide §2.6)
+    Actions.inParallel(Seq(
+      () => untouched
+        .union(comps.select(col("id").as(idCol), col("cluster")))
+        .repartition(nt.numBuckets, col(idCol))
+        .write.mode(SaveMode.Overwrite).bucketBy(nt.numBuckets, idCol)
+        .sortBy(idCol).option("path", nt.memberPath)
+        .saveAsTable(nt.memberTable),
+      () => priorTomb.fold(posts0)(retractIds(posts0, idCol, _))
+        .repartition(nt.numBuckets, pb.map(col): _*)
+        .write.mode(SaveMode.Overwrite)
+        .bucketBy(nt.numBuckets, pb.head, pb.tail: _*)
+        .sortBy(pb.head, pb.tail: _*).option("path", nt.postPath)
+        .saveAsTable(nt.postTable),
+      () => edges1
+        .repartition(nt.numBuckets, col("src"))
+        .write.mode(SaveMode.Overwrite).bucketBy(nt.numBuckets, "src")
+        .sortBy("src").option("path", nt.edgePath)
+        .saveAsTable(nt.edgeTable),
+      () => writeEmptyAlias(spark, nt)))
   }
 
   private def gramKeys(df: DataFrame, textCol: Column, n: Int): DataFrame =

@@ -445,8 +445,44 @@ object Similarity {
     val sim = when(col("__na") === 0 || col("__nb") === 0, lit(0.0))
       .otherwise(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
     val cmp = (s: Column) => if (strict) s > t else s >= t
-    val prunedPairs = la.join(broadcast(allowedDf), Seq("__ca"))
-      .join(rb, Seq("__cb"))
+    // Verify-stage parallelism. The exchange feeding the exact-cosine
+    // verify is keyed on the CELL id — at most `nCells` distinct
+    // values, so its parallelism is capped at nCells at ANY scale, and
+    // at bench scale AQE's byte-driven coalescing fuses the tiny-bytes
+    // / heavy-compute candidate partitions into ONE task (~2 s of
+    // serialized vector math measured on q67). Two moves, both
+    // output-invariant:
+    //  - SALT: the left side gets a deterministic per-vector salt
+    //    (hash, never rand — retried tasks must land rows identically,
+    //    guide §2.5) and the right side replicates once per salt value,
+    //    so the key space grows to nCells × saltFan and the per-key
+    //    verify work splits. Each (va, vb) candidate still meets
+    //    exactly once: va carries ONE salt and vb has exactly one copy
+    //    per salt value.
+    //  - PIN the exchange with an explicit-partition-count repartition
+    //    on both sides (REPARTITION_BY_NUM — AQE honors user-pinned
+    //    counts and neither coalesces nor resizes them), sized from
+    //    the session's parallelism, not a constant.
+    // Replication cost: right-side rows × saltFan across the exchange —
+    // bounded by the fan cap below; the win is that the verify stage
+    // engages every core instead of at most nCells (or one) of them.
+    val sc = left.sparkSession.sparkContext
+    // fan 8 balances the two costs: nCells × 8 keys spread a pinned
+    // exchange evenly past any realistic core count, while right-side
+    // replication (the salt's price, paid at every scale) stays ≤ 8×
+    val saltFan = math.max(1, math.min(sc.defaultParallelism, 8))
+    val parts = math.max(sc.defaultParallelism,
+      left.sparkSession.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    val laS = la.join(broadcast(allowedDf), Seq("__ca"))
+      .withColumn("__salt", pmod(xxhash64(col("__va")), lit(saltFan)).cast("int"))
+      .repartition(parts, col("__cb"), col("__salt"))
+    // sequence(int, int) is array<int>, so the exploded salt matches
+    // the int-cast pmod salt on the left side
+    val rbS = rb.withColumn("__salt",
+        explode(sequence(lit(0), lit(saltFan - 1))))
+      .repartition(parts, col("__cb"), col("__salt"))
+    val prunedPairs = laS
+      .join(rbS, Seq("__cb", "__salt"))
       .withColumn("__sim", sim)
       .filter(cmp(col("__sim")))
       .select(col("__va"), col("__vb"))

@@ -23,6 +23,13 @@ import graft.{GraftSession, SparkEntry}
   * SPARK_GRAFT_CPUS says (default all), warms the query once when
   * `runs` > 1 so steady-state jobs are what gets printed (the bench's
   * best-of-2 stance).
+  *
+  * Precision caveat: SparkListener events arrive asynchronously on the
+  * listener bus, so flipping `capture` right around the measured run
+  * can record straggler warm-up jobs or drop tail events. The short
+  * sleeps around the toggles drain the bus in practice; treat the
+  * job-ms sum and stage table as diagnostic-grade (±a few events),
+  * not artifact-grade.
   */
 object JobProbe {
 
@@ -40,18 +47,23 @@ object JobProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val jobStart = TrieMap.empty[Int, (Long, String)]
+    val stageJob = TrieMap.empty[Int, Int]
     val rows = new java.util.concurrent.ConcurrentLinkedQueue[JobRow]()
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[StageRow]()
     @volatile var capture = false
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = if (capture) {
-        val site = Option(e.properties)
-          .flatMap(p => Option(p.getProperty("callSite.short")))
+        val desc = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+        val site = desc
+          .orElse(Option(e.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))))
           .orElse(e.stageInfos.lastOption.map(_.details.linesIterator
             .find(l => l.contains("graft.") && !l.contains("graft.tools"))
             .getOrElse("").trim))
           .getOrElse("")
         jobStart(e.jobId) = (e.time, site)
+        e.stageInfos.foreach(si => stageJob(si.stageId) = e.jobId)
       }
       override def onJobEnd(e: SparkListenerJobEnd): Unit = if (capture) {
         jobStart.remove(e.jobId).foreach { case (t0, site) =>
@@ -80,9 +92,11 @@ object JobProbe {
 
     // warm-up pass (codegen/JIT) unless runs == 1
     if (runs > 1) runOnce()
+    Thread.sleep(500) // drain straggler warm-up events off the bus
     rows.clear(); jobStart.clear(); stages.clear()
     capture = true
     val wall = runOnce()
+    Thread.sleep(500) // let tail job/stage-completed events land
     capture = false
 
     val all = rows.toArray(Array.empty[JobRow]).sortBy(_.start)
@@ -97,7 +111,8 @@ object JobProbe {
     }
     println("-- top stages by wall --")
     stages.toArray(Array.empty[StageRow]).sortBy(-_.ms).take(25).foreach { s =>
-      println(f"stage=${s.stageId}%-5d ${s.ms}%6d ms tasks=${s.tasks}%-4d execSum=${s.runMs}%7d ms in=${s.inMB}%8.1f MB sr=${s.srMB}%8.1f MB sw=${s.swMB}%8.1f MB  ${s.name.take(70)}")
+      val j = stageJob.getOrElse(s.stageId, -1)
+      println(f"stage=${s.stageId}%-5d job=$j%-4d ${s.ms}%6d ms tasks=${s.tasks}%-4d execSum=${s.runMs}%7d ms in=${s.inMB}%8.1f MB sr=${s.srMB}%8.1f MB sw=${s.swMB}%8.1f MB  ${s.name.take(70)}")
     }
     spark.stop()
   }

@@ -1527,4 +1527,37 @@ class IncrementalSpec extends AnyFunSuite {
     } finally Seq(t.postTable, t.memberTable, t.aliasTable, t.edgeTable)
       .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
   }
+
+  test("wavePostings: map-side form equals the distinct+count-join reference") {
+    import spark.implicits._
+    // repeated grams within a doc (the array_distinct case), short
+    // docs below the gram size (zero-gram: must emit NO rows), and a
+    // doc of all-identical words (one distinct gram)
+    val waves = Seq(
+      (1L, "a b c a b c a b"), // repeated 2-grams
+      (2L, "x y"),             // exactly one 2-gram
+      (3L, "solo"),            // below gram size — no rows
+      (4L, "w w w w w")        // one distinct gram from many windows
+    ).toDF("doc_id", "text")
+    val got = Incremental.wavePostings(waves, "doc_id", col("text"), 2)
+    // the pre-round-13 formulation: explode → global distinct →
+    // per-doc count joined back (same columns, three exchanges)
+    val grams = waves.select(col("doc_id"),
+        explode(array_distinct(Dedup.wordNGrams(col("text"), 2))).as("__g"))
+      .select(col("doc_id"), xxhash64(col("__g")).as("__g1"),
+        xxhash64(col("__g"), lit(1)).as("__g2"))
+      .distinct()
+    val ref = grams.join(
+      grams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams")),
+      Seq("doc_id"))
+    val k = (df: org.apache.spark.sql.DataFrame) => df
+      .select("doc_id", "__g1", "__g2", "n_grams").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(k(got) === k(ref))
+    assert(!got.collect().map(_.getLong(0)).contains(3L),
+      "gram-less docs emit no posting rows")
+    // the new form is exchange-free: no shuffle before the checkpoint
+    assert(got.rdd.getNumPartitions > 0) // smoke: materialized fine
+  }
 }

@@ -77,6 +77,54 @@ class PlanSpec extends AnyFunSuite {
       s"q99 must not use a 1-partition global window:\n$q99")
   }
 
+  /** Every WindowExec with EMPTY partitioning must sit above a grouped
+    * aggregate — i.e. its input frame is bounded-cardinality (one row
+    * per stratum/group), never a corpus-sized scan. An unpartitioned
+    * window over raw rows serializes the whole frame through one task
+    * at any scale; the quota windows (temperatureSample/-Resample,
+    * budget/stratified splits) are safe exactly because they window
+    * COUNT frames. This makes that protection structural rather than
+    * conventional (round-12 verdict item). */
+  private def unpartitionedWindowsBounded(
+      df: org.apache.spark.sql.DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def hasGroupedAgg(p: SparkPlan): Boolean = p.collectFirst {
+      case a: HashAggregateExec if a.groupingExpressions.nonEmpty => a
+      case a: ObjectHashAggregateExec if a.groupingExpressions.nonEmpty => a
+      case a: SortAggregateExec if a.groupingExpressions.nonEmpty => a
+    }.isDefined
+    val offenders = df.queryExecution.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty && !hasGroupedAgg(w.child) => w
+    }
+    offenders.isEmpty
+  }
+
+  test("unpartitioned windows only ever see bounded (grouped-aggregate) frames") {
+    val docs = Tables.documents(spark, dir)
+    // the quota-window operators: global sum windows over per-stratum
+    // COUNT frames — bounded by construction, the checker must accept
+    assert(unpartitionedWindowsBounded(operators.Split.temperatureSample(
+      docs, col("lang"), col("doc_id"), targetTotal = 100, alpha = 0.5)),
+      "temperatureSample's global quota window must sit above the stratum counts")
+    assert(unpartitionedWindowsBounded(operators.Split.temperatureResample(
+      docs, col("lang"), col("doc_id"), targetTotal = 100, alpha = 0.5)),
+      "temperatureResample's global quota window must sit above the stratum counts")
+    // declared queries through the quota windows stay bounded too
+    for (q <- Seq("q84_temperature_sample", "q93_temperature_resample",
+        "q50_stratified_split", "q62_budget_sample")) {
+      assert(unpartitionedWindowsBounded(SparkEntry.queries(q)(spark, dir)),
+        s"$q windows an unbounded frame globally")
+    }
+    // negative control: a global row_number over the raw corpus is
+    // exactly the shape the checker exists to catch
+    val bad = docs.withColumn("rn", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
+    assert(!unpartitionedWindowsBounded(bad),
+      "checker must flag a global window over a corpus-sized frame")
+  }
+
   test("q1: shipdate filter is pushed to the parquet scan and columns pruned") {
     val plan = formatted("q1_pricing_summary")
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
