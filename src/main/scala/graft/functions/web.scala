@@ -91,20 +91,34 @@ object web {
     * block-level tags, keep blocks with ≥ `minWords` words and link
     * density ≤ `maxLinkDensity`, and reassemble survivors in document
     * order joined by newlines. The trafilatura/jusText heuristic as
-    * one codegen'd expression — no DOM, no UDF, no shuffle; anchors
-    * that survive the density gate keep their text (links inside real
-    * paragraphs are content; link farms are not). */
+    * one expression — no DOM, no UDF, no shuffle; anchors that survive
+    * the density gate keep their text (links inside real paragraphs
+    * are content; link farms are not).
+    *
+    * Shape note (round 13): [[blockText]] — 2 regexes + 8 entity
+    * replaces + trim — must run exactly ONCE per block. Column
+    * composition has no `let`, so naming it in a `val` still clones
+    * the subtree per use, and higher-order lambdas evaluate interpreted
+    * (no codegen subexpression elimination): binding `t = blockText(b)`
+    * inside the filter re-ran the cascade up to 4× per surviving block
+    * (word gate, empty gate, density denominator, output). A transform
+    * into `(raw, text)` structs materializes the cleaned text once;
+    * the filter reads the struct field, and the raw block stays
+    * available so the anchor scan ([[blockLinkLen]]) keeps its
+    * short-circuit position behind the cheap word/empty gates. */
   def html_main_text(html: Column, minWords: Int = 3,
       maxLinkDensity: Double = 0.33): Column = {
     val blocks = split(regexp_replace(html, hiddenRegionRe, " "),
       blockBoundaryRe)
-    val kept = filter(blocks, b => {
-      val t = blockText(b)
+    val cleaned = transform(blocks,
+      b => struct(b.as("raw"), blockText(b).as("txt")))
+    val kept = filter(cleaned, s => {
+      val t = s.getField("txt")
       (size(split(t, " ")) >= minWords) && (t =!= "") &&
-        (blockLinkLen(b).cast("double") <=
+        (blockLinkLen(s.getField("raw")).cast("double") <=
           lit(maxLinkDensity) * length(t).cast("double"))
     })
-    array_join(transform(kept, b => blockText(b)), "\n")
+    array_join(transform(kept, s => s.getField("txt")), "\n")
   }
 
   /** RFC 3986 §6.2.2.2 percent-encoding normalization (decode
