@@ -352,15 +352,11 @@ object Video {
 
   // ======== deterministic synthetic MJPEG-AVI corpus ========
 
-  private def jpegBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
-    val bos = new ByteArrayOutputStream()
-    // explicit memory-cache stream: the default write path spools
-    // through an executor temp file (see Images.decodeGray)
-    val mos = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
-    javax.imageio.ImageIO.write(img, "jpg", mos)
-    mos.close()
-    bos.toByteArray
-  }
+  private def jpegBytes(img: java.awt.image.BufferedImage): Array[Byte] =
+    // per-thread cached writer (Images.encodeImage): ImageIO.write's
+    // per-call writer discovery rivals the encode itself on 32×32
+    // frames; bytes stay bit-identical (ImagesSpec pins both formats)
+    Images.encodeImage(img, "jpg")
 
   /** A deterministic MJPEG AVI: `nFrames` 32×32 frames; frame f's
     * pixels are [[Images.syntheticPng]]-style PRF of (scene, f, x, y).

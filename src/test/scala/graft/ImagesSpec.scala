@@ -107,6 +107,30 @@ class ImagesSpec extends AnyFunSuite {
     sigs.unpersist(blocking = false)
   }
 
+  test("encodeImage == ImageIO.write bit-for-bit, png and jpg, across reuse") {
+    // the per-thread cached writer must emit the EXACT bytes a fresh
+    // ImageIO.write call does (same plugin, same call sequence) —
+    // including on the 2nd+ use of the cached writer, which is the
+    // reuse path every synthetic-corpus row after the first takes
+    def reference(img: java.awt.image.BufferedImage, fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val mos = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      javax.imageio.ImageIO.write(img, fmt, mos)
+      mos.close()
+      bos.toByteArray
+    }
+    def img(scene: Long, variant: Int): java.awt.image.BufferedImage = {
+      val b = Images.syntheticPng(scene, variant)
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+    }
+    for (fmt <- Seq("png", "jpg"); scene <- 0L to 3L; v <- 0 to 1) {
+      val i = img(scene, v)
+      assert(java.util.Arrays.equals(
+        Images.encodeImage(i, fmt), reference(i, fmt)),
+        s"cached-writer bytes differ from ImageIO.write: fmt=$fmt scene=$scene v=$v")
+    }
+  }
+
   test("imageNearDedup: variants drop, bases and corrupt rows survive; seen-not-kept contract") {
     val imgs = Images.syntheticCorpus(
       spark.range(0, 120).toDF("doc_id"), "doc_id",
